@@ -1,0 +1,191 @@
+"""Misc constraints: primary keys, uniqueness, functional dependency, null
+fraction (parity: /root/reference/src/datajudge/constraints/miscs.py)."""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import SparkSession
+
+from .. import operators as ops
+from ..reference import DataReference
+from .base import Constraint, OptionalSelections, TestResult, format_sample
+
+
+class PrimaryKeyDefinition(Constraint):
+    """Declared PK columns must equal the target set (reference miscs.py:12-47).
+    PKs come from the sidecar registry (operators.declare_primary_keys) since
+    Spark has no PK catalog."""
+
+    def __init__(
+        self,
+        ref: DataReference,
+        primary_keys: list[str],
+        name: str | None = None,
+        cache_size=None,
+    ):
+        super().__init__(ref, ref_value=set(primary_keys), name=name)
+
+    def _retrieve(
+        self, engine: SparkSession, ref: DataReference
+    ) -> tuple[set[str], OptionalSelections]:
+        values, selections = ops.get_primary_keys(engine, self._ref)
+        return set(values), selections
+
+    # Note: exact equality!
+    def _compare(
+        self, value_factual: set[str], value_target: set[str]
+    ) -> tuple[bool, str | None]:
+        assertion_message = ""
+        result = True
+        if len(value_factual.difference(value_target)) > 0:
+            example_key = next(iter(value_factual.difference(value_target)))
+            assertion_message = (
+                f"{self._ref} incorrectly includes {example_key} as primary key."
+            )
+            result = False
+        if len(value_target.difference(value_factual)) > 0:
+            example_key = next(iter(value_target.difference(value_factual)))
+            assertion_message = (
+                f"{self._ref} doesn't include {example_key} as primary key."
+            )
+            result = False
+        return result, assertion_message
+
+
+class Uniqueness(Constraint):
+    """#uniques must (almost) equal #rows (reference miscs.py:50-121)."""
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_duplicate_fraction: float = 0,
+        max_absolute_n_duplicates: int = 0,
+        infer_pk_columns: bool = False,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_duplicate_fraction != 0 and max_absolute_n_duplicates != 0:
+            raise ValueError(
+                """Uniqueness constraint was attempted to be constructed
+                with both a relative and an absolute tolerance. Only use one
+                of both at a time."""
+            )
+        if max_duplicate_fraction != 0:
+            ref_value = ("relative", max_duplicate_fraction)
+        elif max_absolute_n_duplicates != 0:
+            ref_value = ("absolute", max_absolute_n_duplicates)
+        else:
+            ref_value = ("relative", 0)
+        self.infer_pk_columns = infer_pk_columns
+        super().__init__(ref, ref_value=ref_value, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        if self.infer_pk_columns:
+            pk_columns = ops.get_primary_keys(engine, self._ref)[0]
+            if pk_columns:
+                self._ref.columns = pk_columns
+            else:
+                warnings.warn(
+                    f"""No primary keys found in {self._ref}.
+                    Uniqueness will be tested for all columns."""
+                )
+
+        unique_count, _ = ops.get_unique_count(engine, self._ref)
+        row_count, _ = ops.get_row_count(engine, self._ref)
+        if row_count == 0:
+            return TestResult(True, "No occurrences.")
+
+        tolerance_kind, tolerance_value = self._ref_value
+        if tolerance_kind == "relative":
+            result = unique_count >= row_count * (1 - tolerance_value)
+        elif tolerance_kind == "absolute":
+            result = unique_count >= row_count - tolerance_value
+        else:
+            raise ValueError(
+                f"Given tolerance is neither relative nor absolute: {tolerance_kind}."
+            )
+        if result:
+            return TestResult.success()
+        sample, _ = ops.get_duplicate_sample(engine, self._ref)
+        sample_string = format_sample(sample, self._ref)
+        return TestResult.failure(
+            f"{self._ref} has {row_count} rows > {unique_count} "
+            f"uniques. This surpasses the max_duplicate_fraction of "
+            f"{self._ref_value}. An example tuple breaking the "
+            f"uniqueness condition is: {sample_string}."
+        )
+
+
+class FunctionalDependency(Constraint):
+    """key_columns functionally determine the remaining columns
+    (reference miscs.py:124-147)."""
+
+    def __init__(self, ref: DataReference, key_columns: list[str], **kwargs):
+        super().__init__(ref, ref_value=object(), **kwargs)
+        self.key_columns = key_columns
+
+    def test(self, engine: SparkSession) -> TestResult:
+        violations, _ = ops.get_functional_dependency_violations(
+            engine, self._ref, self.key_columns
+        )
+        if not violations:
+            return TestResult.success()
+        return TestResult.failure(
+            f"{self._ref} has violations of functional dependence "
+            f"(in total {len(violations)} rows):\n"
+            + "\n".join(
+                f"{violation}"
+                for violation in self._apply_output_formatting(
+                    [tuple(elem) for elem in violations]
+                )
+            )
+        )
+
+
+class MaxNullFraction(Constraint):
+    """NULL fraction must stay under a (possibly ref2-derived) threshold
+    (reference miscs.py:150-191)."""
+
+    def __init__(
+        self,
+        ref: DataReference,
+        *,
+        ref2: DataReference | None = None,
+        max_null_fraction: float | None = None,
+        max_relative_deviation: float = 0,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        super().__init__(
+            ref,
+            ref2=ref2,
+            ref_value=max_null_fraction,
+            name=name,
+            cache_size=cache_size,
+        )
+        if max_null_fraction is not None and not (0 <= max_null_fraction <= 1):
+            raise ValueError(
+                f"max_null_fraction was expected to lie within [0, 1] but is "
+                f"{max_null_fraction}."
+            )
+        if max_relative_deviation < 0:
+            raise ValueError(
+                f"{max_relative_deviation} is negative even though it needs "
+                f"to be positive."
+            )
+        self.max_relative_deviation = max_relative_deviation
+
+    def _retrieve(self, engine: SparkSession, ref: DataReference):
+        return ops.get_missing_fraction(engine, ref)
+
+    def _compare(
+        self, value_factual: float, value_target: float
+    ) -> tuple[bool, str | None]:
+        threshold = value_target * (1 + self.max_relative_deviation)
+        result = value_factual <= threshold
+        assertion_text = (
+            f"{value_factual} of {self._ref} values are NULL "
+            f"while only {self._target_prefix}{threshold} were allowed to be NULL."
+        )
+        return result, assertion_text

@@ -1,0 +1,103 @@
+"""Statistical constraints (parity: /root/reference/src/datajudge/constraints/stats.py)."""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+from pyspark.sql import SparkSession
+
+from .. import operators as ops
+from ..reference import DataReference
+from .base import Constraint, TestResult
+
+
+class KolmogorovSmirnov2Sample(Constraint):
+    """Two-sample KS test: d-statistic computed in-engine (operators.stats),
+    acceptance and p-value math on the driver (reference stats.py:13-142)."""
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        significance_level: float = 0.05,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        self._significance_level = significance_level
+        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
+
+    @staticmethod
+    def approximate_p_value(
+        d: float, n_samples: int, m_samples: int
+    ) -> float | None:
+        """Approximate p-value per 'A procedure to find exact critical values
+        of Kolmogorov-Smirnov Test' (Fachinetti, 2009); quasi-exact via scipy
+        ``kstwo`` when available (reference stats.py:25-54)."""
+        samples = min(n_samples, m_samples)
+        if samples < 35:
+            warnings.warn(
+                "Approximating the p-value is not accurate enough for "
+                "sample size < 35"
+            )
+            return None
+        try:
+            from scipy.stats.distributions import kstwo
+
+            approx_p = kstwo.sf(
+                d, round((n_samples * m_samples) / (n_samples + m_samples))
+            )
+        except ModuleNotFoundError:
+            d_alpha = d * math.sqrt(samples)
+            approx_p = 2 * math.exp(-(d_alpha**2))
+        return 1.0 if approx_p > 1.0 else 0.0 if approx_p < 0.0 else approx_p
+
+    @staticmethod
+    def check_acceptance(
+        d_statistic: float, n_samples: int, m_samples: int, accepted_level: float
+    ) -> bool:
+        """H0 acceptance at the given significance level via the critical
+        value c(alpha)*sqrt((n+m)/(n*m)) (reference stats.py:56-75)."""
+
+        def c(alpha: float) -> float:
+            return math.sqrt(-math.log(alpha / 2.0 + 1e-10) * 0.5)
+
+        threshold = c(accepted_level) * math.sqrt(
+            (n_samples + m_samples) / (n_samples * m_samples)
+        )
+        return d_statistic <= threshold
+
+    @staticmethod
+    def _calculate_statistic(
+        engine: SparkSession, ref1: DataReference, ref2: DataReference
+    ) -> tuple[float, float | None, int, int]:
+        d_statistic, _ = ops.get_ks_2sample(engine, ref1, ref2)
+        n_samples, _ = ops.get_row_count(engine, ref1)
+        m_samples, _ = ops.get_row_count(engine, ref2)
+        p_value = KolmogorovSmirnov2Sample.approximate_p_value(
+            d_statistic, n_samples, m_samples
+        )
+        return d_statistic, p_value, n_samples, m_samples
+
+    def test(self, engine: SparkSession) -> TestResult:
+        if self._ref2 is None:
+            raise ValueError("KolmogorovSmirnov2Sample requires ref2.")
+        d_statistic, p_value, n_samples, m_samples = self._calculate_statistic(
+            engine, self._ref, self._ref2
+        )
+        result = self.check_acceptance(
+            d_statistic, n_samples, m_samples, self._significance_level
+        )
+        assertion_text = (
+            f"Null hypothesis (H0) for the 2-sample Kolmogorov-Smirnov test "
+            f"was rejected, i.e., "
+            f"the two samples ({self._ref} and {self._target_prefix}) "
+            f"do not originate from the same distribution. "
+            f"The test results are d={d_statistic}"
+        )
+        if p_value is not None:
+            assertion_text += f" and {p_value=}"
+        assertion_text += "."
+        if not result:
+            return TestResult.failure(assertion_text, self.get_description())
+        return TestResult.success()

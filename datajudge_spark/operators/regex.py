@@ -1,0 +1,55 @@
+"""Regex violation counting (in-engine variant).
+
+Re-expression of /root/reference/src/datajudge/db_access.py:1318-1363.
+
+Semantics: like the reference's ``regexp_match``, Spark's ``rlike`` is an
+*unanchored search* — a row violates when the pattern is found nowhere in the
+value. (The separate in-memory constraint ``VarCharRegex`` uses Python
+``re.match``, which is anchored — the two variants intentionally differ, see
+reference constraints/varchar.py:122-123 and SURVEY §2.2.)
+
+``rlike`` compiles once per task and runs inside whole-stage codegen — this is
+the "typically faster and substantially more memory-saving" path the
+reference documents for its in-DB variant (requirements.py:1135-1139).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..reference import DataReference
+
+_Plans = list[DataFrame]
+
+
+def get_regex_violations(
+    spark: SparkSession,
+    ref: DataReference,
+    aggregated: bool,
+    regex: str,
+    n_counterexamples: int,
+) -> tuple[tuple[int, list], _Plans]:
+    """(n_violations, counterexamples). ``aggregated=True`` counts over
+    DISTINCT values; ``n_counterexamples=-1`` returns all, 0 none, k>0 first k
+    (reference db_access.py:1318-1363)."""
+    column = ref.get_column(spark)
+    selection = ref.get_selection(spark)
+    if aggregated:
+        selection = selection.distinct()
+    violations = selection.select(column).where(~F.col(column).rlike(regex))
+
+    n_violations = violations.count()
+
+    plans: _Plans = [violations]
+    if n_counterexamples == -1:
+        counterexamples = [row[0] for row in violations.collect()]
+    elif n_counterexamples == 0:
+        counterexamples = []
+    elif n_counterexamples > 0:
+        counterexamples = [
+            row[0] for row in violations.limit(n_counterexamples).collect()
+        ]
+    else:
+        raise ValueError(f"Unexpected number of counterexamples: {n_counterexamples}")
+    return (n_violations, counterexamples), plans

@@ -1,0 +1,205 @@
+"""Scalar / aggregate metric operators.
+
+Spark-first re-expression of the aggregate queries in
+/root/reference/src/datajudge/db_access.py (row counts :740-756, min/max
+:789-800, mean :803-809, percentile :812-857, lengths :860-875, fraction
+between :878-903, missing fraction :967-986, date span :224-299, date growth
+:302-313).
+
+Every operator returns ``(value, [DataFrame, ...])`` — the DataFrames are the
+lazy plans that produced the value, rendered into failure messages only when a
+constraint fails (see ``plans.py``). Only O(1) values cross the driver
+boundary; all O(rows) work stays on executors inside whole-stage codegen.
+
+Scale notes (100 TB design):
+- counts/min/max/avg/length extremes are single-pass partial aggregations —
+  Catalyst plans map-side partial + final agg, no full shuffle.
+- ``get_row_count(row_limit=n)`` uses ``df.limit(n)`` so the scan
+  short-circuits (LocalLimit) instead of counting 100 TB to answer "are there
+  at least n rows" (reference rationale: constraints/nrows.py:41-48).
+- the exact percentile avoids a global row_number window (single-partition
+  hazard, reference db_access.py:821-825): it aggregates to the distinct-value
+  histogram first (one shuffle over |distinct| rows), then takes a cumulative
+  sum over values — identical result, bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..condition import Condition, merge_conditions
+from ..reference import DataReference
+
+_Plans = list[DataFrame]
+
+
+def get_row_count(
+    spark: SparkSession, ref: DataReference, row_limit: int | None = None
+) -> tuple[int, _Plans]:
+    """Number of rows, optionally capped at ``row_limit``
+    (reference db_access.py:740-756)."""
+    selection = ref.get_selection(spark)
+    if row_limit:
+        selection = selection.limit(row_limit)
+    return selection.count(), [selection]
+
+
+def _get_column_agg(
+    spark: SparkSession, ref: DataReference, agg_col
+) -> tuple[object, _Plans]:
+    """Single-scalar aggregate over the ref's only column
+    (reference get_column, db_access.py:759-786)."""
+    column = ref.get_column(spark)
+    selection = ref.get_selection(spark)
+    agg_df = selection.select(agg_col(F.col(column)).alias("value"))
+    row = agg_df.first()
+    return (row["value"] if row is not None else None), [agg_df]
+
+
+def get_min(spark: SparkSession, ref: DataReference) -> tuple[object, _Plans]:
+    return _get_column_agg(spark, ref, F.min)
+
+
+def get_max(spark: SparkSession, ref: DataReference) -> tuple[object, _Plans]:
+    return _get_column_agg(spark, ref, F.max)
+
+
+def get_mean(spark: SparkSession, ref: DataReference) -> tuple[object, _Plans]:
+    """``avg(cast(col AS double))`` (reference casts to DECIMAL,
+    db_access.py:803-809; we document double precision — Spark's avg over
+    integers is already exact in double for < 2^53 sums)."""
+    value, plans = _get_column_agg(
+        spark, ref, lambda c: F.avg(c.cast("double"))
+    )
+    return (float(value) if value is not None else None), plans
+
+
+def get_min_length(spark: SparkSession, ref: DataReference) -> tuple[object, _Plans]:
+    return _get_column_agg(spark, ref, lambda c: F.min(F.length(c)))
+
+
+def get_max_length(spark: SparkSession, ref: DataReference) -> tuple[object, _Plans]:
+    return _get_column_agg(spark, ref, lambda c: F.max(F.length(c)))
+
+
+def get_fraction_between(
+    spark: SparkSession,
+    ref: DataReference,
+    lower_bound: str | float,
+    upper_bound: str | float,
+) -> tuple[float | None, _Plans]:
+    """Fraction of rows with ``lower <= col <= upper``
+    (reference db_access.py:878-903 runs two counts; we fuse them into ONE
+    scan: conditional aggregation avoids the second pass over 100 TB)."""
+    column = ref.get_column(spark)
+    between = Condition(
+        conditions=[
+            Condition(raw_string=f"{column} >= {lower_bound}"),
+            Condition(raw_string=f"{column} <= {upper_bound}"),
+        ],
+        reduction_operator="and",
+    )
+    selection = ref.get_selection(spark)
+    agg_df = selection.select(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(between.to_column(), 1)).alias("n_filtered"),
+    )
+    row = agg_df.first()
+    n_all = row["n_all"] if row is not None else 0
+    n_filtered = row["n_filtered"] if row is not None else 0
+    if n_all == 0:
+        return None, [agg_df]
+    return n_filtered / n_all, [agg_df]
+
+
+def get_missing_fraction(
+    spark: SparkSession, ref: DataReference
+) -> tuple[float, _Plans]:
+    """NULL fraction of the ref's column, one scan
+    (reference db_access.py:967-986 uses two counts)."""
+    column = ref.get_column(spark)
+    selection = ref.get_selection(spark)
+    agg_df = selection.select(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col(column).isNull(), 1)).alias("n_missing"),
+    )
+    row = agg_df.first()
+    if row is None or row["n_total"] == 0:
+        return 0, [agg_df]
+    return row["n_missing"] / row["n_total"], [agg_df]
+
+
+def get_percentile(
+    spark: SparkSession, ref: DataReference, percentage: float
+) -> tuple[float, _Plans]:
+    """Exact percentile: the smallest value v such that at least
+    ``percentage`` % of non-null values are <= v.
+
+    Matches the reference's row_number/argmin construction
+    (db_access.py:812-857) but is computed over the *distinct-value
+    histogram*: groupBy(value).count, cumulative sum ordered by value, pick
+    the first value whose cumulative share reaches the percentage. The window
+    runs over |distinct values| rows — bounded state instead of a global
+    row-level sort. ``percentile_approx`` is deliberately NOT used (breaks
+    exact semantics, SURVEY §7.3.1).
+    """
+    column = ref.get_column(spark)
+    selection = ref.get_selection(spark)
+    non_null = selection.where(F.col(column).isNotNull())
+    hist = non_null.groupBy(F.col(column).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "value",
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("cnt").over(
+            Window.orderBy("value").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_cnt"),
+    )
+    candidates = cum.where(
+        F.col("cum_cnt") * 100.0 / F.col("total_cnt") >= F.lit(percentage)
+    ).select(F.min("value").alias("value"))
+    row = candidates.first()
+    if row is None or row["value"] is None:
+        raise ValueError("Percentile selection could not be fetched.")
+    return float(row["value"]), [candidates]
+
+
+def get_date_span(
+    spark: SparkSession, ref: DataReference, date_column_name: str
+) -> tuple[float, _Plans]:
+    """``datediff(day, min(col), max(col))`` as float — the reference needs six
+    dialect variants for this (db_access.py:224-299); Spark needs one."""
+    selection = ref.get_selection(spark)
+    agg_df = selection.select(
+        F.datediff(
+            F.max(F.col(date_column_name)).cast("date"),
+            F.min(F.col(date_column_name)).cast("date"),
+        ).alias("span")
+    )
+    row = agg_df.first()
+    if row is None or row["span"] is None:
+        raise ValueError("Date span could not be fetched.")
+    span = float(row["span"])
+    if span < 0:
+        raise ValueError(f"Date span has negative value: {span}. It must be positive.")
+    return span, [agg_df]
+
+
+def get_date_growth_rate(
+    spark: SparkSession,
+    ref: DataReference,
+    ref2: DataReference,
+    date_column: str,
+    date_column2: str,
+) -> tuple[float, _Plans]:
+    """date_span(ref)/date_span(ref2) - 1 (reference db_access.py:302-313)."""
+    span1, plans1 = get_date_span(spark, ref, date_column)
+    span2, plans2 = get_date_span(spark, ref2, date_column2)
+    if span2 == 0:
+        raise ValueError("Reference date span is not allowed to be zero.")
+    return span1 / span2 - 1, [*plans1, *plans2]

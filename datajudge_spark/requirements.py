@@ -1,0 +1,1493 @@
+"""Public declarative API: ``WithinRequirement`` and ``BetweenRequirement``.
+
+Parity with /root/reference/src/datajudge/requirements.py:63-2227 — every
+``add_*`` factory keeps the reference's name and keyword surface so existing
+specifications transliterate 1:1; the execution engine argument is a
+``SparkSession``.
+
+Spark-specific additions: ``from_parquet`` / ``from_parquets`` constructors
+(parquet paths are this engine's native tables) and ``from_dataframe(s)`` as
+the DataFrame-flavored spelling of ``from_expression(s)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Collection, MutableSequence, Sequence
+from typing import TypeVar
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .condition import Condition
+from .constraints import column as column_constraints
+from .constraints import date as date_constraints
+from .constraints import groupby as groupby_constraints
+from .constraints import miscs as miscs_constraints
+from .constraints import nrows as nrows_constraints
+from .constraints import numeric as numeric_constraints
+from .constraints import row as row_constraints
+from .constraints import stats as stats_constraints
+from .constraints import uniques as uniques_constraints
+from .constraints import varchar as varchar_constraints
+from .constraints.base import Constraint, TestResult
+from .operators import get_date_growth_rate
+from .reference import DataReference
+from .sources import (
+    DataSource,
+    ExpressionDataSource,
+    ParquetDataSource,
+    RawQueryDataSource,
+    TableDataSource,
+)
+from .utils import OutputProcessor, output_processor_limit
+
+_T = TypeVar("_T")
+
+
+class Requirement(MutableSequence[Constraint]):
+    """A mutable sequence of constraints over one (Within) or two (Between)
+    data sources (reference requirements.py:63-84)."""
+
+    def __init__(self):
+        self._constraints: list[Constraint] = []
+        self._data_source: DataSource
+
+    def insert(self, index: int, value: Constraint) -> None:
+        self._constraints.insert(index, value)
+
+    def __getitem__(self, index):
+        return self._constraints[index]
+
+    def __setitem__(self, index, value) -> None:
+        self._constraints[index] = value
+
+    def __delitem__(self, index) -> None:
+        del self._constraints[index]
+
+    def __len__(self) -> int:
+        return len(self._constraints)
+
+    def test(self, engine: SparkSession) -> list[TestResult]:
+        return [constraint.test(engine) for constraint in self]
+
+
+class WithinRequirement(Requirement):
+    """Constraints against a single data source (reference requirements.py:87-1263)."""
+
+    def __init__(self, data_source: DataSource):
+        self._data_source = data_source
+        super().__init__()
+        self._data_source = data_source
+
+    @classmethod
+    def from_table(
+        cls,
+        table_name: str,
+        db_name: str | None = None,
+        schema_name: str | None = None,
+    ) -> "WithinRequirement":
+        return cls(
+            data_source=TableDataSource(
+                db_name=db_name, table_name=table_name, schema_name=schema_name
+            )
+        )
+
+    @classmethod
+    def from_parquet(cls, path: str, name: str | None = None) -> "WithinRequirement":
+        return cls(data_source=ParquetDataSource(path, name=name))
+
+    @classmethod
+    def from_raw_query(
+        cls, query: str, name: str, columns: list[str] | None = None
+    ) -> "WithinRequirement":
+        return cls(data_source=RawQueryDataSource(query, name, columns=columns))
+
+    @classmethod
+    def from_expression(cls, expression: DataFrame, name: str) -> "WithinRequirement":
+        return cls(data_source=ExpressionDataSource(expression, name))
+
+    from_dataframe = from_expression
+
+    def add_column_existence_constraint(
+        self, columns: list[str], name: str | None = None, cache_size=None
+    ) -> None:
+        # Note that columns are not meant to be part of the reference.
+        ref = DataReference(self._data_source)
+        self._constraints.append(
+            column_constraints.ColumnExistence(
+                ref, columns, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_primary_key_definition_constraint(
+        self, primary_keys: list[str], name: str | None = None, cache_size=None
+    ) -> None:
+        ref = DataReference(self._data_source)
+        self._constraints.append(
+            miscs_constraints.PrimaryKeyDefinition(
+                ref, primary_keys, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_uniqueness_constraint(
+        self,
+        columns: list[str] | None = None,
+        max_duplicate_fraction: float = 0,
+        condition: Condition | None = None,
+        max_absolute_n_duplicates: int = 0,
+        infer_pk_columns: bool = False,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns, condition)
+        self._constraints.append(
+            miscs_constraints.Uniqueness(
+                ref,
+                max_duplicate_fraction=max_duplicate_fraction,
+                max_absolute_n_duplicates=max_absolute_n_duplicates,
+                infer_pk_columns=infer_pk_columns,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_column_type_constraint(
+        self,
+        column: str,
+        column_type: str | T.DataType,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column])
+        self._constraints.append(
+            column_constraints.ColumnType(
+                ref, column_type=column_type, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_null_absence_constraint(
+        self,
+        column: str,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            miscs_constraints.MaxNullFraction(
+                ref, max_null_fraction=0, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_max_null_fraction_constraint(
+        self,
+        column: str,
+        max_null_fraction: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            miscs_constraints.MaxNullFraction(
+                ref,
+                max_null_fraction=max_null_fraction,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_n_rows_equality_constraint(
+        self,
+        n_rows: int,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            nrows_constraints.NRowsEquality(
+                ref, n_rows=n_rows, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_n_rows_min_constraint(
+        self,
+        n_rows_min: int,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            nrows_constraints.NRowsMin(
+                ref, n_rows=n_rows_min, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_n_rows_max_constraint(
+        self,
+        n_rows_max: int,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            nrows_constraints.NRowsMax(
+                ref, n_rows=n_rows_max, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_uniques_equality_constraint(
+        self,
+        columns: list[str],
+        uniques: Collection[_T],
+        filter_func: Callable[[list[_T]], list[_T]] | None = None,
+        map_func: Callable[[_T], _T] | None = None,
+        reduce_func: Callable[[Collection], Collection] | None = None,
+        output_processors: OutputProcessor
+        | list[OutputProcessor]
+        | None = output_processor_limit,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns, condition)
+        self._constraints.append(
+            uniques_constraints.UniquesEquality(
+                ref,
+                uniques=uniques,
+                filter_func=filter_func,
+                map_func=map_func,
+                reduce_func=reduce_func,
+                output_processors=output_processors,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_uniques_superset_constraint(
+        self,
+        columns: list[str],
+        uniques: Collection[_T],
+        max_relative_violations: float = 0,
+        filter_func: Callable[[list[_T]], list[_T]] | None = None,
+        map_func: Callable[[_T], _T] | None = None,
+        reduce_func: Callable[[Collection], Collection] | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        output_processors: OutputProcessor
+        | list[OutputProcessor]
+        | None = output_processor_limit,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns, condition)
+        self._constraints.append(
+            uniques_constraints.UniquesSuperset(
+                ref,
+                uniques=uniques,
+                max_relative_violations=max_relative_violations,
+                filter_func=filter_func,
+                map_func=map_func,
+                reduce_func=reduce_func,
+                output_processors=output_processors,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_uniques_subset_constraint(
+        self,
+        columns: list[str],
+        uniques: Collection[_T],
+        max_relative_violations: float = 0,
+        filter_func: Callable[[list[_T]], list[_T]] | None = None,
+        compare_distinct: bool = False,
+        map_func: Callable[[_T], _T] | None = None,
+        reduce_func: Callable[[Collection], Collection] | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        output_processors: OutputProcessor
+        | list[OutputProcessor]
+        | None = output_processor_limit,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns, condition)
+        self._constraints.append(
+            uniques_constraints.UniquesSubset(
+                ref,
+                uniques=uniques,
+                max_relative_violations=max_relative_violations,
+                filter_func=filter_func,
+                compare_distinct=compare_distinct,
+                map_func=map_func,
+                reduce_func=reduce_func,
+                output_processors=output_processors,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_n_uniques_equality_constraint(
+        self,
+        columns: list[str] | None,
+        n_uniques: int,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns, condition)
+        self._constraints.append(
+            uniques_constraints.NUniquesEquality(
+                ref, n_uniques=n_uniques, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_categorical_bound_constraint(
+        self,
+        columns: list[str],
+        distribution: dict[_T, tuple[float, float]],
+        default_bounds: tuple[float, float] = (0, 0),
+        max_relative_violations: float = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns, condition)
+        self._constraints.append(
+            uniques_constraints.CategoricalBoundConstraint(
+                ref,
+                distribution=distribution,
+                default_bounds=default_bounds,
+                max_relative_violations=max_relative_violations,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_numeric_min_constraint(
+        self,
+        column: str,
+        min_value: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            numeric_constraints.NumericMin(
+                ref, min_value=min_value, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_numeric_max_constraint(
+        self,
+        column: str,
+        max_value: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            numeric_constraints.NumericMax(
+                ref, max_value=max_value, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_numeric_between_constraint(
+        self,
+        column: str,
+        lower_bound: float,
+        upper_bound: float,
+        min_fraction: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            numeric_constraints.NumericBetween(
+                ref,
+                min_fraction,
+                lower_bound,
+                upper_bound,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_numeric_mean_constraint(
+        self,
+        column: str,
+        mean_value: float,
+        max_absolute_deviation: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            numeric_constraints.NumericMean(
+                ref,
+                max_absolute_deviation,
+                mean_value=mean_value,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_numeric_percentile_constraint(
+        self,
+        column: str,
+        percentage: float,
+        expected_percentile: float,
+        max_absolute_deviation: float | None = None,
+        max_relative_deviation: float | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            numeric_constraints.NumericPercentile(
+                ref,
+                percentage=percentage,
+                expected_percentile=expected_percentile,
+                max_absolute_deviation=max_absolute_deviation,
+                max_relative_deviation=max_relative_deviation,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_date_min_constraint(
+        self,
+        column: str,
+        min_value: str,
+        use_lower_bound_reference: bool = True,
+        column_type: str = "date",
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            date_constraints.DateMin(
+                ref,
+                min_value=min_value,
+                use_lower_bound_reference=use_lower_bound_reference,
+                column_type=column_type,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_date_max_constraint(
+        self,
+        column: str,
+        max_value: str,
+        use_upper_bound_reference: bool = True,
+        column_type: str = "date",
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            date_constraints.DateMax(
+                ref,
+                max_value=max_value,
+                use_upper_bound_reference=use_upper_bound_reference,
+                column_type=column_type,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_date_between_constraint(
+        self,
+        column: str,
+        lower_bound: str,
+        upper_bound: str,
+        min_fraction: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            date_constraints.DateBetween(
+                ref,
+                min_fraction,
+                lower_bound,
+                upper_bound,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_date_no_overlap_constraint(
+        self,
+        start_column: str,
+        end_column: str,
+        key_columns: list[str] | None = None,
+        end_included: bool = True,
+        max_relative_n_violations: float = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        relevant_columns = [start_column, end_column] + (
+            key_columns if key_columns else []
+        )
+        ref = DataReference(self._data_source, relevant_columns, condition)
+        self._constraints.append(
+            date_constraints.DateNoOverlap(
+                ref,
+                key_columns=key_columns,
+                start_columns=[start_column],
+                end_columns=[end_column],
+                end_included=end_included,
+                max_relative_n_violations=max_relative_n_violations,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_date_no_overlap_2d_constraint(
+        self,
+        start_column1: str,
+        end_column1: str,
+        start_column2: str,
+        end_column2: str,
+        key_columns: list[str] | None = None,
+        end_included: bool = True,
+        max_relative_n_violations: float = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        relevant_columns = [start_column1, end_column1, start_column2, end_column2] + (
+            key_columns if key_columns else []
+        )
+        ref = DataReference(self._data_source, relevant_columns, condition)
+        self._constraints.append(
+            date_constraints.DateNoOverlap2d(
+                ref,
+                key_columns=key_columns,
+                start_columns=[start_column1, start_column2],
+                end_columns=[end_column1, end_column2],
+                end_included=end_included,
+                max_relative_n_violations=max_relative_n_violations,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_date_no_gap_constraint(
+        self,
+        start_column: str,
+        end_column: str,
+        key_columns: list[str] | None = None,
+        end_included: bool = True,
+        max_relative_n_violations: float = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        relevant_columns = (
+            ([start_column, end_column] + key_columns) if key_columns else None
+        )
+        ref = DataReference(self._data_source, relevant_columns, condition)
+        self._constraints.append(
+            date_constraints.DateNoGap(
+                ref,
+                key_columns=key_columns,
+                start_columns=[start_column],
+                end_columns=[end_column],
+                max_relative_n_violations=max_relative_n_violations,
+                legitimate_gap_size=1 if end_included else 0,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_functional_dependency_constraint(
+        self,
+        key_columns: list[str],
+        value_columns: list[str],
+        condition: Condition | None = None,
+        name: str | None = None,
+        output_processors: OutputProcessor
+        | list[OutputProcessor]
+        | None = output_processor_limit,
+        cache_size=None,
+    ) -> None:
+        relevant_columns = key_columns + value_columns
+        ref = DataReference(self._data_source, relevant_columns, condition)
+        self._constraints.append(
+            miscs_constraints.FunctionalDependency(
+                ref,
+                key_columns=key_columns,
+                output_processors=output_processors,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_numeric_no_gap_constraint(
+        self,
+        start_column: str,
+        end_column: str,
+        key_columns: list[str] | None = None,
+        legitimate_gap_size: float = 0,
+        max_relative_n_violations: float = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        relevant_columns = (
+            ([start_column, end_column] + key_columns) if key_columns else None
+        )
+        ref = DataReference(self._data_source, relevant_columns, condition)
+        self._constraints.append(
+            numeric_constraints.NumericNoGap(
+                ref,
+                key_columns=key_columns,
+                start_columns=[start_column],
+                end_columns=[end_column],
+                legitimate_gap_size=legitimate_gap_size,
+                max_relative_n_violations=max_relative_n_violations,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_numeric_no_overlap_constraint(
+        self,
+        start_column: str,
+        end_column: str,
+        key_columns: list[str] | None = None,
+        end_included: bool = True,
+        max_relative_n_violations: float = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        relevant_columns = [start_column, end_column] + (
+            key_columns if key_columns else []
+        )
+        ref = DataReference(self._data_source, relevant_columns, condition)
+        self._constraints.append(
+            numeric_constraints.NumericNoOverlap(
+                ref,
+                key_columns=key_columns,
+                start_columns=[start_column],
+                end_columns=[end_column],
+                end_included=end_included,
+                max_relative_n_violations=max_relative_n_violations,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_varchar_regex_constraint(
+        self,
+        column: str,
+        regex: str,
+        condition: Condition | None = None,
+        name: str | None = None,
+        allow_none: bool = False,
+        relative_tolerance: float = 0.0,
+        aggregated: bool = True,
+        n_counterexamples: int = 5,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            varchar_constraints.VarCharRegex(
+                ref,
+                regex,
+                allow_none=allow_none,
+                relative_tolerance=relative_tolerance,
+                aggregated=aggregated,
+                n_counterexamples=n_counterexamples,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_varchar_regex_constraint_db(
+        self,
+        column: str,
+        regex: str,
+        condition: Condition | None = None,
+        name: str | None = None,
+        relative_tolerance: float = 0.0,
+        aggregated: bool = True,
+        n_counterexamples: int = 5,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            varchar_constraints.VarCharRegexDb(
+                ref,
+                regex=regex,
+                relative_tolerance=relative_tolerance,
+                aggregated=aggregated,
+                n_counterexamples=n_counterexamples,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_varchar_min_length_constraint(
+        self,
+        column: str,
+        min_length: int,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            varchar_constraints.VarCharMinLength(
+                ref, min_length=min_length, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_varchar_max_length_constraint(
+        self,
+        column: str,
+        max_length: int,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            varchar_constraints.VarCharMaxLength(
+                ref, max_length=max_length, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_groupby_aggregation_constraint(
+        self,
+        columns: Sequence[str],
+        aggregation_column: str,
+        start_value: int,
+        tolerance: float = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, list(columns), condition)
+        self._constraints.append(
+            groupby_constraints.AggregateNumericRangeEquality(
+                ref,
+                aggregation_column=aggregation_column,
+                tolerance=tolerance,
+                start_value=start_value,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+
+class BetweenRequirement(Requirement):
+    """Constraints comparing two data sources (reference requirements.py:1266-2227)."""
+
+    def __init__(
+        self,
+        data_source: DataSource,
+        data_source2: DataSource,
+        date_column: str | None = None,
+        date_column2: str | None = None,
+    ):
+        self._data_source = data_source
+        self._data_source2 = data_source2
+        self._ref = DataReference(self._data_source)
+        self._ref2 = DataReference(self._data_source2)
+        self._date_column = date_column
+        self._date_column2 = date_column2
+        super().__init__()
+        self._data_source = data_source
+        self._data_source2 = data_source2
+
+    @classmethod
+    def from_tables(
+        cls,
+        table_name1: str,
+        table_name2: str,
+        db_name1: str | None = None,
+        db_name2: str | None = None,
+        schema_name1: str | None = None,
+        schema_name2: str | None = None,
+        date_column: str | None = None,
+        date_column2: str | None = None,
+    ) -> "BetweenRequirement":
+        return cls(
+            data_source=TableDataSource(
+                db_name=db_name1, table_name=table_name1, schema_name=schema_name1
+            ),
+            data_source2=TableDataSource(
+                db_name=db_name2, table_name=table_name2, schema_name=schema_name2
+            ),
+            date_column=date_column,
+            date_column2=date_column2,
+        )
+
+    @classmethod
+    def from_parquets(
+        cls,
+        path1: str,
+        path2: str,
+        name1: str | None = None,
+        name2: str | None = None,
+        date_column: str | None = None,
+        date_column2: str | None = None,
+    ) -> "BetweenRequirement":
+        return cls(
+            data_source=ParquetDataSource(path1, name=name1),
+            data_source2=ParquetDataSource(path2, name=name2),
+            date_column=date_column,
+            date_column2=date_column2,
+        )
+
+    @classmethod
+    def from_raw_queries(
+        cls,
+        query1: str,
+        query2: str,
+        name1: str,
+        name2: str,
+        columns1: list[str] | None = None,
+        columns2: list[str] | None = None,
+        date_column: str | None = None,
+        date_column2: str | None = None,
+    ) -> "BetweenRequirement":
+        return cls(
+            data_source=RawQueryDataSource(query1, name1, columns=columns1),
+            data_source2=RawQueryDataSource(query2, name2, columns=columns2),
+            date_column=date_column,
+            date_column2=date_column2,
+        )
+
+    @classmethod
+    def from_expressions(
+        cls,
+        expression1: DataFrame,
+        expression2: DataFrame,
+        name1: str,
+        name2: str,
+        date_column: str | None = None,
+        date_column2: str | None = None,
+    ) -> "BetweenRequirement":
+        return cls(
+            data_source=ExpressionDataSource(expression1, name1),
+            data_source2=ExpressionDataSource(expression2, name2),
+            date_column=date_column,
+            date_column2=date_column2,
+        )
+
+    from_dataframes = from_expressions
+
+    def get_date_growth_rate(self, engine: SparkSession) -> float:
+        if self._date_column is None or self._date_column2 is None:
+            raise ValueError("Date growth can't be computed without date column.")
+        date_growth_rate, _ = get_date_growth_rate(
+            engine, self._ref, self._ref2, self._date_column, self._date_column2
+        )
+        return date_growth_rate
+
+    def _get_deviation_getter(
+        self, fix_value: float | None, deviation: float | None
+    ) -> Callable[[SparkSession], float]:
+        if fix_value is None and deviation is None:
+            raise ValueError("No valid gain/loss/deviation given.")
+        if deviation is None:
+            assert fix_value is not None
+            return lambda engine: fix_value
+        if fix_value is None:
+            return lambda engine: self.get_date_growth_rate(engine) + deviation
+        return lambda engine: max(
+            fix_value, self.get_date_growth_rate(engine) + deviation
+        )
+
+    def add_n_rows_equality_constraint(
+        self,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, condition=condition1)
+        ref2 = DataReference(self._data_source2, condition=condition2)
+        self._constraints.append(
+            nrows_constraints.NRowsEquality(
+                ref, ref2=ref2, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_n_rows_max_gain_constraint(
+        self,
+        constant_max_relative_gain: float | None = None,
+        date_range_gain_deviation: float | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        max_relative_gain_getter = self._get_deviation_getter(
+            constant_max_relative_gain, date_range_gain_deviation
+        )
+        ref = DataReference(self._data_source, condition=condition1)
+        ref2 = DataReference(self._data_source2, condition=condition2)
+        self._constraints.append(
+            nrows_constraints.NRowsMaxGain(
+                ref, ref2, max_relative_gain_getter, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_n_rows_min_gain_constraint(
+        self,
+        constant_min_relative_gain: float | None = None,
+        date_range_gain_deviation: float | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        min_relative_gain_getter = self._get_deviation_getter(
+            constant_min_relative_gain, date_range_gain_deviation
+        )
+        ref = DataReference(self._data_source, condition=condition1)
+        ref2 = DataReference(self._data_source2, condition=condition2)
+        self._constraints.append(
+            nrows_constraints.NRowsMinGain(
+                ref, ref2, min_relative_gain_getter, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_n_rows_max_loss_constraint(
+        self,
+        constant_max_relative_loss: float | None = None,
+        date_range_loss_deviation: float | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        max_relative_loss_getter = self._get_deviation_getter(
+            constant_max_relative_loss, date_range_loss_deviation
+        )
+        ref = DataReference(self._data_source, condition=condition1)
+        ref2 = DataReference(self._data_source2, condition=condition2)
+        self._constraints.append(
+            nrows_constraints.NRowsMaxLoss(
+                ref, ref2, max_relative_loss_getter, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_n_uniques_equality_constraint(
+        self,
+        columns1: list[str] | None,
+        columns2: list[str] | None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            uniques_constraints.NUniquesEquality(
+                ref, ref2=ref2, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_n_uniques_max_gain_constraint(
+        self,
+        columns1: list[str] | None,
+        columns2: list[str] | None,
+        constant_max_relative_gain: float | None = None,
+        date_range_gain_deviation: float | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        max_relative_gain_getter = self._get_deviation_getter(
+            constant_max_relative_gain, date_range_gain_deviation
+        )
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            uniques_constraints.NUniquesMaxGain(
+                ref, ref2, max_relative_gain_getter, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_n_uniques_max_loss_constraint(
+        self,
+        columns1: list[str] | None,
+        columns2: list[str] | None,
+        constant_max_relative_loss: float | None = None,
+        date_range_loss_deviation: float | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        max_relative_loss_getter = self._get_deviation_getter(
+            constant_max_relative_loss, date_range_loss_deviation
+        )
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            uniques_constraints.NUniquesMaxLoss(
+                ref, ref2, max_relative_loss_getter, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_max_null_fraction_constraint(
+        self,
+        column1: str,
+        column2: str,
+        max_relative_deviation: float,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column1], condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition2)
+        self._constraints.append(
+            miscs_constraints.MaxNullFraction(
+                ref,
+                ref2=ref2,
+                max_relative_deviation=max_relative_deviation,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_numeric_min_constraint(
+        self,
+        column1: str,
+        column2: str,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column1], condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition2)
+        self._constraints.append(
+            numeric_constraints.NumericMin(
+                ref, ref2=ref2, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_numeric_max_constraint(
+        self,
+        column1: str,
+        column2: str,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column1], condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition2)
+        self._constraints.append(
+            numeric_constraints.NumericMax(
+                ref, ref2=ref2, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_uniques_equality_constraint(
+        self,
+        columns1: list[str],
+        columns2: list[str],
+        filter_func: Callable[[list[_T]], list[_T]] | None = None,
+        map_func: Callable[[_T], _T] | None = None,
+        reduce_func: Callable[[Collection], Collection] | None = None,
+        output_processors: OutputProcessor
+        | list[OutputProcessor]
+        | None = output_processor_limit,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            uniques_constraints.UniquesEquality(
+                ref,
+                ref2=ref2,
+                filter_func=filter_func,
+                map_func=map_func,
+                reduce_func=reduce_func,
+                output_processors=output_processors,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_uniques_superset_constraint(
+        self,
+        columns1: list[str],
+        columns2: list[str],
+        max_relative_violations: float = 0,
+        filter_func: Callable[[list[_T]], list[_T]] | None = None,
+        map_func: Callable[[_T], _T] | None = None,
+        reduce_func: Callable[[Collection], Collection] | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        output_processors: OutputProcessor
+        | list[OutputProcessor]
+        | None = output_processor_limit,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            uniques_constraints.UniquesSuperset(
+                ref,
+                ref2=ref2,
+                max_relative_violations=max_relative_violations,
+                filter_func=filter_func,
+                map_func=map_func,
+                reduce_func=reduce_func,
+                output_processors=output_processors,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_uniques_subset_constraint(
+        self,
+        columns1: list[str],
+        columns2: list[str],
+        max_relative_violations: float = 0,
+        filter_func: Callable[[list[_T]], list[_T]] | None = None,
+        compare_distinct: bool = False,
+        map_func: Callable[[_T], _T] | None = None,
+        reduce_func: Callable[[Collection], Collection] | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        output_processors: OutputProcessor
+        | list[OutputProcessor]
+        | None = output_processor_limit,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            uniques_constraints.UniquesSubset(
+                ref,
+                ref2=ref2,
+                max_relative_violations=max_relative_violations,
+                compare_distinct=compare_distinct,
+                filter_func=filter_func,
+                map_func=map_func,
+                reduce_func=reduce_func,
+                output_processors=output_processors,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_numeric_mean_constraint(
+        self,
+        column1: str,
+        column2: str,
+        max_absolute_deviation: float,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column1], condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition2)
+        self._constraints.append(
+            numeric_constraints.NumericMean(
+                ref,
+                max_absolute_deviation,
+                ref2=ref2,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_numeric_percentile_constraint(
+        self,
+        column1: str,
+        column2: str,
+        percentage: float,
+        max_absolute_deviation: float | None = None,
+        max_relative_deviation: float | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column1], condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition2)
+        self._constraints.append(
+            numeric_constraints.NumericPercentile(
+                ref,
+                percentage=percentage,
+                max_absolute_deviation=max_absolute_deviation,
+                max_relative_deviation=max_relative_deviation,
+                ref2=ref2,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_date_min_constraint(
+        self,
+        column1: str,
+        column2: str,
+        use_lower_bound_reference: bool = True,
+        column_type: str = "date",
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column1], condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition2)
+        self._constraints.append(
+            date_constraints.DateMin(
+                ref,
+                ref2=ref2,
+                use_lower_bound_reference=use_lower_bound_reference,
+                column_type=column_type,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_date_max_constraint(
+        self,
+        column1: str,
+        column2: str,
+        use_upper_bound_reference: bool = True,
+        column_type: str = "date",
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column1], condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition2)
+        self._constraints.append(
+            date_constraints.DateMax(
+                ref,
+                ref2=ref2,
+                use_upper_bound_reference=use_upper_bound_reference,
+                column_type=column_type,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_varchar_min_length_constraint(
+        self,
+        column1: str,
+        column2: str,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column1], condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition2)
+        self._constraints.append(
+            varchar_constraints.VarCharMinLength(
+                ref, ref2=ref2, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_varchar_max_length_constraint(
+        self,
+        column1: str,
+        column2: str,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, [column1], condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition2)
+        self._constraints.append(
+            varchar_constraints.VarCharMaxLength(
+                ref, ref2=ref2, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_column_subset_constraint(
+        self, name: str | None = None, cache_size=None
+    ) -> None:
+        self._constraints.append(
+            column_constraints.ColumnSubset(
+                self._ref, ref2=self._ref2, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_column_superset_constraint(
+        self, name: str | None = None, cache_size=None
+    ) -> None:
+        self._constraints.append(
+            column_constraints.ColumnSuperset(
+                self._ref, ref2=self._ref2, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_column_type_constraint(
+        self,
+        column1: str,
+        column2: str,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref1 = DataReference(self._data_source, [column1])
+        ref2 = DataReference(self._data_source2, [column2])
+        self._constraints.append(
+            column_constraints.ColumnType(
+                ref1, ref2=ref2, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_row_equality_constraint(
+        self,
+        columns1: list[str] | None,
+        columns2: list[str] | None,
+        max_missing_fraction: float,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            row_constraints.RowEquality(
+                ref,
+                ref2,
+                lambda engine: max_missing_fraction,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_row_subset_constraint(
+        self,
+        columns1: list[str] | None,
+        columns2: list[str] | None,
+        constant_max_missing_fraction: float | None,
+        date_range_loss_fraction: float | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        max_missing_fraction_getter = self._get_deviation_getter(
+            constant_max_missing_fraction, date_range_loss_fraction
+        )
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            row_constraints.RowSubset(
+                ref, ref2, max_missing_fraction_getter, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_row_superset_constraint(
+        self,
+        columns1: list[str] | None,
+        columns2: list[str] | None,
+        constant_max_missing_fraction: float,
+        date_range_loss_fraction: float | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        max_missing_fraction_getter = self._get_deviation_getter(
+            constant_max_missing_fraction, date_range_loss_fraction
+        )
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            row_constraints.RowSuperset(
+                ref, ref2, max_missing_fraction_getter, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_row_matching_equality_constraint(
+        self,
+        matching_columns1: list[str],
+        matching_columns2: list[str],
+        comparison_columns1: list[str],
+        comparison_columns2: list[str],
+        max_missing_fraction: float,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        ref = DataReference(
+            self._data_source, matching_columns1 + comparison_columns1, condition1
+        )
+        ref2 = DataReference(
+            self._data_source2, matching_columns2 + comparison_columns2, condition2
+        )
+        self._constraints.append(
+            row_constraints.RowMatchingEquality(
+                ref,
+                ref2,
+                matching_columns1,
+                matching_columns2,
+                comparison_columns1,
+                comparison_columns2,
+                lambda engine: max_missing_fraction,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_ks_2sample_constraint(
+        self,
+        column1: str,
+        column2: str,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        significance_level: float = 0.05,
+        cache_size=None,
+    ) -> None:
+        if not column1 or not column2:
+            raise ValueError(
+                "Column names have to be given for this test's functionality."
+            )
+        if significance_level <= 0.0 or significance_level > 1.0:
+            raise ValueError(
+                "The requested significance level has to be in ``(0.0, 1.0]``. "
+                "Default is 0.05."
+            )
+        ref = DataReference(self._data_source, [column1], condition=condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition=condition2)
+        self._constraints.append(
+            stats_constraints.KolmogorovSmirnov2Sample(
+                ref, ref2, significance_level, name=name, cache_size=cache_size
+            )
+        )

@@ -1,0 +1,215 @@
+"""Between-requirement constraint tests + interval/stats goldens."""
+
+import pytest
+
+from datajudge_spark import BetweenRequirement
+from datajudge_spark.operators import get_cross_cdf, get_ks_2sample
+from datajudge_spark.reference import DataReference
+
+from conftest import make_ref, make_source, within_req
+
+
+def between_req(df1, df2, name1, name2, **kwargs) -> BetweenRequirement:
+    return BetweenRequirement.from_dataframes(df1, df2, name1, name2, **kwargs)
+
+
+def outcomes(req, spark):
+    return [r.outcome for r in req.test(spark)]
+
+
+class TestNRowsBetween:
+    def test_equality_and_deltas(self, spark, int_table1, int_table2):
+        req = between_req(int_table1, int_table1, "t1", "t1b")
+        req.add_n_rows_equality_constraint()
+        assert outcomes(req, spark) == [True]
+
+        # t1 has 19 rows, t2 has 18: gain of 1/18 from t2's perspective
+        req2 = between_req(int_table1, int_table2, "t1", "t2")
+        req2.add_n_rows_max_gain_constraint(constant_max_relative_gain=0.1)
+        req2.add_n_rows_max_gain_constraint(constant_max_relative_gain=0.01)  # fail
+        req2.add_n_rows_min_gain_constraint(constant_min_relative_gain=0.01)
+        assert outcomes(req2, spark) == [True, False, True]
+
+        req3 = between_req(int_table2, int_table1, "t2", "t1")
+        req3.add_n_rows_max_loss_constraint(constant_max_relative_loss=0.1)
+        req3.add_n_rows_max_loss_constraint(constant_max_relative_loss=0.01)  # fail
+        assert outcomes(req3, spark) == [True, False]
+
+    def test_date_derived_tolerance(self, spark, date_table1, date_table2):
+        # spans: t1 = 18 days, t2 = 17 days -> growth rate 18/17 - 1
+        req = between_req(
+            date_table1, date_table2, "d1", "d2",
+            date_column="col_date", date_column2="col_date",
+        )
+        req.add_n_rows_max_gain_constraint(date_range_gain_deviation=0.05)
+        assert outcomes(req, spark) == [True]
+        assert req.get_date_growth_rate(spark) == pytest.approx(18 / 17 - 1)
+
+
+class TestNumericBetween:
+    def test_min_max_mean(self, spark, int_table1, int_table2):
+        req = between_req(int_table1, int_table2, "t1", "t2")
+        req.add_numeric_max_constraint("col_int", "col_int")
+        req.add_numeric_min_constraint("col_int", "col_int")  # fail: 1 < 2
+        req.add_numeric_mean_constraint("col_int", "col_int", 0.51)
+        req.add_numeric_mean_constraint("col_int", "col_int", 0.49)  # fail
+        assert outcomes(req, spark) == [True, False, True, False]
+
+    def test_percentile(self, spark, int_table1, int_table2):
+        req = between_req(int_table1, int_table2, "t1", "t2")
+        req.add_numeric_percentile_constraint(
+            "col_int", "col_int", 50, max_absolute_deviation=1
+        )
+        req.add_numeric_percentile_constraint(
+            "col_int", "col_int", 5, max_absolute_deviation=0
+        )  # fail: 5th percentile is 1 vs 2
+        assert outcomes(req, spark) == [True, False]
+
+
+class TestUniquesBetween:
+    def test_uniques(self, spark, unique_table1, unique_table2):
+        nonull = lambda lst: [v for v in lst if v is not None]  # noqa: E731
+        # t1 uniques: 0..29; t2 uniques: 0..19
+        req = between_req(unique_table1, unique_table2, "u1", "u2")
+        req.add_uniques_superset_constraint(
+            ["col_int"], ["col_int"], filter_func=nonull
+        )
+        req.add_uniques_equality_constraint(
+            ["col_int"], ["col_int"], filter_func=nonull
+        )  # fail
+        req.add_n_uniques_max_loss_constraint(
+            ["col_int"], ["col_int"], constant_max_relative_loss=0.1
+        )
+        assert outcomes(req, spark) == [True, False, True]
+        req2 = between_req(unique_table2, unique_table1, "u2", "u1")
+        req2.add_uniques_subset_constraint(
+            ["col_int"], ["col_int"], filter_func=nonull
+        )
+        assert outcomes(req2, spark) == [True]
+        # u1 has 31 uniques (incl NULL) vs u2's 20 -> gain 11/20 > 0.5
+        req3 = between_req(unique_table1, unique_table2, "u1", "u2")
+        req3.add_n_uniques_max_gain_constraint(
+            ["col_int"], ["col_int"], constant_max_relative_gain=0.5
+        )
+        assert outcomes(req3, spark) == [False]
+
+
+class TestRowSetOps:
+    def test_row_subset_superset_equality(self, spark, mix_table1, mix_table2):
+        cols = ["col_int", "col_varchar", "col_date"]
+        req = between_req(mix_table1, mix_table2, "m1", "m2")
+        # m1 and m2 differ on many rows (dates divided by 2, one "ho")
+        req.add_row_equality_constraint(cols, cols, max_missing_fraction=1.0)
+        req.add_row_equality_constraint(cols, cols, max_missing_fraction=0.1)  # fail
+        req.add_row_subset_constraint(cols, cols, constant_max_missing_fraction=1.0)
+        req.add_row_subset_constraint(
+            cols, cols, constant_max_missing_fraction=0.05
+        )  # fail
+        req.add_row_superset_constraint(cols, cols, 1.0)
+        assert outcomes(req, spark) == [True, False, True, False, True]
+
+    def test_row_subset_pass(self, spark, int_table2, int_table1):
+        # int_table2 (2..19) is a subset of int_table1 (1..19)
+        req = between_req(int_table2, int_table1, "t2", "t1")
+        req.add_row_subset_constraint(
+            ["col_int"], ["col_int"], constant_max_missing_fraction=0
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_row_matching_equality(self, spark, row_match_table1, row_match_table2):
+        req = between_req(row_match_table1, row_match_table2, "rm1", "rm2")
+        # 8 matched rows (NULL match key drops), 1 differs (99): 1/8
+        req.add_row_matching_equality_constraint(
+            ["col_match1", "col_match2"],
+            ["col_match1", "col_match2"],
+            ["col_compare1", "col_compare2"],
+            ["col_compare1", "col_compare2"],
+            max_missing_fraction=1 / 8,
+        )
+        req.add_row_matching_equality_constraint(
+            ["col_match1", "col_match2"],
+            ["col_match1", "col_match2"],
+            ["col_compare1", "col_compare2"],
+            ["col_compare1", "col_compare2"],
+            max_missing_fraction=0.1,
+        )  # fail
+        assert outcomes(req, spark) == [True, False]
+
+
+class TestColumnsBetween:
+    def test_column_subset_superset(self, spark, mix_table1, int_table1):
+        req = between_req(int_table1, mix_table1, "i1", "m1")
+        req.add_column_subset_constraint()
+        assert outcomes(req, spark) == [True]
+        req2 = between_req(mix_table1, int_table1, "m1", "i1")
+        req2.add_column_subset_constraint()  # fail
+        req2.add_column_superset_constraint()
+        assert outcomes(req2, spark) == [False, True]
+
+    def test_column_type(self, spark, mix_table1, int_table1):
+        req = between_req(mix_table1, int_table1, "m1", "i1")
+        req.add_column_type_constraint("col_int", "col_int")
+        assert outcomes(req, spark) == [True]
+
+
+class TestVarcharBetween:
+    def test_lengths(self, spark, varchar_table1, mix_table1):
+        req = between_req(varchar_table1, mix_table1, "v1", "m1")
+        # v1 lengths 2..18, m1 col_varchar lengths 3..4
+        req.add_varchar_max_length_constraint("col_varchar", "col_varchar")  # fail
+        req.add_varchar_min_length_constraint("col_varchar", "col_varchar")  # fail
+        assert outcomes(req, spark) == [False, False]
+
+
+class TestCrossCdfGolden:
+    def test_cross_cdf_golden(self, spark, cross_cdf_table1, cross_cdf_table2):
+        """Golden from reference tests/integration/test_stats.py:27-35."""
+        ref1 = make_ref(cross_cdf_table1, "c1", ["col_int"])
+        ref2 = make_ref(cross_cdf_table2, "c2", ["col_int"])
+        filled, l1, l2 = get_cross_cdf(spark, ref1, ref2)
+        rows = sorted(
+            [(r["val"], r[l1], r[l2]) for r in filled.collect()]
+        )
+        expected = [
+            (1, 2 / 4, 0.0),
+            (2, 3 / 4, 0.0),
+            (3, 1.0, 1 / 5),
+            (4, 1.0, 2 / 5),
+            (5, 1.0, 4 / 5),
+            (8, 1.0, 1.0),
+        ]
+        assert len(rows) == len(expected)
+        for (v, c1, c2), (ev, ec1, ec2) in zip(rows, expected):
+            assert v == ev
+            assert c1 == pytest.approx(ec1)
+            assert c2 == pytest.approx(ec2)
+
+    def test_ks_identical_samples(self, spark, int_table1):
+        ref1 = make_ref(int_table1, "t1", ["col_int"])
+        ref2 = make_ref(int_table1, "t1b", ["col_int"])
+        d, _ = get_ks_2sample(spark, ref1, ref2)
+        assert d == pytest.approx(0.0)
+
+    def test_ks_constraint(self, spark, int_table1, int_square_table):
+        req = between_req(int_table1, int_table1, "t1", "t1b")
+        req.add_ks_2sample_constraint("col_int", "col_int")
+        assert outcomes(req, spark) == [True]
+        req2 = between_req(int_table1, int_square_table, "t1", "sq")
+        req2.add_ks_2sample_constraint("col_int", "col_int", significance_level=0.5)
+        assert outcomes(req2, spark) == [False]
+
+    def test_ks_validation(self, spark, int_table1):
+        req = between_req(int_table1, int_table1, "t1", "t1b")
+        with pytest.raises(ValueError):
+            req.add_ks_2sample_constraint("col_int", "col_int", significance_level=0)
+
+
+class TestMaxNullFractionBetween:
+    def test_null_fraction(self, spark, unique_table1, unique_table2):
+        req = between_req(unique_table1, unique_table2, "u1", "u2")
+        # u2 has no nulls -> threshold 0, u1 has nulls -> fail
+        req.add_max_null_fraction_constraint("col_int", "col_int", 0)
+        assert outcomes(req, spark) == [False]
+        req2 = between_req(unique_table2, unique_table1, "u2", "u1")
+        req2.add_max_null_fraction_constraint("col_int", "col_int", 0)
+        assert outcomes(req2, spark) == [True]

@@ -1,0 +1,308 @@
+"""Within-requirement constraint tests: identity/negation pairs per constraint
+(the reference's parametrized pass/fail style, SURVEY §5.2)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from datajudge_spark import Condition
+from datajudge_spark.operators import declare_primary_keys, clear_primary_keys
+
+from conftest import within_req
+
+
+def outcomes(req, spark):
+    return [r.outcome for r in req.test(spark)]
+
+
+class TestNRows:
+    def test_equality(self, spark, int_table1):
+        req = within_req(int_table1, "int_table1")
+        req.add_n_rows_equality_constraint(19)
+        req.add_n_rows_equality_constraint(18)  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_min_max(self, spark, int_table1):
+        req = within_req(int_table1, "int_table1")
+        req.add_n_rows_min_constraint(10)
+        req.add_n_rows_min_constraint(20)  # fail
+        req.add_n_rows_max_constraint(19)
+        req.add_n_rows_max_constraint(18)  # fail
+        assert outcomes(req, spark) == [True, False, True, False]
+
+    def test_condition(self, spark, int_table1):
+        req = within_req(int_table1, "int_table1")
+        req.add_n_rows_equality_constraint(
+            9, condition=Condition(raw_string="col_int > 10")
+        )
+        assert outcomes(req, spark) == [True]
+
+
+class TestNumeric:
+    def test_min_max(self, spark, int_table1):
+        req = within_req(int_table1, "int_table1")
+        req.add_numeric_min_constraint("col_int", 1)
+        req.add_numeric_min_constraint("col_int", 2)  # fail
+        req.add_numeric_max_constraint("col_int", 19)
+        req.add_numeric_max_constraint("col_int", 18)  # fail
+        assert outcomes(req, spark) == [True, False, True, False]
+
+    def test_mean(self, spark, int_table1):
+        req = within_req(int_table1, "int_table1")
+        req.add_numeric_mean_constraint("col_int", 10.0, 0.001)
+        req.add_numeric_mean_constraint("col_int", 12.0, 0.5)  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_between(self, spark, int_table1):
+        # 10 of 19 values in [5, 14]
+        req = within_req(int_table1, "int_table1")
+        req.add_numeric_between_constraint("col_int", 5, 14, 0.5)
+        req.add_numeric_between_constraint("col_int", 5, 14, 0.6)  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_percentile(self, spark, int_table1):
+        # values 1..19: 50th percentile = 10 (smallest v with >=50% <= v)
+        req = within_req(int_table1, "int_table1")
+        req.add_numeric_percentile_constraint(
+            "col_int", 50, expected_percentile=10, max_absolute_deviation=0
+        )
+        req.add_numeric_percentile_constraint(
+            "col_int", 100, expected_percentile=19, max_absolute_deviation=0
+        )
+        req.add_numeric_percentile_constraint(
+            "col_int", 50, expected_percentile=12, max_absolute_deviation=1
+        )  # fail: |10-12| > 1
+        assert outcomes(req, spark) == [True, True, False]
+
+    def test_percentile_with_nulls(self, spark, unique_table1):
+        # NULLs ignored: col_int has 0..29 each twice plus 2 NULLs
+        req = within_req(unique_table1, "unique_table1")
+        req.add_numeric_percentile_constraint(
+            "col_int", 50, expected_percentile=14, max_absolute_deviation=0
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_percentile_validation(self, spark, int_table1):
+        req = within_req(int_table1, "int_table1")
+        with pytest.raises(ValueError):
+            req.add_numeric_percentile_constraint(
+                "col_int", 101, expected_percentile=1, max_absolute_deviation=0
+            )
+        with pytest.raises(ValueError):
+            req.add_numeric_percentile_constraint(
+                "col_int", 50, expected_percentile=1
+            )
+
+
+class TestDates:
+    def test_min_max(self, spark, date_table1):
+        req = within_req(date_table1, "date_table1")
+        req.add_date_min_constraint("col_date", "'2016-01-01'")
+        req.add_date_min_constraint("col_date", "'2016-01-02'")  # fail
+        req.add_date_max_constraint("col_date", "'2016-01-19'")
+        req.add_date_max_constraint("col_date", "'2016-01-18'")  # fail
+        assert outcomes(req, spark) == [True, False, True, False]
+
+    def test_between(self, spark, date_table1):
+        req = within_req(date_table1, "date_table1")
+        req.add_date_between_constraint(
+            "col_date", "'2016-01-05'", "'2016-01-19'", 15 / 19 - 0.01
+        )
+        req.add_date_between_constraint(
+            "col_date", "'2016-01-05'", "'2016-01-19'", 0.9
+        )  # fail
+        assert outcomes(req, spark) == [True, False]
+
+
+class TestVarchar:
+    def test_lengths(self, spark, varchar_table1):
+        req = within_req(varchar_table1, "varchar_table1")
+        req.add_varchar_min_length_constraint("col_varchar", 2)
+        req.add_varchar_min_length_constraint("col_varchar", 3)  # fail
+        req.add_varchar_max_length_constraint("col_varchar", 18)
+        req.add_varchar_max_length_constraint("col_varchar", 17)  # fail
+        assert outcomes(req, spark) == [True, False, True, False]
+
+    def test_regex_db(self, spark, varchar_table_real):
+        req = within_req(varchar_table_real, "varchar_table_real")
+        # all match letter+digits.digits+suffix
+        req.add_varchar_regex_constraint_db("col_varchar", r"^[A-Z][0-9]{2}\.")
+        # V73.7Y (1 distinct of 16) breaks digits-only suffix
+        req.add_varchar_regex_constraint_db(
+            "col_varchar", r"^[A-Z][0-9]{2}\.[0-9]{2}$", relative_tolerance=1 / 16
+        )
+        req.add_varchar_regex_constraint_db(
+            "col_varchar", r"^[A-Z][0-9]{2}\.[0-9]{2}$", relative_tolerance=0.01
+        )  # fail
+        # row-weighted: 3 of 20 rows violate
+        req.add_varchar_regex_constraint_db(
+            "col_varchar",
+            r"^[A-Z][0-9]{2}\.[0-9]{2}$",
+            aggregated=False,
+            relative_tolerance=3 / 20,
+        )
+        assert outcomes(req, spark) == [True, True, False, True]
+
+    def test_regex_in_memory(self, spark, varchar_table1):
+        req = within_req(varchar_table1, "varchar_table1")
+        req.add_varchar_regex_constraint("col_varchar", r"^(qq)+$", allow_none=True)
+        req.add_varchar_regex_constraint("col_varchar", r"^(qq)+$")  # fail: None
+        assert outcomes(req, spark) == [True, False]
+
+
+class TestUniques:
+    def test_uniques_equality(self, spark, unique_table1):
+        req = within_req(unique_table1, "unique_table1")
+        req.add_uniques_equality_constraint(
+            ["col_int"], list(range(30)), filter_func=lambda lst: [
+                v for v in lst if v is not None
+            ]
+        )
+        req.add_uniques_equality_constraint(
+            ["col_int"], list(range(29)), filter_func=lambda lst: [
+                v for v in lst if v is not None
+            ]
+        )  # fail: 29 is excess
+        assert outcomes(req, spark) == [True, False]
+
+    def test_uniques_subset_weighted(self, spark, unique_table1):
+        req = within_req(unique_table1, "unique_table1")
+        # value 29 occurs twice of 60 rows -> 1/30 weighted violation
+        req.add_uniques_subset_constraint(
+            ["col_int"],
+            list(range(29)),
+            max_relative_violations=2 / 60,
+            filter_func=lambda lst: [v for v in lst if v is not None],
+        )
+        req.add_uniques_subset_constraint(
+            ["col_int"],
+            list(range(29)),
+            max_relative_violations=0.01,
+            filter_func=lambda lst: [v for v in lst if v is not None],
+        )  # fail
+        # distinct counting: 1 violating distinct of 30
+        req.add_uniques_subset_constraint(
+            ["col_int"],
+            list(range(29)),
+            max_relative_violations=1 / 30,
+            compare_distinct=True,
+            filter_func=lambda lst: [v for v in lst if v is not None],
+        )
+        assert outcomes(req, spark) == [True, False, True]
+
+    def test_uniques_superset(self, spark, unique_table1):
+        req = within_req(unique_table1, "unique_table1")
+        req.add_uniques_superset_constraint(
+            ["col_int"], [0, 1, 2],
+            filter_func=lambda lst: [v for v in lst if v is not None],
+        )
+        req.add_uniques_superset_constraint(
+            ["col_int"], [0, 1, 99],
+            filter_func=lambda lst: [v for v in lst if v is not None],
+        )  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_n_uniques(self, spark, unique_table1):
+        req = within_req(unique_table1, "unique_table1")
+        # DISTINCT keeps the NULL: 30 ints + NULL = 31
+        req.add_n_uniques_equality_constraint(["col_int"], 31)
+        req.add_n_uniques_equality_constraint(["col_int"], 30)  # fail
+        # multi-column distinct over (col_int, col_varchar)
+        req.add_n_uniques_equality_constraint(None, 42)
+        assert outcomes(req, spark) == [True, False, True]
+
+    def test_categorical_bounds(self, spark, distribution_table):
+        req = within_req(distribution_table, "distribution_table")
+        req.add_categorical_bound_constraint(
+            ["col_int"], {0: (0.4, 0.6), 1: (0.4, 0.6)}
+        )
+        req.add_categorical_bound_constraint(
+            ["col_int"], {0: (0.6, 0.9), 1: (0.1, 0.4)}
+        )  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_map_reduce_funcs(self, spark, unique_table1):
+        req = within_req(unique_table1, "unique_table1")
+        req.add_uniques_equality_constraint(
+            ["col_varchar"],
+            [f"hi{i}" for i in range(20)] + ["hi"],
+            filter_func=lambda lst: [v for v in lst if v is not None],
+        )
+        # map to prefix then dedupe via reduce
+        req.add_uniques_equality_constraint(
+            ["col_varchar"],
+            ["hi"],
+            filter_func=lambda lst: [v for v in lst if v is not None],
+            map_func=lambda v: v[:2],
+            reduce_func=lambda vals: set(vals),
+        )
+        assert outcomes(req, spark) == [True, True]
+
+
+class TestMiscs:
+    def test_null_constraints(self, spark, unique_table1, int_table1):
+        req = within_req(unique_table1, "unique_table1")
+        req.add_max_null_fraction_constraint("col_int", 2 / 62)
+        req.add_max_null_fraction_constraint("col_int", 0.001)  # fail
+        req.add_null_absence_constraint("col_int")  # fail: has NULLs
+        assert outcomes(req, spark) == [True, False, False]
+        req2 = within_req(int_table1, "int_table1")
+        req2.add_null_absence_constraint("col_int")
+        assert outcomes(req2, spark) == [True]
+
+    def test_uniqueness(self, spark, unique_table1, int_table1):
+        req = within_req(int_table1, "int_table1")
+        req.add_uniqueness_constraint(["col_int"])
+        assert outcomes(req, spark) == [True]
+        req2 = within_req(unique_table1, "unique_table1")
+        req2.add_uniqueness_constraint(["col_int"])  # fail: each value twice
+        req2.add_uniqueness_constraint(["col_int"], max_duplicate_fraction=0.6)
+        assert outcomes(req2, spark) == [False, True]
+
+    def test_functional_dependency(self, spark, functional_dependency_table):
+        req = within_req(functional_dependency_table, "fd_table")
+        req.add_functional_dependency_constraint(["a"], ["b"])
+        req.add_functional_dependency_constraint(["a"], ["c"])  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_primary_key_definition(self, spark, int_table1):
+        clear_primary_keys()
+        declare_primary_keys("int_table1", ["col_int"])
+        req = within_req(int_table1, "int_table1")
+        req.add_primary_key_definition_constraint(["col_int"])
+        assert outcomes(req, spark) == [True]
+        req2 = within_req(int_table1, "int_table1")
+        req2.add_primary_key_definition_constraint(["other_col"])  # fail
+        assert outcomes(req2, spark) == [False]
+        clear_primary_keys()
+
+
+class TestColumns:
+    def test_existence(self, spark, mix_table1):
+        req = within_req(mix_table1, "mix_table1")
+        req.add_column_existence_constraint(["col_int", "col_varchar"])
+        req.add_column_existence_constraint(["no_such_column"])  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_column_type(self, spark, mix_table1):
+        req = within_req(mix_table1, "mix_table1")
+        req.add_column_type_constraint("col_int", "integer")
+        req.add_column_type_constraint("col_varchar", "varchar")
+        req.add_column_type_constraint("col_date", "datetime")
+        req.add_column_type_constraint("col_int", T.IntegerType())
+        req.add_column_type_constraint("col_int", "varchar")  # fail
+        assert outcomes(req, spark) == [True, True, True, True, False]
+
+
+class TestGroupby:
+    def test_aggregation_ranges(
+        self, spark, groupby_aggregation_table, groupby_aggregation_table_incorrect
+    ):
+        req = within_req(groupby_aggregation_table, "groupby_agg")
+        req.add_groupby_aggregation_constraint(["some_id"], "value", 1)
+        assert outcomes(req, spark) == [True]
+        req2 = within_req(groupby_aggregation_table_incorrect, "groupby_agg_bad")
+        req2.add_groupby_aggregation_constraint(["some_id"], "value", 1)  # fail
+        req2.add_groupby_aggregation_constraint(
+            ["some_id"], "value", 1, tolerance=0.5
+        )  # 1 of 4 keys violates
+        assert outcomes(req2, spark) == [False, True]

@@ -1,0 +1,119 @@
+"""Unit tests (no Spark): condition algebra, output processors, sorting.
+
+Mirrors the reference's unit layer (SURVEY §5.1).
+"""
+
+import pytest
+
+from datajudge_spark import Condition
+from datajudge_spark.condition import merge_conditions
+from datajudge_spark.utils import (
+    filternull_element,
+    filternull_element_or_tuple_all,
+    filternull_element_or_tuple_any,
+    filternull_never,
+    format_difference,
+    output_processor_limit,
+    output_processor_sort,
+    sort_tuple_none_aware,
+)
+
+
+class TestCondition:
+    def test_atomic(self):
+        cond = Condition(raw_string="col1 > 0")
+        assert str(cond) == "col1 > 0"
+
+    def test_composite_and(self):
+        cond = Condition(
+            conditions=[
+                Condition(raw_string="col1 > 0"),
+                Condition(raw_string="col2 < 5"),
+            ],
+            reduction_operator="and",
+        )
+        assert str(cond) == "(col1 > 0) and (col2 < 5)"
+
+    def test_nested(self):
+        inner = Condition(
+            conditions=[
+                Condition(raw_string="a = 1"),
+                Condition(raw_string="b = 2"),
+            ],
+            reduction_operator="or",
+        )
+        outer = Condition(
+            conditions=[inner, Condition(raw_string="c = 3")],
+            reduction_operator="and",
+        )
+        assert str(outer) == "((a = 1) or (b = 2)) and (c = 3)"
+
+    def test_both_raises(self):
+        with pytest.raises(ValueError):
+            Condition(raw_string="a", conditions=[Condition(raw_string="b")])
+
+    def test_neither_raises(self):
+        with pytest.raises(ValueError):
+            Condition()
+
+    def test_bad_operator_raises(self):
+        with pytest.raises(ValueError):
+            Condition(
+                conditions=[Condition(raw_string="a"), Condition(raw_string="b")],
+                reduction_operator="xor",
+            )
+
+    def test_merge(self):
+        c1 = Condition(raw_string="a > 0")
+        c2 = Condition(raw_string="b > 0")
+        assert merge_conditions(c1, None) is c1
+        assert merge_conditions(None, c2) is c2
+        assert merge_conditions(None, None) is None
+        merged = merge_conditions(c1, c2)
+        assert str(merged) == "(a > 0) and (b > 0)"
+
+
+class TestOutputProcessors:
+    def test_limit_no_truncation(self):
+        col, counts = output_processor_limit([1, 2, 3])
+        assert col == [1, 2, 3]
+        assert counts is None
+
+    def test_limit_truncation(self):
+        col, _ = output_processor_limit(list(range(150)))
+        assert len(col) == 101
+        assert "SHORTENED OUTPUT" in col[-1]
+
+    def test_sort_scalars(self):
+        col, counts = output_processor_sort([3, 1, 2])
+        assert col == [1, 2, 3]
+        assert counts is None
+
+    def test_sort_by_counts_desc(self):
+        col, counts = output_processor_sort(["a", "b", "c"], [1, 3, 2])
+        assert col == ["b", "c", "a"]
+        assert counts == [3, 2, 1]
+
+    def test_sort_none_aware(self):
+        result = sort_tuple_none_aware([(2, "x"), (None, "y"), (1, "z")])
+        assert result == [(None, "y"), (1, "z"), (2, "x")]
+
+
+class TestFilterNull:
+    def test_variants(self):
+        values = [1, None, (None, None), (1, None), (1, 2)]
+        assert filternull_never(values) == values
+        assert filternull_element(values) == [1, (None, None), (1, None), (1, 2)]
+        assert filternull_element_or_tuple_all(values) == [1, (1, None), (1, 2)]
+        assert filternull_element_or_tuple_any(values) == [1, (1, 2)]
+
+
+class TestFormatDifference:
+    def test_identical_prefix(self):
+        s1, s2 = format_difference(123, 123.0)
+        assert s1 == "123"
+        assert s2 == "123[numDiff].0[/numDiff]"
+
+    def test_big_numbers(self):
+        s1, s2 = format_difference(122593859432, 122593859432347)
+        assert "[numDiff]" in s2
