@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query timing is min-of-N wall clock after a warm-up action that
+amortizes session startup and file listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from datajudge_spark.session import get_spark
+
+    spark = get_spark("datajudge-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: touch every table once (file listing, footer reads, codegen).
+    for name in ("lineitem", "orders", "customer", "supplier", "nation",
+                 "documents", "embeddings", "events"):
+        entrymod._t(spark, sf_dir, name).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        best = float("inf")
+        for _ in range(runs):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            rows = df.collect()
+            elapsed = time.perf_counter() - start
+            best = min(best, elapsed)
+            del rows
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
