@@ -461,6 +461,153 @@ def q_embedding_similar_pairs(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Dedup suite (pipeline.dedup): MinHash+LSH, SimHash, n-gram Jaccard
+# --------------------------------------------------------------------------
+
+_MINHASH_K, _LSH_BANDS, _LSH_ROWS, _SHINGLE_N = 12, 4, 3, 3
+_SIMHASH_BITS, _SIMHASH_BANDS, _SIMHASH_MAXHAM = 48, 4, 3
+_JACCARD_T, _JACCARD_MAXDF = 0.6, 100
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from datajudge_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(
+        d, "doc_id", "text", num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N
+    )
+    return dedup.lsh_candidate_pairs(sig, "doc_id", bands=_LSH_BANDS, rows=_LSH_ROWS)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from datajudge_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    from datajudge_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    sim = dedup.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
+    return dedup.simhash_candidate_pairs(
+        sim, "doc_id", max_hamming=_SIMHASH_MAXHAM, bits=_SIMHASH_BITS,
+        bands=_SIMHASH_BANDS,
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from datajudge_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        d,
+        "doc_id",
+        "text",
+        shingle_n=_SHINGLE_N,
+        threshold=_JACCARD_T,
+        max_df=_JACCARD_MAXDF,
+    )
+
+
+def q_dedup_embedding_neardup(spark, sf_dir):
+    from datajudge_spark.pipeline import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = e.select("label", F.col("vec_id").alias("vid"), F.col("embedding").alias("vvec"))
+    return similarity.near_dup_pairs(vecs, "label", threshold=0.95)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (pipeline.similarity): brute-force top-k + IVF
+# --------------------------------------------------------------------------
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    from datajudge_spark.pipeline import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return similarity.topk_bruteforce(q, c, k=5)
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    from datajudge_spark.pipeline import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cent = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centvec")
+    )
+    return similarity.topk_ivf(q, c, cent, k=3)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (pipeline.text): language ID, BPE tokens, rolling hash
+# --------------------------------------------------------------------------
+
+def q_text_language_id(spark, sf_dir):
+    from datajudge_spark.pipeline import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.language_id("text").alias("pred_lang"))
+
+
+def q_text_bpe_token_count(spark, sf_dir):
+    from datajudge_spark.pipeline import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+def q_text_rolling_hash(spark, sf_dir):
+    from datajudge_spark.pipeline import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.rolling_hash("text").alias("rhash"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing + as-of join
+# --------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    # binary payload -> Arrow-batched mapInPandas metadata decode; the
+    # oracle recomputes the same metadata as pure SQL byte arithmetic,
+    # verifying the Arrow plumbing delivered exact bytes
+    from datajudge_spark.pipeline import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return multimodal.decode_media_meta(media)
+
+
+def q_asof_join(spark, sf_dir):
+    # each event enriched with the customer's most recent prior order
+    from datajudge_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", _events_ts().alias("ts")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        ev, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderkey"],
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("matched_orderkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -495,7 +642,208 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "embedding_similar_pairs": q_embedding_similar_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "text_language_id": q_text_language_id,
+        "text_bpe_token_count": q_text_bpe_token_count,
+        "text_rolling_hash": q_text_rolling_hash,
+        "multimodal_meta": q_multimodal_meta,
+        "asof_join": q_asof_join,
     }
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB) for the pipeline suite. All hashes are the
+# same md5-derived 60-bit integers Spark computes, so values match
+# bit-for-bit; cosine uses the same left-to-right double fold as Spark's
+# zip_with/aggregate so rankings are engine-independent.
+# --------------------------------------------------------------------------
+
+def _h_sql(expr: str, salt: int | None = None) -> str:
+    if salt is not None:
+        expr = f"({expr} || '#{salt}')"
+    return f"CAST(CAST(('0x' || substr(md5({expr}),1,15)) AS UBIGINT) AS BIGINT)"
+
+
+_SHINGLES_CTE = (
+    "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk "
+    "FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, s FROM toks, "
+    "UNNEST(list_transform(generate_series(1, greatest(len(tk)-{nm1}, 0)), "
+    "i -> array_to_string(tk[i:i+{nm2}], ' '))) AS u(s))"
+).format(nm1=_SHINGLE_N - 1, nm2=_SHINGLE_N - 1)
+
+
+def _minhash_lsh_sql() -> str:
+    mins = ", ".join(
+        f"min({_h_sql('s', k)}) AS h{k}" for k in range(_MINHASH_K)
+    )
+    band_selects = []
+    for b in range(_LSH_BANDS):
+        parts = " || ',' || ".join(
+            f"h{b * _LSH_ROWS + r}::VARCHAR" for r in range(_LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS sig FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH {_SHINGLES_CTE}, "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        f"bands AS ({bands}) "
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.sig = b.sig "
+        "AND a.doc_id < b.doc_id"
+    )
+
+
+def _simhash_sig_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    recomb = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk "
+        "FROM documents), "
+        f"tok AS (SELECT doc_id, {_h_sql('t')} AS h FROM toks, UNNEST(tk) AS u(t)), "
+        f"sums AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id) "
+        f"SELECT doc_id, {recomb} AS simhash FROM sums"
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * width}) & {mask} AS key FROM sig"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return (
+        f"WITH sig AS ({_simhash_sig_sql()}), "
+        f"bands AS ({band_rows}) "
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAXHAM}"
+    )
+
+
+def _jaccard_sql() -> str:
+    return (
+        f"WITH {_SHINGLES_CTE}, "
+        f"rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) "
+        f"WHERE df <= {_JACCARD_MAXDF}), "
+        "shf AS (SELECT doc_id, s FROM sh JOIN rare USING (s)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+        "FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT d1, d2, round(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard "
+        "FROM inter JOIN sizes s1 ON d1 = s1.doc_id "
+        "JOIN sizes s2 ON d2 = s2.doc_id "
+        f"WHERE round(i * 1.0 / (s1.n + s2.n - i), 6) >= {_JACCARD_T}"
+    )
+
+
+def _fold_cos_sql(a: str, b: str) -> str:
+    """Cosine as the exact left-to-right double fold Spark performs."""
+    dot = (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, list_transform({v}, "
+            "w -> w::DOUBLE * w::DOUBLE)), (x, y) -> x + y))"
+        )
+    return f"({dot} / ({norm(a)} * {norm(b)}))"
+
+
+def _ann_brute_sql() -> str:
+    cos = _fold_cos_sql("q.qvec", "c.cvec")
+    return (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings "
+        "WHERE vec_id < 10), "
+        "c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings), "
+        f"scored AS (SELECT qid, cid, {cos} AS cos FROM q, c WHERE qid <> cid), "
+        "ranked AS (SELECT qid, cid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn FROM scored) "
+        "SELECT qid, cid, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 5"
+    )
+
+
+def _ann_ivf_sql() -> str:
+    assign_cos = _fold_cos_sql("v.vvec", "ct.centvec")
+    cos = _fold_cos_sql("q.qvec", "c.cvec")
+    return (
+        "WITH cent AS (SELECT vec_id AS cell, embedding AS centvec "
+        "FROM embeddings WHERE vec_id < 8), "
+        "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings "
+        "WHERE vec_id < 10), "
+        "c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings), "
+        "cand_cell AS (SELECT vid AS cid, cell FROM ("
+        "  SELECT v.vid, ct.cell, row_number() OVER (PARTITION BY v.vid "
+        f"  ORDER BY {assign_cos} DESC, ct.cell ASC) AS rn "
+        "  FROM (SELECT vec_id AS vid, embedding AS vvec FROM embeddings) v, cent ct"
+        ") WHERE rn = 1), "
+        "q_cell AS (SELECT vid AS qid, cell FROM ("
+        "  SELECT v.vid, ct.cell, row_number() OVER (PARTITION BY v.vid "
+        f"  ORDER BY {assign_cos} DESC, ct.cell ASC) AS rn "
+        "  FROM (SELECT vec_id AS vid, embedding AS vvec FROM embeddings "
+        "        WHERE vec_id < 10) v, cent ct"
+        ") WHERE rn = 1), "
+        f"scored AS (SELECT q.qid, c.cid, {cos} AS cos "
+        "FROM q JOIN q_cell USING (qid) "
+        "JOIN cand_cell ON q_cell.cell = cand_cell.cell "
+        "JOIN c ON cand_cell.cid = c.cid WHERE q.qid <> c.cid), "
+        "ranked AS (SELECT qid, cid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn FROM scored) "
+        "SELECT qid, cid, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 3"
+    )
+
+
+def _neardup_sql() -> str:
+    cos = _fold_cos_sql("a.embedding", "b.embedding")
+    return (
+        f"SELECT a.vec_id AS d1, b.vec_id AS d2, round({cos}, 6) AS cos "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.label = b.label AND a.vec_id < b.vec_id "
+        f"WHERE {cos} > 0.95"
+    )
+
+
+def _lang_id_sql() -> str:
+    from datajudge_spark.pipeline.text import LANG_MARKERS
+
+    score_defs = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        score_defs.append(
+            f"len(list_filter(tk, t -> list_contains([{arr}], t))) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    cases = " ".join(
+        f"WHEN s_{la} = best AND best > 0 THEN '{la}'" for la in langs
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk "
+        "FROM documents), "
+        f"scores AS (SELECT doc_id, {', '.join(score_defs)} FROM toks), "
+        f"withbest AS (SELECT *, {best} AS best FROM scores) "
+        f"SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang FROM withbest"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -694,5 +1042,38 @@ def oracle_sql() -> dict[str, str]:
             "WHERE q.vec_id < 20 "
             "AND list_cosine_similarity(q.embedding, c.embedding) > 0.8 "
             "GROUP BY q.vec_id"
+        ),
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash": _simhash_sig_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "dedup_jaccard": _jaccard_sql(),
+        "dedup_embedding_neardup": _neardup_sql(),
+        "ann_topk_bruteforce": _ann_brute_sql(),
+        "ann_topk_ivf": _ann_ivf_sql(),
+        "text_language_id": _lang_id_sql(),
+        "text_bpe_token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "text_rolling_hash": (
+            "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(string_split(text, ''), "
+            "c -> CAST(ascii(c) AS BIGINT))), "
+            "(a, b) -> (a * 131 + b) % 2147483647) AS rhash FROM documents"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+            "CAST(strlen(text) % 640 AS BIGINT) AS width, "
+            "CAST(CASE WHEN strlen(text) > 0 "
+            "THEN ascii(substr(text, 1, 1)) % 480 ELSE 0 END AS BIGINT) AS height "
+            "FROM documents"
+        ),
+        "asof_join": (
+            "WITH o2 AS (SELECT o_custkey AS user_id, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, o2.o_orderkey AS matched_orderkey "
+            "FROM events e ASOF LEFT JOIN o2 "
+            "ON e.user_id = o2.user_id AND e.ts >= o2.o_orderdate"
         ),
     }

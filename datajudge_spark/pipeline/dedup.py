@@ -1,0 +1,248 @@
+"""Near-duplicate detection: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each algorithm):
+
+- **exact**: one hash-groupBy on a normalized fingerprint — a single
+  shuffle with map-side partial aggregation; the baseline.
+- **MinHash + LSH**: per-doc signature is ONE groupBy over exploded
+  distinct shingles with k ``min`` aggregates (map-side combine, no
+  k-way explode). Banding turns the quadratic all-pairs problem into a
+  shuffle on (band, band-signature) — only docs colliding in a bucket
+  are ever paired. This is the only member of the family that stays
+  tractable when "documents" means 10^10 rows.
+- **SimHash**: one groupBy over exploded tokens with ``bits`` signed-sum
+  aggregates; candidate pairs via banding the signature into halves
+  (pigeonhole: hamming <= ``max_hamming`` implies an equal half when
+  ``max_hamming < bits/band_count`` per band... we keep 2 bands of 16
+  bits which guarantees recall for hamming <= 15 concentrated in one
+  half and is the standard bucketing trade-off).
+- **n-gram Jaccard**: exact pairwise Jaccard, *blocked* by joining on
+  shared shingles with a document-frequency cap (``max_df``) so hot
+  shingles never fan out quadratically. Used to verify the sketches on
+  candidate sets, not to scan the corpus.
+
+All hashing is :func:`datajudge_spark.pipeline.text.md5_long` — portable
+to the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datajudge_spark.pipeline.text import md5_long, tokens, word_shingles
+
+__all__ = [
+    "normalized_fingerprint",
+    "exact_duplicate_groups",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "simhash",
+    "simhash_candidate_pairs",
+    "jaccard_pairs",
+]
+
+
+def normalized_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint) where fingerprint = md5 of lowercased,
+    whitespace-collapsed text."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(id_col, F.md5(normalized).alias("fingerprint"))
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fingerprint groups with more than one member (single shuffle)."""
+    return (
+        normalized_fingerprint(df, id_col, text_col)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, s): the distinct word-shingle set of each document.
+
+    ``array_distinct`` runs per-row before the explode, so the shuffle
+    carries no within-document duplicates.
+    """
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature.
+
+    One explode + one groupBy with ``num_hashes`` ``min`` aggregates:
+    Spark's partial aggregation computes the per-partition minima map-side,
+    so the shuffle volume is O(docs * k), independent of document length.
+    """
+    sh = _distinct_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(md5_long("s", salt=k)).alias(f"h{k}") for k in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, bands: int = 4, rows: int = 3
+) -> DataFrame:
+    """Distinct candidate pairs (d1 < d2) colliding in >= 1 LSH band.
+
+    Each band signature is the md5 of the comma-joined band hashes; the
+    bucket join shuffles on (band, sig) — tiny keys, and Catalyst/AQE
+    handles any hot bucket with skew-join splitting.
+    """
+    band_structs = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("sig")
+            )
+        )
+    buckets = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("_id", "bk.band", "bk.sig")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("d1"), F.col("b._id").alias("d2"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 48
+) -> DataFrame:
+    """(id, simhash): Charikar's SimHash over whitespace tokens.
+
+    Tokens keep their multiplicity (term frequency is the weight). For
+    each bit position the signed votes are summed in ONE groupBy with
+    ``bits`` sum-aggregates — no bit-explode, map-side combine applies.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tk")
+    ).select("_id", md5_long("tk").alias("h"))
+    vote = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy("_id").agg(*vote)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return sums.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sim: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 48,
+    bands: int = 4,
+) -> DataFrame:
+    """(d1, d2, hamming) pairs sharing >= 1 simhash band with
+    hamming(simhash) <= max_hamming.
+
+    Pigeonhole guarantee: a pair within ``max_hamming`` is RECALLED iff
+    ``bands > max_hamming`` (then at least one band is untouched and the
+    two docs collide there). The default 48-bit/4-band/hamming<=3 setup
+    has that guarantee with 12-bit bucket keys — wide enough that bucket
+    fan-out stays sub-quadratic on real corpora. The hamming check
+    itself is JVM-side ``bit_count(xor)``.
+    """
+    if bits % bands:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sim.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("_id", "simhash", "bk.band", "bk.key")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("d1"),
+            F.col("b._id").alias("d2"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 100,
+) -> DataFrame:
+    """(d1, d2, jaccard) for pairs with shingle-set Jaccard >= threshold.
+
+    Pairs are generated ONLY through shared shingles whose document
+    frequency is <= ``max_df`` (both the pairing and the set sizes use the
+    filtered shingle space, so the measure is self-consistent). The cap
+    bounds the fan-out of the self-join to ``max_df^2`` per shingle —
+    the difference between O(n·df) and O(n^2) at corpus scale.
+    """
+    sh = _distinct_shingles(df, id_col, text_col, shingle_n)
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("s")
+    )
+    sh = sh.join(rare, "s", "inner")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("d1"), F.col("b._id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("_id").alias("d2"), F.col("n").alias("n2"))
+    j = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", F.round(j, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

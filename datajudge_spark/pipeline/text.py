@@ -1,0 +1,141 @@
+"""Text-analysis primitives: tokenization, shingling, portable hashing,
+language ID, token counting, fingerprints.
+
+Design rules for 100 TB:
+
+- Every function here returns a *Column* (or a narrow DataFrame) built
+  from JVM-side ``pyspark.sql.functions`` — no Python UDFs, so the whole
+  pipeline stays inside whole-stage codegen and scales linearly with
+  executors.
+- All hashing is md5-based (``md5_long``): deterministic, available in
+  every engine (the DuckDB oracle recomputes it with
+  ``('0x' || substr(md5(x),1,15))::UBIGINT``), and uniform enough for
+  MinHash/SimHash. 15 hex chars = 60 bits, safely inside a signed int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "md5_long",
+    "tokens",
+    "word_shingles",
+    "rolling_hash",
+    "bpe_token_count",
+    "language_scores",
+    "language_id",
+    "LANG_MARKERS",
+]
+
+#: Number of md5 hex chars used for integer hashes (60 bits < int64).
+MD5_HEX_CHARS = 15
+
+#: Large Mersenne prime for the rolling hash modulus (fits int32).
+ROLLING_MOD = 2_147_483_647
+ROLLING_BASE = 131
+
+#: GPT-2-ish pre-tokenizer approximation: letter runs, digit runs, or a
+#: single non-alphanumeric non-space symbol.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language marker vocabularies (classic stopword heuristic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "und", "ist", "nicht", "das"),
+    "es": ("el", "la", "de", "que", "los", "una"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+    "zh": ("de5", "shi4", "bu4", "le5", "wo3", "zai4"),
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def md5_long(c: Column | str, salt: int | str | None = None) -> Column:
+    """60-bit integer hash of a string column, identical across engines.
+
+    ``salt`` concatenates ``#<salt>`` before hashing — the cheap way to get
+    a family of independent hash functions (MinHash permutations) without
+    64-bit modular multiplication, which would overflow identically-but-
+    engine-dependently.
+    """
+    c = _col(c)
+    if salt is not None:
+        c = F.concat(c, F.lit(f"#{salt}"))
+    return F.conv(F.substring(F.md5(c), 1, MD5_HEX_CHARS), 16, 10).cast("bigint")
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> single '' token)."""
+    return F.split(F.trim(_col(c)), r"\s+")
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Array of word ``n``-gram shingles (space-joined), empty if < n tokens.
+
+    Spark's ``sequence(1, 0)`` yields a DESCENDING [1, 0] rather than an
+    empty array, so short documents need an explicit guard.
+    """
+    toks = tokens(c)
+    count = F.size(toks) - F.lit(n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def rolling_hash(c: Column | str) -> Column:
+    """Polynomial rolling hash over the characters of a string.
+
+    ``h = fold(chars, 0, (acc, ch) -> (acc*131 + codepoint) mod (2^31-1))``
+    — the Karp-Rabin fingerprint family. Max intermediate value is
+    ``(2^31)*131 + 1114111 < 2^39``: no int64 overflow, so the value is
+    engine-independent (DuckDB oracle: ``list_reduce`` with a 0 prepended).
+    """
+    chars = F.split(_col(c), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+    )
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex.
+
+    Uses a ``lit`` pattern (not an embedded SQL string) so the backslash
+    classes survive SQL literal parsing intact.
+    """
+    return F.size(
+        F.regexp_extract_all(_col(c), F.lit(BPE_PATTERN), F.lit(0))
+    ).cast("bigint")
+
+
+def language_scores(c: Column | str) -> dict[str, Column]:
+    """Per-language marker-token occurrence counts (with multiplicity)."""
+    toks = tokens(c)
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(marker_arr, t))
+        ).cast("bigint")
+    return out
+
+
+def language_id(c: Column | str) -> Column:
+    """Predicted language: the first language (in LANG_MARKERS order)
+    achieving the maximum positive marker score; ``'und'`` if all zero.
+
+    The fixed priority order makes ties deterministic — required for the
+    cross-engine oracle, and a sane convention regardless.
+    """
+    scores = language_scores(c)
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
