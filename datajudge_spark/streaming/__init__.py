@@ -1,0 +1,147 @@
+"""Structured Streaming extension: constraints over unbounded data.
+
+The reference (Quantco/datajudge) is strictly batch — §2.9 of SURVEY.md.
+This module is the documented extension (SURVEY §7.4): the SAME
+constraint/metric surface applied to streams, two ways:
+
+1. **Micro-batch validation** (:class:`StreamingConstraintMonitor`):
+   ``foreachBatch`` hands each micro-batch to a user-supplied
+   requirement factory; every constraint of the requirement is tested
+   against the batch DataFrame *unchanged* — the metric layer never
+   knows it is inside a stream. This is the streaming analog of running
+   a specification per arriving partition of data.
+
+2. **Event-time windowed metrics** (:func:`windowed_counts`,
+   :func:`windowed_null_fraction`): watermarked sliding/tumbling window
+   aggregations for continuous row-count / null-fraction monitoring,
+   the idiomatic Structured Streaming formulation (state is bounded by
+   the watermark; late rows beyond the delay are dropped, exactly the
+   documented trade-off).
+
+Scale notes: ``foreachBatch`` validation inherits the batch engine's
+plans (partial aggregation, pushdown into the micro-batch scan);
+windowed aggs shuffle on (window, keys) with watermark-bounded state —
+both are the standard 1000-executor-safe constructions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+    from datajudge_spark.requirements import Requirement
+
+__all__ = [
+    "StreamingConstraintMonitor",
+    "windowed_counts",
+    "windowed_null_fraction",
+    "stream_parquet_like",
+]
+
+
+def stream_parquet_like(spark, path: str, like_batch: DataFrame) -> DataFrame:
+    """A file-stream over a parquet DIRECTORY using the schema of an
+    existing batch DataFrame (streams require a declared schema, and the
+    file-stream source requires a directory, not a single file)."""
+    return spark.readStream.schema(like_batch.schema).parquet(path)
+
+
+class StreamingConstraintMonitor:
+    """Run a Requirement against every micro-batch of a stream.
+
+    ``requirement_factory`` receives the micro-batch DataFrame and returns
+    the Requirement to test (built with
+    ``WithinRequirement.from_dataframe(batch_df, name)`` — the factory
+    decides which constraints apply). Results accumulate in
+    ``self.results`` as ``(batch_id, [TestResult, ...])``.
+
+    The monitor is driver-side bookkeeping only; all data-sized work
+    happens in the constraints' Spark actions on the executors.
+    """
+
+    def __init__(
+        self,
+        requirement_factory: Callable[[DataFrame], "Requirement"],
+    ) -> None:
+        self._factory = requirement_factory
+        self.results: list[tuple[int, list[Any]]] = []
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        requirement = self._factory(batch_df)
+        self.results.append(
+            (batch_id, requirement.test(batch_df.sparkSession))
+        )
+
+    def writer(self, stream_df: DataFrame) -> "DataStreamWriter":
+        """The configured ``writeStream`` (caller picks trigger/options)."""
+        return stream_df.writeStream.foreachBatch(self._process_batch)
+
+    def run_available(self, stream_df: DataFrame) -> "StreamingQuery":
+        """Process everything currently available, then stop (the batch-
+        like trigger used for backfills and tests)."""
+        query = self.writer(stream_df).trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+
+    @property
+    def all_passed(self) -> bool:
+        return all(
+            result.outcome for _, results in self.results for result in results
+        )
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window row counts: the continuous analog of
+    the n-rows constraint family.
+
+    Output: (window_start, window_end, *group_cols, n_rows). State per
+    (window, groups) is dropped once the watermark passes window_end.
+    """
+    grouped = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration), *(group_cols or []))
+    )
+    return grouped.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(group_cols or []),
+        "n_rows",
+    )
+
+
+def windowed_null_fraction(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked per-window null fraction of ``value_col`` — the
+    continuous analog of the max-null-fraction constraint."""
+    grouped = stream_df.withWatermark(ts_col, watermark_delay).groupBy(
+        F.window(ts_col, window_duration)
+    )
+    return grouped.agg(
+        (
+            F.count(F.when(F.col(value_col).isNull(), 1))
+            / F.count(F.lit(1))
+        ).alias("null_fraction"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "null_fraction",
+        "n_rows",
+    )

@@ -1,0 +1,123 @@
+"""Structured Streaming extension tests: micro-batch constraint
+monitoring and watermarked windowed metrics over the events table,
+verified against their batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datajudge_spark import WithinRequirement
+from datajudge_spark.streaming import (
+    StreamingConstraintMonitor,
+    stream_parquet_like,
+    windowed_counts,
+    windowed_null_fraction,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # nanos-as-long -> proper event-time timestamp column
+    return df.withColumn(
+        "event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+@pytest.fixture
+def events_stream(spark, events_batch, tmp_path):
+    # file-stream sources require a directory; link the single parquet in
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    (stream_dir / "part-0.parquet").symlink_to(f"{SF_DIR}/events.parquet")
+    raw = stream_parquet_like(spark, str(stream_dir),
+                              spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    return raw.withColumn(
+        "event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+class TestMicroBatchConstraints:
+    def test_requirement_runs_per_batch(self, spark, events_stream, events_batch):
+        def factory(batch_df):
+            req = WithinRequirement.from_dataframe(batch_df, "events_batch")
+            req.add_n_rows_min_constraint(1)
+            req.add_max_null_fraction_constraint("value", 0.5)
+            return req
+
+        monitor = StreamingConstraintMonitor(factory)
+        monitor.run_available(events_stream)
+
+        assert len(monitor.results) >= 1
+        assert monitor.all_passed
+        total_constraints = sum(len(r) for _, r in monitor.results)
+        assert total_constraints == 2 * len(monitor.results)
+
+    def test_failures_surface(self, spark, events_stream):
+        def factory(batch_df):
+            req = WithinRequirement.from_dataframe(batch_df, "events_batch")
+            req.add_n_rows_min_constraint(10**9)  # impossible
+            return req
+
+        monitor = StreamingConstraintMonitor(factory)
+        monitor.run_available(events_stream)
+        assert not monitor.all_passed
+        flat = [r for _, rs in monitor.results for r in rs]
+        assert any("10" in (r.failure_message or "") for r in flat)
+
+
+class TestWindowedMetrics:
+    def test_windowed_counts_match_batch(self, spark, events_stream, events_batch):
+        out = windowed_counts(
+            events_stream, "event_ts", window_duration="1 hour",
+            watermark_delay="1 hour", group_cols=["event_type"],
+        )
+        query = (
+            out.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        got = {
+            (r.window_start, r.event_type): r.n_rows
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        expected = {
+            (r.ws, r.event_type): r.n_rows
+            for r in events_batch.groupBy(
+                F.window("event_ts", "1 hour").start.alias("ws"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("n_rows")).collect()
+        }
+        # append mode emits only watermark-closed windows: subset match
+        assert got, "no windows emitted"
+        for key, n_rows in got.items():
+            assert expected[key] == n_rows
+        # all but the last open window should have been emitted
+        assert len(got) >= len(expected) - len(
+            events_batch.select("event_type").distinct().collect()
+        )
+
+    def test_windowed_null_fraction(self, spark, events_stream, events_batch):
+        out = windowed_null_fraction(
+            events_stream, "event_ts", "props",
+            window_duration="6 hours", watermark_delay="1 hour",
+        )
+        query = (
+            out.writeStream.format("memory")
+            .queryName("win_nulls")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        rows = spark.sql("SELECT * FROM win_nulls").collect()
+        assert rows, "no windows emitted"
+        for r in rows:
+            assert 0.0 <= r.null_fraction <= 1.0
+            assert r.n_rows > 0
