@@ -130,39 +130,81 @@ def get_missing_fraction(
     return row["n_missing"] / row["n_total"], [agg_df]
 
 
-def get_percentile(
-    spark: SparkSession, ref: DataReference, percentage: float
-) -> tuple[float, _Plans]:
-    """Exact percentile: the smallest value v such that at least
-    ``percentage`` % of non-null values are <= v.
+#: Range-bucket count for the two-pass exact percentile.
+PERCENTILE_BUCKETS = 4096
 
-    Matches the reference's row_number/argmin construction
-    (db_access.py:812-857) but is computed over the *distinct-value
-    histogram*: groupBy(value).count, cumulative sum ordered by value, pick
-    the first value whose cumulative share reaches the percentage. The window
-    runs over |distinct values| rows — bounded state instead of a global
-    row-level sort. ``percentile_approx`` is deliberately NOT used (breaks
-    exact semantics, SURVEY §7.3.1).
+
+def exact_percentile_df(df, column: str, percentage: float):
+    """Exact percentile as a 1-row DataFrame, computed scale-out.
+
+    Semantics (reference db_access.py:812-857): the smallest value v such
+    that at least ``percentage`` % of non-null values are <= v.
+    ``percentile_approx`` is deliberately NOT used (breaks exact
+    semantics, SURVEY §7.3.1).
+
+    A naive construction sorts ALL (distinct) values under one global
+    window — a single-partition bottleneck on near-unique columns
+    (SURVEY §4.4). Instead, two fully-parallel passes:
+
+    1. range-bucket histogram: counts per ``PERCENTILE_BUCKETS`` equal
+       ranges (one groupBy; B rows to the driver),
+    2. driver cumsum over B bucket counts locates the target bucket,
+    3. the cumulative window runs only over the *distinct values of the
+       target bucket* (expected |distinct|/B rows; degenerates to the
+       naive plan only if every value lands in one bucket).
+
+    The result is identical to the naive construction — the bucketing is
+    a partitioning of the sorted domain, not an approximation.
     """
-    column = ref.get_column(spark)
-    selection = ref.get_selection(spark)
-    non_null = selection.where(F.col(column).isNotNull())
-    hist = non_null.groupBy(F.col(column).alias("value")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    non_null = df.where(F.col(column).isNotNull())
+    stats = non_null.agg(
+        F.min(column).alias("lo"),
+        F.max(column).alias("hi"),
+        F.count(F.lit(1)).alias("total"),
+    ).first()
+    if stats is None or stats["total"] == 0 or stats["lo"] is None:
+        raise ValueError("Percentile selection could not be fetched.")
+    lo, hi, total = float(stats["lo"]), float(stats["hi"]), int(stats["total"])
+    value_col = F.col(column).cast("double")
+    if hi == lo:
+        return non_null.agg(F.min(column).alias("value"))
+    bucket = F.least(
+        F.floor((value_col - lo) / (hi - lo) * PERCENTILE_BUCKETS),
+        F.lit(PERCENTILE_BUCKETS - 1),
+    ).cast("int")
+    bucket_counts = dict(
+        non_null.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    needed = total * percentage / 100.0
+    cum_before, target_bucket = 0, PERCENTILE_BUCKETS - 1
+    for b in sorted(bucket_counts):
+        if cum_before + bucket_counts[b] >= needed:
+            target_bucket = b
+            break
+        cum_before += bucket_counts[b]
+    hist = (
+        non_null.where(bucket == target_bucket)
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
-        "value",
-        F.sum("cnt").over(w).alias("cum_cnt"),
-        F.sum("cnt").over(
-            Window.orderBy("value").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total_cnt"),
+        "value", (F.sum("cnt").over(w) + F.lit(cum_before)).alias("cum_cnt")
     )
-    candidates = cum.where(
-        F.col("cum_cnt") * 100.0 / F.col("total_cnt") >= F.lit(percentage)
+    return cum.where(
+        F.col("cum_cnt") * 100.0 / F.lit(total) >= F.lit(percentage)
     ).select(F.min("value").alias("value"))
+
+
+def get_percentile(
+    spark: SparkSession, ref: DataReference, percentage: float
+) -> tuple[float, _Plans]:
+    """Exact percentile metric (see :func:`exact_percentile_df`)."""
+    column = ref.get_column(spark)
+    selection = ref.get_selection(spark)
+    candidates = exact_percentile_df(selection, column, percentage)
     row = candidates.first()
     if row is None or row["value"] is None:
         raise ValueError("Percentile selection could not be fetched.")

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datajudge_spark.pipeline._util import spread
 from datajudge_spark.pipeline.text import md5_long, tokens, word_shingles
 
 __all__ = [
@@ -68,10 +69,17 @@ def _distinct_shingles(
     ``array_distinct`` runs per-row before the explode, so the shuffle
     carries no within-document duplicates.
     """
+    df = spread(df)
     return df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
     )
+
+
+#: Width of the two MinHash base hashes: 52 bits leaves room for
+#: h1 + k*h2 (k < 2048) inside a signed int64.
+MINHASH_HEX = 13
+MINHASH_MASK = (1 << (MINHASH_HEX * 4)) - 1
 
 
 def minhash_signature(
@@ -83,13 +91,23 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, h0..h{k-1}) MinHash signature.
 
-    One explode + one groupBy with ``num_hashes`` ``min`` aggregates:
-    Spark's partial aggregation computes the per-partition minima map-side,
-    so the shuffle volume is O(docs * k), independent of document length.
+    The k permutations are Kirsch-Mitzenmacher double hashes
+    ``h_k = (h1 + k*h2) mod 2^52`` over TWO md5 base hashes per shingle —
+    k-independent hashing cost. One explode + one groupBy with
+    ``num_hashes`` ``min`` aggregates: Spark's partial aggregation
+    computes per-partition minima map-side, so the shuffle volume is
+    O(docs * k), independent of document length.
     """
-    sh = _distinct_shingles(df, id_col, text_col, shingle_n)
+    sh = _distinct_shingles(df, id_col, text_col, shingle_n).select(
+        "_id",
+        md5_long("s", salt="a", nhex=MINHASH_HEX).alias("b1"),
+        md5_long("s", salt="b", nhex=MINHASH_HEX).alias("b2"),
+    )
     aggs = [
-        F.min(md5_long("s", salt=k)).alias(f"h{k}") for k in range(num_hashes)
+        F.min(
+            (F.col("b1") + F.lit(k) * F.col("b2")).bitwiseAND(F.lit(MINHASH_MASK))
+        ).alias(f"h{k}")
+        for k in range(num_hashes)
     ]
     return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
 
@@ -136,7 +154,7 @@ def simhash(
     each bit position the signed votes are summed in ONE groupBy with
     ``bits`` sum-aggregates — no bit-explode, map-side combine applies.
     """
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tk")
     ).select("_id", md5_long("tk").alias("h"))
     vote = [
@@ -221,8 +239,14 @@ def jaccard_pairs(
     filtered shingle space, so the measure is self-consistent). The cap
     bounds the fan-out of the self-join to ``max_df^2`` per shingle —
     the difference between O(n·df) and O(n^2) at corpus scale.
+
+    Shingles are replaced by their 60-bit hashes before any shuffle:
+    fixed-width join keys instead of ~n-word strings (collisions would
+    merge shingles identically in any engine recomputing the same hash).
     """
-    sh = _distinct_shingles(df, id_col, text_col, shingle_n)
+    sh = _distinct_shingles(df, id_col, text_col, shingle_n).select(
+        "_id", md5_long("s").alias("s")
+    )
     rare = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datajudge_spark.pipeline._util import spread
+
 __all__ = ["cosine", "topk_bruteforce", "ivf_cells", "topk_ivf", "near_dup_pairs"]
 
 
@@ -63,7 +65,7 @@ def topk_bruteforce(
 
     Ties broken by candidate id for engine-independent determinism.
     """
-    pairs = F.broadcast(queries).crossJoin(candidates).where(
+    pairs = F.broadcast(queries).crossJoin(spread(candidates)).where(
         F.col(q_id) != F.col(c_id)
     )
     scored = pairs.select(q_id, c_id, cosine(q_vec, c_vec).alias("cos"))
@@ -89,7 +91,7 @@ def ivf_cells(
     assignment is a map-only pass over the corpus; argmax ties break on
     the lowest centroid id.
     """
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    scored = spread(vectors).crossJoin(F.broadcast(centroids)).select(
         v_id, cent_id, cosine(v_vec, cent_vec).alias("cos")
     )
     w = Window.partitionBy(v_id).orderBy(F.col("cos").desc(), F.col(cent_id).asc())
@@ -143,6 +145,7 @@ def near_dup_pairs(
 ) -> DataFrame:
     """(d1, d2, cos) pairs with cosine > threshold, blocked on an
     equality column so the join never goes globally quadratic."""
+    vectors = spread(vectors)
     a = vectors.select(
         F.col(block_col).alias("_blk"),
         F.col(v_id).alias("d1"),

@@ -54,18 +54,23 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def md5_long(c: Column | str, salt: int | str | None = None) -> Column:
-    """60-bit integer hash of a string column, identical across engines.
+def md5_long(
+    c: Column | str,
+    salt: int | str | None = None,
+    nhex: int = MD5_HEX_CHARS,
+) -> Column:
+    """``nhex*4``-bit integer hash of a string column, identical across
+    engines (default 60 bits).
 
-    ``salt`` concatenates ``#<salt>`` before hashing — the cheap way to get
-    a family of independent hash functions (MinHash permutations) without
-    64-bit modular multiplication, which would overflow identically-but-
-    engine-dependently.
+    ``salt`` concatenates ``#<salt>`` before hashing, giving independent
+    hash functions without 64-bit modular multiplication (which would
+    overflow engine-dependently). ``nhex=13`` (52 bits) leaves headroom
+    for small linear combinations of two hashes inside int64.
     """
     c = _col(c)
     if salt is not None:
         c = F.concat(c, F.lit(f"#{salt}"))
-    return F.conv(F.substring(F.md5(c), 1, MD5_HEX_CHARS), 16, 10).cast("bigint")
+    return F.conv(F.substring(F.md5(c), 1, nhex), 16, 10).cast("bigint")
 
 
 def tokens(c: Column | str) -> Column:
