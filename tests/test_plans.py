@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the properties that make the engine
+viable at scale must be visible in the executed plan, not assumed.
+
+- filters reach the parquet scan (PushedFilters),
+- column pruning reaches the scan (ReadSchema),
+- small dimensions broadcast (BroadcastHashJoin, no SortMergeJoin),
+- aggregations run map-side partials (partial_count/partial_sum),
+- whole-stage codegen covers the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df, run: bool = False) -> str:
+    if run:
+        df.collect()  # finalize the adaptive plan (codegen ids appear)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _executed_plan(entrymod.q_filtered_count(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # plan strings elide long filter lists; DataFilters carries the rest
+    assert "l_discount" in plan and "<= 0.05" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _executed_plan(entrymod.q_length_extremes(spark, SF_DIR))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, "no ReadSchema in plan"
+    assert "o_orderpriority" in read_schema[0]
+    # none of the other five orders columns should be read
+    assert "o_totalprice" not in read_schema[0]
+    assert "o_orderdate" not in read_schema[0]
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _executed_plan(entrymod.q_broadcast_join_agg(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_is_partial(spark):
+    plan = _executed_plan(entrymod.q_uniques_histogram(spark, SF_DIR))
+    assert "partial_count" in plan, "no map-side partial aggregation"
+
+
+def test_minhash_signature_is_partial_min(spark):
+    # the k min-aggregates must combine map-side: shuffle O(docs*k),
+    # not O(shingles*k)
+    plan = _executed_plan(entrymod.q_dedup_simhash(spark, SF_DIR))
+    assert "partial_sum" in plan
+    plan2 = _executed_plan(entrymod.q_dedup_minhash_lsh(spark, SF_DIR))
+    assert "partial_min" in plan2
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    plan = _executed_plan(entrymod.q_filtered_count(spark, SF_DIR), run=True)
+    # codegen'd operators carry the *(stage-id) marker in the final plan
+    assert "*(1)" in plan, "scan->filter->partial-agg not codegen-fused"
+
+
+def test_anti_join_stays_join_not_cartesian(spark):
+    plan = _executed_plan(entrymod.q_anti_join(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_topk_brute_broadcasts_queries(spark):
+    plan = _executed_plan(entrymod.q_ann_topk_bruteforce(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    # the as-of union+window plan must shuffle exactly once on the key
+    # (plus the final collect exchange); no join operator at all
+    plan = _executed_plan(entrymod.q_asof_join(spark, SF_DIR))
+    assert "Join" not in plan.replace("join", "Join") or "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
