@@ -609,6 +609,54 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", F.col("o_orderkey").alias("matched_orderkey"))
 
 
+# --------------------------------------------------------------------------
+# Between-requirement style two-table metrics
+# --------------------------------------------------------------------------
+
+def q_row_count_gain(spark, sf_dir):
+    # relative row-count gain of lineitem over orders
+    # (reference NRowsMaxGain, nrows.py:122-152)
+    li = _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n1"))
+    o = _t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n2"))
+    return li.crossJoin(o).select(
+        F.round(F.col("n1") / F.col("n2") - 1.0, 6).alias("gain")
+    )
+
+
+def q_date_growth_rate(spark, sf_dir):
+    # date-span ratio of two tables (reference get_date_growth_rate,
+    # db_access.py:302-313) used to derive gain tolerances
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.datediff(
+            F.max(F.col("l_shipdate")).cast("date"),
+            F.min(F.col("l_shipdate")).cast("date"),
+        ).alias("s1")
+    )
+    o = _t(spark, sf_dir, "orders").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate")).cast("date"),
+            F.min(F.col("o_orderdate")).cast("date"),
+        ).alias("s2")
+    )
+    return li.crossJoin(o).select(
+        F.round(F.col("s1") / F.col("s2") - 1.0, 6).alias("growth")
+    )
+
+
+def q_uniques_subset_violation(spark, sf_dir):
+    # weighted violation fraction of "every l_suppkey is a known supplier
+    # with positive acctbal" (reference uniques.py:214-257 weighted mode)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 1000)
+    viol = li.join(
+        F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("nv"))
+    total = li.agg(F.count(F.lit(1)).alias("nt"))
+    return viol.crossJoin(total).select(
+        F.round(F.col("nv") / F.col("nt"), 6).alias("violation_fraction")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -655,6 +703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_hash": q_text_rolling_hash,
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
+        "row_count_gain": q_row_count_gain,
+        "date_growth_rate": q_date_growth_rate,
+        "uniques_subset_violation": q_uniques_subset_violation,
     }
 
 
@@ -1084,5 +1135,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, o2.o_orderkey AS matched_orderkey "
             "FROM events e ASOF LEFT JOIN o2 "
             "ON e.user_id = o2.user_id AND e.ts >= o2.o_orderdate"
+        ),
+        "row_count_gain": (
+            "SELECT round((SELECT count(*) FROM lineitem) * 1.0 "
+            "/ (SELECT count(*) FROM orders) - 1.0, 6) AS gain"
+        ),
+        "date_growth_rate": (
+            "SELECT round("
+            "(SELECT date_diff('day', CAST(min(l_shipdate) AS DATE), "
+            "CAST(max(l_shipdate) AS DATE)) FROM lineitem) * 1.0 / "
+            "(SELECT date_diff('day', CAST(min(o_orderdate) AS DATE), "
+            "CAST(max(o_orderdate) AS DATE)) FROM orders) - 1.0, 6) AS growth"
+        ),
+        "uniques_subset_violation": (
+            "SELECT round((SELECT count(*) FROM lineitem WHERE NOT EXISTS ("
+            "SELECT 1 FROM supplier WHERE s_acctbal > 1000 "
+            "AND s_suppkey = l_suppkey)) * 1.0 "
+            "/ (SELECT count(*) FROM lineitem), 6) AS violation_fraction"
         ),
     }
