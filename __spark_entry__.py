@@ -37,8 +37,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events_ts(col: str = "ts"):
-    """events.ts (nanos-as-long) as a proper timestamp column."""
-    return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+    """events.ts (nanos-as-long) as a proper timestamp column.
+
+    Integer ``div`` — float division of epoch-nanos (~1.7e18) exceeds a
+    double's 53-bit mantissa and lands up to 1 us off.
+    """
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -613,6 +617,17 @@ def q_asof_join(spark, sf_dir):
 # Between-requirement style two-table metrics
 # --------------------------------------------------------------------------
 
+def q_sessionize(spark, sf_dir):
+    # per-user session summaries with 30-minute inactivity timeout
+    # (gaps-and-islands; streaming analog = F.session_window)
+    from datajudge_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _events_ts().alias("event_ts")
+    )
+    return session_stats(ev, "user_id", "event_ts", "30 minutes")
+
+
 def q_row_count_gain(spark, sf_dir):
     # relative row-count gain of lineitem over orders
     # (reference NRowsMaxGain, nrows.py:122-152)
@@ -703,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_hash": q_text_rolling_hash,
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "row_count_gain": q_row_count_gain,
         "date_growth_rate": q_date_growth_rate,
         "uniques_subset_violation": q_uniques_subset_violation,
@@ -1135,6 +1151,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, o2.o_orderkey AS matched_orderkey "
             "FROM events e ASOF LEFT JOIN o2 "
             "ON e.user_id = o2.user_id AND e.ts >= o2.o_orderdate"
+        ),
+        "sessionize": (
+            "WITH flagged AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS b "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "sess AS (SELECT user_id, ts, sum(b) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS session_id FROM flagged) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end "
+            "FROM sess GROUP BY user_id, session_id"
         ),
         "row_count_gain": (
             "SELECT round((SELECT count(*) FROM lineitem) * 1.0 "

@@ -24,7 +24,7 @@ def events_batch(spark):
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
     # nanos-as-long -> proper event-time timestamp column
     return df.withColumn(
-        "event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -37,7 +37,7 @@ def events_stream(spark, events_batch, tmp_path):
     raw = stream_parquet_like(spark, str(stream_dir),
                               spark.read.parquet(f"{SF_DIR}/events.parquet"))
     return raw.withColumn(
-        "event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
