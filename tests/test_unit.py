@@ -117,3 +117,44 @@ class TestFormatDifference:
     def test_big_numbers(self):
         s1, s2 = format_difference(122593859432, 122593859432347)
         assert "[numDiff]" in s2
+
+
+class TestRetrievalCaching:
+    """Per-constraint caching of retrieved values (reference
+    base.py:121-172, verified there by QueryCollector query counting —
+    here by counting DataSource.get_df invocations)."""
+
+    @staticmethod
+    def _make(spark, cache_size):
+        from pyspark.sql import Row
+
+        from datajudge_spark import WithinRequirement
+        from datajudge_spark.sources import ExpressionDataSource
+
+        df = spark.createDataFrame([Row(x=1), Row(x=2), Row(x=3)])
+
+        class CountingSource(ExpressionDataSource):
+            def __init__(self):
+                super().__init__(df, "counted")
+                self.calls = 0
+
+            def get_df(self, spark):
+                self.calls += 1
+                return super().get_df(spark)
+
+        src = CountingSource()
+        req = WithinRequirement(src)
+        req.add_n_rows_equality_constraint(3, cache_size=cache_size)
+        return src, req[0]
+
+    def test_cached_by_default(self, spark):
+        src, constraint = self._make(spark, cache_size=None)
+        assert constraint.test(spark).outcome
+        assert constraint.test(spark).outcome
+        assert src.calls == 1
+
+    def test_cache_disabled_with_zero(self, spark):
+        src, constraint = self._make(spark, cache_size=0)
+        assert constraint.test(spark).outcome
+        assert constraint.test(spark).outcome
+        assert src.calls == 2
