@@ -21,6 +21,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StructField,
     StructType,
@@ -34,6 +35,10 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "decode_media_meta",
     "decode_image",
+    "RESIZED_SCHEMA",
+    "resize_payload",
+    "FRAME_SCHEMA",
+    "sample_frames",
 ]
 
 #: Output schema of the metadata decoder (id + typed media metadata).
@@ -100,6 +105,86 @@ def decode_media_meta(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(decode, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_payload(media_df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' stand-in: truncate/stride the payload to ``target_bytes``.
+
+    Models the image-resize stage of an ingest pipeline — a real
+    implementation swaps the byte arithmetic for a codec call; the
+    Spark-side contract (binary in, smaller binary out, 1:1 rows,
+    Arrow-batched) is exactly this.
+    """
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def shrink(payload: bytes) -> bytes:
+            if len(payload) <= target_bytes:
+                return payload
+            stride = len(payload) // target_bytes
+            return payload[::stride][:target_bytes]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "resized": pdf["payload"].map(shrink),
+                }
+            )
+
+    return media_df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media_df: DataFrame, frame_bytes: int = 16, every_nth: int = 4
+) -> DataFrame:
+    """Frame-sampling stand-in: split the payload into fixed-size
+    'frames' and keep every ``every_nth``-th — the 1:N row expansion
+    shape of video frame extraction (a real decoder emits JPEG frames;
+    the partitioning, batch iteration, and exploding output schema are
+    identical).
+    """
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        out_ids, out_idx, out_frames = [], [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[off : off + frame_bytes]
+                    for off in range(0, len(payload), frame_bytes)
+                ]
+                for i, frame in enumerate(frames[::every_nth]):
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_frames.append(frame)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+            out_ids, out_idx, out_frames = [], [], []
+
+    return media_df.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
 def decode_image(media_df: DataFrame) -> DataFrame:

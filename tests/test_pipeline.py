@@ -192,6 +192,33 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(media)
 
+    def test_resize_payload(self, spark, docs):
+        media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+        out = {r.doc_id: r for r in multimodal.resize_payload(media, 16).collect()}
+        for row in docs.collect():
+            payload = row.text.encode("utf-8")
+            got = out[row.doc_id]
+            assert got.n_bytes == len(payload)
+            assert len(got.resized) <= 16
+            if len(payload) > 16:
+                stride = len(payload) // 16
+                assert bytes(got.resized) == payload[::stride][:16]
+
+    def test_sample_frames_expansion(self, spark, docs):
+        media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+        frames = multimodal.sample_frames(media, frame_bytes=16, every_nth=4)
+        rows = frames.collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for row in docs.collect():
+            payload = row.text.encode("utf-8")
+            n_frames = (len(payload) + 15) // 16
+            expected = (n_frames + 3) // 4  # every 4th
+            got = sorted(by_doc[row.doc_id], key=lambda r: r.frame_idx)
+            assert len(got) == expected
+            assert bytes(got[0].frame) == payload[:16]
+
 
 class TestAsofJoin:
     def test_semantics(self, spark):
