@@ -381,6 +381,22 @@ def q_ks_statistic(spark, sf_dir):
     )
 
 
+def q_ks_statistic_continuous(spark, sf_dir):
+    # distributed exact KS on a NEAR-UNIQUE column (the case where the
+    # windowed construction degenerates to one partition, SURVEY §4.4):
+    # range-partitioned sort + driver offsets, no global window
+    from datajudge_spark.operators.stats import ks_d_statistic_distributed
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = ks_d_statistic_distributed(
+        li.where(F.col("l_returnflag") == "A"),
+        li.where(F.col("l_returnflag") == "R"),
+        "l_extendedprice",
+        "l_extendedprice",
+    )
+    return spark.createDataFrame([(round(d, 6),)], "d_statistic double")
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline extras (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -700,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_violations": q_regex_violations,
         "cross_cdf": q_cross_cdf,
         "ks_statistic": q_ks_statistic,
+        "ks_statistic_continuous": q_ks_statistic_continuous,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_stopword_ratio": q_text_stopword_ratio,
@@ -1080,6 +1097,20 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 6) "
             "AS cdf2 FROM j) "
             "SELECT round(max(abs(cdf1 - cdf2)), 6) AS d_statistic FROM f"
+        ),
+        "ks_statistic_continuous": (
+            "WITH a AS (SELECT l_extendedprice v FROM lineitem "
+            "WHERE l_returnflag = 'A'), "
+            "b AS (SELECT l_extendedprice v FROM lineitem "
+            "WHERE l_returnflag = 'R'), "
+            "u AS (SELECT v, count(*) FILTER (WHERE s = 1) n1, "
+            "count(*) FILTER (WHERE s = 2) n2 FROM ("
+            "SELECT v, 1 s FROM a UNION ALL SELECT v, 2 FROM b) GROUP BY v), "
+            "c AS (SELECT sum(n1) OVER (ORDER BY v) * 1.0 "
+            "/ (SELECT count(*) FROM a) "
+            "- sum(n2) OVER (ORDER BY v) * 1.0 "
+            "/ (SELECT count(*) FROM b) AS diff FROM u) "
+            "SELECT round(max(abs(diff)), 6) AS d_statistic FROM c"
         ),
         "text_token_count": (
             "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "

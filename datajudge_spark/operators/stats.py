@@ -85,12 +85,100 @@ def get_ks_2sample(
     spark: SparkSession, ref1: DataReference, ref2: DataReference
 ) -> tuple[float, _Plans]:
     """Two-sample Kolmogorov-Smirnov test statistic
-    d = max |cdf1 - cdf2| (reference db_access.py:1283-1315)."""
-    filled, cdf_label1, cdf_label2 = get_cross_cdf(spark, ref1, ref2)
-    agg_df = filled.select(
-        F.max(F.abs(F.col(cdf_label1) - F.col(cdf_label2))).alias("d")
+    d = max |cdf1 - cdf2| (reference db_access.py:1283-1315).
+
+    Computed via :func:`ks_d_statistic_distributed` — value-identical to
+    the cross-CDF construction (verified in tests), but with no stage
+    whose size depends on |distinct values| landing in one partition.
+    """
+    df1, df2 = ref1.get_selection(spark), ref2.get_selection(spark)
+    d = ks_d_statistic_distributed(
+        df1, df2, ref1.get_column(spark), ref2.get_column(spark)
     )
-    row = agg_df.first()
+    # plan surface for failure reporting: the cross-CDF selection
+    filled, c1, c2 = get_cross_cdf(spark, ref1, ref2)
+    agg_df = filled.select(F.max(F.abs(F.col(c1) - F.col(c2))).alias("d"))
+    return d, [agg_df]
+
+
+def ks_d_statistic_distributed(
+    df1: DataFrame, df2: DataFrame, col1: str, col2: str
+) -> float:
+    """Exact two-sample KS d-statistic with NO global-window stage.
+
+    The histogram-based construction above bounds the ordered window by
+    |distinct values| — fine for discrete domains, but on a continuous
+    column |distinct| ~ |rows| and the window degenerates to a global
+    single-partition sort (SURVEY §4.4). This variant stays parallel at
+    any cardinality:
+
+    1. union both samples with a side tag, aggregated to
+       (value, n1, n2) per distinct value — one shuffle, map-side agg;
+    2. ``repartitionByRange(value)`` — a parallel range-partitioned
+       sort (sampling-based ranges, the same machinery as a global sort);
+    3. per-partition side totals -> driver-side running offsets (one
+       tiny collect of num_partitions rows);
+    4. per-partition cumulative sums seeded with the offsets (window
+       partitioned BY PARTITION — bounded, parallel), then a global max
+       of |F1 - F2|.
+
+    Exactly equal to the windowed construction: the supremum over step
+    points of the empirical CDF difference.
+    """
+    spark = df1.sparkSession
+    tagged = df1.select(
+        F.col(col1).alias("val"), F.lit(1).alias("n1"), F.lit(0).alias("n2")
+    ).where(F.col("val").isNotNull()).unionAll(
+        df2.select(
+            F.col(col2).alias("val"), F.lit(0).alias("n1"), F.lit(1).alias("n2")
+        ).where(F.col("val").isNotNull())
+    )
+    hist = tagged.groupBy("val").agg(
+        F.sum("n1").alias("n1"), F.sum("n2").alias("n2")
+    )
+    ranged = hist.repartitionByRange("val").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # cache: the per-partition totals pass and the cumsum pass must see
+    # the SAME partitioning decision
+    ranged = ranged.persist()
+    try:
+        part_totals = (
+            ranged.groupBy("pid")
+            .agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+            .collect()
+        )
+        totals = {r.pid: (r.t1, r.t2) for r in part_totals}
+        total1 = sum(t[0] for t in totals.values())
+        total2 = sum(t[1] for t in totals.values())
+        if total1 == 0 or total2 == 0:
+            raise ValueError("Could not compute d statistic on empty sample.")
+        offsets, acc1, acc2 = {}, 0, 0
+        for pid in sorted(totals):
+            offsets[pid] = (acc1, acc2)
+            acc1 += totals[pid][0]
+            acc2 += totals[pid][1]
+        offset_df = spark.createDataFrame(
+            [(pid, o1, o2) for pid, (o1, o2) in offsets.items()],
+            "pid int, off1 long, off2 long",
+        )
+        w = (
+            Window.partitionBy("pid")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cdfs = (
+            ranged.join(F.broadcast(offset_df), "pid")
+            .select(
+                (
+                    (F.sum("n1").over(w) + F.col("off1")) / F.lit(total1)
+                    - (F.sum("n2").over(w) + F.col("off2")) / F.lit(total2)
+                ).alias("diff")
+            )
+        )
+        row = cdfs.agg(F.max(F.abs(F.col("diff"))).alias("d")).first()
+    finally:
+        ranged.unpersist()
     if row is None or row["d"] is None:
         raise ValueError("Could not compute d statistic.")
-    return float(row["d"]), [agg_df]
+    return float(row["d"])

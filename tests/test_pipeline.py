@@ -243,3 +243,35 @@ class TestAsofJoin:
         got = {r.event_id: r.val for r in out.collect()}
         assert got == {1: 10, 2: 20, 3: 30, 4: None}
         assert out.count() == ev.count()
+
+
+class TestDistributedKs:
+    """ks_d_statistic_distributed must equal the cross-CDF windowed
+    construction exactly, on both discrete and near-unique columns."""
+
+    def test_matches_windowed_construction(self, spark):
+        from datajudge_spark.operators.stats import (
+            get_ks_2sample,
+            ks_d_statistic_distributed,
+        )
+        from datajudge_spark.reference import DataReference
+        from datajudge_spark.sources import ExpressionDataSource
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        d1 = li.where("l_returnflag = 'A'")
+        d2 = li.where("l_returnflag = 'R'")
+        for col in ("l_quantity", "l_extendedprice"):
+            r1 = DataReference(ExpressionDataSource(d1, "a"), [col])
+            r2 = DataReference(ExpressionDataSource(d2, "b"), [col])
+            d_old, _ = get_ks_2sample(spark, r1, r2)
+            d_new = ks_d_statistic_distributed(d1, d2, col, col)
+            assert abs(d_old - d_new) < 1e-15
+
+    def test_empty_sample_raises(self, spark):
+        from datajudge_spark.operators.stats import ks_d_statistic_distributed
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        with pytest.raises(ValueError):
+            ks_d_statistic_distributed(
+                li.where("l_quantity < -1"), li, "l_quantity", "l_quantity"
+            )
