@@ -519,6 +519,16 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # connected components over the MinHash-LSH candidate graph:
+    # (doc_id, cluster_id=min reachable id) via iterative min-label
+    # propagation — the keep-one-per-cluster step of a dedup pipeline
+    from datajudge_spark.pipeline import dedup
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_dedup_jaccard(spark, sf_dir):
     from datajudge_spark.pipeline import dedup
 
@@ -727,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -828,6 +839,20 @@ def _simhash_pairs_sql() -> str:
         "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
         "AND a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAXHAM}"
+    )
+
+
+def _clusters_sql() -> str:
+    # connected components as a recursive CTE: every node's cluster id is
+    # the minimum id among everything reachable in the pair graph
+    return (
+        f"WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}), "
+        "sym AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs), "
+        "reach(id, label) AS ("
+        "  SELECT d1, d1 FROM sym "
+        "  UNION "
+        "  SELECT s.d1, r.label FROM sym s JOIN reach r ON s.d2 = r.id) "
+        "SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id"
     )
 
 
@@ -1154,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sig_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_jaccard": _jaccard_sql(),
+        "dedup_clusters": _clusters_sql(),
         "dedup_embedding_neardup": _neardup_sql(),
         "ann_topk_bruteforce": _ann_brute_sql(),
         "ann_topk_ivf": _ann_ivf_sql(),

@@ -11,11 +11,10 @@ Scale design (the point of each algorithm):
   are ever paired. This is the only member of the family that stays
   tractable when "documents" means 10^10 rows.
 - **SimHash**: one groupBy over exploded tokens with ``bits`` signed-sum
-  aggregates; candidate pairs via banding the signature into halves
-  (pigeonhole: hamming <= ``max_hamming`` implies an equal half when
-  ``max_hamming < bits/band_count`` per band... we keep 2 bands of 16
-  bits which guarantees recall for hamming <= 15 concentrated in one
-  half and is the standard bucketing trade-off).
+  aggregates; candidate pairs via banding the signature (pigeonhole:
+  with ``bands > max_hamming`` at least one band is untouched, so every
+  pair within the hamming budget collides somewhere — the default
+  48-bit/4-band setup guarantees recall for hamming <= 3).
 - **n-gram Jaccard**: exact pairwise Jaccard, *blocked* by joining on
   shared shingles with a document-frequency cap (``max_df``) so hot
   shingles never fan out quadratically. Used to verify the sketches on
@@ -41,6 +40,7 @@ __all__ = [
     "simhash",
     "simhash_candidate_pairs",
     "jaccard_pairs",
+    "duplicate_clusters",
 ]
 
 
@@ -269,4 +269,67 @@ def jaccard_pairs(
         .join(s2, "d2")
         .select("d1", "d2", F.round(j, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 15
+) -> DataFrame:
+    """Connected components over candidate pairs: (doc_id, cluster_id)
+    where cluster_id = smallest doc id reachable through the pair graph.
+
+    Iterative min-label propagation — each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow, so
+    typically 2-4). Each round is one join + one groupBy, and the result
+    is ``localCheckpoint``-ed: iterative DataFrame algorithms MUST
+    truncate lineage each round or the nested logical plan grows
+    exponentially (persist alone caches data, not the plan). Only docs
+    that appear in some pair are returned (singletons are their own
+    cluster by definition).
+
+    This is the post-LSH step of a dedup pipeline: pick
+    ``min(cluster)`` (or any deterministic representative) to keep and
+    drop the rest.
+    """
+    edges = pairs.select("d1", "d2")
+    sym = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("d1").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        )
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.d2 == labels.id)
+            .groupBy("d1")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.d1, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iterations} rounds"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

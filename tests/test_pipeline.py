@@ -275,3 +275,23 @@ class TestDistributedKs:
             ks_d_statistic_distributed(
                 li.where("l_quantity < -1"), li, "l_quantity", "l_quantity"
             )
+
+
+class TestDuplicateClusters:
+    def test_components(self, spark):
+        pairs = spark.createDataFrame(
+            [Row(d1=1, d2=2), Row(d1=2, d2=3),   # chain 1-2-3
+             Row(d1=10, d2=11),                  # pair
+             Row(d1=20, d2=21), Row(d1=21, d2=22), Row(d1=20, d2=22)]  # triangle
+        )
+        out = {r.doc_id: r.cluster_id
+               for r in dedup.duplicate_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        n = 12
+        pairs = spark.createDataFrame([Row(d1=i, d2=i + 1) for i in range(n)])
+        out = {r.doc_id: r.cluster_id
+               for r in dedup.duplicate_clusters(pairs).collect()}
+        assert set(out.values()) == {0}
+        assert len(out) == n + 1
