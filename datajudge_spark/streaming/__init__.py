@@ -42,6 +42,7 @@ __all__ = [
     "windowed_counts",
     "windowed_null_fraction",
     "stream_parquet_like",
+    "stateful_running_counts",
 ]
 
 
@@ -144,4 +145,68 @@ def windowed_null_fraction(
         F.col("window.end").alias("window_end"),
         "null_fraction",
         "n_rows",
+    )
+
+
+def stateful_running_counts(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+):
+    """Cumulative per-key (n_rows, n_nulls, null_fraction) across ALL
+    micro-batches — a custom stateful operator via
+    ``applyInPandasWithState``.
+
+    Unlike the per-batch monitor (stateless) or windowed metrics (state
+    scoped to a window), this maintains running totals per key for the
+    stream's lifetime: the streaming analog of a whole-table
+    null-fraction constraint that tightens as data arrives. State per
+    key is two integers — O(|keys|) total, the minimum possible.
+
+    Arrow-batched like every Python-side operator here; emits one
+    updated row per key per micro-batch (use outputMode("update")).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n_rows", LongType()),
+            StructField("n_nulls", LongType()),
+            StructField("null_fraction", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n_rows", LongType()), StructField("n_nulls", LongType())]
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        n_rows, n_nulls = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n_rows += len(pdf)
+            n_nulls += int(pdf[value_col].isna().sum())
+        state.update((n_rows, n_nulls))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_rows": [n_rows],
+                "n_nulls": [n_nulls],
+                "null_fraction": [n_nulls / n_rows if n_rows else 0.0],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

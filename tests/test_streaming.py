@@ -121,3 +121,34 @@ class TestWindowedMetrics:
         for r in rows:
             assert 0.0 <= r.null_fraction <= 1.0
             assert r.n_rows > 0
+
+
+class TestStatefulRunningCounts:
+    def test_totals_match_batch(self, spark, events_stream, events_batch):
+        from datajudge_spark.streaming import stateful_running_counts
+
+        out = stateful_running_counts(
+            events_stream.select("user_id", "props"), "user_id", "props"
+        )
+        q = (
+            out.writeStream.format("memory").queryName("running_counts")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        # latest state per key must equal the batch aggregate
+        got = {
+            r.key: (r.n_rows, r.n_nulls)
+            for r in spark.sql(
+                "SELECT key, max_by(n_rows, n_rows) n_rows, "
+                "max_by(n_nulls, n_rows) n_nulls "
+                "FROM running_counts GROUP BY key"
+            ).collect()
+        }
+        expected = {
+            r.user_id: (r.n, r.nn)
+            for r in events_batch.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("props").isNull(), 1)).alias("nn"),
+            ).collect()
+        }
+        assert got == expected
