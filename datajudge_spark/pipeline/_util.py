@@ -9,6 +9,22 @@ from pyspark.sql import DataFrame
 SPREAD_SIZE_THRESHOLD = 1 << 30  # 1 GiB
 
 
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Compute ``df`` at most once even when it feeds several plan
+    branches (self-joins, size lookups, convergence checks).
+
+    Spark does not share common subplans across join branches — a
+    self-join of an expensive derivation (shingle explode + hashing)
+    recomputes it per branch unless the exchange happens to be reused.
+    ``localCheckpoint(eager=False)`` stays lazy, materializes on first
+    action into the block manager (memory, spilling to disk), truncates
+    lineage, and every consumer reads the materialized blocks. At
+    cluster scale this is the standard persist-the-reused-stage pattern;
+    blocks are freed when the plan is garbage collected.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure CPU-bound per-row work is spread across the cluster.
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datajudge_spark.pipeline._util import spread
+from datajudge_spark.pipeline._util import materialize_once, spread
 from datajudge_spark.pipeline.text import md5_long, tokens, word_shingles
 
 __all__ = [
@@ -129,9 +129,13 @@ def lsh_candidate_pairs(
                 F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("sig")
             )
         )
-    buckets = sig.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bk")
-    ).select("_id", "bk.band", "bk.sig")
+    # the signature aggregation is expensive; materialize once so the
+    # self-join's two branches don't recompute it
+    buckets = materialize_once(
+        sig.select(
+            F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bk")
+        ).select("_id", "bk.band", "bk.sig")
+    )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -150,23 +154,39 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash): Charikar's SimHash over whitespace tokens.
 
-    Tokens keep their multiplicity (term frequency is the weight). For
-    each bit position the signed votes are summed in ONE groupBy with
-    ``bits`` sum-aggregates — no bit-explode, map-side combine applies.
+    Tokens keep their multiplicity (term frequency is the weight). The
+    per-bit votes are **packed**: three 21-bit one-counters per int64, so
+    48 bit positions need 16 ``sum`` aggregates instead of 48 — one
+    groupBy, no bit-explode, map-side combine applies. A bit of the
+    final signature is set iff strictly more than half the tokens have
+    that hash bit set (``2*ones > n`` ≡ the signed vote sum being > 0).
+    Counter width bounds documents at 2^21 tokens (~10 MB of text);
+    beyond that, raise the width / lower the packing factor.
     """
+    per_long = 3  # counters per int64, 21 bits each
+    shift_w = 21
+    mask = (1 << shift_w) - 1
     tok = spread(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tk")
     ).select("_id", md5_long("tk").alias("h"))
-    vote = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    sums = tok.groupBy("_id").agg(*vote)
+    n_longs = (bits + per_long - 1) // per_long
+    packed = []
+    for g in range(n_longs):
+        terms = []
+        for j in range(per_long):
+            b = g * per_long + j
+            if b >= bits:
+                break
+            terms.append(f"(shiftleft(shiftright(h, {b}) & 1, {j * shift_w}))")
+        packed.append(F.sum(F.expr(" + ".join(terms))).alias(f"p{g}"))
+    sums = tok.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"), *packed
+    )
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+        g, j = divmod(b, per_long)
+        ones = F.shiftright(F.col(f"p{g}"), j * shift_w).bitwiseAND(F.lit(mask))
+        term = F.when(ones * 2 > F.col("_n"), F.lit(1 << b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         sim = term if sim is None else sim + term
@@ -201,11 +221,13 @@ def simhash_candidate_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sim.select(
-        F.col(id_col).alias("_id"),
-        F.col("simhash"),
-        F.explode(F.array(*band_structs)).alias("bk"),
-    ).select("_id", "simhash", "bk.band", "bk.key")
+    buckets = materialize_once(
+        sim.select(
+            F.col(id_col).alias("_id"),
+            F.col("simhash"),
+            F.explode(F.array(*band_structs)).alias("bk"),
+        ).select("_id", "simhash", "bk.band", "bk.key")
+    )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -244,8 +266,10 @@ def jaccard_pairs(
     fixed-width join keys instead of ~n-word strings (collisions would
     merge shingles identically in any engine recomputing the same hash).
     """
-    sh = _distinct_shingles(df, id_col, text_col, shingle_n).select(
-        "_id", md5_long("s").alias("s")
+    sh = materialize_once(
+        _distinct_shingles(df, id_col, text_col, shingle_n).select(
+            "_id", md5_long("s").alias("s")
+        )
     )
     rare = (
         sh.groupBy("s")
@@ -253,7 +277,9 @@ def jaccard_pairs(
         .where(F.col("df") <= max_df)
         .select("s")
     )
-    sh = sh.join(rare, "s", "inner")
+    # shingling feeds four branches (df-count, both self-join sides, the
+    # per-doc sizes); materialize the filtered shingle table once too
+    sh = materialize_once(sh.join(rare, "s", "inner"))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -292,10 +318,17 @@ def duplicate_clusters(
     ``min(cluster)`` (or any deterministic representative) to keep and
     drop the rest.
     """
-    edges = pairs.select("d1", "d2")
-    sym = edges.union(
-        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint()
+    # symmetrize in ONE pass over the (possibly expensive) pairs input:
+    # explode both orientations per edge instead of a self-union that
+    # would evaluate `pairs` twice
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d1"), F.col("d2")),
+                F.struct(F.col("d2").alias("d1"), F.col("d1").alias("d2")),
+            )
+        ).alias("e")
+    ).select("e.d1", "e.d2").localCheckpoint()
     labels = (
         sym.select(F.col("d1").alias("id")).distinct().withColumn(
             "label", F.col("id")
@@ -307,23 +340,22 @@ def duplicate_clusters(
             .groupBy("d1")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the old label through the checkpoint so convergence is a
+        # shuffle-free scan of the checkpointed frame, not an extra join
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.d1, "left")
             .select(
                 "id",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
                     "label"
                 ),
             )
         ).localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:

@@ -62,7 +62,14 @@ def test_minhash_signature_is_partial_min(spark):
     # not O(shingles*k)
     plan = _executed_plan(entrymod.q_dedup_simhash(spark, SF_DIR))
     assert "partial_sum" in plan
-    plan2 = _executed_plan(entrymod.q_dedup_minhash_lsh(spark, SF_DIR))
+    # the LSH pair query's plan roots at the materialize_once checkpoint,
+    # so assert the map-side combine on the signature stage itself
+    from datajudge_spark.pipeline import dedup
+
+    d = entrymod._t(spark, SF_DIR, "documents")
+    plan2 = _executed_plan(
+        dedup.minhash_signature(d, "doc_id", "text", num_hashes=12, shingle_n=3)
+    )
     assert "partial_min" in plan2
 
 
