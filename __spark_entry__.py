@@ -636,7 +636,14 @@ def q_asof_join(spark, sf_dir):
         ev, o, on="user_id", left_time="ts", right_time="o_orderdate",
         payload_cols=["o_orderkey"],
     )
-    return out.select("event_id", F.col("o_orderkey").alias("matched_orderkey"))
+    # digest, not raw rows: a 100 TB bench never ships the enriched frame
+    # to the driver. The checksum still verifies every matched value
+    # against the oracle (any wrong match shifts the sum).
+    return out.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.sum("o_orderkey").alias("matched_orderkey_sum"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -651,7 +658,14 @@ def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", _events_ts().alias("event_ts")
     )
-    return session_stats(ev, "user_id", "event_ts", "30 minutes")
+    sess = session_stats(ev, "user_id", "event_ts", "30 minutes")
+    # per-user digest (~|users| rows, not ~|sessions|): the second
+    # groupBy shares the sessionize shuffle's user_id partitioning
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
 
 
 def q_row_count_gain(spark, sf_dir):
@@ -1205,7 +1219,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": (
             "WITH o2 AS (SELECT o_custkey AS user_id, o_orderdate, "
             "max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) "
-            "SELECT e.event_id, o2.o_orderkey AS matched_orderkey "
+            "SELECT count(*) AS n_events, "
+            "count(o2.o_orderkey) AS n_matched, "
+            "CAST(sum(o2.o_orderkey) AS BIGINT) AS matched_orderkey_sum "
             "FROM events e ASOF LEFT JOIN o2 "
             "ON e.user_id = o2.user_id AND e.ts >= o2.o_orderdate"
         ),
@@ -1216,10 +1232,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
             "sess AS (SELECT user_id, ts, sum(b) OVER (PARTITION BY user_id "
             "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-            "AS session_id FROM flagged) "
-            "SELECT user_id, session_id, count(*) AS n_events, "
-            "min(ts) AS session_start, max(ts) AS session_end "
-            "FROM sess GROUP BY user_id, session_id"
+            "AS session_id FROM flagged), "
+            "stats AS (SELECT user_id, session_id, count(*) AS n_events "
+            "FROM sess GROUP BY user_id, session_id) "
+            "SELECT user_id, count(*) AS n_sessions, "
+            "CAST(sum(n_events) AS BIGINT) AS n_events, "
+            "max(n_events) AS max_session_events "
+            "FROM stats GROUP BY user_id"
         ),
         "row_count_gain": (
             "SELECT round((SELECT count(*) FROM lineitem) * 1.0 "
