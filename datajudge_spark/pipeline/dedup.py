@@ -299,29 +299,75 @@ def jaccard_pairs(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iterations: int = 15
+    pairs: DataFrame,
+    max_iterations: int = 15,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over candidate pairs: (doc_id, cluster_id)
     where cluster_id = smallest doc id reachable through the pair graph.
 
-    Iterative min-label propagation — each round every node adopts the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup clusters are shallow, so
-    typically 2-4). Each round is one join + one groupBy, and the result
-    is ``localCheckpoint``-ed: iterative DataFrame algorithms MUST
-    truncate lineage each round or the nested logical plan grows
-    exponentially (persist alone caches data, not the plan). Only docs
-    that appear in some pair are returned (singletons are their own
-    cluster by definition).
+    **Adaptive strategy** (same spirit as broadcast-join selection): the
+    candidate graph after LSH blocking is normally tiny relative to the
+    corpus — near-dup pairs only. The pairs input is materialized once;
+    if it has <= ``local_threshold`` edges, connected components run as
+    driver-side union-find (microseconds, zero extra jobs). Above the
+    threshold, iterative distributed min-label propagation: each round
+    every node adopts the minimum label among itself and its neighbors;
+    converges in O(component diameter) rounds (near-dup clusters are
+    shallow, so typically 2-4). Each round is one join + one groupBy,
+    ``localCheckpoint``-ed: iterative DataFrame algorithms MUST truncate
+    lineage each round or the nested logical plan grows exponentially
+    (persist alone caches data, not the plan). Only docs that appear in
+    some pair are returned (singletons are their own cluster by
+    definition).
 
     This is the post-LSH step of a dedup pipeline: pick
     ``min(cluster)`` (or any deterministic representative) to keep and
     drop the rest.
     """
+    edges_df = pairs.select("d1", "d2").localCheckpoint()
+    n_edges = edges_df.count()
+    if n_edges <= local_threshold:
+        return _clusters_unionfind(edges_df)
+    return _clusters_propagate(edges_df, max_iterations)
+
+
+def _clusters_unionfind(edges_df: DataFrame) -> DataFrame:
+    """Driver-side union-find over a materialized (small) edge list."""
+    id_type = edges_df.schema["d1"].dataType.simpleString()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges_df.toLocalIterator():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: every root stays
+            # the minimum of its component
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    return edges_df.sparkSession.createDataFrame(
+        rows, f"doc_id {id_type}, cluster_id {id_type}"
+    )
+
+
+def _clusters_propagate(edges_df: DataFrame, max_iterations: int) -> DataFrame:
+    """Distributed min-label propagation (the > threshold path)."""
     # symmetrize in ONE pass over the (possibly expensive) pairs input:
     # explode both orientations per edge instead of a self-union that
     # would evaluate `pairs` twice
-    sym = pairs.select(
+    sym = edges_df.select(
         F.explode(
             F.array(
                 F.struct(F.col("d1"), F.col("d2")),

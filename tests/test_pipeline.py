@@ -278,20 +278,26 @@ class TestDistributedKs:
 
 
 class TestDuplicateClusters:
-    def test_components(self, spark):
+    # local_threshold=0 forces the distributed propagation path; the
+    # default takes driver-side union-find — both must agree
+    @pytest.mark.parametrize("threshold", [2_000_000, 0])
+    def test_components(self, spark, threshold):
         pairs = spark.createDataFrame(
             [Row(d1=1, d2=2), Row(d1=2, d2=3),   # chain 1-2-3
              Row(d1=10, d2=11),                  # pair
              Row(d1=20, d2=21), Row(d1=21, d2=22), Row(d1=20, d2=22)]  # triangle
         )
         out = {r.doc_id: r.cluster_id
-               for r in dedup.duplicate_clusters(pairs).collect()}
+               for r in dedup.duplicate_clusters(
+                   pairs, local_threshold=threshold).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
-    def test_long_chain_converges(self, spark):
+    @pytest.mark.parametrize("threshold", [2_000_000, 0])
+    def test_long_chain_converges(self, spark, threshold):
         n = 12
         pairs = spark.createDataFrame([Row(d1=i, d2=i + 1) for i in range(n)])
         out = {r.doc_id: r.cluster_id
-               for r in dedup.duplicate_clusters(pairs).collect()}
+               for r in dedup.duplicate_clusters(
+                   pairs, local_threshold=threshold).collect()}
         assert set(out.values()) == {0}
         assert len(out) == n + 1
