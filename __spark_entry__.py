@@ -712,6 +712,65 @@ def q_uniques_subset_violation(spark, sf_dir):
     )
 
 
+def q_topk_revenue(spark, sf_dir):
+    # TPC-H Q3 shape: selective dim filter -> fact joins -> grouped
+    # revenue -> top-10. orderBy().limit() compiles to
+    # TakeOrderedAndProject: per-partition heaps + driver merge, never a
+    # global sort (asserted in test_plans). Revenue summed as
+    # DECIMAL(18,2) so the top-k selection is exact and engine-agnostic;
+    # l_orderkey tiebreak makes the row set deterministic.
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1998-01-01")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,2)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    # hierarchical totals in one pass: ROLLUP(returnflag, linestatus)
+    # with grouping_id disambiguating subtotal levels (reference has no
+    # grouping sets, SURVEY §2.4 — extension surface)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 6)
+        .alias("sum_qty"),
+    )
+
+
+def q_pivot_agg(spark, sf_dir):
+    # wide-format aggregation: one row per returnflag, one revenue column
+    # per linestatus (explicit value list keeps the schema static —
+    # required both at 100 TB, where value discovery would be a full
+    # extra scan, and for a stable driver contract)
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+                6,
+            )
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -761,6 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "topk_revenue": q_topk_revenue,
+        "rollup_agg": q_rollup_agg,
+        "pivot_agg": q_pivot_agg,
         "row_count_gain": q_row_count_gain,
         "date_growth_rate": q_date_growth_rate,
         "uniques_subset_violation": q_uniques_subset_violation,
@@ -1239,6 +1301,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_events) AS BIGINT) AS n_events, "
             "max(n_events) AS max_session_events "
             "FROM stats GROUP BY user_id"
+        ),
+        "topk_revenue": (
+            "SELECT l_orderkey, "
+            "CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate >= TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "rollup_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid, "
+            "count(*) AS n_rows, "
+            "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) "
+            "AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "pivot_agg": (
+            "SELECT l_returnflag, "
+            "round(CAST(sum(CASE WHEN l_linestatus = 'F' "
+            "THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 6) "
+            "AS rev_f, "
+            "round(CAST(sum(CASE WHEN l_linestatus = 'O' "
+            "THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 6) "
+            "AS rev_o "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "row_count_gain": (
             "SELECT round((SELECT count(*) FROM lineitem) * 1.0 "

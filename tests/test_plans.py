@@ -96,3 +96,18 @@ def test_asof_join_single_shuffle(spark):
     plan = _executed_plan(entrymod.q_asof_join(spark, SF_DIR))
     assert "Join" not in plan.replace("join", "Join") or "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    # orderBy().limit() must compile to TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never a global Sort
+    plan = _executed_plan(entrymod.q_topk_revenue(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan or "TakeOrderedAndProject" in plan.split("Sort [")[0]
+
+
+def test_rollup_single_expand_pass(spark):
+    # ROLLUP runs as one Expand + one aggregate pass over the scan,
+    # not one scan per grouping level
+    plan = _executed_plan(entrymod.q_rollup_agg(spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
