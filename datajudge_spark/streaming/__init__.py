@@ -43,6 +43,8 @@ __all__ = [
     "windowed_null_fraction",
     "stream_parquet_like",
     "stateful_running_counts",
+    "streaming_dedup",
+    "streaming_fingerprint_dedup",
 ]
 
 
@@ -145,6 +147,49 @@ def windowed_null_fraction(
         F.col("window.end").alias("window_end"),
         "null_fraction",
         "n_rows",
+    )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    id_cols: list[str],
+    ts_col: str,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication on ``id_cols`` with
+    watermark-bounded state — the streaming twin of the batch
+    `pipeline.dedup` exact path.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    a key's state once the watermark passes its event time + delay:
+    duplicates arriving within ``watermark_delay`` of each other are
+    dropped, state stays O(keys-per-watermark-window) instead of
+    O(all keys ever seen) — the property that keeps this runnable
+    forever on an unbounded stream.
+    """
+    return stream_df.withWatermark(
+        ts_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(id_cols)
+
+
+def streaming_fingerprint_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Content-based streaming dedup: drop documents whose normalized
+    text fingerprint (md5 of lowercased, whitespace-collapsed text — the
+    same fingerprint as the batch dedup family) was already seen within
+    the watermark window."""
+    fingerprint = F.md5(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    return streaming_dedup(
+        stream_df.withColumn("fingerprint", fingerprint),
+        ["fingerprint"],
+        ts_col,
+        watermark_delay,
     )
 
 

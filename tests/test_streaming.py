@@ -152,3 +152,54 @@ class TestStatefulRunningCounts:
             ).collect()
         }
         assert got == expected
+
+
+class TestStreamingDedup:
+    def test_cross_batch_dedup(self, spark, tmp_path):
+        from datajudge_spark.streaming import (
+            stream_parquet_like,
+            streaming_fingerprint_dedup,
+        )
+
+        # two files -> two micro-batches (maxFilesPerTrigger=1); doc 2's
+        # text reappears in batch 2 under a new id and must be dropped
+        # by cross-batch state; doc 4 is fresh and must survive
+        rows1 = [(1, "alpha beta", "2024-01-01 10:00:00"),
+                 (2, "Gamma  Delta", "2024-01-01 10:01:00")]
+        rows2 = [(3, "gamma delta", "2024-01-01 10:02:00"),
+                 (4, "epsilon", "2024-01-01 10:03:00")]
+        schema = "doc_id long, text string, event_ts timestamp"
+        src = tmp_path / "docs_stream"
+        for i, rows in enumerate([rows1, rows2]):
+            df = spark.createDataFrame(
+                [(d, t, __import__("datetime").datetime.fromisoformat(ts))
+                 for d, t, ts in rows], schema)
+            df.coalesce(1).write.parquet(str(src / f"f{i}"))
+        stream_dir = tmp_path / "merged"
+        stream_dir.mkdir()
+        n = 0
+        for part in sorted(src.rglob("*.parquet")):
+            (stream_dir / f"{n:02d}.parquet").symlink_to(part)
+            n += 1
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        out = streaming_fingerprint_dedup(
+            raw, "text", "event_ts", watermark_delay="1 hour"
+        )
+        q = (
+            out.writeStream.format("memory").queryName("dedup_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            r.doc_id for r in spark.sql(
+                "SELECT doc_id FROM dedup_stream").collect()
+        )
+        assert 4 in got, "fresh doc must survive"
+        assert not ({2, 3} <= set(got)), "normalized duplicate not dropped"
+        assert 1 in got
