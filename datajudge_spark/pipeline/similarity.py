@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 from datajudge_spark.pipeline._util import spread
 
-__all__ = ["cosine", "topk_bruteforce", "ivf_cells", "topk_ivf", "near_dup_pairs"]
+__all__ = [
+    "cosine",
+    "topk_bruteforce",
+    "ivf_cells",
+    "topk_ivf",
+    "near_dup_pairs",
+    "kmeans_centroids",
+]
 
 
 def _dot(a: str, b: str) -> Column:
@@ -133,6 +140,83 @@ def topk_ivf(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(q_id, c_id, F.round("cos", 6).alias("cos"), "rn")
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    max_iterations: int = 10,
+    tol: float = 1e-4,
+    v_id: str = "vid",
+    v_vec: str = "vvec",
+) -> DataFrame:
+    """Train IVF centroids with distributed spherical k-means (Lloyd's).
+
+    The FAISS-style IVF recipe: cluster by cosine, centroid = L2-
+    normalized mean of its members. Per iteration:
+
+    - **assign** (distributed): nearest-centroid by cosine — a map-only
+      pass over the corpus against the broadcast centroid set
+      (:func:`ivf_cells`);
+    - **update** (one shuffle): per-cell element-wise mean via ``dim``
+      ``avg`` aggregates — map-side combine, so shuffle volume is
+      O(cells x dim x partitions), independent of corpus size;
+    - **driver step** (O(k x dim), tiny): normalize means, measure the
+      max centroid shift, stop when below ``tol``.
+
+    Centroids live on the driver between iterations (k x dim doubles —
+    the textbook Lloyd's-on-Spark layout); the corpus is never
+    collected. Initialization is deterministic: the k lowest-id vectors
+    (stable across engines and runs). Empty cells keep their previous
+    centroid. Returns (cell int, centvec array<double>) ready for
+    :func:`topk_ivf` / :func:`ivf_cells`.
+    """
+    import math
+
+    spark = vectors.sparkSession
+    vectors = spread(vectors).select(v_id, v_vec).localCheckpoint(eager=False)
+    first = vectors.select(F.size(v_vec).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train centroids on an empty vector set")
+    dim = first["d"]
+
+    def _normalize(vec: list[float]) -> list[float]:
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        return [x / norm for x in vec]
+
+    seed_rows = vectors.orderBy(v_id).limit(k).select(v_vec).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+    centroids = [_normalize([float(x) for x in r[0]]) for r in seed_rows]
+
+    for _ in range(max_iterations):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cell int, centvec array<double>",
+        )
+        assigned = ivf_cells(vectors, centroids=cent_df, v_id=v_id, v_vec=v_vec)
+        means = (
+            vectors.join(assigned, v_id)
+            .groupBy("cell")
+            .agg(*[F.avg(F.col(v_vec)[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for row in means:
+            new_centroids[row["cell"]] = _normalize(
+                [row[f"m{i}"] for i in range(dim)]
+            )
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(old, new)))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centvec array<double>",
     )
 
 

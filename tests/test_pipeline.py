@@ -135,6 +135,55 @@ class TestSimilarity:
         # vid 4 is alone in its label block: can never pair
         assert not any(4 in p for p in got)
 
+    @pytest.fixture(scope="class")
+    def clustered_vecs(self, spark):
+        # 4 well-separated direction clusters in 16-d (the driver-provided
+        # embeddings table is random vectors with arbitrary labels — no
+        # cosine structure — so cluster-recovery tests need real clusters)
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        bases = rng.normal(size=(4, 16))
+        bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+        rows = []
+        for i in range(200):
+            c = i % 4
+            v = bases[c] + rng.normal(scale=0.15, size=16)
+            v /= np.linalg.norm(v)
+            rows.append(Row(vid=i, truth=c, vvec=[float(x) for x in v]))
+        return spark.createDataFrame(rows)
+
+    def test_kmeans_recovers_clusters(self, spark, clustered_vecs):
+        cent = similarity.kmeans_centroids(
+            clustered_vecs, k=4, max_iterations=10
+        )
+        assert cent.count() == 4
+        assigned = similarity.ivf_cells(clustered_vecs, cent)
+        joined = clustered_vecs.select("vid", "truth").join(assigned, "vid")
+        majority = (
+            joined.groupBy("cell", "truth").count()
+            .groupBy("cell").agg(F.max("count").alias("m"))
+        )
+        purity = majority.agg(F.sum("m")).first()[0] / joined.count()
+        assert purity > 0.95, f"cluster purity {purity:.2f}"
+
+    def test_kmeans_centroids_feed_ivf(self, spark, clustered_vecs):
+        cent = similarity.kmeans_centroids(clustered_vecs, k=4, max_iterations=10)
+        q = clustered_vecs.where("vid < 8").select(
+            F.col("vid").alias("qid"), F.col("vvec").alias("qvec")
+        )
+        c = clustered_vecs.select(
+            F.col("vid").alias("cid"), F.col("vvec").alias("cvec")
+        )
+        ivf = similarity.topk_ivf(q, c, cent, k=3)
+        brute = similarity.topk_bruteforce(q, c, k=3)
+        ivf_set = {(r.qid, r.cid) for r in ivf.collect()}
+        brute_set = {(r.qid, r.cid) for r in brute.collect()}
+        recall = len(ivf_set & brute_set) / len(brute_set)
+        # true neighbors share the query's cluster, so single-probe IVF
+        # over trained cells must recover nearly all of them
+        assert recall >= 0.9, f"trained-IVF recall {recall:.2f}"
+
 
 class TestText:
     def test_language_id(self, spark):
