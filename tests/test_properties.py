@@ -1,0 +1,170 @@
+"""Property-based equivalence tests (hypothesis) — an addition over the
+reference's test strategy (SURVEY §5: the reference has none).
+
+Each property checks a custom operator against an independent
+implementation on randomized inputs: asof_join vs pandas.merge_asof,
+sessionize vs a naive driver-side sweep, duplicate_clusters vs BFS.
+Example counts are kept small: every example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_BASE = dt.datetime(2024, 1, 1)
+
+
+def _events_strategy():
+    # (key, minutes-offset) pairs; duplicates and ties included on purpose
+    return st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1,
+        max_size=40,
+    )
+
+
+class TestAsofJoinProperty:
+    @given(
+        left=_events_strategy(),
+        right=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 10**6)),
+            min_size=0,
+            max_size=40,
+        ),
+    )
+    @settings(**SETTINGS)
+    def test_matches_pandas_merge_asof(self, spark, left, right):
+        from datajudge_spark.operators.asof import asof_join
+
+        # pandas merge_asof requires unique right (key, time); dedup to
+        # max payload like the headline query does
+        rdf = (
+            pd.DataFrame(right, columns=["k", "m", "payload"])
+            .groupby(["k", "m"], as_index=False)["payload"].max()
+        )
+        ldf = pd.DataFrame(left, columns=["k", "m"])
+        ldf["lid"] = range(len(ldf))
+        ldf["t"] = ldf["m"].map(lambda m: _BASE + dt.timedelta(minutes=int(m)))
+        rdf["t"] = rdf["m"].map(lambda m: _BASE + dt.timedelta(minutes=int(m)))
+
+        sl = spark.createDataFrame(ldf[["lid", "k", "t"]])
+        sr = (
+            spark.createDataFrame(rdf[["k", "t", "payload"]])
+            if len(rdf)
+            else spark.createDataFrame([], "k long, t timestamp, payload long")
+        )
+        got = {
+            r.lid: r.payload
+            for r in asof_join(
+                sl, sr, on="k", left_time="t", right_time="t",
+                payload_cols=["payload"],
+            ).collect()
+        }
+
+        if len(rdf) == 0:
+            expected = {int(lid): None for lid in ldf["lid"]}
+        else:
+            expected_df = pd.merge_asof(
+                ldf.sort_values(["t", "lid"]),
+                rdf.sort_values("t"),
+                on="t",
+                by="k",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            expected = {
+                int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+                for r in expected_df.itertuples()
+            }
+        assert got == expected
+
+
+class TestSessionizeProperty:
+    @given(events=_events_strategy())
+    @settings(**SETTINGS)
+    def test_matches_naive_sweep(self, spark, events):
+        from datajudge_spark.operators.sessions import sessionize
+
+        rows = [
+            Row(k=k, t=_BASE + dt.timedelta(minutes=m)) for k, m in events
+        ]
+        out = sessionize(spark.createDataFrame(rows), "k", "t", "30 minutes")
+        got = sorted((r.k, r.t, r.session_id) for r in out.collect())
+
+        # naive: sort per key, new session when gap > 30 min; ties on the
+        # timestamp share the lag semantics (gap 0 -> same session)
+        expected = []
+        by_key: dict[int, list[dt.datetime]] = {}
+        for k, m in events:
+            by_key.setdefault(k, []).append(_BASE + dt.timedelta(minutes=m))
+        for k, ts in by_key.items():
+            sid = 0
+            prev = None
+            for t in sorted(ts):
+                if prev is None or (t - prev) > dt.timedelta(minutes=30):
+                    sid += 1
+                expected.append((k, t, sid))
+                prev = t
+        assert got == sorted(expected)
+
+
+class TestClustersProperty:
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=1,
+            max_size=40,
+        ).filter(lambda es: any(a != b for a, b in es)),
+        threshold=st.sampled_from([0, 10**6]),
+    )
+    @settings(**SETTINGS)
+    def test_matches_bfs(self, spark, edges, threshold):
+        from datajudge_spark.pipeline import dedup
+
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(
+            [Row(d1=a, d2=b) for a, b in edges]
+        )
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup.duplicate_clusters(
+                pairs, local_threshold=threshold
+            ).collect()
+        }
+
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expected = {}
+        for start in adj:
+            if start in expected:
+                continue
+            comp, frontier = {start}, [start]
+            while frontier:
+                n = frontier.pop()
+                for nb in adj[n]:
+                    if nb not in comp:
+                        comp.add(nb)
+                        frontier.append(nb)
+            root = min(comp)
+            for n in comp:
+                expected[n] = root
+        assert got == expected
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
