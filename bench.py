@@ -5,7 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Per-query timing is min-of-N wall clock after a warm-up action that
-amortizes session startup and file listing.
+amortizes session startup and file listing. The N samples of a query
+come from N separate passes over the WHOLE suite (not back-to-back
+repeats): the box shows transient multi-second stalls, and interleaving
+keeps one stall from polluting every sample of a single query.
 """
 
 from __future__ import annotations
@@ -39,17 +42,17 @@ def main() -> None:
                  "documents", "embeddings", "events"):
         entrymod._t(spark, sf_dir, name).count()
 
-    timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        best = float("inf")
-        for _ in range(runs):
+    qs = entrymod.queries()
+    timings: dict[str, float] = {name: float("inf") for name in qs}
+    for _ in range(runs):
+        for name, fn in qs.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             rows = df.collect()
             elapsed = time.perf_counter() - start
-            best = min(best, elapsed)
+            timings[name] = min(timings[name], elapsed)
             del rows
-        timings[name] = round(best, 4)
+    timings = {name: round(t, 4) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 4)
     print(
