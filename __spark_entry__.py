@@ -605,6 +605,42 @@ def q_text_rolling_hash(spark, sf_dir):
     return d.select("doc_id", T.rolling_hash("text").alias("rhash"))
 
 
+def q_decontaminate_ngram(spark, sf_dir):
+    # benchmark decontamination: distinct 3-gram hash set of the train
+    # split (doc_id % 10 != 0) joined against each eval doc's 3-grams;
+    # only 60-bit hashes shuffle, never text
+    from datajudge_spark.pipeline import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    return decontam.ngram_contamination(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        shingle_n=_SHINGLE_N,
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    # deterministic hash-split audit: per-language totals and kept-counts
+    # for a stratified sample (en down-sampled) in ONE conditional-agg
+    # pass; membership = md5(doc_id) bucket, stable across partitionings
+    from datajudge_spark.pipeline import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample_counts(
+        d, "lang", "doc_id", rates={"en": 10}, default_rate=50
+    )
+
+
+def q_ngram_topk(spark, sf_dir):
+    # corpus-frequency top-20 bigrams: partial-agg explode counts +
+    # TakeOrderedAndProject (no global sort)
+    from datajudge_spark.pipeline import text as T
+
+    return T.ngram_topk(_t(spark, sf_dir, "documents"), "text", n=2, k=20)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing + as-of join
 # --------------------------------------------------------------------------
@@ -817,6 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_bpe_token_count": q_text_bpe_token_count,
         "text_rolling_hash": q_text_rolling_hash,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "sample_stratified": q_sample_stratified,
+        "ngram_topk": q_ngram_topk,
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -1270,6 +1309,38 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(string_split(text, ''), "
             "c -> CAST(ascii(c) AS BIGINT))), "
             "(a, b) -> (a * 131 + b) % 2147483647) AS rhash FROM documents"
+        ),
+        "decontaminate_ngram": (
+            f"WITH {_SHINGLES_CTE}, "
+            f"shh AS (SELECT doc_id, {_h_sql('s')} AS h FROM sh), "
+            "tr AS (SELECT DISTINCT h FROM shh WHERE doc_id % 10 <> 0), "
+            "ev AS (SELECT doc_id, h FROM shh WHERE doc_id % 10 = 0), "
+            "tot AS (SELECT doc_id, count(*) AS total FROM ev GROUP BY doc_id), "
+            "shr AS (SELECT ev.doc_id, count(*) AS shared "
+            "FROM ev JOIN tr USING (h) GROUP BY ev.doc_id) "
+            "SELECT t.doc_id AS eval_id, t.total, "
+            "coalesce(s.shared, 0) AS shared, "
+            "round(coalesce(s.shared, 0) * 1.0 / t.total, 6) AS contamination "
+            "FROM tot t LEFT JOIN shr s ON t.doc_id = s.doc_id"
+        ),
+        "sample_stratified": (
+            "SELECT lang AS stratum, count(*) AS total, "
+            f"sum(CASE WHEN {_h_sql('CAST(doc_id AS VARCHAR)')} % 100 < "
+            "(CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
+            "THEN 1 ELSE 0 END) AS sampled, "
+            f"round(sum(CASE WHEN {_h_sql('CAST(doc_id AS VARCHAR)')} % 100 < "
+            "(CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
+            "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS observed_rate "
+            "FROM documents GROUP BY lang"
+        ),
+        "ngram_topk": (
+            "WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS tk "
+            "FROM documents), "
+            "g AS (SELECT unnest(list_transform("
+            "generate_series(1, greatest(len(tk) - 1, 0)), "
+            "i -> array_to_string(tk[i:i+1], ' '))) AS ngram FROM toks) "
+            "SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram "
+            "ORDER BY cnt DESC, ngram ASC LIMIT 20"
         ),
         "multimodal_meta": (
             "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "

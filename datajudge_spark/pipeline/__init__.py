@@ -13,6 +13,10 @@ provide them as composable DataFrame transformations:
   cell-probed approximate nearest neighbours over embedding columns.
 - :mod:`.multimodal` — binary media columns with typed metadata and
   Arrow-batched decode plumbing (``mapInPandas``).
+- :mod:`.decontam` — eval-vs-train n-gram overlap (benchmark
+  decontamination).
+- :mod:`.sampling` — deterministic hash-based (stratified) sampling for
+  reproducible corpus splits.
 
 Everything is built from JVM-side ``pyspark.sql.functions`` (whole-stage
 codegen) except the multimodal decoders, which are Arrow-batched pandas
@@ -20,6 +24,13 @@ iterators by necessity. All hash primitives are md5-based and therefore
 bit-identical across engines — the DuckDB oracle recomputes them in SQL.
 """
 
-from datajudge_spark.pipeline import dedup, multimodal, similarity, text
+from datajudge_spark.pipeline import (
+    decontam,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["decontam", "dedup", "multimodal", "sampling", "similarity", "text"]

@@ -1,0 +1,88 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation set.
+
+No reference analog (Quantco/datajudge stops at relational validation);
+this is the standard pre-training hygiene step: an eval document whose
+word n-grams substantially appear in the training corpus is
+"contaminated" and must be excluded from evaluation (or the training
+docs dropped).
+
+Scale design (100 TB training side, small-ish eval side):
+
+- The training corpus is reduced to its **distinct n-gram hash set**
+  first: ``array_distinct`` per row before the explode (the shuffle
+  carries no within-document duplicates), then a map-side partial
+  distinct on the 60-bit hash. The set is orders of magnitude smaller
+  than the corpus and is the only thing that flows into the join.
+- The overlap join is a plain shuffled hash join on an int64 hash
+  column — no strings cross the wire. With a small eval set the
+  optimizer (or AQE) broadcast-joins the eval side instead; either
+  plan is one shuffle of hashes, never of text.
+- Hashing is :func:`datajudge_spark.pipeline.text.md5_long` — portable,
+  so the DuckDB oracle reproduces identical counts (collisions included)
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datajudge_spark.pipeline._util import materialize_once
+from datajudge_spark.pipeline.dedup import _distinct_shingles
+from datajudge_spark.pipeline.text import md5_long
+
+
+def train_ngram_set(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Distinct word-``shingle_n``-gram hash set of a corpus.
+
+    One column ``h`` (int64). Partial (map-side) distinct on the hash,
+    then a final distinct after the shuffle — the classic two-level
+    dedup; the shuffle payload is 8 bytes per surviving n-gram.
+    """
+    return (
+        _distinct_shingles(df, id_col, text_col, shingle_n)
+        .select(md5_long("s").alias("h"))
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-eval-document contamination against a training corpus.
+
+    Returns ``(eval_id, total, shared, contamination)`` where ``total``
+    is the number of distinct n-grams of the eval document, ``shared``
+    how many of them occur anywhere in ``train``, and ``contamination``
+    their ratio rounded to 6 places. Documents shorter than ``shingle_n``
+    tokens have no n-grams and are absent from the output (consistent
+    with the oracle construction).
+    """
+    tr = train_ngram_set(train, id_col, text_col, shingle_n)
+    ev = materialize_once(
+        _distinct_shingles(eval_, id_col, text_col, shingle_n).select(
+            F.col("_id"), md5_long("s").alias("h")
+        )
+    )
+    totals = ev.groupBy("_id").agg(F.count("*").alias("total"))
+    shared = (
+        ev.join(tr, "h", "inner").groupBy("_id").agg(F.count("*").alias("shared"))
+    )
+    return (
+        totals.join(shared, "_id", "left")
+        .select(
+            F.col("_id").alias("eval_id"),
+            F.col("total"),
+            F.coalesce(F.col("shared"), F.lit(0)).alias("shared"),
+            F.round(
+                F.coalesce(F.col("shared"), F.lit(0)) / F.col("total"), 6
+            ).alias("contamination"),
+        )
+    )

@@ -22,6 +22,7 @@ __all__ = [
     "md5_long",
     "tokens",
     "word_shingles",
+    "ngram_topk",
     "rolling_hash",
     "bpe_token_count",
     "language_scores",
@@ -90,6 +91,29 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def ngram_topk(df, text_col: str, n: int = 2, k: int = 20):
+    """Global top-``k`` word ``n``-grams by corpus frequency.
+
+    Frequencies keep within-document multiplicity (unlike the dedup
+    shingle sets). The plan is the one you want at 100 TB: explode ->
+    hash aggregate with map-side partial counts (the shuffle carries one
+    row per distinct n-gram per task, not per occurrence) ->
+    ``TakeOrderedAndProject`` (per-partition top-k heaps merged on the
+    driver — no global sort). The (count DESC, ngram ASC) order is a
+    total order, so the k-boundary is deterministic across engines.
+    """
+    from datajudge_spark.pipeline._util import spread
+
+    return (
+        spread(df)
+        .select(F.explode(word_shingles(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
 
 
 def rolling_hash(c: Column | str) -> Column:

@@ -350,3 +350,107 @@ class TestDuplicateClusters:
                    pairs, local_threshold=threshold).collect()}
         assert set(out.values()) == {0}
         assert len(out) == n + 1
+
+
+class TestSampling:
+    def test_partitioning_invariance(self, spark):
+        from datajudge_spark.pipeline import sampling
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        base = {r.k for r in
+                sampling.deterministic_sample(df, "k", 10).collect()}
+        resharded = {r.k for r in
+                     sampling.deterministic_sample(
+                         df.repartition(7), "k", 10).collect()}
+        assert base == resharded
+        assert 0 < len(base) < 2000
+
+    def test_salts_are_independent(self, spark):
+        from datajudge_spark.pipeline import sampling
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        a = {r.k for r in
+             sampling.deterministic_sample(df, "k", 50, salt=1).collect()}
+        b = {r.k for r in
+             sampling.deterministic_sample(df, "k", 50, salt=2).collect()}
+        assert a != b
+        # ~50% each, overlap ~25% of the universe — loose bounds
+        assert 800 < len(a) < 1200 and 800 < len(b) < 1200
+        assert 300 < len(a & b) < 700
+
+    def test_rate_monotonicity(self, spark):
+        from datajudge_spark.pipeline import sampling
+
+        df = spark.range(0, 1000).withColumnRenamed("id", "k")
+        small = {r.k for r in
+                 sampling.deterministic_sample(df, "k", 10).collect()}
+        big = {r.k for r in
+               sampling.deterministic_sample(df, "k", 60).collect()}
+        assert small <= big  # nested samples: rate-10 subset of rate-60
+
+    def test_stratified_counts(self, spark):
+        from datajudge_spark.pipeline import sampling
+
+        rows = [Row(lang="en", doc_id=i) for i in range(500)]
+        rows += [Row(lang="de", doc_id=i + 500) for i in range(500)]
+        df = spark.createDataFrame(rows)
+        out = {r.stratum: r for r in sampling.stratified_sample_counts(
+            df, "lang", "doc_id", rates={"en": 10}, default_rate=50
+        ).collect()}
+        assert out["en"].total == 500 and out["de"].total == 500
+        # deterministic hash buckets -> loose binomial bounds
+        assert 20 <= out["en"].sampled <= 90
+        assert 180 <= out["de"].sampled <= 320
+        assert out["en"].observed_rate == round(out["en"].sampled / 500, 6)
+
+
+class TestDecontamination:
+    def test_planted_contamination(self, spark):
+        from datajudge_spark.pipeline import decontam
+
+        train = spark.createDataFrame([
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="pack my box with five dozen liquor jugs"),
+        ])
+        ev = spark.createDataFrame([
+            # identical to train doc 1 -> fully contaminated
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+            # novel text -> zero overlap
+            Row(doc_id=11, text="completely novel words appearing nowhere else at all"),
+            # 4 tokens = two 3-grams, one shared with train doc 2
+            Row(doc_id=12, text="pack my box today"),
+            # shorter than the shingle width -> absent from the output
+            Row(doc_id=13, text="too short"),
+        ])
+        out = {r.eval_id: r for r in decontam.ngram_contamination(
+            train, ev, "doc_id", "text", shingle_n=3).collect()}
+        assert out[10].contamination == 1.0 and out[10].shared == out[10].total
+        assert out[11].contamination == 0.0 and out[11].shared == 0
+        assert out[12].total == 2 and out[12].shared == 1
+        assert 13 not in out
+
+    def test_train_multiplicity_is_ignored(self, spark):
+        from datajudge_spark.pipeline import decontam
+
+        # the same train n-gram appearing in many train docs counts once
+        train = spark.createDataFrame(
+            [Row(doc_id=i, text="alpha beta gamma") for i in range(5)]
+        )
+        ev = spark.createDataFrame([Row(doc_id=99, text="alpha beta gamma")])
+        row = decontam.ngram_contamination(
+            train, ev, "doc_id", "text", shingle_n=3).collect()[0]
+        assert (row.total, row.shared, row.contamination) == (1, 1, 1.0)
+
+
+class TestNgramTopK:
+    def test_boundary_is_deterministic(self, spark):
+        from datajudge_spark.pipeline import text as T
+
+        df = spark.createDataFrame([
+            Row(text="a b a b a b"),   # "a b" x3, "b a" x2
+            Row(text="c d"),           # "c d" x1
+            Row(text="b c"),           # "b c" x1
+        ])
+        out = [(r.ngram, r.cnt) for r in T.ngram_topk(df, "text", n=2, k=3).collect()]
+        # ties at cnt=1 break by ngram ASC: "b c" beats "c d"
+        assert out == [("a b", 3), ("b a", 2), ("b c", 1)]
