@@ -633,6 +633,23 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    # context-window chunking: map-only explode, runs at scan speed
+    from datajudge_spark.pipeline import text as T
+
+    return T.chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=16
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    # Gopher-style repetition filters: dup-token fraction (map-only) +
+    # top-bigram fraction via two-level partial agg
+    from datajudge_spark.pipeline import text as T
+
+    return T.repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_ngram_topk(spark, sf_dir):
     # corpus-frequency top-20 bigrams: partial-agg explode counts +
     # TakeOrderedAndProject (no global sort)
@@ -856,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": q_decontaminate_ngram,
         "sample_stratified": q_sample_stratified,
         "ngram_topk": q_ngram_topk,
+        "chunk_documents": q_chunk_documents,
+        "text_repetition": q_text_repetition,
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -1332,6 +1351,33 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
             "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS observed_rate "
             "FROM documents GROUP BY lang"
+        ),
+        "chunk_documents": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS tk FROM documents), "
+            "ch AS (SELECT doc_id, tk, unnest(generate_series(0, "
+            "CAST(ceil(len(tk) / 16.0) AS BIGINT) - 1)) AS chunk_idx FROM toks) "
+            "SELECT doc_id, chunk_idx, "
+            "CAST(len(tk[chunk_idx * 16 + 1 : chunk_idx * 16 + 16]) AS BIGINT) "
+            "AS n_tokens, "
+            "array_to_string(tk[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ') "
+            "AS chunk_text FROM ch"
+        ),
+        "text_repetition": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS tk FROM documents), "
+            "stats AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+            "round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) "
+            "AS dup_token_fraction FROM toks), "
+            "bg AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(tk) - 1, 0)), "
+            "i -> array_to_string(tk[i:i+1], ' '))) AS b FROM toks), "
+            "cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot "
+            "FROM cnt GROUP BY doc_id) "
+            "SELECT s.doc_id, s.n_tokens, s.dup_token_fraction, "
+            "round(coalesce(mx * 1.0 / tot, 0), 6) AS top_bigram_fraction "
+            "FROM stats s LEFT JOIN top USING (doc_id)"
         ),
         "ngram_topk": (
             "WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS tk "

@@ -454,3 +454,62 @@ class TestNgramTopK:
         out = [(r.ngram, r.cnt) for r in T.ngram_topk(df, "text", n=2, k=3).collect()]
         # ties at cnt=1 break by ngram ASC: "b c" beats "c d"
         assert out == [("a b", 3), ("b a", 2), ("b c", 1)]
+
+
+class TestChunking:
+    def test_chunk_shapes(self, spark):
+        from datajudge_spark.pipeline import text as T
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),  # 10 toks
+            Row(doc_id=2, text="only three tokens"),
+            Row(doc_id=3, text=""),   # tokens('') -> [''] -> one chunk
+        ])
+        out = sorted(
+            T.chunk_documents(df, "doc_id", "text", chunk_tokens=4).collect(),
+            key=lambda r: (r.doc_id, r.chunk_idx),
+        )
+        d1 = [r for r in out if r.doc_id == 1]
+        assert [r.n_tokens for r in d1] == [4, 4, 2]
+        assert d1[0].chunk_text == "w0 w1 w2 w3"
+        assert d1[2].chunk_text == "w8 w9"
+        d2 = [r for r in out if r.doc_id == 2]
+        assert len(d2) == 1 and d2[0].n_tokens == 3
+        d3 = [r for r in out if r.doc_id == 3]
+        assert len(d3) == 1 and d3[0].chunk_text == ""
+
+    def test_reassembly_roundtrip(self, spark):
+        from datajudge_spark.pipeline import text as T
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        chunks = T.chunk_documents(docs, "doc_id", "text", chunk_tokens=7)
+        glued = (
+            chunks.orderBy("doc_id", "chunk_idx")
+            .groupBy("doc_id")
+            .agg(F.array_join(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text")))
+                .getField("chunk_text"), " ").alias("re"))
+        )
+        orig = docs.select(
+            "doc_id", F.array_join(F.split(F.trim("text"), r"\s+"), " ").alias("t")
+        )
+        bad = glued.join(orig, "doc_id").where(F.col("re") != F.col("t")).count()
+        assert bad == 0
+
+
+class TestRepetition:
+    def test_signals(self, spark):
+        from datajudge_spark.pipeline import text as T
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="spam spam spam spam"),        # all same token
+            Row(doc_id=2, text="all words here are unique"),  # no repetition
+            Row(doc_id=3, text="one"),                        # no bigrams
+        ])
+        out = {r.doc_id: r for r in
+               T.repetition_signals(df, "doc_id", "text").collect()}
+        assert out[1].dup_token_fraction == 0.75       # 1 distinct of 4
+        assert out[1].top_bigram_fraction == 1.0       # "spam spam" x3 of 3
+        assert out[2].dup_token_fraction == 0.0
+        assert out[2].top_bigram_fraction == 0.25      # 4 bigrams, all unique
+        assert out[3].top_bigram_fraction == 0.0       # absent bigrams -> 0
