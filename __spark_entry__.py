@@ -633,6 +633,17 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_stratum_percentile_trim(spark, sf_dir):
+    # per-language p10 length trim: exact group-wise percentile over the
+    # per-stratum VALUE HISTOGRAM (window bounded by distinct lengths,
+    # not stratum row count), thresholds broadcast back for the audit
+    from datajudge_spark.pipeline import sampling
+
+    return sampling.stratified_trim_counts(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", percentage=10.0
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     # context-window chunking: map-only explode, runs at scan speed
     from datajudge_spark.pipeline import text as T
@@ -875,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "chunk_documents": q_chunk_documents,
         "text_repetition": q_text_repetition,
+        "stratum_percentile_trim": q_stratum_percentile_trim,
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -1351,6 +1363,21 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
             "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS observed_rate "
             "FROM documents GROUP BY lang"
+        ),
+        "stratum_percentile_trim": (
+            "WITH hist AS (SELECT lang, n_chars AS v, count(*) AS c "
+            "FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2), "
+            "cum AS (SELECT lang, v, "
+            "sum(c) OVER (PARTITION BY lang ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "sum(c) OVER (PARTITION BY lang) AS total FROM hist), "
+            "thr AS (SELECT lang, min(v) AS threshold FROM cum "
+            "WHERE cum >= 0.1 * total GROUP BY lang) "
+            "SELECT d.lang AS stratum, t.threshold, count(*) AS total, "
+            "sum(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) AS kept, "
+            "count(*) - sum(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) "
+            "AS trimmed "
+            "FROM documents d JOIN thr t ON d.lang = t.lang GROUP BY 1, 2"
         ),
         "chunk_documents": (
             "WITH toks AS (SELECT doc_id, "

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datajudge_spark.pipeline.text import md5_long
@@ -80,5 +80,80 @@ def stratified_sample_counts(
             "total",
             "sampled",
             F.round(F.col("sampled") / F.col("total"), 6).alias("observed_rate"),
+        )
+    )
+
+
+def stratified_percentile_threshold(
+    df: DataFrame, strata_col: str, value_col: str, percentage: float
+) -> DataFrame:
+    """Exact per-stratum percentile threshold, computed scale-out.
+
+    Returns ``(stratum, threshold)`` where ``threshold`` is the smallest
+    value v such that at least ``percentage`` % of the stratum's non-null
+    values are <= v (the reference's percentile definition,
+    db_access.py:812-857, applied per group).
+
+    A per-group sort of raw rows would put an entire stratum in one
+    window partition — the dominant stratum of a skewed corpus becomes a
+    single-task sort. Instead the window runs over the per-stratum
+    VALUE HISTOGRAM: ``groupBy(stratum, value)`` with map-side partial
+    counts first, so window partition sizes are bounded by the distinct
+    values per stratum (e.g. document lengths), not its row count. For
+    near-unique value domains use the range-bucketed two-pass
+    ``operators.scalars.exact_percentile_df`` per stratum instead.
+    """
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(strata_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(strata_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(strata_col)
+    cum = hist.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(value_col).alias("_v"),
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_total"),
+    )
+    return (
+        cum.where(F.col("_cum") >= F.lit(percentage / 100.0) * F.col("_total"))
+        .groupBy("stratum")
+        .agg(F.min("_v").alias("threshold"))
+    )
+
+
+def stratified_trim_counts(
+    df: DataFrame, strata_col: str, value_col: str, percentage: float
+) -> DataFrame:
+    """Audit a per-stratum lower-percentile trim in one extra pass.
+
+    Per stratum: the exact ``percentage``-percentile threshold of
+    ``value_col``, total rows, rows kept by ``value >= threshold``, and
+    rows trimmed. The threshold table is tiny (one row per stratum) and
+    is broadcast back onto the corpus — the audit pass is scan +
+    broadcast join + one aggregation shuffle.
+    """
+    thr = stratified_percentile_threshold(df, strata_col, value_col, percentage)
+    kept = (F.col(value_col) >= F.col("threshold")).cast("long")
+    return (
+        df.join(
+            F.broadcast(thr), df[strata_col] == thr["stratum"], "inner"
+        )
+        .groupBy("stratum", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(kept).alias("kept"),
+        )
+        .select(
+            "stratum",
+            "threshold",
+            "total",
+            "kept",
+            (F.col("total") - F.col("kept")).alias("trimmed"),
         )
     )

@@ -513,3 +513,38 @@ class TestRepetition:
         assert out[2].dup_token_fraction == 0.0
         assert out[2].top_bigram_fraction == 0.25      # 4 bigrams, all unique
         assert out[3].top_bigram_fraction == 0.0       # absent bigrams -> 0
+
+
+class TestStratifiedTrim:
+    def test_matches_per_group_exact_percentile(self, spark):
+        from datajudge_spark.operators.scalars import exact_percentile_df
+        from datajudge_spark.pipeline import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        thr = {r.stratum: r.threshold for r in
+               sampling.stratified_percentile_threshold(
+                   docs, "lang", "n_chars", 10.0).collect()}
+        for lang in thr:
+            single = exact_percentile_df(
+                docs.where(F.col("lang") == lang), "n_chars", 10.0
+            ).first()["value"]
+            assert float(thr[lang]) == float(single), lang
+
+    def test_trim_counts_are_consistent(self, spark):
+        from datajudge_spark.pipeline import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for r in sampling.stratified_trim_counts(
+                docs, "lang", "n_chars", 10.0).collect():
+            assert r.kept + r.trimmed == r.total
+            # at most ~10% below the p10 threshold, and never everything
+            assert r.trimmed <= 0.1 * r.total + 1
+            assert r.kept > 0
+
+    def test_threshold_join_is_broadcast(self, spark):
+        from datajudge_spark.pipeline import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (sampling.stratified_trim_counts(docs, "lang", "n_chars", 10.0)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
