@@ -633,6 +633,14 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    # per-doc top-3 terms by tf*ln(N/df); ranked on the ROUNDED score so
+    # cross-engine libm ulp differences cannot flip the order
+    from datajudge_spark.pipeline import text as T
+
+    return T.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
 def q_stratum_percentile_trim(spark, sf_dir):
     # per-language p10 length trim: exact group-wise percentile over the
     # per-stratum VALUE HISTOGRAM (window bounded by distinct lengths,
@@ -887,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "text_repetition": q_text_repetition,
         "stratum_percentile_trim": q_stratum_percentile_trim,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -1363,6 +1372,21 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
             "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS observed_rate "
             "FROM documents GROUP BY lang"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS tk FROM documents), "
+            "tf AS (SELECT doc_id, u AS term, count(*) AS tf "
+            "FROM toks, UNNEST(tk) AS t(u) GROUP BY 1, 2), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term), "
+            "scored AS (SELECT doc_id, term, "
+            "round(tf * ln(nn.n * 1.0 / dfc), 6) AS score "
+            "FROM tf JOIN dfq USING (term), nn), "
+            "ranked AS (SELECT doc_id, term, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn "
+            "FROM scored) "
+            "SELECT doc_id, term, score, rn FROM ranked WHERE rn <= 3"
         ),
         "stratum_percentile_trim": (
             "WITH hist AS (SELECT lang, n_chars AS v, count(*) AS c "

@@ -25,6 +25,7 @@ __all__ = [
     "ngram_topk",
     "chunk_documents",
     "repetition_signals",
+    "tfidf_top_terms",
     "rolling_hash",
     "bpe_token_count",
     "language_scores",
@@ -207,6 +208,53 @@ def repetition_signals(df, id_col: str, text_col: str):
         F.round(
             F.coalesce(F.col("_mx") / F.col("_tot"), F.lit(0.0)), 6
         ).alias("top_bigram_fraction"),
+    )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-``k`` terms of each document by tf·idf.
+
+    ``score = tf(doc, term) * ln(N / df(term))``, ranked per document by
+    (rounded score DESC, term ASC). Plan shape at corpus scale:
+
+    - term frequencies and document frequencies are two partial-agg
+      passes over the exploded tokens (shuffles keyed by (doc, term) and
+      term — no skewed global state);
+    - the corpus size N is a 1-row aggregate cross-joined (broadcast)
+      into the scoring expression, keeping the query fully lazy;
+    - the ranking window partitions by document, bounded by the distinct
+      terms of one document, never by corpus size.
+
+    Ranking uses the score ROUNDED to 6 places: ``ln`` is a libm call
+    whose last ulp may differ across engines, and ranking on the rounded
+    value keeps the order (and the DuckDB oracle) deterministic.
+    """
+    from pyspark.sql import Window
+
+    from datajudge_spark.pipeline._util import spread
+
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("_df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(F.col("_id").alias(id_col), "term", "score", "rn")
     )
 
 

@@ -548,3 +548,26 @@ class TestStratifiedTrim:
         plan = (sampling.stratified_trim_counts(docs, "lang", "n_chars", 10.0)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
+
+
+class TestTfIdf:
+    def test_discriminative_terms_win(self, spark):
+        import math
+
+        from datajudge_spark.pipeline import text as T
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="common zebra common common"),
+            Row(doc_id=2, text="common common yak"),
+            Row(doc_id=3, text="common common common"),
+        ])
+        out = {(r.doc_id, r.rn): r for r in
+               T.tfidf_top_terms(df, "doc_id", "text", k=2).collect()}
+        # "common" appears in all docs -> idf = ln(1) = 0; unique terms win
+        assert out[(1, 1)].term == "zebra"
+        assert out[(1, 1)].score == round(1 * math.log(3 / 1), 6)
+        assert out[(2, 1)].term == "yak"
+        # doc 3 has only zero-idf terms; "common" still ranked (score 0)
+        assert out[(3, 1)].term == "common" and out[(3, 1)].score == 0.0
+        # k=2 but doc 3 has one distinct term -> no rn=2 row
+        assert (3, 2) not in out
