@@ -172,42 +172,47 @@ def repetition_signals(df, id_col: str, text_col: str):
     bigram / total bigrams) — the classic filters for boilerplate and
     degenerate repetition in pre-training corpora.
 
-    The token stats are per-row array expressions (map-only). The
-    top-bigram mode needs a two-level aggregation keyed on
-    ``(doc, bigram)`` then ``doc`` — both with map-side partial
-    aggregation, so the shuffle carries one row per distinct bigram per
-    document, bounded by document length, skew-free at any corpus size.
-    Documents with fewer than two tokens have no bigrams:
-    ``top_bigram_fraction`` is 0.
+    Entirely map-side: every signal is a per-row array expression. The
+    bigram mode (most-frequent-bigram count) is the longest equal run of
+    the SORTED bigram array, computed with one ``aggregate`` fold —
+    O(len log len) per document inside codegen, zero shuffles, scales
+    with executors at any corpus size. (An explode + two-level count
+    aggregation gives the same numbers but shuffles every bigram
+    occurrence; at 100 TB that is the difference between a scan job and
+    a multi-TB exchange.) Documents with fewer than two tokens have no
+    bigrams: ``top_bigram_fraction`` is 0.
     """
     from datajudge_spark.pipeline._util import spread
 
-    base = spread(df).select(
-        F.col(id_col).alias("_id"),
-        tokens(text_col).alias("_tk"),
-        word_shingles(text_col, 2).alias("_bg"),
+    toks = tokens(text_col)
+    bg_sorted = F.array_sort(word_shingles(text_col, 2))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
     )
-    tok_stats = base.select(
-        F.col("_id"),
-        F.size("_tk").cast("bigint").alias("n_tokens"),
+
+    def step(acc, x):
+        new_run = (
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_count = F.aggregate(bg_sorted, init, step)["best"]
+    return spread(df).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
         F.round(
-            F.lit(1.0) - F.size(F.array_distinct("_tk")) / F.size("_tk"), 6
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 6
         ).alias("dup_token_fraction"),
-    )
-    top = (
-        base.select("_id", F.explode("_bg").alias("_b"))
-        .groupBy("_id", "_b")
-        .agg(F.count("*").alias("_c"))
-        .groupBy("_id")
-        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_tot"))
-    )
-    return tok_stats.join(top, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        "n_tokens",
-        "dup_token_fraction",
-        F.round(
-            F.coalesce(F.col("_mx") / F.col("_tot"), F.lit(0.0)), 6
-        ).alias("top_bigram_fraction"),
+        F.when(F.size(bg_sorted) > 0, F.round(top_count / F.size(bg_sorted), 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_fraction"),
     )
 
 
