@@ -168,3 +168,39 @@ class TestClustersProperty:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestRepetitionFoldProperty:
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from("abcx"), min_size=0, max_size=30),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_fold_matches_counter(self, spark, docs):
+        """The sorted-run fold equals an independent Counter-based
+        most-frequent-bigram computation on random token streams."""
+        from collections import Counter
+
+        from datajudge_spark.pipeline.text import repetition_signals
+
+        rows = [Row(doc_id=i, text=" ".join(toks))
+                for i, toks in enumerate(docs)]
+        out = {r.doc_id: r for r in
+               repetition_signals(
+                   spark.createDataFrame(rows), "doc_id", "text").collect()}
+        for i, toks in enumerate(docs):
+            # tokens('') -> [''] — mirror the engine's tokenizer
+            eff = toks if toks else [""]
+            bigrams = [" ".join(eff[j:j + 2]) for j in range(len(eff) - 1)]
+            expected = (
+                round(Counter(bigrams).most_common(1)[0][1] / len(bigrams), 6)
+                if bigrams else 0.0
+            )
+            assert out[i].top_bigram_fraction == expected, (i, toks)
+            assert out[i].n_tokens == len(eff)
+            assert out[i].dup_token_fraction == round(
+                1.0 - len(set(eff)) / len(eff), 6
+            )
