@@ -112,20 +112,28 @@ def ks_d_statistic_distributed(
     single-partition sort (SURVEY §4.4). This variant stays parallel at
     any cardinality:
 
-    1. union both samples with a side tag, aggregated to
+    1. side totals N1, N2 — one cheap map-side aggregate scan;
+    2. union both samples with a side tag, aggregated to
        (value, n1, n2) per distinct value — one shuffle, map-side agg;
-    2. ``repartitionByRange(value)`` — a parallel range-partitioned
+    3. ``repartitionByRange(value)`` — a parallel range-partitioned
        sort (sampling-based ranges, the same machinery as a global sort);
-    3. per-partition side totals -> driver-side running offsets (one
-       tiny collect of num_partitions rows);
-    4. per-partition cumulative sums seeded with the offsets (window
-       partitioned BY PARTITION — bounded, parallel), then a global max
-       of |F1 - F2|.
+    4. ONE pass over the ranged histogram: within-partition CDF diff
+       ``dw = cumw1/N1 − cumw2/N2`` (window partitioned BY PARTITION —
+       bounded, parallel), reduced to per-partition
+       ``(t1, t2, max dw, min dw)``;
+    5. driver fold over the (range-ordered) partitions: with running
+       offsets ``C_p = off1/N1 − off2/N2``, the supremum is
+       ``max_p max(|max_dw_p + C_p|, |min_dw_p + C_p|)`` — |F1 − F2| is
+       dw + C_p and C_p is constant within a partition, so the
+       partition extrema are exactly the candidates.
 
-    Exactly equal to the windowed construction: the supremum over step
-    points of the empirical CDF difference.
+    The ranged data is consumed by a SINGLE action, so the
+    nondeterministic ``spark_partition_id`` never needs to be pinned
+    with a persist, and nothing is cached or scanned twice.
+    Equal to the windowed construction (the supremum over step points of
+    the empirical CDF difference) up to double-rounding of the offset
+    addition.
     """
-    spark = df1.sparkSession
     tagged = df1.select(
         F.col(col1).alias("val"), F.lit(1).alias("n1"), F.lit(0).alias("n2")
     ).where(F.col("val").isNotNull()).unionAll(
@@ -133,52 +141,38 @@ def ks_d_statistic_distributed(
             F.col(col2).alias("val"), F.lit(0).alias("n1"), F.lit(1).alias("n2")
         ).where(F.col("val").isNotNull())
     )
+    tot = tagged.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2")).first()
+    total1 = int(tot["t1"] or 0)
+    total2 = int(tot["t2"] or 0)
+    if total1 == 0 or total2 == 0:
+        raise ValueError("Could not compute d statistic on empty sample.")
     hist = tagged.groupBy("val").agg(
         F.sum("n1").alias("n1"), F.sum("n2").alias("n2")
     )
     ranged = hist.repartitionByRange("val").withColumn(
         "pid", F.spark_partition_id()
     )
-    # cache: the per-partition totals pass and the cumsum pass must see
-    # the SAME partitioning decision
-    ranged = ranged.persist()
-    try:
-        part_totals = (
-            ranged.groupBy("pid")
-            .agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
-            .collect()
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dw = F.sum("n1").over(w) / F.lit(total1) - F.sum("n2").over(w) / F.lit(total2)
+    per_part = (
+        ranged.select("pid", "n1", "n2", dw.alias("dw"))
+        .groupBy("pid")
+        .agg(
+            F.sum("n1").alias("t1"),
+            F.sum("n2").alias("t2"),
+            F.max("dw").alias("mx"),
+            F.min("dw").alias("mn"),
         )
-        totals = {r.pid: (r.t1, r.t2) for r in part_totals}
-        total1 = sum(t[0] for t in totals.values())
-        total2 = sum(t[1] for t in totals.values())
-        if total1 == 0 or total2 == 0:
-            raise ValueError("Could not compute d statistic on empty sample.")
-        offsets, acc1, acc2 = {}, 0, 0
-        for pid in sorted(totals):
-            offsets[pid] = (acc1, acc2)
-            acc1 += totals[pid][0]
-            acc2 += totals[pid][1]
-        offset_df = spark.createDataFrame(
-            [(pid, o1, o2) for pid, (o1, o2) in offsets.items()],
-            "pid int, off1 long, off2 long",
-        )
-        w = (
-            Window.partitionBy("pid")
-            .orderBy("val")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        cdfs = (
-            ranged.join(F.broadcast(offset_df), "pid")
-            .select(
-                (
-                    (F.sum("n1").over(w) + F.col("off1")) / F.lit(total1)
-                    - (F.sum("n2").over(w) + F.col("off2")) / F.lit(total2)
-                ).alias("diff")
-            )
-        )
-        row = cdfs.agg(F.max(F.abs(F.col("diff"))).alias("d")).first()
-    finally:
-        ranged.unpersist()
-    if row is None or row["d"] is None:
-        raise ValueError("Could not compute d statistic.")
-    return float(row["d"])
+        .collect()
+    )
+    d, acc1, acc2 = 0.0, 0, 0
+    for r in sorted(per_part, key=lambda r: r.pid):
+        c = acc1 / total1 - acc2 / total2
+        d = max(d, abs(r.mx + c), abs(r.mn + c))
+        acc1 += r.t1
+        acc2 += r.t2
+    return float(d)
