@@ -633,6 +633,14 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_source_quality_report(spark, sf_dir):
+    # per-source corpus health: pooled fractions from INTEGER sums (one
+    # final division) — partition-order-independent, unlike avg(double)
+    from datajudge_spark.pipeline import text as T
+
+    return T.source_quality_report(_t(spark, sf_dir, "documents"), "source", "text")
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     # per-doc top-3 terms by tf*ln(N/df); ranked on the ROUNDED score so
     # cross-engine libm ulp differences cannot flip the order
@@ -896,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "stratum_percentile_trim": q_stratum_percentile_trim,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "source_quality_report": q_source_quality_report,
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -1372,6 +1381,27 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
             "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS observed_rate "
             "FROM documents GROUP BY lang"
+        ),
+        "source_quality_report": (
+            "WITH toks AS (SELECT doc_id, source, text, "
+            "string_split_regex(trim(text), '\\s+') AS tk FROM documents), "
+            "per AS (SELECT doc_id, source, length(text) AS n_chars, "
+            "len(tk) AS n_tok, len(list_distinct(tk)) AS n_dist, "
+            "greatest(len(tk) - 1, 0) AS n_bg FROM toks), "
+            "bg AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(tk) - 1, 0)), "
+            "i -> array_to_string(tk[i:i+1], ' '))) AS b FROM toks), "
+            "cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, max(c) AS mx FROM cnt GROUP BY doc_id) "
+            "SELECT p.source AS stratum, count(*) AS n_docs, "
+            "sum(p.n_tok) AS total_tokens, "
+            "round(1.0 - sum(p.n_dist) * 1.0 / sum(p.n_tok), 6) "
+            "AS pooled_dup_fraction, "
+            "CASE WHEN sum(p.n_bg) > 0 THEN "
+            "round(sum(coalesce(t.mx, 0)) * 1.0 / sum(p.n_bg), 6) "
+            "ELSE 0 END AS pooled_top_bigram_fraction, "
+            "round(sum(p.n_chars) * 1.0 / count(*), 6) AS avg_chars "
+            "FROM per p LEFT JOIN top t USING (doc_id) GROUP BY p.source"
         ),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id, "

@@ -25,6 +25,7 @@ __all__ = [
     "ngram_topk",
     "chunk_documents",
     "repetition_signals",
+    "source_quality_report",
     "tfidf_top_terms",
     "rolling_hash",
     "bpe_token_count",
@@ -213,6 +214,70 @@ def repetition_signals(df, id_col: str, text_col: str):
         F.when(F.size(bg_sorted) > 0, F.round(top_count / F.size(bg_sorted), 6))
         .otherwise(F.lit(0.0))
         .alias("top_bigram_fraction"),
+    )
+
+
+def source_quality_report(df, strata_col: str, text_col: str):
+    """Per-source (or any stratum) corpus-health aggregates.
+
+    One scan, one shuffle: every per-document signal is a per-row array
+    expression (including the most-frequent-bigram count, via the sorted
+    longest-run fold), and the per-stratum report aggregates INTEGER
+    numerators/denominators — pooled fractions are computed as one final
+    division, so the result is independent of partition order (a naive
+    ``avg`` over per-doc double fractions is summation-order-dependent
+    and not reproducible across engines or runs).
+
+    Columns: stratum, n_docs, total_tokens, ``pooled_dup_fraction``
+    (1 − Σdistinct/Σtokens), ``pooled_top_bigram_fraction``
+    (Σ top-bigram count / Σ bigrams), ``avg_chars``.
+    """
+    from datajudge_spark.pipeline._util import spread
+
+    toks = tokens(text_col)
+    bg_sorted = F.array_sort(word_shingles(text_col, 2))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        new_run = (
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_count = F.aggregate(bg_sorted, init, step)["best"]
+    return (
+        spread(df)
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).alias("total_tokens"),
+            F.sum(F.size(F.array_distinct(toks))).alias("_distinct"),
+            F.sum(F.size(bg_sorted)).alias("_bigrams"),
+            F.sum(top_count).alias("_top"),
+            F.sum(F.length(text_col)).alias("_chars"),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.lit(1.0) - F.col("_distinct") / F.col("total_tokens"), 6
+            ).alias("pooled_dup_fraction"),
+            F.when(
+                F.col("_bigrams") > 0,
+                F.round(F.col("_top") / F.col("_bigrams"), 6),
+            ).otherwise(F.lit(0.0)).alias("pooled_top_bigram_fraction"),
+            F.round(F.col("_chars") / F.col("n_docs"), 6).alias("avg_chars"),
+        )
     )
 
 

@@ -571,3 +571,24 @@ class TestTfIdf:
         assert out[(3, 1)].term == "common" and out[(3, 1)].score == 0.0
         # k=2 but doc 3 has one distinct term -> no rn=2 row
         assert (3, 2) not in out
+
+
+class TestSourceQualityReport:
+    def test_pooled_math(self, spark):
+        from datajudge_spark.pipeline import text as T
+
+        df = spark.createDataFrame([
+            Row(source="web", text="spam spam spam spam"),   # 4 tok, 1 dist, 3 bg (top 3)
+            Row(source="web", text="a b"),                   # 2 tok, 2 dist, 1 bg (top 1)
+            Row(source="book", text="one"),                  # 1 tok, no bigrams
+        ])
+        out = {r.stratum: r for r in
+               T.source_quality_report(df, "source", "text").collect()}
+        web = out["web"]
+        assert web.n_docs == 2 and web.total_tokens == 6
+        assert web.pooled_dup_fraction == round(1 - 3 / 6, 6)
+        assert web.pooled_top_bigram_fraction == round((3 + 1) / 4, 6)
+        book = out["book"]
+        assert book.total_tokens == 1
+        assert book.pooled_top_bigram_fraction == 0.0
+        assert book.avg_chars == 3.0
