@@ -1374,9 +1374,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_stratified": (
             "SELECT lang AS stratum, count(*) AS total, "
-            f"sum(CASE WHEN {_h_sql('CAST(doc_id AS VARCHAR)')} % 100 < "
+            f"CAST(sum(CASE WHEN {_h_sql('CAST(doc_id AS VARCHAR)')} % 100 < "
             "(CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
-            "THEN 1 ELSE 0 END) AS sampled, "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS sampled, "
             f"round(sum(CASE WHEN {_h_sql('CAST(doc_id AS VARCHAR)')} % 100 < "
             "(CASE WHEN lang = 'en' THEN 10 ELSE 50 END) "
             "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS observed_rate "
@@ -1394,7 +1394,7 @@ def oracle_sql() -> dict[str, str]:
             "cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), "
             "top AS (SELECT doc_id, max(c) AS mx FROM cnt GROUP BY doc_id) "
             "SELECT p.source AS stratum, count(*) AS n_docs, "
-            "sum(p.n_tok) AS total_tokens, "
+            "CAST(sum(p.n_tok) AS BIGINT) AS total_tokens, "
             "round(1.0 - sum(p.n_dist) * 1.0 / sum(p.n_tok), 6) "
             "AS pooled_dup_fraction, "
             "CASE WHEN sum(p.n_bg) > 0 THEN "
@@ -1428,9 +1428,10 @@ def oracle_sql() -> dict[str, str]:
             "thr AS (SELECT lang, min(v) AS threshold FROM cum "
             "WHERE cum >= 0.1 * total GROUP BY lang) "
             "SELECT d.lang AS stratum, t.threshold, count(*) AS total, "
-            "sum(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) AS kept, "
-            "count(*) - sum(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) "
-            "AS trimmed "
+            "CAST(sum(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS kept, "
+            "CAST(count(*) - sum(CASE WHEN d.n_chars >= t.threshold "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS trimmed "
             "FROM documents d JOIN thr t ON d.lang = t.lang GROUP BY 1, 2"
         ),
         "chunk_documents": (

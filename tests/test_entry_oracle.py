@@ -72,6 +72,21 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    # The driver hashes values WITH their physical types, so a DuckDB
+    # HUGEINT (arrow decimal128) vs a Spark BIGINT is a red even when the
+    # values agree (bit us in round 1 on sample_stratified /
+    # stratum_percentile_trim).  Guard: any decimal-typed oracle column must
+    # correspond to a decimal-typed Spark column; otherwise the oracle SQL
+    # is missing a CAST.
+    spark_types = dict(sdf.dtypes)
+    arrow_schema = duck.execute(sql).arrow().schema
+    for field in arrow_schema:
+        if str(field.type).startswith("decimal"):
+            assert spark_types[field.name].startswith("decimal"), (
+                f"{name}: oracle column {field.name} is {field.type} but "
+                f"Spark yields {spark_types[field.name]} — add a CAST in "
+                "the oracle SQL (driver hash is type-sensitive)"
+            )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
