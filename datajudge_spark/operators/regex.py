@@ -42,13 +42,18 @@ def get_regex_violations(
     n_violations = violations.count()
 
     plans: _Plans = [violations]
+    # Counterexamples are sorted so they are deterministic across runs and
+    # partitionings (SURVEY §7.3.8; the reference's unordered LIMIT is
+    # nondeterministic).  TakeOrderedAndProject keeps the k-limit case a
+    # per-partition top-k + driver merge — no global sort shuffle.
+    ordered = violations.orderBy(F.col(column).asc_nulls_first())
     if n_counterexamples == -1:
-        counterexamples = [row[0] for row in violations.collect()]
+        counterexamples = [row[0] for row in ordered.collect()]
     elif n_counterexamples == 0:
         counterexamples = []
     elif n_counterexamples > 0:
         counterexamples = [
-            row[0] for row in violations.limit(n_counterexamples).collect()
+            row[0] for row in ordered.limit(n_counterexamples).collect()
         ]
     else:
         raise ValueError(f"Unexpected number of counterexamples: {n_counterexamples}")

@@ -31,7 +31,12 @@ def get_row_difference_sample(
 ) -> tuple[object, _Plans]:
     """One sample row of ``ref EXCEPT ref2`` (reference db_access.py:1016-1024)."""
     diff = ref.get_selection(spark).subtract(ref2.get_selection(spark))
-    row = diff.first()
+    # Sorted first row -> deterministic counterexample across partitionings
+    # (SURVEY §7.3.8).  LIMIT 1 over a sort is TakeOrderedAndProject: each
+    # partition contributes its minimum, no global sort shuffle.
+    row = diff.orderBy(
+        *[F.col(c).asc_nulls_first() for c in diff.columns]
+    ).first()
     return (tuple(row) if row is not None else None), [diff]
 
 
@@ -124,7 +129,9 @@ def get_duplicate_sample(
 ) -> tuple[object, _Plans]:
     """One sample duplicated tuple (reference db_access.py:1118-1125)."""
     dup = duplicates(ref.get_selection(spark))
-    row = dup.first()
+    row = dup.orderBy(
+        *[F.col(c).asc_nulls_first() for c in dup.columns]
+    ).first()
     return (tuple(row) if row is not None else None), [dup]
 
 
