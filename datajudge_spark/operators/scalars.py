@@ -155,8 +155,40 @@ def exact_percentile_df(df, column: str, percentage: float):
 
     The result is identical to the naive construction — the bucketing is
     a partitioning of the sorted domain, not an approximation.
+
+    Non-numeric orderable columns (date/timestamp/string) cannot be
+    range-bucketed by arithmetic; they take the distinct-value histogram
+    path directly (bounded by |distinct values|, same result).
+
+    Every "have we reached the percentile" test uses the ONE comparison
+    form ``cum * 100 >= percentage * total`` — mixing formulations (e.g.
+    ``cum >= total*percentage/100`` in one place and ``cum*100/total >=
+    percentage`` in another) can disagree by 1 ulp at exact boundaries and
+    select off-by-one values.
     """
     non_null = df.where(F.col(column).isNotNull())
+    dtype = dict(df.dtypes)[column]
+    numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float",
+                        "double") or dtype.startswith("decimal")
+
+    def _cum_select(hist, cum_before: int, total: int):
+        w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select(
+            "value", (F.sum("cnt").over(w) + F.lit(cum_before)).alias("cum_cnt")
+        )
+        return cum.where(
+            F.col("cum_cnt") * 100 >= F.lit(percentage * total)
+        ).select(F.min("value").alias("value"))
+
+    if not numeric:
+        total = non_null.count()
+        if total == 0:
+            raise ValueError("Percentile selection could not be fetched.")
+        hist = non_null.groupBy(F.col(column).alias("value")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return _cum_select(hist, 0, total)
+
     stats = non_null.agg(
         F.min(column).alias("lo"),
         F.max(column).alias("hi"),
@@ -177,10 +209,9 @@ def exact_percentile_df(df, column: str, percentage: float):
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    needed = total * percentage / 100.0
     cum_before, target_bucket = 0, PERCENTILE_BUCKETS - 1
     for b in sorted(bucket_counts):
-        if cum_before + bucket_counts[b] >= needed:
+        if (cum_before + bucket_counts[b]) * 100 >= percentage * total:
             target_bucket = b
             break
         cum_before += bucket_counts[b]
@@ -189,13 +220,7 @@ def exact_percentile_df(df, column: str, percentage: float):
         .groupBy(F.col(column).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "value", (F.sum("cnt").over(w) + F.lit(cum_before)).alias("cum_cnt")
-    )
-    return cum.where(
-        F.col("cum_cnt") * 100.0 / F.lit(total) >= F.lit(percentage)
-    ).select(F.min("value").alias("value"))
+    return _cum_select(hist, cum_before, total)
 
 
 def get_percentile(

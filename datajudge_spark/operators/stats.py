@@ -15,6 +15,7 @@ SURVEY §4.2).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -59,23 +60,82 @@ def get_cross_cdf(
     E.g. ref1=[1,1,3,2], ref2=[3,5,4,5,8] yields
     [(1,.5,0),(2,.75,0),(3,1,.2),(4,1,.4),(5,1,.8),(8,1,1)]
     (golden: reference tests/integration/test_stats.py:27-35).
+
+    Scale construction (SURVEY §4.4): a naive per-side CDF + full-outer
+    join + forward-fill needs ordered windows over ALL distinct values —
+    a single-partition sort once the column is near-unique (continuous
+    domains). Instead both samples union into ONE (value, n1, n2)
+    histogram, which is ``repartitionByRange``-partitioned (a parallel,
+    sampling-based range sort). Within each range partition a bounded
+    window computes local cumulative counts; per-partition totals (one
+    tiny collect, |shuffle partitions| rows) give each partition its
+    starting offset, broadcast-joined back on partition id. The
+    forward-fill disappears entirely: every union value carries both
+    sides' counts, and a cumulative sum over zeros IS the forward fill.
+    ``(off + local cum)/N`` equals the global ``cum/N`` exactly (integer
+    math in doubles, well under 2^53), so results are bit-identical to
+    the windowed construction.
+
+    The ranged histogram is persisted (MEMORY_AND_DISK, recomputable
+    lineage) because ``spark_partition_id`` must mean the same thing in
+    the offset-collect action and in the consumer's action.
     """
     cdf_label1, cdf_label2 = cdf_label + "1", cdf_label + "2"
-    cdf1 = _cdf_df(spark, ref1, cdf_label1, value_label)
-    cdf2 = _cdf_df(spark, ref2, cdf_label2, value_label)
-
-    cross = (
-        cdf1.join(cdf2, on=value_label, how="full_outer")
-        .select(value_label, cdf_label1, cdf_label2)
+    col1, col2 = ref1.get_column(spark), ref2.get_column(spark)
+    tagged = (
+        ref1.get_selection(spark)
+        .select(
+            F.col(col1).alias(value_label),
+            F.lit(1).alias("__dj_n1"),
+            F.lit(0).alias("__dj_n2"),
+        )
+        .where(F.col(value_label).isNotNull())
+        .unionAll(
+            ref2.get_selection(spark)
+            .select(
+                F.col(col2).alias(value_label),
+                F.lit(0).alias("__dj_n1"),
+                F.lit(1).alias("__dj_n2"),
+            )
+            .where(F.col(value_label).isNotNull())
+        )
     )
-    w_ff = Window.orderBy(value_label).rowsBetween(Window.unboundedPreceding, 0)
-    filled = cross.select(
+    hist = tagged.groupBy(value_label).agg(
+        F.sum("__dj_n1").alias("__dj_n1"), F.sum("__dj_n2").alias("__dj_n2")
+    )
+    ranged = (
+        hist.repartitionByRange(value_label)
+        .withColumn("__dj_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    per_part = sorted(
+        ranged.groupBy("__dj_pid")
+        .agg(F.sum("__dj_n1").alias("t1"), F.sum("__dj_n2").alias("t2"))
+        .collect(),
+        key=lambda r: r["__dj_pid"],
+    )
+    total1 = sum(int(r["t1"]) for r in per_part)
+    total2 = sum(int(r["t2"]) for r in per_part)
+    offsets, acc1, acc2 = [], 0, 0
+    for r in per_part:
+        offsets.append((int(r["__dj_pid"]), acc1, acc2))
+        acc1 += int(r["t1"])
+        acc2 += int(r["t2"])
+    off_df = spark.createDataFrame(
+        offsets, "__dj_pid int, __dj_off1 long, __dj_off2 long"
+    )
+    w = (
+        Window.partitionBy("__dj_pid")
+        .orderBy(value_label)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = ranged.join(F.broadcast(off_df), "__dj_pid").select(
         value_label,
-        F.coalesce(
-            F.last(cdf_label1, ignorenulls=True).over(w_ff), F.lit(0.0)
+        (
+            (F.sum("__dj_n1").over(w) + F.col("__dj_off1")) / F.lit(total1 or 1)
         ).alias(cdf_label1),
-        F.coalesce(
-            F.last(cdf_label2, ignorenulls=True).over(w_ff), F.lit(0.0)
+        (
+            (F.sum("__dj_n2").over(w) + F.col("__dj_off2")) / F.lit(total2 or 1)
         ).alias(cdf_label2),
     )
     return filled, cdf_label1, cdf_label2

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 #: Relations larger than this are assumed to already scan with adequate
@@ -16,13 +17,17 @@ def materialize_once(df: DataFrame) -> DataFrame:
     Spark does not share common subplans across join branches — a
     self-join of an expensive derivation (shingle explode + hashing)
     recomputes it per branch unless the exchange happens to be reused.
-    ``localCheckpoint(eager=False)`` stays lazy, materializes on first
-    action into the block manager (memory, spilling to disk), truncates
-    lineage, and every consumer reads the materialized blocks. At
-    cluster scale this is the standard persist-the-reused-stage pattern;
-    blocks are freed when the plan is garbage collected.
+    ``persist(MEMORY_AND_DISK)`` stays lazy, materializes on first
+    action into the block manager, and every consumer reads the cached
+    blocks — while the logical plan stays attached, so a lost executor's
+    blocks are *recomputed* rather than failing the job.  That
+    fault-tolerance is why this is persist and NOT ``localCheckpoint``:
+    checkpoint blocks are unreplicated and unrecoverable, acceptable
+    only where lineage truncation is mandatory (iterative loops, see
+    ``dedup.duplicate_clusters``).  Blocks are freed when the plan is
+    garbage collected.
     """
-    return df.localCheckpoint(eager=False)
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

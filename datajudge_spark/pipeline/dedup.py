@@ -311,21 +311,26 @@ def duplicate_clusters(
     corpus — near-dup pairs only. The pairs input is materialized once;
     if it has <= ``local_threshold`` edges, connected components run as
     driver-side union-find (microseconds, zero extra jobs). Above the
-    threshold, iterative distributed min-label propagation: each round
-    every node adopts the minimum label among itself and its neighbors;
-    converges in O(component diameter) rounds (near-dup clusters are
-    shallow, so typically 2-4). Each round is one join + one groupBy,
+    threshold, iterative distributed min-label propagation with pointer
+    doubling: each round every node adopts the minimum label among
+    itself, its neighbors, and its label's label — so label chains halve
+    per round and convergence is O(log component diameter). Each round
+    is one join + one groupBy + one shortcut join,
     ``localCheckpoint``-ed: iterative DataFrame algorithms MUST truncate
     lineage each round or the nested logical plan grows exponentially
-    (persist alone caches data, not the plan). Only docs that appear in
-    some pair are returned (singletons are their own cluster by
-    definition).
+    (persist alone caches data, not the plan). The trade-off is fault
+    tolerance: checkpoint blocks are unreplicated, so an executor loss
+    mid-loop fails the job and it must be rerun — acceptable for an
+    iterative algorithm whose per-round state is cheap relative to
+    replaying the whole loop lineage on every round. Only docs that
+    appear in some pair are returned (singletons are their own cluster
+    by definition).
 
     This is the post-LSH step of a dedup pipeline: pick
     ``min(cluster)`` (or any deterministic representative) to keep and
     drop the rest.
     """
-    edges_df = pairs.select("d1", "d2").localCheckpoint()
+    edges_df = materialize_once(pairs.select("d1", "d2"))
     n_edges = edges_df.count()
     if n_edges <= local_threshold:
         return _clusters_unionfind(edges_df)
@@ -386,14 +391,29 @@ def _clusters_propagate(edges_df: DataFrame, max_iterations: int) -> DataFrame:
             .groupBy("d1")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.d1, "left"
+        ).select(
+            "id",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # pointer doubling: also adopt the label OF my label
+        # (label <- min(label, label[label])), so label chains halve each
+        # round and convergence is O(log diameter) instead of O(diameter)
+        # — a chain-shaped near-dup cluster (progressively edited docs)
+        # would otherwise need diameter rounds.
+        lab_of_lab = stepped.select(
+            F.col("id").alias("lid"), F.col("label").alias("llabel")
+        )
         # carry the old label through the checkpoint so convergence is a
         # shuffle-free scan of the checkpointed frame, not an extra join
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.d1, "left")
+            stepped.join(lab_of_lab, stepped.label == lab_of_lab.lid, "left")
             .select(
                 "id",
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                "old_label",
+                F.least(F.col("label"), F.coalesce("llabel", "label")).alias(
                     "label"
                 ),
             )
@@ -406,7 +426,8 @@ def _clusters_propagate(edges_df: DataFrame, max_iterations: int) -> DataFrame:
             break
     else:
         raise RuntimeError(
-            f"label propagation did not converge in {max_iterations} rounds"
+            f"label propagation did not converge in {max_iterations} rounds; "
+            "raise max_iterations for very deep duplicate chains"
         )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")

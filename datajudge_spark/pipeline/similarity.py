@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datajudge_spark.pipeline._util import spread
+from datajudge_spark.pipeline._util import materialize_once, spread
 
 __all__ = [
     "cosine",
@@ -175,7 +175,7 @@ def kmeans_centroids(
     import math
 
     spark = vectors.sparkSession
-    vectors = spread(vectors).select(v_id, v_vec).localCheckpoint(eager=False)
+    vectors = materialize_once(spread(vectors).select(v_id, v_vec))
     first = vectors.select(F.size(v_vec).alias("d")).first()
     if first is None:
         raise ValueError("cannot train centroids on an empty vector set")

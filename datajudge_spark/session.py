@@ -40,5 +40,15 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Pin the initial heap to the max: G1 otherwise starts at ~150 MB
+        # committed and expands lazily, and the expansion is preceded by a
+        # multi-second GC thrash once the working set crosses the committed
+        # boundary (measured 11-36 s stalls mid-suite).  Xms=Xmx removes
+        # heap-resize pauses entirely — standard practice for benchmarked
+        # JVMs; on a real cluster the same applies to executor JVMs.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        )
     )
     return builder.getOrCreate()

@@ -139,6 +139,57 @@ def date_table_overlap(spark):
     return spark.createDataFrame(rows, _OVERLAP_SCHEMA)
 
 
+_OVERLAP_2D_SCHEMA = T.StructType(
+    [
+        T.StructField("id1", T.IntegerType()),
+        T.StructField("date_start1", T.TimestampType()),
+        T.StructField("date_end1", T.TimestampType()),
+        T.StructField("date_start2", T.TimestampType()),
+        T.StructField("date_end2", T.TimestampType()),
+    ]
+)
+
+
+@pytest.fixture(scope="session")
+def date_table_overlap_2d(spark):
+    # reference conftest.py:309-438: keys 1-4 never violate (overlap must
+    # hold in BOTH dimensions), keys 5-8 violate (real / singleton /
+    # subset / duplicate rectangle overlap) -> 4 of 8 keys
+    rows = [
+        (1, date(1), date(10), date(1), date(10)),
+    ]
+    rows += [
+        (2, date(i * 2), date(i * 2 + 1), date(i * 2), date(i * 2 + 1))
+        for i in range(1, 5)
+    ]
+    rows += [
+        (3, date(i * 2), date(i * 2 + 1), date(1), date(1))
+        for i in range(1, 5)
+    ]
+    rows += [
+        (4, date(i), date(i + 5), date(i * 2), date(i * 2 + 1))
+        for i in range(1, 5)
+    ]
+    rows += [
+        (5, date(31, 12, 2015), date(5), date(31, 12, 2016), date(5, 1, 2017)),
+        (5, date(1), date(10), date(1, 1, 2017), date(10, 1, 2017)),
+        (5, date(11), date(20), date(11, 1, 2017), date(20, 1, 2017)),
+    ]
+    rows += [
+        (6, date(1), date(10), date(1, 1, 2017), date(10, 1, 2017)),
+        (6, date(10), date(15), date(10, 1, 2017), date(15, 1, 2017)),
+    ]
+    rows += [
+        (7, date(1), date(10), date(1, 1, 2017), date(10, 1, 2017)),
+        (7, date(5), date(7), date(5, 1, 2017), date(7, 1, 2017)),
+    ]
+    rows += [
+        (8, date(1), date(10), date(1, 1, 2017), date(10, 1, 2017)),
+        (8, date(1), date(10), date(1, 1, 2017), date(10, 1, 2017)),
+    ]
+    return spark.createDataFrame(rows, _OVERLAP_2D_SCHEMA)
+
+
 _INT_OVERLAP_SCHEMA = T.StructType(
     [
         T.StructField("id1", T.IntegerType()),

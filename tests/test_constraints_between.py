@@ -81,6 +81,15 @@ class TestUniquesBetween:
             ["col_int"], ["col_int"], constant_max_relative_loss=0.1
         )
         assert outcomes(req, spark) == [True, False, True]
+        # loss direction: u2 has 20 uniques vs u1's 31 -> loss 11/31 = 0.355
+        req_loss = between_req(unique_table2, unique_table1, "u2", "u1")
+        req_loss.add_n_uniques_max_loss_constraint(
+            ["col_int"], ["col_int"], constant_max_relative_loss=0.5
+        )
+        req_loss.add_n_uniques_max_loss_constraint(
+            ["col_int"], ["col_int"], constant_max_relative_loss=0.1
+        )  # fail
+        assert outcomes(req_loss, spark) == [True, False]
         req2 = between_req(unique_table2, unique_table1, "u2", "u1")
         req2.add_uniques_subset_constraint(
             ["col_int"], ["col_int"], filter_func=nonull
@@ -90,8 +99,11 @@ class TestUniquesBetween:
         req3 = between_req(unique_table1, unique_table2, "u1", "u2")
         req3.add_n_uniques_max_gain_constraint(
             ["col_int"], ["col_int"], constant_max_relative_gain=0.5
+        )  # fail: gain 11/20 = 0.55
+        req3.add_n_uniques_max_gain_constraint(
+            ["col_int"], ["col_int"], constant_max_relative_gain=0.6
         )
-        assert outcomes(req3, spark) == [False]
+        assert outcomes(req3, spark) == [False, True]
 
 
 class TestRowSetOps:
@@ -106,7 +118,8 @@ class TestRowSetOps:
             cols, cols, constant_max_missing_fraction=0.05
         )  # fail
         req.add_row_superset_constraint(cols, cols, 1.0)
-        assert outcomes(req, spark) == [True, False, True, False, True]
+        req.add_row_superset_constraint(cols, cols, 0.05)  # fail
+        assert outcomes(req, spark) == [True, False, True, False, True, False]
 
     def test_row_subset_pass(self, spark, int_table2, int_table1):
         # int_table2 (2..19) is a subset of int_table1 (1..19)
@@ -140,7 +153,8 @@ class TestColumnsBetween:
     def test_column_subset_superset(self, spark, mix_table1, int_table1):
         req = between_req(int_table1, mix_table1, "i1", "m1")
         req.add_column_subset_constraint()
-        assert outcomes(req, spark) == [True]
+        req.add_column_superset_constraint()  # fail: i1 lacks m1's columns
+        assert outcomes(req, spark) == [True, False]
         req2 = between_req(mix_table1, int_table1, "m1", "i1")
         req2.add_column_subset_constraint()  # fail
         req2.add_column_superset_constraint()

@@ -107,3 +107,62 @@ class TestNumericNoGap:
             max_relative_n_violations=0,
         )  # gap of exactly 5 tolerated
         assert outcomes(req, spark) == [True, False, True]
+
+
+class TestDateNoOverlap2d:
+    """Reference test_integration.py:2110-2186 expectations on the
+    date_table_overlap_2d fixture (conftest.py:309-438): a violation needs
+    rectangle overlap in BOTH dimensions."""
+
+    def test_per_key_conditions(self, spark, date_table_overlap_2d):
+        from datajudge_spark import Condition
+
+        req = within_req(date_table_overlap_2d, "date_table_overlap_2d")
+        expected = []
+        for key in (1, 2, 3, 4):  # 1d overlap only -> clean in 2d
+            req.add_date_no_overlap_2d_constraint(
+                "date_start1", "date_end1", "date_start2", "date_end2",
+                key_columns=["id1"],
+                condition=Condition(raw_string=f"id1 = {key}"),
+            )
+            expected.append(True)
+        for key in (5, 6, 7, 8):  # real/singleton/subset/duplicate overlap
+            req.add_date_no_overlap_2d_constraint(
+                "date_start1", "date_end1", "date_start2", "date_end2",
+                key_columns=["id1"],
+                condition=Condition(raw_string=f"id1 = {key}"),
+            )  # fail
+            expected.append(False)
+            req.add_date_no_overlap_2d_constraint(
+                "date_start1", "date_end1", "date_start2", "date_end2",
+                key_columns=["id1"],
+                max_relative_n_violations=1,
+                condition=Condition(raw_string=f"id1 = {key}"),
+            )
+            expected.append(True)
+        assert outcomes(req, spark) == expected
+
+    def test_fixed_key_fraction(self, spark, date_table_overlap_2d):
+        # 4 of 8 keys violate
+        req = within_req(date_table_overlap_2d, "date_table_overlap_2d")
+        req.add_date_no_overlap_2d_constraint(
+            "date_start1", "date_end1", "date_start2", "date_end2",
+            key_columns=["id1"], max_relative_n_violations=0.50,
+        )
+        req.add_date_no_overlap_2d_constraint(
+            "date_start1", "date_end1", "date_start2", "date_end2",
+            key_columns=["id1"], max_relative_n_violations=0.49,
+        )  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_end_excluded_singleton(self, spark, date_table_overlap_2d):
+        # end_included=False: key 6's touch-only overlap no longer counts
+        from datajudge_spark import Condition
+
+        req = within_req(date_table_overlap_2d, "date_table_overlap_2d")
+        req.add_date_no_overlap_2d_constraint(
+            "date_start1", "date_end1", "date_start2", "date_end2",
+            key_columns=["id1"], end_included=False,
+            condition=Condition(raw_string="id1 = 6"),
+        )
+        assert outcomes(req, spark) == [True]

@@ -94,7 +94,7 @@ def test_asof_join_single_shuffle(spark):
     # the as-of union+window plan must shuffle exactly once on the key
     # (plus the final collect exchange); no join operator at all
     plan = _executed_plan(entrymod.q_asof_join(spark, SF_DIR))
-    assert "Join" not in plan.replace("join", "Join") or "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
 
 def test_topk_is_take_ordered_not_global_sort(spark):
