@@ -111,3 +111,21 @@ def test_rollup_single_expand_pass(spark):
     plan = _executed_plan(entrymod.q_rollup_agg(spark, SF_DIR))
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_cross_cdf_no_single_partition_window(spark):
+    # cross-CDF on a near-unique (continuous-like) column must not funnel
+    # the distinct-value histogram through one partition: the construction
+    # range-partitions the union histogram and windows WITHIN partitions.
+    from datajudge_spark.operators.stats import get_cross_cdf
+    from datajudge_spark.reference import DataReference
+    from datajudge_spark.sources import ExpressionDataSource
+
+    d1 = spark.range(0, 5000).selectExpr("cast(id * 1.7 as double) as v")
+    d2 = spark.range(0, 5000).selectExpr("cast(id * 2.3 + 0.5 as double) as v")
+    ref1 = DataReference(ExpressionDataSource(d1, "a"), ["v"])
+    ref2 = DataReference(ExpressionDataSource(d2, "b"), ["v"])
+    filled, c1, c2 = get_cross_cdf(spark, ref1, ref2)
+    plan = _executed_plan(filled)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan  # the bounded per-partition cumsum remains
