@@ -172,27 +172,32 @@ def ks_d_statistic_distributed(
     single-partition sort (SURVEY §4.4). This variant stays parallel at
     any cardinality:
 
-    1. side totals N1, N2 — one cheap map-side aggregate scan;
+    1. ONE map-side aggregate scan computes side totals N1, N2 AND
+       approximate range boundaries (a ``percentile_approx`` sketch over
+       the union) — boundary accuracy only affects bucket *balance*,
+       never the result;
     2. union both samples with a side tag, aggregated to
        (value, n1, n2) per distinct value — one shuffle, map-side agg;
-    3. ``repartitionByRange(value)`` — a parallel range-partitioned
-       sort (sampling-based ranges, the same machinery as a global sort);
-    4. ONE pass over the ranged histogram: within-partition CDF diff
-       ``dw = cumw1/N1 − cumw2/N2`` (window partitioned BY PARTITION —
-       bounded, parallel), reduced to per-partition
+    3. each distinct value is assigned the range bucket
+       ``#boundaries <= value`` (a pure column expression — no
+       ``repartitionByRange`` sampling job, which would re-scan and
+       re-aggregate the whole union a third time);
+    4. ONE pass over the bucketed histogram: within-bucket CDF diff
+       ``dw = cumw1/N1 − cumw2/N2`` (window partitioned by bucket —
+       bounded, parallel), reduced to per-bucket
        ``(t1, t2, max dw, min dw)``;
-    5. driver fold over the (range-ordered) partitions: with running
+    5. driver fold over the (range-ordered) buckets: with running
        offsets ``C_p = off1/N1 − off2/N2``, the supremum is
        ``max_p max(|max_dw_p + C_p|, |min_dw_p + C_p|)`` — |F1 − F2| is
-       dw + C_p and C_p is constant within a partition, so the
-       partition extrema are exactly the candidates.
+       dw + C_p and C_p is constant within a bucket, so the bucket
+       extrema are exactly the candidates.
 
-    The ranged data is consumed by a SINGLE action, so the
-    nondeterministic ``spark_partition_id`` never needs to be pinned
-    with a persist, and nothing is cached or scanned twice.
-    Equal to the windowed construction (the supremum over step points of
-    the empirical CDF difference) up to double-rounding of the offset
-    addition.
+    Two scans total, nothing cached or scanned twice. Equal to the
+    windowed construction (the supremum over step points of the
+    empirical CDF difference) up to double-rounding of the offset
+    addition. Non-numeric orderable columns (no ``percentile_approx``
+    sketch available) fall back to ``repartitionByRange`` for step 3,
+    which costs one extra sampling scan but is otherwise identical.
     """
     tagged = df1.select(
         F.col(col1).alias("val"), F.lit(1).alias("n1"), F.lit(0).alias("n2")
@@ -201,7 +206,19 @@ def ks_d_statistic_distributed(
             F.col(col2).alias("val"), F.lit(0).alias("n1"), F.lit(1).alias("n2")
         ).where(F.col("val").isNotNull())
     )
-    tot = tagged.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2")).first()
+    dtype = dict(tagged.dtypes)["val"]
+    numeric = dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+        "timestamp",
+    ) or dtype.startswith("decimal")
+    n_buckets = tagged.sparkSession.sparkContext.defaultParallelism
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    aggs = [F.sum("n1").alias("t1"), F.sum("n2").alias("t2")]
+    if numeric and fracs:
+        aggs.append(
+            F.percentile_approx("val", fracs, 1000).alias("bounds")
+        )
+    tot = tagged.agg(*aggs).first()
     total1 = int(tot["t1"] or 0)
     total2 = int(tot["t2"] or 0)
     if total1 == 0 or total2 == 0:
@@ -209,9 +226,27 @@ def ks_d_statistic_distributed(
     hist = tagged.groupBy("val").agg(
         F.sum("n1").alias("n1"), F.sum("n2").alias("n2")
     )
-    ranged = hist.repartitionByRange("val").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    bounds = []
+    if numeric and fracs and tot["bounds"] is not None:
+        seen = set()
+        for b in tot["bounds"]:
+            if b is not None and b not in seen:
+                seen.add(b)
+                bounds.append(b)
+    if bounds:
+        # range bucket = number of boundaries <= value; boundaries are
+        # sorted, so bucket ids enumerate the ranges in value order.
+        bucket = F.aggregate(
+            F.array(*[F.lit(b) for b in bounds]),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("val") >= b, F.lit(1)).otherwise(F.lit(0)),
+        )
+        ranged = hist.withColumn("pid", bucket)
+    else:
+        ranged = hist.repartitionByRange("val").withColumn(
+            "pid", F.spark_partition_id()
+        )
     w = (
         Window.partitionBy("pid")
         .orderBy("val")

@@ -39,6 +39,11 @@ def get_spark(
         # tolerate parquet TIMESTAMP(NANOS) columns (read as long nanos)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # The generated-class cache defaults to 100 entries; a suite of 60+
+        # distinct query shapes evicts every entry per pass, so each pass
+        # re-pays janino compilation (measured 5.5 s on the KS query alone).
+        # Size it to hold the whole suite's codegen output.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Pin the initial heap to the max: G1 otherwise starts at ~150 MB
         # committed and expands lazily, and the expansion is preceded by a
