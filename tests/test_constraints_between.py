@@ -28,7 +28,8 @@ class TestNRowsBetween:
         req2.add_n_rows_max_gain_constraint(constant_max_relative_gain=0.1)
         req2.add_n_rows_max_gain_constraint(constant_max_relative_gain=0.01)  # fail
         req2.add_n_rows_min_gain_constraint(constant_min_relative_gain=0.01)
-        assert outcomes(req2, spark) == [True, False, True]
+        req2.add_n_rows_min_gain_constraint(constant_min_relative_gain=0.1)  # fail
+        assert outcomes(req2, spark) == [True, False, True, False]
 
         req3 = between_req(int_table2, int_table1, "t2", "t1")
         req3.add_n_rows_max_loss_constraint(constant_max_relative_loss=0.1)
