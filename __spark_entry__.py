@@ -851,6 +851,89 @@ def q_pivot_agg(spark, sf_dir):
     )
 
 
+def q_shard_shuffle(spark, sf_dir):
+    # deterministic pre-training corpus shuffle: (doc, shard, position)
+    # as a pure function of doc_id (md5 key) — stable across
+    # partitionings/re-materializations; one shuffle, per-shard windows
+    from datajudge_spark.pipeline.packing import shard_shuffle
+
+    return shard_shuffle(_t(spark, sf_dir, "documents"), "doc_id", n_shards=8)
+
+
+def q_pack_sequences(spark, sf_dir):
+    # GPT-style concat-then-split packing: documents in shard-shuffle
+    # order; pack id/offset from a per-shard running token total (one
+    # window pass, no iteration, no driver state)
+    from datajudge_spark.pipeline.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=8)
+
+
+def q_redact_terms(spark, sf_dir):
+    # denylist scrubbing (same machinery as PII redaction): count + md5
+    # digest of the rewritten text — map-only, the scrubbed corpus is
+    # written at scale, never collected
+    from datajudge_spark.pipeline.text import redact_terms
+
+    return redact_terms(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        r"\b(customer|supplier)\b",
+        "<TERM>",
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    # int8 symmetric quantization of L2-normalized vectors; exact integer
+    # checksum sum((i+1)*q_i) verifies every component cross-engine
+    from datajudge_spark.pipeline.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+def q_multimodal_resize(spark, sf_dir):
+    # binary resize stand-in (stride-subsample to 64 bytes) through the
+    # Arrow mapInPandas path; digest = (len, md5) of the resized payload,
+    # recomputed by the oracle with pure byte arithmetic
+    from datajudge_spark.pipeline import multimodal
+
+    media = multimodal.attach_binary_payload(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    out = multimodal.resize_payload(media, target_bytes=64)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.octet_length("resized").cast("bigint").alias("resized_len"),
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    # frame-sampling stand-in (16-byte frames, keep every 4th): the 1:N
+    # row-expansion shape of video frame extraction, digested per frame
+    from datajudge_spark.pipeline import multimodal
+
+    media = multimodal.attach_binary_payload(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    out = multimodal.sample_frames(media, frame_bytes=16, every_nth=4)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.octet_length("frame").cast("bigint").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -914,6 +997,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_count_gain": q_row_count_gain,
         "date_growth_rate": q_date_growth_rate,
         "uniques_subset_violation": q_uniques_subset_violation,
+        "shard_shuffle": q_shard_shuffle,
+        "pack_sequences": q_pack_sequences,
+        "redact_terms": q_redact_terms,
+        "embedding_quantize": q_embedding_quantize,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1547,5 +1636,78 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM supplier WHERE s_acctbal > 1000 "
             "AND s_suppkey = l_suppkey)) * 1.0 "
             "/ (SELECT count(*) FROM lineitem), 6) AS violation_fraction"
+        ),
+        "shard_shuffle": (
+            "WITH k AS (SELECT doc_id, "
+            + _h_sql("(CAST(doc_id AS VARCHAR) || '#shuffle')")
+            + " AS key FROM documents) "
+            "SELECT doc_id, CAST(key % 8 AS INT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY key % 8 "
+            "ORDER BY key, doc_id) AS BIGINT) AS pos FROM k"
+        ),
+        "pack_sequences": (
+            "WITH d AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 "
+            "THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END "
+            "AS BIGINT) AS n_tokens, "
+            + _h_sql("(CAST(doc_id AS VARCHAR) || '#shuffle')")
+            + " AS key FROM documents), "
+            "s AS (SELECT doc_id, CAST(key % 8 AS INT) AS shard, "
+            "sum(n_tokens) OVER (PARTITION BY key % 8 ORDER BY key, doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens AS start FROM d) "
+            "SELECT doc_id, shard, CAST(start // 512 AS BIGINT) AS pack_id, "
+            "CAST(start % 512 AS BIGINT) AS pack_offset FROM s"
+        ),
+        "redact_terms": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\b(customer|supplier)\\b')) "
+            "AS BIGINT) AS n_redacted, "
+            "CAST(length(regexp_replace(text, '\\b(customer|supplier)\\b', "
+            "'<TERM>', 'g')) AS BIGINT) AS redacted_len, "
+            "md5(regexp_replace(text, '\\b(customer|supplier)\\b', "
+            "'<TERM>', 'g')) AS redacted_md5 FROM documents"
+        ),
+        "embedding_quantize": (
+            # identical left-to-right double fold as Spark's aggregate();
+            # floor(127*x/norm + 0.5) is exact IEEE in both engines
+            "WITH t AS (SELECT vec_id, embedding, "
+            "sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b)) "
+            "AS nrm FROM embeddings) "
+            "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, "
+            "round(nrm, 6) AS l2_norm, "
+            "CAST(CASE WHEN nrm = 0 THEN 0 ELSE "
+            "list_sum(list_transform(embedding, (x, i) -> "
+            "CAST(floor(127.0 * CAST(x AS DOUBLE) / nrm + 0.5) AS BIGINT) "
+            "* i)) END AS BIGINT) AS q_checksum FROM t"
+        ),
+        # The two multimodal digests recompute the byte arithmetic on the
+        # VARCHAR text: the corpus is pure ASCII (verified), so DuckDB's
+        # char-based substring/length/md5 equal Spark's byte-based ops on
+        # the UTF-8 payload. stride = n // 64; kept = ceil(n / stride)
+        # capped at 64 (python payload[::stride][:64] semantics).
+        "multimodal_resize": (
+            "WITH t AS (SELECT doc_id, text, length(text) AS n "
+            "FROM documents) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, "
+            "CASE WHEN n <= 64 THEN CAST(n AS BIGINT) ELSE "
+            "least(64, (n + n // 64 - 1) // (n // 64)) END AS resized_len, "
+            "CASE WHEN n <= 64 THEN md5(text) ELSE "
+            "md5(list_reduce(list_transform("
+            "range(0, least(64, (n + n // 64 - 1) // (n // 64))), "
+            "i -> substring(text, CAST(1 + i * (n // 64) AS BIGINT), 1)), "
+            "(a, b) -> a || b)) END AS resized_md5 FROM t"
+        ),
+        # kept frame k (16-byte frames, every 4th) starts at byte k*64;
+        # kept count = ceil(n/64); the tail frame may be short
+        "multimodal_frames": (
+            "WITH t AS (SELECT doc_id, text, length(text) AS n "
+            "FROM documents), "
+            "f AS (SELECT doc_id, text, "
+            "unnest(range(0, (n + 63) // 64)) AS k FROM t) "
+            "SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, "
+            "CAST(length(substring(text, CAST(1 + k * 64 AS BIGINT), 16)) "
+            "AS BIGINT) AS frame_len, "
+            "md5(substring(text, CAST(1 + k * 64 AS BIGINT), 16)) "
+            "AS frame_md5 FROM f"
         ),
     }

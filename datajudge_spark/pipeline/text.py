@@ -32,6 +32,9 @@ __all__ = [
     "language_scores",
     "language_id",
     "LANG_MARKERS",
+    "PII_PATTERNS",
+    "redact_terms",
+    "redact_pii",
 ]
 
 #: Number of md5 hex chars used for integer hashes (60 bits < int64).
@@ -380,3 +383,53 @@ def language_id(c: Column | str) -> Column:
     for lang in reversed(list(LANG_MARKERS)):
         pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
     return pred
+
+
+# --------------------------------------------------------------------------
+# Scrubbing / redaction
+# --------------------------------------------------------------------------
+
+#: Common PII shapes as regexes valid in BOTH Java regex (Spark executors)
+#: and RE2 (the DuckDB oracle, Google-style engines): no backreferences,
+#: no lookaround. Applied as one alternation in redact_pii().
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def redact_terms(
+    df, id_col: str, text_col: str, pattern: str, replacement: str = "<REDACTED>"
+):
+    """Scrub every match of ``pattern`` and count what was removed.
+
+    (id, n_redacted, redacted_len, redacted_md5) — the digest output
+    shape: at corpus scale the scrubbed text is *written*, not
+    collected, and the md5 lets the oracle verify the rewritten bytes
+    without shipping them. Map-only: no shuffle, no UDF — runs at scan
+    speed and trivially survives any scale-up.
+
+    The pattern is passed via ``F.lit`` (never interpolated into a SQL
+    string, where ``\\s`` would be eaten by the string parser). Keep
+    patterns in the Java∩RE2 common subset (no backreferences or
+    lookaround) so engine-portable oracles can replay them.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(text, F.lit(pattern), F.lit(replacement))
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+        .cast("bigint")
+        .alias("n_redacted"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def redact_pii(df, id_col: str, text_col: str, replacement: str = "<PII>"):
+    """Scrub the default PII shapes (email, phone, IPv4, SSN) in one
+    alternation pass."""
+    pattern = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
+    return redact_terms(df, id_col, text_col, pattern, replacement)

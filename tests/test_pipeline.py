@@ -592,3 +592,134 @@ class TestSourceQualityReport:
         assert book.total_tokens == 1
         assert book.pooled_top_bigram_fraction == 0.0
         assert book.avg_chars == 3.0
+
+
+class TestPacking:
+    def test_shard_shuffle_deterministic_across_partitionings(self, spark):
+        from datajudge_spark.pipeline.packing import shard_shuffle
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = sorted(map(tuple, shard_shuffle(df, "doc_id", 8).collect()))
+        b = sorted(
+            map(tuple, shard_shuffle(df.repartition(13), "doc_id", 8).collect())
+        )
+        assert a == b
+
+    def test_shard_shuffle_positions_contiguous(self, spark):
+        from datajudge_spark.pipeline.packing import shard_shuffle
+
+        out = shard_shuffle(
+            spark.range(0, 200).withColumnRenamed("id", "doc_id"), "doc_id", 4
+        )
+        per_shard = (
+            out.groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("pos").alias("lo"),
+                F.max("pos").alias("hi"),
+            )
+            .collect()
+        )
+        assert {r["shard"] for r in per_shard} == {0, 1, 2, 3}
+        for r in per_shard:
+            assert (r["lo"], r["hi"]) == (1, r["n"])  # dense 1..n per shard
+
+    def test_pack_sequences_running_layout(self, spark):
+        from datajudge_spark.pipeline.packing import pack_sequences, shard_shuffle
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, n_tokens=100) for i in range(40)]
+        )
+        out = pack_sequences(df, "doc_id", "n_tokens", budget=256, n_shards=1)
+        rows = sorted(out.collect(), key=lambda r: (r.pack_id, r.pack_offset))
+        # single shard: offsets are the running total mod 256 of docs in
+        # shuffle order; doc k (0-based in order) starts at 100*k
+        order = [
+            r.doc_id
+            for r in shard_shuffle(df, "doc_id", 1).orderBy("pos").collect()
+        ]
+        expected = {
+            doc: ((100 * k) // 256, (100 * k) % 256)
+            for k, doc in enumerate(order)
+        }
+        got = {r.doc_id: (r.pack_id, r.pack_offset) for r in rows}
+        assert got == expected
+
+    def test_pack_sequences_rejects_bad_budget(self, spark):
+        from datajudge_spark.pipeline.packing import pack_sequences
+
+        with pytest.raises(ValueError):
+            pack_sequences(
+                spark.createDataFrame([Row(doc_id=1, n_tokens=3)]),
+                "doc_id",
+                "n_tokens",
+                budget=0,
+            )
+
+
+class TestRedaction:
+    def test_redact_terms_counts_and_rewrites(self, spark):
+        rows = [
+            Row(doc_id=0, text="call me at home"),
+            Row(doc_id=1, text="secret secret stuff"),
+            Row(doc_id=2, text="nothing here"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in text.redact_terms(
+                spark.createDataFrame(rows), "doc_id", "text", r"\bsecret\b", "<X>"
+            ).collect()
+        }
+        assert out[0].n_redacted == 0
+        assert out[1].n_redacted == 2
+        assert out[1].redacted_len == len("<X> <X> stuff")
+        assert out[2].n_redacted == 0
+
+    def test_redact_pii_default_patterns(self, spark):
+        rows = [
+            Row(doc_id=0, text="mail bob@example.com or 192.168.0.1 now"),
+            Row(doc_id=1, text="ssn 123-45-6789 leaked"),
+            Row(doc_id=2, text="clean document"),
+        ]
+        out = {
+            r.doc_id: r.n_redacted
+            for r in text.redact_pii(
+                spark.createDataFrame(rows), "doc_id", "text"
+            ).collect()
+        }
+        assert out[0] == 2 and out[1] == 1 and out[2] == 0
+
+
+class TestQuantize:
+    def test_quantize_unit_axes(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+                Row(vec_id=1, embedding=[0.0, -2.0, 0.0]),
+                Row(vec_id=2, embedding=[0.0, 0.0, 0.0]),  # zero vector
+            ]
+        )
+        out = {
+            r.vec_id: r
+            for r in similarity.quantize_embeddings(df, "vec_id", "embedding").collect()
+        }
+        # axis vectors quantize to +-127 on one component
+        assert out[0].q_checksum == 127 * 1
+        assert out[1].q_checksum == -127 * 2
+        assert out[2].q_checksum == 0 and out[2].l2_norm == 0.0
+        assert all(r.dim == 3 for r in out.values())
+
+    def test_quantize_components_in_range(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            Row(vec_id=i, embedding=[rng.uniform(-5, 5) for _ in range(16)])
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows)
+        # |q_i| <= 127 implies |checksum| <= 127 * sum(1..16)
+        bound = 127 * sum(range(1, 17))
+        for r in similarity.quantize_embeddings(df, "vec_id", "embedding").collect():
+            assert abs(r.q_checksum) <= bound
+            assert r.l2_norm > 0
