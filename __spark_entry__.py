@@ -23,10 +23,15 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark rejects it by default.
-        # Read nanos as long; convert to a timestamp where needed.
+        # events.ts may be parquet TIMESTAMP(NANOS), which Spark only reads
+        # with this flag (as epoch-nanos BIGINT); TIMESTAMP(MICROS) data is
+        # unaffected. normalize_event_time unifies both shapes.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from datajudge_spark.sources import normalize_event_time
+
+        df = normalize_event_time(df, "ts")
     if name in ("documents", "embeddings"):
         # single-file scans land in one partition; spread so the CPU-heavy
         # text/vector work parallelizes (no-op at real multi-file scale)
@@ -34,15 +39,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = spread(df)
     return df
-
-
-def _events_ts(col: str = "ts"):
-    """events.ts (nanos-as-long) as a proper timestamp column.
-
-    Integer ``div`` — float division of epoch-nanos (~1.7e18) exceeds a
-    double's 53-bit mantissa and lands up to 1 us off.
-    """
-    return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -704,9 +700,7 @@ def q_asof_join(spark, sf_dir):
     # each event enriched with the customer's most recent prior order
     from datajudge_spark.operators.asof import asof_join
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", _events_ts().alias("ts")
-    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
@@ -736,7 +730,7 @@ def q_sessionize(spark, sf_dir):
     from datajudge_spark.operators.sessions import session_stats
 
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", _events_ts().alias("event_ts")
+        "user_id", F.col("ts").alias("event_ts")
     )
     sess = session_stats(ev, "user_id", "event_ts", "30 minutes")
     # per-user digest (~|users| rows, not ~|sessions|): the second

@@ -129,3 +129,25 @@ class RawQueryDataSource(DataSource):
         if self._columns:
             df = df.toDF(*self._columns)
         return df
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Return ``df`` with ``col`` as a proper timestamp, whatever the scan
+    produced.
+
+    Parquet event-time columns arrive in two shapes depending on the
+    writer: TIMESTAMP(MICROS) (Spark reads it as timestamp/timestamp_ntz
+    directly) or TIMESTAMP(NANOS) (Spark 4 only reads it with
+    ``spark.sql.legacy.parquet.nanosAsLong=true``, yielding epoch-nanos as
+    BIGINT). Downstream operators want one shape, so sources normalize
+    here instead of every query guessing.
+
+    The nanos branch uses integer ``div`` — float division of epoch-nanos
+    (~1.7e18) exceeds a double's 53-bit mantissa and lands up to 1 us off.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from datajudge_spark.operators.sessions import session_stats, sessionize
 from datajudge_spark.operators.skew import salted_join
+from datajudge_spark.sources import normalize_event_time
 
 
 def _ts(minute):
@@ -54,8 +55,8 @@ class TestSessionize:
         # batch gaps-and-islands vs Structured Streaming session_window
         ev_path = "/root/testdata/sf0.001/events.parquet"
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        batch = spark.read.parquet(ev_path).withColumn(
-            "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+        batch = normalize_event_time(spark.read.parquet(ev_path)).withColumn(
+            "event_ts", F.col("ts").cast("timestamp")
         )
         n_batch_sessions = session_stats(
             batch, "user_id", "event_ts", "30 minutes"
@@ -67,9 +68,8 @@ class TestSessionize:
         stream = (
             spark.readStream.schema(spark.read.parquet(ev_path).schema)
             .parquet(str(stream_dir))
-            .withColumn(
-                "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            .transform(normalize_event_time)
+            .withColumn("event_ts", F.col("ts").cast("timestamp"))
         )
         sess = (
             stream.withWatermark("event_ts", "1 hour")

@@ -14,6 +14,7 @@ from datajudge_spark.streaming import (
     windowed_counts,
     windowed_null_fraction,
 )
+from datajudge_spark.sources import normalize_event_time
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -22,9 +23,10 @@ SF_DIR = "/root/testdata/sf0.001"
 def events_batch(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    # nanos-as-long -> proper event-time timestamp column
-    return df.withColumn(
-        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    # whatever the parquet writer produced -> proper event-time timestamp.
+    # Watermarks demand TIMESTAMP (not NTZ), hence the cast.
+    return normalize_event_time(df).withColumn(
+        "event_ts", F.col("ts").cast("timestamp")
     )
 
 
@@ -36,8 +38,8 @@ def events_stream(spark, events_batch, tmp_path):
     (stream_dir / "part-0.parquet").symlink_to(f"{SF_DIR}/events.parquet")
     raw = stream_parquet_like(spark, str(stream_dir),
                               spark.read.parquet(f"{SF_DIR}/events.parquet"))
-    return raw.withColumn(
-        "event_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    return normalize_event_time(raw).withColumn(
+        "event_ts", F.col("ts").cast("timestamp")
     )
 
 
