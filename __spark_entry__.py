@@ -928,6 +928,70 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_profile_table(spark, sf_dir):
+    # one-scan per-column profile of lineitem numerics (count / nulls /
+    # exact distinct / min / max / decimal-exact mean) — N statistics in
+    # ONE pass where the reference issues one query per statistic
+    from datajudge_spark.operators.profile import profile_numeric
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_corr_matrix(spark, sf_dir):
+    # all pairwise Pearson correlations in one aggregate (one-pass
+    # co-moments, no joins, no second scan)
+    from datajudge_spark.operators.profile import pairwise_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pairwise_corr(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_grouped_topk(spark, sf_dir):
+    # 3 longest documents per source: row_number()<=k compiles to
+    # WindowGroupLimit — per-partition heaps BEFORE the shuffle, so the
+    # exchange carries O(sources*k) rows (asserted in test_plans)
+    from datajudge_spark.operators.profile import grouped_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = grouped_topk(
+        d.select("doc_id", "source", "n_chars"),
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        3,
+    )
+    return out.select(
+        "source", F.col("rk").cast("bigint").alias("rk"), "doc_id", "n_chars"
+    )
+
+
+def q_mixture_weights(spark, sf_dir):
+    # temperature-scaled (alpha=0.5) per-source sampling weights for a
+    # multi-source training mix; corpus-size work is one partial-agg count
+    from datajudge_spark.pipeline.sampling import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), "source", alpha=0.5)
+
+
+def q_train_val_split(spark, sf_dir):
+    # leakage-safe split audit: whole sources assigned to train/val by
+    # stable md5 bucket, so near-dups inside a source never straddle the
+    # split; digest = per-split rows, sources, and total chars
+    from datajudge_spark.pipeline.sampling import group_split_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return group_split_counts(
+        d,
+        "source",
+        val_rate=10,
+        agg_cols={"n_chars_sum": F.sum("n_chars")},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": q_row_count,
@@ -997,6 +1061,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "profile_table": q_profile_table,
+        "corr_matrix": q_corr_matrix,
+        "grouped_topk": q_grouped_topk,
+        "mixture_weights": q_mixture_weights,
+        "train_val_split": q_train_val_split,
     }
 
 
@@ -1703,5 +1772,46 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS frame_len, "
             "md5(substring(text, CAST(1 + k * 64 AS BIGINT), 16)) "
             "AS frame_md5 FROM f"
+        ),
+        "profile_table": " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"round(CAST(min({c}) AS DOUBLE), 6) AS min_val, "
+            f"round(CAST(max({c}) AS DOUBLE), 6) AS max_val, "
+            f"round(CAST(sum(CAST({c} AS DECIMAL(28,8))) AS DOUBLE) "
+            f"/ count({c}), 6) AS mean_val FROM lineitem"
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ),
+        "corr_matrix": " UNION ALL ".join(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+            f"round(corr({x}, {y}), 6) AS corr FROM lineitem"
+            for i, x in enumerate(
+                ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            )
+            for y in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")[
+                i + 1 :
+            ]
+        ),
+        "grouped_topk": (
+            "SELECT source, rk, doc_id, n_chars FROM ("
+            "SELECT source, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk "
+            "FROM documents) WHERE rk <= 3"
+        ),
+        "mixture_weights": (
+            "WITH c AS (SELECT source, count(*) AS n_docs "
+            "FROM documents GROUP BY source) "
+            "SELECT source, n_docs, "
+            "round(pow(CAST(n_docs AS DOUBLE), 0.5) / "
+            "sum(pow(CAST(n_docs AS DOUBLE), 0.5)) OVER (), 6) AS weight "
+            "FROM c"
+        ),
+        "train_val_split": (
+            f"SELECT CASE WHEN {_h_sql('source', salt='split')} % 100 < 10 "
+            "THEN 'val' ELSE 'train' END AS split, "
+            "count(*) AS n_rows, count(DISTINCT source) AS n_groups, "
+            "CAST(sum(n_chars) AS BIGINT) AS n_chars_sum "
+            "FROM documents GROUP BY 1"
         ),
     }

@@ -1,0 +1,128 @@
+"""One-scan table profiling and correlation analytics.
+
+No reference counterpart: datajudge retrieves each statistic with its own
+query (e.g. db_access.py get_min/get_max/get_uniques issue separate
+SELECTs per constraint).  At 100 TB, N separate scans for N statistics is
+the difference between one pass over the corpus and a day of I/O, so the
+profiler folds every per-column statistic into a single aggregate and
+unpivots the one resulting row driver-side (the unpivot touches |columns|
+values, not data).
+
+Scale notes
+-----------
+* ``profile_numeric`` is one scan + one partial-aggregated shuffle of a
+  single row per partition.  The exact distinct counts make Catalyst
+  insert one Expand (data duplicated |columns| ways before the partial
+  agg) — still one scan, and the expanded rows carry only the profiled
+  columns, not the full row.  For quick-look profiling at extreme scale
+  swap ``exact_distinct=False`` to use HLL sketches
+  (``approx_count_distinct``) and the Expand disappears.
+* ``pairwise_corr`` computes all column-pair Pearson correlations in ONE
+  aggregate using Spark's numerically stable one-pass co-moment
+  implementation — |pairs| running co-moments updated per row, one scan,
+  no joins.
+* ``grouped_topk`` is the per-group top-k: ``row_number() <= k`` compiles
+  to WindowGroupLimit (Spark >= 3.5), which prunes to k rows *per
+  partition before the shuffle*, so the exchange moves O(groups * k)
+  rows, not the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def profile_numeric(
+    df: DataFrame,
+    columns: Sequence[str],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile of numeric columns in one scan.
+
+    Returns one row per profiled column:
+    ``col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val``
+    with min/max/mean as rounded doubles.  The mean is a DECIMAL(28,8)
+    sum (exact, summation-order independent) cast to double and THEN
+    divided — one IEEE double division of identical operands is
+    bit-identical across engines, while decimal division would expose
+    each engine's decimal-scale rounding at round-to-6 boundaries.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        distinct = (
+            F.count_distinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            distinct.alias(f"__nd_{c}"),
+            F.min(c).cast("double").alias(f"__mn_{c}"),
+            F.max(c).cast("double").alias(f"__mx_{c}"),
+            F.sum(F.col(c).cast("decimal(28,8)")).alias(f"__sm_{c}"),
+        ]
+    one = df.agg(*aggs)
+
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.round(F.col(f"__mn_{c}"), 6).alias("min_val"),
+            F.round(F.col(f"__mx_{c}"), 6).alias("max_val"),
+            F.round(
+                F.col(f"__sm_{c}").cast("double") / F.col(f"__nn_{c}"), 6
+            ).alias("mean_val"),
+        )
+        for c in columns
+    ]
+    # unpivot the single aggregated row into |columns| rows (driver-scale)
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def pairwise_corr(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pearson correlation for every unordered column pair, one scan.
+
+    Returns ``col_x, col_y, corr`` (x < y lexically, rounded to 6).
+    """
+    pairs = [
+        (x, y)
+        for i, x in enumerate(columns)
+        for y in columns[i + 1 :]
+    ]
+    one = df.agg(
+        *[F.corr(x, y).alias(f"__c_{i}") for i, (x, y) in enumerate(pairs)]
+    )
+    rows = [
+        F.struct(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.round(F.col(f"__c_{i}"), 6).alias("corr"),
+        )
+        for i, (x, y) in enumerate(pairs)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def grouped_topk(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Top-``k`` rows per group, shuffle-light.
+
+    ``order_cols`` must be a deterministic total order (add a unique
+    tiebreak column) or the selected rows are partition-order dependent.
+    The rank filter compiles to WindowGroupLimit: per-partition top-k
+    heaps run BEFORE the exchange, so only candidate winners shuffle.
+    """
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

@@ -157,3 +157,61 @@ def stratified_trim_counts(
             (F.col("total") - F.col("kept")).alias("trimmed"),
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame, source_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled sampling weights per source.
+
+    Multi-source training mixes rarely sample proportionally: raising the
+    share of each source to ``alpha < 1`` up-weights small sources
+    (alpha=1 proportional, alpha=0 uniform).  Returns one row per source
+    with its document count and normalized weight
+    ``n^alpha / sum(n^alpha)``.
+
+    One count-shuffle over the corpus; the normalization window runs on
+    the aggregated frame (|sources| rows), so corpus size only affects
+    the first aggregation — which is partial-agg'd map-side.
+    """
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scaled = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    w = Window.partitionBy()
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(scaled / F.sum(scaled).over(w), 6).alias("weight"),
+    )
+
+
+def group_split_counts(
+    df: DataFrame,
+    group_col: str,
+    val_rate: int = 10,
+    salt: int | str = "split",
+    agg_cols: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Audit a leakage-safe train/validation split.
+
+    The split is drawn at the *group* level (e.g. source domain): every
+    row of a group lands in the same split, so near-duplicates within a
+    group can never straddle train and validation.  Membership is the
+    stable md5 bucket of the group key — re-running on re-partitioned or
+    re-materialized data yields the identical split.
+
+    Returns one row per split with row count and group count (plus any
+    ``agg_cols``).  One conditional-aggregation scan; nothing but the
+    two-row digest reaches the driver.
+    """
+    split = F.when(
+        sample_bucket(group_col, salt=salt) < F.lit(val_rate), F.lit("val")
+    ).otherwise(F.lit("train"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(group_col)).alias("n_groups"),
+    ]
+    for name, col in (agg_cols or {}).items():
+        aggs.append(col.alias(name))
+    return df.groupBy(split.alias("split")).agg(*aggs)

@@ -129,3 +129,25 @@ def test_cross_cdf_no_single_partition_window(spark):
     plan = _executed_plan(filled)
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" in plan  # the bounded per-partition cumsum remains
+
+
+def test_profile_single_scan(spark):
+    # N per-column statistics must cost ONE pass over the table — the
+    # whole point of the profiler vs per-statistic queries
+    plan = _executed_plan(entrymod.q_profile_table(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    # exact multi-distinct rewrites through one Expand, still one scan
+    assert "Expand" in plan
+
+
+def test_corr_matrix_single_scan_no_join(spark):
+    plan = _executed_plan(entrymod.q_corr_matrix(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_grouped_topk_window_group_limit(spark):
+    # row_number()<=k must prune per-partition BEFORE the shuffle
+    # (WindowGroupLimit), so the exchange carries O(groups*k) rows
+    plan = _executed_plan(entrymod.q_grouped_topk(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
