@@ -928,6 +928,25 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    # production drift metric: PSI between the click and view value
+    # distributions over fixed buckets, BOTH histograms from one
+    # conditional-agg scan (asserted in test_plans); Laplace-smoothed so
+    # empty buckets stay finite and deterministic
+    from datajudge_spark.operators.stats import psi_drift_conditional
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift_conditional(
+        ev,
+        "value",
+        F.col("event_type") == "click",
+        F.col("event_type") == "view",
+        lo=0.0,
+        hi=500.0,
+        n_buckets=10,
+    )
+
+
 def q_profile_table(spark, sf_dir):
     # one-scan per-column profile of lineitem numerics (count / nulls /
     # exact distinct / min / max / decimal-exact mean) — N statistics in
@@ -1061,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "psi_drift": q_psi_drift,
         "profile_table": q_profile_table,
         "corr_matrix": q_corr_matrix,
         "grouped_topk": q_grouped_topk,
@@ -1772,6 +1792,17 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS frame_len, "
             "md5(substring(text, CAST(1 + k * 64 AS BIGINT), 16)) "
             "AS frame_md5 FROM f"
+        ),
+        "psi_drift": (
+            "WITH j AS (SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) "
+            "AS BIGINT), 0), 9) AS bucket, "
+            "count(*) FILTER (event_type = 'click') AS n1, "
+            "count(*) FILTER (event_type = 'view') AS n2 "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IN ('click', 'view') GROUP BY 1), "
+            "t AS (SELECT (n1 + 0.5) / (sum(n1) OVER () + 5.0) AS p, "
+            "(n2 + 0.5) / (sum(n2) OVER () + 5.0) AS q FROM j) "
+            "SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM t"
         ),
         "profile_table": " UNION ALL ".join(
             f"SELECT '{c}' AS col_name, count(*) AS n_rows, "

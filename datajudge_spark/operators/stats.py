@@ -16,7 +16,7 @@ SURVEY §4.2).
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..reference import DataReference
@@ -271,3 +271,98 @@ def ks_d_statistic_distributed(
         acc1 += r.t1
         acc2 += r.t2
     return float(d)
+
+
+def value_bucket(
+    value: Column | str, lo: float, hi: float, n_buckets: int
+) -> Column:
+    """Fixed-width bucket id in ``[0, n_buckets)`` with clamped tails.
+
+    Pure double arithmetic (``floor((v - lo) / w)``), identical across
+    engines — deliberately NOT ``width_bucket``, which not every oracle
+    engine provides. Null values get bucket NULL (excluded upstream).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    w = (hi - lo) / n_buckets
+    raw = F.floor((v - F.lit(lo)) / F.lit(w)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+
+
+def psi_drift(
+    df1: DataFrame,
+    df2: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two samples of ``column``.
+
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i) over fixed-width buckets,
+    the standard production drift metric (PSI < 0.1 stable, > 0.25
+    drifted). Bucket fractions use +0.5 Laplace smoothing so empty
+    buckets stay finite and the result is deterministic.
+
+    Scale: each side is one conditional-aggregation scan producing
+    ``n_buckets`` partial-agg'd counts; the PSI fold runs on the joined
+    bucket histograms (``n_buckets`` rows). Nothing but the digest moves.
+    Bucket ids are pure column arithmetic (:func:`value_bucket`), so the
+    same construction runs unchanged inside a watermarked streaming
+    aggregation (see ``streaming.windowed_value_buckets``).
+    """
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.where(F.col(column).isNotNull())
+            .groupBy(value_bucket(column, lo, hi, n_buckets).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    c1, c2 = counts(df1, "n1"), counts(df2, "n2")
+    # n_buckets-row join; totals via window over the tiny joined frame
+    joined = (
+        c1.join(c2, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+    )
+    w = Window.partitionBy()
+    k = float(n_buckets)
+    p = (F.col("n1") + 0.5) / (F.sum("n1").over(w) + 0.5 * k)
+    q = (F.col("n2") + 0.5) / (F.sum("n2").over(w) + 0.5 * k)
+    return joined.select(
+        ((p - q) * F.log(p / q)).alias("term")
+    ).agg(F.round(F.sum("term"), 6).alias("psi"))
+
+
+def psi_drift_conditional(
+    df: DataFrame,
+    column: str,
+    cond1: Column,
+    cond2: Column,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """PSI between two sub-populations of ONE table, in ONE scan.
+
+    Same metric as :func:`psi_drift`, but both histograms come from a
+    single conditional aggregation (``count(when(cond))``) instead of
+    two scans — the right shape when the populations are row filters of
+    the same 100 TB table.
+    """
+    bucketed = df.where(
+        F.col(column).isNotNull() & (cond1 | cond2)
+    ).groupBy(value_bucket(column, lo, hi, n_buckets).alias("bucket"))
+    joined = bucketed.agg(
+        F.count(F.when(cond1, 1)).alias("n1"),
+        F.count(F.when(cond2, 1)).alias("n2"),
+    )
+    w = Window.partitionBy()
+    k = float(n_buckets)
+    p = (F.col("n1") + 0.5) / (F.sum("n1").over(w) + 0.5 * k)
+    q = (F.col("n2") + 0.5) / (F.sum("n2").over(w) + 0.5 * k)
+    return joined.select(
+        ((p - q) * F.log(p / q)).alias("term")
+    ).agg(F.round(F.sum("term"), 6).alias("psi"))

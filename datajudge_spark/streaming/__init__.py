@@ -45,6 +45,8 @@ __all__ = [
     "stateful_running_counts",
     "streaming_dedup",
     "streaming_fingerprint_dedup",
+    "windowed_value_buckets",
+    "psi_between_histograms",
 ]
 
 
@@ -255,3 +257,62 @@ def stateful_running_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_value_buckets(
+    stream_df: DataFrame,
+    time_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-window fixed-bucket histogram of ``value_col`` — the streaming
+    half of PSI drift monitoring.
+
+    Bucket ids come from the SAME pure-arithmetic expression as the
+    batch :func:`~datajudge_spark.operators.stats.psi_drift`
+    (``operators.stats.value_bucket``), so a window's histogram can be
+    PSI-compared directly against a reference batch histogram
+    driver-side (``n_buckets`` rows per window cross the boundary, not
+    events). State is (window x n_buckets) counters bounded by the
+    watermark — the canonical streaming agg shape.
+    """
+    from datajudge_spark.operators.stats import value_bucket
+
+    return (
+        stream_df.where(F.col(value_col).isNotNull())
+        .withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(time_col, window).alias("win"),
+            value_bucket(value_col, lo, hi, n_buckets).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_between_histograms(
+    counts: dict[int, int], reference: dict[int, int], n_buckets: int
+) -> float:
+    """Driver-side PSI fold over two bucket->count histograms (tiny).
+
+    Buckets empty in BOTH histograms are skipped — they carry no
+    distributional evidence, and skipping keeps this fold value-identical
+    to the distributed ``operators.stats.psi_drift`` (whose grouped frame
+    only contains buckets with data).
+    """
+    import math
+
+    tot_c = sum(counts.values()) + 0.5 * n_buckets
+    tot_r = sum(reference.values()) + 0.5 * n_buckets
+    psi = 0.0
+    for b in range(n_buckets):
+        n_c, n_r = counts.get(b, 0), reference.get(b, 0)
+        if n_c == 0 and n_r == 0:
+            continue
+        p = (n_c + 0.5) / tot_c
+        q = (n_r + 0.5) / tot_r
+        psi += (p - q) * math.log(p / q)
+    return psi

@@ -151,3 +151,9 @@ def test_grouped_topk_window_group_limit(spark):
     # (WindowGroupLimit), so the exchange carries O(groups*k) rows
     plan = _executed_plan(entrymod.q_grouped_topk(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_psi_drift_single_scan(spark):
+    # both population histograms must come from ONE conditional-agg scan
+    plan = _executed_plan(entrymod.q_psi_drift(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1

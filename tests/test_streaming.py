@@ -13,6 +13,7 @@ from datajudge_spark.streaming import (
     stream_parquet_like,
     windowed_counts,
     windowed_null_fraction,
+    windowed_value_buckets,
 )
 from datajudge_spark.sources import normalize_event_time
 
@@ -205,3 +206,85 @@ class TestStreamingDedup:
         assert 4 in got, "fresh doc must survive"
         assert not ({2, 3} <= set(got)), "normalized duplicate not dropped"
         assert 1 in got
+
+
+class TestDriftMonitoring:
+    def test_windowed_buckets_match_batch(self, spark, events_stream, events_batch):
+        from datajudge_spark.operators.stats import value_bucket
+
+        out = windowed_value_buckets(
+            events_stream, "event_ts", "value",
+            lo=0.0, hi=500.0, n_buckets=10,
+            window="6 hours", watermark="1 hour",
+        )
+        query = (
+            out.writeStream.format("memory")
+            .queryName("win_buckets")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        got = {
+            (r.win.start, r.bucket): r.n
+            for r in spark.sql("SELECT * FROM win_buckets").collect()
+        }
+        expected = {
+            (r.ws, r.bucket): r.n
+            for r in events_batch.where(F.col("value").isNotNull())
+            .groupBy(
+                F.window("event_ts", "6 hours").start.alias("ws"),
+                value_bucket("value", 0.0, 500.0, 10).alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got, "no windows emitted"
+        for key, n in got.items():
+            assert expected[key] == n
+
+    def test_driver_psi_fold_agrees_with_batch_operator(self, spark, events_batch):
+        # the driver-side PSI fold over histograms must equal the
+        # distributed batch PSI on the same populations
+        from datajudge_spark.operators.stats import (
+            psi_drift_conditional,
+            value_bucket,
+        )
+        from datajudge_spark.streaming import psi_between_histograms
+
+        def hist(cond):
+            rows = (
+                events_batch.where(F.col("value").isNotNull() & cond)
+                .groupBy(value_bucket("value", 0.0, 500.0, 10).alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            return {r.b: r.n for r in rows}
+
+        click = F.col("event_type") == "click"
+        view = F.col("event_type") == "view"
+        folded = psi_between_histograms(hist(click), hist(view), 10)
+        dist = psi_drift_conditional(
+            events_batch, "value", click, view, 0.0, 500.0, 10
+        ).collect()[0].psi
+        assert abs(folded - dist) < 1e-6
+
+    def test_psi_two_frame_matches_conditional(self, spark, events_batch):
+        from datajudge_spark.operators.stats import (
+            psi_drift,
+            psi_drift_conditional,
+        )
+
+        click = events_batch.where(F.col("event_type") == "click")
+        view = events_batch.where(F.col("event_type") == "view")
+        two = psi_drift(click, view, "value", 0.0, 500.0, 10).collect()[0].psi
+        one = psi_drift_conditional(
+            events_batch,
+            "value",
+            F.col("event_type") == "click",
+            F.col("event_type") == "view",
+            0.0,
+            500.0,
+            10,
+        ).collect()[0].psi
+        assert two == one
