@@ -101,3 +101,56 @@ class KolmogorovSmirnov2Sample(Constraint):
         if not result:
             return TestResult.failure(assertion_text, self.get_description())
         return TestResult.success()
+
+
+class PopulationStabilityIndex(Constraint):
+    """PSI drift gate between two samples — extension, no reference
+    counterpart (datajudge's only distribution test is the KS 2-sample).
+
+    PSI over fixed-width buckets with Laplace smoothing; the statistic
+    is computed in-engine (``operators.stats.psi_drift``, one
+    conditional-agg scan per side) and only the scalar crosses to the
+    driver. Conventional reading: < 0.1 stable, 0.1-0.25 moderate,
+    > 0.25 drifted.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        max_psi: float,
+        lo: float,
+        hi: float,
+        n_buckets: int = 10,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        self._max_psi = max_psi
+        self._lo, self._hi, self._n_buckets = lo, hi, n_buckets
+        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        if self._ref2 is None:
+            raise ValueError("PopulationStabilityIndex requires ref2.")
+        from ..operators.stats import psi_drift
+
+        col1 = self._ref.get_column(engine)
+        col2 = self._ref2.get_column(engine)
+        df1 = self._ref.get_selection(engine)
+        df2 = self._ref2.get_selection(engine)
+        if col2 != col1:
+            from pyspark.sql import functions as F
+
+            df2 = df2.select(F.col(col2).alias(col1))
+        psi = psi_drift(
+            df1, df2, col1, self._lo, self._hi, self._n_buckets
+        ).collect()[0]["psi"]
+        if psi <= self._max_psi:
+            return TestResult.success()
+        assertion_text = (
+            f"Population stability index between {self._ref} and "
+            f"{self._target_prefix} is {psi}, exceeding the maximum "
+            f"{self._max_psi} ({self._n_buckets} buckets over "
+            f"[{self._lo}, {self._hi})). "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -1491,3 +1491,37 @@ class BetweenRequirement(Requirement):
                 ref, ref2, significance_level, name=name, cache_size=cache_size
             )
         )
+
+    def add_psi_constraint(
+        self,
+        column1: str,
+        column2: str,
+        max_psi: float,
+        lo: float,
+        hi: float,
+        n_buckets: int = 10,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): bound the population
+        stability index between ``column1``'s and ``column2``'s
+        distributions over ``n_buckets`` fixed-width buckets spanning
+        ``[lo, hi)``. Convention: < 0.1 stable, > 0.25 drifted."""
+        if not column1 or not column2:
+            raise ValueError(
+                "Column names have to be given for this test's functionality."
+            )
+        if hi <= lo or n_buckets < 2:
+            raise ValueError(
+                "Bucketing requires hi > lo and at least 2 buckets."
+            )
+        ref = DataReference(self._data_source, [column1], condition=condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition=condition2)
+        self._constraints.append(
+            stats_constraints.PopulationStabilityIndex(
+                ref, ref2, max_psi, lo, hi, n_buckets,
+                name=name, cache_size=cache_size,
+            )
+        )

@@ -71,13 +71,29 @@ def main() -> None:
     dirty = contam.where(F.col("contamination") > 0.8)
     print(f"contaminated eval docs dropped: {dirty.count()}")
 
-    # 6. deterministic train/val split of the train side (90/10, stable
-    #    under any repartitioning)
-    val = sampling.deterministic_sample(train, "doc_id", 10, salt="val")
+    # 6. leakage-safe train/val split: whole SOURCES are assigned to a
+    #    split (near-dups within a source can never straddle train/val);
+    #    the audit digest is one conditional-agg scan
+    split_audit = sampling.group_split_counts(train, "source", val_rate=10)
+    for r in split_audit.collect():
+        print(f"split {r.split}: {r.n_rows} docs from {r.n_groups} sources")
+    val = sampling.deterministic_sample(train, "source", 10, salt="split")
     trn = train.join(val.select("doc_id"), "doc_id", "anti")
-    print(f"train: {trn.count()}  val: {val.count()}")
 
-    # 7. context-window chunks
+    # 7. mixture weights for the final training mix (alpha=0.5
+    #    up-weights small sources)
+    for r in sampling.mixture_weights(trn, "source").collect():
+        print(f"source {r.source}: weight {r.weight}")
+
+    # 8. drift gate: the curated corpus must still match the raw
+    #    length distribution (PSI < 0.25 = no destructive filtering)
+    from datajudge_spark.operators.stats import psi_drift
+
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    psi = psi_drift(raw, trn, "n_chars", 0.0, 2000.0, 10).collect()[0].psi
+    print(f"length-distribution PSI raw vs curated: {psi}")
+
+    # 9. context-window chunks
     chunks = text.chunk_documents(trn, "doc_id", "text", chunk_tokens=16)
     print(f"train chunks: {chunks.count()}")
 

@@ -218,6 +218,23 @@ class TestCrossCdfGolden:
         with pytest.raises(ValueError):
             req.add_ks_2sample_constraint("col_int", "col_int", significance_level=0)
 
+    def test_psi_identical_passes_and_drift_fails(
+        self, spark, int_table1, int_square_table
+    ):
+        # identical populations: PSI == 0 -> pass at any threshold
+        req = between_req(int_table1, int_table1, "t1", "t1b")
+        req.add_psi_constraint("col_int", "col_int", 0.0, lo=0.0, hi=100.0)
+        assert outcomes(req, spark) == [True]
+        # squared values drift far out of the shared bucket range -> fail
+        req2 = between_req(int_table1, int_square_table, "t1", "sq")
+        req2.add_psi_constraint("col_int", "col_int", 0.1, lo=0.0, hi=100.0)
+        assert outcomes(req2, spark) == [False]
+
+    def test_psi_validation(self, spark, int_table1):
+        req = between_req(int_table1, int_table1, "t1", "t1b")
+        with pytest.raises(ValueError):
+            req.add_psi_constraint("col_int", "col_int", 0.1, lo=5.0, hi=5.0)
+
 
 class TestMaxNullFractionBetween:
     def test_null_fraction(self, spark, unique_table1, unique_table2):
