@@ -928,6 +928,29 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_moving_avg_daily(spark, sf_dir):
+    # 7-day trailing moving average + day-over-day delta of order
+    # revenue. The ordered window runs on the DAILY frame (|distinct
+    # dates| rows, calendar-bounded), never the fact table. Revenue in
+    # integer cents: every window input is exact, so avg/lag are
+    # bit-deterministic across engines and partition orders.
+    from datajudge_spark.operators.timeseries import daily_totals, moving_stats
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+    )
+    daily = daily_totals(o, "o_orderdate", cents, alias="cents")
+    out = moving_stats(daily, "cents", window_days=7)
+    return out.select(
+        "day",
+        F.col("cents").alias("total_cents"),
+        F.col("moving_avg").alias("moving_avg_cents"),
+        F.col("delta").alias("delta_cents"),
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # production drift metric: PSI between the click and view value
     # distributions over fixed buckets, BOTH histograms from one
@@ -1081,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "psi_drift": q_psi_drift,
+        "moving_avg_daily": q_moving_avg_daily,
         "profile_table": q_profile_table,
         "corr_matrix": q_corr_matrix,
         "grouped_topk": q_grouped_topk,
@@ -1792,6 +1816,17 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS frame_len, "
             "md5(substring(text, CAST(1 + k * 64 AS BIGINT), 16)) "
             "AS frame_md5 FROM f"
+        ),
+        "moving_avg_daily": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) "
+            "AS cents FROM orders GROUP BY 1) "
+            "SELECT day, cents AS total_cents, "
+            "round(avg(cents) OVER (ORDER BY day "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) "
+            "AS moving_avg_cents, "
+            "cents - lag(cents, 1) OVER (ORDER BY day) AS delta_cents "
+            "FROM d"
         ),
         "psi_drift": (
             "WITH j AS (SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) "

@@ -10,13 +10,16 @@ values, not data).
 
 Scale notes
 -----------
-* ``profile_numeric`` is one scan + one partial-aggregated shuffle of a
-  single row per partition.  The exact distinct counts make Catalyst
-  insert one Expand (data duplicated |columns| ways before the partial
-  agg) — still one scan, and the expanded rows carry only the profiled
-  columns, not the full row.  For quick-look profiling at extreme scale
-  swap ``exact_distinct=False`` to use HLL sketches
-  (``approx_count_distinct``) and the Expand disappears.
+* ``profile_numeric`` with ``exact_distinct=False`` (HLL sketches) is
+  ONE scan + one partial-aggregated shuffle of a single row per
+  partition — the scale mode.  Exact mode runs a SECOND aggregate for
+  the distinct counts and cross-joins the two 1-row frames: mixing
+  multi-``count_distinct`` with ordinary aggregates in one agg makes
+  Catalyst's RewriteDistinctAggregates emit an Expand plan whose
+  analysis cost blows up super-linearly in the aggregate count
+  (measured 4-46 s of driver planning for 4 columns x 5 stats vs a
+  stable ~2 s split) — two clean aggregates beat one pathological one,
+  and the extra scan reads only the profiled columns.
 * ``pairwise_corr`` computes all column-pair Pearson correlations in ONE
   aggregate using Spark's numerically stable one-pass co-moment
   implementation — |pairs| running co-moments updated per row, one scan,
@@ -52,19 +55,22 @@ def profile_numeric(
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in columns:
-        distinct = (
-            F.count_distinct(F.col(c))
-            if exact_distinct
-            else F.approx_count_distinct(c)
-        )
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
-            distinct.alias(f"__nd_{c}"),
             F.min(c).cast("double").alias(f"__mn_{c}"),
             F.max(c).cast("double").alias(f"__mx_{c}"),
             F.sum(F.col(c).cast("decimal(28,8)")).alias(f"__sm_{c}"),
         ]
+        if not exact_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
     one = df.agg(*aggs)
+    if exact_distinct:
+        # separate distinct-only aggregate (see module docstring), glued
+        # on as a 1-row x 1-row cross join
+        distincts = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"__nd_{c}") for c in columns]
+        )
+        one = one.crossJoin(distincts)
 
     rows = [
         F.struct(

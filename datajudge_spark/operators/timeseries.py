@@ -1,0 +1,55 @@
+"""Time-series rollups: moving averages and growth over daily totals.
+
+No reference counterpart (datajudge's date operators stop at span/gap
+checks, db_access.py:302-313); this is the standard monitoring surface a
+warehouse team expects next to them.
+
+Scale design: the ordered window NEVER runs over raw rows.  The corpus
+first aggregates to one row per day (partial-agg'd shuffle on the date),
+and the ``ORDER BY date`` window runs on that frame, whose size is
+|distinct dates| — bounded by the calendar (decades ~ 10^4 rows), not by
+the 100 TB fact table.  Same bounded-domain argument as the cross-CDF
+histogram construction (operators/stats.py).  A single-partition sort of
+10^4 rows is microseconds; the expensive part (the scan + daily agg)
+stays fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_totals(
+    df: DataFrame, date_col: str, value: Column, alias: str = "total"
+) -> DataFrame:
+    """One row per day: ``day, total`` (partial-agg'd single shuffle)."""
+    return (
+        df.groupBy(F.col(date_col).cast("date").alias("day"))
+        .agg(value.alias(alias))
+    )
+
+
+def moving_stats(
+    daily: DataFrame,
+    value_col: str = "total",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing moving average and previous-period delta over a daily
+    frame.
+
+    ``moving_avg`` = mean of the last ``window_days`` *present* rows
+    (standard trailing window over observed days), ``delta`` = change vs
+    the previous present day.  Input must already be one-row-per-day
+    (:func:`daily_totals`) so the ordered window is calendar-bounded.
+    """
+    w_trail = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    w_lag = Window.orderBy("day")
+    return daily.select(
+        "day",
+        value_col,
+        F.round(F.avg(value_col).over(w_trail), 6).alias("moving_avg"),
+        F.round(
+            F.col(value_col) - F.lag(value_col, 1).over(w_lag), 6
+        ).alias("delta"),
+    )
