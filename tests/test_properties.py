@@ -204,3 +204,73 @@ class TestRepetitionFoldProperty:
             assert out[i].dup_token_fraction == round(
                 1.0 - len(set(eff)) / len(eff), 6
             )
+
+
+class TestPsiProperty:
+    @given(
+        vals=st.lists(
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+            min_size=5, max_size=40,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_identical_populations_zero_and_matches_numpy(self, spark, vals):
+        import math
+
+        from datajudge_spark.operators.stats import psi_drift
+
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        assert psi_drift(df, df, "v", 0.0, 100.0, 5).collect()[0].psi == 0.0
+
+        # against an independent driver-side computation on a shifted copy
+        shifted = [min(v + 17.0, 100.0) for v in vals]
+        df2 = spark.createDataFrame([(v,) for v in shifted], "v double")
+        got = psi_drift(df, df2, "v", 0.0, 100.0, 5).collect()[0].psi
+
+        def bucket(v):
+            return min(max(int(math.floor(v / 20.0)), 0), 4)
+
+        c1, c2 = {}, {}
+        for v in vals:
+            c1[bucket(v)] = c1.get(bucket(v), 0) + 1
+        for v in shifted:
+            c2[bucket(v)] = c2.get(bucket(v), 0) + 1
+        t1, t2 = len(vals) + 2.5, len(shifted) + 2.5
+        expect = 0.0
+        for b in range(5):
+            if c1.get(b, 0) == 0 and c2.get(b, 0) == 0:
+                continue
+            p, q = (c1.get(b, 0) + 0.5) / t1, (c2.get(b, 0) + 0.5) / t2
+            expect += (p - q) * math.log(p / q)
+        assert got == pytest.approx(round(expect, 6), abs=2e-6)
+
+
+class TestMovingStatsProperty:
+    @given(
+        totals=st.lists(
+            st.integers(min_value=0, max_value=10**6),
+            min_size=1, max_size=25,
+        ),
+        window_days=st.integers(min_value=1, max_value=9),
+    )
+    @settings(**SETTINGS)
+    def test_matches_pandas_rolling(self, spark, totals, window_days):
+        from datajudge_spark.operators.timeseries import moving_stats
+
+        days = [_BASE.date() + dt.timedelta(days=3 * i) for i in range(len(totals))]
+        daily = spark.createDataFrame(
+            list(zip(days, totals)), "day date, total long"
+        )
+        got = {
+            r.day: (r.moving_avg, r.delta)
+            for r in moving_stats(daily, "total", window_days).collect()
+        }
+        s = pd.Series(totals, index=days)
+        avg = s.rolling(window_days, min_periods=1).mean()
+        delta = s.diff()
+        for i, day in enumerate(days):
+            assert got[day][0] == pytest.approx(round(avg.iloc[i], 6))
+            if i == 0:
+                assert got[day][1] is None
+            else:
+                assert got[day][1] == int(delta.iloc[i])
