@@ -179,3 +179,11 @@ def test_moving_avg_window_runs_on_daily_frame(spark):
     assert plan.index("Window") < plan.index("HashAggregate")
     # map-side partial aggregation of the daily totals
     assert "partial_sum" in plan
+
+
+def test_salted_join_joins_on_salt(spark):
+    # the physical join keys must include the salt column — each hot
+    # key's rows split across num_salts reducers
+    plan = _executed_plan(entrymod.q_salted_join_agg(spark, SF_DIR))
+    assert "__salt" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
