@@ -928,6 +928,24 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_categorical_entropy(spark, sf_dir):
+    # Shannon entropy / HHI / top-share of the event_type distribution —
+    # the "is this key skewed?" digest. Computed via c-sum identities
+    # (entropy = ln N - sum(c ln c)/N): one count shuffle + one folded
+    # agg, no per-key share materialization, no window
+    from datajudge_spark.operators.profile import distribution_stats
+
+    return distribution_stats(_t(spark, sf_dir, "events"), "event_type")
+
+
+def q_key_skew(spark, sf_dir):
+    # same diagnostics on a HIGH-cardinality join key (l_orderkey):
+    # hhi ~ 1/n_distinct -> uniform, top_share ~ 1 -> salt the join
+    from datajudge_spark.operators.profile import distribution_stats
+
+    return distribution_stats(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
 def q_salted_join_agg(spark, sf_dir):
     # skew-resistant fact-dim join: large side salted 8 ways on a
     # deterministic row hash, dim exploded x8, join on (key, salt) —
@@ -1131,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "moving_avg_daily": q_moving_avg_daily,
         "salted_join_agg": q_salted_join_agg,
+        "categorical_entropy": q_categorical_entropy,
+        "key_skew": q_key_skew,
         "profile_table": q_profile_table,
         "corr_matrix": q_corr_matrix,
         "grouped_topk": q_grouped_topk,
@@ -1842,6 +1862,34 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS frame_len, "
             "md5(substring(text, CAST(1 + k * 64 AS BIGINT), 16)) "
             "AS frame_md5 FROM f"
+        ),
+        "categorical_entropy": (
+            "WITH c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS c, "
+            "count(*) AS ci FROM events WHERE event_type IS NOT NULL "
+            "GROUP BY event_type), "
+            "f AS (SELECT CAST(sum(ci) AS BIGINT) AS s1, count(*) AS n_distinct, "
+            "sum(c * c) AS s2, sum(c * ln(c)) AS s3, "
+            "CAST(max(ci) AS BIGINT) AS mx FROM c) "
+            "SELECT s1 AS n_rows, n_distinct, "
+            "round(ln(CAST(s1 AS DOUBLE)) - s3 / CAST(s1 AS DOUBLE), 6) "
+            "AS entropy, "
+            "round(s2 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS hhi, "
+            "round(CAST(mx AS DOUBLE) / CAST(s1 AS DOUBLE), 6) AS top_share "
+            "FROM f"
+        ),
+        "key_skew": (
+            "WITH c AS (SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS c, "
+            "count(*) AS ci FROM lineitem WHERE l_orderkey IS NOT NULL "
+            "GROUP BY l_orderkey), "
+            "f AS (SELECT CAST(sum(ci) AS BIGINT) AS s1, count(*) AS n_distinct, "
+            "sum(c * c) AS s2, sum(c * ln(c)) AS s3, "
+            "CAST(max(ci) AS BIGINT) AS mx FROM c) "
+            "SELECT s1 AS n_rows, n_distinct, "
+            "round(ln(CAST(s1 AS DOUBLE)) - s3 / CAST(s1 AS DOUBLE), 6) "
+            "AS entropy, "
+            "round(s2 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS hhi, "
+            "round(CAST(mx AS DOUBLE) / CAST(s1 AS DOUBLE), 6) AS top_share "
+            "FROM f"
         ),
         "salted_join_agg": (
             "SELECT o_orderpriority, count(*) AS n_items, "

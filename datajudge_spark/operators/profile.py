@@ -132,3 +132,46 @@ def grouped_topk(
         df.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def distribution_stats(df: DataFrame, column: str) -> DataFrame:
+    """Concentration diagnostics of a key/categorical distribution.
+
+    One row: ``n_rows, n_distinct, entropy`` (Shannon, nats), ``hhi``
+    (Herfindahl-Hirschman index, sum of squared shares) and ``top_share``
+    (largest key's fraction).  This is the "do I need to salt this key?"
+    metric: hhi near 1/n_distinct means uniform keys (shuffle balances),
+    top_share near 1 means one hot key owns the shuffle (salt it, see
+    ``operators.skew.salted_join``).
+
+    Plan: one partial-agg'd count shuffle over the corpus, then ONE
+    map-side-combined aggregate over the |distinct|-row count frame —
+    no window, no single-partition stage at any key cardinality.  The
+    shares never materialize per key: with N = sum(c) the identities
+
+        entropy = ln N - (sum(c * ln c)) / N
+        hhi     = sum(c^2) / N^2
+        top     = max(c) / N
+
+    turn the whole computation into four plain sums/maxes of the raw
+    counts, normalized in a final 1-row projection.  Values round to 6.
+    """
+    counts = df.where(F.col(column).isNotNull()).groupBy(column).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    c = F.col("__cnt").cast("double")
+    folded = counts.agg(
+        F.sum("__cnt").alias("__s1"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(c * c).alias("__s2"),
+        F.sum(c * F.log(c)).alias("__s3"),
+        F.max("__cnt").alias("__mx"),
+    )
+    n = F.col("__s1").cast("double")
+    return folded.select(
+        F.col("__s1").alias("n_rows"),
+        "n_distinct",
+        F.round(F.log(n) - F.col("__s3") / n, 6).alias("entropy"),
+        F.round(F.col("__s2") / (n * n), 6).alias("hhi"),
+        F.round(F.col("__mx") / n, 6).alias("top_share"),
+    )

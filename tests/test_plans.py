@@ -187,3 +187,13 @@ def test_salted_join_joins_on_salt(spark):
     plan = _executed_plan(entrymod.q_salted_join_agg(spark, SF_DIR))
     assert "__salt" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_key_skew_no_window_two_aggregates(spark):
+    # entropy/HHI via c-sum identities: per-key counts then one folded
+    # aggregate — NO window, so no |distinct|-row single-partition stage
+    # even on a high-cardinality key
+    plan = _executed_plan(entrymod.q_key_skew(spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan
