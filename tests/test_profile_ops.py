@@ -1,0 +1,109 @@
+"""Unit tests for the profiling / distribution / timeseries operators:
+nulls, ties, degenerate rates — the edges the contract queries (which run
+on the null-free synthetic tables) cannot reach."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datajudge_spark.operators.profile import (
+    distribution_stats,
+    grouped_topk,
+    pairwise_corr,
+    profile_numeric,
+)
+from datajudge_spark.pipeline.sampling import group_split_counts, mixture_weights
+
+
+class TestProfileNumeric:
+    def test_nulls_excluded_from_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1.0,), (None,), (3.0,), (None,), (5.0,)], "v double"
+        )
+        r = profile_numeric(df, ["v"]).collect()[0]
+        assert r.n_rows == 5 and r.n_nulls == 2 and r.n_distinct == 3
+        assert r.min_val == 1.0 and r.max_val == 5.0
+        assert r.mean_val == 3.0  # mean over the 3 non-nulls
+
+    def test_all_null_column(self, spark):
+        df = spark.createDataFrame([(None,), (None,)], "v double")
+        r = profile_numeric(df, ["v"]).collect()[0]
+        assert r.n_nulls == 2 and r.n_distinct == 0
+        assert r.min_val is None and r.mean_val is None
+
+    def test_approx_mode_counts_match_exact_on_small_domain(self, spark):
+        df = spark.range(0, 1000).selectExpr("cast(id % 7 as double) as v")
+        exact = profile_numeric(df, ["v"], exact_distinct=True).collect()[0]
+        approx = profile_numeric(df, ["v"], exact_distinct=False).collect()[0]
+        assert exact.n_distinct == 7
+        assert abs(approx.n_distinct - 7) <= 1  # HLL exact at tiny cardinality
+
+
+class TestPairwiseCorr:
+    def test_perfect_and_inverse(self, spark):
+        df = spark.range(1, 100).selectExpr(
+            "cast(id as double) x",
+            "cast(2 * id as double) y",
+            "cast(-id as double) z",
+        )
+        rows = {(r.col_x, r.col_y): r.corr for r in pairwise_corr(df, ["x", "y", "z"]).collect()}
+        assert rows[("x", "y")] == 1.0
+        assert rows[("x", "z")] == -1.0
+
+
+class TestGroupedTopk:
+    def test_ties_break_deterministically(self, spark):
+        # equal order values: the id tiebreak must pick the same rows
+        # under any partitioning
+        rows = [(g, i, 100) for g in ("a", "b") for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, id long, v long")
+        for n_part in (1, 7):
+            out = grouped_topk(
+                df.repartition(n_part),
+                "g",
+                [F.col("v").desc(), F.col("id").asc()],
+                3,
+            ).collect()
+            picked = sorted((r.g, r.id) for r in out)
+            assert picked == [("a", 0), ("a", 1), ("a", 2),
+                              ("b", 0), ("b", 1), ("b", 2)]
+
+
+class TestDistributionStats:
+    def test_single_key_degenerate(self, spark):
+        df = spark.createDataFrame([("x",)] * 50, "k string")
+        r = distribution_stats(df, "k").collect()[0]
+        assert r.n_distinct == 1 and r.entropy == 0.0
+        assert r.hhi == 1.0 and r.top_share == 1.0
+
+    def test_skewed_key_flags_high_top_share(self, spark):
+        rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+        df = spark.createDataFrame(rows, "k string")
+        r = distribution_stats(df, "k").collect()[0]
+        assert r.top_share == 0.9
+        assert r.hhi > 0.8
+        assert r.entropy < math.log(11)
+
+
+class TestSamplingEdges:
+    def test_split_rate_zero_all_train(self, spark):
+        df = spark.createDataFrame([(f"s{i}", i) for i in range(40)], "g string, v long")
+        rows = group_split_counts(df, "g", val_rate=0).collect()
+        assert [r.split for r in rows] == ["train"] and rows[0].n_rows == 40
+
+    def test_mixture_alpha_one_proportional(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 30 + [("b",)] * 10, "source string"
+        )
+        w = {r.source: r.weight for r in mixture_weights(df, "source", alpha=1.0).collect()}
+        assert w["a"] == 0.75 and w["b"] == 0.25
+
+    def test_mixture_alpha_zero_uniform(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 30 + [("b",)] * 10, "source string"
+        )
+        w = {r.source: r.weight for r in mixture_weights(df, "source", alpha=0.0).collect()}
+        assert w["a"] == w["b"] == 0.5
