@@ -928,6 +928,19 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_dedup_editdistance(spark, sf_dir):
+    # edit-distance near-dup pairs: prefix-blocked equi-join (never a
+    # cross product), length-difference lower bound, Levenshtein over a
+    # bounded compare window; digest = pair rows (d1, d2, distance)
+    from datajudge_spark.pipeline.dedup import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        d, "doc_id", "text", max_distance=5,
+        prefix_chars=16, compare_chars=256,
+    )
+
+
 def q_categorical_entropy(spark, sf_dir):
     # Shannon entropy / HHI / top-share of the event_type distribution —
     # the "is this key skewed?" digest. Computed via c-sum identities
@@ -1149,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "moving_avg_daily": q_moving_avg_daily,
         "salted_join_agg": q_salted_join_agg,
+        "dedup_editdistance": q_dedup_editdistance,
         "categorical_entropy": q_categorical_entropy,
         "key_skew": q_key_skew,
         "profile_table": q_profile_table,
@@ -1862,6 +1876,15 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS frame_len, "
             "md5(substring(text, CAST(1 + k * 64 AS BIGINT), 16)) "
             "AS frame_md5 FROM f"
+        ),
+        "dedup_editdistance": (
+            "WITH t AS (SELECT doc_id, substr(text, 1, 256) AS cmp, "
+            "length(text) AS n, substr(text, 1, 16) AS pfx FROM documents) "
+            "SELECT a.doc_id AS d1, b.doc_id AS d2, "
+            "CAST(levenshtein(a.cmp, b.cmp) AS INT) AS distance "
+            "FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id "
+            "AND abs(a.n - b.n) <= 5 "
+            "WHERE levenshtein(a.cmp, b.cmp) <= 5"
         ),
         "categorical_entropy": (
             "WITH c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS c, "

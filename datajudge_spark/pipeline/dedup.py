@@ -432,3 +432,56 @@ def _clusters_propagate(edges_df: DataFrame, max_iterations: int) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 5,
+    prefix_chars: int = 16,
+    compare_chars: int = 256,
+) -> DataFrame:
+    """Near-duplicate pairs by (prefix) Levenshtein distance.
+
+    The edit-distance modality complements the others: MinHash/Jaccard
+    and SimHash are token-order-insensitive, while edit distance catches
+    small in-place edits (typo fixes, appended suffixes) that reorder
+    nothing.  Returns ``(d1, d2, distance)`` with ``d1 < d2`` and
+    ``distance <= max_distance``.
+
+    Scale design: pairwise Levenshtein over a corpus is quadratic, so
+    candidates are BLOCKED on an exact ``prefix_chars``-character prefix
+    match (an equi-join — hash-partitioned, never a cross product) plus
+    a length-difference filter (|len1-len2| <= max_distance is a hard
+    lower bound on edit distance).  Only the first ``compare_chars``
+    characters and the length shuffle — never full documents — and the
+    distance computed is the *prefix* edit distance over that window
+    (documented approximation; raise ``compare_chars`` for exactness on
+    longer docs at proportional O(compare_chars^2)-per-pair cost).
+    Prefix blocking targets suffix/in-place edits by construction; docs
+    whose edits touch the first ``prefix_chars`` characters are MinHash's
+    job, not this pass's.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(text_col, 1, compare_chars).alias("__cmp"),
+        F.length(text_col).alias("__len"),
+        F.substring(text_col, 1, prefix_chars).alias("__pfx"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__pfx") == F.col("b.__pfx"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.__len") - F.col("b.__len")) <= max_distance),
+    )
+    d = F.levenshtein(F.col("a.__cmp"), F.col("b.__cmp"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            d.alias("distance"),
+        )
+        .where(F.col("distance") <= max_distance)
+    )

@@ -197,3 +197,11 @@ def test_key_skew_no_window_two_aggregates(spark):
     assert "Window" not in plan
     assert plan.count("Scan parquet") == 1
     assert "partial_count" in plan
+
+
+def test_editdistance_blocked_equijoin_not_cartesian(spark):
+    # prefix blocking must compile to a hash equi-join, never
+    # BroadcastNestedLoop/Cartesian over the corpus
+    plan = _executed_plan(entrymod.q_dedup_editdistance(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

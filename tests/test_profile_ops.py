@@ -107,3 +107,37 @@ class TestSamplingEdges:
         )
         w = {r.source: r.weight for r in mixture_weights(df, "source", alpha=0.0).collect()}
         assert w["a"] == w["b"] == 0.5
+
+
+class TestEditDistancePairs:
+    def test_known_edits(self, spark):
+        from datajudge_spark.pipeline.dedup import edit_distance_pairs
+
+        rows = [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jump"),     # 1 deletion
+            (3, "the quick brown cat jumps"),    # 3 substitutions vs 1
+            (4, "a totally different sentence"),
+            (5, "the quick brown fox jumps!!"),  # 2 insertions vs 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.d1, r.d2): r.distance
+            for r in edit_distance_pairs(
+                df, "doc_id", "text", max_distance=3, prefix_chars=10
+            ).collect()
+        }
+        assert got[(1, 2)] == 1
+        assert got[(1, 3)] == 3
+        assert got[(1, 5)] == 2
+        assert all(4 not in pair for pair in got)
+
+    def test_length_bound_prunes(self, spark):
+        from datajudge_spark.pipeline.dedup import edit_distance_pairs
+
+        rows = [(1, "prefixprefix short"), (2, "prefixprefix much much longer text")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = edit_distance_pairs(
+            df, "doc_id", "text", max_distance=3, prefix_chars=12
+        ).collect()
+        assert out == []  # length gap > max_distance: never compared
