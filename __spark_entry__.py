@@ -696,6 +696,29 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.decode_media_meta(media)
 
 
+def q_asof_join_forward(spark, sf_dir):
+    # forward as-of: each event enriched with the customer's NEXT order
+    # at-or-after the event (same single-shuffle union+window plan,
+    # frame direction flipped)
+    from datajudge_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        ev, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderkey"], direction="forward",
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.sum("o_orderkey").alias("matched_orderkey_sum"),
+    )
+
+
 def q_asof_join(spark, sf_dir):
     # each event enriched with the customer's most recent prior order
     from datajudge_spark.operators.asof import asof_join
@@ -1146,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": q_source_quality_report,
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
         "sessionize": q_sessionize,
         "topk_revenue": q_topk_revenue,
         "rollup_agg": q_rollup_agg,
@@ -1741,6 +1765,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(o2.o_orderkey) AS BIGINT) AS matched_orderkey_sum "
             "FROM events e ASOF LEFT JOIN o2 "
             "ON e.user_id = o2.user_id AND e.ts >= o2.o_orderdate"
+        ),
+        "asof_join_forward": (
+            "WITH o2 AS (SELECT o_custkey AS user_id, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) "
+            "SELECT count(*) AS n_events, "
+            "count(o2.o_orderkey) AS n_matched, "
+            "CAST(sum(o2.o_orderkey) AS BIGINT) AS matched_orderkey_sum "
+            "FROM events e ASOF LEFT JOIN o2 "
+            "ON e.user_id = o2.user_id AND e.ts <= o2.o_orderdate"
         ),
         "sessionize": (
             "WITH flagged AS (SELECT user_id, ts, "

@@ -39,42 +39,79 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
-    """Enrich ``left`` with the most recent ``right`` row per key.
+    """Enrich ``left`` with the nearest ``right`` row per key.
+
+    ``direction="backward"`` (default) matches the greatest right time
+    <= the left time; ``"forward"`` the smallest right time >= it —
+    the two pandas ``merge_asof`` directions. ``tolerance`` (a Column,
+    e.g. ``F.expr("INTERVAL 1 HOUR")`` or a numeric literal) nulls the
+    payload when the matched time is farther than that from the left
+    time. Same single-shuffle plan in every mode: only the window frame
+    direction and a post-projection change.
 
     Returns all ``left`` columns plus ``payload_cols`` (null when no
-    right row precedes the left row). ``on`` is the equality key present
-    in both sides; ``left_time``/``right_time`` must be mutually
-    comparable (both timestamps or both numerics).
+    right row qualifies). ``on`` is the equality key present in both
+    sides; ``left_time``/``right_time`` must be mutually comparable
+    (both timestamps or both numerics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     payload_cols = payload_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
+    fills = list(payload_cols)
+    if tolerance is not None:
+        fills.append("__asof_t")
+        right = right.withColumn("__asof_t", F.col(right_time))
     lhs = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).alias(f"_p_{c}") for c in payload_cols],
+        *[F.lit(None).alias(f"_p_{c}") for c in fills],
     )
     rhs = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).alias(c) for c in left.columns],
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        *[F.col(c).alias(f"_p_{c}") for c in fills],
     )
     merged = lhs.unionByName(rhs)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled_cols: list[Column] = [
-        F.last(f"_p_{c}", ignorenulls=True).over(w).alias(c) for c in payload_cols
-    ]
+    if direction == "backward":
+        # right rows (side 0) sort before left at equal times: <= match
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # left rows first at equal times, frame looks ahead: >= match
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", F.desc("_side"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    filled: dict[str, Column] = {c: fill(f"_p_{c}") for c in fills}
+    if tolerance is not None:
+        gap = (
+            F.col("_t") - filled["__asof_t"]
+            if direction == "backward"
+            else filled["__asof_t"] - F.col("_t")
+        )
+        in_tol = filled["__asof_t"].isNotNull() & (gap <= tolerance)
+        payload_out = [
+            F.when(in_tol, filled[c]).alias(c) for c in payload_cols
+        ]
+    else:
+        payload_out = [filled[c].alias(c) for c in payload_cols]
     return (
-        merged.select(*left.columns, F.col("_side"), *filled_cols)
+        merged.select(*left.columns, F.col("_side"), *payload_out)
         .where(F.col("_side") == 1)
         .drop("_side")
     )

@@ -274,3 +274,64 @@ class TestMovingStatsProperty:
                 assert got[day][1] is None
             else:
                 assert got[day][1] == int(delta.iloc[i])
+
+
+class TestAsofDirectionToleranceProperty:
+    @given(
+        left=_events_strategy(),
+        right=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 10**6)),
+            min_size=0,
+            max_size=40,
+        ),
+        direction=st.sampled_from(["backward", "forward"]),
+        tol_minutes=st.one_of(st.none(), st.integers(0, 120)),
+    )
+    @settings(**SETTINGS)
+    def test_matches_pandas_all_modes(self, spark, left, right, direction, tol_minutes):
+        from datajudge_spark.operators.asof import asof_join
+
+        rdf = (
+            pd.DataFrame(right, columns=["k", "m", "payload"])
+            .groupby(["k", "m"], as_index=False)["payload"].max()
+        )
+        ldf = pd.DataFrame(left, columns=["k", "m"])
+        ldf["lid"] = range(len(ldf))
+        ldf["t"] = ldf["m"].map(lambda m: _BASE + dt.timedelta(minutes=int(m)))
+        rdf["t"] = rdf["m"].map(lambda m: _BASE + dt.timedelta(minutes=int(m)))
+
+        sl = spark.createDataFrame(ldf[["lid", "k", "t"]])
+        sr = (
+            spark.createDataFrame(rdf[["k", "t", "payload"]])
+            if len(rdf)
+            else spark.createDataFrame([], "k long, t timestamp, payload long")
+        )
+        tol = (
+            None if tol_minutes is None
+            else F.expr(f"INTERVAL {tol_minutes} MINUTE")
+        )
+        got = {
+            r.lid: r.payload
+            for r in asof_join(
+                sl, sr, on="k", left_time="t", right_time="t",
+                payload_cols=["payload"], direction=direction, tolerance=tol,
+            ).collect()
+        }
+
+        if len(rdf) == 0:
+            expected = {int(lid): None for lid in ldf["lid"]}
+        else:
+            kw = {} if tol_minutes is None else {
+                "tolerance": pd.Timedelta(minutes=tol_minutes)
+            }
+            expected_df = pd.merge_asof(
+                ldf.sort_values(["t", "lid"]),
+                rdf.sort_values("t"),
+                on="t", by="k", direction=direction,
+                allow_exact_matches=True, **kw,
+            )
+            expected = {
+                int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+                for r in expected_df.itertuples()
+            }
+        assert got == expected
