@@ -696,6 +696,36 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.decode_media_meta(media)
 
 
+def q_range_join(spark, sf_dir):
+    # events landing inside each customer's 7-day post-order window:
+    # point-in-range join via fixed-width epoch buckets — ranges explode
+    # to ~1-2 buckets, points own ONE bucket, so it's a plain hash
+    # equi-join on (bucket, user) + exact containment filter; never a
+    # BroadcastNestedLoopJoin (asserted in test_plans)
+    from datajudge_spark.operators.range_join import range_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id"),
+        F.unix_timestamp("ts").alias("p"),
+    )
+    week = 7 * 86400
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp("o_orderdate").alias("start"),
+        (F.unix_timestamp("o_orderdate") + week).alias("end"),
+    )
+    joined = range_join(
+        ev, o, "p", "start", "end", bucket_width=week, keys=["user_id"]
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+    )
+
+
 def q_asof_join_forward(spark, sf_dir):
     # forward as-of: each event enriched with the customer's NEXT order
     # at-or-after the event (same single-shuffle union+window plan,
@@ -1170,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "topk_revenue": q_topk_revenue,
         "rollup_agg": q_rollup_agg,
@@ -1765,6 +1796,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(o2.o_orderkey) AS BIGINT) AS matched_orderkey_sum "
             "FROM events e ASOF LEFT JOIN o2 "
             "ON e.user_id = o2.user_id AND e.ts >= o2.o_orderdate"
+        ),
+        "range_join": (
+            "SELECT count(*) AS n_matched, "
+            "CAST(sum(e.event_id) AS BIGINT) AS sum_event_id, "
+            "CAST(sum(o.o_orderkey) AS BIGINT) AS sum_orderkey "
+            "FROM events e JOIN orders o ON e.user_id = o.o_custkey "
+            "AND epoch(e.ts) >= epoch(o.o_orderdate) "
+            "AND epoch(e.ts) < epoch(o.o_orderdate) + 7 * 86400"
         ),
         "asof_join_forward": (
             "WITH o2 AS (SELECT o_custkey AS user_id, o_orderdate, "

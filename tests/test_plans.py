@@ -205,3 +205,11 @@ def test_editdistance_blocked_equijoin_not_cartesian(spark):
     plan = _executed_plan(entrymod.q_dedup_editdistance(spark, SF_DIR))
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_equijoin_not_nested_loop(spark):
+    # bucketized interval join must be a hash equi-join on
+    # (bucket, key), never the theta join's BroadcastNestedLoopJoin
+    plan = _executed_plan(entrymod.q_range_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan

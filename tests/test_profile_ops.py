@@ -141,3 +141,69 @@ class TestEditDistancePairs:
             df, "doc_id", "text", max_distance=3, prefix_chars=12
         ).collect()
         assert out == []  # length gap > max_distance: never compared
+
+
+class TestRangeJoin:
+    def test_containment_and_boundaries(self, spark):
+        from datajudge_spark.operators.range_join import range_join
+
+        pts = spark.createDataFrame(
+            [(1, 5.0), (2, 10.0), (3, 19.9), (4, 20.0), (5, 4.9)],
+            "pid long, p double",
+        )
+        rng = spark.createDataFrame(
+            [(100, 5.0, 20.0)], "rid long, start double, end double"
+        )
+        got = sorted(
+            r.pid
+            for r in range_join(pts, rng, "p", "start", "end", 7.0).collect()
+        )
+        # start inclusive, end exclusive; bucket boundaries irrelevant
+        assert got == [1, 2, 3]
+
+    def test_keys_restrict_matches(self, spark):
+        from datajudge_spark.operators.range_join import range_join
+
+        pts = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "b", 5.0)], "pid long, k string, p double"
+        )
+        rng = spark.createDataFrame(
+            [(10, "a", 0.0, 10.0)], "rid long, k string, start double, end double"
+        )
+        got = [
+            (r.pid, r.rid)
+            for r in range_join(
+                pts, rng, "p", "start", "end", 5.0, keys=["k"]
+            ).collect()
+        ]
+        assert got == [(1, 10)]
+
+    def test_column_collision_rejected(self, spark):
+        from datajudge_spark.operators.range_join import range_join
+
+        pts = spark.createDataFrame([(1, 5.0)], "x long, p double")
+        rng = spark.createDataFrame([(2, 0.0, 9.0)], "x long, start double, end double")
+        with pytest.raises(ValueError):
+            range_join(pts, rng, "p", "start", "end", 5.0)
+
+    def test_matches_naive_theta_join(self, spark):
+        from datajudge_spark.operators.range_join import range_join
+
+        pts = spark.range(0, 200).selectExpr("id AS pid", "cast(id % 97 as double) AS p")
+        rng = spark.range(0, 30).selectExpr(
+            "id AS rid",
+            "cast(id * 3 as double) AS start",
+            "cast(id * 3 + 11 as double) AS end",
+        )
+        got = sorted(
+            (r.pid, r.rid)
+            for r in range_join(pts, rng, "p", "start", "end", 4.0).collect()
+        )
+        expected = sorted(
+            (r.pid, r.rid)
+            for r in pts.join(
+                rng,
+                (pts.p >= rng.start) & (pts.p < rng.end),
+            ).collect()
+        )
+        assert got == expected and len(got) > 0
