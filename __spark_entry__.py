@@ -1052,10 +1052,14 @@ def q_moving_avg_daily(spark, sf_dir):
     )
     daily = daily_totals(o, "o_orderdate", cents, alias="cents")
     out = moving_stats(daily, "cents", window_days=7)
+    # digest the moving average as its exact integer numerator +
+    # denominator: rounding avg-of-cents (~1.5e9) at 6 decimals sits ON
+    # double's ulp boundary, where engines legitimately disagree
     return out.select(
         "day",
         F.col("cents").alias("total_cents"),
-        F.col("moving_avg").alias("moving_avg_cents"),
+        F.col("moving_sum").alias("moving_sum_cents"),
+        "window_n",
         F.col("delta").alias("delta_cents"),
     )
 
@@ -1998,11 +2002,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) "
             "AS cents FROM orders GROUP BY 1) "
             "SELECT day, cents AS total_cents, "
-            "round(avg(cents) OVER (ORDER BY day "
-            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) "
-            "AS moving_avg_cents, "
+            "CAST(sum(cents) OVER w7 AS BIGINT) AS moving_sum_cents, "
+            "count(cents) OVER w7 AS window_n, "
             "cents - lag(cents, 1) OVER (ORDER BY day) AS delta_cents "
-            "FROM d"
+            "FROM d WINDOW w7 AS (ORDER BY day "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
         ),
         "psi_drift": (
             "WITH j AS (SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) "

@@ -5,6 +5,14 @@ This package is the Spark analog of the reference's ``db_access.py``
 (/root/reference/src/datajudge/db_access.py) — the single choke point where
 declarative constraints turn into executable plans. See SURVEY.md §2 for the
 operator inventory mapping.
+
+DataFrame-first operators with no reference counterpart live in their own
+modules and are imported from there directly (not re-exported here):
+``asof`` (point-in-time join), ``range_join`` (interval containment),
+``sessions`` (gaps-and-islands), ``skew`` (salted join), ``profile``
+(table profiler / correlations / per-group top-k / key diagnostics),
+``timeseries`` (calendar-bounded moving stats), ``stats`` additionally
+holds the PSI drift functions.
 """
 
 from .interval import (

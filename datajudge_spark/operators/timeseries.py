@@ -40,7 +40,12 @@ def moving_stats(
 
     ``moving_avg`` = mean of the last ``window_days`` *present* rows
     (standard trailing window over observed days), ``delta`` = change vs
-    the previous present day.  Input must already be one-row-per-day
+    the previous present day.  ``moving_sum``/``window_n`` are the exact
+    integer numerator/denominator of the average — for integer inputs
+    they are the lossless form (an avg of large integers rounds at
+    double's ulp boundary, which different engines resolve differently;
+    digests that must hash-match cross-engine should use sum+n, not the
+    rounded avg).  Input must already be one-row-per-day
     (:func:`daily_totals`) so the ordered window is calendar-bounded.
     """
     w_trail = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
@@ -49,6 +54,8 @@ def moving_stats(
         "day",
         value_col,
         F.round(F.avg(value_col).over(w_trail), 6).alias("moving_avg"),
+        F.sum(value_col).over(w_trail).alias("moving_sum"),
+        F.count(value_col).over(w_trail).alias("window_n"),
         F.round(
             F.col(value_col) - F.lag(value_col, 1).over(w_lag), 6
         ).alias("delta"),
