@@ -697,32 +697,34 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_range_join(spark, sf_dir):
-    # events landing inside each customer's 7-day post-order window:
-    # point-in-range join via fixed-width epoch buckets — ranges explode
-    # to ~1-2 buckets, points own ONE bucket, so it's a plain hash
-    # equi-join on (bucket, user) + exact containment filter; never a
-    # BroadcastNestedLoopJoin (asserted in test_plans)
+    # clicks landing inside the 2-hour window after a purchase by the
+    # same user: point-in-range join via fixed-width epoch buckets —
+    # ranges explode to ~1-2 buckets, points own ONE bucket, so it's a
+    # plain hash equi-join on (bucket, user) + exact containment filter;
+    # never a BroadcastNestedLoopJoin (asserted in test_plans)
     from datajudge_spark.operators.range_join import range_join
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.col("user_id"),
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
         F.unix_timestamp("ts").alias("p"),
     )
-    week = 7 * 86400
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.col("o_custkey").alias("user_id"),
-        F.unix_timestamp("o_orderdate").alias("start"),
-        (F.unix_timestamp("o_orderdate") + week).alias("end"),
+    window_s = 2 * 3600
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + window_s).alias("end"),
     )
     joined = range_join(
-        ev, o, "p", "start", "end", bucket_width=week, keys=["user_id"]
+        clicks, purchases, "p", "start", "end",
+        bucket_width=window_s, keys=["user_id"],
     )
     return joined.agg(
         F.count(F.lit(1)).alias("n_matched"),
-        F.sum("event_id").alias("sum_event_id"),
-        F.sum("o_orderkey").alias("sum_orderkey"),
+        F.sum("click_id").alias("sum_click_id"),
+        F.sum("purchase_id").alias("sum_purchase_id"),
     )
 
 
@@ -1803,11 +1805,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "range_join": (
             "SELECT count(*) AS n_matched, "
-            "CAST(sum(e.event_id) AS BIGINT) AS sum_event_id, "
-            "CAST(sum(o.o_orderkey) AS BIGINT) AS sum_orderkey "
-            "FROM events e JOIN orders o ON e.user_id = o.o_custkey "
-            "AND epoch(e.ts) >= epoch(o.o_orderdate) "
-            "AND epoch(e.ts) < epoch(o.o_orderdate) + 7 * 86400"
+            "CAST(sum(c.event_id) AS BIGINT) AS sum_click_id, "
+            "CAST(sum(p.event_id) AS BIGINT) AS sum_purchase_id "
+            "FROM events c JOIN events p ON c.user_id = p.user_id "
+            "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND epoch(c.ts) >= epoch(p.ts) "
+            "AND epoch(c.ts) < epoch(p.ts) + 7200"
         ),
         "asof_join_forward": (
             "WITH o2 AS (SELECT o_custkey AS user_id, o_orderdate, "
