@@ -34,6 +34,8 @@ __all__ = [
     "near_dup_pairs",
     "kmeans_centroids",
     "quantize_embeddings",
+    "save_ivf_index",
+    "load_ivf_index",
 ]
 
 
@@ -296,3 +298,20 @@ def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.round(F.col("__dj_norm"), 6).alias("l2_norm"),
         checksum.alias("q_checksum"),
     )
+
+
+def save_ivf_index(centroids: DataFrame, path: str) -> None:
+    """Persist a trained centroid table (the whole IVF "index").
+
+    An IVF index IS its centroid set — cell assignment is recomputed as
+    a broadcast map-only pass at query time, so persisting k rows makes
+    the index re-usable across jobs without re-training. One parquet
+    file: the table is k rows by construction.
+    """
+    centroids.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> DataFrame:
+    """Load centroids saved by :func:`save_ivf_index` (k-row DataFrame,
+    broadcast-sized — feed straight to :func:`topk_ivf`/:func:`ivf_cells`)."""
+    return spark.read.parquet(path)

@@ -207,3 +207,30 @@ class TestRangeJoin:
             ).collect()
         )
         assert got == expected and len(got) > 0
+
+
+class TestIvfPersistence:
+    def test_roundtrip_preserves_search_results(self, spark, tmp_path):
+        from datajudge_spark.pipeline.similarity import (
+            ivf_cells,
+            kmeans_centroids,
+            load_ivf_index,
+            save_ivf_index,
+        )
+
+        emb = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .selectExpr("vec_id AS vid", "embedding AS vvec")
+        )
+        cents = kmeans_centroids(emb, k=4)
+        before = {
+            (r.vid, r.cell)
+            for r in ivf_cells(emb, cents, v_vec="vvec").collect()
+        }
+        save_ivf_index(cents, str(tmp_path / "ivf"))
+        loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+        after = {
+            (r.vid, r.cell)
+            for r in ivf_cells(emb, loaded, v_vec="vvec").collect()
+        }
+        assert before == after and len(before) == emb.count()
