@@ -121,17 +121,35 @@ def topk_ivf(
     q_vec: str = "qvec",
     c_id: str = "cid",
     c_vec: str = "cvec",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-probed approximate top-k: each query searches only the
-    candidates assigned to the query's own nearest cell (nprobe=1).
+    candidates assigned to the query's ``nprobe`` nearest cells.
 
     Returns (qid, cid, cos, rn). Recall < 1 by design; the trade is a
-    1/num_cells scan fraction per query.
+    ~nprobe/num_cells scan fraction per query, and recall is monotone
+    non-decreasing in ``nprobe`` (the candidate set only grows) — the
+    standard FAISS-style recall/cost knob.
     """
     cand_cells = ivf_cells(
         candidates, centroids, v_id=c_id, v_vec=c_vec
     )
-    query_cells = ivf_cells(queries, centroids, v_id=q_id, v_vec=q_vec)
+    if nprobe <= 1:
+        query_cells = ivf_cells(queries, centroids, v_id=q_id, v_vec=q_vec)
+    else:
+        # top-nprobe cells per query: same broadcast scoring as
+        # ivf_cells, keeping nprobe rows instead of one
+        scored = spread(queries).crossJoin(F.broadcast(centroids)).select(
+            q_id, "cell", cosine(q_vec, "centvec").alias("cos")
+        )
+        w = Window.partitionBy(q_id).orderBy(
+            F.col("cos").desc(), F.col("cell").asc()
+        )
+        query_cells = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= nprobe)
+            .select(q_id, "cell")
+        )
     blocked = (
         F.broadcast(queries.join(query_cells, q_id))
         .join(candidates.join(cand_cells, c_id), "cell")

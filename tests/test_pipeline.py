@@ -184,6 +184,28 @@ class TestSimilarity:
         # over trained cells must recover nearly all of them
         assert recall >= 0.9, f"trained-IVF recall {recall:.2f}"
 
+    def test_nprobe_recall_monotone(self, spark, clustered_vecs):
+        cent = similarity.kmeans_centroids(clustered_vecs, k=4, max_iterations=10)
+        q = clustered_vecs.where("vid < 8").select(
+            F.col("vid").alias("qid"), F.col("vvec").alias("qvec")
+        )
+        c = clustered_vecs.select(
+            F.col("vid").alias("cid"), F.col("vvec").alias("cvec")
+        )
+        brute = {(r.qid, r.cid)
+                 for r in similarity.topk_bruteforce(q, c, k=3).collect()}
+
+        def recall(nprobe):
+            got = {(r.qid, r.cid)
+                   for r in similarity.topk_ivf(
+                       q, c, cent, k=3, nprobe=nprobe).collect()}
+            return len(got & brute) / len(brute)
+
+        r1, r2, r_all = recall(1), recall(2), recall(4)
+        assert r1 <= r2 <= r_all  # candidate set only grows with nprobe
+        # probing every cell IS brute force (minus nothing): exact recall
+        assert r_all == 1.0
+
 
 class TestText:
     def test_language_id(self, spark):
