@@ -1,0 +1,108 @@
+"""Streaming data-quality monitoring walkthrough.
+
+Three layers over one file-stream of events (stand-in for Kafka):
+
+1. per-micro-batch constraint validation (the batch Requirement API,
+   unchanged, inside ``foreachBatch``),
+2. watermarked windowed metrics (counts, null fractions),
+3. drift monitoring: windowed value histograms PSI-compared against a
+   reference batch, driver-side (n_buckets rows per window cross the
+   boundary, never events).
+
+Run:  PYTHONPATH=/root/repo python docs/examples/streaming_monitor.py
+"""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from datajudge_spark import WithinRequirement, get_spark
+from datajudge_spark.sources import normalize_event_time
+from datajudge_spark.streaming import (
+    StreamingConstraintMonitor,
+    psi_between_histograms,
+    stream_parquet_like,
+    windowed_counts,
+    windowed_value_buckets,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+N_BUCKETS = 10
+
+
+def main() -> None:
+    spark = get_spark("streaming-monitor")
+    batch = normalize_event_time(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ).withColumn("event_ts", F.col("ts").cast("timestamp"))
+
+    # file-stream sources need a directory; link the events parquet in
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{SF_DIR}/events.parquet", f"{stream_dir}/part-0.parquet")
+    stream = normalize_event_time(
+        stream_parquet_like(
+            spark, stream_dir, spark.read.parquet(f"{SF_DIR}/events.parquet")
+        )
+    ).withColumn("event_ts", F.col("ts").cast("timestamp"))
+
+    # 1. run a requirement against every micro-batch
+    def factory(batch_df):
+        req = WithinRequirement.from_dataframe(batch_df, "events_batch")
+        req.add_n_rows_min_constraint(1)
+        req.add_max_null_fraction_constraint("value", 0.5)
+        req.add_uniqueness_constraint(["event_id"])
+        return req
+
+    monitor = StreamingConstraintMonitor(factory)
+    monitor.run_available(stream)
+    n_checks = sum(len(rs) for _, rs in monitor.results)
+    print(f"micro-batch constraints: {n_checks} checks, "
+          f"all_passed={monitor.all_passed}")
+
+    # 2. windowed row counts per event type
+    out = windowed_counts(
+        stream, "event_ts", window_duration="6 hours",
+        watermark_delay="1 hour", group_cols=["event_type"],
+    )
+    q = (
+        out.writeStream.format("memory").queryName("wc")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    n_win = spark.sql("SELECT count(*) c FROM wc").first().c
+    print(f"windowed counts emitted: {n_win} (window x type) rows")
+
+    # 3. drift gate: windowed histograms vs the full-corpus reference
+    buckets = windowed_value_buckets(
+        stream, "event_ts", "value", lo=0.0, hi=500.0,
+        n_buckets=N_BUCKETS, window="6 hours", watermark="1 hour",
+    )
+    q2 = (
+        buckets.writeStream.format("memory").queryName("wb")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    from datajudge_spark.operators.stats import value_bucket
+
+    reference = {
+        r.b: r.n
+        for r in batch.where(F.col("value").isNotNull())
+        .groupBy(value_bucket("value", 0.0, 500.0, N_BUCKETS).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    windows = spark.sql(
+        "SELECT win.start AS ws, bucket, n FROM wb"
+    ).collect()
+    per_window: dict = {}
+    for r in windows:
+        per_window.setdefault(r.ws, {})[r.bucket] = r.n
+    for ws in sorted(per_window):
+        psi = psi_between_histograms(per_window[ws], reference, N_BUCKETS)
+        flag = "OK" if psi < 0.25 else "DRIFT"
+        print(f"  window {ws}: psi={psi:.4f} [{flag}]")
+
+
+if __name__ == "__main__":
+    main()
