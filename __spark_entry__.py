@@ -983,6 +983,15 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    # CCNet-style quality proxy: per-doc mean -ln p(token) under the
+    # corpus's own Laplace-smoothed unigram LM; two partial-agg token
+    # passes + broadcast totals, integer-weighted fold (one division)
+    from datajudge_spark.pipeline.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_dedup_editdistance(spark, sf_dir):
     # edit-distance near-dup pairs: prefix-blocked equi-join (never a
     # cross product), length-difference lower bound, Levenshtein over a
@@ -1223,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "moving_avg_daily": q_moving_avg_daily,
         "salted_join_agg": q_salted_join_agg,
+        "text_unigram_logprob": q_text_unigram_logprob,
         "dedup_editdistance": q_dedup_editdistance,
         "categorical_entropy": q_categorical_entropy,
         "key_skew": q_key_skew,
@@ -1955,6 +1965,20 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS frame_len, "
             "md5(substring(text, CAST(1 + k * 64 AS BIGINT), 16)) "
             "AS frame_md5 FROM f"
+        ),
+        "text_unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "corpus AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY 1), "
+            "tot AS (SELECT sum(ct) AS total, count(*) AS vocab FROM corpus) "
+            "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens, "
+            "round(sum(tf.tf * -ln((ct + 1) / (total + vocab))) "
+            "/ sum(tf.tf), 6) AS mean_neg_logprob "
+            "FROM tf JOIN corpus USING (term) CROSS JOIN tot "
+            "GROUP BY tf.doc_id"
         ),
         "dedup_editdistance": (
             "WITH t AS (SELECT doc_id, substr(text, 1, 256) AS cmp, "

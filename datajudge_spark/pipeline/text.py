@@ -433,3 +433,48 @@ def redact_pii(df, id_col: str, text_col: str, replacement: str = "<PII>"):
     alternation pass."""
     pattern = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
     return redact_terms(df, id_col, text_col, pattern, replacement)
+
+
+def unigram_logprob(df, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram negative log-probability — the cheap
+    perplexity proxy used as a corpus quality filter (high score =
+    unusual tokens = candidate junk; the CCNet-style LM filter with the
+    LM downgraded to corpus unigrams).
+
+    ``score(doc) = mean_i ( -ln p(tok_i) )`` with Laplace-smoothed
+    ``p(t) = (count(t) + 1) / (total + |vocab|)`` estimated from this
+    corpus itself.
+
+    Plan shape at corpus scale:
+
+    - per-(doc, token) counts and corpus token counts are two partial-agg
+      passes over the exploded tokens (same skeleton as tf-idf);
+    - the corpus totals (token total, vocab size) are a 1-row aggregate
+      cross-joined broadcast into the scoring expression;
+    - the per-doc fold is one groupBy(doc) sum — integer token counts
+      weight each token's logprob exactly, and the single final division
+      keeps the result partition-order independent;
+    - rounded to 6 (ln is libm; the ulp may differ across engines).
+    """
+    from datajudge_spark.pipeline._util import spread
+
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    totals = corpus.agg(
+        F.sum("ct").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    p = (F.col("ct") + 1) / (F.col("_total") + F.col("_vocab"))
+    return (
+        tf.join(corpus, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(p)) / F.sum("tf"), 6
+            ).alias("mean_neg_logprob"),
+        )
+    )
