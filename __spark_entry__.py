@@ -1075,6 +1075,23 @@ def q_moving_avg_daily(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    # weekly cohort retention matrix over the event log: per-user min
+    # (partial-agg) x distinct (user, week) activity, joined on the
+    # already-shuffled user key; output is |cohorts| x |weeks| rows
+    from datajudge_spark.operators.timeseries import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", "week")
+    # week boundaries as DATE: Spark date_trunc yields timestamp,
+    # DuckDB yields date — normalize the digest
+    return out.select(
+        F.col("cohort").cast("date").alias("cohort"),
+        F.col("period").cast("date").alias("period"),
+        "n_users",
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     # production drift metric: PSI between the click and view value
     # distributions over fixed buckets, BOTH histograms from one
@@ -1230,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "psi_drift": q_psi_drift,
+        "cohort_retention": q_cohort_retention,
         "moving_avg_daily": q_moving_avg_daily,
         "salted_join_agg": q_salted_join_agg,
         "text_unigram_logprob": q_text_unigram_logprob,
@@ -2023,6 +2041,14 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "cohort_retention": (
+            "WITH first AS (SELECT user_id, "
+            "date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1), "
+            "act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period "
+            "FROM events) "
+            "SELECT cohort, period, count(*) AS n_users "
+            "FROM first JOIN act USING (user_id) GROUP BY 1, 2"
         ),
         "moving_avg_daily": (
             "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "

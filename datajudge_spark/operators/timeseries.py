@@ -60,3 +60,33 @@ def moving_stats(
             F.col(value_col) - F.lag(value_col, 1).over(w_lag), 6
         ).alias("delta"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity period,
+    counted in every period they were active.
+
+    Returns ``(cohort, period, n_users)``.  Plan shape at event-log
+    scale: first-activity is one partial-agg'd min per user; the
+    distinct (user, period) activity set is one partial-agg'd distinct;
+    they hash-join on the user key (both sides already shuffled by it),
+    and the final count aggregates to |cohorts| x |periods| rows —
+    calendar-bounded, like every frame the ordered analytics run on.
+    """
+    first = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc(granularity, F.min(time_col)).alias("cohort")
+    )
+    active = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(granularity, F.col(time_col)).alias("period"),
+    ).distinct()
+    return (
+        first.join(active, "__u")
+        .groupBy("cohort", "period")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
