@@ -1075,6 +1075,38 @@ def q_moving_avg_daily(spark, sf_dir):
     )
 
 
+def q_value_histogram(spark, sf_dir):
+    # fixed-bucket histogram of lineitem prices: the basic distribution
+    # digest (shares value_bucket with the PSI drift operators) — one
+    # partial-agg'd count shuffle, n_buckets rows out
+    from datajudge_spark.operators.stats import value_bucket
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_extendedprice").isNotNull())
+        .groupBy(
+            value_bucket("l_extendedprice", 0.0, 120000.0, 12).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_funnel_conversion(spark, sf_dir):
+    # ordered funnel click -> purchase per user: a user converts when
+    # their first purchase follows their first click. Two conditional
+    # min-aggregates in ONE scan (no self-join), then a 1-row digest
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t2"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_clicked"),
+        F.count(F.when(F.col("t2") > F.col("t1"), 1)).alias("n_converted"),
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     # weekly cohort retention matrix over the event log: per-user min
     # (partial-agg) x distinct (user, week) activity, joined on the
@@ -1248,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "psi_drift": q_psi_drift,
         "cohort_retention": q_cohort_retention,
+        "value_histogram": q_value_histogram,
+        "funnel_conversion": q_funnel_conversion,
         "moving_avg_daily": q_moving_avg_daily,
         "salted_join_agg": q_salted_join_agg,
         "text_unigram_logprob": q_text_unigram_logprob,
@@ -2041,6 +2075,20 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE), 2) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "value_histogram": (
+            "SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) / "
+            "10000.0) AS BIGINT), 0), 11) AS bucket, count(*) AS n_rows "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1"
+        ),
+        "funnel_conversion": (
+            "WITH per_user AS (SELECT user_id, "
+            "min(CASE WHEN event_type = 'click' THEN ts END) AS t1, "
+            "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2 "
+            "FROM events GROUP BY user_id) "
+            "SELECT count(*) AS n_users, count(t1) AS n_clicked, "
+            "count(CASE WHEN t2 > t1 THEN 1 END) AS n_converted "
+            "FROM per_user"
         ),
         "cohort_retention": (
             "WITH first AS (SELECT user_id, "
