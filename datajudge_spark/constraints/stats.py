@@ -145,6 +145,15 @@ class PopulationStabilityIndex(Constraint):
         psi = psi_drift(
             df1, df2, col1, self._lo, self._hi, self._n_buckets
         ).collect()[0]["psi"]
+        if psi is None:
+            # both references selected zero (or all-null) rows: no
+            # distribution to compare — a clean failure, not a TypeError
+            return TestResult.failure(
+                f"Population stability index between {self._ref} and "
+                f"{self._target_prefix} is undefined: insufficient data "
+                "(no non-null rows in one or both references). ",
+                self.get_description(),
+            )
         if psi <= self._max_psi:
             return TestResult.success()
         assertion_text = (

@@ -22,6 +22,10 @@ from ..reference import DataReference
 
 _Plans = list[DataFrame]
 
+# Hard cap on driver-side counterexample transfer for
+# ``n_counterexamples=-1`` ("all"): bounded-memory at any table size.
+MAX_COUNTEREXAMPLES = 10_000
+
 
 def get_regex_violations(
     spark: SparkSession,
@@ -48,7 +52,23 @@ def get_regex_violations(
     # per-partition top-k + driver merge — no global sort shuffle.
     ordered = violations.orderBy(F.col(column).asc_nulls_first())
     if n_counterexamples == -1:
-        counterexamples = [row[0] for row in ordered.collect()]
+        # "all" is capped: an unbounded collect of a dirty column on a
+        # 100 TB table would OOM the driver. Reference semantics are
+        # preserved for any realistic counterexample volume; the true
+        # violation COUNT above is always exact.
+        rows = ordered.limit(MAX_COUNTEREXAMPLES + 1).collect()
+        if len(rows) > MAX_COUNTEREXAMPLES:
+            import warnings
+
+            warnings.warn(
+                f"n_counterexamples=-1 collected the maximum of "
+                f"{MAX_COUNTEREXAMPLES} counterexamples; "
+                f"{n_violations - MAX_COUNTEREXAMPLES} more violations "
+                "exist (exact count reported separately).",
+                stacklevel=2,
+            )
+            rows = rows[:MAX_COUNTEREXAMPLES]
+        counterexamples = [row[0] for row in rows]
     elif n_counterexamples == 0:
         counterexamples = []
     elif n_counterexamples > 0:

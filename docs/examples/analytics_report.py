@@ -23,6 +23,7 @@ from datajudge_spark.operators.range_join import range_join
 from datajudge_spark.operators.skew import salted_join
 from datajudge_spark.operators.stats import psi_drift_conditional
 from datajudge_spark.operators.timeseries import daily_totals, moving_stats
+from datajudge_spark.sources import normalize_event_time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
@@ -31,7 +32,12 @@ def main() -> None:
     spark = get_spark("analytics-report")
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # get_spark sets nanosAsLong, so a TIMESTAMP(NANOS) events file scans
+    # as epoch-nanos BIGINT — normalize to a real timestamp before any
+    # time arithmetic (unix_timestamp on raw BIGINT parses to NULL)
+    events = normalize_event_time(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    )
 
     # 1. profile the fact table (exact distincts: two clean aggregates)
     print("== lineitem profile ==")

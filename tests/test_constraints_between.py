@@ -230,6 +230,16 @@ class TestCrossCdfGolden:
         req2.add_psi_constraint("col_int", "col_int", 0.1, lo=0.0, hi=100.0)
         assert outcomes(req2, spark) == [False]
 
+    def test_psi_empty_refs_fail_cleanly(self, spark, int_table1):
+        # zero rows on both sides: psi is NULL -> clean failure with an
+        # "insufficient data" message, not a TypeError
+        empty = int_table1.where("col_int IS NULL AND col_int IS NOT NULL")
+        req = between_req(empty, empty, "e1", "e2")
+        req.add_psi_constraint("col_int", "col_int", 0.1, lo=0.0, hi=100.0)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "insufficient data" in results[0].failure_message
+
     def test_psi_validation(self, spark, int_table1):
         req = between_req(int_table1, int_table1, "t1", "t1b")
         with pytest.raises(ValueError):

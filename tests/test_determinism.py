@@ -38,6 +38,23 @@ def test_regex_all_counterexamples_stable(spark, strings_df, n_parts):
     assert examples == ["BAD_a", "BAD_m", "BAD_x"]
 
 
+def test_regex_all_counterexamples_capped(spark, monkeypatch):
+    # n_counterexamples=-1 must never collect unbounded rows: above the
+    # cap it truncates (sorted prefix), warns, and keeps the exact count
+    from datajudge_spark.operators import regex as regex_mod
+
+    monkeypatch.setattr(regex_mod, "MAX_COUNTEREXAMPLES", 5)
+    rows = [(f"BAD_{i:03d}",) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("col_varchar", T.StringType())])
+    )
+    ref = make_ref(df, "t", ["col_varchar"])
+    with pytest.warns(UserWarning, match="maximum of 5"):
+        (n, examples), _ = get_regex_violations(spark, ref, False, r"^v\d+$", -1)
+    assert n == 12
+    assert examples == [f"BAD_{i:03d}" for i in range(5)]
+
+
 @pytest.mark.parametrize("n_parts", [1, 3, 7])
 def test_row_difference_sample_stable(spark, n_parts):
     schema = T.StructType(
