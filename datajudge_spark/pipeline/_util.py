@@ -27,7 +27,41 @@ def materialize_once(df: DataFrame) -> DataFrame:
     ``dedup.duplicate_clusters``).  Blocks are freed when the plan is
     garbage collected.
     """
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df.persist(_PERSIST_LEVEL)
+
+
+_PERSIST_LEVEL = StorageLevel.MEMORY_AND_DISK
+
+
+def set_replicated_persist(enabled: bool) -> None:
+    """Hardening knob for unreliable clusters (spot instances, frequent
+    executor loss): when enabled, ``materialize_once`` persists with
+    2x block replication (``MEMORY_AND_DISK_2``) so a cached branch
+    survives a lost executor without recomputation of the (expensive)
+    upstream derivation.  Off by default — replication doubles cache
+    footprint and write cost, the wrong trade on a healthy cluster."""
+    global _PERSIST_LEVEL
+    _PERSIST_LEVEL = (
+        StorageLevel.MEMORY_AND_DISK_2 if enabled else StorageLevel.MEMORY_AND_DISK
+    )
+
+
+def iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage truncation for iterative loops (connected components,
+    pointer doubling): each iteration MUST cut the plan or it grows
+    exponentially.
+
+    Uses *reliable* ``checkpoint()`` (HDFS/object-store, survives
+    executor loss) when the application has set a checkpoint dir —
+    ``spark.sparkContext.setCheckpointDir(...)`` is the cluster
+    operator's opt-in — and falls back to ``localCheckpoint()``
+    (executor-local blocks, unrecoverable but zero-infrastructure)
+    otherwise.  Both truncate lineage; only the reliable form tolerates
+    losing an executor mid-loop."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():
+        return df.checkpoint()
+    return df.localCheckpoint()
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datajudge_spark.pipeline._util import materialize_once, spread
+from datajudge_spark.pipeline._util import iter_checkpoint, materialize_once, spread
 from datajudge_spark.pipeline.text import md5_long, tokens, word_shingles
 
 __all__ = [
@@ -315,14 +315,16 @@ def duplicate_clusters(
     doubling: each round every node adopts the minimum label among
     itself, its neighbors, and its label's label — so label chains halve
     per round and convergence is O(log component diameter). Each round
-    is one join + one groupBy + one shortcut join,
-    ``localCheckpoint``-ed: iterative DataFrame algorithms MUST truncate
-    lineage each round or the nested logical plan grows exponentially
-    (persist alone caches data, not the plan). The trade-off is fault
-    tolerance: checkpoint blocks are unreplicated, so an executor loss
-    mid-loop fails the job and it must be rerun — acceptable for an
-    iterative algorithm whose per-round state is cheap relative to
-    replaying the whole loop lineage on every round. Only docs that
+    is one join + one groupBy + one shortcut join, checkpointed via
+    ``_util.iter_checkpoint``: iterative DataFrame algorithms MUST
+    truncate lineage each round or the nested logical plan grows
+    exponentially (persist alone caches data, not the plan). By default
+    that is ``localCheckpoint`` — executor-local blocks, so an executor
+    loss mid-loop fails the job and it must be rerun, acceptable when
+    per-round state is cheap. Clusters that can't accept that call
+    ``spark.sparkContext.setCheckpointDir(...)`` once, and every round
+    switches to reliable (HDFS/object-store) ``checkpoint()`` that
+    survives executor loss. Only docs that
     appear in some pair are returned (singletons are their own cluster
     by definition).
 
@@ -379,12 +381,14 @@ def _clusters_propagate(edges_df: DataFrame, max_iterations: int) -> DataFrame:
                 F.struct(F.col("d2").alias("d1"), F.col("d1").alias("d2")),
             )
         ).alias("e")
-    ).select("e.d1", "e.d2").localCheckpoint()
+    ).select("e.d1", "e.d2")
+    sym = iter_checkpoint(sym)
     labels = (
         sym.select(F.col("d1").alias("id")).distinct().withColumn(
             "label", F.col("id")
         )
-    ).localCheckpoint()
+    )
+    labels = iter_checkpoint(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.d2 == labels.id)
@@ -417,7 +421,8 @@ def _clusters_propagate(edges_df: DataFrame, max_iterations: int) -> DataFrame:
                     "label"
                 ),
             )
-        ).localCheckpoint()
+        )
+        new_labels = iter_checkpoint(new_labels)
         changed = (
             new_labels.where(F.col("label") != F.col("old_label")).limit(1).count()
         )

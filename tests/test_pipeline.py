@@ -745,3 +745,57 @@ class TestQuantize:
         for r in similarity.quantize_embeddings(df, "vec_id", "embedding").collect():
             assert abs(r.q_checksum) <= bound
             assert r.l2_norm > 0
+
+
+class TestHardeningKnobs:
+    def test_replicated_persist_level_switch(self, spark):
+        from pyspark import StorageLevel
+
+        from datajudge_spark.pipeline import _util
+
+        df = spark.range(10)
+        try:
+            _util.set_replicated_persist(True)
+            p = _util.materialize_once(df)
+            assert p.storageLevel == StorageLevel.MEMORY_AND_DISK_2
+            p.unpersist()
+        finally:
+            _util.set_replicated_persist(False)
+        p2 = _util.materialize_once(spark.range(5))
+        assert p2.storageLevel == StorageLevel.MEMORY_AND_DISK
+        p2.unpersist()
+
+    def test_iter_checkpoint_reliable_when_dir_set(self, spark, tmp_path):
+        from datajudge_spark.pipeline._util import iter_checkpoint
+
+        # no checkpoint dir -> localCheckpoint path still truncates lineage
+        out = iter_checkpoint(spark.range(10))
+        assert out.count() == 10
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        try:
+            out2 = iter_checkpoint(spark.range(7).withColumn("x", F.lit(1)))
+            assert out2.count() == 7
+            # reliable checkpoint writes to the configured directory
+            assert any((tmp_path / "ckpt").rglob("*"))
+        finally:
+            getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+                spark._jvm.scala.Option.apply(None)
+            )
+
+    def test_clusters_with_reliable_checkpoint(self, spark, tmp_path):
+        # the distributed CC loop works identically under reliable
+        # checkpointing (the unreliable-cluster configuration)
+        rows = [("a", "b"), ("b", "c"), ("x", "y")]
+        pairs = spark.createDataFrame(rows, ["d1", "d2"])
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt2"))
+        try:
+            out = dedup.duplicate_clusters(pairs, local_threshold=0)
+            got = {(r.doc_id, r.cluster_id) for r in out.collect()}
+        finally:
+            getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+                spark._jvm.scala.Option.apply(None)
+            )
+        assert got == {
+            ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+        }
