@@ -1,0 +1,124 @@
+"""OLAP extensions: CUBE digests, exact heavy hitters, latest-snapshot
+dedup, and sketch-vs-exact accuracy checks.
+
+No direct reference counterpart (datajudge's aggregate surface stops at
+uniques/groupby, src/datajudge/db_access.py:560-720); these are the next
+operators a warehouse/monitoring team reaches for, re-expressed
+Spark-first.
+
+Scale notes (100 TB):
+
+- ``heavy_hitters`` is one partial-agg'd shuffle on the key plus a
+  broadcast 1-row total — the share threshold is evaluated as pure
+  integer arithmetic (``n * 1_000_000 >= total * ppm``) so the cut is
+  bit-identical on every engine and never sits on a double boundary.
+- ``latest_snapshot`` relies on Spark's WindowGroupLimit pushdown: the
+  ``row_number() = 1`` filter prunes to one row per key inside each map
+  partition BEFORE the exchange, so the shuffle moves O(|keys|) rows,
+  not O(|rows|) (asserted in tests/test_plans.py).
+- ``approx_distinct_check`` / ``approx_percentile_check`` wrap the
+  HLL++ / KLL-style sketches (``approx_count_distinct``,
+  ``percentile_approx``) that replace exact distinct/sort at 100 TB, and
+  bound them against the exact answer so the contract query proves the
+  sketch is within tolerance on real data.  Both sketches are one
+  partial-agg pass; the exact side shares the same scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    min_share_ppm: int,
+) -> DataFrame:
+    """Exact heavy hitters: key groups holding at least ``min_share_ppm``
+    parts-per-million of the total row count.
+
+    Returns ``(*key_cols, n, share)`` with ``share`` rounded to 6
+    decimals.  The threshold compare is integer-exact: ``n * 1e6 >=
+    total * ppm`` (never a double product, so no boundary flakiness).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("n") * 1_000_000 >= F.col("__total") * int(min_share_ppm))
+        .select(
+            *key_cols,
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def latest_snapshot(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[Column],
+) -> DataFrame:
+    """Keep the single latest row per key (mutable-log compaction /
+    "current state" view, the standard CDC read pattern).
+
+    ``order_cols`` must be a total order within each key (add a unique
+    id as the final tiebreak) or the result is nondeterministic.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def approx_distinct_check(
+    df: DataFrame, col: str, rel_tol: float = 0.15
+) -> DataFrame:
+    """One row: exact COUNT(DISTINCT col), plus whether the HLL++ sketch
+    (``approx_count_distinct``, default rsd 5%) lands within ``rel_tol``
+    of it.  ``rel_tol`` defaults to 3x the sketch's rsd."""
+    return df.agg(
+        F.count_distinct(F.col(col)).alias("exact_distinct"),
+        F.approx_count_distinct(col).alias("__approx"),
+    ).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("__approx") - F.col("exact_distinct"))
+            <= rel_tol * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
+
+
+def approx_percentile_check(
+    df: DataFrame,
+    cents_col: Column,
+    accuracy: int = 10_000,
+    rel_tol: float = 0.02,
+) -> DataFrame:
+    """One row: exact interpolated median over an integer-cents column,
+    plus whether ``percentile_approx`` lands within ``rel_tol`` of it.
+
+    The input must be integer cents so the exact median is
+    bit-deterministic cross-engine: interpolation at q=0.5 over bigints
+    is (lo+hi)/2, exact in a double for values < 2^52.
+    """
+    cents = cents_col.cast("bigint")
+    return df.select(cents.alias("__c")).agg(
+        F.expr("percentile(__c, 0.5D)").alias("exact_median_cents"),
+        F.percentile_approx("__c", F.lit(0.5), F.lit(accuracy)).alias(
+            "__approx"
+        ),
+    ).select(
+        "exact_median_cents",
+        (
+            F.abs(F.col("__approx") - F.col("exact_median_cents"))
+            <= rel_tol * F.col("exact_median_cents")
+        ).alias("within_tol"),
+    )

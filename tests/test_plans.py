@@ -213,3 +213,38 @@ def test_range_join_equijoin_not_nested_loop(spark):
     plan = _executed_plan(entrymod.q_range_join(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Cartesian" not in plan
+
+
+def test_latest_snapshot_window_group_limit(spark):
+    # row_number()=1 compaction must prune to 1 row/key map-side
+    # (WindowGroupLimit) so the exchange carries O(|keys|) rows
+    plan = _executed_plan(entrymod.q_latest_snapshot(spark, SF_DIR))
+    # Partial limit below the key exchange + Final above it
+    assert "WindowGroupLimit" in plan
+    after_exchange = plan.split("Exchange hashpartitioning", 1)[-1]
+    assert "WindowGroupLimit" in after_exchange and "Partial" in after_exchange
+
+
+def test_heavy_hitters_broadcasts_total(spark):
+    # the 1-row total joins in via broadcast; the count aggregate is
+    # partial (map-side combine before the key shuffle)
+    plan = _executed_plan(entrymod.q_heavy_hitters(spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_cube_single_expand_pass(spark):
+    # CUBE runs as one Expand + one aggregate pass over the scan,
+    # not one scan per grouping set
+    plan = _executed_plan(entrymod.q_cube_agg(spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_sketch_checks_single_scan(spark):
+    # exact + approx aggregates share one scan (no self-join, no
+    # second pass over the fact table)
+    for q in (entrymod.q_approx_distinct_check,
+              entrymod.q_approx_percentile_check):
+        plan = _executed_plan(q(spark, SF_DIR))
+        assert plan.count("Scan parquet") == 1, plan
