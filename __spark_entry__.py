@@ -1319,6 +1319,60 @@ def q_approx_distinct_check(spark, sf_dir):
     return approx_distinct_check(li, "l_orderkey", rel_tol=0.15)
 
 
+def q_gap_fill_daily(spark, sf_dir):
+    # densify a sparse daily series to the full calendar + forward-fill:
+    # the standard prep before any time-series model. Calendar spine is
+    # explode(sequence(min,max)) off a 1-row bound agg — never the fact
+    # table; forward-fill windows the calendar-bounded frame.
+    from datajudge_spark.operators.timeseries import (
+        daily_totals,
+        fill_daily_gaps,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sub = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 50 == 7)
+    )
+    cents = (
+        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    daily = daily_totals(sub, "ts", cents, alias="cents")
+    return fill_daily_gaps(daily, "cents")
+
+
+def q_ewma_daily(spark, sf_dir):
+    # trailing EWMA of daily revenue. Weights are EXACT decimals
+    # ((7/10)^k), so weight*cents products commute — no double summation
+    # order sensitivity across engines/partitionings. Equi-join on
+    # date_sub(day,k), never a range/theta join.
+    from datajudge_spark.operators.timeseries import daily_totals, ewma_daily
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+    )
+    daily = daily_totals(o, "o_orderdate", cents, alias="cents")
+    return ewma_daily(daily, "cents", alpha_num=3, alpha_den=10, lookback=14)
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    # rolling z-score anomaly flags from EXACT integer window sums: z is
+    # one double expression over (x, S, SS, n) — identical parse tree in
+    # the oracle => bit-identical doubles (stddev_samp would not be).
+    from datajudge_spark.operators.timeseries import (
+        daily_totals,
+        zscore_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cents = (
+        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    daily = daily_totals(ev, "ts", cents, alias="cents")
+    return zscore_anomalies(daily, "cents", window_days=7, threshold=2.0)
+
+
 def q_approx_percentile_check(spark, sf_dir):
     # percentile_approx sketch vs exact interpolated median over integer
     # cents (exact median of bigints is bit-deterministic cross-engine:
@@ -1438,6 +1492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "approx_distinct_check": q_approx_distinct_check,
         "approx_percentile_check": q_approx_percentile_check,
+        "gap_fill_daily": q_gap_fill_daily,
+        "ewma_daily": q_ewma_daily,
+        "anomaly_zscore": q_anomaly_zscore,
     }
 
 
@@ -1464,6 +1521,22 @@ _SHINGLES_CTE = (
     "UNNEST(list_transform(generate_series(1, greatest(len(tk)-{nm1}, 0)), "
     "i -> array_to_string(tk[i:i+{nm2}], ' '))) AS u(s))"
 ).format(nm1=_SHINGLE_N - 1, nm2=_SHINGLE_N - 1)
+
+
+def _ewma_weights_values_sql(
+    alpha_num: int = 3, alpha_den: int = 10, lookback: int = 14
+) -> str:
+    """VALUES list of (k, weight) with the SAME exact decimal literals the
+    Spark operator embeds (timeseries.ewma_weights_decimal), so the
+    weight*cents products are identical exact decimals on both engines."""
+    from datajudge_spark.operators.timeseries import ewma_weights_decimal
+
+    ws = ewma_weights_decimal(alpha_num, alpha_den, lookback)
+    scale = max(len(w.split(".")[1]) if "." in w else 0 for w in ws)
+    return ", ".join(
+        f"({k}, CAST('{w}' AS DECIMAL({scale + 2},{scale})))"
+        for k, w in enumerate(ws)
+    )
 
 
 def _minhash_lsh_sql() -> str:
@@ -2347,5 +2420,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT quantile_cont(c, 0.5) AS exact_median_cents, "
             "TRUE AS within_tol FROM (SELECT CAST(CAST(l_extendedprice AS "
             "DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM lineitem)"
+        ),
+        "gap_fill_daily": (
+            "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+            "CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents "
+            "FROM events WHERE event_type = 'purchase' AND user_id % 50 = 7 "
+            "GROUP BY 1), "
+            "cal AS (SELECT CAST(unnest(generate_series(min(day), max(day), "
+            "INTERVAL 1 DAY)) AS DATE) AS day FROM daily) "
+            "SELECT cal.day AS day, daily.cents AS observed, "
+            "last_value(daily.cents IGNORE NULLS) OVER (ORDER BY cal.day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled, "
+            "daily.cents IS NULL AS was_gap "
+            "FROM cal LEFT JOIN daily ON cal.day = daily.day"
+        ),
+        "ewma_daily": (
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) "
+            "AS cents FROM orders GROUP BY 1), "
+            f"weights(k, w) AS (VALUES {_ewma_weights_values_sql()}), "
+            "contrib AS (SELECT d.day AS day, wt.w AS w, s.cents AS x "
+            "FROM daily d CROSS JOIN weights wt "
+            "JOIN daily s ON s.day = d.day - wt.k) "
+            "SELECT day, "
+            "CAST(sum(w * CAST(x AS DECIMAL(19,2))) AS DECIMAL(38,15)) "
+            "AS ewma_num, "
+            "CAST(sum(w) AS DECIMAL(38,13)) AS ewma_den, "
+            "count(*) AS n_terms FROM contrib GROUP BY day"
+        ),
+        "anomaly_zscore": (
+            "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+            "CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents "
+            "FROM events GROUP BY 1), "
+            "st AS (SELECT day, cents, "
+            "sum(CAST(cents AS DECIMAL(18,0))) OVER w AS s, "
+            "sum(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))"
+            " OVER w AS ss, "
+            "count(cents) OVER w AS n FROM daily "
+            "WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND "
+            "CURRENT ROW)), "
+            "z AS (SELECT day, cents, "
+            "CASE WHEN n >= 3 AND (CAST(ss AS DOUBLE) - "
+            "CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) > 0 "
+            "THEN round((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE)/n) / "
+            "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)"
+            "/(n - 1)), 6) END AS z FROM st) "
+            "SELECT day, cents, z, abs(z) > 2.0 AS is_anomaly FROM z"
         ),
     }

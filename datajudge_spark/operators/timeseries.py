@@ -90,3 +90,158 @@ def cohort_retention(
         .groupBy("cohort", "period")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def fill_daily_gaps(daily: DataFrame, value_col: str = "total") -> DataFrame:
+    """Densify a daily frame to the full calendar and forward-fill.
+
+    Returns ``(day, observed, filled, was_gap)`` — ``observed`` is NULL on
+    missing days, ``filled`` carries the last present value forward
+    (NULL before the first observation), ``was_gap`` marks synthesized
+    rows.
+
+    Scale: the calendar spine is ``explode(sequence(min, max))`` off a
+    1-row bound aggregate — |days| rows, never the fact table — and the
+    forward-fill window orders the same calendar-bounded frame.  The
+    expensive part (the daily aggregate feeding this) stays fully
+    parallel upstream.
+    """
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = cal.join(daily, "day", "left")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        F.col(value_col).alias("observed"),
+        F.last(value_col, ignorenulls=True).over(w).alias("filled"),
+        F.col(value_col).isNull().alias("was_gap"),
+    )
+
+
+def ewma_weights_decimal(alpha_num: int, alpha_den: int, lookback: int):
+    """Exact decimal strings for EWMA weights (1-a)^k, k=0..lookback-1.
+
+    (1 - num/den)^k is exactly ((den-num)/den)^k — representable as a
+    finite decimal when den is a power of 10, so weight*cents products
+    are EXACT decimal arithmetic and the weighted sum is
+    order-insensitive (the trap with double weights: the join emits rows
+    in nondeterministic order and double addition doesn't commute).
+    """
+    import decimal
+
+    base_num, base_den = alpha_den - alpha_num, alpha_den
+    out = []
+    for k in range(lookback):
+        with decimal.localcontext() as ctx:
+            ctx.prec = 60
+            w = decimal.Decimal(base_num**k) / decimal.Decimal(base_den**k)
+        out.append(format(w, "f"))
+    return out
+
+
+def ewma_daily(
+    daily: DataFrame,
+    value_col: str = "total",
+    alpha_num: int = 3,
+    alpha_den: int = 10,
+    lookback: int = 14,
+) -> DataFrame:
+    """Trailing EWMA over a daily frame: for each day d,
+    ``sum_k w_k * x_{d-k} / sum_k w_k`` over the present days in the
+    lookback, with w_k = (1-alpha)^k.
+
+    Implementation is an EQUI-join, not a range join: the frame crosses
+    an exploded 0..lookback-1 offset array (a bounded x14 multiplier on a
+    calendar-bounded frame), joins back on ``date_sub(day, k)``, and maps
+    k -> weight through a literal decimal array (``element_at``), so the
+    whole thing is hash-join + exact-decimal aggregate — no theta join,
+    no double-precision order sensitivity.
+    """
+    weights = ewma_weights_decimal(alpha_num, alpha_den, lookback)
+    scale = max(len(w.split(".")[1]) if "." in w else 0 for w in weights)
+    # weights are < 10, so precision scale+2 suffices; keeping the weight
+    # narrow keeps the weight*cents product under precision 38 in BOTH
+    # engines (wider would silently lose scale / fall back to double)
+    warr = F.array(
+        *[F.lit(w).cast(f"decimal({scale + 2},{scale})") for w in weights]
+    )
+    anchor = daily.select(
+        F.col("day").alias("d"),
+        F.explode(F.sequence(F.lit(0), F.lit(lookback - 1))).alias("k"),
+    )
+    contrib = anchor.join(
+        daily.select(
+            F.col("day").alias("src_day"), F.col(value_col).alias("x")
+        ),
+        F.col("src_day") == F.date_sub(F.col("d"), F.col("k")),
+    )
+    # width 19 (not 18) forces DuckDB's int128 multiply path in the
+    # oracle twin — at width<=18 both operands sit in int64 and the raw
+    # product overflows before promotion
+    num = F.sum(
+        F.element_at(warr, F.col("k") + 1)
+        * F.col("x").cast("decimal(19,2)")
+    )
+    den = F.sum(F.element_at(warr, F.col("k") + 1))
+    # exact rational digest (numerator/denominator), NOT the double
+    # quotient: decimal->double casts are correctly rounded in Spark
+    # (BigDecimal) but not for int128 scale-15 values in every engine, so
+    # the quotient differs by 1 ulp cross-engine ~1% of the time. Same
+    # lesson as moving_stats: ship sum+n, let the consumer divide.
+    return (
+        contrib.groupBy(F.col("d").alias("day"))
+        .agg(
+            num.cast("decimal(38,15)").alias("ewma_num"),
+            den.cast("decimal(38,13)").alias("ewma_den"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
+def zscore_anomalies(
+    daily: DataFrame,
+    value_col: str = "total",
+    window_days: int = 7,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over a daily integer frame.
+
+    mean/variance come from EXACT integer window sums (S, SS as wide
+    decimals), and z is one double expression over those integers —
+    identical parse tree => bit-identical cross-engine, unlike
+    ``stddev_samp`` whose streaming algorithm differs by engine.
+
+    Returns ``(day, {value_col}, z, is_anomaly)``; z is NULL while the
+    window holds <3 points or has zero variance.
+    """
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    # decimal(18,0): the square stays decimal(37,0) — exact (not double,
+    # not precision-overflowed) in both Spark and DuckDB
+    x = F.col(value_col).cast("decimal(18,0)")
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    n = F.count(value_col).over(w)
+    stats = daily.select(
+        "day",
+        value_col,
+        s.alias("__s"),
+        ss.alias("__ss"),
+        n.alias("__n"),
+    )
+    # one double expression over exact integers, written identically in
+    # the DuckDB oracle: var = (SS - S*S/n)/(n-1), z = (x - S/n)/sqrt(var)
+    z = F.expr(
+        f"CASE WHEN __n >= 3 AND "
+        f"(CAST(__ss AS DOUBLE) - CAST(__s AS DOUBLE)*CAST(__s AS DOUBLE)/__n) > 0 "
+        f"THEN round((CAST({value_col} AS DOUBLE) - CAST(__s AS DOUBLE)/__n) / "
+        f"sqrt((CAST(__ss AS DOUBLE) - CAST(__s AS DOUBLE)*CAST(__s AS DOUBLE)/__n)"
+        f"/(__n - 1)), 6) END"
+    )
+    return stats.select(
+        "day",
+        value_col,
+        z.alias("z"),
+        (F.abs(z) > F.lit(threshold)).alias("is_anomaly"),
+    )

@@ -248,3 +248,20 @@ def test_sketch_checks_single_scan(spark):
               entrymod.q_approx_percentile_check):
         plan = _executed_plan(q(spark, SF_DIR))
         assert plan.count("Scan parquet") == 1, plan
+
+
+def test_ewma_equijoin_not_range_join(spark):
+    # the lookback contribution join must be a hash equi-join on
+    # date_sub(day, k), never a theta/range join over the daily frame
+    plan = _executed_plan(entrymod.q_ewma_daily(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_no_fact_table_window(spark):
+    # the forward-fill window orders the calendar spine (bounded), and
+    # the spine itself comes from a 1-row bound aggregate — the events
+    # scan feeds only the daily aggregate
+    plan = _executed_plan(entrymod.q_gap_fill_daily(spark, SF_DIR))
+    assert "Window" in plan
+    assert plan.count("Scan parquet") <= 2

@@ -234,3 +234,70 @@ class TestIvfPersistence:
             for r in ivf_cells(emb, loaded, v_vec="vvec").collect()
         }
         assert before == after and len(before) == emb.count()
+
+
+class TestTimeseriesGapOps:
+    def _daily(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(dt.date(2024, 1, d), v) for d, v in rows], "day date, cents long"
+        )
+
+    def test_gap_fill_forward_fills_and_flags(self, spark):
+        from datajudge_spark.operators.timeseries import fill_daily_gaps
+
+        daily = self._daily(spark, [(1, 10), (2, 20), (5, 50)])
+        out = {r["day"].day: r for r in fill_daily_gaps(daily, "cents").collect()}
+        assert sorted(out) == [1, 2, 3, 4, 5]
+        assert out[3]["observed"] is None and out[3]["filled"] == 20
+        assert out[4]["filled"] == 20 and out[4]["was_gap"]
+        assert out[5]["filled"] == 50 and not out[5]["was_gap"]
+
+    def test_gap_fill_leading_gap_stays_null(self, spark):
+        from datajudge_spark.operators.timeseries import fill_daily_gaps
+
+        # no gap before the first observation -> nothing precedes it; the
+        # spine starts at min(day), so row 1 is observed by construction
+        daily = self._daily(spark, [(1, 10)])
+        rows = fill_daily_gaps(daily, "cents").collect()
+        assert len(rows) == 1 and rows[0]["filled"] == 10
+
+    def test_ewma_terms_bounded_by_lookback(self, spark):
+        from datajudge_spark.operators.timeseries import ewma_daily
+
+        daily = self._daily(spark, [(d, 100) for d in range(1, 21)])
+        out = {r["day"].day: r for r in ewma_daily(daily, "cents", lookback=5).collect()}
+        assert out[1]["n_terms"] == 1
+        assert out[20]["n_terms"] == 5
+        # constant series: ewma == the constant for every day
+        for r in out.values():
+            assert float(r["ewma_num"] / r["ewma_den"]) == pytest.approx(100.0)
+
+    def test_ewma_missing_days_drop_terms_not_weights(self, spark):
+        from datajudge_spark.operators.timeseries import ewma_daily
+
+        # day 3 missing: day 4's window sees days {4,3,2,1} minus 3
+        daily = self._daily(spark, [(1, 10), (2, 10), (4, 40)])
+        out = {r["day"].day: r for r in ewma_daily(daily, "cents", lookback=4).collect()}
+        assert out[4]["n_terms"] == 3
+
+    def test_zscore_flags_synthetic_outlier(self, spark):
+        from datajudge_spark.operators.timeseries import zscore_anomalies
+
+        daily = self._daily(
+            spark, [(d, 100 + (d % 3)) for d in range(1, 10)] + [(10, 10_000)]
+        )
+        out = {r["day"].day: r for r in zscore_anomalies(daily, "cents").collect()}
+        assert out[10]["is_anomaly"]
+        assert not any(out[d]["is_anomaly"] for d in range(4, 10))
+
+    def test_zscore_null_while_window_small_or_flat(self, spark):
+        from datajudge_spark.operators.timeseries import zscore_anomalies
+
+        flat = self._daily(spark, [(d, 7) for d in range(1, 8)])
+        rows = zscore_anomalies(flat, "cents").collect()
+        assert all(r["z"] is None for r in rows)  # zero variance
+        small = self._daily(spark, [(1, 1), (2, 9)])
+        rows = zscore_anomalies(small, "cents").collect()
+        assert all(r["z"] is None for r in rows)  # n < 3
