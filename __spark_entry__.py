@@ -1319,6 +1319,73 @@ def q_approx_distinct_check(spark, sf_dir):
     return approx_distinct_check(li, "l_orderkey", rel_tol=0.15)
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Second Structured Streaming contract query: file-stream ->
+    watermarked ``dropDuplicatesWithinWatermark`` on (user_id,
+    event_type) -> append memory sink, drained with availableNow. The
+    digest aggregates only key columns (which survivor row is kept is
+    arrival-order-dependent; the key set is not), so the final state
+    equals batch SELECT DISTINCT — the oracle. State at scale is bounded
+    by the watermark horizon, not |keys ever seen|."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import stream_parquet_like, streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_dedup_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw).withColumn(
+        "event_ts", F.col("ts").cast("timestamp")
+    )
+    deduped = streaming_dedup(
+        ev, ["user_id", "event_type"], "event_ts", watermark_delay="1 hour"
+    )
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("user_id").cast("bigint").alias("user_checksum"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+def q_embedding_norm_stats(spark, sf_dir):
+    # per-label L2-norm health check before cosine dedup/ANN: map-only
+    # fold + one partial-agg'd shuffle. Per-row norm is the standard
+    # left-to-right double fold rounded to 6dp; the mean is a
+    # decimal-exact sum over the rounded norms (partition-order-proof).
+    from datajudge_spark.pipeline.similarity import norm_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return norm_stats(emb, "embedding", "label")
+
+
+def q_srp_signature_hist(spark, sf_dir):
+    # signed-random-projection signatures (6 Rademacher hyperplanes from
+    # md5 — no RNG state, reproducible in any engine): the corpus
+    # geometry fingerprint AND the LSH bucketing a cosine ANN would
+    # shuffle on at 100 TB. Map-only pass, <= 64 grouping keys.
+    from datajudge_spark.pipeline.similarity import srp_signature_hist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_signature_hist(emb, "embedding", n_planes=6, dim=64)
+
+
 def q_gap_fill_daily(spark, sf_dir):
     # densify a sparse daily series to the full calendar + forward-fill:
     # the standard prep before any time-series model. Calendar spine is
@@ -1495,6 +1562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_daily": q_gap_fill_daily,
         "ewma_daily": q_ewma_daily,
         "anomaly_zscore": q_anomaly_zscore,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "srp_signature_hist": q_srp_signature_hist,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1537,6 +1607,24 @@ def _ewma_weights_values_sql(
         f"({k}, CAST('{w}' AS DECIMAL({scale + 2},{scale})))"
         for k, w in enumerate(ws)
     )
+
+
+def _srp_sig_sql(n_planes: int = 6, dim: int = 64, seed: str = "srp") -> str:
+    """SRP signature expression with the SAME md5-derived +/-1 planes and
+    the same left-to-right double fold as pipeline.similarity."""
+    from datajudge_spark.pipeline.similarity import srp_planes
+
+    planes = srp_planes(dim, n_planes, seed)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(s) for s in plane) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, {dim}), "
+            f"j -> embedding[j]::DOUBLE * ({lit})[j])), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 def _minhash_lsh_sql() -> str:
@@ -2466,5 +2554,28 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)"
             "/(n - 1)), 6) END AS z FROM st) "
             "SELECT day, cents, z, abs(z) > 2.0 AS is_anomaly FROM z"
+        ),
+        "embedding_norm_stats": (
+            "WITH nr AS (SELECT label, "
+            "round(sqrt(list_reduce(list_prepend(0.0, "
+            "list_transform(embedding, w -> w::DOUBLE * w::DOUBLE)), "
+            "(x, y) -> x + y)), 6) AS nrm FROM embeddings) "
+            "SELECT label, count(*) AS n_vecs, "
+            "round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) "
+            "/ count(*), 6) AS avg_norm, "
+            "min(nrm) AS min_norm, max(nrm) AS max_norm, "
+            "round(CAST(count(CASE WHEN nrm >= 0.9 AND nrm <= 1.1 THEN 1 END)"
+            " AS DOUBLE) / count(*), 6) AS frac_unit "
+            "FROM nr GROUP BY label"
+        ),
+        "srp_signature_hist": (
+            f"SELECT {_srp_sig_sql()} AS sig, count(*) AS n_vecs "
+            "FROM embeddings GROUP BY 1"
+        ),
+        "streaming_dedup": (
+            "SELECT count(*) AS n_pairs, "
+            "CAST(sum(user_id) AS BIGINT) AS user_checksum, "
+            "count(DISTINCT event_type) AS n_types FROM "
+            "(SELECT DISTINCT user_id, event_type FROM events)"
         ),
     }

@@ -333,3 +333,107 @@ def load_ivf_index(spark, path: str) -> DataFrame:
     """Load centroids saved by :func:`save_ivf_index` (k-row DataFrame,
     broadcast-sized — feed straight to :func:`topk_ivf`/:func:`ivf_cells`)."""
     return spark.read.parquet(path)
+
+
+def norm_stats(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str | None = None,
+    lo: float = 0.9,
+    hi: float = 1.1,
+) -> DataFrame:
+    """Per-group L2-norm statistics for an embedding column: row count,
+    mean/min/max norm, and the fraction inside [lo, hi] (a "are these
+    normalized?" health check before cosine-based dedup/ANN).
+
+    Cross-engine determinism: the per-row norm is the same left-to-right
+    double fold the cosine ops use, ROUNDED to 6dp (deterministic per
+    row), and the mean comes from an exact decimal sum of those rounded
+    norms — a double sum over rows would depend on partition order.
+
+    Scale: map-only per-row fold + one partial-agg'd shuffle on the
+    group key; no UDF, no second pass.
+    """
+    nr = F.round(_norm(vec_col), 6)
+    keys = [group_col] if group_col else []
+    base = df.select(*keys, nr.alias("__nrm"))
+    dec = F.col("__nrm").cast("decimal(18,6)")
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        # decimal-exact sum, then ONE double division (q_mean convention:
+        # decimal/decimal division scale rules differ per engine)
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_norm"),
+        F.min("__nrm").alias("min_norm"),
+        F.max("__nrm").alias("max_norm"),
+        F.round(
+            F.count(F.when((F.col("__nrm") >= lo) & (F.col("__nrm") <= hi), 1))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_unit"),
+    )
+    return agg
+
+
+def srp_planes(dim: int, n_planes: int, seed: str = "srp") -> list[list[float]]:
+    """Deterministic Rademacher (+/-1) hyperplanes for signed random
+    projection, derived from md5(seed:plane:dim) — reproducible in ANY
+    engine that can embed a literal array, with no RNG state."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            row.append(1.0 if h[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(
+    vec_col: str, planes: list[list[float]]
+) -> Column:
+    """SRP signature as an integer: bit i set iff dot(vec, plane_i) > 0.
+
+    Same left-to-right double fold as the cosine ops, so the sign (and
+    hence the bucket) is engine-independent.  SRP buckets approximate
+    cosine neighborhoods: P(bit differs) = angle/pi, so bucket counts
+    give a cheap corpus-geometry fingerprint, and the buckets themselves
+    are an LSH partitioning for cosine ANN at 100 TB (shuffle on the
+    signature, compare within buckets only).
+    """
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(s) for s in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), arr, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def srp_signature_hist(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 6,
+    seed: str = "srp",
+    dim: int | None = None,
+) -> DataFrame:
+    """Histogram of SRP signatures over the corpus: ``(sig, n_vecs)``.
+    One map-only pass + a partial-agg'd shuffle on <= 2^n_planes keys.
+    Pass ``dim`` when known to avoid the 1-row schema probe."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = srp_planes(dim, n_planes, seed)
+    return (
+        df.select(srp_signature(vec_col, planes).alias("sig"))
+        .groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )

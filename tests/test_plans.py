@@ -265,3 +265,17 @@ def test_gap_fill_no_fact_table_window(spark):
     plan = _executed_plan(entrymod.q_gap_fill_daily(spark, SF_DIR))
     assert "Window" in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_norm_stats_single_scan_no_udf(spark):
+    # per-row fold + one partial-agg'd shuffle: no UDF, no second scan
+    plan = _executed_plan(entrymod.q_embedding_norm_stats(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_srp_hist_single_scan_no_udf(spark):
+    plan = _executed_plan(entrymod.q_srp_signature_hist(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
