@@ -1386,6 +1386,114 @@ def q_srp_signature_hist(spark, sf_dir):
     return srp_signature_hist(emb, "embedding", n_planes=6, dim=64)
 
 
+def q_srp_neardup_pairs(spark, sf_dir):
+    # unsupervised near-dup: SRP-LSH bucketing (no label needed) ->
+    # cosine only WITHIN buckets. The 100 TB path: shuffle on the 6-bit
+    # signature, never an all-pairs join. Recall note: one 6-plane table
+    # catches highly-similar pairs; production would union 2-3 plane
+    # seeds for recall, same plan shape. Threshold 0.3: the synthetic
+    # embeddings contain no true near-dups (max pairwise cos ~0.4), so a
+    # dedup-grade 0.9 cut would make the contract query vacuously empty.
+    from datajudge_spark.pipeline.similarity import (
+        near_dup_pairs,
+        srp_planes,
+        srp_signature,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = srp_planes(64, 6)
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vvec"),
+        srp_signature("embedding", planes).alias("sig"),
+    )
+    return near_dup_pairs(vecs, "sig", threshold=0.3, v_id="vid", v_vec="vvec")
+
+
+def q_shipping_priority_topk(spark, sf_dir):
+    # TPC-H Q3 shape: two selective joins + grouped revenue + top-10.
+    # Revenue in exact decimal (price and discount are 2dp decimals, so
+    # products/sums commute), digested to an integer at scale 4; the
+    # ORDER BY carries the orderkey tiebreak so the top-10 SET is
+    # deterministic. orderBy+limit compiles to TakeOrderedAndProject.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    # timestamp-literal comparisons (not cast(col as date)) so the
+    # predicates push down to the parquet scan
+    ship_lo = F.lit("1995-03-16 00:00:00").cast("timestamp_ntz")
+    ord_hi = F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    return (
+        li.where(F.col("l_shipdate") >= ship_lo)
+        .join(
+            o.where(F.col("o_orderdate") < ord_hi),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_date"))
+        .agg((F.sum(rev) * 10000).cast("bigint").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    # TPC-H Q5 shape: fact scan + four broadcast dimension joins
+    # (customer/orders are fact-sized joins; supplier/nation/region
+    # broadcast), local-supplier condition c_nationkey = s_nationkey,
+    # grouped decimal-exact revenue per nation.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(rev) * 10000).cast("bigint").alias("revenue_e4"))
+    )
+
+
+def q_running_distinct_users(spark, sf_dir):
+    # cumulative distinct-user curve WITHOUT a giant distinct-over-window:
+    # first-seen day per user (one partial-agg'd min), daily new-user
+    # counts, then a cumulative sum over the calendar-bounded daily frame.
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("cum_users")
+    )
+
+
 def q_gap_fill_daily(spark, sf_dir):
     # densify a sparse daily series to the full calendar + forward-fill:
     # the standard prep before any time-series model. Calendar spine is
@@ -1565,6 +1673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": q_embedding_norm_stats,
         "srp_signature_hist": q_srp_signature_hist,
         "streaming_dedup": q_streaming_dedup,
+        "srp_neardup_pairs": q_srp_neardup_pairs,
+        "shipping_priority_topk": q_shipping_priority_topk,
+        "revenue_by_nation": q_revenue_by_nation,
+        "running_distinct_users": q_running_distinct_users,
     }
 
 
@@ -2577,5 +2689,48 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(user_id) AS BIGINT) AS user_checksum, "
             "count(DISTINCT event_type) AS n_types FROM "
             "(SELECT DISTINCT user_id, event_type FROM events)"
+        ),
+        "srp_neardup_pairs": (
+            f"WITH s AS (SELECT vec_id, embedding, {_srp_sig_sql()} AS sig "
+            "FROM embeddings) "
+            "SELECT d1, d2, round(cos, 6) AS cos FROM ("
+            "SELECT a.vec_id AS d1, b.vec_id AS d2, "
+            f"{_fold_cos_sql('a.embedding', 'b.embedding')} AS cos "
+            "FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id"
+            ") WHERE cos > 0.3"
+        ),
+        "shipping_priority_topk": (
+            "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) "
+            "* 10000 AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+            "AND l_shipdate >= TIMESTAMP '1995-03-16 00:00:00' "
+            "GROUP BY l_orderkey, CAST(o_orderdate AS DATE) "
+            "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) "
+            "* 10000 AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        "running_distinct_users": (
+            "WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day "
+            "FROM events GROUP BY 1), "
+            "dn AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1) "
+            "SELECT day, n_new, "
+            "CAST(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users FROM dn"
         ),
     }

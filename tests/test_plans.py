@@ -279,3 +279,36 @@ def test_srp_hist_single_scan_no_udf(spark):
     plan = _executed_plan(entrymod.q_srp_signature_hist(spark, SF_DIR))
     assert plan.count("Scan parquet") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_srp_neardup_blocked_equijoin(spark):
+    # SRP bucketing must make the pair join a hash equi-join on the
+    # signature — never an all-pairs nested loop over the corpus
+    plan = _executed_plan(entrymod.q_srp_neardup_pairs(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q3_pushdown_broadcast_takeordered(spark):
+    plan = _executed_plan(entrymod.q_shipping_priority_topk(spark, SF_DIR))
+    # both date predicates reach the scans; customer broadcasts; the
+    # top-10 is per-partition heaps, not a global sort
+    assert "PushedFilters" in plan and "1995-03-1" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_dimensions_broadcast(spark):
+    plan = _executed_plan(entrymod.q_revenue_by_nation(spark, SF_DIR))
+    # supplier/nation/region broadcast; only the fact-sized joins may
+    # shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Cartesian" not in plan
+
+
+def test_running_distinct_users_no_fact_window(spark):
+    # first-seen min + daily counts are partial-agg'd; the cumulative
+    # window runs on the daily frame above the aggregates
+    plan = _executed_plan(entrymod.q_running_distinct_users(spark, SF_DIR))
+    assert "partial_min" in plan or "partial_count" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
