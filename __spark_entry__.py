@@ -1386,6 +1386,31 @@ def q_srp_signature_hist(spark, sf_dir):
     return srp_signature_hist(emb, "embedding", n_planes=6, dim=64)
 
 
+def q_scd2_intervals(spark, sf_dir):
+    # SCD2 construction: turn a change-event log into validity intervals
+    # [valid_from, valid_to) per key with lead() over (ts, id-tiebreak),
+    # digested per event_type. The window partitions by user — each
+    # key's history sorts locally after ONE shuffle; no global sort.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_open"),
+        # exact integer microseconds (a seconds cast truncates, and
+        # truncation semantics differ per engine)
+        F.sum(
+            F.unix_micros(F.col("valid_to").cast("timestamp"))
+            - F.unix_micros(F.col("valid_from").cast("timestamp"))
+        ).cast("bigint").alias("dur_us_sum"),
+    )
+
+
 def q_srp_neardup_pairs(spark, sf_dir):
     # unsupervised near-dup: SRP-LSH bucketing (no label needed) ->
     # cosine only WITHIN buckets. The 100 TB path: shuffle on the 6-bit
@@ -1673,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": q_embedding_norm_stats,
         "srp_signature_hist": q_srp_signature_hist,
         "streaming_dedup": q_streaming_dedup,
+        "scd2_intervals": q_scd2_intervals,
         "srp_neardup_pairs": q_srp_neardup_pairs,
         "shipping_priority_topk": q_shipping_priority_topk,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2689,6 +2715,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(user_id) AS BIGINT) AS user_checksum, "
             "count(DISTINCT event_type) AS n_types FROM "
             "(SELECT DISTINCT user_id, event_type FROM events)"
+        ),
+        "scd2_intervals": (
+            "WITH iv AS (SELECT user_id, event_type, ts AS valid_from, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS valid_to FROM events) "
+            "SELECT event_type, count(*) AS n_intervals, "
+            "count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_open, "
+            "CAST(sum(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT) "
+            "AS dur_us_sum FROM iv GROUP BY event_type"
         ),
         "srp_neardup_pairs": (
             f"WITH s AS (SELECT vec_id, embedding, {_srp_sig_sql()} AS sig "

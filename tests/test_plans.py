@@ -312,3 +312,11 @@ def test_running_distinct_users_no_fact_window(spark):
     plan = _executed_plan(entrymod.q_running_distinct_users(spark, SF_DIR))
     assert "partial_min" in plan or "partial_count" in plan
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_scd2_single_key_shuffle(spark):
+    # the interval construction shuffles once on the user key; the
+    # lead() window sorts locally within partitions (no global sort)
+    plan = _executed_plan(entrymod.q_scd2_intervals(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan.split("Window")[-1]
+    assert plan.count("Scan parquet") == 1
