@@ -1252,12 +1252,19 @@ def q_streaming_windowed_counts(spark, sf_dir):
     )
     query.awaitTermination()
     # UTC session => 1-day tumbling windows are UTC-midnight aligned,
-    # matching DuckDB date_trunc('day'); cast start to DATE for the digest
-    return spark.table(qname).select(
+    # matching DuckDB date_trunc('day'); cast start to DATE for the digest.
+    # Materialize the digest and DROP the memory sink — repeated runs
+    # (bench passes) would otherwise pin every drained batch on the
+    # driver heap forever.
+    out_df = spark.table(qname).select(
         F.col("window_start").cast("date").alias("day"),
         "event_type",
         "n_rows",
     )
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
 
 
 # --------------------------------------------------------------------------
@@ -1357,11 +1364,17 @@ def q_streaming_dedup(spark, sf_dir):
         .start()
     )
     query.awaitTermination()
-    return spark.table(qname).agg(
+    # materialize the 1-row digest and drop the sink (the append-mode
+    # memory table holds every deduped ROW — never leave it pinned)
+    out_df = spark.table(qname).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("user_id").cast("bigint").alias("user_checksum"),
         F.count_distinct("event_type").alias("n_types"),
     )
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
 
 
 def q_embedding_norm_stats(spark, sf_dir):
@@ -1574,17 +1587,31 @@ def q_anomaly_zscore(spark, sf_dir):
 
 
 def q_approx_percentile_check(spark, sf_dir):
-    # percentile_approx sketch vs exact interpolated median over integer
-    # cents (exact median of bigints is bit-deterministic cross-engine:
-    # (lo+hi)/2 is exact in a double below 2^52).
-    from datajudge_spark.operators.olap import approx_percentile_check
+    # percentile_approx sketch vs the EXACT median from the two-pass
+    # range-bucketed percentile operator (same construction as
+    # q_percentile — Spark's percentile() aggregate would funnel the
+    # whole column into one aggregation buffer, the SURVEY §4.4 hazard).
+    # Median over integer cents so the exact value is engine-exact.
+    from datajudge_spark.operators.scalars import exact_percentile_df
 
     li = _t(spark, sf_dir, "lineitem")
-    return approx_percentile_check(
-        li,
-        F.col("l_extendedprice").cast("decimal(18,2)") * 100,
-        accuracy=10_000,
-        rel_tol=0.02,
+    cents = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    exact = exact_percentile_df(cents, "c", 50.0).select(
+        F.col("value").cast("bigint").alias("exact_median_cents")
+    )
+    approx = cents.agg(
+        F.percentile_approx("c", F.lit(0.5), F.lit(10_000)).alias("__approx")
+    )
+    return exact.join(F.broadcast(approx)).select(
+        "exact_median_cents",
+        (
+            F.abs(F.col("__approx") - F.col("exact_median_cents"))
+            <= 0.02 * F.col("exact_median_cents")
+        ).alias("within_tol"),
     )
 
 
@@ -2643,9 +2670,15 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS within_tol FROM lineitem"
         ),
         "approx_percentile_check": (
-            "SELECT quantile_cont(c, 0.5) AS exact_median_cents, "
-            "TRUE AS within_tol FROM (SELECT CAST(CAST(l_extendedprice AS "
-            "DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM lineitem)"
+            # exact side mirrors the q_percentile construction: smallest
+            # v with >=50% of values <= v, over integer cents
+            "SELECT CAST(min(value) AS BIGINT) AS exact_median_cents, "
+            "TRUE AS within_tol FROM ("
+            "  SELECT c AS value, cume_dist() OVER (ORDER BY c) AS cd "
+            "  FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "        * 100 AS BIGINT) AS c FROM lineitem) "
+            "  WHERE c IS NOT NULL"
+            ") WHERE cd >= 0.5"
         ),
         "gap_fill_daily": (
             "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
@@ -2683,8 +2716,8 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))"
             " OVER w AS ss, "
             "count(cents) OVER w AS n FROM daily "
-            "WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND "
-            "CURRENT ROW)), "
+            "WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND "
+            "1 PRECEDING)), "
             "z AS (SELECT day, cents, "
             "CASE WHEN n >= 3 AND (CAST(ss AS DOUBLE) - "
             "CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n) > 0 "

@@ -163,3 +163,162 @@ class PopulationStabilityIndex(Constraint):
             f"[{self._lo}, {self._hi})). "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class HeavyHitterShare(Constraint):
+    """No key group may exceed a maximum share of rows — the "is one
+    key hot enough to skew my joins / poison my training mix?" gate.
+    Extension, no reference counterpart.
+
+    Share math is integer-exact in-engine (``operators.olap.
+    heavy_hitters``: n * 1e6 compared against total * ppm); only the
+    violating keys cross to the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_share_ppm: int,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        self._max_share_ppm = int(max_share_ppm)
+        super().__init__(
+            ref, ref_value=self._max_share_ppm, name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.olap import heavy_hitters
+
+        df = self._ref.get_selection(engine)
+        cols = self._ref.get_columns(engine)
+        # candidates at >= max ppm, then the exact integer strict compare
+        hh = heavy_hitters(
+            df, cols, self._max_share_ppm, include_total=True
+        ).where(
+            F.col("n") * 1_000_000 > F.col("total") * self._max_share_ppm
+        )
+        offenders = hh.orderBy(F.col("n").desc(), *cols).limit(20).collect()
+        if not offenders:
+            return TestResult.success()
+        worst = offenders[0]
+        key = tuple(worst[c] for c in cols)
+        assertion_text = (
+            f"{self._ref} has {len(offenders)}{'+' if len(offenders) == 20 else ''} "
+            f"key group(s) above {self._max_share_ppm} ppm of rows; worst "
+            f"is {key} with {worst['n']} rows "
+            f"(share {worst['share']}, total {worst['total']}). "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class EmbeddingNormFraction(Constraint):
+    """At least ``min_fraction`` of embedding vectors must have an L2
+    norm inside [lo, hi] — the normalization health gate before any
+    cosine-based dedup/ANN. Extension, no reference counterpart.
+
+    Norms fold JVM-side (``pipeline.similarity.norm_stats``); one
+    digest row crosses to the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        min_fraction: float,
+        lo: float = 0.99,
+        hi: float = 1.01,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        self._min_fraction = min_fraction
+        self._lo, self._hi = lo, hi
+        super().__init__(
+            ref, ref_value=min_fraction, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..pipeline.similarity import norm_stats
+
+        df = self._ref.get_selection(engine)
+        col = self._ref.get_column(engine)
+        row = norm_stats(df, col, None, self._lo, self._hi).collect()
+        if not row or row[0]["n_vecs"] == 0:
+            return TestResult.failure(
+                f"{self._ref} has no vectors: the norm fraction is "
+                "undefined (insufficient data). ",
+                self.get_description(),
+            )
+        frac = row[0]["frac_unit"]
+        if frac >= self._min_fraction:
+            return TestResult.success()
+        assertion_text = (
+            f"{self._ref} has only fraction {frac} of {row[0]['n_vecs']} "
+            f"vectors with L2 norm in [{self._lo}, {self._hi}], below the "
+            f"required {self._min_fraction} (avg norm {row[0]['avg_norm']}, "
+            f"range [{row[0]['min_norm']}, {row[0]['max_norm']}]). "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class DailyVolumeAnomaly(Constraint):
+    """Rolling z-score gate on daily row volume: at most
+    ``max_anomalies`` days may deviate more than ``threshold`` standard
+    deviations from their trailing window — the "did ingestion break /
+    double-fire on some day?" monitor. Extension, no reference
+    counterpart.
+
+    The daily aggregate and the exact-integer-sum z-scores run in-engine
+    (``operators.timeseries.zscore_anomalies``); only flagged days cross
+    to the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_anomalies: int = 0,
+        window_days: int = 7,
+        threshold: float = 3.0,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        self._max_anomalies = int(max_anomalies)
+        self._window_days = int(window_days)
+        self._threshold = threshold
+        super().__init__(
+            ref, ref_value=self._max_anomalies, name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import daily_totals, zscore_anomalies
+
+        df = self._ref.get_selection(engine)
+        col = self._ref.get_column(engine)
+        daily = daily_totals(
+            df, col, F.count(F.lit(1)).cast("bigint"), alias="n_rows"
+        )
+        flagged = (
+            zscore_anomalies(
+                daily, "n_rows", self._window_days, self._threshold
+            )
+            .where(F.col("is_anomaly"))
+            .orderBy("day")
+            .limit(max(self._max_anomalies + 20, 21))
+            .collect()
+        )
+        if len(flagged) <= self._max_anomalies:
+            return TestResult.success()
+        days = [(str(r["day"]), r["n_rows"], r["z"]) for r in flagged[:5]]
+        assertion_text = (
+            f"{self._ref} has {len(flagged)} daily-volume anomalies "
+            f"(|z| > {self._threshold} vs the trailing "
+            f"{self._window_days}-day window), exceeding the allowed "
+            f"{self._max_anomalies}. First offenders (day, rows, z): "
+            f"{days}. "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

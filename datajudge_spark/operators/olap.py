@@ -36,16 +36,20 @@ def heavy_hitters(
     df: DataFrame,
     key_cols: Sequence[str],
     min_share_ppm: int,
+    include_total: bool = False,
 ) -> DataFrame:
     """Exact heavy hitters: key groups holding at least ``min_share_ppm``
     parts-per-million of the total row count.
 
     Returns ``(*key_cols, n, share)`` with ``share`` rounded to 6
-    decimals.  The threshold compare is integer-exact: ``n * 1e6 >=
-    total * ppm`` (never a double product, so no boundary flakiness).
+    decimals (plus ``total`` when ``include_total`` — for callers that
+    need exact integer follow-up comparisons).  The threshold compare is
+    integer-exact: ``n * 1e6 >= total * ppm`` (never a double product,
+    so no boundary flakiness).
     """
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     total = df.agg(F.count(F.lit(1)).alias("__total"))
+    extra = [F.col("__total").alias("total")] if include_total else []
     return (
         counts.join(F.broadcast(total))
         .where(F.col("n") * 1_000_000 >= F.col("__total") * int(min_share_ppm))
@@ -55,6 +59,7 @@ def heavy_hitters(
             F.round(F.col("n").cast("double") / F.col("__total"), 6).alias(
                 "share"
             ),
+            *extra,
         )
     )
 
@@ -108,6 +113,13 @@ def approx_percentile_check(
     The input must be integer cents so the exact median is
     bit-deterministic cross-engine: interpolation at q=0.5 over bigints
     is (lo+hi)/2, exact in a double for values < 2^52.
+
+    CAVEAT (scale): Spark's ``percentile()`` aggregate buffers every
+    value in one merge buffer — fine to tens of millions of rows, the
+    SURVEY §4.4 hazard beyond that. For big columns use
+    ``operators.scalars.exact_percentile_df`` (two-pass range-bucketed)
+    for the exact side, as the ``approx_percentile_check`` contract
+    query does.
     """
     cents = cents_col.cast("bigint")
     return df.select(cents.alias("__c")).agg(

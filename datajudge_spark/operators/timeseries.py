@@ -208,15 +208,20 @@ def zscore_anomalies(
 ) -> DataFrame:
     """Rolling z-score anomaly flags over a daily integer frame.
 
+    The baseline window is the ``window_days`` rows BEFORE each day —
+    excluding the day itself, so a spike cannot inflate its own baseline
+    variance and mask itself (the include-current form under-flags by
+    design: a 5x spike inside its own 7-day std often lands under z=3).
+
     mean/variance come from EXACT integer window sums (S, SS as wide
     decimals), and z is one double expression over those integers —
     identical parse tree => bit-identical cross-engine, unlike
     ``stddev_samp`` whose streaming algorithm differs by engine.
 
     Returns ``(day, {value_col}, z, is_anomaly)``; z is NULL while the
-    window holds <3 points or has zero variance.
+    baseline holds <3 points or has zero variance.
     """
-    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    w = Window.orderBy("day").rowsBetween(-window_days, -1)
     # decimal(18,0): the square stays decimal(37,0) — exact (not double,
     # not precision-overflowed) in both Spark and DuckDB
     x = F.col(value_col).cast("decimal(18,0)")

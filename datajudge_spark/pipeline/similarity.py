@@ -358,20 +358,27 @@ def norm_stats(
     keys = [group_col] if group_col else []
     base = df.select(*keys, nr.alias("__nrm"))
     dec = F.col("__nrm").cast("decimal(18,6)")
+    n = F.count(F.lit(1))
     agg = base.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_vecs"),
+        n.alias("n_vecs"),
         # decimal-exact sum, then ONE double division (q_mean convention:
-        # decimal/decimal division scale rules differ per engine)
-        F.round(
-            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+        # decimal/decimal division scale rules differ per engine); the
+        # n>0 guard keeps the global-agg-on-empty-input path NULL instead
+        # of an ANSI divide-by-zero
+        F.when(
+            n > 0, F.round(F.sum(dec).cast("double") / n, 6)
         ).alias("avg_norm"),
         F.min("__nrm").alias("min_norm"),
         F.max("__nrm").alias("max_norm"),
-        F.round(
-            F.count(F.when((F.col("__nrm") >= lo) & (F.col("__nrm") <= hi), 1))
-            .cast("double")
-            / F.count(F.lit(1)),
-            6,
+        F.when(
+            n > 0,
+            F.round(
+                F.count(
+                    F.when((F.col("__nrm") >= lo) & (F.col("__nrm") <= hi), 1)
+                ).cast("double")
+                / n,
+                6,
+            ),
         ).alias("frac_unit"),
     )
     return agg

@@ -795,6 +795,89 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_heavy_hitter_share_constraint(
+        self,
+        columns: list[str],
+        max_share_ppm: int,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): fail if any group of
+        ``columns`` holds strictly more than ``max_share_ppm``
+        parts-per-million of the (conditioned) rows — the key-skew gate
+        for join/partition keys and training-mix sources. Integer-exact
+        share math in-engine; only violating keys reach the driver."""
+        if not columns:
+            raise ValueError("At least one key column is required.")
+        if not 0 < int(max_share_ppm) <= 1_000_000:
+            raise ValueError("max_share_ppm must be in (0, 1e6].")
+        ref = DataReference(self._data_source, list(columns), condition)
+        self._constraints.append(
+            stats_constraints.HeavyHitterShare(
+                ref, max_share_ppm, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_embedding_norm_fraction_constraint(
+        self,
+        column: str,
+        min_fraction: float,
+        lo: float = 0.99,
+        hi: float = 1.01,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): at least ``min_fraction``
+        of the array<float> vectors in ``column`` must have an L2 norm in
+        [lo, hi] — the normalization health gate before cosine dedup/ANN.
+        Norms fold JVM-side; one digest row reaches the driver."""
+        if hi <= lo:
+            raise ValueError("Norm range requires hi > lo.")
+        if not 0 <= min_fraction <= 1:
+            raise ValueError("min_fraction must be within [0, 1].")
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            stats_constraints.EmbeddingNormFraction(
+                ref, min_fraction, lo, hi, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_daily_volume_anomaly_constraint(
+        self,
+        date_column: str,
+        max_anomalies: int = 0,
+        window_days: int = 7,
+        threshold: float = 3.0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): at most ``max_anomalies``
+        days may have a daily row count deviating more than ``threshold``
+        standard deviations from their trailing ``window_days`` window —
+        the ingestion-broke/double-fired monitor. Daily aggregate and
+        exact-integer-sum z-scores run in-engine; only flagged days reach
+        the driver."""
+        if window_days < 3:
+            raise ValueError(
+                "window_days must be >= 3 (z-score needs 3 points)."
+            )
+        if threshold <= 0:
+            raise ValueError("threshold must be positive.")
+        ref = DataReference(self._data_source, [date_column], condition)
+        self._constraints.append(
+            stats_constraints.DailyVolumeAnomaly(
+                ref,
+                max_anomalies=max_anomalies,
+                window_days=window_days,
+                threshold=threshold,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
 
 class BetweenRequirement(Requirement):
     """Constraints comparing two data sources (reference requirements.py:1266-2227)."""

@@ -306,3 +306,102 @@ class TestGroupby:
             ["some_id"], "value", 1, tolerance=0.5
         )  # 1 of 4 keys violates
         assert outcomes(req2, spark) == [False, True]
+
+
+class TestHeavyHitterShare:
+    def test_skew_pass_fail(self, spark):
+        # 50 rows of key 'hot' + 50 spread over 50 keys: hot = 50%
+        rows = [("hot",)] * 50 + [(f"k{i}",) for i in range(50)]
+        df = spark.createDataFrame(rows, "k string")
+        req = within_req(df, "skewed")
+        req.add_heavy_hitter_share_constraint(["k"], 600_000)  # 60% cap ok
+        req.add_heavy_hitter_share_constraint(["k"], 100_000)  # 10% cap fails
+        assert outcomes(req, spark) == [True, False]
+
+    def test_boundary_is_strict(self, spark):
+        # exactly AT the cap is allowed (strict > violates)
+        rows = [("a",)] * 25 + [("b",)] * 75
+        df = spark.createDataFrame(rows, "k string")
+        req = within_req(df, "quarter")
+        req.add_heavy_hitter_share_constraint(["k"], 750_000)
+        assert outcomes(req, spark) == [True]
+
+    def test_failure_message_names_offender(self, spark):
+        rows = [("hot",)] * 99 + [("cold",)]
+        df = spark.createDataFrame(rows, "k string")
+        req = within_req(df, "hot99")
+        req.add_heavy_hitter_share_constraint(["k"], 500_000)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "hot" in results[0].failure_message
+
+    def test_validation(self, spark, int_table1):
+        req = within_req(int_table1, "t")
+        with pytest.raises(ValueError):
+            req.add_heavy_hitter_share_constraint([], 1000)
+        with pytest.raises(ValueError):
+            req.add_heavy_hitter_share_constraint(["col_int"], 0)
+
+
+class TestEmbeddingNormFraction:
+    def _vecs(self, spark, norms):
+        rows = [([float(n), 0.0],) for n in norms]
+        return spark.createDataFrame(rows, "v array<float>")
+
+    def test_pass_fail(self, spark):
+        df = self._vecs(spark, [1.0] * 9 + [2.0])  # 90% unit
+        req = within_req(df, "vecs")
+        req.add_embedding_norm_fraction_constraint("v", 0.9)
+        req.add_embedding_norm_fraction_constraint("v", 0.95)  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_empty_fails_cleanly(self, spark):
+        df = self._vecs(spark, []).where("size(v) > 2")
+        req = within_req(df, "empty")
+        req.add_embedding_norm_fraction_constraint("v", 0.5)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "insufficient data" in results[0].failure_message
+
+    def test_validation(self, spark, int_table1):
+        req = within_req(int_table1, "t")
+        with pytest.raises(ValueError):
+            req.add_embedding_norm_fraction_constraint("v", 0.5, lo=1.0, hi=1.0)
+        with pytest.raises(ValueError):
+            req.add_embedding_norm_fraction_constraint("v", 1.5)
+
+
+class TestDailyVolumeAnomaly:
+    def _days(self, spark, counts):
+        import datetime as dt
+
+        rows = []
+        for i, c in enumerate(counts):
+            day = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+            rows += [(day,)] * c
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    def test_steady_passes_spike_fails(self, spark):
+        steady = self._days(spark, [100 + (i % 3) for i in range(14)])
+        req = within_req(steady, "steady")
+        req.add_daily_volume_anomaly_constraint("ts", threshold=3.0)
+        assert outcomes(req, spark) == [True]
+        spike = self._days(spark, [100 + (i % 3) for i in range(13)] + [500])
+        req2 = within_req(spike, "spike")
+        req2.add_daily_volume_anomaly_constraint("ts", threshold=3.0)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "anomal" in results[0].failure_message
+
+    def test_allowance_tolerates_spikes(self, spark):
+        spike = self._days(spark, [100 + (i % 3) for i in range(13)] + [500])
+        req = within_req(spike, "spike_ok")
+        req.add_daily_volume_anomaly_constraint("ts", max_anomalies=1)
+        assert outcomes(req, spark) == [True]
+
+    def test_validation(self, spark, int_table1):
+        req = within_req(int_table1, "t")
+        with pytest.raises(ValueError):
+            req.add_daily_volume_anomaly_constraint("ts", window_days=2)
+        with pytest.raises(ValueError):
+            req.add_daily_volume_anomaly_constraint("ts", threshold=0)
