@@ -1235,6 +1235,12 @@ def q_streaming_windowed_counts(spark, sf_dir):
     ev = normalize_event_time(raw).withColumn(
         "event_ts", F.col("ts").cast("timestamp")
     )
+    # streaming state-store count == shuffle partitions at query start;
+    # (window x type) state is tiny here, and 32 HDFS-backed stores cost
+    # more to init/maintain than the data (measured 4-29 s vs 4 s at 8).
+    # On a real cluster size this to the executor count instead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     out = windowed_counts(
         ev,
         "event_ts",
@@ -1243,14 +1249,17 @@ def q_streaming_windowed_counts(spark, sf_dir):
         group_cols=["event_type"],
     )
     qname = f"stream_win_{uuid.uuid4().hex[:8]}"
-    query = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    try:
+        query = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # UTC session => 1-day tumbling windows are UTC-midnight aligned,
     # matching DuckDB date_trunc('day'); cast start to DATE for the digest.
     # Materialize the digest and DROP the memory sink — repeated runs
@@ -1356,14 +1365,21 @@ def q_streaming_dedup(spark, sf_dir):
         ev, ["user_id", "event_type"], "event_ts", watermark_delay="1 hour"
     )
     qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # see q_streaming_windowed_counts: 8 state stores, not 32, for this
+    # state size; size to the executor count on a real cluster
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # materialize the 1-row digest and drop the sink (the append-mode
     # memory table holds every deduped ROW — never leave it pinned)
     out_df = spark.table(qname).agg(
@@ -1622,7 +1638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window in round 2) plus the new streaming query come first, topped
     # up with 15 previously-driver-green sentinels; the other 35
     # previously-green queries follow.  Across rounds 2+3 every query
-    # then has a driver-green CORRECTNESS row.
+    # then has a driver-green CORRECTNESS row.  The 17 queries ADDED in
+    # round 3 sit behind the window (all green in the local replica,
+    # tests/test_entry_oracle.py) — rotate them forward in round 4.
     return {
         # -- 34 queries never driver-checked before round 3 --
         "tfidf_top_terms": q_tfidf_top_terms,
