@@ -1638,7 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window in round 2) plus the new streaming query come first, topped
     # up with 15 previously-driver-green sentinels; the other 35
     # previously-green queries follow.  Across rounds 2+3 every query
-    # then has a driver-green CORRECTNESS row.  The 17 queries ADDED in
+    # then has a driver-green CORRECTNESS row.  The 16 queries ADDED in
     # round 3 sit behind the window (all green in the local replica,
     # tests/test_entry_oracle.py) — rotate them forward in round 4.
     return {
