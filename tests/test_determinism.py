@@ -76,3 +76,55 @@ def test_duplicate_sample_stable(spark, n_parts):
     df = spark.createDataFrame(rows, schema).repartition(n_parts)
     sample, _ = get_duplicate_sample(spark, make_ref(df, "t"))
     assert sample == (3,)
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 13])
+def test_ewma_exact_decimal_sums_partition_stable(spark, n_parts):
+    # double weights would make the weighted sum depend on join output
+    # order; exact decimal weights must not
+    import datetime as dt
+
+    from datajudge_spark.operators.timeseries import ewma_daily
+
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i), 1000 + 37 * i)
+        for i in range(60)
+    ]
+    daily = spark.createDataFrame(rows, "day date, cents long").repartition(
+        n_parts
+    )
+    out = {
+        r["day"]: (str(r["ewma_num"]), str(r["ewma_den"]), r["n_terms"])
+        for r in ewma_daily(daily, "cents").collect()
+    }
+    if not hasattr(test_ewma_exact_decimal_sums_partition_stable, "_ref"):
+        test_ewma_exact_decimal_sums_partition_stable._ref = out
+    assert out == test_ewma_exact_decimal_sums_partition_stable._ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 4, 9])
+def test_norm_stats_decimal_mean_partition_stable(spark, n_parts):
+    from datajudge_spark.pipeline.similarity import norm_stats
+
+    rows = [([float(i % 7) / 3.0, 1.0, 0.5],) for i in range(500)]
+    df = spark.createDataFrame(rows, "v array<float>").repartition(n_parts)
+    out = norm_stats(df, "v").collect()[0].asDict()
+    if not hasattr(test_norm_stats_decimal_mean_partition_stable, "_ref"):
+        test_norm_stats_decimal_mean_partition_stable._ref = out
+    assert out == test_norm_stats_decimal_mean_partition_stable._ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 5])
+def test_srp_signatures_partition_stable(spark, n_parts):
+    from datajudge_spark.pipeline.similarity import srp_signature_hist
+
+    rows = [([((i * 31 + j * 7) % 13 - 6) / 5.0 for j in range(16)],)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "v array<float>").repartition(n_parts)
+    out = sorted(
+        (r["sig"], r["n_vecs"])
+        for r in srp_signature_hist(df, "v", n_planes=4, dim=16).collect()
+    )
+    if not hasattr(test_srp_signatures_partition_stable, "_ref"):
+        test_srp_signatures_partition_stable._ref = out
+    assert out == test_srp_signatures_partition_stable._ref
