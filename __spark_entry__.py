@@ -1440,6 +1440,38 @@ def q_scd2_intervals(spark, sf_dir):
     )
 
 
+def q_incremental_daily_merge(spark, sf_dir):
+    # incremental-refresh correctness: a "materialized" daily aggregate
+    # of the history partition UNIONed with a fresh aggregate of the
+    # delta partition, then combined — must equal the full one-shot
+    # aggregate (the oracle). The pattern that avoids rescanning 100 TB
+    # of history every day; both branches are partial-agg'd and the
+    # combine shuffles |days| rows, not raw rows.
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
+    cents = (
+        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    hist = (
+        ev.where(F.col("ts") < cutoff)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(cents.alias("cents"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    delta = (
+        ev.where(F.col("ts") >= cutoff)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(cents.alias("cents"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        hist.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
 def q_srp_neardup_pairs(spark, sf_dir):
     # unsupervised near-dup: SRP-LSH bucketing (no label needed) ->
     # cosine only WITHIN buckets. The 100 TB path: shuffle on the 6-bit
@@ -1744,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_signature_hist": q_srp_signature_hist,
         "streaming_dedup": q_streaming_dedup,
         "scd2_intervals": q_scd2_intervals,
+        "incremental_daily_merge": q_incremental_daily_merge,
         "srp_neardup_pairs": q_srp_neardup_pairs,
         "shipping_priority_topk": q_shipping_priority_topk,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2775,6 +2808,13 @@ def oracle_sql() -> dict[str, str]:
             "count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_open, "
             "CAST(sum(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT) "
             "AS dur_us_sum FROM iv GROUP BY event_type"
+        ),
+        "incremental_daily_merge": (
+            # the oracle is the FULL one-shot aggregate: incremental
+            # merge must be value-identical to recomputation
+            "SELECT CAST(ts AS DATE) AS day, "
+            "CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) "
+            "AS cents, count(*) AS n_rows FROM events GROUP BY 1"
         ),
         "srp_neardup_pairs": (
             f"WITH s AS (SELECT vec_id, embedding, {_srp_sig_sql()} AS sig "

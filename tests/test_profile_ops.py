@@ -301,3 +301,46 @@ class TestTimeseriesGapOps:
         small = self._daily(spark, [(1, 1), (2, 9)])
         rows = zscore_anomalies(small, "cents").collect()
         assert all(r["z"] is None for r in rows)  # n < 3
+
+
+class TestOlapOps:
+    def test_heavy_hitters_threshold_integer_exact(self, spark):
+        from datajudge_spark.operators.olap import heavy_hitters
+
+        # 3 keys at 25/25/50 of 100 rows: ppm=250000 keeps all three
+        # (>= is inclusive), 250001 keeps only the 50% key
+        rows = [("a",)] * 25 + [("b",)] * 25 + [("c",)] * 50
+        df = spark.createDataFrame(rows, "k string")
+        keep_all = heavy_hitters(df, ["k"], 250_000).collect()
+        assert sorted(r["k"] for r in keep_all) == ["a", "b", "c"]
+        keep_one = heavy_hitters(df, ["k"], 250_001).collect()
+        assert [r["k"] for r in keep_one] == ["c"]
+        assert keep_one[0]["share"] == 0.5
+
+    def test_heavy_hitters_empty_input(self, spark):
+        from datajudge_spark.operators.olap import heavy_hitters
+
+        df = spark.createDataFrame([], "k string")
+        assert heavy_hitters(df, ["k"], 1000).collect() == []
+
+    def test_latest_snapshot_ties_break_on_order_cols(self, spark):
+        import pyspark.sql.functions as F
+
+        from datajudge_spark.operators.olap import latest_snapshot
+
+        rows = [(1, 10, "old"), (1, 20, "new"), (2, 5, "only"),
+                (1, 20, "dup-ts-lower-id")]
+        df = spark.createDataFrame(rows, "k long, v long, tag string")
+        snap = latest_snapshot(
+            df, ["k"], [F.col("v").desc(), F.col("tag").desc()]
+        ).collect()
+        out = {r["k"]: r["tag"] for r in snap}
+        assert out == {1: "new", 2: "only"}  # 'new' > 'dup-...' desc
+
+    def test_approx_distinct_within_tolerance_on_uniform(self, spark):
+        from datajudge_spark.operators.olap import approx_distinct_check
+
+        df = spark.range(0, 20_000).selectExpr("id AS v")
+        row = approx_distinct_check(df, "v").collect()[0]
+        assert row["exact_distinct"] == 20_000
+        assert row["within_tol"]
