@@ -324,3 +324,12 @@ def test_scd2_single_key_shuffle(spark):
     plan = _executed_plan(entrymod.q_scd2_intervals(spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan.split("Window")[-1]
     assert plan.count("Scan parquet") == 1
+
+
+def test_incremental_merge_two_partial_scans(spark):
+    # both branches aggregate before the union; the final combine
+    # shuffles day-rows, with map-side partials throughout
+    plan = _executed_plan(entrymod.q_incremental_daily_merge(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2
+    assert "partial_sum" in plan
+    assert "Union" in plan
