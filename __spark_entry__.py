@@ -1393,6 +1393,120 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Third streaming contract query: native ``session_window``
+    aggregation (30-min inactivity merge) drained with availableNow in
+    complete mode — the final session set equals the batch
+    gaps-and-islands sessionization, so the oracle is q_sessionize's SQL.
+    Boundary note: session_window merges on gap < 30 min (strict), the
+    batch rewrite on gap <= 30 min; microsecond event times make an
+    exactly-1800.000000 s gap a measure-zero case (none in the corpus,
+    verified by the oracle hash). State is O(open sessions) bounded by
+    the inactivity gap at scale."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import stream_parquet_like
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_sess_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw).withColumn(
+        "event_ts", F.col("ts").cast("timestamp")
+    )
+    sess = ev.groupBy(
+        F.session_window("event_ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            sess.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out_df = spark.table(qname).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
+def q_streaming_stateful_counts(spark, sf_dir):
+    """Fourth streaming contract query: a CUSTOM stateful operator
+    (``applyInPandasWithState``) maintaining cumulative per-user
+    (n_rows, n_nulls) — state is two integers per key. Drained with
+    availableNow; the per-key FINAL state (max of cumulative emissions,
+    robust to multi-batch splits) must equal the batch GROUP BY — the
+    oracle. Values < 1.0 are nullified upstream to model dirty data."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stateful_running_counts,
+        stream_parquet_like,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_state_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw).withColumn(
+        "v", F.when(F.col("value") >= 1.0, F.col("value"))
+    )
+    counts = stateful_running_counts(ev, "user_id", "v")
+    qname = f"stream_state_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = spark.table(qname).groupBy("key").agg(
+        F.max("n_rows").alias("n_rows"), F.max("n_nulls").alias("n_nulls")
+    )
+    out_df = final.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.sum("n_nulls").cast("bigint").alias("total_nulls"),
+        F.max("n_rows").alias("max_user_rows"),
+    )
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_embedding_norm_stats(spark, sf_dir):
     # per-label L2-norm health check before cosine dedup/ANN: map-only
     # fold + one partial-agg'd shuffle. Per-row norm is the standard
@@ -1775,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": q_embedding_norm_stats,
         "srp_signature_hist": q_srp_signature_hist,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_stateful_counts": q_streaming_stateful_counts,
         "scd2_intervals": q_scd2_intervals,
         "incremental_daily_merge": q_incremental_daily_merge,
         "srp_neardup_pairs": q_srp_neardup_pairs,
@@ -2799,6 +2915,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(user_id) AS BIGINT) AS user_checksum, "
             "count(DISTINCT event_type) AS n_types FROM "
             "(SELECT DISTINCT user_id, event_type FROM events)"
+        ),
+        "streaming_sessionize": (
+            # identical digest to the batch sessionize oracle: the
+            # drained session_window state must equal gaps-and-islands
+            "WITH flagged AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS b "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "sess AS (SELECT user_id, ts, sum(b) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS session_id FROM flagged), "
+            "stats AS (SELECT user_id, session_id, count(*) AS n_events "
+            "FROM sess GROUP BY user_id, session_id) "
+            "SELECT user_id, count(*) AS n_sessions, "
+            "CAST(sum(n_events) AS BIGINT) AS n_events, "
+            "max(n_events) AS max_session_events "
+            "FROM stats GROUP BY user_id"
+        ),
+        "streaming_stateful_counts": (
+            "WITH per_user AS (SELECT user_id, count(*) AS n_rows, "
+            "count(CASE WHEN value < 1.0 OR value IS NULL THEN 1 END) "
+            "AS n_nulls FROM events GROUP BY user_id) "
+            "SELECT count(*) AS n_users, "
+            "CAST(sum(n_rows) AS BIGINT) AS total_rows, "
+            "CAST(sum(n_nulls) AS BIGINT) AS total_nulls, "
+            "max(n_rows) AS max_user_rows FROM per_user"
         ),
         "scd2_intervals": (
             "WITH iv AS (SELECT user_id, event_type, ts AS valid_from, "
