@@ -405,3 +405,35 @@ class TestDailyVolumeAnomaly:
             req.add_daily_volume_anomaly_constraint("ts", window_days=2)
         with pytest.raises(ValueError):
             req.add_daily_volume_anomaly_constraint("ts", threshold=0)
+
+
+class TestScaleGateConditions:
+    def test_heavy_hitter_condition_scopes_rows(self, spark):
+        # the hot key exists only in the excluded slice: condition makes
+        # the gate pass, no condition makes it fail
+        rows = [("hot", 0)] * 90 + [(f"k{i}", 1) for i in range(30)]
+        df = spark.createDataFrame(rows, "k string, grp long")
+        req = within_req(df, "cond")
+        req.add_heavy_hitter_share_constraint(
+            ["k"], 200_000, condition=Condition(raw_string="grp = 1")
+        )
+        req.add_heavy_hitter_share_constraint(["k"], 200_000)  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_daily_volume_condition_scopes_days(self, spark):
+        import datetime as dt
+
+        rows = []
+        for i in range(14):
+            day = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+            rows += [(day, "a")] * (100 + i % 3)
+        # spike day only in stream 'b'
+        rows += [(dt.datetime(2024, 1, 15), "b")] * 900
+        rows += [(dt.datetime(2024, 1, 15), "a")] * 101
+        df = spark.createDataFrame(rows, "ts timestamp, src string")
+        req = within_req(df, "volcond")
+        req.add_daily_volume_anomaly_constraint(
+            "ts", threshold=3.0, condition=Condition(raw_string="src = 'a'")
+        )
+        req.add_daily_volume_anomaly_constraint("ts", threshold=3.0)  # fail
+        assert outcomes(req, spark) == [True, False]
