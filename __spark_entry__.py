@@ -1554,6 +1554,47 @@ def q_scd2_intervals(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    # CDC-style snapshot compare: added/removed/changed/unchanged key
+    # counts between two versions of a table in ONE full-outer join on
+    # the key (single shuffle; no row ever reaches the driver). Old/new
+    # are deterministic slices of orders with a deterministic mutation,
+    # so the oracle reproduces them exactly.
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    old = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        price.alias("price_old"),
+        F.col("o_orderstatus").alias("status_old"),
+    )
+    new = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, price + 1)
+        .otherwise(price)
+        .alias("price_new"),
+        F.col("o_orderstatus").alias("status_new"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    is_added = F.col("price_old").isNull()
+    is_removed = F.col("price_new").isNull()
+    is_changed = (
+        ~is_added
+        & ~is_removed
+        & (
+            ~F.col("price_new").eqNullSafe(F.col("price_old"))
+            | ~F.col("status_new").eqNullSafe(F.col("status_old"))
+        )
+    )
+    return j.agg(
+        F.count(F.when(is_added, 1)).alias("n_added"),
+        F.count(F.when(is_removed, 1)).alias("n_removed"),
+        F.count(F.when(is_changed, 1)).alias("n_changed"),
+        F.count(F.when(~is_added & ~is_removed & ~is_changed, 1)).alias(
+            "n_unchanged"
+        ),
+    )
+
+
 def q_incremental_daily_merge(spark, sf_dir):
     # incremental-refresh correctness: a "materialized" daily aggregate
     # of the history partition UNIONed with a fresh aggregate of the
@@ -1892,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_stateful_counts": q_streaming_stateful_counts,
         "scd2_intervals": q_scd2_intervals,
+        "snapshot_diff": q_snapshot_diff,
         "incremental_daily_merge": q_incremental_daily_merge,
         "srp_neardup_pairs": q_srp_neardup_pairs,
         "shipping_priority_topk": q_shipping_priority_topk,
@@ -2950,6 +2992,27 @@ def oracle_sql() -> dict[str, str]:
             "count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_open, "
             "CAST(sum(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT) "
             "AS dur_us_sum FROM iv GROUP BY event_type"
+        ),
+        "snapshot_diff": (
+            "WITH old_v AS (SELECT o_orderkey, "
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS price_old, "
+            "o_orderstatus AS status_old FROM orders WHERE o_orderkey % 7 != 0), "
+            "new_v AS (SELECT o_orderkey, "
+            "CASE WHEN o_orderkey % 3 = 0 "
+            "THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1 "
+            "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price_new, "
+            "o_orderstatus AS status_new FROM orders WHERE o_orderkey % 5 != 0) "
+            "SELECT "
+            "count(CASE WHEN price_old IS NULL THEN 1 END) AS n_added, "
+            "count(CASE WHEN price_new IS NULL THEN 1 END) AS n_removed, "
+            "count(CASE WHEN price_old IS NOT NULL AND price_new IS NOT NULL "
+            "AND (price_new IS DISTINCT FROM price_old "
+            "OR status_new IS DISTINCT FROM status_old) THEN 1 END) "
+            "AS n_changed, "
+            "count(CASE WHEN price_old IS NOT NULL AND price_new IS NOT NULL "
+            "AND price_new = price_old AND status_new = status_old THEN 1 END) "
+            "AS n_unchanged "
+            "FROM old_v FULL OUTER JOIN new_v USING (o_orderkey)"
         ),
         "incremental_daily_merge": (
             # the oracle is the FULL one-shot aggregate: incremental
