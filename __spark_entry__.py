@@ -1574,24 +1574,13 @@ def q_snapshot_diff(spark, sf_dir):
         .alias("price_new"),
         F.col("o_orderstatus").alias("status_new"),
     )
-    j = old.join(new, "o_orderkey", "full_outer")
-    is_added = F.col("price_old").isNull()
-    is_removed = F.col("price_new").isNull()
-    is_changed = (
-        ~is_added
-        & ~is_removed
-        & (
-            ~F.col("price_new").eqNullSafe(F.col("price_old"))
-            | ~F.col("status_new").eqNullSafe(F.col("status_old"))
-        )
-    )
-    return j.agg(
-        F.count(F.when(is_added, 1)).alias("n_added"),
-        F.count(F.when(is_removed, 1)).alias("n_removed"),
-        F.count(F.when(is_changed, 1)).alias("n_changed"),
-        F.count(F.when(~is_added & ~is_removed & ~is_changed, 1)).alias(
-            "n_unchanged"
-        ),
+    from datajudge_spark.operators.diff import snapshot_diff_counts
+
+    return snapshot_diff_counts(
+        old.withColumnsRenamed({"price_old": "price", "status_old": "status"}),
+        new.withColumnsRenamed({"price_new": "price", "status_new": "status"}),
+        ["o_orderkey"],
+        ["price", "status"],
     )
 
 

@@ -322,3 +322,79 @@ class DailyVolumeAnomaly(Constraint):
             f"{days}. "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class SnapshotDiff(Constraint):
+    """Bound the fraction of added/removed/changed keys between two
+    snapshots of a table — the "did this load mutate more than it
+    should?" CDC audit. Extension, no reference counterpart (datajudge's
+    row comparisons are set-algebraic, with no keyed change
+    classification).
+
+    One full-outer hash join on the key in-engine
+    (``operators.diff.snapshot_diff_counts``); four counters cross to
+    the driver. Fraction denominators: old-row count for removed/changed,
+    new-row count for added.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        keys: list[str],
+        compare_columns: list[str],
+        max_added_fraction: float | None = None,
+        max_removed_fraction: float | None = None,
+        max_changed_fraction: float | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        self._keys = list(keys)
+        self._compare_columns = list(compare_columns)
+        self._max_added = max_added_fraction
+        self._max_removed = max_removed_fraction
+        self._max_changed = max_changed_fraction
+        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.diff import snapshot_diff_counts
+
+        df_new = self._ref.get_selection(engine)
+        df_old = self._ref2.get_selection(engine)
+        row = snapshot_diff_counts(
+            df_old, df_new, self._keys, self._compare_columns
+        ).collect()[0]
+        n_old = row["n_removed"] + row["n_changed"] + row["n_unchanged"]
+        n_new = row["n_added"] + row["n_changed"] + row["n_unchanged"]
+        if n_old == 0 and n_new == 0:
+            return TestResult.failure(
+                f"Snapshot diff between {self._ref} and {self._target_prefix}"
+                " is undefined: both snapshots selected zero rows "
+                "(insufficient data). ",
+                self.get_description(),
+            )
+        problems = []
+        checks = [
+            ("added", self._max_added, row["n_added"], max(n_new, 1)),
+            ("removed", self._max_removed, row["n_removed"], max(n_old, 1)),
+            ("changed", self._max_changed, row["n_changed"], max(n_old, 1)),
+        ]
+        for label, bound, count, denom in checks:
+            if bound is None:
+                continue
+            frac = count / denom
+            if frac > bound:
+                problems.append(
+                    f"{label} fraction {frac:.6f} ({count}/{denom}) exceeds "
+                    f"{bound}"
+                )
+        if not problems:
+            return TestResult.success()
+        assertion_text = (
+            f"Snapshot diff between {self._ref} (new) and "
+            f"{self._target_prefix} (old) on keys {self._keys}: "
+            + "; ".join(problems)
+            + f". Full digest: +{row['n_added']} -{row['n_removed']} "
+            f"~{row['n_changed']} ={row['n_unchanged']}. "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -1608,3 +1608,47 @@ class BetweenRequirement(Requirement):
                 name=name, cache_size=cache_size,
             )
         )
+
+    def add_snapshot_diff_constraint(
+        self,
+        key_columns: list[str],
+        compare_columns: list[str],
+        max_added_fraction: float | None = None,
+        max_removed_fraction: float | None = None,
+        max_changed_fraction: float | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): bound the fraction of
+        added / removed / changed keys between the first (new) and second
+        (old) data source — the CDC load audit. ``key_columns`` must
+        identify rows in both snapshots; a row counts as changed when ANY
+        of ``compare_columns`` differs (null-safe). One full-outer hash
+        join on the key in-engine; four counters reach the driver."""
+        if not key_columns or not compare_columns:
+            raise ValueError(
+                "key_columns and compare_columns must be non-empty."
+            )
+        bounds = (max_added_fraction, max_removed_fraction, max_changed_fraction)
+        if all(b is None for b in bounds):
+            raise ValueError("At least one fraction bound must be given.")
+        if any(b is not None and not 0 <= b <= 1 for b in bounds):
+            raise ValueError("Fraction bounds must be within [0, 1].")
+        cols = list(key_columns) + list(compare_columns)
+        ref = DataReference(self._data_source, cols, condition=condition1)
+        ref2 = DataReference(self._data_source2, cols, condition=condition2)
+        self._constraints.append(
+            stats_constraints.SnapshotDiff(
+                ref,
+                ref2,
+                keys=list(key_columns),
+                compare_columns=list(compare_columns),
+                max_added_fraction=max_added_fraction,
+                max_removed_fraction=max_removed_fraction,
+                max_changed_fraction=max_changed_fraction,
+                name=name,
+                cache_size=cache_size,
+            )
+        )

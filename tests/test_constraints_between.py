@@ -255,3 +255,76 @@ class TestMaxNullFractionBetween:
         req2 = between_req(unique_table2, unique_table1, "u2", "u1")
         req2.add_max_null_fraction_constraint("col_int", "col_int", 0)
         assert outcomes(req2, spark) == [True]
+
+
+class TestSnapshotDiff:
+    def _tables(self, spark):
+        old = spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+            "k long, v long, s string",
+        )
+        new = spark.createDataFrame(
+            # k=1 unchanged, k=2 changed (v), k=3 changed (s), k=4 removed,
+            # k=5 added
+            [(1, 10, "a"), (2, 21, "b"), (3, 30, "x"), (5, 50, "e")],
+            "k long, v long, s string",
+        )
+        return old, new
+
+    def test_bounds_pass_and_fail(self, spark):
+        old, new = self._tables(spark)
+        req = between_req(new, old, "new", "old")
+        req.add_snapshot_diff_constraint(
+            ["k"], ["v", "s"],
+            max_added_fraction=0.5, max_removed_fraction=0.5,
+            max_changed_fraction=0.5,
+        )
+        # 2 changed of 4 old rows = 0.5 <= 0.5 passes; tighten to fail
+        req.add_snapshot_diff_constraint(
+            ["k"], ["v", "s"], max_changed_fraction=0.4
+        )
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "~2" in results[1].failure_message
+
+    def test_identical_snapshots_zero_fractions(self, spark):
+        old, _ = self._tables(spark)
+        req = between_req(old, old, "a", "b")
+        req.add_snapshot_diff_constraint(
+            ["k"], ["v", "s"],
+            max_added_fraction=0.0, max_removed_fraction=0.0,
+            max_changed_fraction=0.0,
+        )
+        assert [r.outcome for r in req.test(spark)] == [True]
+
+    def test_null_compare_values_are_not_absence(self, spark):
+        old = spark.createDataFrame([(1, None), (2, 5)], "k long, v long")
+        new = spark.createDataFrame([(1, None), (2, 5)], "k long, v long")
+        req = between_req(new, old, "n", "o")
+        req.add_snapshot_diff_constraint(
+            ["k"], ["v"],
+            max_added_fraction=0.0, max_removed_fraction=0.0,
+            max_changed_fraction=0.0,
+        )
+        # NULL == NULL null-safely: nothing added/removed/changed
+        assert [r.outcome for r in req.test(spark)] == [True]
+
+    def test_empty_both_fails_cleanly(self, spark):
+        old = spark.createDataFrame([], "k long, v long")
+        req = between_req(old, old, "e1", "e2")
+        req.add_snapshot_diff_constraint(["k"], ["v"], max_changed_fraction=0.1)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "insufficient data" in results[0].failure_message
+
+    def test_validation(self, spark):
+        old, new = self._tables(spark)
+        req = between_req(new, old, "n", "o")
+        with pytest.raises(ValueError):
+            req.add_snapshot_diff_constraint(["k"], ["v"])  # no bound
+        with pytest.raises(ValueError):
+            req.add_snapshot_diff_constraint([], ["v"], max_changed_fraction=0.1)
+        with pytest.raises(ValueError):
+            req.add_snapshot_diff_constraint(
+                ["k"], ["v"], max_changed_fraction=1.5
+            )
