@@ -1724,6 +1724,17 @@ def q_running_distinct_users(spark, sf_dir):
     )
 
 
+def q_percentile_bands(spark, sf_dir):
+    # p50/p90/p99 monitoring bands from ONE shared histogram: 3 scans
+    # total for any number of targets (repeated single-percentile calls
+    # pay 3 each). Same exact smallest-v-with->=p% semantics, same
+    # single comparison form.
+    from datajudge_spark.operators.scalars import exact_percentiles_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_percentiles_df(li, "l_extendedprice", [50.0, 90.0, 99.0])
+
+
 def q_gap_fill_daily(spark, sf_dir):
     # densify a sparse daily series to the full calendar + forward-fill:
     # the standard prep before any time-series model. Calendar spine is
@@ -1913,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "approx_distinct_check": q_approx_distinct_check,
         "approx_percentile_check": q_approx_percentile_check,
+        "percentile_bands": q_percentile_bands,
         "gap_fill_daily": q_gap_fill_daily,
         "ewma_daily": q_ewma_daily,
         "anomaly_zscore": q_anomaly_zscore,
@@ -2877,6 +2889,14 @@ def oracle_sql() -> dict[str, str]:
             "        * 100 AS BIGINT) AS c FROM lineitem) "
             "  WHERE c IS NOT NULL"
             ") WHERE cd >= 0.5"
+        ),
+        "percentile_bands": (
+            "WITH cd AS (SELECT l_extendedprice AS v, "
+            "cume_dist() OVER (ORDER BY l_extendedprice) AS c "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL) "
+            "SELECT (SELECT min(v) FROM cd WHERE c >= 0.5) AS p50, "
+            "(SELECT min(v) FROM cd WHERE c >= 0.9) AS p90, "
+            "(SELECT min(v) FROM cd WHERE c >= 0.99) AS p99"
         ),
         "gap_fill_daily": (
             "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "

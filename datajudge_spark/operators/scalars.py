@@ -223,6 +223,99 @@ def exact_percentile_df(df, column: str, percentage: float):
     return _cum_select(hist, cum_before, total)
 
 
+def exact_percentiles_df(df, column: str, percentages: list[float]):
+    """Several exact percentiles from ONE shared histogram pass.
+
+    Same semantics per target as :func:`exact_percentile_df` (smallest v
+    with >= p%% of non-null values <= v, identical single comparison
+    form), but the expensive work is shared: one stats pass, one
+    range-bucket histogram, and ONE filtered scan covering the union of
+    target buckets — 3 scans total for ANY number of percentiles, where
+    repeated single calls would pay 3 each. The per-bucket cumulative
+    windows stay bounded by |distinct values in bucket| exactly as in
+    the single-target construction.
+
+    Numeric columns only (the monitoring use case: p50/p90/p99 bands in
+    one pass). Returns one row with a ``p{pct:g}`` column per target.
+    """
+    if not percentages:
+        raise ValueError("At least one percentage is required.")
+    non_null = df.where(F.col(column).isNotNull())
+    stats = non_null.agg(
+        F.min(column).alias("lo"),
+        F.max(column).alias("hi"),
+        F.count(F.lit(1)).alias("total"),
+    ).first()
+    if stats is None or stats["total"] == 0 or stats["lo"] is None:
+        raise ValueError("Percentile selection could not be fetched.")
+    lo, hi, total = float(stats["lo"]), float(stats["hi"]), int(stats["total"])
+
+    def _name(p: float) -> str:
+        return f"p{p:g}".replace(".", "_")
+
+    if hi == lo:
+        single = non_null.agg(F.min(column).alias("v"))
+        return single.select(
+            *[F.col("v").alias(_name(p)) for p in percentages]
+        )
+    value_col = F.col(column).cast("double")
+    bucket = F.least(
+        F.floor((value_col - lo) / (hi - lo) * PERCENTILE_BUCKETS),
+        F.lit(PERCENTILE_BUCKETS - 1),
+    ).cast("int")
+    bucket_counts = dict(
+        non_null.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    # per-target bucket + its preceding cumulative count (driver fold
+    # over <= PERCENTILE_BUCKETS integers)
+    targets: dict[float, int] = {}
+    cum_before_map: dict[int, int] = {}
+    for pct in percentages:
+        cum_before, target_bucket = 0, PERCENTILE_BUCKETS - 1
+        for b in sorted(bucket_counts):
+            if (cum_before + bucket_counts[b]) * 100 >= pct * total:
+                target_bucket = b
+                break
+            cum_before += bucket_counts[b]
+        targets[pct] = target_bucket
+        cum_before_map[target_bucket] = cum_before
+    needed = sorted(set(targets.values()))
+    offset_entries = []
+    for b in needed:
+        offset_entries += [F.lit(b), F.lit(cum_before_map[b])]
+    offsets = F.create_map(*offset_entries)
+    hist = (
+        non_null.where(bucket.isin(needed))
+        .groupBy(bucket.alias("b"), F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "b",
+        "value",
+        (F.sum("cnt").over(w) + offsets[F.col("b")]).alias("cum_cnt"),
+    )
+    # one aggregate emits every band: conditional min per target, the
+    # same single comparison form as the single-target operator
+    aggs = [
+        F.min(
+            F.when(
+                (F.col("b") == targets[pct])
+                & (F.col("cum_cnt") * 100 >= F.lit(pct * total)),
+                F.col("value"),
+            )
+        ).alias(_name(pct))
+        for pct in percentages
+    ]
+    return cum.agg(*aggs)
+
+
 def get_percentile(
     spark: SparkSession, ref: DataReference, percentage: float
 ) -> tuple[float, _Plans]:

@@ -333,3 +333,10 @@ def test_incremental_merge_two_partial_scans(spark):
     assert plan.count("Scan parquet") == 2
     assert "partial_sum" in plan
     assert "Union" in plan
+
+
+def test_percentile_bands_bounded_scans(spark):
+    # any number of targets shares the stats + bucket + filtered-hist
+    # passes: 3 scans, never 3 per percentile
+    plan = _executed_plan(entrymod.q_percentile_bands(spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 1  # final job: the hist scan only

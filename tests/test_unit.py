@@ -158,3 +158,35 @@ class TestRetrievalCaching:
         assert constraint.test(spark).outcome
         assert constraint.test(spark).outcome
         assert src.calls == 2
+
+
+class TestExactPercentileBands:
+    def test_matches_repeated_single_calls(self, spark):
+        from datajudge_spark.operators.scalars import (
+            exact_percentile_df,
+            exact_percentiles_df,
+        )
+
+        vals = [((i * 37) % 101 + (i % 3) * 0.5,) for i in range(500)]
+        df = spark.createDataFrame(vals, "v double")
+        bands = exact_percentiles_df(
+            df, "v", [10.0, 50.0, 90.0, 99.0]
+        ).first()
+        for pct, col in [(10.0, "p10"), (50.0, "p50"), (90.0, "p90"),
+                         (99.0, "p99")]:
+            single = exact_percentile_df(df, "v", pct).first()["value"]
+            assert bands[col] == single, (pct, bands[col], single)
+
+    def test_constant_column(self, spark):
+        from datajudge_spark.operators.scalars import exact_percentiles_df
+
+        df = spark.createDataFrame([(7.0,)] * 10, "v double")
+        row = exact_percentiles_df(df, "v", [1.0, 50.0, 100.0]).first()
+        assert row["p1"] == row["p50"] == row["p100"] == 7.0
+
+    def test_empty_raises(self, spark):
+        from datajudge_spark.operators.scalars import exact_percentiles_df
+
+        df = spark.createDataFrame([], "v double")
+        with pytest.raises(ValueError):
+            exact_percentiles_df(df, "v", [50.0])
