@@ -430,3 +430,28 @@ class TestGapFillProperty:
             else:
                 assert r["was_gap"] and r["observed"] is None
             assert r["filled"] == last
+
+
+class TestSnapshotDiffProperty:
+    @given(
+        old=st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=25),
+        new=st.dictionaries(st.integers(0, 30), st.integers(0, 5), max_size=25),
+    )
+    @settings(**SETTINGS)
+    def test_matches_dict_reference(self, spark, old, new):
+        from datajudge_spark.operators.diff import snapshot_diff_counts
+
+        df_old = spark.createDataFrame(
+            list(old.items()) or [(None, None)], "k long, v long"
+        ).where("k IS NOT NULL")
+        df_new = spark.createDataFrame(
+            list(new.items()) or [(None, None)], "k long, v long"
+        ).where("k IS NOT NULL")
+        row = snapshot_diff_counts(df_old, df_new, ["k"], ["v"]).first()
+        added = len(set(new) - set(old))
+        removed = len(set(old) - set(new))
+        both = set(old) & set(new)
+        changed = sum(1 for k in both if old[k] != new[k])
+        unchanged = len(both) - changed
+        assert (row["n_added"], row["n_removed"], row["n_changed"],
+                row["n_unchanged"]) == (added, removed, changed, unchanged)
