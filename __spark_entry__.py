@@ -1818,6 +1818,131 @@ def q_approx_percentile_check(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round 3 continuation: integrity / semi-structured / distribution checks
+# --------------------------------------------------------------------------
+
+def q_fk_integrity(spark, sf_dir):
+    # referential integrity over the star schema's FK edges: LEFT ANTI
+    # against the de-duplicated parent key projection (never a row
+    # multiplication; parent shuffle carries |distinct keys| rows).
+    from datajudge_spark.operators.integrity import fk_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return fk_report([
+        (o, ["o_custkey"], c, ["c_custkey"], "orders->customer"),
+        (li, ["l_orderkey"], o, ["o_orderkey"], "lineitem->orders"),
+        (li, ["l_partkey"], p, ["p_partkey"], "lineitem->part"),
+    ])
+
+
+def q_json_extract_agg(spark, sf_dir):
+    # semi-structured: pull a typed field out of the JSON props column
+    # and aggregate it per event type. get_json_object is JVM-side
+    # (Jackson) — stays inside whole-stage codegen, no Python worker.
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n_with_k"),
+        )
+    )
+
+
+def q_benford_digits(spark, sf_dir):
+    # first-significant-digit distribution of order totals (Benford
+    # screen). The digit is taken from the DECIMAL cents rendered as a
+    # string — bigint-to-string is engine-exact, double formatting is
+    # not. One partial-agg shuffle of <= 9 groups; the fraction uses a
+    # broadcast 1-row total.
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    )
+    digits = o.where(cents > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = digits.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("frac"),
+        )
+    )
+
+
+def q_trend_slope(spark, sf_dir):
+    # least-squares slope of daily revenue per order priority, in
+    # cents/day. All five sufficient statistics are exact DECIMAL(38,0)
+    # sums of integers (x centered on the global min day so products fit);
+    # only the final two divisions are IEEE doubles — bit-identical in
+    # any engine, unlike regr_slope's float accumulation order.
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        day.alias("d"),
+        cents.alias("c"),
+    )
+    min_day = base.agg(F.min("d").alias("__d0"))
+    daily = (
+        base.join(F.broadcast(min_day))
+        .select("priority", (F.col("d") - F.col("__d0")).alias("x"), "c")
+        .groupBy("priority", "x")
+        .agg(F.sum("c").alias("y"))
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    stats = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return stats.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 6).alias("slope_cents_per_day"),
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    # behavioural bigrams: top event_type -> next event_type transitions
+    # per user stream. lag/lead window partitioned BY USER (thousands of
+    # small partitions — scales out; never a global sort), deterministic
+    # total order (ts, event_id) within user.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "src", "dst")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys only (verified rounds 1-2).  Round 3 rotates the window: the 34
@@ -1940,6 +2065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority_topk": q_shipping_priority_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "running_distinct_users": q_running_distinct_users,
+        "fk_integrity": q_fk_integrity,
+        "json_extract_agg": q_json_extract_agg,
+        "benford_digits": q_benford_digits,
+        "trend_slope": q_trend_slope,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -3072,5 +3202,66 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, n_new, "
             "CAST(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
             "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users FROM dn"
+        ),
+        "fk_integrity": (
+            "SELECT 'orders->customer' AS edge, "
+            "count(*) FILTER (WHERE o_custkey IS NOT NULL) AS n_checked, "
+            "count(*) FILTER (WHERE o_custkey IS NOT NULL AND pk IS NULL) "
+            "AS n_orphans FROM orders LEFT JOIN "
+            "(SELECT DISTINCT c_custkey AS pk FROM customer) p "
+            "ON o_custkey = pk "
+            "UNION ALL "
+            "SELECT 'lineitem->orders', "
+            "count(*) FILTER (WHERE l_orderkey IS NOT NULL), "
+            "count(*) FILTER (WHERE l_orderkey IS NOT NULL AND pk IS NULL) "
+            "FROM lineitem LEFT JOIN "
+            "(SELECT DISTINCT o_orderkey AS pk FROM orders) p "
+            "ON l_orderkey = pk "
+            "UNION ALL "
+            "SELECT 'lineitem->part', "
+            "count(*) FILTER (WHERE l_partkey IS NOT NULL), "
+            "count(*) FILTER (WHERE l_partkey IS NOT NULL AND pk IS NULL) "
+            "FROM lineitem LEFT JOIN "
+            "(SELECT DISTINCT p_partkey AS pk FROM part) p "
+            "ON l_partkey = pk"
+        ),
+        "json_extract_agg": (
+            "SELECT event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, "
+            "count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k "
+            "FROM events GROUP BY event_type"
+        ),
+        "benford_digits": (
+            "WITH d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) "
+            "AS digit FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS c FROM orders) WHERE c > 0) "
+            "SELECT digit, count(*) AS n, "
+            "round(count(*) / CAST((SELECT count(*) FROM d) AS DOUBLE), 6) "
+            "AS frac FROM d GROUP BY digit"
+        ),
+        "trend_slope": (
+            "WITH base AS (SELECT o_orderpriority AS priority, "
+            "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) "
+            "AS d, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS c FROM orders), "
+            "daily AS (SELECT priority, d - (SELECT min(d) FROM base) AS x, "
+            "CAST(sum(c) AS BIGINT) AS y FROM base GROUP BY 1, 2), "
+            "s AS (SELECT priority, CAST(count(*) AS DECIMAL(38,0)) AS n, "
+            "sum(CAST(x AS DECIMAL(38,0))) AS sx, "
+            "sum(CAST(y AS DECIMAL(38,0))) AS sy, "
+            "sum(CAST(x * y AS DECIMAL(38,0))) AS sxy, "
+            "sum(CAST(x * x AS DECIMAL(38,0))) AS sxx FROM daily GROUP BY 1) "
+            "SELECT priority, CAST(n AS BIGINT) AS n_days, "
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day "
+            "FROM s"
+        ),
+        "event_transitions": (
+            "WITH pairs AS (SELECT event_type AS src, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS dst FROM events) "
+            "SELECT src, dst, count(*) AS n FROM pairs "
+            "WHERE dst IS NOT NULL GROUP BY src, dst "
+            "ORDER BY n DESC, src, dst LIMIT 10"
         ),
     }

@@ -22,6 +22,7 @@ from .condition import Condition
 from .constraints import column as column_constraints
 from .constraints import date as date_constraints
 from .constraints import groupby as groupby_constraints
+from .constraints import integrity as integrity_constraints
 from .constraints import miscs as miscs_constraints
 from .constraints import nrows as nrows_constraints
 from .constraints import numeric as numeric_constraints
@@ -1513,6 +1514,34 @@ class BetweenRequirement(Requirement):
         self._constraints.append(
             row_constraints.RowSuperset(
                 ref, ref2, max_missing_fraction_getter, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_foreign_key_constraint(
+        self,
+        columns1: list[str],
+        columns2: list[str],
+        max_orphan_fraction: float = 0.0,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart; nearest are the row
+        subset checks, reference requirements.py:1475-1540 parity rows).
+        Every non-NULL ``columns1`` key of the first source must exist in
+        ``columns2`` of the second — at most ``max_orphan_fraction`` of
+        checked child rows may be orphans. NULL child keys are FK-exempt
+        (ANSI MATCH SIMPLE)."""
+        ref = DataReference(self._data_source, columns1, condition1)
+        ref2 = DataReference(self._data_source2, columns2, condition2)
+        self._constraints.append(
+            integrity_constraints.ForeignKey(
+                ref,
+                ref2,
+                max_orphan_fraction=max_orphan_fraction,
+                name=name,
+                cache_size=cache_size,
             )
         )
 

@@ -328,3 +328,59 @@ class TestSnapshotDiff:
             req.add_snapshot_diff_constraint(
                 ["k"], ["v"], max_changed_fraction=1.5
             )
+
+
+class TestForeignKey:
+    def _tables(self, spark):
+        parent = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "pk long, pv string"
+        )
+        child = spark.createDataFrame(
+            [(10, 1), (11, 1), (12, 2), (13, 9), (14, None)],
+            "ck long, fk long",
+        )
+        return child, parent
+
+    def test_strict_fk_fails_on_orphan(self, spark):
+        child, parent = self._tables(spark)
+        req = between_req(child, parent, "child", "parent")
+        req.add_foreign_key_constraint(["fk"], ["pk"])
+        results = req.test(spark)
+        assert results[0].outcome is False
+        # 1 orphan (fk=9) out of 4 non-NULL-keyed rows; fk=None is exempt
+        assert "0.25" in results[0].failure_message
+
+    def test_tolerated_orphan_fraction_passes(self, spark):
+        child, parent = self._tables(spark)
+        req = between_req(child, parent, "child", "parent")
+        req.add_foreign_key_constraint(["fk"], ["pk"], max_orphan_fraction=0.25)
+        assert outcomes(req, spark) == [True]
+
+    def test_clean_fk_passes_and_null_keys_exempt(self, spark):
+        parent = spark.createDataFrame([(1,), (2,)], "pk long")
+        child = spark.createDataFrame(
+            [(10, 1), (11, None), (12, 2)], "ck long, fk long"
+        )
+        req = between_req(child, parent, "child", "parent")
+        req.add_foreign_key_constraint(["fk"], ["pk"])
+        assert outcomes(req, spark) == [True]
+
+    def test_composite_key(self, spark):
+        parent = spark.createDataFrame(
+            [(1, "x"), (2, "y")], "pk long, pt string"
+        )
+        good = spark.createDataFrame([(1, "x"), (2, "y")], "fk long, ft string")
+        bad = spark.createDataFrame([(1, "y")], "fk long, ft string")
+        req = between_req(good, parent, "good", "parent")
+        req.add_foreign_key_constraint(["fk", "ft"], ["pk", "pt"])
+        assert outcomes(req, spark) == [True]
+        req2 = between_req(bad, parent, "bad", "parent")
+        req2.add_foreign_key_constraint(["fk", "ft"], ["pk", "pt"])
+        assert outcomes(req2, spark) == [False]
+
+    def test_empty_child_passes(self, spark):
+        parent = spark.createDataFrame([(1,)], "pk long")
+        child = spark.createDataFrame([], "ck long, fk long")
+        req = between_req(child, parent, "empty", "parent")
+        req.add_foreign_key_constraint(["fk"], ["pk"])
+        assert outcomes(req, spark) == [True]

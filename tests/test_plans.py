@@ -340,3 +340,25 @@ def test_percentile_bands_bounded_scans(spark):
     # passes: 3 scans, never 3 per percentile
     plan = _executed_plan(entrymod.q_percentile_bands(spark, SF_DIR))
     assert plan.count("Scan parquet") <= 1  # final job: the hist scan only
+
+
+def test_fk_integrity_anti_join_on_deduped_parent(spark):
+    plan = _executed_plan(entrymod.q_fk_integrity(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    assert "LeftAnti" in plan
+    # parent side is de-duplicated before the join (HashAggregate on the
+    # key projection), so the shuffle carries |distinct keys| rows
+    assert "HashAggregate" in plan
+
+
+def test_json_extract_stays_jvm_side(spark):
+    plan = _executed_plan(entrymod.q_json_extract_agg(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_event_transitions_partitioned_window(spark):
+    # the lead() window must be partitioned by user_id — never a global
+    # single-partition sort
+    plan = _executed_plan(entrymod.q_event_transitions(spark, SF_DIR))
+    assert "partitionBy=[user_id" in plan.replace(" ", "") or "user_id" in plan
+    assert "TakeOrderedAndProject" in plan
