@@ -1920,6 +1920,25 @@ def q_trend_slope(spark, sf_dir):
     )
 
 
+def q_weighted_percentile(spark, sf_dir):
+    # quantity-weighted median unit price in cents: same two-pass
+    # range-bucketed plan as the exact percentile, but the histogram
+    # accumulates DECIMAL(38,0) integer weights — no float accumulation
+    # anywhere, so the boundary value is engine-exact.
+    from datajudge_spark.operators.scalars import exact_weighted_percentile_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return exact_weighted_percentile_df(v, "cents", "w", 50.0).select(
+        F.col("value").cast("bigint").alias("wp50_cents")
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     # behavioural bigrams: top event_type -> next event_type transitions
     # per user stream. lag/lead window partitioned BY USER (thousands of
@@ -2070,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "trend_slope": q_trend_slope,
         "event_transitions": q_event_transitions,
+        "weighted_percentile": q_weighted_percentile,
     }
 
 
@@ -3263,5 +3283,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT src, dst, count(*) AS n FROM pairs "
             "WHERE dst IS NOT NULL GROUP BY src, dst "
             "ORDER BY n DESC, src, dst LIMIT 10"
+        ),
+        "weighted_percentile": (
+            # same smallest-v-with->=p%-of-total-weight semantics and the
+            # same cum*100 >= p*total comparison form as the Spark side
+            "WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS value, CAST(l_quantity AS BIGINT) AS w "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+            "AND l_quantity IS NOT NULL), "
+            "g AS (SELECT value, sum(w) AS ws FROM v GROUP BY 1), "
+            "c AS (SELECT value, sum(ws) OVER (ORDER BY value ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM g), "
+            "t AS (SELECT sum(w) AS total FROM v) "
+            "SELECT CAST(min(value) AS BIGINT) AS wp50_cents "
+            "FROM c, t WHERE cw * 100 >= 50.0 * total"
         ),
     }

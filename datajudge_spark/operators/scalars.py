@@ -363,3 +363,71 @@ def get_date_growth_rate(
     if span2 == 0:
         raise ValueError("Reference date span is not allowed to be zero.")
     return span1 / span2 - 1, [*plans1, *plans2]
+
+
+def exact_weighted_percentile_df(
+    df, column: str, weight_column: str, percentage: float
+):
+    """Exact WEIGHTED percentile as a 1-row DataFrame (extension; the
+    reference's percentile is unweighted, db_access.py:812-857).
+
+    Semantics: the smallest value v such that the cumulative weight of
+    rows with value <= v reaches ``percentage`` % of the total weight.
+    With all weights 1 this is exactly :func:`exact_percentile_df`.
+
+    Weights must be non-negative integers (counts, cents, token counts)
+    so every cumulative sum is exact — no float accumulation order to
+    disagree about. The plan is the same two fully-parallel passes as
+    the unweighted operator: a range-bucket histogram of SUM(weight)
+    (B rows to the driver), a driver cumsum to locate the target
+    bucket, then a cumulative window over the distinct values of that
+    bucket only. The boundary test keeps the ONE comparison form
+    ``cum * 100 >= percentage * total`` (DECIMAL(38,0) on the left so
+    petabyte-scale weight totals cannot overflow the *100).
+    """
+    non_null = df.where(
+        F.col(column).isNotNull() & F.col(weight_column).isNotNull()
+    )
+    w = F.col(weight_column).cast("decimal(38,0)")
+
+    def _cum_select(hist, cum_before: int, total: int):
+        win = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select(
+            "value",
+            (F.sum("wsum").over(win) + F.lit(cum_before).cast("decimal(38,0)"))
+            .alias("cum_w"),
+        )
+        return cum.where(
+            F.col("cum_w") * 100 >= F.lit(percentage * total)
+        ).select(F.min("value").alias("value"))
+
+    stats = non_null.agg(
+        F.min(column).alias("lo"),
+        F.max(column).alias("hi"),
+        F.sum(w).alias("total"),
+    ).first()
+    if stats is None or stats["total"] is None or int(stats["total"]) <= 0:
+        raise ValueError("Weighted percentile could not be fetched.")
+    lo, hi, total = float(stats["lo"]), float(stats["hi"]), int(stats["total"])
+    if hi == lo:
+        return non_null.agg(F.min(column).alias("value"))
+    value_col = F.col(column).cast("double")
+    bucket = F.least(
+        F.floor((value_col - lo) / (hi - lo) * PERCENTILE_BUCKETS),
+        F.lit(PERCENTILE_BUCKETS - 1),
+    ).cast("int")
+    bucket_weights = dict(
+        non_null.groupBy(bucket.alias("b")).agg(F.sum(w).alias("ws")).collect()
+    )
+    cum_before, target_bucket = 0, PERCENTILE_BUCKETS - 1
+    for b in sorted(bucket_weights):
+        if (cum_before + int(bucket_weights[b])) * 100 >= percentage * total:
+            target_bucket = b
+            break
+        cum_before += int(bucket_weights[b])
+    hist = (
+        non_null.where(bucket == target_bucket)
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.sum(w).alias("wsum"))
+    )
+    return _cum_select(hist, cum_before, total)

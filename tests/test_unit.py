@@ -190,3 +190,62 @@ class TestExactPercentileBands:
         df = spark.createDataFrame([], "v double")
         with pytest.raises(ValueError):
             exact_percentiles_df(df, "v", [50.0])
+
+
+class TestExactWeightedPercentile:
+    def test_unit_weights_match_unweighted(self, spark):
+        from datajudge_spark.operators.scalars import (
+            exact_percentile_df,
+            exact_weighted_percentile_df,
+        )
+
+        vals = [((i * 37) % 101, 1) for i in range(500)]
+        df = spark.createDataFrame(vals, "v long, w long")
+        for pct in [1.0, 10.0, 50.0, 90.0, 100.0]:
+            unweighted = exact_percentile_df(df, "v", pct).first()["value"]
+            weighted = exact_weighted_percentile_df(df, "v", "w", pct).first()[
+                "value"
+            ]
+            assert weighted == unweighted, (pct, weighted, unweighted)
+
+    def test_matches_row_expansion(self, spark):
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.scalars import (
+            exact_percentile_df,
+            exact_weighted_percentile_df,
+        )
+
+        vals = [((i * 13) % 29, (i % 5) + 1) for i in range(200)]
+        df = spark.createDataFrame(vals, "v long, w long")
+        expanded = df.select(
+            F.explode(F.expr("array_repeat(v, CAST(w AS INT))")).alias("v")
+        )
+        for pct in [25.0, 50.0, 75.0]:
+            by_weight = exact_weighted_percentile_df(df, "v", "w", pct).first()[
+                "value"
+            ]
+            by_rows = exact_percentile_df(expanded, "v", pct).first()["value"]
+            assert by_weight == by_rows, (pct, by_weight, by_rows)
+
+    def test_skewed_weight_dominates(self, spark):
+        from datajudge_spark.operators.scalars import (
+            exact_weighted_percentile_df,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1000)], "v long, w long"
+        )
+        assert (
+            exact_weighted_percentile_df(df, "v", "w", 50.0).first()["value"]
+            == 3
+        )
+
+    def test_zero_total_weight_raises(self, spark):
+        from datajudge_spark.operators.scalars import (
+            exact_weighted_percentile_df,
+        )
+
+        df = spark.createDataFrame([(1, 0), (2, 0)], "v long, w long")
+        with pytest.raises(ValueError):
+            exact_weighted_percentile_df(df, "v", "w", 50.0)
