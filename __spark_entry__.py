@@ -1920,6 +1920,58 @@ def q_trend_slope(spark, sf_dir):
     )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    # cluster -> corpus: keep the single best doc per duplicate cluster
+    # (longest, then smallest id), digest kept set to one checksum row.
+    # Join is clusters (tiny post-LSH set) x documents; top-1-per-key is
+    # the partial WindowGroupLimit plan, shuffle O(|clustered docs|).
+    from datajudge_spark.pipeline import dedup
+
+    clusters = dedup.duplicate_clusters(q_dedup_minhash_lsh(spark, sf_dir))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clustered = clusters.join(docs, "doc_id")
+    kept = dedup.cluster_representatives(clusters, docs)
+    totals = clustered.agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        kept.agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("doc_id").cast("bigint").alias("kept_checksum"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .join(F.broadcast(totals))
+        .select(
+            "n_clusters",
+            (F.col("__n_docs") - F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            "kept_checksum",
+            "kept_chars",
+        )
+    )
+
+
+def q_chunk_dedup(spark, sf_dir):
+    # sub-document duplication: fraction of 16-token chunks per source
+    # that repeat corpus-wide (boilerplate signal doc-level dedup
+    # misses). Only 60-bit chunk hashes shuffle.
+    from datajudge_spark.pipeline.dedup import chunk_duplicate_stats
+
+    d = _t(spark, sf_dir, "documents")
+    stats = chunk_duplicate_stats(d, "doc_id", "text", chunk_tokens=16)
+    return (
+        stats.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("n_dup_chunks").cast("bigint").alias("n_dup_chunks"),
+            F.round(
+                F.sum("n_dup_chunks") / F.sum("n_chunks"), 6
+            ).alias("dup_chunk_fraction"),
+        )
+    )
+
+
 def q_weighted_percentile(spark, sf_dir):
     # quantity-weighted median unit price in cents: same two-pass
     # range-bucketed plan as the exact percentile, but the histogram
@@ -2090,6 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope": q_trend_slope,
         "event_transitions": q_event_transitions,
         "weighted_percentile": q_weighted_percentile,
+        "dedup_canonical": q_dedup_canonical,
+        "chunk_dedup": q_chunk_dedup,
     }
 
 
@@ -3297,5 +3351,43 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT sum(w) AS total FROM v) "
             "SELECT CAST(min(value) AS BIGINT) AS wp50_cents "
             "FROM c, t WHERE cw * 100 >= 50.0 * total"
+        ),
+        "dedup_canonical": (
+            f"WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}), "
+            "sym AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs), "
+            "reach(id, label) AS ("
+            "  SELECT d1, d1 FROM sym "
+            "  UNION "
+            "  SELECT s.d1, r.label FROM sym s JOIN reach r ON s.d2 = r.id), "
+            "cl AS (SELECT id AS doc_id, min(label) AS cluster_id "
+            "FROM reach GROUP BY id), "
+            "j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars "
+            "FROM cl JOIN documents d USING (doc_id)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id "
+            "ORDER BY n_chars DESC, doc_id ASC) AS rn FROM j) "
+            "SELECT count(*) AS n_clusters, "
+            "CAST((SELECT count(*) FROM j) - count(*) AS BIGINT) AS n_dropped, "
+            "CAST(sum(doc_id) AS BIGINT) AS kept_checksum, "
+            "CAST(sum(n_chars) AS BIGINT) AS kept_chars FROM r WHERE rn = 1"
+        ),
+        "chunk_dedup": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS tk FROM documents), "
+            "ch AS (SELECT doc_id, tk, unnest(generate_series(0, "
+            "CAST(ceil(len(tk) / 16.0) AS BIGINT) - 1)) AS chunk_idx FROM toks), "
+            "ct AS (SELECT doc_id, array_to_string("
+            "tk[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ') AS chunk_text "
+            "FROM ch), "
+            f"hs AS (SELECT doc_id, {_h_sql('chunk_text')} AS h FROM ct), "
+            "fr AS (SELECT h, count(*) AS freq FROM hs GROUP BY h), "
+            "per_doc AS (SELECT doc_id, count(*) AS n_chunks, "
+            "CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_chunks FROM hs JOIN fr USING (h) GROUP BY doc_id) "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chunks) AS BIGINT) AS n_chunks, "
+            "CAST(sum(n_dup_chunks) AS BIGINT) AS n_dup_chunks, "
+            "round(sum(n_dup_chunks) * 1.0 / sum(n_chunks), 6) "
+            "AS dup_chunk_fraction "
+            "FROM per_doc JOIN documents USING (doc_id) GROUP BY source"
         ),
     }

@@ -490,3 +490,69 @@ def edit_distance_pairs(
         )
         .where(F.col("distance") <= max_distance)
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    order_cols=None,
+) -> DataFrame:
+    """Pick ONE canonical document per duplicate cluster — the
+    keep/drop decision that turns cluster assignments into an actual
+    deduplicated corpus.
+
+    ``order_cols`` is the keep-preference total order within a cluster
+    (default: longest document wins, smallest id as the deterministic
+    tiebreak). Returns the kept (cluster_col, id_col, ...) rows.
+
+    Plan: equi-join clusters to docs on the id (clusters is the tiny
+    post-LSH set — broadcastable; Catalyst/AQE picks), then the same
+    partial ``WindowGroupLimit`` top-1-per-key plan as CDC log
+    compaction (operators.olap.latest_snapshot) — the shuffle carries
+    O(|clustered docs|) rows, never the corpus.
+    """
+    from ..operators.olap import latest_snapshot
+
+    if order_cols is None:
+        order_cols = [F.col("n_chars").desc(), F.col(id_col).asc()]
+    joined = clusters.join(docs, id_col)
+    return latest_snapshot(joined, [cluster_col], order_cols)
+
+
+def chunk_duplicate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Sub-document (chunk-level) duplication: per document, how many of
+    its ``chunk_tokens``-token chunks also appear elsewhere in the
+    corpus — the boilerplate/template signal that document-level dedup
+    misses entirely.
+
+    Returns ``(id_col, n_chunks, n_dup_chunks)`` where a chunk is "dup"
+    if its 60-bit content hash occurs more than once corpus-wide.
+
+    Plan: map-only chunking (text.chunk_documents), then ONLY 60-bit
+    hashes shuffle — one groupBy for corpus-wide chunk frequencies, one
+    hash equi-join back, one per-doc aggregate. Chunk text never leaves
+    the scan stage, so shuffle volume is ~16 bytes/chunk regardless of
+    document size.
+    """
+    from .text import chunk_documents, md5_long
+
+    chunks = chunk_documents(df, id_col, text_col, chunk_tokens)
+    hashed = chunks.select(id_col, md5_long(F.col("chunk_text")).alias("h"))
+    freq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        hashed.join(freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("freq") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+    )

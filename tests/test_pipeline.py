@@ -799,3 +799,74 @@ class TestHardeningKnobs:
         assert got == {
             ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
         }
+
+
+class TestClusterRepresentatives:
+    def test_picks_longest_then_smallest_id(self, spark):
+        from datajudge_spark.pipeline.dedup import cluster_representatives
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            "doc_id long, cluster_id long",
+        )
+        docs = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+            "doc_id long, n_chars long",
+        )
+        kept = {
+            (r["cluster_id"], r["doc_id"])
+            for r in cluster_representatives(clusters, docs).collect()
+        }
+        # cluster 1: docs 2 and 3 tie on length -> smallest id (2);
+        # cluster 10: tie -> doc 10
+        assert kept == {(1, 2), (10, 10)}
+
+    def test_custom_order(self, spark):
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.pipeline.dedup import cluster_representatives
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+        )
+        docs = spark.createDataFrame(
+            [(1, 100), (2, 5)], "doc_id long, n_chars long"
+        )
+        kept = cluster_representatives(
+            clusters, docs, order_cols=[F.col("n_chars").asc()]
+        ).collect()
+        assert [r["doc_id"] for r in kept] == [2]
+
+
+class TestChunkDuplicateStats:
+    def test_detects_shared_chunks(self, spark):
+        from datajudge_spark.pipeline.dedup import chunk_duplicate_stats
+
+        boiler = "t0 t1 t2 t3"  # one full 4-token chunk, shared
+        docs = spark.createDataFrame(
+            [
+                (1, boiler + " unique one text here"),
+                (2, boiler + " other tail words go here now"),
+                (3, "completely different body text"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+            for r in chunk_duplicate_stats(
+                docs, "doc_id", "text", chunk_tokens=4
+            ).collect()
+        }
+        assert rows[1][1] == 1 and rows[2][1] == 1  # the shared boilerplate
+        assert rows[3] == (1, 0)
+
+    def test_identical_docs_fully_duplicated(self, spark):
+        from datajudge_spark.pipeline.dedup import chunk_duplicate_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        rows = chunk_duplicate_stats(docs, "doc_id", "text", 4).collect()
+        for r in rows:
+            assert r["n_chunks"] == r["n_dup_chunks"] == 2
