@@ -1972,6 +1972,23 @@ def q_chunk_dedup(spark, sf_dir):
     )
 
 
+def q_zorder_digest(spark, sf_dir):
+    # Z-order (Morton) clustering key over (orderkey, partkey): the
+    # multi-dimensional data-skipping layout key, digested to one row.
+    # Pure codegen bit arithmetic — no UDF, no extra shuffle.
+    from datajudge_spark.operators.olap import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder_key(["l_orderkey", "l_partkey"], bits=16)
+    return li.select(z.alias("z")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("z")).alias("n_distinct_z"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+        F.sum("z").cast("bigint").alias("z_checksum"),
+    )
+
+
 def q_weighted_percentile(spark, sf_dir):
     # quantity-weighted median unit price in cents: same two-pass
     # range-bucketed plan as the exact percentile, but the histogram
@@ -2144,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_percentile": q_weighted_percentile,
         "dedup_canonical": q_dedup_canonical,
         "chunk_dedup": q_chunk_dedup,
+        "zorder_digest": q_zorder_digest,
     }
 
 
@@ -2154,6 +2172,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # bit-for-bit; cosine uses the same left-to-right double fold as Spark's
 # zip_with/aggregate so rankings are engine-independent.
 # --------------------------------------------------------------------------
+
+def _zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    """The SAME bit-interleave the Spark operator performs
+    (operators.olap.zorder_key), as a DuckDB bitwise expression."""
+    mask = (1 << bits) - 1
+    terms = []
+    for d, c in enumerate((x, y)):
+        for i in range(bits):
+            terms.append(f"(((({c} & {mask}) >> {i}) & 1) << {i * 2 + d})")
+    return "(" + " | ".join(terms) + ")"
+
 
 def _h_sql(expr: str, salt: int | str | None = None, nhex: int = 15) -> str:
     if salt is not None:
@@ -3389,5 +3418,13 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(n_dup_chunks) * 1.0 / sum(n_chunks), 6) "
             "AS dup_chunk_fraction "
             "FROM per_doc JOIN documents USING (doc_id) GROUP BY source"
+        ),
+        "zorder_digest": (
+            f"WITH z AS (SELECT {_zorder_sql('l_orderkey', 'l_partkey')} "
+            "AS z FROM lineitem) "
+            "SELECT count(*) AS n_rows, "
+            "count(DISTINCT z) AS n_distinct_z, "
+            "CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max, "
+            "CAST(sum(z) AS BIGINT) AS z_checksum FROM z"
         ),
     }

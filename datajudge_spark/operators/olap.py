@@ -134,3 +134,86 @@ def approx_percentile_check(
             <= rel_tol * F.col("exact_median_cents")
         ).alias("within_tol"),
     )
+
+
+def zorder_key(
+    cols: Sequence[Column | str], bits: int = 16
+) -> Column:
+    """Bit-interleaved Z-order (Morton) key over non-negative integer
+    dimensions — the multi-dimensional clustering key behind
+    data-skipping layouts (Delta OPTIMIZE ZORDER, Iceberg sort orders).
+
+    Each dimension contributes its low ``bits`` bits; bit ``i`` of
+    dimension ``d`` lands at position ``i * n_dims + d``, so nearby
+    (x, y, ...) points share long key prefixes and co-locate in the
+    same files / row groups. ``bits * n_dims`` must be <= 63.
+
+    Pure JVM-side bit arithmetic (shiftright/shiftleft/AND/OR inside
+    whole-stage codegen) — no UDF, no shuffle; the key costs the same
+    as any projected expression at 100 TB scan speed.
+    """
+    from functools import reduce
+
+    ncols = len(cols)
+    if ncols == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * ncols > 63:
+        raise ValueError(f"bits * n_dims must be <= 63, got {bits * ncols}")
+    mask = (1 << bits) - 1
+    terms = []
+    for d, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        masked = col.cast("bigint").bitwiseAND(F.lit(mask))
+        for i in range(bits):
+            bit = F.shiftright(masked, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * ncols + d))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_partitions: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Re-cluster a DataFrame along the Z-order curve of ``cols`` so a
+    subsequent parquet write produces files/row groups with tight
+    min/max ranges on EVERY listed column — multi-dimensional data
+    skipping, where a plain sort only skips on its leading column.
+
+    Each dimension is first min/max-scaled onto the full ``bits``-bit
+    range (one stats pass). Without this, dimensions with different
+    domain sizes interleave badly: the wider column's surplus high bits
+    sit alone at the top of the key and the curve degenerates into a
+    plain sort on that column (Delta's OPTIMIZE ZORDER normalizes the
+    same way, via range-partition ids).
+
+    Then range-partition by z-key (contiguous curve segments per output
+    partition, one skew-aware sampled shuffle) and sort within
+    partitions (no second shuffle). The helper key is dropped: parquet
+    stats on the data columns themselves are what scans prune with.
+    """
+    top = (1 << bits) - 1
+    stats = df.agg(
+        *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    scaled = []
+    for i, c in enumerate(cols):
+        lo, hi = stats[f"__lo_{i}"], stats[f"__hi_{i}"]
+        if lo is None or hi is None or hi == lo:
+            scaled.append(F.lit(0).cast("bigint"))
+        else:
+            scaled.append(
+                F.floor(
+                    (F.col(c).cast("double") - float(lo))
+                    * (float(top) / (float(hi) - float(lo)))
+                ).cast("bigint")
+            )
+    z = zorder_key(scaled, bits=bits)
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
