@@ -1972,6 +1972,21 @@ def q_chunk_dedup(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    # robust outlier screen on order totals (cents): exact median and
+    # MAD via the two-pass range-bucketed percentile, k=3 sigma-
+    # consistent threshold, one final conditional aggregate.
+    from datajudge_spark.operators.stats import mad_outliers
+
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    return mad_outliers(cents, "c", k=3.0)
+
+
 def q_zorder_digest(spark, sf_dir):
     # Z-order (Morton) clustering key over (orderkey, partkey): the
     # multi-dimensional data-skipping layout key, digested to one row.
@@ -2162,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "chunk_dedup": q_chunk_dedup,
         "zorder_digest": q_zorder_digest,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -3426,5 +3442,28 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT z) AS n_distinct_z, "
             "CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max, "
             "CAST(sum(z) AS BIGINT) AS z_checksum FROM z"
+        ),
+        "mad_outliers": (
+            # same smallest-v-with->=50% semantics as the Spark exact
+            # percentile; deviations and MAD over exact integers, only
+            # the k*1.4826*mad threshold is a double
+            "WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS c FROM orders WHERE o_totalprice IS NOT NULL), "
+            "m AS (SELECT min(value) AS med FROM ("
+            "  SELECT c AS value, cume_dist() OVER (ORDER BY c) AS cd FROM v"
+            ") WHERE cd >= 0.5), "
+            "dv AS (SELECT abs(c - med) AS d FROM v, m), "
+            "md AS (SELECT min(value) AS mad FROM ("
+            "  SELECT d AS value, cume_dist() OVER (ORDER BY d) AS cd FROM dv"
+            ") WHERE cd >= 0.5), "
+            "thr AS (SELECT med, mad, CAST(3.0 AS DOUBLE) * "
+            "CAST(1.4826 AS DOUBLE) * CAST(mad AS DOUBLE) AS t FROM m, md) "
+            "SELECT CAST(med AS BIGINT) AS median, CAST(mad AS BIGINT) AS mad, "
+            "round(t, 6) AS threshold, count(*) AS n_rows, "
+            "CAST(sum(CASE WHEN CAST(abs(c - med) AS DOUBLE) > t THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_outliers, "
+            "round(sum(CASE WHEN CAST(abs(c - med) AS DOUBLE) > t THEN 1 "
+            "ELSE 0 END) * 1.0 / count(*), 6) AS outlier_fraction "
+            "FROM v, thr GROUP BY med, mad, t"
         ),
     }

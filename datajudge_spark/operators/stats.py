@@ -366,3 +366,52 @@ def psi_drift_conditional(
     return joined.select(
         ((p - q) * F.log(p / q)).alias("term")
     ).agg(F.round(F.sum("term"), 6).alias("psi"))
+
+
+def mad_outliers(df: DataFrame, column: str, k: float = 3.0) -> DataFrame:
+    """Robust outlier screen via Median Absolute Deviation — the
+    monitoring alternative to mean/stddev z-scores, which a single
+    extreme value can inflate until it masks every other outlier.
+
+    Returns one row: exact median, exact MAD, the outlier threshold
+    ``k * 1.4826 * MAD`` (1.4826 makes MAD consistent with sigma under
+    normality), outlier count and fraction.
+
+    Built on the two-pass range-bucketed exact percentile (never a
+    global sort): one percentile for the median, one over absolute
+    deviations for the MAD, one final conditional aggregate — five
+    bounded jobs total, each fully parallel. Works best on integer
+    domains (cents, counts) where both medians are engine-exact.
+    """
+    from .scalars import exact_percentile_df
+
+    non_null = df.where(F.col(column).isNotNull())
+    med = exact_percentile_df(non_null, column, 50.0).first()["value"]
+    dev = non_null.select(
+        F.abs(F.col(column) - F.lit(med)).alias("__dev")
+    )
+    mad = exact_percentile_df(dev, "__dev", 50.0).first()["value"]
+    thr = float(k) * 1.4826 * float(mad)
+    return non_null.agg(
+        F.lit(med).cast("bigint").alias("median"),
+        F.lit(mad).cast("bigint").alias("mad"),
+        F.round(F.lit(thr), 6).alias("threshold"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.abs(F.col(column) - F.lit(med)).cast("double") > F.lit(thr),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    ).select(
+        "median",
+        "mad",
+        "threshold",
+        "n_rows",
+        "n_outliers",
+        F.round(F.col("n_outliers") / F.col("n_rows"), 6).alias(
+            "outlier_fraction"
+        ),
+    )

@@ -249,3 +249,28 @@ class TestExactWeightedPercentile:
         df = spark.createDataFrame([(1, 0), (2, 0)], "v long, w long")
         with pytest.raises(ValueError):
             exact_weighted_percentile_df(df, "v", "w", 50.0)
+
+
+class TestMadOutliers:
+    def test_known_values(self, spark):
+        from datajudge_spark.operators.stats import mad_outliers
+
+        # values 1..9 plus one wild point: median 5 (of 10 values ->
+        # smallest v with cum >= 50% is 5), deviations median = MAD
+        vals = [(v,) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+        df = spark.createDataFrame(vals, "c long")
+        row = mad_outliers(df, "c", k=3.0).first()
+        assert row["median"] == 5
+        # deviations: 4,3,2,1,0,1,2,3,4,995 -> sorted 0,1,1,2,2,3,3,4,4,995
+        # smallest with cum>=5 of 10 -> 2
+        assert row["mad"] == 2
+        assert row["threshold"] == pytest.approx(3.0 * 1.4826 * 2, abs=1e-6)
+        assert row["n_outliers"] == 1  # only the 1000
+        assert row["outlier_fraction"] == pytest.approx(0.1)
+
+    def test_constant_column_no_outliers(self, spark):
+        from datajudge_spark.operators.stats import mad_outliers
+
+        df = spark.createDataFrame([(7,)] * 20, "c long")
+        row = mad_outliers(df, "c").first()
+        assert row["mad"] == 0 and row["n_outliers"] == 0
