@@ -1972,6 +1972,56 @@ def q_chunk_dedup(spark, sf_dir):
     )
 
 
+def _trade_edges(spark, sf_dir):
+    # nation-to-nation trade graph: customer nation -> supplier nation,
+    # weight = lineitem count. Star join with broadcast dims.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    # weighted PageRank over the nation trade graph: 10 fixed power
+    # iterations, dangling mass redistributed (1-row agg per round),
+    # lineage truncated every round. State is O(|nodes|) rows.
+    from datajudge_spark.operators.graph import pagerank
+
+    edges = _trade_edges(spark, sf_dir)
+    ranks = pagerank(edges, weight="w", damping=0.85, n_iterations=10)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_graph_bfs(spark, sf_dir):
+    # minimum hop count from the lexicographically smallest nation over
+    # the (unweighted) trade edges — frontier expansion, integer-exact.
+    from datajudge_spark.operators.graph import bfs_levels
+
+    edges = _trade_edges(spark, sf_dir).select("src", "dst")
+    sources = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .agg(F.min("node").alias("node"))
+    )
+    return bfs_levels(edges, sources, max_hops=20)
+
+
 def q_mad_outliers(spark, sf_dir):
     # robust outlier screen on order totals (cents): exact median and
     # MAD via the two-pass range-bucketed percentile, k=3 sigma-
@@ -2048,14 +2098,15 @@ def q_event_transitions(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys only (verified rounds 1-2).  Round 3 rotates the window: the 34
-    # queries that had never seen a driver check (appended behind the
-    # window in round 2) plus the new streaming query come first, topped
-    # up with 15 previously-driver-green sentinels; the other 35
-    # previously-green queries follow.  Across rounds 2+3 every query
-    # then has a driver-green CORRECTNESS row.  The 16 queries ADDED in
-    # round 3 sit behind the window (all green in the local replica,
-    # tests/test_entry_oracle.py) — rotate them forward in round 4.
+    # keys only (verified rounds 1-2).  Round 3 rotates the window: all
+    # 50 slots go to queries that have never seen a driver check — the
+    # 34 appended behind the window in round 2, plus 16 of the queries
+    # added since.  The 50 round-2-green queries move behind the window
+    # (their driver rows live in CORRECTNESS_r02.json); the remaining
+    # 18 new queries follow them and rotate into the window in round 4.
+    # Every entry is green in the local replica of the driver gate
+    # (tests/test_entry_oracle.py, same DuckDB method), which predicted
+    # the driver 50/50 in round 2.
     return {
         # -- 34 queries never driver-checked before round 3 --
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2092,9 +2143,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": q_grouped_topk,
         "mixture_weights": q_mixture_weights,
         "train_val_split": q_train_val_split,
-        # -- new in round 3: streaming gets a driver-checkable row --
+        # -- 16 round-3 additions promoted into the window --
         "streaming_windowed_counts": q_streaming_windowed_counts,
-        # -- 15 previously-driver-green sentinels (regression canaries) --
+        "cube_agg": q_cube_agg,
+        "heavy_hitters": q_heavy_hitters,
+        "latest_snapshot": q_latest_snapshot,
+        "approx_distinct_check": q_approx_distinct_check,
+        "approx_percentile_check": q_approx_percentile_check,
+        "percentile_bands": q_percentile_bands,
+        "gap_fill_daily": q_gap_fill_daily,
+        "ewma_daily": q_ewma_daily,
+        "anomaly_zscore": q_anomaly_zscore,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "srp_signature_hist": q_srp_signature_hist,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_stateful_counts": q_streaming_stateful_counts,
+        "scd2_intervals": q_scd2_intervals,
+        # -- 50 previously-driver-green (round 2), behind the window --
         "row_count": q_row_count,
         "null_fraction": q_null_fraction,
         "percentile": q_percentile,
@@ -2110,7 +2176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_topk_ivf": q_ann_topk_ivf,
-        # -- 35 previously-driver-green (round 2), behind the window --
         "row_count_capped": q_row_count_capped,
         "filtered_count": q_filtered_count,
         "min_max": q_min_max,
@@ -2147,21 +2212,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "stratum_percentile_trim": q_stratum_percentile_trim,
         # -- new in round 3 (behind the 50-slot window; rotate next round) --
-        "cube_agg": q_cube_agg,
-        "heavy_hitters": q_heavy_hitters,
-        "latest_snapshot": q_latest_snapshot,
-        "approx_distinct_check": q_approx_distinct_check,
-        "approx_percentile_check": q_approx_percentile_check,
-        "percentile_bands": q_percentile_bands,
-        "gap_fill_daily": q_gap_fill_daily,
-        "ewma_daily": q_ewma_daily,
-        "anomaly_zscore": q_anomaly_zscore,
-        "embedding_norm_stats": q_embedding_norm_stats,
-        "srp_signature_hist": q_srp_signature_hist,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_stateful_counts": q_streaming_stateful_counts,
-        "scd2_intervals": q_scd2_intervals,
         "snapshot_diff": q_snapshot_diff,
         "incremental_daily_merge": q_incremental_daily_merge,
         "srp_neardup_pairs": q_srp_neardup_pairs,
@@ -2178,6 +2228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "zorder_digest": q_zorder_digest,
         "mad_outliers": q_mad_outliers,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_bfs": q_graph_bfs,
     }
 
 
@@ -2188,6 +2240,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # bit-for-bit; cosine uses the same left-to-right double fold as Spark's
 # zip_with/aggregate so rankings are engine-independent.
 # --------------------------------------------------------------------------
+
+def _trade_edges_sql() -> str:
+    """The nation->nation trade graph (customer nation -> supplier
+    nation, lineitem-count weights) — mirror of ``_trade_edges``."""
+    return (
+        "SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+        "GROUP BY cn.n_name, sn.n_name"
+    )
+
+
+def _pagerank_sql(n_iter: int = 10, d: float = 0.85) -> str:
+    """Fixed-iteration PageRank as a chain of plain CTEs (one per power
+    iteration) — recursive CTEs cannot aggregate in the recursive term.
+    Every arithmetic step mirrors operators.graph.pagerank: double
+    casts everywhere, the same parenthesization, dangling mass
+    redistributed uniformly."""
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference — the
+    # 6-table edge join would otherwise be re-planned once per
+    # iteration CTE and exhaust file handles on the parquet views
+    parts = [
+        f"e AS MATERIALIZED (SELECT src, dst, CAST(w AS DOUBLE) AS w "
+        f"FROM ({_trade_edges_sql()}))",
+        "ow AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM e GROUP BY src)",
+        "tr AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.out_w AS p "
+        "FROM e JOIN ow ON e.src = ow.src)",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, "
+        "CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    # every per-iteration CTE must be MATERIALIZED too: plain CTEs are
+    # inlined at each reference site, so the r0..rN chain re-expands the
+    # whole prefix per iteration — observed 262 s at sf0.01 vs ~1 s
+    # materialized (linear plan).
+    for k in range(1, n_iter + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT "
+            "COALESCE(sum(rank), CAST(0.0 AS DOUBLE)) "
+            f"AS dm FROM {p} WHERE node NOT IN (SELECT src FROM ow))"
+        )
+        parts.append(
+            f"i{k} AS MATERIALIZED (SELECT tr.dst AS node, "
+            f"sum({p}.rank * tr.p) "
+            f"AS in_rank FROM {p} JOIN tr ON {p}.node = tr.src "
+            "GROUP BY tr.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT nodes.node, "
+            "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) "
+            "/ (SELECT n FROM nn) + CAST(0.85 AS DOUBLE) * "
+            f"(COALESCE(i{k}.in_rank, CAST(0.0 AS DOUBLE)) + "
+            f"(SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes LEFT JOIN i{k} ON nodes.node = i{k}.node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node, round(rank, 6) AS rank FROM r{n_iter}"
+    )
+
 
 def _zorder_sql(x: str, y: str, bits: int = 16) -> str:
     """The SAME bit-interleave the Spark operator performs
@@ -3465,5 +3585,19 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(CASE WHEN CAST(abs(c - med) AS DOUBLE) > t THEN 1 "
             "ELSE 0 END) * 1.0 / count(*), 6) AS outlier_fraction "
             "FROM v, thr GROUP BY med, mad, t"
+        ),
+        "graph_pagerank": _pagerank_sql(),
+        "graph_bfs": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM "
+            f"({_trade_edges_sql()})), "
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+            "s AS (SELECT min(node) AS node FROM nodes), "
+            "reach(node, hops) AS ("
+            "SELECT node, 0 FROM s "
+            "UNION "
+            "SELECT e.dst, r.hops + 1 FROM reach r "
+            "JOIN e ON r.node = e.src WHERE r.hops < 20) "
+            "SELECT node, CAST(min(hops) AS INT) AS hops "
+            "FROM reach GROUP BY node"
         ),
     }

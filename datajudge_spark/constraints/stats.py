@@ -398,3 +398,54 @@ class SnapshotDiff(Constraint):
             f"~{row['n_changed']} ={row['n_unchanged']}. "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class MadOutlierFraction(Constraint):
+    """At most ``max_fraction`` of values may sit further than
+    ``k * 1.4826 * MAD`` from the exact median — the robust-outlier
+    gate that a single extreme value cannot inflate (unlike mean/stddev
+    z-scores). Extension, no reference counterpart.
+
+    Median and MAD come from the two-pass range-bucketed exact
+    percentile (operators.stats.mad_outliers); one digest row reaches
+    the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_fraction: float,
+        k: float = 3.0,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        self._max_fraction = max_fraction
+        self._k = k
+        super().__init__(
+            ref, ref_value=max_fraction, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import mad_outliers
+
+        col = self._ref.get_column(engine)
+        df = self._ref.get_selection(engine)
+        try:
+            row = mad_outliers(df, col, k=self._k).collect()[0]
+        except ValueError:
+            return TestResult.failure(
+                f"MAD outlier fraction of {self._ref} is undefined: "
+                "insufficient data (no non-null rows). ",
+                self.get_description(),
+            )
+        fraction = row["outlier_fraction"]
+        if fraction <= self._max_fraction:
+            return TestResult.success()
+        assertion_text = (
+            f"{fraction} of values of {self._ref} ({row['n_outliers']} of "
+            f"{row['n_rows']}) deviate more than {self._k} * 1.4826 * MAD "
+            f"(median {row['median']}, MAD {row['mad']}, threshold "
+            f"{row['threshold']}) — exceeding the maximum outlier fraction "
+            f"{self._max_fraction}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -879,6 +879,33 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_mad_outlier_fraction_constraint(
+        self,
+        column: str,
+        max_fraction: float,
+        k: float = 3.0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): at most ``max_fraction``
+        of non-null values of ``column`` may deviate more than
+        ``k * 1.4826 * MAD`` from the exact median — the robust-outlier
+        gate a single extreme value cannot inflate. Median/MAD run as
+        two-pass range-bucketed exact percentiles in-engine; one digest
+        row reaches the driver. Best on integer domains (cents, counts),
+        where both medians are engine-exact."""
+        if not 0 <= max_fraction <= 1:
+            raise ValueError("max_fraction must be within [0, 1].")
+        if k <= 0:
+            raise ValueError("k must be positive.")
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            stats_constraints.MadOutlierFraction(
+                ref, max_fraction, k=k, name=name, cache_size=cache_size
+            )
+        )
+
 
 class BetweenRequirement(Requirement):
     """Constraints comparing two data sources (reference requirements.py:1266-2227)."""

@@ -437,3 +437,44 @@ class TestScaleGateConditions:
         )
         req.add_daily_volume_anomaly_constraint("ts", threshold=3.0)  # fail
         assert outcomes(req, spark) == [True, False]
+
+
+class TestMadOutlierFraction:
+    def test_pass_and_fail(self, spark):
+        # 1..9 plus one wild point: exactly 10% outliers at k=3
+        df = spark.createDataFrame(
+            [(v,) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]], "c long"
+        )
+        req = within_req(df, "mad")
+        req.add_mad_outlier_fraction_constraint("c", max_fraction=0.1)
+        req.add_mad_outlier_fraction_constraint("c", max_fraction=0.05)  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_condition_scopes_rows(self, spark):
+        df = spark.createDataFrame(
+            [(v, "a") for v in [1, 2, 3, 4, 5, 6, 7, 8, 9]]
+            + [(1000, "b")],
+            "c long, src string",
+        )
+        req = within_req(df, "madcond")
+        req.add_mad_outlier_fraction_constraint(
+            "c", max_fraction=0.0, condition=Condition(raw_string="src = 'a'")
+        )
+        req.add_mad_outlier_fraction_constraint("c", max_fraction=0.0)  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_empty_fails_cleanly(self, spark):
+        df = spark.createDataFrame([], "c long")
+        req = within_req(df, "madempty")
+        req.add_mad_outlier_fraction_constraint("c", max_fraction=0.1)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "insufficient data" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "c long")
+        req = within_req(df, "madval")
+        with pytest.raises(ValueError):
+            req.add_mad_outlier_fraction_constraint("c", max_fraction=1.5)
+        with pytest.raises(ValueError):
+            req.add_mad_outlier_fraction_constraint("c", 0.1, k=0)
