@@ -2011,9 +2011,13 @@ def q_graph_pagerank(spark, sf_dir):
 def q_graph_bfs(spark, sf_dir):
     # minimum hop count from the lexicographically smallest nation over
     # the (unweighted) trade edges — frontier expansion, integer-exact.
+    # The 6-table edge derivation feeds BOTH the source-pick aggregate
+    # and the traversal: persist it once (materialize_once), or the
+    # star join runs twice.
     from datajudge_spark.operators.graph import bfs_levels
+    from datajudge_spark.pipeline._util import materialize_once
 
-    edges = _trade_edges(spark, sf_dir).select("src", "dst")
+    edges = materialize_once(_trade_edges(spark, sf_dir).select("src", "dst"))
     sources = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -2093,6 +2097,119 @@ def q_event_transitions(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "src", "dst")
         .limit(10)
+    )
+
+
+def _cents(col: str):
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("bigint")
+
+
+def q_gini_revenue(spark, sf_dir):
+    # revenue concentration across customers: exact Gini over per-customer
+    # lifetime order value in cents.  Rank sums come from the
+    # bucket-partitioned cumulative (operators.stats.gini_coefficient) —
+    # no global ordered window at any customer cardinality.
+    from datajudge_spark.operators.stats import gini_coefficient
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("v")
+    )
+    return gini_coefficient(per_cust, "v").select(
+        F.col("n").alias("n_customers"),
+        F.col("sum_value").cast("bigint").alias("total_cents"),
+        F.round("gini", 6).alias("gini"),
+    )
+
+
+def q_mann_whitney(spark, sf_dir):
+    # distribution shift between finished ('F') and open ('O') order
+    # totals: exact tie-averaged Mann-Whitney U + tie-corrected z.
+    # Rank sums are integer-exact over the combined distinct-value
+    # histogram (same bucketed-cumulative plan as gini).
+    from datajudge_spark.operators.stats import mann_whitney_u
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        _cents("o_totalprice").alias("c"),
+        F.col("o_orderstatus").alias("g"),
+    )
+    return mann_whitney_u(base, "c", "g", "F", "O").select(
+        "n_a",
+        "n_b",
+        F.round("u_a", 1).alias("u_a"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+def q_chi_squared(spark, sf_dir):
+    # is event type independent of day-of-week?  Pearson chi-squared over
+    # the dense contingency grid (zero-observed cells included).  The
+    # day number is an epoch-datediff mod 7 — integer-exact and
+    # engine-portable, unlike dayofweek()'s differing origins.
+    from datajudge_spark.operators.stats import chi_squared_independence
+
+    ev = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ),
+        F.lit(7),
+    )
+    base = ev.select(F.col("event_type").alias("et"), dow.alias("dow"))
+    return chi_squared_independence(base, "et", "dow").select(
+        "dof", F.round("chi2", 6).alias("chi2")
+    )
+
+
+def q_grouping_sets_agg(spark, sf_dir):
+    # GROUPING SETS completes the rollup/cube family: per-priority
+    # totals, per-status totals, and the grand total in ONE pass (a
+    # single Expand + one shuffle — not three scans UNIONed), with
+    # GROUPING() markers disambiguating subtotal NULLs from data NULLs.
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        _cents("o_totalprice").alias("c"),
+    )
+    return base.groupingSets(
+        [["priority"], ["status"], []], "priority", "status"
+    ).agg(
+        F.grouping("priority").cast("int").alias("g_priority"),
+        F.grouping("status").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("c").cast("bigint").alias("sum_cents"),
+    )
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    # wide->long reshape (melt) of per-nation customer metrics via the
+    # native Unpivot operator — a map-side 1:3 expansion after the
+    # source aggregate; no extra shuffle, no UDF.
+    c = _t(spark, sf_dir, "customer")
+    wide = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(_cents("c_acctbal")).cast("bigint").alias("acctbal_cents"),
+        F.count_distinct("c_mktsegment").cast("bigint").alias("n_segments"),
+    )
+    return wide.unpivot(
+        ["nationkey"],
+        ["n_customers", "acctbal_cents", "n_segments"],
+        "metric",
+        "value",
+    )
+
+
+def q_embedding_centroids(spark, sf_dir):
+    # per-label centroid of the embedding column, long-form (label,
+    # component, n, mean) — decimal-exact component sums so the mean is
+    # partition-order independent (pipeline.similarity.group_centroids).
+    from datajudge_spark.pipeline.similarity import group_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return group_centroids(emb, "embedding", "label").select(
+        F.col("grp").alias("label"), "component", "n", "mean"
     )
 
 
@@ -2230,6 +2347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "graph_pagerank": q_graph_pagerank,
         "graph_bfs": q_graph_bfs,
+        "gini_revenue": q_gini_revenue,
+        "mann_whitney": q_mann_whitney,
+        "chi_squared": q_chi_squared,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "unpivot_metrics": q_unpivot_metrics,
+        "embedding_centroids": q_embedding_centroids,
     }
 
 
@@ -3585,6 +3708,95 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(CASE WHEN CAST(abs(c - med) AS DOUBLE) > t THEN 1 "
             "ELSE 0 END) * 1.0 / count(*), 6) AS outlier_fraction "
             "FROM v, thr GROUP BY med, mad, t"
+        ),
+        "gini_revenue": (
+            "WITH pc AS (SELECT o_custkey, CAST(sum(CAST(CAST(o_totalprice "
+            "AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v "
+            "FROM orders GROUP BY o_custkey), "
+            "h AS (SELECT v, count(*) AS cnt FROM pc GROUP BY v), "
+            "c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM h), "
+            "a AS (SELECT sum(CAST(cnt AS HUGEINT)) AS n, "
+            "sum(CAST(v AS HUGEINT) * cnt) AS s, "
+            "sum(CAST(v AS HUGEINT) * cnt * "
+            "(2 * CAST(cum AS HUGEINT) - cnt + 1)) AS t2 FROM c) "
+            "SELECT CAST(n AS BIGINT) AS n_customers, "
+            "CAST(s AS BIGINT) AS total_cents, "
+            "round(CAST(t2 - (n + 1) * s AS DOUBLE) "
+            "/ CAST(n * s AS DOUBLE), 6) AS gini FROM a"
+        ),
+        "mann_whitney": (
+            "WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS v, o_orderstatus AS g FROM orders "
+            "WHERE o_orderstatus IN ('F', 'O') AND o_totalprice IS NOT NULL), "
+            "h AS (SELECT v, sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS na, "
+            "count(*) AS cnt FROM b GROUP BY v), "
+            "c AS (SELECT v, na, cnt, sum(cnt) OVER (ORDER BY v) AS cum "
+            "FROM h), "
+            "a AS (SELECT sum(CAST(na AS HUGEINT)) AS n1, "
+            "sum(CAST(cnt AS HUGEINT) - na) AS n2, "
+            "sum(CAST(na AS HUGEINT) * "
+            "(2 * CAST(cum AS HUGEINT) - cnt + 1)) AS r2a, "
+            "sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties FROM c) "
+            "SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b, "
+            "round(CAST(r2a - n1 * (n1 + 1) AS DOUBLE) / 2.0, 1) AS u_a, "
+            "round((CAST(r2a - n1 * (n1 + 1) AS DOUBLE) "
+            "- CAST(n1 * n2 AS DOUBLE)) / 2.0 "
+            "/ sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 * "
+            "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) "
+            "/ CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 6) AS z "
+            "FROM a"
+        ),
+        "chi_squared": (
+            "WITH base AS (SELECT event_type AS a, "
+            "((CAST(ts AS DATE) - DATE '1970-01-01') % 7) AS b FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL), "
+            "cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), "
+            "rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a), "
+            "cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b), "
+            "g AS (SELECT sum(o) AS gt, count(DISTINCT a) AS n_a, "
+            "count(DISTINCT b) AS n_b FROM cells), "
+            "dense AS (SELECT COALESCE(cells.o, 0) AS o, "
+            "CAST(rm.ra * cm.cb AS DOUBLE) / CAST(g.gt AS DOUBLE) AS e, "
+            "g.n_a AS n_a, g.n_b AS n_b "
+            "FROM rm CROSS JOIN cm "
+            "LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b "
+            "CROSS JOIN g) "
+            "SELECT CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof, "
+            "round(sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) "
+            "/ e), 6) AS chi2 FROM dense GROUP BY n_a, n_b"
+        ),
+        "grouping_sets_agg": (
+            "SELECT o_orderpriority AS priority, o_orderstatus AS status, "
+            "CAST(GROUPING(o_orderpriority) AS INT) AS g_priority, "
+            "CAST(GROUPING(o_orderstatus) AS INT) AS g_status, "
+            "count(*) AS n_orders, "
+            "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders GROUP BY GROUPING SETS "
+            "((o_orderpriority), (o_orderstatus), ())"
+        ),
+        "unpivot_metrics": (
+            "WITH wide AS (SELECT c_nationkey AS nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT)) AS BIGINT) AS acctbal_cents, "
+            "CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments "
+            "FROM customer GROUP BY c_nationkey) "
+            "SELECT nationkey, 'n_customers' AS metric, n_customers AS value "
+            "FROM wide "
+            "UNION ALL SELECT nationkey, 'acctbal_cents', acctbal_cents "
+            "FROM wide "
+            "UNION ALL SELECT nationkey, 'n_segments', n_segments FROM wide"
+        ),
+        "embedding_centroids": (
+            "WITH parts AS (SELECT label, "
+            "CAST(generate_subscripts(embedding, 1) AS INT) AS component, "
+            "CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) "
+            "AS DECIMAL(18,6)) AS x "
+            "FROM embeddings WHERE embedding IS NOT NULL) "
+            "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
+            "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
+            "AS mean FROM parts GROUP BY label, component"
         ),
         "graph_pagerank": _pagerank_sql(),
         "graph_bfs": (

@@ -415,3 +415,229 @@ def mad_outliers(df: DataFrame, column: str, k: float = 3.0) -> DataFrame:
             "outlier_fraction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank statistics over near-unique domains: Gini, Mann-Whitney U.
+#
+# Both need global ranks of every distinct value — a naive ORDER BY window
+# is a single-partition stage on near-unique columns (the same trap the
+# exact percentile and continuous KS avoid, SURVEY §4.4).  Shared plan:
+#
+#   1. one groupBy shuffle builds the (range-bucket, value) histogram,
+#   2. per-BUCKET cumulative counts come from a window PARTITIONED by
+#      bucket (parallel, each partition sees |distinct|/B rows),
+#   3. the ≤B per-bucket totals are folded into global offsets on the
+#      driver and broadcast back.
+#
+# Rank-sum identities over tie blocks keep everything integer-exact:
+# a value v with cnt ties occupying global positions (cum-cnt, cum] has
+# 2*Σranks = cnt*(2*cum - cnt + 1) — no fractional average ranks until
+# the final double division.
+# ---------------------------------------------------------------------------
+
+RANK_BUCKETS = 2048
+
+
+def _bucketed_global_cum(
+    vals: DataFrame, cnt_cols: list[str], n_buckets: int = RANK_BUCKETS
+) -> DataFrame:
+    """(v, *cnt_cols) histogram -> adds ``cum``: the INCLUSIVE global
+    cumulative of ``cnt_cols[0]`` in ascending ``v`` order, without a
+    global window.  ``vals`` must have a numeric column ``v``; rows with
+    the same ``v`` must already be aggregated (one row per value).
+    """
+    from ..pipeline._util import materialize_once
+
+    stats = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        raise ValueError("rank statistics need at least one non-null value")
+    cnt = cnt_cols[0]
+    if float(hi) == float(lo):
+        # single distinct value: one row, cum == its count
+        return vals.select("v", *cnt_cols, F.col(cnt).alias("cum"))
+    b = F.least(
+        F.floor(
+            (F.col("v").cast("double") - float(lo))
+            / (float(hi) - float(lo))
+            * n_buckets
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    hist = materialize_once(vals.withColumn("__b", b))
+    per_bucket = (
+        hist.groupBy("__b").agg(F.sum(cnt).alias("c")).collect()
+    )
+    base, offsets = 0, {}
+    for row in sorted(per_bucket, key=lambda r: r["__b"]):
+        offsets[row["__b"]] = base
+        base += row["c"]
+    spark = vals.sparkSession
+    base_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in offsets.items()], "__b int, __base long"
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hist.join(F.broadcast(base_df), "__b")
+        .select(
+            "v",
+            *cnt_cols,
+            (F.sum(cnt).over(w) + F.col("__base")).alias("cum"),
+        )
+    )
+
+
+def gini_coefficient(df: DataFrame, column: str) -> DataFrame:
+    """Exact Gini concentration index of a non-negative numeric column,
+    as one digest row (n, sum_value, gini).
+
+    ``G = (2*Σ i*x_(i) - (n+1)*Σx) / (n*Σx)`` over ascending-sorted
+    values — computed from the distinct-value histogram with the
+    bucket-partitioned cumulative (no global window; see module note).
+    All sums are DECIMAL(38,0)-exact; only the final division is double.
+    Extension — no reference counterpart; nearest relative is the
+    distribution statistics in operators/profile.py.
+    """
+    vals = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = _bucketed_global_cum(vals, ["cnt"])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = cum.agg(
+        F.sum(dec(F.col("cnt"))).alias("n"),
+        F.sum(dec(F.col("v")) * dec(F.col("cnt"))).alias("s"),
+        F.sum(
+            dec(F.col("v"))
+            * dec(F.col("cnt"))
+            * (2 * dec(F.col("cum")) - dec(F.col("cnt")) + 1)
+        ).alias("t2"),
+    )
+    num = (F.col("t2") - (F.col("n") + 1) * F.col("s")).cast("double")
+    den = (F.col("n") * F.col("s")).cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("decimal(38,0)").alias("sum_value"),
+        (num / den).alias("gini"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, column: str, group_column: str, group_a, group_b
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) with average
+    ranks for ties and tie-corrected normal approximation, as one digest
+    row (n_a, n_b, u_a, z).
+
+    Rank sums come from the tie-block identity over the combined
+    distinct-value histogram (bucket-partitioned cumulative, no global
+    window): ``2*R_a = Σ_v n_a(v) * (2*cum(v) - cnt(v) + 1)``.  The tie
+    correction uses ``Σ (t³ - t)`` over tie sizes t.  Everything is
+    integer-exact until the final double expressions, whose parse trees
+    are engine-portable.  Extension — no reference counterpart; the
+    two-sample KS statistic (this module) is the reference-parity peer.
+    """
+    both = df.where(
+        F.col(column).isNotNull()
+        & F.col(group_column).isin([group_a, group_b])
+    )
+    vals = both.groupBy(F.col(column).alias("v")).agg(
+        F.sum(
+            F.when(F.col(group_column) == group_a, 1).otherwise(0)
+        ).alias("na"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cum = _bucketed_global_cum(vals, ["cnt", "na"])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = cum.agg(
+        F.sum(dec(F.col("na"))).alias("n1"),
+        F.sum(dec(F.col("cnt")) - dec(F.col("na"))).alias("n2"),
+        F.sum(
+            dec(F.col("na"))
+            * (2 * dec(F.col("cum")) - dec(F.col("cnt")) + 1)
+        ).alias("r2a"),  # 2 * rank-sum of group a
+        F.sum(
+            dec(F.col("cnt")) * dec(F.col("cnt")) * dec(F.col("cnt"))
+            - dec(F.col("cnt"))
+        ).alias("ties"),  # Σ t³ - t
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    # U_a = R_a - n1(n1+1)/2; kept doubled until the final division
+    u2 = (F.col("r2a") - n1 * (n1 + 1)).cast("double")
+    mu2 = (n1 * n2).cast("double")  # 2 * mean(U)
+    # var(U) = n1*n2/12 * ((n+1) - Σ(t³-t)/(n(n-1)))
+    var = (n1 * n2).cast("double") / 12.0 * (
+        (n + 1).cast("double")
+        - F.col("ties").cast("double") / (n * (n - 1)).cast("double")
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n_a"),
+        n2.cast("bigint").alias("n_b"),
+        (u2 / 2.0).alias("u_a"),
+        ((u2 - mu2) / 2.0 / F.sqrt(var)).alias("z"),
+    )
+
+
+def chi_squared_independence(
+    df: DataFrame, column_a: str, column_b: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns, as one digest row (dof, chi2).
+
+    One groupBy shuffle builds the observed contingency cells; margins
+    are aggregates OF THE CELLS (|A|·|B| rows, never the fact table
+    twice), and the dense cell grid — including zero-observed cells,
+    which still carry expected mass — is the cross join of the two tiny
+    margin tables.  Counts are integer-exact; ``Σ (o-e)²/e`` is a double
+    fold over them.  Extension — no reference counterpart; peers the KS
+    statistic for the categorical case.
+    """
+    from ..pipeline._util import materialize_once
+
+    cells = materialize_once(
+        df.where(F.col(column_a).isNotNull() & F.col(column_b).isNotNull())
+        .groupBy(F.col(column_a).alias("a"), F.col(column_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_m = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_m = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    grand = cells.agg(
+        F.sum("o").alias("g"),
+        F.count_distinct(F.col("a")).alias("n_a"),
+        F.count_distinct(F.col("b")).alias("n_b"),
+    )
+    dense = (
+        row_m.crossJoin(col_m)
+        .join(cells, ["a", "b"], "left")
+        .join(F.broadcast(grand))
+        .select(
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (
+                (F.col("ra") * F.col("cb")).cast("double")
+                / F.col("g").cast("double")
+            ).alias("e"),
+        )
+    )
+    return dense.groupBy("n_a", "n_b").agg(
+        F.sum(
+            (F.col("o").cast("double") - F.col("e"))
+            * (F.col("o").cast("double") - F.col("e"))
+            / F.col("e")
+        ).alias("chi2"),
+    ).select(
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        "chi2",
+    )

@@ -444,3 +444,40 @@ def srp_signature_hist(
         .groupBy("sig")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+def group_centroids(
+    df: DataFrame, vec_col: str, group_col: str
+) -> DataFrame:
+    """Per-group centroid of an embedding column, long-form: one row per
+    (group, component) with the component mean — the shape IVF training
+    consumes and monitoring dashboards plot.
+
+    Cross-engine determinism (norm_stats convention): each component is
+    rounded to 6dp per row, summed as an exact DECIMAL (partition-order
+    independent — a double sum is not), and divided once at the end.
+
+    Scale: posexplode is a map-only 1:dim row expansion of already-read
+    data; the single shuffle is the (group, component) partial agg —
+    |groups|·dim result rows, never a collect of vectors.
+    """
+    parts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    dec = F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)")
+    return (
+        parts.groupBy("grp", (F.col("pos") + 1).alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).alias("__s"),
+        )
+        .select(
+            "grp",
+            "component",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("__s").cast("double") / F.col("n").cast("double"), 6
+            ).alias("mean"),
+        )
+    )

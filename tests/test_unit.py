@@ -274,3 +274,138 @@ class TestMadOutliers:
         df = spark.createDataFrame([(7,)] * 20, "c long")
         row = mad_outliers(df, "c").first()
         assert row["mad"] == 0 and row["n_outliers"] == 0
+
+
+class TestGiniCoefficient:
+    def test_known_values(self, spark):
+        from datajudge_spark.operators.stats import gini_coefficient
+
+        # perfect equality
+        df = spark.createDataFrame([(5,)] * 4, "v long")
+        row = gini_coefficient(df, "v").first()
+        assert row["gini"] == pytest.approx(0.0, abs=1e-12)
+        assert row["n"] == 4 and int(row["sum_value"]) == 20
+        # one holder of everything: G = (n-1)/n = 0.75
+        df2 = spark.createDataFrame([(0,), (0,), (0,), (4,)], "v long")
+        assert gini_coefficient(df2, "v").first()["gini"] == pytest.approx(
+            0.75, abs=1e-12
+        )
+
+    def test_matches_naive_formula(self, spark):
+        from datajudge_spark.operators.stats import gini_coefficient
+
+        vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+        xs = sorted(vals)
+        n, s = len(xs), sum(xs)
+        expected = (
+            2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s
+        ) / (n * s)
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        assert gini_coefficient(df, "v").first()["gini"] == pytest.approx(
+            expected, abs=1e-12
+        )
+
+    def test_empty_raises(self, spark):
+        from datajudge_spark.operators.stats import gini_coefficient
+
+        df = spark.createDataFrame([], "v long")
+        with pytest.raises(ValueError):
+            gini_coefficient(df, "v").first()
+
+
+class TestMannWhitneyU:
+    def test_disjoint_samples(self, spark):
+        from datajudge_spark.operators.stats import mann_whitney_u
+
+        rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "b")]
+        df = spark.createDataFrame(rows, "v long, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").first()
+        assert (r["n_a"], r["n_b"]) == (3, 3)
+        assert r["u_a"] == pytest.approx(0.0)
+        # z = (0 - 4.5) / sqrt(9*7/12)
+        assert r["z"] == pytest.approx(-4.5 / (9 * 7 / 12) ** 0.5, abs=1e-12)
+
+    def test_tie_average_ranks(self, spark):
+        from datajudge_spark.operators.stats import mann_whitney_u
+
+        # a=[1,2], b=[2,3]: ranks 1, 2.5, 2.5, 4 -> R_a=3.5, U_a=0.5
+        rows = [(1, "a"), (2, "a"), (2, "b"), (3, "b")]
+        df = spark.createDataFrame(rows, "v long, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").first()
+        assert r["u_a"] == pytest.approx(0.5)
+
+    def test_other_groups_excluded(self, spark):
+        from datajudge_spark.operators.stats import mann_whitney_u
+
+        rows = [(1, "a"), (2, "b"), (100, "c")]
+        df = spark.createDataFrame(rows, "v long, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").first()
+        assert (r["n_a"], r["n_b"]) == (1, 1)
+
+
+class TestChiSquared:
+    def test_independent_is_zero(self, spark):
+        from datajudge_spark.operators.stats import chi_squared_independence
+
+        rows = (
+            [("A", "P")] * 10 + [("A", "Q")] * 20
+            + [("B", "P")] * 20 + [("B", "Q")] * 40
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi_squared_independence(df, "a", "b").first()
+        assert r["dof"] == 1
+        assert r["chi2"] == pytest.approx(0.0, abs=1e-12)
+
+    def test_complete_dependence(self, spark):
+        from datajudge_spark.operators.stats import chi_squared_independence
+
+        # diagonal-only 2x2: chi2 == n
+        rows = [("A", "P")] * 10 + [("B", "Q")] * 10
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi_squared_independence(df, "a", "b").first()
+        assert r["dof"] == 1
+        assert r["chi2"] == pytest.approx(20.0, abs=1e-9)
+
+    def test_zero_observed_cells_counted(self, spark):
+        from datajudge_spark.operators.stats import chi_squared_independence
+
+        # 2x2 with one empty cell: expected mass still contributes
+        rows = [("A", "P")] * 4 + [("A", "Q")] * 4 + [("B", "P")] * 4
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi_squared_independence(df, "a", "b").first()
+        # margins: rA=8 rB=4, cP=8 cQ=4, n=12
+        # e: AP=16/3 AQ=8/3 BP=8/3 BQ=4/3; o: 4,4,4,0
+        e = {"AP": 16 / 3, "AQ": 8 / 3, "BP": 8 / 3, "BQ": 4 / 3}
+        o = {"AP": 4, "AQ": 4, "BP": 4, "BQ": 0}
+        exp = sum((o[k] - e[k]) ** 2 / e[k] for k in e)
+        assert r["chi2"] == pytest.approx(exp, abs=1e-9)
+
+
+class TestBucketedGlobalCum:
+    def test_matches_global_window(self, spark):
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.stats import _bucketed_global_cum
+
+        rng = random.Random(7)
+        vals = [rng.randint(-1000, 1000) for _ in range(500)]
+        df = (
+            spark.createDataFrame([(v,) for v in vals], "v long")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        got = {
+            r["v"]: r["cum"]
+            for r in _bucketed_global_cum(df, ["cnt"], n_buckets=16).collect()
+        }
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["v"]: r["cum"]
+            for r in df.select(
+                "v", F.sum("cnt").over(w).alias("cum")
+            ).collect()
+        }
+        assert got == want
