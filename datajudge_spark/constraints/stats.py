@@ -449,3 +449,222 @@ class MadOutlierFraction(Constraint):
             f"{self._max_fraction}. {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+def _gamma_q(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) — the chi-squared
+    survival function is ``Q(dof/2, stat/2)``.  Series for x < a+1,
+    Lentz continued fraction otherwise (standard construction, e.g.
+    Numerical Recipes §6.2); accurate to ~1e-12 — far tighter than any
+    significance threshold.  Pure stdlib: scipy is not a dependency.
+    """
+    if x < 0 or a <= 0:
+        raise ValueError("gamma_q requires a > 0, x >= 0")
+    if x == 0:
+        return 1.0
+    lg = math.lgamma(a)
+    if x < a + 1.0:
+        # P(a,x) by series, Q = 1 - P
+        term = 1.0 / a
+        total = term
+        n = a
+        for _ in range(1000):
+            n += 1.0
+            term *= x / n
+            total += term
+            if abs(term) < abs(total) * 1e-15:
+                break
+        p = total * math.exp(-x + a * math.log(x) - lg)
+        return max(0.0, min(1.0, 1.0 - p))
+    # Q(a,x) by modified Lentz continued fraction
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 1000):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    q = math.exp(-x + a * math.log(x) - lg) * h
+    return max(0.0, min(1.0, q))
+
+
+class GiniMax(Constraint):
+    """Concentration gate: the exact Gini coefficient of a column may
+    not exceed ``max_gini`` — "is one key/customer/document dominating
+    this distribution?".  Extension, no reference counterpart.
+
+    Engine side is operators.stats.gini_coefficient (bucket-partitioned
+    rank sums, decimal-exact); one digest row reaches the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_gini: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        self._max_gini = max_gini
+        super().__init__(ref, ref_value=max_gini, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import gini_coefficient
+
+        col = self._ref.get_column(engine)
+        df = self._ref.get_selection(engine)
+        try:
+            row = gini_coefficient(df, col).collect()[0]
+        except ValueError:
+            return TestResult.failure(
+                f"Gini coefficient of {self._ref} is undefined: "
+                "insufficient data (no non-null rows). ",
+                self.get_description(),
+            )
+        gini = row["gini"]
+        if gini is None:
+            return TestResult.failure(
+                f"Gini coefficient of {self._ref} is undefined "
+                "(zero total). ",
+                self.get_description(),
+            )
+        if gini <= self._max_gini:
+            return TestResult.success()
+        assertion_text = (
+            f"Gini coefficient of {self._ref} is {gini} "
+            f"(n={row['n']}, sum={row['sum_value']}) — exceeding the "
+            f"maximum {self._max_gini}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class ChiSquaredIndependence(Constraint):
+    """Pearson chi-squared independence test between two categorical
+    columns of ONE data source: fails when independence is REJECTED at
+    ``significance_level`` (p-value below it).  Extension — peers the
+    two-sample KS constraint for the categorical case.
+
+    Engine side is one cell-count shuffle
+    (operators.stats.chi_squared_independence); the p-value is the
+    regularized upper incomplete gamma on the driver (no scipy).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        significance_level: float = 0.05,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not 0 < significance_level < 1:
+            raise ValueError("significance_level must be in (0, 1)")
+        self._significance_level = significance_level
+        super().__init__(
+            ref, ref_value=significance_level, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import chi_squared_independence
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "ChiSquaredIndependence requires exactly two columns."
+            )
+        df = self._ref.get_selection(engine)
+        rows = chi_squared_independence(df, cols[0], cols[1]).collect()
+        if not rows or rows[0]["dof"] is None or rows[0]["dof"] < 1:
+            return TestResult.failure(
+                f"Chi-squared test of {self._ref} is undefined: fewer "
+                "than two observed categories per column. ",
+                self.get_description(),
+            )
+        dof, chi2 = rows[0]["dof"], rows[0]["chi2"]
+        p = _gamma_q(dof / 2.0, chi2 / 2.0)
+        if p >= self._significance_level:
+            return TestResult.success()
+        assertion_text = (
+            f"Columns {cols} of {self._ref} are not independent: "
+            f"chi2={chi2} (dof={dof}), p-value {p} < significance level "
+            f"{self._significance_level}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class MannWhitneyU(Constraint):
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) between a column
+    of each data source: fails when the normal-approximation two-sided
+    p-value (tie-corrected) drops below ``significance_level`` —
+    a median/location-shift screen that, unlike the KS test, ignores
+    pure shape differences.  Extension, no reference counterpart.
+
+    Engine side: the two selections are tagged and unioned, then ranked
+    once via the bucket-partitioned cumulative
+    (operators.stats.mann_whitney_u) — one digest row out.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        significance_level: float = 0.05,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not 0 < significance_level < 1:
+            raise ValueError("significance_level must be in (0, 1)")
+        self._significance_level = significance_level
+        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import mann_whitney_u
+
+        col1 = self._ref.get_column(engine)
+        col2 = self._ref2.get_column(engine)
+        d1 = self._ref.get_selection(engine).select(
+            F.col(col1).alias("__v"), F.lit("a").alias("__g")
+        )
+        d2 = self._ref2.get_selection(engine).select(
+            F.col(col2).alias("__v"), F.lit("b").alias("__g")
+        )
+        try:
+            row = mann_whitney_u(
+                d1.unionByName(d2), "__v", "__g", "a", "b"
+            ).collect()[0]
+        except ValueError:
+            # both sides empty: the rank histogram has no values at all
+            row = {"n_a": 0, "n_b": 0}
+        if not row["n_a"] or not row["n_b"]:
+            return TestResult.failure(
+                f"Mann-Whitney test between {self._ref} and "
+                f"{self._target_prefix} is undefined: one side has no "
+                "non-null rows. ",
+                self.get_description(),
+            )
+        z = row["z"]
+        if z is None or math.isnan(z):
+            # zero variance: every value identical across both sides
+            return TestResult.success()
+        p = math.erfc(abs(z) / math.sqrt(2.0))  # two-sided
+        if p >= self._significance_level:
+            return TestResult.success()
+        assertion_text = (
+            f"Location shift between {self._ref} and {self._target_prefix}: "
+            f"U={row['u_a']} (n={row['n_a']}/{row['n_b']}), z={z}, "
+            f"two-sided p-value {p} < significance level "
+            f"{self._significance_level}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

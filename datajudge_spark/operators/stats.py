@@ -575,15 +575,20 @@ def mann_whitney_u(
     u2 = (F.col("r2a") - n1 * (n1 + 1)).cast("double")
     mu2 = (n1 * n2).cast("double")  # 2 * mean(U)
     # var(U) = n1*n2/12 * ((n+1) - Σ(t³-t)/(n(n-1)))
-    var = (n1 * n2).cast("double") / 12.0 * (
-        (n + 1).cast("double")
-        - F.col("ties").cast("double") / (n * (n - 1)).cast("double")
-    )
+    # Degenerate inputs (one side empty, n<2, all values tied) have
+    # var == 0 — z is NULL then, not an ANSI divide-by-zero.
+    pair_den = (n * (n - 1)).cast("double")
+    tie_term = F.when(
+        pair_den > 0, F.col("ties").cast("double") / pair_den
+    ).otherwise(F.lit(0.0))
+    var = (n1 * n2).cast("double") / 12.0 * ((n + 1).cast("double") - tie_term)
     return agg.select(
         n1.cast("bigint").alias("n_a"),
         n2.cast("bigint").alias("n_b"),
         (u2 / 2.0).alias("u_a"),
-        ((u2 - mu2) / 2.0 / F.sqrt(var)).alias("z"),
+        F.when(var > 0, (u2 - mu2) / 2.0 / F.sqrt(var))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("z"),
     )
 
 

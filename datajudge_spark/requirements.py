@@ -879,6 +879,53 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_gini_max_constraint(
+        self,
+        column: str,
+        max_gini: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the exact Gini
+        coefficient of ``column`` may not exceed ``max_gini`` — the
+        "is one key dominating this distribution?" concentration gate.
+        Rank sums run in-engine via bucket-partitioned cumulative
+        windows (no global sort at any cardinality); one digest row
+        reaches the driver."""
+        if not 0 <= max_gini <= 1:
+            raise ValueError("max_gini must be within [0, 1].")
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            stats_constraints.GiniMax(
+                ref, max_gini, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_chi_squared_independence_constraint(
+        self,
+        column_a: str,
+        column_b: str,
+        significance_level: float = 0.05,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart; peers the two-sample KS
+        constraint for the categorical case): fails when independence of
+        the two categorical columns is REJECTED at
+        ``significance_level``.  Cell counts are one engine-side
+        shuffle; the chi-squared p-value is a stdlib incomplete-gamma
+        evaluation on the driver."""
+        ref = DataReference(
+            self._data_source, [column_a, column_b], condition
+        )
+        self._constraints.append(
+            stats_constraints.ChiSquaredIndependence(
+                ref, significance_level, name=name, cache_size=cache_size
+            )
+        )
+
     def add_mad_outlier_fraction_constraint(
         self,
         column: str,
@@ -1627,6 +1674,36 @@ class BetweenRequirement(Requirement):
         ref2 = DataReference(self._data_source2, [column2], condition=condition2)
         self._constraints.append(
             stats_constraints.KolmogorovSmirnov2Sample(
+                ref, ref2, significance_level, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_mann_whitney_constraint(
+        self,
+        column1: str,
+        column2: str,
+        significance_level: float = 0.05,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): two-sample Mann-Whitney
+        U (Wilcoxon rank-sum) location-shift test between a column of
+        each source; fails when the tie-corrected two-sided p-value
+        drops below ``significance_level``.  Ranks are integer-exact
+        in-engine (bucket-partitioned cumulative — no global sort);
+        one digest row reaches the driver."""
+        if not column1 or not column2:
+            raise ValueError(
+                "Column names have to be given for this test's functionality."
+            )
+        ref = DataReference(self._data_source, [column1], condition=condition1)
+        ref2 = DataReference(
+            self._data_source2, [column2], condition=condition2
+        )
+        self._constraints.append(
+            stats_constraints.MannWhitneyU(
                 ref, ref2, significance_level, name=name, cache_size=cache_size
             )
         )

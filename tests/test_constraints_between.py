@@ -384,3 +384,37 @@ class TestForeignKey:
         req = between_req(child, parent, "empty", "parent")
         req.add_foreign_key_constraint(["fk"], ["pk"])
         assert outcomes(req, spark) == [True]
+
+
+class TestMannWhitney:
+    def test_pass_and_fail(self, spark):
+        same = [(float(v),) for v in range(1, 61)]
+        shifted = [(float(v) + 40.0,) for v in range(1, 61)]
+        d1 = spark.createDataFrame(same, "c double")
+        d2s = spark.createDataFrame(same, "c double")
+        d3 = spark.createDataFrame(shifted, "c double")
+        req = between_req(d1, d2s, "mw1", "mw2")
+        req.add_mann_whitney_constraint("c", "c")
+        assert outcomes(req, spark) == [True]
+        req2 = between_req(d1, d3, "mw1b", "mw3")
+        req2.add_mann_whitney_constraint("c", "c")  # fail: clear shift
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "p-value" in results[0].failure_message
+
+    def test_empty_side_fails_cleanly(self, spark):
+        d1 = spark.createDataFrame([(1.0,)], "c double")
+        d2 = spark.createDataFrame([], "c double")
+        req = between_req(d1, d2, "mwe1", "mwe2")
+        req.add_mann_whitney_constraint("c", "c")
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "no non-null rows" in results[0].failure_message
+
+    def test_constant_identical_passes(self, spark):
+        # zero rank variance across both sides -> z undefined -> pass
+        d1 = spark.createDataFrame([(5.0,)] * 10, "c double")
+        d2 = spark.createDataFrame([(5.0,)] * 10, "c double")
+        req = between_req(d1, d2, "mwc1", "mwc2")
+        req.add_mann_whitney_constraint("c", "c")
+        assert outcomes(req, spark) == [True]

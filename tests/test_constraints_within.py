@@ -478,3 +478,66 @@ class TestMadOutlierFraction:
             req.add_mad_outlier_fraction_constraint("c", max_fraction=1.5)
         with pytest.raises(ValueError):
             req.add_mad_outlier_fraction_constraint("c", 0.1, k=0)
+
+
+class TestGiniMax:
+    def test_pass_and_fail(self, spark):
+        # one holder of everything over 4 rows: G = 0.75
+        df = spark.createDataFrame([(0,), (0,), (0,), (4,)], "c long")
+        req = within_req(df, "gini")
+        req.add_gini_max_constraint("c", 0.75)
+        req.add_gini_max_constraint("c", 0.5)  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_empty_fails_cleanly(self, spark):
+        df = spark.createDataFrame([], "c long")
+        req = within_req(df, "giniempty")
+        req.add_gini_max_constraint("c", 0.5)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "insufficient data" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "c long")
+        req = within_req(df, "ginival")
+        with pytest.raises(ValueError):
+            req.add_gini_max_constraint("c", 1.5)
+
+
+class TestChiSquaredIndependence:
+    def test_pass_and_fail(self, spark):
+        # independent 2x2 (proportional margins) vs diagonal-only
+        indep = spark.createDataFrame(
+            [("A", "P")] * 10 + [("A", "Q")] * 20
+            + [("B", "P")] * 20 + [("B", "Q")] * 40,
+            "a string, b string",
+        )
+        dep = spark.createDataFrame(
+            [("A", "P")] * 30 + [("B", "Q")] * 30, "a string, b string"
+        )
+        req = within_req(indep, "chi_indep")
+        req.add_chi_squared_independence_constraint("a", "b")
+        assert outcomes(req, spark) == [True]
+        req2 = within_req(dep, "chi_dep")
+        req2.add_chi_squared_independence_constraint("a", "b")  # fail
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "p-value" in results[0].failure_message
+
+    def test_single_category_fails_cleanly(self, spark):
+        df = spark.createDataFrame(
+            [("A", "P"), ("A", "Q")], "a string, b string"
+        )
+        req = within_req(df, "chi_one")
+        req.add_chi_squared_independence_constraint("a", "b")
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "fewer than two" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("A", "P")], "a string, b string")
+        req = within_req(df, "chival")
+        with pytest.raises(ValueError):
+            req.add_chi_squared_independence_constraint(
+                "a", "b", significance_level=0.0
+            )

@@ -409,3 +409,27 @@ class TestBucketedGlobalCum:
             ).collect()
         }
         assert got == want
+
+
+class TestGammaQ:
+    def test_chi2_critical_values(self):
+        from datajudge_spark.constraints.stats import _gamma_q
+
+        # sf(x, dof) = Q(dof/2, x/2); textbook critical values
+        assert _gamma_q(0.5, 3.841458820694124 / 2) == pytest.approx(
+            0.05, abs=1e-9
+        )
+        assert _gamma_q(0.5, 6.634896601021213 / 2) == pytest.approx(
+            0.01, abs=1e-9
+        )
+        assert _gamma_q(2.5, 11.070497693516351 / 2) == pytest.approx(
+            0.05, abs=1e-9
+        )
+        assert _gamma_q(1.0, 0.0) == 1.0
+
+    def test_monotone_and_bounded(self):
+        from datajudge_spark.constraints.stats import _gamma_q
+
+        vals = [_gamma_q(3.0, x) for x in (0.1, 1.0, 3.0, 10.0, 50.0)]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+        assert vals == sorted(vals, reverse=True)
