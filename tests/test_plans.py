@@ -362,3 +362,50 @@ def test_event_transitions_partitioned_window(spark):
     plan = _executed_plan(entrymod.q_event_transitions(spark, SF_DIR))
     assert "partitionBy=[user_id" in plan.replace(" ", "") or "user_id" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gini_window_partitioned_by_bucket(spark):
+    # rank cumulative must run in bucket-partitioned windows — a global
+    # ordered window would be a single-partition stage on near-unique
+    # per-customer revenue
+    plan = _executed_plan(entrymod.q_gini_revenue(spark, SF_DIR))
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win_lines, "no Window operator in gini plan"
+    for ln in win_lines:
+        assert "__b" in ln, f"unpartitioned window: {ln}"
+
+
+def test_mann_whitney_window_partitioned_by_bucket(spark):
+    plan = _executed_plan(entrymod.q_mann_whitney(spark, SF_DIR))
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win_lines, "no Window operator in mann-whitney plan"
+    for ln in win_lines:
+        assert "__b" in ln, f"unpartitioned window: {ln}"
+
+
+def test_chi_squared_stays_jvm_side(spark):
+    # cross join exists but ONLY between the two tiny margin aggregates;
+    # the fact table is scanned once into the cell counts
+    plan = _executed_plan(entrymod.q_chi_squared(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    # GROUPING SETS is one Expand over one scan — not three UNIONed scans
+    plan = _executed_plan(entrymod.q_grouping_sets_agg(spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_unpivot_is_map_side_expand(spark):
+    plan = _executed_plan(entrymod.q_unpivot_metrics(spark, SF_DIR))
+    assert "Expand" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_embedding_centroids_jvm_explode(spark):
+    plan = _executed_plan(entrymod.q_embedding_centroids(spark, SF_DIR))
+    assert "Generate posexplode" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
