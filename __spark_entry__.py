@@ -2213,6 +2213,55 @@ def q_embedding_centroids(spark, sf_dir):
     )
 
 
+def q_kaplan_meier(spark, sf_dir):
+    # user-lifetime survival curve: duration = days between a user's
+    # first and last event; churn observed when the last event predates
+    # the corpus horizon by >14 days, censored otherwise.  The ordered
+    # window runs over distinct day-grain durations (bounded domain),
+    # never over users (operators.timeseries.kaplan_meier).
+    from datajudge_spark.operators.timeseries import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+    )
+    horizon = ev.agg(
+        F.date_sub(F.max(F.col("ts").cast("date")), 14).alias("__h")
+    )
+    subj = per_user.join(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").alias("dur"),
+        F.when(F.col("last_d") < F.col("__h"), 1).otherwise(0).alias("ev"),
+    )
+    return kaplan_meier(subj, "dur", "ev").select(
+        "duration",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round("survival", 6).alias("survival"),
+    )
+
+
+def q_association_rules(spark, sf_dir):
+    # event-type co-occurrence rules per user basket: exact support /
+    # confidence / lift.  The pair join is a self-join on the
+    # already-shuffled basket key; nothing bigger than |types|² rows
+    # leaves the aggregation (operators.associations).
+    from datajudge_spark.operators.associations import association_rules
+
+    ev = _t(spark, sf_dir, "events")
+    return association_rules(ev, "user_id", "event_type").select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys only (verified rounds 1-2).  Round 3 rotates the window: all
@@ -2353,6 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_agg": q_grouping_sets_agg,
         "unpivot_metrics": q_unpivot_metrics,
         "embedding_centroids": q_embedding_centroids,
+        "kaplan_meier": q_kaplan_meier,
+        "association_rules": q_association_rules,
     }
 
 
@@ -3797,6 +3848,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "kaplan_meier": (
+            "WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd, "
+            "max(CAST(ts AS DATE)) AS ld FROM events GROUP BY user_id), "
+            "h AS (SELECT max(CAST(ts AS DATE)) - 14 AS hz FROM events), "
+            "subj AS (SELECT (ld - fd) AS dur, CASE WHEN ld < "
+            "(SELECT hz FROM h) THEN 1 ELSE 0 END AS ev FROM pu), "
+            "per_t AS (SELECT dur AS duration, sum(ev) AS n_events, "
+            "count(*) AS n_at FROM subj GROUP BY dur), "
+            "tot AS (SELECT sum(n_at) AS t FROM per_t), "
+            "cum AS (SELECT duration, n_events, n_at - n_events AS "
+            "n_censored, (SELECT t FROM tot) - sum(n_at) OVER "
+            "(ORDER BY duration) + n_at AS n_risk FROM per_t), "
+            "curve AS (SELECT duration, n_risk, n_events, n_censored, "
+            "CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END) "
+            "OVER (ORDER BY duration) = 1 THEN 0.0 ELSE "
+            "exp(sum(CASE WHEN n_events < n_risk THEN "
+            "ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) "
+            "ELSE 0.0 END) OVER (ORDER BY duration)) END AS survival "
+            "FROM cum) "
+            "SELECT CAST(duration AS INT) AS duration, "
+            "CAST(n_risk AS BIGINT) AS n_risk, "
+            "CAST(n_events AS BIGINT) AS n_events, "
+            "CAST(n_censored AS BIGINT) AS n_censored, "
+            "round(survival, 6) AS survival FROM curve"
+        ),
+        "association_rules": (
+            "WITH b AS (SELECT DISTINCT user_id AS basket, "
+            "event_type AS item FROM events "
+            "WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+            "nb AS (SELECT count(DISTINCT basket) AS n FROM b), "
+            "ic AS (SELECT item, count(*) AS n FROM b GROUP BY item), "
+            "pc AS (SELECT l.item AS item_a, r.item AS item_b, "
+            "count(*) AS n_ab FROM b l JOIN b r ON l.basket = r.basket "
+            "AND l.item <> r.item GROUP BY l.item, r.item) "
+            "SELECT item_a, item_b, ca.n AS n_a, cb.n AS n_b, n_ab, "
+            "round(CAST(n_ab AS DOUBLE) "
+            "/ CAST((SELECT n FROM nb) AS DOUBLE), 6) AS support, "
+            "round(CAST(n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) "
+            "AS confidence, "
+            "round(CAST(n_ab * (SELECT n FROM nb) AS DOUBLE) "
+            "/ CAST(ca.n * cb.n AS DOUBLE), 6) AS lift "
+            "FROM pc JOIN ic ca ON pc.item_a = ca.item "
+            "JOIN ic cb ON pc.item_b = cb.item"
         ),
         "graph_pagerank": _pagerank_sql(),
         "graph_bfs": (

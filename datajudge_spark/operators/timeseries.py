@@ -250,3 +250,70 @@ def zscore_anomalies(
         z.alias("z"),
         (F.abs(z) > F.lit(threshold)).alias("is_anomaly"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve: one row per distinct duration with
+    (duration, n_risk, n_events, n_censored, survival).
+
+    ``event_col`` is 1 when the terminal event was observed at
+    ``duration_col``, 0 when the subject was censored there.
+    ``S(t) = Π_{t_i <= t} (1 - d_i / n_i)`` over event times.
+
+    Scale: one groupBy shuffle aggregates subjects to the distinct-
+    duration histogram; the ordered window runs over THAT (bounded by
+    |distinct durations| — day/week-grain lifetimes, not subjects; the
+    cross-CDF bounded-domain argument).  The cumulative product is
+    ``exp(Σ ln(1 - d/n))`` — the window sum is sequential in duration
+    order, so both engines add the same doubles in the same order; a
+    duration where every subject at risk dies (d == n) zeroes the curve
+    from there on via an explicit flag, not ln(0).
+
+    Extension — no reference counterpart; nearest relatives are the
+    retention matrix (this module) and the cross-CDF (operators.stats).
+    """
+    per_t = (
+        df.where(F.col(duration_col).isNotNull())
+        .groupBy(F.col(duration_col).alias("duration"))
+        .agg(
+            F.sum(
+                F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
+            ).alias("n_events"),
+            F.count(F.lit(1)).alias("n_at"),
+        )
+    )
+    w = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_t.agg(F.sum("n_at").alias("__total"))
+    cum = per_t.join(F.broadcast(total)).select(
+        "duration",
+        "n_events",
+        (F.col("n_at") - F.col("n_events")).alias("n_censored"),
+        # at risk at t: everyone whose duration is >= t
+        (
+            F.col("__total") - F.sum("n_at").over(w) + F.col("n_at")
+        ).alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    dead = F.max(
+        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w)
+    return cum.select(
+        "duration",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(dead == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum(term).over(w)))
+        .alias("survival"),
+    )

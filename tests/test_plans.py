@@ -409,3 +409,28 @@ def test_embedding_centroids_jvm_explode(spark):
     assert "Generate posexplode" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_association_rules_copartitioned_self_join(spark):
+    # the pair join must be an equi-join on the basket key — never a
+    # cartesian/nested-loop over baskets
+    plan = _executed_plan(entrymod.q_association_rules(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the 1-row basket-count broadcast;
+    # the basket self-join itself is an equi-join
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kaplan_meier_window_over_durations(spark):
+    # the ordered window runs over the distinct-duration aggregate (its
+    # input is a HashAggregate), never over raw subjects
+    plan = _executed_plan(entrymod.q_kaplan_meier(spark, SF_DIR))
+    assert "Window " in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -433,3 +433,83 @@ class TestGammaQ:
         vals = [_gamma_q(3.0, x) for x in (0.1, 1.0, 3.0, 10.0, 50.0)]
         assert all(0.0 <= v <= 1.0 for v in vals)
         assert vals == sorted(vals, reverse=True)
+
+
+class TestKaplanMeier:
+    def test_textbook_curve(self, spark):
+        from datajudge_spark.operators.timeseries import kaplan_meier
+
+        # durations (event=1, censored=0):
+        # t=1: 1 event of 5 at risk -> S=4/5
+        # t=2: 1 censored (no drop)
+        # t=3: 1 event of 3 at risk -> S = 4/5 * 2/3
+        # t=4: 2 events of 2 at risk -> S = 0
+        rows = [(1, 1), (2, 0), (3, 1), (4, 1), (4, 1)]
+        df = spark.createDataFrame(rows, "dur int, ev int")
+        got = {
+            r["duration"]: r
+            for r in kaplan_meier(df, "dur", "ev").collect()
+        }
+        assert got[1]["n_risk"] == 5 and got[1]["n_events"] == 1
+        assert got[1]["survival"] == pytest.approx(0.8, abs=1e-12)
+        assert got[2]["n_censored"] == 1
+        assert got[2]["survival"] == pytest.approx(0.8, abs=1e-12)
+        assert got[3]["n_risk"] == 3
+        assert got[3]["survival"] == pytest.approx(0.8 * 2 / 3, abs=1e-12)
+        assert got[4]["n_risk"] == 2 and got[4]["n_events"] == 2
+        assert got[4]["survival"] == 0.0
+
+    def test_all_censored_flat(self, spark):
+        from datajudge_spark.operators.timeseries import kaplan_meier
+
+        df = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "dur int, ev int")
+        for r in kaplan_meier(df, "dur", "ev").collect():
+            assert r["survival"] == pytest.approx(1.0, abs=1e-12)
+
+
+class TestAssociationRules:
+    def test_known_baskets(self, spark):
+        from datajudge_spark.operators.associations import association_rules
+
+        # baskets: {A,B}, {A,B}, {A,C}, {B}
+        rows = [
+            (1, "A"), (1, "B"),
+            (2, "A"), (2, "B"),
+            (3, "A"), (3, "C"),
+            (4, "B"),
+        ]
+        df = spark.createDataFrame(rows, "u int, item string")
+        got = {
+            (r["item_a"], r["item_b"]): r
+            for r in association_rules(df, "u", "item").collect()
+        }
+        ab = got[("A", "B")]
+        assert (ab["n_a"], ab["n_b"], ab["n_ab"]) == (3, 3, 2)
+        assert ab["support"] == pytest.approx(0.5)
+        assert ab["confidence"] == pytest.approx(2 / 3)
+        assert ab["lift"] == pytest.approx(2 * 4 / 9)
+        # direction matters for confidence
+        ba = got[("B", "A")]
+        assert ba["confidence"] == pytest.approx(2 / 3)
+        ca = got[("C", "A")]
+        assert ca["confidence"] == pytest.approx(1.0)
+
+    def test_duplicate_items_in_basket_counted_once(self, spark):
+        from datajudge_spark.operators.associations import association_rules
+
+        rows = [(1, "A"), (1, "A"), (1, "B")]
+        df = spark.createDataFrame(rows, "u int, item string")
+        got = {
+            (r["item_a"], r["item_b"]): r["n_ab"]
+            for r in association_rules(df, "u", "item").collect()
+        }
+        assert got[("A", "B")] == 1
+
+    def test_min_pair_count_filters(self, spark):
+        from datajudge_spark.operators.associations import association_rules
+
+        rows = [(1, "A"), (1, "B"), (2, "A"), (2, "C"), (3, "A"), (3, "C")]
+        df = spark.createDataFrame(rows, "u int, item string")
+        got = association_rules(df, "u", "item", min_pair_count=2)
+        keys = {(r["item_a"], r["item_b"]) for r in got.collect()}
+        assert keys == {("A", "C"), ("C", "A")}
