@@ -2213,6 +2213,24 @@ def q_embedding_centroids(spark, sf_dir):
     )
 
 
+def q_spearman(spark, sf_dir):
+    # monotone association between quantity and extended price: exact
+    # tie-averaged Spearman rho.  Ranks come from per-column
+    # distinct-value histograms via the bucket-partitioned cumulative;
+    # sufficient statistics are DECIMAL-exact over doubled ranks
+    # (operators.stats.spearman_correlation).
+    from datajudge_spark.operators.stats import spearman_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        _cents("l_quantity").alias("qc"),
+        _cents("l_extendedprice").alias("ec"),
+    )
+    return spearman_correlation(base, "qc", "ec").select(
+        "n", F.round("rho", 6).alias("rho")
+    )
+
+
 def q_kaplan_meier(spark, sf_dir):
     # user-lifetime survival curve: duration = days between a user's
     # first and last event; churn observed when the last event predates
@@ -2404,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "kaplan_meier": q_kaplan_meier,
         "association_rules": q_association_rules,
+        "spearman": q_spearman,
     }
 
 
@@ -3848,6 +3867,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "spearman": (
+            "WITH base AS (SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS x, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS y FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), "
+            "hx AS (SELECT x AS v, count(*) AS cnt FROM base GROUP BY x), "
+            "cx AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 "
+            "AS rx FROM hx), "
+            "hy AS (SELECT y AS v, count(*) AS cnt FROM base GROUP BY y), "
+            "cy AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 "
+            "AS ry FROM hy), "
+            "r AS (SELECT cx.rx AS rx, cy.ry AS ry FROM base "
+            "JOIN cx ON base.x = cx.v JOIN cy ON base.y = cy.v), "
+            "a AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy, "
+            "sum(CAST(rx AS HUGEINT) * ry) AS sxy, "
+            "sum(CAST(rx AS HUGEINT) * rx) AS sxx, "
+            "sum(CAST(ry AS HUGEINT) * ry) AS syy FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+            "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) "
+            "/ sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho FROM a"
         ),
         "kaplan_meier": (
             "WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd, "

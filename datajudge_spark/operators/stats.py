@@ -646,3 +646,57 @@ def chi_squared_independence(
         .alias("dof"),
         "chi2",
     )
+
+
+def spearman_correlation(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Exact Spearman rank correlation (tie-averaged) between two
+    numeric columns, as one digest row (n, rho).
+
+    Each column's tie-averaged ranks come from its distinct-value
+    histogram via the bucket-partitioned cumulative (no global window),
+    DOUBLED to stay integer: ``2*avg_rank(v) = 2*cum(v) - cnt(v) + 1``.
+    Rows join back to their rank by value (an equi-join on the value —
+    the histogram side is the smaller, already-aggregated relation), and
+    rho is the Pearson formula over the doubled ranks with DECIMAL(38,0)
+    -exact sufficient statistics; the shared factor 2 cancels.  Only the
+    final quotient is double.  Extension — peers Pearson
+    ``pairwise_corr`` (operators/profile.py) for monotone association.
+    """
+    base = df.where(
+        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    ).select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
+
+    def _rank_map(col: str, out: str) -> DataFrame:
+        hist = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        cum = _bucketed_global_cum(hist, ["cnt"])
+        return cum.select(
+            F.col("v").alias(col),
+            (2 * F.col("cum") - F.col("cnt") + 1).alias(out),
+        )
+
+    ranked = base.join(_rank_map("__x", "__rx"), "__x").join(
+        _rank_map("__y", "__ry"), "__y"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("__rx"))).alias("sx"),
+        F.sum(dec(F.col("__ry"))).alias("sy"),
+        F.sum(dec(F.col("__rx")) * dec(F.col("__ry"))).alias("sxy"),
+        F.sum(dec(F.col("__rx")) * dec(F.col("__rx"))).alias("sxx"),
+        F.sum(dec(F.col("__ry")) * dec(F.col("__ry"))).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        n.cast("bigint").alias("n"),
+        F.when(
+            (denx > 0) & (deny > 0), num / F.sqrt(denx) / F.sqrt(deny)
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("rho"),
+    )

@@ -513,3 +513,40 @@ class TestAssociationRules:
         got = association_rules(df, "u", "item", min_pair_count=2)
         keys = {(r["item_a"], r["item_b"]) for r in got.collect()}
         assert keys == {("A", "C"), ("C", "A")}
+
+
+class TestSpearman:
+    def test_perfect_monotone(self, spark):
+        from datajudge_spark.operators.stats import spearman_correlation
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 400), (3, 500), (4, 10000)], "x long, y long"
+        )
+        r = spearman_correlation(df, "x", "y").first()
+        assert r["n"] == 4
+        assert r["rho"] == pytest.approx(1.0, abs=1e-12)
+        df2 = spark.createDataFrame(
+            [(1, 99), (2, 50), (3, 7)], "x long, y long"
+        )
+        assert spearman_correlation(df2, "x", "y").first()[
+            "rho"
+        ] == pytest.approx(-1.0, abs=1e-12)
+
+    def test_ties_match_textbook(self, spark):
+        from datajudge_spark.operators.stats import spearman_correlation
+
+        # x = [1,2,2,3], y = [10,20,20,30]: identical tie pattern -> rho 1
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20), (2, 20), (3, 30)], "x long, y long"
+        )
+        assert spearman_correlation(df, "x", "y").first()[
+            "rho"
+        ] == pytest.approx(1.0, abs=1e-12)
+
+    def test_constant_column_null_rho(self, spark):
+        from datajudge_spark.operators.stats import spearman_correlation
+
+        df = spark.createDataFrame(
+            [(5, 1), (5, 2), (5, 3)], "x long, y long"
+        )
+        assert spearman_correlation(df, "x", "y").first()["rho"] is None
