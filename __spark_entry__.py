@@ -2213,6 +2213,80 @@ def q_embedding_centroids(spark, sf_dir):
     )
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """Fifth streaming contract query: stream-stream INNER interval
+    join (purchases -> the same user's clicks in the following 2 hours)
+    as a watermarked self-join over one file-stream, drained with
+    availableNow in append mode.  Each matched pair is emitted exactly
+    once, so the drained sink equals the batch range join — the oracle.
+    Join state at scale is bounded by watermark + range bound, never by
+    stream length."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        interval_join_streams,
+        stream_parquet_like,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_ivj_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw).withColumn(
+        "event_ts", F.col("ts").cast("timestamp")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("event_ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("event_ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") < F.col("p_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    joined = interval_join_streams(
+        purchases, clicks, cond, "p_ts", "c_ts", watermark_delay="1 hour"
+    )
+    qname = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    # see q_streaming_windowed_counts: 8 state stores, not 32
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # 1-row digest, then drop the sink (append mode pins matched ROWS)
+    out_df = spark.table(qname).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("click_id").cast("bigint").alias("sum_click_id"),
+        F.sum("purchase_id").cast("bigint").alias("sum_purchase_id"),
+    )
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_spearman(spark, sf_dir):
     # monotone association between quantity and extended price: exact
     # tie-averaged Spearman rho.  Ranks come from per-column
@@ -2423,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "association_rules": q_association_rules,
         "spearman": q_spearman,
+        "streaming_interval_join": q_streaming_interval_join,
     }
 
 
@@ -3867,6 +3942,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "streaming_interval_join": (
+            "SELECT count(*) AS n_matched, "
+            "CAST(sum(c.event_id) AS BIGINT) AS sum_click_id, "
+            "CAST(sum(p.event_id) AS BIGINT) AS sum_purchase_id "
+            "FROM events p JOIN events c ON p.user_id = c.user_id "
+            "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+            "AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 HOUR"
         ),
         "spearman": (
             "WITH base AS (SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) "

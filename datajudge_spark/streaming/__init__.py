@@ -316,3 +316,27 @@ def psi_between_histograms(
         q = (n_r + 0.5) / tot_r
         psi += (p - q) * math.log(p / q)
     return psi
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER join with event-time watermarks on both
+    sides.  ``on`` must combine an equality key with a bounded
+    time-range predicate between ``left_ts`` and ``right_ts`` — the
+    range bound plus the watermarks is what lets Spark evict join state
+    (without it, both sides buffer forever).  Append-mode output emits
+    each matched pair exactly once when drained with availableNow, so
+    the final sink equals the equivalent batch join — the oracle.
+
+    Self-joins (two filters over one source stream) are supported by
+    Structured Streaming and are how the contract query uses this.
+    """
+    return left.withWatermark(left_ts, watermark_delay).join(
+        right.withWatermark(right_ts, watermark_delay), on, "inner"
+    )
