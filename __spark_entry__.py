@@ -2287,6 +2287,60 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_pareto_share(spark, sf_dir):
+    # revenue held by customers ABOVE the exact 99th percentile of
+    # per-customer lifetime value: the "80/20" concentration digest that
+    # complements gini_revenue.  The threshold comes from the two-pass
+    # range-bucketed exact percentile; the per-customer aggregate is
+    # persisted once and feeds both the percentile and the digest.
+    from datajudge_spark.operators.scalars import exact_percentile_df
+    from datajudge_spark.pipeline._util import materialize_once
+
+    o = _t(spark, sf_dir, "orders")
+    pc = materialize_once(
+        o.groupBy("o_custkey").agg(F.sum(_cents("o_totalprice")).alias("v"))
+    )
+    thr = exact_percentile_df(pc, "v", 99.0)
+    top = F.col("v") > F.col("value")
+    return pc.join(F.broadcast(thr)).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(top, 1).otherwise(0)).cast("bigint").alias("n_top"),
+        F.round(
+            F.sum(F.when(top, F.col("v")).otherwise(F.lit(0))).cast("double")
+            / F.sum("v").cast("double"),
+            6,
+        ).alias("top_share"),
+    )
+
+
+def q_funnel_ordered(spark, sf_dir):
+    # strict 4-step ordered funnel signup -> view -> click -> purchase:
+    # each step must follow the user's FIRST occurrence of the previous
+    # step.  Four conditional min-aggregates in ONE scan (no self-joins,
+    # no windows), then a 1-row digest — the multi-step extension of
+    # funnel_conversion.
+    ev = _t(spark, sf_dir, "events")
+    step = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        step("signup").alias("t1"),
+        step("view").alias("t2"),
+        step("click").alias("t3"),
+        step("purchase").alias("t4"),
+    )
+    s2 = F.col("t2") > F.col("t1")
+    s3 = s2 & (F.col("t3") > F.col("t2"))
+    s4 = s3 & (F.col("t4") > F.col("t3"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count(F.when(s2, 1)).alias("n_viewed"),
+        F.count(F.when(s3, 1)).alias("n_clicked"),
+        F.count(F.when(s4, 1)).alias("n_purchased"),
+    )
+
+
 def q_spearman(spark, sf_dir):
     # monotone association between quantity and extended price: exact
     # tie-averaged Spearman rho.  Ranks come from per-column
@@ -2498,6 +2552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "spearman": q_spearman,
         "streaming_interval_join": q_streaming_interval_join,
+        "pareto_share": q_pareto_share,
+        "funnel_ordered": q_funnel_ordered,
     }
 
 
@@ -3942,6 +3998,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "pareto_share": (
+            "WITH pc AS (SELECT o_custkey, CAST(sum(CAST(CAST(o_totalprice "
+            "AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v "
+            "FROM orders GROUP BY o_custkey), "
+            "thr AS (SELECT min(v) AS t FROM (SELECT v, cume_dist() OVER "
+            "(ORDER BY v) AS cd FROM pc) WHERE cd >= 0.99) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(CASE WHEN v > (SELECT t FROM thr) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_top, "
+            "round(CAST(sum(CASE WHEN v > (SELECT t FROM thr) THEN v "
+            "ELSE 0 END) AS DOUBLE) / CAST(sum(v) AS DOUBLE), 6) "
+            "AS top_share FROM pc"
+        ),
+        "funnel_ordered": (
+            "WITH pu AS (SELECT user_id, "
+            "min(CASE WHEN event_type = 'signup' THEN ts END) AS t1, "
+            "min(CASE WHEN event_type = 'view' THEN ts END) AS t2, "
+            "min(CASE WHEN event_type = 'click' THEN ts END) AS t3, "
+            "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4 "
+            "FROM events GROUP BY user_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(count(t1) AS BIGINT) AS n_signup, "
+            "CAST(count(CASE WHEN t2 > t1 THEN 1 END) AS BIGINT) "
+            "AS n_viewed, "
+            "CAST(count(CASE WHEN t2 > t1 AND t3 > t2 THEN 1 END) "
+            "AS BIGINT) AS n_clicked, "
+            "CAST(count(CASE WHEN t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 "
+            "END) AS BIGINT) AS n_purchased FROM pu"
         ),
         "streaming_interval_join": (
             "SELECT count(*) AS n_matched, "
