@@ -2287,6 +2287,19 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_embedding_covariance(spark, sf_dir):
+    # upper-triangular covariance of the first 8 embedding components —
+    # the PCA/whitening input.  6dp-rounded scaled-integer sufficient
+    # statistics keep every sum DECIMAL-exact and partition-order
+    # independent (pipeline.similarity.covariance_matrix); 36 rows out.
+    from datajudge_spark.pipeline.similarity import covariance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "vec_id", "embedding", components=8).select(
+        "comp_i", "comp_j", "n", F.round("cov", 6).alias("cov")
+    )
+
+
 def q_pareto_share(spark, sf_dir):
     # revenue held by customers ABOVE the exact 99th percentile of
     # per-customer lifetime value: the "80/20" concentration digest that
@@ -2554,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "pareto_share": q_pareto_share,
         "funnel_ordered": q_funnel_ordered,
+        "embedding_covariance": q_embedding_covariance,
     }
 
 
@@ -3998,6 +4012,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "embedding_covariance": (
+            "WITH parts AS (SELECT vec_id, "
+            "CAST(generate_subscripts(embedding, 1) AS INT) AS comp, "
+            "CAST(round(round(CAST(unnest(embedding) AS DOUBLE), 6) "
+            "* 1000000, 0) AS BIGINT) AS xi "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "p8 AS (SELECT * FROM parts WHERE comp <= 8), "
+            "pairs AS (SELECT a.comp AS ci, b.comp AS cj, a.xi AS vx, "
+            "b.xi AS vy FROM p8 a JOIN p8 b ON a.vec_id = b.vec_id "
+            "AND a.comp <= b.comp), "
+            "agg AS (SELECT ci, cj, CAST(count(*) AS HUGEINT) AS n, "
+            "sum(CAST(vx AS HUGEINT)) AS sx, sum(CAST(vy AS HUGEINT)) AS sy, "
+            "sum(CAST(vx AS HUGEINT) * vy) AS sxy FROM pairs "
+            "GROUP BY ci, cj) "
+            "SELECT ci AS comp_i, cj AS comp_j, CAST(n AS BIGINT) AS n, "
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+            "/ CAST(n * n AS DOUBLE) / 1000000000000.0, 6) AS cov FROM agg"
         ),
         "pareto_share": (
             "WITH pc AS (SELECT o_custkey, CAST(sum(CAST(CAST(o_totalprice "

@@ -481,3 +481,102 @@ def group_centroids(
             ).alias("mean"),
         )
     )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    components: int | None = None,
+    _scale: int = 1_000_000,
+) -> DataFrame:
+    """Upper-triangular covariance of embedding components, long-form
+    (comp_i, comp_j, n, cov) — the input PCA and whitening consume.
+
+    Cross-engine exactness: components are rounded to 6dp and scaled to
+    integers, so every sufficient statistic (Σx, Σy, Σxy) is a
+    DECIMAL(38,0)-exact integer sum — partition-order independent,
+    unlike float co-moment folds.  ``cov = (n·Σxy - Σx·Σy) / n²``
+    (population covariance) with one double expression at the end.
+
+    Scale: posexplode is a map-only 1:k expansion; the pair build is a
+    SELF-join co-partitioned on the row id, emitting k(k+1)/2 rows per
+    input row, then partial-aggregated — n·k² work, the same asymptotic
+    cost as any dense covariance (MLlib RowMatrix), with no UDF and no
+    vector ever collected.  Restrict ``components`` for wide vectors.
+    """
+    parts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    xi = F.round(
+        F.round(F.col("x").cast("double"), 6) * _scale, 0
+    ).cast("long")
+    parts = parts.select(
+        "__id", (F.col("pos") + 1).alias("comp"), xi.alias("xi")
+    )
+    if components is not None:
+        parts = parts.where(F.col("comp") <= components)
+    a = parts.select("__id", F.col("comp").alias("ci"), F.col("xi").alias("vx"))
+    b = parts.select("__id", F.col("comp").alias("cj"), F.col("xi").alias("vy"))
+    pairs = a.join(b, "__id").where(F.col("ci") <= F.col("cj"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.groupBy("ci", "cj").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("vx"))).alias("sx"),
+        F.sum(dec(F.col("vy"))).alias("sy"),
+        F.sum(dec(F.col("vx")) * dec(F.col("vy"))).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (n * n).cast("double")
+        / float(_scale) ** 2
+    )
+    return agg.select(
+        F.col("ci").alias("comp_i"),
+        F.col("cj").alias("comp_j"),
+        n.cast("bigint").alias("n"),
+        cov.alias("cov"),
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    components: int | None = None,
+) -> list:
+    """Top-``k`` principal components of the embedding column: returns
+    ``[(eigenvalue, [loadings...]), ...]`` sorted by descending
+    eigenvalue.
+
+    The covariance aggregation runs entirely in-engine
+    (:func:`covariance_matrix` — n·d² distributed work); only the d×d
+    matrix (k²·16 bytes, never row data) crosses to the driver for the
+    numpy eigendecomposition — the same small-side escape hatch as
+    k-means centroids and the ≤2M-edge graph paths.  Sign convention:
+    each eigenvector's largest-magnitude loading is made positive, so
+    results are deterministic across LAPACK builds.
+    """
+    import numpy as np
+
+    rows = covariance_matrix(df, id_col, vec_col, components).collect()
+    if not rows:
+        raise ValueError("pca needs at least one non-null vector")
+    d = max(r["comp_j"] for r in rows)
+    cov = np.zeros((d, d))
+    for r in rows:
+        i, j = r["comp_i"] - 1, r["comp_j"] - 1
+        cov[i, j] = cov[j, i] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    out = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = np.argmax(np.abs(v))
+        if v[pivot] < 0:
+            v = -v
+        out.append((float(vals[idx]), [float(c) for c in v]))
+    return out

@@ -870,3 +870,58 @@ class TestChunkDuplicateStats:
         rows = chunk_duplicate_stats(docs, "doc_id", "text", 4).collect()
         for r in rows:
             assert r["n_chunks"] == r["n_dup_chunks"] == 2
+
+
+class TestCovariancePca:
+    def test_covariance_matches_numpy(self, spark):
+        import numpy as np
+
+        from datajudge_spark.pipeline.similarity import covariance_matrix
+
+        rng = np.random.default_rng(11)
+        data = rng.normal(size=(40, 5)).astype(np.float32)
+        rows = [(i, [float(x) for x in data[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+        got = {
+            (r["comp_i"], r["comp_j"]): r["cov"]
+            for r in covariance_matrix(df, "vec_id", "v").collect()
+        }
+        # expected: population covariance of the 6dp-rounded data
+        rounded = np.round(data.astype(np.float64), 6)
+        exp = np.cov(rounded, rowvar=False, bias=True)
+        for (i, j), cov in got.items():
+            assert cov == pytest.approx(exp[i - 1, j - 1], abs=1e-9)
+        assert len(got) == 15  # upper triangle of 5x5
+
+    def test_components_limit(self, spark):
+        from datajudge_spark.pipeline.similarity import covariance_matrix
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [2.0, 1.0, 0.0])],
+            "vec_id long, v array<float>",
+        )
+        got = covariance_matrix(df, "vec_id", "v", components=2).collect()
+        assert {(r["comp_i"], r["comp_j"]) for r in got} == {
+            (1, 1), (1, 2), (2, 2)
+        }
+
+    def test_pca_recovers_dominant_direction(self, spark):
+        import numpy as np
+
+        from datajudge_spark.pipeline.similarity import pca_components
+
+        # points along (1, 1)/sqrt(2) with small orthogonal noise
+        rng = np.random.default_rng(3)
+        t = rng.normal(size=200) * 5.0
+        noise = rng.normal(size=200) * 0.05
+        xs = (t + noise) / np.sqrt(2)
+        ys = (t - noise) / np.sqrt(2)
+        rows = [(i, [float(xs[i]), float(ys[i])]) for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+        comps = pca_components(df, "vec_id", "v", k=2)
+        assert comps[0][0] > comps[1][0] > 0
+        v0 = np.array(comps[0][1])
+        target = np.array([1.0, 1.0]) / np.sqrt(2)
+        assert abs(float(np.dot(v0, target))) > 0.999
+        # deterministic sign: largest loading positive
+        assert v0[np.argmax(np.abs(v0))] > 0
