@@ -446,10 +446,16 @@ def _bucketed_global_cum(
     cumulative of ``cnt_cols[0]`` in ascending ``v`` order, without a
     global window.  ``vals`` must have a numeric column ``v``; rows with
     the same ``v`` must already be aggregated (one row per value).
+
+    The histogram is persisted BEFORE the min/max probe, so the
+    (potentially expensive) upstream derivation computes once and the
+    three consumers — bounds probe, per-bucket totals, windowed join —
+    all read cached blocks.
     """
     from ..pipeline._util import materialize_once
 
-    stats = vals.agg(
+    cached = materialize_once(vals)
+    stats = cached.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi")
     ).first()
     lo, hi = stats["lo"], stats["hi"]
@@ -458,7 +464,7 @@ def _bucketed_global_cum(
     cnt = cnt_cols[0]
     if float(hi) == float(lo):
         # single distinct value: one row, cum == its count
-        return vals.select("v", *cnt_cols, F.col(cnt).alias("cum"))
+        return cached.select("v", *cnt_cols, F.col(cnt).alias("cum"))
     b = F.least(
         F.floor(
             (F.col("v").cast("double") - float(lo))
@@ -467,7 +473,7 @@ def _bucketed_global_cum(
         ),
         F.lit(n_buckets - 1),
     ).cast("int")
-    hist = materialize_once(vals.withColumn("__b", b))
+    hist = cached.withColumn("__b", b)
     per_bucket = (
         hist.groupBy("__b").agg(F.sum(cnt).alias("c")).collect()
     )
@@ -662,9 +668,15 @@ def spearman_correlation(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     final quotient is double.  Extension — peers Pearson
     ``pairwise_corr`` (operators/profile.py) for monotone association.
     """
-    base = df.where(
-        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
-    ).select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
+    from ..pipeline._util import materialize_once
+
+    # the pair projection feeds BOTH rank-map derivations AND the final
+    # ranked join — persist it once or the source scans three times
+    base = materialize_once(
+        df.where(
+            F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+        ).select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
+    )
 
     def _rank_map(col: str, out: str) -> DataFrame:
         hist = base.groupBy(F.col(col).alias("v")).agg(
