@@ -2428,10 +2428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 34 appended behind the window in round 2, plus 16 of the queries
     # added since.  The 50 round-2-green queries move behind the window
     # (their driver rows live in CORRECTNESS_r02.json); the remaining
-    # 18 new queries follow them and rotate into the window in round 4.
-    # Every entry is green in the local replica of the driver gate
-    # (tests/test_entry_oracle.py, same DuckDB method), which predicted
-    # the driver 50/50 in round 2.
+    # 31 never-checked queries (18 early-round-3 + 13 added later in
+    # round 3, dict tail) follow them — rotate THOSE into the window in
+    # round 4.  Every entry is green in the local replica of the driver
+    # gate (tests/test_entry_oracle.py, same DuckDB method), which
+    # predicted the driver 50/50 in round 2.
     return {
         # -- 34 queries never driver-checked before round 3 --
         "tfidf_top_terms": q_tfidf_top_terms,
