@@ -2287,6 +2287,131 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q1_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 with engine-exact money: prices/discounts/taxes become
+    # scaled integers (cents, percent-cents), so every SUM is a
+    # DECIMAL-exact integer — disc_price in cents/100, charge in
+    # cents/10000 — and averages are one double division at the end.
+    # Canonical partial-agg + single-shuffle plan; the shipdate filter
+    # pushes to the scan.
+    li = _t(spark, sf_dir, "lineitem")
+    qc = _cents("l_quantity")
+    ec = _cents("l_extendedprice")
+    dc = _cents("l_discount")  # discount as integer percent-cents
+    tc = _cents("l_tax")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(qc)).cast("bigint").alias("sum_qty_cents"),
+            F.sum(dec(ec)).cast("bigint").alias("sum_base_cents"),
+            F.sum(dec(ec) * (100 - dec(dc)))
+            .cast("bigint")
+            .alias("sum_disc_scaled"),
+            F.sum(dec(ec) * (100 - dec(dc)) * (100 + dec(tc)))
+            .cast("bigint")
+            .alias("sum_charge_scaled"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(dec(qc)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty_cents"),
+            F.round(
+                F.sum(dec(ec)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_price_cents"),
+        )
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    # TPC-H Q10 shape: revenue lost to returned items per customer in
+    # one quarter — selective fact filters pushed to both scans, two
+    # broadcast dims, decimal-exact revenue, TakeOrderedAndProject
+    # top-20 (per-partition heaps, no global sort).
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ec, dc = _cents("l_extendedprice"), _cents("l_discount")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1993-10-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1994-01-01").cast("date"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(dec(ec) * (100 - dec(dc)))
+            .cast("bigint")
+            .alias("revenue_scaled"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_scaled"), "custkey")
+        .limit(20)
+    )
+
+
+def q7_volume_shipping(spark, sf_dir):
+    # TPC-H Q7 shape: bilateral trade volume by (supplier nation,
+    # customer nation, ship year) for ordered nation pairs — a 6-table
+    # star with broadcast dims; the fact shuffles once for the group-by.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    ec, dc = _cents("l_extendedprice"), _cents("l_discount")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(dec(ec) * (100 - dec(dc)))
+            .cast("bigint")
+            .alias("volume_scaled"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_grouped_median(spark, sf_dir):
+    # exact median quantity per return flag: the grouped percentile's
+    # window is PARTITIONED by group over each group's distinct-value
+    # histogram (50 quantities) — parallel across groups, bounded within
+    from datajudge_spark.operators.scalars import grouped_exact_percentile
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select("l_returnflag", _cents("l_quantity").alias("qc"))
+    return grouped_exact_percentile(base, "l_returnflag", "qc", 50.0).select(
+        F.col("grp").alias("returnflag"),
+        F.col("value").alias("median_qty_cents"),
+    )
+
+
 def q_embedding_covariance(spark, sf_dir):
     # upper-triangular covariance of the first 8 embedding components —
     # the PCA/whitening input.  6dp-rounded scaled-integer sufficient
@@ -2569,6 +2694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_share": q_pareto_share,
         "funnel_ordered": q_funnel_ordered,
         "embedding_covariance": q_embedding_covariance,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q10_returned_items": q10_returned_items,
+        "q7_volume_shipping": q7_volume_shipping,
+        "grouped_median": q_grouped_median,
     }
 
 
@@ -4013,6 +4142,69 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+            "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS HUGEINT) * (100 - CAST(CAST(l_discount "
+            "AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) "
+            "AS sum_disc_scaled, "
+            "CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS HUGEINT) * (100 - CAST(CAST(l_discount "
+            "AS DECIMAL(18,2)) * 100 AS BIGINT)) * (100 + "
+            "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))) "
+            "AS BIGINT) AS sum_charge_scaled, "
+            "count(*) AS n_rows, "
+            "round(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty_cents, "
+            "round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT)) AS DOUBLE) / count(*), 6) "
+            "AS avg_price_cents "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q10_returned_items": (
+            "SELECT c.c_custkey AS custkey, n.n_name AS nation, "
+            "CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS HUGEINT) * (100 - CAST(CAST(l.l_discount "
+            "AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) "
+            "AS revenue_scaled, count(*) AS n_items "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= DATE '1993-10-01' "
+            "AND o.o_orderdate < DATE '1994-01-01' "
+            "GROUP BY c.c_custkey, n.n_name "
+            "ORDER BY revenue_scaled DESC, custkey LIMIT 20"
+        ),
+        "q7_volume_shipping": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS INT) AS l_year, "
+            "CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS HUGEINT) * (100 - CAST(CAST(l.l_discount "
+            "AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) "
+            "AS volume_scaled, count(*) AS n_items "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+            "JOIN nation cn ON c.c_nationkey = cn.n_nationkey "
+            "WHERE sn.n_name < cn.n_name "
+            "GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)"
+        ),
+        "grouped_median": (
+            "SELECT l_returnflag AS returnflag, min(v) AS median_qty_cents "
+            "FROM (SELECT l_returnflag, CAST(CAST(l_quantity AS "
+            "DECIMAL(18,2)) * 100 AS BIGINT) AS v, cume_dist() OVER "
+            "(PARTITION BY l_returnflag ORDER BY CAST(CAST(l_quantity AS "
+            "DECIMAL(18,2)) * 100 AS BIGINT)) AS cd FROM lineitem "
+            "WHERE l_quantity IS NOT NULL) WHERE cd >= 0.5 "
+            "GROUP BY l_returnflag"
         ),
         "embedding_covariance": (
             "WITH parts AS (SELECT vec_id, "

@@ -431,3 +431,47 @@ def exact_weighted_percentile_df(
         .agg(F.sum(w).alias("wsum"))
     )
     return _cum_select(hist, cum_before, total)
+
+
+def grouped_exact_percentile(
+    df: DataFrame, group_col: str, value_col: str, percentage: float
+) -> DataFrame:
+    """Exact per-group percentile (smallest v such that at least
+    ``percentage``% of the group's non-null values are <= v) — the
+    grouped form of :func:`exact_percentile_df`, one row per group.
+
+    The cumulative window is PARTITIONED BY GROUP over each group's
+    distinct-VALUE histogram — parallel across groups, and within a
+    group bounded by |distinct values| (best on bounded domains:
+    quantities, ratings, day counts; a near-unique column concentrated
+    in ONE group degenerates to that group's sort, at which point the
+    two-pass bucketed single-group form is the right tool).
+
+    The acceptance test uses the single comparison form
+    ``cum * 100 >= percentage * total`` (see exact_percentile_df's
+    ulp-boundary note).
+    """
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "grp",
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return (
+        cum.where(F.col("cum") * 100 >= F.lit(percentage) * F.col("total"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("value"))
+    )

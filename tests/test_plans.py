@@ -434,3 +434,28 @@ def test_kaplan_meier_window_over_durations(spark):
     assert "Window " in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q10_broadcasts_and_takeordered(spark):
+    plan = _executed_plan(entrymod.q10_returned_items(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # top-20: no global sort
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation dims
+    assert "PushedFilters" in plan
+    # the returnflag filter reaches the lineitem scan
+    assert "l_returnflag" in plan and "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q1_filter_pushed_and_partial_agg(spark):
+    plan = _executed_plan(entrymod.q1_pricing_summary(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "l_shipdate" in plan and "PushedFilters" in plan
+
+
+def test_grouped_median_window_partitioned(spark):
+    # the cumulative window must be partitioned by the group — never a
+    # global single-partition sort
+    plan = _executed_plan(entrymod.q_grouped_median(spark, SF_DIR))
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win_lines
+    for ln in win_lines:
+        assert "grp" in ln, f"unpartitioned window: {ln}"
