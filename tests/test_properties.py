@@ -455,3 +455,68 @@ class TestSnapshotDiffProperty:
         unchanged = len(both) - changed
         assert (row["n_added"], row["n_removed"], row["n_changed"],
                 row["n_unchanged"]) == (added, removed, changed, unchanged)
+
+
+class TestRankStatsProperties:
+    @given(vals=st.lists(st.integers(0, 50), min_size=1, max_size=40))
+    @settings(**SETTINGS)
+    def test_gini_matches_naive(self, spark, vals):
+        from datajudge_spark.operators.stats import gini_coefficient
+
+        if sum(vals) == 0:
+            vals = vals + [1]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = gini_coefficient(df, "v").first()["gini"]
+        xs = sorted(vals)
+        n, s = len(xs), sum(xs)
+        want = (
+            2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s
+        ) / (n * s)
+        assert got == pytest.approx(want, abs=1e-12)
+
+    @given(
+        a=st.lists(st.integers(0, 20), min_size=1, max_size=25),
+        b=st.lists(st.integers(0, 20), min_size=1, max_size=25),
+    )
+    @settings(**SETTINGS)
+    def test_mann_whitney_u_matches_naive(self, spark, a, b):
+        from datajudge_spark.operators.stats import mann_whitney_u
+
+        rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+        df = spark.createDataFrame(rows, "v long, g string")
+        got = mann_whitney_u(df, "v", "g", "a", "b").first()
+        # naive U_a: pairwise wins + half-ties
+        u = sum(
+            1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b
+        )
+        assert got["u_a"] == pytest.approx(u, abs=1e-9)
+        assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+
+    @given(
+        subj=st.lists(
+            st.tuples(st.integers(0, 10), st.booleans()),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_kaplan_meier_matches_naive(self, spark, subj):
+        from datajudge_spark.operators.timeseries import kaplan_meier
+
+        rows = [(d, 1 if e else 0) for d, e in subj]
+        df = spark.createDataFrame(rows, "dur int, ev int")
+        got = {
+            r["duration"]: r["survival"]
+            for r in kaplan_meier(df, "dur", "ev").collect()
+        }
+        # naive product-limit estimator
+        times = sorted({d for d, _ in subj})
+        s = 1.0
+        for t in times:
+            n_risk = sum(1 for d, _ in subj if d >= t)
+            d_t = sum(1 for d, e in subj if d == t and e)
+            s *= 1.0 - d_t / n_risk
+            assert got[t] == pytest.approx(s, abs=1e-9)
+        # survival is non-increasing
+        vals = [got[t] for t in times]
+        assert all(x >= y - 1e-12 for x, y in zip(vals, vals[1:]))
