@@ -2287,6 +2287,26 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_wasserstein(spark, sf_dir):
+    # earth mover's distance between A-flag and R-flag extended prices
+    # (cents) — the integral companion to the KS max statistic, on a
+    # NEAR-UNIQUE column: cumulative + lead() run in bucket-partitioned
+    # windows; ≤2048 boundary gaps close on the driver
+    # (operators.stats.wasserstein_1d).
+    from datajudge_spark.operators.stats import wasserstein_1d
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select(
+        _cents("l_extendedprice").alias("c")
+    )
+    b = li.where(F.col("l_returnflag") == "R").select(
+        _cents("l_extendedprice").alias("c")
+    )
+    return wasserstein_1d(a, b, "c", "c").select(
+        "n1", "n2", F.round("emd", 6).alias("emd")
+    )
+
+
 def q1_pricing_summary(spark, sf_dir):
     # TPC-H Q1 with engine-exact money: prices/discounts/taxes become
     # scaled integers (cents, percent-cents), so every SUM is a
@@ -2694,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_share": q_pareto_share,
         "funnel_ordered": q_funnel_ordered,
         "embedding_covariance": q_embedding_covariance,
+        "wasserstein": q_wasserstein,
         "q1_pricing_summary": q1_pricing_summary,
         "q10_returned_items": q10_returned_items,
         "q7_volume_shipping": q7_volume_shipping,
@@ -4142,6 +4163,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "wasserstein": (
+            "WITH a AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS v FROM lineitem WHERE l_returnflag = 'A'), "
+            "b AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS v FROM lineitem WHERE l_returnflag = 'R'), "
+            "u AS (SELECT CAST(v AS DOUBLE) AS v, "
+            "count(*) FILTER (WHERE s = 1) AS n1, "
+            "count(*) FILTER (WHERE s = 2) AS n2 FROM ("
+            "SELECT v, 1 AS s FROM a UNION ALL SELECT v, 2 FROM b) "
+            "GROUP BY v), "
+            "c AS (SELECT abs(sum(n1) OVER (ORDER BY v) "
+            "/ CAST((SELECT count(*) FROM a) AS DOUBLE) "
+            "- sum(n2) OVER (ORDER BY v) "
+            "/ CAST((SELECT count(*) FROM b) AS DOUBLE)) AS diff, "
+            "lead(v) OVER (ORDER BY v) - v AS dv FROM u) "
+            "SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n1, "
+            "CAST((SELECT count(*) FROM b) AS BIGINT) AS n2, "
+            "round(COALESCE(sum(diff * dv), 0.0), 6) AS emd "
+            "FROM c WHERE dv IS NOT NULL"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -712,3 +712,115 @@ def spearman_correlation(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("rho"),
     )
+
+
+def wasserstein_1d(
+    df1: DataFrame,
+    df2: DataFrame,
+    col1: str,
+    col2: str,
+    n_buckets: int = RANK_BUCKETS,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    numeric samples, as one digest row (n1, n2, emd) — the *integral*
+    of |CDF1 - CDF2| over the value axis, complementing the KS
+    statistic's *maximum*.
+
+    ``EMD = Σ over consecutive union distinct values |cum1/N1 -
+    cum2/N2| · (v_next - v)``.  Plan: ONE union-histogram shuffle; the
+    cumulative and the lead() both run in windows PARTITIONED by range
+    bucket; the ≤``n_buckets`` bucket boundary gaps are closed on the
+    driver from per-bucket (min, max, Σn1, Σn2) aggregates — cumulative
+    totals at bucket ends ARE the driver-folded offsets, so boundary
+    terms cost no extra engine pass.  No global window at any
+    cardinality.  Counts stay integer-exact; only the final weighted
+    fold is double.
+    """
+    from ..pipeline._util import materialize_once
+
+    tagged = (
+        df1.select(
+            F.col(col1).cast("double").alias("v"),
+            F.lit(1).alias("__n1"),
+            F.lit(0).alias("__n2"),
+        )
+        .where(F.col("v").isNotNull())
+        .unionAll(
+            df2.select(
+                F.col(col2).cast("double").alias("v"),
+                F.lit(0).alias("__n1"),
+                F.lit(1).alias("__n2"),
+            ).where(F.col("v").isNotNull())
+        )
+    )
+    hist = materialize_once(
+        tagged.groupBy("v").agg(
+            F.sum("__n1").alias("n1"), F.sum("__n2").alias("n2")
+        )
+    )
+    stats = hist.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+    ).first()
+    lo, hi, t1, t2 = stats["lo"], stats["hi"], stats["t1"], stats["t2"]
+    if lo is None or not t1 or not t2:
+        raise ValueError("wasserstein_1d needs non-empty samples both sides")
+    spark = df1.sparkSession
+    if hi == lo:
+        return spark.createDataFrame(
+            [(int(t1), int(t2), 0.0)], "n1 long, n2 long, emd double"
+        )
+    b = F.least(
+        F.floor((F.col("v") - lo) / (hi - lo) * n_buckets),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    bucketed = hist.withColumn("__b", b)
+    per_bucket = sorted(
+        bucketed.groupBy("__b")
+        .agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum("n1").alias("c1"),
+            F.sum("n2").alias("c2"),
+        )
+        .collect(),
+        key=lambda r: r["__b"],
+    )
+    acc1 = acc2 = 0
+    offsets, boundary = [], 0.0
+    prev = None  # (max_v, cum1_end, cum2_end) of previous bucket
+    for r in per_bucket:
+        offsets.append((int(r["__b"]), acc1, acc2))
+        if prev is not None:
+            diff = abs(prev[1] / t1 - prev[2] / t2)
+            boundary += diff * (r["mn"] - prev[0])
+        acc1 += int(r["c1"])
+        acc2 += int(r["c2"])
+        prev = (r["mx"], acc1, acc2)
+    off_df = spark.createDataFrame(
+        offsets, "__b int, __o1 long, __o2 long"
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("__b").orderBy("v")
+    diff = F.abs(
+        (F.sum("n1").over(w) + F.col("__o1")) / F.lit(float(t1))
+        - (F.sum("n2").over(w) + F.col("__o2")) / F.lit(float(t2))
+    )
+    within = (
+        bucketed.join(F.broadcast(off_df), "__b")
+        .select(
+            (diff * (F.lead("v").over(w_lead) - F.col("v"))).alias("__c")
+        )
+        .agg(F.coalesce(F.sum("__c"), F.lit(0.0)).alias("__s"))
+    )
+    return within.select(
+        F.lit(int(t1)).cast("long").alias("n1"),
+        F.lit(int(t2)).cast("long").alias("n2"),
+        (F.col("__s") + F.lit(boundary)).alias("emd"),
+    )

@@ -550,3 +550,50 @@ class TestSpearman:
             [(5, 1), (5, 2), (5, 3)], "x long, y long"
         )
         assert spearman_correlation(df, "x", "y").first()["rho"] is None
+
+
+class TestWasserstein:
+    def test_known_distance(self, spark):
+        from datajudge_spark.operators.stats import wasserstein_1d
+
+        # point masses at 0 and 10: EMD = 10
+        a = spark.createDataFrame([(0,)] * 5, "c long")
+        b = spark.createDataFrame([(10,)] * 3, "c long")
+        r = wasserstein_1d(a, b, "c", "c").first()
+        assert (r["n1"], r["n2"]) == (5, 3)
+        assert r["emd"] == pytest.approx(10.0, abs=1e-9)
+
+    def test_identical_zero(self, spark):
+        from datajudge_spark.operators.stats import wasserstein_1d
+
+        a = spark.createDataFrame([(1,), (5,), (9,)], "c long")
+        r = wasserstein_1d(a, a, "c", "c").first()
+        assert r["emd"] == pytest.approx(0.0, abs=1e-12)
+
+    def test_matches_naive_integral(self, spark):
+        import random
+
+        from datajudge_spark.operators.stats import wasserstein_1d
+
+        rng = random.Random(5)
+        xs = [rng.randint(0, 100) for _ in range(60)]
+        ys = [rng.randint(10, 120) for _ in range(45)]
+        a = spark.createDataFrame([(v,) for v in xs], "c long")
+        b = spark.createDataFrame([(v,) for v in ys], "c long")
+        # naive: integrate |F1-F2| over the union grid
+        grid = sorted(set(xs) | set(ys))
+        emd = 0.0
+        for v, nv in zip(grid, grid[1:]):
+            f1 = sum(1 for x in xs if x <= v) / len(xs)
+            f2 = sum(1 for y in ys if y <= v) / len(ys)
+            emd += abs(f1 - f2) * (nv - v)
+        got = wasserstein_1d(a, b, "c", "c", n_buckets=8).first()
+        assert got["emd"] == pytest.approx(emd, abs=1e-9)
+
+    def test_empty_side_raises(self, spark):
+        from datajudge_spark.operators.stats import wasserstein_1d
+
+        a = spark.createDataFrame([(1,)], "c long")
+        b = spark.createDataFrame([], "c long")
+        with pytest.raises(ValueError):
+            wasserstein_1d(a, b, "c", "c")
