@@ -668,3 +668,57 @@ class MannWhitneyU(Constraint):
             f"{self._significance_level}. {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class WassersteinMax(Constraint):
+    """Distribution-drift gate on the exact 1-D Wasserstein (earth
+    mover's) distance between a column of each source: fails when the
+    distance exceeds ``max_distance`` (in the column's units).  Unlike
+    PSI (binned) and KS (max-only), EMD weights drift by HOW FAR mass
+    moved — the metric of choice for monitoring numeric feature drift.
+    Extension, no reference counterpart.
+
+    Engine side is operators.stats.wasserstein_1d (bucket-partitioned
+    windows, no global sort); one digest row reaches the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        max_distance: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_distance < 0:
+            raise ValueError("max_distance must be non-negative")
+        self._max_distance = max_distance
+        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import wasserstein_1d
+
+        try:
+            row = wasserstein_1d(
+                self._ref.get_selection(engine),
+                self._ref2.get_selection(engine),
+                self._ref.get_column(engine),
+                self._ref2.get_column(engine),
+            ).collect()[0]
+        except ValueError:
+            return TestResult.failure(
+                f"Wasserstein distance between {self._ref} and "
+                f"{self._target_prefix} is undefined: insufficient data "
+                "(one or both sides have no non-null rows). ",
+                self.get_description(),
+            )
+        emd = row["emd"]
+        if emd <= self._max_distance:
+            return TestResult.success()
+        assertion_text = (
+            f"Wasserstein distance between {self._ref} and "
+            f"{self._target_prefix} is {emd} "
+            f"(n={row['n1']}/{row['n2']}) — exceeding the maximum "
+            f"{self._max_distance}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -1708,6 +1708,37 @@ class BetweenRequirement(Requirement):
             )
         )
 
+    def add_wasserstein_max_constraint(
+        self,
+        column1: str,
+        column2: str,
+        max_distance: float,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the exact 1-D
+        Wasserstein (earth mover's) distance between a column of each
+        source may not exceed ``max_distance`` (in the column's units).
+        Unlike PSI (binned) and KS (max deviation only), EMD weights
+        drift by HOW FAR mass moved.  Computed in-engine with
+        bucket-partitioned windows — no global sort; one digest row
+        reaches the driver."""
+        if not column1 or not column2:
+            raise ValueError(
+                "Column names have to be given for this test's functionality."
+            )
+        ref = DataReference(self._data_source, [column1], condition=condition1)
+        ref2 = DataReference(
+            self._data_source2, [column2], condition=condition2
+        )
+        self._constraints.append(
+            stats_constraints.WassersteinMax(
+                ref, ref2, max_distance, name=name, cache_size=cache_size
+            )
+        )
+
     def add_psi_constraint(
         self,
         column1: str,

@@ -418,3 +418,30 @@ class TestMannWhitney:
         req = between_req(d1, d2, "mwc1", "mwc2")
         req.add_mann_whitney_constraint("c", "c")
         assert outcomes(req, spark) == [True]
+
+
+class TestWassersteinMax:
+    def test_pass_and_fail(self, spark):
+        d1 = spark.createDataFrame([(float(v),) for v in range(100)], "c double")
+        d2 = spark.createDataFrame(
+            [(float(v) + 5.0,) for v in range(100)], "c double"
+        )
+        req = between_req(d1, d2, "ws1", "ws2")
+        req.add_wasserstein_max_constraint("c", "c", 5.0)   # EMD == 5
+        req.add_wasserstein_max_constraint("c", "c", 4.9)   # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_empty_side_fails_cleanly(self, spark):
+        d1 = spark.createDataFrame([(1.0,)], "c double")
+        d2 = spark.createDataFrame([], "c double")
+        req = between_req(d1, d2, "wse1", "wse2")
+        req.add_wasserstein_max_constraint("c", "c", 1.0)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "insufficient data" in results[0].failure_message
+
+    def test_validation(self, spark):
+        d1 = spark.createDataFrame([(1.0,)], "c double")
+        req = between_req(d1, d1, "wsv1", "wsv2")
+        with pytest.raises(ValueError):
+            req.add_wasserstein_max_constraint("c", "c", -1.0)
