@@ -2287,6 +2287,38 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_source_dup_rate(spark, sf_dir):
+    # per-source exact-duplicate rate: 1 - distinct_fingerprints/docs —
+    # the "which feed is resending content?" curation screen.  One
+    # groupBy on (source, fingerprint) then a partial-agg'd rollup to
+    # source; md5-based fingerprints are engine-portable.
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text")).alias("fp")
+    per = d.select("source", fp).groupBy("source", "fp").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("n").cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
+def q_doc_length_histogram(spark, sf_dir):
+    # document-length distribution per language in 500-char buckets —
+    # the curation dashboard's 2-D histogram. One partial-agg'd shuffle;
+    # |langs| x |buckets| rows out.
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 500) * 500).cast("bigint")
+    return (
+        d.where(F.col("n_chars").isNotNull())
+        .groupBy(F.col("lang"), bucket.alias("len_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_wasserstein(spark, sf_dir):
     # earth mover's distance between A-flag and R-flag extended prices
     # (cents) — the integral companion to the KS max statistic, on a
@@ -2715,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_ordered": q_funnel_ordered,
         "embedding_covariance": q_embedding_covariance,
         "wasserstein": q_wasserstein,
+        "source_dup_rate": q_source_dup_rate,
+        "doc_length_histogram": q_doc_length_histogram,
         "q1_pricing_summary": q1_pricing_summary,
         "q10_returned_items": q10_returned_items,
         "q7_volume_shipping": q7_volume_shipping,
@@ -4163,6 +4197,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "source_dup_rate": (
+            "WITH per AS (SELECT source, md5(text) AS fp, count(*) AS n "
+            "FROM documents GROUP BY source, md5(text)) "
+            "SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, "
+            "count(*) AS n_unique, "
+            "round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_rate "
+            "FROM per GROUP BY source"
+        ),
+        "doc_length_histogram": (
+            "SELECT lang, CAST(floor(n_chars / 500) * 500 AS BIGINT) "
+            "AS len_bucket, count(*) AS n_docs FROM documents "
+            "WHERE n_chars IS NOT NULL GROUP BY lang, "
+            "CAST(floor(n_chars / 500) * 500 AS BIGINT)"
         ),
         "wasserstein": (
             "WITH a AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
