@@ -529,10 +529,14 @@ def gini_coefficient(df: DataFrame, column: str) -> DataFrame:
     )
     num = (F.col("t2") - (F.col("n") + 1) * F.col("s")).cast("double")
     den = (F.col("n") * F.col("s")).cast("double")
+    # zero total (all values 0): gini is undefined -> NULL, not an ANSI
+    # divide-by-zero (the constraint surface reports "undefined")
     return agg.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("s").cast("decimal(38,0)").alias("sum_value"),
-        (num / den).alias("gini"),
+        F.when(den != 0, num / den)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("gini"),
     )
 
 

@@ -597,3 +597,22 @@ class TestWasserstein:
         b = spark.createDataFrame([], "c long")
         with pytest.raises(ValueError):
             wasserstein_1d(a, b, "c", "c")
+
+
+class TestGiniDegenerate:
+    def test_all_zero_values_null_gini(self, spark):
+        from datajudge_spark.operators.stats import gini_coefficient
+
+        df = spark.createDataFrame([(0,), (0,), (0,)], "v long")
+        row = gini_coefficient(df, "v").first()
+        assert row["n"] == 3 and row["gini"] is None
+
+    def test_constraint_reports_undefined(self, spark):
+        from conftest import within_req
+
+        df = spark.createDataFrame([(0,), (0,)], "c long")
+        req = within_req(df, "ginizero")
+        req.add_gini_max_constraint("c", 0.5)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
