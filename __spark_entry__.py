@@ -2287,6 +2287,73 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_null_counts_wide(spark, sf_dir):
+    # per-column null counts of orders in ONE scan, melted long — the
+    # quickest data-quality sweep a table gets.  Conditional sums fuse
+    # into a single aggregate; unpivot is the map-side Expand.
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    wide = o.agg(
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(c)
+            for c in cols
+        ]
+    )
+    return wide.unpivot([], cols, "column_name", "n_nulls")
+
+
+def q_distinct_customers_matrix(spark, sf_dir):
+    # distinct ordering customers per (market segment, order year) —
+    # the grouped COUNT(DISTINCT) shape: partial-agg'd distinct on
+    # (segment, year, custkey), then a count per group; the customer
+    # dim broadcasts onto the fact.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+    )
+
+
+def q_order_interarrival(spark, sf_dir):
+    # days between consecutive orders per customer: lag() windows are
+    # PARTITIONED by customer (never global), the digest aggregates
+    # exact integer day gaps per priority of the later order.
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
+        F.max("gap_days").cast("int").alias("max_gap_days"),
+        F.round(
+            F.sum("gap_days").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_gap_days"),
+    )
+
+
 def q_source_dup_rate(spark, sf_dir):
     # per-source exact-duplicate rate: 1 - distinct_fingerprints/docs —
     # the "which feed is resending content?" curation screen.  One
@@ -2749,6 +2816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein": q_wasserstein,
         "source_dup_rate": q_source_dup_rate,
         "doc_length_histogram": q_doc_length_histogram,
+        "null_counts_wide": q_null_counts_wide,
+        "distinct_customers_matrix": q_distinct_customers_matrix,
+        "order_interarrival": q_order_interarrival,
         "q1_pricing_summary": q1_pricing_summary,
         "q10_returned_items": q10_returned_items,
         "q7_volume_shipping": q7_volume_shipping,
@@ -4197,6 +4267,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "null_counts_wide": (
+            "WITH wide AS (SELECT "
+            "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS o_orderkey, "
+            "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS o_custkey, "
+            "CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS o_orderstatus, "
+            "CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS o_totalprice, "
+            "CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS o_orderdate, "
+            "CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS o_orderpriority FROM orders) "
+            "SELECT 'o_orderkey' AS column_name, o_orderkey AS n_nulls "
+            "FROM wide "
+            "UNION ALL SELECT 'o_custkey', o_custkey FROM wide "
+            "UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM wide "
+            "UNION ALL SELECT 'o_totalprice', o_totalprice FROM wide "
+            "UNION ALL SELECT 'o_orderdate', o_orderdate FROM wide "
+            "UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM wide"
+        ),
+        "distinct_customers_matrix": (
+            "SELECT c_mktsegment AS segment, "
+            "CAST(year(o_orderdate) AS INT) AS o_year, "
+            "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment, year(o_orderdate)"
+        ),
+        "order_interarrival": (
+            "WITH gaps AS (SELECT o_orderpriority, "
+            "CAST(o_orderdate AS DATE) - lag(CAST(o_orderdate AS DATE)) "
+            "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, "
+            "o_orderkey) AS gap_days FROM orders) "
+            "SELECT o_orderpriority AS priority, "
+            "CAST(count(*) AS BIGINT) AS n_gaps, "
+            "CAST(sum(gap_days) AS BIGINT) AS sum_gap_days, "
+            "CAST(max(gap_days) AS INT) AS max_gap_days, "
+            "round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) "
+            "AS avg_gap_days FROM gaps WHERE gap_days IS NOT NULL "
+            "GROUP BY o_orderpriority"
         ),
         "source_dup_rate": (
             "WITH per AS (SELECT source, md5(text) AS fp, count(*) AS n "
