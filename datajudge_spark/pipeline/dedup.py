@@ -352,7 +352,11 @@ def _clusters_unionfind(edges_df: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges_df.toLocalIterator():
+    # one collect job, not toLocalIterator: the iterator launches a job
+    # PER PARTITION (~seconds of scheduler latency for a handful of
+    # edges on 32 partitions), while the edge list is already bounded by
+    # local_threshold (2M × two int64s ≈ 32 MB of data — fine to hold)
+    for row in edges_df.collect():
         a, b = row[0], row[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
