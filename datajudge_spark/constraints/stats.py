@@ -722,3 +722,64 @@ class WassersteinMax(Constraint):
             f"{self._max_distance}. {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class SpearmanBounds(Constraint):
+    """Monotone-association gate: the exact tie-averaged Spearman rho
+    between two numeric columns of ONE source must lie within
+    [min_rho, max_rho] — "quantity should still drive price",
+    "latency should not correlate with user id".  Extension, no
+    reference counterpart.
+
+    Engine side is operators.stats.spearman_correlation
+    (bucket-partitioned rank maps, DECIMAL-exact sufficient
+    statistics); one digest row reaches the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        min_rho: float | None = None,
+        max_rho: float | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if min_rho is None and max_rho is None:
+            raise ValueError("Provide min_rho and/or max_rho.")
+        for v in (min_rho, max_rho):
+            if v is not None and not -1 <= v <= 1:
+                raise ValueError("rho bounds must be within [-1, 1].")
+        self._min_rho, self._max_rho = min_rho, max_rho
+        super().__init__(
+            ref, ref_value=(min_rho, max_rho), name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import spearman_correlation
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError("SpearmanBounds requires exactly two columns.")
+        df = self._ref.get_selection(engine)
+        try:
+            row = spearman_correlation(df, cols[0], cols[1]).collect()[0]
+        except ValueError:
+            row = {"n": 0, "rho": None}
+        rho = row["rho"]
+        if rho is None:
+            return TestResult.failure(
+                f"Spearman correlation of {cols} on {self._ref} is "
+                "undefined: insufficient data (no complete rows, or a "
+                "constant column). ",
+                self.get_description(),
+            )
+        lo = self._min_rho if self._min_rho is not None else -1.0
+        hi = self._max_rho if self._max_rho is not None else 1.0
+        if lo <= rho <= hi:
+            return TestResult.success()
+        assertion_text = (
+            f"Spearman correlation of {cols} on {self._ref} is {rho} "
+            f"(n={row['n']}) — outside [{lo}, {hi}]. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

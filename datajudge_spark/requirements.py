@@ -926,6 +926,32 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_spearman_correlation_constraint(
+        self,
+        column_a: str,
+        column_b: str,
+        min_rho: float | None = None,
+        max_rho: float | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the exact tie-averaged
+        Spearman rank correlation between two numeric columns must lie
+        within ``[min_rho, max_rho]`` — the monotone-association gate
+        ("quantity should still drive price"; "latency must not track
+        user id").  Ranks are integer-exact in-engine via
+        bucket-partitioned cumulatives; one digest row reaches the
+        driver."""
+        ref = DataReference(
+            self._data_source, [column_a, column_b], condition
+        )
+        self._constraints.append(
+            stats_constraints.SpearmanBounds(
+                ref, min_rho, max_rho, name=name, cache_size=cache_size
+            )
+        )
+
     def add_mad_outlier_fraction_constraint(
         self,
         column: str,

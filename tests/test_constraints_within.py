@@ -541,3 +541,38 @@ class TestChiSquaredIndependence:
             req.add_chi_squared_independence_constraint(
                 "a", "b", significance_level=0.0
             )
+
+
+class TestSpearmanBounds:
+    def test_pass_and_fail(self, spark):
+        df = spark.createDataFrame(
+            [(v, v * v) for v in range(1, 30)], "a long, b long"
+        )
+        req = within_req(df, "spearman")
+        req.add_spearman_correlation_constraint("a", "b", min_rho=0.99)
+        req.add_spearman_correlation_constraint("a", "b", max_rho=0.5)  # fail
+        assert outcomes(req, spark) == [True, False]
+
+    def test_negative_association(self, spark):
+        df = spark.createDataFrame(
+            [(v, -v) for v in range(1, 20)], "a long, b long"
+        )
+        req = within_req(df, "spearneg")
+        req.add_spearman_correlation_constraint("a", "b", max_rho=-0.99)
+        assert outcomes(req, spark) == [True]
+
+    def test_constant_column_fails_cleanly(self, spark):
+        df = spark.createDataFrame([(1, 5), (2, 5)], "a long, b long")
+        req = within_req(df, "spearconst")
+        req.add_spearman_correlation_constraint("a", "b", min_rho=0.0)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        req = within_req(df, "spearval")
+        with pytest.raises(ValueError):
+            req.add_spearman_correlation_constraint("a", "b")
+        with pytest.raises(ValueError):
+            req.add_spearman_correlation_constraint("a", "b", min_rho=2.0)
