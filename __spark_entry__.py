@@ -2287,6 +2287,24 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_event_value_quartiles(spark, sf_dir):
+    # exact quartiles of the event value per event type, all three from
+    # ONE group-partitioned cumulative window + ONE aggregate — never a
+    # pass per quantile (operators.scalars.grouped_exact_percentiles).
+    from datajudge_spark.operators.scalars import grouped_exact_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", F.col("value").alias("v"))
+    return grouped_exact_percentiles(
+        base, "event_type", "v", [25, 50, 75]
+    ).select(
+        F.col("grp").alias("event_type"),
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    )
+
+
 def q_null_counts_wide(spark, sf_dir):
     # per-column null counts of orders in ONE scan, melted long — the
     # quickest data-quality sweep a table gets.  Conditional sums fuse
@@ -2816,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein": q_wasserstein,
         "source_dup_rate": q_source_dup_rate,
         "doc_length_histogram": q_doc_length_histogram,
+        "event_value_quartiles": q_event_value_quartiles,
         "null_counts_wide": q_null_counts_wide,
         "distinct_customers_matrix": q_distinct_customers_matrix,
         "order_interarrival": q_order_interarrival,
@@ -4267,6 +4286,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "event_value_quartiles": (
+            "WITH c AS (SELECT event_type, value AS v, cume_dist() OVER "
+            "(PARTITION BY event_type ORDER BY value) AS cd FROM events "
+            "WHERE value IS NOT NULL) "
+            "SELECT event_type, "
+            "round(min(CASE WHEN cd >= 0.25 THEN v END), 6) AS p25, "
+            "round(min(CASE WHEN cd >= 0.5 THEN v END), 6) AS p50, "
+            "round(min(CASE WHEN cd >= 0.75 THEN v END), 6) AS p75 "
+            "FROM c GROUP BY event_type"
         ),
         "null_counts_wide": (
             "WITH wide AS (SELECT "

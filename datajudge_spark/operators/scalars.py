@@ -475,3 +475,53 @@ def grouped_exact_percentile(
         .groupBy("grp")
         .agg(F.min("v").alias("value"))
     )
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentages: list,
+) -> DataFrame:
+    """Several exact per-group percentiles in ONE pass: one row per
+    group with a ``p{n}`` column per requested percentage (smallest v
+    such that at least n% of the group's non-null values are <= v).
+
+    Any number of percentiles shares the single group-partitioned
+    cumulative window and ONE aggregate — never a pass per quantile
+    (the multi-quantile form of :func:`grouped_exact_percentile`; same
+    bounded-domain caveat, same single comparison form).
+    """
+    if not percentages:
+        raise ValueError("percentages must be non-empty")
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "grp",
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    def _alias(p):
+        return f"p{int(p)}" if float(p).is_integer() else f"p{p}".replace(".", "_")
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(float(p)) * F.col("total"),
+                F.col("v"),
+            )
+        ).alias(_alias(p))
+        for p in percentages
+    ]
+    return cum.groupBy("grp").agg(*aggs)

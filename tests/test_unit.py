@@ -616,3 +616,35 @@ class TestGiniDegenerate:
         results = req.test(spark)
         assert results[0].outcome is False
         assert "undefined" in results[0].failure_message
+
+
+class TestGroupedPercentiles:
+    def test_quartiles_known(self, spark):
+        from datajudge_spark.operators.scalars import (
+            grouped_exact_percentile,
+            grouped_exact_percentiles,
+        )
+
+        rows = [("a", v) for v in range(1, 101)] + [("b", v) for v in (1, 2, 3, 4)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r["grp"]: r
+            for r in grouped_exact_percentiles(
+                df, "g", "v", [25, 50, 75]
+            ).collect()
+        }
+        assert (got["a"]["p25"], got["a"]["p50"], got["a"]["p75"]) == (25, 50, 75)
+        assert (got["b"]["p25"], got["b"]["p50"], got["b"]["p75"]) == (1, 2, 3)
+        # consistency with the single-percentile form
+        single = {
+            r["grp"]: r["value"]
+            for r in grouped_exact_percentile(df, "g", "v", 50.0).collect()
+        }
+        assert single == {g: got[g]["p50"] for g in got}
+
+    def test_empty_percentages_raises(self, spark):
+        from datajudge_spark.operators.scalars import grouped_exact_percentiles
+
+        df = spark.createDataFrame([("a", 1)], "g string, v long")
+        with pytest.raises(ValueError):
+            grouped_exact_percentiles(df, "g", "v", [])
