@@ -2287,6 +2287,52 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_percentile_drift(spark, sf_dir):
+    # quantile-grid drift report between A-flag and R-flag extended
+    # prices: the exact p25..p99 of BOTH samples, long-form with per-
+    # quantile deltas — the "where exactly did the distribution move?"
+    # companion to the scalar KS/EMD digests.  Each side is the shared-
+    # histogram multi-percentile plan (3 scans for any number of
+    # quantiles); the two 1-row results melt and join on the quantile.
+    from datajudge_spark.operators.scalars import exact_percentiles_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = [25.0, 50.0, 75.0, 90.0, 99.0]
+    cols = [f"p{p:g}" for p in ps]
+
+    def _bands(flag, out):
+        side = li.where(F.col("l_returnflag") == flag).select(
+            _cents("l_extendedprice").alias("c")
+        )
+        return (
+            exact_percentiles_df(side, "c", ps)
+            .select([F.col(c).cast("bigint").alias(c) for c in cols])
+            .unpivot([], cols, "quantile", out)
+        )
+
+    return (
+        _bands("A", "v_a")
+        .join(_bands("R", "v_r"), "quantile")
+        .select(
+            "quantile",
+            "v_a",
+            "v_r",
+            (F.col("v_r") - F.col("v_a")).cast("bigint").alias("delta"),
+        )
+    )
+
+
+def q_text_bigram_logprob(spark, sf_dir):
+    # bigram LM perplexity proxy: word ORDER now matters, so shuffled /
+    # templated junk that fools unigram statistics scores high.
+    # Bigrams build map-side from the token array (no position join);
+    # counts are two partial-agg passes (pipeline.text.bigram_logprob).
+    from datajudge_spark.pipeline.text import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d, "doc_id", "text")
+
+
 def q_event_value_quartiles(spark, sf_dir):
     # exact quartiles of the event value per event type, all three from
     # ONE group-partitioned cumulative window + ONE aggregate — never a
@@ -2834,7 +2880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein": q_wasserstein,
         "source_dup_rate": q_source_dup_rate,
         "doc_length_histogram": q_doc_length_histogram,
+        "text_bigram_logprob": q_text_bigram_logprob,
         "event_value_quartiles": q_event_value_quartiles,
+        "percentile_drift": q_percentile_drift,
         "null_counts_wide": q_null_counts_wide,
         "distinct_customers_matrix": q_distinct_customers_matrix,
         "order_interarrival": q_order_interarrival,
@@ -4286,6 +4334,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "percentile_drift": (
+            "WITH ca AS (SELECT CAST(CAST(l_extendedprice AS "
+            "DECIMAL(18,2)) * 100 AS BIGINT) AS v, cume_dist() OVER "
+            "(ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT)) AS c FROM lineitem WHERE l_returnflag = 'A'), "
+            "cr AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS v, cume_dist() OVER (ORDER BY "
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+            "AS c FROM lineitem WHERE l_returnflag = 'R'), "
+            "a AS (SELECT 'p25' AS quantile, "
+            "(SELECT min(v) FROM ca WHERE c >= 0.25) AS v_a "
+            "UNION ALL SELECT 'p50', "
+            "(SELECT min(v) FROM ca WHERE c >= 0.5) "
+            "UNION ALL SELECT 'p75', "
+            "(SELECT min(v) FROM ca WHERE c >= 0.75) "
+            "UNION ALL SELECT 'p90', "
+            "(SELECT min(v) FROM ca WHERE c >= 0.9) "
+            "UNION ALL SELECT 'p99', "
+            "(SELECT min(v) FROM ca WHERE c >= 0.99)), "
+            "r AS (SELECT 'p25' AS quantile, "
+            "(SELECT min(v) FROM cr WHERE c >= 0.25) AS v_r "
+            "UNION ALL SELECT 'p50', "
+            "(SELECT min(v) FROM cr WHERE c >= 0.5) "
+            "UNION ALL SELECT 'p75', "
+            "(SELECT min(v) FROM cr WHERE c >= 0.75) "
+            "UNION ALL SELECT 'p90', "
+            "(SELECT min(v) FROM cr WHERE c >= 0.9) "
+            "UNION ALL SELECT 'p99', "
+            "(SELECT min(v) FROM cr WHERE c >= 0.99)) "
+            "SELECT a.quantile, v_a, v_r, "
+            "CAST(v_r - v_a AS BIGINT) AS delta "
+            "FROM a JOIN r ON a.quantile = r.quantile"
+        ),
+        "text_bigram_logprob": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS term, "
+            "generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) "
+            "AS ord FROM documents), "
+            "bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2 "
+            "FROM toks a JOIN toks b ON a.doc_id = b.doc_id "
+            "AND b.ord = a.ord + 1), "
+            "tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg "
+            "GROUP BY 1, 2, 3), "
+            "corpus AS (SELECT w1, w2, sum(tf) AS cb FROM tf GROUP BY 1, 2), "
+            "fst AS (SELECT w1, sum(cb) AS cf FROM corpus GROUP BY 1), "
+            "tot AS (SELECT count(*) AS nbig FROM corpus) "
+            "SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams, "
+            "round(sum(tf.tf * -ln((cb + 1) / (cf + nbig))) "
+            "/ sum(tf.tf), 6) AS mean_neg_logprob "
+            "FROM tf JOIN corpus USING (w1, w2) JOIN fst USING (w1) "
+            "CROSS JOIN tot GROUP BY tf.doc_id"
         ),
         "event_value_quartiles": (
             "WITH c AS (SELECT event_type, value AS v, cume_dist() OVER "

@@ -478,3 +478,56 @@ def unigram_logprob(df, id_col: str, text_col: str) -> DataFrame:
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+def bigram_logprob(df, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram negative log-probability — the next step
+    up from :func:`unigram_logprob` as a corpus quality filter: word
+    ORDER now matters, so shuffled/templated junk that fools unigram
+    statistics scores high here.
+
+    ``score(doc) = mean_i -ln p(w_{i+1} | w_i)`` with Laplace smoothing
+    ``p(w2|w1) = (count(w1 w2) + 1) / (count(w1 ·) + B)`` where ``B`` is
+    the number of distinct corpus bigrams — the conditional estimated
+    from this corpus itself.  Documents with < 2 tokens have no bigrams
+    and are absent from the output (they carry no sequence signal).
+
+    Plan shape at corpus scale (same skeleton as unigram/tf-idf):
+    bigrams are built MAP-SIDE from the token array (zip of the array
+    with itself shifted — no self-join on token position); counts are
+    two partial-agg passes; the distinct-bigram total broadcasts; the
+    per-doc fold is one integer-weighted sum with a single final
+    division, rounded to 6 (ln is libm).
+    """
+    from datajudge_spark.pipeline._util import spread
+
+    arr = tokens(text_col)
+    n = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = (
+        spread(df)
+        .where(n >= 2)  # <2 tokens: no bigrams (and slice(n-1) ill-typed)
+        .select(F.col(id_col).alias("_id"), F.explode(pairs).alias("p"))
+        .select("_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tf = bg.groupBy("_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    corpus = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    first = corpus.groupBy("w1").agg(F.sum("cb").alias("cf"))
+    totals = corpus.agg(F.count(F.lit(1)).alias("_nbig"))
+    p = (F.col("cb") + 1) / (F.col("cf") + F.col("_nbig"))
+    return (
+        tf.join(corpus, ["w1", "w2"])
+        .join(first, "w1")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(p)) / F.sum("tf"), 6
+            ).alias("mean_neg_logprob"),
+        )
+    )
