@@ -2287,6 +2287,91 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_text_ttr(spark, sf_dir):
+    # type-token ratio per document (lexical diversity: distinct tokens
+    # over total tokens — low TTR flags repetitive/templated text).
+    # One explode + one partial-agg'd groupBy per doc.
+    from datajudge_spark.pipeline.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("term")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("term").alias("n_types"),
+        F.round(
+            F.count_distinct("term") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("ttr"),
+    )
+
+
+def q_bigram_pmi(spark, sf_dir):
+    # top-20 bigram collocations by pointwise mutual information:
+    # PMI = ln(c(w1,w2)·N / (c(w1,·)·c(·,w2))) over corpus bigrams with
+    # count >= 5 — the classic collocation extractor.  All counts are
+    # exact integers from two partial-agg passes; the ranking key is the
+    # ROUNDED pmi (libm stability) with a deterministic tiebreak, and
+    # top-20 compiles to TakeOrderedAndProject.
+    from datajudge_spark.pipeline.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    arr = tokens("text")
+    n = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = (
+        d.where(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cf = cb.groupBy("w1").agg(F.sum("cb").alias("cf"))
+    cs = cb.groupBy("w2").agg(F.sum("cb").alias("cs"))
+    tot = cb.agg(F.sum("cb").alias("_n"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb").cast("double") * F.col("_n").cast("double"))
+            / (F.col("cf").cast("double") * F.col("cs").cast("double"))
+        ),
+        6,
+    )
+    return (
+        cb.where(F.col("cb") >= 5)
+        .join(cf, "w1")
+        .join(cs, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "cb", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+def q_events_hourly_heatmap(spark, sf_dir):
+    # activity heatmap: counts per (epoch-day mod 7, hour) per event
+    # type — the ops dashboard staple.  Day number is the same
+    # engine-portable epoch datediff used by chi_squared; one
+    # partial-agg'd shuffle, <= 7·24·|types| rows out.
+    ev = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ),
+        F.lit(7),
+    )
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            dow.alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_percentile_drift(spark, sf_dir):
     # quantile-grid drift report between A-flag and R-flag extended
     # prices: the exact p25..p99 of BOTH samples, long-form with per-
@@ -2883,6 +2968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "event_value_quartiles": q_event_value_quartiles,
         "percentile_drift": q_percentile_drift,
+        "text_ttr": q_text_ttr,
+        "bigram_pmi": q_bigram_pmi,
+        "events_hourly_heatmap": q_events_hourly_heatmap,
         "null_counts_wide": q_null_counts_wide,
         "distinct_customers_matrix": q_distinct_customers_matrix,
         "order_interarrival": q_order_interarrival,
@@ -4334,6 +4422,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "text_ttr": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS term "
+            "FROM documents) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT term) AS BIGINT) AS n_types, "
+            "round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 6) "
+            "AS ttr FROM toks GROUP BY doc_id"
+        ),
+        "bigram_pmi": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS term, "
+            "generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) "
+            "AS ord FROM documents), "
+            "bg AS (SELECT a.term AS w1, b.term AS w2 FROM toks a "
+            "JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1), "
+            "cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2), "
+            "cf AS (SELECT w1, sum(cb) AS cf FROM cb GROUP BY 1), "
+            "cs AS (SELECT w2, sum(cb) AS cs FROM cb GROUP BY 1), "
+            "tot AS (SELECT sum(cb) AS n FROM cb) "
+            "SELECT w1, w2, CAST(cb AS BIGINT) AS cb, "
+            "round(ln((CAST(cb AS DOUBLE) * CAST(n AS DOUBLE)) "
+            "/ (CAST(cf AS DOUBLE) * CAST(cs AS DOUBLE))), 6) AS pmi "
+            "FROM cb JOIN cf USING (w1) JOIN cs USING (w2) CROSS JOIN tot "
+            "WHERE cb >= 5 "
+            "ORDER BY pmi DESC, w1, w2 LIMIT 20"
+        ),
+        "events_hourly_heatmap": (
+            "SELECT event_type, "
+            "CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INT) "
+            "AS dow, "
+            "CAST(hour(ts) AS INT) AS hour, count(*) AS n_events "
+            "FROM events GROUP BY event_type, "
+            "((CAST(ts AS DATE) - DATE '1970-01-01') % 7), hour(ts)"
         ),
         "percentile_drift": (
             "WITH ca AS (SELECT CAST(CAST(l_extendedprice AS "
