@@ -925,3 +925,29 @@ class TestCovariancePca:
         assert abs(float(np.dot(v0, target))) > 0.999
         # deterministic sign: largest loading positive
         assert v0[np.argmax(np.abs(v0))] > 0
+
+
+class TestBigramLm:
+    def test_known_corpus(self, spark):
+        import math
+
+        from datajudge_spark.pipeline.text import bigram_logprob
+
+        # corpus bigrams: "a b" x2 (doc1), "a c" x1 (doc2) -> B=2
+        # cf(a)=3; p(b|a)=(2+1)/(3+2)=0.6, p(c|a)=(1+1)/(3+2)=0.4
+        rows = [(1, "a b a b"), (2, "a c"), (3, "x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+        # doc 3 has <2 tokens: absent
+        assert set(got) == {1, 2}
+        # doc1 bigrams: (a,b),(b,a),(a,b) -> counts: ab x2, ba x1, ac x1
+        # recompute expected from the actual model (B=3 distinct bigrams)
+        cb = {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+        cf = {"a": 3, "b": 1}
+        B = len(cb)
+        p = {k: (v + 1) / (cf[k[0]] + B) for k, v in cb.items()}
+        exp1 = (2 * -math.log(p[("a", "b")]) + 1 * -math.log(p[("b", "a")])) / 3
+        exp2 = -math.log(p[("a", "c")])
+        assert got[1]["n_bigrams"] == 3
+        assert got[1]["mean_neg_logprob"] == pytest.approx(exp1, abs=1e-6)
+        assert got[2]["mean_neg_logprob"] == pytest.approx(exp2, abs=1e-6)

@@ -520,3 +520,33 @@ class TestRankStatsProperties:
         # survival is non-increasing
         vals = [got[t] for t in times]
         assert all(x >= y - 1e-12 for x, y in zip(vals, vals[1:]))
+
+
+class TestGroupedPercentilesProperty:
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+            min_size=1,
+            max_size=40,
+        ),
+        p=st.sampled_from([10.0, 25.0, 50.0, 75.0, 90.0]),
+    )
+    @settings(**SETTINGS)
+    def test_matches_naive_per_group(self, spark, rows, p):
+        from datajudge_spark.operators.scalars import grouped_exact_percentile
+
+        df = spark.createDataFrame(rows, "g int, v long")
+        got = {
+            r["grp"]: r["value"]
+            for r in grouped_exact_percentile(df, "g", "v", p).collect()
+        }
+        groups = {}
+        for g, v in rows:
+            groups.setdefault(g, []).append(v)
+        for g, vals in groups.items():
+            xs = sorted(vals)
+            total = len(xs)
+            want = next(
+                x for i, x in enumerate(xs) if (i + 1) * 100 >= p * total
+            )
+            assert got[g] == want
