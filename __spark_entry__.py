@@ -2287,6 +2287,67 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_session_paths(spark, sf_dir):
+    # top-20 user-day event paths ('view>click>purchase'): the classic
+    # path-analysis digest.  Per-(user, day) events sort INSIDE an array
+    # (array_sort of (ts, event_id, event_type) structs — deterministic
+    # tiebreak, no ordered window over the fact table), capped at the
+    # first 20 events; top-20 paths via TakeOrderedAndProject.
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    per_sess = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(
+            F.collect_list(
+                F.struct("ts", "event_id", "event_type")
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort("evs"), 1, 20),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        per_sess.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+def q_equidepth_histogram(spark, sf_dir):
+    # equi-depth (decile-bucketed) histogram of extended price: bucket
+    # edges are the exact p10..p90 (shared-histogram multi-percentile
+    # plan), then ONE conditional-sum scan counts rows per bucket —
+    # ties land in the lower bucket (strict >), identical rule both
+    # engines.
+    from datajudge_spark.operators.scalars import exact_percentiles_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(_cents("l_extendedprice").alias("c")).where(
+        F.col("c").isNotNull()
+    )
+    ps = [float(p) for p in range(10, 100, 10)]
+    thr = exact_percentiles_df(vals, "c", ps)
+    bucket = sum(
+        [
+            F.when(F.col("c") > F.col(f"p{p:g}"), 1).otherwise(0)
+            for p in ps
+        ],
+        F.lit(0),
+    )
+    return (
+        vals.join(F.broadcast(thr))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def q_text_ttr(spark, sf_dir):
     # type-token ratio per document (lexical diversity: distinct tokens
     # over total tokens — low TTR flags repetitive/templated text).
@@ -2971,6 +3032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr": q_text_ttr,
         "bigram_pmi": q_bigram_pmi,
         "events_hourly_heatmap": q_events_hourly_heatmap,
+        "session_paths": q_session_paths,
+        "equidepth_histogram": q_equidepth_histogram,
         "null_counts_wide": q_null_counts_wide,
         "distinct_customers_matrix": q_distinct_customers_matrix,
         "order_interarrival": q_order_interarrival,
@@ -4422,6 +4485,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "session_paths": (
+            "WITH ranked AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+            "event_type, ts, event_id, row_number() OVER "
+            "(PARTITION BY user_id, CAST(ts AS DATE) "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "paths AS (SELECT string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS path FROM ranked WHERE rn <= 20 "
+            "GROUP BY user_id, day) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM paths GROUP BY path "
+            "ORDER BY n_sessions DESC, path LIMIT 20"
+        ),
+        "equidepth_histogram": (
+            "WITH vals AS (SELECT CAST(CAST(l_extendedprice AS "
+            "DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL), "
+            "cd AS (SELECT c AS v, cume_dist() OVER (ORDER BY c) AS d "
+            "FROM vals), "
+            "t AS (SELECT "
+            + ", ".join(
+                f"(SELECT min(v) FROM cd WHERE d >= 0.{p}) AS p{p * 10}"
+                for p in range(1, 10)
+            )
+            + ") SELECT CAST("
+            + " + ".join(
+                f"(CASE WHEN c > p{p * 10} THEN 1 ELSE 0 END)"
+                for p in range(1, 10)
+            )
+            + " AS INT) AS bucket, count(*) AS n_rows "
+            "FROM vals CROSS JOIN t GROUP BY 1"
         ),
         "text_ttr": (
             "WITH toks AS (SELECT doc_id, "
