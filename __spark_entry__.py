@@ -2327,10 +2327,16 @@ def q_equidepth_histogram(spark, sf_dir):
     # ties land in the lower bucket (strict >), identical rule both
     # engines.
     from datajudge_spark.operators.scalars import exact_percentiles_df
+    from datajudge_spark.pipeline._util import materialize_once
 
     li = _t(spark, sf_dir, "lineitem")
-    vals = li.select(_cents("l_extendedprice").alias("c")).where(
-        F.col("c").isNotNull()
+    # the cents projection feeds the stats pass, the bucket histogram,
+    # the filtered threshold scan, AND the final bucketing scan —
+    # persist it once
+    vals = materialize_once(
+        li.select(_cents("l_extendedprice").alias("c")).where(
+            F.col("c").isNotNull()
+        )
     )
     ps = [float(p) for p in range(10, 100, 10)]
     thr = exact_percentiles_df(vals, "c", ps)
