@@ -2287,6 +2287,36 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_winsorized_mean(spark, sf_dir):
+    # robust mean of order totals: values clamp to the exact [p5, p95]
+    # before averaging — the estimator that survives fat tails without
+    # dropping rows (completing the robust family: MAD screen,
+    # percentile trim, winsorize).  Thresholds come from the shared-
+    # histogram exact percentiles; the clamped sum is DECIMAL-exact with
+    # one final double division.
+    from datajudge_spark.operators.scalars import exact_percentiles_df
+    from datajudge_spark.pipeline._util import materialize_once
+
+    o = _t(spark, sf_dir, "orders")
+    vals = materialize_once(
+        o.select(_cents("o_totalprice").alias("c")).where(
+            F.col("c").isNotNull()
+        )
+    )
+    thr = exact_percentiles_df(vals, "c", [5.0, 95.0])
+    clamped = F.greatest(F.least(F.col("c"), F.col("p95")), F.col("p5"))
+    return vals.join(F.broadcast(thr)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.col("p5")).cast("bigint").alias("p5_cents"),
+        F.min(F.col("p95")).cast("bigint").alias("p95_cents"),
+        F.round(
+            F.sum(clamped.cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean_cents"),
+    )
+
+
 def q_session_paths(spark, sf_dir):
     # top-20 user-day event paths ('view>click>purchase'): the classic
     # path-analysis digest.  Per-(user, day) events sort INSIDE an array
@@ -3040,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_heatmap": q_events_hourly_heatmap,
         "session_paths": q_session_paths,
         "equidepth_histogram": q_equidepth_histogram,
+        "winsorized_mean": q_winsorized_mean,
         "null_counts_wide": q_null_counts_wide,
         "distinct_customers_matrix": q_distinct_customers_matrix,
         "order_interarrival": q_order_interarrival,
@@ -4491,6 +4522,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, component, CAST(count(*) AS BIGINT) AS n, "
             "round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
             "AS mean FROM parts GROUP BY label, component"
+        ),
+        "winsorized_mean": (
+            "WITH vals AS (SELECT CAST(CAST(o_totalprice AS "
+            "DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM orders "
+            "WHERE o_totalprice IS NOT NULL), "
+            "cd AS (SELECT c AS v, cume_dist() OVER (ORDER BY c) AS d "
+            "FROM vals), "
+            "t AS (SELECT (SELECT min(v) FROM cd WHERE d >= 0.05) AS p5, "
+            "(SELECT min(v) FROM cd WHERE d >= 0.95) AS p95) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(min(p5) AS BIGINT) AS p5_cents, "
+            "CAST(min(p95) AS BIGINT) AS p95_cents, "
+            "round(CAST(sum(CAST(greatest(least(c, p95), p5) "
+            "AS HUGEINT)) AS DOUBLE) / count(*), 6) "
+            "AS winsorized_mean_cents FROM vals CROSS JOIN t"
         ),
         "session_paths": (
             "WITH ranked AS (SELECT user_id, CAST(ts AS DATE) AS day, "
