@@ -119,10 +119,16 @@ def main() -> None:
     # 8. the same statistics as CI gates
     req = WithinRequirement.from_parquet(f"{SF_DIR}/orders.parquet")
     req.add_gini_max_constraint("o_totalprice", max_gini=0.9)
+    req.add_spearman_correlation_constraint(
+        "o_custkey", "o_totalprice", min_rho=-0.3, max_rho=0.3
+    )  # customer id must NOT predict order size
     breq = BetweenRequirement.from_parquets(
         f"{SF_DIR}/orders.parquet", f"{SF_DIR}/orders.parquet"
     )
     breq.add_mann_whitney_constraint("o_totalprice", "o_totalprice")
+    breq.add_wasserstein_max_constraint(
+        "o_totalprice", "o_totalprice", max_distance=0.0
+    )  # identical snapshots: zero earth-mover drift
     for result in req.test(spark) + breq.test(spark):
         print(f"   gate: {'PASS' if result.outcome else 'FAIL'}")
 
