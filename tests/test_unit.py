@@ -648,3 +648,41 @@ class TestGroupedPercentiles:
         df = spark.createDataFrame([("a", 1)], "g string, v long")
         with pytest.raises(ValueError):
             grouped_exact_percentiles(df, "g", "v", [])
+
+
+class TestFormatter:
+    def test_plain_strips_styling_codes(self):
+        from datajudge_spark.formatter import Formatter
+
+        msg = "expected [numMatch]5[/numMatch] got [numDiff]7[/numDiff]."
+        assert Formatter().fmt_str(msg) == "expected 5 got 7."
+
+    def test_ansi_highlights_diffs_only(self):
+        from datajudge_spark.formatter import AnsiColorFormatter
+
+        msg = "got [numDiff]7[/numDiff] vs [numMatch]5[/numMatch]"
+        out = AnsiColorFormatter().fmt_str(msg)
+        assert "\x1b[46m7\x1b[49m" in out  # diff: cyan background
+        assert "[numMatch]" not in out and "[numDiff]" not in out
+        assert "\x1b[46m5" not in out  # matches are NOT highlighted
+
+    def test_unknown_codes_left_alone(self):
+        from datajudge_spark.formatter import Formatter
+
+        assert Formatter().fmt_str("[bold]x[/bold]") == "[bold]x[/bold]"
+
+
+class TestTableDataSource:
+    def test_from_table_via_temp_view(self, spark):
+        from conftest import within_req  # noqa: F401 (fixture conventions)
+        from datajudge_spark import WithinRequirement
+
+        spark.createDataFrame([(1,), (2,), (3,)], "c long").createOrReplaceTempView(
+            "tds_test_view"
+        )
+        req = WithinRequirement.from_table("tds_test_view")
+        req.add_n_rows_equality_constraint(3)
+        req.add_n_rows_equality_constraint(4)  # fail
+        outcomes = [r.outcome for r in req.test(spark)]
+        assert outcomes == [True, False]
+        spark.catalog.dropTempView("tds_test_view")
