@@ -686,3 +686,51 @@ class TestTableDataSource:
         outcomes = [r.outcome for r in req.test(spark)]
         assert outcomes == [True, False]
         spark.catalog.dropTempView("tds_test_view")
+
+
+class TestPlanCapture:
+    def test_failing_result_carries_optimized_plan(self, spark, tmp_path):
+        from datajudge_spark import WithinRequirement
+
+        p = str(tmp_path / "pc.parquet")
+        spark.createDataFrame([(1,), (2,)], "c long").write.parquet(p)
+        req = WithinRequirement.from_parquet(p)
+        req.add_n_rows_min_constraint(100)  # fail
+        result = req.test(spark)[0]
+        assert result.outcome is False
+        # the optimized Catalyst plan rides on the failure for debugging
+        # (the reference ships the literal SQL; reference base.py:268-287)
+        assert "Factual plans" in result.logging_message
+        assert "Relation" in result.logging_message  # the parquet scan
+
+    def test_success_is_plan_free(self, spark):
+        from datajudge_spark import WithinRequirement
+
+        df = spark.createDataFrame([(1,)], "c long")
+        req = WithinRequirement.from_expression(df, "t")
+        req.add_n_rows_min_constraint(1)
+        result = req.test(spark)[0]
+        assert result.outcome is True
+        assert result.failure_message is None
+
+    def test_plan_string_fallback_is_safe(self):
+        from datajudge_spark.plans import plan_string
+
+        class _Schema:
+            @staticmethod
+            def simpleString():
+                return "struct<c:bigint>"
+
+        class _Broken:
+            schema = _Schema()
+
+            @property
+            def _jdf(self):
+                raise RuntimeError("no jvm")
+
+            @property
+            def _plan(self):
+                raise RuntimeError("no plan")
+
+        out = plan_string(_Broken())
+        assert "unavailable" in out and "struct<c:bigint>" in out
