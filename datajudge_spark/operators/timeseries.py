@@ -185,16 +185,34 @@ def ewma_daily(
         * F.col("x").cast("decimal(19,2)")
     )
     den = F.sum(F.element_at(warr, F.col("k") + 1))
-    # exact rational digest (numerator/denominator), NOT the double
-    # quotient: decimal->double casts are correctly rounded in Spark
-    # (BigDecimal) but not for int128 scale-15 values in every engine, so
-    # the quotient differs by 1 ulp cross-engine ~1% of the time. Same
-    # lesson as moving_stats: ship sum+n, let the consumer divide.
+    # The num/den accumulation stays EXACT decimal (order-insensitive —
+    # the join emits rows in nondeterministic order and double addition
+    # doesn't commute), but the DIGEST is a rounded double quotient, not
+    # the wide rationals: scale-15 int128 decimals proved hash-hostile
+    # downstream (round-3 driver red with value-identical output at 3
+    # SFs).  Casting an int128 decimal straight to double is NOT
+    # correctly rounded in every engine (measured: 18/2399 1-ulp diffs
+    # vs DuckDB at sf0.01), so first narrow each side to an int64-backed
+    # decimal — num to scale 2, den to scale 6; both raws sit far below
+    # 2^53, where the decimal->double conversion is exact division of
+    # exactly-represented integers and therefore bit-identical across
+    # engines.  Width 18, not more: wider decimals are int128-backed in
+    # columnar engines and the inexact conversion returns.  NOTE the
+    # narrowing itself is engine-specific — Spark's decimal->decimal
+    # cast rounds HALF_UP while e.g. DuckDB's truncates — so any oracle
+    # twin must spell the narrowing as round(x, scale) THEN cast (both
+    # engines round decimals half-away-from-zero, identical for the
+    # non-negative sums here).  The final round(_, 2) grid (cent-level,
+    # values ~1e8) is ~1e6 ulps wide, so a stray last-bit wobble in the
+    # division cannot flip it.
     return (
         contrib.groupBy(F.col("d").alias("day"))
         .agg(
-            num.cast("decimal(38,15)").alias("ewma_num"),
-            den.cast("decimal(38,13)").alias("ewma_den"),
+            F.round(
+                num.cast("decimal(18,2)").cast("double")
+                / den.cast("decimal(8,6)").cast("double"),
+                2,
+            ).alias("ewma"),
             F.count(F.lit(1)).alias("n_terms"),
         )
     )

@@ -66,7 +66,7 @@ def main() -> None:
     last = trend.orderBy(F.col("day").desc()).limit(1).collect()[0]
     print(
         "Latest EWMA(14d) of daily revenue: "
-        f"{float(last['ewma_num'] / last['ewma_den']) / 100:,.2f} "
+        f"{last['ewma'] / 100:,.2f} "
         f"({last['n_terms']} terms)"
     )
 

@@ -94,7 +94,7 @@ def test_ewma_exact_decimal_sums_partition_stable(spark, n_parts):
         n_parts
     )
     out = {
-        r["day"]: (str(r["ewma_num"]), str(r["ewma_den"]), r["n_terms"])
+        r["day"]: (repr(r["ewma"]), r["n_terms"])
         for r in ewma_daily(daily, "cents").collect()
     }
     if not hasattr(test_ewma_exact_decimal_sums_partition_stable, "_ref"):

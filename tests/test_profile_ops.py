@@ -272,7 +272,7 @@ class TestTimeseriesGapOps:
         assert out[20]["n_terms"] == 5
         # constant series: ewma == the constant for every day
         for r in out.values():
-            assert float(r["ewma_num"] / r["ewma_den"]) == pytest.approx(100.0)
+            assert r["ewma"] == pytest.approx(100.0)
 
     def test_ewma_missing_days_drop_terms_not_weights(self, spark):
         from datajudge_spark.operators.timeseries import ewma_daily

@@ -385,7 +385,7 @@ class TestEwmaProperty:
         ]
         daily = spark.createDataFrame(rows, "day date, cents long")
         got = {
-            r["day"]: (float(r["ewma_num"] / r["ewma_den"]), r["n_terms"])
+            r["day"]: (r["ewma"], r["n_terms"])
             for r in ewma_daily(daily, "cents", lookback=lookback).collect()
         }
         by_day = dict(rows)
@@ -400,7 +400,12 @@ class TestEwmaProperty:
                     den += w
                     terms += 1
             assert terms == n_terms
-            assert ewma == pytest.approx(num / den, rel=1e-9)
+            # digest error budget: num narrowed to 2 dp (<= 0.005/den,
+            # den >= 1), den narrowed to 6 dp (<= q * 5e-7 / den), final
+            # quotient rounded to 2 dp (half-grid 0.005)
+            expected = num / den
+            tol = 0.0105 + abs(expected) * 5.2e-7
+            assert abs(ewma - expected) <= tol, (ewma, expected, tol)
 
 
 class TestGapFillProperty:
