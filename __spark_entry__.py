@@ -485,6 +485,10 @@ def q_embedding_similar_pairs(spark, sf_dir):
 _MINHASH_K, _LSH_BANDS, _LSH_ROWS, _SHINGLE_N = 12, 4, 3, 3
 _SIMHASH_BITS, _SIMHASH_BANDS, _SIMHASH_MAXHAM = 48, 4, 3
 _JACCARD_T, _JACCARD_MAXDF = 0.6, 100
+# hot-bucket bound for LSH/SimHash pair generation (buckets beyond this
+# emit a star against the min id instead of all pairs) — mirrored in the
+# oracle SQL so both engines thin the same buckets identically
+_LSH_MAX_BUCKET = 4096
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -494,7 +498,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     sig = dedup.minhash_signature(
         d, "doc_id", "text", num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N
     )
-    return dedup.lsh_candidate_pairs(sig, "doc_id", bands=_LSH_BANDS, rows=_LSH_ROWS)
+    return dedup.lsh_candidate_pairs(
+        sig, "doc_id", bands=_LSH_BANDS, rows=_LSH_ROWS,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -511,7 +518,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     sim = dedup.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
     return dedup.simhash_candidate_pairs(
         sim, "doc_id", max_hamming=_SIMHASH_MAXHAM, bits=_SIMHASH_BITS,
-        bands=_SIMHASH_BANDS,
+        bands=_SIMHASH_BANDS, max_bucket=_LSH_MAX_BUCKET,
     )
 
 
@@ -3240,15 +3247,24 @@ def _minhash_lsh_sql() -> str:
             f"SELECT doc_id, {b} AS band, md5({parts}) AS sig FROM sig"
         )
     bands = " UNION ALL ".join(band_selects)
+    # hot-bucket star thinning, same semantics as lsh_candidate_pairs:
+    # buckets over _LSH_MAX_BUCKET emit (min_id, member) instead of all
+    # pairs, so both engines bound a degenerate bucket identically
     return (
         f"WITH {_SHINGLES_CTE}, "
         f"hs AS (SELECT doc_id, {_h_sql('s', 'a', MINHASH_HEX)} AS b1, "
         f"{_h_sql('s', 'b', MINHASH_HEX)} AS b2 FROM sh), "
         f"sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id), "
-        f"bands AS ({bands}) "
-        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a "
-        "JOIN bands b ON a.band = b.band AND a.sig = b.sig "
-        "AND a.doc_id < b.doc_id"
+        f"bands AS ({bands}), "
+        "cb AS (SELECT doc_id, band, sig, "
+        "count(*) OVER (PARTITION BY band, sig) AS n, "
+        "min(doc_id) OVER (PARTITION BY band, sig) AS m FROM bands) "
+        "SELECT DISTINCT d1, d2 FROM ("
+        "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM cb a "
+        "JOIN cb b ON a.band = b.band AND a.sig = b.sig "
+        f"AND a.doc_id < b.doc_id WHERE a.n <= {_LSH_MAX_BUCKET} "
+        "UNION ALL SELECT m AS d1, doc_id AS d2 FROM cb "
+        f"WHERE n > {_LSH_MAX_BUCKET} AND doc_id <> m)"
     )
 
 
@@ -3278,14 +3294,26 @@ def _simhash_pairs_sql() -> str:
         f"(simhash >> {b * width}) & {mask} AS key FROM sig"
         for b in range(_SIMHASH_BANDS)
     )
+    # hot-bucket star thinning mirrors simhash_candidate_pairs: the
+    # min member's signature comes via first_value over the id order
     return (
         f"WITH sig AS ({_simhash_sig_sql()}), "
-        f"bands AS ({band_rows}) "
-        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
+        f"bands AS ({band_rows}), "
+        "cb AS (SELECT doc_id, simhash, band, key, "
+        "count(*) OVER (PARTITION BY band, key) AS n, "
+        "min(doc_id) OVER (PARTITION BY band, key) AS m, "
+        "first_value(simhash) OVER (PARTITION BY band, key ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "AS m_simhash FROM bands) "
+        "SELECT DISTINCT d1, d2, hamming FROM ("
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, "
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
-        "AND a.doc_id < b.doc_id "
-        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAXHAM}"
+        "FROM cb a JOIN cb b ON a.band = b.band AND a.key = b.key "
+        f"AND a.doc_id < b.doc_id WHERE a.n <= {_LSH_MAX_BUCKET} "
+        "UNION ALL SELECT m AS d1, doc_id AS d2, "
+        "CAST(bit_count(xor(m_simhash, simhash)) AS BIGINT) AS hamming "
+        f"FROM cb WHERE n > {_LSH_MAX_BUCKET} AND doc_id <> m) "
+        f"WHERE hamming <= {_SIMHASH_MAXHAM}"
     )
 
 

@@ -26,7 +26,7 @@ to the DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datajudge_spark.pipeline._util import iter_checkpoint, materialize_once, spread
@@ -113,13 +113,26 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, bands: int = 4, rows: int = 3
+    sig: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows: int = 3,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Distinct candidate pairs (d1 < d2) colliding in >= 1 LSH band.
 
     Each band signature is the md5 of the comma-joined band hashes; the
     bucket join shuffles on (band, sig) — tiny keys, and Catalyst/AQE
     handles any hot bucket with skew-join splitting.
+
+    AQE splits the SHUFFLE of a hot bucket but not the B^2 pair rows it
+    emits, and all-identical boilerplate documents (cookie banners,
+    license headers) are routine in web corpora — so buckets larger than
+    ``max_bucket`` members switch from all-pairs to a STAR: every member
+    pairs with the bucket's minimum id (O(B) rows).  Connectivity for
+    downstream clustering (:func:`cluster_pairs`) is preserved — all
+    members still join one component — only the exact pairwise candidate
+    list inside the degenerate bucket is thinned.
     """
     band_structs = []
     for b in range(bands):
@@ -130,23 +143,40 @@ def lsh_candidate_pairs(
             )
         )
     # the signature aggregation is expensive; materialize once so the
-    # self-join's two branches don't recompute it
+    # self-join's two branches don't recompute it.  Bucket size / min
+    # member ride along via one window pass on the SAME (band, sig) key
+    # the join shuffles on — no extra shuffle.
+    w = Window.partitionBy("band", "sig").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     buckets = materialize_once(
         sig.select(
             F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bk")
-        ).select("_id", "bk.band", "bk.sig")
+        )
+        .select("_id", "bk.band", "bk.sig")
+        .select(
+            "_id",
+            "band",
+            "sig",
+            F.count(F.lit(1)).over(w).alias("_n"),
+            F.min("_id").over(w).alias("_m"),
+        )
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
-    return (
+    all_pairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        .where(F.col("a._n") <= max_bucket)
         .select(F.col("a._id").alias("d1"), F.col("b._id").alias("d2"))
-        .distinct()
     )
+    star_pairs = buckets.where(
+        (F.col("_n") > max_bucket) & (F.col("_id") != F.col("_m"))
+    ).select(F.col("_m").alias("d1"), F.col("_id").alias("d2"))
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def simhash(
@@ -199,6 +229,7 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     bits: int = 48,
     bands: int = 4,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """(d1, d2, hamming) pairs sharing >= 1 simhash band with
     hamming(simhash) <= max_hamming.
@@ -209,6 +240,13 @@ def simhash_candidate_pairs(
     has that guarantee with 12-bit bucket keys — wide enough that bucket
     fan-out stays sub-quadratic on real corpora. The hamming check
     itself is JVM-side ``bit_count(xor)``.
+
+    Buckets larger than ``max_bucket`` switch from all-pairs to a STAR
+    against the bucket's minimum id (same hot-bucket bound as
+    :func:`lsh_candidate_pairs`): O(B) rows instead of B^2.  Star pairs
+    still pass through the hamming filter, so a degenerate bucket of
+    near-identical docs keeps its cluster connectivity while a bucket of
+    merely band-colliding docs is thinned to the survivors.
     """
     if bits % bands:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")
@@ -221,28 +259,51 @@ def simhash_candidate_pairs(
         )
         for b in range(bands)
     ]
+    # min(struct(_id, simhash)) orders by _id first, so the window pass
+    # carries the min member's signature along for the star's hamming —
+    # one window on the join's own (band, key), no extra shuffle
+    w = Window.partitionBy("band", "key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     buckets = materialize_once(
         sim.select(
             F.col(id_col).alias("_id"),
             F.col("simhash"),
             F.explode(F.array(*band_structs)).alias("bk"),
-        ).select("_id", "simhash", "bk.band", "bk.key")
+        )
+        .select("_id", "simhash", "bk.band", "bk.key")
+        .select(
+            "_id",
+            "simhash",
+            "band",
+            "key",
+            F.count(F.lit(1)).over(w).alias("_n"),
+            F.min(F.struct("_id", "simhash")).over(w).alias("_m"),
+        )
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
-    pairs = (
+    all_pairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        .where(F.col("a._n") <= max_bucket)
         .select(
             F.col("a._id").alias("d1"),
             F.col("b._id").alias("d2"),
             F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").alias("hamming"),
         )
-        .distinct()
     )
+    star_pairs = buckets.where(
+        (F.col("_n") > max_bucket) & (F.col("_id") != F.col("_m._id"))
+    ).select(
+        F.col("_m._id").alias("d1"),
+        F.col("_id").alias("d2"),
+        F.expr("bit_count(_m.simhash ^ simhash)").cast("bigint").alias("hamming"),
+    )
+    pairs = all_pairs.unionByName(star_pairs).distinct()
     return pairs.where(F.col("hamming") <= max_hamming)
 
 

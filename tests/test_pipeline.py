@@ -81,6 +81,53 @@ class TestDedup:
         with pytest.raises(ValueError):
             dedup.simhash_candidate_pairs(sim, "doc_id", bands=5)
 
+    def test_lsh_hot_bucket_emits_star_not_quadratic(self, spark):
+        # 40 identical docs, cap 10: every band bucket is degenerate, so
+        # the output must be the 39-edge star (min id x members), never
+        # the 780 all-pairs rows — AQE splits a hot bucket's shuffle but
+        # not its B^2 pair output
+        boiler = "this cookie banner text is identical on every single page"
+        docs40 = spark.createDataFrame(
+            [Row(doc_id=i, text=boiler) for i in range(40)]
+        )
+        sig = dedup.minhash_signature(docs40, "doc_id", "text", num_hashes=12)
+        pairs = {
+            (r.d1, r.d2)
+            for r in dedup.lsh_candidate_pairs(
+                sig, "doc_id", bands=4, rows=3, max_bucket=10
+            ).collect()
+        }
+        assert pairs == {(0, i) for i in range(1, 40)}
+
+    def test_lsh_pairs_unchanged_below_cap(self, spark, docs):
+        sig = dedup.minhash_signature(docs, "doc_id", "text", num_hashes=12)
+        uncapped = {
+            (r.d1, r.d2)
+            for r in dedup.lsh_candidate_pairs(
+                sig, "doc_id", bands=4, rows=3, max_bucket=10**9
+            ).collect()
+        }
+        default = {
+            (r.d1, r.d2)
+            for r in dedup.lsh_candidate_pairs(sig, "doc_id", bands=4, rows=3).collect()
+        }
+        assert default == uncapped
+
+    def test_simhash_hot_bucket_emits_star_not_quadratic(self, spark):
+        boiler = "this cookie banner text is identical on every single page"
+        docs30 = spark.createDataFrame(
+            [Row(doc_id=i, text=boiler) for i in range(30)]
+        )
+        sim = dedup.simhash(docs30, "doc_id", "text")
+        pairs = {
+            (r.d1, r.d2): r.hamming
+            for r in dedup.simhash_candidate_pairs(
+                sim, "doc_id", max_bucket=8
+            ).collect()
+        }
+        # identical docs: hamming 0 stars off doc 0, no quadratic blowup
+        assert pairs == {(0, i): 0 for i in range(1, 30)}
+
     def test_jaccard_pairs(self, spark, docs):
         pairs = {
             (r.d1, r.d2): r.jaccard
