@@ -3156,8 +3156,8 @@ def _pagerank_sql(n_iter: int = 10, d: float = 0.85) -> str:
         )
         parts.append(
             f"r{k} AS MATERIALIZED (SELECT nodes.node, "
-            "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) "
-            "/ (SELECT n FROM nn) + CAST(0.85 AS DOUBLE) * "
+            f"(CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) "
+            f"/ (SELECT n FROM nn) + CAST({d} AS DOUBLE) * "
             f"(COALESCE(i{k}.in_rank, CAST(0.0 AS DOUBLE)) + "
             f"(SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank "
             f"FROM nodes LEFT JOIN i{k} ON nodes.node = i{k}.node)"
@@ -4467,7 +4467,7 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE cd >= 0.5), "
             "thr AS (SELECT med, mad, CAST(3.0 AS DOUBLE) * "
             "CAST(1.4826 AS DOUBLE) * CAST(mad AS DOUBLE) AS t FROM m, md) "
-            "SELECT CAST(med AS BIGINT) AS median, CAST(mad AS BIGINT) AS mad, "
+            "SELECT CAST(med AS DOUBLE) AS median, CAST(mad AS DOUBLE) AS mad, "
             "round(t, 6) AS threshold, count(*) AS n_rows, "
             "CAST(sum(CASE WHEN CAST(abs(c - med) AS DOUBLE) > t THEN 1 "
             "ELSE 0 END) AS BIGINT) AS n_outliers, "

@@ -68,6 +68,7 @@ class Uniques(Constraint, abc.ABC):
         reduce_func: Callable[[Collection], Collection] | None = None,
         max_relative_violations=0,
         compare_distinct=False,
+        max_uniques: int | None = None,
     ):
         ref_value: tuple[Collection, list] | None
         ref_value = (uniques, []) if uniques else None
@@ -87,11 +88,14 @@ class Uniques(Constraint, abc.ABC):
         self._global_func = reduce_func
         self._max_relative_violations = max_relative_violations
         self._compare_distinct = compare_distinct
+        self._max_uniques = max_uniques
 
     def _retrieve(
         self, engine: SparkSession, ref: DataReference
     ) -> tuple[tuple[list, list[int]], OptionalSelections]:
-        uniques, selections = ops.get_uniques(engine, ref)
+        uniques, selections = ops.get_uniques(
+            engine, ref, max_uniques=self._max_uniques
+        )
         values = list(uniques.keys())
         values = self._filter_func(values)
         counts = [uniques[value] for value in values]
@@ -345,10 +349,12 @@ class CategoricalBoundConstraint(Constraint):
         name: str | None = None,
         cache_size=None,
         max_relative_violations: float = 0,
+        max_uniques: int | None = None,
         **kwargs,
     ):
         self._default_bounds = default_bounds
         self._max_relative_violations = max_relative_violations
+        self._max_uniques = max_uniques
         super().__init__(
             ref, ref_value=distribution, name=name, cache_size=cache_size, **kwargs
         )
@@ -356,7 +362,7 @@ class CategoricalBoundConstraint(Constraint):
     def _retrieve(
         self, engine: SparkSession, ref: DataReference
     ) -> tuple[Counter, OptionalSelections]:
-        return ops.get_uniques(engine, ref)
+        return ops.get_uniques(engine, ref, max_uniques=self._max_uniques)
 
     def _compare(
         self, value_factual: Counter, value_target: dict

@@ -92,15 +92,22 @@ class VarCharRegex(Constraint):
         n_counterexamples: int = 5,
         name: str | None = None,
         cache_size=None,
+        max_uniques: int | None = None,
     ):
         super().__init__(ref, ref_value=regex, name=name, cache_size=cache_size)
         self._allow_none = allow_none
         self._relative_tolerance = relative_tolerance
         self._aggregated = aggregated
         self._n_counterexamples = n_counterexamples
+        self._max_uniques = max_uniques
 
     def test(self, engine: SparkSession) -> TestResult:
-        uniques_counter, _selections = ops.get_uniques(engine, self._ref)
+        # in-memory regex matching collects O(|distinct|) values — the
+        # cap (SURVEY §3.4) fails fast on accidental high-cardinality
+        # columns instead of flooding the driver
+        uniques_counter, _selections = ops.get_uniques(
+            engine, self._ref, max_uniques=self._max_uniques
+        )
         if not self._allow_none and uniques_counter.get(None):
             return TestResult.failure(
                 "The column contains a None value when it's not allowed. "

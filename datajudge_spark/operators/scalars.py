@@ -377,18 +377,33 @@ def exact_weighted_percentile_df(
 
     Weights must be non-negative integers (counts, cents, token counts)
     so every cumulative sum is exact — no float accumulation order to
-    disagree about. The plan is the same two fully-parallel passes as
-    the unweighted operator: a range-bucket histogram of SUM(weight)
-    (B rows to the driver), a driver cumsum to locate the target
-    bucket, then a cumulative window over the distinct values of that
-    bucket only. The boundary test keeps the ONE comparison form
-    ``cum * 100 >= percentage * total`` (DECIMAL(38,0) on the left so
-    petabyte-scale weight totals cannot overflow the *100).
+    disagree about; a negative ``min(weight)`` raises (it would break
+    the monotone cumulative and silently return a wrong value). The
+    plan is the same two fully-parallel passes as the unweighted
+    operator: a range-bucket histogram of SUM(weight) (B rows to the
+    driver), a driver cumsum to locate the target bucket, then a
+    cumulative window over the distinct values of that bucket only.
+    The boundary test keeps the ONE comparison form, with
+    ``percentage`` expanded to an exact rational p_num/p_den:
+    ``cum * 100 * p_den >= p_num * total`` — all-integer on both the
+    driver and the engine, so the two never disagree even when
+    ``percentage * total`` exceeds double's 2^53 (keep ``percentage``
+    a short decimal; a 15-digit repeating fraction inflates p_den and
+    with it the decimal width headroom).
     """
+    from fractions import Fraction
+
     non_null = df.where(
         F.col(column).isNotNull() & F.col(weight_column).isNotNull()
     )
     w = F.col(weight_column).cast("decimal(38,0)")
+    # percentage as an exact rational (Fraction parses the decimal
+    # string exactly), so the boundary test is INTEGER arithmetic on
+    # both the driver and the engine — a double RHS degrades to 2^53
+    # precision and can disagree with the driver-side bucket selection
+    # for petabyte-scale weight totals
+    frac = Fraction(str(percentage))
+    p_num, p_den = frac.numerator, frac.denominator
 
     def _cum_select(hist, cum_before: int, total: int):
         win = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
@@ -397,17 +412,24 @@ def exact_weighted_percentile_df(
             (F.sum("wsum").over(win) + F.lit(cum_before).cast("decimal(38,0)"))
             .alias("cum_w"),
         )
+        rhs = F.lit(str(p_num * total)).cast("decimal(38,0)")
         return cum.where(
-            F.col("cum_w") * 100 >= F.lit(percentage * total)
+            F.col("cum_w") * (100 * p_den) >= rhs
         ).select(F.min("value").alias("value"))
 
     stats = non_null.agg(
         F.min(column).alias("lo"),
         F.max(column).alias("hi"),
         F.sum(w).alias("total"),
+        F.min(w).alias("wmin"),
     ).first()
     if stats is None or stats["total"] is None or int(stats["total"]) <= 0:
         raise ValueError("Weighted percentile could not be fetched.")
+    if int(stats["wmin"]) < 0:
+        raise ValueError(
+            "Weighted percentile requires non-negative weights; "
+            f"min({weight_column}) = {stats['wmin']}."
+        )
     lo, hi, total = float(stats["lo"]), float(stats["hi"]), int(stats["total"])
     if hi == lo:
         return non_null.agg(F.min(column).alias("value"))
@@ -421,7 +443,7 @@ def exact_weighted_percentile_df(
     )
     cum_before, target_bucket = 0, PERCENTILE_BUCKETS - 1
     for b in sorted(bucket_weights):
-        if (cum_before + int(bucket_weights[b])) * 100 >= percentage * total:
+        if (cum_before + int(bucket_weights[b])) * 100 * p_den >= p_num * total:
             target_bucket = b
             break
         cum_before += int(bucket_weights[b])

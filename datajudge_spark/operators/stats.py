@@ -392,9 +392,12 @@ def mad_outliers(df: DataFrame, column: str, k: float = 3.0) -> DataFrame:
     )
     mad = exact_percentile_df(dev, "__dev", 50.0).first()["value"]
     thr = float(k) * 1.4826 * float(mad)
+    # median/mad reported as double, NOT truncated to bigint: on
+    # double/decimal columns a fractional median must round-trip into
+    # the failure message exactly as the threshold computation saw it
     return non_null.agg(
-        F.lit(med).cast("bigint").alias("median"),
-        F.lit(mad).cast("bigint").alias("mad"),
+        F.lit(med).cast("double").alias("median"),
+        F.lit(mad).cast("double").alias("mad"),
         F.round(F.lit(thr), 6).alias("threshold"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
@@ -439,6 +442,36 @@ def mad_outliers(df: DataFrame, column: str, k: float = 3.0) -> DataFrame:
 RANK_BUCKETS = 2048
 
 
+def _equidepth_bounds(
+    cached: DataFrame, n_buckets: int
+) -> tuple[list, object]:
+    """Equi-DEPTH bucket boundaries for a (v, ...) distinct-value frame:
+    one ``percentile_approx`` sketch pass, deduplicated.  Returns
+    ``(bounds, first_row_stats)`` where stats carries lo/hi for the
+    degenerate checks.  Boundary accuracy affects bucket *balance* only,
+    never correctness — bucket membership is a pure function of v.
+    """
+    # bucket count bounds BOTH the per-row assignment cost (one
+    # comparison per boundary — the array fold is O(B) per distinct
+    # value) and the driver-side offset collect; 4x parallelism keeps
+    # every core busy on the window stage without a 2048-wide fold
+    parallelism = cached.sparkSession.sparkContext.defaultParallelism
+    b_eff = min(n_buckets, max(64, 4 * parallelism))
+    fracs = [i / b_eff for i in range(1, b_eff)]
+    stats = cached.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.percentile_approx("v", fracs, 10_000).alias("bounds"),
+    ).first()
+    bounds, seen = [], set()
+    if stats["bounds"] is not None:
+        for bd in stats["bounds"]:
+            if bd is not None and bd not in seen:
+                seen.add(bd)
+                bounds.append(bd)
+    return bounds, stats
+
+
 def _bucketed_global_cum(
     vals: DataFrame, cnt_cols: list[str], n_buckets: int = RANK_BUCKETS
 ) -> DataFrame:
@@ -447,7 +480,17 @@ def _bucketed_global_cum(
     global window.  ``vals`` must have a numeric column ``v``; rows with
     the same ``v`` must already be aggregated (one row per value).
 
-    The histogram is persisted BEFORE the min/max probe, so the
+    Buckets are EQUI-DEPTH (boundaries from a ``percentile_approx``
+    sketch over the distinct-value rows), not linear [min, max]
+    interpolation: on heavy-tailed domains (revenue, counts) linear
+    edges put nearly every distinct value in one bucket and its window
+    partition degenerates toward the global window this construction
+    exists to avoid.  Depth balance holds by construction regardless of
+    the value distribution; sketch error only perturbs the balance,
+    never the result (bucket membership stays a pure function of v, and
+    the cumulative is exact within and across buckets).
+
+    The histogram is persisted BEFORE the sketch probe, so the
     (potentially expensive) upstream derivation computes once and the
     three consumers — bounds probe, per-bucket totals, windowed join —
     all read cached blocks.
@@ -455,23 +498,22 @@ def _bucketed_global_cum(
     from ..pipeline._util import materialize_once
 
     cached = materialize_once(vals)
-    stats = cached.agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi")
-    ).first()
+    bounds, stats = _equidepth_bounds(cached, n_buckets)
     lo, hi = stats["lo"], stats["hi"]
     if lo is None:
         raise ValueError("rank statistics need at least one non-null value")
     cnt = cnt_cols[0]
-    if float(hi) == float(lo):
+    if float(hi) == float(lo) or not bounds:
         # single distinct value: one row, cum == its count
         return cached.select("v", *cnt_cols, F.col(cnt).alias("cum"))
-    b = F.least(
-        F.floor(
-            (F.col("v").cast("double") - float(lo))
-            / (float(hi) - float(lo))
-            * n_buckets
-        ),
-        F.lit(n_buckets - 1),
+    # bucket = number of boundaries <= v: monotone in v, so bucket ids
+    # enumerate the value ranges in order (ties at a boundary go to the
+    # upper bucket on both sides of any engine — pure arithmetic)
+    b = F.aggregate(
+        F.array(*[F.lit(bd) for bd in bounds]),
+        F.lit(0),
+        lambda acc, bd: acc
+        + F.when(F.col("v") >= bd, F.lit(1)).otherwise(F.lit(0)),
     ).cast("int")
     hist = cached.withColumn("__b", b)
     per_bucket = (
@@ -526,15 +568,19 @@ def gini_coefficient(df: DataFrame, column: str) -> DataFrame:
             * dec(F.col("cnt"))
             * (2 * dec(F.col("cum")) - dec(F.col("cnt")) + 1)
         ).alias("t2"),
+        F.min("v").alias("__vmin"),
     )
     num = (F.col("t2") - (F.col("n") + 1) * F.col("s")).cast("double")
     den = (F.col("n") * F.col("s")).cast("double")
-    # zero total (all values 0): gini is undefined -> NULL, not an ANSI
-    # divide-by-zero (the constraint surface reports "undefined")
+    # zero total (all values 0) OR a negative value (the rank-sum
+    # identity only yields a [0,1] index for non-negative domains):
+    # gini is undefined -> NULL, not an ANSI divide-by-zero or a
+    # silently out-of-range statistic (the constraint surface reports
+    # "undefined"); the check rides the existing digest aggregate
     return agg.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("s").cast("decimal(38,0)").alias("sum_value"),
-        F.when(den != 0, num / den)
+        F.when((den != 0) & (F.col("__vmin") >= 0), num / den)
         .otherwise(F.lit(None).cast("double"))
         .alias("gini"),
     )
@@ -762,11 +808,18 @@ def wasserstein_1d(
             F.sum("__n1").alias("n1"), F.sum("__n2").alias("n2")
         )
     )
+    # equi-depth boundaries ride the totals pass (one sketch column on
+    # the same agg) — linear [lo, hi] edges degenerate on heavy tails,
+    # see _bucketed_global_cum
+    parallelism = hist.sparkSession.sparkContext.defaultParallelism
+    b_eff = min(n_buckets, max(64, 4 * parallelism))
+    fracs = [i / b_eff for i in range(1, b_eff)]
     stats = hist.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
         F.sum("n1").alias("t1"),
         F.sum("n2").alias("t2"),
+        F.percentile_approx("v", fracs, 10_000).alias("bounds"),
     ).first()
     lo, hi, t1, t2 = stats["lo"], stats["hi"], stats["t1"], stats["t2"]
     if lo is None or not t1 or not t2:
@@ -776,10 +829,23 @@ def wasserstein_1d(
         return spark.createDataFrame(
             [(int(t1), int(t2), 0.0)], "n1 long, n2 long, emd double"
         )
-    b = F.least(
-        F.floor((F.col("v") - lo) / (hi - lo) * n_buckets),
-        F.lit(n_buckets - 1),
-    ).cast("int")
+    bounds, seen = [], set()
+    for bd in stats["bounds"] or []:
+        if bd is not None and bd not in seen:
+            seen.add(bd)
+            bounds.append(bd)
+    if bounds:
+        b = F.aggregate(
+            F.array(*[F.lit(bd) for bd in bounds]),
+            F.lit(0),
+            lambda acc, bd: acc
+            + F.when(F.col("v") >= bd, F.lit(1)).otherwise(F.lit(0)),
+        ).cast("int")
+    else:
+        b = F.least(
+            F.floor((F.col("v") - lo) / (hi - lo) * n_buckets),
+            F.lit(n_buckets - 1),
+        ).cast("int")
     bucketed = hist.withColumn("__b", b)
     per_bucket = sorted(
         bucketed.groupBy("__b")

@@ -27,17 +27,39 @@ _Plans = list[DataFrame]
 
 
 def get_uniques(
-    spark: SparkSession, ref: DataReference
+    spark: SparkSession,
+    ref: DataReference,
+    max_uniques: int | None = None,
 ) -> tuple[Counter, _Plans]:
     """Value -> multiplicity Counter over the ref's column(s)
     (reference db_access.py:906-935). Scalar keys for one column, tuple keys
-    for several."""
+    for several.
+
+    ``max_uniques`` is the 100 TB insurance on the driver collect
+    (SURVEY §3.4): when set, a column with more than that many distinct
+    values raises instead of streaming them all into driver memory —
+    the single LIMIT probe costs nothing when the cardinality is sane.
+    Callers that know the domain is categorical can leave it None (the
+    reference's own discipline — it returns a Counter too).
+    """
     column_names = ref.get_columns(spark)
     if not column_names:
         return Counter({}), []
     selection = ref.get_selection(spark)
     grouped = selection.groupBy(*column_names).agg(F.count(F.lit(1)).alias("__dj_cnt"))
-    rows = grouped.collect()
+    if max_uniques is not None:
+        # LIMIT N+1: one bounded job; if a row beyond the cap exists the
+        # collect is over budget and we fail fast with the real count
+        # still uncomputed (computing it exactly would scan again)
+        rows = grouped.limit(max_uniques + 1).collect()
+        if len(rows) > max_uniques:
+            raise ValueError(
+                f"get_uniques({column_names}) exceeded max_uniques="
+                f"{max_uniques} distinct values; use get_unique_count "
+                "for high-cardinality columns or raise the cap."
+            )
+    else:
+        rows = grouped.collect()
     if len(column_names) == 1:
         result = Counter({row[0]: row[-1] for row in rows})
     else:

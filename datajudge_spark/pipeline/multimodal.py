@@ -5,12 +5,13 @@ pointers) beside typed metadata structs; decode / feature-extraction runs
 as Arrow-batched pandas iterators (``mapInPandas``) so each executor
 processes whole record batches without JVM<->Python row ping-pong.
 
-The actual codec libraries (Pillow, torchaudio, av...) are NOT available
-in this environment, so the real decoders raise ``NotImplementedError``
-behind an import gate — but everything Spark-side is real and tested:
-schemas, the Arrow batch path, partition-parallel execution, and a
-deterministic fake decoder whose outputs are pure functions of the bytes
-(therefore verifiable by the SQL oracle).
+The codec libraries (Pillow, torchaudio, av...) may be absent in a given
+environment; :func:`decode_image` is the real Pillow decoder behind an
+import gate (a clear driver-side error when Pillow is missing), while
+the byte-arithmetic operators are deterministic stand-ins whose outputs
+are pure functions of the bytes (therefore verifiable by the SQL
+oracle).  Everything Spark-side — schemas, the Arrow batch path,
+partition-parallel execution — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -34,6 +36,7 @@ __all__ = [
     "attach_binary_payload",
     "MEDIA_META_SCHEMA",
     "decode_media_meta",
+    "IMAGE_META_SCHEMA",
     "decode_image",
     "RESIZED_SCHEMA",
     "resize_payload",
@@ -187,17 +190,61 @@ def sample_frames(
     return media_df.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
-def decode_image(media_df: DataFrame) -> DataFrame:
-    """Real image decode (Pillow) — unavailable in this environment.
+#: Output schema of the real image decoder: id + actual codec metadata.
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mode", StringType()),
+    ]
+)
 
-    The gate shows the intended shape: identical ``mapInPandas`` plumbing
-    with the codec swapped in.
+
+def decode_image(media_df: DataFrame) -> DataFrame:
+    """Real image decode (Pillow): (doc_id, n_bytes, width, height, mode)
+    per payload — same Arrow ``mapInPandas`` plumbing as
+    :func:`decode_media_meta` with the codec swapped in.
+
+    The import is checked ONCE on the driver (a clear error beats one
+    ``ModuleNotFoundError`` per executor task); executors re-import
+    inside the batch iterator as usual.  Undecodable payloads yield NULL
+    dimensions rather than failing the whole partition — at corpus scale
+    a fraction of corrupt media is the norm, and the NULL rows are the
+    quality signal downstream filters key on.
     """
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env has no Pillow
+    except ImportError as exc:
         raise NotImplementedError(
             "image decoding requires Pillow; this environment is text-only. "
             "Plumbing-wise identical to decode_media_meta()."
         ) from exc
-    raise NotImplementedError("real decoder intentionally not implemented here")
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
+        import pandas as pd
+        import PIL.Image
+
+        def meta(payload: bytes):
+            try:
+                with PIL.Image.open(io.BytesIO(payload)) as img:
+                    return img.width, img.height, img.mode
+            except Exception:
+                return None, None, None
+
+        for pdf in batches:
+            decoded = pdf["payload"].map(meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "mode": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    return media_df.mapInPandas(decode, schema=IMAGE_META_SCHEMA)

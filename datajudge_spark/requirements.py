@@ -253,6 +253,7 @@ class WithinRequirement(Requirement):
         condition: Condition | None = None,
         name: str | None = None,
         cache_size=None,
+        max_uniques: int | None = None,
     ) -> None:
         ref = DataReference(self._data_source, columns, condition)
         self._constraints.append(
@@ -265,6 +266,7 @@ class WithinRequirement(Requirement):
                 output_processors=output_processors,
                 name=name,
                 cache_size=cache_size,
+                max_uniques=max_uniques,
             )
         )
 
@@ -282,6 +284,7 @@ class WithinRequirement(Requirement):
         | list[OutputProcessor]
         | None = output_processor_limit,
         cache_size=None,
+        max_uniques: int | None = None,
     ) -> None:
         ref = DataReference(self._data_source, columns, condition)
         self._constraints.append(
@@ -295,6 +298,7 @@ class WithinRequirement(Requirement):
                 output_processors=output_processors,
                 name=name,
                 cache_size=cache_size,
+                max_uniques=max_uniques,
             )
         )
 
@@ -313,6 +317,7 @@ class WithinRequirement(Requirement):
         | list[OutputProcessor]
         | None = output_processor_limit,
         cache_size=None,
+        max_uniques: int | None = None,
     ) -> None:
         ref = DataReference(self._data_source, columns, condition)
         self._constraints.append(
@@ -327,6 +332,7 @@ class WithinRequirement(Requirement):
                 output_processors=output_processors,
                 name=name,
                 cache_size=cache_size,
+                max_uniques=max_uniques,
             )
         )
 
@@ -354,6 +360,7 @@ class WithinRequirement(Requirement):
         condition: Condition | None = None,
         name: str | None = None,
         cache_size=None,
+        max_uniques: int | None = None,
     ) -> None:
         ref = DataReference(self._data_source, columns, condition)
         self._constraints.append(
@@ -364,6 +371,7 @@ class WithinRequirement(Requirement):
                 max_relative_violations=max_relative_violations,
                 name=name,
                 cache_size=cache_size,
+                max_uniques=max_uniques,
             )
         )
 
@@ -705,6 +713,7 @@ class WithinRequirement(Requirement):
         aggregated: bool = True,
         n_counterexamples: int = 5,
         cache_size=None,
+        max_uniques: int | None = None,
     ) -> None:
         ref = DataReference(self._data_source, [column], condition)
         self._constraints.append(
@@ -717,6 +726,7 @@ class WithinRequirement(Requirement):
                 n_counterexamples=n_counterexamples,
                 name=name,
                 cache_size=cache_size,
+                max_uniques=max_uniques,
             )
         )
 
@@ -1306,6 +1316,7 @@ class BetweenRequirement(Requirement):
         condition2: Condition | None = None,
         name: str | None = None,
         cache_size=None,
+        max_uniques: int | None = None,
     ) -> None:
         ref = DataReference(self._data_source, columns1, condition1)
         ref2 = DataReference(self._data_source2, columns2, condition2)
@@ -1319,6 +1330,7 @@ class BetweenRequirement(Requirement):
                 output_processors=output_processors,
                 name=name,
                 cache_size=cache_size,
+                max_uniques=max_uniques,
             )
         )
 
@@ -1337,6 +1349,7 @@ class BetweenRequirement(Requirement):
         | list[OutputProcessor]
         | None = output_processor_limit,
         cache_size=None,
+        max_uniques: int | None = None,
     ) -> None:
         ref = DataReference(self._data_source, columns1, condition1)
         ref2 = DataReference(self._data_source2, columns2, condition2)
@@ -1351,6 +1364,7 @@ class BetweenRequirement(Requirement):
                 output_processors=output_processors,
                 name=name,
                 cache_size=cache_size,
+                max_uniques=max_uniques,
             )
         )
 
@@ -1370,6 +1384,7 @@ class BetweenRequirement(Requirement):
         | list[OutputProcessor]
         | None = output_processor_limit,
         cache_size=None,
+        max_uniques: int | None = None,
     ) -> None:
         ref = DataReference(self._data_source, columns1, condition1)
         ref2 = DataReference(self._data_source2, columns2, condition2)
@@ -1385,6 +1400,7 @@ class BetweenRequirement(Requirement):
                 output_processors=output_processors,
                 name=name,
                 cache_size=cache_size,
+                max_uniques=max_uniques,
             )
         )
 

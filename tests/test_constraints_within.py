@@ -189,6 +189,26 @@ class TestUniques:
         )
         assert outcomes(req, spark) == [True, False, True]
 
+    def test_max_uniques_guard(self, spark, unique_table1):
+        # cap below the actual cardinality (31 distinct incl. NULL):
+        # the collect must fail fast, not flood the driver
+        req = within_req(unique_table1, "unique_table1")
+        req.add_uniques_equality_constraint(
+            ["col_int"], list(range(30)),
+            filter_func=lambda lst: [v for v in lst if v is not None],
+            max_uniques=5,
+        )
+        with pytest.raises(ValueError, match="max_uniques"):
+            req.test(spark)
+        # a generous cap changes nothing
+        req2 = within_req(unique_table1, "unique_table1")
+        req2.add_uniques_equality_constraint(
+            ["col_int"], list(range(30)),
+            filter_func=lambda lst: [v for v in lst if v is not None],
+            max_uniques=1000,
+        )
+        assert outcomes(req2, spark) == [True]
+
     def test_uniques_superset(self, spark, unique_table1):
         req = within_req(unique_table1, "unique_table1")
         req.add_uniques_superset_constraint(

@@ -305,10 +305,36 @@ class TestMultimodal:
             assert got.width == len(payload) % 640
             assert got.height == payload[0] % 480
 
-    def test_decode_image_is_gated(self, spark, docs):
-        media = multimodal.attach_binary_payload(docs, "doc_id", "text")
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(media)
+    def test_decode_image_gated_without_pillow(self, spark, docs):
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                multimodal.decode_image(media)
+        else:
+            pytest.skip("Pillow present; covered by test_decode_image_real")
+
+    def test_decode_image_real(self, spark, docs):
+        # runs wherever Pillow exists: real PNG decodes to its true
+        # dimensions, garbage bytes yield NULL dims instead of failing
+        # the partition
+        PIL = pytest.importorskip("PIL.Image")
+        import io
+
+        from pyspark.sql import Row as R
+
+        buf = io.BytesIO()
+        PIL.new("RGB", (7, 5)).save(buf, format="PNG")
+        rows = [
+            R(doc_id=0, payload=bytearray(buf.getvalue())),
+            R(doc_id=1, payload=bytearray(b"not an image")),
+        ]
+        media = spark.createDataFrame(rows)
+        out = {r.doc_id: r for r in multimodal.decode_image(media).collect()}
+        assert (out[0].width, out[0].height, out[0].mode) == (7, 5, "RGB")
+        assert out[0].n_bytes == len(buf.getvalue())
+        assert (out[1].width, out[1].height, out[1].mode) == (None, None, None)
 
     def test_resize_payload(self, spark, docs):
         media = multimodal.attach_binary_payload(docs, "doc_id", "text")

@@ -479,6 +479,17 @@ class TestRankStatsProperties:
         ) / (n * s)
         assert got == pytest.approx(want, abs=1e-12)
 
+    def test_gini_negative_values_undefined(self, spark):
+        from datajudge_spark.operators.stats import gini_coefficient
+
+        # the rank-sum identity only yields a [0,1] index on
+        # non-negative domains — a negative value must surface NULL,
+        # not a silently out-of-range statistic
+        df = spark.createDataFrame([(-5,), (3,), (10,)], "v long")
+        row = gini_coefficient(df, "v").first()
+        assert row["gini"] is None
+        assert row["n"] == 3
+
     @given(
         a=st.lists(st.integers(0, 20), min_size=1, max_size=25),
         b=st.lists(st.integers(0, 20), min_size=1, max_size=25),

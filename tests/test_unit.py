@@ -250,6 +250,40 @@ class TestExactWeightedPercentile:
         with pytest.raises(ValueError):
             exact_weighted_percentile_df(df, "v", "w", 50.0)
 
+    def test_negative_weight_raises(self, spark):
+        from datajudge_spark.operators.scalars import (
+            exact_weighted_percentile_df,
+        )
+
+        # a negative weight breaks the monotone cumulative — must raise,
+        # not silently return a wrong value (total is still positive)
+        df = spark.createDataFrame(
+            [(1, 5), (2, -1), (3, 5)], "v long, w long"
+        )
+        with pytest.raises(ValueError, match="non-negative"):
+            exact_weighted_percentile_df(df, "v", "w", 50.0)
+
+    def test_fractional_percentage_exact_rational(self, spark):
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.scalars import (
+            exact_percentile_df,
+            exact_weighted_percentile_df,
+        )
+
+        vals = [((i * 13) % 29, (i % 5) + 1) for i in range(200)]
+        df = spark.createDataFrame(vals, "v long, w long")
+        expanded = df.select(
+            F.explode(F.expr("array_repeat(v, CAST(w AS INT))")).alias("v")
+        )
+        # non-integer percentage exercises the Fraction expansion path
+        for pct in [12.5, 33.3, 99.9]:
+            by_weight = exact_weighted_percentile_df(df, "v", "w", pct).first()[
+                "value"
+            ]
+            by_rows = exact_percentile_df(expanded, "v", pct).first()["value"]
+            assert by_weight == by_rows, (pct, by_weight, by_rows)
+
 
 class TestMadOutliers:
     def test_known_values(self, spark):
@@ -407,6 +441,52 @@ class TestBucketedGlobalCum:
             for r in df.select(
                 "v", F.sum("cnt").over(w).alias("cum")
             ).collect()
+        }
+        assert got == want
+
+    def test_heavy_tail_buckets_stay_balanced(self, spark):
+        # heavy-tailed domain: 4000 distinct values in [1, 4000] plus a
+        # 1e12 outlier.  Linear [min, max] edges would land every value
+        # but one in bucket 0 (the window partition degenerates toward
+        # the global window); equi-depth boundaries must keep every
+        # bucket near |distinct|/B.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.stats import (
+            _bucketed_global_cum,
+            _equidepth_bounds,
+        )
+        from datajudge_spark.pipeline._util import materialize_once
+
+        vals = list(range(1, 4001)) + [10**12]
+        df = (
+            spark.createDataFrame([(v,) for v in vals], "v long")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        bounds, _ = _equidepth_bounds(materialize_once(df), 2048)
+        assert len(bounds) >= 32
+        import bisect
+
+        sizes: dict[int, int] = {}
+        for v in vals:
+            b = bisect.bisect_right(sorted(bounds), v)
+            # bisect_right(bounds, v) == #bounds <= v for distinct vals
+            sizes[b] = sizes.get(b, 0) + 1
+        cap = 2 * (len(vals) / (len(bounds) + 1))
+        assert max(sizes.values()) <= cap, sorted(
+            sizes.items(), key=lambda kv: -kv[1]
+        )[:3]
+        # and the cumulative is still exactly the global-window answer
+        got = {
+            r["v"]: r["cum"]
+            for r in _bucketed_global_cum(df, ["cnt"]).collect()
+        }
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["v"]: r["cum"]
+            for r in df.select("v", F.sum("cnt").over(w).alias("cum")).collect()
         }
         assert got == want
 
