@@ -1243,11 +1243,12 @@ def q_streaming_windowed_counts(spark, sf_dir):
         "event_ts", F.col("ts").cast("timestamp")
     )
     # streaming state-store count == shuffle partitions at query start;
-    # (window x type) state is tiny here, and 32 HDFS-backed stores cost
-    # more to init/maintain than the data (measured 4-29 s vs 4 s at 8).
-    # On a real cluster size this to the executor count instead.
+    # (window x type) state is tiny here, and each HDFS-backed store has
+    # a fixed init/commit cost (measured at sf0.1: 4-29 s at 32 stores,
+    # ~1.5 s at 8, ~0.8 s at 4 — the floor is store machinery, not
+    # data).  On a real cluster size this to the executor count instead.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     out = windowed_counts(
         ev,
         "event_ts",
@@ -1372,10 +1373,10 @@ def q_streaming_dedup(spark, sf_dir):
         ev, ["user_id", "event_type"], "event_ts", watermark_delay="1 hour"
     )
     qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    # see q_streaming_windowed_counts: 8 state stores, not 32, for this
+    # see q_streaming_windowed_counts: 4 state stores, not 32, for this
     # state size; size to the executor count on a real cluster
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         query = (
             deduped.writeStream.format("memory")
@@ -1433,7 +1434,7 @@ def q_streaming_sessionize(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_events"))
     qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         query = (
             sess.writeStream.format("memory")
@@ -1487,7 +1488,7 @@ def q_streaming_stateful_counts(spark, sf_dir):
     counts = stateful_running_counts(ev, "user_id", "v")
     qname = f"stream_state_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         query = (
             counts.writeStream.format("memory")
@@ -2270,7 +2271,7 @@ def q_streaming_interval_join(spark, sf_dir):
     qname = f"stream_ivj_{uuid.uuid4().hex[:8]}"
     # see q_streaming_windowed_counts: 8 state stores, not 32
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         query = (
             joined.writeStream.format("memory")

@@ -442,34 +442,82 @@ def mad_outliers(df: DataFrame, column: str, k: float = 3.0) -> DataFrame:
 RANK_BUCKETS = 2048
 
 
-def _equidepth_bounds(
-    cached: DataFrame, n_buckets: int
-) -> tuple[list, object]:
-    """Equi-DEPTH bucket boundaries for a (v, ...) distinct-value frame:
-    one ``percentile_approx`` sketch pass, deduplicated.  Returns
-    ``(bounds, first_row_stats)`` where stats carries lo/hi for the
-    degenerate checks.  Boundary accuracy affects bucket *balance* only,
-    never correctness — bucket membership is a pure function of v.
-    """
+#: Fraction of the (cached) distinct-value frame sampled for boundary
+#: estimation.  Balance precision requirements GROW with histogram size
+#: — exactly when the sample is largest — so a fixed fraction gives
+#: near-free boundaries on the frames where the full sketch was the
+#: dominant cost (measured ~1.5 s of a 4 s spearman at sf0.1) and
+#: harmlessly coarse buckets on small frames whose windows are cheap
+#: regardless.
+EQUIDEPTH_SAMPLE_FRACTION = 0.05
+
+
+#: Minimum sample rows backing each kept bucket: boundary ranks
+#: estimated from fewer points are mostly noise, so the boundary list is
+#: thinned until every bucket's depth estimate rests on at least this
+#: many samples (~15% balance error at 50).
+_MIN_SAMPLES_PER_BUCKET = 50
+
+
+def _dedupe_bounds(raw, sample_n: int | None = None) -> list:
+    bounds, seen = [], set()
+    for bd in raw or []:
+        if bd is not None and bd not in seen:
+            seen.add(bd)
+            bounds.append(bd)
+    if sample_n is not None and bounds:
+        target = max(1, min(len(bounds), sample_n // _MIN_SAMPLES_PER_BUCKET))
+        if target < len(bounds):
+            # keep the quantile positions j/(target+1) — coarser but
+            # still equi-depth (boundary i sits at quantile (i+1)/(B+1))
+            nb = len(bounds)
+            idx = sorted(
+                {
+                    min(nb - 1, max(0, round(j * (nb + 1) / (target + 1)) - 1))
+                    for j in range(1, target + 1)
+                }
+            )
+            bounds = [bounds[i] for i in idx]
+    return bounds
+
+
+def _equidepth_fracs(spark, n_buckets: int) -> list[float]:
     # bucket count bounds BOTH the per-row assignment cost (one
     # comparison per boundary — the array fold is O(B) per distinct
     # value) and the driver-side offset collect; 4x parallelism keeps
     # every core busy on the window stage without a 2048-wide fold
-    parallelism = cached.sparkSession.sparkContext.defaultParallelism
+    parallelism = spark.sparkContext.defaultParallelism
     b_eff = min(n_buckets, max(64, 4 * parallelism))
-    fracs = [i / b_eff for i in range(1, b_eff)]
+    return [i / b_eff for i in range(1, b_eff)]
+
+
+def _equidepth_bounds(
+    cached: DataFrame, n_buckets: int
+) -> tuple[list, object]:
+    """Equi-DEPTH bucket boundaries for a (v, ...) distinct-value frame:
+    a ``percentile_approx`` sketch (accuracy 1000) over a
+    ``EQUIDEPTH_SAMPLE_FRACTION`` sample of the cached frame.  Returns
+    ``(bounds, stats_row)`` where stats carries lo/hi for the
+    degenerate checks.  Boundary/sample error affects bucket *balance*
+    only, never correctness — bucket membership is a pure function of
+    v.  ``bounds`` may be empty (tiny frame, empty sample): callers
+    must fall back to linear interpolation, not assume a single value.
+    """
+    fracs = _equidepth_fracs(cached.sparkSession, n_buckets)
     stats = cached.agg(
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-        F.percentile_approx("v", fracs, 10_000).alias("bounds"),
+        F.min("v").alias("lo"), F.max("v").alias("hi")
     ).first()
-    bounds, seen = [], set()
-    if stats["bounds"] is not None:
-        for bd in stats["bounds"]:
-            if bd is not None and bd not in seen:
-                seen.add(bd)
-                bounds.append(bd)
-    return bounds, stats
+    if stats["lo"] is None or stats["lo"] == stats["hi"] or not fracs:
+        return [], stats
+    row = (
+        cached.sample(EQUIDEPTH_SAMPLE_FRACTION, seed=7)
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.percentile_approx("v", fracs, 1_000).alias("bounds"),
+        )
+        .first()
+    )
+    return _dedupe_bounds(row["bounds"], sample_n=int(row["m"])), stats
 
 
 def _bucketed_global_cum(
@@ -503,18 +551,29 @@ def _bucketed_global_cum(
     if lo is None:
         raise ValueError("rank statistics need at least one non-null value")
     cnt = cnt_cols[0]
-    if float(hi) == float(lo) or not bounds:
+    if float(hi) == float(lo):
         # single distinct value: one row, cum == its count
         return cached.select("v", *cnt_cols, F.col(cnt).alias("cum"))
-    # bucket = number of boundaries <= v: monotone in v, so bucket ids
-    # enumerate the value ranges in order (ties at a boundary go to the
-    # upper bucket on both sides of any engine — pure arithmetic)
-    b = F.aggregate(
-        F.array(*[F.lit(bd) for bd in bounds]),
-        F.lit(0),
-        lambda acc, bd: acc
-        + F.when(F.col("v") >= bd, F.lit(1)).otherwise(F.lit(0)),
-    ).cast("int")
+    if bounds:
+        # bucket = number of boundaries <= v: monotone in v, so bucket
+        # ids enumerate the value ranges in order (ties at a boundary go
+        # to the upper bucket on both sides of any engine — arithmetic)
+        b = F.aggregate(
+            F.array(*[F.lit(bd) for bd in bounds]),
+            F.lit(0),
+            lambda acc, bd: acc
+            + F.when(F.col("v") >= bd, F.lit(1)).otherwise(F.lit(0)),
+        ).cast("int")
+    else:
+        # empty sample (tiny frame): linear edges are fine at that size
+        b = F.least(
+            F.floor(
+                (F.col("v").cast("double") - float(lo))
+                / (float(hi) - float(lo))
+                * n_buckets
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int")
     hist = cached.withColumn("__b", b)
     per_bucket = (
         hist.groupBy("__b").agg(F.sum(cnt).alias("c")).collect()
@@ -704,6 +763,11 @@ def chi_squared_independence(
     )
 
 
+#: Distinct-value count under which a rank map is treated as a
+#: broadcastable dimension in spearman_correlation.
+SPEARMAN_BROADCAST_DISTINCT = 100_000
+
+
 def spearman_correlation(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     """Exact Spearman rank correlation (tie-averaged) between two
     numeric columns, as one digest row (n, rho).
@@ -711,22 +775,33 @@ def spearman_correlation(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     Each column's tie-averaged ranks come from its distinct-value
     histogram via the bucket-partitioned cumulative (no global window),
     DOUBLED to stay integer: ``2*avg_rank(v) = 2*cum(v) - cnt(v) + 1``.
-    Rows join back to their rank by value (an equi-join on the value —
-    the histogram side is the smaller, already-aggregated relation), and
-    rho is the Pearson formula over the doubled ranks with DECIMAL(38,0)
-    -exact sufficient statistics; the shared factor 2 cancels.  Only the
-    final quotient is double.  Extension — peers Pearson
-    ``pairwise_corr`` (operators/profile.py) for monotone association.
+    Sufficient statistics are DECIMAL(38,0)-exact over the doubled ranks
+    (the shared factor 2 cancels in the Pearson formula); only the final
+    quotient is double.
+
+    Plan shape is cardinality-adaptive (rho is symmetric, so the roles
+    can swap).  When either column's distinct count is small — ratings,
+    quantities, bucketed scores; the common monotone-association shape —
+    its rank map BROADCASTS onto the pair frame, and every y-side
+    statistic folds through the y HISTOGRAM itself:
+    ``Σ rx·ry = Σ_v ry(v)·S_v`` with ``S_v = Σ_{rows y=v} rx`` riding
+    the same groupBy that builds the histogram.  That removes both
+    fact-table join-backs — the dominant cost of the naive plan
+    (measured 2.1 s of a 4.2 s total at sf0.1 on a near-unique column).
+    When both sides are near-unique the plan falls back to the two
+    equi-joins against the aggregated rank maps.  Extension — peers
+    Pearson ``pairwise_corr`` (operators/profile.py).
     """
     from ..pipeline._util import materialize_once
 
-    # the pair projection feeds BOTH rank-map derivations AND the final
-    # ranked join — persist it once or the source scans three times
+    # the pair projection feeds the rank-map derivations AND the final
+    # fold — persist it once or the source scans three times
     base = materialize_once(
         df.where(
             F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
         ).select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
     def _rank_map(col: str, out: str) -> DataFrame:
         hist = base.groupBy(F.col(col).alias("v")).agg(
@@ -738,18 +813,69 @@ def spearman_correlation(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             (2 * F.col("cum") - F.col("cnt") + 1).alias(out),
         )
 
-    ranked = base.join(_rank_map("__x", "__rx"), "__x").join(
-        _rank_map("__y", "__ry"), "__y"
-    )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    agg = ranked.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(dec(F.col("__rx"))).alias("sx"),
-        F.sum(dec(F.col("__ry"))).alias("sy"),
-        F.sum(dec(F.col("__rx")) * dec(F.col("__ry"))).alias("sxy"),
-        F.sum(dec(F.col("__rx")) * dec(F.col("__rx"))).alias("sxx"),
-        F.sum(dec(F.col("__ry")) * dec(F.col("__ry"))).alias("syy"),
-    )
+    # probe the cheaper cardinality first (tiny aggs over the cache)
+    n_x = base.select("__x").distinct().limit(
+        SPEARMAN_BROADCAST_DISTINCT + 1
+    ).count()
+    small, big = None, None
+    if n_x <= SPEARMAN_BROADCAST_DISTINCT:
+        small, big = "__x", "__y"
+    else:
+        n_y = base.select("__y").distinct().limit(
+            SPEARMAN_BROADCAST_DISTINCT + 1
+        ).count()
+        if n_y <= SPEARMAN_BROADCAST_DISTINCT:
+            small, big = "__y", "__x"
+
+    if small is not None:
+        # the small side's histogram is <= SPEARMAN_BROADCAST_DISTINCT
+        # rows by the probe above — a bounded-domain frame where one
+        # ordered window IS the cheap plan (the bucketed machinery's
+        # sketch/offset jobs cost more than they save at this size)
+        hist_small = base.groupBy(F.col(small).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w_small = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        rmap = hist_small.select(
+            F.col("v").alias(small),
+            (
+                2 * F.sum("cnt").over(w_small) - F.col("cnt") + 1
+            ).alias("__rs"),
+        )
+        # one shuffle on the big column: histogram + per-value Σrs, Σrs²
+        hist_big = (
+            base.join(F.broadcast(rmap), small)
+            .groupBy(F.col(big).alias("v"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(dec(F.col("__rs"))).alias("ss"),
+                F.sum(dec(F.col("__rs")) * dec(F.col("__rs"))).alias("sss"),
+            )
+        )
+        cum = _bucketed_global_cum(hist_big, ["cnt", "ss", "sss"])
+        rb = 2 * dec(F.col("cum")) - dec(F.col("cnt")) + 1
+        agg = cum.agg(
+            F.sum(dec(F.col("cnt"))).alias("n"),
+            F.sum(F.col("ss")).alias("sx"),
+            F.sum(F.col("sss")).alias("sxx"),
+            F.sum(dec(F.col("cnt")) * rb).alias("sy"),
+            F.sum(dec(F.col("cnt")) * rb * rb).alias("syy"),
+            F.sum(F.col("ss") * rb).alias("sxy"),
+        )
+    else:
+        ranked = base.join(_rank_map("__x", "__rx"), "__x").join(
+            _rank_map("__y", "__ry"), "__y"
+        )
+        agg = ranked.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(dec(F.col("__rx"))).alias("sx"),
+            F.sum(dec(F.col("__ry"))).alias("sy"),
+            F.sum(dec(F.col("__rx")) * dec(F.col("__ry"))).alias("sxy"),
+            F.sum(dec(F.col("__rx")) * dec(F.col("__rx"))).alias("sxx"),
+            F.sum(dec(F.col("__ry")) * dec(F.col("__ry"))).alias("syy"),
+        )
     n = F.col("n")
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -808,18 +934,11 @@ def wasserstein_1d(
             F.sum("__n1").alias("n1"), F.sum("__n2").alias("n2")
         )
     )
-    # equi-depth boundaries ride the totals pass (one sketch column on
-    # the same agg) — linear [lo, hi] edges degenerate on heavy tails,
-    # see _bucketed_global_cum
-    parallelism = hist.sparkSession.sparkContext.defaultParallelism
-    b_eff = min(n_buckets, max(64, 4 * parallelism))
-    fracs = [i / b_eff for i in range(1, b_eff)]
     stats = hist.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
         F.sum("n1").alias("t1"),
         F.sum("n2").alias("t2"),
-        F.percentile_approx("v", fracs, 10_000).alias("bounds"),
     ).first()
     lo, hi, t1, t2 = stats["lo"], stats["hi"], stats["t1"], stats["t2"]
     if lo is None or not t1 or not t2:
@@ -829,11 +948,21 @@ def wasserstein_1d(
         return spark.createDataFrame(
             [(int(t1), int(t2), 0.0)], "n1 long, n2 long, emd double"
         )
-    bounds, seen = [], set()
-    for bd in stats["bounds"] or []:
-        if bd is not None and bd not in seen:
-            seen.add(bd)
-            bounds.append(bd)
+    # equi-depth boundaries from a sampled sketch over the CACHED
+    # histogram — linear [lo, hi] edges degenerate on heavy tails, see
+    # _bucketed_global_cum; the sample keeps the boundary pass ~free
+    fracs = _equidepth_fracs(spark, n_buckets)
+    bounds = []
+    if fracs:
+        row = (
+            hist.sample(EQUIDEPTH_SAMPLE_FRACTION, seed=7)
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.percentile_approx("v", fracs, 1_000).alias("bounds"),
+            )
+            .first()
+        )
+        bounds = _dedupe_bounds(row["bounds"], sample_n=int(row["m"]))
     if bounds:
         b = F.aggregate(
             F.array(*[F.lit(bd) for bd in bounds]),
