@@ -273,6 +273,94 @@ def ks_d_statistic_distributed(
     return float(d)
 
 
+def grouped_ks(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list | None = None,
+    max_groups: int = 100,
+) -> DataFrame:
+    """Per-group KS distance against the POOLED distribution: one row
+    ``(group, n, d)`` per group, ``d = sup_v |F_g(v) - F(v)|``.
+
+    The drift question "which segment's value distribution moved?"
+    asked for every segment at once.  Plan: ONE conditional-aggregation
+    shuffle builds the (value, per-group count, total count) histogram —
+    |distinct values| rows regardless of group count; every cumulative
+    comes from the shared bucket-partitioned multi-cumulative (one
+    sketch, one window stage for ALL groups — never a global window,
+    never one scan per group); group totals are the max cumulants, read
+    in the same final aggregate.  The sup over pooled step points is
+    exact: every group's CDF only changes at pooled points and both step
+    functions are right-continuous.
+
+    ``groups`` pins the group list (deterministic, no discovery scan);
+    when None the distinct groups are collected, capped at
+    ``max_groups`` (this is a categorical-segment operator — a
+    high-cardinality group column wants one KS per ad-hoc filter
+    instead).  Extension — no reference counterpart; generalizes the
+    two-sample KS (db_access.py:1283-1315) to k segments.
+    """
+    non_null = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    if groups is None:
+        rows = (
+            non_null.select(F.col(group_col).alias("g"))
+            .distinct()
+            .limit(max_groups + 1)
+            .collect()
+        )
+        if len(rows) > max_groups:
+            raise ValueError(
+                f"grouped_ks: more than max_groups={max_groups} distinct "
+                f"groups in {group_col}; pass an explicit `groups` list."
+            )
+        groups = sorted(r["g"] for r in rows)
+    cnt_aliases = [f"c{i}" for i in range(len(groups))]
+    hist = non_null.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.count(F.when(F.col(group_col) == F.lit(g), 1)).alias(a)
+            for g, a in zip(groups, cnt_aliases)
+        ],
+    )
+    from ..pipeline._util import materialize_once
+
+    cums = materialize_once(_bucketed_global_cums(hist, ["cnt"] + cnt_aliases))
+    # group totals are the max cumulants — one tiny probe over the cache
+    tot = cums.agg(
+        F.max("cum_cnt").alias("nt"),
+        *[F.max(f"cum_{a}").alias(a) for a in cnt_aliases],
+    ).first()
+    n_total = int(tot["nt"])
+    d_exprs = []
+    for a in cnt_aliases:
+        n_g = int(tot[a] or 0)
+        if n_g == 0:
+            # empty group: KS vs pooled is undefined -> NULL
+            d_exprs.append(F.lit(None).cast("double").alias(f"d_{a}"))
+        else:
+            d_exprs.append(
+                F.max(
+                    F.abs(
+                        F.col(f"cum_{a}").cast("double") / F.lit(n_g)
+                        - F.col("cum_cnt").cast("double") / F.lit(n_total)
+                    )
+                ).alias(f"d_{a}")
+            )
+    agg = cums.agg(*d_exprs)
+    stack_args = ", ".join(
+        f"'{g}', CAST({int(tot[a] or 0)} AS BIGINT), d_{a}"
+        for g, a in zip(groups, cnt_aliases)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(groups)}, {stack_args}) AS ({group_col}, n, d)"
+        )
+    ).select(group_col, "n", F.round("d", 6).alias("d"))
+
+
 def value_bucket(
     value: Column | str, lo: float, hi: float, n_buckets: int
 ) -> Column:
@@ -545,15 +633,42 @@ def _bucketed_global_cum(
     """
     from ..pipeline._util import materialize_once
 
+    out = _bucketed_global_cums(
+        vals, [cnt_cols[0]], carry_cols=cnt_cols[1:], n_buckets=n_buckets
+    )
+    return out.withColumnRenamed(f"cum_{cnt_cols[0]}", "cum").select(
+        "v", *cnt_cols, "cum"
+    )
+
+
+def _bucketed_global_cums(
+    vals: DataFrame,
+    cum_cols: list[str],
+    carry_cols: tuple | list = (),
+    n_buckets: int = RANK_BUCKETS,
+) -> DataFrame:
+    """Generalized bucket-partitioned cumulative: adds ``cum_<c>`` — the
+    INCLUSIVE global cumulative in ascending ``v`` order — for EVERY
+    long-typed column c in ``cum_cols``, sharing one sketch probe, one
+    per-bucket offsets collect (B rows x |cum_cols| longs) and one
+    window stage.  ``carry_cols`` pass through untouched.  Same contract
+    as :func:`_bucketed_global_cum`: one row per distinct ``v``.
+    """
+    from ..pipeline._util import materialize_once
+
     cached = materialize_once(vals)
     bounds, stats = _equidepth_bounds(cached, n_buckets)
     lo, hi = stats["lo"], stats["hi"]
     if lo is None:
         raise ValueError("rank statistics need at least one non-null value")
-    cnt = cnt_cols[0]
     if float(hi) == float(lo):
-        # single distinct value: one row, cum == its count
-        return cached.select("v", *cnt_cols, F.col(cnt).alias("cum"))
+        # single distinct value: one row, each cum == its own count
+        return cached.select(
+            "v",
+            *cum_cols,
+            *carry_cols,
+            *[F.col(c).alias(f"cum_{c}") for c in cum_cols],
+        )
     if bounds:
         # bucket = number of boundaries <= v: monotone in v, so bucket
         # ids enumerate the value ranges in order (ties at a boundary go
@@ -575,29 +690,39 @@ def _bucketed_global_cum(
             F.lit(n_buckets - 1),
         ).cast("int")
     hist = cached.withColumn("__b", b)
-    per_bucket = (
-        hist.groupBy("__b").agg(F.sum(cnt).alias("c")).collect()
-    )
-    base, offsets = 0, {}
+    per_bucket = hist.groupBy("__b").agg(
+        *[F.sum(c).alias(c) for c in cum_cols]
+    ).collect()
+    acc = {c: 0 for c in cum_cols}
+    offsets: dict[str, dict[int, int]] = {c: {} for c in cum_cols}
     for row in sorted(per_bucket, key=lambda r: r["__b"]):
-        offsets[row["__b"]] = base
-        base += row["c"]
-    spark = vals.sparkSession
-    base_df = spark.createDataFrame(
-        [(int(k), int(v)) for k, v in offsets.items()], "__b int, __base long"
-    )
+        for c in cum_cols:
+            offsets[c][int(row["__b"])] = int(acc[c])
+            acc[c] += row[c]
     w = (
         Window.partitionBy("__b")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        hist.join(F.broadcast(base_df), "__b")
-        .select(
-            "v",
-            *cnt_cols,
-            (F.sum(cnt).over(w) + F.col("__base")).alias("cum"),
-        )
+
+    # the <=B per-column offsets ship as LITERAL maps, not a broadcast
+    # join: strictly map-side (no join machinery in the window's child —
+    # a join there also trips a Catalyst binding bug at some partition
+    # counts), and a few hundred int literals are free to plan
+    def _off(c: str):
+        pairs = []
+        for k, off in offsets[c].items():
+            pairs.extend((F.lit(k), F.lit(off).cast("long")))
+        return F.element_at(F.create_map(*pairs), F.col("__b"))
+
+    return hist.select(
+        "v",
+        *cum_cols,
+        *carry_cols,
+        *[
+            (F.sum(c).over(w) + _off(c)).alias(f"cum_{c}")
+            for c in cum_cols
+        ],
     )
 
 
@@ -998,9 +1123,15 @@ def wasserstein_1d(
         acc1 += int(r["c1"])
         acc2 += int(r["c2"])
         prev = (r["mx"], acc1, acc2)
-    off_df = spark.createDataFrame(
-        offsets, "__b int, __o1 long, __o2 long"
-    )
+    # offsets ship as literal maps, not a broadcast join — map-side, and
+    # a join below a window trips a Catalyst binding bug at some
+    # partition counts (see _bucketed_global_cums)
+    def _off(idx: int):
+        pairs = []
+        for tup in offsets:
+            pairs.extend((F.lit(tup[0]), F.lit(tup[idx]).cast("long")))
+        return F.element_at(F.create_map(*pairs), F.col("__b"))
+
     w = (
         Window.partitionBy("__b")
         .orderBy("v")
@@ -1008,12 +1139,11 @@ def wasserstein_1d(
     )
     w_lead = Window.partitionBy("__b").orderBy("v")
     diff = F.abs(
-        (F.sum("n1").over(w) + F.col("__o1")) / F.lit(float(t1))
-        - (F.sum("n2").over(w) + F.col("__o2")) / F.lit(float(t2))
+        (F.sum("n1").over(w) + _off(1)) / F.lit(float(t1))
+        - (F.sum("n2").over(w) + _off(2)) / F.lit(float(t2))
     )
     within = (
-        bucketed.join(F.broadcast(off_df), "__b")
-        .select(
+        bucketed.select(
             (diff * (F.lead("v").over(w_lead) - F.col("v"))).alias("__c")
         )
         .agg(F.coalesce(F.sum("__c"), F.lit(0.0)).alias("__s"))

@@ -218,6 +218,52 @@ def ewma_daily(
     )
 
 
+def theil_sen_slope(daily: DataFrame, value_col: str = "total") -> DataFrame:
+    """Theil-Sen trend estimator over a daily frame: the MEDIAN of all
+    pairwise slopes ``(v_j - v_i) / (d_j - d_i)``, one digest row
+    ``(n_days, n_pairs, slope)``.  Robust to outliers where the OLS
+    slope (``trend_slope``) is not — one anomalous day moves OLS but not
+    the pairwise median.
+
+    Scale: the all-pairs join runs on the DAILY frame — calendar-bounded
+    (decades ~ 10^4 days → ~10^7.7 pairs), never the fact table; the
+    expensive part (the daily aggregate feeding this) stays fully
+    parallel upstream.  Slopes are correctly-rounded doubles of exact
+    integer differences (engine-portable), the median is the two-pass
+    range-bucketed exact percentile (smallest slope with >= 50% of pairs
+    <= it) — no global sort.  The pair frame is persisted once; the
+    percentile's two passes read cache.
+
+    Extension — no reference counterpart; nearest relatives are
+    ``trend_slope`` (OLS, __spark_entry__) and ``moving_stats``.
+    """
+    from ..pipeline._util import materialize_once
+
+    a = daily.select(F.col("day").alias("d1"), F.col(value_col).alias("v1"))
+    b = daily.select(F.col("day").alias("d2"), F.col(value_col).alias("v2"))
+    slope = (
+        (F.col("v2") - F.col("v1")).cast("double")
+        / F.datediff(F.col("d2"), F.col("d1")).cast("double")
+    )
+    slopes = materialize_once(
+        a.join(b, F.col("d1") < F.col("d2")).select(slope.alias("slope"))
+    )
+    from .scalars import exact_percentile_df
+
+    counts = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    med = exact_percentile_df(slopes, "slope", 50.0)
+    return (
+        n_days.crossJoin(counts)
+        .crossJoin(med)
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.col("value"), 6).alias("slope"),
+        )
+    )
+
+
 def zscore_anomalies(
     daily: DataFrame,
     value_col: str = "total",

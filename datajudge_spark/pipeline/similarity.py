@@ -33,6 +33,9 @@ __all__ = [
     "topk_ivf",
     "near_dup_pairs",
     "kmeans_centroids",
+    "pq_codebook",
+    "pq_encode",
+    "topk_pq",
     "quantize_embeddings",
     "save_ivf_index",
     "load_ivf_index",
@@ -266,6 +269,147 @@ def near_dup_pairs(
         pairs.select("d1", "d2", cosine("_v1", "_v2").alias("cos"))
         .where(F.col("cos") > threshold)
         .select("d1", "d2", F.round("cos", 6).alias("cos"))
+    )
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    n_codes: int = 16,
+    v_id: str = "vid",
+    v_vec: str = "vvec",
+) -> list[list[float]]:
+    """Deterministic PQ codebook: the ``n_codes`` lowest-id vectors,
+    as driver-held lists (n_codes x dim doubles — the FAISS layout,
+    where codebooks are broadcast constants, never a joined relation).
+
+    Deterministic-by-id seeding keeps the codebook engine-reproducible
+    (an oracle can reconstruct it relationally); production swaps this
+    for :func:`kmeans_centroids` slices without touching encode/search.
+    """
+    rows = (
+        spread(vectors)
+        .orderBy(v_id)
+        .limit(n_codes)
+        .select(v_vec)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(f"need >= {n_codes} vectors for the codebook")
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _l2sq_to_literal(vec_col, lits: list[float]) -> Column:
+    """Σ (x-y)² between a (sliced) array column and a literal vector —
+    a left-to-right fold, so every engine adds the same doubles in the
+    same order."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(v) for v in lits]),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[float]],
+    m: int = 8,
+    id_col: str = "vid",
+    vec_col: str = "vvec",
+) -> DataFrame:
+    """Product-quantization encode: (id, codes array<int>) — each vector
+    split into ``m`` subvectors, each mapped to its nearest (L2)
+    codebook entry's SLICE for that subspace.
+
+    Map-only: per row, m x n_codes literal folds (= n_codes x dim
+    multiply-adds — the classic PQ encode cost), no shuffle, no UDF.
+    Ties take the lowest code (``array_position`` returns the first
+    minimum).  At 100 TB this is the pass that turns 4·dim bytes/vector
+    into m bytes — the storage/serving shape for billion-scale ANN.
+    """
+    dim = len(codebook[0])
+    if dim % m:
+        raise ValueError(f"m ({m}) must divide dim ({dim})")
+    ds = dim // m
+    sub_codes = []
+    for s in range(m):
+        dists = F.array(
+            *[
+                _l2sq_to_literal(
+                    F.slice(F.col(vec_col), s * ds + 1, ds),
+                    entry[s * ds : (s + 1) * ds],
+                )
+                for entry in codebook
+            ]
+        )
+        sub_codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return spread(df).select(
+        F.col(id_col), F.array(*sub_codes).alias("codes")
+    )
+
+
+def topk_pq(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebook: list[list[float]],
+    m: int = 8,
+    k: int = 5,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    c_id: str = "cid",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes:
+    ``dist(q, c) ≈ Σ_s LUT_q[s][codes_c[s]]`` with
+    ``LUT_q[s][c] = l2²(q_sub_s, codebook_entry_c_sub_s)``.
+
+    Returns (qid, cid, dist, rn) ascending by approximate distance, ties
+    by candidate id.  The per-query LUT (m x n_codes doubles) is built
+    as a nested array column in the same map pass that broadcasts the
+    queries — so scoring a candidate costs m array lookups + a fixed
+    left-to-right m-fold (engine-portable double addition), instead of
+    dim multiplies: the standard PQ speed/recall trade.  One shuffle
+    total (the per-query top-k window).
+    """
+    dim = len(codebook[0])
+    ds = dim // m
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _l2sq_to_literal(
+                        F.slice(F.col(q_vec), s * ds + 1, ds),
+                        entry[s * ds : (s + 1) * ds],
+                    )
+                    for entry in codebook
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q_with_lut = spread(queries).select(q_id, lut.alias("__lut"))
+    scored = F.broadcast(q_with_lut).crossJoin(encoded).where(
+        F.col(q_id) != F.col(c_id)
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("dist").asc(), F.col(c_id).asc())
+    return (
+        scored.select(q_id, c_id, dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(q_id, c_id, F.round("dist", 6).alias("dist"), "rn")
     )
 
 

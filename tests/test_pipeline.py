@@ -200,6 +200,49 @@ class TestSimilarity:
             rows.append(Row(vid=i, truth=c, vvec=[float(x) for x in v]))
         return spark.createDataFrame(rows)
 
+    def test_pq_encode_shape_and_self_consistency(self, spark, clustered_vecs):
+        cb = similarity.pq_codebook(clustered_vecs, n_codes=8)
+        enc = {r.vid: list(r.codes) for r in similarity.pq_encode(
+            clustered_vecs, cb, m=4
+        ).collect()}
+        assert all(len(c) == 4 for c in enc.values())
+        assert all(0 <= x < 8 for c in enc.values() for x in c)
+        # a codebook member encodes to its own code in every subspace
+        # (its sub-distance to itself is exactly 0, and the 8 entries
+        # are distinct vectors)
+        for code in range(8):
+            assert enc[code] == [code] * 4
+
+    def test_pq_topk_recall_on_clusters(self, spark, clustered_vecs):
+        # PQ ADC is approximate, but with 4 well-separated clusters the
+        # top-3 neighbors of a query should come from its own cluster
+        cb = similarity.pq_codebook(clustered_vecs, n_codes=16)
+        enc = similarity.pq_encode(
+            clustered_vecs, cb, m=4
+        ).withColumnRenamed("vid", "cid")
+        q = clustered_vecs.where("vid IN (0, 1, 2, 3)").select(
+            F.col("vid").alias("qid"), F.col("vvec").alias("qvec")
+        )
+        top = similarity.topk_pq(q, enc, cb, m=4, k=3).collect()
+        truth = {r.vid: r.truth for r in clustered_vecs.collect()}
+        hits = sum(1 for r in top if truth[r.cid] == truth[r.qid])
+        assert hits >= 9, f"PQ same-cluster hits {hits}/12"
+        # ascending distance, rank dense from 1
+        by_q = {}
+        for r in top:
+            by_q.setdefault(r.qid, []).append((r.rn, r.dist))
+        for rows in by_q.values():
+            rows.sort()
+            assert [rn for rn, _ in rows] == [1, 2, 3]
+            assert all(
+                rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1)
+            )
+
+    def test_pq_rejects_indivisible_m(self, spark, clustered_vecs):
+        cb = similarity.pq_codebook(clustered_vecs, n_codes=4)
+        with pytest.raises(ValueError):
+            similarity.pq_encode(clustered_vecs, cb, m=5)
+
     def test_kmeans_recovers_clusters(self, spark, clustered_vecs):
         cent = similarity.kmeans_centroids(
             clustered_vecs, k=4, max_iterations=10

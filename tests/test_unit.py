@@ -492,6 +492,94 @@ class TestBucketedGlobalCum:
         assert got == want
 
 
+class TestGroupedKs:
+    def test_matches_naive(self, spark):
+        import random
+
+        from datajudge_spark.operators.stats import grouped_ks
+
+        rng = random.Random(11)
+        rows = []
+        for _ in range(400):
+            g = rng.choice(["a", "b", "c"])
+            # group c drawn from a shifted distribution
+            v = rng.randint(0, 60) + (40 if g == "c" else 0)
+            rows.append((float(v), g))
+        df = spark.createDataFrame(rows, "value double, g string")
+        got = {
+            r["g"]: (r["n"], r["d"])
+            for r in grouped_ks(df, "value", "g").collect()
+        }
+        pooled = sorted(v for v, _ in rows)
+        n_tot = len(pooled)
+        for g in ["a", "b", "c"]:
+            mine = sorted(v for v, gg in rows if gg == g)
+            n_g = len(mine)
+            d = max(
+                abs(
+                    sum(1 for x in mine if x <= v) / n_g
+                    - sum(1 for x in pooled if x <= v) / n_tot
+                )
+                for v in pooled
+            )
+            assert got[g][0] == n_g
+            assert got[g][1] == pytest.approx(d, abs=1e-6)
+        # the shifted group must show the largest drift
+        assert got["c"][1] > got["a"][1] and got["c"][1] > got["b"][1]
+
+    def test_group_cap(self, spark):
+        from datajudge_spark.operators.stats import grouped_ks
+
+        df = spark.createDataFrame(
+            [(float(i), str(i)) for i in range(30)], "value double, g string"
+        )
+        with pytest.raises(ValueError, match="max_groups"):
+            grouped_ks(df, "value", "g", max_groups=5)
+
+
+class TestTheilSen:
+    def test_matches_naive_median_of_slopes(self, spark):
+        import datetime as dt
+        import random
+
+        from datajudge_spark.operators.timeseries import theil_sen_slope
+
+        rng = random.Random(5)
+        days = [
+            (dt.date(2024, 1, 1) + dt.timedelta(days=i), 100 + 7 * i + rng.randint(-5, 5))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(days, "day date, cents long")
+        row = theil_sen_slope(df, "cents").first()
+        slopes = sorted(
+            (v2 - v1) / (d2 - d1).days
+            for i, (d1, v1) in enumerate(days)
+            for d2, v2 in days[i + 1 :]
+        )
+        # smallest slope with >= 50% of slopes <= it
+        n = len(slopes)
+        med = next(
+            s for k, s in enumerate(slopes) if (k + 1) * 2 >= n
+        )
+        assert row["n_days"] == 40
+        assert row["n_pairs"] == n
+        assert row["slope"] == pytest.approx(med, abs=1e-6)
+
+    def test_outlier_robustness(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import theil_sen_slope
+
+        days = [
+            (dt.date(2024, 1, 1) + dt.timedelta(days=i), 100 + 3 * i)
+            for i in range(30)
+        ]
+        days[15] = (days[15][0], 10**9)  # one wild day
+        df = spark.createDataFrame(days, "day date, cents long")
+        row = theil_sen_slope(df, "cents").first()
+        assert row["slope"] == pytest.approx(3.0, abs=0.5)
+
+
 class TestGammaQ:
     def test_chi2_critical_values(self):
         from datajudge_spark.constraints.stats import _gamma_q
