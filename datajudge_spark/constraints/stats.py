@@ -724,6 +724,88 @@ class WassersteinMax(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class GroupedKsMax(Constraint):
+    """Segment-drift gate: for every group of ``group_column``, the KS
+    distance between the group's ``value_column`` distribution and the
+    POOLED distribution may not exceed ``max_d`` — "which segment's
+    values moved?" asked for all segments in one pass.  Extension, no
+    reference counterpart; generalizes the two-sample KS constraint to
+    k segments.
+
+    Engine side is operators.stats.grouped_ks: one conditional-agg
+    histogram shuffle for all groups + the shared bucket-partitioned
+    multi-cumulative; one row per group reaches the driver.  Groups with
+    no rows report as undefined (NULL d) and fail the gate explicitly.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_d: float,
+        groups: list | None = None,
+        max_groups: int = 100,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not 0 <= max_d <= 1:
+            raise ValueError("max_d must be within [0, 1].")
+        self._max_d = max_d
+        self._groups = groups
+        self._max_groups = max_groups
+        super().__init__(ref, ref_value=max_d, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import grouped_ks
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "GroupedKsMax requires exactly two columns: "
+                "(value_column, group_column)."
+            )
+        df = self._ref.get_selection(engine)
+        try:
+            rows = grouped_ks(
+                df,
+                cols[0],
+                cols[1],
+                groups=self._groups,
+                max_groups=self._max_groups,
+            ).collect()
+        except ValueError as exc:
+            return TestResult.failure(
+                f"Grouped KS of {cols} on {self._ref} is undefined: "
+                f"{exc} ",
+                self.get_description(),
+            )
+        undefined = [r[cols[1]] for r in rows if r["d"] is None]
+        violators = [
+            (r[cols[1]], r["d"], r["n"])
+            for r in rows
+            if r["d"] is not None and r["d"] > self._max_d
+        ]
+        if not undefined and not violators:
+            return TestResult.success()
+        parts = []
+        if violators:
+            listed = ", ".join(
+                f"{g} (d={d}, n={n})" for g, d, n in sorted(violators)
+            )
+            parts.append(
+                f"groups exceeding max KS distance {self._max_d}: {listed}."
+            )
+        if undefined:
+            parts.append(
+                f"groups with no rows (KS undefined): {sorted(undefined)}."
+            )
+        assertion_text = (
+            f"Grouped KS of {cols[0]} by {cols[1]} on {self._ref}: "
+            + " ".join(parts)
+            + f" {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 class SpearmanBounds(Constraint):
     """Monotone-association gate: the exact tie-averaged Spearman rho
     between two numeric columns of ONE source must lie within

@@ -912,6 +912,42 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_grouped_ks_max_constraint(
+        self,
+        value_column: str,
+        group_column: str,
+        max_d: float,
+        groups: list | None = None,
+        max_groups: int = 100,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): for EVERY group of
+        ``group_column``, the KS distance between that group's
+        ``value_column`` distribution and the pooled distribution may
+        not exceed ``max_d`` — the segment-drift gate, asked for all
+        segments in one pass.  One conditional-aggregation histogram
+        shuffle covers all groups; every group's CDF comes from a shared
+        bucket-partitioned cumulative (never a per-group scan or a
+        global window); one row per group reaches the driver.  Pass
+        ``groups`` to pin the segment list (no discovery scan);
+        otherwise distinct groups are collected, capped at
+        ``max_groups``."""
+        ref = DataReference(
+            self._data_source, [value_column, group_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.GroupedKsMax(
+                ref,
+                max_d,
+                groups=groups,
+                max_groups=max_groups,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_chi_squared_independence_constraint(
         self,
         column_a: str,

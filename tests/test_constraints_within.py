@@ -500,6 +500,52 @@ class TestMadOutlierFraction:
             req.add_mad_outlier_fraction_constraint("c", 0.1, k=0)
 
 
+class TestGroupedKsMax:
+    def test_pass_and_fail(self, spark):
+        # groups a/b share one distribution; group c is shifted far away
+        rows = [(float(v), "a") for v in range(50)]
+        rows += [(float(v), "b") for v in range(50)]
+        rows += [(float(v + 1000), "c") for v in range(50)]
+        df = spark.createDataFrame(rows, "v double, g string")
+        # vs pooled: a/b sit at d = 1/3 (the pool carries c's far mass),
+        # the shifted group c at d = 2/3
+        req = within_req(df, "gks")
+        req.add_grouped_ks_max_constraint("v", "g", max_d=0.9)
+        req.add_grouped_ks_max_constraint("v", "g", max_d=0.5)  # fail: c
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "c (d=" in results[1].failure_message
+        assert "a (d=" not in results[1].failure_message
+
+    def test_pinned_group_list_and_empty_group(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "a"), (3.0, "b")], "v double, g string"
+        )
+        req = within_req(df, "gksempty")
+        req.add_grouped_ks_max_constraint(
+            "v", "g", max_d=1.0, groups=["a", "b", "ghost"]
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "ghost" in results[0].failure_message
+
+    def test_group_cap_fails_cleanly(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), str(i)) for i in range(20)], "v double, g string"
+        )
+        req = within_req(df, "gkscap")
+        req.add_grouped_ks_max_constraint("v", "g", max_d=0.5, max_groups=3)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "max_groups" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1.0, "a")], "v double, g string")
+        req = within_req(df, "gksval")
+        with pytest.raises(ValueError):
+            req.add_grouped_ks_max_constraint("v", "g", max_d=1.5)
+
+
 class TestGiniMax:
     def test_pass_and_fail(self, spark):
         # one holder of everything over 4 rows: G = 0.75
