@@ -459,3 +459,55 @@ def test_grouped_median_window_partitioned(spark):
     assert win_lines
     for ln in win_lines:
         assert "grp" in ln, f"unpartitioned window: {ln}"
+
+
+def test_spearman_fast_path_no_fact_join_back(spark):
+    # quantity has 50 distinct values -> the rank map must BROADCAST and
+    # all statistics fold through the price histogram: no SortMergeJoin
+    # of the fact-sized pair frame anywhere
+    plan = _executed_plan(entrymod.q_spearman(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # offsets ride a literal map, not a join below the window
+    assert "map(keys:" in plan
+
+
+def test_grouped_ks_single_conditional_agg_scan(spark):
+    # one histogram aggregation covers ALL groups (conditional counts in
+    # a single groupBy — no per-group scans), and every window is
+    # partitioned by the range bucket, never global
+    plan = _executed_plan(entrymod.q_grouped_ks(spark, SF_DIR))
+    agg_lines = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate" in ln and "partial_count" in ln
+    ]
+    # the 5 conditional counts + the total live in ONE partial aggregate
+    assert any(ln.count("partial_count") >= 6 for ln in agg_lines), (
+        "per-group counts not fused into one aggregate"
+    )
+    for ln in plan.splitlines():
+        if "Window " in ln:
+            assert "__b" in ln, f"unpartitioned window: {ln}"
+
+
+def test_theil_sen_pairs_on_daily_frame_only(spark):
+    # the quadratic pair join must consume the DAILY aggregate (bounded)
+    # as a broadcast, never a partitioned cartesian of the fact table
+    plan = _executed_plan(entrymod.q_theil_sen(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # bounded side broadcast
+    # the join sides are aggregates of the scan, not the raw scan:
+    # daily totals are partial-agg'd before anything quadratic
+    assert "partial_sum" in plan
+
+
+def test_ann_pq_map_only_encode_one_window(spark):
+    # encode and LUT scoring are map work; the only shuffle is the
+    # per-query top-k window (partitioned by qid), and the candidate
+    # frame never sort-merge-joins
+    plan = _executed_plan(entrymod.q_ann_topk_pq(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win_lines
+    for ln in win_lines:
+        assert "qid" in ln, f"window not per-query: {ln}"
