@@ -2927,6 +2927,19 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 _PQ_CODES, _PQ_M, _PQ_K = 16, 8, 3
 
 
+def q_dedup_containment(spark, sf_dir):
+    # directional shingle containment — the subset-duplication signal
+    # Jaccard dilutes (a short doc verbatim inside a long one): same
+    # rare-shingle blocking as dedup_jaccard, one extra division.
+    from datajudge_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "doc_id", "text", shingle_n=_SHINGLE_N, threshold=0.8,
+        max_df=_JACCARD_MAXDF,
+    )
+
+
 def q_grouped_ks(spark, sf_dir):
     # per-segment KS distance against the pooled value distribution:
     # ONE conditional-agg histogram shuffle for all 5 event types, the
@@ -3158,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ks": q_grouped_ks,
         "theil_sen_slope": q_theil_sen,
         "ann_topk_pq": q_ann_topk_pq,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -5146,4 +5160,21 @@ def oracle_sql() -> dict[str, str]:
         "grouped_ks": _grouped_ks_sql(),
         "theil_sen_slope": _theil_sen_sql(),
         "ann_topk_pq": _pq_sql(),
+        "dedup_containment": (
+            f"WITH {_SHINGLES_CTE}, "
+            f"shh AS (SELECT doc_id, {_h_sql('s')} AS s FROM sh), "
+            "rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM shh "
+            f"GROUP BY s) WHERE df <= {_JACCARD_MAXDF}), "
+            "shf AS (SELECT doc_id, s FROM shh JOIN rare USING (s)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+            "FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT d1, d2, round(i * 1.0 / s1.n, 6) AS c1, "
+            "round(i * 1.0 / s2.n, 6) AS c2 "
+            "FROM inter JOIN sizes s1 ON d1 = s1.doc_id "
+            "JOIN sizes s2 ON d2 = s2.doc_id "
+            "WHERE round(i * 1.0 / s1.n, 6) >= 0.8 "
+            "OR round(i * 1.0 / s2.n, 6) >= 0.8"
+        ),
     }

@@ -40,6 +40,7 @@ __all__ = [
     "simhash",
     "simhash_candidate_pairs",
     "jaccard_pairs",
+    "containment_pairs",
     "duplicate_clusters",
 ]
 
@@ -356,6 +357,58 @@ def jaccard_pairs(
         .join(s2, "d2")
         .select("d1", "d2", F.round(j, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """(d1, d2, c1, c2) for pairs where either directional containment
+    ``c1 = |A∩B|/|A|`` or ``c2 = |A∩B|/|B|`` reaches ``threshold``.
+
+    The dedup signal Jaccard misses: a short document embedded verbatim
+    inside a much longer one (boilerplate wrapping, quote-inflation,
+    article + comments) has near-1 containment of the short side but a
+    tiny Jaccard — union-normalized measures dilute subset duplication
+    by the superset's size.  Same rare-shingle blocking and plan shape
+    as :func:`jaccard_pairs` (hash-keyed equi-join through <= ``max_df``
+    shingles, never a global self-join); one extra double division.
+    """
+    sh = materialize_once(
+        _distinct_shingles(df, id_col, text_col, shingle_n).select(
+            "_id", md5_long("s").alias("s")
+        )
+    )
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("s")
+    )
+    sh = materialize_once(sh.join(rare, "s", "inner"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("d1"), F.col("b._id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("_id").alias("d2"), F.col("n").alias("n2"))
+    c1 = F.round(F.col("inter") / F.col("n1"), 6)
+    c2 = F.round(F.col("inter") / F.col("n2"), 6)
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", c1.alias("c1"), c2.alias("c2"))
+        .where(
+            (F.col("c1") >= threshold) | (F.col("c2") >= threshold)
+        )
     )
 
 

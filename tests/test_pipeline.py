@@ -81,6 +81,30 @@ class TestDedup:
         with pytest.raises(ValueError):
             dedup.simhash_candidate_pairs(sim, "doc_id", bands=5)
 
+    def test_containment_catches_subset_duplication(self, spark):
+        short = "the quick brown fox jumps over the lazy dog today"
+        long = (
+            short
+            + " and then a very long unrelated commentary section follows "
+            + " ".join(f"word{i} filler{i} extra{i}" for i in range(30))
+        )
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text=short), Row(doc_id=1, text=long)]
+        )
+        cont = {
+            (r.d1, r.d2): (r.c1, r.c2)
+            for r in dedup.containment_pairs(
+                df, "doc_id", "text", threshold=0.8
+            ).collect()
+        }
+        # the short doc is fully contained -> c1 == 1.0
+        assert cont[(0, 1)][0] == 1.0
+        # ...while Jaccard dilutes the same pair below any dedup bar
+        jac = dedup.jaccard_pairs(
+            df, "doc_id", "text", threshold=0.6
+        ).collect()
+        assert not jac
+
     def test_lsh_hot_bucket_emits_star_not_quadratic(self, spark):
         # 40 identical docs, cap 10: every band bucket is degenerate, so
         # the output must be the 39-edge star (min id x members), never
