@@ -2994,6 +2994,119 @@ def q_ann_topk_pq(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf_pq(spark, sf_dir):
+    # IVF-PQ composite (the FAISS IndexIVFPQ serving shape): coarse cells
+    # prune the corpus to the query's cell, PQ ADC ranks the survivors —
+    # cell assignment + encode are map-only passes against broadcast
+    # constants; candidates join encode<->cell on their id only.
+    from datajudge_spark.pipeline.similarity import pq_codebook, topk_ivf_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centvec")
+    )
+    cb = pq_codebook(emb, n_codes=_PQ_CODES, v_id="vec_id", v_vec="embedding")
+    return topk_ivf_pq(q, c, cent, cb, m=_PQ_M, k=_PQ_K)
+
+
+def q_ann_recall_ivf(spark, sf_dir):
+    # the ANN quality gate: per-query recall@3 of the IVF search against
+    # exact brute-force ground truth on the same query sample — the
+    # measurement every IVF/PQ deployment runs before trusting an index
+    from datajudge_spark.pipeline.similarity import (
+        recall_at_k,
+        topk_bruteforce,
+        topk_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centvec")
+    )
+    exact = topk_bruteforce(q, c, k=3)
+    approx = topk_ivf(q, c, cent, k=3)
+    return recall_at_k(approx, exact, k=3)
+
+
+def q_grouped_quantile_grid(spark, sf_dir):
+    # per-segment exact decile grid vs the pooled distribution — WHERE in
+    # the distribution each segment drifted (grouped_ks says only how
+    # far). One conditional-agg histogram + the shared bucketed
+    # multi-cumulative; all 45 (group, decile) cells in one final agg.
+    from datajudge_spark.operators.stats import grouped_quantile_grid
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_quantile_grid(ev, "value", "event_type", groups=_EVENT_TYPES)
+
+
+def q_grouped_theil_sen(spark, sf_dir):
+    # per-segment robust trend: median pairwise slope of each event
+    # type's daily value total. Pair join stays within (group, day) —
+    # calendar-bounded; all 5 medians from ONE conditional slope
+    # histogram + the shared bucketed cumulative (no per-group windows).
+    from datajudge_spark.operators.timeseries import grouped_theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return grouped_theil_sen(daily, "event_type", "cents", groups=_EVENT_TYPES)
+
+
+def q_multimodal_audio_windows(spark, sf_dir):
+    # audio-framing stand-in: OVERLAPPING 32-byte windows at 16-byte hop
+    # (frames are disjoint; STFT-style windows overlap) through the Arrow
+    # mapInPandas path, digested per window
+    from datajudge_spark.pipeline import multimodal
+
+    media = multimodal.attach_binary_payload(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    out = multimodal.audio_windows(media, win_bytes=32, hop_bytes=16)
+    return out.select(
+        "doc_id",
+        F.col("win_idx").cast("bigint").alias("win_idx"),
+        F.col("win_len").cast("bigint").alias("win_len"),
+        F.md5("window").alias("win_md5"),
+    )
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    # corpus boilerplate: word 3-grams shared by >=5 docs across >=2
+    # sources (cross-site repetition = boilerplate, within-site =
+    # navigation), top-100 by document frequency. Only 60-bit hashes
+    # shuffle; top-k via TakeOrderedAndProject, no global sort.
+    from datajudge_spark.pipeline.text import boilerplate_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_ngrams(
+        d,
+        "doc_id",
+        "text",
+        shingle_n=_SHINGLE_N,
+        min_docs=5,
+        min_sources=2,
+        source_col="source",
+        k=100,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys only (verified rounds 1-3).  Round 4 rotates the window one
@@ -3172,6 +3285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_slope": q_theil_sen,
         "ann_topk_pq": q_ann_topk_pq,
         "dedup_containment": q_dedup_containment,
+        "ann_topk_ivf_pq": q_ann_topk_ivf_pq,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "grouped_quantile_grid": q_grouped_quantile_grid,
+        "grouped_theil_sen": q_grouped_theil_sen,
+        "multimodal_audio_windows": q_multimodal_audio_windows,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
     }
 
 
@@ -3610,6 +3729,177 @@ def _pq_sql(dim: int = 64) -> str:
         "(PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM scored) "
         f"SELECT qid, cid, round(dist, 6) AS dist, rn "
         f"FROM ranked WHERE rn <= {_PQ_K}"
+    )
+
+
+def _cell_assign_sql(name: str, source_filter: str) -> str:
+    """CTE assigning each vector from ``embeddings`` (optionally
+    filtered) to its nearest of the 8 centroid vectors by cosine —
+    mirror of similarity.ivf_cells (ties to the lowest cell id)."""
+    assign_cos = _fold_cos_sql("v.vvec", "ct.centvec")
+    return (
+        f"{name} AS (SELECT vid, cell FROM ("
+        "  SELECT v.vid, ct.cell, row_number() OVER (PARTITION BY v.vid "
+        f"  ORDER BY {assign_cos} DESC, ct.cell ASC) AS rn "
+        "  FROM (SELECT vec_id AS vid, embedding AS vvec FROM embeddings"
+        f"        {source_filter}) v, cent ct"
+        ") WHERE rn = 1)"
+    )
+
+
+def _ivf_pq_sql(dim: int = 64) -> str:
+    """IVF-PQ composite: the _pq_sql encode/LUT/ADC pipeline with the
+    candidate set pruned to the query's nearest coarse cell
+    (_ann_ivf_sql's assignment CTEs) — mirror of similarity.topk_ivf_pq."""
+    ds = dim // _PQ_M
+
+    def l2(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(s.sub * {ds} + 1, s.sub * {ds} + {ds}), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+            f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), (x, y) -> x + y)"
+        )
+
+    return (
+        f"WITH cb AS (SELECT vec_id AS code, embedding AS cv "
+        f"FROM embeddings WHERE vec_id < {_PQ_CODES}), "
+        "cent AS (SELECT vec_id AS cell, embedding AS centvec "
+        "FROM embeddings WHERE vec_id < 8), "
+        f"subs AS (SELECT unnest(range({_PQ_M})) AS sub), "
+        "cand AS (SELECT vec_id AS cid, embedding AS xv FROM embeddings), "
+        "q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+        "WHERE vec_id < 10), "
+        + _cell_assign_sql("cand_cell", "")
+        + ", "
+        + _cell_assign_sql("q_cell", " WHERE vec_id < 10")
+        + ", "
+        "encd AS (SELECT cid, sub, code FROM ("
+        "SELECT c.cid, s.sub, cb.code, row_number() OVER "
+        f"(PARTITION BY c.cid, s.sub ORDER BY {l2('c.xv', 'cb.cv')} ASC, "
+        "cb.code ASC) AS rn "
+        "FROM cand c CROSS JOIN subs s CROSS JOIN cb) WHERE rn = 1), "
+        f"lut AS (SELECT q.qid, s.sub, cb.code, {l2('q.qv', 'cb.cv')} AS d2 "
+        "FROM q CROSS JOIN subs s CROSS JOIN cb), "
+        "scored AS (SELECT l.qid, e.cid, "
+        "list_reduce(list_prepend(0.0, list(l.d2 ORDER BY l.sub)), "
+        "(x, y) -> x + y) AS dist "
+        "FROM encd e JOIN lut l ON e.sub = l.sub AND e.code = l.code "
+        "JOIN q_cell ON q_cell.vid = l.qid "
+        "JOIN cand_cell ON cand_cell.vid = e.cid "
+        "AND cand_cell.cell = q_cell.cell "
+        "WHERE l.qid <> e.cid GROUP BY l.qid, e.cid), "
+        "ranked AS (SELECT qid, cid, dist, row_number() OVER "
+        "(PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn FROM scored) "
+        f"SELECT qid, cid, round(dist, 6) AS dist, rn "
+        f"FROM ranked WHERE rn <= {_PQ_K}"
+    )
+
+
+def _ann_recall_sql(k: int = 3) -> str:
+    """Per-query recall@k of the IVF search vs brute-force ground truth
+    — mirror of similarity.recall_at_k over topk_ivf/topk_bruteforce."""
+    cos = _fold_cos_sql("q.qvec", "c.cvec")
+    return (
+        "WITH cent AS (SELECT vec_id AS cell, embedding AS centvec "
+        "FROM embeddings WHERE vec_id < 8), "
+        "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings "
+        "WHERE vec_id < 10), "
+        "c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings), "
+        f"bscored AS (SELECT qid, cid, {cos} AS cos FROM q, c "
+        "WHERE qid <> cid), "
+        "bt AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn FROM bscored) "
+        f"WHERE rn <= {k}), "
+        + _cell_assign_sql("cand_cell", "")
+        + ", "
+        + _cell_assign_sql("q_cell", " WHERE vec_id < 10")
+        + ", "
+        f"iscored AS (SELECT q.qid, c.cid, {cos} AS cos "
+        "FROM q JOIN q_cell ON q_cell.vid = q.qid "
+        "JOIN cand_cell ON q_cell.cell = cand_cell.cell "
+        "JOIN c ON cand_cell.vid = c.cid WHERE q.qid <> c.cid), "
+        "it AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn FROM iscored) "
+        f"WHERE rn <= {k}), "
+        "hits AS (SELECT bt.qid, count(*) AS n_hits FROM bt "
+        "JOIN it ON bt.qid = it.qid AND bt.cid = it.cid GROUP BY 1), "
+        "base AS (SELECT qid, count(*) AS n_exact FROM bt GROUP BY 1) "
+        "SELECT base.qid, CAST(n_exact AS BIGINT) AS n_exact, "
+        "CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits, "
+        "round(CAST(COALESCE(n_hits, 0) AS DOUBLE) "
+        "/ CAST(n_exact AS DOUBLE), 6) AS recall "
+        "FROM base LEFT JOIN hits ON base.qid = hits.qid"
+    )
+
+
+def _grouped_quantile_grid_sql(deciles: int = 10) -> str:
+    """Per-group exact decile grid vs pooled — same integer decision
+    rule (deciles * cum >= j * n) as operators.stats
+    .grouped_quantile_grid.  c and t MUST be materialized: each of the
+    45 branches references them twice and DuckDB inlines plain CTEs per
+    reference site."""
+    n = len(_EVENT_TYPES)
+    cnts = ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{g}') AS c{i}"
+        for i, g in enumerate(_EVENT_TYPES)
+    )
+    cums = ", ".join(
+        f"sum(c{i}) OVER (ORDER BY v) AS cum{i}" for i in range(n)
+    )
+    tots = ", ".join(f"max(cum{i}) AS n{i}" for i in range(n))
+    branches = []
+    for i, g in enumerate(_EVENT_TYPES):
+        for j in range(1, deciles):
+            vg = (
+                f"(SELECT min(v) FROM c, t "
+                f"WHERE c.cum{i} * {deciles} >= {j} * t.n{i})"
+            )
+            vp = (
+                f"(SELECT min(v) FROM c, t "
+                f"WHERE c.cum * {deciles} >= {j} * t.nt)"
+            )
+            branches.append(
+                f"SELECT '{g}' AS event_type, CAST({j} AS INT) AS decile, "
+                "round(vg, 6) AS v_group, round(vp, 6) AS v_pooled, "
+                "round(vg - vp, 6) AS gap FROM "
+                f"(SELECT CAST({vg} AS DOUBLE) AS vg, "
+                f"CAST({vp} AS DOUBLE) AS vp)"
+            )
+    return (
+        f"WITH h AS MATERIALIZED (SELECT value AS v, count(*) AS cnt, {cnts} "
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL "
+        "GROUP BY value), "
+        "c AS MATERIALIZED (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, "
+        f"{cums} FROM h), "
+        f"t AS MATERIALIZED (SELECT max(cum) AS nt, {tots} FROM c) "
+        + " UNION ALL ".join(branches)
+    )
+
+
+def _grouped_theil_sen_sql() -> str:
+    """Per-group Theil-Sen over each event type's daily value total —
+    same slopes and the same >=50% minimum rule as the grouped operator
+    (cume_dist >= 0.5 <=> 2*cum >= n)."""
+    return (
+        "WITH daily AS MATERIALIZED (SELECT event_type AS g, "
+        "CAST(ts AS DATE) AS day, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents "
+        "FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL "
+        "GROUP BY 1, 2), "
+        "p AS MATERIALIZED (SELECT a.g, CAST(b.cents - a.cents AS DOUBLE) "
+        "/ CAST(b.day - a.day AS DOUBLE) AS slope "
+        "FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day), "
+        "cd AS (SELECT g, slope, cume_dist() OVER "
+        "(PARTITION BY g ORDER BY slope) AS cd FROM p), "
+        "m AS (SELECT g, min(slope) AS med FROM cd WHERE cd >= 0.5 "
+        "GROUP BY g), "
+        "nd AS (SELECT g, count(*) AS n_days FROM daily GROUP BY g), "
+        "np AS (SELECT g, count(*) AS n_pairs FROM p GROUP BY g) "
+        "SELECT nd.g AS event_type, CAST(nd.n_days AS BIGINT) AS n_days, "
+        "CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs, "
+        "round(m.med, 6) AS slope "
+        "FROM nd LEFT JOIN np ON nd.g = np.g LEFT JOIN m ON nd.g = m.g"
     )
 
 
@@ -5176,5 +5466,38 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s2 ON d2 = s2.doc_id "
             "WHERE round(i * 1.0 / s1.n, 6) >= 0.8 "
             "OR round(i * 1.0 / s2.n, 6) >= 0.8"
+        ),
+        "ann_topk_ivf_pq": _ivf_pq_sql(),
+        "ann_recall_ivf": _ann_recall_sql(),
+        "grouped_quantile_grid": _grouped_quantile_grid_sql(),
+        "grouped_theil_sen": _grouped_theil_sen_sql(),
+        # overlapping 32-byte windows at 16-byte hop over the UTF-8
+        # payload; ASCII corpus (verified) => char arithmetic == byte
+        # arithmetic, as with the resize/frames digests above
+        "multimodal_audio_windows": (
+            "WITH t AS (SELECT doc_id, text, length(text) AS n "
+            "FROM documents), "
+            "w AS (SELECT doc_id, text, "
+            "unnest(range(0, (n + 15) // 16)) AS k FROM t) "
+            "SELECT doc_id, CAST(k AS BIGINT) AS win_idx, "
+            "CAST(length(substring(text, CAST(1 + k * 16 AS BIGINT), 32)) "
+            "AS BIGINT) AS win_len, "
+            "md5(substring(text, CAST(1 + k * 16 AS BIGINT), 32)) "
+            "AS win_md5 FROM w"
+        ),
+        "boilerplate_ngrams": (
+            "WITH toks AS (SELECT doc_id, source, "
+            "string_split_regex(trim(text), '\\s+') AS tk FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, source, s FROM toks, "
+            "UNNEST(list_transform(generate_series(1, "
+            f"greatest(len(tk)-{_SHINGLE_N - 1}, 0)), "
+            f"i -> array_to_string(tk[i:i+{_SHINGLE_N - 1}], ' '))) AS u(s)), "
+            f"shh AS (SELECT doc_id, source, {_h_sql('s')} AS s FROM sh), "
+            "agg AS (SELECT s, count(*) AS n_docs, "
+            "count(DISTINCT source) AS n_sources FROM shh GROUP BY s) "
+            "SELECT s, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(n_sources AS BIGINT) AS n_sources FROM agg "
+            "WHERE n_docs >= 5 AND n_sources >= 2 "
+            "ORDER BY n_docs DESC, n_sources DESC, s ASC LIMIT 100"
         ),
     }

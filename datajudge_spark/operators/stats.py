@@ -361,6 +361,109 @@ def grouped_ks(
     ).select(group_col, "n", F.round("d", 6).alias("d"))
 
 
+def grouped_quantile_grid(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list,
+    deciles: int = 10,
+) -> DataFrame:
+    """Per-group EXACT quantile grid vs the pooled distribution: one row
+    ``(group, decile, v_group, v_pooled, gap)`` per (group, j/deciles)
+    point — the drift report "where in the distribution did this
+    segment move?", a grid-valued refinement of :func:`grouped_ks`'s
+    single sup statistic.
+
+    Quantiles use the reference's exact rule (smallest v with >= p of
+    the mass <= v, db_access.py percentile semantics), decided by the
+    INTEGER comparison ``deciles * cum >= j * n`` — no double-rounding
+    ambiguity at bucket edges on any engine.  Plan: ONE
+    conditional-aggregation histogram shuffle for all groups, the
+    shared bucket-partitioned multi-cumulative (one sketch, one window
+    stage), then a single final aggregate evaluating every (group,
+    decile) conditional-min at once — group count and grid size never
+    add scans.
+
+    Extension — no reference counterpart; generalizes
+    ``add_percentile_*`` gates to a per-segment grid.
+    """
+    non_null = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    cnt_aliases = [f"c{i}" for i in range(len(groups))]
+    hist = non_null.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.count(F.when(F.col(group_col) == F.lit(g), 1)).alias(a)
+            for g, a in zip(groups, cnt_aliases)
+        ],
+    )
+    from ..pipeline._util import materialize_once
+
+    cums = materialize_once(_bucketed_global_cums(hist, ["cnt"] + cnt_aliases))
+    tot = cums.agg(
+        F.max("cum_cnt").alias("nt"),
+        *[F.max(f"cum_{a}").alias(a) for a in cnt_aliases],
+    ).first()
+    n_total = int(tot["nt"])
+    q_exprs = []
+    for j in range(1, deciles):
+        # every stack cell is cast to double up front: stack() requires a
+        # homogeneous type per output column across all branches
+        q_exprs.append(
+            F.min(
+                F.when(
+                    F.col("cum_cnt") * deciles >= F.lit(j * n_total), F.col("v")
+                )
+            )
+            .cast("double")
+            .alias(f"p_{j}")
+        )
+        for a in cnt_aliases:
+            n_g = int(tot[a] or 0)
+            if n_g == 0:
+                q_exprs.append(
+                    F.lit(None).cast("double").alias(f"q_{a}_{j}")
+                )
+            else:
+                q_exprs.append(
+                    F.min(
+                        F.when(
+                            F.col(f"cum_{a}") * deciles >= F.lit(j * n_g),
+                            F.col("v"),
+                        )
+                    )
+                    .cast("double")
+                    .alias(f"q_{a}_{j}")
+                )
+    agg = cums.agg(*q_exprs)
+    stack_args = ", ".join(
+        f"'{g}', {j}, q_{a}_{j}, p_{j}"
+        for g, a in zip(groups, cnt_aliases)
+        for j in range(1, deciles)
+    )
+    n_rows = len(groups) * (deciles - 1)
+    return (
+        agg.select(
+            F.expr(
+                f"stack({n_rows}, {stack_args}) "
+                f"AS ({group_col}, decile, v_group, v_pooled)"
+            )
+        )
+        .select(
+            group_col,
+            F.col("decile").cast("int").alias("decile"),
+            F.round(F.col("v_group").cast("double"), 6).alias("v_group"),
+            F.round(F.col("v_pooled").cast("double"), 6).alias("v_pooled"),
+            F.round(
+                F.col("v_group").cast("double")
+                - F.col("v_pooled").cast("double"),
+                6,
+            ).alias("gap"),
+        )
+    )
+
+
 def value_bucket(
     value: Column | str, lo: float, hi: float, n_buckets: int
 ) -> Column:

@@ -42,6 +42,8 @@ __all__ = [
     "resize_payload",
     "FRAME_SCHEMA",
     "sample_frames",
+    "WINDOW_SCHEMA",
+    "audio_windows",
 ]
 
 #: Output schema of the metadata decoder (id + typed media metadata).
@@ -188,6 +190,58 @@ def sample_frames(
             out_ids, out_idx, out_frames = [], [], []
 
     return media_df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("win_len", LongType()),
+        StructField("window", BinaryType()),
+    ]
+)
+
+
+def audio_windows(
+    media_df: DataFrame, win_bytes: int = 32, hop_bytes: int = 16
+) -> DataFrame:
+    """Overlapping fixed-size windows over a binary payload — the
+    audio-framing shape (STFT / feature windows: window length >= hop,
+    consecutive windows overlap by ``win_bytes - hop_bytes``).
+
+    Window ``k`` covers ``payload[k*hop : k*hop + win]`` for every ``k``
+    with ``k*hop < len`` (the tail window may be short).  A real
+    pipeline decodes PCM first and windows samples; the stand-in windows
+    the raw bytes so the output is a pure function of the payload and an
+    SQL oracle can re-derive every window.  The Spark-side contract —
+    1:N Arrow-batched row expansion, per-window binary + index — is the
+    real thing.
+    """
+    if hop_bytes <= 0 or win_bytes < hop_bytes:
+        raise ValueError("need win_bytes >= hop_bytes > 0")
+
+    def window(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_idx, out_len, out_win = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for k in range(-(-len(payload) // hop_bytes)):
+                    w = payload[k * hop_bytes : k * hop_bytes + win_bytes]
+                    out_ids.append(doc_id)
+                    out_idx.append(k)
+                    out_len.append(len(w))
+                    out_win.append(w)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "win_idx": out_idx,
+                    "win_len": out_len,
+                    "window": out_win,
+                }
+            )
+
+    return media_df.mapInPandas(window, schema=WINDOW_SCHEMA)
 
 
 #: Output schema of the real image decoder: id + actual codec metadata.

@@ -36,6 +36,8 @@ __all__ = [
     "pq_codebook",
     "pq_encode",
     "topk_pq",
+    "topk_ivf_pq",
+    "recall_at_k",
     "quantize_embeddings",
     "save_ivf_index",
     "load_ivf_index",
@@ -411,6 +413,115 @@ def topk_pq(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(q_id, c_id, F.round("dist", 6).alias("dist"), "rn")
+    )
+
+
+def topk_ivf_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    codebook: list[list[float]],
+    m: int = 8,
+    k: int = 3,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    c_id: str = "cid",
+    c_vec: str = "cvec",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the FAISS ``IndexIVFPQ`` serving shape:
+    coarse quantizer (IVF cells) prunes the corpus to the query's
+    ``nprobe`` cells, then PQ asymmetric-distance (ADC) ranks only the
+    surviving candidates.
+
+    Returns (qid, cid, dist, rn) ascending by approximate distance.
+    Plan: cell assignment and PQ encode are both map-only passes over
+    the corpus against broadcast constants (centroids / codebook); they
+    join on the candidate id — both sides hash-partition on it, one
+    shuffle each; the per-query LUT travels with the broadcast query
+    side; the only other shuffle is the per-query top-k window.  At
+    billion scale the encoded corpus (m bytes/vector + a cell id) is
+    the *stored* index — this pipeline is exactly the build+search
+    split FAISS persists.
+
+    Extension — no reference counterpart; composes :func:`topk_ivf`'s
+    cell pruning with :func:`topk_pq`'s ADC scoring.
+    """
+    cand_cells = ivf_cells(candidates, centroids, v_id=c_id, v_vec=c_vec)
+    encoded = pq_encode(candidates, codebook, m=m, id_col=c_id, vec_col=c_vec)
+    cand = encoded.join(cand_cells, c_id)
+
+    if nprobe <= 1:
+        query_cells = ivf_cells(queries, centroids, v_id=q_id, v_vec=q_vec)
+    else:
+        scored_cells = spread(queries).crossJoin(F.broadcast(centroids)).select(
+            q_id, "cell", cosine(q_vec, "centvec").alias("cos")
+        )
+        wq = Window.partitionBy(q_id).orderBy(
+            F.col("cos").desc(), F.col("cell").asc()
+        )
+        query_cells = (
+            scored_cells.withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= nprobe)
+            .select(q_id, "cell")
+        )
+    q_with_lut = spread(queries).select(
+        q_id, F.expr(_pq_dists_sql(q_vec, codebook, m)).alias("__lut")
+    )
+    blocked = (
+        F.broadcast(q_with_lut.join(query_cells, q_id))
+        .join(cand, "cell")
+        .where(F.col(q_id) != F.col(c_id))
+    )
+    dist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+        "(acc, s) -> acc + element_at(element_at(__lut, s + 1), "
+        "element_at(codes, s + 1) + 1))"
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("dist").asc(), F.col(c_id).asc())
+    return (
+        blocked.select(q_id, c_id, dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(q_id, c_id, F.round("dist", 6).alias("dist"), "rn")
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    q_id: str = "qid",
+    c_id: str = "cid",
+) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against exact
+    ground truth: ``(qid, n_exact, n_hits, recall)``.
+
+    Both inputs are (qid, cid, ..., rn) frames as returned by the
+    ``topk_*`` searches; rows beyond rank ``k`` are ignored on both
+    sides.  The quality gate every IVF/PQ deployment needs: measure
+    recall on a bounded query sample before trusting the index.  Plan:
+    two already-small top-k frames, one equi-join on (qid, cid), one
+    count per query — negligible next to either search.
+
+    Extension — no reference counterpart; the eval harness for
+    :func:`topk_ivf` / :func:`topk_pq` / :func:`topk_ivf_pq`.
+    """
+    a = approx.where(F.col("rn") <= k).select(q_id, c_id)
+    e = exact.where(F.col("rn") <= k).select(q_id, c_id)
+    hits = e.join(a, [q_id, c_id]).groupBy(q_id).agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    base = e.groupBy(q_id).agg(F.count(F.lit(1)).alias("__exact"))
+    return base.join(hits, q_id, "left").select(
+        q_id,
+        F.col("__exact").cast("bigint").alias("n_exact"),
+        F.coalesce(F.col("__hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+            / F.col("__exact").cast("double"),
+            6,
+        ).alias("recall"),
     )
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "PII_PATTERNS",
     "redact_terms",
     "redact_pii",
+    "boilerplate_ngrams",
 ]
 
 #: Number of md5 hex chars used for integer hashes (60 bits < int64).
@@ -531,3 +532,68 @@ def bigram_logprob(df, id_col: str, text_col: str) -> DataFrame:
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+def boilerplate_ngrams(
+    df,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_docs: int = 5,
+    min_sources: int = 2,
+    source_col: str | None = None,
+    k: int = 100,
+):
+    """Corpus-level boilerplate detector: word ``shingle_n``-grams shared
+    by many documents — headers, footers, cookie banners, license
+    blurbs — the spans an LLM-data pipeline strips before training.
+
+    Returns the top ``k`` shingles by document frequency:
+    ``(s, n_docs[, n_sources])`` with ``n_docs >= min_docs`` (and, when
+    ``source_col`` is given, ``n_sources >= min_sources`` distinct
+    sources — within-site repetition is navigation, CROSS-site
+    repetition is boilerplate).  ``s`` is the engine-portable 60-bit
+    md5 hash of the shingle (:func:`md5_long`), so only hashes shuffle,
+    never text.  Plan: explode distinct shingles -> ONE hash aggregate
+    with map-side partial counts (``count(distinct source)`` stays
+    partial-aggregable because the first groupBy key is the shingle) ->
+    ``TakeOrderedAndProject`` top-k, no global sort.
+
+    Extension — no reference counterpart; the corpus-frequency
+    complement of :func:`~datajudge_spark.pipeline.dedup.jaccard_pairs`'
+    per-pair overlap.
+    """
+    from pyspark.sql import functions as F
+
+    sel = [
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(word_shingles(text_col, shingle_n))
+        ).alias("__s"),
+    ]
+    if source_col is not None:
+        sel.insert(1, F.col(source_col).alias("__src"))
+    exploded = df.select(*sel).select(
+        *(["__id", "__src"] if source_col is not None else ["__id"]),
+        md5_long("__s").alias("s"),
+    )
+    # rows are already distinct per (doc, shingle) — array_distinct
+    # upstream — so n_docs is a plain count(*), keeping the aggregate
+    # fully partial (no two-distinct Expand doubling the shuffle)
+    if source_col is not None:
+        agg = exploded.groupBy("s").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("__src").alias("n_sources"),
+        )
+        out = agg.where(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_sources") >= min_sources)
+        )
+        order = [F.desc("n_docs"), F.desc("n_sources"), F.asc("s")]
+    else:
+        agg = exploded.groupBy("s").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        out = agg.where(F.col("n_docs") >= min_docs)
+        order = [F.desc("n_docs"), F.asc("s")]
+    return out.orderBy(*order).limit(k)

@@ -320,6 +320,53 @@ class TestSimilarity:
         # probing every cell IS brute force (minus nothing): exact recall
         assert r_all == 1.0
 
+    def test_ivf_pq_composite_on_clusters(self, spark, clustered_vecs):
+        cent = similarity.kmeans_centroids(clustered_vecs, k=4, max_iterations=10)
+        cb = similarity.pq_codebook(clustered_vecs, n_codes=16)
+        q = clustered_vecs.where("vid < 8").select(
+            F.col("vid").alias("qid"), F.col("vvec").alias("qvec")
+        )
+        c = clustered_vecs.select(
+            F.col("vid").alias("cid"), F.col("vvec").alias("cvec")
+        )
+        top = similarity.topk_ivf_pq(q, c, cent, cb, m=4, k=3).collect()
+        truth = {r.vid: r.truth for r in clustered_vecs.collect()}
+        # well-separated clusters: the coarse cells keep only same-cluster
+        # candidates and ADC ranks within them — hits stay in-cluster
+        hits = sum(1 for r in top if truth[r.cid] == truth[r.qid])
+        assert hits >= 20, f"IVF-PQ same-cluster hits {hits}/24"
+        by_q = {}
+        for r in top:
+            by_q.setdefault(r.qid, []).append((r.rn, r.dist))
+        for rows in by_q.values():
+            rows.sort()
+            assert [rn for rn, _ in rows] == [1, 2, 3]
+            assert all(
+                rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1)
+            )
+
+    def test_recall_at_k(self, spark, clustered_vecs):
+        cent = similarity.kmeans_centroids(clustered_vecs, k=4, max_iterations=10)
+        q = clustered_vecs.where("vid < 8").select(
+            F.col("vid").alias("qid"), F.col("vvec").alias("qvec")
+        )
+        c = clustered_vecs.select(
+            F.col("vid").alias("cid"), F.col("vvec").alias("cvec")
+        )
+        brute = similarity.topk_bruteforce(q, c, k=3)
+        # self-recall is exactly 1 for every query
+        perfect = similarity.recall_at_k(brute, brute, k=3).collect()
+        assert len(perfect) == 8
+        assert all(r.recall == 1.0 and r.n_hits == r.n_exact == 3 for r in perfect)
+        # IVF recall against ground truth: bounded [0, 1], counts consistent
+        ivf = similarity.topk_ivf(q, c, cent, k=3)
+        got = similarity.recall_at_k(ivf, brute, k=3).collect()
+        assert len(got) == 8
+        for r in got:
+            assert 0.0 <= r.recall <= 1.0
+            assert r.n_hits <= r.n_exact == 3
+            assert r.recall == pytest.approx(r.n_hits / 3, abs=1e-6)
+
 
 class TestText:
     def test_language_id(self, spark):
@@ -356,6 +403,64 @@ class TestText:
         out = df.select(text.word_shingles("t", 3).alias("s")).collect()
         assert out[0].s == ["a b c", "b c d"]
         assert out[1].s == []
+
+    def test_boilerplate_ngrams(self, spark):
+        footer = "all rights reserved"
+        nav = "home about contact"
+        rows = []
+        # the footer appears in 4 docs spread over 2 sources;
+        # the nav block repeats in 3 docs of ONE source only
+        for i in range(4):
+            rows.append(
+                Row(
+                    doc_id=i,
+                    source=f"site{i % 2}",
+                    t=f"unique body {i} words {footer}",
+                )
+            )
+        for i in range(4, 7):
+            rows.append(
+                Row(doc_id=i, source="site0", t=f"page {i} text {nav}")
+            )
+        df = spark.createDataFrame(rows)
+        got = {
+            r.s: (r.n_docs, r.n_sources)
+            for r in text.boilerplate_ngrams(
+                df, "doc_id", "t", shingle_n=3,
+                min_docs=3, min_sources=2, source_col="source",
+            ).collect()
+        }
+        footer_hash = df.limit(1).select(
+            text.md5_long(F.lit(footer)).alias("h")
+        ).first()["h"]
+        nav_hash = df.limit(1).select(
+            text.md5_long(F.lit(nav)).alias("h")
+        ).first()["h"]
+        assert got[footer_hash] == (4, 2)
+        # within-source repetition is filtered by min_sources
+        assert nav_hash not in got
+        # without the source gate it shows up
+        got_nosrc = {
+            r.s: r.n_docs
+            for r in text.boilerplate_ngrams(
+                df, "doc_id", "t", shingle_n=3, min_docs=3,
+            ).collect()
+        }
+        assert got_nosrc[nav_hash] == 3
+        # duplicated shingles inside one doc count that doc once
+        dup_df = spark.createDataFrame(
+            [
+                Row(doc_id=0, source="s", t=f"{footer} x {footer}"),
+                Row(doc_id=1, source="s", t=footer),
+            ]
+        )
+        dup = {
+            r.s: r.n_docs
+            for r in text.boilerplate_ngrams(
+                dup_df, "doc_id", "t", shingle_n=3, min_docs=2,
+            ).collect()
+        }
+        assert dup[footer_hash] == 2
 
 
 class TestMultimodal:
@@ -429,6 +534,30 @@ class TestMultimodal:
             got = sorted(by_doc[row.doc_id], key=lambda r: r.frame_idx)
             assert len(got) == expected
             assert bytes(got[0].frame) == payload[:16]
+
+    def test_audio_windows_overlap(self, spark, docs):
+        media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+        wins = multimodal.audio_windows(media, win_bytes=32, hop_bytes=16)
+        by_doc = {}
+        for r in wins.collect():
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for row in docs.collect():
+            payload = row.text.encode("utf-8")
+            got = sorted(by_doc[row.doc_id], key=lambda r: r.win_idx)
+            assert len(got) == -(-len(payload) // 16)  # one per hop start
+            for r in got:
+                expect = payload[r.win_idx * 16 : r.win_idx * 16 + 32]
+                assert bytes(r.window) == expect
+                assert r.win_len == len(expect)
+            # consecutive windows overlap by win - hop = 16 bytes
+            for a, b in zip(got, got[1:]):
+                if a.win_len == 32:
+                    assert bytes(a.window)[16:] == bytes(b.window)[: a.win_len - 16]
+
+    def test_audio_windows_rejects_bad_hop(self, spark, docs):
+        media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+        with pytest.raises(ValueError):
+            multimodal.audio_windows(media, win_bytes=8, hop_bytes=16)
 
 
 class TestAsofJoin:

@@ -580,6 +580,124 @@ class TestTheilSen:
         assert row["slope"] == pytest.approx(3.0, abs=0.5)
 
 
+class TestGroupedQuantileGrid:
+    def test_matches_naive(self, spark):
+        import random
+
+        from datajudge_spark.operators.stats import grouped_quantile_grid
+
+        rng = random.Random(23)
+        rows = []
+        for _ in range(500):
+            g = rng.choice(["a", "b"])
+            v = rng.randint(0, 80) + (30 if g == "b" else 0)
+            rows.append((float(v), g))
+        df = spark.createDataFrame(rows, "value double, g string")
+        got = {
+            (r["g"], r["decile"]): (r["v_group"], r["v_pooled"], r["gap"])
+            for r in grouped_quantile_grid(
+                df, "value", "g", groups=["a", "b"]
+            ).collect()
+        }
+        assert len(got) == 2 * 9
+        pooled = sorted(v for v, _ in rows)
+
+        def q(vals, j):
+            # smallest v with 10*cum >= j*n (exact integer rule)
+            n = len(vals)
+            return next(
+                v for k, v in enumerate(vals) if (k + 1) * 10 >= j * n
+            )
+
+        for g in ["a", "b"]:
+            mine = sorted(v for v, gg in rows if gg == g)
+            for j in range(1, 10):
+                vg, vp, gap = got[(g, j)]
+                assert vg == pytest.approx(q(mine, j), abs=1e-6)
+                assert vp == pytest.approx(q(pooled, j), abs=1e-6)
+                assert gap == pytest.approx(vg - vp, abs=1e-6)
+        # the shifted group sits right of the pooled grid everywhere
+        assert all(got[("b", j)][2] >= 0 for j in range(1, 10))
+
+    def test_empty_group_yields_nulls(self, spark):
+        from datajudge_spark.operators.stats import grouped_quantile_grid
+
+        df = spark.createDataFrame(
+            [(float(i), "a") for i in range(20)], "value double, g string"
+        )
+        rows = grouped_quantile_grid(
+            df, "value", "g", groups=["a", "zzz"]
+        ).collect()
+        zz = [r for r in rows if r["g"] == "zzz"]
+        assert len(zz) == 9
+        assert all(r["v_group"] is None and r["gap"] is None for r in zz)
+        assert all(r["v_pooled"] is not None for r in zz)
+
+
+class TestGroupedTheilSen:
+    def test_matches_naive_per_group(self, spark):
+        import datetime as dt
+        import random
+
+        from datajudge_spark.operators.timeseries import grouped_theil_sen
+
+        rng = random.Random(7)
+        rows = []
+        series = {"up": 5, "down": -3}
+        for g, slope in series.items():
+            for i in range(25):
+                rows.append(
+                    (
+                        g,
+                        dt.date(2024, 3, 1) + dt.timedelta(days=i),
+                        1000 + slope * i + rng.randint(-2, 2),
+                    )
+                )
+        df = spark.createDataFrame(rows, "g string, day date, cents long")
+        got = {
+            r["g"]: (r["n_days"], r["n_pairs"], r["slope"])
+            for r in grouped_theil_sen(
+                df, "g", "cents", groups=["down", "up"]
+            ).collect()
+        }
+        for g in series:
+            days = [(d, v) for gg, d, v in rows if gg == g]
+            slopes = sorted(
+                (v2 - v1) / (d2 - d1).days
+                for i, (d1, v1) in enumerate(days)
+                for d2, v2 in days[i + 1 :]
+            )
+            n = len(slopes)
+            med = next(s for k, s in enumerate(slopes) if (k + 1) * 2 >= n)
+            assert got[g][0] == 25
+            assert got[g][1] == n
+            assert got[g][2] == pytest.approx(med, abs=1e-6)
+        assert got["up"][2] > 0 > got["down"][2]
+
+    def test_group_without_days_gets_null_slope(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import grouped_theil_sen
+
+        df = spark.createDataFrame(
+            [
+                ("a", dt.date(2024, 1, 1) + dt.timedelta(days=i), 10 * i)
+                for i in range(5)
+            ],
+            "g string, day date, cents long",
+        )
+        got = {
+            r["g"]: r
+            for r in grouped_theil_sen(
+                df, "g", "cents", groups=["a", "ghost"]
+            ).collect()
+        }
+        assert got["a"]["slope"] == pytest.approx(10.0, abs=1e-6)
+        assert got["ghost"]["n_days"] == 0
+        assert got["ghost"]["n_pairs"] == 0
+        assert got["ghost"]["slope"] is None
+
+
 class TestGammaQ:
     def test_chi2_critical_values(self):
         from datajudge_spark.constraints.stats import _gamma_q
