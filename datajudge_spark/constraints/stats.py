@@ -865,3 +865,215 @@ class SpearmanBounds(Constraint):
             f"{self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class QuantileGridGapMax(Constraint):
+    """Per-segment distribution-shape gate: at every decile of the
+    pooled ``value_column`` distribution, each group's exact quantile
+    may not sit more than ``max_abs_gap`` away from the pooled
+    quantile — WHERE in the distribution a segment drifted, not just
+    how far (the KS sup).  Extension, no reference counterpart;
+    the grid-valued peer of :class:`GroupedKsMax`.
+
+    Engine side is operators.stats.grouped_quantile_grid: one
+    conditional-agg histogram shuffle + the shared bucket-partitioned
+    multi-cumulative; groups x (deciles-1) rows reach the driver.
+    Groups with no rows report NULL quantiles and fail explicitly.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_abs_gap: float,
+        groups: list | None = None,
+        deciles: int = 10,
+        max_groups: int = 100,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_gap < 0:
+            raise ValueError("max_abs_gap must be non-negative.")
+        if deciles < 2:
+            raise ValueError("deciles must be at least 2.")
+        self._max_abs_gap = max_abs_gap
+        self._groups = groups
+        self._deciles = deciles
+        self._max_groups = max_groups
+        super().__init__(
+            ref, ref_value=max_abs_gap, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import grouped_quantile_grid
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "QuantileGridGapMax requires exactly two columns: "
+                "(value_column, group_column)."
+            )
+        df = self._ref.get_selection(engine)
+        try:
+            rows = grouped_quantile_grid(
+                df,
+                cols[0],
+                cols[1],
+                groups=self._groups,
+                deciles=self._deciles,
+                max_groups=self._max_groups,
+            ).collect()
+        except ValueError as exc:
+            return TestResult.failure(
+                f"Quantile grid of {cols} on {self._ref} is undefined: "
+                f"{exc} ",
+                self.get_description(),
+            )
+        undefined = sorted(
+            {r[cols[1]] for r in rows if r["gap"] is None}
+        )
+        violators = [
+            (r[cols[1]], r["decile"], r["gap"])
+            for r in rows
+            if r["gap"] is not None and abs(r["gap"]) > self._max_abs_gap
+        ]
+        if not undefined and not violators:
+            return TestResult.success()
+        parts = []
+        if violators:
+            listed = ", ".join(
+                f"{g} decile {d}/{self._deciles} (gap={gap})"
+                for g, d, gap in sorted(violators)
+            )
+            parts.append(
+                f"(group, decile) cells exceeding max |gap| "
+                f"{self._max_abs_gap}: {listed}."
+            )
+        if undefined:
+            parts.append(
+                f"groups with no rows (quantiles undefined): {undefined}."
+            )
+        assertion_text = (
+            f"Quantile grid of {cols[0]} by {cols[1]} on {self._ref}: "
+            + " ".join(parts)
+            + f" {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class GroupedTrendSlopeBetween(Constraint):
+    """Per-segment robust-trend gate: each group's Theil-Sen slope of
+    the DAILY sum of ``value_column`` over ``date_column`` must lie
+    within [min_slope, max_slope] (units: value per day) — "no segment's
+    volume may decay faster than X/day", robust to single-day outliers
+    that would swing an OLS slope.  Extension, no reference counterpart;
+    the grouped, gated form of the Theil-Sen estimator.
+
+    Engine side: one grouped daily aggregate (partial-agg shuffle), the
+    calendar-bounded within-group pair join, and ONE conditional slope
+    histogram + shared bucketed cumulative for every group's median
+    (operators.timeseries.grouped_theil_sen); one row per group reaches
+    the driver.  Groups with fewer than two days have no slope (NULL)
+    and fail explicitly.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        min_slope: float | None = None,
+        max_slope: float | None = None,
+        groups: list | None = None,
+        max_groups: int = 100,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if min_slope is None and max_slope is None:
+            raise ValueError("Provide min_slope and/or max_slope.")
+        self._min_slope, self._max_slope = min_slope, max_slope
+        self._groups = groups
+        self._max_groups = max_groups
+        super().__init__(
+            ref,
+            ref_value=(min_slope, max_slope),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import grouped_theil_sen
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 3:
+            raise ValueError(
+                "GroupedTrendSlopeBetween requires exactly three columns: "
+                "(date_column, value_column, group_column)."
+            )
+        date_col, value_col, group_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(date_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        groups = self._groups
+        if groups is None:
+            rows = (
+                df.select(F.col(group_col).alias("g"))
+                .distinct()
+                .limit(self._max_groups + 1)
+                .collect()
+            )
+            if len(rows) > self._max_groups:
+                raise ValueError(
+                    f"GroupedTrendSlopeBetween: more than "
+                    f"max_groups={self._max_groups} distinct groups in "
+                    f"{group_col}; pass an explicit `groups` list."
+                )
+            groups = sorted(r["g"] for r in rows)
+        daily = df.groupBy(
+            group_col, F.col(date_col).cast("date").alias("day")
+        ).agg(F.sum(value_col).alias("__total"))
+        try:
+            out = grouped_theil_sen(
+                daily, group_col, "__total", groups=groups
+            ).collect()
+        except ValueError as exc:
+            return TestResult.failure(
+                f"Grouped Theil-Sen of {cols} on {self._ref} is "
+                f"undefined: {exc} ",
+                self.get_description(),
+            )
+        lo = self._min_slope if self._min_slope is not None else float("-inf")
+        hi = self._max_slope if self._max_slope is not None else float("inf")
+        undefined = sorted(
+            r[group_col] for r in out if r["slope"] is None
+        )
+        violators = [
+            (r[group_col], r["slope"], r["n_days"])
+            for r in out
+            if r["slope"] is not None and not lo <= r["slope"] <= hi
+        ]
+        if not undefined and not violators:
+            return TestResult.success()
+        parts = []
+        if violators:
+            listed = ", ".join(
+                f"{g} (slope={s}, n_days={n})"
+                for g, s, n in sorted(violators)
+            )
+            parts.append(
+                f"groups with daily-trend slope outside [{lo}, {hi}]: "
+                f"{listed}."
+            )
+        if undefined:
+            parts.append(
+                f"groups with under two days (slope undefined): "
+                f"{undefined}."
+            )
+        assertion_text = (
+            f"Grouped Theil-Sen slope of daily sum({value_col}) by "
+            f"{group_col} on {self._ref}: "
+            + " ".join(parts)
+            + f" {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -365,8 +365,9 @@ def grouped_quantile_grid(
     df: DataFrame,
     value_col: str,
     group_col: str,
-    groups: list,
+    groups: list | None = None,
     deciles: int = 10,
+    max_groups: int = 100,
 ) -> DataFrame:
     """Per-group EXACT quantile grid vs the pooled distribution: one row
     ``(group, decile, v_group, v_pooled, gap)`` per (group, j/deciles)
@@ -385,11 +386,28 @@ def grouped_quantile_grid(
     add scans.
 
     Extension — no reference counterpart; generalizes
-    ``add_percentile_*`` gates to a per-segment grid.
+    ``add_percentile_*`` gates to a per-segment grid.  ``groups`` pins
+    the segment list; when None the distinct groups are collected,
+    capped at ``max_groups`` (same discovery contract as
+    :func:`grouped_ks`).
     """
     non_null = df.where(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     )
+    if groups is None:
+        rows = (
+            non_null.select(F.col(group_col).alias("g"))
+            .distinct()
+            .limit(max_groups + 1)
+            .collect()
+        )
+        if len(rows) > max_groups:
+            raise ValueError(
+                f"grouped_quantile_grid: more than max_groups={max_groups} "
+                f"distinct groups in {group_col}; pass an explicit "
+                "`groups` list."
+            )
+        groups = sorted(r["g"] for r in rows)
     cnt_aliases = [f"c{i}" for i in range(len(groups))]
     hist = non_null.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.lit(1)).alias("cnt"),

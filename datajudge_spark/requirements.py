@@ -948,6 +948,81 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_quantile_grid_gap_max_constraint(
+        self,
+        value_column: str,
+        group_column: str,
+        max_abs_gap: float,
+        groups: list | None = None,
+        deciles: int = 10,
+        max_groups: int = 100,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): at every decile of the
+        pooled ``value_column`` distribution, each group's exact
+        quantile may not sit more than ``max_abs_gap`` away from the
+        pooled quantile — the grid-valued drift gate (WHERE the segment
+        moved, complementing the grouped-KS sup).  One conditional-agg
+        histogram shuffle covers all groups and all grid points; groups
+        x (deciles-1) rows reach the driver.  ``groups`` pins the
+        segment list; otherwise distinct groups are collected, capped
+        at ``max_groups``."""
+        ref = DataReference(
+            self._data_source, [value_column, group_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.QuantileGridGapMax(
+                ref,
+                max_abs_gap,
+                groups=groups,
+                deciles=deciles,
+                max_groups=max_groups,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_grouped_trend_slope_constraint(
+        self,
+        date_column: str,
+        value_column: str,
+        group_column: str,
+        min_slope: float | None = None,
+        max_slope: float | None = None,
+        groups: list | None = None,
+        max_groups: int = 100,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): each group's Theil-Sen
+        slope of the daily ``sum(value_column)`` series over
+        ``date_column`` must lie within [min_slope, max_slope] (value
+        per day) — the robust per-segment trend gate; single-day
+        outliers cannot swing the pairwise median the way they swing an
+        OLS fit.  The pair join runs on the grouped DAILY frame
+        (calendar-bounded), and every group's median comes from one
+        shared conditional slope histogram — no per-group scans or
+        windows."""
+        ref = DataReference(
+            self._data_source,
+            [date_column, value_column, group_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.GroupedTrendSlopeBetween(
+                ref,
+                min_slope=min_slope,
+                max_slope=max_slope,
+                groups=groups,
+                max_groups=max_groups,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_chi_squared_independence_constraint(
         self,
         column_a: str,

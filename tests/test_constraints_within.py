@@ -546,6 +546,100 @@ class TestGroupedKsMax:
             req.add_grouped_ks_max_constraint("v", "g", max_d=1.5)
 
 
+class TestQuantileGridGapMax:
+    def test_pass_and_fail(self, spark):
+        # a/b share one distribution; c is a SMALL group shifted +1000
+        # (small so the pooled grid stays inside a/b's range and only c
+        # shows large gaps — a 1/3-mass outlier group would drag the
+        # pooled top deciles out and legitimately flag a/b too)
+        rows = [(float(v), "a") for v in range(50)]
+        rows += [(float(v), "b") for v in range(50)]
+        rows += [(float(v + 1000), "c") for v in range(5)]
+        df = spark.createDataFrame(rows, "v double, g string")
+        req = within_req(df, "qgrid")
+        req.add_quantile_grid_gap_max_constraint("v", "g", max_abs_gap=1500)
+        req.add_quantile_grid_gap_max_constraint("v", "g", max_abs_gap=100)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "c decile" in results[1].failure_message
+        assert "a decile" not in results[1].failure_message
+
+    def test_empty_group_fails_explicitly(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "a"), (3.0, "a")], "v double, g string"
+        )
+        req = within_req(df, "qgridempty")
+        req.add_quantile_grid_gap_max_constraint(
+            "v", "g", max_abs_gap=10.0, groups=["a", "ghost"]
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "ghost" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1.0, "a")], "v double, g string")
+        req = within_req(df, "qgridval")
+        with pytest.raises(ValueError):
+            req.add_quantile_grid_gap_max_constraint("v", "g", -0.5)
+        with pytest.raises(ValueError):
+            req.add_quantile_grid_gap_max_constraint(
+                "v", "g", 1.0, deciles=1
+            )
+
+
+class TestGroupedTrendSlope:
+    def test_pass_and_fail(self, spark):
+        import datetime as dt
+
+        rows = []
+        for g, slope in [("up", 5), ("down", -5)]:
+            for i in range(20):
+                rows.append(
+                    (g, dt.date(2024, 1, 1) + dt.timedelta(days=i),
+                     float(100 + slope * i))
+                )
+        df = spark.createDataFrame(rows, "g string, d date, v double")
+        req = within_req(df, "gslope")
+        req.add_grouped_trend_slope_constraint(
+            "d", "v", "g", min_slope=-10.0, max_slope=10.0
+        )
+        req.add_grouped_trend_slope_constraint(
+            "d", "v", "g", min_slope=0.0  # fail: 'down' decays
+        )
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "down (slope=" in results[1].failure_message
+        assert "up (slope=" not in results[1].failure_message
+
+    def test_single_day_group_is_undefined(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [
+                ("a", dt.date(2024, 1, 1), 1.0),
+                ("a", dt.date(2024, 1, 2), 2.0),
+                ("lone", dt.date(2024, 1, 1), 5.0),
+            ],
+            "g string, d date, v double",
+        )
+        req = within_req(df, "gslopelone")
+        req.add_grouped_trend_slope_constraint(
+            "d", "v", "g", min_slope=-100.0, max_slope=100.0
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "lone" in results[0].failure_message
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(
+            [("a",)], "g string"
+        )
+        req = within_req(df, "gslopeval")
+        with pytest.raises(ValueError):
+            req.add_grouped_trend_slope_constraint("d", "v", "g")
+
+
 class TestGiniMax:
     def test_pass_and_fail(self, spark):
         # one holder of everything over 4 rows: G = 0.75
