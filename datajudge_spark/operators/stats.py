@@ -700,33 +700,47 @@ def _equidepth_fracs(spark, n_buckets: int) -> list[float]:
     return [i / b_eff for i in range(1, b_eff)]
 
 
+def _sample_pred(col: str = "v") -> Column:
+    """Deterministic ``EQUIDEPTH_SAMPLE_FRACTION`` membership predicate:
+    a hash bucket of the value itself, NOT ``DataFrame.sample``'s
+    per-partition RNG — so the sampled sketch can run as conditional
+    aggregates INSIDE the same job as the exact extremes (one probe over
+    the cached histogram instead of two), and membership is stable
+    across partitionings/engines."""
+    return F.pmod(F.xxhash64(F.col(col), F.lit(7)), F.lit(10_000)) < int(
+        EQUIDEPTH_SAMPLE_FRACTION * 10_000
+    )
+
+
 def _equidepth_bounds(
     cached: DataFrame, n_buckets: int
 ) -> tuple[list, object]:
     """Equi-DEPTH bucket boundaries for a (v, ...) distinct-value frame:
     a ``percentile_approx`` sketch (accuracy 1000) over a
-    ``EQUIDEPTH_SAMPLE_FRACTION`` sample of the cached frame.  Returns
-    ``(bounds, stats_row)`` where stats carries lo/hi for the
-    degenerate checks.  Boundary/sample error affects bucket *balance*
-    only, never correctness — bucket membership is a pure function of
-    v.  ``bounds`` may be empty (tiny frame, empty sample): callers
-    must fall back to linear interpolation, not assume a single value.
+    ``EQUIDEPTH_SAMPLE_FRACTION`` hash-sample of the cached frame,
+    computed in the SAME single job as the exact lo/hi (conditional
+    aggregates over :func:`_sample_pred`).  Returns ``(bounds,
+    stats_row)`` where stats carries lo/hi for the degenerate checks.
+    Boundary/sample error affects bucket *balance* only, never
+    correctness — bucket membership is a pure function of v.
+    ``bounds`` may be empty (tiny frame, empty sample): callers must
+    fall back to linear interpolation, not assume a single value.
     """
     fracs = _equidepth_fracs(cached.sparkSession, n_buckets)
+    if not fracs:
+        return [], cached.agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).first()
+    sampled = F.when(_sample_pred(), F.col("v"))
     stats = cached.agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi")
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(sampled).alias("m"),
+        F.percentile_approx(sampled, fracs, 1_000).alias("bounds"),
     ).first()
-    if stats["lo"] is None or stats["lo"] == stats["hi"] or not fracs:
+    if stats["lo"] is None or stats["lo"] == stats["hi"]:
         return [], stats
-    row = (
-        cached.sample(EQUIDEPTH_SAMPLE_FRACTION, seed=7)
-        .agg(
-            F.count(F.lit(1)).alias("m"),
-            F.percentile_approx("v", fracs, 1_000).alias("bounds"),
-        )
-        .first()
-    )
-    return _dedupe_bounds(row["bounds"], sample_n=int(row["m"])), stats
+    return _dedupe_bounds(stats["bounds"], sample_n=int(stats["m"])), stats
 
 
 def _bucketed_global_cum(
@@ -829,12 +843,16 @@ def _bucketed_global_cums(
     # the <=B per-column offsets ship as LITERAL maps, not a broadcast
     # join: strictly map-side (no join machinery in the window's child —
     # a join there also trips a Catalyst binding bug at some partition
-    # counts), and a few hundred int literals are free to plan
+    # counts).  Built as ONE SQL string per column: the same map through
+    # the Python column API costs 2·B py4j round-trips per column
+    # (multi-second plan-BUILD time for the 6-column grouped operators),
+    # while the string parses JVM-side in milliseconds.  All values get
+    # the L suffix — mixed int/long literals in one map() fail.
     def _off(c: str):
-        pairs = []
-        for k, off in offsets[c].items():
-            pairs.extend((F.lit(k), F.lit(off).cast("long")))
-        return F.element_at(F.create_map(*pairs), F.col("__b"))
+        pairs = ", ".join(
+            f"{k}, {off}L" for k, off in offsets[c].items()
+        )
+        return F.expr(f"element_at(map({pairs}), __b)")
 
     return hist.select(
         "v",
@@ -1180,35 +1198,35 @@ def wasserstein_1d(
             F.sum("__n1").alias("n1"), F.sum("__n2").alias("n2")
         )
     )
-    stats = hist.agg(
+    # ONE probe over the cached histogram: exact extremes/totals AND the
+    # equi-depth boundary sketch (conditional aggregates over the
+    # deterministic hash-sample predicate) — linear [lo, hi] edges
+    # degenerate on heavy tails, see _bucketed_global_cum
+    spark = df1.sparkSession
+    fracs = _equidepth_fracs(spark, n_buckets)
+    aggs = [
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
         F.sum("n1").alias("t1"),
         F.sum("n2").alias("t2"),
-    ).first()
+    ]
+    if fracs:
+        sampled = F.when(_sample_pred(), F.col("v"))
+        aggs += [
+            F.count(sampled).alias("m"),
+            F.percentile_approx(sampled, fracs, 1_000).alias("bounds"),
+        ]
+    stats = hist.agg(*aggs).first()
     lo, hi, t1, t2 = stats["lo"], stats["hi"], stats["t1"], stats["t2"]
     if lo is None or not t1 or not t2:
         raise ValueError("wasserstein_1d needs non-empty samples both sides")
-    spark = df1.sparkSession
     if hi == lo:
         return spark.createDataFrame(
             [(int(t1), int(t2), 0.0)], "n1 long, n2 long, emd double"
         )
-    # equi-depth boundaries from a sampled sketch over the CACHED
-    # histogram — linear [lo, hi] edges degenerate on heavy tails, see
-    # _bucketed_global_cum; the sample keeps the boundary pass ~free
-    fracs = _equidepth_fracs(spark, n_buckets)
     bounds = []
     if fracs:
-        row = (
-            hist.sample(EQUIDEPTH_SAMPLE_FRACTION, seed=7)
-            .agg(
-                F.count(F.lit(1)).alias("m"),
-                F.percentile_approx("v", fracs, 1_000).alias("bounds"),
-            )
-            .first()
-        )
-        bounds = _dedupe_bounds(row["bounds"], sample_n=int(row["m"]))
+        bounds = _dedupe_bounds(stats["bounds"], sample_n=int(stats["m"]))
     if bounds:
         b = F.aggregate(
             F.array(*[F.lit(bd) for bd in bounds]),
@@ -1248,10 +1266,9 @@ def wasserstein_1d(
     # a join below a window trips a Catalyst binding bug at some
     # partition counts (see _bucketed_global_cums)
     def _off(idx: int):
-        pairs = []
-        for tup in offsets:
-            pairs.extend((F.lit(tup[0]), F.lit(tup[idx]).cast("long")))
-        return F.element_at(F.create_map(*pairs), F.col("__b"))
+        # one SQL string, not 2·B py4j lit calls (see _bucketed_global_cums)
+        pairs = ", ".join(f"{tup[0]}, {tup[idx]}L" for tup in offsets)
+        return F.expr(f"element_at(map({pairs}), __b)")
 
     w = (
         Window.partitionBy("__b")
