@@ -3107,6 +3107,52 @@ def q_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+def q_graph_triangles(spark, sf_dir):
+    # exact triangle census of the nation trade graph: ordered
+    # node-iterator joins (each triangle u<v<w found once), wedge count
+    # from one degree aggregate — the community-structure health check
+    # completing the graph family (PageRank, BFS, components).
+    from datajudge_spark.operators.graph import triangle_stats
+
+    edges = _trade_edges(spark, sf_dir)
+    return triangle_stats(edges, "src", "dst")
+
+
+def q_mutual_information(spark, sf_dir):
+    # how much does event type tell you about day-of-week?  MI + NMI in
+    # nats over the same contingency cells as chi_squared — one groupBy
+    # shuffle, margins aggregate the CELLS, log-sum form (no o·N
+    # integer product to overflow at scale).
+    from datajudge_spark.operators.stats import mutual_information
+
+    ev = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ),
+        F.lit(7),
+    )
+    base = ev.select(F.col("event_type").alias("et"), dow.alias("dow"))
+    return mutual_information(base, "et", "dow")
+
+
+def q_js_divergence(spark, sf_dir):
+    # Jensen-Shannon drift between click and view value distributions —
+    # symmetric, bounded by ln 2, finite on disjoint support; completes
+    # the drift family next to PSI (unbounded), KS (sup), EMD (integral)
+    from datajudge_spark.operators.stats import js_divergence
+
+    ev = _t(spark, sf_dir, "events")
+    return js_divergence(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_buckets=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # keys only (verified rounds 1-3).  Round 4 rotates the window one
@@ -3291,6 +3337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_theil_sen": q_grouped_theil_sen,
         "multimodal_audio_windows": q_multimodal_audio_windows,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "graph_triangles": q_graph_triangles,
+        "mutual_information": q_mutual_information,
+        "js_divergence": q_js_divergence,
     }
 
 
@@ -5499,5 +5548,68 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_sources AS BIGINT) AS n_sources FROM agg "
             "WHERE n_docs >= 5 AND n_sources >= 2 "
             "ORDER BY n_docs DESC, n_sources DESC, s ASC LIMIT 100"
+        ),
+        "graph_triangles": (
+            "WITH e0 AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM "
+            f"({_trade_edges_sql()}) WHERE src <> dst "
+            "AND src IS NOT NULL AND dst IS NOT NULL), "
+            "deg AS (SELECT n, count(*) AS d FROM "
+            "(SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) "
+            "GROUP BY n), "
+            "base AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, "
+            "CAST(sum(d) / 2 AS BIGINT) AS n_edges, "
+            "CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg), "
+            "tri AS (SELECT count(*) AS t FROM e0 ab "
+            "JOIN e0 bc ON ab.v = bc.u "
+            "JOIN e0 ac ON ac.u = ab.u AND ac.v = bc.v) "
+            "SELECT n_nodes, n_edges, n_wedges, "
+            "CAST(t AS BIGINT) AS n_triangles, "
+            "round(CASE WHEN n_wedges > 0 THEN "
+            "3.0 * CAST(t AS DOUBLE) / CAST(n_wedges AS DOUBLE) END, 6) "
+            "AS clustering FROM base, tri"
+        ),
+        "mutual_information": (
+            # same log-sum parse tree as the Spark operator: each term is
+            # (o/g)·(ln o + ln g − ln ra − ln cb), entropies from the
+            # same joined cells
+            "WITH base AS (SELECT event_type AS a, "
+            "((CAST(ts AS DATE) - DATE '1970-01-01') % 7) AS b FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL), "
+            "cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), "
+            "rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a), "
+            "cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b), "
+            "g AS (SELECT sum(o) AS gt FROM cells), "
+            "j AS (SELECT CAST(o AS DOUBLE) AS o, "
+            "CAST(ra AS DOUBLE) AS ra, CAST(cb AS DOUBLE) AS cb, "
+            "CAST(gt AS DOUBLE) AS g FROM cells "
+            "JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN g), "
+            "agg AS (SELECT max(g) AS n, "
+            "sum((o / g) * (ln(o) + ln(g) - ln(ra) - ln(cb))) AS mi, "
+            "sum(-(o / g) * (ln(ra) - ln(g))) AS ha, "
+            "sum(-(o / g) * (ln(cb) - ln(g))) AS hb FROM j) "
+            "SELECT CAST(n AS BIGINT) AS n, round(mi, 6) AS mi, "
+            "round(CASE WHEN ha > 0 AND hb > 0 "
+            "THEN mi / sqrt(ha * hb) END, 6) AS nmi FROM agg"
+        ),
+        "js_divergence": (
+            # identical smoothing and fold as the Spark operator; buckets
+            # are the same clamped fixed-width arithmetic as psi_drift
+            "WITH c1 AS (SELECT least(greatest(CAST(floor((value - 0.0) "
+            "/ 50.0) AS BIGINT), 0), 9) AS bucket, count(*) AS n1 "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type = 'click' GROUP BY 1), "
+            "c2 AS (SELECT least(greatest(CAST(floor((value - 0.0) "
+            "/ 50.0) AS BIGINT), 0), 9) AS bucket, count(*) AS n2 "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type = 'view' GROUP BY 1), "
+            "jn AS (SELECT COALESCE(c1.bucket, c2.bucket) AS bucket, "
+            "COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2 "
+            "FROM c1 FULL OUTER JOIN c2 ON c1.bucket = c2.bucket), "
+            "t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM jn), "
+            "pq AS (SELECT (n1 + 0.5) / (t1 + 5.0) AS p, "
+            "(n2 + 0.5) / (t2 + 5.0) AS q FROM jn, t) "
+            "SELECT round(sum(0.5 * p * ln(p / ((p + q) / 2)) "
+            "+ 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd FROM pq"
         ),
     }

@@ -1027,6 +1027,118 @@ def chi_squared_independence(
     )
 
 
+def mutual_information(
+    df: DataFrame, column_a: str, column_b: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, as one
+    digest row ``(n, mi, nmi)`` — the model-free "how much does A tell
+    you about B?" dependence measure (0 = independent); ``nmi`` is
+    MI / sqrt(H(A)·H(B)) in [0, 1], comparable across column pairs.
+
+    Same plan skeleton as :func:`chi_squared_independence`: ONE groupBy
+    shuffle builds the observed cells; margins and entropies are
+    aggregates OF THE CELLS (|A|·|B| rows, never a second fact-table
+    scan — the margins broadcast-join back onto the cells).  Counts stay
+    integer-exact; each MI term is
+    ``o/N · (ln(o) + ln(N) − ln(ra) − ln(cb))`` — the log-sum form, so
+    no integer product ``o·N`` that would overflow int64 at 100 TB row
+    counts.  Zero-observed cells contribute exactly 0 and are skipped
+    (no dense grid needed, unlike chi-squared where they carry expected
+    mass).  Extension — no reference counterpart; the
+    information-theoretic peer of the chi-squared gate.
+    """
+    from ..pipeline._util import materialize_once
+
+    cells = materialize_once(
+        df.where(F.col(column_a).isNotNull() & F.col(column_b).isNotNull())
+        .groupBy(F.col(column_a).alias("a"), F.col(column_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_m = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_m = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    grand = cells.agg(F.sum("o").alias("g"))
+    joined = (
+        cells.join(F.broadcast(row_m), "a")
+        .join(F.broadcast(col_m), "b")
+        .join(F.broadcast(grand))
+    )
+    o = F.col("o").cast("double")
+    g = F.col("g").cast("double")
+    mi_term = (o / g) * (
+        F.log(o) + F.log(g)
+        - F.log(F.col("ra").cast("double"))
+        - F.log(F.col("cb").cast("double"))
+    )
+    # marginal entropies from the SAME joined frame: each cell carries
+    # its margins, so Σ o/ra is 1 per margin value and
+    # H(A) = -Σ_cells (o/g)·ln(ra/g) ... computed via the cell weights
+    h_a_term = -(o / g) * (F.log(F.col("ra").cast("double")) - F.log(g))
+    h_b_term = -(o / g) * (F.log(F.col("cb").cast("double")) - F.log(g))
+    agg = joined.agg(
+        F.max("g").alias("n"),
+        F.sum(mi_term).alias("mi"),
+        F.sum(h_a_term).alias("ha"),
+        F.sum(h_b_term).alias("hb"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mi", 6).alias("mi"),
+        F.round(
+            F.when(
+                (F.col("ha") > 0) & (F.col("hb") > 0),
+                F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")),
+            ),
+            6,
+        ).alias("nmi"),
+    )
+
+
+def js_divergence(
+    df1: DataFrame,
+    df2: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between two samples of
+    ``column`` over fixed-width buckets, one digest row ``(jsd)``.
+
+    ``JS = ½ KL(p‖m) + ½ KL(q‖m)`` with ``m = (p+q)/2`` — symmetric and
+    bounded by ln 2, unlike PSI (unbounded) or KL (asymmetric, infinite
+    on disjoint support); the same +0.5 Laplace smoothing as
+    :func:`psi_drift` keeps empty buckets finite.  Identical plan shape:
+    two conditional bucket-count scans, the fold runs on the
+    ``n_buckets``-row joined histogram.  Extension — completes the
+    drift-metric family (PSI, KS, EMD, JS).
+    """
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.where(F.col(column).isNotNull())
+            .groupBy(value_bucket(column, lo, hi, n_buckets).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    c1, c2 = counts(df1, "n1"), counts(df2, "n2")
+    joined = (
+        c1.join(c2, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+    )
+    w = Window.partitionBy()
+    k = float(n_buckets)
+    p = (F.col("n1") + 0.5) / (F.sum("n1").over(w) + 0.5 * k)
+    q = (F.col("n2") + 0.5) / (F.sum("n2").over(w) + 0.5 * k)
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return joined.select(term.alias("term")).agg(
+        F.round(F.sum("term"), 6).alias("jsd")
+    )
+
+
 #: Distinct-value count under which a rank map is treated as a
 #: broadcastable dimension in spearman_correlation.
 SPEARMAN_BROADCAST_DISTINCT = 100_000

@@ -698,6 +698,84 @@ class TestGroupedTheilSen:
         assert got["ghost"]["slope"] is None
 
 
+class TestTriangleStats:
+    def test_complete_graph_and_path(self, spark):
+        from datajudge_spark.operators.graph import triangle_stats
+
+        # K4: 4 triangles, 12 wedges, clustering 1.0; edges given in
+        # arbitrary orientation with a duplicate and a self-loop to
+        # exercise canonicalization
+        k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+        edges = k4 + [("b", "a"), ("c", "c")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        row = triangle_stats(df).first()
+        assert (row["n_nodes"], row["n_edges"]) == (4, 6)
+        assert (row["n_wedges"], row["n_triangles"]) == (12, 4)
+        assert row["clustering"] == pytest.approx(1.0, abs=1e-9)
+        # path a-b-c: one wedge, no triangle
+        path = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        row = triangle_stats(path).first()
+        assert (row["n_triangles"], row["n_wedges"]) == (0, 1)
+        assert row["clustering"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestMutualInformation:
+    def test_dependent_and_independent(self, spark):
+        import math
+
+        from datajudge_spark.operators.stats import mutual_information
+
+        # perfectly dependent: b == a -> MI == H(A) == ln 2, NMI == 1
+        dep = spark.createDataFrame(
+            [("x", "x")] * 10 + [("y", "y")] * 10, "a string, b string"
+        )
+        row = mutual_information(dep, "a", "b").first()
+        assert row["n"] == 20
+        assert row["mi"] == pytest.approx(math.log(2), abs=1e-6)
+        assert row["nmi"] == pytest.approx(1.0, abs=1e-6)
+        # independent uniform: every cell o = ra*cb/N -> MI == 0
+        ind = spark.createDataFrame(
+            [(a, b) for a in "xy" for b in "uv" for _ in range(5)],
+            "a string, b string",
+        )
+        row = mutual_information(ind, "a", "b").first()
+        assert row["mi"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_constant_column_has_null_nmi(self, spark):
+        from datajudge_spark.operators.stats import mutual_information
+
+        df = spark.createDataFrame(
+            [("x", "u"), ("x", "v")], "a string, b string"
+        )
+        row = mutual_information(df, "a", "b").first()
+        assert row["mi"] == pytest.approx(0.0, abs=1e-9)
+        assert row["nmi"] is None  # H(A) = 0 -> normalization undefined
+
+
+class TestJsDivergence:
+    def test_identical_zero_and_disjoint_bounded(self, spark):
+        import math
+
+        from datajudge_spark.operators.stats import js_divergence
+
+        same = spark.createDataFrame(
+            [(float(v),) for v in range(100)], "v double"
+        )
+        row = js_divergence(same, same, "v", 0.0, 100.0, 10).first()
+        assert row["jsd"] == pytest.approx(0.0, abs=1e-9)
+        lo_half = spark.createDataFrame(
+            [(float(v % 50),) for v in range(100)], "v double"
+        )
+        hi_half = spark.createDataFrame(
+            [(50.0 + float(v % 50),) for v in range(100)], "v double"
+        )
+        row = js_divergence(lo_half, hi_half, "v", 0.0, 100.0, 10).first()
+        # disjoint support: close to the ln 2 bound, never above it
+        assert 0.5 < row["jsd"] <= math.log(2) + 1e-9
+
+
 class TestGammaQ:
     def test_chi2_critical_values(self):
         from datajudge_spark.constraints.stats import _gamma_q
