@@ -511,3 +511,63 @@ def test_ann_pq_map_only_encode_one_window(spark):
     assert win_lines
     for ln in win_lines:
         assert "qid" in ln, f"window not per-query: {ln}"
+
+
+def test_ivf_pq_broadcast_pruned_no_cartesian(spark):
+    # the candidate side joins encode<->cell on its id (hash join), the
+    # query side broadcasts with its LUT; pruning happens through the
+    # cell equi-join — never a full cartesian against the corpus
+    plan = _executed_plan(entrymod.q_ann_topk_ivf_pq(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win_lines
+    for ln in win_lines:
+        assert "qid" in ln or "cid" in ln, f"unpartitioned window: {ln}"
+
+
+def test_boilerplate_topk_no_global_sort(spark):
+    # corpus-frequency top-k: one fully-partial hash aggregate over the
+    # exploded shingles (count(*), so no two-distinct Expand doubling
+    # the shuffle) and TakeOrderedAndProject instead of a global sort
+    plan = _executed_plan(entrymod.q_boilerplate_ngrams(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_quantile_grid_single_scan_bucketed_windows(spark):
+    # one conditional-agg histogram scan serves every (group, decile)
+    # cell; all cumulative windows are partitioned by the range bucket
+    plan = _executed_plan(entrymod.q_grouped_quantile_grid(spark, SF_DIR))
+    agg_lines = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate" in ln and "partial_count" in ln
+    ]
+    assert any(ln.count("partial_count") >= 6 for ln in agg_lines)
+    for ln in plan.splitlines():
+        if "Window " in ln:
+            assert "__b" in ln, f"unpartitioned window: {ln}"
+
+
+def test_triangle_joins_are_hash_not_cartesian(spark):
+    # the two-hop triangle join must be hash equi-joins over the edge
+    # table — a cartesian or nested-loop would be quadratic in |E|
+    plan = _executed_plan(entrymod.q_graph_triangles(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the digest combines two 1-row aggregates: that broadcast NL join
+    # of single rows is fine; the edge-level joins must be hash joins
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_mutual_information_cells_cached_margins_broadcast(spark):
+    # margins aggregate the CELLS: the cell table is persisted and every
+    # consumer (row margin, col margin, grand total, join) reads the
+    # cache — the fact table materializes it once.  (FileScan lines
+    # repeat textually inside each InMemoryRelation body; the cache
+    # reads are what executes.)
+    plan = _executed_plan(entrymod.q_mutual_information(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "cell consumers not reading the cached cells"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
