@@ -3107,6 +3107,75 @@ def q_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+def q4_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape: date-windowed orders semi-joined to late lineitems
+    # (EXISTS with a correlated range predicate), counted by priority.
+    # The semi-join hash-partitions on the order key with the date range
+    # as a post-join filter — no row from lineitem survives the join, so
+    # the shuffle carries keys, not payloads.  (The synthetic lineitem
+    # has no commit/receipt dates; "late" = shipped >30 days after the
+    # order date, preserving the plan shape.)
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("__ship")
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("__ship")
+            > F.date_add(F.col("o_orderdate").cast("date"), 30)
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q18_large_orders(spark, sf_dir):
+    # TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    # (HAVING over a pre-aggregated lineitem — the big side aggregates
+    # BEFORE any join, so the join input is |qualifying orders| rows),
+    # joined to customer, top-100 by price via TakeOrderedAndProject.
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sumq")
+        )
+        .where(F.col("__sumq") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(big, F.col("o_orderkey") == F.col("l_orderkey")).join(
+        c, F.col("c_custkey") == F.col("o_custkey")
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias(
+                "total_price"
+            ),
+            F.round(F.col("__sumq").cast("double"), 6).alias("sum_qty"),
+            F.col("o_totalprice").alias("__sort_price"),
+        )
+        .orderBy(
+            F.col("__sort_price").desc(),
+            F.col("order_day").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+        .drop("__sort_price")
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     # exact triangle census of the nation trade graph: ordered
     # node-iterator joins (each triangle u<v<w found once), wedge count
@@ -3340,6 +3409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "mutual_information": q_mutual_information,
         "js_divergence": q_js_divergence,
+        "q4_order_priority": q4_order_priority,
+        "q18_large_orders": q18_large_orders,
     }
 
 
@@ -5611,5 +5682,30 @@ def oracle_sql() -> dict[str, str]:
             "(n2 + 0.5) / (t2 + 5.0) AS q FROM jn, t) "
             "SELECT round(sum(0.5 * p * ln(p / ((p + q) / 2)) "
             "+ 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd FROM pq"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "
+            "AS order_count FROM orders o "
+            "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND CAST(l.l_shipdate AS DATE) "
+            "> CAST(o.o_orderdate AS DATE) + 30) "
+            "GROUP BY o_orderpriority"
+        ),
+        "q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey, "
+            "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sumq "
+            "FROM lineitem GROUP BY 1 "
+            "HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) "
+            "SELECT c.c_name, c.c_custkey, o.o_orderkey, "
+            "CAST(o.o_orderdate AS DATE) AS order_day, "
+            "round(CAST(o.o_totalprice AS DOUBLE), 2) AS total_price, "
+            "round(CAST(sumq AS DOUBLE), 6) AS sum_qty "
+            "FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "ORDER BY o.o_totalprice DESC, order_day ASC, "
+            "o.o_orderkey ASC LIMIT 100"
         ),
     }

@@ -1077,3 +1077,127 @@ class GroupedTrendSlopeBetween(Constraint):
             + f" {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class JsDivergenceMax(Constraint):
+    """Jensen-Shannon drift gate between two samples — the bounded,
+    symmetric companion to :class:`PopulationStabilityIndex` (JS is
+    capped at ln 2 ~ 0.693 and finite on disjoint support, so one empty
+    bucket cannot blow the statistic up the way PSI's log-ratio can).
+    Extension, no reference counterpart.
+
+    The statistic is computed in-engine (``operators.stats
+    .js_divergence``, one conditional-agg bucket scan per side); only
+    the scalar crosses to the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        max_jsd: float,
+        lo: float,
+        hi: float,
+        n_buckets: int = 10,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not 0 <= max_jsd <= math.log(2) + 1e-12:
+            raise ValueError("max_jsd must be within [0, ln 2].")
+        self._max_jsd = max_jsd
+        self._lo, self._hi, self._n_buckets = lo, hi, n_buckets
+        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        if self._ref2 is None:
+            raise ValueError("JsDivergenceMax requires ref2.")
+        from ..operators.stats import js_divergence
+
+        col1 = self._ref.get_column(engine)
+        col2 = self._ref2.get_column(engine)
+        df1 = self._ref.get_selection(engine)
+        df2 = self._ref2.get_selection(engine)
+        if col2 != col1:
+            from pyspark.sql import functions as F
+
+            df2 = df2.select(F.col(col2).alias(col1))
+        jsd = js_divergence(
+            df1, df2, col1, self._lo, self._hi, self._n_buckets
+        ).collect()[0]["jsd"]
+        if jsd is None:
+            return TestResult.failure(
+                f"Jensen-Shannon divergence between {self._ref} and "
+                f"{self._target_prefix} is undefined: insufficient data "
+                "(no non-null rows in one or both references). ",
+                self.get_description(),
+            )
+        if jsd <= self._max_jsd:
+            return TestResult.success()
+        assertion_text = (
+            f"Jensen-Shannon divergence between {self._ref} and "
+            f"{self._target_prefix} is {jsd}, exceeding the maximum "
+            f"{self._max_jsd} ({self._n_buckets} buckets over "
+            f"[{self._lo}, {self._hi})). "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class MutualInformationMax(Constraint):
+    """Dependence-leakage gate: the mutual information between two
+    columns of ONE source may not exceed ``max_mi`` nats (or, with
+    ``normalized=True``, the normalized MI in [0, 1] may not exceed the
+    bound) — "the split column must not encode the label", "this
+    feature must not leak user identity".  Extension, no reference
+    counterpart; the information-theoretic complement of the
+    chi-squared independence gate (which detects ANY dependence; this
+    bounds HOW MUCH).
+
+    Engine side is ``operators.stats.mutual_information``: one cell
+    shuffle, margins aggregate the cells, one digest row out.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_mi: float,
+        normalized: bool = False,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_mi < 0:
+            raise ValueError("max_mi must be non-negative.")
+        if normalized and max_mi > 1:
+            raise ValueError("normalized MI is bounded by 1.")
+        self._max_mi = max_mi
+        self._normalized = normalized
+        super().__init__(ref, ref_value=max_mi, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import mutual_information
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "MutualInformationMax requires exactly two columns."
+            )
+        df = self._ref.get_selection(engine)
+        row = mutual_information(df, cols[0], cols[1]).collect()[0]
+        metric = "nmi" if self._normalized else "mi"
+        value = row[metric]
+        if value is None:
+            return TestResult.failure(
+                f"{'Normalized mutual' if self._normalized else 'Mutual'} "
+                f"information of {cols} on {self._ref} is undefined: "
+                "insufficient data (no complete rows, or a constant "
+                "column under normalization). ",
+                self.get_description(),
+            )
+        if value <= self._max_mi:
+            return TestResult.success()
+        assertion_text = (
+            f"{'Normalized mutual' if self._normalized else 'Mutual'} "
+            f"information of {cols[0]} and {cols[1]} on {self._ref} is "
+            f"{value} (n={row['n']}), exceeding the maximum "
+            f"{self._max_mi}. "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

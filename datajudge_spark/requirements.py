@@ -948,6 +948,37 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_mutual_information_max_constraint(
+        self,
+        column_a: str,
+        column_b: str,
+        max_mi: float,
+        normalized: bool = False,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the mutual information
+        between two columns may not exceed ``max_mi`` nats (with
+        ``normalized=True``, the normalized MI in [0, 1]) — the
+        dependence-LEAKAGE gate: "the train/val split column must not
+        encode the label", "this feature must not leak user identity".
+        Complements the chi-squared gate, which detects any dependence;
+        this bounds how much.  One cell shuffle; margins and entropies
+        aggregate the cells."""
+        ref = DataReference(
+            self._data_source, [column_a, column_b], condition
+        )
+        self._constraints.append(
+            stats_constraints.MutualInformationMax(
+                ref,
+                max_mi,
+                normalized=normalized,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_quantile_grid_gap_max_constraint(
         self,
         value_column: str,
@@ -1922,6 +1953,42 @@ class BetweenRequirement(Requirement):
         self._constraints.append(
             stats_constraints.PopulationStabilityIndex(
                 ref, ref2, max_psi, lo, hi, n_buckets,
+                name=name, cache_size=cache_size,
+            )
+        )
+
+    def add_js_divergence_constraint(
+        self,
+        column1: str,
+        column2: str,
+        max_jsd: float,
+        lo: float,
+        hi: float,
+        n_buckets: int = 10,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): bound the
+        Jensen-Shannon divergence (nats) between ``column1``'s and
+        ``column2``'s distributions over ``n_buckets`` fixed-width
+        buckets spanning ``[lo, hi)`` — the bounded, symmetric drift
+        gate (capped at ln 2 and finite on disjoint support, where
+        PSI's log-ratio explodes)."""
+        if not column1 or not column2:
+            raise ValueError(
+                "Column names have to be given for this test's functionality."
+            )
+        if hi <= lo or n_buckets < 2:
+            raise ValueError(
+                "Bucketing requires hi > lo and at least 2 buckets."
+            )
+        ref = DataReference(self._data_source, [column1], condition=condition1)
+        ref2 = DataReference(self._data_source2, [column2], condition=condition2)
+        self._constraints.append(
+            stats_constraints.JsDivergenceMax(
+                ref, ref2, max_jsd, lo, hi, n_buckets,
                 name=name, cache_size=cache_size,
             )
         )

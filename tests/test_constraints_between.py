@@ -245,6 +245,35 @@ class TestCrossCdfGolden:
         with pytest.raises(ValueError):
             req.add_psi_constraint("col_int", "col_int", 0.1, lo=5.0, hi=5.0)
 
+    def test_jsd_identical_passes_and_drift_fails(
+        self, spark, int_table1, int_square_table
+    ):
+        # identical populations: JS == 0 -> pass at threshold 0
+        req = between_req(int_table1, int_table1, "t1", "t1b")
+        req.add_js_divergence_constraint(
+            "col_int", "col_int", 0.0, lo=0.0, hi=100.0
+        )
+        assert outcomes(req, spark) == [True]
+        # squared values drift -> JS well above 0.05, still <= ln 2
+        req2 = between_req(int_table1, int_square_table, "t1", "sq")
+        req2.add_js_divergence_constraint(
+            "col_int", "col_int", 0.05, lo=0.0, hi=100.0
+        )
+        results = req2.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "Jensen-Shannon" in results[0].failure_message
+
+    def test_jsd_validation(self, spark, int_table1):
+        req = between_req(int_table1, int_table1, "t1", "t1b")
+        with pytest.raises(ValueError):
+            req.add_js_divergence_constraint(
+                "col_int", "col_int", 0.8, lo=0.0, hi=100.0
+            )  # above the ln 2 bound
+        with pytest.raises(ValueError):
+            req.add_js_divergence_constraint(
+                "col_int", "col_int", 0.1, lo=5.0, hi=5.0
+            )
+
 
 class TestMaxNullFractionBetween:
     def test_null_fraction(self, spark, unique_table1, unique_table2):

@@ -640,6 +640,55 @@ class TestGroupedTrendSlope:
             req.add_grouped_trend_slope_constraint("d", "v", "g")
 
 
+class TestMutualInformationMax:
+    def test_pass_and_fail(self, spark):
+        import math
+
+        # b == a -> MI = H(A) = ln 2; independent grid -> MI = 0
+        dep = spark.createDataFrame(
+            [("x", "x")] * 10 + [("y", "y")] * 10, "a string, b string"
+        )
+        req = within_req(dep, "midep")
+        req.add_mutual_information_max_constraint("a", "b", math.log(2) + 0.01)
+        req.add_mutual_information_max_constraint("a", "b", 0.1)  # fail
+        req.add_mutual_information_max_constraint(
+            "a", "b", 0.5, normalized=True  # fail: NMI = 1
+        )
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False, False]
+        assert "Mutual information" in results[1].failure_message
+        assert "Normalized mutual" in results[2].failure_message
+        ind = spark.createDataFrame(
+            [(a, b) for a in "xy" for b in "uv" for _ in range(5)],
+            "a string, b string",
+        )
+        req2 = within_req(ind, "miind")
+        req2.add_mutual_information_max_constraint("a", "b", 0.001)
+        assert outcomes(req2, spark) == [True]
+
+    def test_constant_column_normalized_undefined(self, spark):
+        df = spark.createDataFrame(
+            [("x", "u"), ("x", "v")], "a string, b string"
+        )
+        req = within_req(df, "miconst")
+        req.add_mutual_information_max_constraint(
+            "a", "b", 0.5, normalized=True
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("x", "u")], "a string, b string")
+        req = within_req(df, "mival")
+        with pytest.raises(ValueError):
+            req.add_mutual_information_max_constraint("a", "b", -0.1)
+        with pytest.raises(ValueError):
+            req.add_mutual_information_max_constraint(
+                "a", "b", 1.5, normalized=True
+            )
+
+
 class TestGiniMax:
     def test_pass_and_fail(self, spark):
         # one holder of everything over 4 rows: G = 0.75
