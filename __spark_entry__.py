@@ -3394,8 +3394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "text_repetition": q_text_repetition,
         "stratum_percentile_trim": q_stratum_percentile_trim,
-        # -- new in round 4 (behind the window; rotate in round 5 with
-        #    grouped_median + a few previously-green sentinels) --
+        # -- new in round 4 (behind the window; ROUND 5 MUST rotate all
+        #    15 of these + grouped_median into the first-50 window,
+        #    alongside ~8-10 previously-green sentinels — see
+        #    ROUNDLOG.md round-4 bookkeeping) --
         "grouped_ks": q_grouped_ks,
         "theil_sen_slope": q_theil_sen,
         "ann_topk_pq": q_ann_topk_pq,
