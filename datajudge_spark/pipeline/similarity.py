@@ -34,6 +34,7 @@ __all__ = [
     "near_dup_pairs",
     "kmeans_centroids",
     "pq_codebook",
+    "pq_train",
     "pq_encode",
     "topk_pq",
     "topk_ivf_pq",
@@ -298,6 +299,87 @@ def pq_codebook(
     if len(rows) < n_codes:
         raise ValueError(f"need >= {n_codes} vectors for the codebook")
     return [[float(x) for x in r[0]] for r in rows]
+
+
+def pq_train(
+    vectors: DataFrame,
+    n_codes: int = 16,
+    m: int = 8,
+    max_iterations: int = 8,
+    tol: float = 1e-4,
+    v_id: str = "vid",
+    v_vec: str = "vvec",
+) -> list[list[float]]:
+    """Train per-subspace PQ codebooks (Lloyd's k-means per subspace,
+    all ``m`` subspaces per iteration in ONE pass) — the FAISS PQ
+    training recipe.  Returns the same ``n_codes x dim`` driver-held
+    layout as :func:`pq_codebook` (entry c's slice for subspace s is
+    sub-centroid (s, c)), so it drops into :func:`pq_encode` /
+    :func:`topk_pq` / :func:`topk_ivf_pq` unchanged.
+
+    Per iteration:
+
+    - **assign**: :func:`pq_encode` against the current codebook — one
+      map-only pass computing all m nearest sub-codes per vector;
+    - **update** (one shuffle): per (subspace, code, component) means
+      via a double ``posexplode`` (n·dim rows in flight, map-side
+      combined down to ``dim x n_codes`` aggregate rows);
+    - **driver step** (O(n_codes x dim), tiny): rebuild the codebook,
+      measure the max centroid shift, stop under ``tol``.  Empty codes
+      keep their previous entry.
+
+    Initialization is the deterministic :func:`pq_codebook` (lowest-id
+    vectors), so training is reproducible run-to-run.  At corpus scale
+    train on a bounded sample (PQ codebooks need ~100k vectors, not the
+    corpus) and encode everything with the result.
+    """
+    import math
+
+    vecs = materialize_once(spread(vectors).select(v_id, v_vec))
+    first = vecs.select(F.size(v_vec).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train a PQ codebook on an empty set")
+    dim = first["d"]
+    if dim % m:
+        raise ValueError(f"m ({m}) must divide dim ({dim})")
+    ds = dim // m
+    codebook = pq_codebook(vecs, n_codes, v_id=v_id, v_vec=v_vec)
+    sub_structs = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> struct("
+        f"element_at(codes, s + 1) AS c, "
+        f"slice({v_vec}, s * {ds} + 1, {ds}) AS sv))"
+    )
+    for _ in range(max_iterations):
+        enc = pq_encode(vecs, codebook, m=m, id_col=v_id, vec_col=v_vec)
+        joined = vecs.join(enc, v_id)
+        comp = joined.select(
+            F.posexplode(sub_structs).alias("s", "sc")
+        ).select(
+            "s",
+            F.col("sc.c").alias("c"),
+            F.posexplode("sc.sv").alias("i", "x"),
+        )
+        means = (
+            comp.groupBy("s", "c", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+            .collect()
+        )
+        new_codebook = [list(entry) for entry in codebook]
+        for r in means:
+            new_codebook[r["c"]][r["s"] * ds + r["i"]] = float(r["mu"])
+        shift = max(
+            (
+                math.sqrt(
+                    sum((a - b) ** 2 for a, b in zip(old, new))
+                )
+                for old, new in zip(codebook, new_codebook)
+            ),
+            default=0.0,
+        )
+        codebook = new_codebook
+        if shift < tol:
+            break
+    return codebook
 
 
 def _codebook_sql_literal(codebook: list[list[float]]) -> str:

@@ -262,6 +262,31 @@ class TestSimilarity:
                 rows[i][1] <= rows[i + 1][1] for i in range(len(rows) - 1)
             )
 
+    def test_pq_train_beats_seed_codebook(self, spark, clustered_vecs):
+        # trained per-subspace centroids must quantize better than the
+        # lowest-id seed codebook: higher same-cluster recall in ADC
+        # top-3 on the clustered fixture
+        seed = similarity.pq_codebook(clustered_vecs, n_codes=8)
+        trained = similarity.pq_train(
+            clustered_vecs, n_codes=8, m=4, max_iterations=8
+        )
+        assert len(trained) == 8 and all(len(e) == 16 for e in trained)
+        truth = {r.vid: r.truth for r in clustered_vecs.collect()}
+        q = clustered_vecs.where("vid < 8").select(
+            F.col("vid").alias("qid"), F.col("vvec").alias("qvec")
+        )
+
+        def hits(cb):
+            enc = similarity.pq_encode(
+                clustered_vecs, cb, m=4
+            ).withColumnRenamed("vid", "cid")
+            top = similarity.topk_pq(q, enc, cb, m=4, k=3).collect()
+            return sum(1 for r in top if truth[r.cid] == truth[r.qid])
+
+        h_seed, h_trained = hits(seed), hits(trained)
+        assert h_trained >= h_seed
+        assert h_trained >= 20, f"trained PQ same-cluster hits {h_trained}/24"
+
     def test_pq_rejects_indivisible_m(self, spark, clustered_vecs):
         cb = similarity.pq_codebook(clustered_vecs, n_codes=4)
         with pytest.raises(ValueError):
