@@ -287,7 +287,8 @@ def pq_codebook(
 
     Deterministic-by-id seeding keeps the codebook engine-reproducible
     (an oracle can reconstruct it relationally); production swaps this
-    for :func:`kmeans_centroids` slices without touching encode/search.
+    for :func:`pq_train`'s per-subspace k-means without touching
+    encode/search.
     """
     rows = (
         spread(vectors)
