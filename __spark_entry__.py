@@ -3107,6 +3107,21 @@ def q_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+def q_weekly_seasonality(spark, sf_dir):
+    # does daily revenue breathe weekly?  ANOVA R² of the daily series
+    # on weekday phase — integer-exact per-phase (n, Σx, Σx²) decimals,
+    # one 7-row aggregate over the calendar-bounded daily frame, doubles
+    # only in the final parse-tree-portable ratio.
+    from datajudge_spark.operators.timeseries import (
+        daily_totals,
+        seasonality_strength,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = daily_totals(o, "o_orderdate", F.sum(_cents("o_totalprice")), alias="cents")
+    return seasonality_strength(daily, "cents", period=7)
+
+
 def q4_order_priority(spark, sf_dir):
     # TPC-H Q4 shape: date-windowed orders semi-joined to late lineitems
     # (EXISTS with a correlated range predicate), counted by priority.
@@ -3413,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence": q_js_divergence,
         "q4_order_priority": q4_order_priority,
         "q18_large_orders": q18_large_orders,
+        "weekly_seasonality": q_weekly_seasonality,
     }
 
 
@@ -5709,5 +5725,34 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON c.c_custkey = o.o_custkey "
             "ORDER BY o.o_totalprice DESC, order_day ASC, "
             "o.o_orderkey ASC LIMIT 100"
+        ),
+        # same integer-exact per-phase sums as operators.timeseries
+        # .seasonality_strength; SSE folds LEFT-TO-RIGHT in ascending
+        # phase order (list ORDER BY p + list_reduce), mirroring the
+        # operator's driver fold — a set-ordered double sum differs in
+        # its last ulp
+        "weekly_seasonality": (
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+            "AS BIGINT) AS cents FROM orders GROUP BY 1), "
+            "pp AS (SELECT ((day - DATE '1970-01-01') % 7) AS p, "
+            "count(*) AS n_p, "
+            "sum(CAST(cents AS DECIMAL(38,0))) AS s_p, "
+            "sum(CAST(CAST(cents AS DECIMAL(19,0)) * cents "
+            "AS DECIMAL(38,0))) AS ss_p FROM daily GROUP BY 1), "
+            "a AS (SELECT sum(n_p) AS n, sum(s_p) AS s, sum(ss_p) AS ss, "
+            "list_reduce(list_prepend(0.0, "
+            "list(CAST(ss_p AS DOUBLE) - (CAST(s_p AS DOUBLE) "
+            "* CAST(s_p AS DOUBLE)) / CAST(n_p AS DOUBLE) ORDER BY p)), "
+            "(x, y) -> x + y) AS sse FROM pp) "
+            "SELECT CAST(n AS BIGINT) AS n_days, "
+            "round(CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) "
+            "* CAST(s AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS sst, "
+            "round(sse, 6) AS sse, "
+            "round(CASE WHEN (CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) "
+            "* CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) > 0 THEN "
+            "1.0 - sse / (CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) "
+            "* CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) END, 6) "
+            "AS strength FROM a"
         ),
     }

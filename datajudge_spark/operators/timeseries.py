@@ -470,3 +470,76 @@ def kaplan_meier(
         .otherwise(F.exp(F.sum(term).over(w)))
         .alias("survival"),
     )
+
+
+def seasonality_strength(
+    daily: DataFrame, value_col: str = "total", period: int = 7
+) -> DataFrame:
+    """Weekly-seasonality strength of a daily integer series: one digest
+    row ``(n_days, sst, sse, strength)`` where ``strength`` is the
+    ANOVA R² of the day-of-period grouping — the fraction of daily
+    variance explained by the weekday pattern (0 = no seasonality,
+    -> 1 = perfectly periodic).  The "does this metric breathe weekly?"
+    check that decides whether drift monitors should compare
+    like-weekdays.
+
+    Plan: ``daily`` is already calendar-bounded (one row per day); ONE
+    ``period``-row aggregate collects per-phase (n, Σx, Σx²) with the
+    squares accumulated as DECIMAL(38,0) — integer-exact at any scale,
+    no int64 overflow (x is cast to decimal BEFORE squaring).  The
+    ≤``period`` exact integer rows cross to the driver, where SSE folds
+    LEFT-TO-RIGHT in ascending phase order — a distributed double sum
+    over the phases is order-nondeterministic in its last ulp, which a
+    cross-engine digest cannot tolerate; an oracle reproduces this fold
+    exactly (same order, same casts).  Phase = epoch-day mod ``period``
+    (integer-exact; ``dayofweek()`` origins differ across engines).
+
+    Extension — no reference counterpart; peers ``zscore_anomalies``
+    (which this tells you whether to deseasonalize first).
+    """
+    v = F.col(value_col)
+    phase = F.pmod(
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+        F.lit(period),
+    )
+    rows = sorted(
+        daily.groupBy(phase.alias("__p"))
+        .agg(
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum(v.cast("decimal(38,0)")).alias("s_p"),
+            F.sum(
+                (v.cast("decimal(19,0)") * v).cast("decimal(38,0)")
+            ).alias("ss_p"),
+        )
+        .collect(),
+        key=lambda r: r["__p"],
+    )
+    spark = daily.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [(0, None, None, None)],
+            "n_days bigint, sst double, sse double, strength double",
+        )
+    n = sum(int(r["n_p"]) for r in rows)
+    s = sum(int(r["s_p"]) for r in rows)
+    ss = sum(int(r["ss_p"]) for r in rows)
+    sse = 0.0
+    for r in rows:
+        sse += float(int(r["ss_p"])) - (
+            float(int(r["s_p"])) * float(int(r["s_p"]))
+        ) / float(int(r["n_p"]))
+    sst = float(ss) - (float(s) * float(s)) / float(n)
+    strength = (1.0 - sse / sst) if sst > 0 else None
+    # final rounding happens ENGINE-side: Spark round() is HALF_UP,
+    # matching the oracle engine's half-away-from-zero — Python's
+    # banker's round() is not
+    raw = spark.createDataFrame(
+        [(n, sst, sse, strength)],
+        "n_days bigint, sst double, sse double, strength double",
+    )
+    return raw.select(
+        "n_days",
+        F.round("sst", 6).alias("sst"),
+        F.round("sse", 6).alias("sse"),
+        F.round("strength", 6).alias("strength"),
+    )

@@ -698,6 +698,77 @@ class TestGroupedTheilSen:
         assert got["ghost"]["slope"] is None
 
 
+class TestSeasonalityStrength:
+    def test_periodic_vs_flat(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import (
+            seasonality_strength,
+        )
+
+        base = dt.date(2024, 1, 1)
+        # perfectly weekly series: value is a pure function of weekday
+        periodic = spark.createDataFrame(
+            [
+                (base + dt.timedelta(days=i), 100 + 50 * (i % 7))
+                for i in range(70)
+            ],
+            "day date, v long",
+        )
+        row = seasonality_strength(periodic, "v").first()
+        assert row["n_days"] == 70
+        assert row["strength"] == pytest.approx(1.0, abs=1e-6)
+        # constant series: no variance at all -> strength undefined
+        flat = spark.createDataFrame(
+            [(base + dt.timedelta(days=i), 100) for i in range(70)],
+            "day date, v long",
+        )
+        row = seasonality_strength(flat, "v").first()
+        assert row["strength"] is None
+        # noise with no weekly structure: strength near 0
+        import random
+
+        rng = random.Random(3)
+        noisy = spark.createDataFrame(
+            [
+                (base + dt.timedelta(days=i), rng.randint(0, 1000))
+                for i in range(210)
+            ],
+            "day date, v long",
+        )
+        row = seasonality_strength(noisy, "v").first()
+        assert 0.0 <= row["strength"] < 0.15
+
+    def test_matches_naive_anova(self, spark):
+        import datetime as dt
+        import random
+
+        from datajudge_spark.operators.timeseries import (
+            seasonality_strength,
+        )
+
+        rng = random.Random(9)
+        base = dt.date(2024, 3, 4)
+        rows = [
+            (base + dt.timedelta(days=i), 200 + 30 * (i % 7) + rng.randint(-20, 20))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "day date, v long")
+        got = seasonality_strength(df, "v").first()
+        vals = [v for _, v in rows]
+        n = len(vals)
+        mean = sum(vals) / n
+        sst = sum(v * v for v in vals) - sum(vals) ** 2 / n
+        by_phase: dict[int, list[int]] = {}
+        for d, v in rows:
+            by_phase.setdefault((d - dt.date(1970, 1, 1)).days % 7, []).append(v)
+        sse = sum(
+            sum(v * v for v in g) - sum(g) ** 2 / len(g)
+            for g in by_phase.values()
+        )
+        assert got["strength"] == pytest.approx(1 - sse / sst, abs=1e-6)
+
+
 class TestTriangleStats:
     def test_complete_graph_and_path(self, spark):
         from datajudge_spark.operators.graph import triangle_stats
