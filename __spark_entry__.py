@@ -5697,9 +5697,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM c1 FULL OUTER JOIN c2 ON c1.bucket = c2.bucket), "
             "t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM jn), "
             "pq AS (SELECT (n1 + 0.5) / (t1 + 5.0) AS p, "
-            "(n2 + 0.5) / (t2 + 5.0) AS q FROM jn, t) "
-            "SELECT round(sum(0.5 * p * ln(p / ((p + q) / 2)) "
-            "+ 0.5 * q * ln(q / ((p + q) / 2))), 6) AS jsd FROM pq"
+            "(n2 + 0.5) / (t2 + 5.0) AS q, t1, t2 FROM jn, t) "
+            "SELECT round(CASE WHEN max(t1) > 0 AND max(t2) > 0 THEN "
+            "sum(0.5 * p * ln(p / ((p + q) / 2)) "
+            "+ 0.5 * q * ln(q / ((p + q) / 2))) END, 6) AS jsd FROM pq"
         ),
         "q4_order_priority": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "

@@ -1015,25 +1015,28 @@ class GroupedTrendSlopeBetween(Constraint):
             & F.col(value_col).isNotNull()
             & F.col(group_col).isNotNull()
         )
-        groups = self._groups
-        if groups is None:
-            rows = (
-                df.select(F.col(group_col).alias("g"))
-                .distinct()
-                .limit(self._max_groups + 1)
-                .collect()
-            )
-            if len(rows) > self._max_groups:
-                raise ValueError(
-                    f"GroupedTrendSlopeBetween: more than "
-                    f"max_groups={self._max_groups} distinct groups in "
-                    f"{group_col}; pass an explicit `groups` list."
-                )
-            groups = sorted(r["g"] for r in rows)
         daily = df.groupBy(
             group_col, F.col(date_col).cast("date").alias("day")
         ).agg(F.sum(value_col).alias("__total"))
+        # discovery inside the try: a max_groups overflow must report as
+        # a failing TestResult like the other grouped gates, not abort
+        # the whole requirement run
         try:
+            groups = self._groups
+            if groups is None:
+                rows = (
+                    df.select(F.col(group_col).alias("g"))
+                    .distinct()
+                    .limit(self._max_groups + 1)
+                    .collect()
+                )
+                if len(rows) > self._max_groups:
+                    raise ValueError(
+                        f"more than max_groups={self._max_groups} "
+                        f"distinct groups in {group_col}; pass an "
+                        "explicit `groups` list."
+                    )
+                groups = sorted(r["g"] for r in rows)
             out = grouped_theil_sen(
                 daily, group_col, "__total", groups=groups
             ).collect()

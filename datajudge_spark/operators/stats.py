@@ -273,6 +273,22 @@ def ks_d_statistic_distributed(
     return float(d)
 
 
+def _sql_str(value) -> str:
+    """A value as a safely escaped single-quoted SQL string literal.
+
+    Group labels are DATA — they flow into generated ``stack()`` SQL, so
+    quotes/backslashes in a label must not break (or rewrite) the plan.
+    """
+    s = str(value).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def _sql_ident(name: str) -> str:
+    """A column name as a backtick-quoted SQL identifier (backticks in
+    the name escaped by doubling, per Spark's rule)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def grouped_ks(
     df: DataFrame,
     value_col: str,
@@ -351,12 +367,13 @@ def grouped_ks(
             )
     agg = cums.agg(*d_exprs)
     stack_args = ", ".join(
-        f"'{g}', CAST({int(tot[a] or 0)} AS BIGINT), d_{a}"
+        f"{_sql_str(g)}, CAST({int(tot[a] or 0)} AS BIGINT), d_{a}"
         for g, a in zip(groups, cnt_aliases)
     )
     return agg.select(
         F.expr(
-            f"stack({len(groups)}, {stack_args}) AS ({group_col}, n, d)"
+            f"stack({len(groups)}, {stack_args}) "
+            f"AS ({_sql_ident(group_col)}, n, d)"
         )
     ).select(group_col, "n", F.round("d", 6).alias("d"))
 
@@ -456,7 +473,7 @@ def grouped_quantile_grid(
                 )
     agg = cums.agg(*q_exprs)
     stack_args = ", ".join(
-        f"'{g}', {j}, q_{a}_{j}, p_{j}"
+        f"{_sql_str(g)}, {j}, q_{a}_{j}, p_{j}"
         for g, a in zip(groups, cnt_aliases)
         for j in range(1, deciles)
     )
@@ -465,7 +482,7 @@ def grouped_quantile_grid(
         agg.select(
             F.expr(
                 f"stack({n_rows}, {stack_args}) "
-                f"AS ({group_col}, decile, v_group, v_pooled)"
+                f"AS ({_sql_ident(group_col)}, decile, v_group, v_pooled)"
             )
         )
         .select(
@@ -1109,8 +1126,10 @@ def js_divergence(
     on disjoint support); the same +0.5 Laplace smoothing as
     :func:`psi_drift` keeps empty buckets finite.  Identical plan shape:
     two conditional bucket-count scans, the fold runs on the
-    ``n_buckets``-row joined histogram.  Extension — completes the
-    drift-metric family (PSI, KS, EMD, JS).
+    ``n_buckets``-row joined histogram.  ``jsd`` is NULL when EITHER
+    sample is empty — smoothing an all-zero side would otherwise yield
+    a bogus finite divergence against a uniform phantom.  Extension —
+    completes the drift-metric family (PSI, KS, EMD, JS).
     """
     def counts(df: DataFrame, alias: str) -> DataFrame:
         return (
@@ -1134,8 +1153,18 @@ def js_divergence(
     q = (F.col("n2") + 0.5) / (F.sum("n2").over(w) + 0.5 * k)
     m = (p + q) / 2
     term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
-    return joined.select(term.alias("term")).agg(
-        F.round(F.sum("term"), 6).alias("jsd")
+    rows = joined.select(
+        term.alias("term"),
+        F.sum("n1").over(w).alias("t1"),
+        F.sum("n2").over(w).alias("t2"),
+    )
+    return rows.agg(
+        F.round(
+            F.when(
+                (F.max("t1") > 0) & (F.max("t2") > 0), F.sum("term")
+            ),
+            6,
+        ).alias("jsd")
     )
 
 

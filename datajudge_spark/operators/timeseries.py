@@ -289,8 +289,15 @@ def grouped_theil_sen(
     :func:`theil_sen_slope`.
     """
     from ..pipeline._util import materialize_once
-    from .stats import _bucketed_global_cums
+    from .stats import _bucketed_global_cums, _sql_ident, _sql_str
 
+    # NULL days/values would silently diverge the n_days count from the
+    # pair join (which drops them via d1 < d2); exclude them up front
+    daily = daily.where(
+        F.col("day").isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    )
     a = daily.select(
         F.col(group_col).alias("__g"),
         F.col("day").alias("d1"),
@@ -339,14 +346,14 @@ def grouped_theil_sen(
             )
     agg = cums.agg(*med_exprs)
     stack_args = ", ".join(
-        f"'{g}', CAST({n_days.get(g, 0)} AS BIGINT), "
+        f"{_sql_str(g)}, CAST({n_days.get(g, 0)} AS BIGINT), "
         f"CAST({int(tot[al] or 0)} AS BIGINT), m_{al}"
         for g, al in zip(groups, cnt_aliases)
     )
     return agg.select(
         F.expr(
             f"stack({len(groups)}, {stack_args}) "
-            f"AS ({group_col}, n_days, n_pairs, slope)"
+            f"AS ({_sql_ident(group_col)}, n_days, n_pairs, slope)"
         )
     ).select(
         group_col, "n_days", "n_pairs", F.round("slope", 6).alias("slope")
@@ -497,6 +504,13 @@ def seasonality_strength(
     Extension — no reference counterpart; peers ``zscore_anomalies``
     (which this tells you whether to deseasonalize first).
     """
+    if period < 1:
+        raise ValueError("period must be a positive number of days")
+    # a NULL day (or value) has no phase; it must not reach the driver
+    # fold, where None would break the sort and the integer sums
+    daily = daily.where(
+        F.col("day").isNotNull() & F.col(value_col).isNotNull()
+    )
     v = F.col(value_col)
     phase = F.pmod(
         F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),

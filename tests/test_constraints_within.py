@@ -639,6 +639,27 @@ class TestGroupedTrendSlope:
         with pytest.raises(ValueError):
             req.add_grouped_trend_slope_constraint("d", "v", "g")
 
+    def test_group_cap_fails_cleanly(self, spark):
+        import datetime as dt
+
+        # max_groups overflow must surface as a failing TestResult, not
+        # abort the whole requirement run
+        df = spark.createDataFrame(
+            [
+                (str(i), dt.date(2024, 1, 1) + dt.timedelta(days=d), 1.0)
+                for i in range(10)
+                for d in range(3)
+            ],
+            "g string, d date, v double",
+        )
+        req = within_req(df, "gslopecap")
+        req.add_grouped_trend_slope_constraint(
+            "d", "v", "g", min_slope=-1.0, max_slope=1.0, max_groups=4
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "max_groups" in results[0].failure_message
+
 
 class TestMutualInformationMax:
     def test_pass_and_fail(self, spark):

@@ -847,6 +847,79 @@ class TestJsDivergence:
         assert 0.5 < row["jsd"] <= math.log(2) + 1e-9
 
 
+class TestGroupedSqlSafety:
+    def test_quoted_group_labels_survive(self, spark):
+        # group labels are DATA: quotes/backslashes must not break (or
+        # rewrite) the generated stack() SQL
+        weird = ["O'Brien", 'back\\slash', "plain"]
+        rows = [(float(v), g) for g in weird for v in range(10)]
+        df = spark.createDataFrame(rows, "v double, g string")
+        from datajudge_spark.operators.stats import (
+            grouped_ks,
+            grouped_quantile_grid,
+        )
+
+        ks = {r["g"] for r in grouped_ks(df, "v", "g").collect()}
+        assert ks == set(weird)
+        qg = {r["g"] for r in grouped_quantile_grid(df, "v", "g").collect()}
+        assert qg == set(weird)
+
+    def test_quoted_groups_in_theil_sen(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import grouped_theil_sen
+
+        rows = [
+            (g, dt.date(2024, 1, 1) + dt.timedelta(days=i), 10 * i)
+            for g in ["a'b", "c"]
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "g string, day date, cents long")
+        got = {
+            r["g"]: r["slope"]
+            for r in grouped_theil_sen(
+                df, "g", "cents", groups=["a'b", "c"]
+            ).collect()
+        }
+        assert got["a'b"] == pytest.approx(10.0, abs=1e-6)
+
+    def test_js_one_empty_side_is_null(self, spark):
+        from datajudge_spark.operators.stats import js_divergence
+
+        full = spark.createDataFrame(
+            [(float(v),) for v in range(50)], "v double"
+        )
+        empty = full.where("v < 0")
+        assert (
+            js_divergence(empty, full, "v", 0.0, 50.0, 10).first()["jsd"]
+            is None
+        )
+        assert (
+            js_divergence(full, empty, "v", 0.0, 50.0, 10).first()["jsd"]
+            is None
+        )
+        assert (
+            js_divergence(empty, empty, "v", 0.0, 50.0, 10).first()["jsd"]
+            is None
+        )
+
+    def test_seasonality_null_days_and_period_validation(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import (
+            seasonality_strength,
+        )
+
+        base = dt.date(2024, 1, 1)
+        rows = [(base + dt.timedelta(days=i), 100 + i) for i in range(14)]
+        rows.append((None, 999))
+        df = spark.createDataFrame(rows, "day date, v long")
+        row = seasonality_strength(df, "v").first()
+        assert row["n_days"] == 14  # the NULL-day row is excluded
+        with pytest.raises(ValueError):
+            seasonality_strength(df, "v", period=0)
+
+
 class TestGammaQ:
     def test_chi2_critical_values(self):
         from datajudge_spark.constraints.stats import _gamma_q
