@@ -289,6 +289,59 @@ def _sql_ident(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def _grouped_value_cums(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list | None,
+    max_groups: int,
+    opname: str,
+):
+    """Shared scaffold of the grouped drift operators (:func:`grouped_ks`,
+    :func:`grouped_quantile_grid`): null filter, optional group
+    discovery capped at ``max_groups``, ONE conditional-aggregation
+    (value, total count, per-group count) histogram, the shared
+    bucket-partitioned multi-cumulative, and the totals probe (group
+    totals are the max cumulants).  Returns ``(groups, cnt_aliases,
+    cums, tot)`` where ``cums`` carries ``v, cnt, c<i>, cum_cnt,
+    cum_c<i>`` and ``tot`` has ``nt`` plus one total per alias.
+    """
+    from ..pipeline._util import materialize_once
+
+    non_null = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    if groups is None:
+        rows = (
+            non_null.select(F.col(group_col).alias("g"))
+            .distinct()
+            .limit(max_groups + 1)
+            .collect()
+        )
+        if len(rows) > max_groups:
+            raise ValueError(
+                f"{opname}: more than max_groups={max_groups} distinct "
+                f"groups in {group_col}; pass an explicit `groups` list."
+            )
+        groups = sorted(r["g"] for r in rows)
+    cnt_aliases = [f"c{i}" for i in range(len(groups))]
+    hist = non_null.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.count(F.when(F.col(group_col) == F.lit(g), 1)).alias(a)
+            for g, a in zip(groups, cnt_aliases)
+        ],
+    )
+    cums = materialize_once(
+        _bucketed_global_cums(hist, ["cnt"] + cnt_aliases)
+    )
+    tot = cums.agg(
+        F.max("cum_cnt").alias("nt"),
+        *[F.max(f"cum_{a}").alias(a) for a in cnt_aliases],
+    ).first()
+    return groups, cnt_aliases, cums, tot
+
+
 def grouped_ks(
     df: DataFrame,
     value_col: str,
@@ -317,38 +370,9 @@ def grouped_ks(
     instead).  Extension — no reference counterpart; generalizes the
     two-sample KS (db_access.py:1283-1315) to k segments.
     """
-    non_null = df.where(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    groups, cnt_aliases, cums, tot = _grouped_value_cums(
+        df, value_col, group_col, groups, max_groups, "grouped_ks"
     )
-    if groups is None:
-        rows = (
-            non_null.select(F.col(group_col).alias("g"))
-            .distinct()
-            .limit(max_groups + 1)
-            .collect()
-        )
-        if len(rows) > max_groups:
-            raise ValueError(
-                f"grouped_ks: more than max_groups={max_groups} distinct "
-                f"groups in {group_col}; pass an explicit `groups` list."
-            )
-        groups = sorted(r["g"] for r in rows)
-    cnt_aliases = [f"c{i}" for i in range(len(groups))]
-    hist = non_null.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[
-            F.count(F.when(F.col(group_col) == F.lit(g), 1)).alias(a)
-            for g, a in zip(groups, cnt_aliases)
-        ],
-    )
-    from ..pipeline._util import materialize_once
-
-    cums = materialize_once(_bucketed_global_cums(hist, ["cnt"] + cnt_aliases))
-    # group totals are the max cumulants — one tiny probe over the cache
-    tot = cums.agg(
-        F.max("cum_cnt").alias("nt"),
-        *[F.max(f"cum_{a}").alias(a) for a in cnt_aliases],
-    ).first()
     n_total = int(tot["nt"])
     d_exprs = []
     for a in cnt_aliases:
@@ -408,38 +432,10 @@ def grouped_quantile_grid(
     capped at ``max_groups`` (same discovery contract as
     :func:`grouped_ks`).
     """
-    non_null = df.where(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    groups, cnt_aliases, cums, tot = _grouped_value_cums(
+        df, value_col, group_col, groups, max_groups,
+        "grouped_quantile_grid",
     )
-    if groups is None:
-        rows = (
-            non_null.select(F.col(group_col).alias("g"))
-            .distinct()
-            .limit(max_groups + 1)
-            .collect()
-        )
-        if len(rows) > max_groups:
-            raise ValueError(
-                f"grouped_quantile_grid: more than max_groups={max_groups} "
-                f"distinct groups in {group_col}; pass an explicit "
-                "`groups` list."
-            )
-        groups = sorted(r["g"] for r in rows)
-    cnt_aliases = [f"c{i}" for i in range(len(groups))]
-    hist = non_null.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[
-            F.count(F.when(F.col(group_col) == F.lit(g), 1)).alias(a)
-            for g, a in zip(groups, cnt_aliases)
-        ],
-    )
-    from ..pipeline._util import materialize_once
-
-    cums = materialize_once(_bucketed_global_cums(hist, ["cnt"] + cnt_aliases))
-    tot = cums.agg(
-        F.max("cum_cnt").alias("nt"),
-        *[F.max(f"cum_{a}").alias(a) for a in cnt_aliases],
-    ).first()
     n_total = int(tot["nt"])
     q_exprs = []
     for j in range(1, deciles):

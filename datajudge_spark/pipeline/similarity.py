@@ -118,6 +118,31 @@ def ivf_cells(
     )
 
 
+def _query_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    q_id: str,
+    q_vec: str,
+) -> DataFrame:
+    """(qid, cell) for each query's ``nprobe`` nearest cells — the probe
+    set both IVF searches share.  ``nprobe=1`` is :func:`ivf_cells`;
+    larger keeps top-nprobe rows of the same broadcast scoring."""
+    if nprobe <= 1:
+        return ivf_cells(queries, centroids, v_id=q_id, v_vec=q_vec)
+    scored = spread(queries).crossJoin(F.broadcast(centroids)).select(
+        q_id, "cell", cosine(q_vec, "centvec").alias("cos")
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.col("cos").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(q_id, "cell")
+    )
+
+
 def topk_ivf(
     queries: DataFrame,
     candidates: DataFrame,
@@ -140,22 +165,7 @@ def topk_ivf(
     cand_cells = ivf_cells(
         candidates, centroids, v_id=c_id, v_vec=c_vec
     )
-    if nprobe <= 1:
-        query_cells = ivf_cells(queries, centroids, v_id=q_id, v_vec=q_vec)
-    else:
-        # top-nprobe cells per query: same broadcast scoring as
-        # ivf_cells, keeping nprobe rows instead of one
-        scored = spread(queries).crossJoin(F.broadcast(centroids)).select(
-            q_id, "cell", cosine(q_vec, "centvec").alias("cos")
-        )
-        w = Window.partitionBy(q_id).orderBy(
-            F.col("cos").desc(), F.col("cell").asc()
-        )
-        query_cells = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= nprobe)
-            .select(q_id, "cell")
-        )
+    query_cells = _query_cells(queries, centroids, nprobe, q_id, q_vec)
     blocked = (
         F.broadcast(queries.join(query_cells, q_id))
         .join(candidates.join(cand_cells, c_id), "cell")
@@ -457,6 +467,18 @@ def pq_encode(
     )
 
 
+def _adc_dist(m: int) -> Column:
+    """The ADC score both PQ searches share: fold the candidate's m
+    codes through the broadcast per-query LUT column ``__lut`` —
+    subspace-ordered left-to-right, so the double sum is
+    engine-portable."""
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
+        "(acc, s) -> acc + element_at(element_at(__lut, s + 1), "
+        "element_at(codes, s + 1) + 1))"
+    )
+
+
 def topk_pq(
     queries: DataFrame,
     encoded: DataFrame,
@@ -485,14 +507,9 @@ def topk_pq(
     scored = F.broadcast(q_with_lut).crossJoin(encoded).where(
         F.col(q_id) != F.col(c_id)
     )
-    dist = F.expr(
-        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
-        "(acc, s) -> acc + element_at(element_at(__lut, s + 1), "
-        "element_at(codes, s + 1) + 1))"
-    )
     w = Window.partitionBy(q_id).orderBy(F.col("dist").asc(), F.col(c_id).asc())
     return (
-        scored.select(q_id, c_id, dist.alias("dist"))
+        scored.select(q_id, c_id, _adc_dist(m).alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(q_id, c_id, F.round("dist", 6).alias("dist"), "rn")
@@ -533,21 +550,7 @@ def topk_ivf_pq(
     cand_cells = ivf_cells(candidates, centroids, v_id=c_id, v_vec=c_vec)
     encoded = pq_encode(candidates, codebook, m=m, id_col=c_id, vec_col=c_vec)
     cand = encoded.join(cand_cells, c_id)
-
-    if nprobe <= 1:
-        query_cells = ivf_cells(queries, centroids, v_id=q_id, v_vec=q_vec)
-    else:
-        scored_cells = spread(queries).crossJoin(F.broadcast(centroids)).select(
-            q_id, "cell", cosine(q_vec, "centvec").alias("cos")
-        )
-        wq = Window.partitionBy(q_id).orderBy(
-            F.col("cos").desc(), F.col("cell").asc()
-        )
-        query_cells = (
-            scored_cells.withColumn("rn", F.row_number().over(wq))
-            .where(F.col("rn") <= nprobe)
-            .select(q_id, "cell")
-        )
+    query_cells = _query_cells(queries, centroids, nprobe, q_id, q_vec)
     q_with_lut = spread(queries).select(
         q_id, F.expr(_pq_dists_sql(q_vec, codebook, m)).alias("__lut")
     )
@@ -556,14 +559,9 @@ def topk_ivf_pq(
         .join(cand, "cell")
         .where(F.col(q_id) != F.col(c_id))
     )
-    dist = F.expr(
-        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE), "
-        "(acc, s) -> acc + element_at(element_at(__lut, s + 1), "
-        "element_at(codes, s + 1) + 1))"
-    )
     w = Window.partitionBy(q_id).orderBy(F.col("dist").asc(), F.col(c_id).asc())
     return (
-        blocked.select(q_id, c_id, dist.alias("dist"))
+        blocked.select(q_id, c_id, _adc_dist(m).alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(q_id, c_id, F.round("dist", 6).alias("dist"), "rn")
