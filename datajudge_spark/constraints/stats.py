@@ -1204,3 +1204,87 @@ class MutualInformationMax(Constraint):
             f"{self._max_mi}. "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class SeasonalityStrengthBounds(Constraint):
+    """Weekly-seasonality gate: the ANOVA R² of the daily
+    ``sum(value_column)`` series on its day-of-period phase must lie
+    within [min_strength, max_strength] — "this metric should breathe
+    weekly" (monitoring jobs must compare like-weekdays) or "this
+    metric must NOT be weekday-driven" (a flat SLA signal).  Extension,
+    no reference counterpart; peers the daily-volume anomaly gate.
+
+    Engine side is ``operators.timeseries.seasonality_strength``: one
+    daily aggregate, one period-row integer-exact aggregate, a ≤period
+    driver fold.  A series with no variance (or under one day) has no
+    defined strength and fails explicitly.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        min_strength: float | None = None,
+        max_strength: float | None = None,
+        period: int = 7,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if min_strength is None and max_strength is None:
+            raise ValueError("Provide min_strength and/or max_strength.")
+        for v in (min_strength, max_strength):
+            if v is not None and not 0 <= v <= 1:
+                raise ValueError("strength bounds must be within [0, 1].")
+        if period < 1:
+            raise ValueError("period must be a positive number of days.")
+        self._min_strength, self._max_strength = min_strength, max_strength
+        self._period = period
+        super().__init__(
+            ref,
+            ref_value=(min_strength, max_strength),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import (
+            daily_totals,
+            seasonality_strength,
+        )
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "SeasonalityStrengthBounds requires exactly two columns: "
+                "(date_column, value_column)."
+            )
+        date_col, value_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(date_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        daily = daily_totals(
+            df, date_col, F.sum(value_col), alias="__total"
+        )
+        row = seasonality_strength(
+            daily, "__total", period=self._period
+        ).collect()[0]
+        strength = row["strength"]
+        if strength is None:
+            return TestResult.failure(
+                f"Seasonality strength of daily sum({value_col}) over "
+                f"{date_col} on {self._ref} is undefined: the series has "
+                f"no variance or no days (n_days={row['n_days']}). ",
+                self.get_description(),
+            )
+        lo = self._min_strength if self._min_strength is not None else 0.0
+        hi = self._max_strength if self._max_strength is not None else 1.0
+        if lo <= strength <= hi:
+            return TestResult.success()
+        assertion_text = (
+            f"Seasonality strength of daily sum({value_col}) over "
+            f"{date_col} on {self._ref} is {strength} "
+            f"(n_days={row['n_days']}, period={self._period}) — outside "
+            f"[{lo}, {hi}]. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

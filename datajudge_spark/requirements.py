@@ -948,6 +948,39 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_seasonality_strength_constraint(
+        self,
+        date_column: str,
+        value_column: str,
+        min_strength: float | None = None,
+        max_strength: float | None = None,
+        period: int = 7,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the weekly-seasonality
+        strength (ANOVA R² in [0, 1]) of the daily
+        ``sum(value_column)`` series on its day-of-``period`` phase must
+        lie within [min_strength, max_strength] — "this metric should
+        breathe weekly" (compare like-weekdays when monitoring) or
+        "this metric must NOT be weekday-driven".  One daily aggregate
+        + one period-row integer-exact aggregate; ≤period rows fold on
+        the driver."""
+        ref = DataReference(
+            self._data_source, [date_column, value_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.SeasonalityStrengthBounds(
+                ref,
+                min_strength=min_strength,
+                max_strength=max_strength,
+                period=period,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_mutual_information_max_constraint(
         self,
         column_a: str,

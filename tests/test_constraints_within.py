@@ -661,6 +661,55 @@ class TestGroupedTrendSlope:
         assert "max_groups" in results[0].failure_message
 
 
+class TestSeasonalityStrength:
+    def test_pass_and_fail(self, spark):
+        import datetime as dt
+
+        base = dt.date(2024, 1, 1)
+        # strongly weekly: value is a pure function of weekday
+        rows = [
+            (base + dt.timedelta(days=i), float(100 + 40 * (i % 7)))
+            for i in range(70)
+        ]
+        df = spark.createDataFrame(rows, "d date, v double")
+        req = within_req(df, "seas")
+        req.add_seasonality_strength_constraint("d", "v", min_strength=0.9)
+        req.add_seasonality_strength_constraint("d", "v", max_strength=0.5)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "Seasonality strength" in results[1].failure_message
+
+    def test_flat_series_undefined(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [
+                (dt.date(2024, 1, 1) + dt.timedelta(days=i), 5.0)
+                for i in range(14)
+            ],
+            "d date, v double",
+        )
+        req = within_req(df, "seasflat")
+        req.add_seasonality_strength_constraint("d", "v", max_strength=0.5)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1.0,)], "v double")
+        req = within_req(df, "seasval")
+        with pytest.raises(ValueError):
+            req.add_seasonality_strength_constraint("d", "v")
+        with pytest.raises(ValueError):
+            req.add_seasonality_strength_constraint(
+                "d", "v", min_strength=1.5
+            )
+        with pytest.raises(ValueError):
+            req.add_seasonality_strength_constraint(
+                "d", "v", min_strength=0.1, period=0
+            )
+
+
 class TestMutualInformationMax:
     def test_pass_and_fail(self, spark):
         import math
