@@ -5683,8 +5683,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "js_divergence": (
             # identical smoothing and fold as the Spark operator; buckets
-            # are the same clamped fixed-width arithmetic as psi_drift
-            "WITH c1 AS (SELECT least(greatest(CAST(floor((value - 0.0) "
+            # are the same clamped fixed-width arithmetic as psi_drift,
+            # densified to the full 0..9 spine (a both-empty bucket still
+            # contributes a smoothed term whenever the totals differ)
+            "WITH sp AS (SELECT unnest(range(0, 10)) AS bucket), "
+            "c1 AS (SELECT least(greatest(CAST(floor((value - 0.0) "
             "/ 50.0) AS BIGINT), 0), 9) AS bucket, count(*) AS n1 "
             "FROM events WHERE value IS NOT NULL "
             "AND event_type = 'click' GROUP BY 1), "
@@ -5692,9 +5695,10 @@ def oracle_sql() -> dict[str, str]:
             "/ 50.0) AS BIGINT), 0), 9) AS bucket, count(*) AS n2 "
             "FROM events WHERE value IS NOT NULL "
             "AND event_type = 'view' GROUP BY 1), "
-            "jn AS (SELECT COALESCE(c1.bucket, c2.bucket) AS bucket, "
+            "jn AS (SELECT sp.bucket AS bucket, "
             "COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2 "
-            "FROM c1 FULL OUTER JOIN c2 ON c1.bucket = c2.bucket), "
+            "FROM sp LEFT JOIN c1 ON sp.bucket = c1.bucket "
+            "LEFT JOIN c2 ON sp.bucket = c2.bucket), "
             "t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM jn), "
             "pq AS (SELECT (n1 + 0.5) / (t1 + 5.0) AS p, "
             "(n2 + 0.5) / (t2 + 5.0) AS q, t1, t2 FROM jn, t) "

@@ -13,6 +13,7 @@ from pyspark.sql import SparkSession
 
 from .. import operators as ops
 from ..reference import DataReference
+from ..operators.uniques import DEFAULT_MAX_UNIQUES
 from ..utils import OutputProcessor, filternull_element, output_processor_limit
 from .base import Constraint, OptionalSelections, TestResult, ToleranceGetter, _T
 
@@ -68,7 +69,7 @@ class Uniques(Constraint, abc.ABC):
         reduce_func: Callable[[Collection], Collection] | None = None,
         max_relative_violations=0,
         compare_distinct=False,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ):
         ref_value: tuple[Collection, list] | None
         ref_value = (uniques, []) if uniques else None
@@ -349,7 +350,7 @@ class CategoricalBoundConstraint(Constraint):
         name: str | None = None,
         cache_size=None,
         max_relative_violations: float = 0,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
         **kwargs,
     ):
         self._default_bounds = default_bounds

@@ -17,6 +17,7 @@ from pyspark.sql import SparkSession
 
 from .. import operators as ops
 from ..reference import DataReference
+from ..operators.uniques import DEFAULT_MAX_UNIQUES
 from .base import Constraint, OptionalSelections, TestResult
 
 
@@ -92,7 +93,7 @@ class VarCharRegex(Constraint):
         n_counterexamples: int = 5,
         name: str | None = None,
         cache_size=None,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ):
         super().__init__(ref, ref_value=regex, name=name, cache_size=cache_size)
         self._allow_none = allow_none

@@ -53,7 +53,12 @@ from .schema import (
     normalize_type_name,
 )
 from .stats import get_cross_cdf, get_ks_2sample
-from .uniques import get_unique_count, get_unique_count_union, get_uniques
+from .uniques import (
+    DEFAULT_MAX_UNIQUES,
+    get_unique_count,
+    get_unique_count_union,
+    get_uniques,
+)
 
 __all__ = [
     "MatchAndCompare",
@@ -89,5 +94,6 @@ __all__ = [
     "get_unique_count",
     "get_unique_count_union",
     "get_uniques",
+    "DEFAULT_MAX_UNIQUES",
     "normalize_type_name",
 ]

@@ -282,10 +282,16 @@ def triangle_stats(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # counts stay INTEGRAL end-to-end: d*(d-1) in decimal(38,0) (a
+    # long*long product would wrap past d ~ 3e9 hubs, a double sum
+    # loses exactness past 2^53 total wedges), halved ONCE at the end
+    # — both sums are even, so the decimal division is exact and the
+    # bigint cast lossless
+    d_dec = F.col("d").cast("decimal(38,0)")
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        (F.sum(d_dec) / 2).cast("bigint").alias("n_edges"),
+        (F.sum(d_dec * (F.col("d") - 1)) / 2)
         .cast("bigint")
         .alias("n_wedges"),
     )

@@ -394,12 +394,20 @@ def grouped_ks(
         f"{_sql_str(g)}, CAST({int(tot[a] or 0)} AS BIGINT), d_{a}"
         for g, a in zip(groups, cnt_aliases)
     )
+    # stack() emits the group labels as STRING literals; cast back to
+    # the source column's type so the output schema matches the input
+    # (numeric/date group keys must not silently become strings)
+    g_type = df.schema[group_col].dataType
     return agg.select(
         F.expr(
             f"stack({len(groups)}, {stack_args}) "
             f"AS ({_sql_ident(group_col)}, n, d)"
         )
-    ).select(group_col, "n", F.round("d", 6).alias("d"))
+    ).select(
+        F.col(group_col).cast(g_type).alias(group_col),
+        "n",
+        F.round("d", 6).alias("d"),
+    )
 
 
 def grouped_quantile_grid(
@@ -474,6 +482,9 @@ def grouped_quantile_grid(
         for j in range(1, deciles)
     )
     n_rows = len(groups) * (deciles - 1)
+    # cast the stacked string label back to the source group type (see
+    # grouped_ks — schema must match the input column)
+    g_type = df.schema[group_col].dataType
     return (
         agg.select(
             F.expr(
@@ -482,7 +493,7 @@ def grouped_quantile_grid(
             )
         )
         .select(
-            group_col,
+            F.col(group_col).cast(g_type).alias(group_col),
             F.col("decile").cast("int").alias("decile"),
             F.round(F.col("v_group").cast("double"), 6).alias("v_group"),
             F.round(F.col("v_pooled").cast("double"), 6).alias("v_pooled"),
@@ -1120,12 +1131,18 @@ def js_divergence(
     ``JS = ½ KL(p‖m) + ½ KL(q‖m)`` with ``m = (p+q)/2`` — symmetric and
     bounded by ln 2, unlike PSI (unbounded) or KL (asymmetric, infinite
     on disjoint support); the same +0.5 Laplace smoothing as
-    :func:`psi_drift` keeps empty buckets finite.  Identical plan shape:
-    two conditional bucket-count scans, the fold runs on the
-    ``n_buckets``-row joined histogram.  ``jsd`` is NULL when EITHER
-    sample is empty — smoothing an all-zero side would otherwise yield
-    a bogus finite divergence against a uniform phantom.  Extension —
-    completes the drift-metric family (PSI, KS, EMD, JS).
+    :func:`psi_drift` keeps empty buckets finite.  The histogram join is
+    DENSIFIED against the full ``0..n_buckets-1`` bucket spine before
+    smoothing: under Laplace smoothing a bucket empty in BOTH samples
+    still contributes a nonzero term whenever the totals differ, so the
+    statistic must not depend on which buckets happen to be occupied —
+    it equals the documented n_buckets-wide smoothed JS exactly.  Plan
+    shape: two conditional bucket-count scans; the spine join and the
+    fold run on the ``n_buckets``-row frames (broadcast, no extra
+    shuffle).  ``jsd`` is NULL when EITHER sample is empty — smoothing
+    an all-zero side would otherwise yield a bogus finite divergence
+    against a uniform phantom.  Extension — completes the drift-metric
+    family (PSI, KS, EMD, JS).
     """
     def counts(df: DataFrame, alias: str) -> DataFrame:
         return (
@@ -1135,8 +1152,12 @@ def js_divergence(
         )
 
     c1, c2 = counts(df1, "n1"), counts(df2, "n2")
+    spine = df1.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
     joined = (
-        c1.join(c2, "bucket", "full_outer")
+        spine.join(c1, "bucket", "left")
+        .join(c2, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("n1", F.lit(0)).alias("n1"),

@@ -159,6 +159,15 @@ def ewma_daily(
     whole thing is hash-join + exact-decimal aggregate — no theta join,
     no double-precision order sensitivity.
     """
+    # den narrows to decimal(8,6) (|x| < 100): each weight is <= 1 and
+    # there are at most `lookback` of them, so den < lookback — guard
+    # statically instead of letting the cast NULL silently under
+    # non-ANSI overflow semantics
+    if lookback > 99:
+        raise ValueError(
+            f"ewma_daily: lookback={lookback} can push the weight sum "
+            "past decimal(8,6) (den < 100 required); use <= 99 days"
+        )
     weights = ewma_weights_decimal(alpha_num, alpha_den, lookback)
     scale = max(len(w.split(".")[1]) if "." in w else 0 for w in weights)
     # weights are < 10, so precision scale+2 suffices; keeping the weight
@@ -205,14 +214,31 @@ def ewma_daily(
     # non-negative sums here).  The final round(_, 2) grid (cent-level,
     # values ~1e8) is ~1e6 ulps wide, so a stray last-bit wobble in the
     # division cannot flip it.
+    # num narrows to decimal(18,2) (|x| < 10^16): with ANSI off an
+    # overflowing cast would yield NULL silently, so the narrowing is
+    # guarded — out-of-range days raise instead of emitting a NULL ewma
+    # with no diagnostic.  The guard compares the EXACT wide sum, costs
+    # one predicate per output day row, and never fires in-range, so the
+    # oracle twin needs no counterpart.
+    guarded = F.when(
+        F.abs(num) < F.lit("10000000000000000").cast("decimal(38,2)"),
+        F.round(
+            num.cast("decimal(18,2)").cast("double")
+            / den.cast("decimal(8,6)").cast("double"),
+            2,
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "ewma_daily: weighted numerator exceeds decimal(18,2) "
+                "— daily sums too large for the int64-backed digest"
+            )
+        )
+    )
     return (
         contrib.groupBy(F.col("d").alias("day"))
         .agg(
-            F.round(
-                num.cast("decimal(18,2)").cast("double")
-                / den.cast("decimal(8,6)").cast("double"),
-                2,
-            ).alias("ewma"),
+            guarded.alias("ewma"),
             F.count(F.lit(1)).alias("n_terms"),
         )
     )
@@ -350,13 +376,19 @@ def grouped_theil_sen(
         f"CAST({int(tot[al] or 0)} AS BIGINT), m_{al}"
         for g, al in zip(groups, cnt_aliases)
     )
+    # stack() emits the labels as STRING; cast back to the source group
+    # type so the output schema matches the input column (see grouped_ks)
+    g_type = daily.schema[group_col].dataType
     return agg.select(
         F.expr(
             f"stack({len(groups)}, {stack_args}) "
             f"AS ({_sql_ident(group_col)}, n_days, n_pairs, slope)"
         )
     ).select(
-        group_col, "n_days", "n_pairs", F.round("slope", 6).alias("slope")
+        F.col(group_col).cast(g_type).alias(group_col),
+        "n_days",
+        "n_pairs",
+        F.round("slope", 6).alias("slope"),
     )
 
 

@@ -25,22 +25,32 @@ from ..reference import DataReference
 
 _Plans = list[DataFrame]
 
+#: Default driver-collect cap for :func:`get_uniques` and every
+#: constraint that materializes a distinct-value Counter.  1M distinct
+#: values of typical key width is O(100 MB) on the driver — safely
+#: under default driver memory, while anything bigger is almost
+#: certainly a mis-specified categorical gate at 100 TB.  Pass
+#: ``max_uniques=None`` to explicitly opt out (the reference's own
+#: unbounded discipline, SURVEY §3.4).
+DEFAULT_MAX_UNIQUES = 1_000_000
+
 
 def get_uniques(
     spark: SparkSession,
     ref: DataReference,
-    max_uniques: int | None = None,
+    max_uniques: int | None = DEFAULT_MAX_UNIQUES,
 ) -> tuple[Counter, _Plans]:
     """Value -> multiplicity Counter over the ref's column(s)
     (reference db_access.py:906-935). Scalar keys for one column, tuple keys
     for several.
 
     ``max_uniques`` is the 100 TB insurance on the driver collect
-    (SURVEY §3.4): when set, a column with more than that many distinct
-    values raises instead of streaming them all into driver memory —
-    the single LIMIT probe costs nothing when the cardinality is sane.
-    Callers that know the domain is categorical can leave it None (the
-    reference's own discipline — it returns a Counter too).
+    (SURVEY §3.4): a column with more than that many distinct values
+    raises instead of streaming them all into driver memory — the
+    single LIMIT probe costs nothing when the cardinality is sane.
+    Defaults to :data:`DEFAULT_MAX_UNIQUES`; callers that know the
+    domain is huge AND genuinely want the full Counter must opt out
+    explicitly with ``max_uniques=None``.
     """
     column_names = ref.get_columns(spark)
     if not column_names:

@@ -245,9 +245,17 @@ def simhash_candidate_pairs(
     Buckets larger than ``max_bucket`` switch from all-pairs to a STAR
     against the bucket's minimum id (same hot-bucket bound as
     :func:`lsh_candidate_pairs`): O(B) rows instead of B^2.  Star pairs
-    still pass through the hamming filter, so a degenerate bucket of
-    near-identical docs keeps its cluster connectivity while a bucket of
-    merely band-colliding docs is thinned to the survivors.
+    still pass through the hamming filter — the output contract is
+    "every emitted pair is within ``max_hamming``", unlike the LSH
+    variant whose star edges are unfiltered candidates.  The trade-off:
+    in a hot bucket, connectivity is preserved ONLY among members within
+    ``max_hamming`` of the bucket's min-id member; two members close to
+    each other but both far from the min-id member lose their edge (and,
+    for downstream clustering, their connectivity).  A degenerate bucket
+    of near-identical docs keeps its cluster; a hot bucket of merely
+    band-colliding heterogeneous docs is intentionally thinned.  If
+    hot-bucket connectivity matters more than the hamming contract,
+    cluster over :func:`lsh_candidate_pairs` instead.
     """
     if bits % bands:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .condition import Condition
+from .operators.uniques import DEFAULT_MAX_UNIQUES
 from .constraints import column as column_constraints
 from .constraints import date as date_constraints
 from .constraints import groupby as groupby_constraints
@@ -253,7 +254,7 @@ class WithinRequirement(Requirement):
         condition: Condition | None = None,
         name: str | None = None,
         cache_size=None,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ) -> None:
         ref = DataReference(self._data_source, columns, condition)
         self._constraints.append(
@@ -284,7 +285,7 @@ class WithinRequirement(Requirement):
         | list[OutputProcessor]
         | None = output_processor_limit,
         cache_size=None,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ) -> None:
         ref = DataReference(self._data_source, columns, condition)
         self._constraints.append(
@@ -317,7 +318,7 @@ class WithinRequirement(Requirement):
         | list[OutputProcessor]
         | None = output_processor_limit,
         cache_size=None,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ) -> None:
         ref = DataReference(self._data_source, columns, condition)
         self._constraints.append(
@@ -360,7 +361,7 @@ class WithinRequirement(Requirement):
         condition: Condition | None = None,
         name: str | None = None,
         cache_size=None,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ) -> None:
         ref = DataReference(self._data_source, columns, condition)
         self._constraints.append(
@@ -713,7 +714,7 @@ class WithinRequirement(Requirement):
         aggregated: bool = True,
         n_counterexamples: int = 5,
         cache_size=None,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ) -> None:
         ref = DataReference(self._data_source, [column], condition)
         self._constraints.append(
@@ -1491,7 +1492,7 @@ class BetweenRequirement(Requirement):
         condition2: Condition | None = None,
         name: str | None = None,
         cache_size=None,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ) -> None:
         ref = DataReference(self._data_source, columns1, condition1)
         ref2 = DataReference(self._data_source2, columns2, condition2)
@@ -1524,7 +1525,7 @@ class BetweenRequirement(Requirement):
         | list[OutputProcessor]
         | None = output_processor_limit,
         cache_size=None,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ) -> None:
         ref = DataReference(self._data_source, columns1, condition1)
         ref2 = DataReference(self._data_source2, columns2, condition2)
@@ -1559,7 +1560,7 @@ class BetweenRequirement(Requirement):
         | list[OutputProcessor]
         | None = output_processor_limit,
         cache_size=None,
-        max_uniques: int | None = None,
+        max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ) -> None:
         ref = DataReference(self._data_source, columns1, condition1)
         ref2 = DataReference(self._data_source2, columns2, condition2)

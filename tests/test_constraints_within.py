@@ -209,6 +209,27 @@ class TestUniques:
         )
         assert outcomes(req2, spark) == [True]
 
+    def test_max_uniques_default_and_optout(self, spark, unique_table1):
+        # the factories default to DEFAULT_MAX_UNIQUES (1M) — a sane
+        # categorical passes untouched under the default cap
+        from datajudge_spark.operators.uniques import DEFAULT_MAX_UNIQUES
+
+        assert DEFAULT_MAX_UNIQUES == 1_000_000
+        req = within_req(unique_table1, "unique_table1")
+        req.add_uniques_equality_constraint(
+            ["col_int"], list(range(30)),
+            filter_func=lambda lst: [v for v in lst if v is not None],
+        )
+        assert outcomes(req, spark) == [True]
+        # max_uniques=None is the explicit unbounded opt-out
+        req2 = within_req(unique_table1, "unique_table1")
+        req2.add_uniques_equality_constraint(
+            ["col_int"], list(range(30)),
+            filter_func=lambda lst: [v for v in lst if v is not None],
+            max_uniques=None,
+        )
+        assert outcomes(req2, spark) == [True]
+
     def test_uniques_superset(self, spark, unique_table1):
         req = within_req(unique_table1, "unique_table1")
         req.add_uniques_superset_constraint(

@@ -846,6 +846,28 @@ class TestJsDivergence:
         # disjoint support: close to the ln 2 bound, never above it
         assert 0.5 < row["jsd"] <= math.log(2) + 1e-9
 
+    def test_densified_over_all_buckets(self, spark):
+        # unequal totals + buckets empty in BOTH samples: under +0.5
+        # Laplace smoothing those buckets still contribute (p != q), so
+        # the statistic must equal the full n_buckets-wide formula, not
+        # an occupancy-dependent subset
+        import math
+
+        from datajudge_spark.operators.stats import js_divergence
+
+        d1 = spark.createDataFrame([(5.0,)] * 30, "v double")
+        d2 = spark.createDataFrame([(5.0,)] * 10, "v double")
+        got = js_divergence(d1, d2, "v", 0.0, 100.0, 10).first()["jsd"]
+        n1 = [30] + [0] * 9
+        n2 = [10] + [0] * 9
+        t1, t2 = 30 + 5.0, 10 + 5.0
+        jsd = 0.0
+        for a, b in zip(n1, n2):
+            p, q = (a + 0.5) / t1, (b + 0.5) / t2
+            m = (p + q) / 2
+            jsd += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+        assert got == pytest.approx(round(jsd, 6), abs=1e-9)
+
 
 class TestGroupedSqlSafety:
     def test_quoted_group_labels_survive(self, spark):
