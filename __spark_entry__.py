@@ -3239,23 +3239,74 @@ def q_js_divergence(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # keys only (verified rounds 1-3).  Round 4 rotates the window one
-    # last time: slot 1 goes to ewma_daily (round 3's only red — the
-    # digest was reworked from int128 rationals to a bit-identical 2-dp
-    # double, so it needs a fresh driver row), slots 2-50 to 49 of the
-    # 50 queries appended behind the window during round 3 that have
-    # never seen a driver check.  `grouped_median` is the one deferral
-    # (49+1 > 50); it rotates in round 5 together with the round-4
-    # additions at the dict tail and a few previously-green sentinels.
-    # After round 4, every query except grouped_median + the round-4
-    # tail has a driver row (r2: CORRECTNESS_r02, r3: CORRECTNESS_r03).
-    # Every entry is green in the local replica of the driver gate
-    # (tests/test_entry_oracle.py, same DuckDB method), which predicted
-    # the driver 50/50 in rounds 2 and 3.
+    # keys only (verified rounds 1-4).  Round 5 rotates the final 17
+    # never-driver-checked queries into the window and fills the rest
+    # with previously-green sentinels; from round 6 on the window is
+    # pure regression signal (new additions + rotating sentinel
+    # cohorts).  Every entry is green in the local replica of the
+    # driver gate (tests/test_entry_oracle.py), which has predicted
+    # the driver verdict exactly in rounds 2-4.
     return {
-        # -- slot 1: round-3 red, digest reworked this round --
+        # ---- ROUND-5 WINDOW (first 50 keys = the driver's gate) ----
+        # 17 never-driver-checked (grouped_median deferred from r4 +
+        # the 16 round-4 tail additions) -- the last queries without
+        # a driver row; green here closes the correctness-process gap.
+        "grouped_median": q_grouped_median,
+        "grouped_ks": q_grouped_ks,
+        "theil_sen_slope": q_theil_sen,
+        "ann_topk_pq": q_ann_topk_pq,
+        "dedup_containment": q_dedup_containment,
+        "ann_topk_ivf_pq": q_ann_topk_ivf_pq,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "grouped_quantile_grid": q_grouped_quantile_grid,
+        "grouped_theil_sen": q_grouped_theil_sen,
+        "multimodal_audio_windows": q_multimodal_audio_windows,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "graph_triangles": q_graph_triangles,
+        "mutual_information": q_mutual_information,
+        "js_divergence": q_js_divergence,
+        "q4_order_priority": q4_order_priority,
+        "q18_large_orders": q18_large_orders,
+        "weekly_seasonality": q_weekly_seasonality,
+        # 33 sentinels: previously-green regression cohort (r2+r3 mix,
+        # the two perf-weak queries, and every operator whose code was
+        # touched this round). Rotate a different cohort each round.
         "ewma_daily": q_ewma_daily,
-        # -- 49 round-3 additions never driver-checked --
+        "ks_statistic_continuous": q_ks_statistic_continuous,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "multimodal_meta": q_multimodal_meta,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "topk_revenue": q_topk_revenue,
+        "pivot_agg": q_pivot_agg,
+        "psi_drift": q_psi_drift,
+        "moving_avg_daily": q_moving_avg_daily,
+        "salted_join_agg": q_salted_join_agg,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        "heavy_hitters": q_heavy_hitters,
+        "approx_distinct_check": q_approx_distinct_check,
+        "anomaly_zscore": q_anomaly_zscore,
+        "scd2_intervals": q_scd2_intervals,
+        "grouped_topk": q_grouped_topk,
+        "corr_matrix": q_corr_matrix,
+        "row_count": q_row_count,
+        "percentile": q_percentile,
+        "null_fraction": q_null_fraction,
+        "uniques_histogram": q_uniques_histogram,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "interval_overlap": q_interval_overlap,
+        "regex_violations": q_regex_violations,
+        "cross_cdf": q_cross_cdf,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "dedup_jaccard": q_dedup_jaccard,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "sample_stratified": q_sample_stratified,
+        # ---- window boundary (50 keys above) ----
+        # all remaining queries have a green driver row at their most
+        # recent check (r2/r3/r4 windows); stable order below.
         "snapshot_diff": q_snapshot_diff,
         "incremental_daily_merge": q_incremental_daily_merge,
         "srp_neardup_pairs": q_srp_neardup_pairs,
@@ -3305,20 +3356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q10_returned_items": q10_returned_items,
         "q7_volume_shipping": q7_volume_shipping,
-        # ---- window boundary (50 keys above) ----
-        # deferred from the round-4 window; rotate into round 5's
-        "grouped_median": q_grouped_median,
-        # -- driver-green in round 3 (CORRECTNESS_r03.json) --
-        "tfidf_top_terms": q_tfidf_top_terms,
         "source_quality_report": q_source_quality_report,
-        "multimodal_meta": q_multimodal_meta,
-        "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "range_join": q_range_join,
-        "sessionize": q_sessionize,
-        "topk_revenue": q_topk_revenue,
         "rollup_agg": q_rollup_agg,
-        "pivot_agg": q_pivot_agg,
         "row_count_gain": q_row_count_gain,
         "date_growth_rate": q_date_growth_rate,
         "uniques_subset_violation": q_uniques_subset_violation,
@@ -3328,52 +3369,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        "psi_drift": q_psi_drift,
         "cohort_retention": q_cohort_retention,
         "value_histogram": q_value_histogram,
         "funnel_conversion": q_funnel_conversion,
-        "moving_avg_daily": q_moving_avg_daily,
-        "salted_join_agg": q_salted_join_agg,
         "text_unigram_logprob": q_text_unigram_logprob,
         "dedup_editdistance": q_dedup_editdistance,
         "categorical_entropy": q_categorical_entropy,
         "key_skew": q_key_skew,
         "profile_table": q_profile_table,
-        "corr_matrix": q_corr_matrix,
-        "grouped_topk": q_grouped_topk,
         "mixture_weights": q_mixture_weights,
         "train_val_split": q_train_val_split,
-        "streaming_windowed_counts": q_streaming_windowed_counts,
         "cube_agg": q_cube_agg,
-        "heavy_hitters": q_heavy_hitters,
         "latest_snapshot": q_latest_snapshot,
-        "approx_distinct_check": q_approx_distinct_check,
         "approx_percentile_check": q_approx_percentile_check,
         "percentile_bands": q_percentile_bands,
         "gap_fill_daily": q_gap_fill_daily,
-        "anomaly_zscore": q_anomaly_zscore,
         "embedding_norm_stats": q_embedding_norm_stats,
         "srp_signature_hist": q_srp_signature_hist,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_stateful_counts": q_streaming_stateful_counts,
-        "scd2_intervals": q_scd2_intervals,
-        # -- driver-green in round 2 (CORRECTNESS_r02.json) --
-        "row_count": q_row_count,
-        "null_fraction": q_null_fraction,
-        "percentile": q_percentile,
-        "uniques_histogram": q_uniques_histogram,
         "functional_dependency": q_functional_dependency,
         "except_distinct": q_except_distinct,
-        "broadcast_join_agg": q_broadcast_join_agg,
-        "interval_overlap": q_interval_overlap,
-        "regex_violations": q_regex_violations,
-        "cross_cdf": q_cross_cdf,
-        "ks_statistic_continuous": q_ks_statistic_continuous,
         "text_quality": q_text_quality,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_topk_ivf": q_ann_topk_ivf,
         "row_count_capped": q_row_count_capped,
         "filtered_count": q_filtered_count,
         "min_max": q_min_max,
@@ -3396,39 +3414,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "embedding_similar_pairs": q_embedding_similar_pairs,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "text_language_id": q_text_language_id,
         "text_bpe_token_count": q_text_bpe_token_count,
         "text_rolling_hash": q_text_rolling_hash,
-        "decontaminate_ngram": q_decontaminate_ngram,
-        "sample_stratified": q_sample_stratified,
         "ngram_topk": q_ngram_topk,
         "chunk_documents": q_chunk_documents,
         "text_repetition": q_text_repetition,
         "stratum_percentile_trim": q_stratum_percentile_trim,
-        # -- new in round 4 (behind the window; ROUND 5 MUST rotate all
-        #    15 of these + grouped_median into the first-50 window,
-        #    alongside ~8-10 previously-green sentinels — see
-        #    ROUNDLOG.md round-4 bookkeeping) --
-        "grouped_ks": q_grouped_ks,
-        "theil_sen_slope": q_theil_sen,
-        "ann_topk_pq": q_ann_topk_pq,
-        "dedup_containment": q_dedup_containment,
-        "ann_topk_ivf_pq": q_ann_topk_ivf_pq,
-        "ann_recall_ivf": q_ann_recall_ivf,
-        "grouped_quantile_grid": q_grouped_quantile_grid,
-        "grouped_theil_sen": q_grouped_theil_sen,
-        "multimodal_audio_windows": q_multimodal_audio_windows,
-        "boilerplate_ngrams": q_boilerplate_ngrams,
-        "graph_triangles": q_graph_triangles,
-        "mutual_information": q_mutual_information,
-        "js_divergence": q_js_divergence,
-        "q4_order_priority": q4_order_priority,
-        "q18_large_orders": q18_large_orders,
-        "weekly_seasonality": q_weekly_seasonality,
     }
 
 
