@@ -3191,6 +3191,151 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
+def q21_suppliers_waiting(spark, sf_dir):
+    # TPC-H Q21 shape: EXISTS + NOT EXISTS against the SAME table with
+    # different correlation — suppliers who were the ONLY late supplier
+    # on a finished multi-supplier order.  (The synthetic lineitem has
+    # no commit/receipt dates; "late" = shipped >30 days after the
+    # order date, the same substitution as q4_order_priority.)
+    #
+    # Plan: the late frame (lineitem ⋈ status-filtered orders, one hash
+    # join on the order key) is computed ONCE and persisted — it is both
+    # the probe side (l1) and the NOT-EXISTS side (l3).  The EXISTS
+    # becomes a left-semi against the bare (orderkey, suppkey)
+    # projection, the NOT EXISTS a left-anti against the late frame;
+    # both shuffle on l_orderkey — the SAME key as the build join, so
+    # the exchange is reused, and neither carries payload columns.
+    # supplier ⋈ nation ⋈ region is the broadcast dimension chain.
+    from datajudge_spark.pipeline._util import materialize_once
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("__ship")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", F.col("o_orderdate").cast("date").alias("__od"))
+    late = materialize_once(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("__ship") > F.date_add(F.col("__od"), 30))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 shape: correlated scalar MIN subquery — for each
+    # qualifying part, the supplier(s) in a region achieving the
+    # minimum supply cost.  (No partsupp table in the synthetic schema;
+    # supply cost of (part, supplier) = MIN unit price ever charged,
+    # derived from lineitem.)  The correlated subquery is decorrelated
+    # the way Catalyst itself would: a per-part MIN aggregate joined
+    # back on (partkey, cost == min) — both sides of the join-back come
+    # from the SAME aggregated cost frame (persisted once), partitioned
+    # on the part key; part and the supplier⋈nation⋈region chain
+    # broadcast onto it.
+    from datajudge_spark.pipeline._util import materialize_once
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    costs = materialize_once(
+        li.join(F.broadcast(s.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+            ).alias("cost")
+        )
+    )
+    min_cost = costs.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost").alias("__min_cost")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    winners = costs.join(
+        min_cost,
+        (F.col("l_partkey") == F.col("__pk"))
+        & (F.col("cost") == F.col("__min_cost")),
+    )
+    return (
+        winners.join(
+            F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.round(F.col("s_acctbal").cast("double"), 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round(F.col("cost"), 6).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     # exact triangle census of the nation trade graph: ordered
     # node-iterator joins (each triangle u<v<w found once), wedge count
@@ -3268,7 +3413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q18_large_orders": q18_large_orders,
         "weekly_seasonality": q_weekly_seasonality,
-        # 33 sentinels: previously-green regression cohort (r2+r3 mix,
+        # round-5 additions (need their first driver row)
+        "q21_suppliers_waiting": q21_suppliers_waiting,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        # sentinels: previously-green regression cohort (r2+r3 mix,
         # the two perf-weak queries, and every operator whose code was
         # touched this round). Rotate a different cohort each round.
         "ewma_daily": q_ewma_daily,
@@ -3302,9 +3450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_jaccard": q_dedup_jaccard,
+        # ---- window boundary (50 keys above) ----
+        # sentinels displaced by round-5 additions (driver-green r2)
         "decontaminate_ngram": q_decontaminate_ngram,
         "sample_stratified": q_sample_stratified,
-        # ---- window boundary (50 keys above) ----
         # all remaining queries have a green driver row at their most
         # recent check (r2/r3/r4 windows); stable order below.
         "snapshot_diff": q_snapshot_diff,
@@ -5724,6 +5873,57 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON c.c_custkey = o.o_custkey "
             "ORDER BY o.o_totalprice DESC, order_day ASC, "
             "o.o_orderkey ASC LIMIT 100"
+        ),
+        "q21_suppliers_waiting": (
+            # EXISTS + NOT EXISTS with different correlation against the
+            # same table; "late" = shipped >30 days after the order date
+            # (the q4 substitution — synthetic lineitem has no
+            # commit/receipt dates)
+            "WITH late AS (SELECT l.l_orderkey, l.l_suppkey "
+            "FROM lineitem l JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderstatus = 'F' AND CAST(l.l_shipdate AS DATE) "
+            "> CAST(o.o_orderdate AS DATE) + 30) "
+            "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM late l1 "
+            "JOIN supplier s ON l1.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "AND r.r_name = 'EUROPE' "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM late l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey) "
+            "GROUP BY s.s_name "
+            "ORDER BY numwait DESC, s.s_name ASC LIMIT 100"
+        ),
+        "q2_min_cost_supplier": (
+            # correlated scalar MIN decorrelated to a per-part aggregate
+            # join-back; supply cost derived from lineitem (no partsupp
+            # in the synthetic schema). Double division both sides.
+            "WITH s AS (SELECT s_suppkey, s_name, s_acctbal, n_name "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "costs AS (SELECT l_partkey, l_suppkey, "
+            "min(CAST(l_extendedprice AS DOUBLE) "
+            "/ CAST(l_quantity AS DOUBLE)) AS cost "
+            "FROM lineitem JOIN s ON l_suppkey = s.s_suppkey "
+            "WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey), "
+            "mc AS (SELECT l_partkey AS pk, min(cost) AS min_cost "
+            "FROM costs GROUP BY 1) "
+            "SELECT round(CAST(s.s_acctbal AS DOUBLE), 2) AS acctbal, "
+            "s.s_name, s.n_name, p.p_partkey, p.p_type, "
+            "round(c.cost, 6) AS supply_cost "
+            "FROM costs c JOIN mc ON c.l_partkey = mc.pk "
+            "AND c.cost = mc.min_cost "
+            "JOIN part p ON c.l_partkey = p.p_partkey "
+            "AND p.p_type = 'LARGE' AND p.p_size <= 25 "
+            "JOIN s ON c.l_suppkey = s.s_suppkey "
+            "ORDER BY acctbal DESC, s.n_name ASC, s.s_name ASC, "
+            "p.p_partkey ASC LIMIT 100"
         ),
         # same integer-exact per-phase sums as operators.timeseries
         # .seasonality_strength; SSE folds LEFT-TO-RIGHT in ascending

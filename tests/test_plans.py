@@ -571,3 +571,24 @@ def test_mutual_information_cells_cached_margins_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q21_semi_anti_hash_joins_no_cartesian(spark):
+    # the EXISTS must compile to a left-semi hash join, the NOT EXISTS
+    # to a left-anti hash join — both equi on the order key — and the
+    # supplier/nation/region chain must broadcast; nothing cartesian
+    plan = _executed_plan(entrymod.q21_suppliers_waiting(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q2_min_cost_join_back_no_cartesian(spark):
+    # the decorrelated MIN join-back is an equi hash join on
+    # (partkey, cost); part and the supplier chain broadcast
+    plan = _executed_plan(entrymod.q2_min_cost_supplier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
