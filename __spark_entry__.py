@@ -1333,6 +1333,19 @@ def q_latest_snapshot(spark, sf_dir):
     )
 
 
+def q_approx_topk_check(spark, sf_dir):
+    # frequent-items sketch (approx_top_k) bounded against the exact
+    # top-k heavy hitters in one cube() scan — completes the
+    # sketch-contract family (HLL distinct, KLL percentile, top-k).
+    # max_items_tracked=16384 >= supplier cardinality through sf1, so
+    # the sketch runs exact-mode and both booleans are guaranteed.
+    from datajudge_spark.operators.olap import approx_top_k_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = approx_top_k_check(li, "l_suppkey", k=5)
+    return out.withColumn("item", F.col("item").cast("bigint"))
+
+
 def q_approx_distinct_check(spark, sf_dir):
     # HLL++ sketch vs exact COUNT DISTINCT: the 100 TB substitute for an
     # exact distinct, bounded against the exact answer (3x rsd tolerance).
@@ -3416,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions (need their first driver row)
         "q21_suppliers_waiting": q21_suppliers_waiting,
         "q2_min_cost_supplier": q2_min_cost_supplier,
+        "approx_topk_check": q_approx_topk_check,
         # sentinels: previously-green regression cohort (r2+r3 mix,
         # the two perf-weak queries, and every operator whose code was
         # touched this round). Rotate a different cohort each round.
@@ -3449,9 +3463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_topk_ivf": q_ann_topk_ivf,
-        "dedup_jaccard": q_dedup_jaccard,
         # ---- window boundary (50 keys above) ----
         # sentinels displaced by round-5 additions (driver-green r2)
+        "dedup_jaccard": q_dedup_jaccard,
         "decontaminate_ngram": q_decontaminate_ngram,
         "sample_stratified": q_sample_stratified,
         # all remaining queries have a green driver row at their most
@@ -4873,6 +4887,20 @@ def oracle_sql() -> dict[str, str]:
             # the Spark sketch landed inside 3x its rsd
             "SELECT count(DISTINCT l_orderkey) AS exact_distinct, "
             "TRUE AS within_tol FROM lineitem"
+        ),
+        "approx_topk_check": (
+            # exact top-5 suppliers by lineitem count, totally ordered by
+            # (cnt DESC, item ASC); the booleans assert the Spark sketch
+            # contained every non-boundary item with an in-tolerance
+            # count (exact-mode sketch => guaranteed)
+            "WITH hist AS (SELECT l_suppkey AS item, count(*) AS cnt "
+            "FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1), "
+            "topk AS (SELECT item, cnt, "
+            "row_number() OVER (ORDER BY cnt DESC, item ASC) AS rk "
+            "FROM hist ORDER BY cnt DESC, item ASC LIMIT 5) "
+            "SELECT CAST(rk AS INT) AS rank, CAST(item AS BIGINT) AS item, "
+            "CAST(cnt AS BIGINT) AS exact_cnt, TRUE AS in_sketch, "
+            "TRUE AS count_ok FROM topk"
         ),
         "approx_percentile_check": (
             # exact side mirrors the q_percentile construction: smallest

@@ -136,6 +136,77 @@ def approx_percentile_check(
     )
 
 
+def approx_top_k_check(
+    df: DataFrame,
+    col: str,
+    k: int = 5,
+    max_items_tracked: int = 16_384,
+    rel_tol: float = 0.02,
+) -> DataFrame:
+    """Bound the ``approx_top_k`` frequent-items sketch against the
+    exact top-k, in ONE scan: ``(rank, item, exact_cnt, in_sketch,
+    count_ok)`` per exact-top-k rank.
+
+    Completes the sketch-contract family
+    (:func:`approx_distinct_check`, :func:`approx_percentile_check`):
+    the sketch is what replaces the exact groupBy at 100 TB, and the
+    contract proves it on real data.  Both sides share one file scan
+    via ``cube(col)``: the ``(col)`` grouping-set rows ARE the exact
+    histogram, the ``()`` total row carries the sketch (the per-group
+    sketch branch degenerates to a single-item sketch — negligible).
+    The Expand doubles aggregate input rows but halves the scans; at
+    scale the parquet scan is the bound.
+
+    Exact top-k is totally ordered by ``(cnt DESC, item ASC)``.  Rank-
+    boundary ties are genuinely ambiguous between the two sides, so the
+    containment guarantee applies only to items STRICTLY above the
+    boundary count: ``in_sketch`` is vacuously true on boundary rows.
+    ``count_ok`` bounds the sketch's count estimate within ``rel_tol``
+    when the item is present.  With ``max_items_tracked`` at or above
+    the column's distinct count the sketch is in exact mode and both
+    booleans are guaranteed — size it that way for contract runs, let
+    it shrink for production monitoring.
+    """
+    base = df.where(F.col(col).isNotNull())
+    agg = base.cube(col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr(
+            f"approx_top_k(`{col}`, {int(k)}, {int(max_items_tracked)})"
+        ).alias("sk"),
+        F.grouping(col).cast("int").alias("__g"),
+    )
+    hist = agg.where(F.col("__g") == 0).select(
+        F.col(col).alias("item"), "cnt"
+    )
+    sketch = agg.where(F.col("__g") == 1).select("sk")
+    topk = hist.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(k)
+    # the remaining windows/joins run on <= k rows
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    w_all = Window.partitionBy()
+    # F.get (0-based) returns NULL on a miss; element_at would throw
+    hit = F.get(
+        F.filter(F.col("sk"), lambda x: x["item"] == F.col("item")), 0
+    )
+    return (
+        topk.crossJoin(F.broadcast(sketch))
+        .select(
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+            "item",
+            F.col("cnt").cast("bigint").alias("exact_cnt"),
+            (
+                (F.col("cnt") == F.min("cnt").over(w_all))
+                | hit.isNotNull()
+            ).alias("in_sketch"),
+            F.when(hit.isNull(), F.lit(True))
+            .otherwise(
+                F.abs(hit["count"] - F.col("cnt"))
+                <= rel_tol * F.col("cnt")
+            )
+            .alias("count_ok"),
+        )
+    )
+
+
 def zorder_key(
     cols: Sequence[Column | str], bits: int = 16
 ) -> Column:

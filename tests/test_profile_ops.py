@@ -431,3 +431,36 @@ class TestZOrder:
         assert nat_touched == nat_total
         # the z-ordered layout must prune at least half the groups
         assert z_touched <= z_total / 2, (z_touched, z_total)
+
+
+class TestApproxTopKCheck:
+    def test_exact_mode_containment_and_ranks(self, spark):
+        from datajudge_spark.operators.olap import approx_top_k_check
+
+        rows = [("a",)] * 10 + [("b",)] * 7 + [("c",)] * 7 + [("d",)] * 2
+        df = spark.createDataFrame(rows, "v string")
+        got = approx_top_k_check(df, "v", k=3).collect()
+        assert [(r["rank"], r["item"], r["exact_cnt"]) for r in got] == [
+            (1, "a", 10), (2, "b", 7), (3, "c", 7)
+        ]
+        assert all(r["in_sketch"] and r["count_ok"] for r in got)
+
+    def test_boundary_tie_is_vacuous(self, spark):
+        # four items tied at the k=2 boundary: either side may pick any
+        # of them, so in_sketch must be vacuously true on boundary rows
+        from datajudge_spark.operators.olap import approx_top_k_check
+
+        rows = [("a",)] * 9 + [("b",)] * 5 + [("c",)] * 5 + [("e",)] * 5
+        df = spark.createDataFrame(rows, "v string")
+        got = approx_top_k_check(df, "v", k=2).collect()
+        assert got[0]["item"] == "a" and got[0]["in_sketch"]
+        assert got[1]["exact_cnt"] == 5 and got[1]["in_sketch"]
+
+    def test_nulls_excluded(self, spark):
+        from datajudge_spark.operators.olap import approx_top_k_check
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), (None,), (None,), (None,), ("b",)], "v string"
+        )
+        got = approx_top_k_check(df, "v", k=2).collect()
+        assert [r["item"] for r in got] == ["a", "b"]
