@@ -703,6 +703,27 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.decode_media_meta(media)
 
 
+def q_multimodal_image_meta(spark, sf_dir):
+    # dependency-free image HEADER decode (PNM/PNG/BMP/GIF) through the
+    # Arrow mapInPandas plumbing: deterministic P6 payloads constructed
+    # from doc_id round-trip through the parser; every 7th payload is
+    # garbage and must yield the NULL-dimension quality signal
+    from datajudge_spark.pipeline import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    w = (did % 64 + 1).cast("string")
+    h = (did % 48 + 1).cast("string")
+    header = F.concat(
+        F.lit("P6\n"), w, F.lit(" "), h, F.lit("\n255\n")
+    )
+    payload = F.when(did % 7 == 0, F.lit("not an image")).otherwise(header)
+    media = d.select(
+        did.alias("doc_id"), F.encode(payload, "UTF-8").alias("payload")
+    )
+    return multimodal.decode_image_meta(media)
+
+
 def q_range_join(spark, sf_dir):
     # clicks landing inside the 2-hour window after a purchase by the
     # same user: point-in-range join via fixed-width epoch buckets —
@@ -3430,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_suppliers_waiting": q21_suppliers_waiting,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "approx_topk_check": q_approx_topk_check,
+        "multimodal_image_meta": q_multimodal_image_meta,
         # sentinels: previously-green regression cohort (r2+r3 mix,
         # the two perf-weak queries, and every operator whose code was
         # touched this round). Rotate a different cohort each round.
@@ -3462,9 +3484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_cdf": q_cross_cdf,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        "ann_topk_ivf": q_ann_topk_ivf,
         # ---- window boundary (50 keys above) ----
         # sentinels displaced by round-5 additions (driver-green r2)
+        "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_jaccard": q_dedup_jaccard,
         "decontaminate_ngram": q_decontaminate_ngram,
         "sample_stratified": q_sample_stratified,
@@ -4546,6 +4568,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN strlen(text) > 0 "
             "THEN ascii(substr(text, 1, 1)) % 480 ELSE 0 END AS BIGINT) AS height "
             "FROM documents"
+        ),
+        "multimodal_image_meta": (
+            # the oracle predicts what the header parser must read back
+            # out of the constructed P6 payloads; ASCII => length in
+            # chars == length in bytes
+            "WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(doc_id AS BIGINT) % 64 + 1 AS w, "
+            "CAST(doc_id AS BIGINT) % 48 + 1 AS h FROM documents) "
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN strlen('not an image') "
+            "ELSE strlen('P6' || chr(10) || w || ' ' || h || chr(10) "
+            "|| '255' || chr(10)) END AS BIGINT) AS n_bytes, "
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE w END "
+            "AS BIGINT) AS width, "
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE h END "
+            "AS BIGINT) AS height, "
+            "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'rgb' END AS mode "
+            "FROM m"
         ),
         "asof_join": (
             "WITH o2 AS (SELECT o_custkey AS user_id, o_orderdate, "

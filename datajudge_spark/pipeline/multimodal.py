@@ -256,6 +256,99 @@ IMAGE_META_SCHEMA = StructType(
 )
 
 
+def parse_image_header(payload) -> tuple:
+    """``(width, height, mode)`` from an image payload's HEADER, pure
+    Python, no codec dependency — PNM (P2/P3/P5/P6), PNG (IHDR), BMP
+    (BITMAPINFOHEADER), GIF (87a/89a).
+
+    Header fields are enough for the metadata pipeline stage (corpus
+    triage filters on dimensions/mode before any pixel work), and
+    parsing them needs no decompression, so this path runs in
+    dependency-free environments where :func:`decode_image` (Pillow)
+    gates out.  Corrupt/unknown payloads return ``(None, None, None)``
+    — the NULL-dimension quality signal, same contract as
+    :func:`decode_image`.
+    """
+    if not payload:
+        return (None, None, None)
+    try:
+        magic2 = bytes(payload[:2])
+        if magic2 in (b"P2", b"P3", b"P5", b"P6"):
+            # PNM: ASCII header, whitespace-separated, '#' comments
+            mode = "rgb" if magic2 in (b"P3", b"P6") else "gray"
+            vals: list[int] = []
+            i = 2
+            limit = min(len(payload), 512)
+            while len(vals) < 2 and i < limit:
+                c = payload[i : i + 1]
+                if c == b"#":
+                    while i < limit and payload[i : i + 1] != b"\n":
+                        i += 1
+                elif c.isspace():
+                    i += 1
+                elif c.isdigit():
+                    j = i
+                    while j < limit and payload[j : j + 1].isdigit():
+                        j += 1
+                    vals.append(int(payload[i:j]))
+                    i = j
+                else:
+                    return (None, None, None)
+            if len(vals) == 2 and vals[0] > 0 and vals[1] > 0:
+                return (vals[0], vals[1], mode)
+            return (None, None, None)
+        if (
+            bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n"
+            and bytes(payload[12:16]) == b"IHDR"
+            and len(payload) >= 26
+        ):
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            mode = {0: "gray", 2: "rgb", 3: "palette", 4: "graya", 6: "rgba"}.get(
+                payload[25]
+            )
+            return (w, h, mode) if w > 0 and h > 0 else (None, None, None)
+        if magic2 == b"BM" and len(payload) >= 30:
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            # negative height = top-down row order; dimensions are |h|
+            h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+            bpp = int.from_bytes(payload[28:30], "little")
+            mode = {1: "mono", 8: "gray", 24: "rgb", 32: "rgba"}.get(bpp, "bmp")
+            return (w, h, mode) if w > 0 and h > 0 else (None, None, None)
+        if bytes(payload[:6]) in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            return (w, h, "palette") if w > 0 and h > 0 else (None, None, None)
+    except Exception:
+        pass
+    return (None, None, None)
+
+
+def decode_image_meta(media_df: DataFrame) -> DataFrame:
+    """Dependency-free image metadata decode: (doc_id, n_bytes, width,
+    height, mode) via :func:`parse_image_header`, over the same Arrow
+    ``mapInPandas`` plumbing as :func:`decode_image` — one vectorized
+    batch map, no shuffle, embarrassingly parallel at corpus scale.
+    """
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = pdf["payload"].map(parse_image_header)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "mode": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    return media_df.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+
+
 def decode_image(media_df: DataFrame) -> DataFrame:
     """Real image decode (Pillow): (doc_id, n_bytes, width, height, mode)
     per payload — same Arrow ``mapInPandas`` plumbing as
@@ -272,8 +365,10 @@ def decode_image(media_df: DataFrame) -> DataFrame:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image decoding requires Pillow; this environment is text-only. "
-            "Plumbing-wise identical to decode_media_meta()."
+            "full image decoding requires Pillow; this environment is "
+            "text-only. Header-level metadata (width/height/mode for "
+            "PNM/PNG/BMP/GIF) is available dependency-free via "
+            "decode_image_meta()."
         ) from exc
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

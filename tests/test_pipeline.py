@@ -502,27 +502,23 @@ class TestMultimodal:
             assert got.width == len(payload) % 640
             assert got.height == payload[0] % 480
 
-    def test_decode_image_gated_without_pillow(self, spark, docs):
+    def test_decode_image_both_branches(self, spark, docs):
+        # one test, both branches, no skips: with Pillow the real
+        # decoder runs (true dims, garbage -> NULL dims); without it the
+        # import gate must raise a clear NotImplementedError
         try:
-            import PIL.Image  # noqa: F401
+            import PIL.Image as PILImage
         except ImportError:
             media = multimodal.attach_binary_payload(docs, "doc_id", "text")
             with pytest.raises(NotImplementedError, match="Pillow"):
                 multimodal.decode_image(media)
-        else:
-            pytest.skip("Pillow present; covered by test_decode_image_real")
-
-    def test_decode_image_real(self, spark, docs):
-        # runs wherever Pillow exists: real PNG decodes to its true
-        # dimensions, garbage bytes yield NULL dims instead of failing
-        # the partition
-        PIL = pytest.importorskip("PIL.Image")
+            return
         import io
 
         from pyspark.sql import Row as R
 
         buf = io.BytesIO()
-        PIL.new("RGB", (7, 5)).save(buf, format="PNG")
+        PILImage.new("RGB", (7, 5)).save(buf, format="PNG")
         rows = [
             R(doc_id=0, payload=bytearray(buf.getvalue())),
             R(doc_id=1, payload=bytearray(b"not an image")),
@@ -532,6 +528,60 @@ class TestMultimodal:
         assert (out[0].width, out[0].height, out[0].mode) == (7, 5, "RGB")
         assert out[0].n_bytes == len(buf.getvalue())
         assert (out[1].width, out[1].height, out[1].mode) == (None, None, None)
+
+    def test_parse_image_header_formats(self):
+        # dependency-free header parse: every supported format + corrupt
+        p = multimodal.parse_image_header
+        assert p(b"P6\n640 480\n255\nxxx") == (640, 480, "rgb")
+        assert p(b"P5 # comment\n 12\t34\n255\n") == (12, 34, "gray")
+        assert p(b"P3\n# w h on separate lines\n7\n9\n255\n") == (7, 9, "rgb")
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR"
+            + (320).to_bytes(4, "big") + (200).to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0])
+        )
+        assert p(png) == (320, 200, "rgba")
+        bmp = (
+            b"BM" + bytes(16)
+            + (64).to_bytes(4, "little") + (48).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        )
+        assert p(bmp) == (64, 48, "rgb")
+        # top-down BMP: negative height, dims are |h|
+        bmp_td = (
+            b"BM" + bytes(16)
+            + (64).to_bytes(4, "little")
+            + (-48).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        )
+        assert p(bmp_td) == (64, 48, "rgb")
+        assert p(b"GIF89a" + (10).to_bytes(2, "little") + (20).to_bytes(2, "little")) == (10, 20, "palette")
+        assert p(b"not an image") == (None, None, None)
+        assert p(b"") == (None, None, None)
+        assert p(b"P6\n0 5\n255\n") == (None, None, None)
+
+    def test_decode_image_meta_dataframe(self, spark):
+        # the Spark-side plumbing of the dependency-free decoder: PPM and
+        # BMP payloads parse, garbage yields NULL dims
+        from pyspark.sql import Row as R
+
+        bmp = (
+            b"BM" + bytes(16)
+            + (64).to_bytes(4, "little") + (48).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        )
+        rows = [
+            R(doc_id=0, payload=bytearray(b"P6\n640 480\n255\n\x00\x01")),
+            R(doc_id=1, payload=bytearray(bmp)),
+            R(doc_id=2, payload=bytearray(b"garbage")),
+        ]
+        media = spark.createDataFrame(rows)
+        out = {r.doc_id: r for r in multimodal.decode_image_meta(media).collect()}
+        assert (out[0].width, out[0].height, out[0].mode) == (640, 480, "rgb")
+        assert out[0].n_bytes == 17
+        assert (out[1].width, out[1].height, out[1].mode) == (64, 48, "gray")
+        assert (out[2].width, out[2].height, out[2].mode) == (None, None, None)
 
     def test_resize_payload(self, spark, docs):
         media = multimodal.attach_binary_payload(docs, "doc_id", "text")
