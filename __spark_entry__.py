@@ -3370,6 +3370,111 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
 
 
+def q11_important_parts(spark, sf_dir):
+    # TPC-H Q11 shape: group value vs a GLOBAL scalar threshold — the
+    # per-part revenue aggregate cross-joins the broadcast 1-row
+    # (total, n_parts) aggregate and keeps parts whose revenue exceeds
+    # 1.5x the mean part revenue — scale-free, unlike a fixed share
+    # threshold, so the query is non-vacuous at every SF.  The cut is
+    # decimal-integer arithmetic (v * n * 2 > 3 * total), never a
+    # double division, so it is bit-identical cross-engine.  One
+    # shuffle (the partkey aggregate); the total rides a second pass
+    # over the same aggregated frame, not the fact table.
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(3,2)")
+            - F.col("l_discount").cast("decimal(3,2)")
+        )
+    )
+    rev = li.groupBy("l_partkey").agg(val.alias("__v"))
+    total = rev.agg(
+        F.sum("__v").alias("__t"), F.count(F.lit(1)).alias("__np")
+    )
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .where(F.col("__v") * F.col("__np") * 2 > F.col("__t") * 3)
+        .select(
+            F.col("l_partkey").cast("bigint").alias("part_key"),
+            (F.col("__v") * 10000).cast("bigint").alias("value_e4"),
+        )
+        .orderBy(F.col("value_e4").desc(), F.col("part_key").asc())
+    )
+
+
+def q22_idle_customers(spark, sf_dir):
+    # TPC-H Q22 shape: scalar AVG subquery + anti join — customers
+    # with above-average positive balance and no RECENT order (the
+    # synthetic corpus gives nearly every customer some lifetime order,
+    # so the canonical no-order-ever test would be vacuous), summarized
+    # per nation.  The average never materializes as a double: the
+    # filter is bal * n > sum (decimal-exact, broadcast 1-row
+    # aggregate); the order check is a left-anti hash join on the
+    # customer key with the date filter pushed to the orders scan.
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    rich = c.crossJoin(F.broadcast(pos)).where(bal * F.col("__n") > F.col("__s"))
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    )
+    idle = rich.join(
+        recent.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nation_key")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum(bal) * 100).cast("bigint").alias("totacctbal_cents"),
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    # TPC-H Q19 shape: equi join with an OR-of-ANDs residual — the
+    # disjunction must stay a residual filter on the partkey hash join
+    # (never degrade to a nested-loop), with the common l_quantity
+    # bounds pushed to the scan.  Part broadcasts; one digest row.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(3,2)")
+            - F.col("l_discount").cast("decimal(3,2)")
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            (rev * 10000).cast("bigint").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     # exact triangle census of the nation trade graph: ordered
     # node-iterator joins (each triangle u<v<w found once), wedge count
@@ -3452,6 +3557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "approx_topk_check": q_approx_topk_check,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "q11_important_parts": q11_important_parts,
+        "q22_idle_customers": q22_idle_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         # sentinels: previously-green regression cohort (r2+r3 mix,
         # the two perf-weak queries, and every operator whose code was
         # touched this round). Rotate a different cohort each round.
@@ -3481,11 +3589,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_agg": q_broadcast_join_agg,
         "interval_overlap": q_interval_overlap,
         "regex_violations": q_regex_violations,
+        # ---- window boundary (50 keys above) ----
+        # sentinels displaced by round-5 additions (driver-green r2)
         "cross_cdf": q_cross_cdf,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        # ---- window boundary (50 keys above) ----
-        # sentinels displaced by round-5 additions (driver-green r2)
         "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_jaccard": q_dedup_jaccard,
         "decontaminate_ngram": q_decontaminate_ngram,
@@ -5941,6 +6049,48 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON c.c_custkey = o.o_custkey "
             "ORDER BY o.o_totalprice DESC, order_day ASC, "
             "o.o_orderkey ASC LIMIT 100"
+        ),
+        "q11_important_parts": (
+            # 1.5x-mean cut as decimal-integer arithmetic:
+            # v * n_parts * 2 > 3 * total
+            "WITH rev AS (SELECT l_partkey, "
+            "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) "
+            "AS v FROM lineitem GROUP BY 1), "
+            "t AS (SELECT sum(v) AS t, count(*) AS np FROM rev) "
+            "SELECT CAST(l_partkey AS BIGINT) AS part_key, "
+            "CAST(v * 10000 AS BIGINT) AS value_e4 "
+            "FROM rev, t WHERE v * np * 2 > t * 3 "
+            "ORDER BY value_e4 DESC, part_key"
+        ),
+        "q22_idle_customers": (
+            # avg as bal * n > sum (decimal-exact), NOT EXISTS anti join
+            "WITH pos AS (SELECT "
+            "sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, "
+            "count(*) AS n FROM customer WHERE c_acctbal > 0) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS nation_key, "
+            "CAST(count(*) AS BIGINT) AS numcust, "
+            "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) "
+            "AS totacctbal_cents "
+            "FROM customer, pos "
+            "WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-07-01') "
+            "GROUP BY 1"
+        ),
+        "q19_disjunctive_revenue": (
+            "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) "
+            "* 10000 AS BIGINT) AS revenue_e4, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+            "AND l_quantity BETWEEN 10 AND 35) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 "
+            "AND l_quantity BETWEEN 20 AND 50)"
         ),
         "q21_suppliers_waiting": (
             # EXISTS + NOT EXISTS with different correlation against the

@@ -592,3 +592,20 @@ def test_q2_min_cost_join_back_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q19_disjunction_stays_residual_on_hash_join(spark):
+    # the OR-of-ANDs must be a residual filter on the partkey equi
+    # join, not degrade the join to a nested loop over lineitem
+    plan = _executed_plan(entrymod.q19_disjunctive_revenue(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    # scalar-avg subquery broadcast + left-anti hash join on custkey
+    plan = _executed_plan(entrymod.q22_idle_customers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
