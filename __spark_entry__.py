@@ -1354,6 +1354,36 @@ def q_latest_snapshot(spark, sf_dir):
     )
 
 
+def q_bloom_filter_check(spark, sf_dir):
+    # Bloom semi-join reduction contract: filter built over customers
+    # with a first-year order, probed with ALL customers, bounded
+    # against the true membership join — no-false-negatives guaranteed
+    # structurally, false positives counted EXACTLY (md5 hash family,
+    # oracle reproduces the bitmap bit-for-bit)
+    from datajudge_spark.operators.olap import bloom_filter_check
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").cast("bigint").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("custkey")
+    )
+    return bloom_filter_check(o, "custkey", c, "custkey")
+
+
+def q_countmin_check(spark, sf_dir):
+    # count-min sketch (4x256, md5-derived hash family) bounded against
+    # the exact top-5 — fully deterministic, so the oracle reproduces
+    # the sketch counters bit-for-bit and the contract is a whole-row
+    # value match including the exact overestimate
+    from datajudge_spark.operators.olap import countmin_check
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("bigint").cast("string").alias("supp")
+    )
+    return countmin_check(li, "supp", depth=4, width=256, k=5)
+
+
 def q_approx_topk_check(spark, sf_dir):
     # frequent-items sketch (approx_top_k) bounded against the exact
     # top-k heavy hitters in one cube() scan — completes the
@@ -3557,6 +3587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "approx_topk_check": q_approx_topk_check,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "countmin_check": q_countmin_check,
+        "bloom_filter_check": q_bloom_filter_check,
         "q11_important_parts": q11_important_parts,
         "q22_idle_customers": q22_idle_customers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -3587,10 +3619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_fraction": q_null_fraction,
         "uniques_histogram": q_uniques_histogram,
         "broadcast_join_agg": q_broadcast_join_agg,
-        "interval_overlap": q_interval_overlap,
-        "regex_violations": q_regex_violations,
         # ---- window boundary (50 keys above) ----
         # sentinels displaced by round-5 additions (driver-green r2)
+        "interval_overlap": q_interval_overlap,
+        "regex_violations": q_regex_violations,
         "cross_cdf": q_cross_cdf,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -3811,6 +3843,84 @@ def _h_sql(expr: str, salt: int | str | None = None, nhex: int = 15) -> str:
         expr = f"({expr} || '#{salt}')"
     return (
         f"CAST(CAST(('0x' || substr(md5({expr}),1,{nhex})) AS UBIGINT) AS BIGINT)"
+    )
+
+
+def _countmin_sql(depth: int = 4, width: int = 256, k: int = 5) -> str:
+    """DuckDB twin of operators.olap.countmin_check on the supplier
+    projection: same md5-derived hash family, same counters, same
+    min-over-rows estimate — whole-row deterministic."""
+    cell_union = " UNION ALL ".join(
+        f"SELECT {i} AS r, ({_h_sql('item', i)}) % {width} AS b FROM base"
+        for i in range(depth)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT item, exact_cnt, rk, {i} AS r, "
+        f"({_h_sql('item', i)}) % {width} AS b FROM topk"
+        for i in range(depth)
+    )
+    return (
+        "WITH base AS (SELECT CAST(CAST(l_suppkey AS BIGINT) AS VARCHAR) "
+        "AS item FROM lineitem WHERE l_suppkey IS NOT NULL), "
+        f"cells AS (SELECT r, b, count(*) AS cnt FROM ({cell_union}) "
+        "GROUP BY r, b), "
+        "hist AS (SELECT item, count(*) AS exact_cnt FROM base "
+        "GROUP BY 1), "
+        "topk AS (SELECT item, exact_cnt, row_number() OVER "
+        "(ORDER BY exact_cnt DESC, item ASC) AS rk FROM hist "
+        f"ORDER BY exact_cnt DESC, item ASC LIMIT {k}), "
+        f"probes AS ({probe_union}), "
+        "est AS (SELECT item, exact_cnt, rk, min(cnt) AS cm_est "
+        "FROM probes JOIN cells ON probes.r = cells.r "
+        "AND probes.b = cells.b GROUP BY 1, 2, 3) "
+        "SELECT CAST(rk AS INT) AS rank, item, "
+        "CAST(exact_cnt AS BIGINT) AS exact_cnt, "
+        "CAST(cm_est AS BIGINT) AS cm_est, "
+        "CAST(cm_est - exact_cnt AS BIGINT) AS overestimate FROM est"
+    )
+
+
+def _bloom_sql(n_bits: int = 4096, depth: int = 3) -> str:
+    """DuckDB twin of operators.olap.bloom_filter_check on the
+    first-year-orders/customers pair: same md5 hash family, same 32-bit
+    bitmap words, same probe — false positives match exactly."""
+    def cell(i: int, src: str, extra: str = "") -> str:
+        h = _h_sql("k", i)
+        return (
+            f"SELECT {extra}(({h}) % {n_bits}) >> 5 AS word, "
+            f"(({h}) % {n_bits}) & 31 AS bit FROM {src}"
+        )
+
+    cell_union = " UNION ALL ".join(cell(i, "bkeys") for i in range(depth))
+    pcell_union = " UNION ALL ".join(
+        cell(i, "truth", "k, present, ") for i in range(depth)
+    )
+    return (
+        "WITH bkeys AS (SELECT DISTINCT "
+        "CAST(CAST(o_custkey AS BIGINT) AS VARCHAR) AS k FROM orders "
+        "WHERE o_orderdate < TIMESTAMP '1996-01-01'), "
+        f"cells AS ({cell_union}), "
+        "words AS (SELECT word, bit_or(CAST(1 AS BIGINT) << bit) AS bits "
+        "FROM cells GROUP BY 1), "
+        "pk AS (SELECT DISTINCT "
+        "CAST(CAST(c_custkey AS BIGINT) AS VARCHAR) AS k FROM customer), "
+        "truth AS (SELECT pk.k AS k, (b.k IS NOT NULL) AS present "
+        "FROM pk LEFT JOIN bkeys b ON pk.k = b.k), "
+        f"pcells AS ({pcell_union}), "
+        "hits AS (SELECT k, present, "
+        "bool_and(COALESCE(((w.bits >> pcells.bit) & 1) = 1, FALSE)) AS hit "
+        "FROM pcells LEFT JOIN words w ON pcells.word = w.word "
+        "GROUP BY 1, 2) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_probe, "
+        "CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_present, "
+        "CAST(sum(CASE WHEN present AND hit THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_hits_on_present, "
+        "CAST(sum(CASE WHEN NOT present AND hit THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_false_positives, "
+        "sum(CASE WHEN present AND hit THEN 1 ELSE 0 END) = "
+        "sum(CASE WHEN present THEN 1 ELSE 0 END) AS no_false_negatives "
+        "FROM hits"
     )
 
 
@@ -5036,6 +5146,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT l_orderkey) AS exact_distinct, "
             "TRUE AS within_tol FROM lineitem"
         ),
+        "countmin_check": _countmin_sql(),
+        "bloom_filter_check": _bloom_sql(),
         "approx_topk_check": (
             # exact top-5 suppliers by lineitem count, totally ordered by
             # (cnt DESC, item ASC); the booleans assert the Spark sketch

@@ -207,6 +207,193 @@ def approx_top_k_check(
     )
 
 
+def countmin_check(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    k: int = 5,
+) -> DataFrame:
+    """Count-min sketch built distributedly and bounded against exact
+    counts: ``(rank, item, exact_cnt, cm_est, overestimate)`` per
+    exact-top-k item.
+
+    The sketch is ``depth x width`` counters from ONE explode+groupBy
+    pass: each row contributes ``depth`` (row, bucket) cells keyed by
+    independent md5-derived hashes (:func:`~datajudge_spark.pipeline
+    .text.md5_long` with per-row salts — portable, so an oracle engine
+    reproduces the sketch bit-for-bit).  Map-side combine collapses the
+    exploded rows to at most ``depth*width`` partial cells per
+    partition, so the shuffle is O(depth*width) regardless of input
+    size — the structure that replaces a full groupBy when only
+    frequency ESTIMATES are needed at 100 TB.
+
+    An item's estimate is the MIN over its ``depth`` counters; the CM
+    structural guarantee ``cm_est >= exact_cnt`` always holds, and
+    ``overestimate = cm_est - exact_cnt`` is emitted exactly — the
+    whole output is deterministic given the hash family, so the
+    contract is a full value match, not an asserted boolean.
+    Completes the sketch-contract family (HLL distinct, KLL
+    percentile, top-k, count-min).
+    """
+    from ..pipeline.text import md5_long
+
+    s = F.col(col).cast("string")
+    base = df.where(F.col(col).isNotNull())
+    cell_structs = [
+        F.struct(
+            F.lit(i).alias("r"),
+            F.pmod(md5_long(s, salt=i), F.lit(width)).alias("b"),
+        )
+        for i in range(depth)
+    ]
+    cells = (
+        base.select(F.explode(F.array(*cell_structs)).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = base.groupBy(s.alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    topk = hist.orderBy(
+        F.col("exact_cnt").desc(), F.col("item").asc()
+    ).limit(k)
+    probe_structs = [
+        F.struct(
+            F.lit(i).alias("r"),
+            F.pmod(md5_long(F.col("item"), salt=i), F.lit(width)).alias("b"),
+        )
+        for i in range(depth)
+    ]
+    probes = topk.select(
+        "item",
+        "exact_cnt",
+        F.explode(F.array(*probe_structs)).alias("rb"),
+    ).select("item", "exact_cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("item", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    w_rank = Window.orderBy(F.col("exact_cnt").desc(), F.col("item").asc())
+    return est.select(
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+        "item",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cm_est").cast("bigint").alias("cm_est"),
+        (F.col("cm_est") - F.col("exact_cnt"))
+        .cast("bigint")
+        .alias("overestimate"),
+    )
+
+
+def bloom_filter_check(
+    build_df: DataFrame,
+    build_col: str,
+    probe_df: DataFrame,
+    probe_col: str,
+    n_bits: int = 4096,
+    depth: int = 3,
+) -> DataFrame:
+    """Portable Bloom filter built from ``build_df`` keys and probed
+    with ``probe_df`` keys, bounded against ground truth: one digest
+    row ``(n_probe, n_present, n_hits_on_present, n_false_positives,
+    no_false_negatives)``.
+
+    This is the semi-join reduction that pre-filters a 100 TB probe
+    side before the real join: build is one explode+groupBy collapsing
+    to ``n_bits/32`` bitmap words (32 bits per long word — no sign
+    games), the probe is MAP-ONLY (the bitmap ships as a single SQL
+    ``map`` literal, the established driver-folded-constant pattern),
+    and ground truth rides one hash join for the contract only.  The
+    hash family is md5-derived (:func:`~datajudge_spark.pipeline.text
+    .md5_long` with per-probe salts), so the filter — including its
+    exact false-positive count on this data — is deterministic and
+    reproducible by an oracle engine: the contract is a value match,
+    not a probabilistic assertion.  ``no_false_negatives`` is the Bloom
+    structural guarantee and must always be true.
+    """
+    if n_bits % 32:
+        raise ValueError(f"n_bits ({n_bits}) must be a multiple of 32")
+    from ..pipeline.text import md5_long
+
+    def cells(key: Column) -> list[Column]:
+        out = []
+        for i in range(depth):
+            hm = F.pmod(md5_long(key, salt=i), F.lit(n_bits))
+            out.append(
+                F.struct(
+                    F.shiftright(hm, 5).alias("word"),
+                    hm.bitwiseAND(F.lit(31)).alias("bit"),
+                )
+            )
+        return out
+
+    bkeys = build_df.where(F.col(build_col).isNotNull()).select(
+        F.col(build_col).cast("string").alias("__k")
+    ).distinct()
+    words = (
+        bkeys.select(F.explode(F.array(*cells(F.col("__k")))).alias("c"))
+        .select(
+            F.col("c.word").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), c.bit)").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    # n_bits/32 rows, bounded: fold into a single map literal so the
+    # probe stays map-only (no join below the probe aggregation)
+    rows = words.collect()
+    if rows:
+        map_sql = "map(" + ", ".join(
+            f"{int(r['word'])}, {int(r['bits'])}L" for r in rows
+        ) + ")"
+    else:
+        map_sql = "map(-1, 0L)"
+    probe = probe_df.where(F.col(probe_col).isNotNull()).select(
+        F.col(probe_col).cast("string").alias("__k")
+    ).distinct()
+    truth = probe.join(
+        bkeys.select(F.col("__k").alias("__bk")),
+        F.col("__k") == F.col("__bk"),
+        "left",
+    ).select("__k", F.col("__bk").isNotNull().alias("present"))
+    probed = (
+        truth.select(
+            "__k",
+            "present",
+            F.explode(F.array(*cells(F.col("__k")))).alias("c"),
+        )
+        .select(
+            "__k",
+            "present",
+            F.expr(
+                f"((shiftright(element_at({map_sql}, c.word), c.bit) & 1) = 1)"
+            ).alias("__bit_set")
+        )
+        .groupBy("__k", "present")
+        .agg(F.min(F.coalesce(F.col("__bit_set"), F.lit(False))).alias("hit"))
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("present").cast("bigint")).alias("n_present"),
+        F.sum((F.col("present") & F.col("hit")).cast("bigint")).alias(
+            "n_hits_on_present"
+        ),
+        F.sum(
+            ((~F.col("present")) & F.col("hit")).cast("bigint")
+        ).alias("n_false_positives"),
+    ).select(
+        "n_probe",
+        "n_present",
+        "n_hits_on_present",
+        "n_false_positives",
+        (F.col("n_hits_on_present") == F.col("n_present")).alias(
+            "no_false_negatives"
+        ),
+    )
+
+
 def zorder_key(
     cols: Sequence[Column | str], bits: int = 16
 ) -> Column:

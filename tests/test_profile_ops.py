@@ -464,3 +464,64 @@ class TestApproxTopKCheck:
         )
         got = approx_top_k_check(df, "v", k=2).collect()
         assert [r["item"] for r in got] == ["a", "b"]
+
+
+class TestCountMinCheck:
+    def test_no_undercount_and_exact_on_wide_sketch(self, spark):
+        from datajudge_spark.operators.olap import countmin_check
+
+        rows = [("a",)] * 20 + [("b",)] * 10 + [("c",)] * 5 + [("d",)] * 1
+        df = spark.createDataFrame(rows, "v string")
+        got = countmin_check(df, "v", depth=4, width=1024, k=3).collect()
+        # CM never undercounts; with width >> distinct the estimate is exact
+        assert [(r["rank"], r["item"], r["exact_cnt"]) for r in got] == [
+            (1, "a", 20), (2, "b", 10), (3, "c", 5)
+        ]
+        assert all(r["overestimate"] == 0 for r in got)
+
+    def test_collisions_only_overestimate(self, spark):
+        from datajudge_spark.operators.olap import countmin_check
+
+        # width=2 forces heavy collisions: estimates may inflate but can
+        # NEVER undercount (the CM structural guarantee)
+        rows = [(str(i % 20),) for i in range(400)]
+        df = spark.createDataFrame(rows, "v string")
+        got = countmin_check(df, "v", depth=3, width=2, k=5).collect()
+        assert len(got) == 5
+        assert all(r["overestimate"] >= 0 for r in got)
+        assert all(r["cm_est"] >= r["exact_cnt"] for r in got)
+
+
+class TestBloomFilterCheck:
+    def test_no_false_negatives_and_exact_fp_count(self, spark):
+        from datajudge_spark.operators.olap import bloom_filter_check
+
+        build = spark.createDataFrame([(i,) for i in range(50)], "k long")
+        probe = spark.createDataFrame([(i,) for i in range(200)], "k long")
+        row = bloom_filter_check(build, "k", probe, "k").first()
+        assert row["n_probe"] == 200
+        assert row["n_present"] == 50
+        # structural guarantee: every inserted key must hit
+        assert row["no_false_negatives"] is True
+        assert row["n_hits_on_present"] == 50
+        assert 0 <= row["n_false_positives"] <= 150
+
+    def test_tiny_filter_saturates_but_never_undercounts(self, spark):
+        from datajudge_spark.operators.olap import bloom_filter_check
+
+        # 32-bit filter with 30 keys: heavily saturated, many false
+        # positives — but still zero false negatives
+        build = spark.createDataFrame([(i,) for i in range(30)], "k long")
+        probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+        row = bloom_filter_check(build, "k", probe, "k", n_bits=32).first()
+        assert row["no_false_negatives"] is True
+
+    def test_empty_build_hits_nothing(self, spark):
+        from datajudge_spark.operators.olap import bloom_filter_check
+
+        build = spark.createDataFrame([], "k long")
+        probe = spark.createDataFrame([(1,), (2,)], "k long")
+        row = bloom_filter_check(build, "k", probe, "k").first()
+        assert row["n_present"] == 0
+        assert row["n_false_positives"] == 0
+        assert row["no_false_negatives"] is True
