@@ -1354,6 +1354,22 @@ def q_latest_snapshot(spark, sf_dir):
     )
 
 
+def q_profile_drift(spark, sf_dir):
+    # between-snapshot column-profile drift report: early vs late
+    # shipping halves of lineitem, three numeric columns, one
+    # profile_numeric scan per side — the multi-column generalization
+    # of the reference's Between mean/uniques deviation gates
+    from datajudge_spark.operators.profile import profile_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("date")
+    return profile_drift(
+        li.where(F.col("l_shipdate").cast("date") < cut),
+        li.where(F.col("l_shipdate").cast("date") >= cut),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def q_bloom_filter_check(spark, sf_dir):
     # Bloom semi-join reduction contract: filter built over customers
     # with a first-year order, probed with ALL customers, bounded
@@ -3589,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_image_meta,
         "countmin_check": q_countmin_check,
         "bloom_filter_check": q_bloom_filter_check,
+        "profile_drift": q_profile_drift,
         "q11_important_parts": q11_important_parts,
         "q22_idle_customers": q22_idle_customers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -3618,9 +3635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile": q_percentile,
         "null_fraction": q_null_fraction,
         "uniques_histogram": q_uniques_histogram,
-        "broadcast_join_agg": q_broadcast_join_agg,
         # ---- window boundary (50 keys above) ----
         # sentinels displaced by round-5 additions (driver-green r2)
+        "broadcast_join_agg": q_broadcast_join_agg,
         "interval_overlap": q_interval_overlap,
         "regex_violations": q_regex_violations,
         "cross_cdf": q_cross_cdf,
@@ -3877,6 +3894,64 @@ def _countmin_sql(depth: int = 4, width: int = 256, k: int = 5) -> str:
         "CAST(exact_cnt AS BIGINT) AS exact_cnt, "
         "CAST(cm_est AS BIGINT) AS cm_est, "
         "CAST(cm_est - exact_cnt AS BIGINT) AS overestimate FROM est"
+    )
+
+
+def _profile_drift_sql(
+    cols=("l_quantity", "l_extendedprice", "l_discount"),
+    mean_rel_tol: float = 0.05,
+    null_abs_tol: float = 0.01,
+    distinct_rel_tol: float = 0.2,
+) -> str:
+    """DuckDB twin of operators.profile.profile_drift on the early/late
+    lineitem shipping halves — same rounded means, same tolerance
+    logic on the same already-rounded inputs."""
+    def side(alias: str, pred: str) -> str:
+        sels = ["count(*) AS n"]
+        for c in cols:
+            sels += [
+                f"count({c}) AS nn_{c}",
+                f"CAST(sum(CAST({c} AS DECIMAL(28,8))) AS DOUBLE) "
+                f"AS sm_{c}",
+                f"count(DISTINCT {c}) AS nd_{c}",
+            ]
+        return (
+            f"{alias} AS (SELECT {', '.join(sels)} FROM lineitem "
+            f"WHERE {pred})"
+        )
+
+    rows = []
+    for c in cols:
+        ma = f"round(pa.sm_{c} / pa.nn_{c}, 6)"
+        mb = f"round(pb.sm_{c} / pb.nn_{c}, 6)"
+        rel = f"CASE WHEN {ma} <> 0 THEN abs({mb} - {ma}) / abs({ma}) END"
+        nfa = f"CAST(pa.n - pa.nn_{c} AS DOUBLE) / pa.n"
+        nfb = f"CAST(pb.n - pb.nn_{c} AS DOUBLE) / pb.n"
+        mean_ok = (
+            f"COALESCE({rel} <= {mean_rel_tol}, {mb} = {ma})"
+        )
+        null_ok = f"abs({nfb} - {nfa}) <= {null_abs_tol}"
+        dist_ok = (
+            f"abs(pb.nd_{c} - pa.nd_{c}) <= "
+            f"{distinct_rel_tol} * pa.nd_{c}"
+        )
+        rows.append(
+            f"SELECT '{c}' AS col_name, {ma} AS mean_a, {mb} AS mean_b, "
+            f"round({rel}, 6) AS mean_rel_delta, "
+            f"round({nfa}, 6) AS null_frac_a, "
+            f"round({nfb}, 6) AS null_frac_b, "
+            f"CAST(pa.nd_{c} AS BIGINT) AS distinct_a, "
+            f"CAST(pb.nd_{c} AS BIGINT) AS distinct_b, "
+            f"NOT ({mean_ok} AND {null_ok} AND {dist_ok}) AS drifted "
+            f"FROM pa, pb"
+        )
+    return (
+        "WITH "
+        + side("pa", "CAST(l_shipdate AS DATE) < DATE '1997-01-01'")
+        + ", "
+        + side("pb", "CAST(l_shipdate AS DATE) >= DATE '1997-01-01'")
+        + " "
+        + " UNION ALL ".join(rows)
     )
 
 
@@ -5147,6 +5222,7 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS within_tol FROM lineitem"
         ),
         "countmin_check": _countmin_sql(),
+        "profile_drift": _profile_drift_sql(),
         "bloom_filter_check": _bloom_sql(),
         "approx_topk_check": (
             # exact top-5 suppliers by lineitem count, totally ordered by

@@ -1288,3 +1288,75 @@ class SeasonalityStrengthBounds(Constraint):
             f"[{lo}, {hi}]. {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class ProfileDrift(Constraint):
+    """Multi-column profile drift gate between two snapshots: fails when
+    any profiled column's mean / null fraction / distinct count shifts
+    past its tolerance (``operators.profile.profile_drift``).  One
+    profile scan per side regardless of column count — the batch-health
+    generalization of the reference's per-statistic Between gates
+    (requirements.py mean/uniques deviation factories).  Extension, no
+    reference counterpart.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        mean_rel_tol: float = 0.05,
+        null_abs_tol: float = 0.01,
+        distinct_rel_tol: float = 0.2,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        for label, tol in (
+            ("mean_rel_tol", mean_rel_tol),
+            ("null_abs_tol", null_abs_tol),
+            ("distinct_rel_tol", distinct_rel_tol),
+        ):
+            if tol < 0:
+                raise ValueError(f"{label} must be non-negative.")
+        self._mean_rel_tol = mean_rel_tol
+        self._null_abs_tol = null_abs_tol
+        self._distinct_rel_tol = distinct_rel_tol
+        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        if self._ref2 is None:
+            raise ValueError("ProfileDrift requires ref2.")
+        from ..operators.profile import profile_drift
+
+        columns = self._ref.get_columns(engine)
+        columns2 = self._ref2.get_columns(engine)
+        if columns2 != columns:
+            raise ValueError(
+                "ProfileDrift requires the same column list on both "
+                f"references; got {columns} vs {columns2}."
+            )
+        rows = profile_drift(
+            self._ref.get_selection(engine),
+            self._ref2.get_selection(engine),
+            columns,
+            mean_rel_tol=self._mean_rel_tol,
+            null_abs_tol=self._null_abs_tol,
+            distinct_rel_tol=self._distinct_rel_tol,
+        ).collect()
+        drifted = [r for r in rows if r["drifted"]]
+        if not drifted:
+            return TestResult.success()
+        details = "; ".join(
+            f"{r['col_name']}: mean {r['mean_a']} -> {r['mean_b']} "
+            f"(rel delta {r['mean_rel_delta']}), null fraction "
+            f"{r['null_frac_a']} -> {r['null_frac_b']}, distinct "
+            f"{r['distinct_a']} -> {r['distinct_b']}"
+            for r in drifted
+        )
+        assertion_text = (
+            f"Column profiles of {self._ref} drifted against "
+            f"{self._target_prefix} beyond tolerance "
+            f"(mean_rel_tol={self._mean_rel_tol}, "
+            f"null_abs_tol={self._null_abs_tol}, "
+            f"distinct_rel_tol={self._distinct_rel_tol}): {details}. "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -90,6 +90,77 @@ def profile_numeric(
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
 
 
+def profile_drift(
+    df1: DataFrame,
+    df2: DataFrame,
+    columns: Sequence[str],
+    mean_rel_tol: float = 0.05,
+    null_abs_tol: float = 0.01,
+    distinct_rel_tol: float = 0.2,
+) -> DataFrame:
+    """Column-profile drift between two snapshots: one row per column
+    ``(col_name, mean_a, mean_b, mean_rel_delta, null_frac_a,
+    null_frac_b, distinct_a, distinct_b, drifted)``.
+
+    The source-health gate a training pipeline runs between ingestion
+    batches: both sides are one :func:`profile_numeric` scan (N columns
+    of statistics per pass), the comparison joins the two |columns|-row
+    profiles — nothing rescans the data per column.  Deltas are
+    computed from the profile's already-rounded means (identical in
+    both engines by :func:`profile_numeric`'s construction), so the
+    report is deterministic cross-engine and never sits one ulp from
+    a tolerance boundary.  ``drifted`` is true when any of: relative mean shift
+    > ``mean_rel_tol``, null-fraction shift > ``null_abs_tol``,
+    relative distinct-count shift > ``distinct_rel_tol``.
+
+    Extension — generalizes the reference's Between requirements
+    (mean/uniques deviation gates, src/datajudge/requirements.py) to a
+    one-shot multi-column report.
+    """
+    p1 = profile_numeric(df1, columns)
+    p2 = profile_numeric(df2, columns)
+    a = p1.select(
+        "col_name",
+        F.col("n_rows").alias("__n_a"),
+        F.col("n_nulls").alias("__nulls_a"),
+        F.col("n_distinct").alias("distinct_a"),
+        F.col("mean_val").alias("mean_a"),
+    )
+    b = p2.select(
+        "col_name",
+        F.col("n_rows").alias("__n_b"),
+        F.col("n_nulls").alias("__nulls_b"),
+        F.col("n_distinct").alias("distinct_b"),
+        F.col("mean_val").alias("mean_b"),
+    )
+    j = a.join(b, "col_name")
+    nf_a = F.col("__nulls_a").cast("double") / F.col("__n_a")
+    nf_b = F.col("__nulls_b").cast("double") / F.col("__n_b")
+    rel = F.when(
+        F.col("mean_a") != 0,
+        F.abs(F.col("mean_b") - F.col("mean_a")) / F.abs(F.col("mean_a")),
+    )
+    mean_ok = F.coalesce(
+        rel <= F.lit(mean_rel_tol), F.col("mean_b") == F.col("mean_a")
+    )
+    null_ok = F.abs(nf_b - nf_a) <= F.lit(null_abs_tol)
+    dist_ok = (
+        F.abs(F.col("distinct_b") - F.col("distinct_a"))
+        <= F.lit(distinct_rel_tol) * F.col("distinct_a")
+    )
+    return j.select(
+        "col_name",
+        "mean_a",
+        "mean_b",
+        F.round(rel, 6).alias("mean_rel_delta"),
+        F.round(nf_a, 6).alias("null_frac_a"),
+        F.round(nf_b, 6).alias("null_frac_b"),
+        "distinct_a",
+        "distinct_b",
+        (~(mean_ok & null_ok & dist_ok)).alias("drifted"),
+    )
+
+
 def pairwise_corr(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Pearson correlation for every unordered column pair, one scan.
 

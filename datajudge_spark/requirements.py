@@ -2027,6 +2027,41 @@ class BetweenRequirement(Requirement):
             )
         )
 
+    def add_profile_drift_constraint(
+        self,
+        columns: list[str],
+        mean_rel_tol: float = 0.05,
+        null_abs_tol: float = 0.01,
+        distinct_rel_tol: float = 0.2,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): fail when any of
+        ``columns``'s profile statistics drift beyond tolerance between
+        the two data sources — relative mean shift > ``mean_rel_tol``,
+        null-fraction shift > ``null_abs_tol``, or relative
+        distinct-count shift > ``distinct_rel_tol``.  One profile scan
+        per side regardless of column count."""
+        if not columns:
+            raise ValueError(
+                "Column names have to be given for this test's functionality."
+            )
+        ref = DataReference(self._data_source, list(columns), condition1)
+        ref2 = DataReference(self._data_source2, list(columns), condition2)
+        self._constraints.append(
+            stats_constraints.ProfileDrift(
+                ref,
+                ref2,
+                mean_rel_tol=mean_rel_tol,
+                null_abs_tol=null_abs_tol,
+                distinct_rel_tol=distinct_rel_tol,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_snapshot_diff_constraint(
         self,
         key_columns: list[str],

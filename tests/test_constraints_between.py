@@ -474,3 +474,27 @@ class TestWassersteinMax:
         req = between_req(d1, d1, "wsv1", "wsv2")
         with pytest.raises(ValueError):
             req.add_wasserstein_max_constraint("c", "c", -1.0)
+
+
+class TestProfileDrift:
+    def test_identical_passes(self, spark, int_table1):
+        req = between_req(int_table1, int_table1, "t1", "t1b")
+        req.add_profile_drift_constraint(["col_int"])
+        assert outcomes(req, spark) == [True]
+
+    def test_mean_shift_fails_with_details(
+        self, spark, int_table1, int_square_table
+    ):
+        req = between_req(int_table1, int_square_table, "t1", "sq")
+        req.add_profile_drift_constraint(["col_int"])
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "drifted" in results[0].failure_message
+        assert "col_int" in results[0].failure_message
+
+    def test_validation(self, spark, int_table1):
+        req = between_req(int_table1, int_table1, "t1", "t1b")
+        with pytest.raises(ValueError):
+            req.add_profile_drift_constraint([])
+        with pytest.raises(ValueError):
+            req.add_profile_drift_constraint(["col_int"], mean_rel_tol=-0.1)

@@ -525,3 +525,34 @@ class TestBloomFilterCheck:
         assert row["n_present"] == 0
         assert row["n_false_positives"] == 0
         assert row["no_false_negatives"] is True
+
+
+class TestProfileDrift:
+    def test_no_drift_on_identical_snapshots(self, spark):
+        from datajudge_spark.operators.profile import profile_drift
+
+        df = spark.createDataFrame(
+            [(float(i), float(i % 5)) for i in range(100)], "x double, y double"
+        )
+        got = {r["col_name"]: r for r in profile_drift(df, df, ["x", "y"]).collect()}
+        assert not got["x"]["drifted"] and not got["y"]["drifted"]
+        assert got["x"]["mean_rel_delta"] == 0.0
+
+    def test_mean_shift_flags_drift(self, spark):
+        from datajudge_spark.operators.profile import profile_drift
+
+        a = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+        b = spark.createDataFrame([(float(i) * 2,) for i in range(100)], "x double")
+        got = profile_drift(a, b, ["x"]).first()
+        assert got["drifted"] is True
+        assert got["mean_rel_delta"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_null_fraction_shift_flags_drift(self, spark):
+        from datajudge_spark.operators.profile import profile_drift
+
+        a = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+        rows_b = [(float(i),) for i in range(90)] + [(None,)] * 10
+        b = spark.createDataFrame(rows_b, "x double")
+        got = profile_drift(a, b, ["x"], mean_rel_tol=1.0, distinct_rel_tol=1.0).first()
+        assert got["drifted"] is True
+        assert got["null_frac_b"] == pytest.approx(0.1, abs=1e-9)
