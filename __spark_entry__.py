@@ -1968,6 +1968,24 @@ def q_benford_digits(spark, sf_dir):
     )
 
 
+def q_cusum_changepoint(spark, sf_dir):
+    # CUSUM level-shift detector on daily order revenue: the n-scaled
+    # cumulative deviation D_t = n*cumsum_t - t*total stays bigint-exact
+    # so the argmax day is bit-identical cross-engine; only the reported
+    # magnitude divides once as a double
+    from datajudge_spark.operators.timeseries import (
+        cusum_changepoint,
+        daily_totals,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
+    return cusum_changepoint(daily, "cents")
+
+
 def q_trend_slope(spark, sf_dir):
     # least-squares slope of daily revenue per order priority, in
     # cents/day. All five sufficient statistics are exact DECIMAL(38,0)
@@ -3521,6 +3539,62 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def q14_promo_revenue_share(spark, sf_dir):
+    # TPC-H Q14 shape: conditional-aggregation share — promo revenue as
+    # a fraction of total revenue in one month, computed in ONE pass
+    # over the join (sum(when(promo)) / sum(all)); part broadcasts.
+    # Both sums are decimal-exact; only the final share divides as one
+    # double op over the e4 integers.
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)")
+        - F.col("l_discount").cast("decimal(3,2)")
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        (F.sum(F.when(F.col("p_type") == "PROMO", rev)) * 10000)
+        .cast("bigint")
+        .alias("promo_rev_e4"),
+        (F.sum(rev) * 10000).cast("bigint").alias("total_rev_e4"),
+    ).select(
+        "promo_rev_e4",
+        "total_rev_e4",
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_rev_e4").cast("double")
+            / F.col("total_rev_e4").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+def q_grouped_approx_distinct(spark, sf_dir):
+    # per-group HLL sketch bounded against per-group exact distinct in
+    # ONE aggregate pass (both aggregates ride the same groupBy) — the
+    # grouped form of approx_distinct_check; within_tol TRUE asserts
+    # every group's sketch landed inside 3x its rsd
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct(F.col("o_custkey")).alias("exact_distinct"),
+            F.approx_count_distinct("o_custkey").alias("__approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_distinct",
+            (
+                F.abs(F.col("__approx") - F.col("exact_distinct"))
+                <= 0.15 * F.col("exact_distinct")
+            ).alias("within_tol"),
+        )
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     # exact triangle census of the nation trade graph: ordered
     # node-iterator joins (each triangle u<v<w found once), wedge count
@@ -3606,6 +3680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_check": q_countmin_check,
         "bloom_filter_check": q_bloom_filter_check,
         "profile_drift": q_profile_drift,
+        "q14_promo_revenue_share": q14_promo_revenue_share,
+        "grouped_approx_distinct": q_grouped_approx_distinct,
+        "cusum_changepoint": q_cusum_changepoint,
         "q11_important_parts": q11_important_parts,
         "q22_idle_customers": q22_idle_customers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -3632,11 +3709,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": q_grouped_topk,
         "corr_matrix": q_corr_matrix,
         "row_count": q_row_count,
+        # ---- window boundary (50 keys above) ----
+        # sentinels displaced by round-5 additions (driver-green r2)
         "percentile": q_percentile,
         "null_fraction": q_null_fraction,
         "uniques_histogram": q_uniques_histogram,
-        # ---- window boundary (50 keys above) ----
-        # sentinels displaced by round-5 additions (driver-green r2)
         "broadcast_join_agg": q_broadcast_join_agg,
         "interval_overlap": q_interval_overlap,
         "regex_violations": q_regex_violations,
@@ -5476,6 +5553,19 @@ def oracle_sql() -> dict[str, str]:
             "round(count(*) / CAST((SELECT count(*) FROM d) AS DOUBLE), 6) "
             "AS frac FROM d GROUP BY digit"
         ),
+        "cusum_changepoint": (
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+            "AS BIGINT) AS cents FROM orders GROUP BY 1), "
+            "t AS (SELECT count(*) AS n, sum(cents) AS s FROM daily), "
+            "cum AS (SELECT day, n, "
+            "n * sum(cents) OVER (ORDER BY day) - "
+            "(row_number() OVER (ORDER BY day)) * s AS d "
+            "FROM daily, t) "
+            "SELECT CAST(n AS BIGINT) AS n_days, day AS change_day, "
+            "round(CAST(abs(d) AS DOUBLE) / n, 6) AS cusum_max "
+            "FROM cum ORDER BY abs(d) DESC, day ASC LIMIT 1"
+        ),
         "trend_slope": (
             "WITH base AS (SELECT o_orderpriority AS priority, "
             "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) "
@@ -6237,6 +6327,32 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON c.c_custkey = o.o_custkey "
             "ORDER BY o.o_totalprice DESC, order_day ASC, "
             "o.o_orderkey ASC LIMIT 100"
+        ),
+        "q14_promo_revenue_share": (
+            "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) "
+            "END) * 10000 AS BIGINT) AS promo_rev_e4, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) "
+            "* 10000 AS BIGINT) AS total_rev_e4, "
+            "round(100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) "
+            "END) * 10000 AS BIGINT) AS DOUBLE) / "
+            "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) "
+            "* 10000 AS BIGINT) AS DOUBLE), 6) AS promo_pct "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01' "
+            "AND CAST(l_shipdate AS DATE) < DATE '1997-03-01'"
+        ),
+        "grouped_approx_distinct": (
+            # the oracle computes the exact side per group; within_tol
+            # TRUE asserts every group's HLL landed inside 3x its rsd
+            "SELECT o_orderpriority, "
+            "count(DISTINCT o_custkey) AS exact_distinct, "
+            "TRUE AS within_tol FROM orders GROUP BY 1"
         ),
         "q11_important_parts": (
             # 1.5x-mean cut as decimal-integer arithmetic:

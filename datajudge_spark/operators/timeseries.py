@@ -392,6 +392,63 @@ def grouped_theil_sen(
     )
 
 
+def cusum_changepoint(
+    daily: DataFrame, value_col: str = "total"
+) -> DataFrame:
+    """CUSUM change-point digest of a daily integer series: one row
+    ``(n_days, change_day, cusum_max)`` — the day where the cumulative
+    deviation from the series mean peaks, i.e. the single most likely
+    level-shift point.
+
+    The statistic stays INTEGER-exact until the last step: the mean
+    never materializes — ``D_t = n * cumsum_t - t * total`` is the
+    n-scaled CUSUM ``n * sum_{i<=t}(x_i - mean)`` in pure bigint
+    arithmetic, so the argmax (ties -> earliest day) is bit-identical
+    on every engine; only the reported ``cusum_max = max|D_t| / n``
+    divides, once, as a double.  The ordered window runs on the DAILY
+    frame — calendar-bounded (~10^4 rows for decades), never the fact
+    table; the expensive aggregate feeding it is fully parallel
+    upstream.  The argmax is TakeOrdered(1), not a global sort.
+
+    Extension — no reference counterpart; completes the time-series
+    family next to ``trend_slope`` (OLS), :func:`theil_sen_slope`
+    (robust), and :func:`zscore_anomalies` (local spikes): CUSUM finds
+    the sustained level shift those miss.
+    """
+    base = daily.where(
+        F.col("day").isNotNull() & F.col(value_col).isNotNull()
+    ).select("day", F.col(value_col).cast("long").alias("__x"))
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "__n",
+            (
+                F.col("__n") * F.sum("__x").over(w)
+                - F.row_number().over(Window.orderBy("day")) * F.col("__s")
+            ).alias("__d"),
+        )
+    )
+    return (
+        cum.orderBy(F.abs(F.col("__d")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("__n").cast("bigint").alias("n_days"),
+            F.col("day").alias("change_day"),
+            F.round(
+                F.abs(F.col("__d")).cast("double") / F.col("__n"), 6
+            ).alias("cusum_max"),
+        )
+    )
+
+
 def zscore_anomalies(
     daily: DataFrame,
     value_col: str = "total",

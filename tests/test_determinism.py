@@ -128,3 +128,39 @@ def test_srp_signatures_partition_stable(spark, n_parts):
     if not hasattr(test_srp_signatures_partition_stable, "_ref"):
         test_srp_signatures_partition_stable._ref = out
     assert out == test_srp_signatures_partition_stable._ref
+
+
+class TestCusumChangepoint:
+    def test_finds_the_level_shift(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import cusum_changepoint
+
+        # 30 days at level 100, then 30 days at level 200: the CUSUM
+        # peak (in magnitude) sits exactly at the last pre-shift day
+        rows = [
+            (dt.date(2024, 1, 1) + dt.timedelta(days=i),
+             100 if i < 30 else 200)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "day date, total long")
+        got = cusum_changepoint(df).first()
+        assert got["n_days"] == 60
+        assert got["change_day"] == dt.date(2024, 1, 30)
+        # |D_29| = 60 * (30*100 - 30*150) ; cusum_max = |D|/n = 1500
+        assert got["cusum_max"] == pytest.approx(1500.0, abs=1e-9)
+
+    def test_flat_series_peaks_at_zero(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import cusum_changepoint
+
+        rows = [
+            (dt.date(2024, 1, 1) + dt.timedelta(days=i), 42)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "day date, total long")
+        got = cusum_changepoint(df).first()
+        assert got["cusum_max"] == 0.0
+        # ties resolve to the earliest day
+        assert got["change_day"] == dt.date(2024, 1, 1)
