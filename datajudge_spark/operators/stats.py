@@ -1185,6 +1185,104 @@ def js_divergence(
     )
 
 
+def grouped_js_divergence(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    groups: list | None = None,
+    max_groups: int = 100,
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence vs the POOLED distribution
+    over fixed-width buckets: one row ``(group, n, jsd)`` per group —
+    WHICH segment drifted, by the bounded symmetric metric.
+
+    Same conditional-aggregation discipline as :func:`grouped_ks`: ONE
+    bucket-histogram shuffle carries every group's counts plus the
+    pooled count, densified against the full ``0..n_buckets-1`` spine
+    (both-empty buckets still contribute under Laplace smoothing, see
+    :func:`js_divergence`), and every group's fold is one aggregate
+    expression over that ``n_buckets``-row frame — group count never
+    adds scans.  ``jsd`` is NULL for empty groups.  Group discovery is
+    capped at ``max_groups`` (same contract as :func:`grouped_ks`).
+    Extension — completes the grouped drift family (KS, quantile grid,
+    Theil-Sen, JS).
+    """
+    non_null = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    if groups is None:
+        rows = (
+            non_null.select(F.col(group_col).alias("g"))
+            .distinct()
+            .limit(max_groups + 1)
+            .collect()
+        )
+        if len(rows) > max_groups:
+            raise ValueError(
+                f"grouped_js_divergence: more than max_groups="
+                f"{max_groups} distinct groups in {group_col}; pass an "
+                "explicit `groups` list."
+            )
+        groups = sorted(r["g"] for r in rows)
+    cnt_aliases = [f"c{i}" for i in range(len(groups))]
+    hist = non_null.groupBy(
+        value_bucket(value_col, lo, hi, n_buckets).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.count(F.when(F.col(group_col) == F.lit(g), 1)).alias(a)
+            for g, a in zip(groups, cnt_aliases)
+        ],
+    )
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    dense = spine.join(hist, "bucket", "left").select(
+        "bucket",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        *[F.coalesce(a, F.lit(0)).alias(a) for a in cnt_aliases],
+    )
+    w = Window.partitionBy()
+    k = float(n_buckets)
+    q = (F.col("cnt") + 0.5) / (F.sum("cnt").over(w) + 0.5 * k)
+    jsd_exprs = []
+    n_exprs = []
+    for g, a in zip(groups, cnt_aliases):
+        p = (F.col(a) + 0.5) / (F.sum(a).over(w) + 0.5 * k)
+        m = (p + q) / 2
+        term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+        n_exprs.append(F.sum(F.col(a)).over(w).alias(f"n_{a}"))
+        jsd_exprs.append(term.alias(f"t_{a}"))
+    terms = dense.select(*jsd_exprs, *n_exprs)
+    agg = terms.agg(
+        *[
+            F.when(F.max(f"n_{a}") > 0, F.round(F.sum(f"t_{a}"), 6)).alias(
+                f"j_{a}"
+            )
+            for a in cnt_aliases
+        ],
+        *[F.max(f"n_{a}").alias(f"m_{a}") for a in cnt_aliases],
+    )
+    stack_args = ", ".join(
+        f"{_sql_str(g)}, CAST(m_{a} AS BIGINT), j_{a}"
+        for g, a in zip(groups, cnt_aliases)
+    )
+    g_type = df.schema[group_col].dataType
+    return agg.select(
+        F.expr(
+            f"stack({len(groups)}, {stack_args}) "
+            f"AS ({_sql_ident(group_col)}, n, jsd)"
+        )
+    ).select(
+        F.col(group_col).cast(g_type).alias(group_col),
+        "n",
+        "jsd",
+    )
+
+
 #: Distinct-value count under which a rank map is treated as a
 #: broadcastable dimension in spearman_correlation.
 SPEARMAN_BROADCAST_DISTINCT = 100_000

@@ -180,6 +180,98 @@ def lsh_candidate_pairs(
     return all_pairs.unionByName(star_pairs).distinct()
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Sketch-vs-exact contract for MinHash: per LSH candidate pair,
+    ``(d1, d2, est, exact, abs_err)`` — the signature-agreement
+    estimate ``|{k: h_k(A)=h_k(B)}| / k`` next to the true shingle-set
+    Jaccard.
+
+    This measures the sketch the dedup pipeline actually trusts
+    (:func:`minhash_signature` + :func:`lsh_candidate_pairs`) instead of
+    assuming its ±1/sqrt(k) error — same instinct as the ANN
+    ``recall_at_k`` harness.  The exact side runs ONLY on the candidate
+    pairs (blocked by the banding, never all pairs): intersections come
+    from one equi-join of the two documents' distinct shingle-hash
+    sets, sizes ride a groupBy of the same persisted frame.  Every hash
+    is md5-derived, so both columns — and the error itself — are
+    deterministic and oracle-reproducible.
+    """
+    sig = materialize_once(
+        minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    )
+    cand = lsh_candidate_pairs(
+        sig, id_col, bands=bands, rows=rows, max_bucket=max_bucket
+    )
+    sa = sig.select(
+        F.col(id_col).alias("__i1"),
+        *[F.col(f"h{k}").alias(f"__a{k}") for k in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("__i2"),
+        *[F.col(f"h{k}").alias(f"__b{k}") for k in range(num_hashes)],
+    )
+    match_cnt = None
+    for k in range(num_hashes):
+        term = F.when(F.col(f"__a{k}") == F.col(f"__b{k}"), 1).otherwise(0)
+        match_cnt = term if match_cnt is None else match_cnt + term
+    est = (
+        cand.join(sa, F.col("d1") == F.col("__i1"))
+        .join(sb, F.col("d2") == F.col("__i2"))
+        .select(
+            "d1",
+            "d2",
+            (match_cnt.cast("double") / F.lit(num_hashes)).alias("__est"),
+        )
+    )
+    sh = materialize_once(
+        _distinct_shingles(df, id_col, text_col, shingle_n).select(
+            "_id", md5_long("s").alias("h")
+        ).distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("__sz"))
+    x = sh.select(F.col("_id").alias("__x"), F.col("h").alias("__hx"))
+    y = sh.select(F.col("_id").alias("__y"), F.col("h").alias("__hy"))
+    inter = (
+        cand.join(x, F.col("d1") == F.col("__x"))
+        .join(
+            y,
+            (F.col("d2") == F.col("__y")) & (F.col("__hy") == F.col("__hx")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    s1 = sizes.select(F.col("_id").alias("__s1id"), F.col("__sz").alias("__sz1"))
+    s2 = sizes.select(F.col("_id").alias("__s2id"), F.col("__sz").alias("__sz2"))
+    exact = (
+        F.coalesce(F.col("__i"), F.lit(0)).cast("double")
+        / (
+            F.col("__sz1") + F.col("__sz2")
+            - F.coalesce(F.col("__i"), F.lit(0))
+        ).cast("double")
+    )
+    return (
+        est.join(inter, ["d1", "d2"], "left")
+        .join(s1, F.col("d1") == F.col("__s1id"))
+        .join(s2, F.col("d2") == F.col("__s2id"))
+        .select(
+            "d1",
+            "d2",
+            F.round("__est", 6).alias("est"),
+            F.round(exact, 6).alias("exact"),
+            F.round(F.abs(F.col("__est") - exact), 6).alias("abs_err"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 48
 ) -> DataFrame:

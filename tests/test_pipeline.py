@@ -1295,3 +1295,40 @@ class TestBigramLm:
         assert got[1]["n_bigrams"] == 3
         assert got[1]["mean_neg_logprob"] == pytest.approx(exp1, abs=1e-6)
         assert got[2]["mean_neg_logprob"] == pytest.approx(exp2, abs=1e-6)
+
+
+class TestMinhashJaccardEstimate:
+    def test_exact_side_and_bounded_error(self, spark, docs):
+        from datajudge_spark.pipeline.dedup import minhash_jaccard_estimate
+
+        # the docs fixture's (0, 1) near-dup pair is known to collide
+        # under these exact parameters (test_minhash_lsh_finds_near_dup)
+        got = {(r.d1, r.d2): r for r in minhash_jaccard_estimate(
+            docs, "doc_id", "text", num_hashes=12, shingle_n=3
+        ).collect()}
+        assert (0, 1) in got
+        r = got[(0, 1)]
+        # expected exact Jaccard from first principles on the texts
+        texts = {d.doc_id: d.text for d in docs.collect()}
+
+        def shingles(t):
+            w = t.split()
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        s0, s1 = shingles(texts[0]), shingles(texts[1])
+        expected = len(s0 & s1) / len(s0 | s1)
+        assert r["exact"] == pytest.approx(round(expected, 6), abs=1e-9)
+        assert 0.0 <= r["est"] <= 1.0
+        assert r["abs_err"] == pytest.approx(abs(r["est"] - r["exact"]), abs=1e-6)
+        # the exact-dup pair (0, 3) must sit at 1.0 on both columns
+        assert got[(0, 3)]["exact"] == 1.0 and got[(0, 3)]["est"] == 1.0
+
+    def test_identical_docs_estimate_one(self, spark):
+        from datajudge_spark.pipeline.dedup import minhash_jaccard_estimate
+
+        txt = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(1, txt), (2, txt)], "doc_id long, text string"
+        )
+        r = minhash_jaccard_estimate(df, "doc_id", "text").first()
+        assert (r["est"], r["exact"], r["abs_err"]) == (1.0, 1.0, 0.0)

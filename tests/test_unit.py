@@ -1265,3 +1265,33 @@ class TestPlanCapture:
 
         out = plan_string(_Broken())
         assert "unavailable" in out and "struct<c:bigint>" in out
+
+
+class TestGroupedJsDivergence:
+    def test_identical_group_zero_divergent_group_positive(self, spark):
+        from datajudge_spark.operators.stats import grouped_js_divergence
+
+        # group "lo" mirrors the pooled shape poorly, "all" matches it
+        rows = (
+            [(float(v % 100), "all") for v in range(200)]
+            + [(float(v % 10), "lo") for v in range(50)]
+        )
+        df = spark.createDataFrame(rows, "v double, g string")
+        got = {r["g"]: r for r in grouped_js_divergence(
+            df, "v", "g", 0.0, 100.0, 10
+        ).collect()}
+        assert got["lo"]["jsd"] > got["all"]["jsd"] >= 0.0
+        assert got["all"]["n"] == 200 and got["lo"]["n"] == 50
+
+    def test_empty_group_is_null_and_discovery_cap(self, spark):
+        from datajudge_spark.operators.stats import grouped_js_divergence
+
+        df = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "a"), (3.0, "b")], "v double, g string"
+        )
+        got = {r["g"]: r for r in grouped_js_divergence(
+            df, "v", "g", 0.0, 10.0, 5, groups=["a", "b", "ghost"]
+        ).collect()}
+        assert got["ghost"]["jsd"] is None and got["ghost"]["n"] == 0
+        with pytest.raises(ValueError, match="max_groups"):
+            grouped_js_divergence(df, "v", "g", 0.0, 10.0, 5, max_groups=1)
