@@ -1394,7 +1394,9 @@ def q_bloom_filter_check(spark, sf_dir):
     # oracle reproduces the bitmap bit-for-bit)
     from datajudge_spark.operators.olap import bloom_filter_check
 
-    o = _t(spark, sf_dir, "orders").where(
+    from datajudge_spark.pipeline._util import spread
+
+    o = spread(_t(spark, sf_dir, "orders")).where(
         F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
     ).select(F.col("o_custkey").cast("bigint").alias("custkey"))
     c = _t(spark, sf_dir, "customer").select(
@@ -1410,7 +1412,11 @@ def q_countmin_check(spark, sf_dir):
     # value match including the exact overestimate
     from datajudge_spark.operators.olap import countmin_check
 
-    li = _t(spark, sf_dir, "lineitem").select(
+    from datajudge_spark.pipeline._util import spread
+
+    # single-file local scans land in one partition, which would
+    # serialize the per-row double-md5 work; no-op at multi-file scale
+    li = spread(_t(spark, sf_dir, "lineitem")).select(
         F.col("l_suppkey").cast("bigint").cast("string").alias("supp")
     )
     return countmin_check(li, "supp", depth=4, width=256, k=5)
@@ -3974,15 +3980,21 @@ def _h_sql(expr: str, salt: int | str | None = None, nhex: int = 15) -> str:
 
 def _countmin_sql(depth: int = 4, width: int = 256, k: int = 5) -> str:
     """DuckDB twin of operators.olap.countmin_check on the supplier
-    projection: same md5-derived hash family, same counters, same
-    min-over-rows estimate — whole-row deterministic."""
+    projection: same Kirsch-Mitzenmacher double-hash family over two
+    md5 bases, same counters, same min-over-rows estimate — whole-row
+    deterministic."""
+    from datajudge_spark.pipeline.dedup import MINHASH_HEX, MINHASH_MASK
+
+    def km(i: int) -> str:
+        b1 = _h_sql("item", "a", MINHASH_HEX)
+        b2 = _h_sql("item", "b", MINHASH_HEX)
+        return f"((({b1}) + {i} * ({b2})) & {MINHASH_MASK}) % {width}"
+
     cell_union = " UNION ALL ".join(
-        f"SELECT {i} AS r, ({_h_sql('item', i)}) % {width} AS b FROM base"
-        for i in range(depth)
+        f"SELECT {i} AS r, {km(i)} AS b FROM base" for i in range(depth)
     )
     probe_union = " UNION ALL ".join(
-        f"SELECT item, exact_cnt, rk, {i} AS r, "
-        f"({_h_sql('item', i)}) % {width} AS b FROM topk"
+        f"SELECT item, exact_cnt, rk, {i} AS r, {km(i)} AS b FROM topk"
         for i in range(depth)
     )
     return (

@@ -220,9 +220,12 @@ def countmin_check(
 
     The sketch is ``depth x width`` counters from ONE explode+groupBy
     pass: each row contributes ``depth`` (row, bucket) cells keyed by
-    independent md5-derived hashes (:func:`~datajudge_spark.pipeline
-    .text.md5_long` with per-row salts — portable, so an oracle engine
-    reproduces the sketch bit-for-bit).  Map-side combine collapses the
+    Kirsch-Mitzenmacher double hashes ``h_i = (b1 + i*b2) mod 2^52``
+    over TWO md5 base hashes (:func:`~datajudge_spark.pipeline.text
+    .md5_long` — portable, so an oracle engine reproduces the sketch
+    bit-for-bit; two hashes per row instead of ``depth``, the same
+    k-independence trick as :func:`~datajudge_spark.pipeline.dedup
+    .minhash_signature`).  Map-side combine collapses the
     exploded rows to at most ``depth*width`` partial cells per
     partition, so the shuffle is O(depth*width) regardless of input
     size — the structure that replaces a full groupBy when only
@@ -236,19 +239,27 @@ def countmin_check(
     Completes the sketch-contract family (HLL distinct, KLL
     percentile, top-k, count-min).
     """
+    from ..pipeline.dedup import MINHASH_HEX, MINHASH_MASK
     from ..pipeline.text import md5_long
+
+    def km_cells(key: Column) -> list[Column]:
+        b1 = md5_long(key, salt="a", nhex=MINHASH_HEX)
+        b2 = md5_long(key, salt="b", nhex=MINHASH_HEX)
+        return [
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(
+                    (b1 + F.lit(i) * b2).bitwiseAND(F.lit(MINHASH_MASK)),
+                    F.lit(width),
+                ).alias("b"),
+            )
+            for i in range(depth)
+        ]
 
     s = F.col(col).cast("string")
     base = df.where(F.col(col).isNotNull())
-    cell_structs = [
-        F.struct(
-            F.lit(i).alias("r"),
-            F.pmod(md5_long(s, salt=i), F.lit(width)).alias("b"),
-        )
-        for i in range(depth)
-    ]
     cells = (
-        base.select(F.explode(F.array(*cell_structs)).alias("rb"))
+        base.select(F.explode(F.array(*km_cells(s))).alias("rb"))
         .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -258,13 +269,7 @@ def countmin_check(
     topk = hist.orderBy(
         F.col("exact_cnt").desc(), F.col("item").asc()
     ).limit(k)
-    probe_structs = [
-        F.struct(
-            F.lit(i).alias("r"),
-            F.pmod(md5_long(F.col("item"), salt=i), F.lit(width)).alias("b"),
-        )
-        for i in range(depth)
-    ]
+    probe_structs = km_cells(F.col("item"))
     probes = topk.select(
         "item",
         "exact_cnt",
