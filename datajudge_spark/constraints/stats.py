@@ -1360,3 +1360,97 @@ class ProfileDrift(Constraint):
             f"distinct_rel_tol={self._distinct_rel_tol}): {details}. "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class CusumStabilityMax(Constraint):
+    """Level-shift gate: the CUSUM peak of the daily ``sum(value)``
+    series may not exceed a bound — the sustained-regime-change
+    detector that the local z-score anomaly gate misses (a 10% shift
+    spread over weeks never trips a spike detector, but its cumulative
+    deviation grows linearly).  Extension, no reference counterpart;
+    peers the daily-volume anomaly and seasonality gates.
+
+    Engine side is ``operators.timeseries.cusum_changepoint`` over the
+    cent-scaled daily frame (bigint-exact argmax); ``max_relative``
+    bounds ``cusum_max / mean(|daily|)`` (unitless days-of-shift),
+    ``max_cusum`` bounds the absolute peak in value units.  The failure
+    message names the most likely change day.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_cusum: float | None = None,
+        max_relative: float | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_cusum is None and max_relative is None:
+            raise ValueError("Provide max_cusum and/or max_relative.")
+        for label, v in (("max_cusum", max_cusum),
+                         ("max_relative", max_relative)):
+            if v is not None and v < 0:
+                raise ValueError(f"{label} must be non-negative.")
+        self._max_cusum = max_cusum
+        self._max_relative = max_relative
+        super().__init__(
+            ref,
+            ref_value=(max_cusum, max_relative),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import cusum_changepoint, daily_totals
+        from ..pipeline._util import materialize_once
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "CusumStabilityMax requires exactly two columns: "
+                "(date_column, value_column)."
+            )
+        date_col, value_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(date_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        daily = materialize_once(
+            daily_totals(df, date_col, F.sum(cents), alias="__cents")
+        )
+        row = cusum_changepoint(daily, "__cents").collect()[0]
+        cusum_value = row["cusum_max"] / 100.0
+        mean_abs = daily.agg(
+            F.avg(F.abs(F.col("__cents"))).alias("m")
+        ).collect()[0]["m"]
+        relative = (
+            cusum_value * 100.0 / mean_abs if mean_abs else None
+        )
+        ok = True
+        if self._max_cusum is not None and cusum_value > self._max_cusum:
+            ok = False
+        if self._max_relative is not None and (
+            relative is None or relative > self._max_relative
+        ):
+            ok = False
+        if ok:
+            return TestResult.success()
+        assertion_text = (
+            f"CUSUM peak of daily sum({value_col}) over {date_col} on "
+            f"{self._ref} is {cusum_value}"
+            + (
+                f" (relative {round(relative, 6)} x mean daily |value|)"
+                if relative is not None
+                else " (relative undefined: zero mean |value|)"
+            )
+            + f" at likely change day {row['change_day']} "
+            f"(n_days={row['n_days']}) — exceeding "
+            f"max_cusum={self._max_cusum}, "
+            f"max_relative={self._max_relative}. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

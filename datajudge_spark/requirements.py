@@ -982,6 +982,35 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_cusum_stability_constraint(
+        self,
+        date_column: str,
+        value_column: str,
+        max_cusum: float | None = None,
+        max_relative: float | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the CUSUM peak of the
+        daily ``sum(value_column)`` series may not exceed ``max_cusum``
+        (value units) and/or ``max_relative`` (peak divided by the mean
+        absolute daily value — unitless "days of shift").  Catches the
+        sustained level change a spike detector misses; the failure
+        message names the most likely change day."""
+        ref = DataReference(
+            self._data_source, [date_column, value_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.CusumStabilityMax(
+                ref,
+                max_cusum=max_cusum,
+                max_relative=max_relative,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_mutual_information_max_constraint(
         self,
         column_a: str,

@@ -876,3 +876,42 @@ class TestSpearmanBounds:
             req.add_spearman_correlation_constraint("a", "b")
         with pytest.raises(ValueError):
             req.add_spearman_correlation_constraint("a", "b", min_rho=2.0)
+
+
+class TestCusumStability:
+    @staticmethod
+    def _daily(spark, shift):
+        import datetime as dt
+
+        rows = [
+            (dt.date(2024, 1, 1) + dt.timedelta(days=i),
+             float(100 if i < 30 or not shift else 200))
+            for i in range(60)
+        ]
+        return spark.createDataFrame(rows, "d date, v double")
+
+    def test_flat_series_passes(self, spark):
+        df = self._daily(spark, shift=False)
+        req = within_req(df, "flat")
+        req.add_cusum_stability_constraint("d", "v", max_relative=1.0)
+        assert outcomes(req, spark) == [True]
+
+    def test_level_shift_fails_naming_the_day(self, spark):
+        df = self._daily(spark, shift=True)
+        req = within_req(df, "shifted")
+        req.add_cusum_stability_constraint("d", "v", max_relative=1.0)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "2024-01-30" in results[0].failure_message
+        # absolute-bound variant: peak is 1500 value units
+        req2 = within_req(df, "shifted")
+        req2.add_cusum_stability_constraint("d", "v", max_cusum=2000.0)
+        assert outcomes(req2, spark) == [True]
+
+    def test_validation(self, spark):
+        df = self._daily(spark, shift=False)
+        req = within_req(df, "flat")
+        with pytest.raises(ValueError):
+            req.add_cusum_stability_constraint("d", "v")
+        with pytest.raises(ValueError):
+            req.add_cusum_stability_constraint("d", "v", max_cusum=-1.0)
