@@ -609,3 +609,23 @@ def test_q22_anti_join_and_broadcast_scalar(spark):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_countmin_cells_collapse_map_side(spark):
+    # the exploded cell stream must partial-aggregate map-side (the
+    # whole point: O(depth*width) shuffle regardless of input size)
+    plan = _executed_plan(entrymod.q_countmin_check(spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probe joins broadcast cells
+
+
+def test_bloom_probe_is_map_only(spark):
+    # the bitmap ships as a map literal: below the probe aggregation
+    # there must be no join on the probe path (the truth join is the
+    # contract's ground-truth side, a single hash join)
+    plan = _executed_plan(entrymod.q_bloom_filter_check(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # bitmap lookups appear as element_at(map(...)) expressions, not joins
+    assert "element_at" in plan or "map(" in plan
