@@ -4049,9 +4049,13 @@ def _profile_drift_sql(
         nfa = f"CAST(pa.n - pa.nn_{c} AS DOUBLE) / pa.n"
         nfb = f"CAST(pb.n - pb.nn_{c} AS DOUBLE) / pb.n"
         mean_ok = (
-            f"COALESCE({rel} <= {mean_rel_tol}, {mb} = {ma})"
+            f"COALESCE({rel} <= {mean_rel_tol}, {mb} = {ma}, "
+            f"({ma} IS NULL AND {mb} IS NULL))"
         )
-        null_ok = f"abs({nfb} - {nfa}) <= {null_abs_tol}"
+        null_ok = (
+            f"COALESCE(abs({nfb} - {nfa}) <= {null_abs_tol}, "
+            f"(pa.n = 0 AND pb.n = 0))"
+        )
         dist_ok = (
             f"abs(pb.nd_{c} - pa.nd_{c}) <= "
             f"{distinct_rel_tol} * pa.nd_{c}"

@@ -1371,7 +1371,7 @@ class CusumStabilityMax(Constraint):
     peers the daily-volume anomaly and seasonality gates.
 
     Engine side is ``operators.timeseries.cusum_changepoint`` over the
-    cent-scaled daily frame (bigint-exact argmax); ``max_relative``
+    cent-scaled daily frame (decimal(38,0)-exact argmax); ``max_relative``
     bounds ``cusum_max / mean(|daily|)`` (unitless days-of-shift),
     ``max_cusum`` bounds the absolute peak in value units.  The failure
     message names the most likely change day.
@@ -1422,7 +1422,13 @@ class CusumStabilityMax(Constraint):
         daily = materialize_once(
             daily_totals(df, date_col, F.sum(cents), alias="__cents")
         )
-        row = cusum_changepoint(daily, "__cents").collect()[0]
+        rows = cusum_changepoint(daily, "__cents").collect()
+        if not rows:
+            # Empty / all-null (date, value) selection: no series, no
+            # shift — vacuously stable, consistent with the other
+            # time-series gates on empty input.
+            return TestResult.success()
+        row = rows[0]
         cusum_value = row["cusum_max"] / 100.0
         mean_abs = daily.agg(
             F.avg(F.abs(F.col("__cents"))).alias("m")

@@ -134,16 +134,34 @@ def profile_drift(
         F.col("mean_val").alias("mean_b"),
     )
     j = a.join(b, "col_name")
-    nf_a = F.col("__nulls_a").cast("double") / F.col("__n_a")
-    nf_b = F.col("__nulls_b").cast("double") / F.col("__n_b")
+    # guard n=0 (empty snapshot): ANSI mode throws on 0/0; NULL here is
+    # then collapsed by the coalesces below
+    nf_a = F.when(
+        F.col("__n_a") > 0,
+        F.col("__nulls_a").cast("double") / F.col("__n_a"),
+    )
+    nf_b = F.when(
+        F.col("__n_b") > 0,
+        F.col("__nulls_b").cast("double") / F.col("__n_b"),
+    )
     rel = F.when(
         F.col("mean_a") != 0,
         F.abs(F.col("mean_b") - F.col("mean_a")) / F.abs(F.col("mean_a")),
     )
+    # Every *_ok boolean must collapse NULL -> a definite verdict, or an
+    # empty snapshot / all-null column yields drifted = NULL, which a
+    # downstream `if row['drifted']` silently treats as "no drift".
+    # Rule: a statistic that is NULL on BOTH sides is identical (ok);
+    # NULL on one side only is a regime change (drift).
     mean_ok = F.coalesce(
-        rel <= F.lit(mean_rel_tol), F.col("mean_b") == F.col("mean_a")
+        rel <= F.lit(mean_rel_tol),
+        F.col("mean_b") == F.col("mean_a"),
+        F.col("mean_a").isNull() & F.col("mean_b").isNull(),
     )
-    null_ok = F.abs(nf_b - nf_a) <= F.lit(null_abs_tol)
+    null_ok = F.coalesce(
+        F.abs(nf_b - nf_a) <= F.lit(null_abs_tol),
+        (F.col("__n_a") == 0) & (F.col("__n_b") == 0),
+    )
     dist_ok = (
         F.abs(F.col("distinct_b") - F.col("distinct_a"))
         <= F.lit(distinct_rel_tol) * F.col("distinct_a")

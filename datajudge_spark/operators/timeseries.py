@@ -402,10 +402,13 @@ def cusum_changepoint(
 
     The statistic stays INTEGER-exact until the last step: the mean
     never materializes — ``D_t = n * cumsum_t - t * total`` is the
-    n-scaled CUSUM ``n * sum_{i<=t}(x_i - mean)`` in pure bigint
-    arithmetic, so the argmax (ties -> earliest day) is bit-identical
-    on every engine; only the reported ``cusum_max = max|D_t| / n``
-    divides, once, as a double.  The ordered window runs on the DAILY
+    n-scaled CUSUM ``n * sum_{i<=t}(x_i - mean)`` computed in
+    ``decimal(38,0)`` (NOT bigint: n can reach ~10^4 days and the
+    cumulative cent sum ~10^18 at 100 TB, so the product exceeds
+    int64 and would silently wrap under non-ANSI semantics), so the
+    argmax (ties -> earliest day) is exact and bit-identical on every
+    engine; only the reported ``cusum_max = max|D_t| / n`` divides,
+    once, as a double.  The ordered window runs on the DAILY
     frame — calendar-bounded (~10^4 rows for decades), never the fact
     table; the expensive aggregate feeding it is fully parallel
     upstream.  The argmax is TakeOrdered(1), not a global sort.
@@ -425,14 +428,17 @@ def cusum_changepoint(
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    dec = "decimal(38,0)"
     cum = (
         base.crossJoin(F.broadcast(tot))
         .select(
             "day",
             "__n",
             (
-                F.col("__n") * F.sum("__x").over(w)
-                - F.row_number().over(Window.orderBy("day")) * F.col("__s")
+                F.col("__n").cast(dec)
+                * F.sum(F.col("__x").cast(dec)).over(w)
+                - F.row_number().over(Window.orderBy("day")).cast(dec)
+                * F.col("__s").cast(dec)
             ).alias("__d"),
         )
     )

@@ -915,3 +915,18 @@ class TestCusumStability:
             req.add_cusum_stability_constraint("d", "v")
         with pytest.raises(ValueError):
             req.add_cusum_stability_constraint("d", "v", max_cusum=-1.0)
+
+    def test_empty_selection_is_vacuously_stable(self, spark):
+        # no series -> no shift; must not die with IndexError
+        df = spark.createDataFrame([], "d date, v double")
+        req = within_req(df, "empty_cusum")
+        req.add_cusum_stability_constraint("d", "v", max_relative=1.0)
+        assert outcomes(req, spark) == [True]
+
+    def test_all_null_selection_is_vacuously_stable(self, spark):
+        df = spark.createDataFrame(
+            [(None, None)] * 5, "d date, v double"
+        )
+        req = within_req(df, "allnull_cusum")
+        req.add_cusum_stability_constraint("d", "v", max_relative=1.0)
+        assert outcomes(req, spark) == [True]

@@ -164,3 +164,29 @@ class TestCusumChangepoint:
         assert got["cusum_max"] == 0.0
         # ties resolve to the earliest day
         assert got["change_day"] == dt.date(2024, 1, 1)
+
+    def test_no_int64_wrap_on_huge_series(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import cusum_changepoint
+
+        # 2000 days of ~1e15-cent totals: the n-scaled CUSUM
+        # n * cumsum_t reaches ~6e21, far past int64 (9.2e18).  A
+        # bigint intermediate silently wraps under non-ANSI semantics
+        # and corrupts the argmax; the decimal(38,0) path stays exact.
+        n, lo, hi = 2000, 10**15, 2 * 10**15
+        rows = [
+            (dt.date(2020, 1, 1) + dt.timedelta(days=i),
+             lo if i < n // 2 else hi)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "day date, total long")
+        got = cusum_changepoint(df).first()
+        assert got["n_days"] == n
+        assert got["change_day"] == dt.date(2020, 1, 1) + dt.timedelta(
+            days=n // 2 - 1
+        )
+        # peak = n * shift / 4 exactly (level-shift at the midpoint)
+        assert got["cusum_max"] == pytest.approx(
+            n * (hi - lo) / 4, rel=1e-12
+        )

@@ -556,3 +556,35 @@ class TestProfileDrift:
         got = profile_drift(a, b, ["x"], mean_rel_tol=1.0, distinct_rel_tol=1.0).first()
         assert got["drifted"] is True
         assert got["null_frac_b"] == pytest.approx(0.1, abs=1e-9)
+
+    def test_empty_new_snapshot_flags_drift_not_null(self, spark):
+        # NULL statistics must collapse to a definite verdict: an empty
+        # new side previously made drifted NULL, which `if drifted`
+        # silently treated as "no drift".
+        from datajudge_spark.operators.profile import profile_drift
+
+        a = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+        b = spark.createDataFrame([], "x double")
+        got = profile_drift(
+            a, b, ["x"], mean_rel_tol=1.0, null_abs_tol=1.0,
+            distinct_rel_tol=10.0,
+        ).first()
+        assert got["drifted"] is True
+
+    def test_all_null_on_one_side_flags_drift(self, spark):
+        from datajudge_spark.operators.profile import profile_drift
+
+        a = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+        b = spark.createDataFrame([(None,)] * 100, "x double")
+        got = profile_drift(
+            a, b, ["x"], null_abs_tol=2.0, distinct_rel_tol=10.0
+        ).first()
+        assert got["drifted"] is True
+
+    def test_both_sides_all_null_is_identical_not_drift(self, spark):
+        from datajudge_spark.operators.profile import profile_drift
+
+        a = spark.createDataFrame([(None,)] * 50, "x double")
+        b = spark.createDataFrame([(None,)] * 50, "x double")
+        got = profile_drift(a, b, ["x"]).first()
+        assert got["drifted"] is False
