@@ -134,6 +134,57 @@ def get_missing_fraction(
 PERCENTILE_BUCKETS = 4096
 
 
+def _order_proxy_expr(non_null, column: str, dtype: str):
+    """A numeric Column that is (non-strictly) MONOTONE in ``column``'s
+    sort order, used only to range-bucket non-numeric orderable types —
+    never to compare values (ties at proxy granularity just share a
+    bucket, and the final cumulative window orders by the true value).
+
+    - date: days since epoch (exact, strictly monotone)
+    - timestamp / timestamp_ntz: microseconds since epoch (exact; µs
+      magnitudes ~1e15 stay below 2^53, so the double is exact)
+    - string: the first 6 bytes AFTER the column-wide common prefix,
+      zero-right-padded and read big-endian as a 48-bit integer.  Spark
+      and DuckDB both order strings by unsigned UTF-8 byte comparison,
+      so the byte prefix is monotone; the zero padding keeps shorter
+      strings ordered before their extensions; 48 bits stay exact in a
+      double.  Stripping the shared prefix (computed from one min/max
+      agg) is what gives key-style columns ('Customer#000…') a usable
+      spread instead of one hot bucket.
+
+    The returned expression reads the column via the alias ``__pv_src``
+    (callers project ``column AS __pv_src`` first — sidesteps SQL
+    identifier quoting inside the string branch's ``expr``).  Returns
+    None for types without a cheap monotone proxy (binary, boolean, …) —
+    callers fall back to the distinct-value histogram.
+    """
+    if dtype == "date":
+        return F.datediff(
+            F.col("__pv_src"), F.lit("1970-01-01")
+        ).cast("double")
+    if dtype in ("timestamp", "timestamp_ntz"):
+        ts = F.col("__pv_src")
+        if dtype == "timestamp_ntz":
+            ts = ts.cast("timestamp")
+        return F.unix_micros(ts).cast("double")
+    if dtype == "string":
+        mm = non_null.agg(
+            F.min(column).alias("lo"), F.max(column).alias("hi")
+        ).first()
+        if mm is None or mm["lo"] is None:
+            return F.lit(0.0)  # empty selection; caught by total == 0
+        blo = mm["lo"].encode("utf-8")
+        bhi = mm["hi"].encode("utf-8")
+        k = 0
+        while k < len(blo) and k < len(bhi) and blo[k] == bhi[k]:
+            k += 1
+        return F.expr(
+            "CAST(conv(hex(rpad(substring(CAST(__pv_src AS BINARY), "
+            f"{k + 1}, 6), 6, x'00')), 16, 10) AS DOUBLE)"
+        )
+    return None
+
+
 def exact_percentile_df(df, column: str, percentage: float):
     """Exact percentile as a 1-row DataFrame, computed scale-out.
 
@@ -156,9 +207,14 @@ def exact_percentile_df(df, column: str, percentage: float):
     The result is identical to the naive construction — the bucketing is
     a partitioning of the sorted domain, not an approximation.
 
-    Non-numeric orderable columns (date/timestamp/string) cannot be
-    range-bucketed by arithmetic; they take the distinct-value histogram
-    path directly (bounded by |distinct values|, same result).
+    Non-numeric orderable columns (date/timestamp/string) range-bucket
+    on a MONOTONE numeric proxy (:func:`_order_proxy_expr` — day number
+    / epoch microseconds / prefix bytes) and then run the exact same
+    two-pass plan; the cumulative window still orders by the TRUE value,
+    restricted to the target bucket, so a near-unique timestamp column
+    no longer degenerates into one global single-partition window.
+    Types with no cheap proxy (binary/boolean) keep the distinct-value
+    histogram fallback (bounded by |distinct values|).
 
     Every "have we reached the percentile" test uses the ONE comparison
     form ``cum * 100 >= percentage * total`` — mixing formulations (e.g.
@@ -181,13 +237,63 @@ def exact_percentile_df(df, column: str, percentage: float):
         ).select(F.min("value").alias("value"))
 
     if not numeric:
-        total = non_null.count()
-        if total == 0:
+        pv = _order_proxy_expr(non_null, column, dtype)
+        if pv is None:
+            # no cheap monotone proxy: distinct-value histogram under
+            # one cumulative window (bounded by |distinct values|)
+            total = non_null.count()
+            if total == 0:
+                raise ValueError(
+                    "Percentile selection could not be fetched."
+                )
+            hist = non_null.groupBy(F.col(column).alias("value")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            return _cum_select(hist, 0, total)
+        proj = non_null.select(
+            F.col(column).alias("__pv_src")
+        ).select(F.col("__pv_src").alias("value"), pv.alias("__pv"))
+        stats = proj.agg(
+            F.min("__pv").alias("lo"),
+            F.max("__pv").alias("hi"),
+            F.count(F.lit(1)).alias("total"),
+        ).first()
+        if stats is None or stats["total"] == 0 or stats["lo"] is None:
             raise ValueError("Percentile selection could not be fetched.")
-        hist = non_null.groupBy(F.col(column).alias("value")).agg(
-            F.count(F.lit(1)).alias("cnt")
+        lo, hi, total = (
+            float(stats["lo"]), float(stats["hi"]), int(stats["total"])
         )
-        return _cum_select(hist, 0, total)
+        if hi == lo:
+            # proxy cannot split the domain (single value, or strings
+            # identical through 6 bytes past the common prefix): the
+            # histogram stays bounded by |distinct values|
+            hist = proj.groupBy("value").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            return _cum_select(hist, 0, total)
+        bucket = F.least(
+            F.floor(
+                (F.col("__pv") - lo) / (hi - lo) * PERCENTILE_BUCKETS
+            ),
+            F.lit(PERCENTILE_BUCKETS - 1),
+        ).cast("int")
+        bucket_counts = dict(
+            proj.groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        cum_before, target_bucket = 0, PERCENTILE_BUCKETS - 1
+        for b in sorted(bucket_counts):
+            if (cum_before + bucket_counts[b]) * 100 >= percentage * total:
+                target_bucket = b
+                break
+            cum_before += bucket_counts[b]
+        hist = (
+            proj.where(bucket == target_bucket)
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return _cum_select(hist, cum_before, total)
 
     stats = non_null.agg(
         F.min(column).alias("lo"),

@@ -629,3 +629,19 @@ def test_bloom_probe_is_map_only(spark):
     assert "BroadcastNestedLoop" not in plan
     # bitmap lookups appear as element_at(map(...)) expressions, not joins
     assert "element_at" in plan or "map(" in plan
+
+
+def test_nonnumeric_percentile_window_is_bucket_bounded(spark):
+    # VERDICT r5 weak item: a date/timestamp percentile must NOT feed
+    # the whole distinct-value histogram into one unpartitioned window.
+    # The proxy path's signature in the plan: the scan carries the
+    # least(FLOOR(...)) bucket filter, so the Window's input is one
+    # bucket's distinct values, not the full domain.
+    from datajudge_spark.operators.scalars import exact_percentile_df
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    plan = _executed_plan(exact_percentile_df(df, "o_orderdate", 90.0))
+    assert "Window" in plan
+    assert "least(FLOOR" in plan, plan
+    # the bucket filter must sit on the scan feeding the histogram
+    assert "DataFilters: [isnotnull(o_orderdate" in plan
