@@ -3397,6 +3397,73 @@ def q21_suppliers_waiting(spark, sf_dir):
     )
 
 
+def q20_volume_suppliers(spark, sf_dir):
+    # TPC-H Q20 shape: nested semi-join-into-semi-join — suppliers (in a
+    # region) having a QUALIFYING stake in a QUALIFYING part, where the
+    # stake test is a decorrelated scalar comparison against a per-part
+    # aggregate (reference's anti/semi family generalized,
+    # /root/reference/src/datajudge/db_access.py:475-496).  No partsupp
+    # in the synthetic schema, so availability becomes shipped volume:
+    # a supplier qualifies if its pre-1996 shipped quantity of a
+    # 'large%' part exceeds 6% of that part's all-time total.
+    #
+    # Plan shape (the one you'd want at 100 TB):
+    # - the part-name filter broadcasts as a LEFT SEMI below BOTH
+    #   lineitem aggregates, so the expensive groupBys only ever see
+    #   qualifying-part rows (semi join #1, inside the chain);
+    # - the share test joins two already-aggregated frames on
+    #   l_partkey (|parts| rows, not |lineitem|), integer-exact in
+    #   cents (100*c95 > 6*ctot — no double division);
+    # - the distinct candidate suppliers broadcast as the SEMI side of
+    #   the supplier probe (semi join #2) — supplier never shuffles.
+    pf = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_partkey",
+        "l_shipdate",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).alias("__c"),
+    )
+    li_parts = li.join(
+        F.broadcast(pf),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    q95 = (
+        li_parts.where(F.col("l_shipdate") < F.lit("1996-01-01"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("__c").cast("bigint").alias("c95"))
+    )
+    qtot = (
+        li_parts.groupBy("l_partkey")
+        .agg(F.sum("__c").cast("bigint").alias("ctot"))
+    )
+    cand = (
+        q95.join(qtot, "l_partkey")
+        .where(F.col("c95") * 100 > F.col("ctot") * 6)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_regionkey").isin(0, 1)
+    ).select("n_nationkey", "n_name")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        sup.join(
+            F.broadcast(cand),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q2_min_cost_supplier(spark, sf_dir):
     # TPC-H Q2 shape: correlated scalar MIN subquery — for each
     # qualifying part, the supplier(s) in a region achieving the
@@ -3710,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_seasonality": q_weekly_seasonality,
         # round-5 additions (need their first driver row)
         "q21_suppliers_waiting": q21_suppliers_waiting,
+        "q20_volume_suppliers": q20_volume_suppliers,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "approx_topk_check": q_approx_topk_check,
         "multimodal_image_meta": q_multimodal_image_meta,
@@ -6546,6 +6614,32 @@ def oracle_sql() -> dict[str, str]:
             "AND l3.l_suppkey <> l1.l_suppkey) "
             "GROUP BY s.s_name "
             "ORDER BY numwait DESC, s.s_name ASC LIMIT 100"
+        ),
+        "q20_volume_suppliers": (
+            # nested semi-join chain: supplier IN (suppliers with a >6%
+            # pre-1996 share of a part IN ('large%' parts)); integer-
+            # exact share test in cents, both aggregates pruned to the
+            # qualifying parts
+            "WITH pf AS (SELECT p_partkey FROM part "
+            "WHERE p_name LIKE 'large%'), "
+            "q95 AS (SELECT l_suppkey, l_partkey, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) "
+            "AS c95 FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1996-01-01' "
+            "AND l_partkey IN (SELECT p_partkey FROM pf) "
+            "GROUP BY 1, 2), "
+            "qtot AS (SELECT l_partkey, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) "
+            "AS ctot FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM pf) GROUP BY 1), "
+            "cand AS (SELECT DISTINCT q95.l_suppkey FROM q95 "
+            "JOIN qtot ON q95.l_partkey = qtot.l_partkey "
+            "WHERE q95.c95 * 100 > qtot.ctot * 6) "
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_regionkey IN (0, 1) "
+            "AND s_suppkey IN (SELECT l_suppkey FROM cand) "
+            "ORDER BY s_suppkey"
         ),
         "q2_min_cost_supplier": (
             # correlated scalar MIN decorrelated to a per-part aggregate

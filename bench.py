@@ -86,14 +86,39 @@ def main() -> None:
     timings = {name: round(t, 4) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 4)
+    payload = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+
+    # The driver captures only the TAIL of stdout, which since round 2
+    # has truncated the per-query map and left BENCH_rN.json without its
+    # headline number.  Two self-containment measures:
+    # 1. the full payload is written to a file committed in-repo,
+    # 2. a COMPACT summary line prints LAST, so any tail capture carries
+    #    the verdict-critical numbers (total, count, max, top offenders).
+    out_path = os.path.join(REPO, "BENCH_LATEST.json")
+    try:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "total_s": total,
+                "n": len(timings),
+                "max_s": max(timings.values()) if timings else 0.0,
+                "mean_s": round(total / len(timings), 4) if timings else 0.0,
                 "sf": sf,
+                "slowest": [[k, v] for k, v in slowest],
+                "full_json": "BENCH_LATEST.json",
             }
         )
     )

@@ -645,3 +645,16 @@ def test_nonnumeric_percentile_window_is_bucket_bounded(spark):
     assert "least(FLOOR" in plan, plan
     # the bucket filter must sit on the scan feeding the histogram
     assert "DataFilters: [isnotnull(o_orderdate" in plan
+
+
+def test_q20_nested_semi_join_chain(spark):
+    # Q20 shape: two LEFT SEMI hash joins (part filter below the
+    # aggregates, candidate suppliers above), share test joins two
+    # aggregated frames — never a cartesian, dimensions broadcast
+    plan = _executed_plan(entrymod.q20_volume_suppliers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastHashJoin" in plan
+    # both lineitem aggregates run map-side partials
+    assert "partial_sum" in plan
