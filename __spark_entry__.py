@@ -1617,6 +1617,84 @@ def q_streaming_stateful_counts(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_streaming_cusum(spark, sf_dir):
+    """Sixth streaming contract query: CUSUM changepoint drift gate as a
+    CUSTOM stateful operator (``applyInPandasWithState``) — per
+    event_type, the day where cumulative deviation from the series mean
+    peaks.  State = per-key daily cent histogram (calendar-bounded).
+    The drained final state (row with max n_obs per key — strictly
+    increasing per emission) must hash-equal the batch per-key CUSUM,
+    the oracle.  Cents are cast JVM-side (decimal(18,2) HALF_UP) so the
+    Python fold only ever sums exact integers."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stateful_cusum,
+        stream_parquet_like,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_cusum_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = (
+        normalize_event_time(raw)
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("k"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01")
+            ).alias("d"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    digests = stateful_cusum(ev)
+    qname = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            digests.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = (
+        spark.table(qname)
+        .groupBy("key")
+        .agg(
+            F.max(
+                F.struct("n_obs", "n_days", "change_day", "cusum_max")
+            ).alias("s")
+        )
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("s.n_obs").alias("n_obs"),
+            F.col("s.n_days").alias("n_days"),
+            F.col("s.change_day").alias("change_day"),
+            F.col("s.cusum_max").alias("cusum_max"),
+        )
+        .orderBy("event_type")
+    )
+    rows = final.collect()
+    schema = final.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_embedding_norm_stats(spark, sf_dir):
     # per-label L2-norm health check before cosine dedup/ANN: map-only
     # fold + one partial-agg'd shuffle. Per-row norm is the standard
@@ -3914,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_stateful_counts": q_streaming_stateful_counts,
+        "streaming_cusum": q_streaming_cusum,
         "functional_dependency": q_functional_dependency,
         "except_distinct": q_except_distinct,
         "text_quality": q_text_quality,
@@ -5630,6 +5709,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_rows) AS BIGINT) AS total_rows, "
             "CAST(sum(n_nulls) AS BIGINT) AS total_nulls, "
             "max(n_rows) AS max_user_rows FROM per_user"
+        ),
+        "streaming_cusum": (
+            # batch per-key CUSUM on the drained stream — same integer
+            # statistic, same earliest-day tie-break, same final double
+            # division as the streaming operator's Python fold
+            "WITH base AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), "
+            "obs AS (SELECT event_type, count(*) AS n_obs FROM base "
+            "GROUP BY 1), "
+            "daily AS (SELECT event_type, day, "
+            "CAST(sum(cents) AS BIGINT) AS c FROM base GROUP BY 1, 2), "
+            "t AS (SELECT event_type, count(*) AS n, sum(c) AS s "
+            "FROM daily GROUP BY 1), "
+            "cum AS (SELECT d.event_type, d.day, t.n, "
+            "t.n * sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day) "
+            "- (row_number() OVER (PARTITION BY d.event_type "
+            "ORDER BY d.day)) * t.s AS dd "
+            "FROM daily d JOIN t ON d.event_type = t.event_type), "
+            "pick AS (SELECT event_type, day, n, dd, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY abs(dd) DESC, day ASC) AS rk FROM cum) "
+            "SELECT p.event_type AS event_type, "
+            "CAST(o.n_obs AS BIGINT) AS n_obs, "
+            "CAST(p.n AS BIGINT) AS n_days, p.day AS change_day, "
+            "round(CAST(abs(p.dd) AS DOUBLE) / p.n, 6) AS cusum_max "
+            "FROM pick p JOIN obs o ON p.event_type = o.event_type "
+            "WHERE p.rk = 1 ORDER BY event_type"
         ),
         "scd2_intervals": (
             "WITH iv AS (SELECT user_id, event_type, ts AS valid_from, "

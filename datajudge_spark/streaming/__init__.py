@@ -340,3 +340,104 @@ def interval_join_streams(
     return left.withWatermark(left_ts, watermark_delay).join(
         right.withWatermark(right_ts, watermark_delay), on, "inner"
     )
+
+
+def stateful_cusum(stream_df: DataFrame):
+    """Streaming CUSUM level-shift monitor — the drift/changepoint gate
+    of the streaming family (counts/dedup/sessions/joins existed; this
+    adds sustained-regime-change detection), via
+    ``applyInPandasWithState``.
+
+    Input must be pre-projected to ``(k, d, c)``: grouping key, day
+    ordinal (days since epoch, int), and an INTEGER value (e.g. cents —
+    the caller does the decimal cast JVM-side so Python never rounds
+    doubles).  State per key is the DAILY histogram as two arrays
+    (day ordinals + cent sums) plus the observation count —
+    calendar-bounded (~10^4 entries for decades), the same bound as the
+    batch ``operators.timeseries.cusum_changepoint`` whose digest this
+    reproduces exactly: ``D_t = n * cumsum_t - t * total`` in arbitrary-
+    precision Python ints (no wrap at any scale), argmax with
+    earliest-day ties, ``cusum_max = round(float(|D|)/n, 6)``
+    matching the batch/oracle ``round(CAST(abs(d) AS DOUBLE)/n, 6)``
+    op-for-op.
+
+    Emits one digest row per key per micro-batch (``outputMode
+    ("update")``); ``n_obs`` grows strictly per emission, so the final
+    state is the per-key row with max ``n_obs``.
+    """
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DateType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_obs", LongType()),
+            StructField("n_days", LongType()),
+            StructField("change_day", DateType()),
+            StructField("cusum_max", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("days", ArrayType(IntegerType())),
+            StructField("sums", ArrayType(LongType())),
+            StructField("n_obs", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            days0, sums0, n_obs = state.get
+            acc = {int(d): int(s) for d, s in zip(days0, sums0)}
+            n_obs = int(n_obs)
+        else:
+            acc, n_obs = {}, 0
+        for pdf in pdf_iter:
+            n_obs += len(pdf)
+            g = pdf.groupby("d")["c"].sum()
+            for d, s in g.items():
+                acc[int(d)] = acc.get(int(d), 0) + int(s)
+        items = sorted(acc.items())
+        state.update(
+            ([d for d, _ in items], [s for _, s in items], n_obs)
+        )
+        n = len(items)
+        total = sum(s for _, s in items)
+        cum, best_abs, best_day = 0, -1, items[0][0]
+        for t, (d, s) in enumerate(items, start=1):
+            cum += s
+            a = abs(n * cum - t * total)
+            if a > best_abs:
+                best_abs, best_day = a, d
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_obs": [n_obs],
+                "n_days": [n],
+                "change_day": [
+                    dt.date(1970, 1, 1) + dt.timedelta(days=best_day)
+                ],
+                "cusum_max": [round(float(best_abs) / n, 6)],
+            }
+        )
+
+    return stream_df.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

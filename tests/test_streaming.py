@@ -288,3 +288,65 @@ class TestDriftMonitoring:
             10,
         ).collect()[0].psi
         assert two == one
+
+
+class TestStatefulCusum:
+    def test_multi_batch_state_matches_batch_cusum(self, spark, tmp_path):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import cusum_changepoint
+        from datajudge_spark.streaming import stateful_cusum
+
+        # one key, a level shift at day 30, split across TWO micro-
+        # batches mid-series: the drained final digest must equal the
+        # batch operator on the union — state merging across batches is
+        # exactly what this exercises
+        def rows(days):
+            return [
+                ("purchase",
+                 (dt.date(2024, 1, 1) + dt.timedelta(days=i)
+                  - dt.date(1970, 1, 1)).days,
+                 (100 if i < 30 else 200) * 100)
+                for i in days
+            ]
+
+        schema = "k string, d int, c long"
+        src = tmp_path / "cusum_src"
+        for i, chunk in enumerate([rows(range(40)), rows(range(40, 60))]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(src / f"f{i}")
+            )
+        stream_dir = tmp_path / "cusum_merged"
+        stream_dir.mkdir()
+        for n, part in enumerate(sorted(src.rglob("*.parquet"))):
+            (stream_dir / f"{n:02d}.parquet").symlink_to(part)
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        q = (
+            stateful_cusum(raw)
+            .writeStream.format("memory").queryName("cusum_stream")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        emitted = spark.sql("SELECT * FROM cusum_stream").collect()
+        # one emission per batch containing the key
+        assert len(emitted) == 2
+        final = max(emitted, key=lambda r: r["n_obs"])
+        batch_rows = [
+            (dt.date(1970, 1, 1) + dt.timedelta(days=d), c)
+            for _, d, c in rows(range(60))
+        ]
+        daily = spark.createDataFrame(batch_rows, "day date, total long")
+        want = cusum_changepoint(daily).first()
+        assert final["n_obs"] == 60
+        assert final["n_days"] == want["n_days"]
+        assert final["change_day"] == want["change_day"]
+        assert final["cusum_max"] == pytest.approx(
+            want["cusum_max"], abs=1e-9
+        )
+        spark.catalog.dropTempView("cusum_stream")
