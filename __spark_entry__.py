@@ -1828,6 +1828,82 @@ def q_srp_neardup_pairs(spark, sf_dir):
     return near_dup_pairs(vecs, "sig", threshold=0.3, v_id="vid", v_vec="vvec")
 
 
+def q_ivf_neardup_pairs(spark, sf_dir):
+    # near-dup blocking for HIGH-dim embeddings: IVF cells (multi-probe,
+    # nprobe=2) instead of SRP signatures — trained cells track density
+    # where fixed hyperplane bits decay with dimension. Centroids here
+    # are the first 8 vectors (deterministic => oracle-expressible);
+    # production trains them with kmeans_centroids, same plan shape.
+    # Threshold 0.3 for the same reason as srp_neardup_pairs: the
+    # synthetic embeddings have no dedup-grade pairs (max cos ~0.4).
+    from datajudge_spark.pipeline.similarity import near_dup_pairs_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vvec")
+    )
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centvec")
+    )
+    return near_dup_pairs_ivf(vecs, cent, threshold=0.3, nprobe=2)
+
+
+def q_ivf_neardup_recall(spark, sf_dir):
+    # the blocking quality gate: IVF-blocked pair set measured against
+    # exact brute-force ground truth on a bounded deterministic subset
+    # (vec_id < 400) — the recall_at_k analog for dedup blocking. One
+    # digest row (n_true, n_found, n_hit, recall).
+    from datajudge_spark.pipeline.similarity import (
+        cosine,
+        near_dup_pairs_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = emb.where(F.col("vec_id") < 400)
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centvec")
+    )
+    a = sub.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("_v1"))
+    b = sub.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("_v2"))
+    truth = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cosine("_v1", "_v2").alias("cos"))
+        .where(F.col("cos") > 0.3)
+        .select("d1", "d2")
+    )
+    found = near_dup_pairs_ivf(
+        sub.select(
+            F.col("vec_id").alias("vid"), F.col("embedding").alias("vvec")
+        ),
+        cent,
+        threshold=0.3,
+        nprobe=2,
+    ).select("d1", "d2")
+    joined = truth.withColumn("__t", F.lit(1)).join(
+        found.withColumn("__f", F.lit(1)), ["d1", "d2"], "full_outer"
+    )
+    return joined.agg(
+        F.count("__t").cast("bigint").alias("n_true"),
+        F.count("__f").cast("bigint").alias("n_found"),
+        F.count(F.when(F.col("__t").isNotNull() & F.col("__f").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_hit"),
+        F.round(
+            F.when(
+                F.count("__t") > 0,
+                F.count(
+                    F.when(
+                        F.col("__t").isNotNull() & F.col("__f").isNotNull(),
+                        1,
+                    )
+                ).cast("double")
+                / F.count("__t"),
+            ),
+            6,
+        ).alias("recall"),
+    )
+
+
 def q_shipping_priority_topk(spark, sf_dir):
     # TPC-H Q3 shape: two selective joins + grouped revenue + top-10.
     # Revenue in exact decimal (price and discount are 2dp decimals, so
@@ -3913,6 +3989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "incremental_daily_merge": q_incremental_daily_merge,
         "srp_neardup_pairs": q_srp_neardup_pairs,
+        "ivf_neardup_pairs": q_ivf_neardup_pairs,
+        "ivf_neardup_recall": q_ivf_neardup_recall,
         "shipping_priority_topk": q_shipping_priority_topk,
         "revenue_by_nation": q_revenue_by_nation,
         "running_distinct_users": q_running_distinct_users,
@@ -4562,6 +4640,57 @@ def _ann_ivf_sql() -> str:
         "ranked AS (SELECT qid, cid, cos, row_number() OVER "
         "(PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn FROM scored) "
         "SELECT qid, cid, round(cos, 6) AS cos, rn FROM ranked WHERE rn <= 3"
+    )
+
+
+def _ivf_neardup_cells_sql(subset_pred: str) -> str:
+    """Shared CTE text: multi-probe (rn <= 2) IVF cell assignment of the
+    (optionally subset) embedding frame against the first-8 centroids —
+    mirror of similarity.near_dup_pairs_ivf's _query_cells probe."""
+    assign_cos = _fold_cos_sql("v.vvec", "ct.centvec")
+    return (
+        "cent AS (SELECT vec_id AS cell, embedding AS centvec "
+        "FROM embeddings WHERE vec_id < 8), "
+        "vecs AS (SELECT vec_id AS vid, embedding AS vvec "
+        f"FROM embeddings{subset_pred}), "
+        "cells AS (SELECT vid, cell FROM ("
+        "  SELECT v.vid, ct.cell, row_number() OVER (PARTITION BY v.vid "
+        f"  ORDER BY {assign_cos} DESC, ct.cell ASC) AS rn "
+        "  FROM vecs v, cent ct"
+        ") WHERE rn <= 2), "
+        "tag AS (SELECT c.cell, v.vid, v.vvec FROM cells c "
+        "JOIN vecs v ON c.vid = v.vid)"
+    )
+
+
+def _ivf_neardup_sql() -> str:
+    cos = _fold_cos_sql("a.vvec", "b.vvec")
+    return (
+        f"WITH {_ivf_neardup_cells_sql('')} "
+        f"SELECT DISTINCT a.vid AS d1, b.vid AS d2, round({cos}, 6) AS cos "
+        "FROM tag a JOIN tag b ON a.cell = b.cell AND a.vid < b.vid "
+        f"WHERE {cos} > 0.3"
+    )
+
+
+def _ivf_neardup_recall_sql() -> str:
+    cos = _fold_cos_sql("a.vvec", "b.vvec")
+    return (
+        f"WITH {_ivf_neardup_cells_sql(' WHERE vec_id < 400')}, "
+        f"truth AS (SELECT a.vid AS d1, b.vid AS d2 FROM vecs a "
+        f"JOIN vecs b ON a.vid < b.vid WHERE {cos} > 0.3), "
+        "found AS (SELECT DISTINCT a.vid AS d1, b.vid AS d2 "
+        "FROM tag a JOIN tag b ON a.cell = b.cell AND a.vid < b.vid "
+        f"WHERE {cos} > 0.3) "
+        "SELECT CAST(count(t.d1) AS BIGINT) AS n_true, "
+        "CAST(count(f.d1) AS BIGINT) AS n_found, "
+        "CAST(count(CASE WHEN t.d1 IS NOT NULL AND f.d1 IS NOT NULL "
+        "THEN 1 END) AS BIGINT) AS n_hit, "
+        "round(CASE WHEN count(t.d1) > 0 THEN "
+        "CAST(count(CASE WHEN t.d1 IS NOT NULL AND f.d1 IS NOT NULL "
+        "THEN 1 END) AS DOUBLE) / count(t.d1) END, 6) AS recall "
+        "FROM truth t FULL JOIN found f "
+        "ON t.d1 = f.d1 AND t.d2 = f.d2"
     )
 
 
@@ -5775,6 +5904,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) "
             "AS cents, count(*) AS n_rows FROM events GROUP BY 1"
         ),
+        "ivf_neardup_pairs": _ivf_neardup_sql(),
+        "ivf_neardup_recall": _ivf_neardup_recall_sql(),
         "srp_neardup_pairs": (
             f"WITH s AS (SELECT vec_id, embedding, {_srp_sig_sql()} AS sig "
             "FROM embeddings) "

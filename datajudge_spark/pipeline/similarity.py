@@ -285,6 +285,57 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_ivf(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    v_id: str = "vid",
+    v_vec: str = "vvec",
+) -> DataFrame:
+    """(d1, d2, cos) near-duplicate pairs blocked on IVF cells with
+    multi-probe assignment — the high-dimensional alternative to
+    SRP-signature blocking (:func:`near_dup_pairs` over
+    :func:`srp_signature`).
+
+    Each vector is assigned to its ``nprobe`` nearest centroids (the
+    same broadcast scoring as :func:`topk_ivf`'s probe); only pairs
+    sharing a cell are compared, and a pair sharing two cells collapses
+    via DISTINCT on the rounded digest.  Why this beats SRP as dims
+    grow: random-hyperplane bit agreement for a FIXED plane count decays
+    toward coin-flipping in high dimensions, while IVF cells — trained
+    with :func:`kmeans_centroids` in production (the contract query uses
+    fixed seed vectors only for oracle determinism) — follow the actual
+    data density, and ``nprobe`` recovers cell-boundary pairs the way
+    multi-table LSH recovers band misses.
+
+    100 TB path: centroids broadcast (map-only assignment), the pair
+    join shuffles on cell id with per-cell population ~corpus/n_cells
+    under trained centroids, and cosine is the JVM ``zip_with`` +
+    ``aggregate`` fold — no Python.  Recall is measured, not trusted:
+    pair it with the brute-force subset as in ``ivf_neardup_recall``.
+    """
+    cells = _query_cells(vectors, centroids, nprobe, v_id, v_vec)
+    tagged = vectors.join(cells, v_id)
+    a = tagged.select(
+        F.col("cell").alias("_blk"),
+        F.col(v_id).alias("d1"),
+        F.col(v_vec).alias("_v1"),
+    )
+    b = tagged.select(
+        F.col("cell").alias("_blk"),
+        F.col(v_id).alias("d2"),
+        F.col(v_vec).alias("_v2"),
+    )
+    pairs = a.join(b, "_blk").where(F.col("d1") < F.col("d2"))
+    return (
+        pairs.select("d1", "d2", cosine("_v1", "_v2").alias("cos"))
+        .where(F.col("cos") > threshold)
+        .select("d1", "d2", F.round("cos", 6).alias("cos"))
+        .distinct()
+    )
+
+
 def pq_codebook(
     vectors: DataFrame,
     n_codes: int = 16,

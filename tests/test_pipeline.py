@@ -206,6 +206,44 @@ class TestSimilarity:
         # vid 4 is alone in its label block: can never pair
         assert not any(4 in p for p in got)
 
+    def test_ivf_neardup_recall_monotone_in_nprobe(self, spark):
+        # recall grows with nprobe and is TOTAL when every vector probes
+        # every cell (blocking can only lose pairs, never invent them)
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(120):
+            v = rng.normal(size=8)
+            v /= np.linalg.norm(v)
+            rows.append(Row(vid=i, vvec=[float(x) for x in v]))
+        vecs = spark.createDataFrame(rows)
+        cent = vecs.where("vid < 4").select(
+            F.col("vid").alias("cell"), F.col("vvec").alias("centvec")
+        )
+        a = vecs.select(F.col("vid").alias("d1"), F.col("vvec").alias("_v1"))
+        b = vecs.select(F.col("vid").alias("d2"), F.col("vvec").alias("_v2"))
+        truth = {
+            (r.d1, r.d2)
+            for r in a.join(b, F.col("d1") < F.col("d2"))
+            .select("d1", "d2", similarity.cosine("_v1", "_v2").alias("cos"))
+            .where(F.col("cos") > 0.5)
+            .collect()
+        }
+        assert truth, "need true pairs for the recall comparison"
+        found = {}
+        for nprobe in (1, 2, 4):
+            got = {
+                (r.d1, r.d2)
+                for r in similarity.near_dup_pairs_ivf(
+                    vecs, cent, threshold=0.5, nprobe=nprobe
+                ).collect()
+            }
+            assert got <= truth, "blocking must never invent pairs"
+            found[nprobe] = got
+        assert found[1] <= found[2] <= found[4]
+        assert found[4] == truth  # nprobe = n_cells => exhaustive
+
     @pytest.fixture(scope="class")
     def clustered_vecs(self, spark):
         # 4 well-separated direction clusters in 16-d (the driver-provided
