@@ -1904,6 +1904,180 @@ def q_ivf_neardup_recall(spark, sf_dir):
     )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6: the canonical single-scan filtered aggregate — every
+    # predicate pushes to the parquet scan, no shuffle beyond the final
+    # 1-row combine. Revenue exact in decimal, digested at scale 4.
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(rev) * 10000).cast("bigint").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q12_shipmode_priority(spark, sf_dir):
+    # TPC-H Q12 shape: fact-fact hash join + per-group conditional
+    # counts. The synthetic lineitem has no shipmode/receiptdate, so
+    # l_returnflag plays the mode column and "late" = shipped >30 days
+    # after the order date (the q4/q21 substitution).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("__ship"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("__od"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("__ship") > F.date_add(F.col("__od"), 30))
+            & (F.col("__ship") >= F.lit("1996-01-01"))
+            & (F.col("__ship") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q13_customer_order_counts(spark, sf_dir):
+    # TPC-H Q13: LEFT OUTER join + two-level aggregation — the count
+    # DISTRIBUTION (how many customers placed k orders, including k=0,
+    # which an inner join would silently drop). The priority exclusion
+    # stands in for the comment NOT LIKE filter.
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15: the revenue "view" + scalar MAX join-back — suppliers
+    # achieving the quarter's maximum revenue. The 1-row max broadcasts
+    # (never a sort), revenue is decimal-exact at scale 4 so the
+    # equality join-back cannot miss by one ulp.
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg((F.sum(rev) * 10000).cast("bigint").alias("total_rev_e4"))
+    )
+    mx = revenue.agg(F.max("total_rev_e4").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_e4") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    # TPC-H Q16 shape: DISTINCT supplier count per part-attribute group,
+    # with an ANTI-joined supplier exclusion set. partsupp is replaced
+    # by the distinct (partkey, suppkey) pairs observed in lineitem;
+    # "complaint" suppliers = negative account balance (deterministic).
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#21")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            "p_brand", "p_type", "p_size",
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    # TPC-H Q17: correlated per-part AVG subquery, decorrelated to one
+    # aggregate join-back — revenue of lineitems with quantity below
+    # 20% of their part's average. The threshold compares INTEGER-exact
+    # (qty < sum/(5n)  <=>  5*qty_cents*n < sum_cents: no double avg,
+    # no ulp boundary), and the brand filter broadcasts below both the
+    # aggregate and the probe, so only that brand's rows ever shuffle.
+    pf = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("__qc"),
+    )
+    branded = li.join(
+        F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    stats = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__qc").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        branded.join(stats, F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("__qc") * 5 * F.col("__n") < F.col("__s"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("revenue_e2"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_shipping_priority_topk(spark, sf_dir):
     # TPC-H Q3 shape: two selective joins + grouped revenue + top-10.
     # Revenue in exact decimal (price and discount are 2dp decimals, so
@@ -3933,6 +4107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_suppliers_waiting": q21_suppliers_waiting,
         "q20_volume_suppliers": q20_volume_suppliers,
         "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "q13_customer_order_counts": q13_customer_order_counts,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "approx_topk_check": q_approx_topk_check,
         "multimodal_image_meta": q_multimodal_image_meta,
         "countmin_check": q_countmin_check,
@@ -6878,6 +7058,79 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_regionkey IN (0, 1) "
             "AND s_suppkey IN (SELECT l_suppkey FROM cand) "
             "ORDER BY s_suppkey"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(l_discount AS DECIMAL(3,2))) * 10000 AS BIGINT) "
+            "AS revenue_e4, count(*) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 "
+            "AND l_quantity < 24"
+        ),
+        "q12_shipmode_priority": (
+            # returnflag plays shipmode; late = shipped >30 days after
+            # the order date (q4/q21 substitution)
+            "SELECT l_returnflag, "
+            "count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 END) AS high_line_count, "
+            "count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 END) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30 "
+            "AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01' "
+            "AND CAST(l_shipdate AS DATE) < DATE '1997-01-01' "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "q13_customer_order_counts": (
+            "WITH per AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '4-NOT SPECIFIED' "
+            "GROUP BY c_custkey) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "count(*) AS custdist FROM per GROUP BY c_count "
+            "ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q15_top_supplier": (
+            "WITH revenue AS (SELECT l_suppkey, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) "
+            "* 10000 AS BIGINT) AS total_rev_e4 FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+            "total_rev_e4 FROM revenue JOIN supplier "
+            "ON l_suppkey = s_suppkey "
+            "WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue) "
+            "ORDER BY s_suppkey"
+        ),
+        "q16_supplier_part_counts": (
+            "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "FROM lineitem), "
+            "bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM pairs JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#21' "
+            "AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22) "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM bad) "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "q17_small_quantity_revenue": (
+            # qty < 0.2 * avg(part qty)  <=>  5*qty_cents*n < sum_cents
+            # — integer-exact, no double average
+            "WITH branded AS (SELECT l_partkey, l_extendedprice, "
+            "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc "
+            "FROM lineitem WHERE l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')), "
+            "stats AS (SELECT l_partkey AS pk, "
+            "CAST(sum(qc) AS BIGINT) AS s, count(*) AS n FROM branded "
+            "GROUP BY 1) "
+            "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 "
+            "AS BIGINT) AS revenue_e2, count(*) AS n_rows "
+            "FROM branded JOIN stats ON l_partkey = pk "
+            "WHERE qc * 5 * n < s"
         ),
         "q2_min_cost_supplier": (
             # correlated scalar MIN decorrelated to a per-part aggregate

@@ -658,3 +658,21 @@ def test_q20_nested_semi_join_chain(spark):
     assert "BroadcastHashJoin" in plan
     # both lineitem aggregates run map-side partials
     assert "partial_sum" in plan
+
+
+def test_q13_left_outer_preserves_zero_customers(spark):
+    # the count distribution must include k=0 customers: LEFT OUTER (or
+    # RIGHT as planned by Catalyst), never an inner join; two-level agg
+    plan = _executed_plan(entrymod.q13_customer_order_counts(spark, SF_DIR))
+    assert "Outer" in plan, plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_brand_filter_below_both_aggregate_and_probe(spark):
+    # the brand semi-filter must prune lineitem BEFORE the per-part
+    # stats aggregate and the probe join — never aggregate all parts
+    plan = _executed_plan(entrymod.q17_small_quantity_revenue(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
