@@ -480,3 +480,129 @@ def zorder_layout(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    minimize_x: bool = True,
+    maximize_y: bool = True,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): the distinct ``(x, y)`` points not
+    dominated by any other point, with their multiplicity — e.g. "the
+    cheapest price ever achieved for each quantity level and better".
+
+    Point p dominates q when p is no worse in BOTH coordinates and
+    strictly better in at least one; equal points never dominate each
+    other, so exact duplicates of a frontier point all survive (as one
+    row with ``n`` > 1).
+
+    Plan (no global sort at any cardinality — the sweep-line rewritten
+    as the bucketed running max):
+
+    1. ``groupBy(x, y)`` histogram — ONE shuffle over distinct pairs,
+    2. per-x group max of y (map-side combinable),
+    3. range-bucket x; per-bucket maxes fold driver-side into <=B
+       EXCLUSIVE prefix offsets (the same literal-map shipping as the
+       rank statistics — no join under the window),
+    4. a window PARTITIONED BY bucket (ordered by x, rows up to
+       1 PRECEDING) plus the bucket offset gives each x the max y over
+       all STRICTLY smaller x,
+    5. keep (x, y) iff y beats that strict-prefix max AND y is its own
+       x-group's max.
+
+    Directions are handled by sign-flipping into the canonical
+    (minimize x, maximize y) form and flipping back on output, so one
+    code path serves all four quadrant orientations.  Both columns must
+    be numeric (cast money/quantities to integer cents upstream).
+
+    Extension — no reference counterpart; peers the OLAP family
+    (heavy_hitters/cube) as the multi-objective "best tradeoffs" digest.
+    """
+    sx = F.col(x_col) if minimize_x else -F.col(x_col)
+    sy = F.col(y_col) if maximize_y else -F.col(y_col)
+    hist = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            sx.cast("long").alias("__x"), sy.cast("long").alias("__y")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from ..pipeline._util import materialize_once
+
+    hist = materialize_once(hist)
+    stats = hist.agg(
+        F.min("__x").alias("lo"), F.max("__x").alias("hi")
+    ).first()
+    if stats["lo"] is None:
+        return hist.select(
+            (F.col("__x") if minimize_x else -F.col("__x")).alias(x_col),
+            (F.col("__y") if maximize_y else -F.col("__y")).alias(y_col),
+            "n",
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi == lo:
+        # single x value: frontier = that x's max y (plus duplicates)
+        gm = hist.agg(F.max("__y").alias("__gm"))
+        return (
+            hist.crossJoin(F.broadcast(gm))
+            .where(F.col("__y") == F.col("__gm"))
+            .select(
+                (F.col("__x") if minimize_x else -F.col("__x")).alias(x_col),
+                (F.col("__y") if maximize_y else -F.col("__y")).alias(y_col),
+                "n",
+            )
+        )
+    grp = (
+        hist.groupBy(F.col("__x").alias("__gx"))
+        .agg(F.max("__y").alias("__gm"))
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor(
+                    (F.col("__gx").cast("double") - lo)
+                    / (hi - lo)
+                    * n_buckets
+                ),
+                F.lit(n_buckets - 1),
+            ).cast("int"),
+        )
+    )
+    per_bucket = grp.groupBy("__b").agg(F.max("__gm").alias("m")).collect()
+    run, offsets = None, {}
+    for row in sorted(per_bucket, key=lambda r: r["__b"]):
+        offsets[int(row["__b"])] = run  # EXCLUSIVE prefix max
+        run = row["m"] if run is None else max(run, row["m"])
+    pairs = ", ".join(
+        f"{b}, {('CAST(NULL AS BIGINT)' if off is None else str(int(off)) + 'L')}"
+        for b, off in offsets.items()
+    )
+    off_expr = F.expr(f"element_at(map({pairs}), __b)")
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__gx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # greatest() ignores NULL operands (NULL only when both are), which
+    # is exactly the semantics for "no strictly-smaller x exists yet"
+    strict = grp.select(
+        "__gx",
+        "__gm",
+        F.greatest(F.max("__gm").over(w), off_expr).alias("__strict"),
+    )
+    keep = strict.where(
+        F.col("__strict").isNull() | (F.col("__gm") > F.col("__strict"))
+    ).select("__gx", "__gm")
+    return (
+        hist.join(
+            keep,
+            (F.col("__x") == F.col("__gx")) & (F.col("__y") == F.col("__gm")),
+        )
+        .select(
+            (F.col("__x") if minimize_x else -F.col("__x")).alias(x_col),
+            (F.col("__y") if maximize_y else -F.col("__y")).alias(y_col),
+            "n",
+        )
+    )

@@ -676,3 +676,11 @@ def test_q17_brand_filter_below_both_aggregate_and_probe(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_pareto_window_is_bucket_partitioned(spark):
+    # the sweep-line's running max must run per range-bucket (plus the
+    # literal offset map), never one global unpartitioned window
+    plan = _executed_plan(entrymod.q_pareto_frontier(spark, SF_DIR))
+    assert "windowspecdefinition(__b" in plan, plan
+    assert "CartesianProduct" not in plan

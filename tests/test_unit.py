@@ -1392,3 +1392,67 @@ class TestGroupedJsDivergence:
         assert got["ghost"]["jsd"] is None and got["ghost"]["n"] == 0
         with pytest.raises(ValueError, match="max_groups"):
             grouped_js_divergence(df, "v", "g", 0.0, 10.0, 5, max_groups=1)
+
+
+class TestSkyline2D:
+    @staticmethod
+    def _naive(points, better_x, better_y):
+        from collections import Counter
+
+        cnt = Counter(points)
+        pts = list(cnt)
+
+        def dominated(p):
+            return any(
+                better_x(q[0], p[0]) >= 0 and better_y(q[1], p[1]) >= 0
+                and q != p
+                for q in pts
+            )
+
+        return sorted(
+            (x, y, cnt[(x, y)]) for (x, y) in pts if not dominated((x, y))
+        )
+
+    def test_matches_naive_dominance(self, spark):
+        import random
+
+        from datajudge_spark.operators.olap import skyline_2d
+
+        rng = random.Random(3)
+        rows = [(rng.randrange(500), rng.randrange(500)) for _ in range(8000)]
+        rows += [(5, 490), (5, 490)]  # duplicate frontier point survives
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = sorted((r.x, r.y, r.n) for r in skyline_2d(df, "x", "y").collect())
+        want = self._naive(
+            rows, lambda a, b: b - a, lambda a, b: a - b
+        )  # min x, max y
+        assert got == want
+
+    def test_flipped_directions(self, spark):
+        import random
+
+        from datajudge_spark.operators.olap import skyline_2d
+
+        rng = random.Random(9)
+        rows = [(rng.randrange(200), rng.randrange(200)) for _ in range(3000)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = sorted(
+            (r.x, r.y, r.n)
+            for r in skyline_2d(
+                df, "x", "y", minimize_x=False, maximize_y=False
+            ).collect()
+        )
+        want = self._naive(
+            rows, lambda a, b: a - b, lambda a, b: b - a
+        )  # max x, min y
+        assert got == want
+
+    def test_single_x_and_empty(self, spark):
+        from datajudge_spark.operators.olap import skyline_2d
+
+        one = spark.createDataFrame([(7, 1), (7, 9), (7, 9)], "x long, y long")
+        assert sorted(
+            (r.x, r.y, r.n) for r in skyline_2d(one, "x", "y").collect()
+        ) == [(7, 9, 2)]
+        empty = spark.createDataFrame([], "x long, y long")
+        assert skyline_2d(empty, "x", "y").collect() == []
