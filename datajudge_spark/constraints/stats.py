@@ -549,6 +549,86 @@ class GiniMax(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class ParetoFrontierSize(Constraint):
+    """Tradeoff-shape gate: the number of DISTINCT non-dominated
+    ``(x, y)`` points (2-D skyline) must lie within
+    ``[min_points, max_points]``.  A collapsed frontier (1 point) means
+    one record dominates every tradeoff — usually an outlier or a unit
+    error; an exploded frontier means the tradeoff curve got noisy
+    (e.g. price/quantity discipline broke down between loads).
+    Extension, no reference counterpart; peers the Gini concentration
+    gate as a two-dimensional shape check.
+
+    Engine side is ``operators.olap.skyline_2d`` (bucketed running max,
+    no global sort); only the frontier rows reach the driver and only
+    their COUNT is judged.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_points: int | None = None,
+        min_points: int | None = None,
+        minimize_x: bool = True,
+        maximize_y: bool = True,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_points is None and min_points is None:
+            raise ValueError("Provide max_points and/or min_points.")
+        for label, v in (("max_points", max_points),
+                         ("min_points", min_points)):
+            if v is not None and v < 1:
+                raise ValueError(f"{label} must be >= 1.")
+        self._max_points = max_points
+        self._min_points = min_points
+        self._minimize_x = minimize_x
+        self._maximize_y = maximize_y
+        super().__init__(
+            ref,
+            ref_value=(max_points, min_points),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.olap import skyline_2d
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "ParetoFrontierSize requires exactly two columns: "
+                "(x_column, y_column)."
+            )
+        x_col, y_col = cols
+        frontier = skyline_2d(
+            self._ref.get_selection(engine),
+            x_col,
+            y_col,
+            minimize_x=self._minimize_x,
+            maximize_y=self._maximize_y,
+        ).collect()
+        n = len(frontier)
+        ok = True
+        if self._max_points is not None and n > self._max_points:
+            ok = False
+        if self._min_points is not None and n < self._min_points:
+            ok = False
+        if ok:
+            return TestResult.success()
+        direction = (
+            f"{'min' if self._minimize_x else 'max'} {x_col}, "
+            f"{'max' if self._maximize_y else 'min'} {y_col}"
+        )
+        assertion_text = (
+            f"Pareto frontier of ({direction}) on {self._ref} has "
+            f"{n} non-dominated point(s) — outside "
+            f"[{self._min_points or 1}, {self._max_points or 'inf'}]. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 class ChiSquaredIndependence(Constraint):
     """Pearson chi-squared independence test between two categorical
     columns of ONE data source: fails when independence is REJECTED at

@@ -292,6 +292,7 @@ def near_dup_pairs_ivf(
     nprobe: int = 2,
     v_id: str = "vid",
     v_vec: str = "vvec",
+    n_salts: int = 8,
 ) -> DataFrame:
     """(d1, d2, cos) near-duplicate pairs blocked on IVF cells with
     multi-probe assignment — the high-dimensional alternative to
@@ -316,20 +317,42 @@ def near_dup_pairs_ivf(
     pair it with the brute-force subset as in ``ivf_neardup_recall``.
     """
     cells = _query_cells(vectors, centroids, nprobe, v_id, v_vec)
-    tagged = vectors.join(cells, v_id)
-    a = tagged.select(
+    # norms computed ONCE per (vector, cell) row, not once per pair:
+    # cosine's three O(dim) folds per pair collapse to one (the dot) —
+    # a 3x cut of the dominating cost, value-identical since dot and
+    # norm are the same left-to-right double folds over the same values
+    tagged = vectors.join(cells, v_id).select(
         F.col("cell").alias("_blk"),
-        F.col(v_id).alias("d1"),
-        F.col(v_vec).alias("_v1"),
+        F.col(v_id).alias("_id"),
+        F.col(v_vec).alias("_v"),
+        _norm(v_vec).alias("_n"),
+    )
+    # The cell id alone gives at most |cells| join partitions — a
+    # handful of trained cells would leave most executors idle while
+    # the per-cell pair work is the quadratic hot loop.  Salting fixes
+    # the parallelism: side A hashes into n_salts subgroups, side B
+    # replicates across all of them (the standard skew-join split),
+    # so each cell's pair space spreads over n_salts tasks.  Pure
+    # repartitioning of the same pair set — value-identical.
+    a = tagged.select(
+        F.col("_blk"),
+        F.col("_id").alias("d1"),
+        F.col("_v").alias("_v1"),
+        F.col("_n").alias("_n1"),
+        F.pmod(F.xxhash64("_id"), F.lit(n_salts)).cast("int").alias("_g"),
     )
     b = tagged.select(
-        F.col("cell").alias("_blk"),
-        F.col(v_id).alias("d2"),
-        F.col(v_vec).alias("_v2"),
+        F.col("_blk"),
+        F.col("_id").alias("d2"),
+        F.col("_v").alias("_v2"),
+        F.col("_n").alias("_n2"),
+    ).withColumn(
+        "_g", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    pairs = a.join(b, "_blk").where(F.col("d1") < F.col("d2"))
+    pairs = a.join(b, ["_blk", "_g"]).where(F.col("d1") < F.col("d2"))
+    cos = _dot("_v1", "_v2") / (F.col("_n1") * F.col("_n2"))
     return (
-        pairs.select("d1", "d2", cosine("_v1", "_v2").alias("cos"))
+        pairs.select("d1", "d2", cos.alias("cos"))
         .where(F.col("cos") > threshold)
         .select("d1", "d2", F.round("cos", 6).alias("cos"))
         .distinct()

@@ -913,6 +913,42 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_pareto_frontier_size_constraint(
+        self,
+        x_column: str,
+        y_column: str,
+        max_points: int | None = None,
+        min_points: int | None = None,
+        minimize_x: bool = True,
+        maximize_y: bool = True,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the 2-D skyline of
+        ``(x_column, y_column)`` — the set of non-dominated tradeoff
+        points — must contain between ``min_points`` and ``max_points``
+        DISTINCT points.  A 1-point frontier usually means an outlier
+        dominates everything (unit error); an exploded frontier means
+        the tradeoff curve got noisy.  The sweep runs as a bucketed
+        running max (``operators.olap.skyline_2d``) — no global sort;
+        only the frontier reaches the driver and only its count is
+        judged."""
+        ref = DataReference(
+            self._data_source, [x_column, y_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.ParetoFrontierSize(
+                ref,
+                max_points=max_points,
+                min_points=min_points,
+                minimize_x=minimize_x,
+                maximize_y=maximize_y,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_grouped_ks_max_constraint(
         self,
         value_column: str,

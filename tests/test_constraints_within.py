@@ -930,3 +930,40 @@ class TestCusumStability:
         req = within_req(df, "allnull_cusum")
         req.add_cusum_stability_constraint("d", "v", max_relative=1.0)
         assert outcomes(req, spark) == [True]
+
+
+class TestParetoFrontierSize:
+    @staticmethod
+    def _points(spark):
+        # frontier of (min x, max y) = {(1, 9), (3, 12)}; (5, 7) and
+        # (4, 11) are dominated
+        rows = [(1, 9), (3, 12), (5, 7), (4, 11), (3, 12)]
+        return spark.createDataFrame(rows, "price long, qty long")
+
+    def test_within_bounds_passes(self, spark):
+        req = within_req(self._points(spark), "pareto_ok")
+        req.add_pareto_frontier_size_constraint(
+            "price", "qty", max_points=3, min_points=2
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_exploded_frontier_fails(self, spark):
+        req = within_req(self._points(spark), "pareto_max")
+        req.add_pareto_frontier_size_constraint("price", "qty", max_points=1)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "2 non-dominated" in results[0].failure_message
+
+    def test_collapsed_frontier_fails_min(self, spark):
+        df = spark.createDataFrame([(1, 9), (2, 8), (3, 7)], "price long, qty long")
+        req = within_req(df, "pareto_min")
+        # (1,9) dominates under (min price, max qty): frontier size 1
+        req.add_pareto_frontier_size_constraint("price", "qty", min_points=2)
+        assert outcomes(req, spark) == [False]
+
+    def test_validation(self, spark):
+        req = within_req(self._points(spark), "pareto_val")
+        with pytest.raises(ValueError):
+            req.add_pareto_frontier_size_constraint("price", "qty")
+        with pytest.raises(ValueError):
+            req.add_pareto_frontier_size_constraint("price", "qty", max_points=0)
