@@ -1904,6 +1904,50 @@ def q_ivf_neardup_recall(spark, sf_dir):
     )
 
 
+def q_density_core_points(spark, sf_dir):
+    # density classification for dedup: per-vector neighbor counts over
+    # the cell-blocked similarity graph, core/border/isolated verdicts.
+    # Same deterministic first-8 centroids as the ivf_neardup family.
+    from datajudge_spark.pipeline.similarity import density_core_points
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vvec")
+    )
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centvec")
+    )
+    return density_core_points(
+        vecs, cent, threshold=0.3, min_neighbors=2, nprobe=2
+    ).orderBy("vid")
+
+
+def q_grouped_heavy_hitters(spark, sf_dir):
+    # per-source language dominance: which languages hold >=10% of each
+    # source's documents — the corpus-mix dashboard digest. One (group,
+    # key) shuffle; group totals re-aggregate the counts frame and join
+    # back co-partitioned; integer-exact ppm cut.
+    from datajudge_spark.operators.olap import grouped_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_heavy_hitters(
+        docs, "source", "lang", min_share_ppm=100_000
+    ).orderBy("source", "lang")
+
+
+def q_weighted_sample(spark, sf_dir):
+    # fixed-size weighted corpus sample (Efraimidis-Spirakis A-Res with
+    # md5-derived uniforms): longer documents proportionally more
+    # likely, zero RNG state — the re-materialization-stable sampler a
+    # training pipeline needs. TakeOrderedAndProject, no global sort.
+    from datajudge_spark.pipeline.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", k=50
+    ).withColumnRenamed("key", "doc_id")
+
+
 def q_pareto_frontier(spark, sf_dir):
     # 2-D skyline over lineitem: the non-dominated (price, quantity)
     # tradeoffs — cheapest price per quantity level and better. The
@@ -4188,6 +4232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_volume_suppliers": q20_volume_suppliers,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "pareto_frontier": q_pareto_frontier,
+        "weighted_sample": q_weighted_sample,
+        "grouped_heavy_hitters": q_grouped_heavy_hitters,
+        "density_core_points": q_density_core_points,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q13_customer_order_counts": q13_customer_order_counts,
@@ -4957,6 +5004,26 @@ def _ivf_neardup_recall_sql() -> str:
         "THEN 1 END) AS DOUBLE) / count(t.d1) END, 6) AS recall "
         "FROM truth t FULL JOIN found f "
         "ON t.d1 = f.d1 AND t.d2 = f.d2"
+    )
+
+
+def _density_core_sql() -> str:
+    """Pair graph = the ivf_neardup construction; degrees from both
+    pair endpoints; LEFT join keeps isolated vectors."""
+    cos = _fold_cos_sql("a.vvec", "b.vvec")
+    return (
+        f"WITH {_ivf_neardup_cells_sql('')}, "
+        "pairs AS (SELECT DISTINCT a.vid AS d1, b.vid AS d2 "
+        "FROM tag a JOIN tag b ON a.cell = b.cell "
+        f"AND a.vid < b.vid WHERE {cos} > 0.3), "
+        "deg AS (SELECT v, count(*) AS n FROM ("
+        "SELECT d1 AS v FROM pairs "
+        "UNION ALL SELECT d2 AS v FROM pairs) GROUP BY 1) "
+        "SELECT vecs.vid AS vid, "
+        "CAST(COALESCE(deg.n, 0) AS BIGINT) AS n_neighbors, "
+        "COALESCE(deg.n, 0) >= 2 AS is_core "
+        "FROM vecs LEFT JOIN deg ON vecs.vid = deg.v "
+        "ORDER BY vid"
     )
 
 
@@ -7144,6 +7211,33 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_regionkey IN (0, 1) "
             "AND s_suppkey IN (SELECT l_suppkey FROM cand) "
             "ORDER BY s_suppkey"
+        ),
+        "density_core_points": _density_core_sql(),
+        "grouped_heavy_hitters": (
+            "WITH c AS (SELECT source, lang, count(*) AS n "
+            "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT source, sum(n) AS gt FROM c GROUP BY 1) "
+            "SELECT c.source AS source, c.lang AS lang, "
+            "CAST(c.n AS BIGINT) AS n, CAST(t.gt AS BIGINT) AS group_total, "
+            "round(CAST(c.n AS DOUBLE) / t.gt, 6) AS share "
+            "FROM c JOIN t ON c.source = t.source "
+            "WHERE c.n * 1000000 >= t.gt * 100000 "
+            "ORDER BY source, lang"
+        ),
+        "weighted_sample": (
+            # same md5-derived uniform, same ln(u)/w priority, same
+            # (priority DESC, key ASC) cut — ln/division are IEEE-
+            # identical cross-engine (mutual_information precedent)
+            "WITH base AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w, "
+            "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+            "AS UBIGINT) AS BIGINT) AS h FROM documents "
+            "WHERE doc_id IS NOT NULL AND n_chars > 0), "
+            "pri AS (SELECT doc_id, w, "
+            "ln((CAST(h AS DOUBLE) + 1.0) / 1152921504606846977.0) / w "
+            "AS p FROM base) "
+            "SELECT doc_id, w AS weight, round(p, 6) AS priority "
+            "FROM pri ORDER BY p DESC, doc_id ASC LIMIT 50"
         ),
         "pareto_frontier": (
             # same sweep as operators.olap.skyline_2d: per-x group max,

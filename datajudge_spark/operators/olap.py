@@ -64,6 +64,56 @@ def heavy_hitters(
     )
 
 
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    min_share_ppm: int,
+) -> DataFrame:
+    """Per-group exact heavy hitters: within EVERY group of
+    ``group_col``, the ``key_col`` values holding at least
+    ``min_share_ppm`` parts-per-million of THAT GROUP's rows — "which
+    sources are dominated by which users/keys", asked for all groups in
+    one pass.
+
+    One shuffle on (group, key); group totals re-aggregate the counts
+    frame (|group x key| rows, never the fact table) and join back on
+    the group key — a second tiny shuffle co-partitioned by group.  The
+    share cut is integer-exact (``n * 1e6 >= group_total * ppm``), the
+    same ulp-proof compare as :func:`heavy_hitters`.
+
+    Returns ``(group, key, n, group_total, share)``.
+    """
+    counts = df.where(
+        F.col(group_col).isNotNull() & F.col(key_col).isNotNull()
+    ).groupBy(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    from ..pipeline._util import materialize_once
+
+    counts = materialize_once(counts)
+    totals = counts.groupBy("grp").agg(
+        F.sum("n").alias("group_total")
+    )
+    return (
+        counts.join(totals, "grp")
+        .where(
+            F.col("n") * 1_000_000
+            >= F.col("group_total") * int(min_share_ppm)
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("key").alias(key_col),
+            "n",
+            F.col("group_total").cast("bigint").alias("group_total"),
+            F.round(
+                F.col("n").cast("double") / F.col("group_total"), 6
+            ).alias("share"),
+        )
+    )
+
+
 def latest_snapshot(
     df: DataFrame,
     keys: Sequence[str],

@@ -215,3 +215,53 @@ def group_split_counts(
     for name, col in (agg_cols or {}).items():
         aggs.append(col.alias(name))
     return df.groupBy(split.alias("split")).agg(*aggs)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: int | str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): each row draws a reproducible uniform ``u`` in
+    (0, 1] from the md5 hash of its key, gets priority ``ln(u) / w``,
+    and the ``k`` rows with the LARGEST priority form the sample —
+    distributionally identical to sequential weighted draws without
+    replacement, but embarrassingly parallel and replay-stable.
+
+    The training-data use case: sample a fixed-size corpus slice where
+    long/high-quality documents are proportionally more likely, without
+    an RNG whose state would make re-materialization non-reproducible.
+
+    Scale: ``orderBy(priority).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` (per-partition heaps; only k rows per
+    partition reach the driver-side merge) — no global sort.  The hash
+    is the engine-portable md5 fold (``text.md5_long``), and ln/division
+    are IEEE-identical cross-engine (same precedent as the
+    mutual-information / JS-divergence oracles), so the sampled SET is
+    oracle-checkable.  Rows with NULL keys or non-positive/NULL weights
+    are excluded (ln(u)/w flips sign for w < 0, silently corrupting the
+    ranking — exclusion is the only safe semantics).
+
+    Returns ``(key, weight, priority)`` with priority rounded to 6dp.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1.")
+    two60 = float(2**60)
+    base = df.where(
+        F.col(key_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("double").alias("weight"),
+        md5_long(F.col(key_col).cast("string"), salt=salt).alias("__h"),
+    )
+    u = (F.col("__h").cast("double") + 1.0) / F.lit(two60 + 1.0)
+    pri = F.log(u) / F.col("weight")
+    return (
+        base.select("key", "weight", pri.alias("__p"))
+        .orderBy(F.col("__p").desc(), F.col("key").asc())
+        .limit(k)
+        .select("key", "weight", F.round("__p", 6).alias("priority"))
+    )

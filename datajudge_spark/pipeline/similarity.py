@@ -359,6 +359,57 @@ def near_dup_pairs_ivf(
     )
 
 
+def density_core_points(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    min_neighbors: int = 3,
+    nprobe: int = 2,
+    v_id: str = "vid",
+    v_vec: str = "vvec",
+) -> DataFrame:
+    """DBSCAN-style density classification of an embedding corpus:
+    ``(vid, n_neighbors, is_core)`` where a vector's neighbors are the
+    cell-blocked cosine matches above ``threshold``
+    (:func:`near_dup_pairs_ivf`) and core points have at least
+    ``min_neighbors`` of them.
+
+    The density-dedup primitive: near-duplicate CLUSTERS keep one core
+    representative, isolated points (n=0) pass through untouched, and
+    border points (0 < n < min_neighbors) are the review set.  The
+    neighbor graph inherits the IVF blocking's measured-recall tradeoff
+    (`ivf_neardup_recall`) — counts are a lower bound, biased the safe
+    direction for dedup (a missed edge keeps a document, never drops
+    one).
+
+    Scale: the pair space is the salted cell-blocked join (never
+    all-pairs), degree counting is one groupBy over the pair list, and
+    the final LEFT join back to the id projection shuffles ids only.
+    """
+    pairs = near_dup_pairs_ivf(
+        vectors, centroids, threshold, nprobe, v_id, v_vec
+    )
+    deg = (
+        pairs.select(F.col("d1").alias("_nid"))
+        .unionAll(pairs.select(F.col("d2").alias("_nid")))
+        .groupBy("_nid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        vectors.select(F.col(v_id))
+        .join(deg, F.col(v_id) == F.col("_nid"), "left_outer")
+        .select(
+            F.col(v_id),
+            F.coalesce(F.col("__n"), F.lit(0))
+            .cast("bigint")
+            .alias("n_neighbors"),
+            (
+                F.coalesce(F.col("__n"), F.lit(0)) >= min_neighbors
+            ).alias("is_core"),
+        )
+    )
+
+
 def pq_codebook(
     vectors: DataFrame,
     n_codes: int = 16,

@@ -1370,3 +1370,85 @@ class TestMinhashJaccardEstimate:
         )
         r = minhash_jaccard_estimate(df, "doc_id", "text").first()
         assert (r["est"], r["exact"], r["abs_err"]) == (1.0, 1.0, 0.0)
+
+
+class TestWeightedSample:
+    def test_favors_heavy_weights_and_is_deterministic(self, spark):
+        from datajudge_spark.pipeline.sampling import weighted_sample
+
+        # 100 heavy keys (w=50) among 900 light (w=1): a k=100 draw
+        # should be dominated by heavy keys (E[heavy] ~ 85 under A-Res;
+        # uniform would give ~10) — and identical on every run
+        rows = [(i, 50 if i < 100 else 1) for i in range(1000)]
+        df = spark.createDataFrame(rows, "k long, w long")
+        got1 = [r.key for r in weighted_sample(df, "k", "w", k=100).collect()]
+        got2 = [
+            r.key
+            for r in weighted_sample(
+                df.repartition(7), "k", "w", k=100
+            ).collect()
+        ]
+        assert got1 == got2, "must be partition- and run-stable"
+        heavy = sum(1 for k in got1 if k < 100)
+        assert heavy > 50, f"heavy keys under-sampled: {heavy}/100"
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from datajudge_spark.pipeline.sampling import weighted_sample
+
+        rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)]
+        df = spark.createDataFrame(rows, "k long, w double")
+        got = {r.key for r in weighted_sample(df, "k", "w", k=10).collect()}
+        assert got == {1, 5}
+
+    def test_salt_gives_independent_draw(self, spark):
+        from datajudge_spark.pipeline.sampling import weighted_sample
+
+        rows = [(i, 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "k long, w long")
+        a = {r.key for r in weighted_sample(df, "k", "w", k=50).collect()}
+        b = {
+            r.key
+            for r in weighted_sample(df, "k", "w", k=50, salt=1).collect()
+        }
+        assert a != b
+        # both are valid 50-element draws
+        assert len(a) == len(b) == 50
+
+
+class TestDensityCorePoints:
+    def test_cluster_members_core_isolated_not(self, spark):
+        import numpy as np
+
+        from datajudge_spark.pipeline import similarity
+
+        rng = np.random.default_rng(11)
+        bases = rng.normal(size=(3, 12))
+        bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for c in range(3):  # 3 tight clusters of 5
+            for _ in range(5):
+                v = bases[c] + rng.normal(scale=0.02, size=12)
+                v /= np.linalg.norm(v)
+                rows.append(Row(vid=vid, vvec=[float(x) for x in v]))
+                vid += 1
+        for _ in range(3):  # isolated noise
+            v = rng.normal(size=12)
+            v /= np.linalg.norm(v)
+            rows.append(Row(vid=vid, vvec=[float(x) for x in v]))
+            vid += 1
+        vecs = spark.createDataFrame(rows)
+        cent = vecs.where("vid IN (0, 5, 10, 15)").select(
+            F.col("vid").alias("cell"), F.col("vvec").alias("centvec")
+        )
+        got = {
+            r.vid: (r.n_neighbors, r.is_core)
+            for r in similarity.density_core_points(
+                vecs, cent, threshold=0.95, min_neighbors=3, nprobe=4
+            ).collect()
+        }
+        assert len(got) == 18  # isolated points present with n=0
+        for v in range(15):
+            assert got[v] == (4, True), (v, got[v])
+        for v in range(15, 18):
+            assert got[v][0] == 0 and got[v][1] is False
