@@ -666,3 +666,76 @@ class TestJsDivergenceProperty:
         ba = js_divergence(db, da, "v", 0.0, 100.0, 10).first()["jsd"]
         assert 0.0 - 1e-9 <= ab <= math.log(2) + 1e-9
         assert ab == pytest.approx(ba, abs=1e-9)  # symmetric by construction
+
+
+class TestSkylineProperty:
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=60,
+        ),
+        flip_x=st.booleans(),
+        flip_y=st.booleans(),
+    )
+    @settings(**SETTINGS)
+    def test_matches_naive_dominance(self, spark, pts, flip_x, flip_y):
+        from collections import Counter
+
+        from datajudge_spark.operators.olap import skyline_2d
+
+        min_x, max_y = not flip_x, not flip_y
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = sorted(
+            (r.x, r.y, r.n)
+            for r in skyline_2d(
+                df, "x", "y", minimize_x=min_x, maximize_y=max_y
+            ).collect()
+        )
+        cnt = Counter(pts)
+
+        def dominated(p):
+            for q in cnt:
+                if q == p:
+                    continue
+                bx = q[0] <= p[0] if min_x else q[0] >= p[0]
+                by = q[1] >= p[1] if max_y else q[1] <= p[1]
+                if bx and by:
+                    return True
+            return False
+
+        want = sorted(
+            (x, y, cnt[(x, y)]) for (x, y) in cnt if not dominated((x, y))
+        )
+        assert got == want
+
+
+class TestNonNumericPercentileProperty:
+    @given(
+        vals=st.lists(
+            st.text(
+                alphabet="abXY é",  # multibyte char included
+                min_size=0,
+                max_size=10,
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        p=st.sampled_from([1.0, 25.0, 50.0, 75.0, 100.0]),
+    )
+    @settings(**SETTINGS)
+    def test_string_percentile_matches_sorted_rule(self, spark, vals, p):
+        from datajudge_spark.operators.scalars import exact_percentile_df
+
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        got = exact_percentile_df(df, "v", p).first()["value"]
+        # reference rule on UTF-8 byte order (Spark's string ordering):
+        # smallest v with >= p% of values <= v
+        ordered = sorted(vals, key=lambda s: s.encode("utf-8"))
+        n = len(ordered)
+        want = next(
+            v
+            for i, v in enumerate(ordered, start=1)
+            if i * 100 >= p * n
+        )
+        assert got == want, (p, ordered)
