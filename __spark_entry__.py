@@ -1695,6 +1695,64 @@ def q_streaming_cusum(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_streaming_psi_buckets(spark, sf_dir):
+    """Seventh streaming contract query: the streaming half of PSI
+    drift monitoring — watermarked per-day fixed-bucket value
+    histograms (``windowed_value_buckets``), drained with availableNow.
+    Complete-mode drain emits every (window, bucket) once; the digest
+    equals the batch GROUP BY over the SAME pure-arithmetic bucket
+    expression (``operators.stats.value_bucket``) — the oracle.  State
+    is (window x n_buckets) counters bounded by the watermark."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stream_parquet_like,
+        windowed_value_buckets,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_psi_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw).withColumn(
+        "event_ts", F.col("ts").cast("timestamp")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    out = windowed_value_buckets(
+        ev, "event_ts", "value", lo=0.0, hi=500.0, n_buckets=10,
+        window="1 day", watermark="1 hour",
+    )
+    qname = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    try:
+        query = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out_df = spark.table(qname).select(
+        F.col("win.start").cast("date").alias("day"),
+        "bucket",
+        F.col("n").cast("bigint").alias("n"),
+    )
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_embedding_norm_stats(spark, sf_dir):
     # per-label L2-norm health check before cosine dedup/ANN: map-only
     # fold + one partial-agg'd shuffle. Per-row norm is the standard
@@ -1902,6 +1960,16 @@ def q_ivf_neardup_recall(spark, sf_dir):
             6,
         ).alias("recall"),
     )
+
+
+def q_vocab_stats(spark, sf_dir):
+    # corpus vocabulary health: total/distinct/hapax token counts and
+    # Zipf-tail ratios in one explode + token groupBy (map-side
+    # partials; only distinct tokens shuffle).
+    from datajudge_spark.pipeline.text import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_stats(docs, "text")
 
 
 def q_density_core_points(spark, sf_dir):
@@ -4235,6 +4303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "density_core_points": q_density_core_points,
+        "vocab_stats": q_vocab_stats,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q13_customer_order_counts": q13_customer_order_counts,
@@ -4379,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_stateful_counts": q_streaming_stateful_counts,
         "streaming_cusum": q_streaming_cusum,
+        "streaming_psi_buckets": q_streaming_psi_buckets,
         "functional_dependency": q_functional_dependency,
         "except_distinct": q_except_distinct,
         "text_quality": q_text_quality,
@@ -5932,6 +6002,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
             "count(*) AS n_rows FROM events GROUP BY 1, 2"
         ),
+        "streaming_psi_buckets": (
+            # same pure-arithmetic bucket expression as
+            # operators.stats.value_bucket (lo=0, hi=500, 10 buckets)
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) "
+            "/ 50.0) AS BIGINT), 0), 9) AS bucket, "
+            "count(*) AS n FROM events WHERE value IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
         "cohort_retention": (
             "WITH first AS (SELECT user_id, "
             "date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1), "
@@ -7213,6 +7292,21 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY s_suppkey"
         ),
         "density_core_points": _density_core_sql(),
+        "vocab_stats": (
+            "WITH toks AS (SELECT unnest(string_split_regex(trim(text), "
+            "'\\s+')) AS tok FROM documents WHERE text IS NOT NULL), "
+            "per AS (SELECT tok, count(*) AS n FROM toks "
+            "WHERE tok <> '' GROUP BY 1), "
+            "agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens, "
+            "count(*) AS n_types, "
+            "count(CASE WHEN n = 1 THEN 1 END) AS n_hapax FROM per), "
+            "d AS (SELECT count(*) AS n_docs FROM documents "
+            "WHERE text IS NOT NULL) "
+            "SELECT n_docs, n_tokens, n_types, n_hapax, "
+            "round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac, "
+            "round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr "
+            "FROM d, agg"
+        ),
         "grouped_heavy_hitters": (
             "WITH c AS (SELECT source, lang, count(*) AS n "
             "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL "

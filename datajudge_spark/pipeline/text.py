@@ -597,3 +597,45 @@ def boilerplate_ngrams(
         out = agg.where(F.col("n_docs") >= min_docs)
         order = [F.desc("n_docs"), F.asc("s")]
     return out.orderBy(*order).limit(k)
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary digest as one row: ``(n_docs, n_tokens,
+    n_types, n_hapax, hapax_frac, ttr)`` — document count, total
+    whitespace tokens, distinct token types, types occurring exactly
+    once, the hapax fraction (Zipf-tail health: a corpus whose hapax
+    share collapses is template/boilerplate-heavy; one that explodes is
+    OCR-noise/shredded-encoding-heavy), and the corpus-level type-token
+    ratio.
+
+    One explode -> token groupBy (the only shuffle, over distinct
+    tokens after map-side partial counts) -> 1-row aggregate; doc count
+    rides a separate tiny aggregate combined by a 1x1 cross join.
+    Ratios are doubles over exact integer counts, rounded to 6dp.
+    """
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    per_type = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    agg = per_type.agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
+    )
+    docs = df.where(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return docs.crossJoin(F.broadcast(agg)).select(
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types"), 6
+        ).alias("hapax_frac"),
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens"), 6
+        ).alias("ttr"),
+    )
