@@ -3292,8 +3292,11 @@ def q10_returned_items(spark, sf_dir):
         li.where(F.col("l_returnflag") == "R")
         .join(
             o.where(
-                (F.col("o_orderdate") >= F.lit("1993-10-01").cast("date"))
-                & (F.col("o_orderdate") < F.lit("1994-01-01").cast("date"))
+                # one quarter inside the synthetic data's 1995-2001 date
+                # domain (the spec's 1993Q4 window is empty here and made
+                # the oracle check vacuous)
+                (F.col("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
             ),
             li.l_orderkey == o.o_orderkey,
         )
@@ -3925,6 +3928,68 @@ def q20_volume_suppliers(spark, sf_dir):
     )
 
 
+def q8_market_share(spark, sf_dir):
+    # TPC-H Q8 shape: national market share — NATION_15's slice of the
+    # AMERICA-region PROMO-part market by order year.  The nation table
+    # joins in TWO roles (supplier side for the share numerator,
+    # customer side for the region gate); the share is a conditional
+    # sum over ONE aggregated pass — numerator and denominator never
+    # scan the fact twice.  Exact: bigint cent volumes, 6dp share.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    cn = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    ec, dc = _cents("l_extendedprice"), _cents("l_discount")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    vol = dec(ec) * (100 - dec(dc))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(vol).cast("bigint").alias("total_volume_scaled"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_15", vol).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            )
+            .cast("bigint")
+            .alias("nation_volume_scaled"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.round(
+                F.col("nation_volume_scaled").cast("double")
+                / F.col("total_volume_scaled").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 def q2_min_cost_supplier(spark, sf_dir):
     # TPC-H Q2 shape: correlated scalar MIN subquery — for each
     # qualifying part, the supplier(s) in a region achieving the
@@ -4299,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_suppliers_waiting": q21_suppliers_waiting,
         "q20_volume_suppliers": q20_volume_suppliers,
         "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q8_market_share": q8_market_share,
         "pareto_frontier": q_pareto_frontier,
         "weighted_sample": q_weighted_sample,
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
@@ -6860,8 +6926,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "WHERE l.l_returnflag = 'R' "
-            "AND o.o_orderdate >= DATE '1993-10-01' "
-            "AND o.o_orderdate < DATE '1994-01-01' "
+            "AND o.o_orderdate >= DATE '1995-10-01' "
+            "AND o.o_orderdate < DATE '1996-01-01' "
             "GROUP BY c.c_custkey, n.n_name "
             "ORDER BY revenue_scaled DESC, custkey LIMIT 20"
         ),
@@ -7290,6 +7356,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_regionkey IN (0, 1) "
             "AND s_suppkey IN (SELECT l_suppkey FROM cand) "
             "ORDER BY s_suppkey"
+        ),
+        "q8_market_share": (
+            "WITH flat AS (SELECT CAST(year(o.o_orderdate) AS INT) "
+            "AS o_year, sn.n_name AS supp_nation, "
+            "CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT) AS HUGEINT) * (100 - CAST(CAST(l.l_discount "
+            "AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vol "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+            "WHERE l.l_partkey IN (SELECT p_partkey FROM part "
+            "WHERE p_type = 'PROMO') "
+            "AND c.c_nationkey IN (SELECT n_nationkey FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'AMERICA') "
+            "AND o.o_orderdate >= DATE '1995-01-01' "
+            "AND o.o_orderdate < DATE '1997-01-01') "
+            "SELECT o_year, "
+            "CAST(sum(vol) AS BIGINT) AS total_volume_scaled, "
+            "CAST(sum(CASE WHEN supp_nation = 'NATION_15' THEN vol "
+            "ELSE 0 END) AS BIGINT) AS nation_volume_scaled, "
+            "round(CAST(sum(CASE WHEN supp_nation = 'NATION_15' THEN vol "
+            "ELSE 0 END) AS DOUBLE) / CAST(sum(vol) AS DOUBLE), 6) "
+            "AS mkt_share FROM flat GROUP BY o_year"
         ),
         "density_core_points": _density_core_sql(),
         "vocab_stats": (

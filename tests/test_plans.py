@@ -684,3 +684,14 @@ def test_pareto_window_is_bucket_partitioned(spark):
     plan = _executed_plan(entrymod.q_pareto_frontier(spark, SF_DIR))
     assert "windowspecdefinition(__b" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q8_single_pass_share_two_nation_roles(spark):
+    # numerator and denominator come from ONE aggregated pass (a
+    # conditional sum) — exactly one aggregate pair over the fact, the
+    # part and region gates as broadcast LEFT SEMIs below it
+    plan = _executed_plan(entrymod.q8_market_share(spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
