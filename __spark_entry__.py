@@ -1972,6 +1972,20 @@ def q_vocab_stats(spark, sf_dir):
     return vocab_stats(docs, "text")
 
 
+def q_bm25_topk(spark, sf_dir):
+    # corpus retrieval: Okapi BM25 top-10 documents for a fixed query
+    # bag.  The query-term filter prunes the exploded tokens BEFORE the
+    # (doc, term) shuffle; df and (N, avgdl) broadcast; per-term scores
+    # round at 1e-6 and sum as bigint (order-independent); top-10 is
+    # TakeOrderedAndProject.
+    from datajudge_spark.pipeline.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", ["hash", "vector", "stream"], k=10
+    )
+
+
 def q_density_core_points(spark, sf_dir):
     # density classification for dedup: per-vector neighbor counts over
     # the cell-blocked similarity graph, core/border/isolated verdicts.
@@ -4370,6 +4384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_heavy_hitters": q_grouped_heavy_hitters,
         "density_core_points": q_density_core_points,
         "vocab_stats": q_vocab_stats,
+        "bm25_topk": q_bm25_topk,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q13_customer_order_counts": q13_customer_order_counts,
@@ -7397,6 +7412,27 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac, "
             "round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr "
             "FROM d, agg"
+        ),
+        "bm25_topk": (
+            # identical IEEE expression shape/order as the Spark side;
+            # per-term scores rounded at 1e-6 and summed as BIGINT so
+            # the per-doc total is summation-order independent
+            "WITH toks AS (SELECT doc_id AS _id, "
+            "unnest(string_split_regex(trim(text), '\\s+')) AS term "
+            "FROM documents WHERE text IS NOT NULL), "
+            "dl AS (SELECT _id, count(*) AS dl FROM toks GROUP BY 1), "
+            "tf AS (SELECT _id, term, count(*) AS tf FROM toks "
+            "WHERE term IN ('hash', 'vector', 'stream') GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, count(*) AS _df FROM tf GROUP BY 1), "
+            "scal AS (SELECT count(*) AS _n, avg(dl) AS _avgdl FROM dl), "
+            "scored AS (SELECT _id, CAST(round("
+            "ln((_n - _df + 0.5) / (_df + 0.5) + 1.0) "
+            "* ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 "
+            "+ 0.75 * dl / _avgdl))) * 1000000.0, 0) AS BIGINT) AS se6 "
+            "FROM tf JOIN dfreq USING (term) JOIN dl USING (_id), scal) "
+            "SELECT _id AS doc_id, CAST(sum(se6) AS BIGINT) AS score_e6, "
+            "count(*) AS n_terms FROM scored GROUP BY 1 "
+            "ORDER BY score_e6 DESC, doc_id ASC LIMIT 10"
         ),
         "grouped_heavy_hitters": (
             "WITH c AS (SELECT source, lang, count(*) AS n "

@@ -639,3 +639,76 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("n_types").cast("double") / F.col("n_tokens"), 6
         ).alias("ttr"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents for a fixed bag of query terms.
+
+    ``score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))``
+    with the standard "+1" idf ``ln((N−df+0.5)/(df+0.5) + 1)``.
+
+    Plan shape at corpus scale:
+
+    - the query-term ``isin`` filter prunes the exploded tokens BEFORE
+      the (doc, term) shuffle, so tf state is |docs|·|Q|, not |corpus|;
+    - document lengths are one partial-agg pass keyed by doc; the
+      doc-frequency and (N, avgdl) frames are |Q|-row / 1-row
+      broadcasts;
+    - per-term scores are rounded at 1e-6 and summed as BIGINT so the
+      per-doc total is summation-order independent (ln is a libm call —
+      ranking raw doubles would be engine-dependent in the last ulp);
+    - the top-k compiles to TakeOrderedAndProject (per-partition heaps,
+      no global sort), tiebroken by doc id.
+
+    Returns ``(id_col, score_e6, n_terms)`` — the scaled-integer score
+    and how many distinct query terms the document matched.
+    """
+    from datajudge_spark.pipeline._util import spread
+
+    qt = [str(t) for t in query_terms]
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.where(F.col("term").isin(qt))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scal = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    tfpart = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "_id",
+            F.round(idf * tfpart * 1e6, 0).cast("bigint").alias("se6"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.sum("se6").cast("bigint").alias("score_e6"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "score_e6", "n_terms")
+    )

@@ -1452,3 +1452,54 @@ class TestDensityCorePoints:
             assert got[v] == (4, True), (v, got[v])
         for v in range(15, 18):
             assert got[v][0] == 0 and got[v][1] is False
+
+
+class TestBM25TopK:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from datajudge_spark.pipeline.text import bm25_topk
+
+        corpus = {
+            1: "hash join hash scan",
+            2: "vector vector vector sort",
+            3: "merge sort scan filter",
+            4: "hash vector",
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in corpus.items()], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (r["score_e6"], r["n_terms"])
+            for r in bm25_topk(
+                df, "doc_id", "text", ["hash", "vector"], k=10
+            ).collect()
+        }
+        # hand BM25: N=4, avgdl=14/4, df(hash)=2, df(vector)=2
+        n, avgdl, k1, b = 4, 14 / 4, 1.2, 0.75
+        tfs = {1: {"hash": 2}, 2: {"vector": 3}, 4: {"hash": 1, "vector": 1}}
+        dls = {1: 4, 2: 4, 3: 4, 4: 2}
+        want = {}
+        for d, terms in tfs.items():
+            se6 = 0
+            for t, tf in terms.items():
+                idf = math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0)
+                s = idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dls[d] / avgdl)
+                )
+                se6 += round(s * 1e6)
+            want[d] = (se6, len(terms))
+        assert got == want  # doc 3 matches nothing and must be absent
+
+    def test_topk_cut_deterministic_tiebreak(self, spark):
+        from datajudge_spark.pipeline.text import bm25_topk
+
+        # 6 identical docs tie exactly; k=3 must keep the 3 smallest ids
+        df = spark.createDataFrame(
+            [(i, "hash scan") for i in range(6)], ["doc_id", "text"]
+        )
+        ids = [
+            r["doc_id"]
+            for r in bm25_topk(df, "doc_id", "text", ["hash"], k=3).collect()
+        ]
+        assert ids == [0, 1, 2]

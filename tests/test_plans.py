@@ -695,3 +695,15 @@ def test_q8_single_pass_share_two_nation_roles(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_bm25_query_filter_before_shuffle_and_takeordered(spark):
+    # the query-term isin filter must prune the exploded tokens BEFORE
+    # the (doc, term) aggregate; df/(N, avgdl) broadcast; top-k is
+    # per-partition heaps — never a global sort
+    plan = _executed_plan(entrymod.q_bm25_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "term#" in plan and " IN (hash,vector,stream)" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
