@@ -3734,6 +3734,41 @@ def q_weekly_seasonality(spark, sf_dir):
     return seasonality_strength(daily, "cents", period=7)
 
 
+def q_grouped_ols_trend(spark, sf_dir):
+    # per-priority revenue trend holding the weekend effect out:
+    # daily cents ~ b0 + b1·daynum + b2·is_weekend, solved per group by
+    # Cramer on ONE pass of decimal-exact sufficient statistics
+    # (operators.timeseries.grouped_ols2).  Weekday phase is epoch-day
+    # mod 7 (engine-portable; dayofweek() origins differ).
+    from datajudge_spark.operators.timeseries import grouped_ols2
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+        .select(
+            "prio",
+            F.datediff(
+                F.col("day"), F.lit("1992-01-01").cast("date")
+            ).alias("dnum"),
+            F.pmod(
+                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+                F.lit(7),
+            )
+            .isin(2, 3)
+            .cast("int")
+            .alias("wkend"),
+            "cents",
+        )
+    )
+    return grouped_ols2(daily, "prio", "dnum", "wkend", "cents").select(
+        F.col("grp").alias("prio"), "n", "beta0", "beta1", "beta2", "r2"
+    )
+
+
 def q4_order_priority(spark, sf_dir):
     # TPC-H Q4 shape: date-windowed orders semi-joined to late lineitems
     # (EXISTS with a correlated range predicate), counted by priority.
@@ -4374,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q18_large_orders": q18_large_orders,
         "weekly_seasonality": q_weekly_seasonality,
+        "grouped_ols_trend": q_grouped_ols_trend,
         # round-5 additions (need their first driver row)
         "q21_suppliers_waiting": q21_suppliers_waiting,
         "q20_volume_suppliers": q20_volume_suppliers,
@@ -7584,6 +7620,63 @@ def oracle_sql() -> dict[str, str]:
         # phase order (list ORDER BY p + list_reduce), mirroring the
         # operator's driver fold — a set-ordered double sum differs in
         # its last ulp
+        "grouped_ols_trend": (
+            # identical double expression shape as grouped_ols2: Cramer
+            # on doubles converted ONCE from decimal-exact integer sums
+            "WITH daily AS (SELECT o_orderpriority AS prio, "
+            "CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY 1, 2), "
+            "feat AS (SELECT prio, (day - DATE '1992-01-01') AS dnum, "
+            "CASE WHEN ((day - DATE '1970-01-01') % 7) IN (2, 3) "
+            "THEN 1 ELSE 0 END AS wkend, cents FROM daily), "
+            "st AS (SELECT prio, count(*) AS n, "
+            "sum(CAST(dnum AS DECIMAL(38,0))) AS s1, "
+            "sum(CAST(wkend AS DECIMAL(38,0))) AS s2, "
+            "sum(CAST(cents AS DECIMAL(38,0))) AS sy, "
+            "sum(CAST(CAST(dnum AS DECIMAL(19,0)) * dnum "
+            "AS DECIMAL(38,0))) AS s11, "
+            "sum(CAST(CAST(dnum AS DECIMAL(19,0)) * wkend "
+            "AS DECIMAL(38,0))) AS s12, "
+            "sum(CAST(CAST(wkend AS DECIMAL(19,0)) * wkend "
+            "AS DECIMAL(38,0))) AS s22, "
+            "sum(CAST(CAST(dnum AS DECIMAL(19,0)) * cents "
+            "AS DECIMAL(38,0))) AS s1y, "
+            "sum(CAST(CAST(wkend AS DECIMAL(19,0)) * cents "
+            "AS DECIMAL(38,0))) AS s2y, "
+            "sum(CAST(CAST(cents AS DECIMAL(19,0)) * cents "
+            "AS DECIMAL(38,0))) AS syy FROM feat GROUP BY 1), "
+            "dd AS (SELECT prio, n, CAST(n AS DOUBLE) AS nd, "
+            "CAST(s1 AS DOUBLE) AS v1, CAST(s2 AS DOUBLE) AS v2, "
+            "CAST(sy AS DOUBLE) AS vy, CAST(s11 AS DOUBLE) AS v11, "
+            "CAST(s12 AS DOUBLE) AS v12, CAST(s22 AS DOUBLE) AS v22, "
+            "CAST(s1y AS DOUBLE) AS v1y, CAST(s2y AS DOUBLE) AS v2y, "
+            "CAST(syy AS DOUBLE) AS vyy FROM st), "
+            "sol AS (SELECT prio, n, nd, v1, v2, vy, v1y, v2y, vyy, "
+            "nd * (v11 * v22 - v12 * v12) - v1 * (v1 * v22 - v12 * v2) "
+            "+ v2 * (v1 * v12 - v11 * v2) AS det, "
+            "vy * (v11 * v22 - v12 * v12) - v1 * (v1y * v22 - v12 * v2y) "
+            "+ v2 * (v1y * v12 - v11 * v2y) AS det0, "
+            "nd * (v1y * v22 - v12 * v2y) - vy * (v1 * v22 - v12 * v2) "
+            "+ v2 * (v1 * v2y - v1y * v2) AS det1, "
+            "nd * (v11 * v2y - v1y * v12) - v1 * (v1 * v2y - v1y * v2) "
+            "+ vy * (v1 * v12 - v11 * v2) AS det2 FROM dd), "
+            "fin AS (SELECT prio, n, det, "
+            "vyy - ((det0 / det) * vy + (det1 / det) * v1y "
+            "+ (det2 / det) * v2y) AS sse, "
+            "vyy - vy * vy / nd AS sst, "
+            "det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 "
+            "FROM sol) "
+            "SELECT prio, CAST(n AS BIGINT) AS n, "
+            "CASE WHEN det <> 0 AND sst <> 0 THEN round(b0, 6) END "
+            "AS beta0, "
+            "CASE WHEN det <> 0 AND sst <> 0 THEN round(b1, 6) END "
+            "AS beta1, "
+            "CASE WHEN det <> 0 AND sst <> 0 THEN round(b2, 6) END "
+            "AS beta2, "
+            "CASE WHEN det <> 0 AND sst <> 0 THEN "
+            "round(1.0 - sse / sst, 6) END AS r2 FROM fin"
+        ),
         "weekly_seasonality": (
             "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "

@@ -1162,6 +1162,122 @@ class GroupedTrendSlopeBetween(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class GroupedOls2SlopeBetween(Constraint):
+    """Per-group CONTROLLED-trend gate: each group's OLS coefficient on
+    ``x1_column``, fit jointly with ``x2_column`` and an intercept
+    (``operators.timeseries.grouped_ols2``), must lie within
+    [min_beta1, max_beta1]; optionally the fit's R² must reach
+    ``min_r2``.  The multi-feature companion to
+    :class:`GroupedTrendSlopeBetween` — "is the metric still growing
+    once the confounder (weekend flag, promo flag) is held out?" is a
+    two-regressor question a simple slope cannot answer.  Extension, no
+    reference counterpart.
+
+    Engine side: ONE aggregate pass of decimal-exact sufficient
+    statistics per group, Cramer's-rule solve in the projection; one
+    row per group reaches the driver.  Degenerate groups (singular
+    normal matrix / zero y-variance) come back NULL and fail
+    explicitly.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        min_beta1: float | None = None,
+        max_beta1: float | None = None,
+        min_r2: float | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if min_beta1 is None and max_beta1 is None and min_r2 is None:
+            raise ValueError(
+                "Provide min_beta1 and/or max_beta1 and/or min_r2."
+            )
+        self._min_beta1, self._max_beta1 = min_beta1, max_beta1
+        self._min_r2 = min_r2
+        super().__init__(
+            ref,
+            ref_value=(min_beta1, max_beta1, min_r2),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import grouped_ols2
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 4:
+            raise ValueError(
+                "GroupedOls2SlopeBetween requires exactly four columns: "
+                "(x1_column, x2_column, value_column, group_column)."
+            )
+        x1_col, x2_col, value_col, group_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(x1_col).isNotNull()
+            & F.col(x2_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        out = grouped_ols2(df, group_col, x1_col, x2_col, value_col).collect()
+        if not out:
+            return TestResult.failure(
+                f"Grouped OLS of {cols} on {self._ref} is undefined: "
+                "the selection is empty. ",
+                self.get_description(),
+            )
+        lo = self._min_beta1 if self._min_beta1 is not None else float("-inf")
+        hi = self._max_beta1 if self._max_beta1 is not None else float("inf")
+        undefined = sorted(
+            str(r["grp"]) for r in out if r["beta1"] is None
+        )
+        slope_viol = [
+            (r["grp"], r["beta1"], r["n"])
+            for r in out
+            if r["beta1"] is not None and not lo <= r["beta1"] <= hi
+        ]
+        r2_viol = (
+            [
+                (r["grp"], r["r2"])
+                for r in out
+                if r["r2"] is not None and r["r2"] < self._min_r2
+            ]
+            if self._min_r2 is not None
+            else []
+        )
+        if not undefined and not slope_viol and not r2_viol:
+            return TestResult.success()
+        parts = []
+        if slope_viol:
+            listed = ", ".join(
+                f"{g} (beta1={b}, n={n})"
+                for g, b, n in sorted(slope_viol, key=lambda t: str(t[0]))
+            )
+            parts.append(
+                f"groups with controlled slope on {x1_col} outside "
+                f"[{lo}, {hi}]: {listed}."
+            )
+        if r2_viol:
+            listed = ", ".join(
+                f"{g} (r2={r})"
+                for g, r in sorted(r2_viol, key=lambda t: str(t[0]))
+            )
+            parts.append(f"groups with R² below {self._min_r2}: {listed}.")
+        if undefined:
+            parts.append(
+                "groups with a degenerate fit (collinear regressors or "
+                f"zero variance): {undefined}."
+            )
+        assertion_text = (
+            f"Grouped OLS of {value_col} ~ {x1_col} + {x2_col} by "
+            f"{group_col} on {self._ref}: "
+            + " ".join(parts)
+            + f" {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 class JsDivergenceMax(Constraint):
     """Jensen-Shannon drift gate between two samples — the bounded,
     symmetric companion to :class:`PopulationStabilityIndex` (JS is

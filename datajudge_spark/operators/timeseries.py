@@ -652,3 +652,101 @@ def seasonality_strength(
         F.round("sse", 6).alias("sse"),
         F.round("strength", 6).alias("strength"),
     )
+
+
+def grouped_ols2(
+    df: DataFrame,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary least squares with TWO integer regressors and
+    an intercept: ``y = b0 + b1·x1 + b2·x2``, solved in closed form.
+
+    Returns ``(grp, n, beta0, beta1, beta2, r2)`` — one row per group,
+    coefficients and ANOVA R² rounded to 6dp; all four statistics NULL
+    for degenerate groups (singular normal matrix — e.g. a constant
+    regressor — or zero y-variance).
+
+    The multi-feature extension of the simple OLS ``trend_slope`` /
+    robust ``theil_sen_slope``: "is revenue growing once the weekend
+    effect is held out?" needs two regressors, and neither engine
+    builtin (``regr_slope``-style) goes beyond one.
+
+    Scale/exactness design:
+
+    - ONE aggregate pass collects the 9 sufficient statistics (n, Σx1,
+      Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y) plus Σy², every product
+      formed AFTER casting to DECIMAL(38,0) — integer-exact and
+      partition-order independent at any scale (Σy² reaches ~1e33 for
+      cent-valued daily series, far past int64);
+    - the 3×3 normal equations are solved per group by Cramer's rule on
+      doubles CONVERTED ONCE from those exact integers — a fixed
+      arithmetic expression, so any engine computing the same formula
+      on the same integers gets bit-identical doubles (no iterative
+      solver, no order-dependent folds);
+    - cost after the aggregate is |groups| rows of scalar math.
+
+    Inputs must be integer-valued (day numbers, 0/1 flags, cent
+    amounts): the decimal casts TRUNCATE fractional digits, silently
+    changing the fit otherwise.
+
+    Extension — no reference counterpart; the reference's numeric
+    family stops at mean/percentile gates
+    (/root/reference/src/datajudge/constraints/numeric.py).
+    """
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    stats = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d(x1_col)).alias("__s1"),
+        F.sum(d(x2_col)).alias("__s2"),
+        F.sum(d(y_col)).alias("__sy"),
+        F.sum((d19(x1_col) * F.col(x1_col)).cast("decimal(38,0)")).alias("__s11"),
+        F.sum((d19(x1_col) * F.col(x2_col)).cast("decimal(38,0)")).alias("__s12"),
+        F.sum((d19(x2_col) * F.col(x2_col)).cast("decimal(38,0)")).alias("__s22"),
+        F.sum((d19(x1_col) * F.col(y_col)).cast("decimal(38,0)")).alias("__s1y"),
+        F.sum((d19(x2_col) * F.col(y_col)).cast("decimal(38,0)")).alias("__s2y"),
+        F.sum((d19(y_col) * F.col(y_col)).cast("decimal(38,0)")).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    s1, s2, sy = (F.col(c).cast("double") for c in ("__s1", "__s2", "__sy"))
+    s11, s12, s22 = (
+        F.col(c).cast("double") for c in ("__s11", "__s12", "__s22")
+    )
+    s1y, s2y, syy = (
+        F.col(c).cast("double") for c in ("__s1y", "__s2y", "__syy")
+    )
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = syy - sy * sy / n
+    ok = (det != 0.0) & (sst != 0.0)
+    return stats.select(
+        "grp",
+        F.col("__n").alias("n"),
+        F.when(ok, F.round(b0, 6)).alias("beta0"),
+        F.when(ok, F.round(b1, 6)).alias("beta1"),
+        F.when(ok, F.round(b2, 6)).alias("beta2"),
+        F.when(ok, F.round(1.0 - sse / sst, 6)).alias("r2"),
+    )

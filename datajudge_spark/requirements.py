@@ -1153,6 +1153,45 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_grouped_ols2_slope_constraint(
+        self,
+        x1_column: str,
+        x2_column: str,
+        value_column: str,
+        group_column: str,
+        min_beta1: float | None = None,
+        max_beta1: float | None = None,
+        min_r2: float | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): each group's OLS
+        coefficient on ``x1_column``, fit jointly with ``x2_column``
+        and an intercept (``value ~ b0 + b1·x1 + b2·x2``), must lie
+        within [min_beta1, max_beta1]; optionally the fit's R² must
+        reach ``min_r2``.  The controlled-trend gate — "is the metric
+        still growing once the weekend/promo effect is held out?".
+        One decimal-exact sufficient-statistics aggregate per group,
+        Cramer's-rule solve in the projection; degenerate (collinear /
+        zero-variance) groups fail explicitly.  Regressors and value
+        must be integer-valued (day numbers, 0/1 flags, cents)."""
+        ref = DataReference(
+            self._data_source,
+            [x1_column, x2_column, value_column, group_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.GroupedOls2SlopeBetween(
+                ref,
+                min_beta1=min_beta1,
+                max_beta1=max_beta1,
+                min_r2=min_r2,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_chi_squared_independence_constraint(
         self,
         column_a: str,

@@ -967,3 +967,54 @@ class TestParetoFrontierSize:
             req.add_pareto_frontier_size_constraint("price", "qty")
         with pytest.raises(ValueError):
             req.add_pareto_frontier_size_constraint("price", "qty", max_points=0)
+
+
+class TestGroupedOls2Slope:
+    def _df(self, spark):
+        rows = []
+        for d in range(30):
+            wk = 1 if d % 7 in (2, 3) else 0
+            rows.append(("up", d, wk, 100 + 5 * d - 30 * wk))
+            rows.append(("flat", d, wk, 200 + 0 * d + 10 * wk))
+        return spark.createDataFrame(rows, "g string, x1 int, x2 int, v int")
+
+    def test_pass_and_fail_on_controlled_slope(self, spark):
+        df = self._df(spark)
+        req = within_req(df, "gols1")
+        req.add_grouped_ols2_slope_constraint(
+            "x1", "x2", "v", "g", min_beta1=-1.0, max_beta1=10.0
+        )
+        req.add_grouped_ols2_slope_constraint(
+            "x1", "x2", "v", "g", min_beta1=1.0  # fail: 'flat' has b1=0
+        )
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "flat (beta1=" in results[1].failure_message
+        assert "up (beta1=" not in results[1].failure_message
+
+    def test_min_r2_gate(self, spark):
+        df = self._df(spark)  # exact linear models -> r2 == 1.0
+        req = within_req(df, "gols2")
+        req.add_grouped_ols2_slope_constraint(
+            "x1", "x2", "v", "g", min_r2=0.99
+        )
+        assert [r.outcome for r in req.test(spark)] == [True]
+
+    def test_degenerate_group_fails_explicitly(self, spark):
+        df = spark.createDataFrame(
+            [("solo", d, 1, 10 + d) for d in range(5)],  # x2 constant
+            "g string, x1 int, x2 int, v int",
+        )
+        req = within_req(df, "gols3")
+        req.add_grouped_ols2_slope_constraint(
+            "x1", "x2", "v", "g", min_beta1=-100.0, max_beta1=100.0
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "degenerate" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "x int")
+        req = within_req(df, "gols4")
+        with pytest.raises(ValueError):
+            req.add_grouped_ols2_slope_constraint("x1", "x2", "v", "g")

@@ -707,3 +707,14 @@ def test_bm25_query_filter_before_shuffle_and_takeordered(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_grouped_ols_single_aggregation_pass(spark):
+    # all 10 sufficient statistics come from ONE grouped aggregate with
+    # map-side partials; the solve is scalar projection — no window, no
+    # join, no second scan of the daily frame
+    plan = _executed_plan(entrymod.q_grouped_ols_trend(spark, SF_DIR))
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1, plan

@@ -1456,3 +1456,52 @@ class TestSkyline2D:
         ) == [(7, 9, 2)]
         empty = spark.createDataFrame([], "x long, y long")
         assert skyline_2d(empty, "x", "y").collect() == []
+
+
+class TestGroupedOLS2:
+    def test_matches_numpy_lstsq(self, spark):
+        import numpy as np
+
+        from datajudge_spark.operators.timeseries import grouped_ols2
+
+        rows = []
+        rng = [(d, d % 7 in (2, 3)) for d in range(60)]
+        for g, (b0, b1, b2) in (("a", (500, 3, -40)), ("b", (100, -2, 25))):
+            for d, wk in rng:
+                noise = (d * 7919) % 13 - 6  # deterministic, zero-ish mean
+                rows.append((g, d, int(wk), b0 + b1 * d + b2 * int(wk) + noise))
+        df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+        got = {
+            r["grp"]: r
+            for r in grouped_ols2(df, "g", "x1", "x2", "y").collect()
+        }
+        for g in ("a", "b"):
+            sub = [(x1, x2, y) for gg, x1, x2, y in rows if gg == g]
+            X = np.array([[1.0, x1, x2] for x1, x2, _ in sub])
+            Y = np.array([float(y) for _, _, y in sub])
+            beta = np.linalg.lstsq(X, Y, rcond=None)[0]
+            assert got[g]["n"] == 60
+            assert abs(got[g]["beta0"] - beta[0]) < 1e-4
+            assert abs(got[g]["beta1"] - beta[1]) < 1e-4
+            assert abs(got[g]["beta2"] - beta[2]) < 1e-4
+            assert 0.9 < got[g]["r2"] <= 1.0
+
+    def test_collinear_group_is_null_not_garbage(self, spark):
+        from datajudge_spark.operators.timeseries import grouped_ols2
+
+        # x2 constant within the group -> singular normal matrix
+        df = spark.createDataFrame(
+            [("g", d, 1, 10 + d) for d in range(10)], ["g", "x1", "x2", "y"]
+        )
+        r = grouped_ols2(df, "g", "x1", "x2", "y").collect()[0]
+        assert r["n"] == 10
+        assert r["beta0"] is None and r["r2"] is None
+
+    def test_zero_variance_y_is_null(self, spark):
+        from datajudge_spark.operators.timeseries import grouped_ols2
+
+        df = spark.createDataFrame(
+            [("g", d, d % 2, 7) for d in range(10)], ["g", "x1", "x2", "y"]
+        )
+        r = grouped_ols2(df, "g", "x1", "x2", "y").collect()[0]
+        assert r["beta1"] is None and r["r2"] is None
