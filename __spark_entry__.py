@@ -1986,6 +1986,46 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf_topk(spark, sf_dir):
+    # hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    # ranking and the dense cosine ranking for doc/vec 0 (ids are
+    # aligned in the synthetic corpus).  Both inputs are bounded top-50
+    # lists, so the ranking windows and full-outer fuse are trivially
+    # small; the heavy work (token shuffle, cosine scan) happened in
+    # the sources.  RRF constant 60 per Cormack et al. (SIGIR 2009).
+    from datajudge_spark.pipeline.similarity import (
+        rrf_fuse,
+        topk_bruteforce,
+    )
+    from datajudge_spark.pipeline.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, "doc_id", "text", ["hash", "vector", "stream"], k=50
+    )
+    # rank the 50-row lexical list (bounded window, not corpus-scale)
+    wl = Window.orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    lex_r = lex.select(
+        F.col("doc_id").alias("id"), F.row_number().over(wl).alias("rank")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    dense_r = topk_bruteforce(q, c, k=50).select(
+        F.col("cid").alias("id"), F.col("rn").alias("rank")
+    )
+    return rrf_fuse([lex_r, dense_r], k=10).select(
+        F.col("id").alias("doc_id"),
+        "rrf",
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("dense_rank"),
+    )
+
+
 def q_density_core_points(spark, sf_dir):
     # density classification for dedup: per-vector neighbor counts over
     # the cell-blocked similarity graph, core/border/isolated verdicts.
@@ -4421,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_core_points": q_density_core_points,
         "vocab_stats": q_vocab_stats,
         "bm25_topk": q_bm25_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_shipmode_priority": q12_shipmode_priority,
         "q13_customer_order_counts": q13_customer_order_counts,
@@ -5098,6 +5139,47 @@ def _fold_cos_sql(a: str, b: str) -> str:
             "w -> w::DOUBLE * w::DOUBLE)), (x, y) -> x + y))"
         )
     return f"({dot} / ({norm(a)} * {norm(b)}))"
+
+
+def _hybrid_rrf_sql() -> str:
+    cos = _fold_cos_sql("q.qvec", "c.embedding")
+    return (
+        # lexical: the bm25_topk pipeline, ranked; dense: cosine vs
+        # vec 0, ranked; fuse: 1e0/(60+rank) terms (1e0 keeps DuckDB in
+        # DOUBLE — a bare 1.0 is DECIMAL and divides differently)
+        "WITH toks AS (SELECT doc_id AS _id, "
+        "unnest(string_split_regex(trim(text), '\\s+')) AS term "
+        "FROM documents WHERE text IS NOT NULL), "
+        "dl AS (SELECT _id, count(*) AS dl FROM toks GROUP BY 1), "
+        "tf AS (SELECT _id, term, count(*) AS tf FROM toks "
+        "WHERE term IN ('hash', 'vector', 'stream') GROUP BY 1, 2), "
+        "dfreq AS (SELECT term, count(*) AS _df FROM tf GROUP BY 1), "
+        "scal AS (SELECT count(*) AS _n, avg(dl) AS _avgdl FROM dl), "
+        "sc AS (SELECT _id, CAST(round("
+        "ln((_n - _df + 0.5) / (_df + 0.5) + 1.0) "
+        "* ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 "
+        "+ 0.75 * dl / _avgdl))) * 1000000.0, 0) AS BIGINT) AS se6 "
+        "FROM tf JOIN dfreq USING (term) JOIN dl USING (_id), scal), "
+        "bsc AS (SELECT _id AS id, CAST(sum(se6) AS BIGINT) AS score_e6 "
+        "FROM sc GROUP BY 1), "
+        "ltop AS (SELECT id, lrank FROM (SELECT id, row_number() OVER "
+        "(ORDER BY score_e6 DESC, id ASC) AS lrank FROM bsc) "
+        "WHERE lrank <= 50), "
+        "qv AS (SELECT embedding AS qvec FROM embeddings "
+        "WHERE vec_id = 0), "
+        f"dsc AS (SELECT c.vec_id AS id, {cos} AS cos "
+        "FROM embeddings c, qv q WHERE c.vec_id <> 0), "
+        "dtop AS (SELECT id, drank FROM (SELECT id, row_number() OVER "
+        "(ORDER BY cos DESC, id ASC) AS drank FROM dsc) "
+        "WHERE drank <= 50), "
+        "f AS (SELECT COALESCE(l.id, d.id) AS doc_id, l.lrank, d.drank "
+        "FROM ltop l FULL OUTER JOIN dtop d ON l.id = d.id) "
+        "SELECT doc_id, "
+        "round(COALESCE(1e0 / (60 + lrank), 0e0) "
+        "+ COALESCE(1e0 / (60 + drank), 0e0), 6) AS rrf, "
+        "lrank AS lex_rank, drank AS dense_rank "
+        "FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10"
+    )
 
 
 def _ann_brute_sql() -> str:
@@ -7470,6 +7552,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_terms FROM scored GROUP BY 1 "
             "ORDER BY score_e6 DESC, doc_id ASC LIMIT 10"
         ),
+        "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "grouped_heavy_hitters": (
             "WITH c AS (SELECT source, lang, count(*) AS n "
             "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL "

@@ -1042,3 +1042,51 @@ def pca_components(
             v = -v
         out.append((float(vals[idx]), [float(c) for c in v]))
     return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings — the standard
+    hybrid-search combiner (lexical BM25 + dense ANN, or any mix):
+    ``score(d) = Σ_i 1/(rrf_k + rank_i(d))``, items missing from a
+    ranking contribute 0 for it.
+
+    Each input frame carries ``(id_col, rank_col)`` with 1-based ranks.
+    Returns the fused top-``k`` as ``(id_col, rrf, rank_0..rank_{N-1})``
+    ordered by (rrf DESC, id ASC) — the ROUNDED 6dp score is what's
+    ranked, so ordering is engine-portable; rank columns are NULL where
+    a source didn't retrieve the item.
+
+    Scale: ranked lists are top-n outputs of the heavy retrieval ops,
+    so every frame here is bounded (n rows per source); the fusion is
+    |union of lists| rows of full-outer joins + one fixed N-term scalar
+    expression — driver-free, shuffle-trivial, and the final cut is
+    TakeOrderedAndProject.  rrf_k=60 is the constant from the original
+    RRF paper (Cormack et al., SIGIR 2009).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    out = None
+    for i, r in enumerate(rankings):
+        rr = r.select(F.col(id_col), F.col(rank_col).alias(f"rank_{i}"))
+        out = rr if out is None else out.join(rr, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        out.select(
+            id_col,
+            F.round(score, 6).alias("rrf"),
+            *[f"rank_{i}" for i in range(len(rankings))],
+        )
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1503,3 +1503,42 @@ class TestBM25TopK:
             for r in bm25_topk(df, "doc_id", "text", ["hash"], k=3).collect()
         ]
         assert ids == [0, 1, 2]
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion_and_missing_items(self, spark):
+        from datajudge_spark.pipeline.similarity import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], ["id", "rank"]
+        )
+        dense = spark.createDataFrame(
+            [(3, 1), (4, 2)], ["id", "rank"]
+        )
+        rows = {
+            r["id"]: r for r in rrf_fuse([lex, dense], k=10).collect()
+        }
+        # item 3: both lists; items 1,2: lexical only; item 4: dense only
+        assert round(1 / 63 + 1 / 61, 6) == rows[3]["rrf"]
+        assert round(1 / 61, 6) == rows[1]["rrf"]
+        assert rows[1]["rank_1"] is None and rows[4]["rank_0"] is None
+        # fused order: 3 (two contributions) first
+        ordered = sorted(rows.values(), key=lambda r: (-r["rrf"], r["id"]))
+        assert ordered[0]["id"] == 3
+
+    def test_k_cut_and_tiebreak(self, spark):
+        from datajudge_spark.pipeline.similarity import rrf_fuse
+
+        # same rank in disjoint lists -> equal score, id tiebreak
+        a = spark.createDataFrame([(10, 1)], ["id", "rank"])
+        b = spark.createDataFrame([(5, 1)], ["id", "rank"])
+        got = [r["id"] for r in rrf_fuse([a, b], k=1).collect()]
+        assert got == [5]
+
+    def test_requires_a_ranking(self, spark):
+        import pytest as _pytest
+
+        from datajudge_spark.pipeline.similarity import rrf_fuse
+
+        with _pytest.raises(ValueError):
+            rrf_fuse([], k=3)
