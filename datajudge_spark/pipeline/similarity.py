@@ -1090,3 +1090,76 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    rel_col: str = "rel",
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank of a BOUNDED candidate list:
+    greedily pick the item maximizing ``lam·rel − (1−lam)·max_cos`` to
+    the already-selected set (Carbonell & Goldstein, SIGIR 1998) — the
+    standard diversified top-k after retrieval, so three paraphrases of
+    one document don't fill the whole result page.
+
+    Returns ``(id_col, mmr_rank, mmr_score, rel_col)`` for the first
+    ``k`` picks; ties break on the smaller id (deterministic).
+
+    Placement, deliberately: MMR is sequential (pick t depends on picks
+    1..t−1), so it runs on the DRIVER over the collected candidate
+    digest.  That is the scale-correct design, not a concession — the
+    input is a retrieval top-n (``topk_*``/``bm25_topk``/``rrf_fuse``
+    output), bounded by construction; ``max_candidates`` guards against
+    accidentally feeding a corpus-sized frame, which would belong in
+    the blocked-pair ops instead.
+    """
+    import math
+
+    rows = candidates.select(id_col, vec_col, rel_col).collect()
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank got {len(rows)} candidates (> {max_candidates}); "
+            "rerank a bounded retrieval top-n, not a corpus-sized frame."
+        )
+    spark = candidates.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], f"{id_col} long, mmr_rank int, mmr_score double, "
+            f"{rel_col} double"
+        )
+    vecs = {r[0]: [float(x) for x in r[1]] for r in rows}
+    rel = {r[0]: float(r[2]) for r in rows}
+    norms = {
+        i: (math.sqrt(sum(x * x for x in v)) or 1.0)
+        for i, v in vecs.items()
+    }
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(vecs[a], vecs[b])) / (
+            norms[a] * norms[b]
+        )
+
+    selected: list = []
+    out = []
+    remaining = sorted(vecs)
+    while remaining and len(selected) < k:
+        best_id, best_score = None, None
+        for i in remaining:
+            maxsim = max((cos(i, s) for s in selected), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * maxsim
+            if best_score is None or score > best_score:
+                best_id, best_score = i, score
+        selected.append(best_id)
+        remaining.remove(best_id)
+        out.append(
+            (best_id, len(selected), round(best_score, 6), rel[best_id])
+        )
+    return spark.createDataFrame(
+        out,
+        f"{id_col} long, mmr_rank int, mmr_score double, {rel_col} double",
+    )

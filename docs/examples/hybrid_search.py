@@ -28,7 +28,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datajudge_spark import get_spark
-from datajudge_spark.pipeline.similarity import rrf_fuse, topk_bruteforce
+from datajudge_spark.pipeline.similarity import (
+    mmr_rerank,
+    rrf_fuse,
+    topk_bruteforce,
+)
 from datajudge_spark.pipeline.text import bm25_topk
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -63,3 +67,13 @@ for i, r in enumerate(fused.collect(), 1):
         f"{i:>4}  {r['id']:>6}   {r['rrf']:.6f}  "
         f"{str(r['rank_0']):>4} {str(r['rank_1']):>5}"
     )
+
+# 4. diversify the final page: MMR over the fused top-10 digest (the
+#    greedy pass is driver-side ON PURPOSE — its input is bounded)
+cands = fused.join(
+    emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+    "id",
+).select("id", "vec", F.col("rrf").alias("rel"))
+print("\nMMR-diversified (lambda=0.7):")
+for r in mmr_rerank(cands, k=5, lam=0.7).orderBy("mmr_rank").collect():
+    print(f"{r['mmr_rank']:>4}  {r['id']:>6}   score={r['mmr_score']:.6f}")

@@ -1542,3 +1542,54 @@ class TestRrfFuse:
 
         with _pytest.raises(ValueError):
             rrf_fuse([], k=3)
+
+
+class TestMmrRerank:
+    def _cands(self, spark):
+        # 1 and 2 are near-identical high-relevance vectors; 3 is
+        # orthogonal with lower relevance
+        return spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 0.9),
+                (2, [0.999, 0.01], 0.89),
+                (3, [0.0, 1.0], 0.5),
+            ],
+            "id long, vec array<double>, rel double",
+        )
+
+    def test_diversification_beats_raw_relevance(self, spark):
+        from datajudge_spark.pipeline.similarity import mmr_rerank
+
+        picks = [
+            r["id"]
+            for r in mmr_rerank(self._cands(spark), k=2, lam=0.5)
+            .orderBy("mmr_rank")
+            .collect()
+        ]
+        # pure relevance would pick (1, 2); MMR skips the near-dup
+        assert picks == [1, 3]
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from datajudge_spark.pipeline.similarity import mmr_rerank
+
+        picks = [
+            r["id"]
+            for r in mmr_rerank(self._cands(spark), k=3, lam=1.0)
+            .orderBy("mmr_rank")
+            .collect()
+        ]
+        assert picks == [1, 2, 3]
+
+    def test_deterministic_tiebreak_and_bound(self, spark):
+        import pytest as _pytest
+
+        from datajudge_spark.pipeline.similarity import mmr_rerank
+
+        tie = spark.createDataFrame(
+            [(7, [1.0, 0.0], 0.5), (3, [0.0, 1.0], 0.5)],
+            "id long, vec array<double>, rel double",
+        )
+        first = mmr_rerank(tie, k=1).collect()[0]
+        assert first["id"] == 3  # equal score -> smaller id
+        with _pytest.raises(ValueError):
+            mmr_rerank(self._cands(spark), k=1, max_candidates=2)
