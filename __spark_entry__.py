@@ -1695,6 +1695,84 @@ def q_streaming_cusum(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_streaming_zscore(spark, sf_dir):
+    """Streaming contract query: rolling z-score spike gate as a CUSTOM
+    stateful operator (``applyInPandasWithState``) — per event_type,
+    how many days spiked beyond |z| > 2 against their 7-preceding-day
+    baseline, and the worst spike.  State = per-key daily cent
+    histogram (calendar-bounded).  The drained final state must
+    hash-equal the batch rolling-window oracle: the Python fold uses
+    the SAME exact-integer window sums and the SAME one-double z
+    expression as ``operators.timeseries.zscore_anomalies``."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stateful_zscore,
+        stream_parquet_like,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_zscore_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = (
+        normalize_event_time(raw)
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("k"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01")
+            ).alias("d"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    digests = stateful_zscore(ev, window_days=7, threshold=2.0)
+    qname = f"stream_zscore_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            digests.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = (
+        spark.table(qname)
+        .groupBy("key")
+        .agg(
+            F.max(
+                F.struct("n_obs", "n_days", "n_anomalies", "max_abs_z")
+            ).alias("s")
+        )
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("s.n_obs").alias("n_obs"),
+            F.col("s.n_days").alias("n_days"),
+            F.col("s.n_anomalies").alias("n_anomalies"),
+            F.col("s.max_abs_z").alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+    rows = final.collect()
+    schema = final.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_streaming_psi_buckets(spark, sf_dir):
     """Seventh streaming contract query: the streaming half of PSI
     drift monitoring — watermarked per-day fixed-bucket value
@@ -4607,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_counts": q_streaming_stateful_counts,
         "streaming_cusum": q_streaming_cusum,
         "streaming_psi_buckets": q_streaming_psi_buckets,
+        "streaming_zscore": q_streaming_zscore,
         "functional_dependency": q_functional_dependency,
         "except_distinct": q_except_distinct,
         "text_quality": q_text_quality,
@@ -6477,6 +6556,44 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(abs(p.dd) AS DOUBLE) / p.n, 6) AS cusum_max "
             "FROM pick p JOIN obs o ON p.event_type = o.event_type "
             "WHERE p.rk = 1 ORDER BY event_type"
+        ),
+        "streaming_zscore": (
+            # batch rolling-window z on the drained stream — same
+            # 7-preceding-PRESENT-day baseline (rows, not calendar),
+            # same exact-integer window sums, same one-double z
+            # expression rounded at 1e-6 as the streaming Python fold
+            "WITH base AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), "
+            "obs AS (SELECT event_type, count(*) AS n_obs FROM base "
+            "GROUP BY 1), "
+            "daily AS (SELECT event_type, day, "
+            "CAST(sum(cents) AS BIGINT) AS x FROM base GROUP BY 1, 2), "
+            "win AS (SELECT event_type, day, x, "
+            "sum(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type "
+            "ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s, "
+            "sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER "
+            "(PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ss, "
+            "count(x) OVER (PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n "
+            "FROM daily), "
+            "z AS (SELECT event_type, day, "
+            "CASE WHEN n >= 3 AND (CAST(ss AS DOUBLE) "
+            "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) > 0 THEN "
+            "round((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / n) "
+            "/ sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) "
+            "* CAST(s AS DOUBLE) / n) / (n - 1)), 6) END AS z "
+            "FROM win), "
+            "agg AS (SELECT event_type, count(*) AS n_days, "
+            "count(CASE WHEN abs(z) > 2.0 THEN 1 END) AS n_anomalies, "
+            "max(abs(z)) AS max_abs_z FROM z GROUP BY 1) "
+            "SELECT a.event_type AS event_type, "
+            "CAST(o.n_obs AS BIGINT) AS n_obs, "
+            "CAST(a.n_days AS BIGINT) AS n_days, "
+            "CAST(a.n_anomalies AS BIGINT) AS n_anomalies, a.max_abs_z "
+            "FROM agg a JOIN obs o ON a.event_type = o.event_type "
+            "ORDER BY event_type"
         ),
         "scd2_intervals": (
             "WITH iv AS (SELECT user_id, event_type, ts AS valid_from, "

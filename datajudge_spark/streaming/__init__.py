@@ -441,3 +441,121 @@ def stateful_cusum(stream_df: DataFrame):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_zscore(
+    stream_df: DataFrame, window_days: int = 7, threshold: float = 2.0
+):
+    """Streaming rolling z-score anomaly monitor — the spike gate of the
+    streaming family (``stateful_cusum`` catches sustained level
+    shifts; this catches single-day spikes), via
+    ``applyInPandasWithState``.
+
+    Input must be pre-projected to ``(k, d, c)`` exactly like
+    ``stateful_cusum`` (key, day ordinal, INTEGER cents — the decimal
+    cast happens JVM-side).  State per key is the same calendar-bounded
+    daily histogram (two parallel arrays + observation count).
+
+    Each emission recomputes the batch ``operators.timeseries
+    .zscore_anomalies`` semantics over the state, fold-for-fold: the
+    baseline for day t is the ``window_days`` PRESENT days before it in
+    row order (excluding t, so a spike cannot mask itself), mean/var
+    from EXACT integer window sums, and z is the identical one-double
+    expression ``(x − S/n)/sqrt((SS − S²/n)/(n−1))`` rounded at 1e-6 —
+    so the drained digest hash-equals a SQL oracle running the same
+    window.  z is undefined (skipped) while the baseline holds <3
+    points or zero variance.
+
+    Digest per key: ``(key, n_obs, n_days, n_anomalies, max_abs_z)`` —
+    anomalies are days with ``|z| > threshold``; ``max_abs_z`` is NULL
+    when no day had a defined z.  ``n_obs`` grows strictly per
+    emission, so the final state is the per-key row with max n_obs.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_obs", LongType()),
+            StructField("n_days", LongType()),
+            StructField("n_anomalies", LongType()),
+            StructField("max_abs_z", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("days", ArrayType(IntegerType())),
+            StructField("sums", ArrayType(LongType())),
+            StructField("n_obs", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            days0, sums0, n_obs = state.get
+            acc = {int(d): int(s) for d, s in zip(days0, sums0)}
+            n_obs = int(n_obs)
+        else:
+            acc, n_obs = {}, 0
+        for pdf in pdf_iter:
+            n_obs += len(pdf)
+            g = pdf.groupby("d")["c"].sum()
+            for d, s in g.items():
+                acc[int(d)] = acc.get(int(d), 0) + int(s)
+        items = sorted(acc.items())
+        state.update(
+            ([d for d, _ in items], [s for _, s in items], n_obs)
+        )
+        vals = [s for _, s in items]
+        n_anom, max_z = 0, None
+        for t in range(len(vals)):
+            lo = max(0, t - window_days)
+            win = vals[lo:t]
+            n = len(win)
+            if n < 3:
+                continue
+            s_w = sum(win)
+            ss_w = sum(v * v for v in win)
+            var_num = float(ss_w) - float(s_w) * float(s_w) / n
+            if var_num <= 0:
+                continue
+            z = round(
+                (float(vals[t]) - float(s_w) / n)
+                / math.sqrt(var_num / (n - 1)),
+                6,
+            )
+            az = abs(z)
+            if max_z is None or az > max_z:
+                max_z = az
+            if az > threshold:
+                n_anom += 1
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_obs": [n_obs],
+                "n_days": [len(items)],
+                "n_anomalies": [n_anom],
+                "max_abs_z": [max_z],
+            }
+        )
+
+    return stream_df.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -350,3 +350,96 @@ class TestStatefulCusum:
             want["cusum_max"], abs=1e-9
         )
         spark.catalog.dropTempView("cusum_stream")
+
+
+class TestStatefulZscore:
+    def test_multi_batch_state_matches_batch_zscore(self, spark, tmp_path):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import zscore_anomalies
+        from datajudge_spark.streaming import stateful_zscore
+
+        # one key, flat series with two isolated spikes, split across
+        # two micro-batches: the drained digest must equal the batch
+        # rolling-window operator on the union
+        def rows(days):
+            out = []
+            for i in days:
+                v = 100
+                if i in (20, 45):
+                    v = 500  # spikes
+                out.append((
+                    "purchase",
+                    (dt.date(2024, 1, 1) + dt.timedelta(days=i)
+                     - dt.date(1970, 1, 1)).days,
+                    v * 100 + (i * 37) % 11,  # mild deterministic noise
+                ))
+            return out
+
+        schema = "k string, d int, c long"
+        src = tmp_path / "z_src"
+        for i, chunk in enumerate([rows(range(30)), rows(range(30, 60))]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(src / f"f{i}")
+            )
+        stream_dir = tmp_path / "z_merged"
+        stream_dir.mkdir()
+        for n, part in enumerate(sorted(src.rglob("*.parquet"))):
+            (stream_dir / f"{n:02d}.parquet").symlink_to(part)
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        q = (
+            stateful_zscore(raw)
+            .writeStream.format("memory").queryName("z_stream")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        emitted = spark.sql("SELECT * FROM z_stream").collect()
+        assert len(emitted) == 2
+        final = max(emitted, key=lambda r: r["n_obs"])
+        batch_rows = [
+            (dt.date(1970, 1, 1) + dt.timedelta(days=d), c)
+            for _, d, c in rows(range(60))
+        ]
+        daily = spark.createDataFrame(batch_rows, "day date, total long")
+        zs = zscore_anomalies(daily, "total").collect()
+        want_anom = sum(1 for r in zs if r["is_anomaly"])
+        want_max = max(
+            (abs(r["z"]) for r in zs if r["z"] is not None), default=None
+        )
+        assert final["n_obs"] == 60
+        assert final["n_days"] == 60
+        assert final["n_anomalies"] == want_anom >= 2  # both spikes seen
+        assert final["max_abs_z"] == pytest.approx(want_max, abs=1e-9)
+        spark.catalog.dropTempView("z_stream")
+
+    def test_no_defined_z_yields_null_max(self, spark, tmp_path):
+        from datajudge_spark.streaming import stateful_zscore
+
+        # only 3 days -> every baseline window has < 3 points
+        df = spark.createDataFrame(
+            [("k", 19720 + i, 100) for i in range(3)],
+            "k string, d int, c long",
+        )
+        src = tmp_path / "z_small"
+        df.coalesce(1).write.parquet(str(src))
+        raw = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stateful_zscore(raw)
+            .writeStream.format("memory").queryName("z_small_stream")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        final = spark.sql("SELECT * FROM z_small_stream").collect()[0]
+        assert final["n_anomalies"] == 0
+        assert final["max_abs_z"] is None
+        spark.catalog.dropTempView("z_small_stream")
