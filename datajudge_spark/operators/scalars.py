@@ -653,3 +653,59 @@ def grouped_exact_percentiles(
         for p in percentages
     ]
     return cum.groupBy("grp").agg(*aggs)
+
+
+def winsorized_stats(
+    df, column: str, p_lo: float = 1.0, p_hi: float = 99.0
+):
+    """Winsorized digest of an INTEGER-valued column: one row
+    ``(n, lo_cut, hi_cut, n_clipped_lo, n_clipped_hi, winsorized_mean)``
+    where values below the exact ``p_lo`` percentile clip up to it,
+    values above the exact ``p_hi`` percentile clip down, and the mean
+    is taken over the clipped values — the robust location estimate a
+    monitoring gate wants when a fat tail would drag the plain mean
+    (the trimming companion to the MAD outlier gates).
+
+    Exactness/scale design:
+
+    - both cut points come from ONE shared range-bucketed histogram
+      pass (:func:`exact_percentiles_df` — reference percentile
+      semantics, no global sort at any cardinality);
+    - the cuts broadcast into a single aggregate over the fact scan —
+      two scans total regardless of table size, no window over rows;
+    - the clipped mean divides a DECIMAL(38,0)-exact integer sum by the
+      exact count, so it is partition-order independent (a double
+      running mean is not); input must be integer-valued (cents, ids,
+      counts) — the decimal cast truncates fractions.
+    """
+    if not (0.0 < p_lo < p_hi < 100.0):
+        raise ValueError("need 0 < p_lo < p_hi < 100")
+
+    def _name(p: float) -> str:
+        return f"p{p:g}".replace(".", "_")
+
+    cuts = exact_percentiles_df(df, column, [p_lo, p_hi]).select(
+        F.col(_name(p_lo)).alias("__lo"), F.col(_name(p_hi)).alias("__hi")
+    )
+    x = F.col(column)
+    clipped = F.least(F.greatest(x, F.col("__lo")), F.col("__hi"))
+    return (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(cuts))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__lo").alias("lo_cut"),
+            F.first("__hi").alias("hi_cut"),
+            F.sum(F.when(x < F.col("__lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(x > F.col("__hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.round(
+                F.sum(clipped.cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -739,3 +739,45 @@ class TestNonNumericPercentileProperty:
             if i * 100 >= p * n
         )
         assert got == want, (p, ordered)
+
+
+class TestGroupedOls2Property:
+    @given(
+        x2s=st.lists(st.integers(0, 1), min_size=8, max_size=20),
+        data=st.data(),
+    )
+    @settings(**SETTINGS)
+    def test_matches_numpy_on_random_integer_data(self, spark, x2s, data):
+        import numpy as np
+
+        from datajudge_spark.operators.timeseries import grouped_ols2
+
+        n = len(x2s)
+        # x2 must not be constant (singular fit is the degenerate path,
+        # covered by unit tests)
+        if len(set(x2s)) < 2:
+            x2s[0], x2s[1] = 0, 1
+        ys = [
+            data.draw(st.integers(-1000, 1000), label=f"y{i}")
+            for i in range(n)
+        ]
+        if len(set(ys)) < 2:
+            ys[0] = ys[1] + 7
+        rows = [("g", i, x2s[i], ys[i]) for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, x1 int, x2 int, y int")
+        got = grouped_ols2(df, "g", "x1", "x2", "y").collect()[0]
+        X = np.array([[1.0, i, x2s[i]] for i in range(n)])
+        Y = np.array([float(y) for y in ys])
+        # x1 = 0..n-1 with non-constant x2 keeps the fit well-posed
+        beta, res, rank, _ = np.linalg.lstsq(X, Y, rcond=None)
+        if rank < 3:
+            assert got["beta1"] is None
+            return
+        assert got["beta0"] == pytest.approx(beta[0], abs=1e-3)
+        assert got["beta1"] == pytest.approx(beta[1], abs=1e-3)
+        assert got["beta2"] == pytest.approx(beta[2], abs=1e-3)
+        sst = float(((Y - Y.mean()) ** 2).sum())
+        if sst > 1e-9:
+            pred = X @ beta
+            r2 = 1.0 - float(((Y - pred) ** 2).sum()) / sst
+            assert got["r2"] == pytest.approx(r2, abs=1e-4)

@@ -1505,3 +1505,40 @@ class TestGroupedOLS2:
         )
         r = grouped_ols2(df, "g", "x1", "x2", "y").collect()[0]
         assert r["beta1"] is None and r["r2"] is None
+
+
+class TestWinsorizedStats:
+    def test_matches_naive_clip(self, spark):
+        from datajudge_spark.operators.scalars import winsorized_stats
+
+        vals = list(range(1, 101)) + [100000, -50000]  # two wild outliers
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        r = winsorized_stats(df, "x", 5.0, 95.0).collect()[0]
+        # reference percentile: smallest v with >= p% of values <= v
+        s = sorted(vals)
+        n = len(s)
+        import math
+
+        lo = s[math.ceil(0.05 * n) - 1]
+        hi = s[math.ceil(0.95 * n) - 1]
+        clipped = [min(max(v, lo), hi) for v in vals]
+        assert r["n"] == n
+        assert (r["lo_cut"], r["hi_cut"]) == (lo, hi)
+        assert r["n_clipped_lo"] == sum(1 for v in vals if v < lo)
+        assert r["n_clipped_hi"] == sum(1 for v in vals if v > hi)
+        assert r["winsorized_mean"] == round(sum(clipped) / n, 6)
+
+    def test_outliers_no_longer_drag_the_mean(self, spark):
+        from datajudge_spark.operators.scalars import winsorized_stats
+
+        base = [(100,)] * 98 + [(10**12,), (101,)]
+        df = spark.createDataFrame(base, "x long")
+        r = winsorized_stats(df, "x", 1.0, 99.0).collect()[0]
+        assert r["winsorized_mean"] < 200  # plain mean would be ~1e10
+
+    def test_validation(self, spark):
+        from datajudge_spark.operators.scalars import winsorized_stats
+
+        df = spark.createDataFrame([(1,)], "x long")
+        with pytest.raises(ValueError):
+            winsorized_stats(df, "x", 99.0, 1.0)
