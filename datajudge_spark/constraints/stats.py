@@ -451,6 +451,73 @@ class MadOutlierFraction(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class WinsorizedMeanWithin(Constraint):
+    """The winsorized mean of ``column`` (values clipped at the exact
+    ``p_lo``/``p_hi`` percentiles before averaging) must sit within
+    ``max_absolute_deviation`` of ``mean_value`` — the robust location
+    gate: a fat tail or a handful of corrupt extremes moves the plain
+    mean gate (``add_numeric_mean_constraint``) but not this one.
+    Extension, no reference counterpart; peers :class:`MadOutlierFraction`
+    (which gates the tail WEIGHT; this gates the robust CENTER).
+
+    Engine: both cuts from one shared range-bucketed histogram pass,
+    broadcast into a single aggregate; the clipped mean divides a
+    DECIMAL(38,0)-exact integer sum by the exact count (best on integer
+    domains — cents, counts — where it is engine-exact).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        mean_value: float,
+        max_absolute_deviation: float,
+        p_lo: float = 1.0,
+        p_hi: float = 99.0,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        self._mean_value = mean_value
+        self._max_dev = max_absolute_deviation
+        self._p_lo, self._p_hi = p_lo, p_hi
+        super().__init__(
+            ref, ref_value=mean_value, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.scalars import winsorized_stats
+
+        col = self._ref.get_column(engine)
+        df = self._ref.get_selection(engine)
+        try:
+            row = winsorized_stats(
+                df, col, self._p_lo, self._p_hi
+            ).collect()[0]
+        except (ValueError, IndexError):
+            return TestResult.failure(
+                f"Winsorized mean of {self._ref} is undefined: "
+                "empty selection or invalid percentile bounds. ",
+                self.get_description(),
+            )
+        if row["n"] == 0 or row["winsorized_mean"] is None:
+            return TestResult.failure(
+                f"Winsorized mean of {self._ref} is undefined: "
+                "no non-null rows. ",
+                self.get_description(),
+            )
+        got = row["winsorized_mean"]
+        if abs(got - self._mean_value) <= self._max_dev:
+            return TestResult.success()
+        assertion_text = (
+            f"Winsorized mean of {self._ref} (clip at p{self._p_lo:g}="
+            f"{row['lo_cut']}, p{self._p_hi:g}={row['hi_cut']}; "
+            f"{row['n_clipped_lo']}+{row['n_clipped_hi']} of {row['n']} "
+            f"rows clipped) is {got}, deviating more than "
+            f"{self._max_dev} from {self._mean_value}. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 def _gamma_q(a: float, x: float) -> float:
     """Regularized upper incomplete gamma Q(a, x) — the chi-squared
     survival function is ``Q(dof/2, stat/2)``.  Series for x < a+1,

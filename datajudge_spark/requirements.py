@@ -1270,6 +1270,44 @@ class WithinRequirement(Requirement):
         )
 
 
+    def add_winsorized_mean_constraint(
+        self,
+        column: str,
+        mean_value: float,
+        max_absolute_deviation: float,
+        p_lo: float = 1.0,
+        p_hi: float = 99.0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the winsorized mean of
+        ``column`` — values clipped at the exact ``p_lo``/``p_hi``
+        percentiles before averaging — must sit within
+        ``max_absolute_deviation`` of ``mean_value``.  The robust
+        companion to ``add_numeric_mean_constraint``: a fat tail or a
+        few corrupt extremes cannot drag it.  Both cuts come from one
+        shared bucketed-histogram pass; the clipped mean is a
+        decimal-exact integer sum over the exact count (best on integer
+        domains: cents, counts)."""
+        if max_absolute_deviation < 0:
+            raise ValueError("max_absolute_deviation must be >= 0.")
+        if not (0.0 < p_lo < p_hi < 100.0):
+            raise ValueError("need 0 < p_lo < p_hi < 100.")
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            stats_constraints.WinsorizedMeanWithin(
+                ref,
+                mean_value,
+                max_absolute_deviation,
+                p_lo=p_lo,
+                p_hi=p_hi,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+
 class BetweenRequirement(Requirement):
     """Constraints comparing two data sources (reference requirements.py:1266-2227)."""
 

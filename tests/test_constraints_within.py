@@ -1018,3 +1018,30 @@ class TestGroupedOls2Slope:
         req = within_req(df, "gols4")
         with pytest.raises(ValueError):
             req.add_grouped_ols2_slope_constraint("x1", "x2", "v", "g")
+
+
+class TestWinsorizedMean:
+    def test_robust_to_outliers_where_plain_mean_fails(self, spark):
+        vals = [(100,)] * 98 + [(10**12,), (102,)]
+        df = spark.createDataFrame(vals, "x long")
+        req = within_req(df, "wins1")
+        req.add_winsorized_mean_constraint("x", 100.0, 5.0)  # robust: pass
+        req.add_numeric_mean_constraint("x", 100.0, 5.0)     # dragged: fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+
+    def test_fails_with_cut_detail(self, spark):
+        df = spark.createDataFrame([(v,) for v in range(100)], "x long")
+        req = within_req(df, "wins2")
+        req.add_winsorized_mean_constraint("x", 1000.0, 1.0)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "clip at p1=" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "x long")
+        req = within_req(df, "wins3")
+        with pytest.raises(ValueError):
+            req.add_winsorized_mean_constraint("x", 0.0, -1.0)
+        with pytest.raises(ValueError):
+            req.add_winsorized_mean_constraint("x", 0.0, 1.0, p_lo=99.0, p_hi=1.0)
