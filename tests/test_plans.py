@@ -718,3 +718,22 @@ def test_grouped_ols_single_aggregation_pass(spark):
     assert "Window" not in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_winsorized_windows_are_bucket_bounded(spark):
+    # the percentile cuts come from the shared bucketed histogram: any
+    # window must be partitioned by the range bucket, and the final
+    # mean is a single aggregate over the scan + broadcast cuts
+    plan = _executed_plan(entrymod.q_winsorized_revenue(spark, SF_DIR))
+    assert "windowspecdefinition(b#" in plan or "windowspecdefinition(__b" in plan, plan
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_rrf_no_cartesian_fact_join(spark):
+    # retrieval tops are bounded digests: the fuse must be hash/broadcast
+    # joins, never a cartesian over anything fact-sized; the final cut
+    # stays TakeOrderedAndProject
+    plan = _executed_plan(entrymod.q_hybrid_rrf_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
