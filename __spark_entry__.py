@@ -3012,10 +3012,11 @@ def q_winsorized_mean(spark, sf_dir):
     # robust mean of order totals: values clamp to the exact [p5, p95]
     # before averaging — the estimator that survives fat tails without
     # dropping rows (completing the robust family: MAD screen,
-    # percentile trim, winsorize).  Thresholds come from the shared-
-    # histogram exact percentiles; the clamped sum is DECIMAL-exact with
-    # one final double division.
-    from datajudge_spark.operators.scalars import exact_percentiles_df
+    # percentile trim, winsorize).  Rides the packaged
+    # operators.scalars.winsorized_stats (shared-histogram exact cuts,
+    # DECIMAL-exact clamped sum, one double division at the end), which
+    # also backs add_winsorized_mean_constraint.
+    from datajudge_spark.operators.scalars import winsorized_stats
     from datajudge_spark.pipeline._util import materialize_once
 
     o = _t(spark, sf_dir, "orders")
@@ -3024,17 +3025,11 @@ def q_winsorized_mean(spark, sf_dir):
             F.col("c").isNotNull()
         )
     )
-    thr = exact_percentiles_df(vals, "c", [5.0, 95.0])
-    clamped = F.greatest(F.least(F.col("c"), F.col("p95")), F.col("p5"))
-    return vals.join(F.broadcast(thr)).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(F.col("p5")).cast("bigint").alias("p5_cents"),
-        F.min(F.col("p95")).cast("bigint").alias("p95_cents"),
-        F.round(
-            F.sum(clamped.cast("decimal(38,0)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("winsorized_mean_cents"),
+    return winsorized_stats(vals, "c", 5.0, 95.0).select(
+        F.col("n").alias("n_rows"),
+        F.col("lo_cut").cast("bigint").alias("p5_cents"),
+        F.col("hi_cut").cast("bigint").alias("p95_cents"),
+        F.col("winsorized_mean").alias("winsorized_mean_cents"),
     )
 
 
@@ -3852,19 +3847,6 @@ def q_weekly_seasonality(spark, sf_dir):
     return seasonality_strength(daily, "cents", period=7)
 
 
-def q_winsorized_revenue(spark, sf_dir):
-    # robust order-value location: mean of per-order cents after
-    # clipping at the exact p1/p99 — one shared bucketed-histogram pass
-    # for both cuts, then a single broadcast-join aggregate; the mean
-    # divides a decimal-exact integer sum (partition-order independent).
-    from datajudge_spark.operators.scalars import winsorized_stats
-
-    o = _t(spark, sf_dir, "orders").select(
-        _cents("o_totalprice").alias("cents")
-    )
-    return winsorized_stats(o, "cents", 1.0, 99.0)
-
-
 def q_grouped_ols_trend(spark, sf_dir):
     # per-priority revenue trend holding the weekend effect out:
     # daily cents ~ b0 + b1·daynum + b2·is_weekend, solved per group by
@@ -4541,7 +4523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "weekly_seasonality": q_weekly_seasonality,
         "grouped_ols_trend": q_grouped_ols_trend,
-        "winsorized_revenue": q_winsorized_revenue,
         # round-5 additions (need their first driver row)
         "q21_suppliers_waiting": q21_suppliers_waiting,
         "q20_volume_suppliers": q20_volume_suppliers,
@@ -7834,26 +7815,6 @@ def oracle_sql() -> dict[str, str]:
         # phase order (list ORDER BY p + list_reduce), mirroring the
         # operator's driver fold — a set-ordered double sum differs in
         # its last ulp
-        "winsorized_revenue": (
-            # same exact-percentile semantics (smallest v with >= p% of
-            # non-null <= v), same decimal-exact clipped sum
-            "WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) "
-            "* 100 AS BIGINT) AS x FROM orders "
-            "WHERE o_totalprice IS NOT NULL), "
-            "cd AS (SELECT x, cume_dist() OVER (ORDER BY x) AS cd FROM c), "
-            "cut AS (SELECT (SELECT min(x) FROM cd WHERE cd >= 0.01) AS lo, "
-            "(SELECT min(x) FROM cd WHERE cd >= 0.99) AS hi) "
-            "SELECT CAST(count(*) AS BIGINT) AS n, "
-            "CAST(max(lo) AS BIGINT) AS lo_cut, "
-            "CAST(max(hi) AS BIGINT) AS hi_cut, "
-            "CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_clipped_lo, "
-            "CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_clipped_hi, "
-            "round(CAST(sum(CAST(least(greatest(x, lo), hi) AS HUGEINT)) "
-            "AS DOUBLE) / count(*), 6) AS winsorized_mean "
-            "FROM c, cut"
-        ),
         "grouped_ols_trend": (
             # identical double expression shape as grouped_ols2: Cramer
             # on doubles converted ONCE from decimal-exact integer sums

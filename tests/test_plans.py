@@ -724,7 +724,7 @@ def test_winsorized_windows_are_bucket_bounded(spark):
     # the percentile cuts come from the shared bucketed histogram: any
     # window must be partitioned by the range bucket, and the final
     # mean is a single aggregate over the scan + broadcast cuts
-    plan = _executed_plan(entrymod.q_winsorized_revenue(spark, SF_DIR))
+    plan = _executed_plan(entrymod.q_winsorized_mean(spark, SF_DIR))
     assert "windowspecdefinition(b#" in plan or "windowspecdefinition(__b" in plan, plan
     assert "partial_sum" in plan
     assert "SortMergeJoin" not in plan
