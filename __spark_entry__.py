@@ -2601,6 +2601,26 @@ def q_cusum_changepoint(spark, sf_dir):
     return cusum_changepoint(daily, "cents")
 
 
+def q_acf_daily(spark, sf_dir):
+    # autocorrelation of daily order revenue at calendar lags 1..14 plus
+    # the cumulative Ljung-Box statistic: per-lag sufficient statistics
+    # stay DECIMAL(38,0)-exact, acf converts once to double in a fixed
+    # expression (variance product split as sqrt(a)*sqrt(b) so neither
+    # factor leaves decimal range), and the Ljung-Box fold sums the
+    # ROUNDED r_k^2 terms in lag order — bit-identical cross-engine.
+    from datajudge_spark.operators.timeseries import (
+        autocorrelation,
+        daily_totals,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
+    return autocorrelation(daily, "cents", max_lag=14)
+
+
 def q_trend_slope(spark, sf_dir):
     # least-squares slope of daily revenue per order priority, in
     # cents/day. All five sufficient statistics are exact DECIMAL(38,0)
@@ -4715,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "text_repetition": q_text_repetition,
         "stratum_percentile_trim": q_stratum_percentile_trim,
+        "acf_daily": q_acf_daily,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -6720,6 +6741,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n_days, day AS change_day, "
             "round(CAST(abs(d) AS DOUBLE) / n, 6) AS cusum_max "
             "FROM cum ORDER BY abs(d) DESC, day ASC LIMIT 1"
+        ),
+        "acf_daily": (
+            # same decimal sufficient statistics, sqrt-split variance
+            # product, and ordered fold over the ROUNDED r_k^2 terms as
+            # the Spark side — every double expression shape-identical
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+            "AS BIGINT) AS cents FROM orders GROUP BY 1), "
+            "t AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM daily), "
+            "lags AS (SELECT unnest(generate_series(1, 14)) AS lag), "
+            "suff AS (SELECT l.lag, count(*) AS n_pairs, "
+            "sum(CAST(a.cents AS DECIMAL(38,0))) AS sx, "
+            "sum(CAST(b.cents AS DECIMAL(38,0))) AS sy, "
+            "sum(CAST(CAST(a.cents AS DECIMAL(19,0)) * b.cents "
+            "AS DECIMAL(38,0))) AS sxy, "
+            "sum(CAST(CAST(a.cents AS DECIMAL(19,0)) * a.cents "
+            "AS DECIMAL(38,0))) AS sxx, "
+            "sum(CAST(CAST(b.cents AS DECIMAL(19,0)) * b.cents "
+            "AS DECIMAL(38,0))) AS syy "
+            "FROM daily a CROSS JOIN lags l "
+            "JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER) "
+            "GROUP BY 1), "
+            "scored AS (SELECT lag, n_pairs, "
+            "CASE WHEN CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx - "
+            "sx * sx AS DOUBLE) > 0 AND "
+            "CAST(CAST(n_pairs AS DECIMAL(38,0)) * syy - "
+            "sy * sy AS DOUBLE) > 0 THEN "
+            "round(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxy - "
+            "sx * sy AS DOUBLE) / "
+            "(sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx - "
+            "sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * syy - "
+            "sy * sy AS DOUBLE))), 6) END AS acf FROM suff) "
+            "SELECT lag, n_pairs, acf, "
+            "round(nd * (nd + 2.0) * "
+            "sum(coalesce(acf * acf / n_pairs, 0.0)) "
+            "OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW), 6) AS ljung_box_q "
+            "FROM scored, t ORDER BY lag"
         ),
         "trend_slope": (
             "WITH base AS (SELECT o_orderpriority AS priority, "

@@ -750,3 +750,110 @@ def grouped_ols2(
         F.when(ok, F.round(b2, 6)).alias("beta2"),
         F.when(ok, F.round(1.0 - sse / sst, 6)).alias("r2"),
     )
+
+
+def autocorrelation(
+    daily: DataFrame,
+    value_col: str = "total",
+    max_lag: int = 14,
+) -> DataFrame:
+    """Autocorrelation function of a daily integer series at calendar
+    lags ``1..max_lag``, plus the Ljung-Box portmanteau statistic.
+
+    Returns one row per lag: ``(lag, n_pairs, acf, ljung_box_q)`` —
+    ``acf`` is the Pearson correlation of the pairs ``(x_t, x_{t+lag})``
+    over the days where BOTH ends exist (calendar lag, so gap days drop
+    pairs rather than silently shifting the series), and
+    ``ljung_box_q`` is the cumulative Box-Pierce/Ljung-Box statistic
+    ``n·(n+2)·Σ_{k≤lag} r_k²/n_pairs_k`` — large values reject "white
+    noise", the standard pre-check before trusting drift monitors that
+    assume independent days.
+
+    Exactness / cross-engine design:
+
+    - the five sufficient statistics per lag (n, Σx, Σy, Σxy, Σx², Σy²)
+      accumulate as DECIMAL(38,0) — integer-exact and partition-order
+      independent (cent-valued daily sums square past int64);
+    - ``acf`` converts those exact integers ONCE to doubles in a fixed
+      expression, with the variance product split as
+      ``sqrt(a)·sqrt(b)`` so neither factor exceeds DECIMAL(38)'s
+      range before the cast, then rounds to 6dp;
+    - the Ljung-Box cumulative sums the ROUNDED r_k² terms in lag
+      order over the ≤``max_lag``-row frame — a fixed-order fold any
+      engine reproduces bit-identically.
+
+    Plan shape at fact-table scale: ``daily`` is calendar-bounded
+    (|days| ≤ ~10^4), so the lag grid (|days|·max_lag rows) and the
+    self-join on ``day + lag`` are post-aggregation small; Spark
+    broadcasts the lag side.  The expensive part (the daily aggregate
+    upstream) stays fully parallel.
+
+    Extension — no reference counterpart; peers ``seasonality_strength``
+    (which detects the weekly component this quantifies per-lag).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be a positive number of days")
+    daily = daily.where(
+        F.col("day").isNotNull() & F.col(value_col).isNotNull()
+    )
+    spark = daily.sparkSession
+    lags = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    v = F.col(value_col)
+    # (lag, day+lag, x) — every observation offered at every lag; the
+    # join back to the daily frame keeps only pairs whose far end exists
+    offered = daily.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_add(F.col("day"), F.col("lag")).alias("__d2"),
+        v.alias("__x"),
+    )
+    far = daily.select(F.col("day").alias("__d2"), v.alias("__y"))
+    suff = (
+        offered.join(far, "__d2")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(d38(F.col("__x"))).alias("__sx"),
+            F.sum(d38(F.col("__y"))).alias("__sy"),
+            F.sum(d38(d19(F.col("__x")) * F.col("__y"))).alias("__sxy"),
+            F.sum(d38(d19(F.col("__x")) * F.col("__x"))).alias("__sxx"),
+            F.sum(d38(d19(F.col("__y")) * F.col("__y"))).alias("__syy"),
+        )
+    )
+    n_days = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("__nd")
+    )
+    nd = F.col("__nd")
+    num = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__sxy")
+        - F.col("__sx") * F.col("__sy")
+    ).cast("double")
+    vx = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__sxx")
+        - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    vy = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__syy")
+        - F.col("__sy") * F.col("__sy")
+    ).cast("double")
+    r = F.when(
+        (vx > 0) & (vy > 0), F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6)
+    )
+    scored = suff.crossJoin(F.broadcast(n_days)).select(
+        "lag", F.col("__n").alias("n_pairs"), r.alias("acf"), "__nd"
+    )
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.coalesce(
+        F.col("acf") * F.col("acf") / F.col("n_pairs"), F.lit(0.0)
+    )
+    return scored.select(
+        "lag",
+        "n_pairs",
+        "acf",
+        F.round(nd * (nd + 2.0) * F.sum(term).over(w), 6).alias(
+            "ljung_box_q"
+        ),
+    ).orderBy("lag")

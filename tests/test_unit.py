@@ -1542,3 +1542,75 @@ class TestWinsorizedStats:
         df = spark.createDataFrame([(1,)], "x long")
         with pytest.raises(ValueError):
             winsorized_stats(df, "x", 99.0, 1.0)
+
+
+class TestAutocorrelation:
+    def test_matches_naive_pearson(self, spark):
+        import datetime as dt
+        import math
+        import random
+
+        from datajudge_spark.operators.timeseries import autocorrelation
+
+        rng = random.Random(7)
+        base = dt.date(2024, 1, 1)
+        rows = [
+            (base + dt.timedelta(days=i), 500 + 40 * (i % 7) + rng.randint(-30, 30))
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "day date, v long")
+        got = {r["lag"]: r for r in autocorrelation(df, "v", 10).collect()}
+        vals = [v for _, v in rows]
+
+        def pearson(xs, ys):
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            syy = sum(b * b for b in ys)
+            num = n * sxy - sx * sy
+            den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+            return num / den
+
+        for lag in range(1, 11):
+            xs, ys = vals[:-lag], vals[lag:]
+            assert got[lag]["n_pairs"] == 90 - lag
+            assert got[lag]["acf"] == pytest.approx(pearson(xs, ys), abs=1e-6)
+        # weekly series: lag-7 autocorrelation dominates its neighbours
+        assert got[7]["acf"] > got[6]["acf"]
+        assert got[7]["acf"] > got[8]["acf"]
+        # Ljung-Box is cumulative and nondecreasing
+        q = [got[lag]["ljung_box_q"] for lag in range(1, 11)]
+        assert all(b >= a for a, b in zip(q, q[1:]))
+
+    def test_calendar_gaps_drop_pairs(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import autocorrelation
+
+        base = dt.date(2024, 1, 1)
+        # days 0,1,2,4,5 — day 3 missing: lag-1 pairs are (0,1),(1,2),(4,5)
+        days = [0, 1, 2, 4, 5]
+        df = spark.createDataFrame(
+            [(base + dt.timedelta(days=i), 10 + i) for i in days],
+            "day date, v long",
+        )
+        got = {r["lag"]: r for r in autocorrelation(df, "v", 3).collect()}
+        assert got[1]["n_pairs"] == 3
+        assert got[2]["n_pairs"] == 2  # (0,2),(2,4); (3,5) lacks day 3
+        assert got[3]["n_pairs"] == 2  # (1,4),(2,5)
+
+    def test_constant_series_undefined(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import autocorrelation
+
+        base = dt.date(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(base + dt.timedelta(days=i), 100) for i in range(30)],
+            "day date, v long",
+        )
+        rows = autocorrelation(df, "v", 5).collect()
+        assert all(r["acf"] is None for r in rows)
+        # undefined lags contribute 0 to the portmanteau statistic
+        assert all(r["ljung_box_q"] == 0.0 for r in rows)
