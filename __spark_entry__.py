@@ -2601,6 +2601,24 @@ def q_cusum_changepoint(spark, sf_dir):
     return cusum_changepoint(daily, "cents")
 
 
+def q_k_anonymity(spark, sf_dir):
+    # privacy release gate: k-anonymity + l-diversity digest over the
+    # (nation, mktsegment) quasi-identifier on customers, sensitive =
+    # account balance. ONE grouped shuffle (hot groups are safe groups,
+    # so no skew hazard) then a 1-row exact-integer digest; only the
+    # at-risk fraction divides, once, rounded 6dp.
+    from datajudge_spark.operators.privacy import k_anonymity
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+        sensitive_col="c_acctbal",
+        min_l=5,
+    )
+
+
 def q_acf_daily(spark, sf_dir):
     # autocorrelation of daily order revenue at calendar lags 1..14 plus
     # the cumulative Ljung-Box statistic: per-lag sufficient statistics
@@ -4736,6 +4754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "stratum_percentile_trim": q_stratum_percentile_trim,
         "acf_daily": q_acf_daily,
+        "k_anonymity": q_k_anonymity,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -6741,6 +6760,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n_days, day AS change_day, "
             "round(CAST(abs(d) AS DOUBLE) / n, 6) AS cusum_max "
             "FROM cum ORDER BY abs(d) DESC, day ASC LIMIT 1"
+        ),
+        "k_anonymity": (
+            "WITH g AS (SELECT c_nationkey, c_mktsegment, "
+            "count(*) AS n, count(DISTINCT c_acctbal) AS d "
+            "FROM customer GROUP BY 1, 2) "
+            "SELECT CAST(sum(n) AS BIGINT) AS n_rows, "
+            "CAST(count(*) AS BIGINT) AS n_groups, "
+            "CAST(min(n) AS BIGINT) AS min_group_size, "
+            "CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_small_groups, "
+            "CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) "
+            "AS n_at_risk_rows, "
+            "round(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) "
+            "AS DOUBLE) / sum(n), 6) AS at_risk_fraction, "
+            "CAST(min(d) AS BIGINT) AS min_diversity, "
+            "CAST(sum(CASE WHEN d < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_low_diversity_groups FROM g"
         ),
         "acf_daily": (
             # same decimal sufficient statistics, sqrt-split variance

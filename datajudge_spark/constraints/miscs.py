@@ -189,3 +189,94 @@ class MaxNullFraction(Constraint):
             f"while only {self._target_prefix}{threshold} were allowed to be NULL."
         )
         return result, assertion_text
+
+
+class KAnonymity(Constraint):
+    """Re-identification gate: every quasi-identifier group must have
+    >= min_k rows (k-anonymity), optionally with >= min_diversity
+    distinct sensitive values per group (l-diversity).  Extension — no
+    reference counterpart; the inverse of Uniqueness (reference
+    miscs.py:50-121), which wants groups small, this wants them large.
+
+    ``max_at_risk_fraction`` tolerates a share of rows in small groups
+    (0 = strict k-anonymity).  Empty selections pass vacuously.  The
+    failure message names the rarest offending combinations via a
+    capped TopK sample.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        quasi_columns: list[str],
+        min_k: int,
+        max_at_risk_fraction: float = 0.0,
+        sensitive_column: str | None = None,
+        min_diversity: int | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if min_k < 1:
+            raise ValueError("min_k must be a positive group size.")
+        if not quasi_columns:
+            raise ValueError("quasi_columns must name at least one column.")
+        if not (0.0 <= max_at_risk_fraction <= 1.0):
+            raise ValueError("max_at_risk_fraction must lie within [0, 1].")
+        if min_diversity is not None and sensitive_column is None:
+            raise ValueError("min_diversity requires sensitive_column.")
+        self.quasi_columns = list(quasi_columns)
+        self.min_k = min_k
+        self.max_at_risk_fraction = max_at_risk_fraction
+        self.sensitive_column = sensitive_column
+        self.min_diversity = min_diversity
+        super().__init__(
+            ref,
+            ref_value=(min_k, max_at_risk_fraction, min_diversity),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.privacy import k_anonymity, k_anonymity_violations
+
+        df = self._ref.get_selection(engine)
+        row = k_anonymity(
+            df,
+            self.quasi_columns,
+            self.min_k,
+            sensitive_col=self.sensitive_column,
+            min_l=self.min_diversity,
+        ).collect()[0]
+        if row["n_rows"] == 0:
+            return TestResult(True, "No rows; k-anonymity holds vacuously.")
+        problems = []
+        if row["at_risk_fraction"] > self.max_at_risk_fraction:
+            sample = k_anonymity_violations(
+                df, self.quasi_columns, self.min_k, limit=5
+            ).collect()
+            sample_str = ", ".join(
+                "("
+                + ", ".join(f"{c}={r[c]}" for c in self.quasi_columns)
+                + f") x{r['group_size']}"
+                for r in sample
+            )
+            problems.append(
+                f"{row['n_small_groups']} quasi-identifier group(s) of "
+                f"{self.quasi_columns} have fewer than {self.min_k} rows, "
+                f"putting {row['n_at_risk_rows']} of {row['n_rows']} rows "
+                f"({row['at_risk_fraction']}) at re-identification risk "
+                f"(allowed fraction {self.max_at_risk_fraction}). "
+                f"Rarest combinations: {sample_str}."
+            )
+        if (
+            self.sensitive_column is not None
+            and self.min_diversity is not None
+            and row["n_low_diversity_groups"] > 0
+        ):
+            problems.append(
+                f"{row['n_low_diversity_groups']} group(s) carry fewer than "
+                f"{self.min_diversity} distinct {self.sensitive_column!r} "
+                f"values (minimum observed: {row['min_diversity']})."
+            )
+        if problems:
+            return TestResult.failure(f"{self._ref}: " + " ".join(problems))
+        return TestResult.success()

@@ -1308,6 +1308,51 @@ class WithinRequirement(Requirement):
         )
 
 
+    def add_k_anonymity_constraint(
+        self,
+        quasi_columns: list[str],
+        min_k: int,
+        max_at_risk_fraction: float = 0.0,
+        sensitive_column: str | None = None,
+        min_diversity: int | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): every value combination
+        of ``quasi_columns`` must cover at least ``min_k`` rows
+        (k-anonymity), tolerating at most ``max_at_risk_fraction`` of
+        rows in smaller groups; with ``sensitive_column`` /
+        ``min_diversity``, each group must additionally carry >= that
+        many distinct sensitive values (l-diversity).  The
+        re-identification release gate for user-derived training data —
+        the inverse of ``add_uniqueness_constraint``, which wants
+        quasi-identifier groups small, this wants them large.  One
+        partial-aggregated shuffle on the quasi key; failure messages
+        name the rarest offending combinations."""
+        # the selection must carry the sensitive column alongside the
+        # quasi identifiers — get_selection projects to ref.columns
+        ref_columns = list(quasi_columns) + (
+            [sensitive_column]
+            if sensitive_column is not None
+            and sensitive_column not in quasi_columns
+            else []
+        )
+        ref = DataReference(self._data_source, ref_columns, condition)
+        self._constraints.append(
+            miscs_constraints.KAnonymity(
+                ref,
+                quasi_columns=list(quasi_columns),
+                min_k=min_k,
+                max_at_risk_fraction=max_at_risk_fraction,
+                sensitive_column=sensitive_column,
+                min_diversity=min_diversity,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+
 class BetweenRequirement(Requirement):
     """Constraints comparing two data sources (reference requirements.py:1266-2227)."""
 

@@ -1045,3 +1045,81 @@ class TestWinsorizedMean:
             req.add_winsorized_mean_constraint("x", 0.0, -1.0)
         with pytest.raises(ValueError):
             req.add_winsorized_mean_constraint("x", 0.0, 1.0, p_lo=99.0, p_hi=1.0)
+
+
+class TestKAnonymity:
+    @staticmethod
+    def _people(spark):
+        # (zip, age) quasi groups: ("10", 30) x3, ("20", 40) x2,
+        # ("30", 50) x1 — the last two break k=3
+        rows = [
+            ("10", 30, "flu"),
+            ("10", 30, "cold"),
+            ("10", 30, "flu"),
+            ("20", 40, "flu"),
+            ("20", 40, "flu"),
+            ("30", 50, "cold"),
+        ]
+        return spark.createDataFrame(rows, "zip string, age long, dx string")
+
+    def test_pass_and_fail_on_k(self, spark):
+        df = self._people(spark)
+        req = within_req(df, "kanon_ok")
+        req.add_k_anonymity_constraint(["zip", "age"], min_k=1)
+        assert outcomes(req, spark) == [True]
+        req = within_req(df, "kanon_bad")
+        req.add_k_anonymity_constraint(["zip", "age"], min_k=3)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        # the rarest combination is named in the message
+        assert "zip=30" in results[0].failure_message
+        assert "x1" in results[0].failure_message
+
+    def test_at_risk_fraction_tolerance(self, spark):
+        df = self._people(spark)
+        req = within_req(df, "kanon_tol")
+        # 3 of 6 rows live in groups under k=3 -> fraction 0.5
+        req.add_k_anonymity_constraint(
+            ["zip", "age"], min_k=3, max_at_risk_fraction=0.5
+        )
+        req.add_k_anonymity_constraint(
+            ["zip", "age"], min_k=3, max_at_risk_fraction=0.49
+        )
+        assert outcomes(req, spark) == [True, False]
+
+    def test_l_diversity(self, spark):
+        df = self._people(spark)
+        req = within_req(df, "kanon_ldiv")
+        # ("20",40) group has only one distinct dx -> l-diversity 1 < 2
+        req.add_k_anonymity_constraint(
+            ["zip", "age"],
+            min_k=1,
+            sensitive_column="dx",
+            min_diversity=2,
+        )
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "distinct 'dx'" in results[0].failure_message
+
+    def test_empty_selection_vacuous(self, spark):
+        df = self._people(spark)
+        req = within_req(df, "kanon_empty")
+        req.add_k_anonymity_constraint(
+            ["zip", "age"], min_k=5,
+            condition=Condition(raw_string="age > 999"),
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_validation(self, spark):
+        df = self._people(spark)
+        req = within_req(df, "kanon_val")
+        with pytest.raises(ValueError):
+            req.add_k_anonymity_constraint(["zip"], min_k=0)
+        with pytest.raises(ValueError):
+            req.add_k_anonymity_constraint([], min_k=2)
+        with pytest.raises(ValueError):
+            req.add_k_anonymity_constraint(
+                ["zip"], min_k=2, max_at_risk_fraction=1.5
+            )
+        with pytest.raises(ValueError):
+            req.add_k_anonymity_constraint(["zip"], min_k=2, min_diversity=2)
