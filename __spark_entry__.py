@@ -2601,6 +2601,25 @@ def q_cusum_changepoint(spark, sf_dir):
     return cusum_changepoint(daily, "cents")
 
 
+def q_bootstrap_ci_mean(spark, sf_dir):
+    # deterministic Poisson-bootstrap CI of the mean order price: all 64
+    # replicates accumulate in ONE aggregation pass (per-row md5-derived
+    # Poisson(1) weights, no row multiplication); replicate numerators
+    # are DECIMAL(38,0)-exact and each mean divides once, rounded 6dp.
+    from datajudge_spark.operators.resample import bootstrap_mean_ci
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    return bootstrap_mean_ci(
+        o.select(F.col("o_orderkey"), cents.alias("cents")),
+        "o_orderkey",
+        "cents",
+        n_reps=64,
+    )
+
+
 def q_k_anonymity(spark, sf_dir):
     # privacy release gate: k-anonymity + l-diversity digest over the
     # (nation, mktsegment) quasi-identifier on customers, sensitive =
@@ -4755,6 +4774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratum_percentile_trim": q_stratum_percentile_trim,
         "acf_daily": q_acf_daily,
         "k_anonymity": q_k_anonymity,
+        "bootstrap_ci_mean": q_bootstrap_ci_mean,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -4770,6 +4790,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # bit-for-bit; cosine uses the same left-to-right double fold as Spark's
 # zip_with/aggregate so rankings are engine-independent.
 # --------------------------------------------------------------------------
+
+def _bootstrap_ci_sql(n_reps: int = 64) -> str:
+    """DuckDB mirror of q_bootstrap_ci_mean.
+
+    Same md5-derived Poisson(1) weights (threshold constants imported
+    from the operator — single source of truth), same DECIMAL(38,0)
+    numerators, same once-per-replicate double division and rank rule;
+    the oracle materializes replicates row-wise (a 64x cross join is
+    fine at oracle scale) where Spark holds them column-wise.
+    """
+    import math
+
+    from datajudge_spark.operators.resample import (
+        POISSON1_THRESHOLDS_PPM,
+        POISSON_MAX_W,
+    )
+
+    ladder = " ".join(
+        f"WHEN u < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_THRESHOLDS_PPM)
+    )
+    lo_idx = math.ceil(2.5 / 100.0 * n_reps)
+    med_idx = math.ceil(0.5 * n_reps)
+    hi_idx = math.ceil(97.5 / 100.0 * n_reps)
+    return (
+        "WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS cents FROM orders), "
+        f"reps AS (SELECT unnest(generate_series(0, {n_reps - 1})) AS r), "
+        "u AS (SELECT r, cents, "
+        "CAST(('0x' || substr(md5(k || '#boot' || CAST(r AS VARCHAR)), "
+        "1, 15)) AS UBIGINT) % 1000000 AS u FROM base CROSS JOIN reps), "
+        f"w AS (SELECT r, cents, CASE {ladder} "
+        f"ELSE {POISSON_MAX_W} END AS w FROM u), "
+        "per AS (SELECT r, "
+        "sum(CAST(CAST(w AS DECIMAL(19,0)) * cents AS DECIMAL(38,0))) "
+        "AS sw, CAST(sum(w) AS BIGINT) AS n FROM w GROUP BY r), "
+        "m AS (SELECT r, CASE WHEN n > 0 THEN "
+        "round(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS m "
+        "FROM per), "
+        "ranked AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rn "
+        "FROM m), "
+        "pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CASE WHEN count(*) > 0 THEN round(CAST(sum(CAST(cents AS "
+        "DECIMAL(38,0))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) END "
+        "AS point_mean FROM base) "
+        f"SELECT n_rows, CAST({n_reps} AS INTEGER) AS n_reps, point_mean, "
+        f"max(CASE WHEN rn = {lo_idx} THEN m END) AS boot_lo, "
+        f"max(CASE WHEN rn = {med_idx} THEN m END) AS boot_median, "
+        f"max(CASE WHEN rn = {hi_idx} THEN m END) AS boot_hi "
+        "FROM ranked, pt GROUP BY n_rows, point_mean"
+    )
+
 
 def _trade_edges_sql() -> str:
     """The nation->nation trade graph (customer nation -> supplier
@@ -6761,6 +6834,7 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(abs(d) AS DOUBLE) / n, 6) AS cusum_max "
             "FROM cum ORDER BY abs(d) DESC, day ASC LIMIT 1"
         ),
+        "bootstrap_ci_mean": _bootstrap_ci_sql(64),
         "k_anonymity": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, "
             "count(*) AS n, count(DISTINCT c_acctbal) AS d "

@@ -1723,3 +1723,102 @@ class CusumStabilityMax(Constraint):
             f"{self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class BootstrapMeanStability(Constraint):
+    """The Poisson-bootstrap confidence interval of ``mean(value)`` must
+    be narrow (``max_relative_width``: CI width / |point mean|) and/or
+    contain ``target_value`` — "is the mean a stable number, or one fat
+    row away from moving?".  Extension, no reference counterpart; the
+    uncertainty-aware companion to ``add_numeric_mean_constraint``: the
+    plain gate fails when the mean drifts, this one fails when the mean
+    stops being trustworthy (or when a target escapes its interval).
+
+    Engine: :func:`operators.resample.bootstrap_mean_ci` — all replicates
+    in ONE aggregation pass from deterministic md5-derived Poisson(1)
+    weights, so outcomes are reproducible run-to-run and engine-to-engine.
+    Values are cent-scaled before summing (decimal-exact); the digest
+    reports in value units.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_relative_width: float | None = None,
+        target_value: float | None = None,
+        n_reps: int = 64,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_relative_width is None and target_value is None:
+            raise ValueError(
+                "Provide max_relative_width and/or target_value."
+            )
+        if max_relative_width is not None and max_relative_width < 0:
+            raise ValueError("max_relative_width must be non-negative.")
+        if n_reps < 4:
+            raise ValueError("n_reps must be at least 4.")
+        self._max_rel = max_relative_width
+        self._target = target_value
+        self._n_reps = n_reps
+        super().__init__(
+            ref,
+            ref_value=(max_relative_width, target_value, n_reps),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.resample import bootstrap_mean_ci
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "BootstrapMeanStability requires exactly two columns: "
+                "(key_column, value_column)."
+            )
+        key_col, value_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(value_col).isNotNull()
+        )
+        cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        row = bootstrap_mean_ci(
+            df.select(F.col(key_col), cents.alias("__cents")),
+            key_col,
+            "__cents",
+            n_reps=self._n_reps,
+        ).collect()[0]
+        if row["n_rows"] == 0:
+            return TestResult(
+                True, "No rows; bootstrap gate holds vacuously."
+            )
+        lo, hi = row["boot_lo"] / 100.0, row["boot_hi"] / 100.0
+        point = row["point_mean"] / 100.0
+        problems = []
+        if self._max_rel is not None:
+            if point == 0:
+                problems.append(
+                    f"point mean of {self._ref} is 0; relative CI width "
+                    "is undefined (treated as unstable)."
+                )
+            else:
+                rel = (hi - lo) / abs(point)
+                if rel > self._max_rel:
+                    problems.append(
+                        f"bootstrap {self._n_reps}-replicate CI of "
+                        f"{self._ref} mean is [{lo}, {hi}] around "
+                        f"{point}: relative width {rel:.6f} exceeds "
+                        f"{self._max_rel}."
+                    )
+        if self._target is not None and not (lo <= self._target <= hi):
+            problems.append(
+                f"target mean {self._target} lies outside the bootstrap "
+                f"CI [{lo}, {hi}] of {self._ref}."
+            )
+        if problems:
+            return TestResult.failure(" ".join(problems))
+        return TestResult.success()

@@ -1308,6 +1308,41 @@ class WithinRequirement(Requirement):
         )
 
 
+    def add_bootstrap_mean_ci_constraint(
+        self,
+        key_column: str,
+        value_column: str,
+        max_relative_width: float | None = None,
+        target_value: float | None = None,
+        n_reps: int = 64,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the deterministic
+        Poisson-bootstrap confidence interval of ``mean(value_column)``
+        must be narrower than ``max_relative_width`` (CI width over
+        |point mean|) and/or contain ``target_value``.  The
+        uncertainty-aware companion to ``add_numeric_mean_constraint``:
+        that gate fails when the mean moves, this one fails when the
+        mean stops being a trustworthy number.  All ``n_reps``
+        replicates accumulate in one aggregation pass via per-row
+        md5-derived Poisson(1) weights keyed on ``key_column`` —
+        reproducible run-to-run at any scale."""
+        ref = DataReference(
+            self._data_source, [key_column, value_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.BootstrapMeanStability(
+                ref,
+                max_relative_width=max_relative_width,
+                target_value=target_value,
+                n_reps=n_reps,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_k_anonymity_constraint(
         self,
         quasi_columns: list[str],

@@ -1123,3 +1123,64 @@ class TestKAnonymity:
             )
         with pytest.raises(ValueError):
             req.add_k_anonymity_constraint(["zip"], min_k=2, min_diversity=2)
+
+
+class TestBootstrapMeanStability:
+    @staticmethod
+    def _amounts(spark):
+        # tight cluster around 100.00: mean is very stable
+        rows = [(i, 100.0 + (i % 11) * 0.1) for i in range(400)]
+        return spark.createDataFrame(rows, "k long, amount double")
+
+    def test_stable_mean_passes(self, spark):
+        req = within_req(self._amounts(spark), "boot_ok")
+        req.add_bootstrap_mean_ci_constraint(
+            "k", "amount", max_relative_width=0.05
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_unstable_mean_fails(self, spark):
+        # one enormous outlier makes the mean jump between replicates
+        rows = [(i, 10.0) for i in range(50)] + [(999, 100000.0)]
+        df = spark.createDataFrame(rows, "k long, amount double")
+        req = within_req(df, "boot_unstable")
+        req.add_bootstrap_mean_ci_constraint(
+            "k", "amount", max_relative_width=0.10
+        )
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "relative width" in results[0].failure_message
+
+    def test_target_containment(self, spark):
+        df = self._amounts(spark)
+        req = within_req(df, "boot_target")
+        req.add_bootstrap_mean_ci_constraint(
+            "k", "amount", target_value=100.5
+        )
+        req.add_bootstrap_mean_ci_constraint(
+            "k", "amount", target_value=200.0
+        )
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "outside the bootstrap CI" in results[1].failure_message
+
+    def test_empty_selection_vacuous(self, spark):
+        req = within_req(self._amounts(spark), "boot_empty")
+        req.add_bootstrap_mean_ci_constraint(
+            "k", "amount", max_relative_width=0.01,
+            condition=Condition(raw_string="amount < 0"),
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_validation(self, spark):
+        req = within_req(self._amounts(spark), "boot_val")
+        with pytest.raises(ValueError):
+            req.add_bootstrap_mean_ci_constraint("k", "amount")
+        with pytest.raises(ValueError):
+            req.add_bootstrap_mean_ci_constraint(
+                "k", "amount", max_relative_width=-1.0
+            )
+        with pytest.raises(ValueError):
+            req.add_bootstrap_mean_ci_constraint(
+                "k", "amount", target_value=1.0, n_reps=2
+            )

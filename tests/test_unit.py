@@ -1614,3 +1614,58 @@ class TestAutocorrelation:
         assert all(r["acf"] is None for r in rows)
         # undefined lags contribute 0 to the portmanteau statistic
         assert all(r["ljung_box_q"] == 0.0 for r in rows)
+
+
+class TestBootstrapCI:
+    def test_digest_shape_and_sanity(self, spark):
+        from datajudge_spark.operators.resample import bootstrap_mean_ci
+
+        df = spark.createDataFrame(
+            [(i, 1000 + (i * 37) % 200) for i in range(500)],
+            "k long, cents long",
+        )
+        row = bootstrap_mean_ci(df, "k", "cents", n_reps=32).first()
+        assert row["n_rows"] == 500
+        assert row["n_reps"] == 32
+        true_mean = sum(1000 + (i * 37) % 200 for i in range(500)) / 500
+        assert row["point_mean"] == pytest.approx(true_mean, abs=1e-6)
+        assert row["boot_lo"] <= row["boot_median"] <= row["boot_hi"]
+        # CI of a 500-point mean with sd ~58 is a few units wide and
+        # must bracket the true mean
+        assert row["boot_lo"] < true_mean < row["boot_hi"]
+        assert row["boot_hi"] - row["boot_lo"] < 25
+
+    def test_deterministic(self, spark):
+        from datajudge_spark.operators.resample import bootstrap_mean_ci
+
+        df = spark.createDataFrame(
+            [(i, i % 97) for i in range(300)], "k long, v long"
+        ).repartition(7)
+        a = bootstrap_mean_ci(df, "k", "v", n_reps=16).first()
+        b = bootstrap_mean_ci(df, "k", "v", n_reps=16).first()
+        assert a == b
+
+    def test_poisson_weights_distribution(self, spark):
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.resample import poisson1_weight
+
+        df = spark.range(20000).select(
+            poisson1_weight(F.col("id").cast("string"), 0).alias("w")
+        )
+        agg = df.agg(
+            F.avg("w").alias("mean"),
+            F.avg(F.when(F.col("w") == 0, 1.0).otherwise(0.0)).alias("p0"),
+        ).first()
+        # Poisson(1): mean 1, P(0) = e^-1 = 0.3679
+        assert agg["mean"] == pytest.approx(1.0, abs=0.03)
+        assert agg["p0"] == pytest.approx(0.3679, abs=0.02)
+
+    def test_validation(self, spark):
+        from datajudge_spark.operators.resample import bootstrap_mean_ci
+
+        df = spark.createDataFrame([(1, 1)], "k long, v long")
+        with pytest.raises(ValueError):
+            bootstrap_mean_ci(df, "k", "v", n_reps=2)
+        with pytest.raises(ValueError):
+            bootstrap_mean_ci(df, "k", "v", p_lo=0.0)
