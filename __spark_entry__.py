@@ -3065,6 +3065,83 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_streaming_left_join(spark, sf_dir):
+    """Tenth streaming contract query: stream-stream LEFT OUTER
+    interval join (every purchase, with the same user's clicks in the
+    following 2 hours when they exist).  Matches emit like the inner
+    join; an unmatched purchase emits null-padded once the watermark
+    proves no click can still arrive — i.e. iff
+    ``p_ts + 2h < min(max(p_ts), max(c_ts)) - 1h``.  The final drained
+    set depends only on the data (watermark is monotone), so the batch
+    oracle reproduces it exactly with that inequality."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        interval_left_join_streams,
+        stream_parquet_like,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_loj_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw).withColumn(
+        "event_ts", F.col("ts").cast("timestamp")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("event_ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("event_ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") < F.col("p_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    joined = interval_left_join_streams(
+        purchases, clicks, cond, "p_ts", "c_ts", watermark_delay="1 hour"
+    )
+    qname = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out_df = spark.table(qname).agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.count("click_id").alias("n_matched"),
+        F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unmatched"),
+        F.sum("purchase_id").cast("bigint").alias("sum_purchase_id"),
+        F.sum("click_id").cast("bigint").alias("sum_click_id"),
+    )
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_winsorized_mean(spark, sf_dir):
     # robust mean of order totals: values clamp to the exact [p5, p95]
     # before averaging — the estimator that survives fat tails without
@@ -4775,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_daily": q_acf_daily,
         "k_anonymity": q_k_anonymity,
         "bootstrap_ci_mean": q_bootstrap_ci_mean,
+        "streaming_left_join": q_streaming_left_join,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7424,6 +7502,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM events p JOIN events c ON p.user_id = c.user_id "
             "AND p.event_type = 'purchase' AND c.event_type = 'click' "
             "AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 HOUR"
+        ),
+        "streaming_left_join": (
+            # measured Structured Streaming left-outer emission rule:
+            # unmatched left rows reach the sink iff their match window
+            # closed before the FINAL watermark
+            # (min(max p_ts, max c_ts) - delay); see
+            # streaming.interval_left_join_streams
+            "WITH p AS (SELECT event_id AS purchase_id, user_id AS "
+            "p_user, ts AS p_ts FROM events WHERE event_type = "
+            "'purchase'), "
+            "c AS (SELECT event_id AS click_id, user_id AS c_user, "
+            "ts AS c_ts FROM events WHERE event_type = 'click'), "
+            "wm AS (SELECT least((SELECT max(p_ts) FROM p), "
+            "(SELECT max(c_ts) FROM c)) - INTERVAL 1 HOUR AS w), "
+            "m AS (SELECT p.purchase_id, c.click_id FROM p JOIN c ON "
+            "p.p_user = c.c_user AND c.c_ts >= p.p_ts AND "
+            "c.c_ts < p.p_ts + INTERVAL 2 HOUR), "
+            "um AS (SELECT p.purchase_id, NULL::BIGINT AS click_id "
+            "FROM p, wm WHERE p.purchase_id NOT IN "
+            "(SELECT purchase_id FROM m) AND "
+            "p.p_ts + INTERVAL 2 HOUR < wm.w), "
+            "allr AS (SELECT * FROM m UNION ALL SELECT * FROM um) "
+            "SELECT count(*) AS n_emitted, "
+            "count(click_id) AS n_matched, "
+            "CAST(sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_unmatched, "
+            "CAST(sum(purchase_id) AS BIGINT) AS sum_purchase_id, "
+            "CAST(sum(click_id) AS BIGINT) AS sum_click_id FROM allr"
         ),
         "spearman": (
             "WITH base AS (SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) "

@@ -47,6 +47,8 @@ __all__ = [
     "streaming_fingerprint_dedup",
     "windowed_value_buckets",
     "psi_between_histograms",
+    "interval_join_streams",
+    "interval_left_join_streams",
 ]
 
 
@@ -339,6 +341,39 @@ def interval_join_streams(
     """
     return left.withWatermark(left_ts, watermark_delay).join(
         right.withWatermark(right_ts, watermark_delay), on, "inner"
+    )
+
+
+def interval_left_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time watermarks: matches
+    emit like the inner join, and an UNMATCHED left row emits once —
+    null-padded — when the watermark proves no future right row can
+    still match it.
+
+    Emission rule (measured against Spark 4.x and what the batch oracle
+    must reproduce): with a range predicate bounding matches to
+    ``right_ts < left_ts + R`` and both sides on ``watermark_delay`` D,
+    the global watermark after an availableNow drain is
+    ``wm = min(max(left_ts), max(right_ts)) - D``, and an unmatched
+    left row is emitted iff ``left_ts + R < wm`` — rows closer than
+    R + D to the end of the stream stay in state awaiting late matches
+    and do NOT reach the sink.  The final drained set is independent of
+    micro-batch boundaries (the watermark is monotone and its final
+    value depends only on the data), which is what makes a deterministic
+    digest possible.
+
+    State at scale is bounded by watermark + range bound exactly as in
+    the inner join; the null-padding adds no state.
+    """
+    return left.withWatermark(left_ts, watermark_delay).join(
+        right.withWatermark(right_ts, watermark_delay), on, "leftOuter"
     )
 
 

@@ -443,3 +443,81 @@ class TestStatefulZscore:
         assert final["n_anomalies"] == 0
         assert final["max_abs_z"] is None
         spark.catalog.dropTempView("z_small_stream")
+
+
+class TestStreamingLeftOuterJoin:
+    def test_emission_rule_across_batches(self, spark, tmp_path):
+        import datetime as dt
+
+        from datajudge_spark.streaming import interval_left_join_streams
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(hours):
+            return t0 + dt.timedelta(hours=hours)
+
+        # final watermark = min(max p_ts, max c_ts) - 1h
+        #                 = min(19h, 20h) - 1h = 18h
+        # p1@1h matches c1@2h            -> emits matched
+        # p2@1h has no click; 1h+2h < 18h -> emits null-padded
+        # p3@19h has no click; 19h+2h > 18h -> stays in state, no emit
+        batch1 = [
+            (1, 1, "purchase", ts(1.0)),
+            (2, 2, "purchase", ts(1.0)),
+            (10, 1, "click", ts(2.0)),
+            (11, 9, "click", ts(0.5)),
+        ]
+        batch2 = [
+            (3, 3, "purchase", ts(19.0)),
+            (12, 9, "click", ts(20.0)),
+        ]
+        schema = "event_id long, user_id long, event_type string, event_ts timestamp"
+        src = tmp_path / "loj_src"
+        for i, chunk in enumerate([batch1, batch2]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(src / f"f{i}")
+            )
+        stream_dir = tmp_path / "loj_merged"
+        stream_dir.mkdir()
+        for n, part in enumerate(sorted(src.rglob("*.parquet"))):
+            (stream_dir / f"{n:02d}.parquet").symlink_to(part)
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        purchases = raw.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_ts").alias("p_ts"),
+        )
+        clicks = raw.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_ts").alias("c_ts"),
+        )
+        cond = (
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts"))
+            & (F.col("c_ts") < F.col("p_ts") + F.expr("INTERVAL 2 HOURS"))
+        )
+        joined = interval_left_join_streams(
+            purchases, clicks, cond, "p_ts", "c_ts",
+            watermark_delay="1 hour",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("loj_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.table("loj_test").collect()
+        }
+        spark.catalog.dropTempView("loj_test")
+        assert got == {(1, 10), (2, None)}
