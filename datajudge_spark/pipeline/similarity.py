@@ -389,9 +389,13 @@ def density_core_points(
     pairs = near_dup_pairs_ivf(
         vectors, centroids, threshold, nprobe, v_id, v_vec
     )
+    # each pair feeds BOTH endpoints' degrees via one explode — a
+    # unionAll of two projections would execute the expensive salted
+    # pair-join subtree twice (Catalyst does not dedupe shared subtrees)
     deg = (
-        pairs.select(F.col("d1").alias("_nid"))
-        .unionAll(pairs.select(F.col("d2").alias("_nid")))
+        pairs.select(
+            F.explode(F.array(F.col("d1"), F.col("d2"))).alias("_nid")
+        )
         .groupBy("_nid")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
