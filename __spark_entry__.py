@@ -2601,6 +2601,40 @@ def q_cusum_changepoint(spark, sf_dir):
     return cusum_changepoint(daily, "cents")
 
 
+def q_theils_u(spark, sf_dir):
+    # asymmetric dependence: what fraction of event-type entropy does
+    # day-of-week explain, and vice versa — same single-shuffle cell
+    # skeleton and log-sum fold as mutual_information.
+    from datajudge_spark.operators.stats import theils_u
+
+    ev = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ),
+        F.lit(7),
+    )
+    base = ev.select(F.col("event_type").alias("et"), dow.alias("dow"))
+    return theils_u(base, "et", "dow")
+
+
+def q_cramers_v(spark, sf_dir):
+    # chi-squared effect size normalized to [0,1]: comparable across
+    # snapshots of different sizes, unlike raw chi2. Same dense grid
+    # as chi_squared (zero cells carry expected mass).
+    from datajudge_spark.operators.stats import cramers_v
+
+    ev = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ),
+        F.lit(7),
+    )
+    base = ev.select(F.col("event_type").alias("et"), dow.alias("dow"))
+    return cramers_v(base, "et", "dow")
+
+
 def q_bootstrap_ci_mean(spark, sf_dir):
     # deterministic Poisson-bootstrap CI of the mean order price: all 64
     # replicates accumulate in ONE aggregation pass (per-row md5-derived
@@ -4853,6 +4887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "bootstrap_ci_mean": q_bootstrap_ci_mean,
         "streaming_left_join": q_streaming_left_join,
+        "theils_u": q_theils_u,
+        "cramers_v": q_cramers_v,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7708,6 +7744,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n, round(mi, 6) AS mi, "
             "round(CASE WHEN ha > 0 AND hb > 0 "
             "THEN mi / sqrt(ha * hb) END, 6) AS nmi FROM agg"
+        ),
+        "theils_u": (
+            # same cells/margins/log-sum parse tree as mutual_information
+            "WITH base AS (SELECT event_type AS a, "
+            "((CAST(ts AS DATE) - DATE '1970-01-01') % 7) AS b FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL), "
+            "cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), "
+            "rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a), "
+            "cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b), "
+            "g AS (SELECT sum(o) AS gt FROM cells), "
+            "j AS (SELECT CAST(o AS DOUBLE) AS o, "
+            "CAST(ra AS DOUBLE) AS ra, CAST(cb AS DOUBLE) AS cb, "
+            "CAST(gt AS DOUBLE) AS g FROM cells "
+            "JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN g), "
+            "agg AS (SELECT max(g) AS n, "
+            "sum((o / g) * (ln(o) + ln(g) - ln(ra) - ln(cb))) AS mi, "
+            "sum(-(o / g) * (ln(ra) - ln(g))) AS ha, "
+            "sum(-(o / g) * (ln(cb) - ln(g))) AS hb FROM j) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "round(CASE WHEN ha > 0 THEN mi / ha END, 6) AS u_a_given_b, "
+            "round(CASE WHEN hb > 0 THEN mi / hb END, 6) AS u_b_given_a "
+            "FROM agg"
+        ),
+        "cramers_v": (
+            # same dense grid as chi_squared, plus the min-dimension
+            # normalization
+            "WITH base AS (SELECT event_type AS a, "
+            "((CAST(ts AS DATE) - DATE '1970-01-01') % 7) AS b FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL), "
+            "cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), "
+            "rm AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a), "
+            "cm AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b), "
+            "g AS (SELECT sum(o) AS gt, count(DISTINCT a) AS n_a, "
+            "count(DISTINCT b) AS n_b FROM cells), "
+            "dense AS (SELECT COALESCE(cells.o, 0) AS o, "
+            "CAST(rm.ra * cm.cb AS DOUBLE) / CAST(g.gt AS DOUBLE) AS e, "
+            "g.n_a AS n_a, g.n_b AS n_b, g.gt AS gt "
+            "FROM rm CROSS JOIN cm "
+            "LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b "
+            "CROSS JOIN g), "
+            "agg AS (SELECT n_a, n_b, gt, "
+            "sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) "
+            "AS chi2 FROM dense GROUP BY n_a, n_b, gt) "
+            "SELECT CAST(gt AS BIGINT) AS n, "
+            "CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof, "
+            "round(chi2, 6) AS chi2, "
+            "round(CASE WHEN least(n_a - 1, n_b - 1) > 0 THEN "
+            "sqrt(chi2 / (CAST(gt AS DOUBLE) * "
+            "CAST(least(n_a - 1, n_b - 1) AS DOUBLE))) END, 6) AS v "
+            "FROM agg"
         ),
         "js_divergence": (
             # identical smoothing and fold as the Spark operator; buckets

@@ -995,20 +995,12 @@ def mann_whitney_u(
     )
 
 
-def chi_squared_independence(
+def _chi2_dense(
     df: DataFrame, column_a: str, column_b: str
 ) -> DataFrame:
-    """Pearson chi-squared test of independence between two categorical
-    columns, as one digest row (dof, chi2).
-
-    One groupBy shuffle builds the observed contingency cells; margins
-    are aggregates OF THE CELLS (|A|·|B| rows, never the fact table
-    twice), and the dense cell grid — including zero-observed cells,
-    which still carry expected mass — is the cross join of the two tiny
-    margin tables.  Counts are integer-exact; ``Σ (o-e)²/e`` is a double
-    fold over them.  Extension — no reference counterpart; peers the KS
-    statistic for the categorical case.
-    """
+    """Shared dense contingency grid ``(n_a, n_b, g, o, e)`` backing
+    :func:`chi_squared_independence` and :func:`cramers_v` — identical
+    expression tree to the original inline form."""
     from ..pipeline._util import materialize_once
 
     cells = materialize_once(
@@ -1023,13 +1015,14 @@ def chi_squared_independence(
         F.count_distinct(F.col("a")).alias("n_a"),
         F.count_distinct(F.col("b")).alias("n_b"),
     )
-    dense = (
+    return (
         row_m.crossJoin(col_m)
         .join(cells, ["a", "b"], "left")
         .join(F.broadcast(grand))
         .select(
             "n_a",
             "n_b",
+            "g",
             F.coalesce(F.col("o"), F.lit(0)).alias("o"),
             (
                 (F.col("ra") * F.col("cb")).cast("double")
@@ -1037,6 +1030,64 @@ def chi_squared_independence(
             ).alias("e"),
         )
     )
+
+
+def cramers_v(df: DataFrame, column_a: str, column_b: str) -> DataFrame:
+    """Cramér's V effect size, one digest row ``(n, dof, chi2, v)``:
+    ``V = sqrt(chi2 / (n · min(n_a-1, n_b-1)))`` in [0, 1] — the
+    chi-squared statistic normalized to be comparable across tables and
+    column pairs (chi2 itself grows with n, so a gate on it means
+    nothing across snapshots of different sizes; V doesn't).
+
+    Same single-shuffle dense-grid skeleton as
+    :func:`chi_squared_independence` (shared ``_chi2_dense``); a 1xK or
+    Kx1 table (min dof 0) yields NULL rather than dividing by zero.
+    Extension — no reference counterpart; completes the categorical
+    association family (chi2 / MI / NMI / Theil's U / V).
+    """
+    dense = _chi2_dense(df, column_a, column_b)
+    agg = dense.groupBy("n_a", "n_b", "g").agg(
+        F.sum(
+            (F.col("o").cast("double") - F.col("e"))
+            * (F.col("o").cast("double") - F.col("e"))
+            / F.col("e")
+        ).alias("chi2"),
+    )
+    min_dim = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    return agg.select(
+        F.col("g").cast("bigint").alias("n"),
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.when(
+                min_dim > 0,
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("g").cast("double") * min_dim.cast("double"))
+                ),
+            ),
+            6,
+        ).alias("v"),
+    )
+
+
+def chi_squared_independence(
+    df: DataFrame, column_a: str, column_b: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns, as one digest row (dof, chi2).
+
+    One groupBy shuffle builds the observed contingency cells; margins
+    are aggregates OF THE CELLS (|A|·|B| rows, never the fact table
+    twice), and the dense cell grid — including zero-observed cells,
+    which still carry expected mass — is the cross join of the two tiny
+    margin tables.  Counts are integer-exact; ``Σ (o-e)²/e`` is a double
+    fold over them.  Extension — no reference counterpart; peers the KS
+    statistic for the categorical case.
+    """
+    dense = _chi2_dense(df, column_a, column_b)
     return dense.groupBy("n_a", "n_b").agg(
         F.sum(
             (F.col("o").cast("double") - F.col("e"))
@@ -1051,26 +1102,13 @@ def chi_squared_independence(
     )
 
 
-def mutual_information(
+def _mi_entropy_agg(
     df: DataFrame, column_a: str, column_b: str
 ) -> DataFrame:
-    """Mutual information (nats) between two categorical columns, as one
-    digest row ``(n, mi, nmi)`` — the model-free "how much does A tell
-    you about B?" dependence measure (0 = independent); ``nmi`` is
-    MI / sqrt(H(A)·H(B)) in [0, 1], comparable across column pairs.
-
-    Same plan skeleton as :func:`chi_squared_independence`: ONE groupBy
-    shuffle builds the observed cells; margins and entropies are
-    aggregates OF THE CELLS (|A|·|B| rows, never a second fact-table
-    scan — the margins broadcast-join back onto the cells).  Counts stay
-    integer-exact; each MI term is
-    ``o/N · (ln(o) + ln(N) − ln(ra) − ln(cb))`` — the log-sum form, so
-    no integer product ``o·N`` that would overflow int64 at 100 TB row
-    counts.  Zero-observed cells contribute exactly 0 and are skipped
-    (no dense grid needed, unlike chi-squared where they carry expected
-    mass).  Extension — no reference counterpart; the
-    information-theoretic peer of the chi-squared gate.
-    """
+    """Shared 1-row frame ``(n, mi, ha, hb)`` backing
+    :func:`mutual_information` and :func:`theils_u` — identical
+    expression tree to the original inline form, so the established
+    cross-engine digests are unchanged."""
     from ..pipeline._util import materialize_once
 
     cells = materialize_once(
@@ -1098,12 +1136,63 @@ def mutual_information(
     # H(A) = -Σ_cells (o/g)·ln(ra/g) ... computed via the cell weights
     h_a_term = -(o / g) * (F.log(F.col("ra").cast("double")) - F.log(g))
     h_b_term = -(o / g) * (F.log(F.col("cb").cast("double")) - F.log(g))
-    agg = joined.agg(
+    return joined.agg(
         F.max("g").alias("n"),
         F.sum(mi_term).alias("mi"),
         F.sum(h_a_term).alias("ha"),
         F.sum(h_b_term).alias("hb"),
     )
+
+
+def theils_u(df: DataFrame, column_a: str, column_b: str) -> DataFrame:
+    """Theil's uncertainty coefficient both ways, one digest row
+    ``(n, u_a_given_b, u_b_given_a)``: ``U(A|B) = MI / H(A)`` is the
+    fraction of A's entropy explained by knowing B (0 = nothing,
+    1 = fully determined).  The ASYMMETRIC dependence measure the
+    symmetric NMI (:func:`mutual_information`) hides: a many-to-one
+    mapping scores U(A|B)=1 but U(B|A)<1, which is exactly the
+    direction a functional-dependency hunt cares about.
+
+    Same single-shuffle cell skeleton and log-sum fold as
+    :func:`mutual_information` (shared ``_mi_entropy_agg``); degenerate
+    marginals (zero entropy — a constant column) yield NULL, not a
+    division error.  Extension — no reference counterpart; the graded
+    companion to the reference's exact functional-dependency check
+    (db_access.py functional dependency query).
+    """
+    agg = _mi_entropy_agg(df, column_a, column_b)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.when(F.col("ha") > 0, F.col("mi") / F.col("ha")), 6
+        ).alias("u_a_given_b"),
+        F.round(
+            F.when(F.col("hb") > 0, F.col("mi") / F.col("hb")), 6
+        ).alias("u_b_given_a"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, column_a: str, column_b: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, as one
+    digest row ``(n, mi, nmi)`` — the model-free "how much does A tell
+    you about B?" dependence measure (0 = independent); ``nmi`` is
+    MI / sqrt(H(A)·H(B)) in [0, 1], comparable across column pairs.
+
+    Same plan skeleton as :func:`chi_squared_independence`: ONE groupBy
+    shuffle builds the observed cells; margins and entropies are
+    aggregates OF THE CELLS (|A|·|B| rows, never a second fact-table
+    scan — the margins broadcast-join back onto the cells).  Counts stay
+    integer-exact; each MI term is
+    ``o/N · (ln(o) + ln(N) − ln(ra) − ln(cb))`` — the log-sum form, so
+    no integer product ``o·N`` that would overflow int64 at 100 TB row
+    counts.  Zero-observed cells contribute exactly 0 and are skipped
+    (no dense grid needed, unlike chi-squared where they carry expected
+    mass).  Extension — no reference counterpart; the
+    information-theoretic peer of the chi-squared gate.
+    """
+    agg = _mi_entropy_agg(df, column_a, column_b)
     return agg.select(
         F.col("n").cast("bigint").alias("n"),
         F.round("mi", 6).alias("mi"),

@@ -1669,3 +1669,64 @@ class TestBootstrapCI:
             bootstrap_mean_ci(df, "k", "v", n_reps=2)
         with pytest.raises(ValueError):
             bootstrap_mean_ci(df, "k", "v", p_lo=0.0)
+
+
+class TestCategoricalAssociation:
+    def test_theils_u_direction(self, spark):
+        from datajudge_spark.operators.stats import theils_u
+
+        # b -> a is a FUNCTION (many-to-one): knowing b fully determines
+        # a, so U(A|B) = 1; but knowing a leaves b uncertain, U(B|A) < 1
+        rows = [(f"g{i % 2}", f"b{i % 6}") for i in range(600)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = theils_u(df, "a", "b").first()
+        assert r["n"] == 600
+        assert r["u_a_given_b"] == pytest.approx(1.0, abs=1e-6)
+        assert r["u_b_given_a"] < 0.5
+
+    def test_theils_u_independent(self, spark):
+        from datajudge_spark.operators.stats import theils_u
+
+        # perfectly balanced independent grid: MI = 0 exactly
+        rows = [(f"a{i % 3}", f"b{(i // 3) % 4}") for i in range(120)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = theils_u(df, "a", "b").first()
+        assert r["u_a_given_b"] == pytest.approx(0.0, abs=1e-9)
+        assert r["u_b_given_a"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_theils_u_constant_column_null(self, spark):
+        from datajudge_spark.operators.stats import theils_u
+
+        df = spark.createDataFrame(
+            [("x", f"b{i % 3}") for i in range(30)], "a string, b string"
+        )
+        r = theils_u(df, "a", "b").first()
+        assert r["u_a_given_b"] is None  # H(A) = 0
+        assert r["u_b_given_a"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_cramers_v_extremes(self, spark):
+        from datajudge_spark.operators.stats import cramers_v
+
+        # perfect association on a square table: V = 1
+        rows = [(f"k{i % 4}", f"k{i % 4}") for i in range(400)]
+        r = cramers_v(
+            spark.createDataFrame(rows, "a string, b string"), "a", "b"
+        ).first()
+        assert r["v"] == pytest.approx(1.0, abs=1e-6)
+        assert r["dof"] == 9
+        # balanced independence: V = 0
+        rows = [(f"a{i % 2}", f"b{(i // 2) % 5}") for i in range(200)]
+        r = cramers_v(
+            spark.createDataFrame(rows, "a string, b string"), "a", "b"
+        ).first()
+        assert r["v"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_cramers_v_degenerate_1xk(self, spark):
+        from datajudge_spark.operators.stats import cramers_v
+
+        df = spark.createDataFrame(
+            [("x", f"b{i % 3}") for i in range(30)], "a string, b string"
+        )
+        r = cramers_v(df, "a", "b").first()
+        assert r["dof"] == 0
+        assert r["v"] is None
