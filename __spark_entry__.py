@@ -4565,6 +4565,23 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_stats(edges, "src", "dst")
 
 
+def q_graph_assortativity(spark, sf_dir):
+    # degree mixing of the STRONG trade graph (edges above 1.5x the
+    # mean lineitem-count weight — the full 25-nation graph is near-
+    # complete, all degrees equal, assortativity undefined). Decimal-
+    # exact sufficient statistics over both edge orientations; one
+    # double conversion at the end.
+    from datajudge_spark.operators.graph import degree_assortativity
+    from datajudge_spark.pipeline._util import materialize_once
+
+    edges = materialize_once(_trade_edges(spark, sf_dir))
+    avg_w = edges.agg(F.avg("w").alias("__aw"))
+    strong = edges.crossJoin(F.broadcast(avg_w)).where(
+        F.col("w") > 1.5 * F.col("__aw")
+    )
+    return degree_assortativity(strong, "src", "dst")
+
+
 def q_mutual_information(spark, sf_dir):
     # how much does event type tell you about day-of-week?  MI + NMI in
     # nats over the same contingency cells as chi_squared — one groupBy
@@ -4889,6 +4906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_left_join": q_streaming_left_join,
         "theils_u": q_theils_u,
         "cramers_v": q_cramers_v,
+        "graph_assortativity": q_graph_assortativity,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7744,6 +7762,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n, round(mi, 6) AS mi, "
             "round(CASE WHEN ha > 0 AND hb > 0 "
             "THEN mi / sqrt(ha * hb) END, 6) AS nmi FROM agg"
+        ),
+        "graph_assortativity": (
+            # same canonicalization, degree aggregate, decimal
+            # sufficient statistics and single double conversion as the
+            # Spark operator
+            f"WITH e0 AS ({_trade_edges_sql()}), "
+            "t AS (SELECT avg(w) AS aw FROM e0), "
+            "strong AS (SELECT src, dst FROM e0, t WHERE w > 1.5 * aw), "
+            "e AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM strong "
+            "WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL), "
+            "deg AS (SELECT n, count(*) AS d FROM "
+            "(SELECT u AS n FROM e UNION ALL SELECT v FROM e) "
+            "GROUP BY n), "
+            "paired AS (SELECT du.d AS du, dv.d AS dv FROM e "
+            "JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n), "
+            "suff AS (SELECT count(*) AS m, "
+            "sum(CAST(du + dv AS DECIMAL(38,0))) AS sx, "
+            "sum(CAST(CAST(du AS DECIMAL(19,0)) * dv AS DECIMAL(38,0))) "
+            "* 2 AS sxy, "
+            "sum(CAST(CAST(du AS DECIMAL(19,0)) * du AS DECIMAL(38,0)) "
+            "+ CAST(CAST(dv AS DECIMAL(19,0)) * dv AS DECIMAL(38,0))) "
+            "AS sxx FROM paired), "
+            "nn AS (SELECT count(*) AS n_nodes FROM deg) "
+            "SELECT CAST(n_nodes AS BIGINT) AS n_nodes, "
+            "CAST(m AS BIGINT) AS n_edges, "
+            "CASE WHEN CAST(CAST(m * 2 AS DECIMAL(38,0)) * sxx - "
+            "sx * sx AS DOUBLE) > 0 THEN "
+            "round(CAST(CAST(m * 2 AS DECIMAL(38,0)) * sxy - "
+            "sx * sx AS DOUBLE) / "
+            "CAST(CAST(m * 2 AS DECIMAL(38,0)) * sxx - "
+            "sx * sx AS DOUBLE), 6) END AS assortativity "
+            "FROM suff, nn"
         ),
         "theils_u": (
             # same cells/margins/log-sum parse tree as mutual_information

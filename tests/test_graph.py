@@ -114,3 +114,55 @@ class TestBfs:
         src = spark.createDataFrame([("a",), ("z",)], "node string")
         rows = {r["node"]: r["hops"] for r in bfs_levels(e, src).collect()}
         assert rows == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+
+class TestDegreeAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        from datajudge_spark.operators.graph import degree_assortativity
+
+        edges = spark.createDataFrame(
+            [("hub", f"leaf{i}") for i in range(6)], "src string, dst string"
+        )
+        r = degree_assortativity(edges).first()
+        assert r["n_nodes"] == 7
+        assert r["n_edges"] == 6
+        assert r["assortativity"] == pytest.approx(-1.0, abs=1e-6)
+
+    def test_regular_graph_undefined(self, spark):
+        from datajudge_spark.operators.graph import degree_assortativity
+
+        # 4-cycle: every degree is 2, zero variance
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+            "src string, dst string",
+        )
+        r = degree_assortativity(edges).first()
+        assert r["assortativity"] is None
+
+    def test_matches_naive_pearson(self, spark):
+        import math
+
+        from datajudge_spark.operators.graph import degree_assortativity
+
+        raw = [
+            ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+            ("d", "e"), ("e", "f"), ("f", "g"), ("g", "e"),
+            ("b", "a"), ("c", "a"),  # duplicates/reversals collapse
+        ]
+        edges = spark.createDataFrame(raw, "src string, dst string")
+        r = degree_assortativity(edges).first()
+        canon = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+        deg: dict[str, int] = {}
+        for u, v in canon:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        xs, ys = [], []
+        for u, v in canon:
+            xs += [deg[u], deg[v]]
+            ys += [deg[v], deg[u]]
+        n = len(xs)
+        sx, sxy = sum(xs), sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        expected = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+        assert r["n_edges"] == len(canon)
+        assert r["assortativity"] == pytest.approx(expected, abs=1e-6)
