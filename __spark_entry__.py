@@ -4565,6 +4565,27 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_stats(edges, "src", "dst")
 
 
+def q_mahalanobis_outliers(spark, sf_dir):
+    # joint (quantity, price) outliers: pairs unremarkable in each
+    # margin but impossible together. Distinct-pair collapse, decimal-
+    # exact sufficient statistics broadcast back, map-only closed-form
+    # 2x2 Mahalanobis scoring, TakeOrderedAndProject top-20.
+    from datajudge_spark.operators.stats import mahalanobis_outliers_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        _cents("l_quantity").alias("q_cents"),
+        _cents("l_extendedprice").alias("p_cents"),
+    )
+    out = mahalanobis_outliers_2d(base, "q_cents", "p_cents", k=20)
+    return out.select(
+        F.col("x").alias("q_cents"),
+        F.col("y").alias("p_cents"),
+        "cnt",
+        "d2",
+    )
+
+
 def q_graph_assortativity(spark, sf_dir):
     # degree mixing of the STRONG trade graph (edges above 1.5x the
     # mean lineitem-count weight — the full 25-nation graph is near-
@@ -4907,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theils_u": q_theils_u,
         "cramers_v": q_cramers_v,
         "graph_assortativity": q_graph_assortativity,
+        "mahalanobis_outliers": q_mahalanobis_outliers,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7762,6 +7784,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n, round(mi, 6) AS mi, "
             "round(CASE WHEN ha > 0 AND hb > 0 "
             "THEN mi / sqrt(ha * hb) END, 6) AS nmi FROM agg"
+        ),
+        "mahalanobis_outliers": (
+            # same distinct-pair collapse, decimal sufficient stats and
+            # fixed-shape double quadratic form as the Spark operator;
+            # ordering on the ROUNDED distance with (x, y) tiebreak
+            "WITH pts AS (SELECT "
+            "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS x, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS y, count(*) AS cnt FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "suff AS (SELECT sum(CAST(cnt AS DECIMAL(38,0))) AS n, "
+            "sum(CAST(CAST(cnt AS DECIMAL(19,0)) * x AS DECIMAL(38,0))) "
+            "AS sx, "
+            "sum(CAST(CAST(cnt AS DECIMAL(19,0)) * y AS DECIMAL(38,0))) "
+            "AS sy, "
+            "sum(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(38,0)) "
+            "* cnt) AS sxx, "
+            "sum(CAST(CAST(y AS DECIMAL(19,0)) * y AS DECIMAL(38,0)) "
+            "* cnt) AS syy, "
+            "sum(CAST(CAST(x AS DECIMAL(19,0)) * y AS DECIMAL(38,0)) "
+            "* cnt) AS sxy FROM pts), "
+            "scored AS (SELECT x, y, CAST(cnt AS BIGINT) AS cnt, "
+            "round((CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE) * "
+            "(CAST(n * syy - sy * sy AS DOUBLE) * "
+            "(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / "
+            "CAST(n AS DOUBLE)) "
+            "- 2.0 * CAST(n * sxy - sx * sy AS DOUBLE) * "
+            "(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / "
+            "CAST(n AS DOUBLE)) "
+            "+ CAST(n * sxx - sx * sx AS DOUBLE) * "
+            "(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / "
+            "CAST(n AS DOUBLE))) / "
+            "(CAST(n * sxx - sx * sx AS DOUBLE) * "
+            "CAST(n * syy - sy * sy AS DOUBLE) - "
+            "CAST(n * sxy - sx * sy AS DOUBLE) * "
+            "CAST(n * sxy - sx * sy AS DOUBLE)), 6) AS d2 "
+            "FROM pts, suff "
+            "WHERE CAST(n * sxx - sx * sx AS DOUBLE) * "
+            "CAST(n * syy - sy * sy AS DOUBLE) - "
+            "CAST(n * sxy - sx * sy AS DOUBLE) * "
+            "CAST(n * sxy - sx * sy AS DOUBLE) > 0) "
+            "SELECT x AS q_cents, y AS p_cents, cnt, d2 FROM scored "
+            "ORDER BY d2 DESC, x, y LIMIT 20"
         ),
         "graph_assortativity": (
             # same canonicalization, degree aggregate, decimal

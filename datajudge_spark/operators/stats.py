@@ -1636,3 +1636,85 @@ def wasserstein_1d(
         F.lit(int(t2)).cast("long").alias("n2"),
         (F.col("__s") + F.lit(boundary)).alias("emd"),
     )
+
+
+def mahalanobis_outliers_2d(
+    df: DataFrame, x_col: str, y_col: str, k: int = 20
+) -> DataFrame:
+    """Top-``k`` most Mahalanobis-distant DISTINCT value pairs of two
+    integer-valued columns: ``(x, y, cnt, d2)``, largest squared
+    distance first (ties broken by (x, y) — fully deterministic).
+
+    ``d2`` is the classic sample-covariance Mahalanobis distance: the
+    joint outlier screen that single-column gates (z-score, MAD) miss —
+    a (quantity, price) pair can be unremarkable in each margin yet
+    impossible jointly, and it is exactly the 2x2 case where the
+    inverse covariance has a closed form, so no solver and no Python:
+
+        d2 = (n-1)·n·(Vy·u² − 2·Cxy·u·v + Vx·v²) / (Vx·Vy − Cxy²)
+
+    with ``u = x − mean(x)``, ``Vx = n·Σx² − (Σx)²`` etc.
+
+    Exactness/scale design: rows first collapse to DISTINCT (x, y)
+    pairs with counts (one value-domain-bounded shuffle); the five
+    sufficient statistics fold over that frame as DECIMAL(38,0) —
+    integer-exact — and broadcast back as a 1-row cross join, so
+    scoring is map-only with ONE fixed-shape double conversion per
+    statistic; the top-k is a TakeOrderedAndProject on the rounded
+    distance, never a global sort.  A singular covariance (collinear or
+    constant columns: ``Vx·Vy = Cxy²``) yields an empty result rather
+    than dividing by zero — a 1-D screen (MAD) is the right tool there.
+
+    Extension — no reference counterpart; completes the outlier family
+    (z-score: marginal/temporal, MAD: robust marginal, this: joint).
+    """
+    if k < 1:
+        raise ValueError("k must be a positive row count")
+    from ..pipeline._util import materialize_once
+
+    pts = materialize_once(
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    cnt = F.col("cnt")
+    suff = pts.agg(
+        F.sum(d38(cnt)).alias("__n"),
+        F.sum(d38(d19(cnt) * F.col("x"))).alias("__sx"),
+        F.sum(d38(d19(cnt) * F.col("y"))).alias("__sy"),
+        F.sum(d38(d19(F.col("x")) * F.col("x")) * cnt).alias("__sxx"),
+        F.sum(d38(d19(F.col("y")) * F.col("y")) * cnt).alias("__syy"),
+        F.sum(d38(d19(F.col("x")) * F.col("y")) * cnt).alias("__sxy"),
+    )
+    n = F.col("__n")
+    vx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    cxy = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    nd = n.cast("double")
+    u = F.col("x").cast("double") - F.col("__sx").cast("double") / nd
+    v = F.col("y").cast("double") - F.col("__sy").cast("double") / nd
+    det = vx * vy - cxy * cxy
+    d2 = (
+        (nd - 1.0)
+        * nd
+        * (vy * u * u - 2.0 * cxy * u * v + vx * v * v)
+        / det
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(suff))
+        .where(det > 0)
+        .select(
+            "x",
+            "y",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(d2, 6).alias("d2"),
+        )
+    )
+    return scored.orderBy(F.col("d2").desc(), "x", "y").limit(k)

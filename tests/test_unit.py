@@ -1730,3 +1730,60 @@ class TestCategoricalAssociation:
         r = cramers_v(df, "a", "b").first()
         assert r["dof"] == 0
         assert r["v"] is None
+
+
+class TestMahalanobisOutliers2D:
+    def test_joint_outlier_beats_marginal(self, spark):
+        from datajudge_spark.operators.stats import mahalanobis_outliers_2d
+
+        # strongly correlated cloud y ~ 2x, one point on-margin but
+        # off-correlation: (50, 20) is within both marginal ranges yet
+        # far from the joint structure -> it must rank first
+        rows = [(i, 2 * i + (i % 3)) for i in range(1, 101)] + [(50, 20)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        top = mahalanobis_outliers_2d(df, "x", "y", k=3).collect()
+        assert (top[0]["x"], top[0]["y"]) == (50, 20)
+        assert top[0]["d2"] > 3 * top[1]["d2"]
+
+    def test_matches_naive_formula(self, spark):
+        from datajudge_spark.operators.stats import mahalanobis_outliers_2d
+
+        rows = [(i % 7, (i * i) % 11) for i in range(60)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            (r["x"], r["y"]): (r["cnt"], r["d2"])
+            for r in mahalanobis_outliers_2d(df, "x", "y", k=100).collect()
+        }
+        n = len(rows)
+        sx = sum(x for x, _ in rows)
+        sy = sum(y for _, y in rows)
+        sxx = sum(x * x for x, _ in rows)
+        syy = sum(y * y for _, y in rows)
+        sxy = sum(x * y for x, y in rows)
+        vx, vy, cxy = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+        det = vx * vy - cxy * cxy
+        for (x, y), (cnt, d2) in got.items():
+            u, v = x - sx / n, y - sy / n
+            want = (n - 1) * n * (vy * u * u - 2 * cxy * u * v + vx * v * v) / det
+            # operator rounds to 6dp
+            assert d2 == pytest.approx(want, abs=1e-6)
+        from collections import Counter
+
+        counts = Counter(rows)
+        assert got and all(counts[(x, y)] == c for (x, y), (c, _) in got.items())
+
+    def test_singular_covariance_empty(self, spark):
+        from datajudge_spark.operators.stats import mahalanobis_outliers_2d
+
+        # perfectly collinear: covariance singular -> empty result
+        df = spark.createDataFrame(
+            [(i, 3 * i) for i in range(50)], "x long, y long"
+        )
+        assert mahalanobis_outliers_2d(df, "x", "y").count() == 0
+
+    def test_validation(self, spark):
+        from datajudge_spark.operators.stats import mahalanobis_outliers_2d
+
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        with pytest.raises(ValueError):
+            mahalanobis_outliers_2d(df, "x", "y", k=0)
