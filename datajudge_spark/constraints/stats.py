@@ -1822,3 +1822,201 @@ class BootstrapMeanStability(Constraint):
         if problems:
             return TestResult.failure(" ".join(problems))
         return TestResult.success()
+
+
+class TheilsUMin(Constraint):
+    """Graded functional-dependency gate: Theil's uncertainty
+    coefficient ``U(A|B) = MI/H(A)`` — the fraction of A's entropy
+    explained by B — must stay >= ``min_u``.  The probabilistic
+    companion to the reference's exact functional-dependency check
+    (reference miscs.py:124-147): that one fails on a single exception
+    row, this one gates how strongly the dependency holds overall
+    (1 = exact FD).  Asymmetric by design: direction matters.
+
+    Engine: ``operators.stats.theils_u`` — one contingency-cell shuffle,
+    log-sum fold; a zero-entropy (constant) A makes U undefined and the
+    gate fails loudly rather than passing vacuously.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        min_u: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not (0.0 <= min_u <= 1.0):
+            raise ValueError("min_u must lie within [0, 1].")
+        self._min_u = min_u
+        super().__init__(ref, ref_value=min_u, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import theils_u
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "TheilsUMin requires exactly two columns: "
+                "(dependent_column, determinant_column)."
+            )
+        a, b = cols
+        row = theils_u(self._ref.get_selection(engine), a, b).collect()[0]
+        if row["n"] == 0:
+            return TestResult(True, "No rows; dependence gate is vacuous.")
+        u = row["u_a_given_b"]
+        if u is None:
+            return TestResult.failure(
+                f"Theil's U of {self._ref} is undefined: {a!r} has zero "
+                f"entropy (constant column) over {row['n']} rows."
+            )
+        if u >= self._min_u:
+            return TestResult.success()
+        return TestResult.failure(
+            f"{b!r} explains only {u} of {a!r}'s entropy in {self._ref} "
+            f"(Theil's U), below the required {self._min_u}."
+        )
+
+
+class WhiteNoiseLjungBox(Constraint):
+    """White-noise gate on the daily ``sum(value)`` series: the
+    Ljung-Box portmanteau statistic at ``max_lag`` must stay under
+    ``max_q`` (e.g. the chi-squared critical value for the chosen
+    lag count).  Drift/anomaly monitors assume roughly independent
+    days; this is the pre-check that assumption — a failing gate says
+    the series carries autocorrelation structure (trend, weekly cycle)
+    the monitors must model first.
+
+    Engine: ``operators.timeseries.autocorrelation`` over the
+    calendar-bounded daily frame — decimal-exact per-lag sufficient
+    statistics, fixed-order cumulative fold.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_q: float,
+        max_lag: int = 14,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_q < 0:
+            raise ValueError("max_q must be non-negative.")
+        if max_lag < 1:
+            raise ValueError("max_lag must be a positive number of days.")
+        self._max_q = max_q
+        self._max_lag = max_lag
+        super().__init__(
+            ref, ref_value=(max_q, max_lag), name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import autocorrelation, daily_totals
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "WhiteNoiseLjungBox requires exactly two columns: "
+                "(date_column, value_column)."
+            )
+        date_col, value_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(date_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        daily = daily_totals(df, date_col, F.sum(cents), "__cents")
+        rows = autocorrelation(daily, "__cents", self._max_lag).collect()
+        if not rows:
+            return TestResult(
+                True, "No daily series; white-noise gate is vacuous."
+            )
+        q = rows[-1]["ljung_box_q"]
+        if q <= self._max_q:
+            return TestResult.success()
+        worst = max(
+            (r for r in rows if r["acf"] is not None),
+            key=lambda r: abs(r["acf"]),
+            default=None,
+        )
+        detail = (
+            f" (largest autocorrelation {worst['acf']} at lag "
+            f"{worst['lag']})"
+            if worst is not None
+            else ""
+        )
+        return TestResult.failure(
+            f"Daily series of {self._ref} is not white noise: Ljung-Box "
+            f"Q({self._max_lag}) = {q} exceeds {self._max_q}{detail}."
+        )
+
+
+class JointOutlierBound(Constraint):
+    """Joint-outlier gate: no distinct (x, y) value pair may exceed a
+    squared Mahalanobis distance of ``max_d2`` from the column pair's
+    own covariance structure (optionally tolerating
+    ``max_violations`` such pairs).  Catches the rows that are
+    plausible in every marginal gate yet jointly impossible — a
+    mispriced quantity/price pair, a length/token-count mismatch.
+
+    Engine: ``operators.stats.mahalanobis_outliers_2d`` — distinct-pair
+    collapse, decimal-exact sufficient statistics, closed-form 2x2
+    inverse, map-only scoring.  A singular covariance (collinear
+    columns) passes: there is no joint structure to violate, and the
+    1-D gates own that case.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_d2: float,
+        max_violations: int = 0,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_d2 <= 0:
+            raise ValueError("max_d2 must be positive.")
+        if max_violations < 0:
+            raise ValueError("max_violations must be non-negative.")
+        self._max_d2 = max_d2
+        self._max_violations = max_violations
+        super().__init__(
+            ref,
+            ref_value=(max_d2, max_violations),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import mahalanobis_outliers_2d
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "JointOutlierBound requires exactly two columns: (x, y)."
+            )
+        x, y = cols
+        top = mahalanobis_outliers_2d(
+            self._ref.get_selection(engine),
+            x,
+            y,
+            k=self._max_violations + 5,
+        )
+        offenders = [
+            r for r in top.collect() if r["d2"] > self._max_d2
+        ]
+        if len(offenders) <= self._max_violations:
+            return TestResult.success()
+        sample = ", ".join(
+            f"({r['x']}, {r['y']}) d2={r['d2']} x{r['cnt']}"
+            for r in offenders[:5]
+        )
+        return TestResult.failure(
+            f"{len(offenders)}+ distinct ({x}, {y}) pairs of {self._ref} "
+            f"exceed the joint Mahalanobis bound d2 <= {self._max_d2} "
+            f"(allowed: {self._max_violations}). Worst: {sample}."
+        )

@@ -1308,6 +1308,93 @@ class WithinRequirement(Requirement):
         )
 
 
+    def add_theils_u_min_constraint(
+        self,
+        dependent_column: str,
+        determinant_column: str,
+        min_u: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): Theil's uncertainty
+        coefficient ``U(dependent|determinant)`` — the fraction of the
+        dependent column's entropy explained by the determinant — must
+        stay >= ``min_u``.  The graded companion to
+        ``add_functional_dependency_constraint``: that gate fails on a
+        single exception row; this one measures how strongly the
+        dependency holds (1.0 = exact FD).  Direction matters."""
+        ref = DataReference(
+            self._data_source,
+            [dependent_column, determinant_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.TheilsUMin(
+                ref, min_u=min_u, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_white_noise_constraint(
+        self,
+        date_column: str,
+        value_column: str,
+        max_q: float,
+        max_lag: int = 14,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Ljung-Box
+        portmanteau statistic of the daily ``sum(value_column)`` series
+        at ``max_lag`` lags must stay <= ``max_q`` (pick the chi-squared
+        critical value for your lag count, e.g. 23.7 for 14 lags at
+        5%).  The pre-check for every monitor that assumes independent
+        days: a failing gate means the series carries autocorrelation
+        (trend, weekly cycle) those monitors must model first."""
+        ref = DataReference(
+            self._data_source, [date_column, value_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.WhiteNoiseLjungBox(
+                ref,
+                max_q=max_q,
+                max_lag=max_lag,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_joint_outlier_constraint(
+        self,
+        column_x: str,
+        column_y: str,
+        max_d2: float,
+        max_violations: int = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): no distinct
+        ``(column_x, column_y)`` value pair may sit further than
+        ``max_d2`` (squared Mahalanobis distance) from the pair's own
+        covariance structure, tolerating at most ``max_violations``
+        offending pairs.  Catches rows every marginal gate accepts but
+        that are jointly impossible; collinear columns pass (no joint
+        structure — the 1-D gates own that case)."""
+        ref = DataReference(
+            self._data_source, [column_x, column_y], condition
+        )
+        self._constraints.append(
+            stats_constraints.JointOutlierBound(
+                ref,
+                max_d2=max_d2,
+                max_violations=max_violations,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_bootstrap_mean_ci_constraint(
         self,
         key_column: str,

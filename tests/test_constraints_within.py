@@ -1184,3 +1184,131 @@ class TestBootstrapMeanStability:
             req.add_bootstrap_mean_ci_constraint(
                 "k", "amount", target_value=1.0, n_reps=2
             )
+
+
+class TestTheilsUMin:
+    def test_exact_fd_scores_one(self, spark):
+        # a = f(b): U(A|B) = 1
+        rows = [(f"g{i % 2}", f"b{i % 6}") for i in range(120)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        req = within_req(df, "theils_fd")
+        req.add_theils_u_min_constraint("a", "b", min_u=0.999)
+        assert outcomes(req, spark) == [True]
+
+    def test_weak_dependence_fails(self, spark):
+        # balanced independent grid: U = 0
+        rows = [(f"a{i % 3}", f"b{(i // 3) % 4}") for i in range(120)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        req = within_req(df, "theils_weak")
+        req.add_theils_u_min_constraint("a", "b", min_u=0.5)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "explains only" in results[0].failure_message
+
+    def test_constant_dependent_fails_loudly(self, spark):
+        df = spark.createDataFrame(
+            [("x", f"b{i % 3}") for i in range(30)], "a string, b string"
+        )
+        req = within_req(df, "theils_const")
+        req.add_theils_u_min_constraint("a", "b", min_u=0.1)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "zero entropy" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", "b")], "a string, b string")
+        req = within_req(df, "theils_val")
+        with pytest.raises(ValueError):
+            req.add_theils_u_min_constraint("a", "b", min_u=1.5)
+
+
+class TestWhiteNoiseLjungBox:
+    def test_noise_passes_cycle_fails(self, spark):
+        import datetime as dt
+        import random
+
+        rng = random.Random(11)
+        base = dt.date(2024, 1, 1)
+        noise = spark.createDataFrame(
+            [(base + dt.timedelta(days=i), float(rng.randint(80, 120)))
+             for i in range(200)],
+            "d date, v double",
+        )
+        req = within_req(noise, "wn_ok")
+        # chi2 critical value for 14 dof at ~0.1%: generous bound
+        req.add_white_noise_constraint("d", "v", max_q=40.0)
+        assert outcomes(req, spark) == [True]
+
+        weekly = spark.createDataFrame(
+            [(base + dt.timedelta(days=i), 100.0 + 50 * (i % 7))
+             for i in range(200)],
+            "d date, v double",
+        )
+        req = within_req(weekly, "wn_cycle")
+        req.add_white_noise_constraint("d", "v", max_q=40.0)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "lag 7" in results[0].failure_message
+
+    def test_empty_vacuous_and_validation(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.date(2024, 1, 1), 1.0)], "d date, v double"
+        )
+        req = within_req(df, "wn_empty")
+        req.add_white_noise_constraint(
+            "d", "v", max_q=1.0,
+            condition=Condition(raw_string="v < 0"),
+        )
+        assert outcomes(req, spark) == [True]
+        with pytest.raises(ValueError):
+            req.add_white_noise_constraint("d", "v", max_q=-1.0)
+        with pytest.raises(ValueError):
+            req.add_white_noise_constraint("d", "v", max_q=1.0, max_lag=0)
+
+
+class TestJointOutlierBound:
+    def test_clean_cloud_passes_planted_fails(self, spark):
+        clean = [(i, 2 * i + (i % 3)) for i in range(1, 101)]
+        df = spark.createDataFrame(clean, "x long, y long")
+        req = within_req(df, "joint_ok")
+        req.add_joint_outlier_constraint("x", "y", max_d2=15.0)
+        assert outcomes(req, spark) == [True]
+
+        planted = spark.createDataFrame(
+            clean + [(50, 20)], "x long, y long"
+        )
+        req = within_req(planted, "joint_bad")
+        req.add_joint_outlier_constraint("x", "y", max_d2=15.0)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "(50, 20)" in results[0].failure_message
+
+    def test_tolerance_and_collinear(self, spark):
+        clean = [(i, 2 * i + (i % 3)) for i in range(1, 101)]
+        planted = spark.createDataFrame(
+            clean + [(50, 20)], "x long, y long"
+        )
+        req = within_req(planted, "joint_tol")
+        req.add_joint_outlier_constraint(
+            "x", "y", max_d2=15.0, max_violations=1
+        )
+        assert outcomes(req, spark) == [True]
+        # collinear: singular covariance -> vacuous pass
+        col = spark.createDataFrame(
+            [(i, 3 * i) for i in range(50)], "x long, y long"
+        )
+        req = within_req(col, "joint_collinear")
+        req.add_joint_outlier_constraint("x", "y", max_d2=1.0)
+        assert outcomes(req, spark) == [True]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        req = within_req(df, "joint_val")
+        with pytest.raises(ValueError):
+            req.add_joint_outlier_constraint("x", "y", max_d2=0.0)
+        with pytest.raises(ValueError):
+            req.add_joint_outlier_constraint(
+                "x", "y", max_d2=1.0, max_violations=-1
+            )
