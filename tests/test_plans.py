@@ -737,3 +737,52 @@ def test_hybrid_rrf_no_cartesian_fact_join(spark):
     plan = _executed_plan(entrymod.q_hybrid_rrf_topk(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mahalanobis_topk_is_take_ordered(spark):
+    plan = _executed_plan(entrymod.q_mahalanobis_outliers(spark, SF_DIR))
+    # the top-k must be a capped TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # scoring is a broadcast of the 1-row sufficient-statistics digest
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_single_pass_no_row_multiplication(spark):
+    plan = _executed_plan(entrymod.q_bootstrap_ci_mean(spark, SF_DIR))
+    # replicates are agg COLUMNS off one scan: no explode/generate over
+    # the fact table (the only explode is the 64-element literal array
+    # over the 1-row digest), and partial aggregation is map-side
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the 129-column aggregate truncates the physical plan string, so
+    # count scans in the optimized logical plan instead
+    df = entrymod.q_bootstrap_ci_mean(spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    scan_lines = [
+        ln
+        for ln in logical.splitlines()
+        if "Relation" in ln and "orders" in ln
+    ]
+    assert len(scan_lines) == 1, "orders must be scanned exactly once"
+    # no row-multiplying Generate over the fact scan: the only explode
+    # is the 64-element literal array over the 1-row digest
+    gen_lines = [ln for ln in logical.splitlines() if "Generate" in ln]
+    assert len(gen_lines) <= 1
+
+
+def test_acf_lag_join_broadcasts_calendar_frame(spark):
+    plan = _executed_plan(entrymod.q_acf_daily(spark, SF_DIR))
+    # the daily self-join on (day + lag) is post-aggregation small and
+    # must broadcast, never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_k_anonymity_is_one_grouped_pass(spark):
+    plan = _executed_plan(entrymod.q_k_anonymity(spark, SF_DIR))
+    # quasi-key grouping partial-aggregates map-side; the customer scan
+    # reads only the three referenced columns
+    assert "partial_count" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "c_nationkey" in read_schema[0]
+    assert "c_name" not in read_schema[0]
