@@ -2020,3 +2020,85 @@ class JointOutlierBound(Constraint):
             f"exceed the joint Mahalanobis bound d2 <= {self._max_d2} "
             f"(allowed: {self._max_violations}). Worst: {sample}."
         )
+
+
+class BootstrapMeanOverlap(Constraint):
+    """Two-sample mean comparison with uncertainty: the Poisson-
+    bootstrap confidence intervals of ``mean(value)`` in the two
+    sources must overlap (or leave a gap of at most ``max_gap`` value
+    units).  The statistically honest form of
+    ``add_numeric_mean_constraint``'s Between variant: a raw mean
+    comparison fires on any drift however noisy the estimate; this one
+    fires only when the two means are DISTINGUISHABLE given each
+    sample's own variability.
+
+    Engine: one single-pass deterministic bootstrap per source
+    (``operators.resample.bootstrap_mean_ci``) — md5-keyed Poisson(1)
+    weights, so re-runs and engine ports reproduce the verdict exactly.
+    Either side empty -> vacuous pass (no evidence of difference).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        max_gap: float = 0.0,
+        n_reps: int = 64,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_gap < 0:
+            raise ValueError("max_gap must be non-negative.")
+        if n_reps < 4:
+            raise ValueError("n_reps must be at least 4.")
+        self._max_gap = max_gap
+        self._n_reps = n_reps
+        super().__init__(
+            ref, ref2=ref2, name=name, cache_size=cache_size
+        )
+
+    def _ci(self, engine: SparkSession, ref: DataReference):
+        from pyspark.sql import functions as F
+
+        from ..operators.resample import bootstrap_mean_ci
+
+        cols = ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "BootstrapMeanOverlap requires two columns per source: "
+                "(key_column, value_column)."
+            )
+        key_col, value_col = cols
+        df = ref.get_selection(engine).where(F.col(value_col).isNotNull())
+        cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        row = bootstrap_mean_ci(
+            df.select(F.col(key_col), cents.alias("__cents")),
+            key_col,
+            "__cents",
+            n_reps=self._n_reps,
+        ).collect()[0]
+        if row["n_rows"] == 0:
+            return None
+        return (row["boot_lo"] / 100.0, row["boot_hi"] / 100.0)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        ci1 = self._ci(engine, self._ref)
+        ci2 = self._ci(engine, self._ref2)
+        if ci1 is None or ci2 is None:
+            return TestResult(
+                True,
+                "At least one side has no rows; no evidence of a mean "
+                "difference.",
+            )
+        gap = max(ci1[0] - ci2[1], ci2[0] - ci1[1], 0.0)
+        if gap <= self._max_gap:
+            return TestResult.success()
+        return TestResult.failure(
+            f"Bootstrap mean CIs of {self._ref} and {self._ref2} are "
+            f"separated: [{ci1[0]}, {ci1[1]}] vs [{ci2[0]}, {ci2[1]}] "
+            f"leaves a gap of {gap}, above the allowed {self._max_gap} — "
+            f"the means are statistically distinguishable at "
+            f"{self._n_reps}-replicate resolution."
+        )

@@ -2235,6 +2235,48 @@ class BetweenRequirement(Requirement):
             )
         )
 
+    def add_bootstrap_mean_overlap_constraint(
+        self,
+        key_column1: str,
+        value_column1: str,
+        key_column2: str,
+        value_column2: str,
+        max_gap: float = 0.0,
+        n_reps: int = 64,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the deterministic
+        Poisson-bootstrap confidence intervals of ``mean(value)`` in
+        the two sources must overlap (or gap by at most ``max_gap``
+        value units) — the uncertainty-aware Between mean comparison:
+        it fires only when the means are statistically DISTINGUISHABLE
+        given each sample's own variability, not on every noisy
+        wobble.  One single-pass bootstrap per source, md5-keyed on the
+        given key columns — reproducible run-to-run."""
+        ref = DataReference(
+            self._data_source,
+            [key_column1, value_column1],
+            condition=condition1,
+        )
+        ref2 = DataReference(
+            self._data_source2,
+            [key_column2, value_column2],
+            condition=condition2,
+        )
+        self._constraints.append(
+            stats_constraints.BootstrapMeanOverlap(
+                ref,
+                ref2,
+                max_gap=max_gap,
+                n_reps=n_reps,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_wasserstein_max_constraint(
         self,
         column1: str,

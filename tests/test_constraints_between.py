@@ -498,3 +498,49 @@ class TestProfileDrift:
             req.add_profile_drift_constraint([])
         with pytest.raises(ValueError):
             req.add_profile_drift_constraint(["col_int"], mean_rel_tol=-0.1)
+
+
+class TestBootstrapMeanOverlap:
+    @staticmethod
+    def _sample(spark, offset):
+        rows = [(i, float(100 + (i * 13) % 21 + offset)) for i in range(300)]
+        return spark.createDataFrame(rows, "k long, v double")
+
+    def test_same_distribution_overlaps(self, spark):
+        # identical data shifted by a hair: CIs overlap
+        req = between_req(
+            self._sample(spark, 0), self._sample(spark, 0.1), "a", "b"
+        )
+        req.add_bootstrap_mean_overlap_constraint("k", "v", "k", "v")
+        assert outcomes(req, spark) == [True]
+
+    def test_shifted_mean_fails_and_tolerance(self, spark):
+        req = between_req(
+            self._sample(spark, 0), self._sample(spark, 50), "a", "b"
+        )
+        req.add_bootstrap_mean_overlap_constraint("k", "v", "k", "v")
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "statistically distinguishable" in results[0].failure_message
+        # a generous gap tolerance absorbs the shift
+        req = between_req(
+            self._sample(spark, 0), self._sample(spark, 50), "a", "b2"
+        )
+        req.add_bootstrap_mean_overlap_constraint(
+            "k", "v", "k", "v", max_gap=60.0
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_empty_side_vacuous_and_validation(self, spark):
+        empty = spark.createDataFrame([], "k long, v double")
+        req = between_req(self._sample(spark, 0), empty, "a", "empty")
+        req.add_bootstrap_mean_overlap_constraint("k", "v", "k", "v")
+        assert outcomes(req, spark) == [True]
+        with pytest.raises(ValueError):
+            req.add_bootstrap_mean_overlap_constraint(
+                "k", "v", "k", "v", max_gap=-1.0
+            )
+        with pytest.raises(ValueError):
+            req.add_bootstrap_mean_overlap_constraint(
+                "k", "v", "k", "v", n_reps=2
+            )
