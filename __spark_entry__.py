@@ -4565,6 +4565,22 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_stats(edges, "src", "dst")
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    # monotone calibration of price against quantity: weighted PAVA via
+    # the minimax identity — prefix sums over the 32-bucket frame, j<=k
+    # pair grid (bounded by construction), suffix running min + prefix
+    # max. DECIMAL-exact interval sums; one double division per
+    # interval mean; minimax is comparison-only.
+    from datajudge_spark.operators.stats import isotonic_calibration
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        _cents("l_quantity").alias("q_cents"),
+        _cents("l_extendedprice").alias("p_cents"),
+    )
+    return isotonic_calibration(base, "q_cents", "p_cents", n_buckets=32)
+
+
 def q_mahalanobis_outliers(spark, sf_dir):
     # joint (quantity, price) outliers: pairs unremarkable in each
     # margin but impossible together. Distinct-pair collapse, decimal-
@@ -4929,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "graph_assortativity": q_graph_assortativity,
         "mahalanobis_outliers": q_mahalanobis_outliers,
+        "isotonic_calibration": q_isotonic_calibration,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7784,6 +7801,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n, round(mi, 6) AS mi, "
             "round(CASE WHEN ha > 0 AND hb > 0 "
             "THEN mi / sqrt(ha * hb) END, 6) AS nmi FROM agg"
+        ),
+        "isotonic_calibration": (
+            # same bucket arithmetic, decimal prefix sums, minimax
+            # windows as the Spark operator
+            "WITH base AS (SELECT "
+            "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS x, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS y FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), "
+            "bounds AS (SELECT CAST(min(x) AS DOUBLE) AS lo, "
+            "CAST(max(x) AS DOUBLE) AS hi FROM base), "
+            "cells AS (SELECT CASE WHEN hi = lo THEN 0 ELSE "
+            "least(CAST(floor((CAST(x AS DOUBLE) - lo) / "
+            "((hi - lo) / 32.0)) AS INTEGER), 31) END AS bucket, "
+            "count(*) AS w, sum(CAST(y AS DECIMAL(38,0))) AS sy "
+            "FROM base, bounds GROUP BY 1), "
+            "pre AS (SELECT bucket, w, sy, "
+            "sum(w) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cw, "
+            "sum(sy) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cs FROM cells), "
+            "pair AS (SELECT j.bucket AS j, k.bucket AS i_or_k, "
+            "CAST(k.cs - (j.cs - j.sy) AS DOUBLE) / "
+            "CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS a "
+            "FROM pre j JOIN pre k ON j.bucket <= k.bucket), "
+            "r AS (SELECT j, i_or_k AS i, "
+            "min(a) OVER (PARTITION BY j ORDER BY i_or_k DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r "
+            "FROM pair), "
+            "fit AS (SELECT i, max(r) AS f FROM r GROUP BY i) "
+            "SELECT cells.bucket, CAST(w AS BIGINT) AS n, "
+            "round(CAST(sy AS DOUBLE) / CAST(w AS DOUBLE), 6) AS mean_y, "
+            "round(f, 6) AS fitted "
+            "FROM cells JOIN fit ON cells.bucket = fit.i "
+            "ORDER BY cells.bucket"
         ),
         "mahalanobis_outliers": (
             # same distinct-pair collapse, decimal sufficient stats and

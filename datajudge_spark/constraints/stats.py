@@ -2102,3 +2102,80 @@ class BootstrapMeanOverlap(Constraint):
             f"the means are statistically distinguishable at "
             f"{self._n_reps}-replicate resolution."
         )
+
+
+class MonotoneTrend(Constraint):
+    """Monotone-calibration gate: the bucketed mean of ``y`` against
+    ``x`` must be nondecreasing (or nonincreasing with
+    ``decreasing=True``) up to ``max_deviation`` — measured as the
+    largest gap between the observed bucket mean and its isotonic
+    (PAVA) fit, i.e. exactly how far the data bends against the claimed
+    direction.  "Price grows with quantity", "score grows with label":
+    the shape checks no point gate expresses.
+
+    Engine: ``operators.stats.isotonic_calibration`` — one partial-
+    agg'd shuffle to the bucket frame, then the relational minimax PAVA
+    over bounded grids.  ``decreasing`` negates y (isotonic fit of -y
+    nonincreasing in y).  Empty selections pass vacuously.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_deviation: float = 0.0,
+        n_buckets: int = 32,
+        decreasing: bool = False,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_deviation < 0:
+            raise ValueError("max_deviation must be non-negative.")
+        if n_buckets < 2:
+            raise ValueError("n_buckets must be at least 2.")
+        self._max_dev = max_deviation
+        self._n_buckets = n_buckets
+        self._decreasing = decreasing
+        super().__init__(
+            ref,
+            ref_value=(max_deviation, n_buckets, decreasing),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import isotonic_calibration
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "MonotoneTrend requires exactly two columns: (x, y)."
+            )
+        x, y = cols
+        df = self._ref.get_selection(engine)
+        cents = (F.col(y).cast("decimal(18,2)") * 100).cast("bigint")
+        sign = -1 if self._decreasing else 1
+        rows = isotonic_calibration(
+            df.select(F.col(x), (cents * sign).alias("__y")),
+            x,
+            "__y",
+            n_buckets=self._n_buckets,
+        ).collect()
+        if not rows:
+            return TestResult(
+                True, "No rows; monotonicity holds vacuously."
+            )
+        worst = max(
+            rows, key=lambda r: abs(r["mean_y"] - r["fitted"])
+        )
+        dev = abs(worst["mean_y"] - worst["fitted"]) / 100.0
+        if dev <= self._max_dev:
+            return TestResult.success()
+        direction = "nonincreasing" if self._decreasing else "nondecreasing"
+        return TestResult.failure(
+            f"mean({y}) is not {direction} in {x} for {self._ref}: "
+            f"bucket {worst['bucket']} (n={worst['n']}) deviates "
+            f"{dev} from the isotonic fit, above the allowed "
+            f"{self._max_dev}."
+        )

@@ -1718,3 +1718,110 @@ def mahalanobis_outliers_2d(
         )
     )
     return scored.orderBy(F.col("d2").desc(), "x", "y").limit(k)
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Weighted isotonic (monotone nondecreasing) fit of ``mean(y)``
+    against ``x``, per equi-width x-bucket: ``(bucket, n, mean_y,
+    fitted)`` — the calibration-curve monotonizer.  "Does the label
+    really increase with the score?" is the question behind every
+    ranking/pricing sanity check; the isotonic fit is the closest
+    monotone curve (least squares), and ``mean_y`` vs ``fitted`` shows
+    exactly where the data violates monotonicity and by how much.
+
+    Algorithm: pool-adjacent-violators via the minimax identity — on
+    the OCCUPIED buckets in x order,
+
+        fitted_i = max_{j<=i} min_{k>=i} wmean(y over buckets j..k)
+
+    which is a pure relational construction: prefix sums over the
+    bucket frame, the j<=k pair grid (<= n_buckets² rows — bounded by
+    construction, never by the corpus), a per-j suffix running min and
+    a per-i max.  No iteration, no driver loop, and an oracle engine
+    reproduces it bit-for-bit: interval sums are DECIMAL(38,0)-exact
+    (y must be integer-valued — cents, counts), each interval mean
+    divides ONCE as a double, and minimax is comparison-only.
+
+    Plan shape at fact-table scale: one partial-agg'd shuffle to the
+    <= ``n_buckets``-row frame (bounds broadcast from a 1-row min/max
+    aggregate); everything after is windows and joins over bounded
+    frames.  Empty buckets carry no weight and drop out (the fit is
+    over occupied buckets; step values extend across gaps).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be at least 2")
+    from ..pipeline._util import materialize_once
+
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    bounds = base.agg(
+        F.min(F.col(x_col)).cast("double").alias("__lo"),
+        F.max(F.col(x_col)).cast("double").alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col(x_col).cast("double") - F.col("__lo")) / width
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    cells = materialize_once(
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum(F.col(y_col).cast("decimal(38,0)")).alias("sy"),
+        )
+    )
+    # prefix sums over the bounded occupied-bucket frame (global window
+    # over <= n_buckets rows — the documented calendar-frame pattern)
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pre = cells.select(
+        "bucket",
+        "w",
+        "sy",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("sy").over(wcum).alias("cs"),
+    )
+    j = pre.select(
+        F.col("bucket").alias("j"),
+        (F.col("cw") - F.col("w")).alias("cw_before_j"),
+        (F.col("cs") - F.col("sy")).alias("cs_before_j"),
+    )
+    k = pre.select(
+        F.col("bucket").alias("k"),
+        F.col("cw").alias("cw_k"),
+        F.col("cs").alias("cs_k"),
+    )
+    pair = j.crossJoin(k).where(F.col("j") <= F.col("k"))
+    a = (F.col("cs_k") - F.col("cs_before_j")).cast("double") / (
+        F.col("cw_k") - F.col("cw_before_j")
+    ).cast("double")
+    # per-j suffix running min over k: r(j, i) = min_{k >= i} A(j, k)
+    wmin = Window.partitionBy("j").orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = pair.select(
+        "j", F.col("k").alias("i"), F.min(a).over(wmin).alias("r")
+    )
+    fitted = r.groupBy("i").agg(F.max("r").alias("__fit"))
+    return (
+        cells.join(fitted, cells.bucket == fitted.i)
+        .select(
+            "bucket",
+            F.col("w").cast("bigint").alias("n"),
+            F.round(
+                F.col("sy").cast("double") / F.col("w").cast("double"), 6
+            ).alias("mean_y"),
+            F.round(F.col("__fit"), 6).alias("fitted"),
+        )
+        .orderBy("bucket")
+    )

@@ -1308,6 +1308,40 @@ class WithinRequirement(Requirement):
         )
 
 
+    def add_monotone_trend_constraint(
+        self,
+        x_column: str,
+        y_column: str,
+        max_deviation: float = 0.0,
+        n_buckets: int = 32,
+        decreasing: bool = False,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the bucketed mean of
+        ``y_column`` must be monotone in ``x_column`` (nondecreasing by
+        default, ``decreasing=True`` for the other direction), up to
+        ``max_deviation`` value units measured against the isotonic
+        (pool-adjacent-violators) fit — the shape check behind "price
+        grows with quantity" / "label grows with score" that no point
+        gate expresses.  One partial-aggregated shuffle to the bucket
+        frame; the PAVA fit is a relational minimax over bounded
+        grids, no iteration."""
+        ref = DataReference(
+            self._data_source, [x_column, y_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.MonotoneTrend(
+                ref,
+                max_deviation=max_deviation,
+                n_buckets=n_buckets,
+                decreasing=decreasing,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_theils_u_min_constraint(
         self,
         dependent_column: str,

@@ -1312,3 +1312,62 @@ class TestJointOutlierBound:
             req.add_joint_outlier_constraint(
                 "x", "y", max_d2=1.0, max_violations=-1
             )
+
+
+class TestMonotoneTrend:
+    def test_increasing_passes_bend_fails(self, spark):
+        inc = spark.createDataFrame(
+            [(i, float(2 * i)) for i in range(200)], "x long, y double"
+        )
+        req = within_req(inc, "mono_ok")
+        req.add_monotone_trend_constraint("x", "y", n_buckets=10)
+        assert outcomes(req, spark) == [True]
+
+        # a hard dip in the middle violates nondecreasing shape
+        bent = spark.createDataFrame(
+            [(i, float(2 * i if i < 100 else 400 - 2 * i)) for i in range(200)],
+            "x long, y double",
+        )
+        req = within_req(bent, "mono_bent")
+        req.add_monotone_trend_constraint("x", "y", n_buckets=10)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "not nondecreasing" in results[0].failure_message
+
+    def test_decreasing_direction(self, spark):
+        dec = spark.createDataFrame(
+            [(i, float(1000 - 3 * i)) for i in range(150)], "x long, y double"
+        )
+        req = within_req(dec, "mono_dec")
+        req.add_monotone_trend_constraint(
+            "x", "y", n_buckets=10, decreasing=True
+        )
+        req.add_monotone_trend_constraint("x", "y", n_buckets=10)  # fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+
+    def test_tolerance_absorbs_noise(self, spark):
+        import random
+
+        rng = random.Random(23)
+        noisy = spark.createDataFrame(
+            [(i, float(5 * i + rng.randint(-100, 100))) for i in range(400)],
+            "x long, y double",
+        )
+        req = within_req(noisy, "mono_noise")
+        req.add_monotone_trend_constraint(
+            "x", "y", n_buckets=20, max_deviation=60.0
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_empty_vacuous_and_validation(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "x long, y double")
+        req = within_req(df, "mono_empty")
+        req.add_monotone_trend_constraint(
+            "x", "y", condition=Condition(raw_string="x < 0")
+        )
+        assert outcomes(req, spark) == [True]
+        with pytest.raises(ValueError):
+            req.add_monotone_trend_constraint("x", "y", max_deviation=-1.0)
+        with pytest.raises(ValueError):
+            req.add_monotone_trend_constraint("x", "y", n_buckets=1)

@@ -1787,3 +1787,82 @@ class TestMahalanobisOutliers2D:
         df = spark.createDataFrame([(1, 2)], "x long, y long")
         with pytest.raises(ValueError):
             mahalanobis_outliers_2d(df, "x", "y", k=0)
+
+
+class TestIsotonicCalibration:
+    @staticmethod
+    def _naive_pava(rows, lo, hi, n_buckets):
+        from collections import defaultdict
+
+        width = (hi - lo) / n_buckets
+        agg = defaultdict(lambda: [0, 0])
+        for x, y in rows:
+            b = 0 if hi == lo else min(int((x - lo) / width), n_buckets - 1)
+            agg[b][0] += 1
+            agg[b][1] += y
+        stack = []
+        for b in sorted(agg):
+            stack.append([agg[b][0], agg[b][1], [b]])
+            while (
+                len(stack) > 1
+                and stack[-2][1] / stack[-2][0] > stack[-1][1] / stack[-1][0]
+            ):
+                w2, s2, b2 = stack.pop()
+                w1, s1, b1 = stack.pop()
+                stack.append([w1 + w2, s1 + s2, b1 + b2])
+        out = {}
+        for w, sy, bs in stack:
+            for b in bs:
+                out[b] = sy / w
+        return out
+
+    def test_matches_stack_pava(self, spark):
+        import random
+
+        from datajudge_spark.operators.stats import isotonic_calibration
+
+        rng = random.Random(17)
+        rows = [(i, 3 * i + rng.randint(-60, 60)) for i in range(500)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = isotonic_calibration(df, "x", "y", n_buckets=20).collect()
+        naive = self._naive_pava(rows, 0.0, 499.0, 20)
+        for r in got:
+            assert r["fitted"] == pytest.approx(naive[r["bucket"]], abs=1e-6)
+        fits = [r["fitted"] for r in got]
+        assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
+
+    def test_already_monotone_is_identity(self, spark):
+        from datajudge_spark.operators.stats import isotonic_calibration
+
+        rows = [(i, 10 * (i // 25)) for i in range(250)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = isotonic_calibration(df, "x", "y", n_buckets=10).collect()
+        for r in got:
+            assert r["fitted"] == pytest.approx(r["mean_y"], abs=1e-6)
+
+    def test_decreasing_pools_to_grand_mean(self, spark):
+        from datajudge_spark.operators.stats import isotonic_calibration
+
+        rows = [(i, 1000 - i) for i in range(100)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = isotonic_calibration(df, "x", "y", n_buckets=10).collect()
+        grand = sum(1000 - i for i in range(100)) / 100
+        for r in got:
+            assert r["fitted"] == pytest.approx(grand, abs=1e-6)
+
+    def test_constant_x_single_bucket(self, spark):
+        from datajudge_spark.operators.stats import isotonic_calibration
+
+        df = spark.createDataFrame(
+            [(5, i) for i in range(40)], "x long, y long"
+        )
+        got = isotonic_calibration(df, "x", "y", n_buckets=8).collect()
+        assert len(got) == 1 and got[0]["bucket"] == 0
+        assert got[0]["fitted"] == pytest.approx(19.5, abs=1e-6)
+
+    def test_validation(self, spark):
+        from datajudge_spark.operators.stats import isotonic_calibration
+
+        df = spark.createDataFrame([(1, 1)], "x long, y long")
+        with pytest.raises(ValueError):
+            isotonic_calibration(df, "x", "y", n_buckets=1)
