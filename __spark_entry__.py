@@ -4990,9 +4990,17 @@ def _bootstrap_ci_sql(n_reps: int = 64) -> str:
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
         "AS cents FROM orders), "
         f"reps AS (SELECT unnest(generate_series(0, {n_reps - 1})) AS r), "
+        # Kirsch-Mitzenmacher double hashing, identical to the Spark
+        # side: u_r = (h1 + (r+1)*(2*h2+1)) mod 2^40 mod 1e6
+        "hashed AS (SELECT cents, "
+        "CAST(CAST(('0x' || substr(md5(k || '#bootA'), 1, 15)) "
+        "AS UBIGINT) % 1099511627776 AS BIGINT) AS h1, "
+        "CAST(CAST(('0x' || substr(md5(k || '#bootB'), 1, 15)) "
+        "AS UBIGINT) % 1099511627776 AS BIGINT) * 2 + 1 AS h2 "
+        "FROM base), "
         "u AS (SELECT r, cents, "
-        "CAST(('0x' || substr(md5(k || '#boot' || CAST(r AS VARCHAR)), "
-        "1, 15)) AS UBIGINT) % 1000000 AS u FROM base CROSS JOIN reps), "
+        "(h1 + (r + 1) * h2) % 1099511627776 % 1000000 AS u "
+        "FROM hashed CROSS JOIN reps), "
         f"w AS (SELECT r, cents, CASE {ladder} "
         f"ELSE {POISSON_MAX_W} END AS w FROM u), "
         "per AS (SELECT r, "

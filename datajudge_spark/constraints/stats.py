@@ -1786,16 +1786,17 @@ class BootstrapMeanStability(Constraint):
         cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
             "bigint"
         )
-        row = bootstrap_mean_ci(
+        rows = bootstrap_mean_ci(
             df.select(F.col(key_col), cents.alias("__cents")),
             key_col,
             "__cents",
             n_reps=self._n_reps,
-        ).collect()[0]
-        if row["n_rows"] == 0:
+        ).collect()
+        if not rows or rows[0]["n_rows"] == 0:
             return TestResult(
                 True, "No rows; bootstrap gate holds vacuously."
             )
+        row = rows[0]
         lo, hi = row["boot_lo"] / 100.0, row["boot_hi"] / 100.0
         point = row["point_mean"] / 100.0
         problems = []
@@ -2073,14 +2074,15 @@ class BootstrapMeanOverlap(Constraint):
         cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
             "bigint"
         )
-        row = bootstrap_mean_ci(
+        rows = bootstrap_mean_ci(
             df.select(F.col(key_col), cents.alias("__cents")),
             key_col,
             "__cents",
             n_reps=self._n_reps,
-        ).collect()[0]
-        if row["n_rows"] == 0:
+        ).collect()
+        if not rows or rows[0]["n_rows"] == 0:
             return None
+        row = rows[0]
         return (row["boot_lo"] / 100.0, row["boot_hi"] / 100.0)
 
     def test(self, engine: SparkSession) -> TestResult:

@@ -58,11 +58,21 @@ def poisson1_weight(key, rep: int, salt: str = "boot"):
     engine that reproduces the md5 fold.
     """
     u = md5_long(key, salt=f"{salt}{rep}") % _PPM
+    return _poisson1_from_uniform(u)
+
+
+def _poisson1_from_uniform(u):
+    """CASE ladder mapping a uniform integer in [0, 1e6) to Poisson(1)."""
     w = F.lit(POISSON_MAX_W)
     # descending CASE ladder: first threshold u falls under wins
     for k in range(POISSON_MAX_W - 1, -1, -1):
         w = F.when(u < POISSON1_THRESHOLDS_PPM[k], k).otherwise(w)
     return w
+
+
+#: 2^40 — the double-hash components stay small enough that
+#: ``h1 + (r+1)·(2·h2+1)`` never leaves int64 for any sane r.
+_KM_MOD = 1 << 40
 
 
 def bootstrap_mean_ci(
@@ -85,53 +95,82 @@ def bootstrap_mean_ci(
     replicate numerators accumulate as DECIMAL(38,0) — exact at any
     scale — and each mean divides ONCE as a double, rounded to 6dp.
 
-    Plan shape: ONE aggregation pass produces 2R+2 columns (map-side
-    partials, no shuffle growth with R); the R means explode to an
-    R-row bounded frame whose rank window is trivially small.  Cost is
-    R md5 evaluations per row — all JVM whole-stage-codegen, no Python.
+    Plan shape: the R weights per row build as ONE array expression
+    (two md5 folds + R cheap integer ladders), ``posexplode`` to
+    (replicate, weight, value) rows, and a 64-key hash aggregate with
+    MAP-SIDE COMBINE collapses them before the exchange — the shuffle
+    carries <= R rows per task regardless of corpus size, and every
+    stage stays inside whole-stage codegen.  (Two rejected shapes,
+    both measured at sf0.1: one 2R+2-column aggregate — 128 imperative
+    buffers fall out of codegen, 13-26 s; R md5 folds per row — 48 s.
+    This shape: ~1 s.)
+
+    The R replicate uniforms derive by Kirsch-Mitzenmacher double
+    hashing, ``u_r = (h1 + (r+1)·(2·h2+1)) mod 2^40 mod 1e6`` — the
+    same construction this repo's MinHash uses for k hash functions
+    (pairwise-quality uniforms from two independent md5 folds).
+    Everything stays integer-exact and engine-portable (the oracle
+    reproduces the identical arithmetic).
     """
     if n_reps < 4:
         raise ValueError("n_reps must be at least 4")
     if not (0.0 < p_lo < p_hi < 100.0):
         raise ValueError("need 0 < p_lo < p_hi < 100")
+    from ..pipeline._util import spread
+
+    # R CASE ladders per row is CPU-bound map work: a small single-file
+    # scan would serialize it on one core; no-op at real corpus scale
+    df = spread(df)
     key = F.col(key_col).cast("string")
     v = F.col(value_col)
-    aggs = [
-        F.count(F.lit(1)).alias("__cnt"),
-        F.sum(v.cast("decimal(38,0)")).alias("__s"),
-    ]
-    for r in range(n_reps):
-        w = poisson1_weight(key, r, salt=salt)
-        aggs.append(
-            F.sum((w.cast("decimal(19,0)") * v).cast("decimal(38,0)")).alias(
-                f"__sw{r}"
-            )
-        )
-        aggs.append(F.sum(w.cast("bigint")).alias(f"__n{r}"))
-    wide = df.agg(*aggs)
-    rep_means = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("rep"),
-                F.when(
-                    F.col(f"__n{r}") > 0,
-                    F.round(
-                        F.col(f"__sw{r}").cast("double")
-                        / F.col(f"__n{r}").cast("double"),
-                        6,
-                    ),
-                ).alias("m"),
-            )
-            for r in range(n_reps)
-        ]
-    )
-    exploded = wide.select(
-        "__cnt", "__s", F.explode(rep_means).alias("e")
+    h1 = md5_long(key, salt=f"{salt}A") % F.lit(_KM_MOD)
+    # odd multiplier (2·h2+1): never collapses the replicate lattice
+    h2 = (md5_long(key, salt=f"{salt}B") % F.lit(_KM_MOD)) * 2 + 1
+    # explode the replicate INDEX, then evaluate ONE small ladder per
+    # generated row — an R-element array of ladders is a single >64 KB
+    # expression that kills whole-stage codegen (janino method limit),
+    # silently dropping the stage to interpreted mode
+    hashed = df.select(
+        v.alias("__v"), h1.alias("__h1"), h2.alias("__h2")
     ).select(
+        "__v",
+        "__h1",
+        "__h2",
+        F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("__rr"),
+    )
+    u = (
+        (F.col("__h1") + F.col("__rr") * F.col("__h2"))
+        % F.lit(_KM_MOD)
+        % F.lit(_PPM)
+    )
+    pairs = hashed.select(
+        (F.col("__rr") - 1).alias("__r"),
+        "__v",
+        _poisson1_from_uniform(u).cast("long").alias("__w"),
+    )
+    per = pairs.groupBy("__r").agg(
+        F.sum(
+            (F.col("__w").cast("decimal(19,0)") * F.col("__v")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__sw"),
+        F.sum("__w").alias("__n"),
+        # every replicate group sees every input row once, so the
+        # plain count/sum ARE the point statistics (no second scan)
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"),
+    )
+    exploded = per.select(
         "__cnt",
         "__s",
-        F.col("e.rep").alias("rep"),
-        F.col("e.m").alias("m"),
+        F.col("__r").alias("rep"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.col("__sw").cast("double") / F.col("__n").cast("double"),
+                6,
+            ),
+        ).alias("m"),
     )
     rn = F.row_number().over(Window.orderBy("m", "rep"))
     lo_idx = math.ceil(p_lo / 100.0 * n_reps)
