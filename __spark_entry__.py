@@ -2654,6 +2654,32 @@ def q_bootstrap_ci_mean(spark, sf_dir):
     )
 
 
+def q_grouped_bootstrap_ci(spark, sf_dir):
+    # per-priority bootstrap CI of the mean order price: tells "this
+    # segment's mean moved" from "this segment's mean is noisy" in one
+    # pass. Same index-explode + map-side-combine shape as the global
+    # digest; the exchange carries |groups| x 64 rows at any scale.
+    from datajudge_spark.operators.resample import (
+        grouped_bootstrap_mean_ci,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    return grouped_bootstrap_mean_ci(
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey"),
+            cents.alias("cents"),
+        ),
+        "priority",
+        "o_orderkey",
+        "cents",
+        n_reps=64,
+    ).withColumnRenamed("grp", "priority")
+
+
 def q_k_anonymity(spark, sf_dir):
     # privacy release gate: k-anonymity + l-diversity digest over the
     # (nation, mktsegment) quasi-identifier on customers, sensitive =
@@ -4946,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "mahalanobis_outliers": q_mahalanobis_outliers,
         "isotonic_calibration": q_isotonic_calibration,
+        "grouped_bootstrap_ci": q_grouped_bootstrap_ci,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -5020,6 +5047,63 @@ def _bootstrap_ci_sql(n_reps: int = 64) -> str:
         f"max(CASE WHEN rn = {med_idx} THEN m END) AS boot_median, "
         f"max(CASE WHEN rn = {hi_idx} THEN m END) AS boot_hi "
         "FROM ranked, pt GROUP BY n_rows, point_mean"
+    )
+
+
+def _grouped_bootstrap_ci_sql(n_reps: int = 64) -> str:
+    """DuckDB mirror of q_grouped_bootstrap_ci — the per-group variant
+    of ``_bootstrap_ci_sql`` (same KM weights, same rank rule, rank
+    window partitioned by group)."""
+    import math
+
+    from datajudge_spark.operators.resample import (
+        POISSON1_THRESHOLDS_PPM,
+        POISSON_MAX_W,
+    )
+
+    ladder = " ".join(
+        f"WHEN u < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_THRESHOLDS_PPM)
+    )
+    lo_idx = math.ceil(2.5 / 100.0 * n_reps)
+    med_idx = math.ceil(0.5 * n_reps)
+    hi_idx = math.ceil(97.5 / 100.0 * n_reps)
+    return (
+        "WITH base AS (SELECT o_orderpriority AS grp, "
+        "CAST(o_orderkey AS VARCHAR) AS k, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS cents FROM orders), "
+        f"reps AS (SELECT unnest(generate_series(0, {n_reps - 1})) AS r), "
+        "hashed AS (SELECT grp, cents, "
+        "CAST(CAST(('0x' || substr(md5(k || '#bootA'), 1, 15)) "
+        "AS UBIGINT) % 1099511627776 AS BIGINT) AS h1, "
+        "CAST(CAST(('0x' || substr(md5(k || '#bootB'), 1, 15)) "
+        "AS UBIGINT) % 1099511627776 AS BIGINT) * 2 + 1 AS h2 "
+        "FROM base), "
+        "u AS (SELECT grp, r, cents, "
+        "(h1 + (r + 1) * h2) % 1099511627776 % 1000000 AS u "
+        "FROM hashed CROSS JOIN reps), "
+        f"w AS (SELECT grp, r, cents, CASE {ladder} "
+        f"ELSE {POISSON_MAX_W} END AS w FROM u), "
+        "per AS (SELECT grp, r, "
+        "sum(CAST(CAST(w AS DECIMAL(19,0)) * cents AS DECIMAL(38,0))) "
+        "AS sw, CAST(sum(w) AS BIGINT) AS n, "
+        "count(*) AS cnt, sum(CAST(cents AS DECIMAL(38,0))) AS s "
+        "FROM w GROUP BY grp, r), "
+        "m AS (SELECT grp, cnt, s, r, CASE WHEN n > 0 THEN "
+        "round(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS m "
+        "FROM per), "
+        "ranked AS (SELECT grp, cnt, s, m, "
+        "row_number() OVER (PARTITION BY grp ORDER BY m, r) AS rn "
+        "FROM m) "
+        "SELECT grp AS priority, CAST(cnt AS BIGINT) AS n_rows, "
+        f"CAST({n_reps} AS INTEGER) AS n_reps, "
+        "round(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE), 6) "
+        "AS point_mean, "
+        f"max(CASE WHEN rn = {lo_idx} THEN m END) AS boot_lo, "
+        f"max(CASE WHEN rn = {med_idx} THEN m END) AS boot_median, "
+        f"max(CASE WHEN rn = {hi_idx} THEN m END) AS boot_hi "
+        "FROM ranked GROUP BY grp, cnt, s"
     )
 
 
@@ -7014,6 +7098,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM cum ORDER BY abs(d) DESC, day ASC LIMIT 1"
         ),
         "bootstrap_ci_mean": _bootstrap_ci_sql(64),
+        "grouped_bootstrap_ci": _grouped_bootstrap_ci_sql(64),
         "k_anonymity": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, "
             "count(*) AS n, count(DISTINCT c_acctbal) AS d "

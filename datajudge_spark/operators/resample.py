@@ -12,12 +12,12 @@ accumulate in ONE aggregation pass with no row multiplication: R paired
 
 Determinism (the property the cross-engine oracle needs, and what makes
 the gate reproducible run-to-run): the Poisson draw is the inverse-CDF
-of a uniform derived from ``md5(key#boot<r>) mod 1e6`` — the same
-engine-portable 60-bit md5 fold the sampling operators use
-(pipeline/text.md5_long), so any engine recomputes the exact same
-weights.  At production scale, where no second engine needs to agree,
-swap in a cheaper 64-bit hash (e.g. xxhash64) — the algorithm is
-hash-agnostic.
+of a uniform derived from TWO engine-portable 60-bit md5 folds of the
+row key (pipeline/text.md5_long) combined per replicate by
+Kirsch-Mitzenmacher double hashing — any engine recomputes the exact
+same weights with two hashes per row, not R.  At production scale,
+where no second engine needs to agree, swap in a cheaper 64-bit hash
+(e.g. xxhash64) — the algorithm is hash-agnostic.
 
 Extension — no reference counterpart; the reference's numeric family
 gates point statistics only (numeric.py mean/percentile bounds).
@@ -95,15 +95,16 @@ def bootstrap_mean_ci(
     replicate numerators accumulate as DECIMAL(38,0) — exact at any
     scale — and each mean divides ONCE as a double, rounded to 6dp.
 
-    Plan shape: the R weights per row build as ONE array expression
-    (two md5 folds + R cheap integer ladders), ``posexplode`` to
-    (replicate, weight, value) rows, and a 64-key hash aggregate with
-    MAP-SIDE COMBINE collapses them before the exchange — the shuffle
-    carries <= R rows per task regardless of corpus size, and every
-    stage stays inside whole-stage codegen.  (Two rejected shapes,
-    both measured at sf0.1: one 2R+2-column aggregate — 128 imperative
-    buffers fall out of codegen, 13-26 s; R md5 folds per row — 48 s.
-    This shape: ~1 s.)
+    Plan shape: two md5 folds per row, the replicate INDEX explodes
+    (``Generate(sequence)`` — pipelined, never materialized), each
+    generated row evaluates ONE small Poisson ladder, and an R-key hash
+    aggregate with MAP-SIDE COMBINE collapses everything before the
+    exchange — the shuffle carries <= R rows per task regardless of
+    corpus size, and every stage stays inside whole-stage codegen.
+    (Two rejected shapes, both measured at sf0.1: one 2R+2-column
+    aggregate — 128 imperative buffers fall out of codegen, 13-26 s;
+    R md5 folds per row — 48 s; an R-ladder array expression — breaks
+    janino's 64 KB method limit.  This shape: ~1 s.)
 
     The R replicate uniforms derive by Kirsch-Mitzenmacher double
     hashing, ``u_r = (h1 + (r+1)·(2·h2+1)) mod 2^40 mod 1e6`` — the
@@ -192,6 +193,114 @@ def bootstrap_mean_ci(
                 F.col("__s").cast("double") / F.col("__cnt").cast("double"),
                 6,
             ),
+        ).alias("point_mean"),
+        "boot_lo",
+        "boot_median",
+        "boot_hi",
+    )
+
+
+def grouped_bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    n_reps: int = 64,
+    p_lo: float = 2.5,
+    p_hi: float = 97.5,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group Poisson-bootstrap digest of ``mean(value_col)``: one
+    row per group value, ``(grp, n_rows, n_reps, point_mean, boot_lo,
+    boot_median, boot_hi)`` — :func:`bootstrap_mean_ci` segmented, so a
+    drift dashboard can tell "this segment's mean moved" from "this
+    segment's mean is just noisy" in one pass.
+
+    Same scale shape as the ungrouped digest (index-explode, one small
+    Poisson ladder per generated row, map-side combine into the
+    (group, replicate) aggregate — the exchange carries |groups|·R rows
+    regardless of corpus size) and the same deterministic
+    Kirsch-Mitzenmacher weights, so a row's weight in replicate r is
+    IDENTICAL whether it is digested globally or within its group.
+    The rank window partitions by group over R-row frames — bounded by
+    construction.
+    """
+    if n_reps < 4:
+        raise ValueError("n_reps must be at least 4")
+    if not (0.0 < p_lo < p_hi < 100.0):
+        raise ValueError("need 0 < p_lo < p_hi < 100")
+    from ..pipeline._util import spread
+
+    df = spread(df)
+    key = F.col(key_col).cast("string")
+    v = F.col(value_col)
+    h1 = md5_long(key, salt=f"{salt}A") % F.lit(_KM_MOD)
+    h2 = (md5_long(key, salt=f"{salt}B") % F.lit(_KM_MOD)) * 2 + 1
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        v.alias("__v"),
+        h1.alias("__h1"),
+        h2.alias("__h2"),
+    ).select(
+        "grp",
+        "__v",
+        "__h1",
+        "__h2",
+        F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("__rr"),
+    )
+    u = (
+        (F.col("__h1") + F.col("__rr") * F.col("__h2"))
+        % F.lit(_KM_MOD)
+        % F.lit(_PPM)
+    )
+    pairs = hashed.select(
+        "grp",
+        (F.col("__rr") - 1).alias("__r"),
+        "__v",
+        _poisson1_from_uniform(u).cast("long").alias("__w"),
+    )
+    per = pairs.groupBy("grp", "__r").agg(
+        F.sum(
+            (F.col("__w").cast("decimal(19,0)") * F.col("__v")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__sw"),
+        F.sum("__w").alias("__n"),
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"),
+    )
+    exploded = per.select(
+        "grp",
+        "__cnt",
+        "__s",
+        F.col("__r").alias("rep"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(
+                F.col("__sw").cast("double") / F.col("__n").cast("double"),
+                6,
+            ),
+        ).alias("m"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("grp").orderBy("m", "rep")
+    )
+    lo_idx = math.ceil(p_lo / 100.0 * n_reps)
+    med_idx = math.ceil(0.5 * n_reps)
+    hi_idx = math.ceil(p_hi / 100.0 * n_reps)
+    ranked = exploded.select("grp", "__cnt", "__s", "m", rn.alias("rn"))
+    return ranked.groupBy("grp", "__cnt", "__s").agg(
+        F.max(F.when(F.col("rn") == lo_idx, F.col("m"))).alias("boot_lo"),
+        F.max(F.when(F.col("rn") == med_idx, F.col("m"))).alias(
+            "boot_median"
+        ),
+        F.max(F.when(F.col("rn") == hi_idx, F.col("m"))).alias("boot_hi"),
+    ).select(
+        "grp",
+        F.col("__cnt").cast("bigint").alias("n_rows"),
+        F.lit(n_reps).cast("int").alias("n_reps"),
+        F.round(
+            F.col("__s").cast("double") / F.col("__cnt").cast("double"), 6
         ).alias("point_mean"),
         "boot_lo",
         "boot_median",

@@ -1866,3 +1866,44 @@ class TestIsotonicCalibration:
         df = spark.createDataFrame([(1, 1)], "x long, y long")
         with pytest.raises(ValueError):
             isotonic_calibration(df, "x", "y", n_buckets=1)
+
+
+class TestGroupedBootstrapCI:
+    def test_groups_match_filtered_global(self, spark):
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.resample import (
+            bootstrap_mean_ci,
+            grouped_bootstrap_mean_ci,
+        )
+
+        rows = [(("a" if i % 3 else "b"), i, 100 + (i * 7) % 50)
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "g string, k long, v long")
+        grouped = {
+            r["grp"]: r
+            for r in grouped_bootstrap_mean_ci(
+                df, "g", "k", "v", n_reps=16
+            ).collect()
+        }
+        # a row's weight depends only on (key, replicate), so each
+        # group digest must equal the global digest of that group alone
+        for g in ("a", "b"):
+            solo = bootstrap_mean_ci(
+                df.where(F.col("g") == g), "k", "v", n_reps=16
+            ).first()
+            got = grouped[g]
+            assert got["n_rows"] == solo["n_rows"]
+            assert got["point_mean"] == solo["point_mean"]
+            assert got["boot_lo"] == solo["boot_lo"]
+            assert got["boot_median"] == solo["boot_median"]
+            assert got["boot_hi"] == solo["boot_hi"]
+
+    def test_validation(self, spark):
+        from datajudge_spark.operators.resample import (
+            grouped_bootstrap_mean_ci,
+        )
+
+        df = spark.createDataFrame([("a", 1, 1)], "g string, k long, v long")
+        with pytest.raises(ValueError):
+            grouped_bootstrap_mean_ci(df, "g", "k", "v", n_reps=2)
