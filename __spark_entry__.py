@@ -2654,6 +2654,22 @@ def q_bootstrap_ci_mean(spark, sf_dir):
     )
 
 
+def q_winnowing_pairs(spark, sf_dir):
+    # MOSS winnowing: candidate near-dup pairs sharing selected k-gram
+    # fingerprints, ranked by shared-fingerprint count. Guarantees any
+    # shared passage of >= w+k-1 words is caught — the local-overlap
+    # complement to MinHash's whole-document similarity. All per-row
+    # JVM array expressions; only 60-bit fingerprints shuffle.
+    from datajudge_spark.pipeline.dedup import winnowing_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = winnowing_pairs(docs, "doc_id", "text", k=4, w=5)
+    return (
+        pairs.orderBy(F.col("n_shared").desc(), "d1", "d2")
+        .limit(25)
+    )
+
+
 def q_grouped_bootstrap_ci(spark, sf_dir):
     # per-priority bootstrap CI of the mean order price: tells "this
     # segment's mean moved" from "this segment's mean is noisy" in one
@@ -4973,6 +4989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis_outliers": q_mahalanobis_outliers,
         "isotonic_calibration": q_isotonic_calibration,
         "grouped_bootstrap_ci": q_grouped_bootstrap_ci,
+        "winnowing_pairs": q_winnowing_pairs,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7098,6 +7115,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM cum ORDER BY abs(d) DESC, day ASC LIMIT 1"
         ),
         "bootstrap_ci_mean": _bootstrap_ci_sql(64),
+        "winnowing_pairs": (
+            # same k-gram hashing (md5 60-bit), window-min selection and
+            # pair ranking as the Spark operator; k=4, w=5
+            "WITH t AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS tk FROM documents WHERE text IS NOT NULL), "
+            "g AS (SELECT doc_id, list_transform(generate_series(1, "
+            "greatest(len(tk) - 3, 0)), i -> array_to_string(tk[i:i+3], "
+            "' ')) AS grams FROM t), "
+            "h AS (SELECT doc_id, list_transform(grams, s -> "
+            "CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) "
+            "AS BIGINT)) AS hs FROM g), "
+            "wn AS (SELECT doc_id, CASE WHEN len(hs) >= 5 THEN "
+            "list_transform(generate_series(1, len(hs) - 4), "
+            "i -> list_aggregate(hs[i:i+4], 'min')) "
+            "WHEN len(hs) >= 1 THEN [list_aggregate(hs, 'min')] "
+            "ELSE [] END AS wins FROM h), "
+            "fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS f "
+            "FROM wn), "
+            "pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+            "CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT d1, d2, n_shared FROM pairs "
+            "ORDER BY n_shared DESC, d1, d2 LIMIT 25"
+        ),
         "grouped_bootstrap_ci": _grouped_bootstrap_ci_sql(64),
         "k_anonymity": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, "

@@ -774,3 +774,118 @@ def chunk_duplicate_stats(
             .alias("n_dup_chunks"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): one ``(id, fp)`` row per
+    distinct selected fingerprint.
+
+    Per document: hash every word ``k``-gram (the engine-portable
+    60-bit md5 fold), slide a window of ``w`` consecutive hashes, keep
+    each window's MINIMUM.  The selection guarantee — any shared
+    passage of at least ``w + k - 1`` words yields at least one shared
+    fingerprint — is what MinHash does NOT give (MinHash bounds
+    whole-document similarity; winnowing finds local plagiarism-style
+    overlaps of bounded length).  Documents shorter than one window
+    keep their global minimum, so nothing silently drops.
+
+    Plan: entirely per-row array expressions (``transform`` over the
+    shingle array, ``transform(sequence)`` + ``array_min(slice)`` for
+    the windows — all JVM higher-order functions, no Python, no
+    shuffle); the only shuffle is the final per-document DISTINCT on
+    selected fingerprints.  O(n·w) work per document, linear in the
+    corpus.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be positive")
+    grams = word_shingles(F.col(text_col), k)
+    hashes = F.transform(grams, lambda s: md5_long(s))
+    n = F.size(hashes)
+    wins = (
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(w - 1)),
+                lambda i: F.array_min(F.slice(hashes, i, w)),
+            ),
+        )
+        .when(n >= 1, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(wins)).alias("fp"),
+        )
+        .select(F.col("_id").alias(id_col), "fp")
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(d1, d2, n_shared)`` — documents
+    sharing >= 1 winnowing fingerprint, with the count of shared
+    fingerprints (the MOSS ranking signal).
+
+    Same hot-bucket discipline as :func:`lsh_candidate_pairs`: a
+    fingerprint held by more than ``max_bucket`` documents (boilerplate
+    passages — cookie banners, license headers) switches from all-pairs
+    to a star against the minimum id (``n_shared`` NULL on those
+    connectivity rows), so no fingerprint can explode the pair space.
+    The join shuffles on the 60-bit fingerprint only — never text.
+    """
+    fps = materialize_once(
+        winnowing_fingerprints(df, id_col, text_col, k, w).select(
+            F.col(id_col).alias("_id"), "fp"
+        )
+    )
+    wb = Window.partitionBy("fp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    buckets = materialize_once(
+        fps.select(
+            "_id",
+            "fp",
+            F.count(F.lit(1)).over(wb).alias("_n"),
+            F.min("_id").over(wb).alias("_m"),
+        )
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .where(F.col("a._n") <= max_bucket)
+        .groupBy(
+            F.col("a._id").alias("d1"), F.col("b._id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    star = (
+        buckets.where(
+            (F.col("_n") > max_bucket) & (F.col("_id") != F.col("_m"))
+        )
+        .select(
+            F.col("_m").alias("d1"),
+            F.col("_id").alias("d2"),
+            F.lit(None).cast("bigint").alias("n_shared"),
+        )
+        .distinct()
+    )
+    return shared.unionByName(star)
