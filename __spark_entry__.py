@@ -2654,6 +2654,96 @@ def q_bootstrap_ci_mean(spark, sf_dir):
     )
 
 
+def q_streaming_bootstrap(spark, sf_dir):
+    """Eleventh streaming contract query: incremental Poisson-bootstrap
+    uncertainty over the event stream.  The deterministic md5-keyed
+    weights make replicate sums plain associative aggregates, so the
+    32-row COMPLETE-mode state after the availableNow drain equals the
+    batch bootstrap of the same rows exactly; the drained sink is then
+    digested with the batch rank rule — hash-equal to the SQL oracle."""
+    import math
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stream_parquet_like,
+        streaming_bootstrap_sums,
+    )
+
+    n_reps = 32
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_boot_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw).where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    sums = streaming_bootstrap_sums(
+        ev.select(F.col("event_id"), cents.alias("cents")),
+        "event_id",
+        "cents",
+        n_reps=n_reps,
+    )
+    qname = f"stream_boot_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            sums.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    state = spark.table(qname)
+    # batch post-processing of the drained 32-row state: identical rank
+    # rule as operators.resample.bootstrap_mean_ci
+    from pyspark.sql import Window as W
+
+    m = state.select(
+        "cnt",
+        "s",
+        F.col("rep"),
+        F.when(
+            F.col("n") > 0,
+            F.round(F.col("sw").cast("double") / F.col("n").cast("double"), 6),
+        ).alias("m"),
+    )
+    rn = F.row_number().over(W.orderBy("m", "rep"))
+    lo_idx = math.ceil(2.5 / 100.0 * n_reps)
+    med_idx = math.ceil(0.5 * n_reps)
+    hi_idx = math.ceil(97.5 / 100.0 * n_reps)
+    ranked = m.select("cnt", "s", "m", rn.alias("rn"))
+    out_df = ranked.groupBy("cnt", "s").agg(
+        F.max(F.when(F.col("rn") == lo_idx, F.col("m"))).alias("boot_lo"),
+        F.max(F.when(F.col("rn") == med_idx, F.col("m"))).alias(
+            "boot_median"
+        ),
+        F.max(F.when(F.col("rn") == hi_idx, F.col("m"))).alias("boot_hi"),
+    ).select(
+        F.col("cnt").cast("bigint").alias("n_rows"),
+        F.lit(n_reps).cast("int").alias("n_reps"),
+        F.round(
+            F.col("s").cast("double") / F.col("cnt").cast("double"), 6
+        ).alias("point_mean"),
+        "boot_lo",
+        "boot_median",
+        "boot_hi",
+    )
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_winnowing_pairs(spark, sf_dir):
     # MOSS winnowing: candidate near-dup pairs sharing selected k-gram
     # fingerprints, ranked by shared-fingerprint count. Guarantees any
@@ -4990,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "grouped_bootstrap_ci": q_grouped_bootstrap_ci,
         "winnowing_pairs": q_winnowing_pairs,
+        "streaming_bootstrap": q_streaming_bootstrap,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -5064,6 +5155,61 @@ def _bootstrap_ci_sql(n_reps: int = 64) -> str:
         f"max(CASE WHEN rn = {med_idx} THEN m END) AS boot_median, "
         f"max(CASE WHEN rn = {hi_idx} THEN m END) AS boot_hi "
         "FROM ranked, pt GROUP BY n_rows, point_mean"
+    )
+
+
+def _events_bootstrap_sql(n_reps: int = 32) -> str:
+    """DuckDB mirror of q_streaming_bootstrap's drained digest — the
+    batch bootstrap of the event values (associative sums make the
+    streaming accumulation exactly equal to this)."""
+    import math
+
+    from datajudge_spark.operators.resample import (
+        POISSON1_THRESHOLDS_PPM,
+        POISSON_MAX_W,
+    )
+
+    ladder = " ".join(
+        f"WHEN u < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_THRESHOLDS_PPM)
+    )
+    lo_idx = math.ceil(2.5 / 100.0 * n_reps)
+    med_idx = math.ceil(0.5 * n_reps)
+    hi_idx = math.ceil(97.5 / 100.0 * n_reps)
+    return (
+        "WITH base AS (SELECT CAST(event_id AS VARCHAR) AS k, "
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "FROM events WHERE value IS NOT NULL), "
+        f"reps AS (SELECT unnest(generate_series(0, {n_reps - 1})) AS r), "
+        "hashed AS (SELECT cents, "
+        "CAST(CAST(('0x' || substr(md5(k || '#bootA'), 1, 15)) "
+        "AS UBIGINT) % 1099511627776 AS BIGINT) AS h1, "
+        "CAST(CAST(('0x' || substr(md5(k || '#bootB'), 1, 15)) "
+        "AS UBIGINT) % 1099511627776 AS BIGINT) * 2 + 1 AS h2 "
+        "FROM base), "
+        "u AS (SELECT r, cents, "
+        "(h1 + (r + 1) * h2) % 1099511627776 % 1000000 AS u "
+        "FROM hashed CROSS JOIN reps), "
+        f"w AS (SELECT r, cents, CASE {ladder} "
+        f"ELSE {POISSON_MAX_W} END AS w FROM u), "
+        "per AS (SELECT r, "
+        "sum(CAST(CAST(w AS DECIMAL(19,0)) * cents AS DECIMAL(38,0))) "
+        "AS sw, CAST(sum(w) AS BIGINT) AS n, "
+        "count(*) AS cnt, sum(CAST(cents AS DECIMAL(38,0))) AS s "
+        "FROM w GROUP BY r), "
+        "m AS (SELECT cnt, s, r, CASE WHEN n > 0 THEN "
+        "round(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS m "
+        "FROM per), "
+        "ranked AS (SELECT cnt, s, m, "
+        "row_number() OVER (ORDER BY m, r) AS rn FROM m) "
+        "SELECT CAST(cnt AS BIGINT) AS n_rows, "
+        f"CAST({n_reps} AS INTEGER) AS n_reps, "
+        "round(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE), 6) "
+        "AS point_mean, "
+        f"max(CASE WHEN rn = {lo_idx} THEN m END) AS boot_lo, "
+        f"max(CASE WHEN rn = {med_idx} THEN m END) AS boot_median, "
+        f"max(CASE WHEN rn = {hi_idx} THEN m END) AS boot_hi "
+        "FROM ranked GROUP BY cnt, s"
     )
 
 
@@ -7141,6 +7287,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_shared DESC, d1, d2 LIMIT 25"
         ),
         "grouped_bootstrap_ci": _grouped_bootstrap_ci_sql(64),
+        "streaming_bootstrap": _events_bootstrap_sql(32),
         "k_anonymity": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, "
             "count(*) AS n, count(DISTINCT c_acctbal) AS d "

@@ -49,6 +49,7 @@ __all__ = [
     "psi_between_histograms",
     "interval_join_streams",
     "interval_left_join_streams",
+    "streaming_bootstrap_sums",
 ]
 
 
@@ -593,4 +594,68 @@ def stateful_zscore(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_bootstrap_sums(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_reps: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Streaming Poisson-bootstrap accumulator: per-replicate
+    ``(rep, sw, n, cnt, s)`` sums over an unbounded stream, COMPLETE
+    output mode.
+
+    The deterministic per-row weights (md5-keyed Kirsch-Mitzenmacher,
+    identical to ``operators.resample.bootstrap_mean_ci``) make the
+    bootstrap INCREMENTAL: replicate sums are plain associative
+    aggregates, so the drained state after any prefix of the stream
+    equals the batch bootstrap of exactly the rows seen — uncertainty
+    tracking that updates per micro-batch with O(R) state, no
+    watermark, no row buffering.  Digest the drained 64-row sink with
+    the same rank rule as the batch operator and the result hash-equals
+    it (the 12th streaming/batch agreement in this family).
+    """
+    from ..operators.resample import (
+        _KM_MOD,
+        _poisson1_from_uniform,
+        _PPM,
+    )
+    from ..pipeline.text import md5_long
+
+    if n_reps < 4:
+        raise ValueError("n_reps must be at least 4")
+    key = F.col(key_col).cast("string")
+    v = F.col(value_col)
+    h1 = md5_long(key, salt=f"{salt}A") % F.lit(_KM_MOD)
+    h2 = (md5_long(key, salt=f"{salt}B") % F.lit(_KM_MOD)) * 2 + 1
+    hashed = stream_df.select(
+        v.alias("__v"), h1.alias("__h1"), h2.alias("__h2")
+    ).select(
+        "__v",
+        "__h1",
+        "__h2",
+        F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("__rr"),
+    )
+    u = (
+        (F.col("__h1") + F.col("__rr") * F.col("__h2"))
+        % F.lit(_KM_MOD)
+        % F.lit(_PPM)
+    )
+    pairs = hashed.select(
+        (F.col("__rr") - 1).alias("rep"),
+        "__v",
+        _poisson1_from_uniform(u).cast("long").alias("__w"),
+    )
+    return pairs.groupBy("rep").agg(
+        F.sum(
+            (F.col("__w").cast("decimal(19,0)") * F.col("__v")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sw"),
+        F.sum("__w").alias("n"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).alias("s"),
     )

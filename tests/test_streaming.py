@@ -521,3 +521,58 @@ class TestStreamingLeftOuterJoin:
         }
         spark.catalog.dropTempView("loj_test")
         assert got == {(1, 10), (2, None)}
+
+
+class TestStreamingBootstrap:
+    def test_multi_batch_sums_equal_batch_bootstrap(self, spark, tmp_path):
+        from datajudge_spark.operators.resample import bootstrap_mean_ci
+        from datajudge_spark.streaming import streaming_bootstrap_sums
+
+        rows = [(i, 100 + (i * 13) % 77) for i in range(400)]
+        schema = "k long, v long"
+        src = tmp_path / "boot_src"
+        for i, chunk in enumerate([rows[:250], rows[250:]]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(src / f"f{i}")
+            )
+        stream_dir = tmp_path / "boot_merged"
+        stream_dir.mkdir()
+        for n, part in enumerate(sorted(src.rglob("*.parquet"))):
+            (stream_dir / f"{n:02d}.parquet").symlink_to(part)
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        sums = streaming_bootstrap_sums(raw, "k", "v", n_reps=16)
+        q = (
+            sums.writeStream.format("memory")
+            .queryName("boot_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = {
+            r["rep"]: r for r in spark.table("boot_test").collect()
+        }
+        spark.catalog.dropTempView("boot_test")
+        # drained per-replicate sums must equal the batch operator's
+        # intermediate sums on the union — weights are row-deterministic
+        # and the sums associative, so batching cannot matter
+        batch = spark.createDataFrame(rows, schema)
+        digest = bootstrap_mean_ci(batch, "k", "v", n_reps=16).first()
+        assert len(state) == 16
+        assert all(r["cnt"] == 400 for r in state.values())
+        # reconstruct the batch digest's point mean from drained state
+        any_rep = state[0]
+        assert float(any_rep["s"]) / any_rep["cnt"] == pytest.approx(
+            digest["point_mean"], abs=1e-6
+        )
+        # replicate means from drained state bracket like the digest
+        means = sorted(
+            round(float(r["sw"]) / r["n"], 6) for r in state.values()
+        )
+        assert means[0] <= digest["boot_median"] <= means[-1]
