@@ -2744,6 +2744,24 @@ def q_streaming_bootstrap(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_partial_correlation(spark, sf_dir):
+    # quantity-price association with discount held fixed: the
+    # confounder screen corr_matrix can't express. One pass of nine
+    # DECIMAL(38,0) sufficient statistics; every r converts once to
+    # double with the variance product sqrt-split; degenerate legs NULL.
+    from datajudge_spark.operators.stats import partial_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        _cents("l_quantity").alias("q"),
+        _cents("l_extendedprice").alias("p"),
+        (F.col("l_discount").cast("decimal(5,2)") * 100)
+        .cast("bigint")
+        .alias("d"),
+    )
+    return partial_correlation(base, "q", "p", "d")
+
+
 def q_winnowing_pairs(spark, sf_dir):
     # MOSS winnowing: candidate near-dup pairs sharing selected k-gram
     # fingerprints, ranked by shared-fingerprint count. Guarantees any
@@ -5081,6 +5099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_bootstrap_ci": q_grouped_bootstrap_ci,
         "winnowing_pairs": q_winnowing_pairs,
         "streaming_bootstrap": q_streaming_bootstrap,
+        "partial_correlation": q_partial_correlation,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7261,6 +7280,57 @@ def oracle_sql() -> dict[str, str]:
             "FROM cum ORDER BY abs(d) DESC, day ASC LIMIT 1"
         ),
         "bootstrap_ci_mean": _bootstrap_ci_sql(64),
+        "partial_correlation": (
+            # identical sufficient statistics, sqrt-split pairwise r,
+            # and scalar partial formula as the Spark operator
+            "WITH base AS (SELECT "
+            "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS q, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS p, "
+            "CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT) AS d "
+            "FROM lineitem WHERE l_quantity IS NOT NULL AND "
+            "l_extendedprice IS NOT NULL AND l_discount IS NOT NULL), "
+            "suff AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n, "
+            "sum(CAST(q AS DECIMAL(38,0))) AS sx, "
+            "sum(CAST(p AS DECIMAL(38,0))) AS sy, "
+            "sum(CAST(d AS DECIMAL(38,0))) AS sz, "
+            "sum(CAST(CAST(q AS DECIMAL(19,0)) * q AS DECIMAL(38,0))) "
+            "AS sxx, "
+            "sum(CAST(CAST(p AS DECIMAL(19,0)) * p AS DECIMAL(38,0))) "
+            "AS syy, "
+            "sum(CAST(CAST(d AS DECIMAL(19,0)) * d AS DECIMAL(38,0))) "
+            "AS szz, "
+            "sum(CAST(CAST(q AS DECIMAL(19,0)) * p AS DECIMAL(38,0))) "
+            "AS sxy, "
+            "sum(CAST(CAST(q AS DECIMAL(19,0)) * d AS DECIMAL(38,0))) "
+            "AS sxz, "
+            "sum(CAST(CAST(p AS DECIMAL(19,0)) * d AS DECIMAL(38,0))) "
+            "AS syz FROM base), "
+            "r AS (SELECT CAST(n AS BIGINT) AS n, "
+            "CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 AND "
+            "CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS rxy, "
+            "CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 AND "
+            "CAST(n * szz - sz * sz AS DOUBLE) > 0 THEN "
+            "CAST(n * sxz - sx * sz AS DOUBLE) / "
+            "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(n * szz - sz * sz AS DOUBLE))) END AS rxz, "
+            "CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > 0 AND "
+            "CAST(n * szz - sz * sz AS DOUBLE) > 0 THEN "
+            "CAST(n * syz - sy * sz AS DOUBLE) / "
+            "(sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * "
+            "sqrt(CAST(n * szz - sz * sz AS DOUBLE))) END AS ryz "
+            "FROM suff) "
+            "SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz, "
+            "round(ryz, 6) AS r_yz, "
+            "round(CASE WHEN sqrt((1.0 - rxz * rxz) * "
+            "(1.0 - ryz * ryz)) > 0 THEN "
+            "(rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * "
+            "(1.0 - ryz * ryz)) END, 6) AS r_xy_given_z FROM r"
+        ),
         "winnowing_pairs": (
             # same k-gram hashing (md5 60-bit), window-min selection and
             # pair ranking as the Spark operator; k=4, w=5

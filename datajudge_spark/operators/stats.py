@@ -1825,3 +1825,93 @@ def isotonic_calibration(
         )
         .orderBy("bucket")
     )
+
+
+def partial_correlation(
+    df: DataFrame, x_col: str, y_col: str, z_col: str
+) -> DataFrame:
+    """First-order partial correlation of two integer-valued columns
+    controlling for a third, one digest row
+    ``(n, r_xy, r_xz, r_yz, r_xy_given_z)``:
+
+        r_xy.z = (r_xy − r_xz·r_yz) / sqrt((1 − r_xz²)(1 − r_yz²))
+
+    "Are quantity and price still related once discount is held
+    fixed?" — the confounder screen behind every spurious-correlation
+    incident that a plain ``corr_matrix`` cannot distinguish.
+
+    Exactness: ONE aggregation pass collects the nine sufficient
+    statistics (n, Σ of each column, Σ of each product/square) as
+    DECIMAL(38,0) — integer-exact, partition-order independent; each
+    pairwise r converts once to double in a fixed expression with the
+    variance product split as ``sqrt·sqrt`` (stays in decimal range),
+    and the partial formula is scalar double arithmetic on those three
+    rounded-at-the-end values.  Any degenerate leg (zero variance, or
+    |r_xz| / |r_yz| = 1 making the denominator 0) yields NULL rather
+    than a division error.
+    """
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    base = df.where(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    )
+    suff = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d38(x_col)).alias("__sx"),
+        F.sum(d38(y_col)).alias("__sy"),
+        F.sum(d38(z_col)).alias("__sz"),
+        F.sum((d19(x_col) * F.col(x_col)).cast("decimal(38,0)")).alias(
+            "__sxx"
+        ),
+        F.sum((d19(y_col) * F.col(y_col)).cast("decimal(38,0)")).alias(
+            "__syy"
+        ),
+        F.sum((d19(z_col) * F.col(z_col)).cast("decimal(38,0)")).alias(
+            "__szz"
+        ),
+        F.sum((d19(x_col) * F.col(y_col)).cast("decimal(38,0)")).alias(
+            "__sxy"
+        ),
+        F.sum((d19(x_col) * F.col(z_col)).cast("decimal(38,0)")).alias(
+            "__sxz"
+        ),
+        F.sum((d19(y_col) * F.col(z_col)).cast("decimal(38,0)")).alias(
+            "__syz"
+        ),
+    )
+    n = F.col("__n").cast("decimal(38,0)")
+
+    def _r(sab, sa, sb, saa, sbb):
+        num = (n * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        va = (n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+        vb = (n * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        return F.when(
+            (va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))
+        )
+
+    rxy = _r("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    rxz = _r("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    ryz = _r("__syz", "__sy", "__sz", "__syy", "__szz")
+    scored = suff.select(
+        F.col("__n").cast("bigint").alias("n"),
+        rxy.alias("__rxy"),
+        rxz.alias("__rxz"),
+        ryz.alias("__ryz"),
+    )
+    den = F.sqrt(
+        (1.0 - F.col("__rxz") * F.col("__rxz"))
+        * (1.0 - F.col("__ryz") * F.col("__ryz"))
+    )
+    partial = F.when(
+        den > 0,
+        (F.col("__rxy") - F.col("__rxz") * F.col("__ryz")) / den,
+    )
+    return scored.select(
+        "n",
+        F.round("__rxy", 6).alias("r_xy"),
+        F.round("__rxz", 6).alias("r_xz"),
+        F.round("__ryz", 6).alias("r_yz"),
+        F.round(partial, 6).alias("r_xy_given_z"),
+    )
