@@ -113,8 +113,11 @@ def bootstrap_mean_ci(
     Everything stays integer-exact and engine-portable (the oracle
     reproduces the identical arithmetic).
     """
-    if n_reps < 4:
-        raise ValueError("n_reps must be at least 4")
+    if not 4 <= n_reps <= 4096:
+        # (r+1)·(2·h2+1) must stay inside int64: 4096 · 2^41 = 2^53,
+        # far under the 2^63 line — and >4096 replicates buys no
+        # statistical precision a 2.5% quantile could see anyway
+        raise ValueError("n_reps must be between 4 and 4096")
     if not (0.0 < p_lo < p_hi < 100.0):
         raise ValueError("need 0 < p_lo < p_hi < 100")
     from ..pipeline._util import spread
@@ -225,8 +228,8 @@ def grouped_bootstrap_mean_ci(
     The rank window partitions by group over R-row frames — bounded by
     construction.
     """
-    if n_reps < 4:
-        raise ValueError("n_reps must be at least 4")
+    if not 4 <= n_reps <= 4096:
+        raise ValueError("n_reps must be between 4 and 4096")
     if not (0.0 < p_lo < p_hi < 100.0):
         raise ValueError("need 0 < p_lo < p_hi < 100")
     from ..pipeline._util import spread

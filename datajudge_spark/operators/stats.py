@@ -1755,6 +1755,11 @@ def isotonic_calibration(
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be at least 2")
+    if n_buckets > 4096:
+        # the minimax construction builds an n_buckets² pair grid —
+        # bounded BY THIS CAP, not by trusting the caller: 4096² = 16M
+        # rows is still trivial, 10^5 buckets would not be
+        raise ValueError("n_buckets must be at most 4096")
     from ..pipeline._util import materialize_once
 
     base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())

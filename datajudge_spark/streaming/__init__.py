@@ -625,8 +625,8 @@ def streaming_bootstrap_sums(
     )
     from ..pipeline.text import md5_long
 
-    if n_reps < 4:
-        raise ValueError("n_reps must be at least 4")
+    if not 4 <= n_reps <= 4096:
+        raise ValueError("n_reps must be between 4 and 4096")
     key = F.col(key_col).cast("string")
     v = F.col(value_col)
     h1 = md5_long(key, salt=f"{salt}A") % F.lit(_KM_MOD)

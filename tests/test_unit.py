@@ -1975,3 +1975,19 @@ class TestPartialCorrelation:
         r = partial_correlation(df, "x", "y", "z").first()
         assert r["r_xy"] is not None
         assert r["r_xz"] is None and r["r_xy_given_z"] is None
+
+
+class TestRoundSixGuards:
+    def test_bootstrap_rep_cap(self, spark):
+        from datajudge_spark.operators.resample import bootstrap_mean_ci
+
+        df = spark.createDataFrame([(1, 1)], "k long, v long")
+        with pytest.raises(ValueError):
+            bootstrap_mean_ci(df, "k", "v", n_reps=5000)
+
+    def test_isotonic_bucket_cap(self, spark):
+        from datajudge_spark.operators.stats import isotonic_calibration
+
+        df = spark.createDataFrame([(1, 1)], "x long, y long")
+        with pytest.raises(ValueError):
+            isotonic_calibration(df, "x", "y", n_buckets=100000)
