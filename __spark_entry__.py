@@ -2744,6 +2744,27 @@ def q_streaming_bootstrap(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_gumbel_return_level(spark, sf_dir):
+    # extreme-value gate: Gumbel fit over monthly maxima of daily
+    # revenue, with 1-year and 5-year return levels — "is this spike
+    # unprecedented or the expected annual extreme?". Block maxima are
+    # exact integers; sufficient statistics DECIMAL(38,0); one double
+    # conversion through fixed literal constants.
+    from datajudge_spark.operators.timeseries import (
+        daily_totals,
+        gumbel_return_level,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
+    return gumbel_return_level(
+        daily, "cents", block="month", return_periods=(12, 60)
+    )
+
+
 def q_partial_correlation(spark, sf_dir):
     # quantity-price association with discount held fixed: the
     # confounder screen corr_matrix can't express. One pass of nine
@@ -5100,6 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": q_winnowing_pairs,
         "streaming_bootstrap": q_streaming_bootstrap,
         "partial_correlation": q_partial_correlation,
+        "gumbel_return_level": q_gumbel_return_level,
     }
     missing = [k for k in _R6_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -5229,6 +5251,51 @@ def _events_bootstrap_sql(n_reps: int = 32) -> str:
         f"max(CASE WHEN rn = {med_idx} THEN m END) AS boot_median, "
         f"max(CASE WHEN rn = {hi_idx} THEN m END) AS boot_hi "
         "FROM ranked GROUP BY cnt, s"
+    )
+
+
+def _gumbel_sql(return_periods=(12, 60)) -> str:
+    """DuckDB mirror of q_gumbel_return_level — same decimal sufficient
+    statistics and the IDENTICAL double literals (repr of the Python
+    constants the Spark expression embeds)."""
+    import math
+
+    from datajudge_spark.operators.timeseries import EULER_GAMMA
+
+    sqrt6 = repr(math.sqrt(6.0))
+    pi = repr(math.pi)
+    # UNROUNDED on purpose: the raw doubles are bit-identical across
+    # engines (exact inputs, fixed expression tree); a 6dp rounding
+    # step created a genuine cross-engine HALF-tie here
+    rl_cols = ", ".join(
+        "CASE WHEN ok THEN mu - beta * "
+        f"({repr(math.log(-math.log(1.0 - 1.0 / t)))}) END AS rl_{t}"
+        for t in return_periods
+    )
+    return (
+        "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) "
+        "AS cents FROM orders GROUP BY 1), "
+        "blocks AS (SELECT date_trunc('month', day) AS b, "
+        "max(cents) AS m FROM daily GROUP BY 1), "
+        "suff AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n, "
+        "sum(CAST(m AS DECIMAL(38,0))) AS s, "
+        "sum(CAST(CAST(m AS DECIMAL(19,0)) * m AS DECIMAL(38,0))) AS ss, "
+        "CAST(max(m) AS BIGINT) AS max_observed FROM blocks), "
+        "fit AS (SELECT CAST(n AS BIGINT) AS n_blocks, max_observed, "
+        "n >= 2 AND CAST(n * ss - s * s AS DOUBLE) > 0 AS ok, "
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+        "sqrt(CAST(n * ss - s * s AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd "
+        "FROM suff), "
+        "g AS (SELECT n_blocks, max_observed, ok, mean, "
+        f"sd * {sqrt6} / {pi} AS beta FROM fit), "
+        "g2 AS (SELECT n_blocks, max_observed, ok, "
+        f"mean - {repr(EULER_GAMMA)} * beta AS mu, beta FROM g) "
+        "SELECT n_blocks, max_observed, "
+        "CASE WHEN ok THEN mu END AS mu, "
+        "CASE WHEN ok THEN beta END AS beta, "
+        f"{rl_cols} FROM g2"
     )
 
 
@@ -7358,6 +7425,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_bootstrap_ci": _grouped_bootstrap_ci_sql(64),
         "streaming_bootstrap": _events_bootstrap_sql(32),
+        "gumbel_return_level": _gumbel_sql((12, 60)),
         "k_anonymity": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, "
             "count(*) AS n, count(DISTINCT c_acctbal) AS d "

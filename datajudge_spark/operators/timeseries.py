@@ -16,6 +16,8 @@ stays fully parallel.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -857,3 +859,89 @@ def autocorrelation(
             "ljung_box_q"
         ),
     ).orderBy("lag")
+
+
+#: Euler-Mascheroni constant (Gumbel mean offset), fixed literal so
+#: every engine computes the identical double expression.
+EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_return_level(
+    daily: DataFrame,
+    value_col: str = "total",
+    block: str = "month",
+    return_periods: tuple[int, ...] = (12, 60),
+) -> DataFrame:
+    """Extreme-value digest of a daily integer series: Gumbel fit over
+    block maxima plus return levels, one row
+    ``(n_blocks, max_observed, mu, beta, rl_<T>...)``.
+
+    Classic EVT workflow (Gumbel/EV1, method of moments): aggregate the
+    daily frame to per-``block`` maxima (months by default), fit
+    location/scale from the maxima's mean and standard deviation
+    (``beta = s·sqrt(6)/pi``, ``mu = mean − gamma·beta``), and report
+    the T-block return level ``mu − beta·ln(−ln(1 − 1/T))`` — "the
+    daily peak we should see about once a year (T=12) / once in five
+    years (T=60)".  The capacity-planning question ("is this spike
+    unprecedented, or the expected annual extreme?") that z-score and
+    CUSUM gates — which model the CENTER — cannot answer.
+
+    Exactness: block maxima are exact integers (max of a daily integer
+    frame); their three sufficient statistics accumulate as
+    DECIMAL(38,0); mean/std/levels convert ONCE to doubles in fixed
+    expressions with literal constants — BIT-IDENTICAL across engines,
+    and deliberately emitted UNROUNDED: with exact inputs and a fixed
+    expression tree the raw double is already deterministic, while a
+    decimal rounding step can CREATE a cross-engine tie (Spark rounds
+    the shortest decimal string HALF_UP, other engines round the
+    binary value — observed disagreeing on an exact ...5 at the 6th
+    decimal of a return level).  Degenerate inputs (fewer than 2
+    blocks, zero variance) yield NULL fit columns rather than a
+    division error.
+
+    Plan: the daily frame is calendar-bounded, so the block aggregate
+    and 1-row digest are post-aggregation trivia; the expensive part
+    (the upstream daily aggregate) stays fully parallel.  Extension —
+    no reference counterpart; completes the tail-risk family (MAD /
+    winsorize gate the bulk, this models the extremes).
+    """
+    if len(return_periods) == 0:
+        raise ValueError("provide at least one return period")
+    if any(t < 2 for t in return_periods):
+        raise ValueError("return periods must be at least 2 blocks")
+    daily = daily.where(
+        F.col("day").isNotNull() & F.col(value_col).isNotNull()
+    )
+    blocks = daily.groupBy(
+        F.date_trunc(block, F.col("day")).alias("__b")
+    ).agg(F.max(value_col).alias("__m"))
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    suff = blocks.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__m").cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            (d19(F.col("__m")) * F.col("__m")).cast("decimal(38,0)")
+        ).alias("__ss"),
+        F.max("__m").cast("bigint").alias("max_observed"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    # sample variance from exact integer sums: (n·Σm² − (Σm)²)/(n·(n−1))
+    var_num = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__ss")
+        - F.col("__s") * F.col("__s")
+    ).cast("double")
+    ok = (F.col("__n") >= 2) & (var_num > 0)
+    s = F.sqrt(var_num / (n * (n - 1.0)))
+    beta = s * math.sqrt(6.0) / math.pi
+    mu = mean - F.lit(EULER_GAMMA) * beta
+    out = [
+        F.col("__n").cast("bigint").alias("n_blocks"),
+        "max_observed",
+        F.when(ok, mu).alias("mu"),
+        F.when(ok, beta).alias("beta"),
+    ]
+    for t in return_periods:
+        rl = mu - beta * math.log(-math.log(1.0 - 1.0 / t))
+        out.append(F.when(ok, rl).alias(f"rl_{t}"))
+    return suff.select(*out)

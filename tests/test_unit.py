@@ -1991,3 +1991,82 @@ class TestRoundSixGuards:
         df = spark.createDataFrame([(1, 1)], "x long, y long")
         with pytest.raises(ValueError):
             isotonic_calibration(df, "x", "y", n_buckets=100000)
+
+
+class TestGumbelReturnLevel:
+    def test_matches_naive_fit(self, spark):
+        import datetime as dt
+        import math
+        import random
+
+        from datajudge_spark.operators.timeseries import (
+            EULER_GAMMA,
+            gumbel_return_level,
+        )
+
+        rng = random.Random(53)
+        base = dt.date(2023, 1, 1)
+        rows = [
+            (base + dt.timedelta(days=i), 1000 + rng.randint(0, 400))
+            for i in range(365)
+        ]
+        df = spark.createDataFrame(rows, "day date, v long")
+        got = gumbel_return_level(df, "v", "month", (12,)).first()
+        # naive: monthly maxima -> moments fit
+        maxima: dict[tuple[int, int], int] = {}
+        for d, v in rows:
+            key = (d.year, d.month)
+            maxima[key] = max(maxima.get(key, 0), v)
+        ms = list(maxima.values())
+        n = len(ms)
+        mean = sum(ms) / n
+        var = (n * sum(m * m for m in ms) - sum(ms) ** 2) / (n * (n - 1))
+        sd = math.sqrt(var)
+        beta = sd * math.sqrt(6.0) / math.pi
+        mu = mean - EULER_GAMMA * beta
+        rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 12))
+        assert got["n_blocks"] == 12
+        assert got["max_observed"] == max(ms)
+        assert got["mu"] == pytest.approx(mu, rel=1e-9)
+        assert got["beta"] == pytest.approx(beta, rel=1e-9)
+        assert got["rl_12"] == pytest.approx(rl, rel=1e-9)
+        # the 1-year return level should sit near the observed peak
+        assert got["rl_12"] > mean
+
+    def test_degenerate_inputs_null(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import (
+            gumbel_return_level,
+        )
+
+        # single block: no variance estimate possible
+        one = spark.createDataFrame(
+            [(dt.date(2024, 1, 1 + i), 100 + i) for i in range(10)],
+            "day date, v long",
+        )
+        r = gumbel_return_level(one, "v", "month", (12,)).first()
+        assert r["n_blocks"] == 1 and r["mu"] is None and r["rl_12"] is None
+        # constant series across blocks: zero variance
+        flat = spark.createDataFrame(
+            [(dt.date(2024, 1, 1) + dt.timedelta(days=30 * i), 100)
+             for i in range(6)],
+            "day date, v long",
+        )
+        r = gumbel_return_level(flat, "v", "month", (12,)).first()
+        assert r["beta"] is None
+
+    def test_validation(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import (
+            gumbel_return_level,
+        )
+
+        df = spark.createDataFrame(
+            [(dt.date(2024, 1, 1), 1)], "day date, v long"
+        )
+        with pytest.raises(ValueError):
+            gumbel_return_level(df, "v", return_periods=())
+        with pytest.raises(ValueError):
+            gumbel_return_level(df, "v", return_periods=(1,))
