@@ -2717,7 +2717,9 @@ def q_streaming_bootstrap(spark, sf_dir):
             F.round(F.col("sw").cast("double") / F.col("n").cast("double"), 6),
         ).alias("m"),
     )
-    rn = F.row_number().over(W.orderBy("m", "rep"))
+    rn = F.row_number().over(
+        W.orderBy(F.col("m").asc_nulls_last(), "rep")
+    )
     lo_idx = math.ceil(2.5 / 100.0 * n_reps)
     med_idx = math.ceil(0.5 * n_reps)
     hi_idx = math.ceil(97.5 / 100.0 * n_reps)
@@ -5164,7 +5166,8 @@ def _bootstrap_ci_sql(n_reps: int = 64) -> str:
     return (
         "WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, "
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
-        "AS cents FROM orders), "
+        "AS cents FROM orders WHERE o_orderkey IS NOT NULL "
+        "AND o_totalprice IS NOT NULL), "
         f"reps AS (SELECT unnest(generate_series(0, {n_reps - 1})) AS r), "
         # Kirsch-Mitzenmacher double hashing, identical to the Spark
         # side: u_r = (h1 + (r+1)*(2*h2+1)) mod 2^40 mod 1e6
@@ -5220,7 +5223,8 @@ def _events_bootstrap_sql(n_reps: int = 32) -> str:
     return (
         "WITH base AS (SELECT CAST(event_id AS VARCHAR) AS k, "
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
-        "FROM events WHERE value IS NOT NULL), "
+        "FROM events WHERE value IS NOT NULL "
+        "AND event_id IS NOT NULL), "
         f"reps AS (SELECT unnest(generate_series(0, {n_reps - 1})) AS r), "
         "hashed AS (SELECT cents, "
         "CAST(CAST(('0x' || substr(md5(k || '#bootA'), 1, 15)) "
@@ -5321,7 +5325,8 @@ def _grouped_bootstrap_ci_sql(n_reps: int = 64) -> str:
         "WITH base AS (SELECT o_orderpriority AS grp, "
         "CAST(o_orderkey AS VARCHAR) AS k, "
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
-        "AS cents FROM orders), "
+        "AS cents FROM orders WHERE o_orderpriority IS NOT NULL "
+        "AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL), "
         f"reps AS (SELECT unnest(generate_series(0, {n_reps - 1})) AS r), "
         "hashed AS (SELECT grp, cents, "
         "CAST(CAST(('0x' || substr(md5(k || '#bootA'), 1, 15)) "

@@ -249,7 +249,11 @@ class KAnonymity(Constraint):
         if row["n_rows"] == 0:
             return TestResult(True, "No rows; k-anonymity holds vacuously.")
         problems = []
-        if row["at_risk_fraction"] > self.max_at_risk_fraction:
+        # Gate on the EXACT integer counts, not the digest's 6dp-rounded
+        # fraction: 3 at-risk rows among 10M rounds to 0.0 and would slip
+        # past a strict (0.0) gate — the fraction column is for display.
+        exact_fraction = row["n_at_risk_rows"] / row["n_rows"]
+        if exact_fraction > self.max_at_risk_fraction:
             sample = k_anonymity_violations(
                 df, self.quasi_columns, self.min_k, limit=5
             ).collect()
@@ -263,7 +267,7 @@ class KAnonymity(Constraint):
                 f"{row['n_small_groups']} quasi-identifier group(s) of "
                 f"{self.quasi_columns} have fewer than {self.min_k} rows, "
                 f"putting {row['n_at_risk_rows']} of {row['n_rows']} rows "
-                f"({row['at_risk_fraction']}) at re-identification risk "
+                f"({exact_fraction:.3g}) at re-identification risk "
                 f"(allowed fraction {self.max_at_risk_fraction}). "
                 f"Rarest combinations: {sample_str}."
             )

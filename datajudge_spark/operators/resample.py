@@ -122,6 +122,13 @@ def bootstrap_mean_ci(
         raise ValueError("need 0 < p_lo < p_hi < 100")
     from ..pipeline._util import spread
 
+    # NULL keys/values are excluded up front: a NULL key would NULL the
+    # md5 uniform and drop every replicate's CASE ladder to the
+    # otherwise-branch (constant weight MAX_W, zero replicate variance),
+    # and a NULL value inflates the count while vanishing from the sums.
+    df = df.where(
+        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     # R CASE ladders per row is CPU-bound map work: a small single-file
     # scan would serialize it on one core; no-op at real corpus scale
     df = spread(df)
@@ -176,7 +183,15 @@ def bootstrap_mean_ci(
             ),
         ).alias("m"),
     )
-    rn = F.row_number().over(Window.orderBy("m", "rep"))
+    # NULLS LAST: a replicate whose total Poisson weight is 0 (prob
+    # e^-n per replicate — real only for tiny inputs) has NULL mean;
+    # ranking it first would shift boot_lo/median/hi off the defined
+    # replicates.  Last matches the oracle engines' ASC default, and a
+    # NULL can then only surface in boot_hi, where it honestly says
+    # "the upper tail is undefined at this n".
+    rn = F.row_number().over(
+        Window.orderBy(F.col("m").asc_nulls_last(), "rep")
+    )
     lo_idx = math.ceil(p_lo / 100.0 * n_reps)
     med_idx = math.ceil(0.5 * n_reps)
     hi_idx = math.ceil(p_hi / 100.0 * n_reps)
@@ -234,6 +249,14 @@ def grouped_bootstrap_mean_ci(
         raise ValueError("need 0 < p_lo < p_hi < 100")
     from ..pipeline._util import spread
 
+    # same NULL discipline as the ungrouped digest (NULL key -> constant
+    # MAX_W weights; NULL value -> count/sum mismatch); NULL groups are
+    # not a resampling population either
+    df = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
     df = spread(df)
     key = F.col(key_col).cast("string")
     v = F.col(value_col)
@@ -285,8 +308,11 @@ def grouped_bootstrap_mean_ci(
             ),
         ).alias("m"),
     )
+    # NULLS LAST, same rationale as the ungrouped rank rule
     rn = F.row_number().over(
-        Window.partitionBy("grp").orderBy("m", "rep")
+        Window.partitionBy("grp").orderBy(
+            F.col("m").asc_nulls_last(), "rep"
+        )
     )
     lo_idx = math.ceil(p_lo / 100.0 * n_reps)
     med_idx = math.ceil(0.5 * n_reps)

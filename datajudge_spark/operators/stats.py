@@ -1136,8 +1136,11 @@ def _mi_entropy_agg(
     # H(A) = -Σ_cells (o/g)·ln(ra/g) ... computed via the cell weights
     h_a_term = -(o / g) * (F.log(F.col("ra").cast("double")) - F.log(g))
     h_b_term = -(o / g) * (F.log(F.col("cb").cast("double")) - F.log(g))
+    # coalesce: an EMPTY selection aggregates zero cells into one row
+    # where max(g) is NULL — callers' "n == 0 -> vacuous" convention
+    # needs a real 0 there, not None
     return joined.agg(
-        F.max("g").alias("n"),
+        F.coalesce(F.max("g"), F.lit(0)).cast("bigint").alias("n"),
         F.sum(mi_term).alias("mi"),
         F.sum(h_a_term).alias("ha"),
         F.sum(h_b_term).alias("hb"),

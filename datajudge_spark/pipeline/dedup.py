@@ -888,4 +888,12 @@ def winnowing_pairs(
         )
         .distinct()
     )
-    return shared.unionByName(star)
+    # one row per pair: a pair sharing both a counted fingerprint and a
+    # hot one (where d1 is the bucket minimum) appears in BOTH branches;
+    # max() keeps the counted row (max(n, NULL) = n) and leaves the
+    # star-only connectivity rows NULL
+    return (
+        shared.unionByName(star)
+        .groupBy("d1", "d2")
+        .agg(F.max("n_shared").alias("n_shared"))
+    )

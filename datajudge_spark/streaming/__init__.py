@@ -627,6 +627,11 @@ def streaming_bootstrap_sums(
 
     if not 4 <= n_reps <= 4096:
         raise ValueError("n_reps must be between 4 and 4096")
+    # same NULL discipline as the batch operator: a NULL key would
+    # degrade every replicate to the constant MAX_W weight
+    stream_df = stream_df.where(
+        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     key = F.col(key_col).cast("string")
     v = F.col(value_col)
     h1 = md5_long(key, salt=f"{salt}A") % F.lit(_KM_MOD)

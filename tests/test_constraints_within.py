@@ -1110,6 +1110,23 @@ class TestKAnonymity:
         )
         assert outcomes(req, spark) == [True]
 
+    def test_strict_gate_uses_exact_counts(self, spark):
+        # 1 at-risk row among 2,000,001: the digest's 6dp
+        # at_risk_fraction rounds to 0.0, but the strict (0.0) gate
+        # must still fail — it gates on the exact integer counts
+        from pyspark.sql import functions as F
+
+        df = spark.range(2_000_001).select(
+            F.when(F.col("id") == 0, "rare")
+            .otherwise("common")
+            .alias("q")
+        )
+        req = within_req(df, "kanon_scale")
+        req.add_k_anonymity_constraint(["q"], min_k=2)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "1 quasi-identifier group" in results[0].failure_message
+
     def test_validation(self, spark):
         df = self._people(spark)
         req = within_req(df, "kanon_val")
@@ -1214,6 +1231,20 @@ class TestTheilsUMin:
         results = req.test(spark)
         assert [r.outcome for r in results] == [False]
         assert "zero entropy" in results[0].failure_message
+
+    def test_empty_selection_vacuous(self, spark):
+        # empty selection aggregates zero cells: n must coalesce to 0
+        # and take the vacuous-pass branch, not fail with "over None
+        # rows"
+        df = spark.createDataFrame(
+            [("x", "y", 1)], "a string, b string, v long"
+        )
+        req = within_req(df, "theils_empty")
+        req.add_theils_u_min_constraint(
+            "a", "b", min_u=0.9, condition=Condition(raw_string="v > 99")
+        )
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True]
 
     def test_validation(self, spark):
         df = spark.createDataFrame([("a", "b")], "a string, b string")

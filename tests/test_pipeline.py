@@ -1660,6 +1660,31 @@ class TestWinnowing:
         assert {(r["d1"], r["d2"]) for r in got} == {(0, i) for i in range(1, 6)}
         assert all(r["n_shared"] is None for r in got)
 
+    def test_shared_and_hot_pair_emits_one_row(self, spark):
+        from datajudge_spark.pipeline.dedup import winnowing_pairs
+
+        # docs 0 and 1 share passage B (bucket size 2, counted) AND the
+        # hot passage A (bucket size 5 > max_bucket, starred from min id
+        # 0): the pair (0,1) sits in BOTH branches and must come out as
+        # ONE row carrying the count, not a counted row plus a NULL row
+        a = "common boilerplate text that every single document repeats verbatim here"
+        b = "special shared secret passage that only the first two documents contain"
+        rows = [(0, f"{b} {a}"), (1, f"{b} {a}")] + [
+            (i, f"prefix{i} {a}") for i in range(2, 5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = winnowing_pairs(
+            df, "doc_id", "text", 4, 5, max_bucket=3
+        ).collect()
+        by_pair = {}
+        for r in got:
+            key = (r["d1"], r["d2"])
+            assert key not in by_pair, f"duplicate pair row {key}"
+            by_pair[key] = r["n_shared"]
+        assert by_pair[(0, 1)] is not None and by_pair[(0, 1)] >= 1
+        for j in (2, 3, 4):
+            assert by_pair[(0, j)] is None
+
     def test_validation(self, spark):
         from datajudge_spark.pipeline.dedup import winnowing_fingerprints
 

@@ -1670,6 +1670,58 @@ class TestBootstrapCI:
         with pytest.raises(ValueError):
             bootstrap_mean_ci(df, "k", "v", p_lo=0.0)
 
+    def test_null_keys_and_values_excluded(self, spark):
+        # a NULL key NULLs the md5 uniform -> every CASE ladder falls
+        # to the otherwise branch (constant weight 8 in all replicates);
+        # a NULL value inflates the count while dropping from the sums.
+        # Both must be filtered: digest equals the clean-rows digest.
+        from datajudge_spark.operators.resample import bootstrap_mean_ci
+
+        clean = [(str(i), (i * 31) % 100) for i in range(200)]
+        dirty = clean + [(None, 50), ("x1", None), (None, None)]
+        df_clean = spark.createDataFrame(clean, "k string, v long")
+        df_dirty = spark.createDataFrame(dirty, "k string, v long")
+        a = bootstrap_mean_ci(df_clean, "k", "v", n_reps=16).first()
+        b = bootstrap_mean_ci(df_dirty, "k", "v", n_reps=16).first()
+        assert a == b
+        assert b["n_rows"] == 200
+
+    def test_grouped_null_rows_excluded(self, spark):
+        from datajudge_spark.operators.resample import (
+            grouped_bootstrap_mean_ci,
+        )
+
+        clean = [("g", str(i), i % 50) for i in range(100)]
+        dirty = clean + [(None, "k0", 1), ("g", None, 2), ("g", "k1", None)]
+        a = {
+            r["grp"]: r
+            for r in grouped_bootstrap_mean_ci(
+                spark.createDataFrame(clean, "g string, k string, v long"),
+                "g", "k", "v", n_reps=16,
+            ).collect()
+        }
+        b = {
+            r["grp"]: r
+            for r in grouped_bootstrap_mean_ci(
+                spark.createDataFrame(dirty, "g string, k string, v long"),
+                "g", "k", "v", n_reps=16,
+            ).collect()
+        }
+        assert a == b
+
+    def test_zero_weight_replicates_rank_last(self, spark):
+        # with n=1 a replicate's total weight is 0 with prob e^-1: its
+        # mean is NULL and must sort LAST, so boot_lo / boot_median land
+        # on defined replicate means (never NULL-shifted)
+        from datajudge_spark.operators.resample import bootstrap_mean_ci
+
+        df = spark.createDataFrame([("solo", 42)], "k string, v long")
+        row = bootstrap_mean_ci(df, "k", "v", n_reps=64).first()
+        # every defined replicate mean of a single 42-valued row is 42
+        assert row["boot_lo"] == 42.0
+        assert row["boot_median"] == 42.0
+        assert row["point_mean"] == 42.0
+
 
 class TestCategoricalAssociation:
     def test_theils_u_direction(self, spark):
