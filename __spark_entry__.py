@@ -4828,78 +4828,87 @@ def q_js_divergence(spark, sf_dir):
 
 
 #: ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys
-#: of queries() only (verified rounds 1-5).  Round-6 window = the 11
-#: round-6 additions + 39 sentinels whose last driver row is ROUND 2
-#: (the oldest cohort — ROUNDLOG round-5 bookkeeping).  The 9 remaining
-#: r2-cohort queries (ann_topk_ivf, broadcast_join_agg, dedup_jaccard,
-#: decontaminate_ngram, embedding_similar_pairs, interval_overlap,
-#: null_fraction, regex_violations, sample_stratified) rotate in round 7.
-#: Every entry stays green in the local replica of the driver gate
-#: (tests/test_entry_oracle.py, run at sf0.001 AND sf0.01), which has
-#: predicted the driver verdict exactly every round.
-_R6_WINDOW = [
-    # -- 11 round-6 additions (never driver-checked) --
-    "q20_volume_suppliers",
-    "streaming_cusum",
-    "ivf_neardup_pairs",
-    "ivf_neardup_recall",
-    "pareto_frontier",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    "q13_customer_order_counts",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    # -- 39 r2-cohort sentinels (oldest driver rows; includes
-    #    `percentile`, whose operator was touched this round) --
-    "row_count",
-    "row_count_capped",
-    "filtered_count",
-    "min_max",
-    "mean",
-    "length_extremes",
-    "fraction_between",
-    "date_span",
-    "percentile",
-    "distinct_count",
-    "distinct_union_count",
-    "duplicates",
-    "uniques_histogram",
-    "array_agg",
-    "intersect",
-    "except_distinct",
-    "anti_join",
-    "row_match_mismatch",
-    "functional_dependency",
-    "interval_gap",
-    "cross_cdf",
-    "ks_statistic",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_embedding_neardup",
-    "ann_topk_bruteforce",
-    "text_token_count",
-    "text_stopword_ratio",
-    "text_quality",
-    "text_language_id",
-    "text_bpe_token_count",
-    "text_rolling_hash",
-    "text_repetition",
-    "doc_fingerprint",
-    "ngram_topk",
-    "chunk_documents",
-    "stratum_percentile_trim",
+#: of queries() only.  The window below is the single source of truth —
+#: queries() reorders itself from it, so this list IS the gate.
+#: Round-7 window = the 37 mandatory slots from ROUNDLOG's round-6
+#: bookkeeping (9 deferred r2-cohort sentinels + every query that has
+#: never had a driver row: the 10 post-rotation and 8 third-session
+#: round-6 additions, the 5 post-close additions, q10_returned_items'
+#: first non-vacuous row, and the refactor re-rows winsorized_mean /
+#: mutual_information / chi_squared) + 13 r3-cohort sentinels
+#: (incl. mixture_weights, the one >1.3x bench regression to watch).
+#: After this round every query's latest driver row is r3+ and rotation
+#: becomes free-choice regression signal.  Every entry stays green in
+#: the local replica of the driver gate (tests/test_entry_oracle.py,
+#: run at sf0.001 AND sf0.01), which has predicted the driver verdict
+#: exactly every round.
+_R7_WINDOW = [
+    # -- 9 r2-cohort sentinels deferred from round 6 --
+    "ann_topk_ivf",
+    "broadcast_join_agg",
+    "dedup_jaccard",
+    "decontaminate_ngram",
+    "embedding_similar_pairs",
+    "interval_overlap",
+    "null_fraction",
+    "regex_violations",
+    "sample_stratified",
+    # -- 10 post-rotation round-6 additions (never driver-checked) --
+    "weighted_sample",
+    "grouped_heavy_hitters",
+    "density_core_points",
+    "streaming_psi_buckets",
+    "vocab_stats",
+    "q8_market_share",
+    "bm25_topk",
+    "grouped_ols_trend",
+    "hybrid_rrf_topk",
+    "streaming_zscore",
+    # -- 8 third-session round-6 additions (never driver-checked) --
+    "acf_daily",
+    "k_anonymity",
+    "bootstrap_ci_mean",
+    "streaming_left_join",
+    "theils_u",
+    "cramers_v",
+    "graph_assortativity",
+    "mahalanobis_outliers",
+    # -- 5 round-6 post-close additions (never driver-checked) --
+    "isotonic_calibration",
+    "grouped_bootstrap_ci",
+    "winnowing_pairs",
+    "streaming_bootstrap",
+    "partial_correlation",
+    # 6th post-close addition
+    "gumbel_return_level",
+    # -- first real row (prior rows compared an EMPTY 1993Q4 window;
+    #    now 1995Q4) and the three refactored-operator re-rows --
+    "q10_returned_items",
+    "winsorized_mean",
+    "mutual_information",
+    "chi_squared",
+    # -- 13 r3-cohort sentinels (oldest remaining driver rows) --
+    "mixture_weights",
+    "approx_percentile_check",
+    "asof_join_forward",
+    "categorical_entropy",
+    "cohort_retention",
+    "corr_matrix",
+    "cube_agg",
+    "date_growth_rate",
+    "dedup_editdistance",
+    "embedding_norm_stats",
+    "embedding_quantize",
+    "funnel_conversion",
+    "gap_fill_daily",
 ]
+assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
-        # ---- ROUND-5 WINDOW (first 50 keys = the driver's gate) ----
-        # 17 never-driver-checked (grouped_median deferred from r4 +
-        # the 16 round-4 tail additions) -- the last queries without
-        # a driver row; green here closes the correctness-process gap.
+        # Registration order is arbitrary: queries() reorders from
+        # _R7_WINDOW (above), the driver gate's single source of truth.
         "grouped_median": q_grouped_median,
         "grouped_ks": q_grouped_ks,
         "theil_sen_slope": q_theil_sen,
@@ -5125,9 +5134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_correlation": q_partial_correlation,
         "gumbel_return_level": q_gumbel_return_level,
     }
-    missing = [k for k in _R6_WINDOW if k not in base]
+    missing = [k for k in _R7_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
-    ordered = {k: base[k] for k in _R6_WINDOW}
+    ordered = {k: base[k] for k in _R7_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
