@@ -341,32 +341,32 @@ def q_regex_violations(spark, sf_dir):
     )
 
 
-def _cdf(df, col, label):
-    hist = df.groupBy(F.col(col).alias("val")).agg(F.count(F.lit(1)).alias("c"))
-    w_cum = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.orderBy("val").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return hist.select(
-        "val", (F.sum("c").over(w_cum) / F.sum("c").over(w_all)).alias(label)
-    )
-
-
 def q_cross_cdf(spark, sf_dir):
-    # cross-CDF with last(ignorenulls) forward fill (SURVEY §4.2)
+    # cross-CDF through the PACKAGE operator: the union histogram's
+    # global cumulatives come from the equi-depth bucketed construction
+    # (operators/stats._bucketed_global_cums — sketch-assigned buckets,
+    # bounded per-bucket windows, offset shift), so no stage depends on
+    # |distinct values| landing in one partition even on a continuous
+    # column. The cumulative over the carried zero counts IS the
+    # reference's forward fill (db_access.py:1194-1280).
+    from datajudge_spark.operators.stats import get_cross_cdf
+    from datajudge_spark.reference import DataReference
+    from datajudge_spark.sources import ExpressionDataSource
+
     li = _t(spark, sf_dir, "lineitem")
-    c1 = _cdf(li.where(F.col("l_returnflag") == "A"), "l_quantity", "cdf1")
-    c2 = _cdf(li.where(F.col("l_returnflag") == "R"), "l_quantity", "cdf2")
-    joined = c1.join(c2, on="val", how="full_outer")
-    w_ff = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
-    return joined.select(
+    ref1 = DataReference(
+        ExpressionDataSource(li.where(F.col("l_returnflag") == "A"), "li_a"),
+        ["l_quantity"],
+    )
+    ref2 = DataReference(
+        ExpressionDataSource(li.where(F.col("l_returnflag") == "R"), "li_r"),
+        ["l_quantity"],
+    )
+    filled, c1, c2 = get_cross_cdf(spark, ref1, ref2)
+    return filled.select(
         "val",
-        F.round(
-            F.coalesce(F.last("cdf1", ignorenulls=True).over(w_ff), F.lit(0.0)), 6
-        ).alias("cdf1"),
-        F.round(
-            F.coalesce(F.last("cdf2", ignorenulls=True).over(w_ff), F.lit(0.0)), 6
-        ).alias("cdf2"),
+        F.round(F.col(c1), 6).alias("cdf1"),
+        F.round(F.col(c2), 6).alias("cdf2"),
     )
 
 

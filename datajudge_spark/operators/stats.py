@@ -24,28 +24,6 @@ from ..reference import DataReference
 _Plans = list[DataFrame]
 
 
-def _cdf_df(
-    spark: SparkSession, ref: DataReference, cdf_label: str, value_label: str
-) -> DataFrame:
-    """Empirical CDF over the ref's column, one row per distinct value
-    (reference _cdf_selection, db_access.py:1164-1191)."""
-    col = ref.get_column(spark)
-    selection = ref.get_selection(spark)
-    hist = selection.groupBy(F.col(col).alias(value_label)).agg(
-        F.count(F.lit(1)).alias("__dj_cnt")
-    )
-    w_cum = Window.orderBy(value_label).rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.orderBy(value_label).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return hist.select(
-        value_label,
-        (F.sum("__dj_cnt").over(w_cum) / F.sum("__dj_cnt").over(w_all)).alias(
-            cdf_label
-        ),
-    )
-
-
 def get_cross_cdf(
     spark: SparkSession,
     ref1: DataReference,
@@ -65,46 +43,81 @@ def get_cross_cdf(
     join + forward-fill needs ordered windows over ALL distinct values —
     a single-partition sort once the column is near-unique (continuous
     domains). Instead both samples union into ONE (value, n1, n2)
-    histogram, which is ``repartitionByRange``-partitioned (a parallel,
-    sampling-based range sort). Within each range partition a bounded
-    window computes local cumulative counts; per-partition totals (one
-    tiny collect, |shuffle partitions| rows) give each partition its
-    starting offset, broadcast-joined back on partition id. The
-    forward-fill disappears entirely: every union value carries both
-    sides' counts, and a cumulative sum over zeros IS the forward fill.
-    ``(off + local cum)/N`` equals the global ``cum/N`` exactly (integer
-    math in doubles, well under 2^53), so results are bit-identical to
-    the windowed construction.
+    histogram and the global cumulatives come from
+    :func:`_bucketed_global_cums` — the same equi-depth-bucketed
+    construction every rank/percentile operator in this module uses: a
+    percentile sketch assigns each distinct value a bucket (a pure
+    column expression), a bounded per-bucket window computes local
+    cumulative counts, and per-bucket offsets (one tiny collect) shift
+    them to global. The forward-fill disappears entirely: every union
+    value carries both sides' counts, and a cumulative sum over zeros
+    IS the forward fill. ``cum/N`` equals the windowed ``cum/N``
+    exactly (integer math in doubles, well under 2^53), so results are
+    bit-identical to the windowed construction.
 
-    The ranged histogram is persisted (MEMORY_AND_DISK, recomputable
-    lineage) because ``spark_partition_id`` must mean the same thing in
-    the offset-collect action and in the consumer's action.
+    Non-numeric orderable columns (no percentile sketch available) take
+    a ``repartitionByRange`` variant of the same offset construction —
+    one extra sampling scan, still no global window.
     """
     cdf_label1, cdf_label2 = cdf_label + "1", cdf_label + "2"
     col1, col2 = ref1.get_column(spark), ref2.get_column(spark)
     tagged = (
         ref1.get_selection(spark)
         .select(
-            F.col(col1).alias(value_label),
+            F.col(col1).alias("v"),
             F.lit(1).alias("__dj_n1"),
             F.lit(0).alias("__dj_n2"),
         )
-        .where(F.col(value_label).isNotNull())
+        .where(F.col("v").isNotNull())
         .unionAll(
             ref2.get_selection(spark)
             .select(
-                F.col(col2).alias(value_label),
+                F.col(col2).alias("v"),
                 F.lit(0).alias("__dj_n1"),
                 F.lit(1).alias("__dj_n2"),
             )
-            .where(F.col(value_label).isNotNull())
+            .where(F.col("v").isNotNull())
         )
     )
-    hist = tagged.groupBy(value_label).agg(
+    hist = tagged.groupBy("v").agg(
         F.sum("__dj_n1").alias("__dj_n1"), F.sum("__dj_n2").alias("__dj_n2")
     )
+    dtype = dict(hist.dtypes)["v"]
+    numeric = dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+        "timestamp",
+    ) or dtype.startswith("decimal")
+    if numeric:
+        from ..pipeline._util import materialize_once
+
+        # persisted at the caller so the totals action and the helper's
+        # three consumers (sketch probe, offsets, windowed cums) all
+        # read the same cached blocks
+        hist = materialize_once(hist)
+        tot = hist.agg(
+            F.sum("__dj_n1").alias("t1"), F.sum("__dj_n2").alias("t2")
+        ).first()
+        total1 = int(tot["t1"] or 0)
+        total2 = int(tot["t2"] or 0)
+        if total1 == 0 and total2 == 0:
+            empty = hist.select(
+                F.col("v").alias(value_label),
+                F.lit(0.0).alias(cdf_label1),
+                F.lit(0.0).alias(cdf_label2),
+            )
+            return empty, cdf_label1, cdf_label2
+        cums = _bucketed_global_cums(hist, ["__dj_n1", "__dj_n2"])
+        filled = cums.select(
+            F.col("v").alias(value_label),
+            (F.col("cum___dj_n1") / F.lit(total1 or 1)).alias(cdf_label1),
+            (F.col("cum___dj_n2") / F.lit(total2 or 1)).alias(cdf_label2),
+        )
+        return filled, cdf_label1, cdf_label2
+    # non-numeric orderable fallback: repartitionByRange (a parallel,
+    # sampling-based range sort) + per-partition offsets — the window
+    # only ever sees one range partition
     ranged = (
-        hist.repartitionByRange(value_label)
+        hist.repartitionByRange("v")
         .withColumn("__dj_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -126,11 +139,11 @@ def get_cross_cdf(
     )
     w = (
         Window.partitionBy("__dj_pid")
-        .orderBy(value_label)
+        .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = ranged.join(F.broadcast(off_df), "__dj_pid").select(
-        value_label,
+        F.col("v").alias(value_label),
         (
             (F.sum("__dj_n1").over(w) + F.col("__dj_off1")) / F.lit(total1 or 1)
         ).alias(cdf_label1),
