@@ -1,0 +1,296 @@
+"""Seeded property-based differential fuzzing vs the DuckDB oracle.
+
+The reference's identity/negation corpus is hand-picked (reference
+tests/integration/test_integration.py:35-40); this layer generates random
+(column, condition, percentile/fraction params, null mixes) over the
+SURVEY §2 scalar and set-operation families and asserts VALUE agreement
+between the package operators (Spark) and plain ANSI SQL (DuckDB) on the
+same rows.  It exists to catch the tie/null/rounding edges fixtures miss
+— the round-6 HALF-tie lesson was found by luck, not search.
+
+Determinism notes baked into the generator:
+- doubles are drawn from a 1/64 grid with bounded magnitude, so every
+  partial sum is exactly representable and aggregation order cannot
+  change a result in either engine;
+- strings include multibyte codepoints (both engines compare by raw
+  UTF-8 bytes);
+- every percentile comparison uses the repo's single canonical form
+  ``cum * 100 >= percentage * total`` on both sides.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from datajudge_spark.condition import Condition
+from datajudge_spark.operators import (
+    get_fraction_between,
+    get_max,
+    get_max_length,
+    get_mean,
+    get_min,
+    get_min_length,
+    get_missing_fraction,
+    get_percentile,
+    get_row_count,
+    get_row_difference_count,
+    get_unique_count,
+    get_unique_count_union,
+)
+from datajudge_spark.operators.rows import duplicates
+from datajudge_spark.operators.scalars import exact_percentile_df
+from datajudge_spark.reference import DataReference
+from datajudge_spark.sources import ExpressionDataSource
+
+SEED = 20260815
+N_TABLES = 6
+N_CASES = 240
+
+_WORDS = ["alpha", "beta", "gamma", "héllo", "日本語", "zz", "a", ""]
+_EPOCH = dt.date(2019, 1, 1)
+
+
+def _gen_table(rng: random.Random):
+    n = rng.randint(40, 260)
+    null_p = rng.choice([0.0, 0.05, 0.2, 0.5])
+    rows = []
+    for _ in range(n):
+        i = None if rng.random() < null_p else rng.randint(-50, 50)
+        # exact double grid: k/64 with |x| <= 32 — order-independent sums
+        x = None if rng.random() < null_p else rng.randint(-2048, 2048) / 64
+        s = (
+            None
+            if rng.random() < null_p
+            else rng.choice(_WORDS) + rng.choice(["", str(rng.randint(0, 9))])
+        )
+        d = (
+            None
+            if rng.random() < null_p
+            else _EPOCH + dt.timedelta(days=rng.randint(0, 1500))
+        )
+        g = rng.choice(["a", "b", "c", None])
+        rows.append((i, x, s, d, g))
+    return rows
+
+
+_MASTER = random.Random(SEED)
+_TABLES = {f"ft{t}": _gen_table(_MASTER) for t in range(N_TABLES)}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name, rows in _TABLES.items():
+        tbl = pa.table(
+            {
+                "i": pa.array([r[0] for r in rows], pa.int64()),
+                "x": pa.array([r[1] for r in rows], pa.float64()),
+                "s": pa.array([r[2] for r in rows], pa.string()),
+                "d": pa.array([r[3] for r in rows], pa.date32()),
+                "g": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+        con.register(f"arrow_{name}", tbl)
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM arrow_{name}")
+    return con
+
+
+@pytest.fixture(scope="module")
+def sdfs(spark):
+    schema = "i bigint, x double, s string, d date, g string"
+    return {
+        name: spark.createDataFrame(rows, schema).coalesce(2)
+        for name, rows in _TABLES.items()
+    }
+
+
+def _rand_condition(rng: random.Random):
+    """A random predicate valid verbatim in Spark SQL and DuckDB."""
+    atoms = [
+        f"i {rng.choice(['>', '<=', '=', '>='])} {rng.randint(-40, 40)}",
+        f"x {rng.choice(['>', '<='])} {rng.randint(-1024, 1024) / 64}",
+        f"g {rng.choice(['=', '!='])} '{rng.choice(['a', 'b', 'c'])}'",
+        f"s IS {rng.choice(['NOT NULL', 'NULL'])}",
+        (
+            f"d {rng.choice(['>=', '<'])} DATE "
+            f"'2020-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}'"
+        ),
+    ]
+    picks = rng.sample(atoms, k=rng.randint(1, 2))
+    return f" {rng.choice(['AND', 'OR'])} ".join(picks)
+
+
+def _ref(sdfs, name, columns=None, cond_sql=None):
+    cond = Condition(raw_string=cond_sql) if cond_sql else None
+    return DataReference(
+        ExpressionDataSource(sdfs[name], name), columns, cond
+    )
+
+
+_FAMILIES = [
+    "row_count",
+    "min_max",
+    "mean",
+    "length_extremes",
+    "fraction_between",
+    "missing_fraction",
+    "percentile",
+    "distinct_count",
+    "union_count",
+    "except_count",
+    "duplicates",
+]
+
+
+def _case_params(case_idx: int):
+    """Deterministically derive one fuzz case from its index."""
+    rng = random.Random(SEED * 100_003 + case_idx)
+    family = _FAMILIES[case_idx % len(_FAMILIES)]
+    t1 = f"ft{rng.randrange(N_TABLES)}"
+    t2 = f"ft{rng.randrange(N_TABLES)}"
+    return rng, family, t1, t2
+
+
+@pytest.mark.parametrize(
+    "case_idx",
+    range(N_CASES),
+    ids=[f"{i:03d}_{_FAMILIES[i % len(_FAMILIES)]}" for i in range(N_CASES)],
+)
+def test_fuzz_case(spark, duck, sdfs, case_idx):
+    rng, family, t1, t2 = _case_params(case_idx)
+    cond = _rand_condition(rng) if rng.random() < 0.7 else None
+    where = f" WHERE {cond}" if cond else ""
+
+    if family == "row_count":
+        got, _ = get_row_count(spark, _ref(sdfs, t1, None, cond))
+        exp = duck.execute(f"SELECT count(*) FROM {t1}{where}").fetchone()[0]
+        assert got == exp
+
+    elif family == "min_max":
+        col = rng.choice(["i", "x", "d", "s"])
+        fn, agg = rng.choice([(get_min, "min"), (get_max, "max")])
+        got, _ = fn(spark, _ref(sdfs, t1, [col], cond))
+        exp = duck.execute(
+            f"SELECT {agg}({col}) FROM {t1}{where}"
+        ).fetchone()[0]
+        assert got == exp
+
+    elif family == "mean":
+        col = rng.choice(["i", "x"])
+        got, _ = get_mean(spark, _ref(sdfs, t1, [col], cond))
+        exp = duck.execute(
+            f"SELECT avg({col}) FROM {t1}{where}"
+        ).fetchone()[0]
+        if exp is None or got is None:
+            assert got == exp
+        else:
+            assert math.isclose(got, exp, rel_tol=1e-12, abs_tol=1e-12)
+
+    elif family == "length_extremes":
+        fn, agg = rng.choice(
+            [(get_min_length, "min"), (get_max_length, "max")]
+        )
+        got, _ = fn(spark, _ref(sdfs, t1, ["s"], cond))
+        exp = duck.execute(
+            f"SELECT {agg}(length(s)) FROM {t1}{where}"
+        ).fetchone()[0]
+        assert got == exp
+
+    elif family == "fraction_between":
+        col = rng.choice(["i", "x"])
+        lo = rng.randint(-1536, 512) / 64
+        hi = lo + rng.randint(1, 2048) / 64
+        got, _ = get_fraction_between(
+            spark, _ref(sdfs, t1, [col], cond), lo, hi
+        )
+        n_all, n_in = duck.execute(
+            f"SELECT count(*), count(CASE WHEN {col} >= {lo} AND "
+            f"{col} <= {hi} THEN 1 END) FROM {t1}{where}"
+        ).fetchone()
+        exp = (n_in / n_all) if n_all else None
+        assert got == exp
+
+    elif family == "missing_fraction":
+        col = rng.choice(["i", "x", "s", "d", "g"])
+        got, _ = get_missing_fraction(spark, _ref(sdfs, t1, [col], cond))
+        n_all, n_null = duck.execute(
+            f"SELECT count(*), count(CASE WHEN {col} IS NULL THEN 1 END) "
+            f"FROM {t1}{where}"
+        ).fetchone()
+        exp = (n_null / n_all) if n_all else 0
+        assert got == exp
+
+    elif family == "percentile":
+        # no condition: the operator raises on an empty selection and
+        # null mixes already come from the table generator
+        col = rng.choice(["i", "x", "s", "d"])
+        p = rng.choice(
+            [0.5, 10.0, 25.0, 50.0, 75.0, 90.0, 99.5, 100.0]
+            + [rng.uniform(0.1, 99.9)]
+        )
+        exp = duck.execute(
+            f"WITH nn AS (SELECT {col} AS v FROM {t1} "
+            f"WHERE {col} IS NOT NULL), "
+            "h AS (SELECT v, count(*) AS c FROM nn GROUP BY v), "
+            "cc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, "
+            "sum(c) OVER () AS total FROM h) "
+            f"SELECT min(v) FROM cc WHERE cum * 100 >= {p!r} * total"
+        ).fetchone()[0]
+        if col in ("i", "x"):
+            got, _ = get_percentile(spark, _ref(sdfs, t1, [col]), p)
+            assert got == pytest.approx(float(exp), abs=0)
+        else:
+            got = exact_percentile_df(sdfs[t1], col, p).first()["value"]
+            assert got == exp
+
+    elif family == "distinct_count":
+        cols = rng.sample(["i", "x", "s", "d", "g"], k=rng.randint(1, 2))
+        got, _ = get_unique_count(spark, _ref(sdfs, t1, cols, cond))
+        exp = duck.execute(
+            f"SELECT count(*) FROM (SELECT DISTINCT {', '.join(cols)} "
+            f"FROM {t1}{where})"
+        ).fetchone()[0]
+        assert got == exp
+
+    elif family == "union_count":
+        col = rng.choice(["i", "x", "s", "g"])
+        got, _ = get_unique_count_union(
+            spark, _ref(sdfs, t1, [col], cond), _ref(sdfs, t2, [col], cond)
+        )
+        exp = duck.execute(
+            f"SELECT count(*) FROM (SELECT {col} FROM {t1}{where} "
+            f"UNION SELECT {col} FROM {t2}{where})"
+        ).fetchone()[0]
+        assert got == exp
+
+    elif family == "except_count":
+        cols = rng.sample(["i", "g"], k=rng.randint(1, 2))
+        sel = ", ".join(cols)
+        got, _ = get_row_difference_count(
+            spark, _ref(sdfs, t1, cols, cond), _ref(sdfs, t2, cols, cond)
+        )
+        exp = duck.execute(
+            f"SELECT count(*) FROM (SELECT {sel} FROM {t1}{where} "
+            f"EXCEPT SELECT {sel} FROM {t2}{where})"
+        ).fetchone()[0]
+        assert got == exp
+
+    elif family == "duplicates":
+        cols = rng.sample(["i", "x", "g"], k=rng.randint(1, 2))
+        sel = ", ".join(cols)
+        ref = _ref(sdfs, t1, cols, cond)
+        got = duplicates(ref.get_selection(spark)).count()
+        exp = duck.execute(
+            f"SELECT count(*) FROM (SELECT {sel} FROM {t1}{where} "
+            f"GROUP BY {sel} HAVING count(*) > 1)"
+        ).fetchone()[0]
+        assert got == exp
+
+    else:  # pragma: no cover
+        raise AssertionError(family)
