@@ -2865,6 +2865,46 @@ def q_acf_daily(spark, sf_dir):
     return autocorrelation(daily, "cents", max_lag=14)
 
 
+def _grouped_daily_cents(spark, sf_dir):
+    # one row per (priority, day): the grouped daily frame feeding the
+    # per-group EVT / ACF digests (same contract as grouped_theil_sen)
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    return o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(cents).alias("cents"))
+
+
+def q_grouped_return_level(spark, sf_dir):
+    # per-priority Gumbel block-maxima fit: real pipelines gate tail
+    # risk per source/shard, not globally. Same plan as the global
+    # digest with one more grouping key — block maxima stay exact
+    # integers, sufficient statistics DECIMAL(38,0), fit doubles
+    # unrounded (bit-identical cross-engine; rounding CREATES ties).
+    from datajudge_spark.operators.timeseries import gumbel_return_level
+
+    daily = _grouped_daily_cents(spark, sf_dir)
+    return gumbel_return_level(
+        daily, "cents", block="month", return_periods=(12, 60),
+        group_col="grp",
+    )
+
+
+def q_grouped_acf(spark, sf_dir):
+    # per-priority autocorrelation + Ljung-Box at calendar lags 1..7:
+    # "does THIS source's daily series carry structure the drift
+    # monitors must model?" — the grouped form of acf_daily. Pair join
+    # keys by (group, day+lag); the Ljung-Box fold partitions by group
+    # over <= 7-row frames.
+    from datajudge_spark.operators.timeseries import autocorrelation
+
+    daily = _grouped_daily_cents(spark, sf_dir)
+    return autocorrelation(daily, "cents", max_lag=7, group_col="grp")
+
+
 def q_trend_slope(spark, sf_dir):
     # least-squares slope of daily revenue per order priority, in
     # cents/day. All five sufficient statistics are exact DECIMAL(38,0)
@@ -4835,8 +4875,9 @@ def q_js_divergence(spark, sf_dir):
 #: never had a driver row: the 10 post-rotation and 8 third-session
 #: round-6 additions, the 5 post-close additions, q10_returned_items'
 #: first non-vacuous row, and the refactor re-rows winsorized_mean /
-#: mutual_information / chi_squared) + 13 r3-cohort sentinels
-#: (incl. mixture_weights, the one >1.3x bench regression to watch).
+#: mutual_information / chi_squared) + round-7 additions + r3-cohort
+#: sentinels (incl. mixture_weights, the one >1.3x bench regression to
+#: watch).
 #: After this round every query's latest driver row is r3+ and rotation
 #: becomes free-choice regression signal.  Every entry stays green in
 #: the local replica of the driver gate (tests/test_entry_oracle.py,
@@ -4887,7 +4928,10 @@ _R7_WINDOW = [
     "winsorized_mean",
     "mutual_information",
     "chi_squared",
-    # -- 13 r3-cohort sentinels (oldest remaining driver rows) --
+    # -- round-7 additions (grouped EVT / ACF gates) --
+    "grouped_return_level",
+    "grouped_acf",
+    # -- 11 r3-cohort sentinels (oldest remaining driver rows) --
     "mixture_weights",
     "approx_percentile_check",
     "asof_join_forward",
@@ -4899,8 +4943,6 @@ _R7_WINDOW = [
     "dedup_editdistance",
     "embedding_norm_stats",
     "embedding_quantize",
-    "funnel_conversion",
-    "gap_fill_daily",
 ]
 assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
 
@@ -5133,6 +5175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bootstrap": q_streaming_bootstrap,
         "partial_correlation": q_partial_correlation,
         "gumbel_return_level": q_gumbel_return_level,
+        # round-7 additions
+        "grouped_return_level": q_grouped_return_level,
+        "grouped_acf": q_grouped_acf,
     }
     missing = [k for k in _R7_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -5306,6 +5351,48 @@ def _gumbel_sql(return_periods=(12, 60)) -> str:
         "g2 AS (SELECT n_blocks, max_observed, ok, "
         f"mean - {repr(EULER_GAMMA)} * beta AS mu, beta FROM g) "
         "SELECT n_blocks, max_observed, "
+        "CASE WHEN ok THEN mu END AS mu, "
+        "CASE WHEN ok THEN beta END AS beta, "
+        f"{rl_cols} FROM g2"
+    )
+
+
+def _grouped_gumbel_sql(return_periods=(12, 60)) -> str:
+    """DuckDB mirror of q_grouped_return_level — ``_gumbel_sql`` with
+    every aggregate keyed by o_orderpriority."""
+    import math
+
+    from datajudge_spark.operators.timeseries import EULER_GAMMA
+
+    sqrt6 = repr(math.sqrt(6.0))
+    pi = repr(math.pi)
+    rl_cols = ", ".join(
+        "CASE WHEN ok THEN mu - beta * "
+        f"({repr(math.log(-math.log(1.0 - 1.0 / t)))}) END AS rl_{t}"
+        for t in return_periods
+    )
+    return (
+        "WITH daily AS (SELECT o_orderpriority AS grp, "
+        "CAST(o_orderdate AS DATE) AS day, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) "
+        "AS cents FROM orders GROUP BY 1, 2), "
+        "blocks AS (SELECT grp, date_trunc('month', day) AS b, "
+        "max(cents) AS m FROM daily GROUP BY 1, 2), "
+        "suff AS (SELECT grp, CAST(count(*) AS DECIMAL(38,0)) AS n, "
+        "sum(CAST(m AS DECIMAL(38,0))) AS s, "
+        "sum(CAST(CAST(m AS DECIMAL(19,0)) * m AS DECIMAL(38,0))) AS ss, "
+        "CAST(max(m) AS BIGINT) AS max_observed FROM blocks GROUP BY 1), "
+        "fit AS (SELECT grp, CAST(n AS BIGINT) AS n_blocks, max_observed, "
+        "n >= 2 AND CAST(n * ss - s * s AS DOUBLE) > 0 AS ok, "
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+        "sqrt(CAST(n * ss - s * s AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd "
+        "FROM suff), "
+        "g AS (SELECT grp, n_blocks, max_observed, ok, mean, "
+        f"sd * {sqrt6} / {pi} AS beta FROM fit), "
+        "g2 AS (SELECT grp, n_blocks, max_observed, ok, "
+        f"mean - {repr(EULER_GAMMA)} * beta AS mu, beta FROM g) "
+        "SELECT grp, n_blocks, max_observed, "
         "CASE WHEN ok THEN mu END AS mu, "
         "CASE WHEN ok THEN beta END AS beta, "
         f"{rl_cols} FROM g2"
@@ -7440,6 +7527,48 @@ def oracle_sql() -> dict[str, str]:
         "grouped_bootstrap_ci": _grouped_bootstrap_ci_sql(64),
         "streaming_bootstrap": _events_bootstrap_sql(32),
         "gumbel_return_level": _gumbel_sql((12, 60)),
+        "grouped_return_level": _grouped_gumbel_sql((12, 60)),
+        "grouped_acf": (
+            # the acf_daily oracle with every aggregate, pair join and
+            # window keyed by o_orderpriority; lags 1..7
+            "WITH daily AS (SELECT o_orderpriority AS grp, "
+            "CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+            "AS BIGINT) AS cents FROM orders GROUP BY 1, 2), "
+            "t AS (SELECT grp, CAST(count(*) AS DOUBLE) AS nd "
+            "FROM daily GROUP BY 1), "
+            "lags AS (SELECT unnest(generate_series(1, 7)) AS lag), "
+            "suff AS (SELECT a.grp, l.lag, count(*) AS n_pairs, "
+            "sum(CAST(a.cents AS DECIMAL(38,0))) AS sx, "
+            "sum(CAST(b.cents AS DECIMAL(38,0))) AS sy, "
+            "sum(CAST(CAST(a.cents AS DECIMAL(19,0)) * b.cents "
+            "AS DECIMAL(38,0))) AS sxy, "
+            "sum(CAST(CAST(a.cents AS DECIMAL(19,0)) * a.cents "
+            "AS DECIMAL(38,0))) AS sxx, "
+            "sum(CAST(CAST(b.cents AS DECIMAL(19,0)) * b.cents "
+            "AS DECIMAL(38,0))) AS syy "
+            "FROM daily a CROSS JOIN lags l "
+            "JOIN daily b ON b.grp = a.grp "
+            "AND b.day = a.day + CAST(l.lag AS INTEGER) "
+            "GROUP BY 1, 2), "
+            "scored AS (SELECT grp, lag, n_pairs, "
+            "CASE WHEN CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx - "
+            "sx * sx AS DOUBLE) > 0 AND "
+            "CAST(CAST(n_pairs AS DECIMAL(38,0)) * syy - "
+            "sy * sy AS DOUBLE) > 0 THEN "
+            "round(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxy - "
+            "sx * sy AS DOUBLE) / "
+            "(sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx - "
+            "sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * syy - "
+            "sy * sy AS DOUBLE))), 6) END AS acf FROM suff) "
+            "SELECT s.grp, lag, n_pairs, acf, "
+            "round(nd * (nd + 2.0) * "
+            "sum(coalesce(acf * acf / n_pairs, 0.0)) "
+            "OVER (PARTITION BY s.grp ORDER BY lag ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ljung_box_q "
+            "FROM scored s JOIN t ON s.grp = t.grp ORDER BY s.grp, lag"
+        ),
         "k_anonymity": (
             "WITH g AS (SELECT c_nationkey, c_mktsegment, "
             "count(*) AS n, count(DISTINCT c_acctbal) AS d "

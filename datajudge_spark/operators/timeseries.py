@@ -758,6 +758,7 @@ def autocorrelation(
     daily: DataFrame,
     value_col: str = "total",
     max_lag: int = 14,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Autocorrelation function of a daily integer series at calendar
     lags ``1..max_lag``, plus the Ljung-Box portmanteau statistic.
@@ -790,14 +791,25 @@ def autocorrelation(
     broadcasts the lag side.  The expensive part (the daily aggregate
     upstream) stays fully parallel.
 
+    With ``group_col`` the digest is computed PER GROUP over a
+    one-row-per-(group, day) frame (same contract as
+    :func:`grouped_theil_sen`): the pair join adds the group key, the
+    sufficient statistics aggregate by (group, lag), and the Ljung-Box
+    cumulative window partitions by group — every frame stays bounded
+    by ``max_lag`` rows per group, so per-source/shard gating costs the
+    same plan shape as the global digest.
+
     Extension — no reference counterpart; peers ``seasonality_strength``
     (which detects the weekly component this quantifies per-lag).
     """
     if max_lag < 1:
         raise ValueError("max_lag must be a positive number of days")
+    gcols = [group_col] if group_col else []
     daily = daily.where(
         F.col("day").isNotNull() & F.col(value_col).isNotNull()
     )
+    if group_col:
+        daily = daily.where(F.col(group_col).isNotNull())
     spark = daily.sparkSession
     lags = spark.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")
@@ -808,14 +820,17 @@ def autocorrelation(
     # (lag, day+lag, x) — every observation offered at every lag; the
     # join back to the daily frame keeps only pairs whose far end exists
     offered = daily.crossJoin(F.broadcast(lags)).select(
+        *gcols,
         "lag",
         F.date_add(F.col("day"), F.col("lag")).alias("__d2"),
         v.alias("__x"),
     )
-    far = daily.select(F.col("day").alias("__d2"), v.alias("__y"))
+    far = daily.select(
+        *gcols, F.col("day").alias("__d2"), v.alias("__y")
+    )
     suff = (
-        offered.join(far, "__d2")
-        .groupBy("lag")
+        offered.join(far, gcols + ["__d2"])
+        .groupBy(*gcols, "lag")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(d38(F.col("__x"))).alias("__sx"),
@@ -825,7 +840,7 @@ def autocorrelation(
             F.sum(d38(d19(F.col("__y")) * F.col("__y"))).alias("__syy"),
         )
     )
-    n_days = daily.agg(
+    n_days = daily.groupBy(*gcols).agg(
         F.count(F.lit(1)).cast("double").alias("__nd")
     )
     nd = F.col("__nd")
@@ -844,21 +859,34 @@ def autocorrelation(
     r = F.when(
         (vx > 0) & (vy > 0), F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6)
     )
-    scored = suff.crossJoin(F.broadcast(n_days)).select(
-        "lag", F.col("__n").alias("n_pairs"), r.alias("acf"), "__nd"
-    )
-    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    if gcols:
+        scored = suff.join(n_days, gcols).select(
+            *gcols,
+            "lag",
+            F.col("__n").alias("n_pairs"),
+            r.alias("acf"),
+            "__nd",
+        )
+        w = Window.partitionBy(*gcols).orderBy("lag").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    else:
+        scored = suff.crossJoin(F.broadcast(n_days)).select(
+            "lag", F.col("__n").alias("n_pairs"), r.alias("acf"), "__nd"
+        )
+        w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
     term = F.coalesce(
         F.col("acf") * F.col("acf") / F.col("n_pairs"), F.lit(0.0)
     )
     return scored.select(
+        *gcols,
         "lag",
         "n_pairs",
         "acf",
         F.round(nd * (nd + 2.0) * F.sum(term).over(w), 6).alias(
             "ljung_box_q"
         ),
-    ).orderBy("lag")
+    ).orderBy(*gcols, "lag")
 
 
 #: Euler-Mascheroni constant (Gumbel mean offset), fixed literal so
@@ -871,6 +899,7 @@ def gumbel_return_level(
     value_col: str = "total",
     block: str = "month",
     return_periods: tuple[int, ...] = (12, 60),
+    group_col: str | None = None,
 ) -> DataFrame:
     """Extreme-value digest of a daily integer series: Gumbel fit over
     block maxima plus return levels, one row
@@ -901,22 +930,32 @@ def gumbel_return_level(
 
     Plan: the daily frame is calendar-bounded, so the block aggregate
     and 1-row digest are post-aggregation trivia; the expensive part
-    (the upstream daily aggregate) stays fully parallel.  Extension —
-    no reference counterpart; completes the tail-risk family (MAD /
-    winsorize gate the bulk, this models the extremes).
+    (the upstream daily aggregate) stays fully parallel.  With
+    ``group_col`` the fit is computed PER GROUP over a
+    one-row-per-(group, day) frame — same plan, one more grouping key,
+    one digest row per group.  Extension — no reference counterpart;
+    completes the tail-risk family (MAD / winsorize gate the bulk,
+    this models the extremes).
     """
     if len(return_periods) == 0:
         raise ValueError("provide at least one return period")
     if any(t < 2 for t in return_periods):
         raise ValueError("return periods must be at least 2 blocks")
+    # with group_col: per-group EVT over a one-row-per-(group, day)
+    # frame (real pipelines gate per source/shard) — block maxima,
+    # sufficient statistics and the fit all key by group; plan shape
+    # is unchanged, the aggregates just carry one more key
+    gcols = [group_col] if group_col else []
     daily = daily.where(
         F.col("day").isNotNull() & F.col(value_col).isNotNull()
     )
+    if group_col:
+        daily = daily.where(F.col(group_col).isNotNull())
     blocks = daily.groupBy(
-        F.date_trunc(block, F.col("day")).alias("__b")
+        *gcols, F.date_trunc(block, F.col("day")).alias("__b")
     ).agg(F.max(value_col).alias("__m"))
     d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
-    suff = blocks.agg(
+    suff = blocks.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col("__m").cast("decimal(38,0)")).alias("__s"),
         F.sum(
@@ -936,6 +975,7 @@ def gumbel_return_level(
     beta = s * math.sqrt(6.0) / math.pi
     mu = mean - F.lit(EULER_GAMMA) * beta
     out = [
+        *gcols,
         F.col("__n").cast("bigint").alias("n_blocks"),
         "max_observed",
         F.when(ok, mu).alias("mu"),

@@ -2085,6 +2085,70 @@ class TestGumbelReturnLevel:
         # the 1-year return level should sit near the observed peak
         assert got["rl_12"] > mean
 
+    def test_grouped_equals_per_group_solo(self, spark):
+        import datetime as dt
+        import random
+
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.timeseries import (
+            gumbel_return_level,
+        )
+
+        rng = random.Random(7)
+        base = dt.date(2023, 1, 1)
+        rows = [
+            (g, base + dt.timedelta(days=i), 500 + rng.randint(0, 300 + k))
+            for k, g in enumerate(["a", "b", "c"])
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "g string, day date, v long")
+        grouped = {
+            r["g"]: r
+            for r in gumbel_return_level(
+                df, "v", "month", (12,), group_col="g"
+            ).collect()
+        }
+        assert set(grouped) == {"a", "b", "c"}
+        for g in grouped:
+            solo = gumbel_return_level(
+                df.where(F.col("g") == g).drop("g"), "v", "month", (12,)
+            ).first()
+            for fld in ("n_blocks", "max_observed", "mu", "beta", "rl_12"):
+                assert grouped[g][fld] == solo[fld], (g, fld)
+
+    def test_grouped_acf_equals_per_group_solo(self, spark):
+        import datetime as dt
+        import random
+
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.timeseries import autocorrelation
+
+        rng = random.Random(11)
+        base = dt.date(2024, 1, 1)
+        rows = [
+            (g, base + dt.timedelta(days=i),
+             100 + (i % (5 + k)) * 10 + rng.randint(0, 5))
+            for k, g in enumerate(["a", "b"])
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "g string, day date, v long")
+        grouped = {
+            (r["g"], r["lag"]): r
+            for r in autocorrelation(
+                df, "v", max_lag=5, group_col="g"
+            ).collect()
+        }
+        for g in ("a", "b"):
+            solo = autocorrelation(
+                df.where(F.col("g") == g).drop("g"), "v", max_lag=5
+            ).collect()
+            for r in solo:
+                got = grouped[(g, r["lag"])]
+                for fld in ("n_pairs", "acf", "ljung_box_q"):
+                    assert got[fld] == r[fld], (g, r["lag"], fld)
+
     def test_degenerate_inputs_null(self, spark):
         import datetime as dt
 
