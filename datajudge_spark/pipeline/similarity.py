@@ -351,7 +351,13 @@ def near_dup_pairs_ivf(
     )
     pairs = a.join(b, ["_blk", "_g"]).where(F.col("d1") < F.col("d2"))
     cos = _dot("_v1", "_v2") / (F.col("_n1") * F.col("_n2"))
-    return (
+    # the materialized RESULT is tiny (threshold already cut the
+    # quadratic candidate space to the near-duplicate list) while the
+    # pair join above is the expensive subtree — persisting here lets
+    # every consumer of the same graph (degree counts, recall checks,
+    # repeated audits in one session) reuse it through Spark's
+    # plan-canonicalized cache instead of re-running the join
+    return materialize_once(
         pairs.select("d1", "d2", cos.alias("cos"))
         .where(F.col("cos") > threshold)
         .select("d1", "d2", F.round("cos", 6).alias("cos"))
