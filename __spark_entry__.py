@@ -640,6 +640,43 @@ def q_decontaminate_ngram(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    # corpus-level novelty: how much of the incoming shard's (doc_id %
+    # 10 == 0) distinct 3-gram vocabulary is NEW vs the ingested corpus
+    # — the "re-crawl or new information?" gate, set-level complement
+    # of decontaminate_ngram. Distinct 60-bit hash sets join; one
+    # digest row; text never shuffles.
+    from datajudge_spark.pipeline import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    return decontam.ngram_novelty(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        shingle_n=_SHINGLE_N,
+    )
+
+
+def q_mann_kendall(spark, sf_dir):
+    # nonparametric trend gate on daily revenue: S, tie-corrected
+    # Var(S) and the continuity-corrected z — "is there a monotonic
+    # trend at all?" before theil_sen says how steep. Pairs on the
+    # calendar-bounded daily frame; S and variance terms exact
+    # integers; doubles emitted unrounded (fixed expression tree).
+    from datajudge_spark.operators.timeseries import (
+        daily_totals,
+        mann_kendall,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
+    return mann_kendall(daily, "cents")
+
+
 def q_sample_stratified(spark, sf_dir):
     # deterministic hash-split audit: per-language totals and kept-counts
     # for a stratified sample (en down-sampled) in ONE conditional-agg
@@ -2740,6 +2777,62 @@ def q_streaming_bootstrap(spark, sf_dir):
         "boot_median",
         "boot_hi",
     )
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
+def q_streaming_gumbel(spark, sf_dir):
+    """Twelfth streaming contract query: incremental extreme-value
+    tracking.  Per-month running MAX of event values is associative
+    state (one row per calendar block, COMPLETE mode); the drained
+    maxima equal the batch block maxima exactly, so the Gumbel fit of
+    the drained state hash-equals the batch EVT digest of the same
+    rows — capacity planning that stays current per micro-batch."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.operators.timeseries import (
+        gumbel_fit_from_maxima,
+    )
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stream_parquet_like,
+        streaming_block_maxima,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_gumbel_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    maxima = streaming_block_maxima(
+        ev.select(F.col("ts"), cents.alias("cents")), "ts", "cents",
+        block="month",
+    )
+    qname = f"stream_gumbel_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            maxima.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    state = spark.table(qname)
+    out_df = gumbel_fit_from_maxima(state, "m", (12, 60))
     rows = out_df.collect()
     schema = out_df.schema
     spark.catalog.dropTempView(qname)
@@ -4928,10 +5021,13 @@ _R7_WINDOW = [
     "winsorized_mean",
     "mutual_information",
     "chi_squared",
-    # -- round-7 additions (grouped EVT / ACF gates) --
+    # -- round-7 additions --
     "grouped_return_level",
     "grouped_acf",
-    # -- 11 r3-cohort sentinels (oldest remaining driver rows) --
+    "ngram_novelty",
+    "mann_kendall_trend",
+    "streaming_gumbel",
+    # -- 8 r3-cohort sentinels (oldest remaining driver rows) --
     "mixture_weights",
     "approx_percentile_check",
     "asof_join_forward",
@@ -4940,9 +5036,6 @@ _R7_WINDOW = [
     "corr_matrix",
     "cube_agg",
     "date_growth_rate",
-    "dedup_editdistance",
-    "embedding_norm_stats",
-    "embedding_quantize",
 ]
 assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
 
@@ -5178,6 +5271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 additions
         "grouped_return_level": q_grouped_return_level,
         "grouped_acf": q_grouped_acf,
+        "ngram_novelty": q_ngram_novelty,
+        "mann_kendall_trend": q_mann_kendall,
+        "streaming_gumbel": q_streaming_gumbel,
     }
     missing = [k for k in _R7_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -5336,6 +5432,48 @@ def _gumbel_sql(return_periods=(12, 60)) -> str:
         "AS cents FROM orders GROUP BY 1), "
         "blocks AS (SELECT date_trunc('month', day) AS b, "
         "max(cents) AS m FROM daily GROUP BY 1), "
+        "suff AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n, "
+        "sum(CAST(m AS DECIMAL(38,0))) AS s, "
+        "sum(CAST(CAST(m AS DECIMAL(19,0)) * m AS DECIMAL(38,0))) AS ss, "
+        "CAST(max(m) AS BIGINT) AS max_observed FROM blocks), "
+        "fit AS (SELECT CAST(n AS BIGINT) AS n_blocks, max_observed, "
+        "n >= 2 AND CAST(n * ss - s * s AS DOUBLE) > 0 AS ok, "
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+        "sqrt(CAST(n * ss - s * s AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd "
+        "FROM suff), "
+        "g AS (SELECT n_blocks, max_observed, ok, mean, "
+        f"sd * {sqrt6} / {pi} AS beta FROM fit), "
+        "g2 AS (SELECT n_blocks, max_observed, ok, "
+        f"mean - {repr(EULER_GAMMA)} * beta AS mu, beta FROM g) "
+        "SELECT n_blocks, max_observed, "
+        "CASE WHEN ok THEN mu END AS mu, "
+        "CASE WHEN ok THEN beta END AS beta, "
+        f"{rl_cols} FROM g2"
+    )
+
+
+def _events_gumbel_sql(return_periods=(12, 60)) -> str:
+    """DuckDB mirror of q_streaming_gumbel's drained digest — the batch
+    Gumbel fit over monthly maxima of raw event values (MAX is
+    associative, so the streaming state equals this exactly)."""
+    import math
+
+    from datajudge_spark.operators.timeseries import EULER_GAMMA
+
+    sqrt6 = repr(math.sqrt(6.0))
+    pi = repr(math.pi)
+    rl_cols = ", ".join(
+        "CASE WHEN ok THEN mu - beta * "
+        f"({repr(math.log(-math.log(1.0 - 1.0 / t)))}) END AS rl_{t}"
+        for t in return_periods
+    )
+    return (
+        "WITH base AS (SELECT ts, "
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), "
+        "blocks AS (SELECT date_trunc('month', ts) AS b, "
+        "max(cents) AS m FROM base GROUP BY 1), "
         "suff AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n, "
         "sum(CAST(m AS DECIMAL(38,0))) AS s, "
         "sum(CAST(CAST(m AS DECIMAL(19,0)) * m AS DECIMAL(38,0))) AS ss, "
@@ -6638,6 +6776,42 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(s.shared, 0) * 1.0 / t.total, 6) AS contamination "
             "FROM tot t LEFT JOIN shr s ON t.doc_id = s.doc_id"
         ),
+        "ngram_novelty": (
+            f"WITH {_SHINGLES_CTE}, "
+            f"shh AS (SELECT doc_id, {_h_sql('s')} AS h FROM sh), "
+            "tr AS (SELECT DISTINCT h FROM shh WHERE doc_id % 10 <> 0), "
+            "te AS (SELECT DISTINCT h FROM shh WHERE doc_id % 10 = 0), "
+            "j AS (SELECT te.h, CASE WHEN tr.h IS NOT NULL THEN 1 END "
+            "AS seen FROM te LEFT JOIN tr ON te.h = tr.h) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_test_ngrams, "
+            "CAST(coalesce(sum(seen), 0) AS BIGINT) AS n_shared, "
+            "round(CASE WHEN count(*) > 0 THEN "
+            "(count(*) - coalesce(sum(seen), 0)) * 1.0 / count(*) END, 6) "
+            "AS novelty_fraction FROM j"
+        ),
+        "mann_kendall_trend": (
+            # same exact-integer S / tie-corrected variance / continuity
+            # z as the Spark operator; doubles unrounded on both sides
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+            "AS BIGINT) AS cents FROM orders GROUP BY 1), "
+            "sgn AS (SELECT CAST(coalesce(sum(CAST(sign("
+            "CAST(b.cents - a.cents AS DOUBLE)) AS BIGINT)), 0) AS BIGINT) "
+            "AS s FROM daily a JOIN daily b ON a.day < b.day), "
+            "ties AS (SELECT coalesce(sum(CAST(t AS DECIMAL(38,0)) * "
+            "(t - 1) * (2 * t + 5)), CAST(0 AS DECIMAL(38,0))) AS tie_term "
+            "FROM (SELECT count(*) AS t FROM daily GROUP BY cents)), "
+            "nn AS (SELECT count(*) AS n FROM daily), "
+            "v AS (SELECT n, s, CASE WHEN n >= 2 THEN "
+            "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) "
+            "- tie_term AS DOUBLE) / 18.0 END AS var_s "
+            "FROM nn, sgn, ties) "
+            "SELECT CAST(n AS BIGINT) AS n_days, s AS s_stat, var_s, "
+            "CASE WHEN var_s > 0 THEN "
+            "CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s) "
+            "WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END AS z "
+            "FROM v"
+        ),
         "sample_stratified": (
             "SELECT lang AS stratum, count(*) AS total, "
             f"CAST(sum(CASE WHEN {_h_sql('CAST(doc_id AS VARCHAR)')} % 100 < "
@@ -7528,6 +7702,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_bootstrap": _events_bootstrap_sql(32),
         "gumbel_return_level": _gumbel_sql((12, 60)),
         "grouped_return_level": _grouped_gumbel_sql((12, 60)),
+        "streaming_gumbel": _events_gumbel_sql((12, 60)),
         "grouped_acf": (
             # the acf_daily oracle with every aggregate, pair join and
             # window keyed by o_orderpriority; lags 1..7

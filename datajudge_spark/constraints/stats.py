@@ -1954,6 +1954,70 @@ class WhiteNoiseLjungBox(Constraint):
         )
 
 
+class MannKendallStability(Constraint):
+    """No-trend gate on the daily ``sum(value)`` series: the
+    continuity-corrected Mann-Kendall z statistic must satisfy
+    ``|z| <= max_abs_z`` (1.96 = the 5% two-sided normal bound).
+    The nonparametric companion to :class:`WhiteNoiseLjungBox`: that
+    gate catches autocorrelation structure of any shape, this one
+    specifically catches a monotonic drift — and names its direction.
+
+    Engine: ``operators.timeseries.mann_kendall`` — exact integer S and
+    tie-corrected variance over the calendar-bounded pair frame.  An
+    all-tied series (zero variance) has undefined z and passes: a
+    constant series carries no trend by construction.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_abs_z: float = 1.96,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_z < 0:
+            raise ValueError("max_abs_z must be non-negative.")
+        self._max_abs_z = max_abs_z
+        super().__init__(
+            ref, ref_value=max_abs_z, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import daily_totals, mann_kendall
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "MannKendallStability requires exactly two columns: "
+                "(date_column, value_column)."
+            )
+        date_col, value_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(date_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        daily = daily_totals(df, date_col, F.sum(cents), "__cents")
+        row = mann_kendall(daily, "__cents").first()
+        if row is None or row["n_days"] == 0:
+            return TestResult(
+                True, "No daily series; trend gate is vacuous."
+            )
+        z = row["z"]
+        if z is None or abs(z) <= self._max_abs_z:
+            return TestResult.success()
+        direction = "upward" if z > 0 else "downward"
+        return TestResult.failure(
+            f"Daily series of {self._ref} carries a monotonic "
+            f"{direction} trend: Mann-Kendall z = {z} over "
+            f"{row['n_days']} days (S = {row['s_stat']}), outside "
+            f"|z| <= {self._max_abs_z}."
+        )
+
+
 class JointOutlierBound(Constraint):
     """Joint-outlier gate: no distinct (x, y) value pair may exceed a
     squared Mahalanobis distance of ``max_d2`` from the column pair's

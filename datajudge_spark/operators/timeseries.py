@@ -292,6 +292,81 @@ def theil_sen_slope(daily: DataFrame, value_col: str = "total") -> DataFrame:
     )
 
 
+def mann_kendall(daily: DataFrame, value_col: str = "total") -> DataFrame:
+    """Mann-Kendall trend test over a daily frame, one digest row
+    ``(n_days, s_stat, var_s, z)`` — the NONPARAMETRIC "is there a
+    monotonic trend at all?" companion to :func:`theil_sen_slope`
+    (which estimates how steep; Mann-Kendall tests whether).
+
+    ``S = Σ_{i<j} sgn(v_j − v_i)`` over day-ordered pairs (an exact
+    integer), ``Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18`` with
+    the standard tie-group correction, and the continuity-corrected
+    normal score ``z = (S∓1)/sqrt(Var(S))``.  |z| > 1.96 rejects "no
+    trend" at 5% — the gate a drift monitor runs BEFORE trusting a
+    slope estimate.
+
+    Scale: the all-pairs join runs on the calendar-bounded daily frame
+    (same shape as :func:`theil_sen_slope`); S and both variance terms
+    are exact integers (DECIMAL(38,0) sums), converted ONCE to doubles
+    in a fixed expression and emitted UNROUNDED — bit-identical in any
+    engine (rounding exact-input doubles can CREATE cross-engine ties).
+    Extension — no reference counterpart.
+    """
+    daily = daily.where(
+        F.col("day").isNotNull() & F.col(value_col).isNotNull()
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col(value_col).alias("v1"))
+    b = daily.select(F.col("day").alias("d2"), F.col(value_col).alias("v2"))
+    s_frame = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            F.signum((F.col("v2") - F.col("v1")).cast("double"))
+            .cast("long")
+            .alias("__sgn")
+        )
+        .agg(F.coalesce(F.sum("__sgn"), F.lit(0)).alias("__s"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ties = (
+        daily.groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_groups"),
+            F.coalesce(
+                F.sum(
+                    d38(F.col("__t"))
+                    * (F.col("__t") - 1)
+                    * (2 * F.col("__t") + 5)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__tie_term"),
+        )
+    )
+    n_frame = daily.agg(F.count(F.lit(1)).alias("__n"))
+    n = F.col("__n")
+    var_num = (
+        d38(n) * (n - 1) * (2 * n + 5) - F.col("__tie_term")
+    ).cast("double")
+    var_s = F.when(n >= 2, var_num / 18.0)
+    s = F.col("__s")
+    z = F.when(
+        var_s > 0,
+        F.when(s > 0, (s - 1) / F.sqrt(var_s))
+        .when(s < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    return (
+        n_frame.crossJoin(s_frame)
+        .crossJoin(ties)
+        .select(
+            n.cast("bigint").alias("n_days"),
+            s.cast("bigint").alias("s_stat"),
+            var_s.alias("var_s"),
+            z.alias("z"),
+        )
+    )
+
+
 def grouped_theil_sen(
     daily: DataFrame,
     group_col: str,
@@ -954,6 +1029,26 @@ def gumbel_return_level(
     blocks = daily.groupBy(
         *gcols, F.date_trunc(block, F.col("day")).alias("__b")
     ).agg(F.max(value_col).alias("__m"))
+    return gumbel_fit_from_maxima(
+        blocks, "__m", return_periods, group_cols=gcols
+    )
+
+
+def gumbel_fit_from_maxima(
+    blocks: DataFrame,
+    max_col: str = "__m",
+    return_periods: tuple[int, ...] = (12, 60),
+    group_cols: tuple | list = (),
+) -> DataFrame:
+    """Gumbel moments fit + return levels from an ALREADY-AGGREGATED
+    block-maxima frame (one row per block, integer maxima) — the shared
+    tail of :func:`gumbel_return_level`, exposed so incremental
+    pipelines (a streaming per-block MAX state, which is associative
+    and therefore exactly equals the batch block maxima at any drain
+    point) can fit the same digest over their drained state."""
+    gcols = list(group_cols)
+    if max_col != "__m":
+        blocks = blocks.withColumn("__m", F.col(max_col))
     d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     suff = blocks.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__n"),

@@ -86,3 +86,46 @@ def ngram_contamination(
             ).alias("contamination"),
         )
     )
+
+
+def ngram_novelty(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-level novelty digest: how much of an incoming shard's
+    n-gram vocabulary is NEW relative to the corpus already ingested.
+
+    One row ``(n_test_ngrams, n_shared, novelty_fraction)`` over the
+    DISTINCT n-gram hash sets of both sides — the "does this shard add
+    information or is it a re-crawl?" gate (near-zero novelty means the
+    shard is redundant; near-one means it is from a different
+    distribution and deserves quality review).  The set-level complement
+    of :func:`ngram_contamination`'s per-document view.
+
+    Plan: both corpora reduce to distinct 60-bit hash sets FIRST
+    (``array_distinct`` per row, then map-side partial distinct — the
+    shuffle carries 8 bytes per surviving n-gram, never text), the sets
+    hash-join on the int64, and the digest is one aggregate row.
+    """
+    tr = train_ngram_set(train, id_col, text_col, shingle_n).select(
+        "h", F.lit(1).alias("_seen")
+    )
+    te = train_ngram_set(test, id_col, text_col, shingle_n)
+    joined = te.join(tr, "h", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_test_ngrams"),
+        F.coalesce(F.sum("_seen"), F.lit(0))
+        .cast("bigint")
+        .alias("n_shared"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                (F.count(F.lit(1)) - F.coalesce(F.sum("_seen"), F.lit(0)))
+                / F.count(F.lit(1)),
+            ),
+            6,
+        ).alias("novelty_fraction"),
+    )

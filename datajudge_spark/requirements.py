@@ -1399,6 +1399,33 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_mann_kendall_constraint(
+        self,
+        date_column: str,
+        value_column: str,
+        max_abs_z: float = 1.96,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Mann-Kendall trend
+        statistic of the daily ``sum(value_column)`` series must stay
+        within ``|z| <= max_abs_z`` (1.96 = 5% two-sided).  The
+        nonparametric "no monotonic drift" gate — catches the slow
+        directional creep the white-noise gate reports only as generic
+        autocorrelation, and names the direction in the failure."""
+        ref = DataReference(
+            self._data_source, [date_column, value_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.MannKendallStability(
+                ref,
+                max_abs_z=max_abs_z,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_joint_outlier_constraint(
         self,
         column_x: str,

@@ -50,6 +50,7 @@ __all__ = [
     "interval_join_streams",
     "interval_left_join_streams",
     "streaming_bootstrap_sums",
+    "streaming_block_maxima",
 ]
 
 
@@ -376,6 +377,34 @@ def interval_left_join_streams(
     return left.withWatermark(left_ts, watermark_delay).join(
         right.withWatermark(right_ts, watermark_delay), on, "leftOuter"
     )
+
+
+def streaming_block_maxima(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    block: str = "month",
+) -> DataFrame:
+    """Incremental extreme-value state: per-``block`` running MAX of
+    ``value_col`` over an unbounded stream, COMPLETE output mode.
+
+    MAX is associative and idempotent, so the drained per-block state
+    after ANY prefix of the stream equals the batch block maxima of
+    exactly the rows seen — which makes the whole EVT workflow
+    incremental: maintain this tiny state (one row per calendar block),
+    and on drain fit the SAME Gumbel digest with
+    ``operators.timeseries.gumbel_fit_from_maxima`` — hash-equal to the
+    batch :func:`~datajudge_spark.operators.timeseries
+    .gumbel_return_level` of the same rows.  The capacity-planning gate
+    ("is today's spike the expected annual extreme?") kept current per
+    micro-batch with O(|blocks|) state, no watermark, no row buffering.
+    """
+    nn = stream_df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    return nn.groupBy(
+        F.date_trunc(block, F.col(ts_col)).alias("block")
+    ).agg(F.max(value_col).alias("m"))
 
 
 def stateful_cusum(stream_df: DataFrame):

@@ -1253,6 +1253,53 @@ class TestTheilsUMin:
             req.add_theils_u_min_constraint("a", "b", min_u=1.5)
 
 
+class TestMannKendallStability:
+    def test_noise_passes_trend_fails(self, spark):
+        import datetime as dt
+        import random
+
+        rng = random.Random(17)
+        base = dt.date(2024, 1, 1)
+        noise = spark.createDataFrame(
+            [(base + dt.timedelta(days=i), float(rng.randint(80, 120)))
+             for i in range(150)],
+            "d date, v double",
+        )
+        req = within_req(noise, "mk_ok")
+        req.add_mann_kendall_constraint("d", "v", max_abs_z=3.0)
+        assert outcomes(req, spark) == [True]
+
+        drift = spark.createDataFrame(
+            [(base + dt.timedelta(days=i),
+              100.0 + 0.5 * i + rng.randint(0, 10))
+             for i in range(150)],
+            "d date, v double",
+        )
+        req = within_req(drift, "mk_drift")
+        req.add_mann_kendall_constraint("d", "v", max_abs_z=1.96)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False]
+        assert "upward" in results[0].failure_message
+
+    def test_constant_and_empty_pass(self, spark):
+        import datetime as dt
+
+        base = dt.date(2024, 1, 1)
+        flat = spark.createDataFrame(
+            [(base + dt.timedelta(days=i), 5.0) for i in range(30)],
+            "d date, v double",
+        )
+        req = within_req(flat, "mk_flat")
+        # all ties: z undefined -> constant series carries no trend
+        req.add_mann_kendall_constraint("d", "v")
+        req.add_mann_kendall_constraint(
+            "d", "v", condition=Condition(raw_string="v < 0")
+        )
+        assert outcomes(req, spark) == [True, True]
+        with pytest.raises(ValueError):
+            req.add_mann_kendall_constraint("d", "v", max_abs_z=-1.0)
+
+
 class TestWhiteNoiseLjungBox:
     def test_noise_passes_cycle_fails(self, spark):
         import datetime as dt

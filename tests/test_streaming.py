@@ -523,6 +523,73 @@ class TestStreamingLeftOuterJoin:
         assert got == {(1, 10), (2, None)}
 
 
+class TestStreamingBlockMaxima:
+    def test_multi_batch_state_equals_batch_maxima(self, spark, tmp_path):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import (
+            gumbel_fit_from_maxima,
+        )
+        from datajudge_spark.streaming import streaming_block_maxima
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (base + dt.timedelta(days=i % 170, minutes=i), 100 + (i * 37) % 900)
+            for i in range(400)
+        ]
+        schema = "ts timestamp, v long"
+        src = tmp_path / "gum_src"
+        for i, chunk in enumerate([rows[:150], rows[150:300], rows[300:]]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(src / f"f{i}")
+            )
+        stream_dir = tmp_path / "gum_merged"
+        stream_dir.mkdir()
+        for n, part in enumerate(sorted(src.rglob("*.parquet"))):
+            (stream_dir / f"{n:02d}.parquet").symlink_to(part)
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        maxima = streaming_block_maxima(raw, "ts", "v", block="month")
+        q = (
+            maxima.writeStream.format("memory")
+            .queryName("gum_test")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.table("gum_test")
+        got = {r["block"]: r["m"] for r in state.collect()}
+        # MAX is associative: drained per-block state == batch maxima
+        batch = spark.createDataFrame(rows, schema)
+        exp = {
+            r["block"]: r["m"]
+            for r in batch.groupBy(
+                F.date_trunc("month", "ts").alias("block")
+            )
+            .agg(F.max("v").alias("m"))
+            .collect()
+        }
+        assert got == exp and len(got) == 6
+        # and the Gumbel digest of the drained state == the batch digest
+        got_fit = gumbel_fit_from_maxima(state, "m", (12,)).first()
+        exp_fit = gumbel_fit_from_maxima(
+            batch.groupBy(F.date_trunc("month", "ts").alias("block")).agg(
+                F.max("v").alias("m")
+            ),
+            "m",
+            (12,),
+        ).first()
+        spark.catalog.dropTempView("gum_test")
+        assert got_fit == exp_fit
+        assert got_fit["n_blocks"] == 6 and got_fit["rl_12"] is not None
+
+
 class TestStreamingBootstrap:
     def test_multi_batch_sums_equal_batch_bootstrap(self, spark, tmp_path):
         from datajudge_spark.operators.resample import bootstrap_mean_ci

@@ -2045,6 +2045,101 @@ class TestRoundSixGuards:
             isotonic_calibration(df, "x", "y", n_buckets=100000)
 
 
+class TestMannKendall:
+    def test_matches_naive(self, spark):
+        import datetime as dt
+        import math
+        import random
+
+        from datajudge_spark.operators.timeseries import mann_kendall
+
+        rng = random.Random(29)
+        base = dt.date(2024, 1, 1)
+        # noisy upward trend WITH ties (values on a coarse grid)
+        vals = [100 + i // 3 * 5 + rng.randint(0, 10) for i in range(60)]
+        rows = [
+            (base + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "day date, v long")
+        got = mann_kendall(df, "v").first()
+        n = len(vals)
+        s = sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie_sizes = {}
+        for v in vals:
+            tie_sizes[v] = tie_sizes.get(v, 0) + 1
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5) for t in tie_sizes.values()
+        )
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        z = (s - 1) / math.sqrt(var_s) if s > 0 else (
+            (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+        )
+        assert got["n_days"] == n
+        assert got["s_stat"] == s
+        assert got["var_s"] == pytest.approx(var_s, rel=1e-12)
+        assert got["z"] == pytest.approx(z, rel=1e-12)
+        # a clear upward trend must reject "no trend"
+        assert got["z"] > 1.96
+
+    def test_no_trend_and_degenerate(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import mann_kendall
+
+        base = dt.date(2024, 1, 1)
+        flat = spark.createDataFrame(
+            [(base + dt.timedelta(days=i), 7) for i in range(20)],
+            "day date, v long",
+        )
+        r = mann_kendall(flat, "v").first()
+        # all ties: S = 0 and the tie correction zeroes the variance
+        assert r["s_stat"] == 0 and r["var_s"] == 0.0 and r["z"] is None
+        one = spark.createDataFrame(
+            [(base, 3)], "day date, v long"
+        )
+        r = mann_kendall(one, "v").first()
+        assert r["n_days"] == 1 and r["var_s"] is None and r["z"] is None
+
+
+class TestNgramNovelty:
+    def test_counts(self, spark):
+        from datajudge_spark.pipeline.decontam import ngram_novelty
+
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"),
+             (2, "over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        # test doc shares "the quick brown" / "quick brown fox" /
+        # "brown fox jumps" with train; "fox jumps high" is novel
+        test = spark.createDataFrame(
+            [(10, "the quick brown fox jumps high")],
+            "doc_id long, text string",
+        )
+        row = ngram_novelty(train, test, "doc_id", "text", 3).first()
+        assert row["n_test_ngrams"] == 4
+        assert row["n_shared"] == 3
+        assert row["novelty_fraction"] == pytest.approx(0.25)
+
+    def test_empty_test_side(self, spark):
+        from datajudge_spark.pipeline.decontam import ngram_novelty
+
+        train = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string"
+        )
+        test = spark.createDataFrame(
+            [], "doc_id long, text string"
+        )
+        row = ngram_novelty(train, test, "doc_id", "text", 3).first()
+        assert row["n_test_ngrams"] == 0
+        assert row["n_shared"] == 0
+        assert row["novelty_fraction"] is None
+
+
 class TestGumbelReturnLevel:
     def test_matches_naive_fit(self, spark):
         import datetime as dt

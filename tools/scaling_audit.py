@@ -1,22 +1,27 @@
 #!/usr/bin/env python
-"""Per-family wall-time scaling audit (VERDICT r5 #7).
+"""Per-family wall-time scaling audit (VERDICT r5 #7, three-point fit
+per r6 #7).
 
-Reads two-or-three bench payloads (the BENCH_LATEST.json format written
+Reads TWO OR MORE bench payloads (the BENCH_LATEST.json format written
 by bench.py) captured at different scale factors and prints a per-family
-table of empirical scaling exponents over the sf0.01 -> sf0.1 decade:
+table of empirical scaling exponents, least-squares-fitted over ALL
+points:
 
-    exponent = log10( t(sf=0.1) / t(sf=0.01) )
+    t ~ c * sf^e   =>   e = slope of log10(t) vs log10(sf)
 
-1.0 = linear, <1 = overhead-dominated (expected for sub-second queries:
-fixed session/plan cost floors the small-SF time, which UNDERSTATES the
-exponent — the flag direction is conservative only for genuinely slow
-queries, so the table also lists absolute t(0.1)).  Queries with
-exponent > FLAG get listed individually: each needs a written
-justification in BASELINE.md or a fix.
+With the full three-point ladder (sf0.001 -> 0.01 -> 0.1, two decades)
+the fit is far less floored by fixed session/plan overhead than the old
+single-decade ratio: an overhead-dominated sub-second query shows a
+flat small-SF segment AND a steeper large-SF segment, and the fitted
+slope lands between them instead of hiding the steep end.  1.0 =
+linear, <1 = overhead-dominated.  Queries with fitted exponent > FLAG
+get listed individually: each needs a written justification in
+BASELINE.md or a fix.  The table also lists absolute t at the largest
+SF — the number that actually matters.
 
 Usage:
-    python tools/scaling_audit.py bench_sf001.json bench_sf01.json \
-        [--flag 1.3] [--markdown]
+    python tools/scaling_audit.py bench_sf0001.json bench_sf001.json \
+        bench_sf01.json [--flag 1.3] [--markdown]
 """
 
 from __future__ import annotations
@@ -57,36 +62,56 @@ def family(name: str) -> str:
     return "core"
 
 
+def _fit_exponent(points: list[tuple[float, float]]) -> float:
+    """Least-squares slope of log10(t) vs log10(sf)."""
+    xs = [math.log10(sf) for sf, _ in points]
+    ys = [math.log10(t) for _, t in points]
+    n = len(xs)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    den = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("small", help="bench JSON at the smaller SF")
-    ap.add_argument("large", help="bench JSON at the 10x larger SF")
+    ap.add_argument(
+        "benches", nargs="+",
+        help="two or more bench JSONs at distinct scale factors",
+    )
     ap.add_argument("--flag", type=float, default=1.3)
     ap.add_argument("--markdown", action="store_true")
     args = ap.parse_args()
+    if len(args.benches) < 2:
+        ap.error("need at least two bench payloads")
 
-    with open(args.small) as fh:
-        small = json.load(fh)
-    with open(args.large) as fh:
-        large = json.load(fh)
-    qs, ql = small["queries"], large["queries"]
-    shared = sorted(set(qs) & set(ql))
+    payloads = []
+    for path in args.benches:
+        with open(path) as fh:
+            payloads.append(json.load(fh))
+    payloads.sort(key=lambda p: p["sf"])
+    sfs = [p["sf"] for p in payloads]
+    if len(set(sfs)) != len(sfs):
+        ap.error(f"duplicate scale factors: {sfs}")
 
+    shared = sorted(
+        set.intersection(*[set(p["queries"]) for p in payloads])
+    )
     rows = []
     for name in shared:
-        ts, tl = qs[name], ql[name]
-        if ts <= 0 or tl <= 0:
+        pts = [(p["sf"], p["queries"][name]) for p in payloads]
+        if any(t <= 0 or sf <= 0 for sf, t in pts):
             continue
-        rows.append((name, family(name), ts, tl,
-                     math.log10(tl / ts)))
+        ts, tl = pts[0][1], pts[-1][1]
+        rows.append((name, family(name), ts, tl, _fit_exponent(pts)))
 
     by_fam: dict[str, list] = defaultdict(list)
     for name, fam, ts, tl, e in rows:
         by_fam[fam].append((name, ts, tl, e))
 
     sep = "|" if args.markdown else " "
-    hdr = ["family", "n", "median_exp", "max_exp", "max_t(0.1)s",
-           "slowest query"]
+    hdr = ["family", "n", "median_exp", "max_exp",
+           f"max_t({sfs[-1]})s", "slowest query"]
     if args.markdown:
         print("| " + " | ".join(hdr) + " |")
         print("|" + "---|" * len(hdr))
@@ -109,12 +134,14 @@ def main() -> None:
                if e > args.flag]
     print()
     if flagged:
-        print(f"queries with exponent > {args.flag} "
+        print(f"queries with fitted exponent > {args.flag} over "
+              f"sf {sfs[0]} -> {sfs[-1]} "
               "(justify in BASELINE.md or fix):")
         for n, f, ts, tl, e in sorted(flagged, key=lambda t: -t[4]):
             print(f"  {n} [{f}]: {ts:.3f}s -> {tl:.3f}s (exp {e:.2f})")
     else:
-        print(f"no query exceeds exponent {args.flag} over the decade")
+        print(f"no query exceeds fitted exponent {args.flag} over "
+              f"sf {sfs[0]} -> {sfs[-1]}")
 
 
 if __name__ == "__main__":
