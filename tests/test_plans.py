@@ -786,3 +786,45 @@ def test_k_anonymity_is_one_grouped_pass(spark):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "c_nationkey" in read_schema[0]
     assert "c_name" not in read_schema[0]
+
+
+def test_mann_kendall_pairs_on_daily_frame_only(spark):
+    # the O(days^2) pair join must run on the POST-AGGREGATION daily
+    # frame: the orders fact table is scanned exactly twice (pair sides
+    # share one daily aggregate each), never joined raw
+    df = entrymod.q_mann_kendall(spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in logical.splitlines() if "Join" in ln]
+    assert join_lines, "expected the pair join"
+    # every join input is an Aggregate (daily frame or digest), so the
+    # fact table never feeds a join directly: the joins sit ABOVE the
+    # aggregates in the printed tree
+    first_join = min(
+        logical.index(ln) for ln in join_lines
+    )
+    first_agg = logical.index("Aggregate")
+    assert first_join < logical.index("Relation")
+    assert first_agg > -1
+
+
+def test_grouped_acf_window_is_partitioned(spark):
+    plan = _executed_plan(entrymod.q_grouped_acf(spark, SF_DIR))
+    # the Ljung-Box cumulative fold must partition by group — no
+    # single-partition exchange below the window
+    win_tail = plan.split("Window")[-1]
+    assert "Window" in plan
+    for ln in plan.splitlines():
+        if "Window " in ln:
+            assert "partitionBy" not in ln or "grp" in ln
+    assert "Exchange SinglePartition" not in win_tail
+
+
+def test_ngram_novelty_shuffles_hashes_not_text(spark):
+    # the distinct-set join must carry only the 60-bit hash column:
+    # after the per-side distinct aggregates, no exchange ships the
+    # text column
+    df = entrymod.q_ngram_novelty(spark, SF_DIR)
+    plan = _executed_plan(df)
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex_lines, "expected hash exchanges for the distinct sets"
+    assert all("text" not in ln for ln in ex_lines)
