@@ -658,6 +658,22 @@ def q_ngram_novelty(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    # corpus-lineage matrix: per source pair, shared distinct 3-gram
+    # vocabulary + Jaccard — "which shards mirror each other?". Hashes
+    # present in > 64 sources are ubiquitous boilerplate and excluded
+    # (bounds the per-hash join fan-out at any source count); output is
+    # |source pairs| rows.
+    from datajudge_spark.pipeline.decontam import source_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        source_overlap(d, "source", "text", shingle_n=_SHINGLE_N)
+        .orderBy(F.col("n_shared").desc(), "src_a", "src_b")
+        .limit(25)
+    )
+
+
 def q_mann_kendall(spark, sf_dir):
     # nonparametric trend gate on daily revenue: S, tie-corrected
     # Var(S) and the continuity-corrected z — "is there a monotonic
@@ -5274,6 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "mann_kendall_trend": q_mann_kendall,
         "streaming_gumbel": q_streaming_gumbel,
+        "source_overlap": q_source_overlap,
     }
     missing = [k for k in _R7_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -6775,6 +6792,33 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(s.shared, 0) AS shared, "
             "round(coalesce(s.shared, 0) * 1.0 / t.total, 6) AS contamination "
             "FROM tot t LEFT JOIN shr s ON t.doc_id = s.doc_id"
+        ),
+        "source_overlap": (
+            # same distinct per-source 3-gram hash sets, ubiquitous-hash
+            # bound (breadth > 64 excluded) and Jaccard as the Spark
+            # operator
+            "WITH toks AS (SELECT source, string_split_regex(trim(text), "
+            "'\\s+') AS tk FROM documents WHERE text IS NOT NULL "
+            "AND source IS NOT NULL), "
+            "sh AS (SELECT DISTINCT source, s FROM toks, "
+            "UNNEST(list_transform(generate_series(1, "
+            "greatest(len(tk)-2, 0)), "
+            "i -> array_to_string(tk[i:i+2], ' '))) AS u(s)), "
+            f"hh AS (SELECT DISTINCT source, {_h_sql('s')} AS h FROM sh), "
+            "br AS (SELECT h, count(*) AS b FROM hh GROUP BY 1), "
+            "keep AS (SELECT hh.source, hh.h FROM hh JOIN br USING (h) "
+            "WHERE b <= 64), "
+            "tot AS (SELECT source, count(*) AS t FROM keep GROUP BY 1), "
+            "pairs AS (SELECT a.source AS src_a, b.source AS src_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared FROM keep a "
+            "JOIN keep b ON a.h = b.h AND a.source < b.source "
+            "GROUP BY 1, 2) "
+            "SELECT src_a, src_b, n_shared, "
+            "round(n_shared * 1.0 / (ta.t + tb.t - n_shared), 6) "
+            "AS jaccard FROM pairs "
+            "JOIN tot ta ON src_a = ta.source "
+            "JOIN tot tb ON src_b = tb.source "
+            "ORDER BY n_shared DESC, src_a, src_b LIMIT 25"
         ),
         "ngram_novelty": (
             f"WITH {_SHINGLES_CTE}, "

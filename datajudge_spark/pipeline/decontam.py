@@ -88,6 +88,85 @@ def ngram_contamination(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_breadth: int = 64,
+) -> DataFrame:
+    """Pairwise corpus-lineage matrix: for every source pair,
+    ``(src_a, src_b, n_shared, jaccard)`` over the sources' DISTINCT
+    n-gram hash vocabularies — "which shards are re-crawls / mirrors of
+    each other?" in one relational pass.
+
+    Scale: each source reduces to its distinct hash set first (8 bytes
+    per surviving n-gram).  The pair space is bounded the same way the
+    dedup family bounds hot buckets: a hash present in more than
+    ``max_breadth`` sources is UBIQUITOUS boilerplate (carries no
+    lineage signal — it would contribute O(breadth²) pair rows) and is
+    excluded from both the pair counts and the per-source totals, so
+    the join's per-hash fan-out is bounded at ``max_breadth²`` no
+    matter how many sources share a cookie banner.  Output is
+    |source-pairs| rows.
+    """
+    from datajudge_spark.pipeline._util import spread
+    from datajudge_spark.pipeline.dedup import word_shingles
+
+    base = spread(
+        df.where(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+    ).select(
+        F.col(group_col).alias("_src"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("s"),
+    )
+    sets = materialize_once(
+        base.select("_src", md5_long("s").alias("h")).distinct()
+    )
+    breadth = sets.groupBy("h").agg(F.count(F.lit(1)).alias("_b"))
+    keep = materialize_once(
+        sets.join(breadth, "h").where(F.col("_b") <= max_breadth).select(
+            "_src", "h"
+        )
+    )
+    totals = keep.groupBy("_src").agg(F.count(F.lit(1)).alias("_t"))
+    a, b = keep.alias("a"), keep.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a._src") < F.col("b._src")),
+        )
+        .groupBy(
+            F.col("a._src").alias("src_a"), F.col("b._src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("_src").alias("src_a"), F.col("_t").alias("_ta")
+    )
+    tb = totals.select(
+        F.col("_src").alias("src_b"), F.col("_t").alias("_tb")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("_ta") + F.col("_tb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def ngram_novelty(
     train: DataFrame,
     test: DataFrame,

@@ -2105,6 +2105,52 @@ class TestMannKendall:
         assert r["n_days"] == 1 and r["var_s"] is None and r["z"] is None
 
 
+class TestSourceOverlap:
+    def test_matrix_and_jaccard(self, spark):
+        from datajudge_spark.pipeline.decontam import source_overlap
+
+        rows = [
+            ("s1", "alpha beta gamma delta"),
+            ("s2", "alpha beta gamma epsilon"),
+            ("s3", "totally different words here"),
+        ]
+        df = spark.createDataFrame(rows, "src string, text string")
+        got = {
+            (r["src_a"], r["src_b"]): r
+            for r in source_overlap(df, "src", "text", 3).collect()
+        }
+        # s1: {abg, bgd}; s2: {abg, bge}; shared {abg} -> jaccard 1/3
+        r = got[("s1", "s2")]
+        assert r["n_shared"] == 1
+        assert r["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+        assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+    def test_ubiquitous_hash_excluded(self, spark):
+        from datajudge_spark.pipeline.decontam import source_overlap
+
+        # "common one two" appears in ALL four sources; with
+        # max_breadth=3 it is boilerplate and must not create pairs or
+        # count toward totals
+        rows = [(f"s{i}", "common one two") for i in range(4)] + [
+            ("s0", "shared rare gram x"),
+            ("s1", "shared rare gram y"),
+        ]
+        df = spark.createDataFrame(rows, "src string, text string")
+        got = {
+            (r["src_a"], r["src_b"]): r
+            for r in source_overlap(
+                df, "src", "text", 3, max_breadth=3
+            ).collect()
+        }
+        # only the rare "shared rare gram" hash survives: s0-s1 share 1
+        # of their 2 surviving grams each -> jaccard 1/3
+        assert set(got) == {("s0", "s1")}
+        assert got[("s0", "s1")]["n_shared"] == 1
+        assert got[("s0", "s1")]["jaccard"] == pytest.approx(
+            1 / 3, abs=1e-6
+        )
+
+
 class TestNgramNovelty:
     def test_counts(self, spark):
         from datajudge_spark.pipeline.decontam import ngram_novelty
