@@ -50,7 +50,7 @@ from datajudge_spark.sources import ExpressionDataSource
 
 SEED = 20260815
 N_TABLES = 6
-N_CASES = 240
+N_CASES = 300
 
 _WORDS = ["alpha", "beta", "gamma", "héllo", "日本語", "zz", "a", ""]
 _EPOCH = dt.date(2019, 1, 1)
@@ -145,6 +145,8 @@ _FAMILIES = [
     "union_count",
     "except_count",
     "duplicates",
+    "group_agg",
+    "join_agg",
 ]
 
 
@@ -291,6 +293,62 @@ def test_fuzz_case(spark, duck, sdfs, case_idx):
             f"GROUP BY {sel} HAVING count(*) > 1)"
         ).fetchone()[0]
         assert got == exp
+
+    elif family == "group_agg":
+        # grouped aggregate row sets must match: NULL groups group
+        # together in both engines; double sums stay exact on the grid
+        from pyspark.sql import functions as SF
+
+        ref = _ref(sdfs, t1, None, cond)
+        key = lambda t: (t[0] is None, t[0] or "")  # noqa: E731
+        got = sorted(
+            [
+                (r["g"], r["n"], r["si"], r["mx"], r["ms"])
+                for r in ref.get_selection(spark)
+                .groupBy("g")
+                .agg(
+                    SF.count(SF.lit(1)).alias("n"),
+                    SF.sum("i").alias("si"),
+                    SF.max("x").alias("mx"),
+                    SF.min("s").alias("ms"),
+                )
+                .collect()
+            ],
+            key=key,
+        )
+        exp = sorted(
+            duck.execute(
+                f"SELECT g, count(*), CAST(sum(i) AS BIGINT), max(x), "
+                f"min(s) FROM {t1}{where} GROUP BY g"
+            ).fetchall(),
+            key=key,
+        )
+        assert got == exp
+
+    elif family == "join_agg":
+        # inner equi-join + fused aggregate: NULL keys never join in
+        # either engine; the summed doubles stay on the exact grid
+        from pyspark.sql import functions as SF
+
+        a = _ref(sdfs, t1, None, cond).get_selection(spark).alias("a")
+        b = sdfs[t2].alias("b")
+        row = (
+            a.join(b, SF.col("a.i") == SF.col("b.i"))
+            .agg(
+                SF.count(SF.lit(1)).alias("n"),
+                SF.sum(SF.col("a.x") + SF.col("b.x")).alias("sx"),
+            )
+            .first()
+        )
+        n, sx = duck.execute(
+            f"SELECT count(*), sum(a.x + b.x) FROM "
+            f"(SELECT * FROM {t1}{where}) a JOIN {t2} b ON a.i = b.i"
+        ).fetchone()
+        assert row["n"] == n
+        if sx is None or row["sx"] is None:
+            assert row["sx"] == sx
+        else:
+            assert math.isclose(row["sx"], sx, rel_tol=0, abs_tol=1e-9)
 
     else:  # pragma: no cover
         raise AssertionError(family)
