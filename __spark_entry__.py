@@ -658,6 +658,16 @@ def q_ngram_novelty(spark, sf_dir):
     )
 
 
+def q_grouped_mann_kendall(spark, sf_dir):
+    # per-priority Mann-Kendall: screen every segment's daily series
+    # for monotonic drift in one pass — pair join, tie groups and
+    # variance all key by the group.
+    from datajudge_spark.operators.timeseries import mann_kendall
+
+    daily = _grouped_daily_cents(spark, sf_dir)
+    return mann_kendall(daily, "cents", group_col="grp").orderBy("grp")
+
+
 def q_source_overlap(spark, sf_dir):
     # corpus-lineage matrix: per source pair, shared distinct 3-gram
     # vocabulary + Jaccard — "which shards mirror each other?". Hashes
@@ -5291,6 +5301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall_trend": q_mann_kendall,
         "streaming_gumbel": q_streaming_gumbel,
         "source_overlap": q_source_overlap,
+        "grouped_mann_kendall": q_grouped_mann_kendall,
     }
     missing = [k for k in _R7_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -6832,6 +6843,33 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN count(*) > 0 THEN "
             "(count(*) - coalesce(sum(seen), 0)) * 1.0 / count(*) END, 6) "
             "AS novelty_fraction FROM j"
+        ),
+        "grouped_mann_kendall": (
+            # the mann_kendall oracle with every aggregate, pair join
+            # and tie count keyed by o_orderpriority
+            "WITH daily AS (SELECT o_orderpriority AS grp, "
+            "CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+            "AS BIGINT) AS cents FROM orders GROUP BY 1, 2), "
+            "sgn AS (SELECT a.grp, CAST(coalesce(sum(CAST(sign("
+            "CAST(b.cents - a.cents AS DOUBLE)) AS BIGINT)), 0) AS BIGINT) "
+            "AS s FROM daily a JOIN daily b "
+            "ON a.grp = b.grp AND a.day < b.day GROUP BY 1), "
+            "ties AS (SELECT grp, coalesce(sum(CAST(t AS DECIMAL(38,0)) * "
+            "(t - 1) * (2 * t + 5)), CAST(0 AS DECIMAL(38,0))) AS tie_term "
+            "FROM (SELECT grp, count(*) AS t FROM daily "
+            "GROUP BY grp, cents) GROUP BY 1), "
+            "nn AS (SELECT grp, count(*) AS n FROM daily GROUP BY 1), "
+            "v AS (SELECT nn.grp, n, s, CASE WHEN n >= 2 THEN "
+            "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) "
+            "- tie_term AS DOUBLE) / 18.0 END AS var_s "
+            "FROM nn JOIN sgn ON nn.grp = sgn.grp "
+            "JOIN ties ON nn.grp = ties.grp) "
+            "SELECT grp, CAST(n AS BIGINT) AS n_days, s AS s_stat, var_s, "
+            "CASE WHEN var_s > 0 THEN "
+            "CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s) "
+            "WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END AS z "
+            "FROM v ORDER BY grp"
         ),
         "mann_kendall_trend": (
             # same exact-integer S / tie-corrected variance / continuity

@@ -292,7 +292,11 @@ def theil_sen_slope(daily: DataFrame, value_col: str = "total") -> DataFrame:
     )
 
 
-def mann_kendall(daily: DataFrame, value_col: str = "total") -> DataFrame:
+def mann_kendall(
+    daily: DataFrame,
+    value_col: str = "total",
+    group_col: str | None = None,
+) -> DataFrame:
     """Mann-Kendall trend test over a daily frame, one digest row
     ``(n_days, s_stat, var_s, z)`` — the NONPARAMETRIC "is there a
     monotonic trend at all?" companion to :func:`theil_sen_slope`
@@ -310,26 +314,44 @@ def mann_kendall(daily: DataFrame, value_col: str = "total") -> DataFrame:
     are exact integers (DECIMAL(38,0) sums), converted ONCE to doubles
     in a fixed expression and emitted UNROUNDED — bit-identical in any
     engine (rounding exact-input doubles can CREATE cross-engine ties).
-    Extension — no reference counterpart.
+    With ``group_col`` the test runs PER GROUP over a
+    one-row-per-(group, day) frame (the grouped-operator contract this
+    module shares): pair join, tie groups and variance all key by the
+    group — per-source drift screening at the global digest's plan
+    shape.  Extension — no reference counterpart.
     """
+    gcols = [group_col] if group_col else []
     daily = daily.where(
         F.col("day").isNotNull() & F.col(value_col).isNotNull()
     )
-    a = daily.select(F.col("day").alias("d1"), F.col(value_col).alias("v1"))
-    b = daily.select(F.col("day").alias("d2"), F.col(value_col).alias("v2"))
+    if group_col:
+        daily = daily.where(F.col(group_col).isNotNull())
+    a = daily.select(
+        *gcols, F.col("day").alias("d1"), F.col(value_col).alias("v1")
+    )
+    b_cols = [F.col(group_col).alias("__g2")] if group_col else []
+    b = daily.select(
+        *b_cols, F.col("day").alias("d2"), F.col(value_col).alias("v2")
+    )
+    pair_cond = F.col("d1") < F.col("d2")
+    if group_col:
+        pair_cond = (F.col(group_col) == F.col("__g2")) & pair_cond
     s_frame = (
-        a.join(b, F.col("d1") < F.col("d2"))
+        a.join(b, pair_cond)
         .select(
+            *gcols,
             F.signum((F.col("v2") - F.col("v1")).cast("double"))
             .cast("long")
-            .alias("__sgn")
+            .alias("__sgn"),
         )
+        .groupBy(*gcols)
         .agg(F.coalesce(F.sum("__sgn"), F.lit(0)).alias("__s"))
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     ties = (
-        daily.groupBy(F.col(value_col).alias("__v"))
+        daily.groupBy(*gcols, F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*gcols)
         .agg(
             F.count(F.lit(1)).alias("__n_groups"),
             F.coalesce(
@@ -342,7 +364,7 @@ def mann_kendall(daily: DataFrame, value_col: str = "total") -> DataFrame:
             ).alias("__tie_term"),
         )
     )
-    n_frame = daily.agg(F.count(F.lit(1)).alias("__n"))
+    n_frame = daily.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__n"))
     n = F.col("__n")
     var_num = (
         d38(n) * (n - 1) * (2 * n + 5) - F.col("__tie_term")
@@ -355,15 +377,16 @@ def mann_kendall(daily: DataFrame, value_col: str = "total") -> DataFrame:
         .when(s < 0, (s + 1) / F.sqrt(var_s))
         .otherwise(F.lit(0.0)),
     )
-    return (
-        n_frame.crossJoin(s_frame)
-        .crossJoin(ties)
-        .select(
-            n.cast("bigint").alias("n_days"),
-            s.cast("bigint").alias("s_stat"),
-            var_s.alias("var_s"),
-            z.alias("z"),
-        )
+    if gcols:
+        combined = n_frame.join(s_frame, gcols).join(ties, gcols)
+    else:
+        combined = n_frame.crossJoin(s_frame).crossJoin(ties)
+    return combined.select(
+        *gcols,
+        n.cast("bigint").alias("n_days"),
+        s.cast("bigint").alias("s_stat"),
+        var_s.alias("var_s"),
+        z.alias("z"),
     )
 
 

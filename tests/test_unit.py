@@ -2085,6 +2085,35 @@ class TestMannKendall:
         # a clear upward trend must reject "no trend"
         assert got["z"] > 1.96
 
+    def test_grouped_equals_per_group_solo(self, spark):
+        import datetime as dt
+        import random
+
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.timeseries import mann_kendall
+
+        rng = random.Random(31)
+        base = dt.date(2024, 1, 1)
+        rows = [
+            (g, base + dt.timedelta(days=i),
+             100 + k * i + rng.randint(0, 20))
+            for k, g in enumerate(["flat", "drift"])
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "g string, day date, v long")
+        grouped = {
+            r["g"]: r
+            for r in mann_kendall(df, "v", group_col="g").collect()
+        }
+        for g in ("flat", "drift"):
+            solo = mann_kendall(
+                df.where(F.col("g") == g).drop("g"), "v"
+            ).first()
+            for fld in ("n_days", "s_stat", "var_s", "z"):
+                assert grouped[g][fld] == solo[fld], (g, fld)
+        assert abs(grouped["drift"]["z"]) > abs(grouped["flat"]["z"])
+
     def test_no_trend_and_degenerate(self, spark):
         import datetime as dt
 
