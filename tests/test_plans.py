@@ -828,3 +828,25 @@ def test_ngram_novelty_shuffles_hashes_not_text(spark):
     ex_lines = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex_lines, "expected hash exchanges for the distinct sets"
     assert all("text" not in ln for ln in ex_lines)
+
+
+def test_source_overlap_exchanges_carry_hashes_not_text(spark):
+    df = entrymod.q_source_overlap(spark, SF_DIR)
+    plan = _executed_plan(df)
+    ex_lines = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert ex_lines, "expected hash exchanges for the per-source sets"
+    assert all("text" not in ln for ln in ex_lines)
+
+
+def test_grouped_mann_kendall_pair_join_is_equi_on_group(spark):
+    # the pair condition (grp = grp2 AND d1 < d2) must resolve to an
+    # EQUI join on the group key (hash/sort-merge), never a nested-loop
+    # cross product over the daily frames
+    plan = _executed_plan(entrymod.q_grouped_mann_kendall(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
