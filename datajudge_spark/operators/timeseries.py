@@ -335,7 +335,37 @@ def mann_kendall(
     )
     pair_cond = F.col("d1") < F.col("d2")
     if group_col:
-        pair_cond = (F.col(group_col) == F.col("__g2")) & pair_cond
+        # the group key alone gives at most |groups| join partitions —
+        # a handful of segments would leave most executors idle on the
+        # quadratic pair work.  Standard salt split (side A hashes into
+        # n_salts subgroups, side B replicates): pure repartitioning of
+        # the same pair set, value-identical.
+        n_salts = 8
+        a = a.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("d1").cast("string")), F.lit(n_salts))
+            .cast("int"),
+        )
+        # explicit numPartitions: the pair join's INPUT bytes are tiny
+        # (a calendar-bounded frame) but its OUTPUT is quadratic — AQE's
+        # byte-based coalescing would merge the salted partitions back
+        # into one task; a user repartition with a fixed count is not
+        # coalescible, so the quadratic sgn work keeps its parallelism
+        a = a.repartition(
+            daily.sparkSession.sparkContext.defaultParallelism,
+            group_col,
+            "__salt",
+        )
+        b = b.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+        )
+        pair_cond = (
+            (F.col(group_col) == F.col("__g2"))
+            & (F.col("a.__salt") == F.col("b.__salt"))
+            & pair_cond
+        )
+        a, b = a.alias("a"), b.alias("b")
     s_frame = (
         a.join(b, pair_cond)
         .select(

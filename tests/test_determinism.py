@@ -190,3 +190,72 @@ class TestCusumChangepoint:
         assert got["cusum_max"] == pytest.approx(
             n * (hi - lo) / 4, rel=1e-12
         )
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_mann_kendall_partition_stable(spark, n_parts):
+    # exact integer S / decimal variance terms: the digest must be
+    # byte-identical under any partitioning
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), 100 + (i * 7) % 40)
+        for i in range(60)
+    ]
+    from datajudge_spark.operators.timeseries import mann_kendall
+
+    df = spark.createDataFrame(rows, "day date, v long").repartition(
+        n_parts
+    )
+    row = mann_kendall(df, "v").first()
+    # pinned values (naive Python recompute): identical at every
+    # partitioning
+    assert (row["n_days"], row["s_stat"]) == (60, 120)
+    ref = mann_kendall(
+        spark.createDataFrame(rows, "day date, v long"), "v"
+    ).first()
+    assert row == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_gumbel_fit_partition_stable(spark, n_parts):
+    import datetime as dt
+
+    from datajudge_spark.operators.timeseries import gumbel_return_level
+
+    base = dt.date(2023, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), 1000 + (i * 131) % 700)
+        for i in range(365)
+    ]
+    df = spark.createDataFrame(rows, "day date, v long")
+    ref = gumbel_return_level(df, "v", "month", (12,)).first()
+    got = gumbel_return_level(
+        df.repartition(n_parts), "v", "month", (12,)
+    ).first()
+    # decimal sufficient statistics: bit-identical doubles, no approx
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_ngram_novelty_partition_stable(spark, n_parts):
+    from datajudge_spark.pipeline.decontam import ngram_novelty
+
+    train = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} shared tail words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100 + i, f"w{i} w{i+1} w{i+2} novel part {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    ref = ngram_novelty(train, test, "doc_id", "text", 3).first()
+    got = ngram_novelty(
+        train.repartition(n_parts),
+        test.repartition(max(1, n_parts - 1)),
+        "doc_id",
+        "text",
+        3,
+    ).first()
+    assert got == ref
