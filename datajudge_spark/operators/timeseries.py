@@ -265,9 +265,15 @@ def theil_sen_slope(daily: DataFrame, value_col: str = "total") -> DataFrame:
     Extension — no reference counterpart; nearest relatives are
     ``trend_slope`` (OLS, __spark_entry__) and ``moving_stats``.
     """
-    from ..pipeline._util import materialize_once
+    from ..pipeline._util import materialize_once, spread
 
-    a = daily.select(F.col("day").alias("d1"), F.col(value_col).alias("v1"))
+    # spread the streamed side: the daily aggregate is byte-tiny, so
+    # AQE coalesces it to one partition and the quadratic slope work
+    # would run as ONE task (the cartesian's parallelism is the product
+    # of its inputs'); an explicit repartition is not coalescible
+    a = spread(
+        daily.select(F.col("day").alias("d1"), F.col(value_col).alias("v1"))
+    )
     b = daily.select(F.col("day").alias("d2"), F.col(value_col).alias("v2"))
     slope = (
         (F.col("v2") - F.col("v1")).cast("double")

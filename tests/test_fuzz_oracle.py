@@ -229,24 +229,34 @@ def test_fuzz_case(spark, duck, sdfs, case_idx):
         assert got == exp
 
     elif family == "percentile":
-        # no condition: the operator raises on an empty selection and
-        # null mixes already come from the table generator
         col = rng.choice(["i", "x", "s", "d"])
         p = rng.choice(
             [0.5, 10.0, 25.0, 50.0, 75.0, 90.0, 99.5, 100.0]
             + [rng.uniform(0.1, 99.9)]
         )
+        # numeric columns also fuzz the CONDITION path: an empty
+        # selection must raise on the Spark side exactly when the
+        # oracle's min(v) is NULL
+        pc = cond if col in ("i", "x") else None
+        nn_where = (
+            f"WHERE ({pc}) AND {col} IS NOT NULL"
+            if pc
+            else f"WHERE {col} IS NOT NULL"
+        )
         exp = duck.execute(
-            f"WITH nn AS (SELECT {col} AS v FROM {t1} "
-            f"WHERE {col} IS NOT NULL), "
+            f"WITH nn AS (SELECT {col} AS v FROM {t1} {nn_where}), "
             "h AS (SELECT v, count(*) AS c FROM nn GROUP BY v), "
             "cc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, "
             "sum(c) OVER () AS total FROM h) "
             f"SELECT min(v) FROM cc WHERE cum * 100 >= {p!r} * total"
         ).fetchone()[0]
         if col in ("i", "x"):
-            got, _ = get_percentile(spark, _ref(sdfs, t1, [col]), p)
-            assert got == pytest.approx(float(exp), abs=0)
+            try:
+                got, _ = get_percentile(spark, _ref(sdfs, t1, [col], pc), p)
+            except ValueError:
+                assert exp is None
+            else:
+                assert got == pytest.approx(float(exp), abs=0)
         else:
             got = exact_percentile_df(sdfs[t1], col, p).first()["value"]
             assert got == exp
