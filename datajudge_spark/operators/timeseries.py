@@ -460,22 +460,42 @@ def grouped_theil_sen(
         & F.col(value_col).isNotNull()
         & F.col(group_col).isNotNull()
     )
+    # salt + pinned repartition: the group key alone caps the quadratic
+    # pair work at |groups| tasks, and AQE's byte-based coalescing can
+    # merge even those into one (the join INPUT is calendar-tiny, the
+    # OUTPUT quadratic — the lesson the grouped Mann-Kendall probe
+    # measured).  A user repartition with an explicit count is not
+    # coalescible; the salt split is a pure repartitioning of the same
+    # pair set — value-identical.
+    n_salts = 8
     a = daily.select(
         F.col(group_col).alias("__g"),
         F.col("day").alias("d1"),
         F.col(value_col).alias("v1"),
+        F.pmod(F.xxhash64(F.col("day").cast("string")), F.lit(n_salts))
+        .cast("int")
+        .alias("__salt"),
+    ).repartition(
+        daily.sparkSession.sparkContext.defaultParallelism,
+        "__g",
+        "__salt",
     )
     b = daily.select(
         F.col(group_col).alias("__g"),
         F.col("day").alias("d2"),
         F.col(value_col).alias("v2"),
+    ).withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
     )
     slope = (
         (F.col("v2") - F.col("v1")).cast("double")
         / F.datediff(F.col("d2"), F.col("d1")).cast("double")
     )
-    slopes = a.join(b, "__g").where(F.col("d1") < F.col("d2")).select(
-        "__g", slope.alias("v")
+    slopes = (
+        a.join(b, ["__g", "__salt"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("__g", slope.alias("v"))
     )
     cnt_aliases = [f"c{i}" for i in range(len(groups))]
     hist = slopes.groupBy("v").agg(
