@@ -668,6 +668,23 @@ def q_grouped_mann_kendall(spark, sf_dir):
     return mann_kendall(daily, "cents", group_col="grp").orderBy("grp")
 
 
+def q_seasonal_mann_kendall(spark, sf_dir):
+    # Hirsch-Slack seasonal Mann-Kendall: trend tested WITHIN each
+    # day-of-week stratum and summed, so the weekly cycle neither masks
+    # a drift nor fakes one. 7x fewer pairs than the global test.
+    from datajudge_spark.operators.timeseries import (
+        daily_totals,
+        seasonal_mann_kendall,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
+    return seasonal_mann_kendall(daily, "cents")
+
+
 def q_source_overlap(spark, sf_dir):
     # corpus-lineage matrix: per source pair, shared distinct 3-gram
     # vocabulary + Jaccard — "which shards mirror each other?". Hashes
@@ -5302,6 +5319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_gumbel": q_streaming_gumbel,
         "source_overlap": q_source_overlap,
         "grouped_mann_kendall": q_grouped_mann_kendall,
+        "seasonal_mann_kendall": q_seasonal_mann_kendall,
     }
     missing = [k for k in _R7_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -6860,16 +6878,51 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT grp, count(*) AS t FROM daily "
             "GROUP BY grp, cents) GROUP BY 1), "
             "nn AS (SELECT grp, count(*) AS n FROM daily GROUP BY 1), "
-            "v AS (SELECT nn.grp, n, s, CASE WHEN n >= 2 THEN "
+            "v AS (SELECT nn.grp, n, coalesce(s, 0) AS s, "
+            "CASE WHEN n >= 2 THEN "
             "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) "
             "- tie_term AS DOUBLE) / 18.0 END AS var_s "
-            "FROM nn JOIN sgn ON nn.grp = sgn.grp "
+            "FROM nn LEFT JOIN sgn ON nn.grp = sgn.grp "
             "JOIN ties ON nn.grp = ties.grp) "
             "SELECT grp, CAST(n AS BIGINT) AS n_days, s AS s_stat, var_s, "
             "CASE WHEN var_s > 0 THEN "
             "CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s) "
             "WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END END AS z "
             "FROM v ORDER BY grp"
+        ),
+        "seasonal_mann_kendall": (
+            # per-day-of-week strata (labels differ between engines —
+            # Spark 1..7 vs DuckDB 0..6 — but only the PARTITION
+            # matters; the statistics sum over strata), then the same
+            # exact-integer S / variance arithmetic
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) "
+            "AS BIGINT) AS cents FROM orders GROUP BY 1), "
+            "st AS (SELECT dayofweek(day) AS h, day, cents FROM daily), "
+            "sgn AS (SELECT a.h, CAST(coalesce(sum(CAST(sign("
+            "CAST(b.cents - a.cents AS DOUBLE)) AS BIGINT)), 0) AS BIGINT) "
+            "AS s FROM st a JOIN st b "
+            "ON a.h = b.h AND a.day < b.day GROUP BY 1), "
+            "ties AS (SELECT h, coalesce(sum(CAST(t AS DECIMAL(38,0)) * "
+            "(t - 1) * (2 * t + 5)), CAST(0 AS DECIMAL(38,0))) AS tie_term "
+            "FROM (SELECT h, count(*) AS t FROM st GROUP BY h, cents) "
+            "GROUP BY 1), "
+            "nn AS (SELECT h, count(*) AS n FROM st GROUP BY 1), "
+            "per AS (SELECT nn.h, n, coalesce(s, 0) AS s, "
+            "CASE WHEN n >= 2 THEN "
+            "CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) "
+            "- tie_term AS DOUBLE) / 18.0 ELSE 0.0 END AS var_s "
+            "FROM nn LEFT JOIN sgn ON nn.h = sgn.h "
+            "JOIN ties ON nn.h = ties.h), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_days, "
+            "CAST(count(*) AS BIGINT) AS n_seasons, "
+            "CAST(sum(s) AS BIGINT) AS s_stat, "
+            "sum(var_s) AS var_s FROM per) "
+            "SELECT n_days, n_seasons, s_stat, var_s, "
+            "CASE WHEN var_s > 0 THEN "
+            "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+            "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) "
+            "ELSE 0.0 END END AS z FROM tot"
         ),
         "mann_kendall_trend": (
             # same exact-integer S / tie-corrected variance / continuity

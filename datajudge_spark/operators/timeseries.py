@@ -406,7 +406,9 @@ def mann_kendall(
         d38(n) * (n - 1) * (2 * n + 5) - F.col("__tie_term")
     ).cast("double")
     var_s = F.when(n >= 2, var_num / 18.0)
-    s = F.col("__s")
+    # LEFT join: a group with a single day has NO pair rows at all —
+    # it must still appear in the digest (S = 0, variance undefined)
+    s = F.coalesce(F.col("__s"), F.lit(0))
     z = F.when(
         var_s > 0,
         F.when(s > 0, (s - 1) / F.sqrt(var_s))
@@ -414,7 +416,7 @@ def mann_kendall(
         .otherwise(F.lit(0.0)),
     )
     if gcols:
-        combined = n_frame.join(s_frame, gcols).join(ties, gcols)
+        combined = n_frame.join(s_frame, gcols, "left").join(ties, gcols)
     else:
         combined = n_frame.crossJoin(s_frame).crossJoin(ties)
     return combined.select(
@@ -423,6 +425,49 @@ def mann_kendall(
         s.cast("bigint").alias("s_stat"),
         var_s.alias("var_s"),
         z.alias("z"),
+    )
+
+
+def seasonal_mann_kendall(
+    daily: DataFrame, value_col: str = "total"
+) -> DataFrame:
+    """Seasonal (Hirsch-Slack) Mann-Kendall over a daily frame, one
+    digest row ``(n_days, n_seasons, s_stat, var_s, z)``: the trend
+    test computed WITHIN each day-of-week stratum and summed —
+    ``S = Σ_h S_h``, ``Var = Σ_h Var_h`` — so a strong weekly cycle
+    neither masks a real drift nor manufactures a fake one (the plain
+    test compares Mondays against Sundays; this one never does).
+
+    Engine: :func:`mann_kendall` grouped by day-of-week (the pair join,
+    tie groups and variance all key by the stratum — 7x fewer pairs
+    than the global test), then one 7-row aggregate.  Degenerate strata
+    (n < 2) contribute zero pairs and zero variance.  Same exactness
+    contract: integer S, decimal variance terms, unrounded doubles.
+    Extension — no reference counterpart.
+    """
+    strat = daily.where(
+        F.col("day").isNotNull() & F.col(value_col).isNotNull()
+    ).withColumn("__dow", F.dayofweek("day"))
+    per = mann_kendall(strat, value_col, group_col="__dow")
+    n = F.sum("n_days")
+    s = F.sum("s_stat")
+    var = F.sum(F.coalesce(F.col("var_s"), F.lit(0.0)))
+    agg = per.agg(
+        n.cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        s.cast("bigint").alias("s_stat"),
+        var.alias("var_s"),
+    )
+    sc = F.col("s_stat")
+    vc = F.col("var_s")
+    z = F.when(
+        vc > 0,
+        F.when(sc > 0, (sc - 1) / F.sqrt(vc))
+        .when(sc < 0, (sc + 1) / F.sqrt(vc))
+        .otherwise(F.lit(0.0)),
+    )
+    return agg.select(
+        "n_days", "n_seasons", "s_stat", "var_s", z.alias("z")
     )
 
 

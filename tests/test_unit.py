@@ -2114,6 +2114,73 @@ class TestMannKendall:
                 assert grouped[g][fld] == solo[fld], (g, fld)
         assert abs(grouped["drift"]["z"]) > abs(grouped["flat"]["z"])
 
+    def test_seasonal_matches_naive_and_beats_plain_under_cycle(
+        self, spark
+    ):
+        import datetime as dt
+        import math
+
+        from datajudge_spark.operators.timeseries import (
+            mann_kendall,
+            seasonal_mann_kendall,
+        )
+
+        base = dt.date(2024, 1, 1)
+        # strong weekly cycle + a slow upward drift
+        vals = [1000 + (i % 7) * 500 + i for i in range(84)]
+        rows = [
+            (base + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "day date, v long")
+        got = seasonal_mann_kendall(df, "v").first()
+        # naive per-weekday recompute
+        strata: dict[int, list[int]] = {}
+        for i, v in enumerate(vals):
+            strata.setdefault(i % 7, []).append(v)
+        s_tot, var_tot = 0, 0.0
+        for vs in strata.values():
+            n = len(vs)
+            s_tot += sum(
+                (vs[j] > vs[i]) - (vs[j] < vs[i])
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            tie: dict[int, int] = {}
+            for v in vs:
+                tie[v] = tie.get(v, 0) + 1
+            term = sum(t * (t - 1) * (2 * t + 5) for t in tie.values())
+            var_tot += (n * (n - 1) * (2 * n + 5) - term) / 18.0
+        z = (s_tot - 1) / math.sqrt(var_tot)
+        assert got["n_days"] == 84 and got["n_seasons"] == 7
+        assert got["s_stat"] == s_tot
+        assert got["var_s"] == pytest.approx(var_tot, rel=1e-12)
+        assert got["z"] == pytest.approx(z, rel=1e-12)
+        # within each weekday the series is strictly increasing: the
+        # seasonal z must scream while the cycle dilutes the plain z
+        plain = mann_kendall(df, "v").first()
+        assert got["z"] > plain["z"]
+        assert got["z"] > 1.96
+
+    def test_grouped_single_day_group_kept(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import mann_kendall
+
+        base = dt.date(2024, 1, 1)
+        rows = [("solo", base, 5)] + [
+            ("many", base + dt.timedelta(days=i), 10 + i) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "g string, day date, v long")
+        got = {
+            r["g"]: r
+            for r in mann_kendall(df, "v", group_col="g").collect()
+        }
+        # a single-day group has no pairs but must still appear
+        assert got["solo"]["n_days"] == 1
+        assert got["solo"]["s_stat"] == 0
+        assert got["solo"]["var_s"] is None and got["solo"]["z"] is None
+        assert got["many"]["s_stat"] == 10
+
     def test_no_trend_and_degenerate(self, spark):
         import datetime as dt
 
