@@ -781,3 +781,86 @@ class TestGroupedOls2Property:
             pred = X @ beta
             r2 = 1.0 - float(((Y - pred) ** 2).sum()) / sst
             assert got["r2"] == pytest.approx(r2, abs=1e-4)
+
+
+class TestMannKendallProperties:
+    @staticmethod
+    def _df(spark, vals):
+        base = dt.date(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (base + dt.timedelta(days=i), int(v))
+                for i, v in enumerate(vals)
+            ],
+            "day date, v long",
+        )
+
+    @given(
+        vals=st.lists(st.integers(-50, 50), min_size=3, max_size=40),
+        shift=st.integers(-1000, 1000),
+    )
+    @settings(**SETTINGS)
+    def test_shift_invariant_and_reversal_antisymmetric(
+        self, spark, vals, shift
+    ):
+        from datajudge_spark.operators.timeseries import mann_kendall
+
+        ref = mann_kendall(self._df(spark, vals), "v").first()
+        # S is a rank statistic: adding a constant changes nothing
+        shifted = mann_kendall(
+            self._df(spark, [v + shift for v in vals]), "v"
+        ).first()
+        assert shifted == ref
+        # reversing time negates S; tie structure (hence Var) unchanged
+        rev = mann_kendall(self._df(spark, vals[::-1]), "v").first()
+        assert rev["s_stat"] == -ref["s_stat"]
+        assert rev["var_s"] == ref["var_s"]
+
+    @given(vals=st.lists(st.integers(-40, 40), min_size=3, max_size=30))
+    @settings(**SETTINGS)
+    def test_monotone_transform_invariant(self, spark, vals):
+        from datajudge_spark.operators.timeseries import mann_kendall
+
+        ref = mann_kendall(self._df(spark, vals), "v").first()
+        # any strictly increasing map preserves every pairwise order
+        # AND the tie groups, so the whole digest is identical
+        mapped = mann_kendall(
+            self._df(spark, [3 * v + 7 for v in vals]), "v"
+        ).first()
+        assert mapped == ref
+
+
+class TestNgramNoveltyProperties:
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from("abcdefgh"), min_size=3, max_size=8
+            ).map(lambda ws: " ".join(ws)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_self_novelty_zero_disjoint_novelty_one(self, spark, texts):
+        from datajudge_spark.pipeline.decontam import ngram_novelty
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        self_row = ngram_novelty(df, df, "doc_id", "text", 3).first()
+        assert self_row["n_shared"] == self_row["n_test_ngrams"]
+        assert (
+            self_row["novelty_fraction"] == 0.0
+            or self_row["n_test_ngrams"] == 0
+        )
+        # disjoint vocabulary: everything novel
+        disjoint = spark.createDataFrame(
+            [(100 + i, t.upper().replace(" ", "X ") + "Z")
+             for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        row = ngram_novelty(df, disjoint, "doc_id", "text", 3).first()
+        if row["n_test_ngrams"] > 0:
+            assert row["n_shared"] == 0
+            assert row["novelty_fraction"] == 1.0
