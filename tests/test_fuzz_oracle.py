@@ -50,7 +50,7 @@ from datajudge_spark.sources import ExpressionDataSource
 
 SEED = 20260815
 N_TABLES = 6
-N_CASES = 300
+N_CASES = 322
 
 _WORDS = ["alpha", "beta", "gamma", "héllo", "日本語", "zz", "a", ""]
 _EPOCH = dt.date(2019, 1, 1)
@@ -147,6 +147,7 @@ _FAMILIES = [
     "duplicates",
     "group_agg",
     "join_agg",
+    "grouped_percentile",
 ]
 
 
@@ -359,6 +360,49 @@ def test_fuzz_case(spark, duck, sdfs, case_idx):
             assert row["sx"] == sx
         else:
             assert math.isclose(row["sx"], sx, rel_tol=0, abs_tol=1e-9)
+
+    elif family == "grouped_percentile":
+        # per-group exact percentile: the group-partitioned cumulative
+        # must apply the same canonical acceptance form per group;
+        # NULL groups form their own group in both engines
+        from datajudge_spark.operators.scalars import (
+            grouped_exact_percentile,
+        )
+
+        col = rng.choice(["i", "x"])
+        p = rng.choice(
+            [0.5, 25.0, 50.0, 75.0, 99.5, 100.0]
+            + [rng.uniform(0.1, 99.9)]
+        )
+        ref = _ref(sdfs, t1, None, cond)
+        key = lambda t: (t[0] is None, t[0] or "")  # noqa: E731
+        got = sorted(
+            [
+                (r["grp"], r["value"])
+                for r in grouped_exact_percentile(
+                    ref.get_selection(spark), "g", col, p
+                ).collect()
+            ],
+            key=key,
+        )
+        nn_where = (
+            f"WHERE ({cond}) AND {col} IS NOT NULL"
+            if cond
+            else f"WHERE {col} IS NOT NULL"
+        )
+        exp = sorted(
+            duck.execute(
+                f"WITH nn AS (SELECT g, {col} AS v FROM {t1} {nn_where}), "
+                "h AS (SELECT g, v, count(*) AS c FROM nn GROUP BY g, v), "
+                "cc AS (SELECT g, v, sum(c) OVER (PARTITION BY g "
+                "ORDER BY v) AS cum, sum(c) OVER (PARTITION BY g) "
+                "AS total FROM h) "
+                f"SELECT g, min(v) FROM cc "
+                f"WHERE cum * 100 >= {p!r} * total GROUP BY g"
+            ).fetchall(),
+            key=key,
+        )
+        assert got == exp
 
     else:  # pragma: no cover
         raise AssertionError(family)
