@@ -2882,6 +2882,67 @@ def q_streaming_gumbel(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_streaming_grouped_gumbel(spark, sf_dir):
+    """Thirteenth streaming contract query: PER-SOURCE incremental
+    extreme-value tracking.  State keys by (event_type, day) — running
+    daily maxima per source, O(|groups|·|days|) rows; the drained state
+    equals the batch per-source block maxima exactly (MAX associative),
+    and the per-group Gumbel fit of the drained state hash-equals the
+    batch digest."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.operators.timeseries import (
+        gumbel_fit_from_maxima,
+    )
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stream_parquet_like,
+        streaming_block_maxima,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_ggum_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    maxima = streaming_block_maxima(
+        ev.select(F.col("ts"), F.col("event_type"), cents.alias("cents")),
+        "ts",
+        "cents",
+        block="day",
+        group_col="event_type",
+    )
+    qname = f"stream_ggum_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            maxima.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    state = spark.table(qname)
+    out_df = gumbel_fit_from_maxima(
+        state, "m", (30,), group_cols=["event_type"]
+    ).orderBy("event_type")
+    rows = out_df.collect()
+    schema = out_df.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
+
+
 def q_gumbel_return_level(spark, sf_dir):
     # extreme-value gate: Gumbel fit over monthly maxima of daily
     # revenue, with 1-year and 5-year return levels — "is this spike
@@ -5320,6 +5381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "grouped_mann_kendall": q_grouped_mann_kendall,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
+        "streaming_grouped_gumbel": q_streaming_grouped_gumbel,
     }
     missing = [k for k in _R7_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -5538,6 +5600,51 @@ def _events_gumbel_sql(return_periods=(12, 60)) -> str:
         "CASE WHEN ok THEN mu END AS mu, "
         "CASE WHEN ok THEN beta END AS beta, "
         f"{rl_cols} FROM g2"
+    )
+
+
+def _grouped_events_gumbel_sql(return_periods=(30,)) -> str:
+    """DuckDB mirror of q_streaming_grouped_gumbel's drained digest —
+    the batch per-event-type Gumbel fit over DAILY maxima of raw event
+    values (per-group MAX state is associative)."""
+    import math
+
+    from datajudge_spark.operators.timeseries import EULER_GAMMA
+
+    sqrt6 = repr(math.sqrt(6.0))
+    pi = repr(math.pi)
+    rl_cols = ", ".join(
+        "CASE WHEN ok THEN mu - beta * "
+        f"({repr(math.log(-math.log(1.0 - 1.0 / t)))}) END AS rl_{t}"
+        for t in return_periods
+    )
+    return (
+        "WITH base AS (SELECT event_type, ts, "
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "AND event_type IS NOT NULL), "
+        "blocks AS (SELECT event_type, date_trunc('day', ts) AS b, "
+        "max(cents) AS m FROM base GROUP BY 1, 2), "
+        "suff AS (SELECT event_type, "
+        "CAST(count(*) AS DECIMAL(38,0)) AS n, "
+        "sum(CAST(m AS DECIMAL(38,0))) AS s, "
+        "sum(CAST(CAST(m AS DECIMAL(19,0)) * m AS DECIMAL(38,0))) AS ss, "
+        "CAST(max(m) AS BIGINT) AS max_observed FROM blocks GROUP BY 1), "
+        "fit AS (SELECT event_type, CAST(n AS BIGINT) AS n_blocks, "
+        "max_observed, "
+        "n >= 2 AND CAST(n * ss - s * s AS DOUBLE) > 0 AS ok, "
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+        "sqrt(CAST(n * ss - s * s AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd "
+        "FROM suff), "
+        "g AS (SELECT event_type, n_blocks, max_observed, ok, mean, "
+        f"sd * {sqrt6} / {pi} AS beta FROM fit), "
+        "g2 AS (SELECT event_type, n_blocks, max_observed, ok, "
+        f"mean - {repr(EULER_GAMMA)} * beta AS mu, beta FROM g) "
+        "SELECT event_type, n_blocks, max_observed, "
+        "CASE WHEN ok THEN mu END AS mu, "
+        "CASE WHEN ok THEN beta END AS beta, "
+        f"{rl_cols} FROM g2 ORDER BY event_type"
     )
 
 
@@ -7838,6 +7945,7 @@ def oracle_sql() -> dict[str, str]:
         "gumbel_return_level": _gumbel_sql((12, 60)),
         "grouped_return_level": _grouped_gumbel_sql((12, 60)),
         "streaming_gumbel": _events_gumbel_sql((12, 60)),
+        "streaming_grouped_gumbel": _grouped_events_gumbel_sql((30,)),
         "grouped_acf": (
             # the acf_daily oracle with every aggregate, pair join and
             # window keyed by o_orderpriority; lags 1..7

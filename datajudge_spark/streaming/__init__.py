@@ -384,6 +384,7 @@ def streaming_block_maxima(
     ts_col: str,
     value_col: str,
     block: str = "month",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Incremental extreme-value state: per-``block`` running MAX of
     ``value_col`` over an unbounded stream, COMPLETE output mode.
@@ -398,12 +399,18 @@ def streaming_block_maxima(
     .gumbel_return_level` of the same rows.  The capacity-planning gate
     ("is today's spike the expected annual extreme?") kept current per
     micro-batch with O(|blocks|) state, no watermark, no row buffering.
+    With ``group_col`` the state keys by (group, block) — per-source
+    tail tracking at O(|groups|·|blocks|) state; fit the drained state
+    with ``gumbel_fit_from_maxima(group_cols=[group_col])``.
     """
     nn = stream_df.where(
         F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     )
+    gcols = [group_col] if group_col else []
+    if group_col:
+        nn = nn.where(F.col(group_col).isNotNull())
     return nn.groupBy(
-        F.date_trunc(block, F.col(ts_col)).alias("block")
+        *gcols, F.date_trunc(block, F.col(ts_col)).alias("block")
     ).agg(F.max(value_col).alias("m"))
 
 
