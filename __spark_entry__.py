@@ -6951,7 +6951,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2) "
             "SELECT src_a, src_b, n_shared, "
             "round(n_shared * 1.0 / (ta.t + tb.t - n_shared), 6) "
-            "AS jaccard FROM pairs "
+            "AS jaccard, "
+            "round(n_shared * 1.0 / ta.t, 6) AS containment_a, "
+            "round(n_shared * 1.0 / tb.t, 6) AS containment_b "
+            "FROM pairs "
             "JOIN tot ta ON src_a = ta.source "
             "JOIN tot tb ON src_b = tb.source "
             "ORDER BY n_shared DESC, src_a, src_b LIMIT 25"

@@ -163,6 +163,15 @@ def source_overlap(
                 / (F.col("_ta") + F.col("_tb") - F.col("n_shared")),
                 6,
             ).alias("jaccard"),
+            # containment is the DIRECTIONAL mirror signal jaccard
+            # dilutes: a small source fully swallowed by a big crawl
+            # has containment_a ~ 1 while jaccard stays small
+            F.round(F.col("n_shared") / F.col("_ta"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_shared") / F.col("_tb"), 6).alias(
+                "containment_b"
+            ),
         )
     )
 
