@@ -176,6 +176,62 @@ def source_overlap(
     )
 
 
+def per_source_novelty(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-source vocabulary novelty: for EVERY source, the fraction of
+    its distinct n-gram hashes that appear in NO other source —
+    ``(source, n_ngrams, n_shared_elsewhere, novelty_fraction)``.
+
+    The corpus-curation ranking ("which sources are redundant, which
+    carry unique content?") in ONE pass: the per-source distinct hash
+    sets feed a breadth count per hash (how many sources hold it), and
+    a hash is shared-elsewhere exactly when its breadth is >= 2 — no
+    per-source anti-join, no |sources|² work, just the same two
+    aggregates :func:`source_overlap` already builds.
+    """
+    from datajudge_spark.pipeline._util import spread
+    from datajudge_spark.pipeline.dedup import word_shingles
+
+    base = spread(
+        df.where(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+    ).select(
+        F.col(group_col).alias("_src"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("s"),
+    )
+    sets = materialize_once(
+        base.select("_src", md5_long("s").alias("h")).distinct()
+    )
+    breadth = sets.groupBy("h").agg(F.count(F.lit(1)).alias("_b"))
+    return (
+        sets.join(breadth, "h")
+        .groupBy(F.col("_src").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("_b") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_elsewhere"),
+        )
+        .select(
+            group_col,
+            "n_ngrams",
+            "n_shared_elsewhere",
+            F.round(
+                (F.col("n_ngrams") - F.col("n_shared_elsewhere"))
+                / F.col("n_ngrams"),
+                6,
+            ).alias("novelty_fraction"),
+        )
+    )
+
+
 def ngram_novelty(
     train: DataFrame,
     test: DataFrame,

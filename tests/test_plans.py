@@ -850,3 +850,13 @@ def test_grouped_mann_kendall_pair_join_is_equi_on_group(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_seasonal_mann_kendall_no_cross_product(spark):
+    # per-stratum pair work must ride the salted equi join, never a
+    # nested-loop cross product over the daily frames
+    plan = _executed_plan(entrymod.q_seasonal_mann_kendall(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

@@ -2247,6 +2247,29 @@ class TestSourceOverlap:
         )
 
 
+class TestPerSourceNovelty:
+    def test_unique_vs_redundant(self, spark):
+        from datajudge_spark.pipeline.decontam import per_source_novelty
+
+        rows = [
+            ("u", "totally unique content lives here"),
+            ("m1", "mirrored passage appears twice verbatim"),
+            ("m2", "mirrored passage appears twice verbatim"),
+        ]
+        df = spark.createDataFrame(rows, "src string, text string")
+        got = {
+            r["src"]: r
+            for r in per_source_novelty(df, "src", "text", 3).collect()
+        }
+        assert got["u"]["novelty_fraction"] == 1.0
+        assert got["m1"]["novelty_fraction"] == 0.0
+        assert got["m2"]["novelty_fraction"] == 0.0
+        assert got["u"]["n_shared_elsewhere"] == 0
+        assert (
+            got["m1"]["n_shared_elsewhere"] == got["m1"]["n_ngrams"]
+        )
+
+
 class TestNgramNovelty:
     def test_counts(self, spark):
         from datajudge_spark.pipeline.decontam import ngram_novelty
