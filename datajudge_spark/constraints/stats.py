@@ -3,13 +3,84 @@
 from __future__ import annotations
 
 import math
-import warnings
 
 from pyspark.sql import SparkSession
 
 from .. import operators as ops
 from ..reference import DataReference
 from .base import Constraint, TestResult
+
+
+def _ks_one_sample_cdf(d: float, n: int) -> float:
+    """P(D_n < d) for the one-sample Kolmogorov-Smirnov statistic,
+    evaluated EXACTLY via the Marsaglia-Tsang-Wang matrix construction
+    ('Evaluating Kolmogorov's Distribution', J. Stat. Software 8(18),
+    2003): K(n, d) = n!/n^n * (H^n)[k-1][k-1] for the (2k-1)x(2k-1)
+    matrix H built from k = ceil(n*d) and h = k - n*d.
+
+    This is the same distribution ``scipy.stats.kstwo`` evaluates, so
+    small-sample p-values match the reference's optional-scipy path
+    without a scipy dependency (reference stats.py:25-54 warns and
+    returns None below n=35).  Validated in tests against Steck's
+    determinant formula in exact rational arithmetic.
+    """
+    import numpy as np
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if d <= 1.0 / (2.0 * n):
+        return 0.0  # D_n >= 1/(2n) always
+    if d >= 1.0:
+        return 1.0
+    if n * d * d >= 18.37:
+        return 1.0  # tail beyond double resolution (MTW short-circuit)
+    k = int(math.ceil(n * d))
+    m = 2 * k - 1
+    h = k - n * d
+    H = np.zeros((m, m))
+    for i in range(m):
+        for j in range(m):
+            if i - j + 1 >= 0:
+                H[i, j] = 1.0
+    for i in range(m):
+        H[i, 0] -= h ** (i + 1)
+        H[m - 1, i] -= h ** (m - i)
+    if 2.0 * h - 1.0 > 0.0:
+        H[m - 1, 0] += (2.0 * h - 1.0) ** m
+    for i in range(m):
+        for j in range(m):
+            if i - j + 1 > 0:
+                for g in range(2, i - j + 2):
+                    H[i, j] /= g
+    # H^n by repeated squaring with decimal-exponent rescaling so the
+    # entries never overflow (MTW rescale at 1e140)
+    def _scale(mat, exp):
+        mx = abs(mat).max()
+        if mx > 1e140:
+            mat = mat / 1e140
+            exp += 140
+        return mat, exp
+
+    power, p_exp = np.eye(m), 0
+    base, b_exp = H, 0
+    e = n
+    while e:
+        if e & 1:
+            power = power @ base
+            p_exp += b_exp
+            power, p_exp = _scale(power, p_exp)
+        base = base @ base
+        b_exp *= 2
+        base, b_exp = _scale(base, b_exp)
+        e >>= 1
+    t = power[k - 1, k - 1]
+    # multiply by n!/n^n incrementally, rescaling out of the underflow
+    for i in range(1, n + 1):
+        t *= i / n
+        if t < 1e-140:
+            t *= 1e140
+            p_exp -= 140
+    return float(min(max(t * 10.0 ** p_exp, 0.0), 1.0))
 
 
 class KolmogorovSmirnov2Sample(Constraint):
@@ -33,23 +104,26 @@ class KolmogorovSmirnov2Sample(Constraint):
     ) -> float | None:
         """Approximate p-value per 'A procedure to find exact critical values
         of Kolmogorov-Smirnov Test' (Fachinetti, 2009); quasi-exact via scipy
-        ``kstwo`` when available (reference stats.py:25-54)."""
+        ``kstwo`` when available (reference stats.py:25-54).
+
+        Below 35 samples the reference warns and returns None (its
+        asymptotic fallback is unusable there); here the exact
+        Marsaglia-Tsang-Wang evaluation of the same ``kstwo``
+        distribution covers that range with no scipy dependency, so
+        small samples get a real p-value and no warning.
+        """
         samples = min(n_samples, m_samples)
-        if samples < 35:
-            warnings.warn(
-                "Approximating the p-value is not accurate enough for "
-                "sample size < 35"
-            )
-            return None
+        en = round((n_samples * m_samples) / (n_samples + m_samples))
         try:
             from scipy.stats.distributions import kstwo
 
-            approx_p = kstwo.sf(
-                d, round((n_samples * m_samples) / (n_samples + m_samples))
-            )
+            approx_p = kstwo.sf(d, en)
         except ModuleNotFoundError:
-            d_alpha = d * math.sqrt(samples)
-            approx_p = 2 * math.exp(-(d_alpha**2))
+            if samples < 35:
+                approx_p = 1.0 - _ks_one_sample_cdf(d, max(int(en), 1))
+            else:
+                d_alpha = d * math.sqrt(samples)
+                approx_p = 2 * math.exp(-(d_alpha**2))
         return 1.0 if approx_p > 1.0 else 0.0 if approx_p < 0.0 else approx_p
 
     @staticmethod

@@ -83,17 +83,17 @@ def get_cross_cdf(
         F.sum("__dj_n1").alias("__dj_n1"), F.sum("__dj_n2").alias("__dj_n2")
     )
     dtype = dict(hist.dtypes)["v"]
+    # date/timestamp deliberately take the repartitionByRange path below:
+    # the bucketed construction's degenerate check and linear fallback do
+    # float arithmetic on the bounds (invalid for temporal values), while
+    # the range-partition variant orders ANY orderable type.
     numeric = dtype in (
-        "tinyint", "smallint", "int", "bigint", "float", "double", "date",
-        "timestamp",
+        "tinyint", "smallint", "int", "bigint", "float", "double",
     ) or dtype.startswith("decimal")
     if numeric:
-        from ..pipeline._util import materialize_once
-
-        # persisted at the caller so the totals action and the helper's
-        # three consumers (sketch probe, offsets, windowed cums) all
-        # read the same cached blocks
-        hist = materialize_once(hist)
+        # no persist here: _bucketed_global_cums owns the single persist
+        # of this histogram; the totals agg below is one cheap scan of
+        # the raw plan before the helper caches it
         tot = hist.agg(
             F.sum("__dj_n1").alias("t1"), F.sum("__dj_n2").alias("t2")
         ).first()

@@ -199,6 +199,28 @@ class TestCrossCdfGolden:
             assert c1 == pytest.approx(ec1)
             assert c2 == pytest.approx(ec2)
 
+    def test_cross_cdf_and_ks_on_dates(self, spark, date_table1, date_table2):
+        """Temporal columns must route through the orderable
+        range-partition path — the bucketed numeric path does float()
+        arithmetic on the bounds, invalid for datetime values
+        (regression: round-7 ADVICE)."""
+        ref1 = make_ref(date_table1, "d1", ["col_date"])
+        ref2 = make_ref(date_table2, "d2", ["col_date"])
+        filled, l1, l2 = get_cross_cdf(spark, ref1, ref2)
+        rows = sorted((r["val"], r[l1], r[l2]) for r in filled.collect())
+        # samples are days 1..19 vs 2..19: cdf1 = k/19, cdf2 = (k-1)/18
+        assert len(rows) == 19
+        for k, (_, c1, c2) in enumerate(rows, start=1):
+            assert c1 == pytest.approx(k / 19)
+            assert c2 == pytest.approx(max(k - 1, 0) / 18)
+        d, _ = get_ks_2sample(spark, ref1, ref2)
+        assert d == pytest.approx(1 / 19)
+
+    def test_ks_constraint_on_dates(self, spark, date_table1, date_table2):
+        req = between_req(date_table1, date_table2, "d1", "d2")
+        req.add_ks_2sample_constraint("col_date", "col_date")
+        assert outcomes(req, spark) == [True]
+
     def test_ks_identical_samples(self, spark, int_table1):
         ref1 = make_ref(int_table1, "t1", ["col_int"])
         ref2 = make_ref(int_table1, "t1b", ["col_int"])
