@@ -5077,90 +5077,332 @@ def q_js_divergence(spark, sf_dir):
     )
 
 
+def q_anderson_darling(spark, sf_dir):
+    # tail-sensitive two-sample test (Scholz-Stephens A² for k=2)
+    # between click and view value distributions on the exact cents
+    # domain — the rank-statistic companion that weights the CDF gap by
+    # 1/(B(N-B)), so tail disagreement the KS sup misses still fires.
+    # Plan: one union-histogram shuffle + the shared bucket-partitioned
+    # cumulative (no global window at any cardinality); DECIMAL-exact
+    # numerators make the digest engine-reproducible.
+    from datajudge_spark.operators.stats import rank_2sample_tests
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select(
+        _cents("value").alias("c")
+    )
+    b = ev.where(F.col("event_type") == "view").select(
+        _cents("value").alias("c")
+    )
+    return rank_2sample_tests(a, b, "c", "c").select(
+        "n1", "n2", F.round("ad", 6).alias("ad")
+    )
+
+
+def q_cramer_von_mises(spark, sf_dir):
+    # integral-squared two-sample test (Anderson 1962, tie-weighted)
+    # between click and purchase value distributions — completes the
+    # drift family: PSI (binned log-ratio), KS (sup), EMD (L1 of CDF
+    # gap), AD (tail-weighted L2), CvM (plain L2).  Same single-shuffle
+    # bucketed-cumulative plan as anderson_darling.
+    from datajudge_spark.operators.stats import rank_2sample_tests
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select(
+        _cents("value").alias("c")
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        _cents("value").alias("c")
+    )
+    return rank_2sample_tests(a, b, "c", "c").select(
+        "n1", "n2", F.round("cvm", 6).alias("cvm")
+    )
+
+
+def q_cross_cdf_dates(spark, sf_dir):
+    # cross-CDF on a TEMPORAL column (order dates of high- vs
+    # low-priority orders) — the driver row for the round-8 regression
+    # fix: date/timestamp route through the repartitionByRange variant
+    # of the offset construction (float bucket arithmetic is invalid on
+    # datetimes).  Digest = per-month tail of the joint CDF.
+    from datajudge_spark.operators.stats import get_cross_cdf
+    from datajudge_spark.reference import DataReference
+    from datajudge_spark.sources import ExpressionDataSource
+
+    orders = _t(spark, sf_dir, "orders")
+    ref1 = DataReference(
+        ExpressionDataSource(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"), "o_hi"
+        ),
+        ["o_orderdate"],
+    )
+    ref2 = DataReference(
+        ExpressionDataSource(
+            orders.where(F.col("o_orderpriority") == "5-LOW"), "o_lo"
+        ),
+        ["o_orderdate"],
+    )
+    filled, c1, c2 = get_cross_cdf(spark, ref1, ref2)
+    # compact digest: last value per month (the monthly joint-CDF curve)
+    monthly = (
+        filled.groupBy(
+            F.date_trunc("month", "val").cast("date").alias("month")
+        )
+        .agg(
+            F.max_by(F.round(F.col(c1), 6), F.col("val")).alias("cdf1"),
+            F.max_by(F.round(F.col(c2), 6), F.col("val")).alias("cdf2"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .orderBy("month")
+    )
+    return monthly
+
+
+def q_zipf_slope(spark, sf_dir):
+    # corpus-health gate on the HEAD of the token distribution: OLS
+    # slope of ln(freq) on ln(rank) over the top-500 tokens (natural
+    # text ~ -1; flat = boilerplate domination, cliff = looping
+    # vocabulary).  Explode -> hash-agg -> TakeOrderedAndProject top-N
+    # (per-partition heaps, deterministic (count DESC, token ASC)
+    # boundary) -> closed-form OLS over the bounded frame.
+    from datajudge_spark.pipeline.text import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs, "text", top_n=500)
+
+
+def q_contrastive_negatives(spark, sf_dir):
+    # deterministic negative sampling for contrastive training: for the
+    # five lowest vec_ids, four md5-argmin negatives each with a
+    # DIFFERENT label — RNG-free, auditable, identical across engines
+    # and runs.  Broadcast (q, label, draw) spec onto the corpus;
+    # map-side partial min_by keeps the shuffle at one candidate per
+    # (q, draw) per task.
+    from datajudge_spark.pipeline.sampling import contrastive_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [r["vec_id"] for r in
+            emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    return contrastive_negatives(emb, "vec_id", "label", qids, 4)
+
+
+def q_multimodal_decode_real(spark, sf_dir):
+    # REAL image decode golden (VERDICT r7 item 7): committed fixture
+    # bytes (2 hand-built PNGs, a 24bpp BMP, a P6 PNM, one corrupt
+    # payload) flow through the SAME Arrow mapInPandas plumbing as the
+    # corpus decode (pipeline.multimodal.decode_image_meta); the oracle
+    # is the hard-coded truth (dimensions + payload md5) of those bytes.
+    # When Pillow is present the test suite cross-checks this parser
+    # against it (tests/test_pipeline.py).
+    import os
+
+    from datajudge_spark.pipeline.multimodal import decode_image_meta
+
+    fix_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "images",
+    )
+    rows = []
+    for i, name in enumerate(sorted(os.listdir(fix_dir))):
+        with open(os.path.join(fix_dir, name), "rb") as fh:
+            rows.append((i, name, bytearray(fh.read())))
+    media = spark.createDataFrame(
+        rows, "doc_id long, name string, payload binary"
+    )
+    meta = decode_image_meta(media.select("doc_id", "payload"))
+    return (
+        media.select("doc_id", "name", F.md5("payload").alias("payload_md5"))
+        .join(meta, "doc_id")
+        .select("name", "n_bytes", "width", "height", "mode", "payload_md5")
+        .orderBy("name")
+    )
+
+
+def q_streaming_late_data(spark, sf_dir):
+    """14th streaming contract query — LATE and OUT-OF-ORDER arrival
+    (VERDICT r7 item 3).  The events table is split into three files
+    arriving as three CONSECUTIVE availableNow drains over one shared
+    checkpoint (the production incremental-ingest shape; within a
+    single availableNow run Spark 4.1 plans every batch against the
+    run's STARTING watermark, so cross-run recovery is what actually
+    exercises the filter): (1) all rows except a held-back slice,
+    (2) the final days plus the held-back slice arriving LATE but
+    within the 3-day watermark, (3) a duplicate re-send of an old day
+    arriving BEYOND the watermark.  Update-mode emissions folded by
+    max(n) must equal the plain batch GROUP BY: within-watermark late
+    rows are counted exactly once, beyond-watermark re-sends are
+    dropped — the two guarantees a 100 TB streaming ingest needs from
+    event-time processing."""
+    import os
+    import tempfile
+
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_all = normalize_event_time(batch_like).withColumn(
+        "event_ts", F.col("ts").cast("timestamp")
+    )
+    bounds = ev_all.agg(
+        F.max(F.col("event_ts").cast("date")).alias("mx")
+    ).first()
+    max_day = bounds["mx"]
+    # deterministic slices by event day (D = max_day):
+    #   file 1: day <= D-3, EXCEPT a held-back slice of day D-3
+    #           (event_id % 5 == 0)
+    #   file 2: days D-2..D  +  the held-back D-3 slice (late, within
+    #           the 3-day watermark)
+    #   file 3: re-send of ALL day D-6 rows (beyond watermark -> must
+    #           be dropped, else that day double-counts)
+    day = F.col("event_ts").cast("date")
+    d3 = F.date_sub(F.lit(max_day), 3)
+    d6 = F.date_sub(F.lit(max_day), 6)
+    held = (day == d3) & (F.col("event_id") % 5 == 0)
+    f1 = ev_all.where((day <= d3) & ~held)
+    f2 = ev_all.where((day > d3) | held)
+    f3 = ev_all.where(day == d6)
+    base_dir = tempfile.mkdtemp(prefix="djs_stream_late_")
+    stream_dir = os.path.join(base_dir, "in")
+    ckpt_dir = os.path.join(base_dir, "ckpt")
+    os.makedirs(stream_dir)
+    staged = []
+    for i, part in enumerate([f1, f2, f3]):
+        sub = os.path.join(base_dir, f"gen{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(sub)
+        src = next(
+            f for f in os.listdir(sub) if f.endswith(".parquet")
+        )
+        staged.append((os.path.join(sub, src),
+                       os.path.join(stream_dir, f"batch-{i}.parquet")))
+    written = spark.read.parquet(staged[0][0])
+    # one checkpointed availableNow drain per arriving file; the
+    # foreachBatch sink collects every update-mode emission (tiny:
+    # only keys whose count changed in that batch).  State — including
+    # the watermark — recovers from the checkpoint between drains.
+    emitted = []
+
+    def _sink(batch_df, _bid):
+        emitted.extend(
+            batch_df.select(
+                F.col("window_start").cast("date").alias("day"),
+                "event_type",
+                "n_rows",
+            ).collect()
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for src, dst in staged:
+            os.rename(src, dst)
+            ev = spark.readStream.schema(written.schema).parquet(stream_dir)
+            out = windowed_counts(
+                ev,
+                "event_ts",
+                window_duration="1 day",
+                watermark_delay="3 days",
+                group_cols=["event_type"],
+            )
+            query = (
+                out.writeStream.foreachBatch(_sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # update mode re-emits a key each time its count grows; the final
+    # value per key is the max across all drains.
+    final: dict = {}
+    for r in emitted:
+        k = (r["day"], r["event_type"])
+        final[k] = max(final.get(k, 0), r["n_rows"])
+    return spark.createDataFrame(
+        [(d, t, n) for (d, t), n in sorted(final.items())],
+        "day date, event_type string, n_rows bigint",
+    )
+
+
 #: ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys
 #: of queries() only.  The window below is the single source of truth —
 #: queries() reorders itself from it, so this list IS the gate.
-#: Round-7 window = the 37 mandatory slots from ROUNDLOG's round-6
-#: bookkeeping (9 deferred r2-cohort sentinels + every query that has
-#: never had a driver row: the 10 post-rotation and 8 third-session
-#: round-6 additions, the 5 post-close additions, q10_returned_items'
-#: first non-vacuous row, and the refactor re-rows winsorized_mean /
-#: mutual_information / chi_squared) + round-7 additions + r3-cohort
-#: sentinels (incl. mixture_weights, the one >1.3x bench regression to
-#: watch).
-#: After this round every query's latest driver row is r3+ and rotation
-#: becomes free-choice regression signal.  Every entry stays green in
-#: the local replica of the driver gate (tests/test_entry_oracle.py,
-#: run at sf0.001 AND sf0.01), which has predicted the driver verdict
-#: exactly every round.
-_R7_WINDOW = [
-    # -- 9 r2-cohort sentinels deferred from round 6 --
-    "ann_topk_ivf",
-    "broadcast_join_agg",
-    "dedup_jaccard",
-    "decontaminate_ngram",
-    "embedding_similar_pairs",
-    "interval_overlap",
-    "null_fraction",
-    "regex_violations",
-    "sample_stratified",
-    # -- 10 post-rotation round-6 additions (never driver-checked) --
-    "weighted_sample",
-    "grouped_heavy_hitters",
-    "density_core_points",
-    "streaming_psi_buckets",
-    "vocab_stats",
-    "q8_market_share",
-    "bm25_topk",
-    "grouped_ols_trend",
-    "hybrid_rrf_topk",
-    "streaming_zscore",
-    # -- 8 third-session round-6 additions (never driver-checked) --
-    "acf_daily",
-    "k_anonymity",
-    "bootstrap_ci_mean",
-    "streaming_left_join",
-    "theils_u",
-    "cramers_v",
-    "graph_assortativity",
-    "mahalanobis_outliers",
-    # -- 5 round-6 post-close additions (never driver-checked) --
-    "isotonic_calibration",
-    "grouped_bootstrap_ci",
-    "winnowing_pairs",
-    "streaming_bootstrap",
-    "partial_correlation",
-    # 6th post-close addition
-    "gumbel_return_level",
-    # -- first real row (prior rows compared an EMPTY 1993Q4 window;
-    #    now 1995Q4) and the three refactored-operator re-rows --
-    "q10_returned_items",
-    "winsorized_mean",
-    "mutual_information",
-    "chi_squared",
-    # -- round-7 additions --
-    "grouped_return_level",
-    "grouped_acf",
-    "ngram_novelty",
-    "mann_kendall_trend",
-    "streaming_gumbel",
-    # -- 8 r3-cohort sentinels (oldest remaining driver rows) --
-    "mixture_weights",
-    "approx_percentile_check",
-    "asof_join_forward",
-    "categorical_entropy",
-    "cohort_retention",
-    "corr_matrix",
-    "cube_agg",
-    "date_growth_rate",
+#: Round-8 window = the 31 mandated slots from ROUNDLOG's round-7
+#: bookkeeping (the 26 remaining r3-cohort sentinels + the 5 round-7
+#: post-rotation additions that have never had a driver row) + re-rows
+#: for the two queries riding the round-8 get_cross_cdf change +
+#: round-8 additions + r4-cohort sentinels (oldest remaining rows).
+#: After this round EVERY query's latest driver row is r4+ (the r3
+#: cohort clears) and rotation is free-choice regression signal.  Every
+#: entry stays green in the local replica of the driver gate
+#: (tests/test_entry_oracle.py, run at sf0.001 AND sf0.01), which has
+#: predicted the driver verdict exactly every round.
+_R8_WINDOW = [
+    # -- 26 r3-cohort sentinels (the last queries without an r4+ row) --
+    "dedup_editdistance",
+    "embedding_norm_stats",
+    "embedding_quantize",
+    "funnel_conversion",
+    "gap_fill_daily",
+    "key_skew",
+    "latest_snapshot",
+    "multimodal_frames",
+    "multimodal_resize",
+    "pack_sequences",
+    "percentile_bands",
+    "profile_table",
+    "range_join",
+    "redact_terms",
+    "rollup_agg",
+    "row_count_gain",
+    "shard_shuffle",
+    "source_quality_report",
+    "srp_signature_hist",
+    "streaming_dedup",
+    "streaming_sessionize",
+    "streaming_stateful_counts",
+    "text_unigram_logprob",
+    "train_val_split",
+    "uniques_subset_violation",
+    "value_histogram",
+    # -- 5 round-7 post-rotation additions (never driver-checked) --
+    "source_overlap",
+    "grouped_mann_kendall",
+    "seasonal_mann_kendall",
+    "streaming_grouped_gumbel",
+    "per_source_novelty",
+    # -- re-rows: both ride the round-8 get_cross_cdf change --
+    "cross_cdf",
+    "ks_statistic",
+    # -- round-8 additions --
+    "cross_cdf_dates",
+    "anderson_darling",
+    "cramer_von_mises",
+    "zipf_slope",
+    "contrastive_negatives",
+    "streaming_late_data",
+    "multimodal_decode_real",
+    # -- 10 r4-cohort sentinels (oldest remaining driver rows) --
+    "spearman",
+    "wasserstein",
+    "mann_whitney",
+    "gini_revenue",
+    "graph_pagerank",
+    "kaplan_meier",
+    "snapshot_diff",
+    "mad_outliers",
+    "q1_pricing_summary",
+    "benford_digits",
 ]
-assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
+assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Registration order is arbitrary: queries() reorders from
-        # _R7_WINDOW (above), the driver gate's single source of truth.
+        # _R8_WINDOW (above), the driver gate's single source of truth.
         "grouped_median": q_grouped_median,
         "grouped_ks": q_grouped_ks,
         "theil_sen_slope": q_theil_sen,
@@ -5396,10 +5638,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
         "streaming_grouped_gumbel": q_streaming_grouped_gumbel,
         "per_source_novelty": q_per_source_novelty,
+        # round-8 additions
+        "cross_cdf_dates": q_cross_cdf_dates,
+        "anderson_darling": q_anderson_darling,
+        "cramer_von_mises": q_cramer_von_mises,
+        "zipf_slope": q_zipf_slope,
+        "contrastive_negatives": q_contrastive_negatives,
+        "multimodal_decode_real": q_multimodal_decode_real,
+        "streaming_late_data": q_streaming_late_data,
     }
-    missing = [k for k in _R7_WINDOW if k not in base]
+    missing = [k for k in _R8_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
-    ordered = {k: base[k] for k in _R7_WINDOW}
+    ordered = {k: base[k] for k in _R8_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
@@ -9447,5 +9697,143 @@ def oracle_sql() -> dict[str, str]:
             "1.0 - sse / (CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) "
             "* CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) END, 6) "
             "AS strength FROM a"
+        ),
+        # ---- round-8 additions ----
+        "cross_cdf_dates": (
+            # same cumulative-fraction construction as cross_cdf but on
+            # the temporal domain; monthly tail via arg_max on the day
+            "WITH a AS (SELECT o_orderdate AS v FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' "
+            "AND o_orderdate IS NOT NULL), "
+            "b AS (SELECT o_orderdate AS v FROM orders "
+            "WHERE o_orderpriority = '5-LOW' AND o_orderdate IS NOT NULL), "
+            "u AS (SELECT v, count(*) FILTER (WHERE s = 1) AS n1, "
+            "count(*) FILTER (WHERE s = 2) AS n2 FROM ("
+            "SELECT v, 1 AS s FROM a UNION ALL SELECT v, 2 FROM b) "
+            "GROUP BY v), "
+            "c AS (SELECT v, "
+            "sum(n1) OVER (ORDER BY v) / (SELECT count(*) FROM a) AS c1, "
+            "sum(n2) OVER (ORDER BY v) / (SELECT count(*) FROM b) AS c2 "
+            "FROM u) "
+            "SELECT CAST(date_trunc('month', v) AS DATE) AS month, "
+            "arg_max(round(c1, 6), v) AS cdf1, "
+            "arg_max(round(c2, 6), v) AS cdf2, "
+            "CAST(count(*) AS BIGINT) AS n_days "
+            "FROM c GROUP BY 1 ORDER BY 1"
+        ),
+        "anderson_darling": (
+            # tie-aware Scholz-Stephens A2 (k=2): HUGEINT-exact
+            # numerators cast once to double, identical expression
+            # shape/order as the Spark operator
+            "WITH a AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT) AS v FROM events "
+            "WHERE event_type = 'click' AND value IS NOT NULL), "
+            "b AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT) AS v FROM events "
+            "WHERE event_type = 'view' AND value IS NOT NULL), "
+            "u AS (SELECT v, count(*) FILTER (WHERE s = 1) AS n1, "
+            "count(*) FILTER (WHERE s = 2) AS n2 FROM ("
+            "SELECT v, 1 AS s FROM a UNION ALL SELECT v, 2 FROM b) "
+            "GROUP BY v), "
+            "t AS (SELECT (SELECT count(*) FROM a) AS t1, "
+            "(SELECT count(*) FROM b) AS t2), "
+            "c AS (SELECT n1, n2, sum(n1) OVER (ORDER BY v) AS c1, "
+            "sum(n2) OVER (ORDER BY v) AS c2 FROM u), "
+            "terms AS (SELECT n1, n2, c1, c2, t1, t2, "
+            "CAST(CAST(t1 + t2 AS HUGEINT) * c1 "
+            "- CAST(t1 AS HUGEINT) * (c1 + c2) AS DOUBLE) AS adnum, "
+            "CAST(CAST(c1 + c2 AS HUGEINT) "
+            "* (t1 + t2 - c1 - c2) AS DOUBLE) AS adden FROM c, t) "
+            "SELECT CAST(t1 AS BIGINT) AS n1, CAST(t2 AS BIGINT) AS n2, "
+            "round(sum(CASE WHEN c1 + c2 < t1 + t2 THEN "
+            "CAST(n1 + n2 AS DOUBLE) / (t1 + t2) "
+            "* (adnum * adnum / adden) * (1.0 / t1 + 1.0 / t2) "
+            "ELSE 0.0 END), 6) AS ad FROM terms GROUP BY t1, t2"
+        ),
+        "cramer_von_mises": (
+            # tie-weighted CvM T = sum l*(c1*t2 - c2*t1)^2 / (t1*t2*N^2)
+            "WITH a AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT) AS v FROM events "
+            "WHERE event_type = 'click' AND value IS NOT NULL), "
+            "b AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT) AS v FROM events "
+            "WHERE event_type = 'purchase' AND value IS NOT NULL), "
+            "u AS (SELECT v, count(*) FILTER (WHERE s = 1) AS n1, "
+            "count(*) FILTER (WHERE s = 2) AS n2 FROM ("
+            "SELECT v, 1 AS s FROM a UNION ALL SELECT v, 2 FROM b) "
+            "GROUP BY v), "
+            "t AS (SELECT (SELECT count(*) FROM a) AS t1, "
+            "(SELECT count(*) FROM b) AS t2), "
+            "c AS (SELECT n1, n2, sum(n1) OVER (ORDER BY v) AS c1, "
+            "sum(n2) OVER (ORDER BY v) AS c2 FROM u), "
+            "terms AS (SELECT n1, n2, t1, t2, "
+            "CAST(CAST(c1 AS HUGEINT) * t2 "
+            "- CAST(c2 AS HUGEINT) * t1 AS DOUBLE) AS cnum FROM c, t) "
+            "SELECT CAST(t1 AS BIGINT) AS n1, CAST(t2 AS BIGINT) AS n2, "
+            "round(sum(CAST(n1 + n2 AS DOUBLE) * (cnum * cnum) "
+            "/ (CAST(t1 AS DOUBLE) * t2 * (t1 + t2) * (t1 + t2))), 6) "
+            "AS cvm FROM terms GROUP BY t1, t2"
+        ),
+        "zipf_slope": (
+            # same (count DESC, token ASC) total order and closed-form
+            # OLS sums; ln() is the natural log on both engines
+            "WITH toks AS (SELECT unnest(string_split_regex(trim(text), "
+            "'\\s+')) AS tok FROM documents WHERE text IS NOT NULL), "
+            "per AS (SELECT tok, count(*) AS n FROM toks "
+            "WHERE tok <> '' GROUP BY 1 ORDER BY n DESC, tok LIMIT 500), "
+            "rk AS (SELECT ln(CAST(row_number() OVER "
+            "(ORDER BY n DESC, tok) AS DOUBLE)) AS x, "
+            "ln(CAST(n AS DOUBLE)) AS y FROM per), "
+            "s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x * x) AS sxx, sum(x * y) AS sxy FROM rk) "
+            "SELECT CAST(k AS BIGINT) AS n_terms, "
+            "round(CASE WHEN CAST(k AS DOUBLE) * sxx - sx * sx > 0 THEN "
+            "(CAST(k AS DOUBLE) * sxy - sx * sy) "
+            "/ (CAST(k AS DOUBLE) * sxx - sx * sx) END, 6) AS slope, "
+            "round((sy - (CASE WHEN CAST(k AS DOUBLE) * sxx - sx * sx > 0 "
+            "THEN (CAST(k AS DOUBLE) * sxy - sx * sy) "
+            "/ (CAST(k AS DOUBLE) * sxx - sx * sx) END) * sx) "
+            "/ CAST(k AS DOUBLE), 6) AS intercept FROM s"
+        ),
+        "contrastive_negatives": (
+            # same md5(id#q#j) argmin draw; spec = 5 lowest vec_ids x 4
+            "WITH q AS (SELECT vec_id AS query_id, label AS q_label "
+            "FROM embeddings ORDER BY vec_id LIMIT 5), "
+            "j AS (SELECT CAST(unnest(range(1, 5)) AS INTEGER) AS draw), "
+            "cand AS (SELECT s.query_id, s.draw, e.vec_id, e.label, "
+            "CAST(CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) "
+            "|| '#' || CAST(s.query_id AS VARCHAR) || '#' "
+            "|| CAST(s.draw AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) "
+            "AS h FROM embeddings e, (SELECT * FROM q, j) s "
+            "WHERE e.label <> s.q_label AND e.vec_id <> s.query_id) "
+            "SELECT query_id, draw, arg_min(vec_id, h) AS neg_id, "
+            "arg_min(label, h) AS neg_label, min(h) AS h "
+            "FROM cand GROUP BY query_id, draw ORDER BY query_id, draw"
+        ),
+        "multimodal_decode_real": (
+            # hard-coded truth of the committed fixture bytes
+            # (tests/fixtures/images): dimensions/mode from the format
+            # specs, md5 of the exact payloads
+            "SELECT * FROM (VALUES "
+            "('corrupt.bin', CAST(28 AS BIGINT), CAST(NULL AS BIGINT), "
+            "CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), "
+            "'f234647a718df2509f084d6525787960'), "
+            "('gray_5x4.png', 89, 5, 4, 'gray', "
+            "'05161c69c881762717ac9357e64f0795'), "
+            "('rgb_2x2.ppm', 23, 2, 2, 'rgb', "
+            "'f2616e7b4a4c5b4b6faffec7524ab58a'), "
+            "('rgb_3x2.png', 85, 3, 2, 'rgb', "
+            "'8cd7a7c816a43ea7129f22616a0a5fc8'), "
+            "('rgb_4x3.bmp', 90, 4, 3, 'rgb', "
+            "'c2b6cd30917af6b8ea99134c8d4bd1ba')) "
+            "AS t(name, n_bytes, width, height, mode, payload_md5) "
+            "ORDER BY name"
+        ),
+        "streaming_late_data": (
+            # batch equivalent: within-watermark late rows count exactly
+            # once, beyond-watermark re-sends are dropped, so the drained
+            # state equals the plain GROUP BY over the original events
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "event_type, count(*) AS n_rows FROM events GROUP BY 1, 2"
         ),
     }

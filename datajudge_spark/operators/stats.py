@@ -1654,6 +1654,99 @@ def wasserstein_1d(
     )
 
 
+def rank_2sample_tests(
+    df1: DataFrame, df2: DataFrame, col1: str, col2: str
+) -> DataFrame:
+    """Anderson-Darling and Cramér-von Mises two-sample statistics, as
+    one digest row (n1, n2, ad, cvm) — the tail-sensitive (AD) and
+    integral-squared (CvM) companions to the KS max statistic.
+    Extension beyond the reference (whose only distribution test is the
+    KS 2-sample, constraints/stats.py:13-142).
+
+    Tie-aware discrete forms over the union histogram of distinct
+    values v_j with side counts (l1_j, l2_j), multiplicity
+    l_j = l1_j + l2_j, cumulative counts (c1_j, c2_j), B_j = c1_j+c2_j,
+    totals (t1, t2), N = t1+t2:
+
+    - AD (Scholz & Stephens 1987, A²_akN for k=2, no continuity
+      correction; sum over B_j < N)::
+
+        A² = Σ_j (l_j/N) · (N·c1_j − t1·B_j)² / (B_j·(N−B_j)) · (1/t1 + 1/t2·[c2 analog])
+
+      with the two samples' numerators equal in magnitude
+      (N·c1 − t1·B = −(N·c2 − t2·B)), so one exact DECIMAL numerator
+      serves both.
+    - CvM (Anderson 1962, tie-weighted)::
+
+        T = (t1·t2/N²) Σ_j l_j (c1_j/t1 − c2_j/t2)²
+          = Σ_j l_j · (c1_j·t2 − c2_j·t1)² / (t1·t2·N²)
+
+    Plan: ONE union-histogram shuffle, the shared equi-depth
+    bucket-partitioned cumulative (:func:`_bucketed_global_cums` — no
+    global window at any cardinality), one final aggregate.  Numerators
+    are DECIMAL(38,0)-exact before the single cast to double, so both
+    statistics are engine-reproducible to well past 6 decimals even
+    when counts exceed 2^31.
+    """
+    tagged = (
+        df1.select(
+            F.col(col1).cast("double").alias("v"),
+            F.lit(1).alias("n1"),
+            F.lit(0).alias("n2"),
+        )
+        .where(F.col("v").isNotNull())
+        .unionAll(
+            df2.select(
+                F.col(col2).cast("double").alias("v"),
+                F.lit(0).alias("n1"),
+                F.lit(1).alias("n2"),
+            ).where(F.col("v").isNotNull())
+        )
+    )
+    hist = tagged.groupBy("v").agg(
+        F.sum("n1").alias("n1"), F.sum("n2").alias("n2")
+    )
+    # totals from the raw plan (one cheap agg scan); the helper below
+    # owns the single persist of the histogram
+    tot = hist.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2")).first()
+    t1, t2 = int(tot["t1"] or 0), int(tot["t2"] or 0)
+    if t1 == 0 or t2 == 0:
+        raise ValueError("rank_2sample_tests needs non-empty samples both sides")
+    n_total = t1 + t2
+    cums = _bucketed_global_cums(hist, ["n1", "n2"])
+    dec = "decimal(38,0)"
+    c1, c2 = F.col("cum_n1").cast(dec), F.col("cum_n2").cast(dec)
+    b_cum = c1 + c2
+    mult = (F.col("n1") + F.col("n2")).cast("double")
+    # N·c1 − t1·B, exact in decimal, one cast to double before squaring
+    ad_num = (
+        (F.lit(n_total).cast(dec) * c1 - F.lit(t1).cast(dec) * b_cum)
+        .cast("double")
+    )
+    ad_den = (b_cum * (F.lit(n_total).cast(dec) - b_cum)).cast("double")
+    ad_term = F.when(
+        b_cum < F.lit(n_total).cast(dec),
+        mult
+        / F.lit(float(n_total))
+        * (ad_num * ad_num / ad_den)
+        * F.lit(1.0 / t1 + 1.0 / t2),
+    ).otherwise(F.lit(0.0))
+    cvm_num = (
+        (c1 * F.lit(t2).cast(dec) - c2 * F.lit(t1).cast(dec)).cast("double")
+    )
+    cvm_term = (
+        mult
+        * (cvm_num * cvm_num)
+        / F.lit(float(t1) * float(t2) * float(n_total) * float(n_total))
+    )
+    return cums.agg(
+        F.lit(t1).cast("long").alias("n1"),
+        F.lit(t2).cast("long").alias("n2"),
+        F.sum(ad_term).alias("ad"),
+        F.sum(cvm_term).alias("cvm"),
+    )
+
+
 def mahalanobis_outliers_2d(
     df: DataFrame, x_col: str, y_col: str, k: int = 20
 ) -> DataFrame:

@@ -265,3 +265,75 @@ def weighted_sample(
         .limit(k)
         .select("key", "weight", F.round("__p", 6).alias("priority"))
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    query_ids: list,
+    n_negatives: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each query id ``q`` and draw index ``j`` in ``1..n_negatives``,
+    the negative is the row of ``df`` with a DIFFERENT label minimizing
+    ``md5(id#q#j)`` — an independent uniform draw per (q, j) with no
+    RNG state, reproducible across engines and runs (the property that
+    makes negative sets auditable and resumable).
+
+    Plan: the query rows are collected (``len(query_ids)`` rows — the
+    query set is the SMALL side by definition) and cross-joined as a
+    broadcast literal spec of (q, q_label, j) onto the corpus; the
+    map-side partial ``min_by`` means the shuffle carries one candidate
+    per (q, j) PER TASK, never the expanded corpus — the same scale
+    shape as a top-k heap.  Output: one row per (query_id, draw) with
+    the chosen negative id/label and the winning hash.
+    """
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if n_negatives < 1:
+        raise ValueError("n_negatives must be >= 1")
+    spark = df.sparkSession
+    qlab = {
+        r["q"]: r["lab"]
+        for r in df.where(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("q"), F.col(label_col).alias("lab"))
+        .collect()
+    }
+    missing = [q for q in query_ids if q not in qlab]
+    if missing:
+        raise ValueError(f"query ids not found in corpus: {missing}")
+    spec = spark.createDataFrame(
+        [
+            (q, qlab[q], j)
+            for q in query_ids
+            for j in range(1, n_negatives + 1)
+        ],
+        f"query_id long, q_label int, draw int",
+    )
+    h = md5_long(
+        F.concat_ws(
+            "#",
+            F.col(id_col).cast("string"),
+            F.col("query_id").cast("string"),
+            F.col("draw").cast("string"),
+        )
+    )
+    cand = (
+        df.select(id_col, label_col)
+        .crossJoin(F.broadcast(spec))
+        .where(
+            (F.col(label_col) != F.col("q_label"))
+            & (F.col(id_col) != F.col("query_id"))
+        )
+        .withColumn("h", h)
+    )
+    return (
+        cand.groupBy("query_id", "draw")
+        .agg(
+            F.min_by(F.col(id_col), F.col("h")).alias("neg_id"),
+            F.min_by(F.col(label_col), F.col("h")).alias("neg_label"),
+            F.min("h").alias("h"),
+        )
+        .orderBy("query_id", "draw")
+    )

@@ -599,6 +599,67 @@ def boilerplate_ngrams(
     return out.orderBy(*order).limit(k)
 
 
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_n: int = 500
+) -> DataFrame:
+    """Zipf power-law fit over the corpus token frequency-rank curve,
+    as one digest row ``(n_terms, slope, intercept)``: the OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` over the ``top_n`` most frequent
+    tokens.  Natural text sits near slope -1; a collapsed slope (≫ -1,
+    flat) means template/boilerplate domination, a cliff (≪ -1) means
+    a tiny vocabulary looping — both corpus-health failure modes the
+    hapax fraction (:func:`vocab_stats`) cannot localize to the HEAD of
+    the distribution.
+
+    Plan: explode -> token hash-agg (map-side partial counts, the only
+    full shuffle) -> ``TakeOrderedAndProject`` top-N under the total
+    order (count DESC, token ASC) — per-partition heaps, no global
+    sort — then the closed-form OLS sums over the ≤``top_n``-row frame.
+    At 100 TB the shuffle carries one row per distinct token per task
+    and everything after the top-N is constant-size.
+    """
+    from pyspark.sql import Window
+
+    per_type = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(top_n)
+    )
+    # the frame is <= top_n rows: a single-partition rank window is the
+    # cheapest correct plan here (bounded by construction, not by data)
+    ranked = per_type.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("n"), "tok")),
+    ).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    k = F.col("k").cast("double")
+    denom = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom > 0,
+        (k * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+    )
+    return s.select(
+        F.col("k").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias(
+            "intercept"
+        ),
+    )
+
+
 def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary digest as one row: ``(n_docs, n_tokens,
     n_types, n_hapax, hapax_frac, ttr)`` — document count, total

@@ -2523,3 +2523,62 @@ class TestExactSmallNKsPvalue:
         expected = 1.0 - float(self._steck_cdf(10, Fr(3, 10)))
         assert p == pytest.approx(expected, abs=1e-10)
         assert 0.0 < p < 1.0
+
+
+class TestRank2SampleTests:
+    """Anderson-Darling / Cramér-von Mises 2-sample digests vs an
+    independent driver-side brute force of the same tie-aware discrete
+    formulas (round-8 addition)."""
+
+    @staticmethod
+    def _brute(x, y):
+        t1, t2 = len(x), len(y)
+        n = t1 + t2
+        c1 = c2 = 0
+        ad = cvm = 0.0
+        for v in sorted(set(x) | set(y)):
+            l1, l2 = x.count(v), y.count(v)
+            c1, c2 = c1 + l1, c2 + l2
+            b = c1 + c2
+            if b < n:
+                num = n * c1 - t1 * b
+                ad += (
+                    (l1 + l2) / n * num * num / (b * (n - b))
+                    * (1.0 / t1 + 1.0 / t2)
+                )
+            d = c1 / t1 - c2 / t2
+            cvm += (l1 + l2) * d * d
+        return ad, cvm * t1 * t2 / n**2
+
+    def test_matches_brute_force(self, spark):
+        from datajudge_spark.operators.stats import rank_2sample_tests
+
+        cases = [
+            ([1, 1, 2, 3, 5, 8], [2, 2, 3, 4]),
+            ([1, 2, 3], [4, 5, 6]),              # disjoint
+            ([7, 7, 7], [7, 7]),                 # all ties
+            (list(range(40)), list(range(5, 50, 2))),
+        ]
+        for x, y in cases:
+            d1 = spark.createDataFrame([(v,) for v in x], "v int")
+            d2 = spark.createDataFrame([(v,) for v in y], "v int")
+            row = rank_2sample_tests(d1, d2, "v", "v").collect()[0]
+            ad, cvm = self._brute(x, y)
+            assert row["n1"] == len(x) and row["n2"] == len(y)
+            assert row["ad"] == pytest.approx(ad, rel=1e-9), (x, y)
+            assert row["cvm"] == pytest.approx(cvm, rel=1e-9), (x, y)
+
+    def test_identical_samples_near_zero_cvm(self, spark):
+        from datajudge_spark.operators.stats import rank_2sample_tests
+
+        d = spark.createDataFrame([(v,) for v in range(30)], "v int")
+        row = rank_2sample_tests(d, d, "v", "v").collect()[0]
+        assert row["cvm"] == pytest.approx(0.0, abs=1e-12)
+
+    def test_empty_side_raises(self, spark):
+        from datajudge_spark.operators.stats import rank_2sample_tests
+
+        d = spark.createDataFrame([(1,)], "v int")
+        e = d.where("v > 99")
+        with pytest.raises(ValueError):
+            rank_2sample_tests(d, e, "v", "v").collect()
