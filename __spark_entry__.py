@@ -5326,6 +5326,81 @@ def q_streaming_late_data(spark, sf_dir):
     )
 
 
+def q_grouped_psi(spark, sf_dir):
+    # per-SEGMENT drift: PSI of the value distribution per event type
+    # between the first and second half of the month — "which segment
+    # drifted?", the question the global psi_drift digest averages
+    # away.  One conditional-agg scan; totals window partitioned by
+    # group (never global).
+    from datajudge_spark.operators.stats import grouped_psi
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.dayofmonth(F.col("ts").cast("timestamp"))
+    return grouped_psi(
+        ev,
+        "event_type",
+        "value",
+        day <= 15,
+        day >= 16,
+        lo=0.0,
+        hi=500.0,
+        n_buckets=10,
+    ).orderBy("event_type")
+
+
+def q_jarque_bera(spark, sf_dir):
+    # normality screen per event type on the exact cents domain: sample
+    # skewness/kurtosis and the Jarque-Bera statistic from DECIMAL-exact
+    # power sums (one agg scan).  JB >> 6 = sigma-rule gates (z-score,
+    # 3-sigma alerts) are built on a false premise for that segment.
+    from datajudge_spark.operators.stats import jarque_bera
+
+    ev = _t(spark, sf_dir, "events")
+    return jarque_bera(
+        ev.select("event_type", _cents("value").alias("c")),
+        "c",
+        group_col="event_type",
+    ).orderBy("event_type")
+
+
+def q_two_proportion_ztest(spark, sf_dir):
+    # A/B experimentation primitive: pooled two-proportion z-test on
+    # purchase rate, first half vs second half of the month — exact
+    # integer counts from ONE conditional-agg scan, one fixed double
+    # expression for z.
+    from datajudge_spark.operators.stats import two_proportion_ztest
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.dayofmonth(F.col("ts").cast("timestamp"))
+    return two_proportion_ztest(
+        ev,
+        day <= 15,
+        day >= 16,
+        F.col("event_type") == "purchase",
+    )
+
+
+def q_kendall_tau(spark, sf_dir):
+    # tie-adjusted Kendall tau-b between daily order count and daily
+    # revenue (1995): do busier days carry proportionally bigger
+    # baskets?  Heavy ties on the count side are exactly where
+    # spearman's rank variance misleads; tau-b's denominator corrects
+    # for tie mass.  Pair join runs on the calendar-bounded daily frame
+    # (365 rows at ANY fact-table scale).
+    from datajudge_spark.operators.timeseries import kendall_tau_b
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.where(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("rev_c"),
+        )
+    )
+    return kendall_tau_b(daily, "n_orders", "rev_c")
+
+
 #: ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys
 #: of queries() only.  The window below is the single source of truth —
 #: queries() reorders itself from it, so this list IS the gate.
@@ -5646,6 +5721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_negatives": q_contrastive_negatives,
         "multimodal_decode_real": q_multimodal_decode_real,
         "streaming_late_data": q_streaming_late_data,
+        # round-8 post-window additions (r9 window candidates)
+        "grouped_psi": q_grouped_psi,
+        "jarque_bera": q_jarque_bera,
+        "two_proportion_ztest": q_two_proportion_ztest,
+        "kendall_tau": q_kendall_tau,
     }
     missing = [k for k in _R8_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -9835,5 +9915,113 @@ def oracle_sql() -> dict[str, str]:
             # state equals the plain GROUP BY over the original events
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
             "event_type, count(*) AS n_rows FROM events GROUP BY 1, 2"
+        ),
+        # ---- round-8 post-window additions ----
+        "grouped_psi": (
+            # per-group mirror of the psi_drift oracle: totals window
+            # partitioned by the group key, same +0.5 Laplace smoothing
+            "WITH j AS (SELECT event_type AS grp, "
+            "least(greatest(CAST(floor((value - 0.0) / 50.0) "
+            "AS BIGINT), 0), 9) AS bucket, "
+            "count(*) FILTER (date_part('day', ts) <= 15) AS n1, "
+            "count(*) FILTER (date_part('day', ts) >= 16) AS n2 "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT grp, n1, n2, "
+            "(n1 + 0.5) / (sum(n1) OVER (PARTITION BY grp) + 5.0) AS p, "
+            "(n2 + 0.5) / (sum(n2) OVER (PARTITION BY grp) + 5.0) AS q "
+            "FROM j) "
+            "SELECT grp AS event_type, "
+            "CAST(sum(n1) AS BIGINT) AS n_baseline, "
+            "CAST(sum(n2) AS BIGINT) AS n_current, "
+            "round(sum((p - q) * ln(p / q)), 6) AS psi "
+            "FROM t GROUP BY 1 ORDER BY 1"
+        ),
+        "jarque_bera": (
+            # HUGEINT-exact power sums -> one double conversion -> the
+            # identical closed-form central-moment expressions (and
+            # v*sqrt(v), never pow(v,1.5): libm pow is not correctly
+            # rounded and diverges between engines in the last ulp)
+            "WITH b AS (SELECT event_type, "
+            "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
+            "AS HUGEINT) AS c FROM events WHERE value IS NOT NULL), "
+            "s AS (SELECT event_type, count(*) AS cnt, sum(c) AS s1, "
+            "sum(c * c) AS s2, sum(c * c * c) AS s3, "
+            "sum(c * c * c * c) AS s4 FROM b GROUP BY 1), "
+            "d AS (SELECT event_type, cnt, "
+            "CAST(cnt AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1, "
+            "CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3, "
+            "CAST(s4 AS DOUBLE) AS s4 FROM s), "
+            "m AS (SELECT event_type, cnt, n, s1, "
+            "n * s2 - s1 * s1 AS m2n2, "
+            "n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1 AS m3n3, "
+            "n * n * n * s4 - 4.0 * n * n * s1 * s3 "
+            "+ 6.0 * n * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1 AS m4n4, "
+            "(n * s2 - s1 * s1) / (n * n) AS v FROM d), "
+            "g AS (SELECT event_type, cnt, n, s1, "
+            "CASE WHEN cnt >= 2 AND m2n2 > 0 THEN "
+            "(m3n3 / (n * n * n)) / (v * sqrt(v)) END AS g1, "
+            "CASE WHEN cnt >= 2 AND m2n2 > 0 THEN "
+            "(m4n4 / (n * n * n * n)) / (v * v) END AS g2 FROM m) "
+            "SELECT event_type, CAST(cnt AS BIGINT) AS n, "
+            "round(s1 / n, 6) AS mean, round(g1, 6) AS skewness, "
+            "round(g2, 6) AS kurtosis, "
+            "round(n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0), 6) "
+            "AS jb FROM g ORDER BY event_type"
+        ),
+        "two_proportion_ztest": (
+            "WITH c AS (SELECT "
+            "count(*) FILTER (date_part('day', ts) <= 15) AS n_a, "
+            "count(*) FILTER (date_part('day', ts) <= 15 "
+            "AND event_type = 'purchase') AS s_a, "
+            "count(*) FILTER (date_part('day', ts) >= 16) AS n_b, "
+            "count(*) FILTER (date_part('day', ts) >= 16 "
+            "AND event_type = 'purchase') AS s_b FROM events), "
+            "d AS (SELECT n_a, s_a, n_b, s_b, "
+            "CAST(n_a AS DOUBLE) AS na, CAST(s_a AS DOUBLE) AS sa, "
+            "CAST(n_b AS DOUBLE) AS nb, CAST(s_b AS DOUBLE) AS sb, "
+            "(CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) "
+            "/ (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled "
+            "FROM c) "
+            "SELECT CAST(n_a AS BIGINT) AS n_a, "
+            "CAST(s_a AS BIGINT) AS successes_a, "
+            "round(CASE WHEN n_a > 0 THEN sa / na END, 6) AS rate_a, "
+            "CAST(n_b AS BIGINT) AS n_b, "
+            "CAST(s_b AS BIGINT) AS successes_b, "
+            "round(CASE WHEN n_b > 0 THEN sb / nb END, 6) AS rate_b, "
+            "round(CASE WHEN n_a > 0 AND n_b > 0 AND "
+            "pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb) > 0 THEN "
+            "(sa / na - sb / nb) / sqrt(pooled * (1.0 - pooled) "
+            "* (1.0 / na + 1.0 / nb)) END, 6) AS z FROM d"
+        ),
+        "kendall_tau": (
+            # identical exact-integer pair/tie counts and the identical
+            # double expression (den = sqrt((2n0-tx2)(2n0-ty2))/2)
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "count(*) AS n_orders, "
+            "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT)) AS BIGINT) AS rev_c FROM orders "
+            "WHERE date_part('year', o_orderdate) = 1995 GROUP BY 1), "
+            "p AS (SELECT "
+            "sum(CASE WHEN sign(b.n_orders - a.n_orders) "
+            "* sign(b.rev_c - a.rev_c) > 0 THEN 1 ELSE 0 END) AS c, "
+            "sum(CASE WHEN sign(b.n_orders - a.n_orders) "
+            "* sign(b.rev_c - a.rev_c) < 0 THEN 1 ELSE 0 END) AS d "
+            "FROM daily a JOIN daily b ON a.day < b.day), "
+            "tx AS (SELECT coalesce(sum(t * (t - 1)), 0) AS tx2 FROM "
+            "(SELECT count(*) AS t FROM daily GROUP BY n_orders)), "
+            "ty AS (SELECT coalesce(sum(t * (t - 1)), 0) AS ty2 FROM "
+            "(SELECT count(*) AS t FROM daily GROUP BY rev_c)), "
+            "nn AS (SELECT count(*) AS n FROM daily) "
+            "SELECT CAST(n AS BIGINT) AS n_days, "
+            "CAST(coalesce(c, 0) AS BIGINT) AS concordant, "
+            "CAST(coalesce(d, 0) AS BIGINT) AS discordant, "
+            "CASE WHEN sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) "
+            "- CAST(tx2 AS DOUBLE)) * (CAST(n AS DOUBLE) "
+            "* (CAST(n AS DOUBLE) - 1.0) - CAST(ty2 AS DOUBLE))) / 2.0 > 0 "
+            "THEN CAST(coalesce(c, 0) - coalesce(d, 0) AS DOUBLE) "
+            "/ (sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) "
+            "- CAST(tx2 AS DOUBLE)) * (CAST(n AS DOUBLE) "
+            "* (CAST(n AS DOUBLE) - 1.0) - CAST(ty2 AS DOUBLE))) / 2.0) "
+            "END AS tau_b FROM p, tx, ty, nn"
         ),
     }

@@ -2029,3 +2029,171 @@ def partial_correlation(
         F.round("__ryz", 6).alias("r_yz"),
         F.round(partial, 6).alias("r_xy_given_z"),
     )
+
+
+def grouped_psi(
+    df: DataFrame,
+    group_col: str,
+    column: str,
+    cond1: Column,
+    cond2: Column,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index PER GROUP between two sub-populations
+    of one table — "which segment drifted?", the question the global
+    :func:`psi_drift_conditional` digest deliberately averages away.
+
+    Same metric and smoothing (+0.5 Laplace per bucket), same
+    single-scan conditional-aggregation plan, one more grouping key:
+    ``groupBy(group, bucket)`` partial-aggregates map-side, the PSI fold
+    runs on the |groups| x n_buckets joined histogram with the totals
+    window PARTITIONED BY GROUP (never a global single-partition
+    window), and the output is one row per group.  Extension — the
+    reference has no distribution-drift operators at all.
+    """
+    bucketed = df.where(
+        F.col(column).isNotNull()
+        & F.col(group_col).isNotNull()
+        & (cond1 | cond2)
+    ).groupBy(
+        F.col(group_col).alias("grp"),
+        value_bucket(column, lo, hi, n_buckets).alias("bucket"),
+    )
+    joined = bucketed.agg(
+        F.count(F.when(cond1, 1)).alias("n1"),
+        F.count(F.when(cond2, 1)).alias("n2"),
+    )
+    w = Window.partitionBy("grp")
+    k = float(n_buckets)
+    p = (F.col("n1") + 0.5) / (F.sum("n1").over(w) + 0.5 * k)
+    q = (F.col("n2") + 0.5) / (F.sum("n2").over(w) + 0.5 * k)
+    return (
+        joined.select(
+            "grp",
+            F.col("n1").alias("__n1"),
+            F.col("n2").alias("__n2"),
+            ((p - q) * F.log(p / q)).alias("term"),
+        )
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("__n1").cast("bigint").alias("n_baseline"),
+            F.sum("__n2").cast("bigint").alias("n_current"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    column: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Normality screen over an INTEGER-VALUED column (cents, counts):
+    one digest row ``(n, mean, skewness, kurtosis, jb)`` — sample
+    skewness g1 = m3/m2^1.5, kurtosis g2 = m4/m2², and the Jarque-Bera
+    statistic ``JB = n/6 · (g1² + (g2−3)²/4)`` (χ²(2) under normality;
+    JB ≫ 6 means z-score-based gates are built on a false premise —
+    the "should I even use a sigma rule?" pre-check).
+
+    Exactness contract: the four raw power sums S1..S4 accumulate as
+    DECIMAL(38,0) (order-independent, exact for integer inputs), then
+    ONE conversion to doubles feeds a fixed closed-form expression for
+    the central moments — n²m2 = nS2−S1², n³m3 = n²S3−3nS1S2+2S1³,
+    n⁴m4 = n³S4−4n²S1S3+6nS1²S2−3S1⁴ — so the digest is reproducible
+    across engines and partitionings.  Degenerate inputs (n < 2 or zero
+    variance) yield NULL statistics.  With ``group_col``, one row per
+    group (same plan, one more grouping key).  Extension — no reference
+    counterpart.
+
+    Plan: ONE aggregation scan (map-side partial sums), no shuffle
+    beyond the |groups|-row digest.
+    """
+    gcols = [group_col] if group_col else []
+    base = df.where(F.col(column).isNotNull())
+    if group_col:
+        base = base.where(F.col(group_col).isNotNull())
+    d38 = "decimal(38,0)"
+    x = F.col(column).cast(d38)
+    suff = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__s1"),
+        F.sum((x * x).cast(d38)).alias("__s2"),
+        F.sum((x * x * x).cast(d38)).alias("__s3"),
+        F.sum((x * x * x * x).cast(d38)).alias("__s4"),
+    )
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    s4 = F.col("__s4").cast("double")
+    m2n2 = n * s2 - s1 * s1                       # n²·m2
+    m3n3 = n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1
+    m4n4 = (
+        n * n * n * s4
+        - 4.0 * n * n * s1 * s3
+        + 6.0 * n * s1 * s1 * s2
+        - 3.0 * s1 * s1 * s1 * s1
+    )
+    ok = (F.col("__n") >= 2) & (m2n2 > 0)
+    # g1 = (m3n3/n³) / (m2n2/n²)^1.5 ; g2 = (m4n4/n⁴) / (m2n2/n²)².
+    # v·sqrt(v) instead of pow(v, 1.5): sqrt is IEEE-correctly-rounded
+    # in every engine, libm pow is not (last-ulp divergence observed
+    # between JVM and C++ implementations)
+    v = m2n2 / (n * n)
+    g1 = (m3n3 / (n * n * n)) / (v * F.sqrt(v))
+    g2 = (m4n4 / (n * n * n * n)) / (v * v)
+    jb = n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
+    return suff.select(
+        *gcols,
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(s1 / n, 6).alias("mean"),
+        F.round(F.when(ok, g1), 6).alias("skewness"),
+        F.round(F.when(ok, g2), 6).alias("kurtosis"),
+        F.round(F.when(ok, jb), 6).alias("jb"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    population_a: Column,
+    population_b: Column,
+    success: Column,
+) -> DataFrame:
+    """Two-proportion pooled z-test between two row-filter populations
+    of one table, one digest row ``(n_a, successes_a, rate_a, n_b,
+    successes_b, rate_b, z)`` — the A/B-experimentation primitive
+    ("did the conversion rate actually move?") on the same
+    single-scan conditional-aggregation plan as
+    :func:`psi_drift_conditional`.
+
+    ``z = (p̂_a − p̂_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))`` with the pooled
+    rate ``p̂``; all four counts are exact integers, converted once to
+    doubles in a fixed expression.  Degenerate inputs (either side
+    empty, pooled rate 0 or 1 — zero variance) yield NULL z.
+    Extension — no reference counterpart.
+    """
+    agg = df.where(population_a | population_b).agg(
+        F.count(F.when(population_a, 1)).alias("n_a"),
+        F.count(F.when(population_a & success, 1)).alias("s_a"),
+        F.count(F.when(population_b, 1)).alias("n_b"),
+        F.count(F.when(population_b & success, 1)).alias("s_b"),
+    )
+    na, sa = F.col("n_a").cast("double"), F.col("s_a").cast("double")
+    nb, sb = F.col("n_b").cast("double"), F.col("s_b").cast("double")
+    pooled = (sa + sb) / (na + nb)
+    var = pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb)
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        (sa / na - sb / nb) / F.sqrt(var),
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("s_a").cast("bigint").alias("successes_a"),
+        F.round(F.when(F.col("n_a") > 0, sa / na), 6).alias("rate_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("s_b").cast("bigint").alias("successes_b"),
+        F.round(F.when(F.col("n_b") > 0, sb / nb), 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+    )

@@ -1204,3 +1204,90 @@ def gumbel_fit_from_maxima(
         rl = mu - beta * math.log(-math.log(1.0 - 1.0 / t))
         out.append(F.when(ok, rl).alias(f"rl_{t}"))
     return suff.select(*out)
+
+
+def kendall_tau_b(
+    daily: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Kendall rank correlation (tau-b, tie-adjusted) between two daily
+    series, one digest row ``(n_days, concordant, discordant, tau_b)``
+    — the rank-correlation companion to :func:`spearman` that degrades
+    gracefully under heavy ties (spearman's rank variance shrinks; the
+    tau-b denominator corrects for tie mass on BOTH variables), and to
+    :func:`mann_kendall` (which is exactly Kendall tau of value against
+    time; this operator correlates two VALUE series).
+
+    ``tau_b = (C − D) / sqrt((n0 − t_x)(n0 − t_y))`` with
+    ``n0 = n(n−1)/2`` and tie terms ``t = Σ_g t_g(t_g−1)/2``; C/D count
+    concordant/discordant day pairs.  All five terms are exact integers
+    (the pair join emits sgn products; tie groups come from two tiny
+    aggregates), converted once to doubles.  NULL when either variable
+    is fully tied (zero denominator).
+
+    Scale: the all-pairs join runs on the CALENDAR-BOUNDED daily frame
+    — the same O(days²) shape as :func:`theil_sen_slope`, independent
+    of fact-table row count; the upstream daily aggregate is the only
+    data-sized stage.  Extension — no reference counterpart.
+    """
+    base = daily.where(
+        F.col("day").isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    a = base.select(
+        F.col("day").alias("d1"),
+        F.col(x_col).alias("x1"),
+        F.col(y_col).alias("y1"),
+    )
+    b = base.select(
+        F.col("day").alias("d2"),
+        F.col(x_col).alias("x2"),
+        F.col(y_col).alias("y2"),
+    )
+    sgn = lambda u, v: F.signum((v - u).cast("double")).cast("long")  # noqa: E731
+    prod = sgn(F.col("x1"), F.col("x2")) * sgn(F.col("y1"), F.col("y2"))
+    pair = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(prod.alias("__p"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__p") > 0, 1).otherwise(0)), F.lit(0)
+            ).alias("__c"),
+            F.coalesce(
+                F.sum(F.when(F.col("__p") < 0, 1).otherwise(0)), F.lit(0)
+            ).alias("__d"),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def tie_term(col: str, alias: str) -> DataFrame:
+        return (
+            base.groupBy(F.col(col).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__t"))
+            .agg(
+                F.coalesce(
+                    F.sum(d38(F.col("__t")) * (F.col("__t") - 1)),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias(alias)  # 2·Σ t(t−1)/2, halved in the digest
+            )
+        )
+
+    n_frame = base.agg(F.count(F.lit(1)).alias("__n"))
+    combined = (
+        n_frame.crossJoin(pair)
+        .crossJoin(tie_term(x_col, "__tx2"))
+        .crossJoin(tie_term(y_col, "__ty2"))
+    )
+    n = F.col("__n").cast("double")
+    n0x2 = n * (n - 1.0)  # 2·n0
+    den = F.sqrt(
+        (n0x2 - F.col("__tx2").cast("double"))
+        * (n0x2 - F.col("__ty2").cast("double"))
+    ) / 2.0
+    cd = (F.col("__c") - F.col("__d")).cast("double")
+    return combined.select(
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.col("__c").cast("bigint").alias("concordant"),
+        F.col("__d").cast("bigint").alias("discordant"),
+        F.when(den > 0, cd / den).alias("tau_b"),
+    )

@@ -463,3 +463,268 @@ def test_md5_long_portable_on_adversarial_unicode(spark, duck):
             [s, s],
         ).fetchone()
         assert got[s] == (h, hs), f"hash mismatch for {s!r}"
+
+
+# ---------------------------------------------------------------------------
+# Round-7 family fuzz (VERDICT r7 item 4): Mann-Kendall plain/grouped/
+# seasonal, Gumbel EVT (incl. single-block groups), source_overlap /
+# per_source_novelty (1 source, empty/short texts, breadth == max_breadth
+# boundary).  Oracle = independent driver-side brute force of the same
+# published formulas — tie groups, degenerate-variance NULLs and the
+# ubiquitous-hash exclusion are exactly where rank/tie bugs live.
+# ---------------------------------------------------------------------------
+
+_MK_SEED = 20260816
+
+
+def _mk_brute(day_vals):
+    """(n, S, var_s, z) over [(day, value)] — Mann-Kendall with the
+    standard tie correction and continuity-corrected z."""
+    n = len(day_vals)
+    ordered = [v for _, v in sorted(day_vals, key=lambda p: p[0])]
+    s = sum(
+        (0 if ordered[j] == ordered[i] else (1 if ordered[j] > ordered[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie = 0
+    for v in set(ordered):
+        t = ordered.count(v)
+        tie += t * (t - 1) * (2 * t + 5)
+    var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0 if n >= 2 else None
+    z = None
+    if var_s is not None and var_s > 0:
+        z = (
+            (s - 1) / math.sqrt(var_s)
+            if s > 0
+            else ((s + 1) / math.sqrt(var_s) if s < 0 else 0.0)
+        )
+    return n, s, var_s, z
+
+
+def _approx_eq(a, b, tol=1e-9):
+    if a is None or b is None:
+        return a is None and b is None
+    return a == pytest.approx(b, rel=tol, abs=1e-12)
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_mann_kendall_plain_and_grouped(spark, case):
+    from datajudge_spark.operators.timeseries import mann_kendall
+
+    rng = random.Random(_MK_SEED + case)
+    # heavy ties on purpose: values from a 5-point grid; group sizes
+    # include the 1-day group (S=0, var NULL) and 2-day groups
+    groups = ["a", "b", "c"][: rng.randint(1, 3)]
+    rows = []
+    for g in groups:
+        n_days = rng.choice([1, 2, 3, rng.randint(4, 25)])
+        days = rng.sample(range(300), n_days)
+        for d in days:
+            rows.append(
+                (g, _EPOCH + dt.timedelta(days=d), rng.randint(0, 4))
+            )
+    daily = spark.createDataFrame(
+        rows, "src string, day date, total long"
+    )
+
+    # plain (one group's rows only, mirroring the daily-digest shape)
+    g0 = groups[0]
+    got = mann_kendall(
+        daily.where(f"src = '{g0}'"), "total"
+    ).collect()[0]
+    n, s, var_s, z = _mk_brute(
+        [(d, v) for g, d, v in rows if g == g0]
+    )
+    assert (got["n_days"], got["s_stat"]) == (n, s), f"case {case}"
+    assert _approx_eq(got["var_s"], var_s) and _approx_eq(got["z"], z)
+
+    # grouped: one digest row per group, same formulas keyed by group
+    per = {
+        r["src"]: r
+        for r in mann_kendall(daily, "total", group_col="src").collect()
+    }
+    assert set(per) == set(groups)
+    for g in groups:
+        n, s, var_s, z = _mk_brute(
+            [(d, v) for gg, d, v in rows if gg == g]
+        )
+        r = per[g]
+        assert (r["n_days"], r["s_stat"]) == (n, s), f"case {case} {g}"
+        assert _approx_eq(r["var_s"], var_s) and _approx_eq(r["z"], z)
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_seasonal_mann_kendall(spark, case):
+    from datajudge_spark.operators.timeseries import seasonal_mann_kendall
+
+    rng = random.Random(_MK_SEED + 100 + case)
+    n_days = rng.choice([1, 2, 7, 8, rng.randint(10, 60)])
+    days = rng.sample(range(400), n_days)
+    rows = [
+        (_EPOCH + dt.timedelta(days=d), rng.randint(0, 3)) for d in days
+    ]
+    daily = spark.createDataFrame(rows, "day date, total long")
+    got = seasonal_mann_kendall(daily, "total").collect()[0]
+
+    strata: dict = {}
+    for d, v in rows:
+        strata.setdefault(d.weekday(), []).append((d, v))
+    tot_n = tot_s = 0
+    tot_var = 0.0
+    for sv in strata.values():
+        n, s, var_s, _ = _mk_brute(sv)
+        tot_n += n
+        tot_s += s
+        tot_var += var_s if var_s is not None else 0.0
+    z = None
+    if tot_var > 0:
+        z = (
+            (tot_s - 1) / math.sqrt(tot_var)
+            if tot_s > 0
+            else ((tot_s + 1) / math.sqrt(tot_var) if tot_s < 0 else 0.0)
+        )
+    assert got["n_days"] == tot_n and got["n_seasons"] == len(strata)
+    assert got["s_stat"] == tot_s, f"case {case}"
+    assert _approx_eq(got["var_s"], tot_var) and _approx_eq(got["z"], z)
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_gumbel_evt(spark, case):
+    from datajudge_spark.operators.timeseries import (
+        EULER_GAMMA,
+        gumbel_fit_from_maxima,
+    )
+
+    rng = random.Random(_MK_SEED + 200 + case)
+    periods = (12, 60)
+    groups = ["g0", "g1", "g2"][: rng.randint(1, 3)]
+    rows = []
+    for g in groups:
+        # single-block groups (n=1 -> NULL fit) and zero-variance
+        # groups (all maxima equal -> var_num == 0 -> NULL fit) mixed in
+        shape = rng.choice(["single", "constant", "normal"])
+        n_blocks = 1 if shape == "single" else rng.randint(2, 9)
+        const = rng.randint(5, 500)
+        for b in range(n_blocks):
+            m = const if shape == "constant" else rng.randint(1, 10_000)
+            rows.append((g, b, m))
+    blocks = spark.createDataFrame(rows, "src string, b int, m long")
+    got = {
+        r["src"]: r
+        for r in gumbel_fit_from_maxima(
+            blocks, "m", periods, group_cols=["src"]
+        ).collect()
+    }
+    assert set(got) == set(groups)
+    for g in groups:
+        ms = [m for gg, _b, m in rows if gg == g]
+        n = len(ms)
+        sm, ss = sum(ms), sum(m * m for m in ms)
+        var_num = n * ss - sm * sm
+        r = got[g]
+        assert r["n_blocks"] == n and r["max_observed"] == max(ms)
+        if n < 2 or var_num <= 0:
+            assert r["mu"] is None and r["beta"] is None
+            assert all(r[f"rl_{t}"] is None for t in periods), f"case {case}"
+        else:
+            mean = sm / n
+            std = math.sqrt(var_num / (n * (n - 1.0)))
+            beta = std * math.sqrt(6.0) / math.pi
+            mu = mean - EULER_GAMMA * beta
+            assert _approx_eq(r["mu"], mu) and _approx_eq(r["beta"], beta)
+            for t in periods:
+                rl = mu - beta * math.log(-math.log(1.0 - 1.0 / t))
+                assert _approx_eq(r[f"rl_{t}"], rl), f"case {case} {g} {t}"
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    toks = __import__("re").split(r"\s+", text.strip())
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_source_overlap_and_novelty(spark, case):
+    from datajudge_spark.pipeline.decontam import (
+        per_source_novelty,
+        source_overlap,
+    )
+
+    rng = random.Random(_MK_SEED + 300 + case)
+    pool = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    max_breadth = 3
+    n_sources = rng.choice([1, 2, 4, 5])
+    sources = [f"s{i}" for i in range(n_sources)]
+    rows: list = []
+    did = 0
+    for s in sources:
+        for _ in range(rng.randint(1, 4)):
+            k = rng.choice([0, 1, 2, 3, rng.randint(4, 12)])
+            rows.append(
+                (did, s, " ".join(rng.choice(pool) for _ in range(k)))
+            )
+            did += 1
+    # boundary probe: one shingle present in exactly max_breadth sources
+    # (KEPT) and one in max_breadth+1 (EXCLUDED), when enough sources
+    kept_marker = "k1 k2 k3"
+    cut_marker = "x1 x2 x3"
+    for s in sources[:max_breadth]:
+        rows.append((did, s, kept_marker))
+        did += 1
+    if n_sources >= max_breadth + 1:
+        for s in sources[: max_breadth + 1]:
+            rows.append((did, s, cut_marker))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+
+    # brute force on shingle STRINGS (md5_long is injective here — the
+    # adversarial-unicode test above pins the hash itself)
+    per_src: dict = {s: set() for s in sources}
+    for _d, s, t in rows:
+        per_src[s] |= _py_shingles(t)
+    breadth: dict = {}
+    for s in sources:
+        for sh in per_src[s]:
+            breadth[sh] = breadth.get(sh, 0) + 1
+    kept = {s: {sh for sh in per_src[s] if breadth[sh] <= max_breadth}
+            for s in sources}
+
+    ov = source_overlap(
+        df, "src", "text", shingle_n=3, max_breadth=max_breadth
+    ).collect()
+    exp_pairs = {}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            shared = kept[a] & kept[b]
+            if shared:
+                aa, bb = min(a, b), max(a, b)
+                exp_pairs[(aa, bb)] = (
+                    len(shared),
+                    round(len(shared) / (len(kept[aa]) + len(kept[bb]) - len(shared)), 6),
+                    round(len(shared) / len(kept[aa]), 6),
+                    round(len(shared) / len(kept[bb]), 6),
+                )
+    got_pairs = {
+        (r["src_a"], r["src_b"]): (
+            r["n_shared"], r["jaccard"], r["containment_a"], r["containment_b"]
+        )
+        for r in ov
+    }
+    assert got_pairs == exp_pairs, f"case {case}"
+
+    nov = {
+        r["src"]: (r["n_ngrams"], r["n_shared_elsewhere"],
+                   r["novelty_fraction"])
+        for r in per_source_novelty(df, "src", "text", shingle_n=3).collect()
+    }
+    for s in sources:
+        if not per_src[s]:
+            assert s not in nov  # no shingles at all -> no digest row
+            continue
+        n_ng = len(per_src[s])
+        n_sh = sum(1 for sh in per_src[s] if breadth[sh] >= 2)
+        assert nov[s] == (
+            n_ng, n_sh, round((n_ng - n_sh) / n_ng, 6)
+        ), f"case {case} {s}"

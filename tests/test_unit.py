@@ -4,6 +4,7 @@ Mirrors the reference's unit layer (SURVEY §5.1).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from datajudge_spark import Condition
 from datajudge_spark.condition import merge_conditions
@@ -2582,3 +2583,174 @@ class TestRank2SampleTests:
         e = d.where("v > 99")
         with pytest.raises(ValueError):
             rank_2sample_tests(d, e, "v", "v").collect()
+
+
+class TestJarqueBera:
+    """Exact-power-sum skew/kurtosis/JB vs a driver-side brute force."""
+
+    @staticmethod
+    def _brute(xs):
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        if n < 2 or m2 == 0:
+            return None, None, None
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2
+        return g1, g2, n / 6 * (g1 * g1 + (g2 - 3) ** 2 / 4)
+
+    def test_matches_brute_force(self, spark):
+        from datajudge_spark.operators.stats import jarque_bera
+
+        cases = [
+            [1, 2, 3, 4, 5, 100],            # heavy right skew
+            [5, 5, 5, 6, 6, 6],              # near-symmetric
+            list(range(-20, 21)),            # uniform: g2 ~ 1.8
+            [7],                             # n=1 -> NULL stats
+            [4, 4, 4, 4],                    # zero variance -> NULL
+        ]
+        rows = [(f"g{i}", x) for i, xs in enumerate(cases) for x in xs]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r["g"]: r
+            for r in jarque_bera(df, "v", group_col="g").collect()
+        }
+        for i, xs in enumerate(cases):
+            g1, g2, jb = self._brute(xs)
+            r = got[f"g{i}"]
+            assert r["n"] == len(xs)
+            if g1 is None:
+                assert r["skewness"] is None and r["jb"] is None
+            else:
+                assert r["skewness"] == pytest.approx(g1, abs=2e-6)
+                assert r["kurtosis"] == pytest.approx(g2, abs=2e-6)
+                assert r["jb"] == pytest.approx(jb, abs=2e-6)
+
+    def test_ungrouped_single_row(self, spark):
+        from datajudge_spark.operators.stats import jarque_bera
+
+        df = spark.createDataFrame([(v,) for v in [1, 2, 3, 9]], "v long")
+        out = jarque_bera(df, "v").collect()
+        assert len(out) == 1 and out[0]["n"] == 4
+
+
+class TestTwoProportionZtest:
+    def test_known_value(self, spark):
+        import math
+
+        from datajudge_spark.operators.stats import two_proportion_ztest
+
+        # A: 30/100, B: 20/100 -> pooled .25, z = .1/sqrt(.25*.75*.02)
+        rows = [("a", 1)] * 30 + [("a", 0)] * 70 \
+            + [("b", 1)] * 20 + [("b", 0)] * 80
+        df = spark.createDataFrame(rows, "pop string, ok int")
+        r = two_proportion_ztest(
+            df,
+            F.col("pop") == "a",
+            F.col("pop") == "b",
+            F.col("ok") == 1,
+        ).collect()[0]
+        z = 0.1 / math.sqrt(0.25 * 0.75 * 0.02)
+        assert (r["n_a"], r["successes_a"]) == (100, 30)
+        assert r["rate_a"] == 0.3 and r["rate_b"] == 0.2
+        assert r["z"] == pytest.approx(z, abs=1e-6)
+
+    def test_degenerate_zero_variance(self, spark):
+        from datajudge_spark.operators.stats import two_proportion_ztest
+
+        df = spark.createDataFrame(
+            [("a", 0), ("b", 0)], "pop string, ok int"
+        )
+        r = two_proportion_ztest(
+            df, F.col("pop") == "a", F.col("pop") == "b",
+            F.col("ok") == 1,
+        ).collect()[0]
+        assert r["z"] is None  # pooled rate 0 -> zero variance
+
+
+class TestGroupedPsi:
+    def test_per_group_equals_conditional_on_slice(self, spark):
+        from datajudge_spark.operators.stats import (
+            grouped_psi,
+            psi_drift_conditional,
+        )
+
+        rng = __import__("random").Random(7)
+        rows = [
+            (rng.choice(["x", "y"]), rng.choice([1, 2]),
+             rng.uniform(0, 100) if rng.random() < 0.9 else None)
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g string, half int, v double")
+        per = {
+            r["g"]: r["psi"]
+            for r in grouped_psi(
+                df, "g", "v",
+                F.col("half") == 1, F.col("half") == 2,
+                lo=0.0, hi=100.0, n_buckets=5,
+            ).collect()
+        }
+        for g in ["x", "y"]:
+            solo = psi_drift_conditional(
+                df.where(F.col("g") == g), "v",
+                F.col("half") == 1, F.col("half") == 2,
+                lo=0.0, hi=100.0, n_buckets=5,
+            ).collect()[0]["psi"]
+            assert per[g] == pytest.approx(solo, abs=1e-9), g
+
+
+class TestKendallTauB:
+    @staticmethod
+    def _brute(pairs):
+        n = len(pairs)
+        c = d = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = (pairs[j][0] > pairs[i][0]) - (pairs[j][0] < pairs[i][0])
+                sy = (pairs[j][1] > pairs[i][1]) - (pairs[j][1] < pairs[i][1])
+                if sx * sy > 0:
+                    c += 1
+                elif sx * sy < 0:
+                    d += 1
+        tx = ty = 0
+        for k in (0, 1):
+            vals = [p[k] for p in pairs]
+            for v in set(vals):
+                t = vals.count(v)
+                (tx, ty) = (tx + t * (t - 1), ty) if k == 0 else (tx, ty + t * (t - 1))
+        import math
+
+        n0x2 = n * (n - 1)
+        den = math.sqrt((n0x2 - tx) * (n0x2 - ty)) / 2
+        return c, d, ((c - d) / den if den > 0 else None)
+
+    def test_matches_brute_force(self, spark):
+        import datetime as dt
+
+        from datajudge_spark.operators.timeseries import kendall_tau_b
+
+        rng = __import__("random").Random(13)
+        cases = [
+            [(i, i * 2) for i in range(10)],                  # tau = 1
+            [(i, -i) for i in range(8)],                      # tau = -1
+            [(rng.randint(0, 4), rng.randint(0, 4)) for _ in range(30)],
+            [(3, 1), (3, 2)],                                 # x fully tied
+            [(1, 1)],                                         # single day
+        ]
+        for ci, pairs in enumerate(cases):
+            rows = [
+                (dt.date(2024, 1, 1) + dt.timedelta(days=i), x, y)
+                for i, (x, y) in enumerate(pairs)
+            ]
+            df = spark.createDataFrame(rows, "day date, x long, y long")
+            r = kendall_tau_b(df, "x", "y").collect()[0]
+            c, d, tau = self._brute(pairs)
+            assert (r["n_days"], r["concordant"], r["discordant"]) == (
+                len(pairs), c, d,
+            ), f"case {ci}"
+            if tau is None:
+                assert r["tau_b"] is None
+            else:
+                assert r["tau_b"] == pytest.approx(tau, abs=1e-12), f"case {ci}"
