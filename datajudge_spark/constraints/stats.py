@@ -2319,3 +2319,171 @@ class MonotoneTrend(Constraint):
             f"{dev} from the isotonic fit, above the allowed "
             f"{self._max_dev}."
         )
+
+
+class Rank2SampleMax(Constraint):
+    """Distribution-drift gate on a rank two-sample statistic —
+    Anderson-Darling A² (``statistic='ad'``, tail-weighted) or
+    Cramér-von Mises T (``statistic='cvm'``, integral-squared) —
+    between a column of each source: fails when the statistic exceeds
+    ``max_value``.  The tail-sensitive / L2 companions to the KS
+    constraint's sup metric (reference constraints/stats.py:13-142 has
+    only KS).  Extension, no reference counterpart.
+
+    Engine side is operators.stats.rank_2sample_tests (one
+    union-histogram shuffle + the shared bucket-partitioned cumulative,
+    DECIMAL-exact numerators); one digest row reaches the driver.
+    """
+
+    _LABELS = {"ad": "Anderson-Darling A²", "cvm": "Cramér-von Mises T"}
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        statistic: str,
+        max_value: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if statistic not in self._LABELS:
+            raise ValueError("statistic must be 'ad' or 'cvm'")
+        if max_value < 0:
+            raise ValueError("max_value must be non-negative")
+        self._statistic = statistic
+        self._max_value = max_value
+        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import rank_2sample_tests
+
+        try:
+            row = rank_2sample_tests(
+                self._ref.get_selection(engine),
+                self._ref2.get_selection(engine),
+                self._ref.get_column(engine),
+                self._ref2.get_column(engine),
+            ).collect()[0]
+        except ValueError:
+            return TestResult.failure(
+                f"{self._LABELS[self._statistic]} between {self._ref} "
+                f"and {self._target_prefix} is undefined: one or both "
+                "sides have no non-null rows. ",
+                self.get_description(),
+            )
+        value = row[self._statistic]
+        if value <= self._max_value:
+            return TestResult.success()
+        assertion_text = (
+            f"{self._LABELS[self._statistic]} between {self._ref} and "
+            f"{self._target_prefix} is {value} "
+            f"(n={row['n1']}/{row['n2']}) — exceeding the maximum "
+            f"{self._max_value}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class JarqueBeraMax(Constraint):
+    """Normality gate: the Jarque-Bera statistic of an integer-valued
+    column (cents, counts) may not exceed ``max_jb`` — "is a sigma rule
+    (z-score / 3-sigma alerting) even a sound premise for this column?"
+    (JB ~ χ²(2) under normality; 5.99 = 5% critical value).
+    Extension, no reference counterpart.
+
+    Engine side is operators.stats.jarque_bera (one aggregation scan of
+    DECIMAL-exact power sums); one digest row reaches the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_jb: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_jb < 0:
+            raise ValueError("max_jb must be non-negative")
+        self._max_jb = max_jb
+        super().__init__(ref, ref_value=max_jb, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import jarque_bera
+
+        df = self._ref.get_selection(engine)
+        col = self._ref.get_column(engine)
+        rows = jarque_bera(df, col).collect()
+        row = rows[0] if rows else None
+        if row is None or row["jb"] is None:
+            return TestResult.failure(
+                f"Jarque-Bera statistic of {self._ref} is undefined: "
+                "fewer than 2 non-null rows or zero variance. ",
+                self.get_description(),
+            )
+        if row["jb"] <= self._max_jb:
+            return TestResult.success()
+        assertion_text = (
+            f"Jarque-Bera statistic of {self._ref} is {row['jb']} "
+            f"(n={row['n']}, skewness={row['skewness']}, "
+            f"kurtosis={row['kurtosis']}) — exceeding the maximum "
+            f"{self._max_jb}; sigma-rule gates are unsound on this "
+            f"column. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class TwoProportionZMax(Constraint):
+    """A/B gate: |pooled two-proportion z| between two row-filter
+    populations of ONE table may not exceed ``max_abs_z`` ("the success
+    rate must not have moved significantly between the control and
+    treatment slices"; 1.96 = 5% two-sided).  Extension, no reference
+    counterpart.
+
+    Engine side is operators.stats.two_proportion_ztest (one
+    conditional-aggregation scan, exact integer counts).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        population_a,
+        population_b,
+        success,
+        max_abs_z: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_z < 0:
+            raise ValueError("max_abs_z must be non-negative")
+        self._population_a = population_a
+        self._population_b = population_b
+        self._success = success
+        self._max_abs_z = max_abs_z
+        super().__init__(
+            ref, ref_value=max_abs_z, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import two_proportion_ztest
+
+        row = two_proportion_ztest(
+            self._ref.get_selection(engine),
+            self._population_a.to_column(),
+            self._population_b.to_column(),
+            self._success.to_column(),
+        ).collect()[0]
+        if row["z"] is None:
+            return TestResult.failure(
+                f"Two-proportion z between populations of {self._ref} "
+                f"is undefined (empty side or zero pooled variance; "
+                f"n_a={row['n_a']}, n_b={row['n_b']}). ",
+                self.get_description(),
+            )
+        if abs(row["z"]) <= self._max_abs_z:
+            return TestResult.success()
+        assertion_text = (
+            f"Two-proportion z between populations of {self._ref} is "
+            f"{row['z']} (rate_a={row['rate_a']} on n={row['n_a']}, "
+            f"rate_b={row['rate_b']} on n={row['n_b']}) — |z| exceeds "
+            f"the maximum {self._max_abs_z}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -1426,6 +1426,57 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_jarque_bera_constraint(
+        self,
+        column: str,
+        max_jb: float = 5.99,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Jarque-Bera
+        normality statistic of an integer-valued ``column`` (cents,
+        counts) may not exceed ``max_jb`` (χ²(2) under normality;
+        5.99 = the 5% critical value) — the "should a sigma rule even
+        be used on this column?" pre-check for z-score/3-sigma gates.
+        One aggregation scan of DECIMAL-exact power sums."""
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            stats_constraints.JarqueBeraMax(
+                ref, max_jb=max_jb, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_two_proportion_ztest_constraint(
+        self,
+        population_a: Condition,
+        population_b: Condition,
+        success: Condition,
+        max_abs_z: float = 1.96,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the pooled
+        two-proportion z statistic of ``success`` rates between the
+        ``population_a`` and ``population_b`` row slices may not exceed
+        ``|z| <= max_abs_z`` (1.96 = 5% two-sided) — the A/B
+        experimentation gate ("the conversion rate must not have moved
+        significantly between these slices").  Exact integer counts
+        from ONE conditional-aggregation scan."""
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            stats_constraints.TwoProportionZMax(
+                ref,
+                population_a,
+                population_b,
+                success,
+                max_abs_z=max_abs_z,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_joint_outlier_constraint(
         self,
         column_x: str,
@@ -2366,6 +2417,69 @@ class BetweenRequirement(Requirement):
         self._constraints.append(
             stats_constraints.WassersteinMax(
                 ref, ref2, max_distance, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_anderson_darling_constraint(
+        self,
+        column1: str,
+        column2: str,
+        max_ad: float,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the two-sample
+        Anderson-Darling A² statistic between ``column1``'s and
+        ``column2``'s distributions may not exceed ``max_ad`` — the
+        TAIL-weighted companion to the KS constraint (KS reports only
+        the max CDF gap; A² weights every gap by 1/(B(N−B)), so tail
+        disagreement the sup misses still fires).  One union-histogram
+        shuffle + the bucket-partitioned cumulative."""
+        if not column1 or not column2:
+            raise ValueError(
+                "Column names have to be given for this test's functionality."
+            )
+        ref = DataReference(self._data_source, [column1], condition=condition1)
+        ref2 = DataReference(
+            self._data_source2, [column2], condition=condition2
+        )
+        self._constraints.append(
+            stats_constraints.Rank2SampleMax(
+                ref, ref2, "ad", max_ad, name=name, cache_size=cache_size
+            )
+        )
+
+    def add_cramer_von_mises_constraint(
+        self,
+        column1: str,
+        column2: str,
+        max_cvm: float,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the tie-weighted
+        two-sample Cramér-von Mises T statistic between ``column1``'s
+        and ``column2``'s distributions may not exceed ``max_cvm`` —
+        the integral-squared (L2) drift gate, sensitive to broad
+        low-amplitude CDF displacement that never produces a large sup
+        (KS) or tail term (AD).  Same single-shuffle plan as
+        ``add_anderson_darling_constraint`` (one operator computes
+        both)."""
+        if not column1 or not column2:
+            raise ValueError(
+                "Column names have to be given for this test's functionality."
+            )
+        ref = DataReference(self._data_source, [column1], condition=condition1)
+        ref2 = DataReference(
+            self._data_source2, [column2], condition=condition2
+        )
+        self._constraints.append(
+            stats_constraints.Rank2SampleMax(
+                ref, ref2, "cvm", max_cvm, name=name, cache_size=cache_size
             )
         )
 

@@ -566,3 +566,42 @@ class TestBootstrapMeanOverlap:
             req.add_bootstrap_mean_overlap_constraint(
                 "k", "v", "k", "v", n_reps=2
             )
+
+
+class TestRank2Sample:
+    def test_identity_passes_shift_fails(self, spark):
+        d1 = spark.createDataFrame(
+            [(float(v % 13),) for v in range(120)], "c double"
+        )
+        d2 = spark.createDataFrame(
+            [(float(v % 13) + 6.0,) for v in range(110)], "c double"
+        )
+        req = between_req(d1, d1, "ad1", "ad1b")
+        req.add_anderson_darling_constraint("c", "c", 0.001)
+        req.add_cramer_von_mises_constraint("c", "c", 0.001)
+        assert outcomes(req, spark) == [True, True]
+
+        req2 = between_req(d1, d2, "ad2", "ad2b")
+        req2.add_anderson_darling_constraint("c", "c", 1.0)
+        req2.add_cramer_von_mises_constraint("c", "c", 0.5)
+        results = req2.test(spark)
+        assert [r.outcome for r in results] == [False, False]
+        assert "Anderson-Darling" in results[0].failure_message
+        assert "Cramér-von Mises" in results[1].failure_message
+
+    def test_empty_side_fails_cleanly(self, spark):
+        d1 = spark.createDataFrame([(1.0,)], "c double")
+        d2 = spark.createDataFrame([], "c double")
+        req = between_req(d1, d2, "ade1", "ade2")
+        req.add_anderson_darling_constraint("c", "c", 1.0)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "no non-null rows" in results[0].failure_message
+
+    def test_validation(self, spark):
+        d1 = spark.createDataFrame([(1.0,)], "c double")
+        req = between_req(d1, d1, "adv1", "adv2")
+        with pytest.raises(ValueError):
+            req.add_anderson_darling_constraint("c", "c", -0.1)
+        with pytest.raises(ValueError):
+            req.add_cramer_von_mises_constraint("", "c", 0.1)

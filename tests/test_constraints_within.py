@@ -1449,3 +1449,76 @@ class TestMonotoneTrend:
             req.add_monotone_trend_constraint("x", "y", max_deviation=-1.0)
         with pytest.raises(ValueError):
             req.add_monotone_trend_constraint("x", "y", n_buckets=1)
+
+
+class TestJarqueBera:
+    def test_normalish_passes_skewed_fails(self, spark):
+        # symmetric triangular-ish data: tiny JB; one huge outlier
+        # blows skew/kurtosis past any sane bound
+        sym = [1, 2, 2, 3, 3, 3, 4, 4, 5] * 10
+        req = within_req(
+            spark.createDataFrame([(v,) for v in sym], "v long"), "jb_sym"
+        )
+        req.add_jarque_bera_constraint("v", max_jb=5.99)
+        assert outcomes(req, spark) == [True]
+
+        skew = sym + [500]
+        req2 = within_req(
+            spark.createDataFrame([(v,) for v in skew], "v long"), "jb_sk"
+        )
+        req2.add_jarque_bera_constraint("v", max_jb=5.99)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "sigma-rule" in results[0].failure_message
+
+    def test_degenerate_fails_cleanly(self, spark):
+        req = within_req(
+            spark.createDataFrame([(4,), (4,), (4,)], "v long"), "jb_const"
+        )
+        req.add_jarque_bera_constraint("v", max_jb=100.0)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark, int_table1):
+        req = within_req(int_table1, "jb_val")
+        with pytest.raises(ValueError):
+            req.add_jarque_bera_constraint("col_int", max_jb=-1.0)
+
+
+class TestTwoProportionZtest:
+    def test_same_rate_passes_shifted_fails(self, spark):
+        rows = (
+            [("a", 1)] * 30 + [("a", 0)] * 70
+            + [("b", 1)] * 30 + [("b", 0)] * 70
+            + [("c", 1)] * 60 + [("c", 0)] * 40
+        )
+        df = spark.createDataFrame(rows, "pop string, ok int")
+        req = within_req(df, "abz")
+        req.add_two_proportion_ztest_constraint(
+            Condition(raw_string="pop = 'a'"),
+            Condition(raw_string="pop = 'b'"),
+            Condition(raw_string="ok = 1"),
+        )
+        req.add_two_proportion_ztest_constraint(
+            Condition(raw_string="pop = 'a'"),
+            Condition(raw_string="pop = 'c'"),
+            Condition(raw_string="ok = 1"),
+        )  # 30% vs 60% on n=100/100 -> |z| ~ 4.3, fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "rate_a=0.3" in results[1].failure_message
+
+    def test_degenerate_fails_cleanly(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0), ("b", 0)], "pop string, ok int"
+        )
+        req = within_req(df, "abz_deg")
+        req.add_two_proportion_ztest_constraint(
+            Condition(raw_string="pop = 'a'"),
+            Condition(raw_string="pop = 'b'"),
+            Condition(raw_string="ok = 1"),
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
