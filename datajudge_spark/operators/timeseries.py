@@ -1229,10 +1229,18 @@ def kendall_tau_b(
     of fact-table row count; the upstream daily aggregate is the only
     data-sized stage.  Extension — no reference counterpart.
     """
-    base = daily.where(
-        F.col("day").isNotNull()
-        & F.col(x_col).isNotNull()
-        & F.col(y_col).isNotNull()
+    from ..pipeline._util import materialize_once
+
+    # the daily frame is calendar-bounded (tiny) but its upstream
+    # aggregate scans the fact table; four digest branches (pair join
+    # sides, two tie aggregates, n) would re-scan it four times —
+    # persist the small frame, not the big subtree
+    base = materialize_once(
+        daily.where(
+            F.col("day").isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
     )
     a = base.select(
         F.col("day").alias("d1"),

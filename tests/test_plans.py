@@ -860,3 +860,45 @@ def test_seasonal_mann_kendall_no_cross_product(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_jarque_bera_single_scan_partial_agg(spark):
+    # all four power sums + count are agg COLUMNS off ONE scan with
+    # map-side partial aggregation — never one scan per moment
+    plan = _executed_plan(entrymod.q_jarque_bera(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_two_proportion_single_scan(spark):
+    # both populations' counts come from ONE conditional-agg scan
+    plan = _executed_plan(entrymod.q_two_proportion_ztest(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_grouped_psi_no_global_window(spark):
+    # the totals window is PARTITIONED BY the group key — a global
+    # single-partition exchange would serialize the fold at scale
+    plan = _executed_plan(entrymod.q_grouped_psi(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_rank_2sample_bucketed_cumulative_window(spark):
+    # AD/CvM ride the shared equi-depth bucketed cumulative: the union
+    # histogram is hash-partitioned by bucket id and the cumulative
+    # window runs WITHIN those partitions (the only SinglePartition
+    # exchange in the plan is the final 1-row scalar digest)
+    plan = _executed_plan(entrymod.q_anderson_darling(spark, SF_DIR))
+    assert "windowspecdefinition(__b" in plan, plan
+    assert "Exchange hashpartitioning(__b" in plan, plan
+
+
+def test_kendall_tau_materializes_daily_frame_once(spark):
+    # the four digest branches (pair join sides, two tie aggregates, n)
+    # read the PERSISTED calendar-bounded daily frame — the fact-table
+    # aggregate runs once, not once per branch
+    plan = _executed_plan(entrymod.q_kendall_tau(spark, SF_DIR))
+    # all five branches read the cache (the only parquet scan in the
+    # string is the one INSIDE the InMemoryRelation's build definition)
+    assert plan.count("InMemoryTableScan") >= 4, plan
