@@ -728,3 +728,167 @@ def test_fuzz_source_overlap_and_novelty(spark, case):
         assert nov[s] == (
             n_ng, n_sh, round((n_ng - n_sh) / n_ng, 6)
         ), f"case {case} {s}"
+
+
+# ---------------------------------------------------------------------------
+# Round-8 family fuzz: AD/CvM rank tests, Jarque-Bera, Kendall tau-b,
+# grouped PSI — seeded random values with heavy ties and null mixes vs
+# driver-side brute force of the published formulas.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_rank_2sample(spark, case):
+    from datajudge_spark.operators.stats import rank_2sample_tests
+
+    rng = random.Random(_MK_SEED + 400 + case)
+    grid = rng.choice([3, 8, 40])  # tie density knob
+    x = [rng.randint(0, grid) for _ in range(rng.randint(2, 120))]
+    y = [rng.randint(0, grid) for _ in range(rng.randint(2, 120))]
+    d1 = spark.createDataFrame([(v,) for v in x], "v int")
+    d2 = spark.createDataFrame([(v,) for v in y], "v int")
+    row = rank_2sample_tests(d1, d2, "v", "v").collect()[0]
+
+    t1, t2 = len(x), len(y)
+    n = t1 + t2
+    c1 = c2 = 0
+    ad = cvm = 0.0
+    for v in sorted(set(x) | set(y)):
+        l1, l2 = x.count(v), y.count(v)
+        c1, c2 = c1 + l1, c2 + l2
+        b = c1 + c2
+        if b < n:
+            num = n * c1 - t1 * b
+            ad += (l1 + l2) / n * num * num / (b * (n - b)) \
+                * (1.0 / t1 + 1.0 / t2)
+        diff = c1 * t2 - c2 * t1
+        cvm += (l1 + l2) * diff * diff
+    cvm /= t1 * t2 * n * n
+    assert (row["n1"], row["n2"]) == (t1, t2)
+    assert row["ad"] == pytest.approx(ad, rel=1e-9, abs=1e-12), f"case {case}"
+    assert row["cvm"] == pytest.approx(cvm, rel=1e-9, abs=1e-12), f"case {case}"
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_jarque_bera(spark, case):
+    from datajudge_spark.operators.stats import jarque_bera
+
+    rng = random.Random(_MK_SEED + 500 + case)
+    groups = ["a", "b"][: rng.randint(1, 2)]
+    rows = []
+    for g in groups:
+        shape = rng.choice(["normalish", "skewed", "constant", "single"])
+        n = 1 if shape == "single" else rng.randint(2, 150)
+        for _ in range(n):
+            if shape == "constant":
+                v = 7
+            elif shape == "skewed":
+                v = rng.randint(0, 5) ** 3
+            else:
+                v = rng.randint(-50, 50)
+            rows.append((g, v))
+        if rng.random() < 0.4:
+            rows.append((g, None))  # nulls excluded everywhere
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in jarque_bera(df, "v", group_col="g").collect()}
+    for g in groups:
+        xs = [v for gg, v in rows if gg == g and v is not None]
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        r = got[g]
+        assert r["n"] == n
+        assert r["mean"] == pytest.approx(mu, abs=2e-6)
+        if n < 2 or m2 == 0:
+            assert r["jb"] is None, f"case {case} {g}"
+            continue
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        g1, g2 = m3 / m2**1.5, m4 / m2**2
+        assert r["skewness"] == pytest.approx(g1, abs=2e-6), f"case {case}"
+        assert r["kurtosis"] == pytest.approx(g2, abs=2e-6)
+        assert r["jb"] == pytest.approx(
+            n / 6 * (g1 * g1 + (g2 - 3) ** 2 / 4), rel=1e-4, abs=2e-6
+        )
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_kendall_tau_b(spark, case):
+    from datajudge_spark.operators.timeseries import kendall_tau_b
+
+    rng = random.Random(_MK_SEED + 600 + case)
+    gx = rng.choice([2, 4, 20])
+    gy = rng.choice([2, 4, 20])
+    n = rng.choice([1, 2, rng.randint(3, 60)])
+    pairs = [(rng.randint(0, gx), rng.randint(0, gy)) for _ in range(n)]
+    rows = [
+        (_EPOCH + dt.timedelta(days=i), x, y)
+        for i, (x, y) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (pairs[j][0] > pairs[i][0]) - (pairs[j][0] < pairs[i][0])
+            sy = (pairs[j][1] > pairs[i][1]) - (pairs[j][1] < pairs[i][1])
+            c, d = c + (sx * sy > 0), d + (sx * sy < 0)
+    tx = ty = 0
+    for k in (0, 1):
+        vals = [p[k] for p in pairs]
+        t_sum = sum(
+            vals.count(v) * (vals.count(v) - 1) for v in set(vals)
+        )
+        tx, ty = (t_sum, ty) if k == 0 else (tx, t_sum)
+    den = math.sqrt((n * (n - 1) - tx) * (n * (n - 1) - ty)) / 2
+    assert (r["n_days"], r["concordant"], r["discordant"]) == (n, c, d)
+    if den == 0:
+        assert r["tau_b"] is None, f"case {case}"
+    else:
+        assert r["tau_b"] == pytest.approx((c - d) / den, abs=1e-12)
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_grouped_psi(spark, case):
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import grouped_psi
+
+    rng = random.Random(_MK_SEED + 700 + case)
+    n_buckets = rng.choice([2, 5, 10])
+    lo, hi = 0.0, 100.0
+    w = (hi - lo) / n_buckets
+    rows = []
+    for _ in range(rng.randint(30, 300)):
+        rows.append((
+            rng.choice(["g1", "g2", "g3", None]),
+            rng.choice([1, 2]),
+            None if rng.random() < 0.1
+            # exact grid doubles incl. out-of-range (clamped tails)
+            else rng.randint(-320, 4480) / 32,
+        ))
+    df = spark.createDataFrame(rows, "g string, half int, v double")
+    got = {
+        r["g"]: (r["n_baseline"], r["n_current"], r["psi"])
+        for r in grouped_psi(
+            df, "g", "v", F.col("half") == 1, F.col("half") == 2,
+            lo=lo, hi=hi, n_buckets=n_buckets,
+        ).collect()
+    }
+    per_group: dict = {}
+    for g, half, v in rows:
+        if g is None or v is None:
+            continue
+        b = min(max(int(math.floor((v - lo) / w)), 0), n_buckets - 1)
+        per_group.setdefault(g, {}).setdefault(b, [0, 0])[half - 1] += 1
+    for g, hist in per_group.items():
+        t1 = sum(v[0] for v in hist.values())
+        t2 = sum(v[1] for v in hist.values())
+        psi = 0.0
+        for n1, n2 in hist.values():
+            p = (n1 + 0.5) / (t1 + 0.5 * n_buckets)
+            q = (n2 + 0.5) / (t2 + 0.5 * n_buckets)
+            psi += (p - q) * math.log(p / q)
+        assert got[g][0] == t1 and got[g][1] == t2, f"case {case} {g}"
+        assert got[g][2] == pytest.approx(psi, abs=2e-6), f"case {case} {g}"
+    assert set(got) == set(per_group)
