@@ -259,3 +259,86 @@ def test_ngram_novelty_partition_stable(spark, n_parts):
         3,
     ).first()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_rank_2sample_partition_stable(spark, n_parts):
+    # DECIMAL-exact AD/CvM numerators: bit-identical at any partitioning
+    from datajudge_spark.operators.stats import rank_2sample_tests
+
+    d1 = spark.createDataFrame(
+        [((i * 13) % 37,) for i in range(200)], "v int"
+    )
+    d2 = spark.createDataFrame(
+        [((i * 7) % 41,) for i in range(150)], "v int"
+    )
+    ref = rank_2sample_tests(d1, d2, "v", "v").first()
+    got = rank_2sample_tests(
+        d1.repartition(n_parts), d2.repartition(max(1, n_parts - 1)),
+        "v", "v",
+    ).first()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_jarque_bera_partition_stable(spark, n_parts):
+    # decimal power sums -> one double expression: partition-invariant
+    from datajudge_spark.operators.stats import jarque_bera
+
+    rows = [("g" + str(i % 3), (i * 17) % 101 - 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    ref = sorted(jarque_bera(df, "v", group_col="g").collect())
+    got = sorted(
+        jarque_bera(df.repartition(n_parts), "v", group_col="g").collect()
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_kendall_tau_partition_stable(spark, n_parts):
+    import datetime as dt
+
+    from datajudge_spark.operators.timeseries import kendall_tau_b
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), (i * 3) % 11, (i * 5) % 7)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "day date, x long, y long")
+    ref = kendall_tau_b(df, "x", "y").first()
+    got = kendall_tau_b(df.repartition(n_parts), "x", "y").first()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_contrastive_negatives_partition_stable(spark, n_parts):
+    # md5-argmin draws: the winning negative per (query, draw) is a
+    # pure function of the data — identical under any partitioning
+    from datajudge_spark.pipeline.sampling import contrastive_negatives
+
+    rows = [(i, i % 4) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    ref = contrastive_negatives(df, "vec_id", "label", [0, 1, 2], 3).collect()
+    got = contrastive_negatives(
+        df.repartition(n_parts), "vec_id", "label", [0, 1, 2], 3
+    ).collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_zipf_slope_partition_stable(spark, n_parts):
+    # the top-N boundary is a TOTAL order (count DESC, token ASC): the
+    # selected head — and therefore the OLS fit — cannot depend on
+    # which partition a tied token lands in
+    from datajudge_spark.pipeline.text import zipf_slope
+
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (" ".join(words[(i + j) % 6] for j in range((i % 9) + 1)),)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    ref = zipf_slope(df, "text", top_n=4).first()
+    got = zipf_slope(df.repartition(n_parts), "text", top_n=4).first()
+    assert got == ref
