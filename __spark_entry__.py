@@ -5326,6 +5326,55 @@ def q_streaming_late_data(spark, sf_dir):
     )
 
 
+def q_streaming_ab_ztest(spark, sf_dir):
+    """15th streaming contract query: sequential A/B monitoring.  The
+    four experiment counts (two populations x {all, successes}) are
+    associative conditional aggregates, so the ONE complete-mode state
+    row after the availableNow drain equals the batch counts exactly;
+    the drained row feeds the IDENTICAL z expression tree the batch
+    operator uses (operators.stats.ztest_from_counts) — hash-equal to
+    the SQL oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.operators.stats import ztest_from_counts
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stream_parquet_like,
+        streaming_ab_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_ab_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw)
+    day = F.dayofmonth(F.col("ts").cast("timestamp"))
+    counts = streaming_ab_counts(
+        ev, day <= 15, day >= 16, F.col("event_type") == "purchase"
+    )
+    qname = f"stream_ab_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return ztest_from_counts(spark.table(qname))
+
+
 def q_grouped_psi(spark, sf_dir):
     # per-SEGMENT drift: PSI of the value distribution per event type
     # between the first and second half of the month — "which segment
@@ -5722,6 +5771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": q_multimodal_decode_real,
         "streaming_late_data": q_streaming_late_data,
         # round-8 post-window additions (r9 window candidates)
+        "streaming_ab_ztest": q_streaming_ab_ztest,
         "grouped_psi": q_grouped_psi,
         "jarque_bera": q_jarque_bera,
         "two_proportion_ztest": q_two_proportion_ztest,
@@ -9969,6 +10019,34 @@ def oracle_sql() -> dict[str, str]:
             "AS jb FROM g ORDER BY event_type"
         ),
         "two_proportion_ztest": (
+            "WITH c AS (SELECT "
+            "count(*) FILTER (date_part('day', ts) <= 15) AS n_a, "
+            "count(*) FILTER (date_part('day', ts) <= 15 "
+            "AND event_type = 'purchase') AS s_a, "
+            "count(*) FILTER (date_part('day', ts) >= 16) AS n_b, "
+            "count(*) FILTER (date_part('day', ts) >= 16 "
+            "AND event_type = 'purchase') AS s_b FROM events), "
+            "d AS (SELECT n_a, s_a, n_b, s_b, "
+            "CAST(n_a AS DOUBLE) AS na, CAST(s_a AS DOUBLE) AS sa, "
+            "CAST(n_b AS DOUBLE) AS nb, CAST(s_b AS DOUBLE) AS sb, "
+            "(CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) "
+            "/ (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled "
+            "FROM c) "
+            "SELECT CAST(n_a AS BIGINT) AS n_a, "
+            "CAST(s_a AS BIGINT) AS successes_a, "
+            "round(CASE WHEN n_a > 0 THEN sa / na END, 6) AS rate_a, "
+            "CAST(n_b AS BIGINT) AS n_b, "
+            "CAST(s_b AS BIGINT) AS successes_b, "
+            "round(CASE WHEN n_b > 0 THEN sb / nb END, 6) AS rate_b, "
+            "round(CASE WHEN n_a > 0 AND n_b > 0 AND "
+            "pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb) > 0 THEN "
+            "(sa / na - sb / nb) / sqrt(pooled * (1.0 - pooled) "
+            "* (1.0 / na + 1.0 / nb)) END, 6) AS z FROM d"
+        ),
+        "streaming_ab_ztest": (
+            # drained complete-mode state == batch counts (associative),
+            # so the oracle IS the batch two-proportion SQL
+
             "WITH c AS (SELECT "
             "count(*) FILTER (date_part('day', ts) <= 15) AS n_a, "
             "count(*) FILTER (date_part('day', ts) <= 15 "

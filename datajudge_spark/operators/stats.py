@@ -2180,6 +2180,15 @@ def two_proportion_ztest(
         F.count(F.when(population_b, 1)).alias("n_b"),
         F.count(F.when(population_b & success, 1)).alias("s_b"),
     )
+    return ztest_from_counts(agg)
+
+
+def ztest_from_counts(agg: DataFrame) -> DataFrame:
+    """The z projection of :func:`two_proportion_ztest`, factored over
+    an already-aggregated one-row ``(n_a, s_a, n_b, s_b)`` counts frame
+    — shared by the batch operator and the streaming drain digest
+    (counts are associative, so a streaming complete-mode state row
+    feeds the IDENTICAL expression tree and hash-matches batch)."""
     na, sa = F.col("n_a").cast("double"), F.col("s_a").cast("double")
     nb, sb = F.col("n_b").cast("double"), F.col("s_b").cast("double")
     pooled = (sa + sb) / (na + nb)

@@ -700,3 +700,30 @@ def streaming_bootstrap_sums(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("__v").cast("decimal(38,0)")).alias("s"),
     )
+
+
+def streaming_ab_counts(
+    stream_df: DataFrame,
+    population_a,
+    population_b,
+    success,
+) -> DataFrame:
+    """Running A/B experiment counts over a stream: ONE complete-mode
+    state row ``(n_a, s_a, n_b, s_b)`` of exact integer counts for two
+    row-filter populations and their success events — the sequential-
+    monitoring primitive ("watch the experiment as data arrives").
+
+    All four counts are plain conditional aggregates — associative and
+    commutative — so the drained state after any availableNow pass
+    EQUALS the batch counts of the same rows exactly, and feeding it
+    through :func:`datajudge_spark.operators.stats.ztest_from_counts`
+    (the identical expression tree the batch operator uses) yields a
+    hash-identical z digest.  State is O(1): four longs.  No watermark
+    needed — nothing is ever evicted.
+    """
+    return stream_df.where(population_a | population_b).agg(
+        F.count(F.when(population_a, 1)).alias("n_a"),
+        F.count(F.when(population_a & success, 1)).alias("s_a"),
+        F.count(F.when(population_b, 1)).alias("n_b"),
+        F.count(F.when(population_b & success, 1)).alias("s_b"),
+    )

@@ -643,3 +643,54 @@ class TestStreamingBootstrap:
             round(float(r["sw"]) / r["n"], 6) for r in state.values()
         )
         assert means[0] <= digest["boot_median"] <= means[-1]
+
+
+class TestStreamingAbCounts:
+    def test_multi_batch_state_equals_batch_counts(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.stats import (
+            two_proportion_ztest,
+            ztest_from_counts,
+        )
+        from datajudge_spark.streaming import streaming_ab_counts
+
+        rng = __import__("random").Random(3)
+        rows = [
+            (i, dt.datetime(2024, 1, 1 + rng.randint(0, 29), 12),
+             rng.choice(["purchase", "view", "click"]))
+            for i in range(300)
+        ]
+        schema = "event_id long, ts timestamp, event_type string"
+        src = tmp_path / "ab_src"
+        for b, chunk in enumerate([rows[:130], rows[130:]]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(src / f"f{b}")
+            )
+        stream_dir = tmp_path / "ab_in"
+        stream_dir.mkdir()
+        for n, part in enumerate(sorted(src.rglob("*.parquet"))):
+            (stream_dir / f"{n:02d}.parquet").symlink_to(part)
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)  # forces TWO micro-batches
+            .parquet(str(stream_dir))
+        )
+        day = F.dayofmonth("ts")
+        pa_, pb_ = day <= 15, day >= 16
+        ok = F.col("event_type") == "purchase"
+        q = (
+            streaming_ab_counts(raw, pa_, pb_, ok)
+            .writeStream.format("memory").queryName("ab_state")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        drained = ztest_from_counts(spark.table("ab_state")).collect()[0]
+        batch = two_proportion_ztest(
+            spark.createDataFrame(rows, schema), pa_, pb_, ok
+        ).collect()[0]
+        assert drained == batch  # exact, including the z double
