@@ -1,0 +1,88 @@
+"""Experimentation and distribution-shift gates over an event stream.
+
+The questions an A/B or rollout pipeline asks about a metrics table,
+each answered by ONE constant-size digest over a single-scan plan:
+
+    Jarque-Bera        "is a sigma rule even a sound premise for this
+                        metric?"                      (normality screen)
+    two-proportion z   "did the conversion rate actually move between
+                        the slices?"                  (the A/B primitive)
+    grouped PSI        "WHICH segment's value distribution drifted?"
+    AD / CvM           "is the drift in the TAILS (AD) or a broad
+                        low-amplitude displacement (CvM) the KS sup
+                        would miss?"                  (drift triage)
+    sequential A/B     "watch the experiment as data arrives" — the
+                        same z, drained from O(1) streaming state.
+
+Every statistic comes from exact integer/DECIMAL sufficient statistics
+converted once to doubles in a fixed expression — a second engine
+replaying the run agrees bit-for-bit (the property the oracle suite
+enforces for all of these).
+
+Run:  PYTHONPATH=/root/repo python docs/examples/experiment_gates.py
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from datajudge_spark import (
+    BetweenRequirement,
+    Condition,
+    WithinRequirement,
+    get_spark,
+)
+from datajudge_spark.operators.stats import grouped_psi
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+spark = get_spark("experiment-gates")
+events = spark.read.parquet(f"{SF}/events.parquet")
+day = F.dayofmonth(F.col("ts").cast("timestamp"))
+
+# ---- 1. declarative gates: normality screen + A/B movement ----------
+req = WithinRequirement.from_parquet(f"{SF}/events.parquet")
+# can we use z-score alerting on event_id? (uniform -> kurtosis ~1.8,
+# JB rejects normality decisively; the gate names why)
+req.add_jarque_bera_constraint("event_id", max_jb=5.99)
+# did the purchase rate move between the month halves?
+req.add_two_proportion_ztest_constraint(
+    Condition(raw_string="date_part('day', ts) <= 15"),
+    Condition(raw_string="date_part('day', ts) >= 16"),
+    Condition(raw_string="event_type = 'purchase'"),
+    max_abs_z=1.96,
+)
+for r in req.test(spark):
+    print(f"[gate] {'PASS' if r.outcome else 'FAIL'}",
+          (r.failure_message or "")[:110])
+
+# ---- 2. drift triage between two event populations -------------------
+bet = BetweenRequirement.from_parquets(
+    f"{SF}/events.parquet", f"{SF}/events.parquet"
+)
+click = Condition(raw_string="event_type = 'click'")
+purch = Condition(raw_string="event_type = 'purchase'")
+# tail-weighted and integral-squared drift gates side by side: AD fires
+# on tail disagreement the KS sup misses, CvM on broad displacement
+bet.add_anderson_darling_constraint(
+    "value", "value", 2.0, condition1=click, condition2=purch
+)
+bet.add_cramer_von_mises_constraint(
+    "value", "value", 0.3, condition1=click, condition2=purch
+)
+for r in bet.test(spark):
+    print(f"[drift] {'PASS' if r.outcome else 'FAIL'}",
+          (r.failure_message or "")[:110])
+
+# ---- 3. which SEGMENT drifted? (per-group PSI, one scan) -------------
+psi = grouped_psi(
+    events, "event_type", "value", day <= 15, day >= 16,
+    lo=0.0, hi=500.0, n_buckets=10,
+).orderBy(F.desc("psi"))
+print("[segment drift] PSI per event type (first vs second half):")
+for row in psi.collect():
+    flag = "DRIFTED" if row["psi"] > 0.25 else (
+        "watch" if row["psi"] > 0.1 else "stable")
+    print(f"  {row['event_type']:>9}: psi={row['psi']:.4f}  [{flag}]")
+
+spark.stop()
