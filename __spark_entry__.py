@@ -5450,6 +5450,57 @@ def q_kendall_tau(spark, sf_dir):
     return kendall_tau_b(daily, "n_orders", "rev_c")
 
 
+def q_cuped_ab(spark, sf_dir):
+    # CUPED variance-reduced A/B difference (Deng et al. 2013): each
+    # user's second-half spend adjusted by their first-half spend
+    # (theta = pooled cov/var), assignment = user_id parity.  The
+    # experimentation-platform primitive that makes small effects
+    # detectable without more traffic.  One groupBy(user) shuffle ->
+    # one sufficient-statistics scan -> 1-row digest; every sum
+    # DECIMAL-exact.
+    from datajudge_spark.operators.stats import cuped_adjusted_diff
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.dayofmonth(F.col("ts").cast("timestamp"))
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(day <= 15, _cents("value")).otherwise(F.lit(0))
+            ).alias("pre_c"),
+            F.sum(
+                F.when(day >= 16, _cents("value")).otherwise(F.lit(0))
+            ).alias("post_c"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    return cuped_adjusted_diff(units, "pre_c", "post_c", "variant")
+
+
+def q_logrank(spark, sf_dir):
+    # two-group log-rank test on user-lifetime survival (even vs odd
+    # user ids — a deterministic A/B split): "are the two cohorts'
+    # churn curves actually different?"  Same duration/censoring
+    # construction as kaplan_meier; O/E/V summed over the
+    # duration-ordered bounded frame (KM determinism contract).
+    from datajudge_spark.operators.timeseries import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+    )
+    horizon = ev.agg(
+        F.date_sub(F.max(F.col("ts").cast("date")), 14).alias("__h")
+    )
+    subj = per_user.join(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").alias("dur"),
+        F.when(F.col("last_d") < F.col("__h"), 1).otherwise(0).alias("ev"),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+    )
+    return logrank_test(subj, "dur", "ev", "grp")
+
+
 #: ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys
 #: of queries() only.  The window below is the single source of truth —
 #: queries() reorders itself from it, so this list IS the gate.
@@ -5772,6 +5823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data": q_streaming_late_data,
         # round-8 post-window additions (r9 window candidates)
         "streaming_ab_ztest": q_streaming_ab_ztest,
+        "cuped_ab": q_cuped_ab,
+        "logrank": q_logrank,
         "grouped_psi": q_grouped_psi,
         "jarque_bera": q_jarque_bera,
         "two_proportion_ztest": q_two_proportion_ztest,
@@ -9967,6 +10020,94 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n_rows FROM events GROUP BY 1, 2"
         ),
         # ---- round-8 post-window additions ----
+        "cuped_ab": (
+            # HUGEINT-exact sufficient statistics, one double
+            # conversion, identical expression shapes/order (nb, sxb,
+            # syb derived as n-na etc. in DOUBLE, like the operator)
+            "WITH u AS (SELECT user_id, "
+            "sum(CASE WHEN date_part('day', ts) <= 15 THEN c ELSE 0 END) "
+            "AS x, "
+            "sum(CASE WHEN date_part('day', ts) >= 16 THEN c ELSE 0 END) "
+            "AS y, CAST(user_id % 2 AS INTEGER) AS variant FROM ("
+            "SELECT user_id, ts, CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT) AS c FROM events WHERE value IS NOT NULL) "
+            "GROUP BY user_id), "
+            "s AS (SELECT count(*) AS cnt, "
+            "sum(CAST(x AS HUGEINT)) AS hsx, sum(CAST(y AS HUGEINT)) AS hsy, "
+            "sum(CAST(x AS HUGEINT) * x) AS hsxx, "
+            "sum(CAST(y AS HUGEINT) * y) AS hsyy, "
+            "sum(CAST(x AS HUGEINT) * y) AS hsxy, "
+            "count(*) FILTER (variant = 0) AS cna, "
+            "sum(CAST(x AS HUGEINT)) FILTER (variant = 0) AS hsxa, "
+            "sum(CAST(y AS HUGEINT)) FILTER (variant = 0) AS hsya "
+            "FROM u WHERE x IS NOT NULL AND y IS NOT NULL), "
+            "d AS (SELECT cnt, cna, CAST(cnt AS DOUBLE) AS n, "
+            "CAST(hsx AS DOUBLE) AS sx, CAST(hsy AS DOUBLE) AS sy, "
+            "CAST(hsxx AS DOUBLE) AS sxx, CAST(hsyy AS DOUBLE) AS syy, "
+            "CAST(hsxy AS DOUBLE) AS sxy, CAST(cna AS DOUBLE) AS na, "
+            "CAST(hsxa AS DOUBLE) AS sxa, CAST(hsya AS DOUBLE) AS sya "
+            "FROM s), "
+            "m AS (SELECT cnt, cna, n, na, n - na AS nb, "
+            "n * sxy - sx * sy AS covn, n * sxx - sx * sx AS varxn, "
+            "n * syy - sy * sy AS varyn, "
+            "sya / na AS mya, (sy - sya) / (n - na) AS myb, "
+            "sxa / na AS mxa, (sx - sxa) / (n - na) AS mxb FROM d) "
+            "SELECT CAST(cna AS BIGINT) AS n_a, "
+            "CAST(cnt - cna AS BIGINT) AS n_b, "
+            "round(CASE WHEN cna >= 1 THEN mya END, 6) AS mean_post_a, "
+            "round(CASE WHEN nb >= 1 THEN myb END, 6) AS mean_post_b, "
+            "round(CASE WHEN cna >= 1 AND nb >= 1 THEN mya - myb END, 6) "
+            "AS diff_raw, "
+            "round(CASE WHEN cna >= 1 AND nb >= 1 AND varxn > 0 THEN "
+            "covn / varxn END, 6) AS theta, "
+            "round(CASE WHEN cna >= 1 AND nb >= 1 AND varxn > 0 THEN "
+            "(mya - myb) - (covn / varxn) * (mxa - mxb) END, 6) "
+            "AS diff_cuped, "
+            "round(CASE WHEN cna >= 1 AND nb >= 1 AND varxn > 0 AND "
+            "varyn > 0 THEN (covn * covn) / (varxn * varyn) END, 6) "
+            "AS rho2 FROM m"
+        ),
+        "logrank": (
+            # same duration/censoring construction as kaplan_meier; at
+            # risk via exclusive running counts; O/E/V as ordered
+            # cumulative window sums (identical addition order), last
+            # row = totals; identical double expression grouping
+            "WITH per AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd, "
+            "max(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1), "
+            "subj AS (SELECT ld - fd AS t, CASE WHEN ld < "
+            "(SELECT max(CAST(ts AS DATE)) - 14 FROM events) "
+            "THEN 1 ELSE 0 END AS ev, "
+            "CAST(user_id % 2 AS INTEGER) AS grp FROM per), "
+            "tot AS (SELECT count(*) FILTER (grp = 0) AS t1, "
+            "count(*) FILTER (grp = 1) AS t2 FROM subj), "
+            "hist AS (SELECT t, "
+            "sum(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS d1, "
+            "sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS d2, "
+            "count(*) FILTER (grp = 0) AS c1, "
+            "count(*) FILTER (grp = 1) AS c2 FROM subj GROUP BY 1), "
+            "r AS (SELECT t, d1, d2, "
+            "t1 - coalesce(sum(c1) OVER (ORDER BY t ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1, "
+            "t2 - coalesce(sum(c2) OVER (ORDER BY t ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2 "
+            "FROM hist, tot), "
+            "terms AS (SELECT t, d1, n1, n2, "
+            "CAST(d1 + d2 AS DOUBLE) AS d, "
+            "CAST(n1 + n2 AS DOUBLE) AS nn FROM r WHERE d1 + d2 > 0), "
+            "cum AS (SELECT t, sum(d1) OVER w AS o1, "
+            "sum(d * CAST(n1 AS DOUBLE) / nn) OVER w AS e1, "
+            "sum(CASE WHEN nn > 1.0 THEN d * (CAST(n1 AS DOUBLE) / nn) "
+            "* (CAST(n2 AS DOUBLE) / nn) * (nn - d) / (nn - 1.0) "
+            "ELSE 0.0 END) OVER w AS vv FROM terms "
+            "WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)), "
+            "lastrow AS (SELECT * FROM cum ORDER BY t DESC LIMIT 1) "
+            "SELECT CAST(t1 AS BIGINT) AS n_1, CAST(t2 AS BIGINT) AS n_2, "
+            "CAST(o1 AS BIGINT) AS observed_1, round(e1, 6) AS expected_1, "
+            "round(CASE WHEN vv > 0 THEN "
+            "(CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / vv "
+            "END, 6) AS chi2 FROM lastrow, tot"
+        ),
         "grouped_psi": (
             # per-group mirror of the psi_drift oracle: totals window
             # partitioned by the group key, same +0.5 Laplace smoothing

@@ -2487,3 +2487,133 @@ class TwoProportionZMax(Constraint):
             f"the maximum {self._max_abs_z}. {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class CupedDiffMax(Constraint):
+    """Variance-reduced A/B gate: the CUPED-adjusted between-variant
+    difference of an integer post-period metric may not exceed
+    ``max_abs_diff`` in absolute value — "after removing what the
+    pre-period already predicted, the variants must not differ by more
+    than this".  Extension, no reference counterpart.
+
+    Engine side is operators.stats.cuped_adjusted_diff (one
+    sufficient-statistics scan over the caller's unit frame).  When the
+    pre-period has zero variance, the gate falls back to the RAW
+    difference (CUPED is undefined but the experiment question stands).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        pre_column: str,
+        post_column: str,
+        assignment_column: str,
+        max_abs_diff: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_diff < 0:
+            raise ValueError("max_abs_diff must be non-negative")
+        self._pre = pre_column
+        self._post = post_column
+        self._assign = assignment_column
+        self._max_abs_diff = max_abs_diff
+        super().__init__(
+            ref, ref_value=max_abs_diff, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import cuped_adjusted_diff
+
+        try:
+            row = cuped_adjusted_diff(
+                self._ref.get_selection(engine),
+                self._pre,
+                self._post,
+                self._assign,
+            ).collect()[0]
+        except ValueError as exc:
+            return TestResult.failure(
+                f"CUPED difference on {self._ref} is undefined: {exc}. ",
+                self.get_description(),
+            )
+        diff = row["diff_cuped"] if row["diff_cuped"] is not None else row[
+            "diff_raw"
+        ]
+        kind = "CUPED-adjusted" if row["diff_cuped"] is not None else "raw"
+        if diff is None:
+            return TestResult.failure(
+                f"CUPED difference on {self._ref} is undefined: a variant "
+                f"is empty (n_a={row['n_a']}, n_b={row['n_b']}). ",
+                self.get_description(),
+            )
+        if abs(diff) <= self._max_abs_diff:
+            return TestResult.success()
+        assertion_text = (
+            f"{kind} A/B difference of '{self._post}' on {self._ref} is "
+            f"{diff} (theta={row['theta']}, rho2={row['rho2']}, "
+            f"n={row['n_a']}/{row['n_b']}) — |diff| exceeds the maximum "
+            f"{self._max_abs_diff}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class LogrankMax(Constraint):
+    """Survival-equality gate: the two-group log-rank χ² statistic may
+    not exceed ``max_chi2`` (3.84 = 5% on χ²(1)) — "the two cohorts'
+    churn/survival curves must not differ significantly".  Extension,
+    no reference counterpart; the hypothesis-test companion to the
+    Kaplan-Meier digest.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        duration_column: str,
+        event_column: str,
+        group_column: str,
+        max_chi2: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_chi2 < 0:
+            raise ValueError("max_chi2 must be non-negative")
+        self._duration = duration_column
+        self._event = event_column
+        self._group = group_column
+        self._max_chi2 = max_chi2
+        super().__init__(
+            ref, ref_value=max_chi2, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.timeseries import logrank_test
+
+        try:
+            rows = logrank_test(
+                self._ref.get_selection(engine),
+                self._duration,
+                self._event,
+                self._group,
+            ).collect()
+        except ValueError as exc:
+            return TestResult.failure(
+                f"Log-rank test on {self._ref} is undefined: {exc}. ",
+                self.get_description(),
+            )
+        row = rows[0] if rows else None
+        if row is None or row["chi2"] is None:
+            # no events / zero variance: the curves carry no evidence of
+            # difference — vacuously equal
+            return TestResult.success()
+        if row["chi2"] <= self._max_chi2:
+            return TestResult.success()
+        assertion_text = (
+            f"Log-rank chi-squared between the two '{self._group}' groups "
+            f"of {self._ref} is {row['chi2']} "
+            f"(observed={row['observed_1']}, expected={row['expected_1']}, "
+            f"n={row['n_1']}/{row['n_2']}) — exceeding the maximum "
+            f"{self._max_chi2}; the survival curves differ. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -2206,3 +2206,108 @@ def ztest_from_counts(agg: DataFrame) -> DataFrame:
         F.round(F.when(F.col("n_b") > 0, sb / nb), 6).alias("rate_b"),
         F.round(z, 6).alias("z"),
     )
+
+
+def cuped_adjusted_diff(
+    units: DataFrame,
+    pre_col: str,
+    post_col: str,
+    assign_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced A/B difference (Deng et al., WSDM 2013)
+    over a one-row-per-unit frame with INTEGER pre-period and
+    post-period metrics (cents, counts) and a two-level assignment:
+    one digest row ``(n_a, n_b, mean_post_a, mean_post_b, diff_raw,
+    theta, diff_cuped, rho2)``.
+
+    CUPED replaces each unit's post metric Y with
+    ``Y − θ·(X − mean(X))`` where X is the pre-period covariate and
+    ``θ = cov(X, Y)/var(X)`` (pooled across variants, the standard
+    estimator); the adjusted between-variant difference has its
+    variance cut by the factor ``1 − ρ²(X, Y)`` — the
+    experimentation-platform primitive that makes small effects
+    detectable without more traffic.  Because θ is pooled, the
+    adjusted DIFFERENCE reduces to
+    ``diff_raw − θ·(mean(X_a) − mean(X_b))`` — three exact means.
+
+    Exactness contract: all sufficient statistics (n, ΣX, ΣY, ΣX²,
+    ΣY², ΣXY globally; n, ΣX, ΣY per variant) accumulate as
+    DECIMAL(38,0) — order-independent, exact for integer inputs —
+    then ONE conversion to doubles feeds fixed closed-form
+    expressions.  Degenerate inputs (a missing variant, zero pre-period
+    variance) yield NULL θ/CUPED columns with ``diff_raw`` still
+    reported.  Extension — no reference counterpart.
+
+    Plan: ONE aggregation scan over the unit frame (map-side partial
+    sums), 1-row digest.  The unit frame itself is the caller's
+    one-shuffle groupBy(unit).
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(pre_col).cast(d38)
+    y = F.col(post_col).cast(d38)
+    a_side = F.col("__a") == F.lit(1)
+    levels = (
+        units.select(F.col(assign_col).alias("__lv"))
+        .where(F.col("__lv").isNotNull())
+        .distinct()
+        .orderBy("__lv")
+        .limit(3)
+        .collect()
+    )
+    if len(levels) != 2:
+        raise ValueError(
+            f"CUPED needs exactly two assignment levels, got "
+            f"{[r['__lv'] for r in levels]}"
+        )
+    lv_a, lv_b = levels[0]["__lv"], levels[1]["__lv"]
+    base = units.where(
+        F.col(pre_col).isNotNull()
+        & F.col(post_col).isNotNull()
+        & F.col(assign_col).isin([lv_a, lv_b])
+    ).withColumn(
+        "__a", F.when(F.col(assign_col) == F.lit(lv_a), 1).otherwise(0)
+    )
+    suff = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum((x * x).cast(d38)).alias("__sxx"),
+        F.sum((y * y).cast(d38)).alias("__syy"),
+        F.sum((x * y).cast(d38)).alias("__sxy"),
+        F.count(F.when(a_side, 1)).alias("__na"),
+        F.sum(F.when(a_side, x).otherwise(F.lit(0).cast(d38))).alias("__sxa"),
+        F.sum(F.when(a_side, y).otherwise(F.lit(0).cast(d38))).alias("__sya"),
+    )
+    n = F.col("__n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    na = F.col("__na").cast("double")
+    nb = n - na
+    sxa, sya = F.col("__sxa").cast("double"), F.col("__sya").cast("double")
+    sxb, syb = sx - sxa, sy - sya
+    cov_num = n * sxy - sx * sy          # n²·cov
+    varx_num = n * sxx - sx * sx         # n²·var(X)
+    vary_num = n * syy - sy * sy
+    ok = (F.col("__na") >= 1) & (nb >= 1) & (varx_num > 0)
+    theta = cov_num / varx_num
+    mean_ya, mean_yb = sya / na, syb / nb
+    mean_xa, mean_xb = sxa / na, sxb / nb
+    diff_raw = mean_ya - mean_yb
+    diff_cuped = diff_raw - theta * (mean_xa - mean_xb)
+    rho2 = F.when(
+        vary_num > 0, (cov_num * cov_num) / (varx_num * vary_num)
+    )
+    return suff.select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        (F.col("__n") - F.col("__na")).cast("bigint").alias("n_b"),
+        F.round(F.when(F.col("__na") >= 1, mean_ya), 6).alias("mean_post_a"),
+        F.round(F.when(nb >= 1, mean_yb), 6).alias("mean_post_b"),
+        F.round(
+            F.when((F.col("__na") >= 1) & (nb >= 1), diff_raw), 6
+        ).alias("diff_raw"),
+        F.round(F.when(ok, theta), 6).alias("theta"),
+        F.round(F.when(ok, diff_cuped), 6).alias("diff_cuped"),
+        F.round(F.when(ok, rho2), 6).alias("rho2"),
+    )

@@ -1299,3 +1299,120 @@ def kendall_tau_b(
         F.col("__d").cast("bigint").alias("discordant"),
         F.when(den > 0, cd / den).alias("tau_b"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-group log-rank test — the hypothesis-test companion to
+    :func:`kaplan_meier` ("are these two survival curves actually
+    different, or is the gap noise?"), one digest row
+    ``(n_1, n_2, observed_1, expected_1, chi2)``.
+
+    Standard Mantel-Haenszel construction: at each distinct event time
+    ``t_j`` with ``d_j`` total events, ``n_gj`` at risk per group,
+    expected events ``e_1j = d_j·n_1j/n_j`` and hypergeometric
+    variance ``v_j = d_j·(n_1j/n_j)·(n_2j/n_j)·(n_j−d_j)/(n_j−1)``;
+    ``χ² = (O_1 − E_1)² / V`` with O/E/V summed over event times
+    (χ²(1) under "same curve").  Ties handled exactly (counts, not
+    ranks); time points where a group has no one at risk contribute
+    their exact terms; ``n_j < 2`` rows contribute zero variance.
+
+    Scale & determinism: subjects collapse to the per-(duration)
+    histogram with per-group event/censor counts — one groupBy shuffle,
+    the same bounded-domain argument as the KM curve (day/week-grain
+    lifetimes, not subjects).  At-risk counts and the O/E/V sums come
+    from ordered windows over THAT bounded frame, so both engines add
+    the same doubles in the same duration order — the KM determinism
+    contract — and the final statistic rounds at 6dp.  Extension — no
+    reference counterpart.
+    """
+    from pyspark.sql import Window
+
+    two = (
+        df.select(F.col(group_col).alias("__g"))
+        .where(F.col("__g").isNotNull())
+        .distinct()
+        .orderBy("__g")
+        .limit(3)
+        .collect()
+    )
+    if len(two) != 2:
+        raise ValueError(
+            f"log-rank needs exactly two groups, got "
+            f"{[r['__g'] for r in two]}"
+        )
+    g1 = two[0]["__g"]
+    base = df.where(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(duration_col).alias("__t"),
+        F.when(F.col(group_col) == F.lit(g1), 1).otherwise(0).alias("__is1"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    hist = base.groupBy("__t").agg(
+        F.sum(F.when(F.col("__is1") == 1, F.col("__e")).otherwise(0))
+        .alias("d1"),
+        F.sum(F.when(F.col("__is1") == 0, F.col("__e")).otherwise(0))
+        .alias("d2"),
+        F.count(F.when(F.col("__is1") == 1, 1)).alias("c1"),
+        F.count(F.when(F.col("__is1") == 0, 1)).alias("c2"),
+    )
+    tot = base.agg(
+        F.count(F.when(F.col("__is1") == 1, 1)).alias("__t1"),
+        F.count(F.when(F.col("__is1") == 0, 1)).alias("__t2"),
+    ).first()
+    t1, t2 = int(tot["__t1"]), int(tot["__t2"])
+    # at risk AT t = total − subjects whose duration < t (exclusive
+    # running count over the duration-ordered bounded frame)
+    w_ex = (
+        Window.orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at1 = F.lit(t1) - F.coalesce(F.sum("c1").over(w_ex), F.lit(0))
+    at2 = F.lit(t2) - F.coalesce(F.sum("c2").over(w_ex), F.lit(0))
+    terms = hist.select(
+        "__t",
+        "d1",
+        "d2",
+        at1.alias("n1"),
+        at2.alias("n2"),
+    ).where((F.col("d1") + F.col("d2")) > 0)
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    e1 = d * n1d / nn
+    v = F.when(
+        nn > 1.0,
+        d * (n1d / nn) * (n2d / nn) * (nn - d) / (nn - 1.0),
+    ).otherwise(F.lit(0.0))
+    # O/E/V as ordered-window cumulative sums (same addition order in
+    # every engine), final row = the totals
+    w_cum = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = terms.select(
+        "__t",
+        F.sum("d1").over(w_cum).alias("o1"),
+        F.sum(e1).over(w_cum).alias("e1"),
+        F.sum(v).over(w_cum).alias("vv"),
+    )
+    last = cum.orderBy(F.desc("__t")).limit(1)
+    chi2 = F.when(
+        F.col("vv") > 0,
+        (F.col("o1").cast("double") - F.col("e1"))
+        * (F.col("o1").cast("double") - F.col("e1"))
+        / F.col("vv"),
+    )
+    return last.select(
+        F.lit(t1).cast("bigint").alias("n_1"),
+        F.lit(t2).cast("bigint").alias("n_2"),
+        F.col("o1").cast("bigint").alias("observed_1"),
+        F.round("e1", 6).alias("expected_1"),
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -1477,6 +1477,77 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_cuped_diff_constraint(
+        self,
+        pre_column: str,
+        post_column: str,
+        assignment_column: str,
+        max_abs_diff: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the CUPED
+        variance-reduced A/B difference (Deng et al. 2013) of the
+        integer ``post_column`` metric between the two levels of
+        ``assignment_column``, adjusted by the ``pre_column``
+        covariate, must satisfy ``|diff| <= max_abs_diff``.  The table
+        must be ONE ROW PER UNIT (user/session) — aggregate first.
+        Falls back to the raw difference when the pre-period has zero
+        variance.  One sufficient-statistics scan, all sums
+        DECIMAL-exact."""
+        ref = DataReference(
+            self._data_source,
+            [pre_column, post_column, assignment_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.CupedDiffMax(
+                ref,
+                pre_column,
+                post_column,
+                assignment_column,
+                max_abs_diff=max_abs_diff,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_logrank_constraint(
+        self,
+        duration_column: str,
+        event_column: str,
+        group_column: str,
+        max_chi2: float = 3.84,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the two-group log-rank
+        chi-squared statistic over a one-row-per-subject frame
+        (``duration_column``, ``event_column`` 1=observed/0=censored,
+        two-level ``group_column``) may not exceed ``max_chi2``
+        (3.84 = 5% on chi-squared(1)) — "the cohorts' survival curves
+        must not differ significantly".  Subjects collapse to the
+        bounded duration histogram (the Kaplan-Meier plan); a frame
+        with no observed events passes vacuously."""
+        ref = DataReference(
+            self._data_source,
+            [duration_column, event_column, group_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.LogrankMax(
+                ref,
+                duration_column,
+                event_column,
+                group_column,
+                max_chi2=max_chi2,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_joint_outlier_constraint(
         self,
         column_x: str,

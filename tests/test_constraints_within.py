@@ -1522,3 +1522,69 @@ class TestTwoProportionZtest:
         results = req.test(spark)
         assert results[0].outcome is False
         assert "undefined" in results[0].failure_message
+
+
+class TestCupedDiff:
+    def test_adjusted_gate_pass_and_fail(self, spark):
+        rng = __import__("random").Random(41)
+        # post = 2*pre + noise, identical across variants -> CUPED diff
+        # near 0 even though raw means differ via pre imbalance
+        rows = []
+        for i in range(400):
+            v = i % 2
+            pre = rng.randint(0, 200) + (80 if v == 0 else 0)  # imbalance
+            post = pre * 2 + rng.randint(0, 20)
+            rows.append((pre, post, v))
+        df = spark.createDataFrame(rows, "pre long, post long, v int")
+        req = within_req(df, "cuped1")
+        req.add_cuped_diff_constraint("pre", "post", "v", 25.0)
+        req.add_cuped_diff_constraint("pre", "post", "v", 0.001)  # fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "CUPED-adjusted" in results[1].failure_message
+
+    def test_zero_pre_variance_falls_back_to_raw(self, spark):
+        rows = [(5, 10, 0)] * 20 + [(5, 60, 1)] * 20
+        df = spark.createDataFrame(rows, "pre long, post long, v int")
+        req = within_req(df, "cuped2")
+        req.add_cuped_diff_constraint("pre", "post", "v", 100.0)
+        req.add_cuped_diff_constraint("pre", "post", "v", 10.0)  # |−50|>10
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "raw A/B difference" in results[1].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 2, 0)], "pre long, post long, v int")
+        req = within_req(df, "cuped3")
+        with pytest.raises(ValueError):
+            req.add_cuped_diff_constraint("pre", "post", "v", -1.0)
+
+
+class TestLogrank:
+    def _subjects(self, spark, shift):
+        rng = __import__("random").Random(43)
+        rows = [
+            (rng.randint(1, 10) + (shift if i % 2 else 0),
+             1 if rng.random() < 0.8 else 0, i % 2)
+            for i in range(120)
+        ]
+        return spark.createDataFrame(rows, "dur int, ev int, grp int")
+
+    def test_same_curves_pass_shifted_fail(self, spark):
+        req = within_req(self._subjects(spark, 0), "lr_same")
+        req.add_logrank_constraint("dur", "ev", "grp")
+        assert outcomes(req, spark) == [True]
+
+        req2 = within_req(self._subjects(spark, 8), "lr_shift")
+        req2.add_logrank_constraint("dur", "ev", "grp")
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "survival curves differ" in results[0].failure_message
+
+    def test_no_events_vacuous_pass(self, spark):
+        df = spark.createDataFrame(
+            [(3, 0, 0), (4, 0, 1)], "dur int, ev int, grp int"
+        )
+        req = within_req(df, "lr_noev")
+        req.add_logrank_constraint("dur", "ev", "grp")
+        assert outcomes(req, spark) == [True]

@@ -342,3 +342,30 @@ def test_zipf_slope_partition_stable(spark, n_parts):
     ref = zipf_slope(df, "text", top_n=4).first()
     got = zipf_slope(df.repartition(n_parts), "text", top_n=4).first()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_cuped_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.stats import cuped_adjusted_diff
+
+    rows = [((i * 13) % 300, (i * 29) % 700, i % 2) for i in range(250)]
+    df = spark.createDataFrame(rows, "x long, y long, v int")
+    ref = cuped_adjusted_diff(df, "x", "y", "v").first()
+    got = cuped_adjusted_diff(
+        df.repartition(n_parts), "x", "y", "v"
+    ).first()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_logrank_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.timeseries import logrank_test
+
+    rows = [
+        ((i * 7) % 15 + 1, 1 if (i * 3) % 5 else 0, i % 2)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "dur int, ev int, grp int")
+    ref = logrank_test(df, "dur", "ev", "grp").first()
+    got = logrank_test(df.repartition(n_parts), "dur", "ev", "grp").first()
+    assert got == ref

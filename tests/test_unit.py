@@ -2754,3 +2754,133 @@ class TestKendallTauB:
                 assert r["tau_b"] is None
             else:
                 assert r["tau_b"] == pytest.approx(tau, abs=1e-12), f"case {ci}"
+
+
+class TestCupedAdjustedDiff:
+    @staticmethod
+    def _brute(rows):
+        # rows: (x, y, variant in {0,1}); theta pooled; a = variant 0
+        n = len(rows)
+        sx = sum(r[0] for r in rows); sy = sum(r[1] for r in rows)
+        sxx = sum(r[0] ** 2 for r in rows)
+        syy = sum(r[1] ** 2 for r in rows)
+        sxy = sum(r[0] * r[1] for r in rows)
+        a = [r for r in rows if r[2] == 0]
+        b = [r for r in rows if r[2] == 1]
+        covn = n * sxy - sx * sy
+        varxn = n * sxx - sx * sx
+        varyn = n * syy - sy * sy
+        theta = covn / varxn if varxn > 0 else None
+        mya = sum(r[1] for r in a) / len(a)
+        myb = sum(r[1] for r in b) / len(b)
+        mxa = sum(r[0] for r in a) / len(a)
+        mxb = sum(r[0] for r in b) / len(b)
+        diff_raw = mya - myb
+        cuped = diff_raw - theta * (mxa - mxb) if theta is not None else None
+        rho2 = covn**2 / (varxn * varyn) if varxn > 0 and varyn > 0 else None
+        return len(a), len(b), diff_raw, theta, cuped, rho2
+
+    def test_matches_brute_force(self, spark):
+        from datajudge_spark.operators.stats import cuped_adjusted_diff
+
+        rng = __import__("random").Random(29)
+        rows = []
+        for i in range(200):
+            x = rng.randint(0, 500)
+            # post correlated with pre + a variant lift
+            v = i % 2
+            y = x * 2 + rng.randint(0, 100) + (40 if v == 0 else 0)
+            rows.append((x, y, v))
+        df = spark.createDataFrame(rows, "x long, y long, v int")
+        r = cuped_adjusted_diff(df, "x", "y", "v").collect()[0]
+        na, nb, diff_raw, theta, cuped, rho2 = self._brute(rows)
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["diff_raw"] == pytest.approx(diff_raw, abs=2e-6)
+        assert r["theta"] == pytest.approx(theta, abs=2e-6)
+        assert r["diff_cuped"] == pytest.approx(cuped, abs=2e-6)
+        assert r["rho2"] == pytest.approx(rho2, abs=2e-6)
+        # strong pre/post correlation -> most variance explained
+        assert r["rho2"] > 0.8
+
+    def test_zero_pre_variance_yields_null_theta(self, spark):
+        from datajudge_spark.operators.stats import cuped_adjusted_diff
+
+        rows = [(7, 10, 0), (7, 20, 1), (7, 30, 0), (7, 40, 1)]
+        df = spark.createDataFrame(rows, "x long, y long, v int")
+        r = cuped_adjusted_diff(df, "x", "y", "v").collect()[0]
+        assert r["theta"] is None and r["diff_cuped"] is None
+        assert r["diff_raw"] == pytest.approx(-10.0)
+
+    def test_not_two_levels_raises(self, spark):
+        from datajudge_spark.operators.stats import cuped_adjusted_diff
+
+        df = spark.createDataFrame([(1, 2, 0)], "x long, y long, v int")
+        with pytest.raises(ValueError, match="two assignment levels"):
+            cuped_adjusted_diff(df, "x", "y", "v")
+
+
+class TestLogrankTest:
+    @staticmethod
+    def _brute(subjects):
+        # subjects: (duration, event, group in {0,1}); group 0 = "1"
+        times = sorted({t for t, e, _g in subjects if e == 1})
+        o1 = 0
+        e1 = v = 0.0
+        for t in times:
+            n1 = sum(1 for d, _e, g in subjects if d >= t and g == 0)
+            n2 = sum(1 for d, _e, g in subjects if d >= t and g == 1)
+            d1 = sum(1 for d, e, g in subjects if d == t and e == 1 and g == 0)
+            d2 = sum(1 for d, e, g in subjects if d == t and e == 1 and g == 1)
+            d, nn = d1 + d2, n1 + n2
+            o1 += d1
+            e1 += d * n1 / nn
+            if nn > 1:
+                v += d * (n1 / nn) * (n2 / nn) * (nn - d) / (nn - 1)
+        chi2 = (o1 - e1) ** 2 / v if v > 0 else None
+        return o1, e1, chi2
+
+    def test_matches_brute_force(self, spark):
+        from datajudge_spark.operators.timeseries import logrank_test
+
+        rng = __import__("random").Random(31)
+        cases = []
+        # clearly different curves: group 1 lives longer (shifted durations)
+        cases.append([
+            (rng.randint(1, 10) + (0 if i % 2 == 0 else 8),
+             rng.random() < 0.8, i % 2)
+            for i in range(80)
+        ])
+        # identical distributions (chi2 small), heavy ties
+        cases.append([
+            (rng.randint(1, 4), rng.random() < 0.6, i % 2)
+            for i in range(60)
+        ])
+        for ci, subjects in enumerate(cases):
+            subjects = [(d, int(e), g) for d, e, g in subjects]
+            df = spark.createDataFrame(
+                subjects, "dur int, ev int, grp int"
+            )
+            r = logrank_test(df, "dur", "ev", "grp").collect()[0]
+            o1, e1, chi2 = self._brute(subjects)
+            assert r["observed_1"] == o1, f"case {ci}"
+            assert r["expected_1"] == pytest.approx(e1, abs=2e-6)
+            if chi2 is None:
+                assert r["chi2"] is None
+            else:
+                assert r["chi2"] == pytest.approx(chi2, abs=2e-5), f"case {ci}"
+
+    def test_no_events_yields_null_chi2(self, spark):
+        from datajudge_spark.operators.timeseries import logrank_test
+
+        df = spark.createDataFrame(
+            [(5, 0, 0), (6, 0, 1)], "dur int, ev int, grp int"
+        )
+        out = logrank_test(df, "dur", "ev", "grp").collect()
+        assert out == [] or out[0]["chi2"] is None
+
+    def test_not_two_groups_raises(self, spark):
+        from datajudge_spark.operators.timeseries import logrank_test
+
+        df = spark.createDataFrame([(1, 1, 0)], "dur int, ev int, grp int")
+        with pytest.raises(ValueError, match="two groups"):
+            logrank_test(df, "dur", "ev", "grp")
