@@ -892,3 +892,97 @@ def test_fuzz_grouped_psi(spark, case):
         assert got[g][0] == t1 and got[g][1] == t2, f"case {case} {g}"
         assert got[g][2] == pytest.approx(psi, abs=2e-6), f"case {case} {g}"
     assert set(got) == set(per_group)
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_cuped(spark, case):
+    from datajudge_spark.operators.stats import cuped_adjusted_diff
+
+    rng = random.Random(_MK_SEED + 800 + case)
+    shape = rng.choice(["corr", "noise", "const_pre", "tiny"])
+    rows = []
+    n = 4 if shape == "tiny" else rng.randint(20, 250)
+    for i in range(n):
+        v = i % 2
+        if shape == "const_pre":
+            x = 9
+        else:
+            x = rng.randint(0, 400)
+        y = (
+            x * 3 + rng.randint(0, 50) + (25 if v == 0 else 0)
+            if shape == "corr"
+            else rng.randint(0, 1000)
+        )
+        rows.append((x, y, v))
+    df = spark.createDataFrame(rows, "x long, y long, v int")
+    r = cuped_adjusted_diff(df, "x", "y", "v").collect()[0]
+
+    nn = len(rows)
+    sx = sum(x for x, _y, _v in rows); sy = sum(y for _x, y, _v in rows)
+    sxx = sum(x * x for x, _y, _v in rows)
+    syy = sum(y * y for _x, y, _v in rows)
+    sxy = sum(x * y for x, y, _v in rows)
+    a = [(x, y) for x, y, v in rows if v == 0]
+    b = [(x, y) for x, y, v in rows if v == 1]
+    varxn = nn * sxx - sx * sx
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    diff_raw = sum(y for _x, y in a) / len(a) - sum(y for _x, y in b) / len(b)
+    assert r["diff_raw"] == pytest.approx(diff_raw, abs=2e-6), f"case {case}"
+    if varxn <= 0:
+        assert r["theta"] is None and r["diff_cuped"] is None
+    else:
+        theta = (nn * sxy - sx * sy) / varxn
+        mxa = sum(x for x, _y in a) / len(a)
+        mxb = sum(x for x, _y in b) / len(b)
+        assert r["theta"] == pytest.approx(theta, abs=2e-6)
+        assert r["diff_cuped"] == pytest.approx(
+            diff_raw - theta * (mxa - mxb), abs=2e-6
+        ), f"case {case}"
+        varyn = nn * syy - sy * sy
+        if varyn > 0:
+            assert r["rho2"] == pytest.approx(
+                (nn * sxy - sx * sy) ** 2 / (varxn * varyn), abs=2e-6
+            )
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_logrank(spark, case):
+    from datajudge_spark.operators.timeseries import logrank_test
+
+    rng = random.Random(_MK_SEED + 900 + case)
+    # heavy ties (duration grid 1..5), censoring mixes, group imbalance
+    grid = rng.choice([3, 5, 12])
+    cens_p = rng.choice([0.0, 0.3, 0.9])
+    n = rng.randint(6, 150)
+    subjects = [
+        (rng.randint(1, grid), 1 if rng.random() >= cens_p else 0,
+         0 if rng.random() < rng.choice([0.2, 0.5]) else 1)
+        for _ in range(n)
+    ]
+    if len({g for _d, _e, g in subjects}) < 2:
+        subjects += [(1, 1, 0), (1, 1, 1)]
+    df = spark.createDataFrame(subjects, "dur int, ev int, grp int")
+    out = logrank_test(df, "dur", "ev", "grp").collect()
+    times = sorted({t for t, e, _g in subjects if e == 1})
+    if not times:
+        assert out == []
+        return
+    o1 = 0
+    e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for d, _e, g in subjects if d >= t and g == 0)
+        n2 = sum(1 for d, _e, g in subjects if d >= t and g == 1)
+        d1 = sum(1 for d, e, g in subjects if d == t and e and g == 0)
+        d2 = sum(1 for d, e, g in subjects if d == t and e and g == 1)
+        d, tot = d1 + d2, n1 + n2
+        o1 += d1
+        e1 += d * n1 / tot
+        if tot > 1:
+            v += d * (n1 / tot) * (n2 / tot) * (tot - d) / (tot - 1)
+    r = out[0]
+    assert r["observed_1"] == o1, f"case {case}"
+    assert r["expected_1"] == pytest.approx(e1, abs=2e-6), f"case {case}"
+    if v > 0:
+        assert r["chi2"] == pytest.approx((o1 - e1) ** 2 / v, abs=2e-5)
+    else:
+        assert r["chi2"] is None
