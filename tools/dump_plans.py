@@ -85,6 +85,13 @@ HEADLINE = [
     "mahalanobis_outliers",  # broadcast stats digest + TakeOrdered
     "isotonic_calibration",  # relational PAVA over bounded grids
     "graph_assortativity",   # degree joins on the canonical edge set
+    # round 8
+    "anderson_darling",      # bucketed cumulative, no 1-partition window
+    "grouped_psi",           # group-partitioned totals window
+    "jarque_bera",           # one scan of four decimal power sums
+    "kendall_tau",           # daily frame materialized once, 4 branches
+    "cuped_ab",              # one sufficient-statistics scan
+    "logrank",               # KM histogram + duration-ordered O/E/V
 ]
 
 
