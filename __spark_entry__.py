@@ -5501,6 +5501,25 @@ def q_logrank(spark, sf_dir):
     return logrank_test(subj, "dur", "ev", "grp")
 
 
+def q_stratified_ab(spark, sf_dir):
+    # post-stratification adjusted A/B difference of per-user spend:
+    # each stratum's within-stratum contrast weighted by its pooled
+    # share — removes variant imbalance across strata (the categorical
+    # complement to cuped_ab's linear adjustment).  One groupBy(user)
+    # shuffle -> one grouped conditional-agg scan -> stratum-ordered
+    # fold over the bounded strata frame.
+    from datajudge_spark.operators.stats import post_stratified_diff
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    units = (
+        ev.groupBy("user_id")
+        .agg(F.sum(_cents("value")).alias("spend_c"))
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+        .withColumn("stratum", (F.col("user_id") % 5).cast("int"))
+    )
+    return post_stratified_diff(units, "spend_c", "variant", "stratum")
+
+
 #: ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys
 #: of queries() only.  The window below is the single source of truth —
 #: queries() reorders itself from it, so this list IS the gate.
@@ -5825,6 +5844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ab_ztest": q_streaming_ab_ztest,
         "cuped_ab": q_cuped_ab,
         "logrank": q_logrank,
+        "stratified_ab": q_stratified_ab,
         "grouped_psi": q_grouped_psi,
         "jarque_bera": q_jarque_bera,
         "two_proportion_ztest": q_two_proportion_ztest,
@@ -10107,6 +10127,43 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN vv > 0 THEN "
             "(CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / vv "
             "END, 6) AS chi2 FROM lastrow, tot"
+        ),
+        "stratified_ab": (
+            # identical per-stratum conditional counts / HUGEINT sums,
+            # stratum-ORDERED cumulative fold, last row, identical
+            # double expression grouping
+            "WITH u AS (SELECT user_id, "
+            "sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+            "AS spend_c, CAST(user_id % 2 AS INTEGER) AS variant, "
+            "CAST(user_id % 5 AS INTEGER) AS stratum FROM events "
+            "WHERE value IS NOT NULL GROUP BY user_id), "
+            "per AS (SELECT stratum AS s, "
+            "count(*) FILTER (variant = 0) AS na, "
+            "coalesce(sum(CAST(spend_c AS HUGEINT)) "
+            "FILTER (variant = 0), 0) AS sa, "
+            "count(*) FILTER (variant = 1) AS nb, "
+            "coalesce(sum(CAST(spend_c AS HUGEINT)) "
+            "FILTER (variant = 1), 0) AS sb FROM u GROUP BY 1), "
+            "cum AS (SELECT s, sum(na) OVER w AS cna, "
+            "sum(nb) OVER w AS cnb, sum(sa) OVER w AS sya, "
+            "sum(sb) OVER w AS syb, count(*) OVER w AS k, "
+            "sum(CASE WHEN na >= 1 AND nb >= 1 THEN "
+            "CAST(na + nb AS DOUBLE) * (CAST(sa AS DOUBLE) "
+            "/ CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) "
+            "/ CAST(nb AS DOUBLE)) ELSE 0.0 END) OVER w AS wsum, "
+            "sum(CASE WHEN na >= 1 AND nb >= 1 THEN "
+            "CAST(na + nb AS DOUBLE) ELSE 0.0 END) OVER w AS wtot "
+            "FROM per WINDOW w AS (ORDER BY s ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "lastrow AS (SELECT * FROM cum ORDER BY s DESC LIMIT 1) "
+            "SELECT CAST(cna AS BIGINT) AS n_a, "
+            "CAST(cnb AS BIGINT) AS n_b, CAST(k AS BIGINT) AS n_strata, "
+            "round(CASE WHEN cna >= 1 AND cnb >= 1 THEN "
+            "CAST(sya AS DOUBLE) / CAST(cna AS DOUBLE) "
+            "- CAST(syb AS DOUBLE) / CAST(cnb AS DOUBLE) END, 6) "
+            "AS diff_raw, "
+            "round(CASE WHEN cna >= 1 AND cnb >= 1 AND wtot > 0 THEN "
+            "wsum / wtot END, 6) AS diff_stratified FROM lastrow"
         ),
         "grouped_psi": (
             # per-group mirror of the psi_drift oracle: totals window

@@ -2617,3 +2617,67 @@ class LogrankMax(Constraint):
             f"{self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class StratifiedDiffMax(Constraint):
+    """Post-stratification A/B gate: the stratum-weighted adjusted
+    between-variant difference of an integer metric may not exceed
+    ``max_abs_diff`` in absolute value — the categorical-covariate
+    companion to :class:`CupedDiffMax`.  Extension, no reference
+    counterpart."""
+
+    def __init__(
+        self,
+        ref: DataReference,
+        metric_column: str,
+        assignment_column: str,
+        stratum_column: str,
+        max_abs_diff: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_diff < 0:
+            raise ValueError("max_abs_diff must be non-negative")
+        self._metric = metric_column
+        self._assign = assignment_column
+        self._stratum = stratum_column
+        self._max_abs_diff = max_abs_diff
+        super().__init__(
+            ref, ref_value=max_abs_diff, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import post_stratified_diff
+
+        try:
+            row = post_stratified_diff(
+                self._ref.get_selection(engine),
+                self._metric,
+                self._assign,
+                self._stratum,
+            ).collect()[0]
+        except ValueError as exc:
+            return TestResult.failure(
+                f"Stratified difference on {self._ref} is undefined: "
+                f"{exc}. ",
+                self.get_description(),
+            )
+        diff = row["diff_stratified"]
+        if diff is None:
+            return TestResult.failure(
+                f"Stratified difference on {self._ref} is undefined: no "
+                f"stratum contains both variants "
+                f"(n_a={row['n_a']}, n_b={row['n_b']}, "
+                f"n_strata={row['n_strata']}). ",
+                self.get_description(),
+            )
+        if abs(diff) <= self._max_abs_diff:
+            return TestResult.success()
+        assertion_text = (
+            f"Post-stratified A/B difference of '{self._metric}' on "
+            f"{self._ref} is {diff} (raw={row['diff_raw']}, "
+            f"strata={row['n_strata']}, n={row['n_a']}/{row['n_b']}) — "
+            f"|diff| exceeds the maximum {self._max_abs_diff}. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

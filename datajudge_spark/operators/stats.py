@@ -2311,3 +2311,116 @@ def cuped_adjusted_diff(
         F.round(F.when(ok, diff_cuped), 6).alias("diff_cuped"),
         F.round(F.when(ok, rho2), 6).alias("rho2"),
     )
+
+
+def post_stratified_diff(
+    units: DataFrame,
+    metric_col: str,
+    assign_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Post-stratification adjusted A/B difference over a one-row-per-
+    unit frame with an INTEGER metric, a two-level assignment and a
+    categorical stratum (country, platform, cohort): one digest row
+    ``(n_a, n_b, n_strata, diff_raw, diff_stratified)``.
+
+    ``diff_stratified = Σ_s (n_s/n) · (mean_a,s − mean_b,s)`` — each
+    stratum's within-stratum difference weighted by the stratum's
+    POOLED share, so imbalance in which variant drew more of a heavy
+    stratum no longer biases the estimate.  The categorical-covariate
+    complement to :func:`cuped_adjusted_diff` (which adjusts by a
+    LINEAR pre-period covariate); together they cover the two standard
+    experimentation adjustments.  Strata observed in only one variant
+    carry no within-stratum contrast and are EXCLUDED from the
+    stratified estimate (their pooled weight is dropped, i.e. weights
+    renormalize over comparable strata — the standard convention);
+    ``diff_raw`` still reflects all units.
+
+    Exactness: per-(stratum, variant) counts and DECIMAL(38,0) metric
+    sums from ONE grouped scan; the weighted fold runs over the
+    |strata|-row frame with exact integer weights and one double
+    conversion per term, summed in a deterministic aggregate of
+    DECIMAL products where possible and rounded at 6dp.  Degenerate
+    inputs (a missing variant) yield NULL estimates.  Extension — no
+    reference counterpart.
+
+    Plan: one groupBy(stratum) conditional-aggregation shuffle (the
+    variant split is conditional columns, not a key), then a bounded
+    |strata|-row fold — nothing but the digest moves.
+    """
+    d38 = "decimal(38,0)"
+    levels = (
+        units.select(F.col(assign_col).alias("__lv"))
+        .where(F.col("__lv").isNotNull())
+        .distinct()
+        .orderBy("__lv")
+        .limit(3)
+        .collect()
+    )
+    if len(levels) != 2:
+        raise ValueError(
+            f"post-stratification needs exactly two assignment levels, "
+            f"got {[r['__lv'] for r in levels]}"
+        )
+    lv_a = levels[0]["__lv"]
+    base = units.where(
+        F.col(metric_col).isNotNull()
+        & F.col(stratum_col).isNotNull()
+        & F.col(assign_col).isNotNull()
+    ).withColumn(
+        "__a", F.when(F.col(assign_col) == F.lit(lv_a), 1).otherwise(0)
+    )
+    y = F.col(metric_col).cast(d38)
+    per = base.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.when(F.col("__a") == 1, 1)).alias("na"),
+        F.sum(F.when(F.col("__a") == 1, y).otherwise(F.lit(0).cast(d38)))
+        .alias("sa"),
+        F.count(F.when(F.col("__a") == 0, 1)).alias("nb"),
+        F.sum(F.when(F.col("__a") == 0, y).otherwise(F.lit(0).cast(d38)))
+        .alias("sb"),
+    )
+    comparable = (F.col("na") >= 1) & (F.col("nb") >= 1)
+    within = (
+        F.col("sa").cast("double") / F.col("na").cast("double")
+        - F.col("sb").cast("double") / F.col("nb").cast("double")
+    )
+    w = (F.col("na") + F.col("nb")).cast("double")
+    # the weighted fold is a sum of DOUBLES over the |strata| frame —
+    # run it as a stratum-ORDERED cumulative window (the log-rank /
+    # Kaplan-Meier determinism contract: every engine and partitioning
+    # adds the same doubles in the same order), last row = totals.
+    # Integer/decimal totals are order-independent and stay aggregates.
+    w_cum = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "__s",
+        F.sum("na").over(w_cum).alias("__cna"),
+        F.sum("nb").over(w_cum).alias("__cnb"),
+        F.sum("sa").over(w_cum).alias("__sya"),
+        F.sum("sb").over(w_cum).alias("__syb"),
+        F.count(F.lit(1)).over(w_cum).alias("__k"),
+        F.sum(
+            F.when(comparable, w * within).otherwise(F.lit(0.0))
+        ).over(w_cum).alias("__wsum"),
+        F.sum(
+            F.when(comparable, w).otherwise(F.lit(0.0))
+        ).over(w_cum).alias("__wtot"),
+    )
+    last = cum.orderBy(F.desc("__s")).limit(1)
+    na, nb = F.col("__cna").cast("double"), F.col("__cnb").cast("double")
+    diff_raw = (
+        F.col("__sya").cast("double") / na
+        - F.col("__syb").cast("double") / nb
+    )
+    strat = F.when(
+        F.col("__wtot") > 0, F.col("__wsum") / F.col("__wtot")
+    )
+    both = (F.col("__cna") >= 1) & (F.col("__cnb") >= 1)
+    return last.select(
+        F.col("__cna").cast("bigint").alias("n_a"),
+        F.col("__cnb").cast("bigint").alias("n_b"),
+        F.col("__k").cast("bigint").alias("n_strata"),
+        F.round(F.when(both, diff_raw), 6).alias("diff_raw"),
+        F.round(F.when(both, strat), 6).alias("diff_stratified"),
+    )

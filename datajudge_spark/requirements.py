@@ -1548,6 +1548,42 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_stratified_diff_constraint(
+        self,
+        metric_column: str,
+        assignment_column: str,
+        stratum_column: str,
+        max_abs_diff: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the post-stratification
+        adjusted A/B difference of the integer ``metric_column`` between
+        the two levels of ``assignment_column`` — each stratum's
+        within-stratum contrast weighted by its pooled share — must
+        satisfy ``|diff| <= max_abs_diff``.  The table must be ONE ROW
+        PER UNIT.  The categorical-covariate companion to
+        ``add_cuped_diff_constraint``; strata observed in only one
+        variant are excluded (weights renormalize over comparable
+        strata)."""
+        ref = DataReference(
+            self._data_source,
+            [metric_column, assignment_column, stratum_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.StratifiedDiffMax(
+                ref,
+                metric_column,
+                assignment_column,
+                stratum_column,
+                max_abs_diff=max_abs_diff,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_joint_outlier_constraint(
         self,
         column_x: str,

@@ -1588,3 +1588,30 @@ class TestLogrank:
         req = within_req(df, "lr_noev")
         req.add_logrank_constraint("dur", "ev", "grp")
         assert outcomes(req, spark) == [True]
+
+
+class TestStratifiedDiff:
+    def test_gate_pass_and_fail(self, spark):
+        rng = __import__("random").Random(53)
+        rows = []
+        for i in range(400):
+            s = 0 if (i % 2 == 0 and rng.random() < 0.75) or (
+                i % 2 == 1 and rng.random() < 0.25) else 1
+            y = (1000 if s == 0 else 100) + rng.randint(0, 40)
+            rows.append((y, i % 2, s))
+        df = spark.createDataFrame(rows, "y long, v int, s int")
+        req = within_req(df, "strat1")
+        req.add_stratified_diff_constraint("y", "v", "s", 40.0)
+        req.add_stratified_diff_constraint("y", "v", "s", 0.001)  # fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "Post-stratified" in results[1].failure_message
+
+    def test_no_comparable_stratum_fails_cleanly(self, spark):
+        rows = [(10, 0, "a_only"), (20, 1, "b_only")]
+        df = spark.createDataFrame(rows, "y long, v int, s string")
+        req = within_req(df, "strat2")
+        req.add_stratified_diff_constraint("y", "v", "s", 100.0)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "no stratum contains both variants" in results[0].failure_message

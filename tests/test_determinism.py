@@ -369,3 +369,16 @@ def test_logrank_partition_stable(spark, n_parts):
     ref = logrank_test(df, "dur", "ev", "grp").first()
     got = logrank_test(df.repartition(n_parts), "dur", "ev", "grp").first()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_post_stratified_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.stats import post_stratified_diff
+
+    rows = [((i * 19) % 900, i % 2, f"s{i % 6}") for i in range(300)]
+    df = spark.createDataFrame(rows, "y long, v int, s string")
+    ref = post_stratified_diff(df, "y", "v", "s").first()
+    got = post_stratified_diff(
+        df.repartition(n_parts), "y", "v", "s"
+    ).first()
+    assert got == ref

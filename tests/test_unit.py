@@ -2884,3 +2884,62 @@ class TestLogrankTest:
         df = spark.createDataFrame([(1, 1, 0)], "dur int, ev int, grp int")
         with pytest.raises(ValueError, match="two groups"):
             logrank_test(df, "dur", "ev", "grp")
+
+
+class TestPostStratifiedDiff:
+    @staticmethod
+    def _brute(rows):
+        # rows: (y, variant, stratum); variant 0 = "a"
+        strata = {}
+        for y, v, s in rows:
+            strata.setdefault(s, {0: [], 1: []})[v].append(y)
+        wsum = wtot = 0.0
+        for s, d in strata.items():
+            if d[0] and d[1]:
+                w = len(d[0]) + len(d[1])
+                wsum += w * (
+                    sum(d[0]) / len(d[0]) - sum(d[1]) / len(d[1])
+                )
+                wtot += w
+        a = [y for y, v, _s in rows if v == 0]
+        b = [y for y, v, _s in rows if v == 1]
+        raw = sum(a) / len(a) - sum(b) / len(b)
+        return raw, (wsum / wtot if wtot > 0 else None), len(strata)
+
+    def test_matches_brute_and_removes_imbalance(self, spark):
+        from datajudge_spark.operators.stats import post_stratified_diff
+
+        rng = __import__("random").Random(47)
+        # stratum means differ wildly; variant a over-samples the heavy
+        # stratum -> raw diff biased, stratified diff ~ 0
+        rows = []
+        for i in range(600):
+            s = rng.choice([0, 0, 0, 1]) if i % 2 == 0 else rng.choice(
+                [0, 1, 1, 1])
+            y = (1000 if s == 0 else 100) + rng.randint(0, 50)
+            rows.append((y, i % 2, s))
+        df = spark.createDataFrame(rows, "y long, v int, s int")
+        r = post_stratified_diff(df, "y", "v", "s").collect()[0]
+        raw, strat, k = self._brute(rows)
+        assert r["n_strata"] == k
+        assert r["diff_raw"] == pytest.approx(raw, abs=2e-6)
+        assert r["diff_stratified"] == pytest.approx(strat, abs=2e-6)
+        assert abs(r["diff_raw"]) > 100       # imbalance bias visible
+        assert abs(r["diff_stratified"]) < 30  # and removed
+
+    def test_single_variant_stratum_excluded(self, spark):
+        from datajudge_spark.operators.stats import post_stratified_diff
+
+        rows = [(10, 0, "x"), (20, 1, "x"), (999, 0, "only_a")]
+        df = spark.createDataFrame(rows, "y long, v int, s string")
+        r = post_stratified_diff(df, "y", "v", "s").collect()[0]
+        # stratified estimate uses only stratum x: 10 - 20 = -10
+        assert r["diff_stratified"] == pytest.approx(-10.0)
+        assert r["n_strata"] == 2
+
+    def test_not_two_levels_raises(self, spark):
+        from datajudge_spark.operators.stats import post_stratified_diff
+
+        df = spark.createDataFrame([(1, 0, "x")], "y long, v int, s string")
+        with pytest.raises(ValueError, match="two assignment levels"):
+            post_stratified_diff(df, "y", "v", "s")
