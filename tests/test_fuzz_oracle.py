@@ -986,3 +986,45 @@ def test_fuzz_logrank(spark, case):
         assert r["chi2"] == pytest.approx((o1 - e1) ** 2 / v, abs=2e-5)
     else:
         assert r["chi2"] is None
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_post_stratified(spark, case):
+    from datajudge_spark.operators.stats import post_stratified_diff
+
+    rng = random.Random(_MK_SEED + 1000 + case)
+    n_strata = rng.choice([1, 2, 6])
+    rows = []
+    for i in range(rng.randint(10, 300)):
+        s = rng.randrange(n_strata)
+        # some strata deliberately single-variant (excluded from the
+        # stratified estimate but present in raw/strata counts)
+        v = 0 if (s == 0 and rng.random() < 0.95) else rng.randint(0, 1)
+        rows.append((rng.randint(0, 500) * (s + 1), v, f"s{s}"))
+    if not any(v == 1 for _y, v, _s in rows):
+        rows.append((7, 1, "s0"))
+    df = spark.createDataFrame(rows, "y long, v int, s string")
+    r = post_stratified_diff(df, "y", "v", "s").collect()[0]
+
+    strata: dict = {}
+    for y, v, s in rows:
+        strata.setdefault(s, {0: [], 1: []})[v].append(y)
+    a = [y for y, v, _s in rows if v == 0]
+    b = [y for y, v, _s in rows if v == 1]
+    assert (r["n_a"], r["n_b"], r["n_strata"]) == (
+        len(a), len(b), len(strata),
+    )
+    raw = sum(a) / len(a) - sum(b) / len(b)
+    assert r["diff_raw"] == pytest.approx(raw, abs=2e-6), f"case {case}"
+    wsum = wtot = 0.0
+    for d in strata.values():
+        if d[0] and d[1]:
+            w = len(d[0]) + len(d[1])
+            wsum += w * (sum(d[0]) / len(d[0]) - sum(d[1]) / len(d[1]))
+            wtot += w
+    if wtot > 0:
+        assert r["diff_stratified"] == pytest.approx(
+            wsum / wtot, abs=2e-6
+        ), f"case {case}"
+    else:
+        assert r["diff_stratified"] is None
