@@ -2650,16 +2650,26 @@ class StratifiedDiffMax(Constraint):
         from ..operators.stats import post_stratified_diff
 
         try:
-            row = post_stratified_diff(
+            rows = post_stratified_diff(
                 self._ref.get_selection(engine),
                 self._metric,
                 self._assign,
                 self._stratum,
-            ).collect()[0]
+            ).collect()
         except ValueError as exc:
             return TestResult.failure(
                 f"Stratified difference on {self._ref} is undefined: "
                 f"{exc}. ",
+                self.get_description(),
+            )
+        # Both assignment levels can exist while every row has a NULL
+        # metric or stratum — the per-stratum frame is then empty and
+        # the digest yields ZERO rows, not a NULL-diff row.
+        row = rows[0] if rows else None
+        if row is None:
+            return TestResult.failure(
+                f"Stratified difference on {self._ref} is undefined: no "
+                f"non-null (metric, stratum) rows reach any stratum. ",
                 self.get_description(),
             )
         diff = row["diff_stratified"]

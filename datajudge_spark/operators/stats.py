@@ -2097,31 +2097,50 @@ def jarque_bera(
     JB ≫ 6 means z-score-based gates are built on a false premise —
     the "should I even use a sigma rule?" pre-check).
 
-    Exactness contract: the four raw power sums S1..S4 accumulate as
-    DECIMAL(38,0) (order-independent, exact for integer inputs), then
-    ONE conversion to doubles feeds a fixed closed-form expression for
-    the central moments — n²m2 = nS2−S1², n³m3 = n²S3−3nS1S2+2S1³,
-    n⁴m4 = n³S4−4n²S1S3+6nS1²S2−3S1⁴ — so the digest is reproducible
-    across engines and partitionings.  Degenerate inputs (n < 2 or zero
+    Exactness contract: a cheap probe scan takes the exact integer
+    mean c = S1 div n (DECIMAL(38,0) sum — deterministic, unlike a
+    double ``avg``), then the four SHIFTED power sums S1'..S4' of
+    (x − c) accumulate as DECIMAL(38,0) (order-independent, exact for
+    integer inputs) and ONE conversion to doubles feeds the fixed
+    closed-form central-moment expansion — n²m2 = nS2'−S1'²,
+    n³m3 = n²S3'−3nS1'S2'+2S1'³, n⁴m4 = n³S4'−4n²S1'S3'+6nS1'²S2'−3S1'⁴
+    (central moments are shift-invariant).  The shift is what makes the
+    contract real: raw power sums of cents-scale values (|x| ~ 1e7)
+    cancel catastrophically in the double expansion (observed: true
+    skewness 1.4976 computed as 0.0), while shifted terms carry only
+    deviation-scale magnitudes.  Exactness holds while
+    n·max(|x−c|)⁴ < 1e38 (the DECIMAL(38,0) ceiling — e.g. 1e10 rows
+    within ±1e7 of the mean); beyond it the operator RAISES rather than
+    silently returning a NULL digest.  Degenerate inputs (n < 2 or zero
     variance) yield NULL statistics.  With ``group_col``, one row per
-    group (same plan, one more grouping key).  Extension — no reference
-    counterpart.
+    group (same plan; the shift stays GLOBAL so a single probe serves
+    all groups — between-group offsets are deviation-scale).
+    Extension — no reference counterpart.
 
-    Plan: ONE aggregation scan (map-side partial sums), no shuffle
-    beyond the |groups|-row digest.
+    Plan: one single-row probe aggregate (map-side partial), then ONE
+    aggregation scan (map-side partial sums), no shuffle beyond the
+    |groups|-row digest.
     """
     gcols = [group_col] if group_col else []
     base = df.where(F.col(column).isNotNull())
     if group_col:
         base = base.where(F.col(group_col).isNotNull())
     d38 = "decimal(38,0)"
-    x = F.col(column).cast(d38)
+    probe = base.agg(
+        F.sum(F.col(column).cast(d38)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    c = int(probe["s"]) // int(probe["n"]) if probe["n"] else 0
+    x = (F.col(column).cast(d38) - F.lit(c).cast(d38)).cast(d38)
     suff = base.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(x).alias("__s1"),
         F.sum((x * x).cast(d38)).alias("__s2"),
         F.sum((x * x * x).cast(d38)).alias("__s3"),
         F.sum((x * x * x * x).cast(d38)).alias("__s4"),
+        F.max(
+            F.abs(F.col(column).cast("double") - F.lit(c).cast("double"))
+        ).alias("__mx"),
     )
     n = F.col("__n").cast("double")
     s1 = F.col("__s1").cast("double")
@@ -2145,13 +2164,29 @@ def jarque_bera(
     g1 = (m3n3 / (n * n * n)) / (v * F.sqrt(v))
     g2 = (m4n4 / (n * n * n * n)) / (v * v)
     jb = n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
+    # DECIMAL(38,0) saturates near 1.7e38: when n·max(|x−c|)⁴
+    # approaches the ceiling, a non-ANSI sum silently NULLs and the
+    # digest would read "undefined".  Surface that as an explicit error
+    # instead — the exactness contract holds only below this magnitude
+    # bound (n·max(|x−c|)⁴ < 1e38: 1e10 rows within ±1e7 of the mean).
+    mx = F.col("__mx")
+    overflow = (n * mx * mx * mx * mx) >= 1e38
+    jb_checked = F.when(
+        overflow,
+        F.raise_error(
+            F.lit(
+                "jarque_bera: n*max(|x|)^4 exceeds the DECIMAL(38,0) "
+                "exact-sum range; pre-scale the column"
+            )
+        ).cast("double"),
+    ).otherwise(jb)
     return suff.select(
         *gcols,
         F.col("__n").cast("bigint").alias("n"),
-        F.round(s1 / n, 6).alias("mean"),
+        F.round(F.lit(c).cast("double") + s1 / n, 6).alias("mean"),
         F.round(F.when(ok, g1), 6).alias("skewness"),
         F.round(F.when(ok, g2), 6).alias("kurtosis"),
-        F.round(F.when(ok, jb), 6).alias("jb"),
+        F.round(F.when(ok, jb_checked), 6).alias("jb"),
     )
 
 

@@ -21,6 +21,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datajudge_spark.pipeline.text import md5_long
 
@@ -303,13 +304,25 @@ def contrastive_negatives(
     missing = [q for q in query_ids if q not in qlab]
     if missing:
         raise ValueError(f"query ids not found in corpus: {missing}")
+    # Derive the spec schema from the corpus columns so string/decimal
+    # ids and labels keep their types through the broadcast join (a
+    # hardcoded long/int spec would miscast or fail at createDataFrame).
+    id_type = df.schema[id_col].dataType
+    label_type = df.schema[label_col].dataType
+    spec_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("q_label", label_type),
+            T.StructField("draw", T.IntegerType()),
+        ]
+    )
     spec = spark.createDataFrame(
         [
             (q, qlab[q], j)
             for q in query_ids
             for j in range(1, n_negatives + 1)
         ],
-        f"query_id long, q_label int, draw int",
+        spec_schema,
     )
     h = md5_long(
         F.concat_ws(

@@ -1615,3 +1615,17 @@ class TestStratifiedDiff:
         results = req.test(spark)
         assert results[0].outcome is False
         assert "no stratum contains both variants" in results[0].failure_message
+
+    def test_all_null_metric_or_stratum_fails_cleanly(self, spark):
+        # Two assignment levels exist but every row has a NULL metric
+        # or NULL stratum: the per-stratum frame is EMPTY (zero digest
+        # rows) — gate must fail cleanly, not IndexError.
+        rows = [(None, 0, "s1"), (None, 1, "s1"), (7, 0, None), (9, 1, None)]
+        df = spark.createDataFrame(
+            rows, "y long, v int, s string"
+        )
+        req = within_req(df, "strat3")
+        req.add_stratified_diff_constraint("y", "v", "s", 100.0)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message

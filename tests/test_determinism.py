@@ -326,6 +326,24 @@ def test_contrastive_negatives_partition_stable(spark, n_parts):
     assert got == ref
 
 
+def test_contrastive_negatives_string_ids_and_labels(spark):
+    # the broadcast spec derives its types from the corpus schema —
+    # string ids/labels must survive the join and inequality untouched
+    from datajudge_spark.pipeline.sampling import contrastive_negatives
+
+    rows = [(f"doc-{i:03d}", f"lab{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, label string")
+    out = contrastive_negatives(
+        df, "doc_id", "label", ["doc-000", "doc-001"], 2
+    ).collect()
+    assert len(out) == 4
+    lab = dict(rows)
+    for r in out:
+        assert r["neg_id"] != r["query_id"]
+        assert r["neg_label"] != lab[r["query_id"]]
+        assert isinstance(r["neg_id"], str)
+
+
 @pytest.mark.parametrize("n_parts", [1, 3, 7])
 def test_zipf_slope_partition_stable(spark, n_parts):
     # the top-N boundary is a TOTAL order (count DESC, token ASC): the

@@ -2635,6 +2635,46 @@ class TestJarqueBera:
         out = jarque_bera(df, "v").collect()
         assert len(out) == 1 and out[0]["n"] == 4
 
+    def test_decimal_overflow_raises_not_nulls(self, spark):
+        # deviations ~ 4e10 -> (x-c)^4 ~ 2.6e42 > DECIMAL(38,0): under
+        # ANSI the per-row cast raises; under non-ANSI the sum would be
+        # silently WRONG (overflowed rows null out of the sum) — the
+        # n*max(|x-c|)^4 guard must surface an explicit error either way
+        from datajudge_spark.operators.stats import jarque_bera
+
+        df = spark.createDataFrame(
+            [(0,), (80_000_000_000,), (1,)], "v long"
+        )
+        with pytest.raises(Exception, match=r"(?i)decimal\(38,\s*0\)"):
+            jarque_bera(df, "v").collect()
+
+    def test_large_magnitude_exact_via_shift(self, spark):
+        # |x| ~ 1e10 with small spread: raw power sums would both
+        # overflow DECIMAL(38,0) per-row AND cancel catastrophically in
+        # doubles; the mean-shift makes the digest exact
+        from datajudge_spark.operators.stats import jarque_bera
+
+        vals = [10_000_000_000 + k for k in (0, 1, 2, 3, 100)]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        r = jarque_bera(df, "v").collect()[0]
+        g1, g2, jb = self._brute(vals)
+        assert r["skewness"] == pytest.approx(g1, abs=2e-6)
+        assert r["kurtosis"] == pytest.approx(g2, abs=2e-6)
+        assert r["jb"] == pytest.approx(jb, abs=2e-6)
+        assert r["mean"] == pytest.approx(sum(vals) / len(vals), abs=1e-4)
+
+    def test_cents_scale_exact_via_shift(self, spark):
+        # |x| ~ 1e7 (cents-scale money): pre-shift this computed
+        # skewness 0.0 (double cancellation in the raw expansion)
+        from datajudge_spark.operators.stats import jarque_bera
+
+        vals = [10_000_000 + k for k in (0, 1, 2, 3, 100)]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        r = jarque_bera(df, "v").collect()[0]
+        g1, g2, jb = self._brute(vals)
+        assert r["skewness"] == pytest.approx(g1, abs=2e-6)
+        assert r["jb"] == pytest.approx(jb, abs=2e-6)
+
 
 class TestTwoProportionZtest:
     def test_known_value(self, spark):
