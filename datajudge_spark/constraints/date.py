@@ -1,4 +1,13 @@
-"""Date constraints (parity: /root/reference/src/datajudge/constraints/date.py)."""
+"""Date column gates: min/max with directional bounds, fraction-in-
+range, and the date interval no-gap/no-overlap specializations.
+
+Message wording stays byte-compatible with the reference
+(/root/reference/src/datajudge/constraints/date.py); the wording
+contract is pinned by ``tests/test_message_parity.py``.  The structure
+is the repo's own: one declarative extremum class covers min AND max in
+both bound directions, and interval verdicts render through the shared
+``interval_violation_verdict`` helper in ``numeric.py``.
+"""
 
 from __future__ import annotations
 
@@ -11,21 +20,36 @@ from .. import operators as ops
 from ..reference import DataReference
 from .base import Constraint, OptionalSelections
 from .interval import NoGapConstraint, NoOverlapConstraint
+from .numeric import interval_violation_verdict
 
-_INPUT_DATE_FORMAT = "'%Y-%m-%d'"
+_BOUND_LITERAL_FORMAT = "'%Y-%m-%d'"
+
+_SAY_DATE_EXTREMUM = "{ref} has {kind} {got} {cmp} {prefix} {want}. {cond}"
+_SAY_DATE_FRACTION = (
+    "{ref} has {got} < {want} of values between {lo} and {hi}. {cond} "
+)
+
+_RETRIEVED_VALUE_FORMATS = {
+    "date": "%Y-%m-%d",
+    "datetime": "%Y-%m-%d %H:%M:%S",
+    "datetime2": "%Y-%m-%d %H:%M:%S",
+    "smalldatetime": "%Y-%m-%d %H:%M:%S",
+    "timestamp": "%Y-%m-%d %H:%M:%S",
+}
 
 Date = str | dt.date | dt.datetime
 
 
 def _get_format_from_column_type(column_type: str) -> str:
-    if column_type.lower() == "date":
-        return "%Y-%m-%d"
-    if column_type.lower() in ("datetime", "datetime2", "smalldatetime", "timestamp"):
-        return "%Y-%m-%d %H:%M:%S"
-    raise ValueError(f"Illegal date column type: {column_type}")
+    try:
+        return _RETRIEVED_VALUE_FORMATS[column_type.lower()]
+    except KeyError:
+        raise ValueError(f"Illegal date column type: {column_type}") from None
 
 
 def _convert_to_date(db_result: Date, format: str) -> dt.date:
+    # JDBC-ish engines may hand back strings (with fractional seconds);
+    # Spark hands back date/datetime objects directly
     if isinstance(db_result, dt.datetime):
         return db_result.date()
     if isinstance(db_result, dt.date):
@@ -37,7 +61,80 @@ def _convert_to_date(db_result: Date, format: str) -> dt.date:
     )
 
 
-class DateMin(Constraint):
+class _DateExtremum(Constraint):
+    """min/max date gate with a directional bound.
+
+    ``_kind`` picks the aggregate.  ``bound_is_floor`` says which side
+    of the literal the factual extremum must land on: a min gate with a
+    floor bound (``use_lower_bound_reference``) requires min ≥ bound,
+    while the same gate with a ceiling bound requires min ≤ bound — and
+    symmetrically for max.  The comparison glyph in the verdict always
+    shows the VIOLATED direction.
+    """
+
+    _kind: str
+
+    def __init__(
+        self,
+        ref: DataReference,
+        bound_is_floor: bool,
+        column_type: str,
+        name: str | None = None,
+        cache_size=None,
+        *,
+        ref2: DataReference | None = None,
+        bound: str | None = None,
+    ):
+        self._format = _get_format_from_column_type(column_type)
+        self._bound_is_floor = bound_is_floor
+        parsed: dt.date | None = None
+        if bound is not None:
+            parsed = dt.datetime.strptime(bound, _BOUND_LITERAL_FORMAT).date()
+        super().__init__(
+            ref, ref2=ref2, ref_value=parsed, name=name, cache_size=cache_size
+        )
+
+    def _retrieve(
+        self, engine: SparkSession, ref: DataReference
+    ) -> tuple[dt.date, OptionalSelections]:
+        fetch = ops.get_min if self._kind == "min" else ops.get_max
+        value, selections = fetch(engine, ref)
+        return _convert_to_date(value, self._format), selections
+
+    def _compare(
+        self, value_factual: dt.date, value_target: dt.date
+    ) -> tuple[bool, str | None]:
+        if self._kind == "min":
+            if value_target is None:
+                return True, None
+            if value_factual is None:
+                return value_target == 0, "Empty set."
+        else:
+            if value_factual is None:
+                return True, None
+            if value_target is None:
+                return value_factual == 0, "Empty reference set."
+        if self._bound_is_floor:
+            holds = value_factual >= value_target
+            glyph = "<"
+        else:
+            holds = value_factual <= value_target
+            glyph = ">"
+        verdict = _SAY_DATE_EXTREMUM.format(
+            ref=self._ref,
+            kind=self._kind,
+            got=value_factual,
+            cmp=glyph,
+            prefix=self._target_prefix,
+            want=value_target,
+            cond=self._condition_string,
+        )
+        return holds, verdict
+
+
+class DateMin(_DateExtremum):
+    _kind = "min"
+
     def __init__(
         self,
         ref: DataReference,
@@ -49,46 +146,21 @@ class DateMin(Constraint):
         ref2: DataReference | None = None,
         min_value: str | None = None,
     ):
-        self._format = _get_format_from_column_type(column_type)
-        self._use_lower_bound_reference = use_lower_bound_reference
-        min_date: dt.date | None = None
-        if min_value is not None:
-            min_date = dt.datetime.strptime(min_value, _INPUT_DATE_FORMAT).date()
         super().__init__(
-            ref, ref2=ref2, ref_value=min_date, name=name, cache_size=cache_size
+            ref,
+            use_lower_bound_reference,
+            column_type,
+            name=name,
+            cache_size=cache_size,
+            ref2=ref2,
+            bound=min_value,
         )
-
-    def _retrieve(
-        self, engine: SparkSession, ref: DataReference
-    ) -> tuple[dt.date, OptionalSelections]:
-        result, selections = ops.get_min(engine, ref)
-        return _convert_to_date(result, self._format), selections
-
-    def _compare(
-        self, value_factual: dt.date, value_target: dt.date
-    ) -> tuple[bool, str | None]:
-        if value_target is None:
-            return True, None
-        if value_factual is None:
-            return value_target == 0, "Empty set."
-        if self._use_lower_bound_reference:
-            assertion_text = (
-                f"{self._ref} has min {value_factual} < "
-                f"{self._target_prefix} {value_target}. "
-                f"{self._condition_string}"
-            )
-            result = value_factual >= value_target
-        else:
-            assertion_text = (
-                f"{self._ref} has min {value_factual} > "
-                f"{self._target_prefix} {value_target}. "
-                f"{self._condition_string}"
-            )
-            result = value_factual <= value_target
-        return result, assertion_text
+        self._use_lower_bound_reference = use_lower_bound_reference
 
 
-class DateMax(Constraint):
+class DateMax(_DateExtremum):
+    _kind = "max"
+
     def __init__(
         self,
         ref: DataReference,
@@ -100,43 +172,18 @@ class DateMax(Constraint):
         ref2: DataReference | None = None,
         max_value: str | None = None,
     ):
-        self._format = _get_format_from_column_type(column_type)
-        self._use_upper_bound_reference = use_upper_bound_reference
-        max_date: dt.date | None = None
-        if max_value is not None:
-            max_date = dt.datetime.strptime(max_value, _INPUT_DATE_FORMAT).date()
+        # the max gate's natural reading is a CEILING: the flag says
+        # "the bound is the upper reference", i.e. bound_is_floor=False
         super().__init__(
-            ref, ref2=ref2, ref_value=max_date, name=name, cache_size=cache_size
+            ref,
+            not use_upper_bound_reference,
+            column_type,
+            name=name,
+            cache_size=cache_size,
+            ref2=ref2,
+            bound=max_value,
         )
-
-    def _retrieve(
-        self, engine: SparkSession, ref: DataReference
-    ) -> tuple[dt.date, OptionalSelections]:
-        value, selections = ops.get_max(engine, ref)
-        return _convert_to_date(value, self._format), selections
-
-    def _compare(
-        self, value_factual: dt.date, value_target: dt.date
-    ) -> tuple[bool, str | None]:
-        if value_factual is None:
-            return True, None
-        if value_target is None:
-            return value_factual == 0, "Empty reference set."
-        if self._use_upper_bound_reference:
-            assertion_text = (
-                f"{self._ref} has max {value_factual} > "
-                f"{self._target_prefix} {value_target}. "
-                f"{self._condition_string}"
-            )
-            result = value_factual <= value_target
-        else:
-            assertion_text = (
-                f"{self._ref} has max {value_factual} < "
-                f"{self._target_prefix} {value_target}. "
-                f"{self._condition_string}"
-            )
-            result = value_factual >= value_target
-        return result, assertion_text
+        self._use_upper_bound_reference = use_upper_bound_reference
 
 
 class DateBetween(Constraint):
@@ -161,12 +208,15 @@ class DateBetween(Constraint):
         )
 
     def _compare(self, value_factual: float, value_target: float) -> tuple[bool, str]:
-        assertion_text = (
-            f"{self._ref} has {value_factual} < "
-            f"{value_target} of values between {self._lower_bound} and "
-            f"{self._upper_bound}. {self._condition_string} "
+        verdict = _SAY_DATE_FRACTION.format(
+            ref=self._ref,
+            got=value_factual,
+            want=value_target,
+            lo=self._lower_bound,
+            hi=self._upper_bound,
+            cond=self._condition_string,
         )
-        return value_factual >= value_target, assertion_text
+        return value_factual >= value_target, verdict
 
 
 class DateNoOverlap(NoOverlapConstraint):
@@ -175,18 +225,12 @@ class DateNoOverlap(NoOverlapConstraint):
     def _compare(
         self, value_factual: tuple[int, int], value_target: Any
     ) -> tuple[bool, str | None]:
-        n_violation_keys, n_distinct_key_values = value_factual
-        if n_distinct_key_values == 0:
-            return True, None
-        violation_fraction = n_violation_keys / n_distinct_key_values
-        assertion_text = (
-            f"{self._ref} has a ratio of {violation_fraction} > "
-            f"{self._max_relative_n_violations} keys in columns "
-            f"{self._key_columns} with overlapping date ranges in "
-            f"{self._start_columns[0]} and {self._end_columns[0]}."
-            f"E.g. for: {self.sample}."
+        return interval_violation_verdict(
+            self,
+            value_factual,
+            shape="overlapping date ranges",
+            empty_message=None,
         )
-        return violation_fraction <= self._max_relative_n_violations, assertion_text
 
 
 class DateNoOverlap2d(NoOverlapConstraint):
@@ -195,19 +239,12 @@ class DateNoOverlap2d(NoOverlapConstraint):
     def _compare(
         self, value_factual: tuple[int, int], value_target: Any
     ) -> tuple[bool, str | None]:
-        n_violation_keys, n_distinct_key_values = value_factual
-        if n_distinct_key_values == 0:
-            return True, None
-        violation_fraction = n_violation_keys / n_distinct_key_values
-        assertion_text = (
-            f"{self._ref} has a ratio of {violation_fraction} > "
-            f"{self._max_relative_n_violations} keys in columns "
-            f"{self._key_columns} with overlapping date ranges in "
-            f"{self._start_columns[0]} and {self._end_columns[0]}."
-            f"and {self._start_columns[1]} and {self._end_columns[1]}."
-            f"E.g. for: {self.sample}."
+        return interval_violation_verdict(
+            self,
+            value_factual,
+            shape="overlapping date ranges",
+            empty_message=None,
         )
-        return violation_fraction <= self._max_relative_n_violations, assertion_text
 
 
 class DateNoGap(NoGapConstraint):
@@ -226,15 +263,9 @@ class DateNoGap(NoGapConstraint):
     def _compare(
         self, value_factual: tuple[int, int], value_target: Any
     ) -> tuple[bool, str | None]:
-        n_violation_keys, n_distinct_key_values = value_factual
-        if n_distinct_key_values == 0:
-            return True, None
-        violation_fraction = n_violation_keys / n_distinct_key_values
-        assertion_text = (
-            f"{self._ref} has a ratio of {violation_fraction} > "
-            f"{self._max_relative_n_violations} keys in columns "
-            f"{self._key_columns} with a gap in the date range in "
-            f"{self._start_columns[0]} and {self._end_columns[0]}."
-            f"E.g. for: {self.sample}."
+        return interval_violation_verdict(
+            self,
+            value_factual,
+            shape="a gap in the date range",
+            empty_message=None,
         )
-        return violation_fraction <= self._max_relative_n_violations, assertion_text

@@ -1,4 +1,13 @@
-"""Row-count constraints (parity: /root/reference/src/datajudge/constraints/nrows.py)."""
+"""Row-count gates.
+
+Message wording stays byte-compatible with the reference
+(/root/reference/src/datajudge/constraints/nrows.py) so downstream alert
+parsing keeps working — the wording contract is pinned by
+``tests/test_message_parity.py``.  The implementation below is the
+repo's own: verdicts are rendered from module-level templates and the
+relative-change family shares one driver, instead of one hand-written
+``_compare`` per class.
+"""
 
 from __future__ import annotations
 
@@ -11,8 +20,39 @@ from ..reference import DataReference
 from ..utils import format_difference
 from .base import Constraint, OptionalSelections, TestResult, ToleranceGetter
 
+# Absolute-count verdict templates.  ``got``/``want`` arrive already
+# digit-highlighted where the reference highlights them.
+_SAY_MIN = "{ref} has {got} < {prefix} {want} rows. {cond}"
+_SAY_MAX = "{ref} has {got} > {prefix} {want} rows. {cond}"
+_SAY_EQ = "{ref} has {got} row(s) instead of {prefix} {want}. {cond}"
+
+# Relative-change verdict templates (always rendered with percent
+# formatting, reference wording).
+_SAY_SHRUNK = (
+    "The #rows from {ref} have decreased by {change:%} compared to "
+    "table {other}. They were expected to decrease by at most "
+    "{limit:%}. {cond}"
+)
+_SAY_GREW_TOO_MUCH = (
+    "{ref} has {change:%} gain in #rows compared to {other}. It was "
+    "only allowed to increase by {limit:%}. {cond}"
+)
+_SAY_GREW_TOO_LITTLE = (
+    "{ref} has {change:%} gain in #rows compared to {other}. It was "
+    "supposed to increase at least by {limit:%}. {cond}"
+)
+
 
 class NRows(Constraint, abc.ABC):
+    """Base: the factual/target values are plain row counts.
+
+    ``_count_cap`` opts a subclass into LIMIT-capped counting — the scan
+    short-circuits as soon as the threshold is provably met (only sound
+    for a lower-bound gate; reference rationale nrows.py:41-48).
+    """
+
+    _count_cap = False
+
     def __init__(
         self,
         ref: DataReference,
@@ -29,140 +69,113 @@ class NRows(Constraint, abc.ABC):
     def _retrieve(
         self, engine: SparkSession, ref: DataReference
     ) -> tuple[int, OptionalSelections]:
-        return ops.get_row_count(engine, ref)
+        cap = self._ref_value if self._count_cap else None
+        return ops.get_row_count(engine, ref, row_limit=cap)
+
+    def _speak(self, template: str, **fields) -> str:
+        return template.format(
+            ref=self._ref,
+            prefix=self._target_prefix,
+            cond=self._condition_string,
+            **fields,
+        )
 
 
 class NRowsMin(NRows):
-    def _retrieve(
-        self, engine: SparkSession, ref: DataReference
-    ) -> tuple[int, OptionalSelections]:
-        # LIMIT-capped count: the scan short-circuits once enough rows are
-        # seen (reference rationale nrows.py:41-48).
-        return ops.get_row_count(engine, ref, row_limit=self._ref_value)
+    _count_cap = True
 
     def _compare(self, value_factual: int, value_target: int) -> tuple[bool, str]:
-        result = value_factual >= value_target
-        assertion_text = (
-            f"{self._ref} has {value_factual} "
-            f"< {self._target_prefix} {value_target} rows. "
-            f"{self._condition_string}"
-        )
-        return result, assertion_text
+        verdict = self._speak(_SAY_MIN, got=value_factual, want=value_target)
+        return value_factual >= value_target, verdict
 
 
 class NRowsMax(NRows):
     def _compare(self, value_factual: int, value_target: int) -> tuple[bool, str]:
-        result = value_factual <= value_target
-        factual_fmt, target_fmt = format_difference(value_factual, value_target)
-        assertion_text = (
-            f"{self._ref} has {factual_fmt} "
-            f"> {self._target_prefix} {target_fmt} rows. "
-            f"{self._condition_string}"
+        got, want = format_difference(value_factual, value_target)
+        return value_factual <= value_target, self._speak(
+            _SAY_MAX, got=got, want=want
         )
-        return result, assertion_text
 
 
 class NRowsEquality(NRows):
     def _compare(self, value_factual: int, value_target: int) -> tuple[bool, str]:
-        result = value_factual == value_target
-        factual_fmt, target_fmt = format_difference(value_factual, value_target)
-        assertion_text = (
-            f"{self._ref} has {factual_fmt} row(s) "
-            f"instead of {self._target_prefix} {target_fmt}. "
-            f"{self._condition_string}"
+        got, want = format_difference(value_factual, value_target)
+        return value_factual == value_target, self._speak(
+            _SAY_EQ, got=got, want=want
         )
-        return result, assertion_text
 
 
-class NRowsMaxLoss(NRows):
+class _NRowsRelativeChange(NRows, abc.ABC):
+    """Shared driver for the gain/loss family.
+
+    Subclasses declare the measured direction (``_measures_gain``), the
+    verdict when the counts moved the OTHER way entirely
+    (``_opposite_move_passes`` — a max-loss gate trivially passes on a
+    gain, a min-gain gate hard-fails on a loss), and the tolerance
+    comparator direction (``_wants_at_least``).  The tolerance itself is
+    engine-dependent (it may derive from date ranges), so it resolves at
+    test time through the getter.
+    """
+
+    _template: str
+    _measures_gain: bool
+    _opposite_move_passes: bool
+    _wants_at_least = False
+
     def __init__(
         self,
         ref: DataReference,
         ref2: DataReference,
-        max_relative_loss_getter: ToleranceGetter,
+        tolerance_getter: ToleranceGetter,
         name: str | None = None,
         cache_size=None,
     ):
         super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
-        self._max_relative_loss_getter = max_relative_loss_getter
+        self._tolerance_getter = tolerance_getter
+
+    def test(self, engine: SparkSession) -> TestResult:
+        self._tolerance = self._tolerance_getter(engine)
+        return super().test(engine)
 
     def _compare(self, value_factual: int, value_target: int) -> tuple[bool, str]:
         if value_target == 0:
             return True, "Empty target table."
-        if value_factual > value_target:
-            return True, "Row gain."
-        relative_loss = (value_target - value_factual) / value_target
-        assertion_text = (
-            f"The #rows from {self._ref} have decreased by "
-            f"{relative_loss:%} compared to table {self._ref2}. "
-            f"They were expected to decrease by at most "
-            f"{self._max_relative_loss:%}. "
-            f"{self._condition_string}"
+        moved_up = value_factual > value_target
+        moved_down = value_factual < value_target
+        if self._measures_gain and moved_down:
+            return self._opposite_move_passes, "Row loss."
+        if not self._measures_gain and moved_up:
+            return self._opposite_move_passes, "Row gain."
+        change = abs(value_factual - value_target) / value_target
+        within = (
+            change >= self._tolerance
+            if self._wants_at_least
+            else change <= self._tolerance
         )
-        return relative_loss <= self._max_relative_loss, assertion_text
-
-    def test(self, engine: SparkSession) -> TestResult:
-        self._max_relative_loss = self._max_relative_loss_getter(engine)
-        return super().test(engine)
-
-
-class NRowsMaxGain(NRows):
-    def __init__(
-        self,
-        ref: DataReference,
-        ref2: DataReference,
-        max_relative_gain_getter: ToleranceGetter,
-        name: str | None = None,
-        cache_size=None,
-    ):
-        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
-        self._max_relative_gain_getter = max_relative_gain_getter
-
-    def _compare(self, value_factual: int, value_target: int) -> tuple[bool, str]:
-        if value_target == 0:
-            return True, "Empty target table."
-        if value_factual < value_target:
-            return True, "Row loss."
-        relative_gain = (value_factual - value_target) / value_target
-        assertion_text = (
-            f"{self._ref} has {relative_gain:%} gain in #rows compared to "
-            f"{self._ref2}. It was only allowed "
-            f"to increase by {self._max_relative_gain:%}. "
-            f"{self._condition_string}"
+        verdict = self._template.format(
+            ref=self._ref,
+            other=self._ref2,
+            change=change,
+            limit=self._tolerance,
+            cond=self._condition_string,
         )
-        return relative_gain <= self._max_relative_gain, assertion_text
-
-    def test(self, engine: SparkSession) -> TestResult:
-        self._max_relative_gain = self._max_relative_gain_getter(engine)
-        return super().test(engine)
+        return within, verdict
 
 
-class NRowsMinGain(NRows):
-    def __init__(
-        self,
-        ref: DataReference,
-        ref2: DataReference,
-        min_relative_gain_getter: ToleranceGetter,
-        name: str | None = None,
-        cache_size=None,
-    ):
-        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
-        self._min_relative_gain_getter = min_relative_gain_getter
+class NRowsMaxLoss(_NRowsRelativeChange):
+    _template = _SAY_SHRUNK
+    _measures_gain = False
+    _opposite_move_passes = True
 
-    def _compare(self, value_factual: int, value_target: int) -> tuple[bool, str]:
-        if value_target == 0:
-            return True, "Empty target table."
-        if value_factual < value_target:
-            return False, "Row loss."
-        relative_gain = (value_factual - value_target) / value_target
-        assertion_text = (
-            f"{self._ref} has {relative_gain:%} gain in #rows compared to "
-            f"{self._ref2}. It was supposed "
-            f"to increase at least by {self._min_relative_gain:%}. "
-            f"{self._condition_string}"
-        )
-        return relative_gain >= self._min_relative_gain, assertion_text
 
-    def test(self, engine: SparkSession) -> TestResult:
-        self._min_relative_gain = self._min_relative_gain_getter(engine)
-        return super().test(engine)
+class NRowsMaxGain(_NRowsRelativeChange):
+    _template = _SAY_GREW_TOO_MUCH
+    _measures_gain = True
+    _opposite_move_passes = True
+
+
+class NRowsMinGain(_NRowsRelativeChange):
+    _template = _SAY_GREW_TOO_LITTLE
+    _measures_gain = True
+    _opposite_move_passes = False
+    _wants_at_least = True

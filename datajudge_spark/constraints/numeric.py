@@ -1,4 +1,13 @@
-"""Numeric constraints (parity: /root/reference/src/datajudge/constraints/numeric.py)."""
+"""Numeric column gates: min/max/mean, fraction-in-range, percentile,
+and the 1-D interval no-gap/no-overlap specializations.
+
+Message wording stays byte-compatible with the reference
+(/root/reference/src/datajudge/constraints/numeric.py); the wording
+contract is pinned by ``tests/test_message_parity.py``.  The structure
+is the repo's own: one declarative extremum class drives min AND max,
+and the interval verdicts render through the shared
+``interval_violation_verdict`` helper.
+"""
 
 from __future__ import annotations
 
@@ -11,8 +20,119 @@ from ..reference import DataReference
 from .base import Constraint, OptionalSelections, TestResult
 from .interval import NoGapConstraint, NoOverlapConstraint
 
+_SAY_EXTREMUM = "{ref} has {kind} {got} instead of {prefix}{want}{gap}. {cond}"
+_SAY_FRACTION = (
+    "{ref} has {got} < {want} of rows between {lo} and {hi}. {cond}"
+)
+_SAY_MEAN = (
+    "{ref} has mean {got}, deviating more than {slack} from "
+    "{prefix} {want}. {cond}"
+)
+_SAY_PERCENTILE = (
+    "The {pct}-th percentile of {ref}{pad} was expected to be "
+    "{prefix}{want} but was {got}, resulting in {an_article} {how} "
+    "difference of {diff}. The maximally allowed {how} deviation "
+    "would've been {slack}."
+)
 
-class NumericMin(Constraint):
+
+def interval_violation_verdict(
+    constraint,
+    counts: tuple[int, int],
+    *,
+    shape: str,
+    empty_message: str | None = "No key values found.",
+) -> tuple[bool, str | None]:
+    """Shared verdict for the ratio-of-violating-keys interval family.
+
+    ``shape`` is the middle clause naming what went wrong (e.g.
+    ``"overlapping ranges"`` / ``"a gap in the range"``); numeric and
+    date variants differ only in that clause and in how many interval
+    dimensions they name.
+    """
+    violators, keys = counts
+    if keys == 0:
+        return True, empty_message
+    ratio = violators / keys
+    # the reference renders each interval dimension as its own clause,
+    # 2-D reading "...in s1 and e1.and s2 and e2."
+    dims = ".and ".join(
+        f"{s} and {e}"
+        for s, e in zip(constraint._start_columns, constraint._end_columns)
+    )
+    verdict = (
+        f"{constraint._ref} has a ratio of {ratio} > "
+        f"{constraint._max_relative_n_violations} keys in columns "
+        f"{constraint._key_columns} with {shape} in {dims}."
+        f"E.g. for: {constraint.sample}."
+    )
+    return ratio <= constraint._max_relative_n_violations, verdict
+
+
+class _NumericExtremum(Constraint):
+    """min/max gate: declarative direction instead of twin classes.
+
+    ``_kind`` names the aggregate and picks the comparison direction;
+    the empty-set handling is asymmetric per the reference (an empty
+    scan trivially satisfies a max gate but fails a min gate unless the
+    bound is 0).
+    """
+
+    _kind: str
+    # the reference's min message carries a space before the period
+    _trailing_gap: str
+
+    def __init__(
+        self,
+        ref: DataReference,
+        name: str | None = None,
+        cache_size=None,
+        *,
+        ref2: DataReference | None = None,
+        bound: float | None = None,
+    ):
+        super().__init__(
+            ref, ref2=ref2, ref_value=bound, name=name, cache_size=cache_size
+        )
+
+    def _retrieve(
+        self, engine: SparkSession, ref: DataReference
+    ) -> tuple[float, OptionalSelections]:
+        fetch = ops.get_min if self._kind == "min" else ops.get_max
+        return fetch(engine, ref)
+
+    def _within(self, got: float, want: float) -> bool:
+        return got >= want if self._kind == "min" else got <= want
+
+    def _compare(
+        self, value_factual: float, value_target: float
+    ) -> tuple[bool, str | None]:
+        if self._kind == "min":
+            if value_target is None:
+                return True, None
+            if value_factual is None:
+                return value_target == 0, "Empty set."
+        else:
+            if value_factual is None:
+                return True, None
+            if value_target is None:
+                return value_factual == 0, "Empty reference set."
+        verdict = _SAY_EXTREMUM.format(
+            ref=self._ref,
+            kind=self._kind,
+            got=value_factual,
+            prefix=self._target_prefix,
+            want=value_target,
+            gap=self._trailing_gap,
+            cond=self._condition_string,
+        )
+        return self._within(value_factual, value_target), verdict
+
+
+class NumericMin(_NumericExtremum):
+    _kind = "min"
+    _trailing_gap = " "
+
     def __init__(
         self,
         ref: DataReference,
@@ -23,31 +143,14 @@ class NumericMin(Constraint):
         min_value: float | None = None,
     ):
         super().__init__(
-            ref, ref2=ref2, ref_value=min_value, name=name, cache_size=cache_size
+            ref, name=name, cache_size=cache_size, ref2=ref2, bound=min_value
         )
 
-    def _retrieve(
-        self, engine: SparkSession, ref: DataReference
-    ) -> tuple[float, OptionalSelections]:
-        return ops.get_min(engine, ref)
 
-    def _compare(
-        self, value_factual: float, value_target: float
-    ) -> tuple[bool, str | None]:
-        if value_target is None:
-            return True, None
-        if value_factual is None:
-            return value_target == 0, "Empty set."
-        assertion_text = (
-            f"{self._ref} has min "
-            f"{value_factual} instead of {self._target_prefix}"
-            f"{value_target} . "
-            f"{self._condition_string}"
-        )
-        return value_factual >= value_target, assertion_text
+class NumericMax(_NumericExtremum):
+    _kind = "max"
+    _trailing_gap = ""
 
-
-class NumericMax(Constraint):
     def __init__(
         self,
         ref: DataReference,
@@ -58,28 +161,8 @@ class NumericMax(Constraint):
         max_value: float | None = None,
     ):
         super().__init__(
-            ref, ref2=ref2, ref_value=max_value, name=name, cache_size=cache_size
+            ref, name=name, cache_size=cache_size, ref2=ref2, bound=max_value
         )
-
-    def _retrieve(
-        self, engine: SparkSession, ref: DataReference
-    ) -> tuple[float, OptionalSelections]:
-        return ops.get_max(engine, ref)
-
-    def _compare(
-        self, value_factual: float, value_target: float
-    ) -> tuple[bool, str | None]:
-        if value_factual is None:
-            return True, None
-        if value_target is None:
-            return value_factual == 0, "Empty reference set."
-        assertion_text = (
-            f"{self._ref} has max "
-            f"{value_factual} instead of {self._target_prefix}"
-            f"{value_target}. "
-            f"{self._condition_string}"
-        )
-        return value_factual <= value_target, assertion_text
 
 
 class NumericBetween(Constraint):
@@ -108,13 +191,15 @@ class NumericBetween(Constraint):
     ) -> tuple[bool, str | None]:
         if value_factual is None:
             return True, "Empty selection."
-        assertion_text = (
-            f"{self._ref} "
-            f"has {value_factual} < {value_target} of rows "
-            f"between {self._lower_bound} and {self._upper_bound}. "
-            f"{self._condition_string}"
+        verdict = _SAY_FRACTION.format(
+            ref=self._ref,
+            got=value_factual,
+            want=value_target,
+            lo=self._lower_bound,
+            hi=self._upper_bound,
+            cond=self._condition_string,
         )
-        return value_factual >= value_target, assertion_text
+        return value_factual >= value_target, verdict
 
 
 class NumericMean(Constraint):
@@ -139,22 +224,21 @@ class NumericMean(Constraint):
         return ops.get_mean(engine, ref)
 
     def test(self, engine: SparkSession) -> TestResult:
-        mean_factual = self._get_factual_value(engine)
-        mean_target = self._get_target_value(engine)
-        if mean_factual is None or mean_target is None:
-            return TestResult(
-                mean_factual is None and mean_target is None,
-                "Mean over empty set.",
-            )
-        deviation = abs(mean_factual - mean_target)
-        assertion_text = (
-            f"{self._ref} "
-            f"has mean {mean_factual}, deviating more than "
-            f"{self._max_absolute_deviation} from "
-            f"{self._target_prefix} {mean_target}. "
-            f"{self._condition_string}"
+        # mean-over-empty needs BOTH sides inspected before comparing,
+        # so this overrides test() rather than _compare()
+        got = self._get_factual_value(engine)
+        want = self._get_target_value(engine)
+        if got is None or want is None:
+            return TestResult(got is None and want is None, "Mean over empty set.")
+        verdict = _SAY_MEAN.format(
+            ref=self._ref,
+            got=got,
+            slack=self._max_absolute_deviation,
+            prefix=self._target_prefix,
+            want=want,
+            cond=self._condition_string,
         )
-        return TestResult(deviation <= self._max_absolute_deviation, assertion_text)
+        return TestResult(abs(got - want) <= self._max_absolute_deviation, verdict)
 
 
 class NumericPercentile(Constraint):
@@ -183,21 +267,19 @@ class NumericPercentile(Constraint):
                 f"got {percentage}."
             )
         self.percentage = percentage
-        if max_absolute_deviation is None and max_relative_deviation is None:
+        slacks = (max_absolute_deviation, max_relative_deviation)
+        if all(s is None for s in slacks):
             raise ValueError(
                 "At least one of 'max_absolute_deviation' and "
                 "'max_relative_deviation' must be given."
             )
-        if max_absolute_deviation is not None and max_absolute_deviation < 0:
-            raise ValueError(
-                f"max_absolute_deviation must be at least 0 but is "
-                f"{max_absolute_deviation}."
-            )
-        if max_relative_deviation is not None and max_relative_deviation < 0:
-            raise ValueError(
-                f"max_relative_deviation must be at least 0 but is "
-                f"{max_relative_deviation}."
-            )
+        for label, slack in zip(
+            ("max_absolute_deviation", "max_relative_deviation"), slacks
+        ):
+            if slack is not None and slack < 0:
+                raise ValueError(
+                    f"{label} must be at least 0 but is {slack}."
+                )
         self._max_absolute_deviation = max_absolute_deviation
         self._max_relative_deviation = max_relative_deviation
 
@@ -206,31 +288,39 @@ class NumericPercentile(Constraint):
     ) -> tuple[float, OptionalSelections]:
         return ops.get_percentile(engine, ref, self.percentage)
 
+    def _blame(self, got, want, how: str, diff, slack) -> str:
+        # the reference's relative branch carries a doubled space after
+        # the ref and says "a relative" vs "an absolute"
+        return _SAY_PERCENTILE.format(
+            pct=self.percentage,
+            ref=self._ref,
+            pad="" if how == "absolute" else " ",
+            prefix=self._target_prefix,
+            want=want,
+            got=got,
+            an_article="an" if how == "absolute" else "a",
+            how=how,
+            diff=diff,
+            slack=slack,
+        )
+
     def _compare(
         self, value_factual: float, value_target: float
     ) -> tuple[bool, str | None]:
         abs_diff = abs(value_factual - value_target)
-        if (
-            self._max_absolute_deviation is not None
-            and abs_diff > self._max_absolute_deviation
-        ):
-            return False, (
-                f"The {self.percentage}-th percentile of {self._ref} was "
-                f"expected to be {self._target_prefix}{value_target} but was "
-                f"{value_factual}, resulting in an absolute difference of "
-                f"{abs_diff}. The maximally allowed absolute deviation "
-                f"would've been {self._max_absolute_deviation}."
+        slack_abs = self._max_absolute_deviation
+        if slack_abs is not None and abs_diff > slack_abs:
+            return False, self._blame(
+                value_factual, value_target, "absolute", abs_diff, slack_abs
             )
-        if self._max_relative_deviation is not None:
+        slack_rel = self._max_relative_deviation
+        if slack_rel is not None:
             if value_target == 0:
                 raise ValueError("Cannot compute relative deviation wrt 0.")
-            if (rel_diff := abs_diff / abs(value_target)) > self._max_relative_deviation:
-                return False, (
-                    f"The {self.percentage}-th percentile of {self._ref}  was "
-                    f"expected to be {self._target_prefix}{value_target} but "
-                    f"was {value_factual}, resulting in a relative difference "
-                    f"of {rel_diff}. The maximally allowed relative deviation "
-                    f"would've been {self._max_relative_deviation}."
+            rel_diff = abs_diff / abs(value_target)
+            if rel_diff > slack_rel:
+                return False, self._blame(
+                    value_factual, value_target, "relative", rel_diff, slack_rel
                 )
         return True, None
 
@@ -251,18 +341,9 @@ class NumericNoGap(NoGapConstraint):
     def _compare(
         self, value_factual: tuple[int, int], value_target: Any
     ) -> tuple[bool, str]:
-        n_violation_keys, n_distinct_key_values = value_factual
-        if n_distinct_key_values == 0:
-            return True, "No key values found."
-        violation_fraction = n_violation_keys / n_distinct_key_values
-        assertion_text = (
-            f"{self._ref} has a ratio of {violation_fraction} > "
-            f"{self._max_relative_n_violations} keys in columns "
-            f"{self._key_columns} with a gap in the range in "
-            f"{self._start_columns[0]} and {self._end_columns[0]}."
-            f"E.g. for: {self.sample}."
+        return interval_violation_verdict(
+            self, value_factual, shape="a gap in the range"
         )
-        return violation_fraction <= self._max_relative_n_violations, assertion_text
 
 
 class NumericNoOverlap(NoOverlapConstraint):
@@ -271,15 +352,6 @@ class NumericNoOverlap(NoOverlapConstraint):
     def _compare(
         self, value_factual: tuple[int, int], value_target: Any
     ) -> tuple[bool, str]:
-        n_violation_keys, n_distinct_key_values = value_factual
-        if n_distinct_key_values == 0:
-            return True, "No key values found."
-        violation_fraction = n_violation_keys / n_distinct_key_values
-        assertion_text = (
-            f"{self._ref} has a ratio of {violation_fraction} > "
-            f"{self._max_relative_n_violations} keys in columns "
-            f"{self._key_columns} with overlapping ranges in "
-            f"{self._start_columns[0]} and {self._end_columns[0]}."
-            f"E.g. for: {self.sample}."
+        return interval_violation_verdict(
+            self, value_factual, shape="overlapping ranges"
         )
-        return violation_fraction <= self._max_relative_n_violations, assertion_text

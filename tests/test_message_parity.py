@@ -1,0 +1,202 @@
+"""Byte-exact failure-message goldens for the reference-compatible
+comparison layer (nrows / numeric / date).
+
+The messages below were captured from the round-8 implementation, whose
+wording is verbatim reference wording (NOTICE, docs/DERIVATION.md).
+These goldens are what allows the constraint *source* to be rewritten in
+the repo's own idiom (round-9 burn-down of the copied surface) without
+breaking the port guarantee: a datajudge spec must keep producing
+identical verdicts AND identical failure messages, because downstream
+alerting parses them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datajudge_spark import BetweenRequirement, WithinRequirement
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    spark.createDataFrame(
+        [(i, float(i), f"2024-01-{(i % 27) + 1:02d}") for i in range(1, 11)],
+        "k long, v double, d string",
+    ).selectExpr("k", "v", "cast(d as date) as d").createOrReplaceTempView(
+        "mp_small"
+    )
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "k long, v double"
+    ).createOrReplaceTempView("mp_big")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01", "2024-01-10"),
+            (1, "2024-01-05", "2024-01-20"),
+            (2, "2024-02-01", "2024-02-05"),
+            (2, "2024-02-10", "2024-02-15"),
+        ],
+        "k long, s string, e string",
+    ).selectExpr(
+        "k", "cast(s as date) as s", "cast(e as date) as e"
+    ).createOrReplaceTempView("mp_iv")
+    return spark
+
+
+WITHIN_GOLDEN = [
+    ("add_n_rows_min_constraint", (99,), {}, "mp_small has 10 <  99 rows. "),
+    ("add_n_rows_max_constraint", (2,), {}, "mp_small has 10 >  2 rows. "),
+    (
+        "add_n_rows_equality_constraint",
+        (3,),
+        {},
+        "mp_small has 10 row(s) instead of  3. ",
+    ),
+    (
+        "add_numeric_min_constraint",
+        ("v", 5.0),
+        {},
+        "mp_small's column(s) 'v' has min 1.0 instead of 5.0 . ",
+    ),
+    (
+        "add_numeric_max_constraint",
+        ("v", 5.0),
+        {},
+        "mp_small's column(s) 'v' has max 10.0 instead of 5.0. ",
+    ),
+    (
+        "add_numeric_between_constraint",
+        ("v", 2.0, 4.0, 0.9),
+        {},
+        "mp_small's column(s) 'v' has 0.3 < 0.9 of rows "
+        "between 2.0 and 4.0. ",
+    ),
+    (
+        "add_numeric_mean_constraint",
+        ("v", 9.9, 0.01),
+        {},
+        "mp_small's column(s) 'v' has mean 5.5, deviating more than "
+        "0.01 from  9.9. ",
+    ),
+    (
+        "add_numeric_percentile_constraint",
+        ("v", 50, 9.0),
+        {"max_absolute_deviation": 0.1},
+        "The 50-th percentile of mp_small's column(s) 'v' was expected "
+        "to be 9.0 but was 5.0, resulting in an absolute difference of "
+        "4.0. The maximally allowed absolute deviation would've been "
+        "0.1.",
+    ),
+    (
+        "add_numeric_percentile_constraint",
+        ("v", 50, 9.0),
+        {"max_relative_deviation": 0.001},
+        "The 50-th percentile of mp_small's column(s) 'v'  was expected "
+        "to be 9.0 but was 5.0, resulting in a relative difference of "
+        "0.4444444444444444. The maximally allowed relative deviation "
+        "would've been 0.001.",
+    ),
+    (
+        "add_date_min_constraint",
+        ("d", "'2024-01-05'"),
+        {},
+        "mp_small's column(s) 'd' has min 2024-01-02 <  2024-01-05. ",
+    ),
+    (
+        "add_date_min_constraint",
+        ("d", "'2023-01-01'"),
+        {"use_lower_bound_reference": False},
+        "mp_small's column(s) 'd' has min 2024-01-02 >  2023-01-01. ",
+    ),
+    (
+        "add_date_max_constraint",
+        ("d", "'2024-01-05'"),
+        {},
+        "mp_small's column(s) 'd' has max 2024-01-11 >  2024-01-05. ",
+    ),
+    (
+        "add_date_max_constraint",
+        ("d", "'2025-12-31'"),
+        {"use_upper_bound_reference": False},
+        "mp_small's column(s) 'd' has max 2024-01-11 <  2025-12-31. ",
+    ),
+    (
+        "add_date_between_constraint",
+        ("d", "'2024-01-01'", "'2024-01-03'", 0.9),
+        {},
+        "mp_small's column(s) 'd' has 0.2 < 0.9 of values between "
+        "'2024-01-01' and '2024-01-03'.  ",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "factory,args,kwargs,expected",
+    WITHIN_GOLDEN,
+    ids=[f"{f}-{i}" for i, (f, _, _, _) in enumerate(WITHIN_GOLDEN)],
+)
+def test_within_failure_messages_exact(views, factory, args, kwargs, expected):
+    req = WithinRequirement.from_table("mp_small")
+    getattr(req, factory)(*args, **kwargs)
+    result = req.test(views)[0]
+    assert result.outcome is False
+    assert result.failure_message == expected
+
+
+def test_date_interval_failure_messages_exact(views):
+    req = WithinRequirement.from_table("mp_iv")
+    req.add_date_no_overlap_constraint(
+        "s", "e", key_columns=["k"], max_relative_n_violations=0.0
+    )
+    req.add_date_no_gap_constraint(
+        "s", "e", key_columns=["k"], max_relative_n_violations=0.0
+    )
+    overlap, gap = req.test(views)
+    assert overlap.failure_message == (
+        "mp_iv's column(s) 's', 'e', 'k' has a ratio of 0.5 > 0.0 keys "
+        "in columns ['k'] with overlapping date ranges in s and e."
+        "E.g. for: (1, datetime.date(2024, 1, 1), "
+        "datetime.date(2024, 1, 5), datetime.date(2024, 1, 10), "
+        "datetime.date(2024, 1, 20))."
+    )
+    assert gap.failure_message == (
+        "mp_iv's column(s) 's', 'e', 'k' has a ratio of 0.5 > 0.0 keys "
+        "in columns ['k'] with a gap in the date range in s and e."
+        "E.g. for: (2, datetime.date(2024, 2, 10), "
+        "datetime.date(2024, 2, 5))."
+    )
+
+
+def test_between_nrows_failure_messages_exact(views):
+    shrink = BetweenRequirement.from_tables("mp_small", "mp_big")
+    shrink.add_n_rows_equality_constraint()
+    shrink.add_n_rows_min_gain_constraint(constant_min_relative_gain=0.5)
+    shrink.add_n_rows_max_loss_constraint(constant_max_relative_loss=0.1)
+    eq, min_gain, max_loss = shrink.test(views)
+    assert eq.failure_message == (
+        "mp_small has 10 row(s) instead of mp_big's  100. "
+    )
+    assert (min_gain.outcome, min_gain.failure_message) == (
+        False,
+        "Row loss.",
+    )
+    assert max_loss.failure_message == (
+        "The #rows from mp_small have decreased by 90.000000% compared "
+        "to table mp_big. They were expected to decrease by at most "
+        "10.000000%. "
+    )
+
+    grow = BetweenRequirement.from_tables("mp_big", "mp_small")
+    grow.add_n_rows_max_gain_constraint(constant_max_relative_gain=0.1)
+    grow.add_n_rows_min_gain_constraint(constant_min_relative_gain=20.0)
+    grow.add_n_rows_max_loss_constraint(constant_max_relative_loss=0.1)
+    max_gain, min_gain2, max_loss2 = grow.test(views)
+    assert max_gain.failure_message == (
+        "mp_big has 900.000000% gain in #rows compared to mp_small. "
+        "It was only allowed to increase by 10.000000%. "
+    )
+    assert min_gain2.failure_message == (
+        "mp_big has 900.000000% gain in #rows compared to mp_small. "
+        "It was supposed to increase at least by 2000.000000%. "
+    )
+    # row GAIN short-circuits a max-loss gate to a clean pass
+    assert max_loss2.outcome is True
