@@ -1028,3 +1028,169 @@ def test_fuzz_post_stratified(spark, case):
         ), f"case {case}"
     else:
         assert r["diff_stratified"] is None
+
+
+# ---------------------------------------------------------------------------
+# Experimentation constraint FACTORIES (add_cuped_diff / add_logrank /
+# add_stratified_diff): the factory gate must agree with a driver-side
+# decision model on randomized frames INCLUDING the degenerate shapes
+# VERDICT r8 named — zero-variance strata, single-variant strata,
+# all-censored cohorts — and must never crash.
+# ---------------------------------------------------------------------------
+
+def _exp_factory_req(spark, rows, schema, name):
+    from datajudge_spark import WithinRequirement
+
+    return WithinRequirement.from_dataframe(
+        spark.createDataFrame(rows, schema), name
+    )
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_stratified_factory(spark, case):
+    rng = random.Random(_MK_SEED + 1100 + case)
+    shape = [
+        "zero_variance_strata",   # metric constant within every stratum
+        "all_single_variant",     # no stratum has both variants
+        "one_stratum",
+        "mixed",
+        "mixed",
+        "null_heavy",
+    ][case]
+    rows = []
+    n_strata = 1 if shape == "one_stratum" else rng.randint(2, 5)
+    for i in range(rng.randint(8, 120)):
+        s = i % n_strata
+        if shape == "all_single_variant":
+            v = s % 2  # variant fully determined by stratum
+        else:
+            v = rng.randint(0, 1)
+        if shape == "zero_variance_strata":
+            y = 100 * (s + 1)  # constant per stratum
+        else:
+            y = rng.randint(0, 300)
+        if shape == "null_heavy" and rng.random() < 0.4:
+            y = None
+        rows.append((y, v, f"s{s}"))
+    # ensure two assignment levels so the gate reaches the digest
+    rows += [(5, 0, "s0"), (6, 1, f"s{n_strata - 1}")]
+    req = _exp_factory_req(spark, rows, "y long, v int, s string", f"sf{case}")
+    threshold = rng.choice([0.0, 5.0, 1e6])
+    req.add_stratified_diff_constraint("y", "v", "s", threshold)
+    result = req.test(spark)[0]
+
+    # driver-side model (mirrors the operator contract)
+    strata: dict = {}
+    for y, v, s in rows:
+        if y is None:
+            continue
+        strata.setdefault(s, {0: [], 1: []})[v].append(y)
+    wsum = wtot = 0.0
+    for d in strata.values():
+        if d[0] and d[1]:
+            w = len(d[0]) + len(d[1])
+            wsum += w * (sum(d[0]) / len(d[0]) - sum(d[1]) / len(d[1]))
+            wtot += w
+    if wtot == 0:
+        assert result.outcome is False, f"case {case}: undefined must fail"
+        assert "undefined" in result.failure_message
+    else:
+        expected = abs(round(wsum / wtot, 6)) <= threshold
+        assert result.outcome is expected, f"case {case} ({shape})"
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_logrank_factory(spark, case):
+    rng = random.Random(_MK_SEED + 1200 + case)
+    shape = [
+        "all_censored",         # no observed events at all
+        "one_group_censored",   # every event in a single cohort
+        "tied_grid",
+        "mixed",
+        "mixed",
+        "single_subject_groups",
+    ][case]
+    rows = []
+    n = 2 if shape == "single_subject_groups" else rng.randint(6, 120)
+    for i in range(n):
+        g = i % 2
+        ev = 0 if shape == "all_censored" or (
+            shape == "one_group_censored" and g == 1
+        ) else rng.randint(0, 1)
+        rows.append((rng.randint(1, 4 if shape == "tied_grid" else 30), ev, g))
+    req = _exp_factory_req(spark, rows, "dur int, ev int, grp int", f"lr{case}")
+    threshold = rng.choice([0.0, 3.84, 1e9])
+    req.add_logrank_constraint("dur", "ev", "grp", threshold)
+    result = req.test(spark)[0]
+
+    times = sorted({d for d, e, _g in rows if e == 1})
+    if not times:
+        # no observed events -> vacuous pass, never a crash
+        assert result.outcome is True, f"case {case}: all-censored must pass"
+        return
+    o1 = 0
+    e1 = v = 0.0
+    for t in times:
+        n1 = sum(1 for d, _e, g in rows if d >= t and g == 0)
+        n2 = sum(1 for d, _e, g in rows if d >= t and g == 1)
+        d1 = sum(1 for d, e, g in rows if d == t and e and g == 0)
+        dd = d1 + sum(1 for d, e, g in rows if d == t and e and g == 1)
+        tot = n1 + n2
+        o1 += d1
+        e1 += dd * n1 / tot
+        if tot > 1:
+            v += dd * (n1 / tot) * (n2 / tot) * (tot - dd) / (tot - 1)
+    if v <= 0:
+        # zero-variance chi2 is undefined -> clean failure, not IndexError
+        assert result.outcome is False
+        assert "undefined" in result.failure_message
+    else:
+        expected = round((o1 - e1) ** 2 / v, 6) <= threshold
+        assert result.outcome is expected, f"case {case} ({shape})"
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_cuped_factory(spark, case):
+    rng = random.Random(_MK_SEED + 1300 + case)
+    shape = [
+        "zero_pre_variance",   # constant covariate -> raw-diff fallback
+        "perfect_corr",
+        "anticorr",
+        "mixed",
+        "mixed",
+        "tiny",
+    ][case]
+    rows = []
+    n = 4 if shape == "tiny" else rng.randint(12, 160)
+    for i in range(n):
+        v = i % 2
+        x = 7 if shape == "zero_pre_variance" else rng.randint(0, 200)
+        if shape == "perfect_corr":
+            y = 2 * x + (9 if v == 0 else 0)
+        elif shape == "anticorr":
+            y = 1000 - 3 * x + rng.randint(0, 5)
+        else:
+            y = rng.randint(0, 500)
+        rows.append((x, y, v))
+    req = _exp_factory_req(spark, rows, "x long, y long, v int", f"cu{case}")
+    threshold = rng.choice([0.0, 10.0, 1e9])
+    req.add_cuped_diff_constraint("x", "y", "v", threshold)
+    result = req.test(spark)[0]
+
+    nn = len(rows)
+    sx = sum(x for x, _y, _v in rows); sy = sum(y for _x, y, _v in rows)
+    sxx = sum(x * x for x, _y, _v in rows)
+    sxy = sum(x * y for x, y, _v in rows)
+    a = [(x, y) for x, y, v in rows if v == 0]
+    b = [(x, y) for x, y, v in rows if v == 1]
+    diff_raw = sum(y for _x, y in a) / len(a) - sum(y for _x, y in b) / len(b)
+    varxn = nn * sxx - sx * sx
+    if varxn <= 0:
+        adjusted = diff_raw  # documented raw-difference fallback
+    else:
+        theta = (nn * sxy - sx * sy) / varxn
+        mxa = sum(x for x, _y in a) / len(a)
+        mxb = sum(x for x, _y in b) / len(b)
+        adjusted = diff_raw - theta * (mxa - mxb)
+    expected = abs(round(adjusted, 6)) <= threshold
+    assert result.outcome is expected, f"case {case} ({shape})"
