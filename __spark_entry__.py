@@ -5520,83 +5520,232 @@ def q_stratified_ab(spark, sf_dir):
     return post_stratified_diff(units, "spend_c", "variant", "stratum")
 
 
+def q_ratio_ab_ztest(spark, sf_dir):
+    # Delta-method ratio-metric A/B (Deng/Knoblich/Lu KDD 2018): per-user
+    # purchase-per-event rate between user-parity variants.  A
+    # ratio-of-sums is not a mean of unit ratios, so the naive z
+    # variance is wrong; sufficient stats (n, SN, SD, SNN, SDD, SND)
+    # accumulate DECIMAL-exact in ONE conditional-agg scan over the
+    # per-user frame, (co)variance numerators computed in DECIMAL (no
+    # double cancellation), one double conversion.  Completes the A/B
+    # family: binary / linear-covariate / categorical / ratio /
+    # sequential.
+    from datajudge_spark.operators.stats import ratio_metric_ztest
+
+    ev = _t(spark, sf_dir, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).alias("purchases"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    return ratio_metric_ztest(units, "purchases", "n_events", "variant")
+
+
+def q_sample_ratio_mismatch(spark, sf_dir):
+    # SRM chi-square — the first gate every experimentation platform
+    # runs: observed assignment counts vs the configured 50/30/20
+    # split (variant derived from user_id % 10, so the test is a real
+    # uniformity check on the id space).  One groupBy(variant) count
+    # (map-side partial), then a level-ORDERED bounded window fold for
+    # cross-engine determinism; unknown variants RAISE inside the plan.
+    from datajudge_spark.operators.stats import sample_ratio_mismatch
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("user_id") % 10
+    variant = (
+        F.when(m < 5, F.lit("a")).when(m < 8, F.lit("b")).otherwise(F.lit("c"))
+    )
+    return sample_ratio_mismatch(
+        ev.select(variant.alias("variant")),
+        "variant",
+        {"a": 0.5, "b": 0.3, "c": 0.2},
+    )
+
+
+def q_pettitt_changepoint(spark, sf_dir):
+    # Pettitt rank-based change-point on daily 1995 order volume: the
+    # nonparametric (median-shift) companion to cusum_changepoint —
+    # robust where a heavy-tailed day would drag the mean-based CUSUM.
+    # U_t stays integer-exact via mid-ranks in DECIMAL; both ordered
+    # windows run on the calendar-bounded daily frame (365 rows at ANY
+    # fact-table scale); argmax is TakeOrdered(1).
+    from datajudge_spark.operators.timeseries import pettitt_changepoint
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.where(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+    return pettitt_changepoint(daily)
+
+
+def q_dispersion_index(spark, sf_dir):
+    # Overdispersion screen: variance-to-mean of per-user event counts
+    # within each event type.  Poisson arrivals give D ~ 1; D >> 1
+    # means burstiness (bots, retry storms) and every Poisson-assuming
+    # alert downstream is miscalibrated.  Two aggregations (groupBy
+    # (type, user) then groupBy(type)), both with map-side partials;
+    # variance numerator n*S2 - S1^2 computed DECIMAL-exact.
+    from datajudge_spark.operators.stats import dispersion_index
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    return dispersion_index(per_user, "n_ev", group_col="event_type")
+
+
+def q_minhash_query_neardup(spark, sf_dir):
+    # Targeted near-dup LOOKUP (decontamination / takedown primitive):
+    # which corpus docs collide with a 25-doc query set in >= 1 MinHash
+    # band, with the signature-agreement Jaccard estimate.  The query
+    # side broadcasts (bands AND signatures); the corpus side is the
+    # same one signature pass the dedup sweep pays, then broadcast-hash
+    # joins only — no self-join, no corpus shuffle beyond the signature
+    # groupBy.  All hashes md5-derived, oracle-reproducible.
+    from datajudge_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.query_neardup_candidates(
+        d,
+        "doc_id",
+        "text",
+        list(range(25)),
+        num_hashes=_MINHASH_K,
+        shingle_n=_SHINGLE_N,
+        bands=_LSH_BANDS,
+        rows=_LSH_ROWS,
+        min_est=0.25,
+    )
+
+
+def q_streaming_srm(spark, sf_dir):
+    # 16th streaming contract: sequential SRM monitoring.  Per-variant
+    # assignment counts are associative, so the drained complete-mode
+    # state frame equals the batch GROUP BY exactly; feeding it through
+    # the IDENTICAL chi-square fold (srm_from_counts) hash-matches the
+    # batch sample_ratio_mismatch digest.  State is O(|variants|).
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.operators.stats import srm_from_counts
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stream_parquet_like,
+        streaming_assignment_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_srm_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw)
+    m = F.col("user_id") % 10
+    variant = (
+        F.when(m < 5, F.lit("a")).when(m < 8, F.lit("b")).otherwise(F.lit("c"))
+    )
+    counts = streaming_assignment_counts(
+        ev.select(variant.alias("variant")), "variant"
+    )
+    qname = f"stream_srm_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return srm_from_counts(
+        spark.table(qname), {"a": 0.5, "b": 0.3, "c": 0.2}
+    )
+
+
 #: ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys
 #: of queries() only.  The window below is the single source of truth —
 #: queries() reorders itself from it, so this list IS the gate.
-#: Round-8 window = the 31 mandated slots from ROUNDLOG's round-7
-#: bookkeeping (the 26 remaining r3-cohort sentinels + the 5 round-7
-#: post-rotation additions that have never had a driver row) + re-rows
-#: for the two queries riding the round-8 get_cross_cdf change +
-#: round-8 additions + r4-cohort sentinels (oldest remaining rows).
-#: After this round EVERY query's latest driver row is r4+ (the r3
-#: cohort clears) and rotation is free-choice regression signal.  Every
-#: entry stays green in the local replica of the driver gate
-#: (tests/test_entry_oracle.py, run at sf0.001 AND sf0.01), which has
-#: predicted the driver verdict exactly every round.
-_R8_WINDOW = [
-    # -- 26 r3-cohort sentinels (the last queries without an r4+ row) --
-    "dedup_editdistance",
-    "embedding_norm_stats",
-    "embedding_quantize",
-    "funnel_conversion",
-    "gap_fill_daily",
-    "key_skew",
-    "latest_snapshot",
-    "multimodal_frames",
-    "multimodal_resize",
-    "pack_sequences",
-    "percentile_bands",
-    "profile_table",
-    "range_join",
-    "redact_terms",
-    "rollup_agg",
-    "row_count_gain",
-    "shard_shuffle",
-    "source_quality_report",
-    "srp_signature_hist",
-    "streaming_dedup",
-    "streaming_sessionize",
-    "streaming_stateful_counts",
-    "text_unigram_logprob",
-    "train_val_split",
-    "uniques_subset_violation",
-    "value_histogram",
-    # -- 5 round-7 post-rotation additions (never driver-checked) --
-    "source_overlap",
-    "grouped_mann_kendall",
-    "seasonal_mann_kendall",
-    "streaming_grouped_gumbel",
-    "per_source_novelty",
-    # -- re-rows: both ride the round-8 get_cross_cdf change --
-    "cross_cdf",
-    "ks_statistic",
-    # -- round-8 additions --
-    "cross_cdf_dates",
-    "anderson_darling",
-    "cramer_von_mises",
-    "zipf_slope",
-    "contrastive_negatives",
-    "streaming_late_data",
-    "multimodal_decode_real",
-    # -- 10 r4-cohort sentinels (oldest remaining driver rows) --
-    "spearman",
-    "wasserstein",
-    "mann_whitney",
-    "gini_revenue",
-    "graph_pagerank",
-    "kaplan_meier",
-    "snapshot_diff",
-    "mad_outliers",
-    "q1_pricing_summary",
-    "benford_digits",
+#: Round-9 window (VERDICT r8 items 1+6, ROUNDLOG r8 bookkeeping):
+#: the 8 round-8 post-window additions that have NEVER had a driver row
+#: + the full 36-query r4 cohort (oldest remaining driver rows -> after
+#: this round nothing is older than r5) + the 6 round-9 additions.
+_R9_WINDOW = [
+    # -- 8 round-8 post-window additions (never driver-checked) --
+    "cuped_ab",
+    "logrank",
+    "stratified_ab",
+    "grouped_psi",
+    "jarque_bera",
+    "two_proportion_ztest",
+    "kendall_tau",
+    "streaming_ab_ztest",
+    # -- the full r4 cohort (36 oldest driver rows) --
+    "incremental_daily_merge",
+    "srp_neardup_pairs",
+    "shipping_priority_topk",
+    "revenue_by_nation",
+    "running_distinct_users",
+    "fk_integrity",
+    "json_extract_agg",
+    "trend_slope",
+    "event_transitions",
+    "weighted_percentile",
+    "dedup_canonical",
+    "chunk_dedup",
+    "zorder_digest",
+    "graph_bfs",
+    "grouping_sets_agg",
+    "unpivot_metrics",
+    "embedding_centroids",
+    "association_rules",
+    "streaming_interval_join",
+    "pareto_share",
+    "funnel_ordered",
+    "embedding_covariance",
+    "source_dup_rate",
+    "doc_length_histogram",
+    "text_bigram_logprob",
+    "event_value_quartiles",
+    "percentile_drift",
+    "text_ttr",
+    "bigram_pmi",
+    "events_hourly_heatmap",
+    "session_paths",
+    "equidepth_histogram",
+    "null_counts_wide",
+    "distinct_customers_matrix",
+    "order_interarrival",
+    "q7_volume_shipping",
+    # -- round-9 additions --
+    "ratio_ab_ztest",
+    "sample_ratio_mismatch",
+    "pettitt_changepoint",
+    "dispersion_index",
+    "minhash_query_neardup",
+    "streaming_srm",
 ]
-assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Registration order is arbitrary: queries() reorders from
-        # _R8_WINDOW (above), the driver gate's single source of truth.
+        # _R9_WINDOW (above), the driver gate's single source of truth.
         "grouped_median": q_grouped_median,
         "grouped_ks": q_grouped_ks,
         "theil_sen_slope": q_theil_sen,
@@ -5849,10 +5998,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jarque_bera": q_jarque_bera,
         "two_proportion_ztest": q_two_proportion_ztest,
         "kendall_tau": q_kendall_tau,
+        # round-9 additions
+        "ratio_ab_ztest": q_ratio_ab_ztest,
+        "sample_ratio_mismatch": q_sample_ratio_mismatch,
+        "pettitt_changepoint": q_pettitt_changepoint,
+        "dispersion_index": q_dispersion_index,
+        "minhash_query_neardup": q_minhash_query_neardup,
+        "streaming_srm": q_streaming_srm,
     }
-    missing = [k for k in _R8_WINDOW if k not in base]
+    missing = [k for k in _R9_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
-    ordered = {k: base[k] for k in _R8_WINDOW}
+    ordered = {k: base[k] for k in _R9_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
@@ -6568,6 +6724,51 @@ def _minhash_cand_ctes() -> str:
         f"AND a.doc_id < b.doc_id WHERE a.n <= {_LSH_MAX_BUCKET} "
         "UNION ALL SELECT m AS d1, doc_id AS d2 FROM cb "
         f"WHERE n > {_LSH_MAX_BUCKET} AND doc_id <> m))"
+    )
+
+
+def _minhash_query_sql() -> str:
+    """DuckDB mirror of q_minhash_query_neardup: same shingle/signature
+    chain as _minhash_cand_ctes, but candidates come from joining ALL
+    band rows to the 25-doc query band rows (no self-join, no
+    star-thinning - the query side is bounded by construction)."""
+    from datajudge_spark.pipeline.dedup import MINHASH_HEX, MINHASH_MASK
+
+    mins = ", ".join(
+        f"min((b1 + {k} * b2) & {MINHASH_MASK}) AS h{k}"
+        for k in range(_MINHASH_K)
+    )
+    band_selects = []
+    for b in range(_LSH_BANDS):
+        parts = " || ',' || ".join(
+            f"h{b * _LSH_ROWS + r}::VARCHAR" for r in range(_LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS sig FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    qids = ", ".join(str(i) for i in range(25))
+    matches = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END"
+        for k in range(_MINHASH_K)
+    )
+    est = f"round(CAST(({matches}) AS DOUBLE) / {_MINHASH_K}, 6)"
+    return (
+        f"WITH {_SHINGLES_CTE}, "
+        f"hs AS (SELECT doc_id, {_h_sql('s', 'a', MINHASH_HEX)} AS b1, "
+        f"{_h_sql('s', 'b', MINHASH_HEX)} AS b2 FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id), "
+        f"bands AS ({bands}), "
+        f"qb AS (SELECT doc_id AS q, band, sig FROM bands "
+        f"WHERE doc_id IN ({qids})), "
+        "cand AS (SELECT DISTINCT qb.q AS query_id, "
+        "b.doc_id AS candidate_id FROM bands b "
+        "JOIN qb ON b.band = qb.band AND b.sig = qb.sig "
+        "AND b.doc_id <> qb.q) "
+        f"SELECT query_id, candidate_id, {est} AS est "
+        "FROM cand JOIN sig sa ON sa.doc_id = query_id "
+        "JOIN sig sb ON sb.doc_id = candidate_id "
+        f"WHERE {est} >= 0.25"
     )
 
 
@@ -10185,33 +10386,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM t GROUP BY 1 ORDER BY 1"
         ),
         "jarque_bera": (
-            # HUGEINT-exact power sums -> one double conversion -> the
-            # identical closed-form central-moment expressions (and
-            # v*sqrt(v), never pow(v,1.5): libm pow is not correctly
-            # rounded and diverges between engines in the last ulp)
+            # HUGEINT-exact SHIFTED power sums (global integer mean
+            # shift, mirroring the round-9 operator: central moments
+            # are shift-invariant and raw sums cancel catastrophically
+            # in doubles at cents scale) -> one double conversion ->
+            # the identical closed-form expressions (and v*sqrt(v),
+            # never pow(v,1.5): libm pow is not correctly rounded and
+            # diverges between engines in the last ulp)
             "WITH b AS (SELECT event_type, "
             "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
             "AS HUGEINT) AS c FROM events WHERE value IS NOT NULL), "
+            "sh AS (SELECT sum(c) // count(*) AS c0 FROM b), "
+            "bs AS (SELECT event_type, c - c0 AS c, c0 FROM b, sh), "
             "s AS (SELECT event_type, count(*) AS cnt, sum(c) AS s1, "
             "sum(c * c) AS s2, sum(c * c * c) AS s3, "
-            "sum(c * c * c * c) AS s4 FROM b GROUP BY 1), "
-            "d AS (SELECT event_type, cnt, "
+            "sum(c * c * c * c) AS s4, max(c0) AS c0 "
+            "FROM bs GROUP BY 1), "
+            "d AS (SELECT event_type, cnt, c0, "
             "CAST(cnt AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1, "
             "CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3, "
             "CAST(s4 AS DOUBLE) AS s4 FROM s), "
-            "m AS (SELECT event_type, cnt, n, s1, "
+            "m AS (SELECT event_type, cnt, c0, n, s1, "
             "n * s2 - s1 * s1 AS m2n2, "
             "n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1 AS m3n3, "
             "n * n * n * s4 - 4.0 * n * n * s1 * s3 "
             "+ 6.0 * n * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1 AS m4n4, "
             "(n * s2 - s1 * s1) / (n * n) AS v FROM d), "
-            "g AS (SELECT event_type, cnt, n, s1, "
+            "g AS (SELECT event_type, cnt, c0, n, s1, "
             "CASE WHEN cnt >= 2 AND m2n2 > 0 THEN "
             "(m3n3 / (n * n * n)) / (v * sqrt(v)) END AS g1, "
             "CASE WHEN cnt >= 2 AND m2n2 > 0 THEN "
             "(m4n4 / (n * n * n * n)) / (v * v) END AS g2 FROM m) "
             "SELECT event_type, CAST(cnt AS BIGINT) AS n, "
-            "round(s1 / n, 6) AS mean, round(g1, 6) AS skewness, "
+            "round(CAST(c0 AS DOUBLE) + s1 / n, 6) AS mean, "
+            "round(g1, 6) AS skewness, "
             "round(g2, 6) AS kurtosis, "
             "round(n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0), 6) "
             "AS jb FROM g ORDER BY event_type"
@@ -10300,4 +10508,129 @@ def oracle_sql() -> dict[str, str]:
             "* (CAST(n AS DOUBLE) - 1.0) - CAST(ty2 AS DOUBLE))) / 2.0) "
             "END AS tau_b FROM p, tx, ty, nn"
         ),
+        # -- round-9 additions --
+        "ratio_ab_ztest": (
+            # delta-method ratio z: HUGEINT-exact sufficient statistics
+            # and (co)variance numerators, identical double expression
+            "WITH u AS (SELECT user_id, "
+            "count(*) FILTER (event_type = 'purchase') AS num, "
+            "count(*) AS den, CAST(user_id % 2 AS INT) AS v "
+            "FROM events GROUP BY user_id), "
+            "s AS (SELECT "
+            "count(*) FILTER (v = 0) AS n_a, "
+            "CAST(coalesce(sum(num) FILTER (v = 0), 0) AS HUGEINT) AS sn_a, "
+            "CAST(coalesce(sum(den) FILTER (v = 0), 0) AS HUGEINT) AS sd_a, "
+            "CAST(coalesce(sum(num * num) FILTER (v = 0), 0) AS HUGEINT) AS snn_a, "
+            "CAST(coalesce(sum(den * den) FILTER (v = 0), 0) AS HUGEINT) AS sdd_a, "
+            "CAST(coalesce(sum(num * den) FILTER (v = 0), 0) AS HUGEINT) AS snd_a, "
+            "count(*) FILTER (v = 1) AS n_b, "
+            "CAST(coalesce(sum(num) FILTER (v = 1), 0) AS HUGEINT) AS sn_b, "
+            "CAST(coalesce(sum(den) FILTER (v = 1), 0) AS HUGEINT) AS sd_b, "
+            "CAST(coalesce(sum(num * num) FILTER (v = 1), 0) AS HUGEINT) AS snn_b, "
+            "CAST(coalesce(sum(den * den) FILTER (v = 1), 0) AS HUGEINT) AS sdd_b, "
+            "CAST(coalesce(sum(num * den) FILTER (v = 1), 0) AS HUGEINT) AS snd_b "
+            "FROM u), "
+            "d AS (SELECT n_a, n_b, sd_a, sd_b, "
+            "CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb, "
+            "CAST(n_a * snn_a - sn_a * sn_a AS DOUBLE) "
+            "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS vn_a, "
+            "CAST(n_a * sdd_a - sd_a * sd_a AS DOUBLE) "
+            "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS vd_a, "
+            "CAST(n_a * snd_a - sn_a * sd_a AS DOUBLE) "
+            "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS cv_a, "
+            "CAST(n_b * snn_b - sn_b * sn_b AS DOUBLE) "
+            "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vn_b, "
+            "CAST(n_b * sdd_b - sd_b * sd_b AS DOUBLE) "
+            "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vd_b, "
+            "CAST(n_b * snd_b - sn_b * sd_b AS DOUBLE) "
+            "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS cv_b, "
+            "CAST(sn_a AS DOUBLE) / CAST(sd_a AS DOUBLE) AS r_a, "
+            "CAST(sn_b AS DOUBLE) / CAST(sd_b AS DOUBLE) AS r_b, "
+            "CAST(sd_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS db_a, "
+            "CAST(sd_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS db_b FROM s), "
+            "v AS (SELECT *, "
+            "(vn_a - 2.0 * r_a * cv_a + r_a * r_a * vd_a) "
+            "/ (na * db_a * db_a) AS v_a, "
+            "(vn_b - 2.0 * r_b * cv_b + r_b * r_b * vd_b) "
+            "/ (nb * db_b * db_b) AS v_b FROM d) "
+            "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+            "round(CASE WHEN sd_a <> 0 THEN r_a END, 6) AS ratio_a, "
+            "round(CASE WHEN sd_b <> 0 THEN r_b END, 6) AS ratio_b, "
+            "round(CASE WHEN sd_a <> 0 AND sd_b <> 0 THEN r_a - r_b END, 6) "
+            "AS diff, "
+            "round(CASE WHEN n_a >= 2 AND n_b >= 2 AND sd_a <> 0 "
+            "AND sd_b <> 0 AND v_a + v_b > 0 THEN "
+            "(r_a - r_b) / sqrt(v_a + v_b) END, 6) AS z FROM v"
+        ),
+        "sample_ratio_mismatch": (
+            # same level-ORDERED cumulative chi-square fold
+            "WITH c AS (SELECT CASE WHEN user_id % 10 < 5 THEN 'a' "
+            "WHEN user_id % 10 < 8 THEN 'b' ELSE 'c' END AS lv, "
+            "count(*) AS o FROM events GROUP BY 1), "
+            "t AS (SELECT lv, o, CAST(sum(o) OVER () AS DOUBLE) AS n FROM c), "
+            "u AS (SELECT lv, o, n, n * (CASE lv WHEN 'a' THEN CAST(0.5 AS DOUBLE) "
+            "WHEN 'b' THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END) AS e FROM t), "
+            "cum AS (SELECT lv, sum(o) OVER w AS cn, count(*) OVER w AS ck, "
+            "sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) OVER w AS chi2 FROM u "
+            "WINDOW w AS (ORDER BY lv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT CAST(cn AS BIGINT) AS n, CAST(ck AS BIGINT) AS n_levels, "
+            "round(chi2, 6) AS chi2 FROM cum ORDER BY lv DESC LIMIT 1"
+        ),
+        "streaming_srm": (
+            # drained complete-mode per-level counts == batch GROUP BY
+            # (associative), so the oracle IS the batch SRM SQL
+            "WITH c AS (SELECT CASE WHEN user_id % 10 < 5 THEN 'a' "
+            "WHEN user_id % 10 < 8 THEN 'b' ELSE 'c' END AS lv, "
+            "count(*) AS o FROM events GROUP BY 1), "
+            "t AS (SELECT lv, o, CAST(sum(o) OVER () AS DOUBLE) AS n FROM c), "
+            "u AS (SELECT lv, o, n, n * (CASE lv WHEN 'a' THEN CAST(0.5 AS DOUBLE) "
+            "WHEN 'b' THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END) AS e FROM t), "
+            "cum AS (SELECT lv, sum(o) OVER w AS cn, count(*) OVER w AS ck, "
+            "sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) OVER w AS chi2 FROM u "
+            "WINDOW w AS (ORDER BY lv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT CAST(cn AS BIGINT) AS n, CAST(ck AS BIGINT) AS n_levels, "
+            "round(chi2, 6) AS chi2 FROM cum ORDER BY lv DESC LIMIT 1"
+        ),
+        "pettitt_changepoint": (
+            # mid-ranks -> integer-exact U_t -> earliest-argmax day; the
+            # identical p approximation, one double conversion
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "count(*) AS x FROM orders "
+            "WHERE date_part('year', o_orderdate) = 1995 GROUP BY 1), "
+            "r AS (SELECT day, "
+            "2 * CAST(rank() OVER (ORDER BY x) AS HUGEINT) "
+            "+ count(*) OVER (PARTITION BY x) - 1 AS tr FROM d), "
+            "c AS (SELECT day, count(*) OVER () AS n, "
+            "sum(tr) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) "
+            "- CAST(row_number() OVER (ORDER BY day) AS HUGEINT) "
+            "* (count(*) OVER () + 1) AS u FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n_days, "
+            "CAST(abs(u) AS DOUBLE) AS k_stat, day AS change_day, "
+            "round(CASE WHEN n >= 2 THEN least(1.0, 2.0 * "
+            "exp(-6.0 * CAST(abs(u) AS DOUBLE) * CAST(abs(u) AS DOUBLE) "
+            "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) "
+            "+ CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) END, 6) AS p_value "
+            "FROM c ORDER BY abs(u) DESC, day ASC LIMIT 1"
+        ),
+        "dispersion_index": (
+            # HUGEINT-exact variance numerator, identical double chain
+            "WITH pu AS (SELECT event_type, user_id, count(*) AS x "
+            "FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2), "
+            "s AS (SELECT event_type, count(*) AS n, "
+            "CAST(sum(x) AS HUGEINT) AS s1, "
+            "CAST(sum(x * x) AS HUGEINT) AS s2 FROM pu GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean, "
+            "round(CASE WHEN n >= 2 THEN "
+            "CAST(n * s2 - s1 * s1 AS DOUBLE) "
+            "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END, 6) "
+            "AS variance, "
+            "round(CASE WHEN n >= 2 AND s1 <> 0 THEN "
+            "(CAST(n * s2 - s1 * s1 AS DOUBLE) "
+            "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) "
+            "/ (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) "
+            "AS dispersion FROM s ORDER BY event_type"
+        ),
+        "minhash_query_neardup": _minhash_query_sql(),
     }

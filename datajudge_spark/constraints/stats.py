@@ -2691,3 +2691,259 @@ class StratifiedDiffMax(Constraint):
             f"{self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class RatioZMax(Constraint):
+    """Ratio-metric A/B gate: |delta-method z| of the ratio-of-sums
+    metric (numerator/denominator, e.g. clicks per impression) between
+    the two levels of an assignment column may not exceed ``max_abs_z``
+    (1.96 = 5% two-sided).  Extension, no reference counterpart.
+
+    Engine side is operators.stats.ratio_metric_ztest (one
+    conditional-aggregation scan over the caller's one-row-per-unit
+    frame; DECIMAL-exact sufficient statistics).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        numerator_column: str,
+        denominator_column: str,
+        assignment_column: str,
+        max_abs_z: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_z < 0:
+            raise ValueError("max_abs_z must be non-negative")
+        self._num = numerator_column
+        self._den = denominator_column
+        self._assign = assignment_column
+        self._max_abs_z = max_abs_z
+        super().__init__(
+            ref, ref_value=max_abs_z, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import ratio_metric_ztest
+
+        try:
+            rows = ratio_metric_ztest(
+                self._ref.get_selection(engine),
+                self._num,
+                self._den,
+                self._assign,
+            ).collect()
+        except ValueError as exc:
+            return TestResult.failure(
+                f"Ratio z-test on {self._ref} is undefined: {exc}. ",
+                self.get_description(),
+            )
+        row = rows[0] if rows else None
+        if row is None or row["z"] is None:
+            detail = (
+                f"n_a={row['n_a']}, n_b={row['n_b']}" if row else "no rows"
+            )
+            return TestResult.failure(
+                f"Ratio z-test on {self._ref} is undefined (variant "
+                f"with n < 2, zero denominator, or zero variance; "
+                f"{detail}). ",
+                self.get_description(),
+            )
+        if abs(row["z"]) <= self._max_abs_z:
+            return TestResult.success()
+        assertion_text = (
+            f"Ratio metric '{self._num}/{self._den}' on {self._ref} "
+            f"differs between variants: z = {row['z']} "
+            f"(ratio_a={row['ratio_a']} on n={row['n_a']}, "
+            f"ratio_b={row['ratio_b']} on n={row['n_b']}) — |z| exceeds "
+            f"the maximum {self._max_abs_z}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class SrmChi2Max(Constraint):
+    """Sample-ratio-mismatch gate: the Pearson chi-squared statistic of
+    the observed assignment counts against the configured split may not
+    exceed ``max_chi2`` (platforms typically alert far beyond the 5%
+    critical value — SRM must be LOUD).  Extension, no reference
+    counterpart.
+
+    Engine side is operators.stats.sample_ratio_mismatch (one
+    groupBy(assignment) count, then a bounded level-ordered fold).  An
+    assignment level missing from a provided ``expected_shares`` map
+    RAISES — an unknown variant is itself the alarm.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        assignment_column: str,
+        max_chi2: float,
+        expected_shares: dict | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_chi2 < 0:
+            raise ValueError("max_chi2 must be non-negative")
+        self._assign = assignment_column
+        self._shares = expected_shares
+        self._max_chi2 = max_chi2
+        super().__init__(
+            ref, ref_value=max_chi2, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import sample_ratio_mismatch
+
+        rows = sample_ratio_mismatch(
+            self._ref.get_selection(engine), self._assign, self._shares
+        ).collect()
+        row = rows[0] if rows else None
+        if row is None:
+            return TestResult(
+                True, "No assignment rows; SRM gate is vacuous."
+            )
+        if row["chi2"] is not None and row["chi2"] <= self._max_chi2:
+            return TestResult.success()
+        assertion_text = (
+            f"Assignment counts of '{self._assign}' on {self._ref} "
+            f"mismatch the expected split: chi2 = {row['chi2']} over "
+            f"{row['n_levels']} levels (n={row['n']}) exceeds the "
+            f"maximum {self._max_chi2} — the randomizer, logging, or "
+            f"filtering is biased. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class PettittStability(Constraint):
+    """No-change-point gate on the daily ``sum(value)`` series: the
+    Pettitt test's approximate p-value must stay ABOVE ``min_p_value``
+    (rejecting means some day splits the series into two different
+    regimes).  The rank-based companion to the CUSUM gate — robust to
+    the heavy-tailed days that drag a mean-based statistic.  Extension,
+    no reference counterpart.
+
+    Engine: ``operators.timeseries.pettitt_changepoint`` — integer-
+    exact U statistic via mid-ranks on the calendar-bounded daily
+    frame.  A series with fewer than 2 days passes vacuously.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        min_p_value: float = 0.05,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not (0 <= min_p_value <= 1):
+            raise ValueError("min_p_value must be within [0, 1].")
+        self._min_p = min_p_value
+        super().__init__(
+            ref, ref_value=min_p_value, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import daily_totals, pettitt_changepoint
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "PettittStability requires exactly two columns: "
+                "(date_column, value_column)."
+            )
+        date_col, value_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(date_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        daily = daily_totals(df, date_col, F.sum(cents), "__cents")
+        row = pettitt_changepoint(daily, "__cents").first()
+        if row is None or row["p_value"] is None:
+            return TestResult(
+                True, "Fewer than two days; change-point gate is vacuous."
+            )
+        if row["p_value"] >= self._min_p:
+            return TestResult.success()
+        return TestResult.failure(
+            f"Daily series of {self._ref} has a probable change point "
+            f"at {row['change_day']}: Pettitt K = {row['k_stat']} over "
+            f"{row['n_days']} days, p = {row['p_value']} < "
+            f"{self._min_p}."
+        )
+
+
+class DispersionMax(Constraint):
+    """Overdispersion gate: the variance-to-mean ratio of an integer
+    count column may not exceed ``max_dispersion`` in any group
+    (Poisson arrivals give ~1; far above means burstiness — bots,
+    retry storms, duplicated ingestion — and every Poisson-assuming
+    alert threshold downstream is miscalibrated).  Extension, no
+    reference counterpart.
+
+    Engine: ``operators.stats.dispersion_index`` — one aggregation
+    scan, DECIMAL-exact variance numerator.  Groups with undefined
+    dispersion (n < 2 or zero mean) pass: there is nothing to test.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_dispersion: float,
+        group_column: str | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_dispersion < 0:
+            raise ValueError("max_dispersion must be non-negative")
+        self._group = group_column
+        self._max_d = max_dispersion
+        super().__init__(
+            ref, ref_value=max_dispersion, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import dispersion_index
+
+        cols = self._ref.get_columns(engine)
+        expected = 2 if self._group else 1
+        if not cols or len(cols) != expected:
+            raise ValueError(
+                "DispersionMax requires the count column"
+                + (" plus the group column" if self._group else "")
+                + " in its reference."
+            )
+        out = dispersion_index(
+            self._ref.get_selection(engine), cols[0], group_col=self._group
+        )
+        offenders = (
+            out.where(F.col("dispersion") > self._max_d)
+            .orderBy(F.desc("dispersion"))
+            .limit(5)
+            .collect()
+        )
+        if not offenders:
+            return TestResult.success()
+        worst = offenders[0]
+        scope = (
+            f"group {worst[self._group]!r} of " if self._group else ""
+        )
+        assertion_text = (
+            f"Count column '{cols[0]}' on {scope}{self._ref} is "
+            f"overdispersed: variance/mean = {worst['dispersion']} "
+            f"(n={worst['n']}, mean={worst['mean']}) exceeds the "
+            f"maximum {self._max_d}"
+            + (
+                f"; {len(offenders)} group(s) violate"
+                if self._group
+                else ""
+            )
+            + f". {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -2459,3 +2459,263 @@ def post_stratified_diff(
         F.round(F.when(both, diff_raw), 6).alias("diff_raw"),
         F.round(F.when(both, strat), 6).alias("diff_stratified"),
     )
+
+
+def ratio_metric_ztest(
+    units: DataFrame,
+    numerator_col: str,
+    denominator_col: str,
+    assign_col: str,
+) -> DataFrame:
+    """Delta-method z-test for a RATIO metric (clicks/impressions,
+    revenue/sessions) between the two levels of ``assign_col`` over a
+    one-row-per-unit frame with INTEGER numerator and denominator
+    columns: one digest row ``(n_a, n_b, ratio_a, ratio_b, diff, z)``.
+
+    A ratio-of-sums R̂ = ΣN/ΣD is NOT a mean of per-unit ratios, so the
+    naive two-sample z variance is wrong; the delta method gives
+    ``Var(R̂) ≈ (s_n² − 2R̂·s_nd + R̂²·s_d²) / (n·d̄²)`` per variant with
+    sample (co)variances of the per-unit values (Deng, Knoblich & Lu,
+    KDD 2018 — the standard experimentation-platform estimator).
+    Completes the A/B family: two_proportion (binary), CUPED (linear
+    covariate), post-stratification (categorical), THIS (ratio
+    metrics), sequential (streaming).
+
+    Exactness: per-variant sufficient statistics (n, ΣN, ΣD, ΣN², ΣD²,
+    ΣND) accumulate as DECIMAL(38,0) from ONE conditional-aggregation
+    scan; the (co)variance numerators ``n·Σxy − Σx·Σy`` are computed in
+    DECIMAL (exact — no double cancellation at cents-scale magnitudes)
+    and converted to double once, inside a fixed expression.
+    Degenerate inputs (a variant with n < 2, a zero denominator sum,
+    or zero combined variance) yield NULL z.  Extension — no reference
+    counterpart.
+
+    Plan: one map-side partial aggregation, nothing but the one-row
+    digest shuffles.
+    """
+    d38 = "decimal(38,0)"
+    levels = (
+        units.select(F.col(assign_col).alias("__lv"))
+        .where(F.col("__lv").isNotNull())
+        .distinct()
+        .orderBy("__lv")
+        .limit(3)
+        .collect()
+    )
+    if len(levels) != 2:
+        raise ValueError(
+            f"ratio z-test needs exactly two assignment levels, "
+            f"got {[r['__lv'] for r in levels]}"
+        )
+    lv_a = levels[0]["__lv"]
+    base = units.where(
+        F.col(numerator_col).isNotNull()
+        & F.col(denominator_col).isNotNull()
+        & F.col(assign_col).isNotNull()
+    )
+    num = F.col(numerator_col).cast(d38)
+    den = F.col(denominator_col).cast(d38)
+    is_a = F.col(assign_col) == F.lit(lv_a)
+    zero = F.lit(0).cast(d38)
+
+    def _side(tag: str, cond):
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{tag}"),
+            F.sum(F.when(cond, num).otherwise(zero)).alias(f"sn_{tag}"),
+            F.sum(F.when(cond, den).otherwise(zero)).alias(f"sd_{tag}"),
+            F.sum(F.when(cond, (num * num).cast(d38)).otherwise(zero))
+            .alias(f"snn_{tag}"),
+            F.sum(F.when(cond, (den * den).cast(d38)).otherwise(zero))
+            .alias(f"sdd_{tag}"),
+            F.sum(F.when(cond, (num * den).cast(d38)).otherwise(zero))
+            .alias(f"snd_{tag}"),
+        ]
+    suff = base.agg(*_side("a", is_a), *_side("b", ~is_a))
+
+    def _variance(tag: str):
+        n = F.col(f"n_{tag}").cast(d38)
+        sn, sd = F.col(f"sn_{tag}"), F.col(f"sd_{tag}")
+        snn, sdd, snd = (
+            F.col(f"snn_{tag}"), F.col(f"sdd_{tag}"), F.col(f"snd_{tag}")
+        )
+        nd = F.col(f"n_{tag}").cast("double")
+        # null-safe denominators: ANSI mode evaluates a when()'s
+        # CONDITION eagerly, so a 0 divisor must become NULL, not raise
+        pairs = F.when(F.col(f"n_{tag}") >= 2, nd * (nd - 1.0))
+        sd_nz = F.when(sd != 0, sd.cast("double"))
+        # exact DECIMAL numerators, ONE double conversion each
+        var_n = (n * snn - sn * sn).cast("double") / pairs
+        var_d = (n * sdd - sd * sd).cast("double") / pairs
+        cov = (n * snd - sn * sd).cast("double") / pairs
+        r = sn.cast("double") / sd_nz
+        dbar = sd_nz / nd
+        return r, (var_n - 2.0 * r * cov + r * r * var_d) / (nd * dbar * dbar)
+
+    r_a, v_a = _variance("a")
+    r_b, v_b = _variance("b")
+    defined = (
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (F.col("sd_a") != 0)
+        & (F.col("sd_b") != 0)
+    )
+    z = F.when(defined & ((v_a + v_b) > 0), (r_a - r_b) / F.sqrt(v_a + v_b))
+    return suff.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.when(F.col("sd_a") != 0, r_a), 6).alias("ratio_a"),
+        F.round(F.when(F.col("sd_b") != 0, r_b), 6).alias("ratio_b"),
+        F.round(
+            F.when((F.col("sd_a") != 0) & (F.col("sd_b") != 0), r_a - r_b), 6
+        ).alias("diff"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def sample_ratio_mismatch(
+    df: DataFrame,
+    assign_col: str,
+    expected_shares: dict | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check — the first gate every
+    experimentation platform runs: the observed assignment counts must
+    match the configured split.  One digest row
+    ``(n, n_levels, chi2)`` with the Pearson statistic
+    ``χ² = Σ (Oᵢ − n·pᵢ)² / (n·pᵢ)`` (χ²(k−1) under the null; χ² ≫
+    critical means the randomizer, logging, or bot filtering is broken
+    and every downstream A/B readout is suspect).
+
+    ``expected_shares`` maps level → expected fraction (must sum to ~1;
+    validated driver-side).  With ``None``, a uniform split over the
+    OBSERVED levels is assumed.  A level observed in the data but
+    missing from a provided map RAISES inside the plan (an unknown
+    variant is exactly what SRM exists to catch — never silently score
+    it).  Determinism: the χ² fold runs as a level-ORDERED cumulative
+    over the bounded |levels| frame (same contract as
+    :func:`post_stratified_diff` — every engine and partitioning adds
+    the same doubles in the same order).  Extension — no reference
+    counterpart.
+
+    Plan: one groupBy(assign) count (map-side partial), then a bounded
+    |levels|-row window fold; nothing but the digest moves.
+    """
+    counts = (
+        df.where(F.col(assign_col).isNotNull())
+        .groupBy(F.col(assign_col).alias("level"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return srm_from_counts(counts, expected_shares)
+
+
+def srm_from_counts(
+    counts: DataFrame,
+    expected_shares: dict | None = None,
+) -> DataFrame:
+    """The χ² fold of :func:`sample_ratio_mismatch`, factored over an
+    already-aggregated ``(level, n)`` counts frame — shared by the
+    batch operator and the streaming drain digest (per-level counts
+    are associative, so a streaming complete-mode state frame feeds
+    the IDENTICAL expression tree and hash-matches batch)."""
+    if expected_shares is not None:
+        total = sum(expected_shares.values())
+        if not expected_shares or abs(total - 1.0) > 1e-9:
+            raise ValueError(
+                f"expected_shares must sum to 1, got {total!r}"
+            )
+        if any(p <= 0 for p in expected_shares.values()):
+            raise ValueError("expected_shares must all be positive")
+    counts = counts.select(
+        F.col("level").alias("__lv"), F.col("n").alias("__o")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if expected_shares is None:
+        share = F.lit(1.0) / F.count(F.lit(1)).over(w_all).cast("double")
+    else:
+        entries = []
+        for lv, p in sorted(expected_shares.items()):
+            entries.append(F.lit(lv))
+            entries.append(F.lit(float(p)))
+        share_map = F.create_map(*entries)
+        share = share_map[F.col("__lv").cast("string")]
+        share = F.when(share.isNotNull(), share).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("SRM: observed assignment level not in "
+                          "expected_shares: "),
+                    F.col("__lv").cast("string"),
+                )
+            ).cast("double")
+        )
+    n_total = F.sum("__o").over(w_all).cast("double")
+    o = F.col("__o").cast("double")
+    e = n_total * share
+    term = (o - e) * (o - e) / e
+    w_cum = Window.orderBy("__lv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "__lv",
+        F.sum("__o").over(w_cum).alias("__cn"),
+        F.count(F.lit(1)).over(w_cum).alias("__k"),
+        F.sum(term).over(w_cum).alias("__chi2"),
+    )
+    return (
+        cum.orderBy(F.desc("__lv"))
+        .limit(1)
+        .select(
+            F.col("__cn").cast("bigint").alias("n"),
+            F.col("__k").cast("bigint").alias("n_levels"),
+            F.round(F.col("__chi2"), 6).alias("chi2"),
+        )
+    )
+
+
+def dispersion_index(
+    df: DataFrame,
+    column: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of an INTEGER
+    count column, one digest row ``(n, mean, variance, dispersion)``
+    per group — the overdispersion screen for count metrics: Poisson
+    arrivals give D ≈ 1, D ≫ 1 means burstiness/clumping (bot traffic,
+    retry storms, duplicated ingestion) and every Poisson-assuming
+    alert threshold downstream is miscalibrated.
+
+    Exactness: n, Σx, Σx² accumulate as DECIMAL(38,0) in ONE map-side
+    aggregation scan; the sample-variance numerator ``n·Σx² − (Σx)²``
+    is computed in DECIMAL (exact, no double cancellation) and
+    converted to double once.  Degenerate inputs (n < 2 or zero mean)
+    yield NULL dispersion.  Extension — no reference counterpart.
+
+    Plan: one aggregation scan with map-side partial sums; nothing but
+    the |groups|-row digest shuffles.
+    """
+    d38 = "decimal(38,0)"
+    gcols = [group_col] if group_col else []
+    base = df.where(F.col(column).isNotNull())
+    if group_col:
+        base = base.where(F.col(group_col).isNotNull())
+    x = F.col(column).cast(d38)
+    suff = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__s1"),
+        F.sum((x * x).cast(d38)).alias("__s2"),
+    )
+    nd = F.col("__n").cast("double")
+    ndec = F.col("__n").cast(d38)
+    mean = F.col("__s1").cast("double") / nd
+    var_num = (ndec * F.col("__s2") - F.col("__s1") * F.col("__s1")).cast(
+        "double"
+    )
+    variance = var_num / (nd * (nd - 1.0))
+    ok = (F.col("__n") >= 2) & (F.col("__s1") != 0)
+    return suff.select(
+        *gcols,
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.when(F.col("__n") >= 2, variance), 6).alias("variance"),
+        F.round(F.when(ok, variance / mean), 6).alias("dispersion"),
+    )

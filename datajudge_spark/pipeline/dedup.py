@@ -897,3 +897,86 @@ def winnowing_pairs(
         .groupBy("d1", "d2")
         .agg(F.max("n_shared").alias("n_shared"))
     )
+
+
+def query_neardup_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_ids: list,
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows: int = 3,
+    min_est: float = 0.0,
+) -> DataFrame:
+    """Targeted near-duplicate LOOKUP: which corpus documents collide
+    with a given (small) query set in >= 1 MinHash LSH band, and what
+    is the signature-agreement Jaccard estimate?  One row per
+    ``(query_id, candidate_id, est)`` with ``est >= min_est``,
+    candidate != query.
+
+    This is the decontamination / takedown primitive ("find everything
+    near THESE documents") as opposed to the all-pairs dedup sweep
+    (:func:`lsh_candidate_pairs`): the query side is tiny by
+    definition, so its band signatures and full signatures BROADCAST —
+    the corpus side stays map-only (shingle -> signature -> band) with
+    no self-join and no corpus shuffle beyond the signature groupBy.
+    At 100 TB the plan is: one corpus signature pass (shuffle O(docs ·
+    k), same as the dedup sweep), then broadcast-hash joins only.
+
+    Every hash is the same md5-derived construction as
+    :func:`minhash_signature`, so results are deterministic and
+    oracle-reproducible.
+    """
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    sig = materialize_once(
+        minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    )
+    band_structs = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *parts)).alias("sig"),
+            )
+        )
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("_id", "bk.band", "bk.sig")
+    is_query = F.col("_id").isin(list(query_ids))
+    qb = banded.where(is_query).select(
+        F.col("_id").alias("__q"), "band", "sig"
+    )
+    cand = (
+        banded.join(F.broadcast(qb), ["band", "sig"])
+        .where(F.col("_id") != F.col("__q"))
+        .select(F.col("__q").alias("query_id"), F.col("_id").alias("candidate_id"))
+        .distinct()
+    )
+    qs = sig.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("__qi"),
+        *[F.col(f"h{k}").alias(f"__a{k}") for k in range(num_hashes)],
+    )
+    cs = sig.select(
+        F.col(id_col).alias("__ci"),
+        *[F.col(f"h{k}").alias(f"__b{k}") for k in range(num_hashes)],
+    )
+    match_cnt = None
+    for k in range(num_hashes):
+        term = F.when(F.col(f"__a{k}") == F.col(f"__b{k}"), 1).otherwise(0)
+        match_cnt = term if match_cnt is None else match_cnt + term
+    est = match_cnt.cast("double") / F.lit(num_hashes)
+    return (
+        cand.join(F.broadcast(qs), F.col("query_id") == F.col("__qi"))
+        .join(cs, F.col("candidate_id") == F.col("__ci"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(est, 6).alias("est"),
+        )
+        .where(F.col("est") >= F.lit(float(min_est)))
+    )

@@ -1477,6 +1477,129 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_ratio_ztest_constraint(
+        self,
+        numerator_column: str,
+        denominator_column: str,
+        assignment_column: str,
+        max_abs_z: float = 1.96,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the delta-method z
+        statistic of the ratio-of-sums metric
+        ``sum(numerator)/sum(denominator)`` between the two levels of
+        ``assignment_column`` must satisfy ``|z| <= max_abs_z`` (1.96 =
+        5% two-sided).  The ratio-metric A/B gate (clicks/impressions,
+        revenue/sessions) — a ratio-of-sums is not a mean of unit
+        ratios, so the naive z variance is wrong; this uses the
+        standard delta-method estimator over a ONE-ROW-PER-UNIT frame
+        (aggregate first).  DECIMAL-exact sufficient statistics from
+        one conditional-aggregation scan."""
+        ref = DataReference(
+            self._data_source,
+            [numerator_column, denominator_column, assignment_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.RatioZMax(
+                ref,
+                numerator_column,
+                denominator_column,
+                assignment_column,
+                max_abs_z=max_abs_z,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_srm_constraint(
+        self,
+        assignment_column: str,
+        max_chi2: float,
+        expected_shares: dict | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): sample-ratio-mismatch
+        gate — the Pearson chi-squared statistic of the observed
+        ``assignment_column`` counts against ``expected_shares`` (level
+        -> fraction; None = uniform over observed levels) may not
+        exceed ``max_chi2``.  The first health check every experiment
+        readout depends on: an SRM means the randomizer, logging, or
+        bot filtering is biased and every downstream metric is suspect.
+        A level observed in the data but missing from a provided map
+        RAISES."""
+        ref = DataReference(self._data_source, [assignment_column], condition)
+        self._constraints.append(
+            stats_constraints.SrmChi2Max(
+                ref,
+                assignment_column,
+                max_chi2=max_chi2,
+                expected_shares=expected_shares,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_pettitt_constraint(
+        self,
+        date_column: str,
+        value_column: str,
+        min_p_value: float = 0.05,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Pettitt rank-based
+        change-point test over the daily ``sum(value_column)`` series
+        must NOT reject — its approximate p-value must stay >=
+        ``min_p_value``.  The median-shift companion to the CUSUM gate,
+        robust to heavy-tailed days; the failure names the most likely
+        change day."""
+        ref = DataReference(
+            self._data_source, [date_column, value_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.PettittStability(
+                ref,
+                min_p_value=min_p_value,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_dispersion_constraint(
+        self,
+        count_column: str,
+        max_dispersion: float,
+        group_column: str | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the variance-to-mean
+        ratio (index of dispersion) of the integer ``count_column`` may
+        not exceed ``max_dispersion`` — per ``group_column`` when given
+        (the failure names the worst group).  Poisson arrivals sit near
+        1; far above means bursty/clumped counts (bots, retry storms,
+        duplicate ingestion) and miscalibrated Poisson-assuming
+        alerting."""
+        cols = [count_column] + ([group_column] if group_column else [])
+        ref = DataReference(self._data_source, cols, condition)
+        self._constraints.append(
+            stats_constraints.DispersionMax(
+                ref,
+                max_dispersion=max_dispersion,
+                group_column=group_column,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+
     def add_cuped_diff_constraint(
         self,
         pre_column: str,

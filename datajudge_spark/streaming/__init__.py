@@ -51,6 +51,7 @@ __all__ = [
     "interval_left_join_streams",
     "streaming_bootstrap_sums",
     "streaming_block_maxima",
+    "streaming_assignment_counts",
 ]
 
 
@@ -726,4 +727,29 @@ def streaming_ab_counts(
         F.count(F.when(population_a & success, 1)).alias("s_a"),
         F.count(F.when(population_b, 1)).alias("n_b"),
         F.count(F.when(population_b & success, 1)).alias("s_b"),
+    )
+
+
+def streaming_assignment_counts(
+    stream_df: DataFrame,
+    assign_col: str,
+) -> DataFrame:
+    """Running per-variant assignment counts over a stream: one
+    complete-mode state row per observed level ``(level, n)`` — the
+    input to a sequential sample-ratio-mismatch (SRM) monitor ("is the
+    randomizer broken RIGHT NOW?", checked as data arrives instead of
+    at experiment readout).
+
+    Counts are associative/commutative, so the drained state after any
+    availableNow pass EQUALS the batch ``GROUP BY`` exactly, and
+    feeding it through the same χ² fold the batch operator uses
+    (:func:`datajudge_spark.operators.stats.sample_ratio_mismatch`
+    semantics) yields a hash-identical digest.  State is O(|levels|)
+    longs — bounded by the experiment's variant count, not the stream.
+    No watermark needed; nothing is evicted.
+    """
+    return (
+        stream_df.where(F.col(assign_col).isNotNull())
+        .groupBy(F.col(assign_col).alias("level"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1629,3 +1629,154 @@ class TestStratifiedDiff:
         results = req.test(spark)
         assert results[0].outcome is False
         assert "undefined" in results[0].failure_message
+
+
+class TestRatioZtest:
+    def test_gate_pass_and_fail(self, spark):
+        rng = __import__("random").Random(31)
+        rows = []
+        for i in range(400):
+            v = i % 2
+            den = rng.randint(5, 30)
+            # variant 1 converts at ~2x the rate
+            p = 0.1 if v == 0 else 0.25
+            num = sum(1 for _ in range(den) if rng.random() < p)
+            rows.append((num, den, v))
+        df = spark.createDataFrame(rows, "num long, den long, v int")
+        req = within_req(df, "ratio1")
+        req.add_ratio_ztest_constraint("num", "den", "v", 1e9)
+        req.add_ratio_ztest_constraint("num", "den", "v", 0.5)  # fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "Ratio metric" in results[1].failure_message
+
+    def test_three_levels_fails_cleanly(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2, 0), (1, 2, 1), (1, 2, 2)], "num long, den long, v int"
+        )
+        req = within_req(df, "ratio2")
+        req.add_ratio_ztest_constraint("num", "den", "v", 1.96)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_zero_denominator_side_fails_cleanly(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 0), (2, 0, 0), (1, 5, 1), (2, 5, 1)],
+            "num long, den long, v int",
+        )
+        req = within_req(df, "ratio3")
+        req.add_ratio_ztest_constraint("num", "den", "v", 1.96)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+
+class TestSrm:
+    def test_gate_pass_and_fail(self, spark):
+        rows = [("a",)] * 5000 + [("b",)] * 5150
+        df = spark.createDataFrame(rows, "v string")
+        req = within_req(df, "srm1")
+        # chi2 = (75^2/5075)*2 ~ 2.217 on a 50/50 split
+        req.add_srm_constraint("v", 10.0, {"a": 0.5, "b": 0.5})
+        req.add_srm_constraint("v", 1.0, {"a": 0.5, "b": 0.5})  # fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "mismatch the expected split" in results[1].failure_message
+
+    def test_uniform_default(self, spark):
+        rows = [("x",)] * 300 + [("y",)] * 300 + [("z",)] * 300
+        df = spark.createDataFrame(rows, "v string")
+        req = within_req(df, "srm2")
+        req.add_srm_constraint("v", 0.001)  # perfectly uniform -> chi2 0
+        assert outcomes(req, spark) == [True]
+
+    def test_unknown_level_raises(self, spark):
+        df = spark.createDataFrame([("a",), ("mystery",)], "v string")
+        req = within_req(df, "srm3")
+        req.add_srm_constraint("v", 100.0, {"a": 1.0})
+        with pytest.raises(Exception, match="not in"):
+            req.test(spark)
+
+    def test_empty_passes_vacuously(self, spark):
+        df = spark.createDataFrame([], "v string")
+        req = within_req(df, "srm4")
+        req.add_srm_constraint("v", 1.0)
+        assert outcomes(req, spark) == [True]
+
+
+class TestPettitt:
+    def test_gate_pass_and_fail(self, spark):
+        import datetime as dt
+
+        rng = __import__("random").Random(17)
+        base = dt.date(2024, 1, 1)
+        rows = []
+        for i in range(80):
+            level = 100 if i < 40 else 400  # hard level shift
+            rows.append(
+                (base + dt.timedelta(days=i), float(level + rng.randint(0, 10)))
+            )
+        df = spark.createDataFrame(rows, "d date, v double")
+        req = within_req(df, "pett1")
+        req.add_pettitt_constraint("d", "v", min_p_value=0.05)  # fail
+        req.add_pettitt_constraint("d", "v", min_p_value=0.0)   # pass
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [False, True]
+        assert "change point" in results[0].failure_message
+        assert "2024-02" in results[0].failure_message
+
+    def test_stationary_passes(self, spark):
+        import datetime as dt
+
+        rng = __import__("random").Random(23)
+        base = dt.date(2024, 1, 1)
+        rows = [
+            (base + dt.timedelta(days=i), float(rng.randint(90, 110)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "d date, v double")
+        req = within_req(df, "pett2")
+        req.add_pettitt_constraint("d", "v")
+        assert outcomes(req, spark) == [True]
+
+    def test_single_day_vacuous(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.date(2024, 1, 1), 5.0)], "d date, v double"
+        )
+        req = within_req(df, "pett3")
+        req.add_pettitt_constraint("d", "v")
+        assert outcomes(req, spark) == [True]
+
+
+class TestDispersion:
+    def test_gate_pass_and_fail(self, spark):
+        rng = __import__("random").Random(41)
+        rows = []
+        for i in range(300):
+            # group p: Poisson-ish (D ~ 1); group burst: clumped
+            rows.append((rng.randint(8, 12), "p"))
+            rows.append((0 if rng.random() < 0.9 else 100, "burst"))
+        df = spark.createDataFrame(rows, "c long, g string")
+        req = within_req(df, "disp1")
+        req.add_dispersion_constraint("c", 1e6, group_column="g")
+        req.add_dispersion_constraint("c", 5.0, group_column="g")  # fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "burst" in results[1].failure_message
+        assert "overdispersed" in results[1].failure_message
+
+    def test_ungrouped(self, spark):
+        df = spark.createDataFrame([(5,), (5,), (6,), (6,)], "c long")
+        req = within_req(df, "disp2")
+        req.add_dispersion_constraint("c", 1.0)
+        assert outcomes(req, spark) == [True]
+
+    def test_degenerate_passes(self, spark):
+        # constant zero counts: mean 0 -> undefined dispersion -> pass
+        df = spark.createDataFrame([(0,), (0,), (0,)], "c long")
+        req = within_req(df, "disp3")
+        req.add_dispersion_constraint("c", 0.5)
+        assert outcomes(req, spark) == [True]

@@ -400,3 +400,88 @@ def test_post_stratified_partition_stable(spark, n_parts):
         df.repartition(n_parts), "y", "v", "s"
     ).first()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_ratio_ztest_partition_stable(spark, n_parts):
+    # DECIMAL sufficient statistics: the digest is a pure function of
+    # the multiset of rows — byte-identical under any partitioning
+    from datajudge_spark.operators.stats import ratio_metric_ztest
+
+    rows = [((i * 7) % 23, (i % 9) + 1, i % 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "num long, den long, v int")
+    ref = ratio_metric_ztest(df, "num", "den", "v").collect()
+    got = ratio_metric_ztest(
+        df.repartition(n_parts), "num", "den", "v"
+    ).collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_srm_partition_stable(spark, n_parts):
+    # level-ORDERED cumulative fold: same doubles in the same order on
+    # every partitioning
+    from datajudge_spark.operators.stats import sample_ratio_mismatch
+
+    rows = [(["a", "b", "c"][i % 3],) for i in range(333)]
+    df = spark.createDataFrame(rows, "v string")
+    shares = {"a": 0.4, "b": 0.35, "c": 0.25}
+    ref = sample_ratio_mismatch(df, "v", shares).collect()
+    got = sample_ratio_mismatch(df.repartition(n_parts), "v", shares).collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_pettitt_partition_stable(spark, n_parts):
+    # integer-exact U via DECIMAL mid-ranks; earliest-day argmax is a
+    # total order
+    import datetime as dt
+
+    from datajudge_spark.operators.timeseries import pettitt_changepoint
+
+    base = dt.date(2024, 3, 1)
+    rows = [
+        (base + dt.timedelta(days=i), ((i * 13) % 37) + (50 if i > 45 else 0))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "day date, total long")
+    ref = pettitt_changepoint(df).collect()
+    got = pettitt_changepoint(df.repartition(n_parts)).collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_dispersion_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.stats import dispersion_index
+
+    rows = [((i * 11) % 17, f"g{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "c long, g string")
+    ref = sorted(
+        dispersion_index(df, "c", group_col="g").collect()
+    )
+    got = sorted(
+        dispersion_index(df.repartition(n_parts), "c", group_col="g").collect()
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_query_neardup_partition_stable(spark, n_parts):
+    # broadcast query bands + md5 signatures: candidate set and
+    # estimates are pure functions of the data
+    from datajudge_spark.pipeline.dedup import query_neardup_candidates
+
+    rows = [
+        (i, ("alpha beta gamma delta " * 4) + (f"tail{i} " * (i % 5)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = sorted(
+        query_neardup_candidates(df, "doc_id", "text", [0, 1, 2]).collect()
+    )
+    got = sorted(
+        query_neardup_candidates(
+            df.repartition(n_parts), "doc_id", "text", [0, 1, 2]
+        ).collect()
+    )
+    assert got == ref

@@ -1194,3 +1194,176 @@ def test_fuzz_cuped_factory(spark, case):
         adjusted = diff_raw - theta * (mxa - mxb)
     expected = abs(round(adjusted, 6)) <= threshold
     assert result.outcome is expected, f"case {case} ({shape})"
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operator family: ratio z / SRM / Pettitt / dispersion vs brute
+# force, including the degenerate shapes (zero denominators, single
+# level, constant series, all-zero counts).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_ratio_ztest(spark, case):
+    from datajudge_spark.operators.stats import ratio_metric_ztest
+
+    rng = random.Random(_MK_SEED + 1400 + case)
+    shape = ["mixed", "mixed", "const_ratio", "tiny", "one_zero_den"][case]
+    rows = []
+    n = 5 if shape == "tiny" else rng.randint(20, 250)
+    for i in range(n):
+        v = i % 2
+        den = 0 if (shape == "one_zero_den" and v == 0) else rng.randint(1, 40)
+        num = (
+            den // 2
+            if shape == "const_ratio"
+            else rng.randint(0, max(den, 1))
+        )
+        rows.append((num, den, v))
+    df = spark.createDataFrame(rows, "num long, den long, v int")
+    r = ratio_metric_ztest(df, "num", "den", "v").collect()[0]
+
+    def side(v):
+        xs = [(a, b) for a, b, vv in rows if vv == v]
+        n_ = len(xs)
+        sn = sum(a for a, _b in xs); sd = sum(b for _a, b in xs)
+        if n_ < 2 or sd == 0:
+            return None, None, n_, sd
+        snn = sum(a * a for a, _b in xs)
+        sdd = sum(b * b for _a, b in xs)
+        snd = sum(a * b for a, b in xs)
+        pairs = n_ * (n_ - 1)
+        vn = (n_ * snn - sn * sn) / pairs
+        vd = (n_ * sdd - sd * sd) / pairs
+        cv = (n_ * snd - sn * sd) / pairs
+        rr = sn / sd
+        dbar = sd / n_
+        return rr, (vn - 2 * rr * cv + rr * rr * vd) / (n_ * dbar * dbar), n_, sd
+    ra, va, na, sda = side(0)
+    rb, vb, nb, sdb = side(1)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    if ra is None or rb is None or va + vb <= 0:
+        assert r["z"] is None, f"case {case} ({shape})"
+    else:
+        import math
+        assert r["z"] == pytest.approx(
+            (ra - rb) / math.sqrt(va + vb), abs=2e-6
+        ), f"case {case} ({shape})"
+        assert r["ratio_a"] == pytest.approx(ra, abs=2e-6)
+        assert r["diff"] == pytest.approx(ra - rb, abs=2e-6)
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_srm(spark, case):
+    from datajudge_spark.operators.stats import sample_ratio_mismatch
+
+    rng = random.Random(_MK_SEED + 1500 + case)
+    shape = ["uniform", "skewed", "one_level", "two_exact", "many"][case]
+    k = {"one_level": 1, "two_exact": 2, "many": 6}.get(shape, 3)
+    weights = [rng.randint(1, 10) for _ in range(k)]
+    rows = []
+    for i, w in enumerate(weights):
+        rows += [(f"v{i}",)] * (w * rng.randint(5, 40))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "v string")
+    use_map = shape in ("skewed", "two_exact")
+    shares = None
+    if use_map:
+        tot = sum(weights)
+        shares = {f"v{i}": w / tot for i, w in enumerate(weights)}
+        # renormalize float dust so the validator's sum check passes
+        shares[f"v{k-1}"] = 1.0 - sum(
+            shares[f"v{i}"] for i in range(k - 1)
+        )
+    r = sample_ratio_mismatch(df, "v", shares).collect()[0]
+
+    from collections import Counter
+    obs = Counter(v for (v,) in rows)
+    n = sum(obs.values())
+    chi2 = 0.0
+    for lv in sorted(obs):
+        p = shares[lv] if shares else 1.0 / len(obs)
+        e = n * p
+        chi2 += (obs[lv] - e) ** 2 / e
+    assert r["n"] == n and r["n_levels"] == len(obs)
+    assert r["chi2"] == pytest.approx(chi2, abs=2e-6), f"case {case} ({shape})"
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_pettitt(spark, case):
+    import datetime as dt
+    import math
+
+    from datajudge_spark.operators.timeseries import pettitt_changepoint
+
+    rng = random.Random(_MK_SEED + 1600 + case)
+    shape = ["shift", "flat", "ties", "two_days", "noise"][case]
+    n = 2 if shape == "two_days" else rng.randint(10, 70)
+    base = dt.date(2024, 1, 1)
+    vals = []
+    for i in range(n):
+        if shape == "flat":
+            vals.append(7)
+        elif shape == "ties":
+            vals.append(rng.randint(0, 2))
+        else:
+            vals.append(rng.randint(0, 30) + (40 if i > n // 2 else 0))
+    rows = [(base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "day date, total long")
+    r = pettitt_changepoint(df).collect()[0]
+    best_k, best_day = -1, None
+    for t in range(n):
+        u = sum(
+            (vals[i] > vals[j]) - (vals[i] < vals[j])
+            for i in range(t + 1) for j in range(t + 1, n)
+        )
+        if abs(u) > best_k:
+            best_k, best_day = abs(u), rows[t][0]
+    p = min(1.0, 2 * math.exp(-6 * best_k**2 / (n**3 + n**2)))
+    assert r["n_days"] == n
+    assert r["k_stat"] == best_k, f"case {case} ({shape})"
+    assert r["change_day"] == best_day
+    assert r["p_value"] == pytest.approx(round(p, 6), abs=1e-9)
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_dispersion(spark, case):
+    from datajudge_spark.operators.stats import dispersion_index
+
+    rng = random.Random(_MK_SEED + 1700 + case)
+    shape = ["poisson_ish", "bursty", "constant", "zeros"][case]
+    rows = []
+    for i in range(rng.randint(10, 200)):
+        g = f"g{i % 3}"
+        if shape == "constant":
+            c = 5
+        elif shape == "zeros":
+            c = 0
+        elif shape == "bursty":
+            c = 0 if rng.random() < 0.8 else rng.randint(50, 100)
+        else:
+            c = rng.randint(3, 9)
+        rows.append((c, g))
+    df = spark.createDataFrame(rows, "c long, g string")
+    got = {
+        r["g"]: r for r in dispersion_index(df, "c", group_col="g").collect()
+    }
+    groups: dict = {}
+    for c, g in rows:
+        groups.setdefault(g, []).append(c)
+    for g, xs in groups.items():
+        n = len(xs)
+        mean = sum(xs) / n
+        r = got[g]
+        assert r["n"] == n
+        assert r["mean"] == pytest.approx(mean, abs=2e-6)
+        if n < 2:
+            assert r["variance"] is None
+            continue
+        var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+        assert r["variance"] == pytest.approx(var, abs=2e-6)
+        if mean == 0:
+            assert r["dispersion"] is None
+        else:
+            assert r["dispersion"] == pytest.approx(
+                var / mean, abs=2e-6
+            ), f"case {case} ({shape})"
