@@ -902,3 +902,53 @@ def test_kendall_tau_materializes_daily_frame_once(spark):
     # all five branches read the cache (the only parquet scan in the
     # string is the one INSIDE the InMemoryRelation's build definition)
     assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_query_neardup_broadcasts_query_side(spark):
+    # the lookup must never self-join the corpus: every join is a
+    # broadcast of the (bounded) query side, no sort-merge anywhere
+    plan = _executed_plan(
+        entrymod.queries()["minhash_query_neardup"](spark, SF_DIR)
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ratio_ztest_single_conditional_scan(spark):
+    # per-variant sufficient statistics are conditional aggregates of
+    # ONE scan (plus the bounded level probe) - map-side partials, no
+    # join of two per-variant frames
+    plan = _executed_plan(
+        entrymod.queries()["ratio_ab_ztest"](spark, SF_DIR)
+    )
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_srm_fold_no_fact_table_window(spark):
+    # the chi-square fold's window runs on the bounded |levels| frame,
+    # AFTER the groupBy count - the fact table never meets a window
+    plan = _executed_plan(
+        entrymod.queries()["sample_ratio_mismatch"](spark, SF_DIR)
+    )
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # exactly one aggregation of the fact table feeds the fold
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pettitt_windows_on_daily_frame_only(spark):
+    # both ordered windows sit ABOVE the daily aggregate: the parquet
+    # scan feeds one partial aggregation, not a window
+    plan = _executed_plan(
+        entrymod.queries()["pettitt_changepoint"](spark, SF_DIR)
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dispersion_two_partial_aggs(spark):
+    plan = _executed_plan(
+        entrymod.queries()["dispersion_index"](spark, SF_DIR)
+    )
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
