@@ -200,3 +200,58 @@ def test_between_nrows_failure_messages_exact(views):
     )
     # row GAIN short-circuits a max-loss gate to a clean pass
     assert max_loss2.outcome is True
+
+
+@pytest.fixture(scope="module")
+def views2(spark):
+    spark.createDataFrame(
+        [("v001",), ("v002",), ("BAD_x",), (None,)], "s string"
+    ).createOrReplaceTempView("mp_str")
+    spark.createDataFrame(
+        [("g1", 0), ("g1", 1), ("g1", 3), ("g2", 0), ("g2", 1)],
+        "k string, v int",
+    ).createOrReplaceTempView("mp_agg")
+    return spark
+
+
+def test_varchar_failure_messages_exact(views2):
+    req = WithinRequirement.from_table("mp_str")
+    req.add_varchar_regex_constraint("s", r"^v\d+$")  # None present
+    req.add_varchar_regex_constraint("s", r"^v\d+$", allow_none=True)
+    req.add_varchar_regex_constraint_db("s", r"^v\d")
+    req.add_varchar_min_length_constraint("s", 5)
+    req.add_varchar_max_length_constraint("s", 4)
+    none_gate, mem, db, minlen, maxlen = req.test(views2)
+    assert none_gate.failure_message == (
+        "The column contains a None value when it's not allowed. "
+        "To ignore None values, please use `allow_none=True` option."
+    )
+    assert mem.failure_message == (
+        "mp_str's column(s) 's' breaks regex '^v\\d+$' in "
+        "0.3333333333333333 > 0.0 of the cases. In absolute terms, 1 "
+        "of the 3 samples violated the regex. Some counterexamples "
+        "consist of the following: ['BAD_x']. "
+    )
+    assert db.failure_message == (
+        "mp_str's column(s) 's' breaks regex '^v\\d' in 0.25 > 0.0 of "
+        "the cases. In absolute terms, 1 of the 4 samples violated the "
+        "regex. Some counterexamples consist of the following: "
+        "['BAD_x']. "
+    )
+    assert minlen.failure_message == (
+        "mp_str's column(s) 's' has min length 4 instead of  5. "
+    )
+    assert maxlen.failure_message == (
+        "mp_str's column(s) 's' has max length 5 instead of  4. "
+    )
+
+
+def test_groupby_failure_message_exact(views2):
+    req = WithinRequirement.from_table("mp_agg")
+    req.add_groupby_aggregation_constraint(["k"], "v", 0)
+    result = req.test(views2)[0]
+    assert result.outcome is False
+    assert result.failure_message == (
+        "mp_agg's column(s) 'k' has unfulfilled continuity requirement "
+        "for (key, missing values): `{('g1',): {2}}`."
+    )
