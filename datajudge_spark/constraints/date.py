@@ -20,7 +20,7 @@ from .. import operators as ops
 from ..reference import DataReference
 from .base import Constraint, OptionalSelections
 from .interval import NoGapConstraint, NoOverlapConstraint
-from .numeric import interval_violation_verdict
+from .interval import interval_violation_verdict
 
 _BOUND_LITERAL_FORMAT = "'%Y-%m-%d'"
 

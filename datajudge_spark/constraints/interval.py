@@ -1,4 +1,13 @@
-"""Interval constraint core (parity: /root/reference/src/datajudge/constraints/interval.py)."""
+"""Interval-family core: the shared machinery behind every
+no-overlap / no-gap gate (numeric and date, 1-D and 2-D).
+
+The factual value of an interval gate is the pair ``(violating keys,
+distinct keys)``; subclasses choose the engine operator (overlap
+self-join vs lag-window gap scan) and the verdict wording.  Message
+wording stays byte-compatible with the reference
+(/root/reference/src/datajudge/constraints/interval.py); pinned by
+``tests/test_message_parity.py``.
+"""
 
 from __future__ import annotations
 
@@ -12,9 +21,48 @@ from ..reference import DataReference
 from .base import Constraint, OptionalSelections
 
 
+def interval_violation_verdict(
+    constraint,
+    counts: tuple[int, int],
+    *,
+    shape: str,
+    empty_message: str | None = "No key values found.",
+) -> tuple[bool, str | None]:
+    """Shared verdict for the ratio-of-violating-keys family.
+
+    ``shape`` is the clause naming what went wrong ("overlapping
+    ranges", "a gap in the date range", ...); numeric and date variants
+    differ only in that clause and in how many interval dimensions they
+    name.  The reference renders each extra dimension as its own
+    adjacent sentence ("...in s1 and e1.and s2 and e2.").
+    """
+    violators, keys = counts
+    if keys == 0:
+        return True, empty_message
+    ratio = violators / keys
+    dims = ".and ".join(
+        f"{lo} and {hi}" for lo, hi in constraint.interval_axes
+    )
+    verdict = (
+        f"{constraint._ref} has a ratio of {ratio} > "
+        f"{constraint._max_relative_n_violations} keys in columns "
+        f"{constraint._key_columns} with {shape} in {dims}."
+        f"E.g. for: {constraint.sample}."
+    )
+    return ratio <= constraint._max_relative_n_violations, verdict
+
+
 class IntervalConstraint(Constraint):
-    """Factual value is ``(n_violation_keys, n_distinct_key_values)``
-    (reference interval.py:16-69)."""
+    """Base of the family.  ``_DIMENSIONS`` is the number of interval
+    axes a subclass expects (1 for plain ranges, 2 for e.g. a
+    date-range x numeric-range rectangle); the constructor validates
+    the start/end column lists against it up front so a mis-wired spec
+    fails at build time, not at test time.
+
+    ``self.sample`` is a side channel: the engine operator hands back
+    one violating key's row alongside the counts, and the verdict
+    embeds it so the failure is actionable.
+    """
 
     _DIMENSIONS = 0
 
@@ -30,38 +78,41 @@ class IntervalConstraint(Constraint):
     ):
         super().__init__(ref, ref_value=object(), name=name, cache_size=cache_size)
         self._key_columns = key_columns
-        self._start_columns = start_columns
-        self._end_columns = end_columns
+        self._start_columns = list(start_columns)
+        self._end_columns = list(end_columns)
         self._max_relative_n_violations = max_relative_n_violations
         self.sample: Any = None
-        self._validate_dimensions()
+        for label, cols in (
+            ("start_column(s)", self._start_columns),
+            ("end_column(s)", self._end_columns),
+        ):
+            if len(cols) != self._DIMENSIONS:
+                raise ValueError(
+                    f"Expected {self._DIMENSIONS} {label}, got {len(cols)}."
+                )
+
+    @property
+    def interval_axes(self) -> list[tuple[str, str]]:
+        """(start, end) column pair per interval dimension."""
+        return list(zip(self._start_columns, self._end_columns))
 
     @abc.abstractmethod
     def _select(
         self, engine: SparkSession, ref: DataReference
-    ) -> tuple[Any, int, int, OptionalSelections]: ...
-
-    def _validate_dimensions(self) -> None:
-        if (length := len(self._start_columns)) != self._DIMENSIONS:
-            raise ValueError(
-                f"Expected {self._DIMENSIONS} start_column(s), got {length}."
-            )
-        if (length := len(self._end_columns)) != self._DIMENSIONS:
-            raise ValueError(
-                f"Expected {self._DIMENSIONS} end_column(s), got {length}."
-            )
+    ) -> tuple[Any, int, int, OptionalSelections]:
+        """Run the engine operator: (sample, violators, keys, plans)."""
 
     def _retrieve(
         self, engine: SparkSession, ref: DataReference
     ) -> tuple[tuple[int, int], OptionalSelections]:
-        sample, n_violation_keys, n_distinct_key_values, selections = self._select(
-            engine, ref
-        )
-        self.sample = sample
-        return (n_violation_keys, n_distinct_key_values), selections
+        self.sample, violators, keys, selections = self._select(engine, ref)
+        return (violators, keys), selections
 
 
 class NoOverlapConstraint(IntervalConstraint):
+    """Keys whose intervals overlap (self-join engine); whether a
+    shared endpoint counts as an overlap is ``end_included``."""
+
     def __init__(
         self,
         ref: DataReference,
@@ -101,6 +152,10 @@ class NoOverlapConstraint(IntervalConstraint):
 
 
 class NoGapConstraint(IntervalConstraint):
+    """Keys whose interval sequence leaves a hole bigger than
+    ``legitimate_gap_size`` (lag-window engine, SURVEY §4.1 rewrite —
+    never a self-join)."""
+
     def __init__(
         self,
         ref: DataReference,

@@ -5,8 +5,8 @@ Message wording stays byte-compatible with the reference
 (/root/reference/src/datajudge/constraints/numeric.py); the wording
 contract is pinned by ``tests/test_message_parity.py``.  The structure
 is the repo's own: one declarative extremum class drives min AND max,
-and the interval verdicts render through the shared
-``interval_violation_verdict`` helper.
+and the interval verdicts render through the family's shared
+``interval.interval_violation_verdict`` helper.
 """
 
 from __future__ import annotations
@@ -18,7 +18,11 @@ from pyspark.sql import SparkSession
 from .. import operators as ops
 from ..reference import DataReference
 from .base import Constraint, OptionalSelections, TestResult
-from .interval import NoGapConstraint, NoOverlapConstraint
+from .interval import (
+    NoGapConstraint,
+    NoOverlapConstraint,
+    interval_violation_verdict,
+)
 
 _SAY_EXTREMUM = "{ref} has {kind} {got} instead of {prefix}{want}{gap}. {cond}"
 _SAY_FRACTION = (
@@ -34,39 +38,6 @@ _SAY_PERCENTILE = (
     "difference of {diff}. The maximally allowed {how} deviation "
     "would've been {slack}."
 )
-
-
-def interval_violation_verdict(
-    constraint,
-    counts: tuple[int, int],
-    *,
-    shape: str,
-    empty_message: str | None = "No key values found.",
-) -> tuple[bool, str | None]:
-    """Shared verdict for the ratio-of-violating-keys interval family.
-
-    ``shape`` is the middle clause naming what went wrong (e.g.
-    ``"overlapping ranges"`` / ``"a gap in the range"``); numeric and
-    date variants differ only in that clause and in how many interval
-    dimensions they name.
-    """
-    violators, keys = counts
-    if keys == 0:
-        return True, empty_message
-    ratio = violators / keys
-    # the reference renders each interval dimension as its own clause,
-    # 2-D reading "...in s1 and e1.and s2 and e2."
-    dims = ".and ".join(
-        f"{s} and {e}"
-        for s, e in zip(constraint._start_columns, constraint._end_columns)
-    )
-    verdict = (
-        f"{constraint._ref} has a ratio of {ratio} > "
-        f"{constraint._max_relative_n_violations} keys in columns "
-        f"{constraint._key_columns} with {shape} in {dims}."
-        f"E.g. for: {constraint.sample}."
-    )
-    return ratio <= constraint._max_relative_n_violations, verdict
 
 
 class _NumericExtremum(Constraint):

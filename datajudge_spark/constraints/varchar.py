@@ -1,10 +1,18 @@
-"""Varchar constraints (parity: /root/reference/src/datajudge/constraints/varchar.py).
+"""String-column gates: regex conformance (two variants) and length
+extremes.
 
-Two regex variants, intentionally distinct (reference varchar.py:14-156):
-- ``VarCharRegexDb`` pushes the regex to executors via ``rlike``
-  (unanchored *search* semantics, like SQL ``regexp_match``).
-- ``VarCharRegex`` collects distinct values and applies Python ``re.match``
-  (*anchored*) on the driver.
+Message wording stays byte-compatible with the reference
+(/root/reference/src/datajudge/constraints/varchar.py); pinned by
+``tests/test_message_parity.py``.  The two regex variants are
+intentionally distinct engines:
+
+- ``VarCharRegexDb`` pushes the pattern to executors via ``rlike``
+  (unanchored *search* semantics, like SQL ``regexp_match``) — the
+  scale path, nothing but a count and a bounded sample leaves the
+  cluster.
+- ``VarCharRegex`` collects the distinct values (capped — SURVEY §3.4)
+  and applies Python ``re.match`` (*anchored*) on the driver — the
+  compatibility path for patterns Spark's regex dialect differs on.
 """
 
 from __future__ import annotations
@@ -16,12 +24,34 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from .. import operators as ops
-from ..reference import DataReference
 from ..operators.uniques import DEFAULT_MAX_UNIQUES
+from ..reference import DataReference
 from .base import Constraint, OptionalSelections, TestResult
+
+_SAY_REGEX_BROKEN = (
+    "{ref} breaks regex '{pattern}' in {ratio} > {slack} of the cases. "
+    "In absolute terms, {bad} of the {total} samples violated the "
+    "regex. {examples}{cond}"
+)
+_SAY_EXAMPLES = "Some counterexamples consist of the following: {xs}. "
+_SAY_NONE_BLOCKED = (
+    "The column contains a None value when it's not allowed. "
+    "To ignore None values, please use `allow_none=True` option."
+)
+_SAY_LENGTH = (
+    "{ref} has {kind} length {got} instead of {prefix} {want}. {cond}"
+)
+
+
+def _example_clause(examples: list) -> str:
+    return _SAY_EXAMPLES.format(xs=examples) if examples else ""
 
 
 class VarCharRegexDb(Constraint):
+    """Executor-side regex gate: the fraction of values (distinct
+    values when ``aggregated``) failing an ``rlike`` search may not
+    exceed ``relative_tolerance``."""
+
     def __init__(
         self,
         ref: DataReference,
@@ -42,47 +72,43 @@ class VarCharRegexDb(Constraint):
     def _retrieve(
         self, engine: SparkSession, ref: DataReference
     ) -> tuple[Any, OptionalSelections]:
-        (n_violations, counterexamples), violation_selections = (
-            ops.get_regex_violations(
-                spark=engine,
-                ref=ref,
-                aggregated=self._aggregated,
-                regex=self._regex,
-                n_counterexamples=self._n_counterexamples,
-            )
+        (bad, examples), bad_selections = ops.get_regex_violations(
+            spark=engine,
+            ref=ref,
+            aggregated=self._aggregated,
+            regex=self._regex,
+            n_counterexamples=self._n_counterexamples,
         )
-        if self._aggregated:
-            n_rows, n_rows_selections = ops.get_unique_count(engine, ref)
-        else:
-            n_rows, n_rows_selections = ops.get_row_count(engine, ref)
-        return (
-            (n_violations, n_rows, counterexamples),
-            [*violation_selections, *n_rows_selections],
+        denominator_op = (
+            ops.get_unique_count if self._aggregated else ops.get_row_count
         )
+        total, total_selections = denominator_op(engine, ref)
+        return (bad, total, examples), [*bad_selections, *total_selections]
 
     def _compare(self, value_factual, value_target) -> tuple[bool, str]:
-        n_violations, n_rows, counterexamples = value_factual
-        relative_violations = n_violations / n_rows
-        result = relative_violations <= value_target
-        counterexample_string = (
-            (
-                "Some counterexamples consist of the following: "
-                f"{counterexamples}. "
-            )
-            if counterexamples
-            else ""
+        bad, total, examples = value_factual
+        ratio = bad / total
+        verdict = _SAY_REGEX_BROKEN.format(
+            ref=self._ref,
+            pattern=self._regex,
+            ratio=ratio,
+            slack=value_target,
+            bad=bad,
+            total=total,
+            examples=_example_clause(examples),
+            cond=self._condition_string,
         )
-        assertion_text = (
-            f"{self._ref} "
-            f"breaks regex '{self._regex}' in {relative_violations} > "
-            f"{value_target} of the cases. "
-            f"In absolute terms, {n_violations} of the {n_rows} samples "
-            f"violated the regex. {counterexample_string}{self._condition_string}"
-        )
-        return result, assertion_text
+        return ratio <= value_target, verdict
 
 
 class VarCharRegex(Constraint):
+    """Driver-side ANCHORED regex gate over the distinct values.
+
+    Collects O(|distinct|) strings, so the ``max_uniques`` cap fails
+    fast on accidental high-cardinality columns instead of flooding the
+    driver (SURVEY §3.4; ``None`` restores the reference's unbounded
+    behavior)."""
+
     def __init__(
         self,
         ref: DataReference,
@@ -103,61 +129,101 @@ class VarCharRegex(Constraint):
         self._max_uniques = max_uniques
 
     def test(self, engine: SparkSession) -> TestResult:
-        # in-memory regex matching collects O(|distinct|) values — the
-        # cap (SURVEY §3.4) fails fast on accidental high-cardinality
-        # columns instead of flooding the driver
-        uniques_counter, _selections = ops.get_uniques(
+        tallies, _selections = ops.get_uniques(
             engine, self._ref, max_uniques=self._max_uniques
         )
-        if not self._allow_none and uniques_counter.get(None):
-            return TestResult.failure(
-                "The column contains a None value when it's not allowed. "
-                "To ignore None values, please use `allow_none=True` option."
-            )
-        elif None in uniques_counter:
-            uniques_counter.pop(None)
-
-        uniques_factual = list(uniques_counter.keys())
+        if tallies.get(None):
+            if not self._allow_none:
+                return TestResult.failure(_SAY_NONE_BLOCKED)
+        tallies.pop(None, None)
         if not self._ref_value:
             return TestResult.failure("No regex pattern given")
 
-        pattern = re.compile(self._ref_value)
-        uniques_mismatching = {x for x in uniques_factual if not pattern.match(x)}
-
+        matcher = re.compile(self._ref_value).match
+        mismatching = {value for value in tallies if not matcher(value)}
         if self._aggregated:
-            n_violations = len(uniques_mismatching)
-            n_total = len(uniques_factual)
+            bad, total = len(mismatching), len(tallies)
         else:
-            n_violations = sum(uniques_counter[key] for key in uniques_mismatching)
-            n_total = sum(count for _, count in uniques_counter.items())
+            bad = sum(tallies[value] for value in mismatching)
+            total = sum(tallies.values())
+        ratio = bad / total
+        if ratio <= self._relative_tolerance:
+            return TestResult.success()
 
-        n_relative_violations = n_violations / n_total
-
-        if self._n_counterexamples == -1:
-            counterexamples = list(uniques_mismatching)
-        else:
-            counterexamples = list(
-                itertools.islice(uniques_mismatching, self._n_counterexamples)
+        keep = (
+            None if self._n_counterexamples == -1 else self._n_counterexamples
+        )
+        examples = list(itertools.islice(mismatching, keep))
+        return TestResult.failure(
+            _SAY_REGEX_BROKEN.format(
+                ref=self._ref,
+                pattern=self._ref_value,
+                ratio=ratio,
+                slack=self._relative_tolerance,
+                bad=bad,
+                total=total,
+                examples=_example_clause(examples),
+                cond=self._condition_string,
             )
-        counterexample_string = (
-            (f"Some counterexamples consist of the following: {counterexamples}. ")
-            if counterexamples
-            else ""
         )
 
-        if n_relative_violations > self._relative_tolerance:
-            return TestResult.failure(
-                f"{self._ref} "
-                f"breaks regex '{self._ref_value}' in {n_relative_violations} > "
-                f"{self._relative_tolerance} of the cases. "
-                f"In absolute terms, {n_violations} of the {n_total} samples "
-                f"violated the regex. "
-                f"{counterexample_string}{self._condition_string}"
-            )
-        return TestResult.success()
+
+class _VarCharLengthBound(Constraint):
+    """min/max length gate: declarative direction, same asymmetric
+    empty-set handling as the numeric extremum family."""
+
+    _kind: str
+
+    def __init__(
+        self,
+        ref: DataReference,
+        *,
+        ref2: DataReference | None = None,
+        bound: int | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        super().__init__(
+            ref, ref2=ref2, ref_value=bound, name=name, cache_size=cache_size
+        )
+
+    def _retrieve(
+        self, engine: SparkSession, ref: DataReference
+    ) -> tuple[int, OptionalSelections]:
+        fetch = (
+            ops.get_min_length if self._kind == "min" else ops.get_max_length
+        )
+        return fetch(engine, ref)
+
+    def _compare(
+        self, value_factual: int, value_target: int
+    ) -> tuple[bool, str | None]:
+        if self._kind == "min":
+            if value_target is None:
+                return True, None
+            if value_factual is None:
+                return value_target == 0, "Empty set."
+            holds = value_factual >= value_target
+        else:
+            if value_factual is None:
+                return True, None
+            if value_target is None:
+                return value_factual == 0, "Reference value is None."
+            holds = value_factual <= value_target
+        verdict = _SAY_LENGTH.format(
+            ref=self._ref,
+            kind=self._kind,
+            got=value_factual,
+            prefix=self._target_prefix,
+            want=value_target,
+            cond=self._condition_string,
+        )
+        return holds, verdict
 
 
-class VarCharMinLength(Constraint):
+class VarCharMinLength(_VarCharLengthBound):
+    _kind = "min"
+
     def __init__(
         self,
         ref: DataReference,
@@ -168,31 +234,13 @@ class VarCharMinLength(Constraint):
         cache_size=None,
     ):
         super().__init__(
-            ref, ref2=ref2, ref_value=min_length, name=name, cache_size=cache_size
+            ref, ref2=ref2, bound=min_length, name=name, cache_size=cache_size
         )
 
-    def _retrieve(
-        self, engine: SparkSession, ref: DataReference
-    ) -> tuple[int, OptionalSelections]:
-        return ops.get_min_length(engine, ref)
 
-    def _compare(
-        self, value_factual: int, value_target: int
-    ) -> tuple[bool, str | None]:
-        if value_target is None:
-            return True, None
-        if value_factual is None:
-            return value_target == 0, "Empty set."
-        assertion_text = (
-            f"{self._ref} "
-            f"has min length {value_factual} instead of "
-            f"{self._target_prefix} {value_target}. "
-            f"{self._condition_string}"
-        )
-        return value_factual >= value_target, assertion_text
+class VarCharMaxLength(_VarCharLengthBound):
+    _kind = "max"
 
-
-class VarCharMaxLength(Constraint):
     def __init__(
         self,
         ref: DataReference,
@@ -203,25 +251,5 @@ class VarCharMaxLength(Constraint):
         cache_size=None,
     ):
         super().__init__(
-            ref, ref2=ref2, ref_value=max_length, name=name, cache_size=cache_size
+            ref, ref2=ref2, bound=max_length, name=name, cache_size=cache_size
         )
-
-    def _retrieve(
-        self, engine: SparkSession, ref: DataReference
-    ) -> tuple[int, OptionalSelections]:
-        return ops.get_max_length(engine, ref)
-
-    def _compare(
-        self, value_factual: int, value_target: int
-    ) -> tuple[bool, str | None]:
-        if value_factual is None:
-            return True, None
-        if value_target is None:
-            return value_factual == 0, "Reference value is None."
-        assertion_text = (
-            f"{self._ref} "
-            f"has max length {value_factual} instead of "
-            f"{self._target_prefix} {value_target}. "
-            f"{self._condition_string}"
-        )
-        return value_factual <= value_target, assertion_text

@@ -1,37 +1,50 @@
-"""Failure-message formatters (plain and ANSI).
+"""Failure-message markup rendering.
 
-Parity with /root/reference/src/datajudge/formatter.py:10-37, minus the
-colorama dependency: we emit raw ANSI escapes (cyan background) directly.
+Failure messages carry lightweight BB-style tags around the digits that
+differ between factual and target values (``[numDiff]...[/numDiff]``,
+``[numMatch]...[/numMatch]`` — written by ``utils.format_difference``).
+A formatter decides how those tags render: the plain ``Formatter``
+erases them (log files, CI output), ``AnsiColorFormatter`` highlights
+the differing digits with a cyan background (interactive terminals).
+
+Tag vocabulary is reference-compatible
+(/root/reference/src/datajudge/formatter.py) so messages written by
+either engine render identically; the implementation is a table-driven
+regex substitution with raw ANSI escapes instead of a colorama
+dependency.
 """
 
 from __future__ import annotations
 
-import abc
 import re
 
-# example: match = [numDiff]...[/numDiff]
-_STYLING_CODES = r"\[(numMatch|numDiff)\](.*?)\[/\1\]"
+_TAGGED = re.compile(r"\[(numMatch|numDiff)\](.*?)\[/\1\]")
 
-_ANSI_BACK_CYAN = "\x1b[46m"
-_ANSI_BACK_RESET = "\x1b[49m"
+# style tag -> (prefix, suffix) escape pair; missing tags render bare
+_ANSI_STYLES = {
+    "numDiff": ("\x1b[46m", "\x1b[49m"),  # cyan background on/off
+}
 
 
-class Formatter(abc.ABC):
-    def __init__(self):
-        self._known_bb_pattern = re.compile(_STYLING_CODES)
+class Formatter:
+    """Renders messages for plain destinations: tags are erased, the
+    inner text stays."""
 
-    def _apply_formatting(self, style: str, inner: str) -> str:
-        # The default formatter strips styling codes.
-        return inner
+    _styles: dict[str, tuple[str, str]] = {}
 
     def fmt_str(self, string: str) -> str:
-        return self._known_bb_pattern.sub(
-            lambda m: self._apply_formatting(m.group(1), m.group(2)), string
-        )
+        def render(match: re.Match) -> str:
+            tag, inner = match.group(1), match.group(2)
+            wrap = self._styles.get(tag)
+            if wrap is None:
+                return inner
+            return f"{wrap[0]}{inner}{wrap[1]}"
+
+        return _TAGGED.sub(render, string)
 
 
 class AnsiColorFormatter(Formatter):
-    def _apply_formatting(self, style: str, inner: str) -> str:
-        if style == "numDiff":
-            return f"{_ANSI_BACK_CYAN}{inner}{_ANSI_BACK_RESET}"
-        return inner
+    """Renders for interactive terminals: differing digits get a cyan
+    background, matching digits stay bare."""
+
+    _styles = _ANSI_STYLES
