@@ -1,7 +1,13 @@
-"""Row-level set constraints (parity: /root/reference/src/datajudge/constraints/row.py).
+"""Row-level set gates: equality / subset / superset via EXCEPT
+DISTINCT, and the matched-rows comparison gate.
 
-All set operations here use EXCEPT-DISTINCT semantics (``subtract``), as the
-reference mandates (requirements.py:2092-2095).
+All set operations use EXCEPT-DISTINCT semantics (``subtract``), as the
+reference mandates (requirements.py:2092-2095).  Message wording stays
+byte-compatible with the reference
+(/root/reference/src/datajudge/constraints/row.py); pinned by
+``tests/test_message_parity.py``.  The structure is the repo's own: one
+declarative missing-fraction core drives equality/subset/superset
+through three small difference/denominator/verdict specs.
 """
 
 from __future__ import annotations
@@ -15,8 +21,26 @@ from ..operators import MatchAndCompare
 from ..reference import DataReference
 from .base import Constraint, TestResult, ToleranceGetter, format_sample
 
+_SAY_DIFFER = (
+    "{ratio} > {slack} of rows differ between {left} and {right}. "
+    "E.g. for {sample}."
+)
+_SAY_NOT_IN = (
+    "{ratio} > {slack} of rows of {holder} are not in {other}. "
+    "E.g. for {sample}. {cond} "
+)
+_SAY_MATCH_DIFFER = (
+    "{ratio} > {slack} of the rows differ on a match of {matched} rows "
+    "between {left} and {right}. {cond}{spec} "
+)
+
 
 class Row(Constraint, abc.ABC):
+    """Shared skeleton: resolve the engine-dependent tolerance, pull a
+    counterexample from each set difference (both directions, so the
+    verdict can show whichever side actually misses rows), then run the
+    standard factual/target comparison."""
+
     def __init__(
         self,
         ref: DataReference,
@@ -40,116 +64,113 @@ class Row(Constraint, abc.ABC):
         )
         return super().test(engine)
 
+    def _difference_count(self, engine: SparkSession, a, b) -> int:
+        count, selections = ops.get_row_difference_count(engine, a, b)
+        return count, selections
 
-class RowEquality(Row):
-    def _get_factual_value(self, engine: SparkSession) -> tuple[int, int]:
-        n_missing_left, selections_left = ops.get_row_difference_count(
-            engine, self._ref, self._ref2
+
+class _OneSidedContainment(Row, abc.ABC):
+    """subset/superset: |holder − other| / |holder| must stay within
+    tolerance.  Subclasses say which reference HOLDS the rows that must
+    be contained in the other."""
+
+    _holder_is_ref2: bool
+
+    def _sides(self):
+        if self._holder_is_ref2:
+            return self._ref2, self._ref
+        return self._ref, self._ref2
+
+    def _get_factual_value(self, engine: SparkSession) -> int:
+        holder, other = self._sides()
+        missing, self._factual_selections = self._difference_count(
+            engine, holder, other
         )
-        n_missing_right, selections_right = ops.get_row_difference_count(
-            engine, self._ref2, self._ref
-        )
-        self._factual_selections = [*selections_left, *selections_right]
-        return n_missing_left, n_missing_right
+        return missing
 
     def _get_target_value(self, engine: SparkSession) -> int:
-        n_rows_total, selections = ops.get_unique_count_union(
+        holder, _other = self._sides()
+        total, self._target_selections = ops.get_unique_count(engine, holder)
+        return total
+
+    def _compare(
+        self, n_rows_missing: int, n_rows_total: int
+    ) -> tuple[bool, str | None]:
+        if n_rows_total == 0:
+            return True, None
+        ratio = n_rows_missing / n_rows_total
+        if ratio <= self._max_missing_fraction:
+            return True, None
+        holder, other = self._sides()
+        sample = (
+            self._ref2_minus_ref1_sample
+            if self._holder_is_ref2
+            else self._ref1_minus_ref2_sample
+        )
+        return False, _SAY_NOT_IN.format(
+            ratio=ratio,
+            slack=self._max_missing_fraction,
+            holder=holder,
+            other=other,
+            sample=format_sample(sample, holder),
+            cond=self._condition_string,
+        )
+
+
+class RowSubset(_OneSidedContainment):
+    _holder_is_ref2 = False
+
+
+class RowSuperset(_OneSidedContainment):
+    _holder_is_ref2 = True
+
+
+class RowEquality(Row):
+    """Symmetric difference over the distinct union:
+    (|T1 − T2| + |T2 − T1|) / |T1 ∪ T2|."""
+
+    def _get_factual_value(self, engine: SparkSession) -> tuple[int, int]:
+        left_missing, left_sel = self._difference_count(
             engine, self._ref, self._ref2
         )
-        self._target_selections = selections
-        return n_rows_total
+        right_missing, right_sel = self._difference_count(
+            engine, self._ref2, self._ref
+        )
+        self._factual_selections = [*left_sel, *right_sel]
+        return left_missing, right_missing
 
-    # fraction: (|T1 - T2| + |T2 - T1|) / |T1 U T2|
+    def _get_target_value(self, engine: SparkSession) -> int:
+        union_size, self._target_selections = ops.get_unique_count_union(
+            engine, self._ref, self._ref2
+        )
+        return union_size
+
     def _compare(
         self, n_rows_missing_tuple: tuple[int, int], n_rows_total: int
     ) -> tuple[bool, str | None]:
-        n_missing_left, n_missing_right = n_rows_missing_tuple
-        missing_fraction = (n_missing_left + n_missing_right) / n_rows_total
-        result = missing_fraction <= self._max_missing_fraction
-        if result:
-            return result, None
-        if n_missing_left > 0:
-            sample_string = format_sample(self._ref1_minus_ref2_sample, self._ref2)
+        left_missing, right_missing = n_rows_missing_tuple
+        ratio = (left_missing + right_missing) / n_rows_total
+        if ratio <= self._max_missing_fraction:
+            return True, None
+        # show a row from whichever direction actually misses
+        if left_missing > 0:
+            sample = format_sample(self._ref1_minus_ref2_sample, self._ref2)
         else:
-            sample_string = format_sample(self._ref2_minus_ref1_sample, self._ref)
-        return result, (
-            f"{missing_fraction} > "
-            f"{self._max_missing_fraction} of rows differ "
-            f"between {self._ref} and "
-            f"{self._ref2}. E.g. for "
-            f"{sample_string}."
-        )
-
-
-class RowSubset(Row):
-    def _get_factual_value(self, engine: SparkSession) -> int:
-        n_rows_missing, selections = ops.get_row_difference_count(
-            engine, self._ref, self._ref2
-        )
-        self._factual_selections = selections
-        return n_rows_missing
-
-    def _get_target_value(self, engine: SparkSession) -> int:
-        n_rows_total, selections = ops.get_unique_count(engine, self._ref)
-        self._target_selections = selections
-        return n_rows_total
-
-    # fraction: |T1 - T2| / |T1|
-    def _compare(
-        self, n_rows_missing: int, n_rows_total: int
-    ) -> tuple[bool, str | None]:
-        if n_rows_total == 0:
-            return True, None
-        missing_fraction = n_rows_missing / n_rows_total
-        result = missing_fraction <= self._max_missing_fraction
-        if result:
-            return result, None
-        sample_string = format_sample(self._ref1_minus_ref2_sample, self._ref)
-        return result, (
-            f"{missing_fraction} > "
-            f"{self._max_missing_fraction} of rows of "
-            f"{self._ref} are "
-            f"not in {self._ref2}. E.g. for "
-            f"{sample_string}. "
-            f"{self._condition_string} "
-        )
-
-
-class RowSuperset(Row):
-    def _get_factual_value(self, engine: SparkSession) -> int:
-        n_rows_missing, selections = ops.get_row_difference_count(
-            engine, self._ref2, self._ref
-        )
-        self._factual_selections = selections
-        return n_rows_missing
-
-    def _get_target_value(self, engine: SparkSession) -> int:
-        n_rows_total, selections = ops.get_unique_count(engine, self._ref2)
-        self._target_selections = selections
-        return n_rows_total
-
-    # fraction: |T2 - T1| / |T2|
-    def _compare(
-        self, n_rows_missing: int, n_rows_total: int
-    ) -> tuple[bool, str | None]:
-        if n_rows_total == 0:
-            return True, None
-        missing_fraction = n_rows_missing / n_rows_total
-        result = missing_fraction <= self._max_missing_fraction
-        if result:
-            return result, None
-        sample_string = format_sample(self._ref2_minus_ref1_sample, self._ref2)
-        return result, (
-            f"{missing_fraction} > "
-            f"{self._max_missing_fraction} of rows of "
-            f"{self._ref2} are "
-            f"not in {self._ref}. E.g. for "
-            f"{sample_string}. "
-            f"{self._condition_string} "
+            sample = format_sample(self._ref2_minus_ref1_sample, self._ref)
+        return False, _SAY_DIFFER.format(
+            ratio=ratio,
+            slack=self._max_missing_fraction,
+            left=self._ref,
+            right=self._ref2,
+            sample=sample,
         )
 
 
 class RowMatchingEquality(Row):
+    """Among rows MATCHED on key columns, the fraction whose comparison
+    columns disagree must stay within tolerance — the "same entity,
+    different payload" gate."""
+
     def __init__(
         self,
         ref: DataReference,
@@ -177,17 +198,20 @@ class RowMatchingEquality(Row):
         )
 
     def test(self, engine: SparkSession) -> TestResult:
-        missing_fraction, n_rows_match, _selections = ops.get_row_mismatch(
+        ratio, matched, _selections = ops.get_row_mismatch(
             engine, self._ref, self._ref2, self._match_and_compare
         )
-        max_missing_fraction = self._max_missing_fraction_getter(engine)
-        if missing_fraction <= max_missing_fraction:
+        slack = self._max_missing_fraction_getter(engine)
+        if ratio <= slack:
             return TestResult.success()
         return TestResult.failure(
-            f"{missing_fraction} > "
-            f"{max_missing_fraction} of the rows differ "
-            f"on a match of {n_rows_match} rows between {self._ref} and "
-            f"{self._ref2}. "
-            f"{self._condition_string}"
-            f"{self._match_and_compare} "
+            _SAY_MATCH_DIFFER.format(
+                ratio=ratio,
+                slack=slack,
+                matched=matched,
+                left=self._ref,
+                right=self._ref2,
+                cond=self._condition_string,
+                spec=self._match_and_compare,
+            )
         )

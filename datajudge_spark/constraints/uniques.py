@@ -1,4 +1,18 @@
-"""Uniques constraints (parity: /root/reference/src/datajudge/constraints/uniques.py)."""
+"""Distinct-value set gates: value-set equality/subset/superset with
+driver-side hooks, distinct-count bounds, and per-category share bounds.
+
+Message wording stays byte-compatible with the reference
+(/root/reference/src/datajudge/constraints/uniques.py); pinned by
+``tests/test_message_parity.py``.  The structure is the repo's own:
+verdicts render from module templates, the set algebra lives in the
+``_excess_of``/``_missing_from`` helpers, and the distinct-count
+gain/loss pair shares one relative-change driver.
+
+The collected-uniques path is where a 100 TB caller can hurt
+themselves, so ``max_uniques`` (operators.uniques.DEFAULT_MAX_UNIQUES)
+caps the driver collect and RAISES on accidental high-cardinality
+columns — never a silent truncation.
+"""
 
 from __future__ import annotations
 
@@ -12,46 +26,75 @@ from math import ceil, floor
 from pyspark.sql import SparkSession
 
 from .. import operators as ops
-from ..reference import DataReference
 from ..operators.uniques import DEFAULT_MAX_UNIQUES
+from ..reference import DataReference
 from ..utils import OutputProcessor, filternull_element, output_processor_limit
 from .base import Constraint, OptionalSelections, TestResult, ToleranceGetter, _T
 
+_SAY_LACKS = (
+    "{ref} doesn't have the element(s) '{missing}' when compared with "
+    "the reference values. {cond}"
+)
+_SAY_EXCEEDS = (
+    "{ref} has the excess element(s) '{excess}' when compared with the "
+    "reference values. {cond}"
+)
+_SAY_LACKS_AND_EXCEEDS = (
+    "{ref} doesn't have the element(s) '{missing}' and has the excess "
+    "element(s) '{excess}' when compared with the reference values. "
+    "{cond}"
+)
+_SAY_NOT_CONTAINED = (
+    "{ref} has a fraction of {ratio} > {slack} {distinct}values "
+    "({bad} / {total}) not being an element of '{allowed}'. It has "
+    "excess elements '{excess}' with counts {tallies}.{cond}"
+)
+_SAY_NOT_COVERING = (
+    "{ref} has a fraction of {ratio} > {slack} ({bad} / {total}) "
+    "lacking unique values of '{wanted}'. It doesn't have the unique "
+    "value(s) '{missing}'.{cond}"
+)
+_SAY_N_UNIQUES = (
+    "{ref} has {got} unique(s) instead of {prefix}{want}. {cond}"
+)
+_SAY_UNIQUES_LOST = (
+    "{ref} has lost {change} of #uniques of table {other}. It was only "
+    "allowed to decrease {slack}. {cond}"
+)
+_SAY_UNIQUES_GAINED = (
+    "{ref} has {change} of #uniques of {other}. It was only allowed to "
+    "increase {slack} . {cond}"
+)
 
-def _is_superset(
-    values1: Collection[_T], values2: Collection[_T]
-) -> tuple[bool, set[_T]]:
-    """Check whether values1 is a superset of values2 (reference uniques.py:18-23)."""
-    remainder = set(values2) - set(values1)
-    return len(remainder) == 0, remainder
+
+def _missing_from(have: Collection[_T], want: Collection[_T]) -> set[_T]:
+    """Reference values absent from the factual set."""
+    return set(want) - set(have)
 
 
-def _is_subset(
-    values1: Collection[_T], values2: Collection[_T]
-) -> tuple[bool, set[_T]]:
-    """Check whether values1 is a subset of values2 (reference uniques.py:26-31)."""
-    remainder = set(values1) - set(values2)
-    return len(remainder) == 0, remainder
+def _excess_of(have: Collection[_T], want: Collection[_T]) -> set[_T]:
+    """Factual values outside the reference set."""
+    return set(have) - set(want)
 
 
-def _subset_violation_counts(
-    values1: Collection[_T], counts: list[int], values2: Collection[_T]
-) -> tuple[bool, dict]:
-    """Frequencies of elements from values1 not in values2
-    (reference uniques.py:34-43)."""
-    remainder = {
-        value: count
-        for (value, count) in zip_longest(values1, counts, fillvalue=-1)
-        if value not in values2
+def _excess_tallies(
+    have: Collection[_T], tallies: list[int], want: Collection[_T]
+) -> dict:
+    """Per-value frequencies of factual values outside the reference
+    set (a missing tally renders as -1, mirroring the reference's
+    zip_longest fill)."""
+    return {
+        value: tally
+        for value, tally in zip_longest(have, tallies, fillvalue=-1)
+        if value not in want
     }
-    return len(remainder) == 0, remainder
 
 
 class Uniques(Constraint, abc.ABC):
-    """Compare unique values of column(s) against a reference set
-    (reference uniques.py:46-165). NULL handling is driver-side via
-    ``filter_func`` (utils.filternull_*); ``map_func``/``reduce_func`` allow
-    per-value and global post-processing of collected uniques."""
+    """Shared retrieval for the value-set family: collect the distinct
+    values (capped), then run the user's driver-side hooks — NULL
+    policy via ``filter_func`` (utils.filternull_*), per-value
+    ``map_func``, whole-collection ``reduce_func``."""
 
     def __init__(
         self,
@@ -71,12 +114,10 @@ class Uniques(Constraint, abc.ABC):
         compare_distinct=False,
         max_uniques: int | None = DEFAULT_MAX_UNIQUES,
     ):
-        ref_value: tuple[Collection, list] | None
-        ref_value = (uniques, []) if uniques else None
         super().__init__(
             ref,
             ref2=ref2,
-            ref_value=ref_value,
+            ref_value=(uniques, []) if uniques else None,
             name=name,
             cache_size=cache_size,
             output_processors=output_processors,
@@ -91,15 +132,20 @@ class Uniques(Constraint, abc.ABC):
         self._compare_distinct = compare_distinct
         self._max_uniques = max_uniques
 
+    def _forbid(self, kwargs: dict, option: str, gate: str) -> None:
+        if kwargs.get(option):
+            raise RuntimeError(f"{option} is not supported for {gate}.")
+
     def _retrieve(
         self, engine: SparkSession, ref: DataReference
     ) -> tuple[tuple[list, list[int]], OptionalSelections]:
-        uniques, selections = ops.get_uniques(
+        tallies, selections = ops.get_uniques(
             engine, ref, max_uniques=self._max_uniques
         )
-        values = list(uniques.keys())
-        values = self._filter_func(values)
-        counts = [uniques[value] for value in values]
+        values = self._filter_func(list(tallies.keys()))
+        # tallies pair with the PRE-map values: map/reduce reshape what
+        # is compared, not how often the original values occurred
+        counts = [tallies[value] for value in values]
         if self._local_func:
             values = list(map(self._local_func, values))
         if self._global_func:
@@ -112,13 +158,12 @@ class Uniques(Constraint, abc.ABC):
 
 
 class UniquesEquality(Uniques):
+    """The factual and reference value sets must coincide exactly; the
+    verdict names what is missing, what is surplus, or both."""
+
     def __init__(self, args, name: str | None = None, cache_size=None, **kwargs):
-        if kwargs.get("max_relative_violations"):
-            raise RuntimeError(
-                "max_relative_violations is not supported for UniquesEquality."
-            )
-        if kwargs.get("compare_distinct"):
-            raise RuntimeError("compare_distinct is not supported for UniquesEquality.")
+        self._forbid(kwargs, "max_relative_violations", "UniquesEquality")
+        self._forbid(kwargs, "compare_distinct", "UniquesEquality")
         super().__init__(args, name=name, cache_size=cache_size, **kwargs)
 
     def _compare(
@@ -126,87 +171,74 @@ class UniquesEquality(Uniques):
         value_factual: tuple[list, list[int]],
         value_target: tuple[Collection, list[int]],
     ) -> tuple[bool, str | None]:
-        factual_values = set(value_factual[0])
-        target_values = set(value_target[0])
-        is_subset, excess_values = _is_subset(factual_values, target_values)
-        is_superset, lacking_values = _is_superset(factual_values, target_values)
-        if not is_subset and not is_superset:
-            return False, (
-                f"{self._ref} doesn't have the element(s) "
-                f"'{self._apply_output_formatting(lacking_values)}' and has the "
-                f"excess element(s) "
-                f"'{self._apply_output_formatting(excess_values)}' when compared "
-                f"with the reference values. "
-                f"{self._condition_string}"
-            )
-        if not is_subset:
-            return False, (
-                f"{self._ref} has the excess element(s) "
-                f"'{self._apply_output_formatting(excess_values)}' when compared "
-                f"with the reference values. "
-                f"{self._condition_string}"
-            )
-        if not is_superset:
-            return False, (
-                f"{self._ref} doesn't have the element(s) "
-                f"'{self._apply_output_formatting(lacking_values)}' when compared "
-                f"with the reference values. "
-                f"{self._condition_string}"
-            )
-        return True, None
+        have, want = set(value_factual[0]), set(value_target[0])
+        missing = _missing_from(have, want)
+        surplus = _excess_of(have, want)
+        if not missing and not surplus:
+            return True, None
+        if missing and surplus:
+            template = _SAY_LACKS_AND_EXCEEDS
+        elif missing:
+            template = _SAY_LACKS
+        else:
+            template = _SAY_EXCEEDS
+        return False, template.format(
+            ref=self._ref,
+            missing=self._apply_output_formatting(missing),
+            excess=self._apply_output_formatting(surplus),
+            cond=self._condition_string,
+        )
 
 
 class UniquesSubset(Uniques):
+    """Factual values must (mostly) come from the reference set; the
+    violation mass is counted per ROW by default, per DISTINCT value
+    with ``compare_distinct``."""
+
     def _compare(
         self,
         value_factual: tuple[list, list[int]],
         value_target: tuple[Collection, list[int]],
     ) -> tuple[bool, str | None]:
-        factual_values, factual_counts = value_factual
-        target_values, _ = value_target
-
-        is_subset, remainder = _subset_violation_counts(
-            factual_values, factual_counts, target_values
-        )
-        if not self._compare_distinct:
-            n_rows = sum(factual_counts)
-            n_violations = sum(remainder.values())
+        have, tallies = value_factual
+        want = value_target[0]
+        offenders = _excess_tallies(have, tallies, want)
+        if self._compare_distinct:
+            bad, total = len(offenders), len(have)
         else:
-            n_rows = len(factual_values)
-            n_violations = len(remainder)
-
-        if (
-            n_rows > 0
-            and (relative_violations := (n_violations / n_rows))
-            > self._max_relative_violations
-        ):
-            output_elems, output_counts = (
-                list(remainder.keys()),
-                list(remainder.values()),
+            bad, total = sum(offenders.values()), sum(tallies)
+        if total == 0:
+            return True, None
+        ratio = bad / total
+        if ratio <= self._max_relative_violations:
+            return True, None
+        shown_values = list(offenders.keys())
+        shown_tallies = list(offenders.values())
+        for processor in self._output_processors or []:
+            shown_values, shown_tallies = processor(
+                shown_values, shown_tallies
             )
-            if self._output_processors is not None:
-                for output_processor in self._output_processors:
-                    output_elems, output_counts = output_processor(
-                        output_elems, output_counts
-                    )
-            return False, (
-                f"{self._ref} has a fraction of {relative_violations} > "
-                f"{self._max_relative_violations} "
-                f"{'DISTINCT ' if self._compare_distinct else ''}values "
-                f"({n_violations} / {n_rows}) not being an element of "
-                f"'{self._apply_output_formatting(set(target_values))}'. "
-                f"It has excess elements "
-                f"'{output_elems}' "
-                f"with counts {output_counts}."
-                f"{self._condition_string}"
-            )
-        return True, None
+        return False, _SAY_NOT_CONTAINED.format(
+            ref=self._ref,
+            ratio=ratio,
+            slack=self._max_relative_violations,
+            distinct="DISTINCT " if self._compare_distinct else "",
+            bad=bad,
+            total=total,
+            allowed=self._apply_output_formatting(set(want)),
+            excess=shown_values,
+            tallies=shown_tallies,
+            cond=self._condition_string,
+        )
 
 
 class UniquesSuperset(Uniques):
+    """Factual values must (mostly) COVER the reference set; an empty
+    selection passes vacuously (there is nothing to judge coverage
+    against, per the reference)."""
+
     def __init__(self, args, name: str | None = None, cache_size=None, **kwargs):
-        if kwargs.get("compare_distinct"):
-            raise RuntimeError("compare_distinct is not supported for UniquesSuperset.")
+        self._forbid(kwargs, "compare_distinct", "UniquesSuperset")
         super().__init__(args, name=name, cache_size=cache_size, **kwargs)
 
     def _compare(
@@ -214,32 +246,29 @@ class UniquesSuperset(Uniques):
         value_factual: tuple[list, list[int]],
         value_target: tuple[Collection, list[int]],
     ) -> tuple[bool, str | None]:
-        factual_values, _ = value_factual
-        target_values, _ = value_target
-        is_superset, remainder = _is_superset(factual_values, target_values)
-        if (
-            len(factual_values) > 0
-            and (
-                relative_violations := (
-                    (n_violations := len(remainder)) / (n_rows := len(target_values))
-                )
-            )
-            > self._max_relative_violations
-        ):
-            return False, (
-                f"{self._ref} has a fraction of "
-                f"{relative_violations} > {self._max_relative_violations} "
-                f"({n_violations} / {n_rows}) "
-                f"lacking unique values of "
-                f"'{self._apply_output_formatting(set(target_values))}'. It "
-                f"doesn't have the unique value(s) "
-                f"'{self._apply_output_formatting(list(remainder))}'."
-                f"{self._condition_string}"
-            )
-        return True, None
+        have = value_factual[0]
+        want = value_target[0]
+        if not have:
+            return True, None
+        missing = _missing_from(have, want)
+        ratio = len(missing) / len(want)
+        if ratio <= self._max_relative_violations:
+            return True, None
+        return False, _SAY_NOT_COVERING.format(
+            ref=self._ref,
+            ratio=ratio,
+            slack=self._max_relative_violations,
+            bad=len(missing),
+            total=len(want),
+            wanted=self._apply_output_formatting(set(want)),
+            missing=self._apply_output_formatting(list(missing)),
+            cond=self._condition_string,
+        )
 
 
 class NUniques(Constraint, abc.ABC):
+    """Factual/target values are distinct counts."""
+
     def __init__(
         self,
         ref: DataReference,
@@ -263,84 +292,77 @@ class NUniquesEquality(NUniques):
     def _compare(
         self, value_factual: int, value_target: int
     ) -> tuple[bool, str | None]:
-        result = value_factual == value_target
-        assertion_text = (
-            f"{self._ref} has {value_factual} "
-            f"unique(s) instead of {self._target_prefix}"
-            f"{value_target}. "
-            f"{self._condition_string}"
+        verdict = _SAY_N_UNIQUES.format(
+            ref=self._ref,
+            got=value_factual,
+            prefix=self._target_prefix,
+            want=value_target,
+            cond=self._condition_string,
         )
-        return result, assertion_text
+        return value_factual == value_target, verdict
 
 
-class NUniquesMaxLoss(NUniques):
+class _NUniquesRelativeChange(NUniques, abc.ABC):
+    """Shared driver for the distinct-count gain/loss pair (same shape
+    as the row-count family, but with the reference's own asymmetric
+    degenerate verdicts)."""
+
+    _template: str
+    _measures_gain: bool
+
     def __init__(
         self,
         ref: DataReference,
         ref2: DataReference,
-        max_relative_loss_getter: ToleranceGetter,
+        tolerance_getter: ToleranceGetter,
         name: str | None = None,
         cache_size=None,
     ):
         super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
-        self._max_relative_loss_getter = max_relative_loss_getter
+        self._tolerance_getter = tolerance_getter
+
+    def test(self, engine: SparkSession) -> TestResult:
+        self._tolerance = self._tolerance_getter(engine)
+        return super().test(engine)
 
     def _compare(
         self, value_factual: int, value_target: int
     ) -> tuple[bool, str | None]:
-        if value_target == 0 or value_factual > value_target:
-            return True, None
-        relative_loss = (value_target - value_factual) / value_target
-        assertion_text = (
-            f"{self._ref} has lost {relative_loss} "
-            f"of #uniques of table {self._ref2}. It "
-            f"was only allowed to decrease "
-            f"{self._max_relative_loss}. "
-            f"{self._condition_string}"
+        if self._measures_gain:
+            if value_target == 0:
+                return False, "Target table empty."
+            if value_factual < value_target:
+                return True, None
+        else:
+            if value_target == 0 or value_factual > value_target:
+                return True, None
+        change = abs(value_factual - value_target) / value_target
+        verdict = self._template.format(
+            ref=self._ref,
+            other=self._ref2,
+            change=change,
+            slack=self._tolerance,
+            cond=self._condition_string,
         )
-        return relative_loss <= self._max_relative_loss, assertion_text
-
-    def test(self, engine: SparkSession) -> TestResult:
-        self._max_relative_loss = self._max_relative_loss_getter(engine)
-        return super().test(engine)
+        return change <= self._tolerance, verdict
 
 
-class NUniquesMaxGain(NUniques):
-    def __init__(
-        self,
-        ref: DataReference,
-        ref2: DataReference,
-        max_relative_gain_getter: ToleranceGetter,
-        name: str | None = None,
-        cache_size=None,
-    ):
-        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
-        self._max_relative_gain_getter = max_relative_gain_getter
+class NUniquesMaxLoss(_NUniquesRelativeChange):
+    _template = _SAY_UNIQUES_LOST
+    _measures_gain = False
 
-    def _compare(
-        self, value_factual: int, value_target: int
-    ) -> tuple[bool, str | None]:
-        if value_target == 0:
-            return False, "Target table empty."
-        if value_factual < value_target:
-            return True, None
-        relative_gain = (value_factual - value_target) / value_target
-        assertion_text = (
-            f"{self._ref} has {relative_gain} of "
-            f"#uniques of {self._ref2}. It was only "
-            f"allowed to increase {self._max_relative_gain} . "
-            f"{self._condition_string}"
-        )
-        return relative_gain <= self._max_relative_gain, assertion_text
 
-    def test(self, engine: SparkSession) -> TestResult:
-        self._max_relative_gain = self._max_relative_gain_getter(engine)
-        return super().test(engine)
+class NUniquesMaxGain(_NUniquesRelativeChange):
+    _template = _SAY_UNIQUES_GAINED
+    _measures_gain = True
 
 
 class CategoricalBoundConstraint(Constraint):
-    """Shares of specific column values must fall within per-value bounds
-    (reference uniques.py:399-495)."""
+    """Each category's share of rows must fall inside its configured
+    [min, max] band (unlisted categories get ``default_bounds``), with
+    an overall violation-mass budget.  The verdict details every
+    offending category with its observed share and the row counts the
+    band translates to."""
 
     def __init__(
         self,
@@ -365,43 +387,41 @@ class CategoricalBoundConstraint(Constraint):
     ) -> tuple[Counter, OptionalSelections]:
         return ops.get_uniques(engine, ref, max_uniques=self._max_uniques)
 
+    def _band(self, bands: dict, category) -> tuple[float, float]:
+        return bands.get(category, self._default_bounds)
+
     def _compare(
         self, value_factual: Counter, value_target: dict
     ) -> tuple[bool, str | None]:
         total = value_factual.total()
-        all_variants = value_factual.keys() | value_target.keys()
-        min_counts = Counter(
-            {
-                k: value_target.get(k, self._default_bounds)[0] * total
-                for k in all_variants
-            }
+        categories = value_factual.keys() | value_target.keys()
+        floors = Counter(
+            {c: self._band(value_target, c)[0] * total for c in categories}
         )
-        max_counts = Counter(
-            {
-                k: value_target.get(k, self._default_bounds)[1] * total
-                for k in all_variants
-            }
+        ceilings = Counter(
+            {c: self._band(value_target, c)[1] * total for c in categories}
         )
-        violations = (value_factual - max_counts) + (min_counts - value_factual)
-        if (
-            relative_violations := violations.total() / total
-        ) > self._max_relative_violations:
-            assertion_text = (
-                f"{self._ref} has {relative_violations * 100}% > "
-                f"{self._max_relative_violations * 100}% of element(s) "
-                f"violating the bound constraints:\n"
+        # Counter arithmetic keeps only positive entries: rows above
+        # the ceiling plus rows below the floor = the violation mass
+        violations = (value_factual - ceilings) + (floors - value_factual)
+        ratio = violations.total() / total
+        if ratio <= self._max_relative_violations:
+            return True, None
+        lines = [
+            f"{self._ref} has {ratio * 100}% > "
+            f"{self._max_relative_violations * 100}% of element(s) "
+            f"violating the bound constraints:\n"
+        ]
+        for category in violations:
+            lo, hi = self._band(value_target, category)
+            lines.append(
+                f"'{category}' with a share of "
+                f"{value_factual[category] / total * 100}% "
+                f"({value_factual[category]} out of {total}) "
+                f"while a share between {lo * 100}% "
+                f"({ceil(floors[category])}) "
+                f"and {hi * 100}% ({floor(ceilings[category])}) "
+                f"is required\n"
             )
-            for variant in violations:
-                actual_share = value_factual[variant] / total
-                target_share = value_target.get(variant, self._default_bounds)
-                assertion_text += (
-                    f"'{variant}' with a share of {actual_share * 100}% "
-                    f"({value_factual[variant]} out of {total}) "
-                    f"while a share between {target_share[0] * 100}% "
-                    f"({ceil(min_counts[variant])}) "
-                    f"and {target_share[1] * 100}% ({floor(max_counts[variant])}) "
-                    f"is required\n"
-                )
-            assertion_text += f"{self._condition_string}"
-            return False, assertion_text
-        return True, None
+        lines.append(f"{self._condition_string}")
+        return False, "".join(lines)

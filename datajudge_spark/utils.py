@@ -1,40 +1,44 @@
-"""Driver-side helper utilities: output processors, null filters, none-aware sort.
+"""Driver-side post-processing of collected (small) results.
 
-Behavioral parity with the reference's ``datajudge.utils``
-(/root/reference/src/datajudge/utils.py:7-194): these helpers post-process
-*collected* (small) results on the driver — they never touch executor-side data.
+The names here are public API surface shared with the reference's
+``datajudge.utils`` (users pass ``filternull_*`` as ``filter_func`` and
+``output_processor_*`` as ``output_processors``), and the behavior is
+contract: digit-diff highlighting feeds the formatter's tag vocabulary,
+the sort/limit processors shape counterexample listings, and the
+none-aware sort defines how NULL-bearing tuples order in failure
+messages.  Everything operates on already-collected driver data — never
+on executor-side frames.
 """
 
 from __future__ import annotations
 
+from itertools import zip_longest
 from collections.abc import Collection
 from typing import Protocol
-
-
-def _fmt_diff_part(s: str, d: int) -> str:
-    return f"[numDiff]{s[d:]}[/numDiff]" if d < len(s) else ""
 
 
 def format_difference(
     n1: float | int, n2: float | int, decimal_separator: bool = True
 ) -> tuple[str, str]:
-    """Highlight how two numbers differ, using BBCode-ish tags.
-
-    Mirrors reference utils.py:11-51: find the first differing character of the
-    two (comma-grouped) renderings and wrap the differing suffix in
-    ``[numDiff]...[/numDiff]``.
-    """
-    if decimal_separator:
-        s1, s2 = f"{n1:,}", f"{n2:,}"
-    else:
-        s1, s2 = str(n1), str(n2)
-
-    min_len = min(len(s1), len(s2))
-    diff_idx = next((i for i in range(min_len) if s1[i] != s2[i]), min_len)
-    return (
-        f"{s1[:diff_idx]}{_fmt_diff_part(s1, diff_idx)}",
-        f"{s2[:diff_idx]}{_fmt_diff_part(s2, diff_idx)}",
+    """Render two numbers with the digits AFTER their first divergence
+    wrapped in ``[numDiff]`` tags (the formatter decides how those
+    render — stripped in logs, cyan in terminals).  Grouping separators
+    participate in the comparison, so ``1,200`` vs ``1,300`` highlights
+    ``300``, not the whole string."""
+    rendered = (
+        (f"{n1:,}", f"{n2:,}") if decimal_separator else (str(n1), str(n2))
     )
+    split = 0
+    for a, b in zip_longest(*rendered):
+        if a != b:
+            break
+        split += 1
+
+    def tag_suffix(text: str) -> str:
+        head, tail = text[:split], text[split:]
+        return head + (f"[numDiff]{tail}[/numDiff]" if tail else "")
+
+    return tag_suffix(rendered[0]), tag_suffix(rendered[1])
 
 
 class OutputProcessor(Protocol):
@@ -48,55 +52,52 @@ class OutputProcessor(Protocol):
 def output_processor_sort(
     collection: Collection, counts: Collection | None = None
 ) -> tuple[Collection, Collection | None]:
-    """Sort elements descending by count, breaking ties by element ascending.
-
-    Parity with reference utils.py:62-95, including the 1-tuple packaging of
-    scalar collections and the none-aware tuple sort.
-    """
-    collection = list(collection)
-    if len(collection) == 0:
-        return collection, counts
-    if not isinstance(collection[0], tuple):
-        packaged = [(elem,) for elem in collection]
-        res_main, res_counts = output_processor_sort(packaged, counts)
-        return [elem[0] for elem in res_main], res_counts
+    """Order counterexamples by count descending, ties by element
+    ascending (none-aware).  Scalar collections are packaged as
+    1-tuples, sorted, and unpacked, so the same processor serves
+    single- and multi-column listings."""
+    items = list(collection)
+    if not items:
+        return items, counts
+    if not isinstance(items[0], tuple):
+        wrapped, sorted_counts = output_processor_sort(
+            [(value,) for value in items], counts
+        )
+        return [value for (value,) in wrapped], sorted_counts
 
     if counts is None:
-        return sort_tuple_none_aware(collection), counts
-
-    if len(collection) != len(counts):
+        return sort_tuple_none_aware(items), counts
+    if len(items) != len(counts):
         raise ValueError("collection and counts must have the same length")
+    if len(items) <= 1:
+        return items, counts
 
-    if len(collection) <= 1:
-        return collection, counts
-
-    lst = sort_tuple_none_aware(
-        [(-count, *elem) for count, elem in zip(counts, collection)]
+    # negate counts and prepend: one none-aware ascending sort then
+    # gives count-descending, element-ascending
+    keyed = sort_tuple_none_aware(
+        [(-count, *item) for item, count in zip(items, counts)]
     )
-    return [elem[1:] for elem in lst], [-elem[0] for elem in lst]
+    return [row[1:] for row in keyed], [-row[0] for row in keyed]
 
 
 def output_processor_limit(
     collection: Collection, counts: Collection | None = None, limit: int = 100
 ) -> tuple[Collection, Collection | None]:
-    """Truncate to the first ``limit`` elements, appending a truncation notice.
-
-    Parity with reference utils.py:98-122.
-    """
-    collection = list(collection)
-    ret_collection = collection[:limit]
-    ret_counts = None if counts is None else list(counts)[:limit]
-    if len(collection) > limit:
-        ret_collection.append(
+    """Cap a listing at ``limit`` entries, appending an explicit
+    truncation notice so a shortened message can never be mistaken for
+    a complete one."""
+    items = list(collection)
+    kept = items[:limit]
+    kept_counts = None if counts is None else list(counts)[:limit]
+    if len(items) > limit:
+        notice = (
             f"<SHORTENED OUTPUT, displaying the first {limit} / "
-            f"{len(collection)} elements above>"
+            f"{len(items)} {{what}} above>"
         )
-        if ret_counts is not None:
-            ret_counts.append(
-                f"<SHORTENED OUTPUT, displaying the first {limit} / "
-                f"{len(collection)} counts above>"
-            )
-    return ret_collection, ret_counts
+        kept.append(notice.format(what="elements"))
+        if kept_counts is not None:
+            kept_counts.append(notice.format(what="counts"))
+    return kept, kept_counts
 
 
 def filternull_element(values: list) -> list:
@@ -107,12 +108,15 @@ def filternull_never(values: list) -> list:
     return values
 
 
+def _tuple_nulls(value, mode) -> bool:
+    return isinstance(value, tuple) and mode(x is None for x in value)
+
+
 def filternull_element_or_tuple_all(values: list) -> list:
     return [
         value
         for value in values
-        if value is not None
-        and not (isinstance(value, tuple) and all(x is None for x in value))
+        if value is not None and not _tuple_nulls(value, all)
     ]
 
 
@@ -120,39 +124,37 @@ def filternull_element_or_tuple_any(values: list) -> list:
     return [
         value
         for value in values
-        if value is not None
-        and not (isinstance(value, tuple) and any(x is None for x in value))
+        if value is not None and not _tuple_nulls(value, any)
     ]
 
 
 def sort_tuple_none_aware(
     collection: Collection[tuple], ascending: bool = True
 ) -> Collection[tuple]:
-    """Stable sort of equal-length tuples where ``None`` sorts as the column
-    type's default value (0, 0.0, "").
-
-    Parity with reference utils.py:151-194.
-    """
-    lst = list(collection)
-    if len(lst) <= 1:
-        return lst
-
-    if not all(isinstance(elem, tuple) and len(elem) == len(lst[0]) for elem in lst):
+    """Stable sort of equal-length tuples where ``None`` participates
+    as the column type's zero value (0, 0.0, "") — so NULL-bearing rows
+    interleave deterministically instead of raising on ``None < int``.
+    Each column's type is inferred from its first non-None value; an
+    all-None column compares as integers."""
+    rows = list(collection)
+    if len(rows) <= 1:
+        return rows
+    width = len(rows[0])
+    if any(not isinstance(row, tuple) or len(row) != width for row in rows):
         raise ValueError("all elements must be tuples and have the same length")
 
-    dtypes: list[type | None] = [None] * len(lst[0])
-    for idx in range(len(dtypes)):
-        for elem in lst:
-            if elem[idx] is not None:
-                dtypes[idx] = type(elem[idx])
-                break
-        else:
-            dtypes[idx] = int
+    def column_zero(idx: int):
+        type_of_first_value = next(
+            (type(row[idx]) for row in rows if row[idx] is not None), int
+        )
+        return type_of_first_value()
 
-    def _with_defaults(elem):
+    zeros = [column_zero(idx) for idx in range(width)]
+
+    def null_safe_key(row: tuple) -> tuple:
         return tuple(
-            ((dtype() if dtype else None) if sub is None else sub)
-            for dtype, sub in zip(dtypes, elem)
+            zero if value is None else value
+            for value, zero in zip(row, zeros)
         )
 
-    return sorted(lst, key=_with_defaults, reverse=not ascending)
+    return sorted(rows, key=null_safe_key, reverse=not ascending)

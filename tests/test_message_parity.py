@@ -255,3 +255,175 @@ def test_groupby_failure_message_exact(views2):
         "mp_agg's column(s) 'k' has unfulfilled continuity requirement "
         "for (key, missing values): `{('g1',): {2}}`."
     )
+
+
+@pytest.fixture(scope="module")
+def views3(spark):
+    spark.createDataFrame(
+        [(i, f"x{i}") for i in range(10)], "a int, b string"
+    ).createOrReplaceTempView("mp_r1")
+    spark.createDataFrame(
+        [(i, f"x{i}") for i in range(5)], "a int, b string"
+    ).createOrReplaceTempView("mp_r2")
+    spark.createDataFrame(
+        [(i, f"y{i}" if i % 2 else f"x{i}") for i in range(10)],
+        "a int, b string",
+    ).createOrReplaceTempView("mp_r3")
+    return spark
+
+
+def test_row_family_failure_messages_exact(views3):
+    b = BetweenRequirement.from_tables("mp_r1", "mp_r2")
+    b.add_row_equality_constraint(["a", "b"], ["a", "b"], 0.1)
+    b.add_row_subset_constraint(["a", "b"], ["a", "b"], 0.1)
+    eq, sub = b.test(views3)
+    assert eq.failure_message == (
+        "0.5 > 0.1 of rows differ between mp_r1's column(s) 'a', 'b' "
+        "and mp_r2's column(s) 'a', 'b'. E.g. for a = 5 , b = x5."
+    )
+    assert sub.failure_message == (
+        "0.5 > 0.1 of rows of mp_r1's column(s) 'a', 'b' are not in "
+        "mp_r2's column(s) 'a', 'b'. E.g. for a = 5 , b = x5.  "
+    )
+    b2 = BetweenRequirement.from_tables("mp_r2", "mp_r1")
+    b2.add_row_superset_constraint(["a", "b"], ["a", "b"], 0.1)
+    sup = b2.test(views3)[0]
+    assert sup.failure_message == (
+        "0.5 > 0.1 of rows of mp_r1's column(s) 'a', 'b' are not in "
+        "mp_r2's column(s) 'a', 'b'. E.g. for a = 5 , b = x5.  "
+    )
+    b3 = BetweenRequirement.from_tables("mp_r1", "mp_r3")
+    b3.add_row_matching_equality_constraint(["a"], ["a"], ["b"], ["b"], 0.0)
+    match = b3.test(views3)[0]
+    assert match.failure_message == (
+        "0.5 > 0.0 of the rows differ on a match of 10 rows between "
+        "mp_r1's column(s) 'a', 'b' and mp_r3's column(s) 'a', 'b'. "
+        "Matched on ['a'] and ['a']. Compared on ['b'] and ['b']. "
+    )
+
+
+def test_miscs_failure_messages_exact(spark):
+    from datajudge_spark.operators import (
+        clear_primary_keys,
+        declare_primary_keys,
+    )
+
+    spark.createDataFrame(
+        [(1, "a", None), (1, "a", "x"), (2, "b", "y"), (3, None, "z")],
+        "k int, v string, s string",
+    ).createOrReplaceTempView("mp_m")
+    declare_primary_keys("mp_m", ["k", "v"])
+    try:
+        req = WithinRequirement.from_table("mp_m")
+        req.add_primary_key_definition_constraint(["k"])
+        req.add_uniqueness_constraint(["k"])
+        req.add_functional_dependency_constraint(["k"], ["v", "s"])
+        req.add_max_null_fraction_constraint("s", 0.1)
+        pk, uniq, fd, nulls = req.test(spark)
+    finally:
+        clear_primary_keys()
+    assert pk.failure_message == (
+        "mp_m incorrectly includes v as primary key."
+    )
+    assert uniq.failure_message == (
+        "mp_m's column(s) 'k' has 4 rows > 3 uniques. This surpasses "
+        "the max_duplicate_fraction of ('relative', 0). An example "
+        "tuple breaking the uniqueness condition is: k = 1."
+    )
+    assert fd.failure_message == (
+        "mp_m's column(s) 'k', 'v', 's' has violations of functional "
+        "dependence (in total 2 rows):\n(1, 'a', 'x')\n(1, 'a', None)"
+    )
+    assert nulls.failure_message == (
+        "0.25 of mp_m's column(s) 's' values are NULL while only 0.1 "
+        "were allowed to be NULL."
+    )
+
+
+def test_uniques_family_failure_messages_exact(spark):
+    from datajudge_spark.utils import filternull_element
+
+    spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("c",), ("c",)], "v string"
+    ).createOrReplaceTempView("mp_u")
+    req = WithinRequirement.from_table("mp_u")
+    fn = filternull_element
+    req.add_uniques_equality_constraint(["v"], ["a", "b", "c", "d"], filter_func=fn)
+    req.add_uniques_equality_constraint(["v"], ["a", "b"], filter_func=fn)
+    req.add_uniques_equality_constraint(["v"], ["a", "b", "d"], filter_func=fn)
+    req.add_uniques_subset_constraint(["v"], ["a", "b"], filter_func=fn)
+    req.add_uniques_subset_constraint(
+        ["v"], ["a", "b"], compare_distinct=True,
+        max_relative_violations=0.1, filter_func=fn,
+    )
+    req.add_uniques_superset_constraint(["v"], ["d"], filter_func=fn)
+    req.add_categorical_bound_constraint(
+        ["v"], {"a": (0.5, 1.0), "b": (0.0, 1.0), "c": (0.0, 1.0)}
+    )
+    lack, excess, both, subset, subset_d, superset, catbound = req.test(spark)
+    assert lack.failure_message == (
+        "mp_u's column(s) 'v' doesn't have the element(s) '['d']' when "
+        "compared with the reference values. "
+    )
+    assert excess.failure_message == (
+        "mp_u's column(s) 'v' has the excess element(s) '['c']' when "
+        "compared with the reference values. "
+    )
+    assert both.failure_message == (
+        "mp_u's column(s) 'v' doesn't have the element(s) '['d']' and "
+        "has the excess element(s) '['c']' when compared with the "
+        "reference values. "
+    )
+    # the 2-element reference-set rendering follows Python set order
+    # (hash-seed dependent) - accept either permutation, pin the rest
+    for msg, kind in (
+        (subset.failure_message, "values (3 / 6)"),
+        (subset_d.failure_message, "DISTINCT values (1 / 3)"),
+    ):
+        ratio = "0.5 > 0" if "3 / 6" in kind else "0.3333333333333333 > 0.1"
+        prefix_a = (
+            f"mp_u's column(s) 'v' has a fraction of {ratio} {kind} not "
+            "being an element of '['a', 'b']'. It has excess elements "
+            "'['c']' with counts [3]."
+        )
+        assert msg in (prefix_a, prefix_a.replace("['a', 'b']", "['b', 'a']"))
+    assert superset.failure_message == (
+        "mp_u's column(s) 'v' has a fraction of 1.0 > 0 (1 / 1) lacking "
+        "unique values of '['d']'. It doesn't have the unique value(s) "
+        "'['d']'."
+    )
+    assert catbound.failure_message == (
+        "mp_u's column(s) 'v' has 16.666666666666664% > 0% of "
+        "element(s) violating the bound constraints:\n"
+        "'a' with a share of 33.33333333333333% (2 out of 6) while a "
+        "share between 50.0% (3) and 100.0% (6) is required\n"
+    )
+
+
+def test_n_uniques_family_failure_messages_exact(spark):
+    spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("c",), ("c",)], "v string"
+    ).createOrReplaceTempView("mp_u1")
+    spark.createDataFrame(
+        [("a",), ("d",)], "v string"
+    ).createOrReplaceTempView("mp_u2")
+    b = BetweenRequirement.from_tables("mp_u1", "mp_u2")
+    b.add_n_uniques_equality_constraint(["v"], ["v"])
+    b.add_n_uniques_max_gain_constraint(["v"], ["v"], 0.1)
+    n_eq, n_gain = b.test(spark)
+    assert n_eq.failure_message == (
+        "mp_u1's column(s) 'v' has 3 unique(s) instead of "
+        "mp_u2's column(s) 'v''s 2. "
+    )
+    assert n_gain.failure_message == (
+        "mp_u1's column(s) 'v' has 0.5 of #uniques of mp_u2's column(s) "
+        "'v'. It was only allowed to increase 0.1 . "
+    )
+    b2 = BetweenRequirement.from_tables("mp_u2", "mp_u1")
+    b2.add_n_uniques_max_loss_constraint(["v"], ["v"], 0.1)
+    n_loss = b2.test(spark)[0]
+    assert n_loss.failure_message == (
+        "mp_u2's column(s) 'v' has lost 0.3333333333333333 of #uniques "
+        "of table mp_u1's column(s) 'v'. It was only allowed to "
+        "decrease 0.1. "
+    )
