@@ -92,6 +92,12 @@ HEADLINE = [
     "kendall_tau",           # daily frame materialized once, 4 branches
     "cuped_ab",              # one sufficient-statistics scan
     "logrank",               # KM histogram + duration-ordered O/E/V
+    # round 9
+    "minhash_query_neardup",  # broadcast query bands, no corpus self-join
+    "ratio_ab_ztest",         # one conditional-agg scan per side, no join
+    "sample_ratio_mismatch",  # bounded level fold above one groupBy count
+    "pettitt_changepoint",    # windows on the daily frame, TakeOrdered(1)
+    "dispersion_index",       # two map-side-partial aggregations
 ]
 
 
