@@ -5677,6 +5677,50 @@ def q_streaming_srm(spark, sf_dir):
     )
 
 
+def q_did_ab(spark, sf_dir):
+    # Difference-in-differences of per-user spend (pre = first half of
+    # month, post = second half) between user-parity groups — the
+    # quasi-experimental estimator for NON-randomized rollouts: each
+    # group's own pre-period absorbs level differences.  Same per-user
+    # frame as cuped_ab, different identification strategy; one
+    # conditional-agg scan of DECIMAL-exact delta sufficient stats.
+    from datajudge_spark.operators.stats import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.dayofmonth(F.col("ts").cast("timestamp"))
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(day <= 15, _cents("value")).otherwise(F.lit(0))
+            ).alias("pre_c"),
+            F.sum(
+                F.when(day >= 16, _cents("value")).otherwise(F.lit(0))
+            ).alias("post_c"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    return diff_in_diff(units, "pre_c", "post_c", "variant")
+
+
+def q_embedding_centroid_shift(spark, sf_dir):
+    # Pairwise centroid displacement between embedding label groups:
+    # mmd2 = ||c_a - c_b||^2 is the squared LINEAR-kernel MMD — the
+    # first-order "did this source's embedding distribution move?"
+    # screen (a mean shift breaks cosine-threshold dedup and ANN recall
+    # first).  One posexplode scan + one (group, component) partial
+    # agg; the pair join and the component-ORDERED fold run on the
+    # |groups|*dim frame (tiny at any data scale).
+    from datajudge_spark.pipeline.similarity import centroid_shift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_shift(
+        emb.withColumn("grp", F.concat(F.lit("l"), F.col("label"))),
+        "embedding",
+        "grp",
+    )
+
+
 #: ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys
 #: of queries() only.  The window below is the single source of truth —
 #: queries() reorders itself from it, so this list IS the gate.
@@ -6005,6 +6049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_index": q_dispersion_index,
         "minhash_query_neardup": q_minhash_query_neardup,
         "streaming_srm": q_streaming_srm,
+        # round-9 post-window additions (queued for the r10 window)
+        "did_ab": q_did_ab,
+        "embedding_centroid_shift": q_embedding_centroid_shift,
     }
     missing = [k for k in _R9_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -10631,6 +10678,85 @@ def oracle_sql() -> dict[str, str]:
             "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) "
             "/ (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) "
             "AS dispersion FROM s ORDER BY event_type"
+        ),
+        "did_ab": (
+            # HUGEINT-exact delta sufficient statistics, one double
+            # conversion, identical expression order
+            "WITH u AS (SELECT user_id, "
+            "sum(CASE WHEN date_part('day', ts) <= 15 THEN c ELSE 0 END) "
+            "AS pre, "
+            "sum(CASE WHEN date_part('day', ts) >= 16 THEN c ELSE 0 END) "
+            "AS post, CAST(user_id % 2 AS INTEGER) AS v FROM ("
+            "SELECT user_id, ts, CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT) AS c FROM events WHERE value IS NOT NULL) "
+            "GROUP BY user_id), "
+            "s AS (SELECT "
+            "count(*) FILTER (v = 0) AS n_a, "
+            "CAST(coalesce(sum(pre) FILTER (v = 0), 0) AS HUGEINT) AS sp_a, "
+            "CAST(coalesce(sum(post) FILTER (v = 0), 0) AS HUGEINT) AS sq_a, "
+            "CAST(coalesce(sum(post - pre) FILTER (v = 0), 0) AS HUGEINT) "
+            "AS sd_a, "
+            "CAST(coalesce(sum(CAST(post - pre AS HUGEINT) * (post - pre)) "
+            "FILTER (v = 0), 0) AS HUGEINT) AS sdd_a, "
+            "count(*) FILTER (v = 1) AS n_b, "
+            "CAST(coalesce(sum(pre) FILTER (v = 1), 0) AS HUGEINT) AS sp_b, "
+            "CAST(coalesce(sum(post) FILTER (v = 1), 0) AS HUGEINT) AS sq_b, "
+            "CAST(coalesce(sum(post - pre) FILTER (v = 1), 0) AS HUGEINT) "
+            "AS sd_b, "
+            "CAST(coalesce(sum(CAST(post - pre AS HUGEINT) * (post - pre)) "
+            "FILTER (v = 1), 0) AS HUGEINT) AS sdd_b FROM u), "
+            "d AS (SELECT n_a, n_b, "
+            "CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb, "
+            "CAST(sp_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pre_a, "
+            "CAST(sq_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS post_a, "
+            "CAST(sd_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS d_a, "
+            "CAST(sp_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pre_b, "
+            "CAST(sq_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS post_b, "
+            "CAST(sd_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS d_b, "
+            "CAST(n_a * sdd_a - sd_a * sd_a AS DOUBLE) "
+            "/ (CASE WHEN n_a >= 2 THEN CAST(n_a AS DOUBLE) "
+            "* (CAST(n_a AS DOUBLE) - 1.0) END) AS var_a, "
+            "CAST(n_b * sdd_b - sd_b * sd_b AS DOUBLE) "
+            "/ (CASE WHEN n_b >= 2 THEN CAST(n_b AS DOUBLE) "
+            "* (CAST(n_b AS DOUBLE) - 1.0) END) AS var_b FROM s), "
+            "e AS (SELECT *, d_a - d_b AS did, "
+            "CASE WHEN var_a / na + var_b / nb > 0 THEN "
+            "sqrt(var_a / na + var_b / nb) END AS se FROM d) "
+            "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+            "round(CASE WHEN n_a > 0 THEN pre_a END, 6) AS mean_pre_a, "
+            "round(CASE WHEN n_a > 0 THEN post_a END, 6) AS mean_post_a, "
+            "round(CASE WHEN n_b > 0 THEN pre_b END, 6) AS mean_pre_b, "
+            "round(CASE WHEN n_b > 0 THEN post_b END, 6) AS mean_post_b, "
+            "round(CASE WHEN n_a > 0 AND n_b > 0 THEN did END, 6) AS did, "
+            "round(se, 6) AS se, "
+            "round(CASE WHEN se IS NOT NULL THEN did / se END, 6) AS z "
+            "FROM e"
+        ),
+        "embedding_centroid_shift": (
+            # same 6dp-component DECIMAL sums, one double division, and
+            # the identical component-ORDERED squared-diff fold
+            "WITH parts AS (SELECT 'l' || CAST(label AS VARCHAR) AS grp, "
+            "CAST(generate_subscripts(embedding, 1) AS INT) AS component, "
+            "CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) "
+            "AS DECIMAL(18,6)) AS xd "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "per AS (SELECT grp, component, count(*) AS n, sum(xd) AS s "
+            "FROM parts GROUP BY 1, 2), "
+            "m AS (SELECT grp, component, n, "
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM per), "
+            "pair AS (SELECT a.grp AS grp_a, b.grp AS grp_b, a.component, "
+            "a.n AS n_a, b.n AS n_b, "
+            "(a.mean - b.mean) * (a.mean - b.mean) AS term FROM m a "
+            "JOIN m b ON a.component = b.component AND a.grp < b.grp), "
+            "cum AS (SELECT grp_a, grp_b, n_a, n_b, "
+            "sum(term) OVER (PARTITION BY grp_a, grp_b ORDER BY component "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmd2, "
+            "row_number() OVER (PARTITION BY grp_a, grp_b "
+            "ORDER BY component DESC) AS rn FROM pair) "
+            "SELECT grp_a, grp_b, CAST(n_a AS BIGINT) AS n_a, "
+            "CAST(n_b AS BIGINT) AS n_b, round(mmd2, 6) AS mmd2, "
+            "round(sqrt(mmd2), 6) AS dist FROM cum WHERE rn = 1 "
+            "ORDER BY grp_a, grp_b"
         ),
         "minhash_query_neardup": _minhash_query_sql(),
     }

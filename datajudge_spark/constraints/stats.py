@@ -2947,3 +2947,130 @@ class DispersionMax(Constraint):
             + f". {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class DidZMax(Constraint):
+    """Difference-in-differences gate: |z| of the DiD estimate between
+    two assignment levels of a one-row-per-unit pre/post frame may not
+    exceed ``max_abs_z`` — the quasi-experimental A/B gate for
+    NON-randomized rollouts (each group's pre-period absorbs level
+    differences; parallel trends assumed).  Extension, no reference
+    counterpart.
+
+    Engine side is operators.stats.diff_in_diff (one conditional-
+    aggregation scan, DECIMAL-exact delta sufficient statistics).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        pre_column: str,
+        post_column: str,
+        assignment_column: str,
+        max_abs_z: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_z < 0:
+            raise ValueError("max_abs_z must be non-negative")
+        self._pre = pre_column
+        self._post = post_column
+        self._assign = assignment_column
+        self._max_abs_z = max_abs_z
+        super().__init__(
+            ref, ref_value=max_abs_z, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import diff_in_diff
+
+        try:
+            rows = diff_in_diff(
+                self._ref.get_selection(engine),
+                self._pre,
+                self._post,
+                self._assign,
+            ).collect()
+        except ValueError as exc:
+            return TestResult.failure(
+                f"Difference-in-differences on {self._ref} is undefined: "
+                f"{exc}. ",
+                self.get_description(),
+            )
+        row = rows[0] if rows else None
+        if row is None or row["z"] is None:
+            detail = (
+                f"n_a={row['n_a']}, n_b={row['n_b']}" if row else "no rows"
+            )
+            return TestResult.failure(
+                f"Difference-in-differences on {self._ref} is undefined "
+                f"(variant with n < 2 or zero delta variance; {detail}). ",
+                self.get_description(),
+            )
+        if abs(row["z"]) <= self._max_abs_z:
+            return TestResult.success()
+        assertion_text = (
+            f"Difference-in-differences of '{self._post}' vs "
+            f"'{self._pre}' on {self._ref} is significant: DiD = "
+            f"{row['did']} (z = {row['z']}, se = {row['se']}, "
+            f"n = {row['n_a']}/{row['n_b']}) — |z| exceeds the maximum "
+            f"{self._max_abs_z}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class CentroidShiftMax(Constraint):
+    """Embedding domain-shift gate: no pair of groups (sources,
+    snapshots) may have centroid distance — the linear-kernel MMD —
+    above ``max_dist``.  A mean shift is what breaks cosine-threshold
+    dedup and ANN recall first.  Extension, no reference counterpart.
+
+    Engine side is pipeline.similarity.centroid_shift (one posexplode
+    scan + one partial agg; pair fold on the bounded
+    |groups|·dim frame).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        vector_column: str,
+        group_column: str,
+        max_dist: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_dist < 0:
+            raise ValueError("max_dist must be non-negative")
+        self._vec = vector_column
+        self._group = group_column
+        self._max_dist = max_dist
+        super().__init__(
+            ref, ref_value=max_dist, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..pipeline.similarity import centroid_shift
+
+        offenders = (
+            centroid_shift(
+                self._ref.get_selection(engine), self._vec, self._group
+            )
+            .where(F.col("dist") > self._max_dist)
+            .orderBy(F.desc("dist"))
+            .limit(5)
+            .collect()
+        )
+        if not offenders:
+            return TestResult.success()
+        worst = offenders[0]
+        assertion_text = (
+            f"Embedding groups of '{self._group}' on {self._ref} have "
+            f"shifted centroids: dist({worst['grp_a']}, "
+            f"{worst['grp_b']}) = {worst['dist']} "
+            f"(mmd2 = {worst['mmd2']}, n = {worst['n_a']}/{worst['n_b']}) "
+            f"exceeds the maximum {self._max_dist}; "
+            f"{len(offenders)} pair(s) violate. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

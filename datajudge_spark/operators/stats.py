@@ -2719,3 +2719,104 @@ def dispersion_index(
         F.round(F.when(F.col("__n") >= 2, variance), 6).alias("variance"),
         F.round(F.when(ok, variance / mean), 6).alias("dispersion"),
     )
+
+
+def diff_in_diff(
+    units: DataFrame,
+    pre_col: str,
+    post_col: str,
+    assign_col: str,
+) -> DataFrame:
+    """Difference-in-differences over a one-row-per-unit frame with
+    INTEGER pre-period and post-period metrics and a two-level
+    assignment: one digest row ``(n_a, n_b, mean_pre_a, mean_post_a,
+    mean_pre_b, mean_post_b, did, se, z)``.
+
+    ``DiD = (post_a − pre_a) − (post_b − pre_b)`` of the group means —
+    the quasi-experimental workhorse when assignment is NOT random
+    (rollouts by region/platform): each group's own pre-period absorbs
+    level differences, and the parallel-trends assumption does the
+    rest.  The standard error treats units as independent with
+    per-unit deltas ``d = post − pre``:
+    ``se = sqrt(var(d_a)/n_a + var(d_b)/n_b)``, ``z = DiD/se``.
+    Completes the experimentation family for the non-randomized case
+    (CUPED/post-stratification assume randomized assignment).
+
+    Exactness: per-variant sufficient statistics of the DELTAS (n, Σd,
+    Σd²) accumulate as DECIMAL(38,0) in ONE conditional-aggregation
+    scan (pre/post sums ride the same scan for the means); variance
+    numerators ``n·Σd² − (Σd)²`` are computed in DECIMAL and converted
+    to double once.  Degenerate inputs (a variant with n < 2, zero
+    combined variance) yield NULL se/z.  Extension — no reference
+    counterpart.
+
+    Plan: one map-side partial aggregation; nothing but the one-row
+    digest shuffles.
+    """
+    d38 = "decimal(38,0)"
+    levels = (
+        units.select(F.col(assign_col).alias("__lv"))
+        .where(F.col("__lv").isNotNull())
+        .distinct()
+        .orderBy("__lv")
+        .limit(3)
+        .collect()
+    )
+    if len(levels) != 2:
+        raise ValueError(
+            f"diff-in-diff needs exactly two assignment levels, "
+            f"got {[r['__lv'] for r in levels]}"
+        )
+    lv_a = levels[0]["__lv"]
+    base = units.where(
+        F.col(pre_col).isNotNull()
+        & F.col(post_col).isNotNull()
+        & F.col(assign_col).isNotNull()
+    )
+    pre = F.col(pre_col).cast(d38)
+    post = F.col(post_col).cast(d38)
+    delta = (post - pre).cast(d38)
+    is_a = F.col(assign_col) == F.lit(lv_a)
+    zero = F.lit(0).cast(d38)
+
+    def _side(tag: str, cond):
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{tag}"),
+            F.sum(F.when(cond, pre).otherwise(zero)).alias(f"sp_{tag}"),
+            F.sum(F.when(cond, post).otherwise(zero)).alias(f"sq_{tag}"),
+            F.sum(F.when(cond, delta).otherwise(zero)).alias(f"sd_{tag}"),
+            F.sum(F.when(cond, (delta * delta).cast(d38)).otherwise(zero))
+            .alias(f"sdd_{tag}"),
+        ]
+    suff = base.agg(*_side("a", is_a), *_side("b", ~is_a))
+
+    def _group(tag: str):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        mean_pre = F.col(f"sp_{tag}").cast("double") / nd
+        mean_post = F.col(f"sq_{tag}").cast("double") / nd
+        mean_d = F.col(f"sd_{tag}").cast("double") / nd
+        pairs = F.when(n >= 2, nd * (nd - 1.0))
+        var_d = (
+            n.cast(d38) * F.col(f"sdd_{tag}")
+            - F.col(f"sd_{tag}") * F.col(f"sd_{tag}")
+        ).cast("double") / pairs
+        return mean_pre, mean_post, mean_d, var_d, nd
+
+    pre_a, post_a, d_a, var_a, na = _group("a")
+    pre_b, post_b, d_b, var_b, nb = _group("b")
+    did = d_a - d_b
+    se2 = var_a / na + var_b / nb
+    se = F.when(se2 > 0, F.sqrt(se2))
+    ok_n = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return suff.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.when(F.col("n_a") > 0, pre_a), 6).alias("mean_pre_a"),
+        F.round(F.when(F.col("n_a") > 0, post_a), 6).alias("mean_post_a"),
+        F.round(F.when(F.col("n_b") > 0, pre_b), 6).alias("mean_pre_b"),
+        F.round(F.when(F.col("n_b") > 0, post_b), 6).alias("mean_post_b"),
+        F.round(F.when(ok_n, did), 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(se.isNotNull(), did / se), 6).alias("z"),
+    )

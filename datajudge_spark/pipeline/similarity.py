@@ -1173,3 +1173,85 @@ def mmr_rerank(
         out,
         f"{id_col} long, mmr_rank int, mmr_score double, {rel_col} double",
     )
+
+
+def centroid_shift(
+    df: DataFrame, vec_col: str, group_col: str
+) -> DataFrame:
+    """Pairwise centroid displacement between embedding groups
+    (sources, labels, snapshots): one row per unordered group pair
+    ``(grp_a, grp_b, n_a, n_b, mmd2, dist)`` where ``mmd2 =
+    ||c_a − c_b||²`` — exactly the squared LINEAR-kernel Maximum Mean
+    Discrepancy, the first-order answer to "did this source's
+    embedding distribution move?" (a mean shift is what breaks
+    cosine-threshold dedup and ANN recall first; higher-order drift
+    belongs to :func:`covariance_matrix`).
+
+    Determinism: per-(group, component) sums follow the
+    :func:`group_centroids` convention (6dp-rounded components summed
+    as exact DECIMAL, ONE double division), the squared-difference fold
+    runs as a component-ORDERED cumulative window per pair (bounded:
+    |pairs|·dim rows), so the digest is bit-identical on every engine
+    and partitioning.
+
+    Plan: one posexplode scan + one (group, component) partial agg —
+    the only fact-sized work; the pair join and window run on the
+    |groups|·dim frame (tiny by construction).  Extension — no
+    reference counterpart.
+    """
+    parts = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    dec = F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)")
+    per = parts.groupBy("grp", (F.col("pos") + 1).alias("component")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    a = per.select(
+        F.col("grp").alias("grp_a"),
+        "component",
+        F.col("n").alias("__na"),
+        mean.alias("__ma"),
+    )
+    b = per.select(
+        F.col("grp").alias("grp_b"),
+        F.col("component").alias("__cb"),
+        F.col("n").alias("__nb"),
+        mean.alias("__mb"),
+    )
+    paired = a.join(
+        b,
+        (F.col("component") == F.col("__cb"))
+        & (F.col("grp_a") < F.col("grp_b")),
+    )
+    w_cum = Window.partitionBy("grp_a", "grp_b").orderBy("component")
+    diff = F.col("__ma") - F.col("__mb")
+    cum = paired.select(
+        "grp_a",
+        "grp_b",
+        "component",
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.sum(diff * diff).over(
+            w_cum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__mmd2"),
+        F.row_number().over(
+            Window.partitionBy("grp_a", "grp_b").orderBy(
+                F.desc("component")
+            )
+        ).alias("__rn"),
+    )
+    return (
+        cum.where(F.col("__rn") == 1)
+        .select(
+            "grp_a",
+            "grp_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("__mmd2"), 6).alias("mmd2"),
+            F.round(F.sqrt(F.col("__mmd2")), 6).alias("dist"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )

@@ -1600,6 +1600,74 @@ class WithinRequirement(Requirement):
         )
 
 
+    def add_diff_in_diff_constraint(
+        self,
+        pre_column: str,
+        post_column: str,
+        assignment_column: str,
+        max_abs_z: float = 1.96,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the
+        difference-in-differences z statistic of the integer
+        post-period metric between the two levels of
+        ``assignment_column``, each level baselined by its OWN
+        pre-period mean, must satisfy ``|z| <= max_abs_z`` — the
+        quasi-experimental gate for non-randomized rollouts (regions,
+        platforms; parallel trends assumed).  The table must be ONE ROW
+        PER UNIT.  One conditional-aggregation scan, DECIMAL-exact
+        delta sufficient statistics."""
+        ref = DataReference(
+            self._data_source,
+            [pre_column, post_column, assignment_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.DidZMax(
+                ref,
+                pre_column,
+                post_column,
+                assignment_column,
+                max_abs_z=max_abs_z,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_centroid_shift_constraint(
+        self,
+        vector_column: str,
+        group_column: str,
+        max_dist: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): no pair of embedding
+        groups (sources, snapshots, labels) may have centroid distance
+        — the linear-kernel Maximum Mean Discrepancy — above
+        ``max_dist``.  The first-order embedding-drift gate: a mean
+        shift breaks cosine-threshold dedup and ANN recall before any
+        higher-order change shows.  One posexplode scan + one partial
+        aggregation; the pair fold runs on the bounded groups*dim
+        frame."""
+        ref = DataReference(
+            self._data_source, [vector_column, group_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.CentroidShiftMax(
+                ref,
+                vector_column,
+                group_column,
+                max_dist=max_dist,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+
     def add_cuped_diff_constraint(
         self,
         pre_column: str,

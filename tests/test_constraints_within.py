@@ -1780,3 +1780,72 @@ class TestDispersion:
         req = within_req(df, "disp3")
         req.add_dispersion_constraint("c", 0.5)
         assert outcomes(req, spark) == [True]
+
+
+class TestDiffInDiff:
+    def test_gate_pass_and_fail(self, spark):
+        rng = __import__("random").Random(61)
+        rows = []
+        for i in range(400):
+            v = i % 2
+            pre = rng.randint(80, 120)
+            post = pre + rng.randint(0, 20) + (30 if v == 0 else 0)
+            rows.append((pre, post, v))
+        df = spark.createDataFrame(rows, "pre long, post long, v int")
+        req = within_req(df, "did1")
+        req.add_diff_in_diff_constraint("pre", "post", "v", 1e9)
+        req.add_diff_in_diff_constraint("pre", "post", "v", 0.5)  # fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "Difference-in-differences" in results[1].failure_message
+
+    def test_three_levels_fails_cleanly(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2, 0), (1, 2, 1), (1, 2, 2)], "pre long, post long, v int"
+        )
+        req = within_req(df, "did2")
+        req.add_diff_in_diff_constraint("pre", "post", "v")
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_zero_delta_variance_fails_cleanly(self, spark):
+        # constant post-pre in both groups: DiD defined but se is not
+        df = spark.createDataFrame(
+            [(1, 3, 0), (5, 7, 0), (2, 4, 1), (9, 11, 1)],
+            "pre long, post long, v int",
+        )
+        req = within_req(df, "did3")
+        req.add_diff_in_diff_constraint("pre", "post", "v")
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "zero delta variance" in results[0].failure_message
+
+
+class TestCentroidShift:
+    def test_gate_pass_and_fail(self, spark):
+        rng = __import__("random").Random(67)
+        rows = []
+        for i in range(120):
+            g = i % 2
+            base = 0.0 if g == 0 else 0.8
+            rows.append(
+                ([base + rng.uniform(-0.05, 0.05) for _ in range(6)],
+                 f"s{g}")
+            )
+        df = spark.createDataFrame(rows, "emb array<float>, src string")
+        req = within_req(df, "cshift1")
+        req.add_centroid_shift_constraint("emb", "src", 10.0)
+        req.add_centroid_shift_constraint("emb", "src", 0.5)  # ~1.96 dist
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "shifted centroids" in results[1].failure_message
+        assert "s0" in results[1].failure_message
+
+    def test_single_group_passes(self, spark):
+        df = spark.createDataFrame(
+            [([0.1, 0.2], "only")] * 5, "emb array<float>, src string"
+        )
+        req = within_req(df, "cshift2")
+        req.add_centroid_shift_constraint("emb", "src", 0.0)
+        assert outcomes(req, spark) == [True]

@@ -485,3 +485,31 @@ def test_query_neardup_partition_stable(spark, n_parts):
         ).collect()
     )
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_diff_in_diff_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.stats import diff_in_diff
+
+    rows = [((i * 7) % 50, (i * 11) % 70, i % 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "pre long, post long, v int")
+    ref = diff_in_diff(df, "pre", "post", "v").collect()
+    got = diff_in_diff(df.repartition(n_parts), "pre", "post", "v").collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_centroid_shift_partition_stable(spark, n_parts):
+    # decimal component sums + component-ORDERED fold: byte-identical
+    # under any partitioning
+    from datajudge_spark.pipeline.similarity import centroid_shift
+
+    rows = [
+        ([((i * 13 + j * 5) % 21 - 10) / 7.0 for j in range(12)],
+         f"g{i % 4}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "v array<float>, g string")
+    ref = centroid_shift(df, "v", "g").collect()
+    got = centroid_shift(df.repartition(n_parts), "v", "g").collect()
+    assert got == ref

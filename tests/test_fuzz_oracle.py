@@ -1367,3 +1367,81 @@ def test_fuzz_dispersion(spark, case):
             assert r["dispersion"] == pytest.approx(
                 var / mean, abs=2e-6
             ), f"case {case} ({shape})"
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_diff_in_diff(spark, case):
+    import math
+
+    from datajudge_spark.operators.stats import diff_in_diff
+
+    rng = random.Random(_MK_SEED + 1800 + case)
+    shape = ["mixed", "parallel", "tiny", "const_delta"][case]
+    rows = []
+    n = 5 if shape == "tiny" else rng.randint(20, 250)
+    for i in range(n):
+        v = i % 2
+        pre = rng.randint(0, 200)
+        if shape == "const_delta":
+            post = pre + 7
+        elif shape == "parallel":
+            post = pre + rng.randint(0, 10)
+        else:
+            post = rng.randint(0, 300)
+        rows.append((pre, post, v))
+    df = spark.createDataFrame(rows, "pre long, post long, v int")
+    r = diff_in_diff(df, "pre", "post", "v").collect()[0]
+
+    def grp(v):
+        xs = [(p, q) for p, q, vv in rows if vv == v]
+        n_ = len(xs)
+        ds = [q - p for p, q in xs]
+        md = sum(ds) / n_
+        var = (
+            sum((d - md) ** 2 for d in ds) / (n_ - 1) if n_ >= 2 else None
+        )
+        return md, var, n_
+    da, va, na = grp(0)
+    db, vb, nb = grp(1)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["did"] == pytest.approx(da - db, abs=2e-6)
+    if va is None or vb is None or va / na + vb / nb <= 0:
+        assert r["se"] is None and r["z"] is None, f"case {case} ({shape})"
+    else:
+        se = math.sqrt(va / na + vb / nb)
+        assert r["se"] == pytest.approx(se, abs=2e-6)
+        assert r["z"] == pytest.approx((da - db) / se, abs=2e-6)
+
+
+@pytest.mark.parametrize("case", range(3))
+def test_fuzz_centroid_shift(spark, case):
+    import math
+
+    from datajudge_spark.pipeline.similarity import centroid_shift
+
+    rng = random.Random(_MK_SEED + 1900 + case)
+    k = [1, 2, 4][case]
+    dim = rng.choice([3, 8])
+    rows = [
+        ([round(rng.uniform(-1, 1), 4) for _ in range(dim)], f"g{i % k}")
+        for i in range(rng.randint(10, 120))
+    ]
+    df = spark.createDataFrame(rows, "v array<float>, g string")
+    out = centroid_shift(df, "v", "g").collect()
+    assert len(out) == k * (k - 1) // 2
+    groups: dict = {}
+    for v, g in rows:
+        groups.setdefault(g, []).append(v)
+
+    def centroid(g):
+        vs = groups[g]
+        return [
+            sum(round(float(v[j]), 6) for v in vs) / len(vs)
+            for j in range(dim)
+        ]
+    for r in out:
+        ca, cb = centroid(r["grp_a"]), centroid(r["grp_b"])
+        mmd2 = sum((x - y) ** 2 for x, y in zip(ca, cb))
+        assert r["mmd2"] == pytest.approx(mmd2, abs=5e-5), f"case {case}"
+        assert r["dist"] == pytest.approx(math.sqrt(mmd2), abs=5e-5)
+        assert r["n_a"] == len(groups[r["grp_a"]])
