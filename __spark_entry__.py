@@ -5721,6 +5721,19 @@ def q_embedding_centroid_shift(spark, sf_dir):
     )
 
 
+def q_join_explosion_audit(spark, sf_dir):
+    # Pre-join fanout audit of the classic accidental many-to-many:
+    # lineitem self-joined on l_partkey (the dedup/pair-join shape).
+    # Exact inner-join cardinality, max per-key fanout, many-to-many
+    # key count, and the top-5 offenders — computed from per-key count
+    # digests BEFORE paying for the join; products DECIMAL-exact (a
+    # hot key overflows int64 alone at 100 TB).
+    from datajudge_spark.operators.skew import join_explosion_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return join_explosion_audit(li, "l_partkey", li, "l_partkey")
+
+
 #: ORDER MATTERS: the driver's correctness gate checks the FIRST 50 keys
 #: of queries() only.  The window below is the single source of truth —
 #: queries() reorders itself from it, so this list IS the gate.
@@ -6052,6 +6065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 post-window additions (queued for the r10 window)
         "did_ab": q_did_ab,
         "embedding_centroid_shift": q_embedding_centroid_shift,
+        "join_explosion_audit": q_join_explosion_audit,
     }
     missing = [k for k in _R9_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -10757,6 +10771,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_b AS BIGINT) AS n_b, round(mmd2, 6) AS mmd2, "
             "round(sqrt(mmd2), 6) AS dist FROM cum WHERE rn = 1 "
             "ORDER BY grp_a, grp_b"
+        ),
+        "join_explosion_audit": (
+            # same per-key count digests; HUGEINT products; identical
+            # top-5 rendering (product DESC, key ASC)
+            "WITH lc AS (SELECT l_partkey AS k, count(*) AS nl "
+            "FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1), "
+            "rc AS (SELECT l_partkey AS k, count(*) AS nr "
+            "FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1), "
+            "m AS (SELECT lc.k, CAST(nl AS HUGEINT) * nr AS prod, "
+            "nl > 1 AND nr > 1 AS fan FROM lc JOIN rc ON lc.k = rc.k), "
+            "top AS (SELECT string_agg(k || '=' || CAST(prod AS VARCHAR), "
+            "', ' ORDER BY prod DESC, k ASC) AS s FROM ("
+            "SELECT k, prod FROM m ORDER BY prod DESC, k ASC LIMIT 5)) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+            "CAST(sum(prod) AS VARCHAR) AS output_rows, "
+            "CAST(max(prod) AS VARCHAR) AS max_fanout, "
+            "CAST(count(*) FILTER (fan) AS BIGINT) AS n_fanout_keys, "
+            "(SELECT s FROM top) AS top_keys FROM m"
         ),
         "minhash_query_neardup": _minhash_query_sql(),
     }

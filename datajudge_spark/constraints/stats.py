@@ -3074,3 +3074,82 @@ class CentroidShiftMax(Constraint):
             f"{len(offenders)} pair(s) violate. {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class JoinFanoutMax(Constraint):
+    """Pre-join cardinality gate between two sources: the exact inner-
+    join output Σ n₁(k)·n₂(k) may not exceed ``max_output_rows``,
+    and/or no single key's fanout product may exceed ``max_fanout`` —
+    the "will this join blow up?" gate run BEFORE paying for the join.
+    Extension, no reference counterpart.
+
+    Engine side is operators.skew.join_explosion_audit (per-key count
+    digests, DECIMAL-exact products, TakeOrdered offender sample).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        key_column1: str,
+        key_column2: str,
+        max_output_rows: int | None = None,
+        max_fanout: int | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_output_rows is None and max_fanout is None:
+            raise ValueError(
+                "At least one of 'max_output_rows' and 'max_fanout' "
+                "must be given."
+            )
+        for label, bound in (
+            ("max_output_rows", max_output_rows),
+            ("max_fanout", max_fanout),
+        ):
+            if bound is not None and bound < 0:
+                raise ValueError(f"{label} must be non-negative")
+        self._key1 = key_column1
+        self._key2 = key_column2
+        self._max_rows = max_output_rows
+        self._max_fanout = max_fanout
+        # the bounds live on self: base forbids ref2 + ref_value together
+        super().__init__(
+            ref, ref2=ref2, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.skew import join_explosion_audit
+
+        row = join_explosion_audit(
+            self._ref.get_selection(engine),
+            self._key1,
+            self._ref2.get_selection(engine),
+            self._key2,
+        ).collect()[0]
+        if row["n_keys"] == 0:
+            return TestResult(True, "No matching keys; join is empty.")
+        problems = []
+        output_rows = int(row["output_rows"])
+        max_fanout = int(row["max_fanout"])
+        if self._max_rows is not None and output_rows > self._max_rows:
+            problems.append(
+                f"the join would emit {output_rows} rows > the allowed "
+                f"{self._max_rows}"
+            )
+        if self._max_fanout is not None and max_fanout > self._max_fanout:
+            problems.append(
+                f"the worst key multiplies {max_fanout}x > the allowed "
+                f"{self._max_fanout}"
+            )
+        if not problems:
+            return TestResult.success()
+        assertion_text = (
+            f"Joining {self._ref} to {self._ref2} on "
+            f"('{self._key1}', '{self._key2}') explodes: "
+            + " and ".join(problems)
+            + f" ({row['n_fanout_keys']} many-to-many key(s) of "
+            f"{row['n_keys']} matched; worst offenders: "
+            f"{row['top_keys']}). "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

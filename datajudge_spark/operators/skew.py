@@ -46,3 +46,62 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))),
     )
     return salted_large.join(salted_small, [on, _SALT], how).drop(_SALT)
+
+
+def join_explosion_audit(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Pre-join fanout audit: what would ``left JOIN right`` on these
+    keys actually emit?  One digest row ``(n_keys, output_rows,
+    max_fanout, p_fanout_keys, top_keys)`` — ``output_rows`` is the
+    EXACT inner-join cardinality Σ_k n_left(k)·n_right(k),
+    ``max_fanout`` the largest per-key product, ``p_fanout_keys`` how
+    many matched keys multiply (both sides > 1 — the many-to-many
+    mass), ``top_keys`` the ``top_k`` worst offenders as
+    "key=product" strings.  The "will this join blow up?" gate a
+    pipeline runs BEFORE paying for the join: at 100 TB an unnoticed
+    many-to-many key turns a 1x join into a 10000x one.
+
+    Exactness: per-key counts aggregate map-side on each input (the
+    only fact-sized work); the count frames join per-key (an equi-join
+    of two digests, shuffling one long per key) and the products
+    accumulate as DECIMAL(38,0) — a hot key can overflow int64 alone.
+    The offender list is TakeOrdered(top_k), never a sort.  Extension —
+    no reference counterpart.
+    """
+    d38 = "decimal(38,0)"
+    lc = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__nl"))
+    )
+    rc = (
+        right.where(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__nr"))
+    )
+    matched = lc.join(rc, "__k").select(
+        "__k",
+        (F.col("__nl").cast(d38) * F.col("__nr").cast(d38))
+        .cast(d38)
+        .alias("__prod"),
+        ((F.col("__nl") > 1) & (F.col("__nr") > 1)).alias("__fan"),
+    )
+    offenders = [
+        f"{r['__k']}={r['__prod']}"
+        for r in matched.orderBy(
+            F.desc("__prod"), F.asc("__k")
+        ).limit(top_k).collect()
+    ]
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("__prod").cast(d38).cast("string").alias("output_rows"),
+        F.max("__prod").cast(d38).cast("string").alias("max_fanout"),
+        F.count(F.when(F.col("__fan"), 1)).cast("bigint")
+        .alias("n_fanout_keys"),
+        F.lit(", ".join(offenders)).alias("top_keys"),
+    )

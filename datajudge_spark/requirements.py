@@ -2588,6 +2588,43 @@ class BetweenRequirement(Requirement):
             )
         )
 
+    def add_join_cardinality_constraint(
+        self,
+        key_column1: str,
+        key_column2: str,
+        max_output_rows: int | None = None,
+        max_fanout: int | None = None,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the EXACT inner-join
+        cardinality of the two sources on the given keys may not exceed
+        ``max_output_rows``, and/or no key's per-key fanout product may
+        exceed ``max_fanout`` — the pre-join explosion gate.  Computed
+        from per-key count digests (one aggregation per side), never by
+        running the join; products DECIMAL-exact."""
+        ref = DataReference(
+            self._data_source, [key_column1], condition=condition1
+        )
+        ref2 = DataReference(
+            self._data_source2, [key_column2], condition=condition2
+        )
+        self._constraints.append(
+            stats_constraints.JoinFanoutMax(
+                ref,
+                ref2,
+                key_column1,
+                key_column2,
+                max_output_rows=max_output_rows,
+                max_fanout=max_fanout,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+
     def add_ks_2sample_constraint(
         self,
         column1: str,

@@ -605,3 +605,42 @@ class TestRank2Sample:
             req.add_anderson_darling_constraint("c", "c", -0.1)
         with pytest.raises(ValueError):
             req.add_cramer_von_mises_constraint("", "c", 0.1)
+
+
+class TestJoinCardinality:
+    def test_gate_pass_and_fail(self, spark):
+        from datajudge_spark import BetweenRequirement
+
+        spark.createDataFrame(
+            [(k,) for k in [1, 1, 1, 2, 3, 3]], "k long"
+        ).createOrReplaceTempView("jc_l")
+        spark.createDataFrame(
+            [(k,) for k in [1, 1, 2, 3, 3, 3]], "k long"
+        ).createOrReplaceTempView("jc_r")
+        # products: k1 = 3*2 = 6, k2 = 1*1 = 1, k3 = 2*3 = 6 -> 13 rows
+        req = BetweenRequirement.from_tables("jc_l", "jc_r")
+        req.add_join_cardinality_constraint("k", "k", max_output_rows=13)
+        req.add_join_cardinality_constraint("k", "k", max_output_rows=12)
+        req.add_join_cardinality_constraint("k", "k", max_fanout=6)
+        req.add_join_cardinality_constraint("k", "k", max_fanout=5)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False, True, False]
+        assert "would emit 13 rows" in results[1].failure_message
+        assert "multiplies 6x" in results[3].failure_message
+        assert "1=6" in results[3].failure_message
+
+    def test_no_matching_keys_passes(self, spark):
+        from datajudge_spark import BetweenRequirement
+
+        spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("jc_a")
+        spark.createDataFrame([(2,)], "k long").createOrReplaceTempView("jc_b")
+        req = BetweenRequirement.from_tables("jc_a", "jc_b")
+        req.add_join_cardinality_constraint("k", "k", max_output_rows=0)
+        assert [r.outcome for r in req.test(spark)] == [True]
+
+    def test_requires_a_bound(self, spark):
+        from datajudge_spark import BetweenRequirement
+
+        req = BetweenRequirement.from_tables("jc_a", "jc_b")
+        with pytest.raises(ValueError, match="At least one"):
+            req.add_join_cardinality_constraint("k", "k")

@@ -513,3 +513,16 @@ def test_centroid_shift_partition_stable(spark, n_parts):
     ref = centroid_shift(df, "v", "g").collect()
     got = centroid_shift(df.repartition(n_parts), "v", "g").collect()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_join_explosion_audit_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.skew import join_explosion_audit
+
+    rows = [((i * 3) % 11,) for i in range(150)]
+    df = spark.createDataFrame(rows, "k long")
+    ref = join_explosion_audit(df, "k", df, "k").collect()
+    got = join_explosion_audit(
+        df.repartition(n_parts), "k", df.repartition(n_parts), "k"
+    ).collect()
+    assert got == ref

@@ -1445,3 +1445,42 @@ def test_fuzz_centroid_shift(spark, case):
         assert r["mmd2"] == pytest.approx(mmd2, abs=5e-5), f"case {case}"
         assert r["dist"] == pytest.approx(math.sqrt(mmd2), abs=5e-5)
         assert r["n_a"] == len(groups[r["grp_a"]])
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_join_explosion(spark, case):
+    from collections import Counter
+
+    from datajudge_spark.operators.skew import join_explosion_audit
+
+    rng = random.Random(_MK_SEED + 2000 + case)
+    shape = ["one_to_one", "hot_key", "disjoint", "mixed"][case]
+    if shape == "one_to_one":
+        kl = list(range(30)); kr = list(range(30))
+    elif shape == "hot_key":
+        kl = [7] * 40 + [1, 2, 3]; kr = [7] * 25 + [2, 9]
+    elif shape == "disjoint":
+        kl = [1, 2, 3]; kr = [4, 5, 6]
+    else:
+        kl = [rng.randint(0, 12) for _ in range(120)]
+        kr = [rng.randint(0, 12) for _ in range(80)]
+    l = spark.createDataFrame([(k,) for k in kl], "k long")
+    r = spark.createDataFrame([(k,) for k in kr], "k long")
+    row = join_explosion_audit(l, "k", r, "k").collect()[0]
+    cl, cr = Counter(kl), Counter(kr)
+    common = sorted(set(cl) & set(cr))
+    prods = {k: cl[k] * cr[k] for k in common}
+    assert row["n_keys"] == len(common), f"case {case} ({shape})"
+    if not common:
+        assert row["output_rows"] is None and row["max_fanout"] is None
+        return
+    assert row["output_rows"] == str(sum(prods.values()))
+    assert row["max_fanout"] == str(max(prods.values()))
+    assert row["n_fanout_keys"] == sum(
+        1 for k in common if cl[k] > 1 and cr[k] > 1
+    )
+    want_top = ", ".join(
+        f"{k}={p}"
+        for k, p in sorted(prods.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    )
+    assert row["top_keys"] == want_top
