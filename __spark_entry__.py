@@ -5741,6 +5741,193 @@ def q_join_explosion_audit(spark, sf_dir):
 #: the 8 round-8 post-window additions that have NEVER had a driver row
 #: + the full 36-query r4 cohort (oldest remaining driver rows -> after
 #: this round nothing is older than r5) + the 6 round-9 additions.
+def q_welch_ttest(spark, sf_dir):
+    # Welch unequal-variance mean A/B on per-user event counts between
+    # user-parity variants: DECIMAL-exact per-variant (n, Σx, Σx²) from
+    # ONE conditional-agg scan over the per-user frame, closed-form t
+    # and Welch-Satterthwaite df.  Completes the A/B family's mean gate
+    # where the pooled-variance test is anti-conservative.
+    from datajudge_spark.operators.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    units = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    return welch_ttest(units, "n_events", "variant")
+
+
+def q_brown_forsythe(spark, sf_dir):
+    # Brown-Forsythe variance-homogeneity screen: did order-value
+    # SPREAD drift apart across order priorities?  Integer cents,
+    # exact per-group interpolated medians (x2 so deviations stay
+    # DECIMAL-exact), one percentile shuffle + one grouped-agg shuffle,
+    # then the bounded 5-row priority-ORDERED fold.
+    from datajudge_spark.operators.stats import brown_forsythe
+
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return brown_forsythe(cents, "cents", "prio")
+
+
+def q_cmh_test(spark, sf_dir):
+    # Cochran-Mantel-Haenszel: does purchase rate associate with the
+    # user-parity variant AFTER controlling for day-of-week?  The
+    # Simpson's-paradox-proof counterpart of the marginal
+    # two-proportion z-test; exact per-stratum 2x2 counts from ONE
+    # conditional-agg scan, 7-row stratum-ORDERED fold.
+    from datajudge_spark.operators.stats import cmh_test
+
+    ev = _t(spark, sf_dir, "events")
+    return cmh_test(
+        ev.select(
+            F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+            "user_id",
+            "event_type",
+        ),
+        "dow",
+        F.col("user_id") % 2 == 0,
+        F.col("event_type") == "purchase",
+    )
+
+
+def q_grouped_ztest_bh(spark, sf_dir):
+    # segment scan with FDR control: per-hour-of-day two-proportion
+    # z-tests (purchase rate, user-parity variants) with
+    # Benjamini-Hochberg q-values across the 24 segments — the
+    # multiple-testing gate that keeps a 200-segment sweep from firing
+    # ~10 false positives at per-segment alpha 5%.  p via the A&S
+    # 7.1.26 erfc polynomial, identical expression in the oracle.
+    from datajudge_spark.operators.stats import grouped_ztest_bh
+
+    ev = _t(spark, sf_dir, "events")
+    out = grouped_ztest_bh(
+        ev.select(
+            F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+            "user_id",
+            "event_type",
+        ),
+        "hr",
+        F.col("user_id") % 2 == 0,
+        F.col("user_id") % 2 == 1,
+        F.col("event_type") == "purchase",
+    )
+    return out.orderBy("group").select(
+        F.col("group").cast("int").alias("hr"),
+        "n_a",
+        "n_b",
+        "z",
+        "p_value",
+        "q_value",
+    )
+
+
+def q_nelson_aalen(spark, sf_dir):
+    # Nelson-Aalen cumulative hazard on the SAME user-lifetime frame as
+    # kaplan_meier (duration = first-to-last-event days; churn observed
+    # when the last event predates the horizon by >14 days): hazard
+    # RATES where KM gives survival fractions; ordered windows only
+    # over the bounded distinct-duration histogram.
+    from datajudge_spark.operators.timeseries import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+    )
+    horizon = ev.agg(
+        F.date_sub(F.max(F.col("ts").cast("date")), 14).alias("__h")
+    )
+    subj = per_user.join(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").alias("dur"),
+        F.when(F.col("last_d") < F.col("__h"), 1).otherwise(0).alias("ev"),
+    )
+    return nelson_aalen(subj, "dur", "ev")
+
+
+def q_durbin_watson(spark, sf_dir):
+    # Durbin-Watson residual-autocorrelation gate on the 1995 daily
+    # order-revenue OLS fit: DW near 2 = the trend line left white
+    # noise; far below = runs of systematically-missed days (drift,
+    # seasonality).  OLS sufficient stats DECIMAL-exact; both quadratic
+    # folds index-ORDERED over the bounded 365-row daily frame.
+    from datajudge_spark.operators.timeseries import durbin_watson
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.where(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            ).cast("bigint").alias("cents")
+        )
+        .select(
+            F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+            .alias("t"),
+            "cents",
+        )
+    )
+    return durbin_watson(daily, "t", "cents")
+
+
+def q9_product_profit(spark, sf_dir):
+    # TPC-H Q9 shape: product-line profit by nation and order year.
+    # No partsupp in the synthetic schema, so unit cost = 60% of the
+    # part's retail price (decimal-exact 3dp); profit =
+    # rev - qty*cost accumulates as DECIMAL.  part (name filter) and
+    # the supplier->nation chain broadcast onto the fact scan; orders
+    # joins shuffle on the order key; ONE grouped-agg shuffle on
+    # (nation, year).
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    # all-integer scaled arithmetic (the q1 idiom): rev·1e4 =
+    # price_cents·(100 − disc_pct); cost·1e4 = qty·retail_cents·60
+    ep_cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    disc_pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
+    retail_cents = (
+        F.col("p_retailprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    rev_e4 = (ep_cents * (100 - disc_pct)).cast("decimal(38,0)")
+    cost_e4 = (
+        F.col("l_quantity").cast("bigint") * retail_cents * 60
+    ).cast("decimal(38,0)")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(
+                s.join(
+                    F.broadcast(n),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(rev_e4) - F.sum(cost_e4)).cast("bigint").alias("profit_e4")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+
 _R9_WINDOW = [
     # -- 8 round-8 post-window additions (never driver-checked) --
     "cuped_ab",
@@ -6066,6 +6253,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_ab": q_did_ab,
         "embedding_centroid_shift": q_embedding_centroid_shift,
         "join_explosion_audit": q_join_explosion_audit,
+        "welch_ttest": q_welch_ttest,
+        "brown_forsythe": q_brown_forsythe,
+        "cmh_test": q_cmh_test,
+        "grouped_ztest_bh": q_grouped_ztest_bh,
+        "nelson_aalen": q_nelson_aalen,
+        "durbin_watson": q_durbin_watson,
+        "q9_product_profit": q9_product_profit,
     }
     missing = [k for k in _R9_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -10789,6 +10983,225 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(prod) AS VARCHAR) AS max_fanout, "
             "CAST(count(*) FILTER (fan) AS BIGINT) AS n_fanout_keys, "
             "(SELECT s FROM top) AS top_keys FROM m"
+        ),
+        "welch_ttest": (
+            # HUGEINT sufficient stats; two-step ta=(var)/n division
+            # order mirrors the operator exactly
+            "WITH u AS (SELECT user_id, count(*) AS x FROM events "
+            "GROUP BY user_id), "
+            "c AS (SELECT "
+            "count(*) FILTER (user_id % 2 = 0) AS n_a, "
+            "sum(CASE WHEN user_id % 2 = 0 THEN CAST(x AS HUGEINT) "
+            "ELSE 0 END) AS s_a, "
+            "sum(CASE WHEN user_id % 2 = 0 THEN CAST(x AS HUGEINT) "
+            "* CAST(x AS HUGEINT) ELSE 0 END) AS q_a, "
+            "count(*) FILTER (user_id % 2 <> 0) AS n_b, "
+            "sum(CASE WHEN user_id % 2 <> 0 THEN CAST(x AS HUGEINT) "
+            "ELSE 0 END) AS s_b, "
+            "sum(CASE WHEN user_id % 2 <> 0 THEN CAST(x AS HUGEINT) "
+            "* CAST(x AS HUGEINT) ELSE 0 END) AS q_b FROM u), "
+            "d AS (SELECT n_a, n_b, "
+            "CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd, "
+            "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a, "
+            "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b, "
+            "CAST(CAST(n_a AS HUGEINT) * q_a - s_a * s_a AS DOUBLE) "
+            "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) "
+            "/ CAST(n_a AS DOUBLE) AS ta, "
+            "CAST(CAST(n_b AS HUGEINT) * q_b - s_b * s_b AS DOUBLE) "
+            "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) "
+            "/ CAST(n_b AS DOUBLE) AS tb FROM c), "
+            "e AS (SELECT *, ta + tb AS se2, mean_a - mean_b AS diff "
+            "FROM d) "
+            "SELECT CAST(n_a AS BIGINT) AS n_a, "
+            "CAST(n_b AS BIGINT) AS n_b, "
+            "round(CASE WHEN n_a > 0 THEN mean_a END, 6) AS mean_a, "
+            "round(CASE WHEN n_b > 0 THEN mean_b END, 6) AS mean_b, "
+            "round(CASE WHEN n_a > 0 AND n_b > 0 THEN diff END, 6) "
+            "AS diff, "
+            "round(CASE WHEN se2 > 0 THEN sqrt(se2) END, 6) AS se, "
+            "round(CASE WHEN se2 > 0 THEN diff / sqrt(se2) END, 6) AS t, "
+            "round(CASE WHEN se2 > 0 THEN se2 * se2 / "
+            "(ta * ta / (nad - 1.0) + tb * tb / (nbd - 1.0)) END, 6) "
+            "AS df FROM e"
+        ),
+        "brown_forsythe": (
+            # 2x-scaled deviations stay HUGEINT-exact; the k-row fold
+            # is the same group-ORDERED cumulative window
+            "WITH c AS (SELECT o_orderpriority AS g, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS x "
+            "FROM orders), "
+            "m AS (SELECT g, quantile_cont(x, 0.5) * 2 AS med2 "
+            "FROM c GROUP BY g), "
+            "z AS (SELECT c.g, abs(CAST(c.x AS HUGEINT) * 2 "
+            "- CAST(round(m.med2) AS HUGEINT)) AS z2 "
+            "FROM c JOIN m ON c.g = m.g), "
+            "pg AS (SELECT g, count(*) AS n, sum(z2) AS s, "
+            "sum(z2 * z2) AS q FROM z GROUP BY g), "
+            "cum AS (SELECT g, sum(n) OVER w AS cn, "
+            "count(*) OVER w AS ck, sum(s) OVER w AS cs, "
+            "sum(q) OVER w AS cq, "
+            "sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
+            "/ CAST(n AS DOUBLE)) OVER w AS cssb FROM pg "
+            "WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)), "
+            "last AS (SELECT * FROM cum ORDER BY g DESC LIMIT 1) "
+            "SELECT CAST(cn AS BIGINT) AS n, "
+            "CAST(ck AS BIGINT) AS n_groups, "
+            "CAST(ck - 1 AS BIGINT) AS df1, "
+            "CAST(cn - ck AS BIGINT) AS df2, "
+            "round(CASE WHEN ck >= 2 "
+            "AND CAST(cn AS DOUBLE) > CAST(ck AS DOUBLE) "
+            "AND CAST(cq AS DOUBLE) - cssb > 0 THEN "
+            "((cssb - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) "
+            "/ CAST(cn AS DOUBLE)) / (CAST(ck AS DOUBLE) - 1.0)) "
+            "/ ((CAST(cq AS DOUBLE) - cssb) "
+            "/ (CAST(cn AS DOUBLE) - CAST(ck AS DOUBLE))) END, 6) "
+            "AS f_stat FROM last"
+        ),
+        "cmh_test": (
+            # DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday
+            "WITH per AS (SELECT dayofweek(ts) + 1 AS s, "
+            "count(*) FILTER (user_id % 2 = 0 "
+            "AND event_type = 'purchase') AS a, "
+            "count(*) FILTER (user_id % 2 = 0) AS n1, "
+            "count(*) FILTER (event_type = 'purchase') AS m1, "
+            "count(*) AS t FROM events GROUP BY 1), "
+            "d AS (SELECT s, t, a, CAST(a AS DOUBLE) AS ad, "
+            "CAST(n1 AS DOUBLE) AS n1d, CAST(m1 AS DOUBLE) AS m1d, "
+            "CAST(t AS DOUBLE) AS td FROM per), "
+            "cum AS (SELECT s, sum(t) OVER w AS cn, "
+            "count(*) OVER w AS ck, sum(a) OVER w AS ca, "
+            "sum(n1d * m1d / td) OVER w AS ce, "
+            "sum(CASE WHEN t > 1 THEN n1d * (td - n1d) * m1d "
+            "* (td - m1d) / (td * td * (td - 1.0)) ELSE 0.0 END) "
+            "OVER w AS cv, "
+            "sum(ad * (td - n1d - m1d + ad) / td) OVER w AS cor_num, "
+            "sum((n1d - ad) * (m1d - ad) / td) OVER w AS cor_den "
+            "FROM d WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "last AS (SELECT * FROM cum ORDER BY s DESC LIMIT 1) "
+            "SELECT CAST(cn AS BIGINT) AS n, "
+            "CAST(ck AS BIGINT) AS n_strata, "
+            "CAST(ca AS BIGINT) AS exposed_outcome, "
+            "round(CASE WHEN cv > 0 THEN (CAST(ca AS DOUBLE) - ce) "
+            "* (CAST(ca AS DOUBLE) - ce) / cv END, 6) AS chi2, "
+            "round(CASE WHEN cor_den > 0 THEN cor_num / cor_den END, 6) "
+            "AS or_mh FROM last"
+        ),
+        "grouped_ztest_bh": (
+            # identical A&S 7.1.26 erfc polynomial; BH suffix-min over
+            # the p-ascending ranking (group tiebreak)
+            "WITH per AS (SELECT hour(ts) AS g, "
+            "count(*) FILTER (user_id % 2 = 0) AS n_a, "
+            "count(*) FILTER (user_id % 2 = 0 "
+            "AND event_type = 'purchase') AS s_a, "
+            "count(*) FILTER (user_id % 2 = 1) AS n_b, "
+            "count(*) FILTER (user_id % 2 = 1 "
+            "AND event_type = 'purchase') AS s_b "
+            "FROM events GROUP BY 1), "
+            "t1 AS (SELECT g, n_a, n_b, "
+            "CAST(n_a AS DOUBLE) AS na, CAST(s_a AS DOUBLE) AS sa, "
+            "CAST(n_b AS DOUBLE) AS nb, CAST(s_b AS DOUBLE) AS sb "
+            "FROM per WHERE n_a > 0 AND n_b > 0 AND s_a + s_b > 0 "
+            "AND s_a + s_b < n_a + n_b), "
+            "t2 AS (SELECT g, n_a, n_b, "
+            "(sa / na - sb / nb) / sqrt((sa + sb) / (na + nb) "
+            "* (1.0 - (sa + sb) / (na + nb)) "
+            "* (1.0 / na + 1.0 / nb)) AS z FROM t1), "
+            "t3 AS (SELECT g, n_a, n_b, z, "
+            "abs(z) / sqrt(2.0) AS u, "
+            "1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt "
+            "FROM t2), "
+            "t4 AS (SELECT g, n_a, n_b, z, "
+            "tt * (0.254829592 + tt * (-0.284496736 + tt "
+            "* (1.421413741 + tt * (-1.453152027 + tt "
+            "* 1.061405429)))) * exp(-u * u) AS p FROM t3), "
+            "r AS (SELECT *, count(*) OVER () AS m, "
+            "row_number() OVER (ORDER BY p, g) AS rk FROM t4), "
+            "q AS (SELECT *, least(min(p * CAST(m AS DOUBLE) "
+            "/ CAST(rk AS DOUBLE)) OVER (ORDER BY rk DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) "
+            "AS qv FROM r) "
+            "SELECT CAST(g AS INT) AS hr, n_a, n_b, round(z, 6) AS z, "
+            "round(p, 6) AS p_value, round(qv, 6) AS q_value "
+            "FROM q ORDER BY hr"
+        ),
+        "nelson_aalen": (
+            # same subject frame as kaplan_meier; cumulative-hazard
+            # sums sequential in duration order
+            "WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd, "
+            "max(CAST(ts AS DATE)) AS ld FROM events GROUP BY user_id), "
+            "h AS (SELECT max(CAST(ts AS DATE)) - 14 AS hz FROM events), "
+            "subj AS (SELECT (ld - fd) AS dur, CASE WHEN ld < "
+            "(SELECT hz FROM h) THEN 1 ELSE 0 END AS ev FROM pu), "
+            "per_t AS (SELECT dur AS duration, sum(ev) AS n_events, "
+            "count(*) AS n_at FROM subj GROUP BY dur), "
+            "tot AS (SELECT sum(n_at) AS t FROM per_t), "
+            "cum AS (SELECT duration, n_events, n_at - n_events AS "
+            "n_censored, (SELECT t FROM tot) - sum(n_at) OVER "
+            "(ORDER BY duration) + n_at AS n_risk FROM per_t) "
+            "SELECT CAST(duration AS INT) AS duration, "
+            "CAST(n_risk AS BIGINT) AS n_risk, "
+            "CAST(n_events AS BIGINT) AS n_events, "
+            "CAST(n_censored AS BIGINT) AS n_censored, "
+            "round(sum(CAST(n_events AS DOUBLE) "
+            "/ CAST(n_risk AS DOUBLE)) OVER (ORDER BY duration), 6) "
+            "AS cumhaz, "
+            "round(sum(CAST(n_events AS DOUBLE) "
+            "/ (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))) "
+            "OVER (ORDER BY duration), 6) AS var_cumhaz FROM cum"
+        ),
+        "durbin_watson": (
+            # HUGEINT OLS sufficient stats; residual folds t-ORDERED
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents "
+            "FROM orders WHERE date_part('year', o_orderdate) = 1995 "
+            "GROUP BY 1), "
+            "b AS (SELECT CAST(day - DATE '1995-01-01' AS HUGEINT) "
+            "AS t, cents AS y FROM daily), "
+            "suff AS (SELECT count(*) AS n, sum(t) AS st, sum(y) AS sy, "
+            "sum(t * y) AS sty, sum(t * t) AS stt FROM b), "
+            "ols AS (SELECT n, st, sy, CASE WHEN n >= 3 AND "
+            "CAST(CAST(n AS HUGEINT) * stt - st * st AS DOUBLE) <> 0 "
+            "THEN CAST(CAST(n AS HUGEINT) * sty - st * sy AS DOUBLE) "
+            "/ CAST(CAST(n AS HUGEINT) * stt - st * st AS DOUBLE) END "
+            "AS b1 FROM suff), "
+            "ols2 AS (SELECT n, b1, (CAST(sy AS DOUBLE) "
+            "- b1 * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS b0 "
+            "FROM ols), "
+            "resid AS (SELECT t, CAST(y AS DOUBLE) "
+            "- (b0 + b1 * CAST(t AS DOUBLE)) AS e FROM b, ols2), "
+            "lagd AS (SELECT t, e, lag(e) OVER (ORDER BY t) AS le "
+            "FROM resid), "
+            "cum AS (SELECT t, sum(CASE WHEN le IS NOT NULL THEN "
+            "(e - le) * (e - le) ELSE 0.0 END) OVER w AS cnum, "
+            "sum(e * e) OVER w AS cden FROM lagd "
+            "WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)) "
+            "SELECT (SELECT CAST(n AS BIGINT) FROM suff) AS n, "
+            "round((SELECT b1 FROM ols2), 6) AS slope, "
+            "round((SELECT b0 FROM ols2), 6) AS intercept, "
+            "round(CASE WHEN cden > 0 THEN cnum / cden END, 6) AS dw "
+            "FROM cum ORDER BY t DESC LIMIT 1"
+        ),
+        "q9_product_profit": (
+            # all-integer scaled profit: rev_e4 = cents*(100-disc_pct),
+            # cost_e4 = qty*retail_cents*60
+            "SELECT n.n_name AS nation, "
+            "CAST(date_part('year', o.o_orderdate) AS INT) AS o_year, "
+            "CAST(sum(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) "
+            "* 100 AS BIGINT) AS HUGEINT) * (100 - "
+            "CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) "
+            "- sum(CAST(CAST(l.l_quantity AS BIGINT) AS HUGEINT) "
+            "* CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT) * 60) AS BIGINT) AS profit_e4 "
+            "FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "AND p.p_name LIKE '%widget%' "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
         ),
         "minhash_query_neardup": _minhash_query_sql(),
     }

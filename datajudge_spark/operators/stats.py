@@ -2820,3 +2820,365 @@ def diff_in_diff(
         F.round(se, 6).alias("se"),
         F.round(F.when(se.isNotNull(), did / se), 6).alias("z"),
     )
+
+
+def welch_ttest(
+    units: DataFrame,
+    metric_col: str,
+    assign_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test over a
+    one-row-per-unit frame with an INTEGER metric (cents, counts) and a
+    two-level assignment: one digest row ``(n_a, n_b, mean_a, mean_b,
+    diff, se, t, df)`` with the Welch-Satterthwaite degrees of freedom.
+
+    The baseline mean A/B gate where variances genuinely differ between
+    variants (a treatment that changes the SPREAD of engagement, not
+    just its level) — the pooled-variance Student test is anti-
+    conservative there; Welch is the default every experimentation
+    platform ships.
+
+    Exactness contract: per-variant sufficient statistics (n, Σx, Σx²)
+    accumulate as DECIMAL(38,0) — order-independent, exact for integer
+    inputs — variance numerators ``n·Σx² − (Σx)²`` are computed in
+    DECIMAL and converted to double ONCE into fixed closed-form
+    expressions.  Degenerate inputs (a variant with n < 2, zero
+    combined variance) yield NULL se/t/df with the means still
+    reported.  Extension — no reference counterpart; the binary-outcome
+    sibling is :func:`two_proportion_ztest`.
+
+    Plan: one level probe + ONE map-side-partial aggregation scan;
+    nothing but the one-row digest shuffles.
+    """
+    d38 = "decimal(38,0)"
+    levels = (
+        units.select(F.col(assign_col).alias("__lv"))
+        .where(F.col("__lv").isNotNull())
+        .distinct()
+        .orderBy("__lv")
+        .limit(3)
+        .collect()
+    )
+    if len(levels) != 2:
+        raise ValueError(
+            f"Welch t-test needs exactly two assignment levels, got "
+            f"{[r['__lv'] for r in levels]}"
+        )
+    lv_a = levels[0]["__lv"]
+    base = units.where(
+        F.col(metric_col).isNotNull() & F.col(assign_col).isNotNull()
+    )
+    x = F.col(metric_col).cast(d38)
+    is_a = F.col(assign_col) == F.lit(lv_a)
+    zero = F.lit(0).cast(d38)
+
+    def _side(tag: str, cond):
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{tag}"),
+            F.sum(F.when(cond, x).otherwise(zero)).alias(f"s_{tag}"),
+            F.sum(F.when(cond, (x * x).cast(d38)).otherwise(zero)).alias(
+                f"q_{tag}"
+            ),
+        ]
+
+    suff = base.agg(*_side("a", is_a), *_side("b", ~is_a))
+
+    def _group(tag: str):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        mean = F.col(f"s_{tag}").cast("double") / nd
+        # n·Σx² − (Σx)² stays DECIMAL-exact; ·1/(n(n−1)) once in double
+        var = (
+            n.cast(d38) * F.col(f"q_{tag}")
+            - F.col(f"s_{tag}") * F.col(f"s_{tag}")
+        ).cast("double") / F.when(n >= 2, nd * (nd - 1.0))
+        return mean, var, nd
+
+    mean_a, var_a, na = _group("a")
+    mean_b, var_b, nb = _group("b")
+    ta, tb = var_a / na, var_b / nb          # per-variant se² terms
+    se2 = ta + tb
+    se = F.when(se2 > 0, F.sqrt(se2))
+    diff = mean_a - mean_b
+    # Welch–Satterthwaite: (ta+tb)² / (ta²/(na−1) + tb²/(nb−1))
+    df = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (ta * ta / (na - 1.0) + tb * tb / (nb - 1.0)),
+    )
+    ok_n = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return suff.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.when(F.col("n_a") > 0, mean_a), 6).alias("mean_a"),
+        F.round(F.when(F.col("n_b") > 0, mean_b), 6).alias("mean_b"),
+        F.round(F.when(ok_n, diff), 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(se.isNotNull(), diff / se), 6).alias("t"),
+        F.round(df, 6).alias("df"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Levene's test with the
+    MEDIAN center — robust to non-normality) of an INTEGER metric
+    across the levels of a BOUNDED-cardinality group column: one digest
+    row ``(n, n_groups, df1, df2, f_stat)``.
+
+    The gate behind every "equal variances?" precondition (classic
+    ANOVA, pooled t) and a drift screen in its own right: a segment
+    whose SPREAD exploded while its mean held is invisible to mean
+    gates but fails here.
+
+    Definition: z_ij = |x_ij − median_i|, then the one-way ANOVA F on
+    the z's: ``F = [Σ n_i(z̄_i − z̄)²/(k−1)] / [Σ(z_ij − z̄_i)²/(N−k)]``.
+
+    Exactness contract: per-group medians come from the exact
+    interpolated percentile, so 2·median is an integer and
+    ``z2 = |2x − 2·median|`` is DECIMAL(38,0)-exact; per-group (n, Σz2,
+    Σz2²) accumulate in DECIMAL (F is invariant to the uniform ×2
+    scale — numerator and denominator both scale by 4).  The k-row
+    fold runs as a group-ORDERED cumulative window (both engines add
+    the same doubles in the same order — the SRM fold idiom).
+
+    Plan: one percentile aggregation shuffle (map-side partials), the
+    medians broadcast back onto the fact scan (map-side), one grouped
+    aggregation shuffle, then the bounded k-row ordered fold.
+    Extension — no reference counterpart.
+    """
+    d38 = "decimal(38,0)"
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), F.col(value_col).alias("__x"))
+    med2 = base.groupBy("__g").agg(
+        # exact interpolated median; ×2 makes it integer-valued
+        (F.percentile(F.col("__x"), F.lit(0.5)) * 2).alias("__med2")
+    )
+    z2 = (
+        base.join(F.broadcast(med2), "__g")
+        .select(
+            "__g",
+            F.abs(
+                F.col("__x").cast(d38) * 2
+                - F.col("__med2").cast(d38)
+            ).alias("__z2"),
+        )
+    )
+    per_g = z2.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__z2").alias("__s"),
+        F.sum((F.col("__z2") * F.col("__z2")).cast(d38)).alias("__q"),
+    )
+    w_cum = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # Σ S_i²/n_i must fold in a deterministic order (doubles)
+    ssb_term = (
+        F.col("__s").cast("double")
+        * F.col("__s").cast("double")
+        / F.col("__n").cast("double")
+    )
+    cum = per_g.select(
+        "__g",
+        F.sum("__n").over(w_cum).alias("__cn"),
+        F.count(F.lit(1)).over(w_cum).alias("__ck"),
+        F.sum("__s").over(w_cum).alias("__cs"),
+        F.sum("__q").over(w_cum).alias("__cq"),
+        F.sum(ssb_term).over(w_cum).alias("__cssb"),
+    )
+    last = cum.orderBy(F.desc("__g")).limit(1)
+    n = F.col("__cn").cast("double")
+    k = F.col("__ck").cast("double")
+    s = F.col("__cs").cast("double")
+    q = F.col("__cq").cast("double")
+    ssb = F.col("__cssb") - s * s / n
+    ssw = q - F.col("__cssb")
+    ok = (F.col("__ck") >= 2) & (n > k) & (ssw > 0)
+    f_stat = (ssb / (k - 1.0)) / (ssw / (n - k))
+    return last.select(
+        F.col("__cn").cast("bigint").alias("n"),
+        F.col("__ck").cast("bigint").alias("n_groups"),
+        (F.col("__ck") - 1).cast("bigint").alias("df1"),
+        (F.col("__cn") - F.col("__ck")).cast("bigint").alias("df2"),
+        F.round(F.when(ok, f_stat), 6).alias("f_stat"),
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposure: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of exposure/outcome association
+    across the strata of a BOUNDED-cardinality stratum column: one
+    digest row ``(n, n_strata, exposed_outcome, chi2, or_mh)`` — the
+    stratified 2×2 χ² (no continuity correction) plus the
+    Mantel-Haenszel pooled odds ratio.
+
+    The binary-outcome counterpart of :func:`post_stratified_diff`:
+    "does conversion associate with the variant AFTER controlling for
+    the stratum?" — the gate that catches Simpson's-paradox reversals a
+    marginal :func:`two_proportion_ztest` hides.
+
+    ``chi2 = (Σa_i − ΣE_i)² / ΣV_i`` with the hypergeometric
+    ``E_i = n1_i·m1_i/T_i`` and
+    ``V_i = n1_i·n0_i·m1_i·m0_i / (T_i²(T_i−1))``;
+    ``OR_MH = Σ(a_i·d_i/T_i) / Σ(b_i·c_i/T_i)``.
+
+    Exactness contract: the per-stratum 2×2 counts are exact integers
+    from ONE conditional-aggregation scan; E/V/OR terms are fixed
+    double expressions; the bounded k-row fold is a stratum-ORDERED
+    cumulative window (deterministic double order).  Strata with
+    T_i ≤ 1 contribute zero variance; a zero ΣV (or zero OR
+    denominator) yields NULL chi2 (or_mh).  Extension — no reference
+    counterpart.
+    """
+    per_s = (
+        df.where(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.count(F.when(exposure & outcome, 1)).alias("__a"),
+            F.count(F.when(exposure, 1)).alias("__n1"),
+            F.count(F.when(outcome, 1)).alias("__m1"),
+            F.count(F.lit(1)).alias("__t"),
+        )
+    )
+    a = F.col("__a").cast("double")
+    n1 = F.col("__n1").cast("double")
+    m1 = F.col("__m1").cast("double")
+    tt = F.col("__t").cast("double")
+    n0, m0 = tt - n1, tt - m1
+    b, c = n1 - a, m1 - a
+    d = tt - n1 - m1 + a
+    e = n1 * m1 / tt
+    v = F.when(
+        F.col("__t") > 1, n1 * n0 * m1 * m0 / (tt * tt * (tt - 1.0))
+    ).otherwise(F.lit(0.0))
+    w_cum = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_s.select(
+        "__s",
+        F.sum("__t").over(w_cum).alias("__cn"),
+        F.count(F.lit(1)).over(w_cum).alias("__ck"),
+        F.sum("__a").over(w_cum).alias("__ca"),
+        F.sum(e).over(w_cum).alias("__ce"),
+        F.sum(v).over(w_cum).alias("__cv"),
+        F.sum(a * d / tt).over(w_cum).alias("__cor_num"),
+        F.sum(b * c / tt).over(w_cum).alias("__cor_den"),
+    )
+    last = cum.orderBy(F.desc("__s")).limit(1)
+    dev = F.col("__ca").cast("double") - F.col("__ce")
+    chi2 = F.when(F.col("__cv") > 0, dev * dev / F.col("__cv"))
+    or_mh = F.when(
+        F.col("__cor_den") > 0, F.col("__cor_num") / F.col("__cor_den")
+    )
+    return last.select(
+        F.col("__cn").cast("bigint").alias("n"),
+        F.col("__ck").cast("bigint").alias("n_strata"),
+        F.col("__ca").cast("bigint").alias("exposed_outcome"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(or_mh, 6).alias("or_mh"),
+    )
+
+
+# Abramowitz & Stegun 7.1.26 erf polynomial — the in-plan normal tail
+# used by grouped_ztest_bh.  Spelled once here and mirrored verbatim in
+# the oracle SQL; both engines evaluate the identical fixed double
+# expression (the KS-p exp() fold set the precedent that libm parity
+# holds at the 6-dp digest rounding).
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _normal_two_sided_p(z: Column) -> Column:
+    """2·(1 − Φ(|z|)) = erfc(|z|/√2) via A&S 7.1.26 (|err| ≤ 1.5e-7)."""
+    u = F.abs(z) / F.lit(2.0) ** F.lit(0.5)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * u)
+    a1, a2, a3, a4, a5 = (F.lit(v) for v in _ERF_A)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return poly * F.exp(-u * u)
+
+
+def grouped_ztest_bh(
+    df: DataFrame,
+    group_col: str,
+    population_a: Column,
+    population_b: Column,
+    success: Column,
+) -> DataFrame:
+    """Per-group pooled two-proportion z-tests with Benjamini-Hochberg
+    FDR adjustment across the groups: one row per testable group
+    ``(group, n_a, n_b, z, p_value, q_value)`` — the multiple-testing
+    gate for segment scans ("which of my 200 segments REALLY moved?"),
+    where per-segment α thresholds alone would fire ~10 false segments
+    per scan at α = 5%.
+
+    p comes from the A&S 7.1.26 erfc polynomial (|err| ≤ 1.5e-7 —
+    below the 6-dp digest rounding); BH is the classic step-up:
+    ``q_(i) = min_{j ≥ i}( p_(j) · m / j )`` capped at 1, computed as a
+    suffix-min window over the p-ascending ranking (group tiebreak).
+    q is CONTINUOUS in p, so 1-ulp engine differences cannot step it —
+    the reject/accept decision stays driver-side in the constraint.
+
+    Groups where the z-test is degenerate (an empty side, pooled rate
+    0 or 1) are excluded from m and from the output — they carry no
+    evidence either way.
+
+    Scale: one conditional-aggregation shuffle to the per-group counts;
+    every window after that runs over the BOUNDED |groups|-row digest
+    frame.  Extension — no reference counterpart.
+    """
+    per_g = (
+        df.where((population_a | population_b) & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.when(population_a, 1)).alias("n_a"),
+            F.count(F.when(population_a & success, 1)).alias("s_a"),
+            F.count(F.when(population_b, 1)).alias("n_b"),
+            F.count(F.when(population_b & success, 1)).alias("s_b"),
+        )
+    )
+    na, sa = F.col("n_a").cast("double"), F.col("s_a").cast("double")
+    nb, sb = F.col("n_b").cast("double"), F.col("s_b").cast("double")
+    pooled = (sa + sb) / (na + nb)
+    var = pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb)
+    z = (sa / na - sb / nb) / F.sqrt(var)
+    testable = per_g.where(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0)
+        & (F.col("s_a") + F.col("s_b") > 0)
+        & (F.col("s_a") + F.col("s_b") < F.col("n_a") + F.col("n_b"))
+    ).select("group", "n_a", "n_b", z.alias("__z"))
+    p = _normal_two_sided_p(F.col("__z"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy("__p", "group")
+    ranked = testable.select(
+        "group", "n_a", "n_b", "__z", p.alias("__p")
+    ).select(
+        "*",
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+        F.row_number().over(w_rank).alias("__r"),
+    )
+    # suffix min over ranks ≥ r: cumulative min in DESCENDING p order
+    w_suffix = Window.orderBy(F.desc("__r")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r_val = (
+        F.col("__p") * F.col("__m").cast("double")
+        / F.col("__r").cast("double")
+    )
+    return ranked.select(
+        "group",
+        "n_a",
+        "n_b",
+        F.round(F.col("__z"), 6).alias("z"),
+        F.round(F.col("__p"), 6).alias("p_value"),
+        F.round(
+            F.least(F.min(r_val).over(w_suffix), F.lit(1.0)), 6
+        ).alias("q_value"),
+    )

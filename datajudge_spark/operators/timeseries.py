@@ -1488,3 +1488,147 @@ def pettitt_changepoint(
             F.round(F.when(F.col("__n") >= 2, p), 6).alias("p_value"),
         )
     )
+
+
+def nelson_aalen(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve: one row per distinct
+    duration with ``(duration, n_risk, n_events, n_censored, cumhaz,
+    var_cumhaz)``.
+
+    ``H(t) = Σ_{t_i ≤ t} d_i / n_i`` with the Aalen variance
+    ``Σ d_i / n_i²`` — the estimator of choice when hazard RATES (not
+    survival fractions) are compared, and numerically stable where the
+    Kaplan-Meier product hits small n tails.  Shares
+    :func:`kaplan_meier`'s censoring convention (``event_col`` 1 =
+    observed, 0 = censored at ``duration_col``).
+
+    Scale: identical to :func:`kaplan_meier` — one groupBy shuffle to
+    the distinct-duration histogram, then ordered windows over THAT
+    bounded frame; the cumulative sums are sequential in duration
+    order, so both engines add the same doubles in the same order.
+    Extension — no reference counterpart.
+    """
+    per_t = (
+        df.where(F.col(duration_col).isNotNull())
+        .groupBy(F.col(duration_col).alias("duration"))
+        .agg(
+            F.sum(
+                F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
+            ).alias("n_events"),
+            F.count(F.lit(1)).alias("n_at"),
+        )
+    )
+    w = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_t.agg(F.sum("n_at").alias("__total"))
+    cum = per_t.join(F.broadcast(total)).select(
+        "duration",
+        "n_events",
+        (F.col("n_at") - F.col("n_events")).alias("n_censored"),
+        (
+            F.col("__total") - F.sum("n_at").over(w) + F.col("n_at")
+        ).alias("n_risk"),
+    )
+    d = F.col("n_events").cast("double")
+    r = F.col("n_risk").cast("double")
+    return cum.select(
+        "duration",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(F.sum(d / r).over(w), 6).alias("cumhaz"),
+        F.round(F.sum(d / (r * r)).over(w), 6).alias("var_cumhaz"),
+    )
+
+
+def durbin_watson(
+    daily: DataFrame, idx_col: str, value_col: str
+) -> DataFrame:
+    """Durbin-Watson first-order residual-autocorrelation statistic of
+    the OLS line fit through a BOUNDED (calendar-grain) integer series:
+    one digest row ``(n, slope, intercept, dw)``.
+
+    DW ≈ 2(1 − ρ₁) of the residuals: ≈2 means the trend line left
+    white noise behind; ≪2 (positive residual autocorrelation) means
+    the line is systematically wrong for runs of days — drifting
+    level, seasonality, or regime shifts that a bare
+    :func:`trend slope <ols_trend>` gate cannot see.
+
+    ``DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t²`` over residuals
+    ``e_t = y_t − (b₀ + b₁·t)``.
+
+    Exactness contract: the OLS sufficient statistics (n, Σt, Σy, Σty,
+    Σt²) accumulate as DECIMAL(38,0) — exact for the integer
+    index/metric — and convert to double once into the closed-form
+    slope/intercept; residuals are fixed double expressions and both
+    quadratic folds run as index-ORDERED cumulative windows
+    (deterministic double order).  n < 3 or a degenerate index
+    (zero Σ(t−t̄)²) yields NULL slope/dw.
+
+    Scale: the input is the caller's already-aggregated bounded daily
+    frame (365 rows at ANY fact scale); the fact-table shuffle happened
+    upstream.  One broadcast of the 1-row OLS digest, ordered windows
+    over the bounded frame only.  Extension — no reference counterpart.
+    """
+    d38 = "decimal(38,0)"
+    base = daily.where(
+        F.col(idx_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(idx_col).cast(d38).alias("__t"),
+        F.col(value_col).cast(d38).alias("__y"),
+    )
+    suff = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__t").alias("__st"),
+        F.sum("__y").alias("__sy"),
+        F.sum((F.col("__t") * F.col("__y")).cast(d38)).alias("__sty"),
+        F.sum((F.col("__t") * F.col("__t")).cast(d38)).alias("__stt"),
+    )
+    n = F.col("__n").cast(d38)
+    # n²·cov and n²·var stay DECIMAL-exact
+    num = (n * F.col("__sty") - F.col("__st") * F.col("__sy")).cast("double")
+    den = (n * F.col("__stt") - F.col("__st") * F.col("__st")).cast("double")
+    nd = F.col("__n").cast("double")
+    slope = F.when((F.col("__n") >= 3) & (den != 0), num / den)
+    intercept = (
+        F.col("__sy").cast("double") - slope * F.col("__st").cast("double")
+    ) / nd
+    ols = suff.select(
+        slope.alias("__b1"), intercept.alias("__b0"), F.col("__n")
+    )
+    w_ord = Window.orderBy("__t")
+    w_cum = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    e = (
+        F.col("__y").cast("double")
+        - (F.col("__b0") + F.col("__b1") * F.col("__t").cast("double"))
+    )
+    resid = base.join(F.broadcast(ols)).select(
+        "__t", "__n", "__b0", "__b1", e.alias("__e")
+    )
+    lag_e = F.lag("__e").over(w_ord)
+    step = F.when(
+        lag_e.isNotNull(), (F.col("__e") - lag_e) * (F.col("__e") - lag_e)
+    ).otherwise(F.lit(0.0))
+    cum = resid.select(
+        "__t",
+        "__n",
+        "__b0",
+        "__b1",
+        F.sum(step).over(w_cum).alias("__cnum"),
+        F.sum(F.col("__e") * F.col("__e")).over(w_cum).alias("__cden"),
+    )
+    last = cum.orderBy(F.desc("__t")).limit(1)
+    return last.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(F.col("__b1"), 6).alias("slope"),
+        F.round(F.col("__b0"), 6).alias("intercept"),
+        F.round(
+            F.when(F.col("__cden") > 0, F.col("__cnum") / F.col("__cden")),
+            6,
+        ).alias("dw"),
+    )
