@@ -3153,3 +3153,459 @@ class JoinFanoutMax(Constraint):
             f"{row['top_keys']}). "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the regularized incomplete beta
+    (Lentz's method, Numerical Recipes §6.4) — powers the scipy-free
+    Student-t tail below."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 200):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 3e-16:
+            break
+    return h
+
+
+def _reg_inc_beta(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) via the continued
+    fraction, using the symmetry split at the convergence boundary."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def _student_t_sf_two_sided(t: float, df: float) -> float:
+    """Two-sided Student-t tail P(|T_df| >= |t|) =
+    I_{df/(df+t²)}(df/2, 1/2) — driver-side only (failure messages);
+    the engine-side digest carries (t, df) so the oracle never needs a
+    special function."""
+    if df <= 0:
+        return float("nan")
+    x = df / (df + t * t)
+    return _reg_inc_beta(df / 2.0, 0.5, x)
+
+
+class WelchTMax(Constraint):
+    """Mean A/B gate with unequal variances: |Welch t| between the two
+    levels of an assignment column may not exceed ``max_abs_t`` —
+    "the mean of this integer metric must not differ significantly
+    between the variants", valid even when the treatment changed the
+    metric's SPREAD (where the pooled-variance test is
+    anti-conservative).  Extension, no reference counterpart.
+
+    Engine side is operators.stats.welch_ttest (one conditional-
+    aggregation scan over the caller's unit frame, DECIMAL-exact
+    sufficient statistics).  The failure message carries the
+    Welch-Satterthwaite df and a scipy-free two-sided p-value from the
+    regularized incomplete beta.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        metric_column: str,
+        assignment_column: str,
+        max_abs_t: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_t < 0:
+            raise ValueError("max_abs_t must be non-negative")
+        self._metric = metric_column
+        self._assign = assignment_column
+        self._max_abs_t = max_abs_t
+        super().__init__(
+            ref, ref_value=max_abs_t, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import welch_ttest
+
+        row = welch_ttest(
+            self._ref.get_selection(engine), self._metric, self._assign
+        ).collect()[0]
+        if row["t"] is None:
+            return TestResult.failure(
+                f"Welch t between variants of {self._ref} is undefined "
+                f"(a variant below 2 units or zero variance; "
+                f"n_a={row['n_a']}, n_b={row['n_b']}). ",
+                self.get_description(),
+            )
+        if abs(row["t"]) <= self._max_abs_t:
+            return TestResult.success()
+        p = round(_student_t_sf_two_sided(row["t"], row["df"]), 6)
+        assertion_text = (
+            f"Welch t between variants of {self._ref} is {row['t']} "
+            f"(mean_a={row['mean_a']} on n={row['n_a']}, "
+            f"mean_b={row['mean_b']} on n={row['n_b']}, "
+            f"df={row['df']}, p={p}) — |t| exceeds the maximum "
+            f"{self._max_abs_t}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class BrownForsytheFMax(Constraint):
+    """Variance-homogeneity gate: the Brown-Forsythe F statistic
+    (Levene with the median center) of an integer metric across the
+    levels of a group column may not exceed ``max_f`` — "no segment's
+    SPREAD may have drifted apart from the others", the failure mode
+    invisible to every mean-based gate.  Extension, no reference
+    counterpart.
+
+    Engine side is operators.stats.brown_forsythe (exact per-group
+    interpolated medians, DECIMAL-exact 2x-scaled deviations, bounded
+    group-ordered fold).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        value_column: str,
+        group_column: str,
+        max_f: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_f < 0:
+            raise ValueError("max_f must be non-negative")
+        self._value = value_column
+        self._group = group_column
+        self._max_f = max_f
+        super().__init__(
+            ref, ref_value=max_f, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import brown_forsythe
+
+        rows = brown_forsythe(
+            self._ref.get_selection(engine), self._value, self._group
+        ).collect()
+        row = rows[0] if rows else None
+        if row is None or row["f_stat"] is None:
+            return TestResult(
+                True,
+                "Brown-Forsythe F is undefined (fewer than two groups "
+                "or zero within-group deviation); the gate is vacuous.",
+            )
+        if row["f_stat"] <= self._max_f:
+            return TestResult.success()
+        assertion_text = (
+            f"Brown-Forsythe F of {self._value} across {self._group} "
+            f"levels of {self._ref} is {row['f_stat']} "
+            f"(df1={row['df1']}, df2={row['df2']}, n={row['n']}) — "
+            f"group spreads differ beyond the maximum {self._max_f}. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class CMHChi2Max(Constraint):
+    """Stratified association gate: the Cochran-Mantel-Haenszel χ² of
+    exposure/outcome association across strata may not exceed
+    ``max_chi2`` — "conversion must not associate with the variant
+    AFTER controlling for the stratum", the Simpson's-paradox-proof
+    counterpart of the marginal two-proportion gate.  Extension, no
+    reference counterpart.
+
+    Engine side is operators.stats.cmh_test (exact per-stratum 2x2
+    counts from one conditional-aggregation scan, bounded
+    stratum-ordered fold).  The failure message carries the
+    Mantel-Haenszel pooled odds ratio.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        stratum_column: str,
+        exposure,
+        outcome,
+        max_chi2: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_chi2 < 0:
+            raise ValueError("max_chi2 must be non-negative")
+        self._stratum = stratum_column
+        self._exposure = exposure
+        self._outcome = outcome
+        self._max_chi2 = max_chi2
+        super().__init__(
+            ref, ref_value=max_chi2, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import cmh_test
+
+        rows = cmh_test(
+            self._ref.get_selection(engine),
+            self._stratum,
+            self._exposure.to_column(),
+            self._outcome.to_column(),
+        ).collect()
+        row = rows[0] if rows else None
+        if row is None or row["chi2"] is None:
+            return TestResult(
+                True,
+                "CMH χ² is undefined (no stratum carries variance); "
+                "the gate is vacuous.",
+            )
+        if row["chi2"] <= self._max_chi2:
+            return TestResult.success()
+        assertion_text = (
+            f"CMH χ² of exposure/outcome association across "
+            f"{row['n_strata']} {self._stratum} strata of {self._ref} "
+            f"is {row['chi2']} (pooled odds ratio {row['or_mh']}, "
+            f"n={row['n']}) — exceeds the maximum {self._max_chi2}. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class BHSignificantMax(Constraint):
+    """Multiple-testing segment gate: after Benjamini-Hochberg FDR
+    adjustment across per-group two-proportion z-tests, at most
+    ``max_significant`` groups may stay significant at
+    ``q_threshold`` — the segment-scan alarm that does NOT fire ~5% of
+    all segments by construction.  Extension, no reference
+    counterpart.
+
+    Engine side is operators.stats.grouped_ztest_bh (one conditional-
+    aggregation shuffle, bounded-frame BH windows, in-plan erfc
+    polynomial p-values).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        group_column: str,
+        population_a,
+        population_b,
+        success,
+        q_threshold: float = 0.05,
+        max_significant: int = 0,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not (0 < q_threshold <= 1):
+            raise ValueError("q_threshold must be within (0, 1].")
+        if max_significant < 0:
+            raise ValueError("max_significant must be non-negative")
+        self._group = group_column
+        self._population_a = population_a
+        self._population_b = population_b
+        self._success = success
+        self._q = q_threshold
+        self._max_sig = max_significant
+        super().__init__(
+            ref, ref_value=max_significant, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import grouped_ztest_bh
+
+        out = grouped_ztest_bh(
+            self._ref.get_selection(engine),
+            self._group,
+            self._population_a.to_column(),
+            self._population_b.to_column(),
+            self._success.to_column(),
+        )
+        sig = (
+            out.where(F.col("q_value") <= self._q)
+            .orderBy("q_value", "group")
+            .limit(max(self._max_sig + 5, 10))
+            .collect()
+        )
+        if len(sig) <= self._max_sig:
+            return TestResult.success()
+        worst = ", ".join(
+            f"{r['group']!r} (z={r['z']}, q={r['q_value']})"
+            for r in sig[:5]
+        )
+        assertion_text = (
+            f"{len(sig)} {self._group} segment(s) of {self._ref} stay "
+            f"significant at BH FDR q <= {self._q} (allowed: "
+            f"{self._max_sig}); worst: {worst}. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class CumulativeHazardMax(Constraint):
+    """Churn-rate gate: the Nelson-Aalen cumulative hazard of the
+    terminal event, evaluated at the LONGEST observed duration, may not
+    exceed ``max_hazard`` — "accumulated churn pressure over the whole
+    observation window stays below this".  Extension, no reference
+    counterpart; the survival-fraction sibling rides kaplan_meier.
+
+    Engine side is operators.timeseries.nelson_aalen (one shuffle to
+    the distinct-duration histogram, ordered windows over that bounded
+    frame only).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        duration_column: str,
+        event_column: str,
+        max_hazard: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_hazard < 0:
+            raise ValueError("max_hazard must be non-negative")
+        self._duration = duration_column
+        self._event = event_column
+        self._max_hazard = max_hazard
+        super().__init__(
+            ref, ref_value=max_hazard, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import nelson_aalen
+
+        rows = (
+            nelson_aalen(
+                self._ref.get_selection(engine),
+                self._duration,
+                self._event,
+            )
+            .orderBy(F.desc("duration"))
+            .limit(1)
+            .collect()
+        )
+        row = rows[0] if rows else None
+        if row is None:
+            return TestResult(
+                True, "No durations observed; the hazard gate is vacuous."
+            )
+        if row["cumhaz"] <= self._max_hazard:
+            return TestResult.success()
+        assertion_text = (
+            f"Nelson-Aalen cumulative hazard of {self._ref} reaches "
+            f"{row['cumhaz']} at duration {row['duration']} "
+            f"(variance {row['var_cumhaz']}) — exceeds the maximum "
+            f"{self._max_hazard}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class DurbinWatsonWithin(Constraint):
+    """Residual-whiteness gate: the Durbin-Watson statistic of the
+    daily ``sum(value)`` series' OLS fit must stay within
+    ``[min_dw, max_dw]`` (2 = white residuals; ≪2 = positive runs the
+    trend line systematically misses — drift, seasonality, regime
+    shifts).  Extension, no reference counterpart; the trend-magnitude
+    sibling is the OLS-slope gate.
+
+    Engine side is operators.timeseries.durbin_watson over the
+    calendar-bounded daily frame (DECIMAL-exact OLS sufficient
+    statistics, index-ordered residual folds).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        min_dw: float = 1.5,
+        max_dw: float = 2.5,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not (0 <= min_dw <= max_dw <= 4):
+            raise ValueError(
+                "need 0 <= min_dw <= max_dw <= 4 (DW lives in [0, 4])"
+            )
+        self._min_dw = min_dw
+        self._max_dw = max_dw
+        super().__init__(
+            ref,
+            ref_value=(min_dw, max_dw),
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import daily_totals, durbin_watson
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "DurbinWatsonWithin requires exactly two columns: "
+                "(date_column, value_column)."
+            )
+        date_col, value_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(date_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        daily = daily_totals(df, date_col, F.sum(cents), "__cents")
+        day0 = daily.agg(F.min("day").alias("__d0"))
+        idx = daily.join(F.broadcast(day0)).select(
+            F.datediff(F.col("day"), F.col("__d0")).alias("__t"),
+            "__cents",
+        )
+        rows = durbin_watson(idx, "__t", "__cents").collect()
+        row = rows[0] if rows else None
+        if row is None or row["dw"] is None:
+            return TestResult(
+                True,
+                "Durbin-Watson is undefined (fewer than 3 days or a "
+                "degenerate fit); the gate is vacuous.",
+            )
+        if self._min_dw <= row["dw"] <= self._max_dw:
+            return TestResult.success()
+        assertion_text = (
+            f"Durbin-Watson of the daily {value_col} series of "
+            f"{self._ref} is {row['dw']} over {row['n']} days "
+            f"(trend slope {row['slope']}) — outside "
+            f"[{self._min_dw}, {self._max_dw}]. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -1668,6 +1668,195 @@ class WithinRequirement(Requirement):
         )
 
 
+    def add_welch_ttest_constraint(
+        self,
+        metric_column: str,
+        assignment_column: str,
+        max_abs_t: float = 1.96,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Welch
+        unequal-variance t statistic of the integer ``metric_column``
+        mean between the two levels of ``assignment_column`` must
+        satisfy ``|t| <= max_abs_t`` — the mean A/B gate that stays
+        calibrated when the treatment changed the metric's SPREAD
+        (where the pooled-variance test is anti-conservative).
+        DECIMAL-exact sufficient statistics from one
+        conditional-aggregation scan; the failure message carries the
+        Welch-Satterthwaite df and a scipy-free p-value."""
+        ref = DataReference(
+            self._data_source, [metric_column, assignment_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.WelchTMax(
+                ref,
+                metric_column,
+                assignment_column,
+                max_abs_t=max_abs_t,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_brown_forsythe_constraint(
+        self,
+        value_column: str,
+        group_column: str,
+        max_f: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Brown-Forsythe F
+        statistic (Levene's test with the median center — robust to
+        heavy tails) of the integer ``value_column`` across the levels
+        of ``group_column`` may not exceed ``max_f`` — no segment's
+        SPREAD may drift apart from the others, the failure mode every
+        mean-based gate is blind to.  Exact per-group interpolated
+        medians; DECIMAL-exact scaled deviations."""
+        ref = DataReference(
+            self._data_source, [value_column, group_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.BrownForsytheFMax(
+                ref,
+                value_column,
+                group_column,
+                max_f=max_f,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_cmh_constraint(
+        self,
+        stratum_column: str,
+        exposure: Condition,
+        outcome: Condition,
+        max_chi2: float = 3.841,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the
+        Cochran-Mantel-Haenszel χ² of association between the
+        ``exposure`` and ``outcome`` row predicates across the strata
+        of ``stratum_column`` may not exceed ``max_chi2`` (3.841 = 5%
+        on 1 df) — "conversion must not associate with the variant
+        AFTER controlling for the stratum", the gate that catches
+        Simpson's-paradox reversals the marginal two-proportion z-test
+        hides.  Exact per-stratum 2x2 counts from ONE
+        conditional-aggregation scan."""
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            stats_constraints.CMHChi2Max(
+                ref,
+                stratum_column,
+                exposure,
+                outcome,
+                max_chi2=max_chi2,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_bh_fdr_constraint(
+        self,
+        group_column: str,
+        population_a: Condition,
+        population_b: Condition,
+        success: Condition,
+        q_threshold: float = 0.05,
+        max_significant: int = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): after
+        Benjamini-Hochberg FDR adjustment across per-``group_column``
+        two-proportion z-tests of the ``success`` rate between
+        ``population_a`` and ``population_b``, at most
+        ``max_significant`` groups may stay significant at
+        ``q_threshold`` — the segment-scan gate that does NOT fire ~5%
+        of all segments by construction.  One conditional-aggregation
+        shuffle; BH runs over the bounded per-group digest."""
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            stats_constraints.BHSignificantMax(
+                ref,
+                group_column,
+                population_a,
+                population_b,
+                success,
+                q_threshold=q_threshold,
+                max_significant=max_significant,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_cumulative_hazard_constraint(
+        self,
+        duration_column: str,
+        event_column: str,
+        max_hazard: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Nelson-Aalen
+        cumulative hazard of the terminal event (``event_column`` 1 =
+        observed, 0 = censored at ``duration_column``), evaluated at
+        the longest observed duration, may not exceed ``max_hazard`` —
+        accumulated churn pressure over the observation window stays
+        below this.  One shuffle to the distinct-duration histogram;
+        ordered windows over that bounded frame only."""
+        ref = DataReference(
+            self._data_source, [duration_column, event_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.CumulativeHazardMax(
+                ref,
+                duration_column,
+                event_column,
+                max_hazard=max_hazard,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_durbin_watson_constraint(
+        self,
+        date_column: str,
+        value_column: str,
+        min_dw: float = 1.5,
+        max_dw: float = 2.5,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Durbin-Watson
+        statistic of the OLS fit through the daily ``sum(value_column)``
+        series must stay within ``[min_dw, max_dw]`` (2 = the trend
+        line left white noise; ≪2 = runs of systematically-missed days
+        — drift, seasonality, regime shifts invisible to the slope
+        gate).  DECIMAL-exact OLS sufficient statistics; residual folds
+        ordered over the calendar-bounded daily frame."""
+        ref = DataReference(
+            self._data_source, [date_column, value_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.DurbinWatsonWithin(
+                ref,
+                min_dw=min_dw,
+                max_dw=max_dw,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_cuped_diff_constraint(
         self,
         pre_column: str,

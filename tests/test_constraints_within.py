@@ -1849,3 +1849,246 @@ class TestCentroidShift:
         req = within_req(df, "cshift2")
         req.add_centroid_shift_constraint("emb", "src", 0.0)
         assert outcomes(req, spark) == [True]
+
+
+class TestWelchT:
+    def test_pass_and_fail(self, spark):
+        rng = __import__("random").Random(51)
+        rows = [
+            (rng.randint(0, 100) + (40 if i % 2 else 0), i % 2)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "x long, v int")
+        req = within_req(df, "welch1")
+        req.add_welch_ttest_constraint("x", "v", max_abs_t=1e6)
+        req.add_welch_ttest_constraint("x", "v", max_abs_t=1.0)  # fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "Welch t" in results[1].failure_message
+        assert "df=" in results[1].failure_message
+        assert "p=" in results[1].failure_message
+
+    def test_degenerate_single_unit_side(self, spark):
+        rows = [(10, 0)] + [(5, 1)] * 30
+        df = spark.createDataFrame(rows, "x long, v int")
+        req = within_req(df, "welch2")
+        req.add_welch_ttest_constraint("x", "v")
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 0)], "x long, v int")
+        req = within_req(df, "welch3")
+        with pytest.raises(ValueError):
+            req.add_welch_ttest_constraint("x", "v", max_abs_t=-1.0)
+
+
+class TestBrownForsythe:
+    def test_equal_vs_exploded_spread(self, spark):
+        rng = __import__("random").Random(52)
+        same = [(g, rng.randint(0, 100)) for g in "abc" for _ in range(100)]
+        df = spark.createDataFrame(same, "g string, x long")
+        req = within_req(df, "bf1")
+        req.add_brown_forsythe_constraint("x", "g", max_f=50.0)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True]
+
+        blown = [
+            (g, rng.randint(0, 100) * (50 if g == "c" else 1))
+            for g in "abc"
+            for _ in range(100)
+        ]
+        df2 = spark.createDataFrame(blown, "g string, x long")
+        req2 = within_req(df2, "bf2")
+        req2.add_brown_forsythe_constraint("x", "g", max_f=5.0)
+        results2 = req2.test(spark)
+        assert results2[0].outcome is False
+        assert "Brown-Forsythe" in results2[0].failure_message
+
+    def test_single_group_vacuous(self, spark):
+        df = spark.createDataFrame(
+            [("only", i) for i in range(10)], "g string, x long"
+        )
+        req = within_req(df, "bf3")
+        req.add_brown_forsythe_constraint("x", "g", max_f=0.0)
+        assert outcomes(req, spark) == [True]
+
+
+class TestCMH:
+    def test_association_vs_none(self, spark):
+        rng = __import__("random").Random(53)
+        rows = []
+        for i in range(2000):
+            s = "s" + str(i % 4)
+            e = rng.random() < 0.5
+            base = 0.2 + 0.1 * (i % 4)
+            rows.append((s, 1 if e else 0, 1 if rng.random() < base else 0))
+        df = spark.createDataFrame(rows, "s string, e int, o int")
+        req = within_req(df, "cmh1")
+        req.add_cmh_constraint(
+            "s",
+            Condition(raw_string="e = 1"),
+            Condition(raw_string="o = 1"),
+            max_chi2=6.0,
+        )
+        assert outcomes(req, spark) == [True]
+
+        rows2 = []
+        for i in range(2000):
+            s = "s" + str(i % 4)
+            e = rng.random() < 0.5
+            base = (0.2 + 0.1 * (i % 4)) + (0.25 if e else 0.0)
+            rows2.append((s, 1 if e else 0, 1 if rng.random() < base else 0))
+        df2 = spark.createDataFrame(rows2, "s string, e int, o int")
+        req2 = within_req(df2, "cmh2")
+        req2.add_cmh_constraint(
+            "s",
+            Condition(raw_string="e = 1"),
+            Condition(raw_string="o = 1"),
+            max_chi2=3.841,
+        )
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "odds ratio" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("s", 1, 1)], "s string, e int, o int")
+        req = within_req(df, "cmh3")
+        with pytest.raises(ValueError):
+            req.add_cmh_constraint(
+                "s",
+                Condition(raw_string="e = 1"),
+                Condition(raw_string="o = 1"),
+                max_chi2=-1.0,
+            )
+
+
+class TestBHFdr:
+    def _segments(self, spark, shifted):
+        rng = __import__("random").Random(54)
+        rows = []
+        for i in range(12000):
+            g = "g" + str(i % 12)
+            a = rng.random() < 0.5
+            p = 0.3 + (0.18 if (a and g in shifted) else 0.0)
+            rows.append((g, 1 if a else 0, 1 if rng.random() < p else 0))
+        return spark.createDataFrame(rows, "g string, a int, o int")
+
+    def test_null_case_passes_and_shift_fails(self, spark):
+        df = self._segments(spark, shifted=())
+        req = within_req(df, "bh1")
+        req.add_bh_fdr_constraint(
+            "g",
+            Condition(raw_string="a = 1"),
+            Condition(raw_string="a = 0"),
+            Condition(raw_string="o = 1"),
+            q_threshold=0.05,
+        )
+        assert outcomes(req, spark) == [True]
+
+        df2 = self._segments(spark, shifted=("g2", "g7"))
+        req2 = within_req(df2, "bh2")
+        req2.add_bh_fdr_constraint(
+            "g",
+            Condition(raw_string="a = 1"),
+            Condition(raw_string="a = 0"),
+            Condition(raw_string="o = 1"),
+            q_threshold=0.05,
+        )
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "'g2'" in results[0].failure_message or "'g7'" in (
+            results[0].failure_message
+        )
+        # allowing the two true movers passes
+        req3 = within_req(df2, "bh3")
+        req3.add_bh_fdr_constraint(
+            "g",
+            Condition(raw_string="a = 1"),
+            Condition(raw_string="a = 0"),
+            Condition(raw_string="o = 1"),
+            q_threshold=0.05,
+            max_significant=2,
+        )
+        assert outcomes(req3, spark) == [True]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("g", 1, 1)], "g string, a int, o int")
+        req = within_req(df, "bh4")
+        with pytest.raises(ValueError):
+            req.add_bh_fdr_constraint(
+                "g",
+                Condition(raw_string="a = 1"),
+                Condition(raw_string="a = 0"),
+                Condition(raw_string="o = 1"),
+                q_threshold=0.0,
+            )
+
+
+class TestCumulativeHazard:
+    def test_hand_computed_bound(self, spark):
+        # durations 1,1,2,3 all observed: H = 2/4 + 1/2 + 1/1 = 2.0
+        rows = [(1, 1), (1, 1), (2, 1), (3, 1)]
+        df = spark.createDataFrame(rows, "dur int, ev int")
+        req = within_req(df, "nah1")
+        req.add_cumulative_hazard_constraint("dur", "ev", max_hazard=2.0)
+        req.add_cumulative_hazard_constraint("dur", "ev", max_hazard=1.9)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "2.0" in results[1].failure_message
+
+    def test_censoring_lowers_hazard(self, spark):
+        rows = [(1, 0), (1, 0), (2, 0), (3, 0)]  # all censored: H = 0
+        df = spark.createDataFrame(rows, "dur int, ev int")
+        req = within_req(df, "nah2")
+        req.add_cumulative_hazard_constraint("dur", "ev", max_hazard=0.0)
+        assert outcomes(req, spark) == [True]
+
+
+class TestDurbinWatson:
+    def test_white_noise_passes_seasonal_fails(self, spark):
+        import datetime as dt
+
+        rng = __import__("random").Random(55)
+        d0 = dt.date(2024, 1, 1)
+        white = [
+            (d0 + dt.timedelta(days=i), 100.0 + rng.gauss(0, 10))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(white, "day date, v double")
+        req = within_req(df, "dw1")
+        req.add_durbin_watson_constraint("day", "v")
+        assert outcomes(req, spark) == [True]
+
+        import math as m
+
+        seasonal = [
+            (d0 + dt.timedelta(days=i), 100.0 + 50 * m.sin(i / 10.0))
+            for i in range(120)
+        ]
+        df2 = spark.createDataFrame(seasonal, "day date, v double")
+        req2 = within_req(df2, "dw2")
+        req2.add_durbin_watson_constraint("day", "v")
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "Durbin-Watson" in results[0].failure_message
+
+    def test_short_series_vacuous(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.date(2024, 1, 1), 5.0), (dt.date(2024, 1, 2), 6.0)],
+            "day date, v double",
+        )
+        req = within_req(df, "dw3")
+        req.add_durbin_watson_constraint("day", "v")
+        assert outcomes(req, spark) == [True]
+
+    def test_validation(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame([(dt.date(2024, 1, 1), 5.0)], "day date, v double")
+        req = within_req(df, "dw4")
+        with pytest.raises(ValueError):
+            req.add_durbin_watson_constraint("day", "v", min_dw=3.0, max_dw=2.0)

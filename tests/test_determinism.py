@@ -526,3 +526,81 @@ def test_join_explosion_audit_partition_stable(spark, n_parts):
         df.repartition(n_parts), "k", df.repartition(n_parts), "k"
     ).collect()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_welch_ttest_partition_stable(spark, n_parts):
+    # decimal sufficient stats -> one double expression: invariant
+    from datajudge_spark.operators.stats import welch_ttest
+
+    rows = [((i * 13) % 97 + (i % 2) * 11, i % 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "x long, v int")
+    ref = welch_ttest(df, "x", "v").collect()
+    got = welch_ttest(df.repartition(n_parts), "x", "v").collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_brown_forsythe_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.stats import brown_forsythe
+
+    rows = [("g" + str(i % 4), (i * 29) % 211) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    ref = brown_forsythe(df, "x", "g").collect()
+    got = brown_forsythe(df.repartition(n_parts), "x", "g").collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_cmh_partition_stable(spark, n_parts):
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import cmh_test
+
+    rows = [
+        ("s" + str(i % 5), i % 2 == 0, (i * 7) % 3 == 0) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    ref = cmh_test(df, "s", F.col("e"), F.col("o")).collect()
+    got = cmh_test(
+        df.repartition(n_parts), "s", F.col("e"), F.col("o")
+    ).collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_grouped_ztest_bh_partition_stable(spark, n_parts):
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import grouped_ztest_bh
+
+    rows = [
+        ("g" + str(i % 6), i % 2 == 0, (i * 11) % 5 < 2) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, a boolean, o boolean")
+    args = ("g", F.col("a"), ~F.col("a"), F.col("o"))
+    ref = sorted(grouped_ztest_bh(df, *args).collect())
+    got = sorted(grouped_ztest_bh(df.repartition(n_parts), *args).collect())
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_nelson_aalen_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.timeseries import nelson_aalen
+
+    rows = [((i * 3) % 17, i % 2) for i in range(250)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    ref = sorted(nelson_aalen(df, "dur", "ev").collect())
+    got = sorted(nelson_aalen(df.repartition(n_parts), "dur", "ev").collect())
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_durbin_watson_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.timeseries import durbin_watson
+
+    rows = [(i, 1000 + 7 * i + (i * i * 31) % 89) for i in range(90)]
+    df = spark.createDataFrame(rows, "t int, y long")
+    ref = durbin_watson(df, "t", "y").collect()
+    got = durbin_watson(df.repartition(n_parts), "t", "y").collect()
+    assert got == ref

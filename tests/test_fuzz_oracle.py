@@ -1484,3 +1484,267 @@ def test_fuzz_join_explosion(spark, case):
         for k, p in sorted(prods.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     )
     assert row["top_keys"] == want_top
+
+
+# ---------------------------------------------------------------------------
+# Round-9 (session 2) operator family: Welch t / Brown-Forsythe / CMH /
+# BH-FDR / Nelson-Aalen / Durbin-Watson vs brute force, incl. degenerate
+# shapes (single-unit sides, constant groups, empty strata, tiny series).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_welch_ttest(spark, case):
+    import math
+
+    from datajudge_spark.operators.stats import welch_ttest
+
+    rng = random.Random(_MK_SEED + 1600 + case)
+    shape = ["mixed", "mixed", "tiny_side", "const_both", "big_gap"][case]
+    rows = []
+    n = rng.randint(20, 200)
+    for i in range(n):
+        v = i % 2
+        if shape == "tiny_side" and v == 0 and i > 0:
+            continue  # leave exactly one unit on side 0
+        x = (
+            42
+            if shape == "const_both"
+            else rng.randint(0, 50) + (500 if shape == "big_gap" and v else 0)
+        )
+        rows.append((x, v))
+    df = spark.createDataFrame(rows, "x long, v int")
+    r = welch_ttest(df, "x", "v").collect()[0]
+
+    def side(v):
+        xs = [x for x, vv in rows if vv == v]
+        if len(xs) < 2:
+            return len(xs), (sum(xs) / len(xs) if xs else None), None
+        m = sum(xs) / len(xs)
+        var = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+        return len(xs), m, var
+    na, ma, va = side(0)
+    nb, mb, vb = side(1)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    if va is None or vb is None or va / na + vb / nb <= 0:
+        assert r["t"] is None, f"case {case} ({shape})"
+    else:
+        ta, tb = va / na, vb / nb
+        t = (ma - mb) / math.sqrt(ta + tb)
+        dfw = (ta + tb) ** 2 / (ta * ta / (na - 1) + tb * tb / (nb - 1))
+        assert r["t"] == pytest.approx(t, abs=2e-6), f"case {case}"
+        assert r["df"] == pytest.approx(dfw, abs=2e-6), f"case {case}"
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_brown_forsythe(spark, case):
+    from datajudge_spark.operators.stats import brown_forsythe
+
+    rng = random.Random(_MK_SEED + 1700 + case)
+    shape = ["mixed", "mixed", "one_group", "const_groups", "skew"][case]
+    k = 1 if shape == "one_group" else rng.randint(2, 6)
+    rows = []
+    for i in range(rng.randint(30, 250)):
+        g = "g" + str(i % k)
+        x = (
+            7
+            if shape == "const_groups"
+            else rng.randint(0, 60) * (1 + (i % k) * (3 if shape == "skew" else 0))
+        )
+        rows.append((g, x))
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = brown_forsythe(df, "x", "g").collect()[0]
+
+    def med(v):
+        s = sorted(v)
+        n = len(s)
+        return (s[(n - 1) // 2] + s[n // 2]) / 2
+    groups = {}
+    for g, x in rows:
+        groups.setdefault(g, []).append(x)
+    zs = {g: [abs(x - med(v)) for x in v] for g, v in groups.items()}
+    N = sum(len(v) for v in zs.values())
+    kk = len(zs)
+    assert (r["n"], r["n_groups"]) == (N, kk)
+    means = {g: sum(v) / len(v) for g, v in zs.items()}
+    zbar = sum(sum(v) for v in zs.values()) / N
+    ssw = sum(sum((x - means[g]) ** 2 for x in v) for g, v in zs.items())
+    if kk < 2 or N <= kk or ssw <= 0:
+        assert r["f_stat"] is None, f"case {case} ({shape})"
+    else:
+        ssb = sum(len(v) * (means[g] - zbar) ** 2 for g, v in zs.items())
+        f = (ssb / (kk - 1)) / (ssw / (N - kk))
+        assert r["f_stat"] == pytest.approx(f, abs=2e-5), f"case {case}"
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_cmh(spark, case):
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import cmh_test
+
+    rng = random.Random(_MK_SEED + 1800 + case)
+    shape = ["mixed", "mixed", "tiny_strata", "all_expose", "no_outcome"][case]
+    rows = []
+    k = rng.randint(2, 6)
+    n = 8 if shape == "tiny_strata" else rng.randint(40, 300)
+    for i in range(n):
+        s = "s" + str(i % k)
+        e = True if shape == "all_expose" else rng.random() < 0.5
+        o = False if shape == "no_outcome" else rng.random() < 0.4
+        rows.append((s, e, o))
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    r = cmh_test(df, "s", F.col("e"), F.col("o")).collect()[0]
+    strata = {}
+    for s, e, o in rows:
+        strata.setdefault(s, []).append((e, o))
+    sa = se_ = sv = orn = ord_ = 0.0
+    for s, sub in strata.items():
+        T = len(sub)
+        a = sum(1 for e, o in sub if e and o)
+        n1 = sum(1 for e, o in sub if e)
+        m1 = sum(1 for e, o in sub if o)
+        sa += a
+        se_ += n1 * m1 / T
+        if T > 1:
+            sv += n1 * (T - n1) * m1 * (T - m1) / (T * T * (T - 1))
+        orn += a * (T - n1 - m1 + a) / T
+        ord_ += (n1 - a) * (m1 - a) / T
+    assert r["n"] == len(rows) and r["n_strata"] == len(strata)
+    assert r["exposed_outcome"] == int(sa)
+    if sv > 0:
+        assert r["chi2"] == pytest.approx((sa - se_) ** 2 / sv, abs=2e-5)
+    else:
+        assert r["chi2"] is None, f"case {case} ({shape})"
+    if ord_ > 0:
+        assert r["or_mh"] == pytest.approx(orn / ord_, abs=2e-5)
+    else:
+        assert r["or_mh"] is None, f"case {case} ({shape})"
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_grouped_ztest_bh(spark, case):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import grouped_ztest_bh
+
+    rng = random.Random(_MK_SEED + 1900 + case)
+    shape = ["mixed", "mixed", "one_degenerate", "two_groups"][case]
+    k = 2 if shape == "two_groups" else rng.randint(3, 10)
+    rows = []
+    for i in range(rng.randint(200, 800)):
+        g = "g" + str(i % k)
+        a = rng.random() < 0.5
+        if shape == "one_degenerate" and g == "g0":
+            o = False  # zero successes -> untestable group
+        else:
+            o = rng.random() < 0.35
+        rows.append((g, a, o))
+    df = spark.createDataFrame(rows, "g string, a boolean, o boolean")
+    out = {
+        r["group"]: r
+        for r in grouped_ztest_bh(
+            df, "g", F.col("a"), ~F.col("a"), F.col("o")
+        ).collect()
+    }
+    byg = {}
+    for g, a, o in rows:
+        byg.setdefault(g, []).append((a, o))
+    ps = {}
+    for g, sub in byg.items():
+        na = sum(1 for a, o in sub if a)
+        nb = len(sub) - na
+        s_a = sum(1 for a, o in sub if a and o)
+        s_b = sum(1 for a, o in sub if not a and o)
+        if na == 0 or nb == 0 or s_a + s_b == 0 or s_a + s_b == na + nb:
+            continue
+        pool = (s_a + s_b) / (na + nb)
+        var = pool * (1 - pool) * (1 / na + 1 / nb)
+        z = (s_a / na - s_b / nb) / math.sqrt(var)
+        u = abs(z) / math.sqrt(2)
+        t = 1 / (1 + 0.3275911 * u)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429))))
+        ps[g] = (z, poly * math.exp(-u * u))
+    assert set(out) == set(ps), f"case {case} ({shape})"
+    m = len(ps)
+    order = sorted(ps.items(), key=lambda kv: (kv[1][1], kv[0]))
+    suffix = 1.0
+    qs = {}
+    for i in range(m - 1, -1, -1):
+        g, (z, p) = order[i]
+        suffix = min(suffix, p * m / (i + 1))
+        qs[g] = min(suffix, 1.0)
+    for g in ps:
+        assert out[g]["p_value"] == pytest.approx(ps[g][1], abs=2e-6)
+        assert out[g]["q_value"] == pytest.approx(qs[g], abs=2e-6)
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_nelson_aalen(spark, case):
+    from datajudge_spark.operators.timeseries import nelson_aalen
+
+    rng = random.Random(_MK_SEED + 2000 + case)
+    shape = ["mixed", "all_events", "all_censored", "single_dur"][case]
+    rows = []
+    for i in range(rng.randint(20, 300)):
+        dur = 5 if shape == "single_dur" else rng.randint(0, 15)
+        ev = (
+            1
+            if shape == "all_events"
+            else 0
+            if shape == "all_censored"
+            else rng.randint(0, 1)
+        )
+        rows.append((dur, ev))
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    got = {r["duration"]: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    durs = sorted(set(d for d, _ in rows))
+    H = V = 0.0
+    for t in durs:
+        nr = sum(1 for d, _ in rows if d >= t)
+        de = sum(1 for d, e in rows if d == t and e == 1)
+        H += de / nr
+        V += de / (nr * nr)
+        r = got[t]
+        assert r["n_risk"] == nr and r["n_events"] == de
+        assert r["cumhaz"] == pytest.approx(H, abs=2e-6)
+        assert r["var_cumhaz"] == pytest.approx(V, abs=2e-6)
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_durbin_watson(spark, case):
+    from datajudge_spark.operators.timeseries import durbin_watson
+
+    rng = random.Random(_MK_SEED + 2100 + case)
+    shape = ["noise", "trend", "tiny", "constant"][case]
+    n = 2 if shape == "tiny" else rng.randint(10, 120)
+    rows = []
+    for t in range(n):
+        y = (
+            777
+            if shape == "constant"
+            else 100 + (7 * t if shape == "trend" else 0) + rng.randint(-20, 20)
+        )
+        rows.append((t, y))
+    df = spark.createDataFrame(rows, "t int, y long")
+    out = durbin_watson(df, "t", "y").collect()
+    r = out[0]
+    if n < 3:
+        assert r["dw"] is None and r["slope"] is None
+        return
+    st = sum(t for t, _ in rows)
+    sy = sum(y for _, y in rows)
+    sty = sum(t * y for t, y in rows)
+    stt = sum(t * t for t, _ in rows)
+    b1 = (n * sty - st * sy) / (n * stt - st * st)
+    b0 = (sy - b1 * st) / n
+    es = [y - (b0 + b1 * t) for t, y in rows]
+    den = sum(e * e for e in es)
+    assert r["slope"] == pytest.approx(b1, abs=2e-6)
+    if den > 0:
+        dw = sum((es[i] - es[i - 1]) ** 2 for i in range(1, n)) / den
+        assert r["dw"] == pytest.approx(dw, abs=2e-6)
+    else:
+        assert r["dw"] is None, f"case {case} ({shape})"

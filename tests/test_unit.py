@@ -2983,3 +2983,23 @@ class TestPostStratifiedDiff:
         df = spark.createDataFrame([(1, 0, "x")], "y long, v int, s string")
         with pytest.raises(ValueError, match="two assignment levels"):
             post_stratified_diff(df, "y", "v", "s")
+
+
+class TestStudentTTail:
+    def test_known_critical_values(self):
+        # classic two-sided 5% critical values per df
+        from datajudge_spark.constraints.stats import (
+            _student_t_sf_two_sided,
+        )
+
+        for t, df in [(12.706, 1), (2.776, 4), (2.228, 10), (2.042, 30),
+                      (1.984, 100)]:
+            assert _student_t_sf_two_sided(t, df) == pytest.approx(
+                0.05, abs=2e-4
+            )
+        assert _student_t_sf_two_sided(0.0, 7) == pytest.approx(1.0)
+        assert _student_t_sf_two_sided(50.0, 20) < 1e-10
+        # symmetric in t
+        assert _student_t_sf_two_sided(-2.0, 9) == pytest.approx(
+            _student_t_sf_two_sided(2.0, 9)
+        )
