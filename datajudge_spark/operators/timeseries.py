@@ -719,7 +719,10 @@ def kaplan_meier(
     ``S(t) = Π_{t_i <= t} (1 - d_i / n_i)`` over event times.
 
     Scale: one groupBy shuffle aggregates subjects to the distinct-
-    duration histogram; the ordered window runs over THAT (bounded by
+    duration histogram — persisted once, because both the at-risk
+    total and the cumulative branch read it and Spark does not share
+    subplans across branches (a second full subject scan otherwise);
+    the ordered window runs over THAT (bounded by
     |distinct durations| — day/week-grain lifetimes, not subjects; the
     cross-CDF bounded-domain argument).  The cumulative product is
     ``exp(Σ ln(1 - d/n))`` — the window sum is sequential in duration
@@ -730,7 +733,9 @@ def kaplan_meier(
     Extension — no reference counterpart; nearest relatives are the
     retention matrix (this module) and the cross-CDF (operators.stats).
     """
-    per_t = (
+    from ..pipeline._util import materialize_once
+
+    per_t = materialize_once(
         df.where(F.col(duration_col).isNotNull())
         .groupBy(F.col(duration_col).alias("duration"))
         .agg(
@@ -1510,7 +1515,9 @@ def nelson_aalen(
     order, so both engines add the same doubles in the same order.
     Extension — no reference counterpart.
     """
-    per_t = (
+    from ..pipeline._util import materialize_once
+
+    per_t = materialize_once(
         df.where(F.col(duration_col).isNotNull())
         .groupBy(F.col(duration_col).alias("duration"))
         .agg(
@@ -1574,11 +1581,15 @@ def durbin_watson(
     over the bounded frame only.  Extension — no reference counterpart.
     """
     d38 = "decimal(38,0)"
-    base = daily.where(
-        F.col(idx_col).isNotNull() & F.col(value_col).isNotNull()
-    ).select(
-        F.col(idx_col).cast(d38).alias("__t"),
-        F.col(value_col).cast(d38).alias("__y"),
+    from ..pipeline._util import materialize_once
+
+    base = materialize_once(
+        daily.where(
+            F.col(idx_col).isNotNull() & F.col(value_col).isNotNull()
+        ).select(
+            F.col(idx_col).cast(d38).alias("__t"),
+            F.col(value_col).cast(d38).alias("__y"),
+        )
     )
     suff = base.agg(
         F.count(F.lit(1)).alias("__n"),

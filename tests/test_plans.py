@@ -952,3 +952,72 @@ def test_dispersion_two_partial_aggs(spark):
     )
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_welch_single_conditional_scan(spark):
+    # both variants' sufficient statistics are conditional aggregates
+    # of ONE scan (plus the bounded level probe) — no per-variant join
+    plan = _executed_plan(entrymod.queries()["welch_ttest"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial" in plan.lower()
+
+
+def test_brown_forsythe_broadcasts_medians(spark):
+    # the per-group median frame joins BACK onto the fact scan as a
+    # broadcast (bounded |groups|), never a sort-merge; the k-row fold
+    # is the only single-partition exchange
+    plan = _executed_plan(
+        entrymod.queries()["brown_forsythe"](spark, SF_DIR)
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cmh_single_scan_bounded_fold(spark):
+    # the per-stratum 2x2 counts come from ONE conditional-agg scan;
+    # every window runs over the bounded strata digest
+    plan = _executed_plan(entrymod.queries()["cmh_test"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_grouped_ztest_bh_windows_on_digest_only(spark):
+    # one conditional-agg shuffle to per-group counts; the BH ranking
+    # and suffix-min windows run over the bounded |groups| digest (the
+    # single-partition exchanges sit above the aggregate, never on the
+    # fact table)
+    plan = _executed_plan(
+        entrymod.queries()["grouped_ztest_bh"](spark, SF_DIR)
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "partial" in plan.lower()
+
+
+def test_nelson_aalen_windows_on_duration_histogram(spark):
+    # same shape as kaplan_meier: subjects aggregate to the distinct-
+    # duration histogram, PERSISTED once — the at-risk total and the
+    # cumulative branch both read the cache instead of re-scanning the
+    # subject frame (count InMemoryTableScan, not Scan parquet: cached
+    # bodies repeat their file lineage textually per consumer)
+    plan = _executed_plan(entrymod.queries()["nelson_aalen"](spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_durbin_watson_folds_on_daily_frame(spark):
+    # the bounded daily frame is persisted once (OLS digest + residual
+    # branch both read the cache); the ordered folds end in the 1-row
+    # TakeOrderedAndProject
+    plan = _executed_plan(entrymod.queries()["durbin_watson"](spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_broadcast_dimension_chain(spark):
+    # part filter and the supplier->nation chain broadcast; the only
+    # shuffle joins are fact-sized (orders on the order key)
+    plan = _executed_plan(
+        entrymod.queries()["q9_product_profit"](spark, SF_DIR)
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
