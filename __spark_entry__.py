@@ -5875,6 +5875,23 @@ def q_durbin_watson(spark, sf_dir):
     return durbin_watson(daily, "t", "cents")
 
 
+def q_kruskal_wallis(spark, sf_dir):
+    # k-group rank test: does ANY order priority's total-price
+    # distribution sit systematically higher?  The k-group extension of
+    # mann_whitney on the same tie-block identity over the shared
+    # bucket-partitioned cumulative (no global window); tie-corrected
+    # H'.  Pairs with brown_forsythe: rank location vs spread on the
+    # same segments.
+    from datajudge_spark.operators.stats import kruskal_wallis
+
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return kruskal_wallis(cents, "cents", "prio")
+
+
 def q9_product_profit(spark, sf_dir):
     # TPC-H Q9 shape: product-line profit by nation and order year.
     # No partsupp in the synthetic schema, so unit cost = 60% of the
@@ -6259,6 +6276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ztest_bh": q_grouped_ztest_bh,
         "nelson_aalen": q_nelson_aalen,
         "durbin_watson": q_durbin_watson,
+        "kruskal_wallis": q_kruskal_wallis,
         "q9_product_profit": q9_product_profit,
     }
     missing = [k for k in _R9_WINDOW if k not in base]
@@ -11183,6 +11201,47 @@ def oracle_sql() -> dict[str, str]:
             "round((SELECT b0 FROM ols2), 6) AS intercept, "
             "round(CASE WHEN cden > 0 THEN cnum / cden END, 6) AS dw "
             "FROM cum ORDER BY t DESC LIMIT 1"
+        ),
+        "kruskal_wallis": (
+            # same tie-block rank-sum identity; plain cumulative over
+            # the distinct-value histogram mirrors the bucketed one
+            "WITH c AS (SELECT o_orderpriority AS g, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS x "
+            "FROM orders), "
+            "vals AS (SELECT x AS v, count(*) AS cnt FROM c GROUP BY x), "
+            "cum AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum "
+            "FROM vals), "
+            "gv AS (SELECT g, x AS v, count(*) AS ng FROM c "
+            "GROUP BY g, x), "
+            "pg AS (SELECT g, sum(CAST(ng AS HUGEINT)) AS n, "
+            "sum(CAST(ng AS HUGEINT) * (2 * CAST(cum AS HUGEINT) "
+            "- CAST(cnt AS HUGEINT) + 1)) AS r2 "
+            "FROM gv JOIN cum ON gv.v = cum.v GROUP BY g), "
+            "tot AS (SELECT sum(CAST(cnt AS HUGEINT)) AS nn, "
+            "sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT) "
+            "* CAST(cnt AS HUGEINT) - CAST(cnt AS HUGEINT)) AS ties "
+            "FROM vals), "
+            "fold AS (SELECT g, count(*) OVER w AS ck, "
+            "sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) "
+            "/ CAST(n AS DOUBLE)) OVER w AS ct FROM pg "
+            "WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)), "
+            "last AS (SELECT * FROM fold ORDER BY g DESC LIMIT 1), "
+            "d AS (SELECT ck, ct, nn, "
+            "CAST(nn AS DOUBLE) AS nd, "
+            "1.0 - (CASE WHEN CAST(nn * nn * nn - nn AS DOUBLE) > 0 "
+            "THEN CAST(ties AS DOUBLE) "
+            "/ CAST(nn * nn * nn - nn AS DOUBLE) END) AS corr "
+            "FROM last, tot) "
+            "SELECT CAST(nn AS BIGINT) AS n, "
+            "CAST(ck AS BIGINT) AS n_groups, "
+            "CAST(ck - 1 AS BIGINT) AS df, "
+            "round(CASE WHEN ck >= 2 AND nn > ck THEN "
+            "3.0 * ct / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0) END, 6) "
+            "AS h, "
+            "round(CASE WHEN ck >= 2 AND nn > ck AND corr > 0 THEN "
+            "(3.0 * ct / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)) / corr "
+            "END, 6) AS h_adj FROM d"
         ),
         "q9_product_profit": (
             # all-integer scaled profit: rev_e4 = cents*(100-disc_pct),

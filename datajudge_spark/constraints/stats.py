@@ -3609,3 +3609,59 @@ class DurbinWatsonWithin(Constraint):
             f"{self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class KruskalWallisHMax(Constraint):
+    """k-group rank-location gate: the tie-corrected Kruskal-Wallis H
+    across the levels of a group column may not exceed ``max_h`` — "no
+    segment's distribution may sit systematically higher than the
+    others", the k-group extension of the Mann-Whitney gate and the
+    rank-based (outlier-robust) counterpart of BrownForsytheFMax.
+    Extension, no reference counterpart.
+
+    Engine side is operators.stats.kruskal_wallis (tie-block rank sums
+    over the shared bucket-partitioned cumulative, DECIMAL-exact until
+    the bounded k-row fold).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        value_column: str,
+        group_column: str,
+        max_h: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_h < 0:
+            raise ValueError("max_h must be non-negative")
+        self._value = value_column
+        self._group = group_column
+        self._max_h = max_h
+        super().__init__(
+            ref, ref_value=max_h, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import kruskal_wallis
+
+        rows = kruskal_wallis(
+            self._ref.get_selection(engine), self._value, self._group
+        ).collect()
+        row = rows[0] if rows else None
+        if row is None or row["h_adj"] is None:
+            return TestResult(
+                True,
+                "Kruskal-Wallis H is undefined (fewer than two groups "
+                "or every value tied); the gate is vacuous.",
+            )
+        if row["h_adj"] <= self._max_h:
+            return TestResult.success()
+        assertion_text = (
+            f"Kruskal-Wallis H of {self._value} across "
+            f"{row['n_groups']} {self._group} levels of {self._ref} is "
+            f"{row['h_adj']} (df={row['df']}, n={row['n']}) — some "
+            f"segment's distribution sits systematically apart, beyond "
+            f"the maximum {self._max_h}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

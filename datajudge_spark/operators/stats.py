@@ -3182,3 +3182,92 @@ def grouped_ztest_bh(
             F.least(F.min(r_val).over(w_suffix), F.lit(1.0)), 6
         ).alias("q_value"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, column: str, group_column: str
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group extension of
+    :func:`mann_whitney_u` ("does ANY segment's distribution sit
+    systematically higher?"): one digest row ``(n, n_groups, df, h,
+    h_adj)`` with mid-rank ties and the standard tie correction
+    ``H' = H / (1 − Σ(t³−t)/(N³−N))``.
+
+    Rank sums come from the same tie-block identity over the combined
+    distinct-value histogram (bucket-partitioned cumulative, NO global
+    window): ``2·R_g = Σ_v n_g(v)·(2·cum(v) − cnt(v) + 1)``; then
+    ``H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1)``, folded over the BOUNDED
+    per-group digest in group order (deterministic double order).
+
+    Exactness: per-value and per-group counts, doubled rank sums, and
+    the tie mass Σ(t³−t) all accumulate as DECIMAL(38,0) (exact while
+    N³ < 1e38 — the jarque_bera magnitude-bound convention); doubles
+    enter only in the bounded fold.  Degenerate inputs (k < 2, N ≤ k,
+    every value tied — zero C) yield NULL h/h_adj.  Extension — no
+    reference counterpart.
+
+    Plan: one value-histogram shuffle + one (group, value) shuffle that
+    join on the distinct-value key, one k-row grouped aggregate, then
+    the ordered k-row fold.  The fact table is scanned twice (two
+    different aggregation keys), never windowed.
+    """
+    d38 = "decimal(38,0)"
+    both = df.where(
+        F.col(column).isNotNull() & F.col(group_column).isNotNull()
+    )
+    vals = both.groupBy(F.col(column).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = _bucketed_global_cum(vals, ["cnt"])
+    gv = both.groupBy(
+        F.col(group_column).alias("__g"), F.col(column).alias("v")
+    ).agg(F.count(F.lit(1)).alias("ng"))
+    dec = lambda c: c.cast(d38)  # noqa: E731
+    per_g = (
+        gv.join(cum, "v")
+        .groupBy("__g")
+        .agg(
+            F.sum(dec(F.col("ng"))).alias("__n"),
+            F.sum(
+                dec(F.col("ng"))
+                * (2 * dec(F.col("cum")) - dec(F.col("cnt")) + 1)
+            ).alias("__r2"),
+        )
+    )
+    tot = vals.agg(
+        F.sum(dec(F.col("cnt"))).alias("__nn"),
+        F.sum(
+            dec(F.col("cnt")) * dec(F.col("cnt")) * dec(F.col("cnt"))
+            - dec(F.col("cnt"))
+        ).alias("__ties"),
+    )
+    w_cum = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # Σ (2R_g)²/n_g folds in group order (doubles)
+    term = (
+        F.col("__r2").cast("double")
+        * F.col("__r2").cast("double")
+        / F.col("__n").cast("double")
+    )
+    folded = per_g.select(
+        "__g",
+        F.count(F.lit(1)).over(w_cum).alias("__ck"),
+        F.sum(term).over(w_cum).alias("__ct"),
+    )
+    last = folded.orderBy(F.desc("__g")).limit(1).join(F.broadcast(tot))
+    nd = F.col("__nn").cast("double")
+    # H = 12/(N(N+1)) · ΣR²/n − 3(N+1), with ΣR²/n = Σ(2R)²/n / 4
+    h = 3.0 * F.col("__ct") / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    tie_den = (
+        F.col("__nn") * F.col("__nn") * F.col("__nn") - F.col("__nn")
+    ).cast("double")
+    c = 1.0 - F.when(tie_den > 0, F.col("__ties").cast("double") / tie_den)
+    ok = (F.col("__ck") >= 2) & (F.col("__nn") > F.col("__ck"))
+    return last.select(
+        F.col("__nn").cast("bigint").alias("n"),
+        F.col("__ck").cast("bigint").alias("n_groups"),
+        (F.col("__ck") - 1).cast("bigint").alias("df"),
+        F.round(F.when(ok, h), 6).alias("h"),
+        F.round(F.when(ok & (c > 0), h / c), 6).alias("h_adj"),
+    )

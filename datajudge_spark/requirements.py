@@ -1857,6 +1857,36 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_kruskal_wallis_constraint(
+        self,
+        value_column: str,
+        group_column: str,
+        max_h: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the tie-corrected
+        Kruskal-Wallis H of ``value_column`` ranks across the levels of
+        ``group_column`` may not exceed ``max_h`` — no segment's
+        distribution may sit systematically higher, the k-group
+        rank-based sibling of the Mann-Whitney gate (robust to the
+        outliers that drag mean gates).  Tie-block rank sums over the
+        bucket-partitioned cumulative; no global window."""
+        ref = DataReference(
+            self._data_source, [value_column, group_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.KruskalWallisHMax(
+                ref,
+                value_column,
+                group_column,
+                max_h=max_h,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_cuped_diff_constraint(
         self,
         pre_column: str,

@@ -2092,3 +2092,38 @@ class TestDurbinWatson:
         req = within_req(df, "dw4")
         with pytest.raises(ValueError):
             req.add_durbin_watson_constraint("day", "v", min_dw=3.0, max_dw=2.0)
+
+
+class TestKruskalWallis:
+    def test_shifted_group_fails_same_passes(self, spark):
+        rng = __import__("random").Random(56)
+        same = [("g" + str(i % 3), rng.randint(0, 200)) for i in range(600)]
+        df = spark.createDataFrame(same, "g string, x long")
+        req = within_req(df, "kw1")
+        req.add_kruskal_wallis_constraint("x", "g", max_h=20.0)
+        assert outcomes(req, spark) == [True]
+
+        shifted = [
+            ("g" + str(i % 3), rng.randint(0, 200) + (i % 3) * 120)
+            for i in range(600)
+        ]
+        df2 = spark.createDataFrame(shifted, "g string, x long")
+        req2 = within_req(df2, "kw2")
+        req2.add_kruskal_wallis_constraint("x", "g", max_h=5.99)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "Kruskal-Wallis" in results[0].failure_message
+
+    def test_all_tied_vacuous(self, spark):
+        df = spark.createDataFrame(
+            [("a", 7)] * 10 + [("b", 7)] * 10, "g string, x long"
+        )
+        req = within_req(df, "kw3")
+        req.add_kruskal_wallis_constraint("x", "g", max_h=0.0)
+        assert outcomes(req, spark) == [True]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", 1)], "g string, x long")
+        req = within_req(df, "kw4")
+        with pytest.raises(ValueError):
+            req.add_kruskal_wallis_constraint("x", "g", max_h=-1.0)

@@ -604,3 +604,14 @@ def test_durbin_watson_partition_stable(spark, n_parts):
     ref = durbin_watson(df, "t", "y").collect()
     got = durbin_watson(df.repartition(n_parts), "t", "y").collect()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_kruskal_wallis_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.stats import kruskal_wallis
+
+    rows = [("g" + str(i % 4), (i * 37) % 151) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    ref = kruskal_wallis(df, "x", "g").collect()
+    got = kruskal_wallis(df.repartition(n_parts), "x", "g").collect()
+    assert got == ref

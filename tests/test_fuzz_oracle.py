@@ -1748,3 +1748,53 @@ def test_fuzz_durbin_watson(spark, case):
         assert r["dw"] == pytest.approx(dw, abs=2e-6)
     else:
         assert r["dw"] is None, f"case {case} ({shape})"
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_kruskal_wallis(spark, case):
+    from itertools import groupby as _groupby
+
+    from datajudge_spark.operators.stats import kruskal_wallis
+
+    rng = random.Random(_MK_SEED + 2200 + case)
+    shape = ["mixed", "mixed", "heavy_ties", "one_group", "all_tied"][case]
+    k = 1 if shape == "one_group" else rng.randint(2, 6)
+    rows = []
+    for i in range(rng.randint(30, 400)):
+        g = "g" + str(i % k)
+        if shape == "all_tied":
+            x = 7
+        elif shape == "heavy_ties":
+            x = rng.randint(0, 4)
+        else:
+            x = rng.randint(0, 80) + (i % k) * rng.randint(0, 10)
+        rows.append((g, x))
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = kruskal_wallis(df, "x", "g").collect()[0]
+    xs = sorted(x for _, x in rows)
+    N = len(xs)
+    rank = {}
+    pos = 1
+    ties = 0
+    for v, grp in _groupby(xs):
+        t = len(list(grp))
+        rank[v] = pos + (t - 1) / 2
+        pos += t
+        ties += t ** 3 - t
+    byg = {}
+    for g, x in rows:
+        byg.setdefault(g, []).append(x)
+    kk = len(byg)
+    assert (r["n"], r["n_groups"]) == (N, kk)
+    if kk < 2 or N <= kk:
+        assert r["h"] is None and r["h_adj"] is None
+        return
+    H = 12 / (N * (N + 1)) * sum(
+        (sum(rank[x] for x in v)) ** 2 / len(v) for v in byg.values()
+    ) - 3 * (N + 1)
+    assert r["h"] == pytest.approx(H, abs=2e-5), f"case {case} ({shape})"
+    C = 1 - ties / (N ** 3 - N)
+    if C > 0:
+        assert r["h_adj"] == pytest.approx(H / C, abs=2e-5)
+    else:
+        assert r["h_adj"] is None, f"case {case} ({shape})"

@@ -1021,3 +1021,12 @@ def test_q9_broadcast_dimension_chain(spark):
         entrymod.queries()["q9_product_profit"](spark, SF_DIR)
     )
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_kruskal_wallis_bucketed_cumulative(spark):
+    # the rank cumulative is bucket-partitioned (the shared
+    # _bucketed_global_cum), never a global fact-table window; the only
+    # SinglePartition exchanges sit above the bounded digests
+    plan = _executed_plan(entrymod.queries()["kruskal_wallis"](spark, SF_DIR))
+    assert "Exchange hashpartitioning(__b" in plan, plan
+    assert "windowspecdefinition(__b" in plan, plan
