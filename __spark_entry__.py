@@ -5892,6 +5892,60 @@ def q_kruskal_wallis(spark, sf_dir):
     return kruskal_wallis(cents, "cents", "prio")
 
 
+def q_streaming_cmh(spark, sf_dir):
+    # 17th streaming contract: sequential stratified-association (CMH)
+    # monitoring.  Per-stratum 2x2 conditional counts are associative,
+    # so the drained complete-mode state frame equals the batch
+    # conditional GROUP BY exactly; feeding it through the IDENTICAL
+    # fold (cmh_from_counts) hash-matches the batch cmh_test digest.
+    # State is O(|strata|).
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.operators.stats import cmh_from_counts
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stream_parquet_like,
+        streaming_stratum_2x2_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_cmh_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw)
+    counts = streaming_stratum_2x2_counts(
+        ev.select(
+            F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+            "user_id",
+            "event_type",
+        ),
+        "dow",
+        F.col("user_id") % 2 == 0,
+        F.col("event_type") == "purchase",
+    )
+    qname = f"stream_cmh_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return cmh_from_counts(spark.table(qname))
+
+
 def q9_product_profit(spark, sf_dir):
     # TPC-H Q9 shape: product-line profit by nation and order year.
     # No partsupp in the synthetic schema, so unit cost = 60% of the
@@ -6277,6 +6331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen": q_nelson_aalen,
         "durbin_watson": q_durbin_watson,
         "kruskal_wallis": q_kruskal_wallis,
+        "streaming_cmh": q_streaming_cmh,
         "q9_product_profit": q9_product_profit,
     }
     missing = [k for k in _R9_WINDOW if k not in base]
@@ -11242,6 +11297,38 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN ck >= 2 AND nn > ck AND corr > 0 THEN "
             "(3.0 * ct / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)) / corr "
             "END, 6) AS h_adj FROM d"
+        ),
+        "streaming_cmh": (
+            # drained complete-mode 2x2 state == batch conditional counts
+            # (associative), so the oracle IS the batch CMH SQL
+            # DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday
+            "WITH per AS (SELECT dayofweek(ts) + 1 AS s, "
+            "count(*) FILTER (user_id % 2 = 0 "
+            "AND event_type = 'purchase') AS a, "
+            "count(*) FILTER (user_id % 2 = 0) AS n1, "
+            "count(*) FILTER (event_type = 'purchase') AS m1, "
+            "count(*) AS t FROM events GROUP BY 1), "
+            "d AS (SELECT s, t, a, CAST(a AS DOUBLE) AS ad, "
+            "CAST(n1 AS DOUBLE) AS n1d, CAST(m1 AS DOUBLE) AS m1d, "
+            "CAST(t AS DOUBLE) AS td FROM per), "
+            "cum AS (SELECT s, sum(t) OVER w AS cn, "
+            "count(*) OVER w AS ck, sum(a) OVER w AS ca, "
+            "sum(n1d * m1d / td) OVER w AS ce, "
+            "sum(CASE WHEN t > 1 THEN n1d * (td - n1d) * m1d "
+            "* (td - m1d) / (td * td * (td - 1.0)) ELSE 0.0 END) "
+            "OVER w AS cv, "
+            "sum(ad * (td - n1d - m1d + ad) / td) OVER w AS cor_num, "
+            "sum((n1d - ad) * (m1d - ad) / td) OVER w AS cor_den "
+            "FROM d WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "last AS (SELECT * FROM cum ORDER BY s DESC LIMIT 1) "
+            "SELECT CAST(cn AS BIGINT) AS n, "
+            "CAST(ck AS BIGINT) AS n_strata, "
+            "CAST(ca AS BIGINT) AS exposed_outcome, "
+            "round(CASE WHEN cv > 0 THEN (CAST(ca AS DOUBLE) - ce) "
+            "* (CAST(ca AS DOUBLE) - ce) / cv END, 6) AS chi2, "
+            "round(CASE WHEN cor_den > 0 THEN cor_num / cor_den END, 6) "
+            "AS or_mh FROM last"
         ),
         "q9_product_profit": (
             # all-integer scaled profit: rev_e4 = cents*(100-disc_pct),

@@ -3665,3 +3665,79 @@ class KruskalWallisHMax(Constraint):
             f"the maximum {self._max_h}. {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class WelchTBetween(Constraint):
+    """Welch unequal-variance mean comparison between an integer metric
+    column of each data source: fails when the two-sided Student-t
+    p-value (Welch-Satterthwaite df, scipy-free incomplete beta) drops
+    below ``significance_level`` — the uncertainty-aware Between mean
+    gate that, unlike a fixed mean-delta bound, scales its tolerance
+    with each sample's own variability, and unlike the pooled test
+    stays calibrated when the two sources' spreads differ (exactly the
+    situation a drifted snapshot creates).  Extension, no reference
+    counterpart.
+
+    Engine side: the two selections are tagged and unioned, then ONE
+    conditional-aggregation scan (operators.stats.welch_ttest) — a
+    1-row digest out.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        significance_level: float = 0.05,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not 0 < significance_level < 1:
+            raise ValueError("significance_level must be in (0, 1)")
+        self._significance_level = significance_level
+        super().__init__(ref, ref2=ref2, name=name, cache_size=cache_size)
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import welch_ttest
+
+        col1 = self._ref.get_column(engine)
+        col2 = self._ref2.get_column(engine)
+        d1 = self._ref.get_selection(engine).select(
+            F.col(col1).alias("__v"), F.lit("a").alias("__g")
+        )
+        d2 = self._ref2.get_selection(engine).select(
+            F.col(col2).alias("__v"), F.lit("b").alias("__g")
+        )
+        try:
+            row = welch_ttest(d1.unionByName(d2), "__v", "__g").collect()[0]
+        except ValueError:
+            # a side with no rows at all: the level probe sees < 2 levels
+            return TestResult.failure(
+                f"Welch test between {self._ref} and "
+                f"{self._target_prefix} is undefined: one side has no "
+                "non-null rows. ",
+                self.get_description(),
+            )
+        if row["t"] is None:
+            # n < 2 on a side or zero combined variance: identical
+            # constant columns are a pass, a 1-row side is untestable
+            if row["n_a"] >= 2 and row["n_b"] >= 2:
+                return TestResult.success()
+            return TestResult.failure(
+                f"Welch test between {self._ref} and "
+                f"{self._target_prefix} is undefined "
+                f"(n_a={row['n_a']}, n_b={row['n_b']}). ",
+                self.get_description(),
+            )
+        p = _student_t_sf_two_sided(row["t"], row["df"])
+        if p >= self._significance_level:
+            return TestResult.success()
+        assertion_text = (
+            f"Mean shift between {self._ref} and {self._target_prefix}: "
+            f"Welch t = {row['t']} (mean_a={row['mean_a']} on "
+            f"n={row['n_a']}, mean_b={row['mean_b']} on n={row['n_b']}, "
+            f"df={row['df']}), two-sided p = {round(p, 6)} < "
+            f"{self._significance_level}. "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

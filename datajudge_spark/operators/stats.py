@@ -3046,6 +3046,16 @@ def cmh_test(
             F.count(F.lit(1)).alias("__t"),
         )
     )
+    return cmh_from_counts(per_s)
+
+
+def cmh_from_counts(per_s: DataFrame) -> DataFrame:
+    """The CMH fold of :func:`cmh_test`, factored over an
+    already-aggregated per-stratum 2x2 frame ``(__s, __a, __n1, __m1,
+    __t)`` — shared by the batch operator and the streaming drain
+    digest (per-stratum conditional counts are associative, so a
+    streaming complete-mode state frame feeds the IDENTICAL expression
+    tree and hash-matches batch)."""
     a = F.col("__a").cast("double")
     n1 = F.col("__n1").cast("double")
     m1 = F.col("__m1").cast("double")

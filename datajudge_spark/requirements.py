@@ -2901,6 +2901,38 @@ class BetweenRequirement(Requirement):
             )
         )
 
+    def add_welch_ttest_constraint(
+        self,
+        column1: str,
+        column2: str,
+        significance_level: float = 0.05,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): Welch unequal-variance
+        t-test between an integer metric column of each source; fails
+        when the two-sided p-value (Welch-Satterthwaite df, scipy-free)
+        drops below ``significance_level``.  The uncertainty-aware
+        Between mean gate: tolerance scales with each sample's own
+        variability, calibrated even when the two sources' spreads
+        differ.  One conditional-aggregation scan over the tagged
+        union; DECIMAL-exact sufficient statistics."""
+        if not column1 or not column2:
+            raise ValueError(
+                "Column names have to be given for this test's functionality."
+            )
+        ref = DataReference(self._data_source, [column1], condition=condition1)
+        ref2 = DataReference(
+            self._data_source2, [column2], condition=condition2
+        )
+        self._constraints.append(
+            stats_constraints.WelchTBetween(
+                ref, ref2, significance_level, name=name, cache_size=cache_size
+            )
+        )
+
     def add_bootstrap_mean_overlap_constraint(
         self,
         key_column1: str,

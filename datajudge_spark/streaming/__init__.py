@@ -29,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import TYPE_CHECKING, Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
@@ -752,4 +752,36 @@ def streaming_assignment_counts(
         stream_df.where(F.col(assign_col).isNotNull())
         .groupBy(F.col(assign_col).alias("level"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def streaming_stratum_2x2_counts(
+    stream_df: DataFrame,
+    stratum_col: str,
+    exposure: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Running per-stratum 2x2 contingency counts over a stream: one
+    complete-mode state row per stratum ``(__s, __a, __n1, __m1, __t)``
+    — the input to a sequential Cochran-Mantel-Haenszel monitor ("is
+    conversion associating with the variant, controlling for the
+    stratum, RIGHT NOW?").
+
+    All four cells are associative/commutative conditional counts, so
+    the drained state after any availableNow pass EQUALS the batch
+    conditional GROUP BY exactly, and feeding it through the identical
+    fold (:func:`datajudge_spark.operators.stats.cmh_from_counts`)
+    yields a hash-identical digest.  State is O(|strata|) longs —
+    bounded by the stratification grain, not the stream.  No watermark
+    needed; nothing is evicted.
+    """
+    return (
+        stream_df.where(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.count(F.when(exposure & outcome, 1)).alias("__a"),
+            F.count(F.when(exposure, 1)).alias("__n1"),
+            F.count(F.when(outcome, 1)).alias("__m1"),
+            F.count(F.lit(1)).alias("__t"),
+        )
     )

@@ -644,3 +644,53 @@ class TestJoinCardinality:
         req = BetweenRequirement.from_tables("jc_a", "jc_b")
         with pytest.raises(ValueError, match="At least one"):
             req.add_join_cardinality_constraint("k", "k")
+
+
+class TestWelchTBetween:
+    def test_pass_and_fail(self, spark):
+        rng = __import__("random").Random(57)
+        same = [(rng.randint(0, 100),) for _ in range(200)]
+        d1 = spark.createDataFrame(same, "c long")
+        d2 = spark.createDataFrame(
+            [(rng.randint(0, 100),) for _ in range(200)], "c long"
+        )
+        d3 = spark.createDataFrame(
+            [(v + 60,) for (v,) in same], "c long"
+        )
+        req = between_req(d1, d2, "wt1", "wt2")
+        req.add_welch_ttest_constraint("c", "c")
+        assert outcomes(req, spark) == [True]
+        req2 = between_req(d1, d3, "wt1b", "wt3")
+        req2.add_welch_ttest_constraint("c", "c")  # fail: mean shift
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "Welch t" in results[0].failure_message
+        assert "p = " in results[0].failure_message
+
+    def test_empty_side_fails_cleanly(self, spark):
+        d1 = spark.createDataFrame([(1,), (2,), (3,)], "c long")
+        d2 = spark.createDataFrame([], "c long")
+        req = between_req(d1, d2, "wte1", "wte2")
+        req.add_welch_ttest_constraint("c", "c")
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "no non-null rows" in results[0].failure_message
+
+    def test_constant_identical_passes_single_row_fails(self, spark):
+        d1 = spark.createDataFrame([(7,)] * 20, "c long")
+        d2 = spark.createDataFrame([(7,)] * 25, "c long")
+        req = between_req(d1, d2, "wtc1", "wtc2")
+        req.add_welch_ttest_constraint("c", "c")
+        assert outcomes(req, spark) == [True]
+        d3 = spark.createDataFrame([(7,)], "c long")
+        req2 = between_req(d1, d3, "wtc1b", "wtc3")
+        req2.add_welch_ttest_constraint("c", "c")
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark):
+        d = spark.createDataFrame([(1,)], "c long")
+        req = between_req(d, d, "wtv1", "wtv2")
+        with pytest.raises(ValueError):
+            req.add_welch_ttest_constraint("c", "c", significance_level=0.0)
