@@ -5946,6 +5946,19 @@ def q_streaming_cmh(spark, sf_dir):
     return cmh_from_counts(spark.table(qname))
 
 
+def q_chao1_richness(spark, sf_dir):
+    # capture-recapture uniques estimate: how many DISTINCT customers
+    # exist beyond the ones already seen in orders?  Chao1 lower bound
+    # from the frequencies-of-frequencies (f1 singletons, f2
+    # doubletons) + Good-Turing unseen mass f1/n — the saturation gate
+    # a bare COUNT(DISTINCT) cannot express.  Two partial-agg shuffles,
+    # all-integer until the two estimator divisions.
+    from datajudge_spark.operators.uniques import chao1_richness
+
+    o = _t(spark, sf_dir, "orders")
+    return chao1_richness(o, "o_custkey")
+
+
 def q9_product_profit(spark, sf_dir):
     # TPC-H Q9 shape: product-line profit by nation and order year.
     # No partsupp in the synthetic schema, so unit cost = 60% of the
@@ -6332,6 +6345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "durbin_watson": q_durbin_watson,
         "kruskal_wallis": q_kruskal_wallis,
         "streaming_cmh": q_streaming_cmh,
+        "chao1_richness": q_chao1_richness,
         "q9_product_profit": q9_product_profit,
     }
     missing = [k for k in _R9_WINDOW if k not in base]
@@ -11329,6 +11343,23 @@ def oracle_sql() -> dict[str, str]:
             "* (CAST(ca AS DOUBLE) - ce) / cv END, 6) AS chi2, "
             "round(CASE WHEN cor_den > 0 THEN cor_num / cor_den END, 6) "
             "AS or_mh FROM last"
+        ),
+        "chao1_richness": (
+            "WITH per AS (SELECT o_custkey AS v, count(*) AS c "
+            "FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1), "
+            "a AS (SELECT coalesce(sum(c), 0) AS n, count(*) AS d, "
+            "coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS f1, "
+            "coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) AS f2 "
+            "FROM per) "
+            "SELECT CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS d_obs, "
+            "CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, "
+            "round(CASE WHEN f2 > 0 THEN CAST(d AS DOUBLE) "
+            "+ CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) "
+            "/ (2.0 * CAST(f2 AS DOUBLE)) ELSE CAST(d AS DOUBLE) "
+            "+ CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0) "
+            "/ (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) END, 6) AS chao1, "
+            "round(CASE WHEN n > 0 THEN CAST(f1 AS DOUBLE) "
+            "/ CAST(n AS DOUBLE) END, 6) AS unseen_mass FROM a"
         ),
         "q9_product_profit": (
             # all-integer scaled profit: rev_e4 = cents*(100-disc_pct),

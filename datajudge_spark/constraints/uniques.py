@@ -425,3 +425,54 @@ class CategoricalBoundConstraint(Constraint):
             )
         lines.append(f"{self._condition_string}")
         return False, "".join(lines)
+
+
+class UnseenMassMax(Constraint):
+    """Coverage-saturation gate: the Good-Turing unseen probability
+    mass ``f1/n`` of a column (share of the next observations expected
+    to carry NEVER-seen values) may not exceed ``max_unseen_mass`` —
+    "this id/vocabulary space is sampled to saturation".  The failure
+    message carries the Chao1 richness lower bound so the reader sees
+    how many uniques the data still hides.  Extension, no reference
+    counterpart.
+
+    Engine: ``operators.uniques.chao1_richness`` — two partial-agg'd
+    shuffles, all-integer frequencies of frequencies.
+    """
+
+    def __init__(
+        self,
+        ref,
+        column: str,
+        max_unseen_mass: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not (0 <= max_unseen_mass <= 1):
+            raise ValueError("max_unseen_mass must be within [0, 1]")
+        self._column = column
+        self._max_unseen = max_unseen_mass
+        super().__init__(
+            ref, ref_value=max_unseen_mass, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine) -> TestResult:
+        from ..operators.uniques import chao1_richness
+
+        row = chao1_richness(
+            self._ref.get_selection(engine), self._column
+        ).collect()[0]
+        if row["unseen_mass"] is None:
+            return TestResult(
+                True, "No non-null values; the coverage gate is vacuous."
+            )
+        if row["unseen_mass"] <= self._max_unseen:
+            return TestResult.success()
+        assertion_text = (
+            f"Unseen-value mass of {self._column} in {self._ref} is "
+            f"{row['unseen_mass']} (f1={row['f1']} singletons of "
+            f"n={row['n']}; Chao1 richness ≥ {row['chao1']} vs "
+            f"{row['d_obs']} observed) — exceeds the maximum "
+            f"{self._max_unseen}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -95,3 +95,63 @@ def get_unique_count_union(
     selection2 = ref2.get_selection(spark)
     unioned = selection1.union(selection2).distinct()
     return unioned.count(), [unioned]
+
+
+def chao1_richness(df: DataFrame, column: str) -> DataFrame:
+    """Chao1 species-richness digest: one row ``(n, d_obs, f1, f2,
+    chao1, unseen_mass)`` estimating how many DISTINCT values of
+    ``column`` exist beyond the ones observed — the capture-recapture
+    lower bound ``Chao1 = D + f1²/(2·f2)`` (bias-corrected
+    ``D + f1(f1−1)/(2(f2+1))`` when f2 = 0) from the
+    frequencies-of-frequencies, plus the Good-Turing unseen-probability
+    mass ``f1/n``.
+
+    The "is my vocabulary/id space saturated?" gate: a crawl, dedup
+    sweep, or token census whose singleton count f1 keeps growing is
+    nowhere near covered, no matter how big D already looks —
+    exactly what a bare COUNT(DISTINCT) (or its HLL approximation)
+    cannot say.
+
+    Exactness: two partial-agg'd shuffles (value histogram, then its
+    frequency histogram collapsed to conditional counts), all integers
+    exact; the two estimator divisions happen once in double.
+    Degenerate inputs (empty, or f1 = f2 = 0 — every value repeated)
+    return chao1 = d_obs and unseen_mass 0/NULL per definition.
+    Extension — no reference counterpart; nearest relatives are the
+    uniques histogram (this module) and approx-distinct audit.
+    """
+    per_v = (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = per_v.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("d_obs"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    d = F.col("d_obs").cast("double")
+    chao1 = F.when(
+        F.col("f2") > 0, d + f1 * f1 / (2.0 * f2)
+    ).otherwise(d + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)))
+    return agg.select(
+        "n",
+        "d_obs",
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(
+            F.when(F.col("n") > 0, f1 / F.col("n").cast("double")), 6
+        ).alias("unseen_mass"),
+    )

@@ -1887,6 +1887,33 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_unseen_mass_constraint(
+        self,
+        column: str,
+        max_unseen_mass: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Good-Turing unseen
+        probability mass ``f1/n`` of ``column`` (the share of future
+        observations expected to carry never-seen values) may not
+        exceed ``max_unseen_mass`` — the coverage-saturation gate for
+        id/vocabulary spaces that a bare COUNT(DISTINCT) cannot
+        express; the failure carries the Chao1 richness lower bound.
+        All-integer frequencies of frequencies, two partial-agg
+        shuffles."""
+        ref = DataReference(self._data_source, [column], condition)
+        self._constraints.append(
+            uniques_constraints.UnseenMassMax(
+                ref,
+                column,
+                max_unseen_mass=max_unseen_mass,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_cuped_diff_constraint(
         self,
         pre_column: str,

@@ -2127,3 +2127,28 @@ class TestKruskalWallis:
         req = within_req(df, "kw4")
         with pytest.raises(ValueError):
             req.add_kruskal_wallis_constraint("x", "g", max_h=-1.0)
+
+
+class TestUnseenMass:
+    def test_saturated_passes_sparse_fails(self, spark):
+        # every value seen 5x: f1 = 0 -> unseen mass 0
+        dense = spark.createDataFrame(
+            [(i % 20,) for i in range(100)], "v long"
+        )
+        req = within_req(dense, "um1")
+        req.add_unseen_mass_constraint("v", 0.0)
+        assert outcomes(req, spark) == [True]
+
+        # all singletons: unseen mass 1.0, Chao1 blows past observed
+        sparse = spark.createDataFrame([(i,) for i in range(50)], "v long")
+        req2 = within_req(sparse, "um2")
+        req2.add_unseen_mass_constraint("v", 0.5)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "Chao1" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "v long")
+        req = within_req(df, "um3")
+        with pytest.raises(ValueError):
+            req.add_unseen_mass_constraint("v", 1.5)

@@ -615,3 +615,14 @@ def test_kruskal_wallis_partition_stable(spark, n_parts):
     ref = kruskal_wallis(df, "x", "g").collect()
     got = kruskal_wallis(df.repartition(n_parts), "x", "g").collect()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_chao1_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.uniques import chao1_richness
+
+    rows = [((i * i) % 37,) for i in range(300)]
+    df = spark.createDataFrame(rows, "v long")
+    ref = chao1_richness(df, "v").collect()
+    got = chao1_richness(df.repartition(n_parts), "v").collect()
+    assert got == ref

@@ -1798,3 +1798,38 @@ def test_fuzz_kruskal_wallis(spark, case):
         assert r["h_adj"] == pytest.approx(H / C, abs=2e-5)
     else:
         assert r["h_adj"] is None, f"case {case} ({shape})"
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_chao1(spark, case):
+    from datajudge_spark.operators.uniques import chao1_richness
+
+    rng = random.Random(_MK_SEED + 2300 + case)
+    shape = ["mixed", "all_singletons", "all_repeated", "empty"][case]
+    if shape == "empty":
+        rows = [(None,)]
+    elif shape == "all_singletons":
+        rows = [(i,) for i in range(rng.randint(5, 60))]
+    elif shape == "all_repeated":
+        rows = [(i % 10,) for i in range(100)]
+    else:
+        rows = [(rng.randint(0, 40),) for _ in range(rng.randint(20, 300))]
+    df = spark.createDataFrame(rows, "v bigint")
+    r = chao1_richness(df, "v").collect()[0]
+    vals = [v for (v,) in rows if v is not None]
+    from collections import Counter
+
+    c = Counter(vals)
+    n, d = len(vals), len(c)
+    f1 = sum(1 for k in c.values() if k == 1)
+    f2 = sum(1 for k in c.values() if k == 2)
+    assert (r["n"], r["d_obs"], r["f1"], r["f2"]) == (n, d, f1, f2)
+    if f2 > 0:
+        chao = d + f1 * f1 / (2 * f2)
+    else:
+        chao = d + f1 * (f1 - 1) / (2 * (f2 + 1))
+    assert r["chao1"] == pytest.approx(chao, abs=1e-6)
+    if n > 0:
+        assert r["unseen_mass"] == pytest.approx(f1 / n, abs=1e-6)
+    else:
+        assert r["unseen_mass"] is None
