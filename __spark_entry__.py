@@ -5959,6 +5959,48 @@ def q_chao1_richness(spark, sf_dir):
     return chao1_richness(o, "o_custkey")
 
 
+def q_rmst(spark, sf_dir):
+    # restricted mean survival time at a 60-day horizon on the SAME
+    # user-lifetime frame as kaplan_meier: the average event-free days
+    # a user gets out of their first 60 — the scalar KM summary that
+    # stays meaningful when hazards are non-proportional.  Segment fold
+    # ordered over the bounded distinct-duration grid.
+    from datajudge_spark.operators.timeseries import rmst
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+    )
+    horizon = ev.agg(
+        F.date_sub(F.max(F.col("ts").cast("date")), 14).alias("__h")
+    )
+    subj = per_user.join(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").alias("dur"),
+        F.when(F.col("last_d") < F.col("__h"), 1).otherwise(0).alias("ev"),
+    )
+    return rmst(subj, "dur", "ev", 60.0)
+
+
+def q_sequence_monotonicity(spark, sf_dir):
+    # per-user event-id monotonicity audit: within each user's
+    # ts-ordered event sequence, how many adjacent steps go BACKWARD in
+    # event_id?  The sequence-integrity primitive (clock skew,
+    # re-ingestion, out-of-order backfill) — the only window is
+    # partitioned by the user key, never global; top-5 offender users
+    # rendered for actionability.
+    from datajudge_spark.operators.rows import sequence_monotonicity
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_monotonicity(
+        ev.select("user_id", F.col("ts").cast("timestamp").alias("t"),
+                  "event_id"),
+        "user_id",
+        "t",
+        "event_id",
+    )
+
+
 def q9_product_profit(spark, sf_dir):
     # TPC-H Q9 shape: product-line profit by nation and order year.
     # No partsupp in the synthetic schema, so unit cost = 60% of the
@@ -6346,6 +6388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": q_kruskal_wallis,
         "streaming_cmh": q_streaming_cmh,
         "chao1_richness": q_chao1_richness,
+        "rmst": q_rmst,
+        "sequence_monotonicity": q_sequence_monotonicity,
         "q9_product_profit": q9_product_profit,
     }
     missing = [k for k in _R9_WINDOW if k not in base]
@@ -11360,6 +11404,68 @@ def oracle_sql() -> dict[str, str]:
             "/ (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) END, 6) AS chao1, "
             "round(CASE WHEN n > 0 THEN CAST(f1 AS DOUBLE) "
             "/ CAST(n AS DOUBLE) END, 6) AS unseen_mass FROM a"
+        ),
+        "rmst": (
+            # KM curve (same construction as the kaplan_meier oracle)
+            # + lag-segment fold clipped at the 60-day horizon
+            "WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd, "
+            "max(CAST(ts AS DATE)) AS ld FROM events GROUP BY user_id), "
+            "h AS (SELECT max(CAST(ts AS DATE)) - 14 AS hz FROM events), "
+            "subj AS (SELECT (ld - fd) AS dur, CASE WHEN ld < "
+            "(SELECT hz FROM h) THEN 1 ELSE 0 END AS ev FROM pu), "
+            "per_t AS (SELECT dur AS duration, sum(ev) AS n_events, "
+            "count(*) AS n_at FROM subj GROUP BY dur), "
+            "tot AS (SELECT sum(n_at) AS t FROM per_t), "
+            "cum AS (SELECT duration, n_events, "
+            "(SELECT t FROM tot) - sum(n_at) OVER "
+            "(ORDER BY duration) + n_at AS n_risk FROM per_t), "
+            "curve AS (SELECT duration, "
+            "CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 "
+            "END) OVER (ORDER BY duration) = 1 THEN 0.0 ELSE "
+            "exp(sum(CASE WHEN n_events < n_risk THEN "
+            "ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) "
+            "ELSE 0.0 END) OVER (ORDER BY duration)) END AS survival "
+            "FROM cum), "
+            "seg AS (SELECT duration, survival, "
+            "coalesce(lag(CAST(duration AS DOUBLE)) OVER "
+            "(ORDER BY duration), 0.0) AS dprev, "
+            "coalesce(lag(survival) OVER (ORDER BY duration), 1.0) "
+            "AS sprev FROM curve), "
+            "fold AS (SELECT duration, survival, count(*) OVER w AS k, "
+            "sum(sprev * (least(CAST(duration AS DOUBLE), 60.0) "
+            "- least(dprev, 60.0))) OVER w AS area FROM seg "
+            "WINDOW w AS (ORDER BY duration ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "last AS (SELECT * FROM fold ORDER BY duration DESC LIMIT 1) "
+            "SELECT CAST(60.0 AS DOUBLE) AS horizon, CAST(k AS BIGINT) AS n_durations, "
+            "round(area + survival * (60.0 "
+            "- least(CAST(duration AS DOUBLE), 60.0)), 6) AS rmst "
+            "FROM last"
+        ),
+        "sequence_monotonicity": (
+            # identical per-key lag ordering (ts, then event_id) and
+            # identical top-5 offender rendering
+            "WITH p AS (SELECT user_id AS k, lag(event_id) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev, "
+            "event_id AS v FROM events WHERE user_id IS NOT NULL "
+            "AND ts IS NOT NULL AND event_id IS NOT NULL), "
+            "pr AS (SELECT k, CASE WHEN v < prev THEN 1 ELSE 0 END "
+            "AS bad FROM p WHERE prev IS NOT NULL), "
+            "pk AS (SELECT k, count(*) AS n, sum(bad) AS nb FROM pr "
+            "GROUP BY k), "
+            "off AS (SELECT coalesce(string_agg(k || '=' || "
+            "CAST(nb AS VARCHAR), ', ' ORDER BY nb DESC, k ASC), '') "
+            "AS top_keys FROM (SELECT k, nb FROM pk WHERE nb > 0 "
+            "ORDER BY nb DESC, k ASC LIMIT 5)), "
+            "d AS (SELECT count(*) AS n_keys, coalesce(sum(n), 0) AS "
+            "n_pairs, coalesce(sum(nb), 0) AS n_violations FROM pk) "
+            "SELECT CAST(n_keys AS BIGINT) AS n_keys, "
+            "CAST(n_pairs AS BIGINT) AS n_pairs, "
+            "CAST(n_violations AS BIGINT) AS n_violations, "
+            "round(CASE WHEN n_pairs > 0 THEN "
+            "CAST(n_violations AS DOUBLE) / CAST(n_pairs AS DOUBLE) "
+            "ELSE 0.0 END, 6) AS violation_fraction, "
+            "(SELECT top_keys FROM off) AS top_keys FROM d"
         ),
         "q9_product_profit": (
             # all-integer scaled profit: rev_e4 = cents*(100-disc_pct),

@@ -215,3 +215,67 @@ class RowMatchingEquality(Row):
                 spec=self._match_and_compare,
             )
         )
+
+
+class SequenceMonotonicityMax(Constraint):
+    """Sequence-integrity gate: within each key's ordered sequence, the
+    fraction of adjacent steps where the value goes BACKWARD (or fails
+    to strictly increase, ``strict=True``) may not exceed
+    ``max_violation_fraction`` — clock skew, re-ingestion, and
+    out-of-order backfill made visible per key.  The failure names the
+    worst offender keys.  Extension, no reference counterpart.
+
+    Engine: ``operators.rows.sequence_monotonicity`` — the only window
+    is PARTITIONED BY the key (local sorts after one hash shuffle, no
+    global ordering anywhere).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        key_column: str,
+        order_column: str,
+        value_column: str,
+        max_violation_fraction: float = 0.0,
+        strict: bool = False,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not (0 <= max_violation_fraction <= 1):
+            raise ValueError(
+                "max_violation_fraction must be within [0, 1]"
+            )
+        self._key = key_column
+        self._order = order_column
+        self._value = value_column
+        self._max_frac = max_violation_fraction
+        self._strict = strict
+        super().__init__(
+            ref,
+            ref_value=max_violation_fraction,
+            name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.rows import sequence_monotonicity
+
+        row = sequence_monotonicity(
+            self._ref.get_selection(engine),
+            self._key,
+            self._order,
+            self._value,
+            strict=self._strict,
+        ).collect()[0]
+        if row["violation_fraction"] <= self._max_frac:
+            return TestResult.success()
+        mode = "strictly increase" if self._strict else "stay nondecreasing"
+        assertion_text = (
+            f"{self._value} fails to {mode} along {self._order} within "
+            f"{row['n_keys']} {self._key} sequences of {self._ref}: "
+            f"{row['n_violations']} of {row['n_pairs']} adjacent steps "
+            f"violate (fraction {row['violation_fraction']} > "
+            f"{self._max_frac}); worst keys: {row['top_keys']}. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

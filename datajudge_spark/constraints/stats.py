@@ -3741,3 +3741,62 @@ class WelchTBetween(Constraint):
             f"{self._significance_level}. "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class RMSTMin(Constraint):
+    """Survival-value gate: the restricted mean survival time at
+    ``horizon`` (average event-free time per subject within the first
+    ``horizon`` units — the area under the KM curve) must be at least
+    ``min_rmst`` — "users must get at least this much lifetime out of
+    their first N days".  Robust where a hazard ratio misleads
+    (non-proportional hazards).  Extension, no reference counterpart.
+
+    Engine: ``operators.timeseries.rmst`` over the persisted bounded
+    distinct-duration histogram.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        duration_column: str,
+        event_column: str,
+        horizon: float,
+        min_rmst: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if horizon <= 0:
+            raise ValueError("horizon must be positive")
+        if not (0 <= min_rmst <= horizon):
+            raise ValueError("min_rmst must be within [0, horizon]")
+        self._duration = duration_column
+        self._event = event_column
+        self._horizon = horizon
+        self._min_rmst = min_rmst
+        super().__init__(
+            ref, ref_value=min_rmst, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.timeseries import rmst
+
+        rows = rmst(
+            self._ref.get_selection(engine),
+            self._duration,
+            self._event,
+            self._horizon,
+        ).collect()
+        row = rows[0] if rows else None
+        if row is None:
+            return TestResult(
+                True, "No durations observed; the RMST gate is vacuous."
+            )
+        if row["rmst"] >= self._min_rmst:
+            return TestResult.success()
+        assertion_text = (
+            f"Restricted mean survival time of {self._ref} at horizon "
+            f"{self._horizon} is {row['rmst']} (over "
+            f"{row['n_durations']} distinct durations) — below the "
+            f"minimum {self._min_rmst}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

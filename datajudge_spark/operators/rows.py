@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..reference import DataReference
@@ -177,3 +177,95 @@ def get_column_array_agg(
     rows = grouped.collect()
     result = [(*row[:-1], list(row[-1])) for row in rows]
     return result, [grouped]
+
+
+def sequence_monotonicity(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-key sequence-monotonicity audit: one digest row ``(n_keys,
+    n_pairs, n_violations, violation_fraction, top_keys)`` counting
+    adjacent pairs (ordered by ``order_col`` WITHIN each ``key_col``
+    partition) where ``value_col`` decreases (or fails to increase,
+    with ``strict=True``) — the sequence-integrity gate behind
+    "cumulative totals never go down per account", "version numbers
+    only grow per entity", "per-device clocks don't run backwards".
+
+    ``top_keys`` renders the ``top_k`` worst keys as
+    ``key=violations`` (count DESC, key ASC) so the failure is
+    actionable.  Ties in ``order_col`` break by ``value_col`` ascending
+    — a same-timestamp batch is NOT a violation unless values actually
+    conflict (strict mode still flags equal adjacent values).
+
+    Scale: the ONLY window is partitioned by the key (each partition
+    sorts locally after one hash shuffle — no global ordering
+    anywhere); the digest fold is a partial-agg'd 1-row aggregate plus
+    a bounded TakeOrdered(top_k) for the offender render.  Extension —
+    no reference counterpart; nearest relative is the per-key gap
+    audit (operators.interval).
+    """
+    w = Window.partitionBy(F.col(key_col)).orderBy(
+        F.col(order_col).asc(), F.col(value_col).asc()
+    )
+    prev = F.lag(F.col(value_col)).over(w)
+    bad = (
+        (F.col("__v") <= F.col("__prev"))
+        if strict
+        else (F.col("__v") < F.col("__prev"))
+    )
+    pairs = (
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(order_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("__k"),
+            prev.alias("__prev"),
+            F.col(value_col).alias("__v"),
+        )
+        .where(F.col("__prev").isNotNull())
+        .select("__k", F.when(bad, 1).otherwise(0).alias("__bad"))
+    )
+    per_key = pairs.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__bad").alias("__nb"),
+    )
+    offenders = (
+        per_key.where(F.col("__nb") > 0)
+        .orderBy(F.desc("__nb"), F.asc("__k"))
+        .limit(top_k)
+        .select(
+            F.concat_ws(
+                "=",
+                F.col("__k").cast("string"),
+                F.col("__nb").cast("string"),
+            ).alias("__s")
+        )
+        .agg(F.concat_ws(", ", F.collect_list("__s")).alias("top_keys"))
+    )
+    digest = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("__nb"), F.lit(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    return digest.join(F.broadcast(offenders)).select(
+        "n_keys",
+        "n_pairs",
+        "n_violations",
+        F.round(
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("n_violations").cast("double")
+                / F.col("n_pairs").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("violation_fraction"),
+        "top_keys",
+    )

@@ -1643,3 +1643,58 @@ def durbin_watson(
             6,
         ).alias("dw"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    horizon: float,
+) -> DataFrame:
+    """Restricted mean survival time: one digest row ``(horizon,
+    n_durations, rmst)`` — the area under the Kaplan-Meier curve up to
+    ``horizon``, i.e. the average event-free time a subject gets out of
+    the first ``horizon`` time units.  The clinically-standard scalar
+    summary when hazards are non-proportional (where a single hazard
+    ratio misleads); pairs with :func:`kaplan_meier` (the curve) and
+    the log-rank gate (the comparison).
+
+    ``RMST(τ) = Σ_k S(t_{k-1})·(min(t_k, τ) − min(t_{k-1}, τ))
+    + S(t_last)·(τ − min(t_last, τ))`` over the distinct event-time
+    grid with S(t_0=0) = 1.
+
+    Scale: everything runs on :func:`kaplan_meier`'s persisted bounded
+    distinct-duration histogram; the segment fold is one
+    duration-ORDERED cumulative window over that frame (identical
+    addition order in both engines), digested by TakeOrdered(1).
+    Extension — no reference counterpart.
+    """
+    if horizon <= 0:
+        raise ValueError("horizon must be positive")
+    curve = kaplan_meier(df, duration_col, event_col)
+    w_ord = Window.orderBy("duration")
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tau = F.lit(float(horizon))
+    d = F.col("duration").cast("double")
+    d_prev = F.coalesce(
+        F.lag(F.col("duration").cast("double")).over(w_ord), F.lit(0.0)
+    )
+    s_prev = F.coalesce(F.lag("survival").over(w_ord), F.lit(1.0))
+    seg = s_prev * (F.least(d, tau) - F.least(d_prev, tau))
+    folded = curve.select(
+        "duration",
+        "survival",
+        F.count(F.lit(1)).over(w_cum).alias("__k"),
+        F.sum(seg).over(w_cum).alias("__area"),
+    )
+    last = folded.orderBy(F.desc("duration")).limit(1)
+    tail = F.col("survival") * (
+        tau - F.least(F.col("duration").cast("double"), tau)
+    )
+    return last.select(
+        tau.alias("horizon"),
+        F.col("__k").cast("bigint").alias("n_durations"),
+        F.round(F.col("__area") + tail, 6).alias("rmst"),
+    )

@@ -1914,6 +1914,75 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_rmst_constraint(
+        self,
+        duration_column: str,
+        event_column: str,
+        horizon: float,
+        min_rmst: float,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the restricted mean
+        survival time at ``horizon`` (area under the Kaplan-Meier curve
+        — average event-free time per subject within the first
+        ``horizon`` units) must be at least ``min_rmst``; the scalar
+        survival-value gate that stays meaningful when hazards are
+        non-proportional.  Runs on the persisted bounded
+        distinct-duration histogram."""
+        ref = DataReference(
+            self._data_source, [duration_column, event_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.RMSTMin(
+                ref,
+                duration_column,
+                event_column,
+                horizon=horizon,
+                min_rmst=min_rmst,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_sequence_monotonicity_constraint(
+        self,
+        key_column: str,
+        order_column: str,
+        value_column: str,
+        max_violation_fraction: float = 0.0,
+        strict: bool = False,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): within each
+        ``key_column`` sequence ordered by ``order_column``, the
+        fraction of adjacent steps where ``value_column`` goes backward
+        (or fails to strictly increase with ``strict=True``) may not
+        exceed ``max_violation_fraction`` — the sequence-integrity gate
+        for "cumulative totals never shrink per account" / "versions
+        only grow per entity".  The only window is partitioned by the
+        key; the failure names the worst offender keys."""
+        ref = DataReference(
+            self._data_source,
+            [key_column, order_column, value_column],
+            condition,
+        )
+        self._constraints.append(
+            row_constraints.SequenceMonotonicityMax(
+                ref,
+                key_column,
+                order_column,
+                value_column,
+                max_violation_fraction=max_violation_fraction,
+                strict=strict,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_cuped_diff_constraint(
         self,
         pre_column: str,

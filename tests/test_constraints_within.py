@@ -2152,3 +2152,73 @@ class TestUnseenMass:
         req = within_req(df, "um3")
         with pytest.raises(ValueError):
             req.add_unseen_mass_constraint("v", 1.5)
+
+
+class TestRMST:
+    def test_hand_computed(self, spark):
+        # all subjects survive to duration 10, all observed there:
+        # S = 1 on [0,10); RMST(5) = 5, RMST(20) = 10
+        rows = [(10, 1)] * 8
+        df = spark.createDataFrame(rows, "dur int, ev int")
+        req = within_req(df, "rmst1")
+        req.add_rmst_constraint("dur", "ev", horizon=5.0, min_rmst=5.0)
+        req.add_rmst_constraint("dur", "ev", horizon=20.0, min_rmst=10.1)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "Restricted mean" in results[1].failure_message
+
+    def test_early_churn_lowers_rmst(self, spark):
+        early = [(1, 1)] * 9 + [(30, 0)]
+        df = spark.createDataFrame(early, "dur int, ev int")
+        req = within_req(df, "rmst2")
+        # S drops to 0.1 at t=1: RMST(11) = 1 + 0.1*10 = 2
+        req.add_rmst_constraint("dur", "ev", horizon=11.0, min_rmst=2.0)
+        req.add_rmst_constraint("dur", "ev", horizon=11.0, min_rmst=5.0)
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 1)], "dur int, ev int")
+        req = within_req(df, "rmst3")
+        with pytest.raises(ValueError):
+            req.add_rmst_constraint("dur", "ev", horizon=0.0, min_rmst=0.0)
+        with pytest.raises(ValueError):
+            req.add_rmst_constraint("dur", "ev", horizon=5.0, min_rmst=6.0)
+
+
+class TestSequenceMonotonicity:
+    def test_ordered_passes_disordered_fails(self, spark):
+        ordered = [(k, t, t * 10) for k in range(5) for t in range(20)]
+        df = spark.createDataFrame(ordered, "k int, t int, v long")
+        req = within_req(df, "mono1")
+        req.add_sequence_monotonicity_constraint("k", "t", "v")
+        assert outcomes(req, spark) == [True]
+
+        disordered = list(ordered)
+        disordered[7] = (0, 7, -5)   # one backward step in key 0
+        df2 = spark.createDataFrame(disordered, "k int, t int, v long")
+        req2 = within_req(df2, "mono2")
+        req2.add_sequence_monotonicity_constraint("k", "t", "v")
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "0=" in results[0].failure_message
+
+    def test_strict_flags_plateaus(self, spark):
+        flat = [(1, t, 5) for t in range(10)]
+        df = spark.createDataFrame(flat, "k int, t int, v long")
+        req = within_req(df, "mono3")
+        req.add_sequence_monotonicity_constraint("k", "t", "v")
+        req.add_sequence_monotonicity_constraint(
+            "k", "t", "v", strict=True
+        )  # fail: equal adjacent values
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        assert "strictly increase" in results[1].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 1, 1)], "k int, t int, v int")
+        req = within_req(df, "mono4")
+        with pytest.raises(ValueError):
+            req.add_sequence_monotonicity_constraint(
+                "k", "t", "v", max_violation_fraction=2.0
+            )

@@ -626,3 +626,27 @@ def test_chao1_partition_stable(spark, n_parts):
     ref = chao1_richness(df, "v").collect()
     got = chao1_richness(df.repartition(n_parts), "v").collect()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_rmst_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.timeseries import rmst
+
+    rows = [((i * 3) % 23, i % 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    ref = rmst(df, "dur", "ev", 15.0).collect()
+    got = rmst(df.repartition(n_parts), "dur", "ev", 15.0).collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_sequence_monotonicity_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.rows import sequence_monotonicity
+
+    rows = [(i % 8, i // 8, ((i * 7) % 31) - (i % 8)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k int, t int, v long")
+    ref = sequence_monotonicity(df, "k", "t", "v").collect()
+    got = sequence_monotonicity(
+        df.repartition(n_parts), "k", "t", "v"
+    ).collect()
+    assert got == ref
