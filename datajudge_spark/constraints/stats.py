@@ -3800,3 +3800,101 @@ class RMSTMin(Constraint):
             f"minimum {self._min_rmst}. {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+def _fisher_exact_two_sided(a: int, b: int, c: int, d: int) -> float:
+    """Two-sided Fisher exact p for the 2x2 table [[a, b], [c, d]]:
+    the sum of hypergeometric probabilities of all tables (same
+    margins) no more likely than the observed one — pure Python over
+    log-binomials, exact at the small counts where the pooled-z
+    approximation breaks (driver-side only; the engine ships exact
+    integer cells)."""
+    n1, n2 = a + b, c + d
+    m1 = a + c
+    n = n1 + n2
+    if min(n1, n2, m1, n - m1) < 0 or n == 0:
+        return float("nan")
+
+    def log_comb(nn: int, kk: int) -> float:
+        return (
+            math.lgamma(nn + 1)
+            - math.lgamma(kk + 1)
+            - math.lgamma(nn - kk + 1)
+        )
+
+    denom = log_comb(n, m1)
+
+    def log_p(x: int) -> float:
+        return log_comb(n1, x) + log_comb(n2, m1 - x) - denom
+
+    lo = max(0, m1 - n2)
+    hi = min(n1, m1)
+    p_obs = log_p(a)
+    total = 0.0
+    for x in range(lo, hi + 1):
+        lp = log_p(x)
+        if lp <= p_obs + 1e-12:  # tables no more likely than observed
+            total += math.exp(lp)
+    return min(total, 1.0)
+
+
+class FisherExactMin(Constraint):
+    """Small-sample 2x2 association gate: the two-sided Fisher exact
+    p-value of the ``success`` rate between two row-filter populations
+    must stay at or above ``min_p_value`` — the EXACT counterpart of
+    TwoProportionZMax for the low-count slices (rare segments, canary
+    cohorts) where the pooled-z normal approximation is unreliable.
+    Extension, no reference counterpart.
+
+    Engine side is the same one conditional-aggregation scan
+    (operators.stats.two_proportion_ztest digest — exact integer
+    cells); the hypergeometric tail is evaluated driver-side in exact
+    log-binomials.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        population_a,
+        population_b,
+        success,
+        min_p_value: float = 0.05,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not (0 <= min_p_value <= 1):
+            raise ValueError("min_p_value must be within [0, 1]")
+        self._population_a = population_a
+        self._population_b = population_b
+        self._success = success
+        self._min_p = min_p_value
+        super().__init__(
+            ref, ref_value=min_p_value, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import two_proportion_ztest
+
+        row = two_proportion_ztest(
+            self._ref.get_selection(engine),
+            self._population_a.to_column(),
+            self._population_b.to_column(),
+            self._success.to_column(),
+        ).collect()[0]
+        n_a, s_a = row["n_a"], row["successes_a"]
+        n_b, s_b = row["n_b"], row["successes_b"]
+        if n_a == 0 or n_b == 0:
+            return TestResult.failure(
+                f"Fisher exact test between populations of {self._ref} "
+                f"is undefined (an empty side; n_a={n_a}, n_b={n_b}). ",
+                self.get_description(),
+            )
+        p = _fisher_exact_two_sided(s_a, n_a - s_a, s_b, n_b - s_b)
+        if p >= self._min_p:
+            return TestResult.success()
+        assertion_text = (
+            f"Success rates differ between populations of {self._ref}: "
+            f"Fisher exact two-sided p = {round(p, 6)} < {self._min_p} "
+            f"({s_a}/{n_a} vs {s_b}/{n_b}). {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

@@ -1983,6 +1983,37 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_fisher_exact_constraint(
+        self,
+        population_a: Condition,
+        population_b: Condition,
+        success: Condition,
+        min_p_value: float = 0.05,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the two-sided Fisher
+        exact p-value of the ``success`` rate between the
+        ``population_a`` and ``population_b`` slices must stay >=
+        ``min_p_value`` — the EXACT small-sample 2x2 gate (rare
+        segments, canary cohorts) where the pooled-z approximation of
+        add_two_proportion_ztest_constraint is unreliable.  One
+        conditional-aggregation scan ships exact integer cells; the
+        hypergeometric tail is evaluated driver-side."""
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            stats_constraints.FisherExactMin(
+                ref,
+                population_a,
+                population_b,
+                success,
+                min_p_value=min_p_value,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_cuped_diff_constraint(
         self,
         pre_column: str,

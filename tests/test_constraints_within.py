@@ -2222,3 +2222,57 @@ class TestSequenceMonotonicity:
             req.add_sequence_monotonicity_constraint(
                 "k", "t", "v", max_violation_fraction=2.0
             )
+
+
+class TestFisherExact:
+    def test_small_sample_pass_and_fail(self, spark):
+        # 3/4 vs 1/4 successes: tea-tasting table, p = 0.485714 -> pass
+        rows = (
+            [("a", 1)] * 3 + [("a", 0)] * 1
+            + [("b", 1)] * 1 + [("b", 0)] * 3
+        )
+        df = spark.createDataFrame(rows, "pop string, ok int")
+        req = within_req(df, "fx1")
+        req.add_fisher_exact_constraint(
+            Condition(raw_string="pop = 'a'"),
+            Condition(raw_string="pop = 'b'"),
+            Condition(raw_string="ok = 1"),
+        )
+        assert outcomes(req, spark) == [True]
+
+        # 5/5 vs 0/5: p = 0.007937 -> fail at 0.05
+        rows2 = [("a", 1)] * 5 + [("b", 0)] * 5
+        df2 = spark.createDataFrame(rows2, "pop string, ok int")
+        req2 = within_req(df2, "fx2")
+        req2.add_fisher_exact_constraint(
+            Condition(raw_string="pop = 'a'"),
+            Condition(raw_string="pop = 'b'"),
+            Condition(raw_string="ok = 1"),
+        )
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "Fisher exact" in results[0].failure_message
+        assert "0.007937" in results[0].failure_message
+
+    def test_empty_side_fails_cleanly(self, spark):
+        df = spark.createDataFrame([("a", 1)] * 5, "pop string, ok int")
+        req = within_req(df, "fx3")
+        req.add_fisher_exact_constraint(
+            Condition(raw_string="pop = 'a'"),
+            Condition(raw_string="pop = 'b'"),
+            Condition(raw_string="ok = 1"),
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", 1)], "pop string, ok int")
+        req = within_req(df, "fx4")
+        with pytest.raises(ValueError):
+            req.add_fisher_exact_constraint(
+                Condition(raw_string="pop = 'a'"),
+                Condition(raw_string="pop = 'b'"),
+                Condition(raw_string="ok = 1"),
+                min_p_value=1.5,
+            )

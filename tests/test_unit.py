@@ -3003,3 +3003,27 @@ class TestStudentTTail:
         assert _student_t_sf_two_sided(-2.0, 9) == pytest.approx(
             _student_t_sf_two_sided(2.0, 9)
         )
+
+
+class TestFisherExactTail:
+    def test_known_tables(self):
+        from datajudge_spark.constraints.stats import (
+            _fisher_exact_two_sided,
+        )
+
+        assert _fisher_exact_two_sided(3, 1, 1, 3) == pytest.approx(
+            0.485714, abs=1e-6
+        )
+        assert _fisher_exact_two_sided(1, 9, 11, 3) == pytest.approx(
+            0.002759, abs=1e-6
+        )
+        assert _fisher_exact_two_sided(5, 0, 0, 5) == pytest.approx(
+            2.0 / 252.0, abs=1e-9
+        )
+        assert _fisher_exact_two_sided(10, 10, 10, 10) == pytest.approx(
+            1.0
+        )
+        # symmetric under row swap
+        assert _fisher_exact_two_sided(2, 7, 8, 2) == pytest.approx(
+            _fisher_exact_two_sided(8, 2, 2, 7)
+        )
