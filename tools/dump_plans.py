@@ -98,6 +98,17 @@ HEADLINE = [
     "sample_ratio_mismatch",  # bounded level fold above one groupBy count
     "pettitt_changepoint",    # windows on the daily frame, TakeOrdered(1)
     "dispersion_index",       # two map-side-partial aggregations
+    # round 9, second session
+    "welch_ttest",            # one conditional-agg scan, no join
+    "brown_forsythe",         # broadcast median join-back, bounded fold
+    "kruskal_wallis",         # bucketed rank cumulative, no global window
+    "grouped_ztest_bh",       # BH windows on the bounded group digest
+    "cmh_test",               # one conditional-agg scan, stratum fold
+    "nelson_aalen",           # persisted duration histogram, 1 scan
+    "durbin_watson",          # persisted daily frame, ordered folds
+    "q9_product_profit",      # broadcast dim chains, integer profit
+    "sequence_monotonicity",  # key-partitioned window only
+    "chao1_richness",         # two partial-agg shuffles
 ]
 
 
