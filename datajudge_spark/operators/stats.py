@@ -3216,22 +3216,26 @@ def kruskal_wallis(
     every value tied — zero C) yield NULL h/h_adj.  Extension — no
     reference counterpart.
 
-    Plan: one value-histogram shuffle + one (group, value) shuffle that
-    join on the distinct-value key, one k-row grouped aggregate, then
-    the ordered k-row fold.  The fact table is scanned twice (two
-    different aggregation keys), never windowed.
+    Plan: ONE fact-table scan builds the (group, value) histogram
+    (persisted — bounded by |distinct values|·k); the value histogram
+    is a re-aggregation of THAT, not a second fact scan.  Then the
+    bucketed cumulative join on the distinct-value key, one k-row
+    grouped aggregate, and the ordered k-row fold.  The fact table is
+    never windowed.
     """
+    from ..pipeline._util import materialize_once
+
     d38 = "decimal(38,0)"
     both = df.where(
         F.col(column).isNotNull() & F.col(group_column).isNotNull()
     )
-    vals = both.groupBy(F.col(column).alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    gv = materialize_once(
+        both.groupBy(
+            F.col(group_column).alias("__g"), F.col(column).alias("v")
+        ).agg(F.count(F.lit(1)).alias("ng"))
     )
+    vals = gv.groupBy("v").agg(F.sum("ng").alias("cnt"))
     cum = _bucketed_global_cum(vals, ["cnt"])
-    gv = both.groupBy(
-        F.col(group_column).alias("__g"), F.col(column).alias("v")
-    ).agg(F.count(F.lit(1)).alias("ng"))
     dec = lambda c: c.cast(d38)  # noqa: E731
     per_g = (
         gv.join(cum, "v")
