@@ -6001,6 +6001,29 @@ def q_sequence_monotonicity(spark, sf_dir):
     )
 
 
+def q_forecast_backtest(spark, sf_dir):
+    # seasonal-naive forecast backtest on 1995 daily order revenue:
+    # hold out the last 14 days, predict each from 7 days earlier,
+    # summarize MAE / MAPE / MASE (MAE scaled by the in-sample
+    # seasonal-naive MAE — scale-free predictability).  MASE > 1 =
+    # even the weekly-repeat baseline stopped working.  Bounded
+    # calendar frame only; DECIMAL-exact absolute errors; the APE fold
+    # is day-ORDERED.
+    from datajudge_spark.operators.timeseries import forecast_backtest
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.where(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            ).cast("bigint").alias("cents")
+        )
+    )
+    return forecast_backtest(daily, "day", "cents", horizon=14, period=7)
+
+
 def q9_product_profit(spark, sf_dir):
     # TPC-H Q9 shape: product-line profit by nation and order year.
     # No partsupp in the synthetic schema, so unit cost = 60% of the
@@ -6390,6 +6413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chao1_richness": q_chao1_richness,
         "rmst": q_rmst,
         "sequence_monotonicity": q_sequence_monotonicity,
+        "forecast_backtest": q_forecast_backtest,
         "q9_product_profit": q9_product_profit,
     }
     missing = [k for k in _R9_WINDOW if k not in base]
@@ -11466,6 +11490,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_violations AS DOUBLE) / CAST(n_pairs AS DOUBLE) "
             "ELSE 0.0 END, 6) AS violation_fraction, "
             "(SELECT top_keys FROM off) AS top_keys FROM d"
+        ),
+        "forecast_backtest": (
+            # same split/lookup joins on the bounded daily frame; the
+            # APE fold ordered by day
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, "
+            "sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS y "
+            "FROM orders WHERE date_part('year', o_orderdate) = 1995 "
+            "GROUP BY 1), "
+            "cutoff AS (SELECT max(d) - 14 AS cut FROM daily), "
+            "train AS (SELECT * FROM daily WHERE d <= "
+            "(SELECT cut FROM cutoff)), "
+            "test AS (SELECT * FROM daily WHERE d > "
+            "(SELECT cut FROM cutoff)), "
+            "lkp AS (SELECT d + 7 AS d, y AS pred FROM daily), "
+            "scored AS (SELECT test.d, abs(test.y - lkp.pred) AS err, "
+            "test.y AS actual FROM test JOIN lkp ON test.d = lkp.d), "
+            "folded AS (SELECT d, count(*) OVER w AS n_test, "
+            "sum(err) OVER w AS serr, "
+            "sum(CASE WHEN actual <> 0 THEN "
+            "abs(CAST(err AS DOUBLE)) / abs(CAST(actual AS DOUBLE)) "
+            "END) OVER w AS sape, "
+            "count(CASE WHEN actual <> 0 THEN 1 END) OVER w AS n_ape "
+            "FROM scored WINDOW w AS (ORDER BY d ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "ta AS (SELECT * FROM folded ORDER BY d DESC LIMIT 1), "
+            "ins AS (SELECT count(*) AS n_in, "
+            "sum(abs(t.y - p.prev)) AS sin FROM train t JOIN "
+            "(SELECT d + 7 AS d, y AS prev FROM train) p ON t.d = p.d), "
+            "nt AS (SELECT count(*) AS n_train FROM train), "
+            "d2 AS (SELECT n_train, n_test, "
+            "CASE WHEN n_test > 0 THEN CAST(serr AS DOUBLE) "
+            "/ CAST(n_test AS DOUBLE) END AS mae, "
+            "CASE WHEN n_ape > 0 THEN sape / CAST(n_ape AS DOUBLE) "
+            "* 100.0 END AS mape, "
+            "CASE WHEN n_in > 0 THEN CAST(sin AS DOUBLE) "
+            "/ CAST(n_in AS DOUBLE) END AS naive_mae "
+            "FROM ta, ins, nt) "
+            "SELECT CAST(n_train AS BIGINT) AS n_train, "
+            "CAST(n_test AS BIGINT) AS n_test, round(mae, 6) AS mae, "
+            "round(mape, 6) AS mape_pct, "
+            "round(naive_mae, 6) AS naive_mae, "
+            "round(CASE WHEN naive_mae > 0 THEN mae / naive_mae END, 6) "
+            "AS mase FROM d2"
         ),
         "q9_product_profit": (
             # all-integer scaled profit: rev_e4 = cents*(100-disc_pct),

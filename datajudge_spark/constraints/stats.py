@@ -3898,3 +3898,81 @@ class FisherExactMin(Constraint):
             f"({s_a}/{n_a} vs {s_b}/{n_b}). {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class ForecastBacktestMax(Constraint):
+    """Predictability gate: the seasonal-naive backtest MASE of the
+    daily ``sum(value)`` series may not exceed ``max_mase`` — the last
+    ``horizon`` days each predicted by the value ``period`` days
+    earlier, MAE scaled by the in-sample seasonal-naive MAE (Hyndman &
+    Koehler 2006).  MASE > 1 = even the trivial weekly-repeat model
+    stopped working: regime change, broken ingestion, calendar anomaly.
+    Extension, no reference counterpart.
+
+    Engine: ``operators.timeseries.forecast_backtest`` — bounded
+    calendar-frame equi-joins; DECIMAL-exact absolute errors.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        max_mase: float = 1.0,
+        horizon: int = 14,
+        period: int = 7,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_mase <= 0:
+            raise ValueError("max_mase must be positive")
+        self._max_mase = max_mase
+        self._horizon = horizon
+        self._period = period
+        super().__init__(
+            ref, ref_value=max_mase, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.timeseries import daily_totals, forecast_backtest
+
+        cols = self._ref.get_columns(engine)
+        if not cols or len(cols) != 2:
+            raise ValueError(
+                "ForecastBacktestMax requires exactly two columns: "
+                "(date_column, value_column)."
+            )
+        date_col, value_col = cols
+        df = self._ref.get_selection(engine).where(
+            F.col(date_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast(
+            "bigint"
+        )
+        daily = daily_totals(df, date_col, F.sum(cents), "__cents")
+        rows = forecast_backtest(
+            daily,
+            "day",
+            "__cents",
+            horizon=self._horizon,
+            period=self._period,
+        ).collect()
+        row = rows[0] if rows else None
+        if row is None or row["mase"] is None:
+            return TestResult(
+                True,
+                "Backtest MASE is undefined (not enough aligned days "
+                "in the holdout or a flat in-sample series); the "
+                "predictability gate is vacuous.",
+            )
+        if row["mase"] <= self._max_mase:
+            return TestResult.success()
+        assertion_text = (
+            f"Seasonal-naive backtest of the daily {value_col} series "
+            f"of {self._ref}: MASE = {row['mase']} over the last "
+            f"{self._horizon} days (MAE {row['mae']} cents vs "
+            f"in-sample naive {row['naive_mae']}; "
+            f"MAPE {row['mape_pct']}%) — exceeds the maximum "
+            f"{self._max_mase}. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

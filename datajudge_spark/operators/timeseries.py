@@ -1698,3 +1698,123 @@ def rmst(
         F.col("__k").cast("bigint").alias("n_durations"),
         F.round(F.col("__area") + tail, 6).alias("rmst"),
     )
+
+
+def forecast_backtest(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    horizon: int = 14,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest over a calendar-grain integer
+    series: one digest row ``(n_train, n_test, mae, mape_pct,
+    naive_mae, mase)`` — the last ``horizon`` days are held out, each
+    held-out day is predicted by the value ``period`` days earlier
+    (seasonal-naive, the standard no-model baseline), and the errors
+    are summarized as MAE, MAPE and MASE (MAE scaled by the in-sample
+    one-step seasonal-naive MAE, Hyndman & Koehler 2006 — scale-free,
+    defined even when a day is zero).
+
+    The "is tomorrow's volume predictable from history?" gate: a MASE
+    creeping above 1 means even the trivial weekly-repeat model has
+    stopped working — regime change, broken ingestion, or a calendar
+    anomaly — long before any absolute threshold fires.
+
+    Exactness: the self-join on ``day − period`` is an equi-join on the
+    bounded daily frame (persisted once); absolute errors of integers
+    are exact integers and accumulate as DECIMAL(38,0); the three
+    ratios happen once in double.  Degenerate inputs (no test rows, a
+    zero denominator) yield NULL for the affected ratio.  Extension —
+    no reference counterpart.
+
+    Plan: the caller's one fact-table aggregate, then broadcast-scale
+    equi-joins and 1-row folds on the bounded calendar frame only.
+    """
+    if horizon < 1 or period < 1:
+        raise ValueError("horizon and period must be positive")
+    from ..pipeline._util import materialize_once
+
+    d38 = "decimal(38,0)"
+    base = materialize_once(
+        daily.where(
+            F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+        ).select(
+            F.col(day_col).cast("date").alias("__d"),
+            F.col(value_col).cast(d38).alias("__y"),
+        )
+    )
+    split = base.agg(
+        F.date_sub(F.max("__d"), horizon).alias("__cut"),
+    )
+    with_cut = base.join(F.broadcast(split))
+    train = with_cut.where(F.col("__d") <= F.col("__cut"))
+    test = with_cut.where(F.col("__d") > F.col("__cut"))
+    lookup = base.select(
+        F.date_add(F.col("__d"), period).alias("__d"),
+        F.col("__y").alias("__pred"),
+    )
+    scored = test.join(lookup, "__d").select(
+        "__d",
+        F.abs(F.col("__y") - F.col("__pred")).cast(d38).alias("__err"),
+        F.col("__y").alias("__actual"),
+    )
+    # the APE sum is doubles — fold it in day order (bounded test
+    # frame) so both engines add identically regardless of partitioning
+    w_cum = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ape = F.when(
+        F.col("__actual") != 0,
+        F.abs(F.col("__err").cast("double"))
+        / F.abs(F.col("__actual").cast("double")),
+    )
+    folded = scored.select(
+        "__d",
+        F.count(F.lit(1)).over(w_cum).alias("n_test"),
+        F.sum("__err").over(w_cum).alias("__serr"),
+        F.sum(ape).over(w_cum).alias("__sape"),
+        F.count(F.when(F.col("__actual") != 0, 1)).over(w_cum).alias(
+            "__n_ape"
+        ),
+    )
+    test_agg = folded.orderBy(F.desc("__d")).limit(1).drop("__d")
+    insample = (
+        train.join(
+            train.select(
+                F.date_add(F.col("__d"), period).alias("__d"),
+                F.col("__y").alias("__prev"),
+            ),
+            "__d",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n_in"),
+            F.sum(
+                F.abs(F.col("__y") - F.col("__prev")).cast(d38)
+            ).alias("__sin"),
+        )
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    out = test_agg.join(F.broadcast(insample)).join(F.broadcast(n_train))
+    mae = F.when(
+        F.col("n_test") > 0,
+        F.col("__serr").cast("double") / F.col("n_test").cast("double"),
+    )
+    mape = F.when(
+        F.col("__n_ape") > 0,
+        F.col("__sape") / F.col("__n_ape").cast("double") * 100.0,
+    )
+    naive_mae = F.when(
+        F.col("__n_in") > 0,
+        F.col("__sin").cast("double") / F.col("__n_in").cast("double"),
+    )
+    return out.select(
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.round(mae, 6).alias("mae"),
+        F.round(mape, 6).alias("mape_pct"),
+        F.round(naive_mae, 6).alias("naive_mae"),
+        F.round(
+            F.when(naive_mae > 0, mae / naive_mae), 6
+        ).alias("mase"),
+    )

@@ -2014,6 +2014,39 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_forecast_backtest_constraint(
+        self,
+        date_column: str,
+        value_column: str,
+        max_mase: float = 1.0,
+        horizon: int = 14,
+        period: int = 7,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the seasonal-naive
+        backtest MASE of the daily ``sum(value_column)`` series (last
+        ``horizon`` days held out, each predicted by the value
+        ``period`` days earlier, MAE scaled by the in-sample
+        seasonal-naive MAE) may not exceed ``max_mase`` — "tomorrow's
+        volume must stay predictable from history"; MASE creeping above
+        1 flags regime change or broken ingestion before any absolute
+        threshold fires.  Bounded calendar-frame joins only."""
+        ref = DataReference(
+            self._data_source, [date_column, value_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.ForecastBacktestMax(
+                ref,
+                max_mase=max_mase,
+                horizon=horizon,
+                period=period,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_cuped_diff_constraint(
         self,
         pre_column: str,

@@ -2276,3 +2276,53 @@ class TestFisherExact:
                 Condition(raw_string="ok = 1"),
                 min_p_value=1.5,
             )
+
+
+class TestForecastBacktest:
+    def test_weekly_pattern_passes_regime_change_fails(self, spark):
+        import datetime as dt
+
+        rng = __import__("random").Random(58)
+        d0 = dt.date(2024, 1, 1)
+        weekly = [
+            (
+                d0 + dt.timedelta(days=i),
+                float(100 + 30 * (i % 7) + rng.randint(-3, 3)),
+            )
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(weekly, "day date, v double")
+        req = within_req(df, "fb1")
+        req.add_forecast_backtest_constraint("day", "v", max_mase=1.5)
+        assert outcomes(req, spark) == [True]
+
+        # regime change inside the holdout: the weekly repeat collapses
+        broken = [
+            (d, (v * 5 if i >= 80 else v))
+            for i, (d, v) in enumerate(weekly)
+        ]
+        df2 = spark.createDataFrame(broken, "day date, v double")
+        req2 = within_req(df2, "fb2")
+        req2.add_forecast_backtest_constraint("day", "v", max_mase=3.0)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "MASE" in results[0].failure_message
+
+    def test_short_series_vacuous(self, spark):
+        import datetime as dt
+
+        rows = [(dt.date(2024, 1, 1 + i), 5.0) for i in range(5)]
+        df = spark.createDataFrame(rows, "day date, v double")
+        req = within_req(df, "fb3")
+        req.add_forecast_backtest_constraint("day", "v")
+        assert outcomes(req, spark) == [True]
+
+    def test_validation(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.date(2024, 1, 1), 5.0)], "day date, v double"
+        )
+        req = within_req(df, "fb4")
+        with pytest.raises(ValueError):
+            req.add_forecast_backtest_constraint("day", "v", max_mase=0.0)

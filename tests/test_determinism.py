@@ -650,3 +650,20 @@ def test_sequence_monotonicity_partition_stable(spark, n_parts):
         df.repartition(n_parts), "k", "t", "v"
     ).collect()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_forecast_backtest_partition_stable(spark, n_parts):
+    import datetime as dt
+
+    from datajudge_spark.operators.timeseries import forecast_backtest
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (d0 + dt.timedelta(days=i), 100 + 30 * (i % 7) + (i * 13) % 11)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "day date, v long")
+    ref = forecast_backtest(df, "day", "v", 14, 7).collect()
+    got = forecast_backtest(df.repartition(n_parts), "day", "v", 14, 7).collect()
+    assert got == ref
