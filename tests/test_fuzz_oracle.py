@@ -1833,3 +1833,139 @@ def test_fuzz_chao1(spark, case):
         assert r["unseen_mass"] == pytest.approx(f1 / n, abs=1e-6)
     else:
         assert r["unseen_mass"] is None
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_rmst(spark, case):
+    from datajudge_spark.operators.timeseries import rmst
+
+    rng = random.Random(_MK_SEED + 2400 + case)
+    shape = ["mixed", "tau_inside", "tau_beyond", "all_censored"][case]
+    rows = [
+        (rng.randint(0, 15), 0 if shape == "all_censored" else rng.randint(0, 1))
+        for _ in range(rng.randint(10, 200))
+    ]
+    tau = {"mixed": 8.0, "tau_inside": 3.5, "tau_beyond": 40.0,
+           "all_censored": 10.0}[shape]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    r = rmst(df, "dur", "ev", tau).collect()[0]
+    durs = sorted(set(d for d, _ in rows))
+    S, area, prev_d, prev_s = 1.0, 0.0, 0.0, 1.0
+    for t in durs:
+        nr = sum(1 for d, _ in rows if d >= t)
+        de = sum(1 for d, e in rows if d == t and e == 1)
+        area += prev_s * (min(t, tau) - min(prev_d, tau))
+        S = S * (1 - de / nr) if de < nr else 0.0
+        prev_d, prev_s = t, S
+    area += prev_s * (tau - min(prev_d, tau))
+    assert r["n_durations"] == len(durs)
+    assert r["rmst"] == pytest.approx(area, abs=2e-5), f"case {case}"
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_sequence_monotonicity(spark, case):
+    from datajudge_spark.operators.rows import sequence_monotonicity
+
+    rng = random.Random(_MK_SEED + 2500 + case)
+    shape = ["mixed", "sorted", "ties", "single_key"][case]
+    rows = []
+    n_keys = 1 if shape == "single_key" else rng.randint(2, 8)
+    for k in range(n_keys):
+        v = 0
+        for t in range(rng.randint(2, 60)):
+            if shape == "sorted":
+                v += rng.randint(0, 4)
+            elif shape == "ties":
+                v = rng.randint(0, 3)
+                t = t // 3  # repeated order values
+            else:
+                v += rng.randint(-3, 5)
+            rows.append((k, t, v))
+    df = spark.createDataFrame(rows, "k int, t int, v long")
+    strict = case % 2 == 1
+    r = sequence_monotonicity(df, "k", "t", "v", strict=strict).collect()[0]
+    import collections
+
+    byk = collections.defaultdict(list)
+    for k, t, v in rows:
+        byk[k].append((t, v))
+    nv = np_ = 0
+    per = collections.Counter()
+    for k, seq in byk.items():
+        seq.sort()
+        for i in range(1, len(seq)):
+            np_ += 1
+            bad = (
+                seq[i][1] <= seq[i - 1][1]
+                if strict
+                else seq[i][1] < seq[i - 1][1]
+            )
+            if bad:
+                nv += 1
+                per[k] += 1
+    top = ", ".join(
+        f"{k}={c}"
+        for k, c in sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    )
+    assert (r["n_keys"], r["n_pairs"], r["n_violations"]) == (
+        len(byk), np_, nv,
+    ), f"case {case} ({shape})"
+    assert r["top_keys"] == top
+
+
+@pytest.mark.parametrize("case", range(3))
+def test_fuzz_forecast_backtest(spark, case):
+    import datetime as dt
+
+    from datajudge_spark.operators.timeseries import forecast_backtest
+
+    rng = random.Random(_MK_SEED + 2600 + case)
+    shape = ["weekly", "gappy", "short"][case]
+    d0 = dt.date(2024, 1, 1)
+    n = 10 if shape == "short" else rng.randint(40, 120)
+    rows = []
+    for i in range(n):
+        if shape == "gappy" and rng.random() < 0.25:
+            continue  # missing days: lookup misses shrink the test set
+        rows.append(
+            (d0 + dt.timedelta(days=i),
+             100 + 30 * (i % 7) + rng.randint(-5, 5))
+        )
+    df = spark.createDataFrame(rows, "day date, v long")
+    horizon, period = 14, 7
+    out = forecast_backtest(df, "day", "v", horizon, period).collect()
+    byd = dict(rows)
+    days = sorted(byd)
+    cut = days[-1] - dt.timedelta(days=horizon)
+    test = [d for d in days if d > cut]
+    train = [d for d in days if d <= cut]
+    errs, apes = [], []
+    for d in test:
+        p = byd.get(d - dt.timedelta(days=period))
+        if p is None:
+            continue
+        e = abs(byd[d] - p)
+        errs.append(e)
+        if byd[d] != 0:
+            apes.append(e / abs(byd[d]))
+    if not errs:
+        assert out == [] or out[0]["n_test"] == 0
+        return
+    r = out[0]
+    ins = [
+        abs(byd[d] - byd[d - dt.timedelta(days=period)])
+        for d in train
+        if (d - dt.timedelta(days=period)) in byd
+    ]
+    assert (r["n_train"], r["n_test"]) == (len(train), len(errs))
+    assert r["mae"] == pytest.approx(sum(errs) / len(errs), abs=2e-6)
+    if apes:
+        assert r["mape_pct"] == pytest.approx(
+            sum(apes) / len(apes) * 100, abs=2e-4
+        )
+    if ins and sum(ins) > 0:
+        nm = sum(ins) / len(ins)
+        assert r["naive_mae"] == pytest.approx(nm, abs=2e-6)
+        assert r["mase"] == pytest.approx(
+            (sum(errs) / len(errs)) / nm, abs=2e-5
+        )
