@@ -74,7 +74,45 @@ for r in bet.test(spark):
     print(f"[drift] {'PASS' if r.outcome else 'FAIL'}",
           (r.failure_message or "")[:110])
 
-# ---- 3. which SEGMENT drifted? (per-group PSI, one scan) -------------
+# ---- 3. the round-9 readout stack: mean / small-n / stratified / FDR -
+req2 = WithinRequirement.from_parquet(f"{SF}/events.parquet")
+# mean engagement per variant with unequal variances (Welch; the
+# failure carries Welch-Satterthwaite df and a scipy-free p-value).
+# NOTE: this gate wants a ONE-ROW-PER-UNIT metric; on the raw event
+# grain it reads as "per-event value", which is fine for a demo.
+req2.add_welch_ttest_constraint(
+    "event_id", "event_type", max_abs_t=1e9,
+    condition=Condition(raw_string="event_type IN ('click', 'purchase')"),
+)
+# rare-slice movement where pooled-z is unreliable: exact Fisher tail
+req2.add_fisher_exact_constraint(
+    Condition(raw_string="user_id % 1000 = 0"),
+    Condition(raw_string="user_id % 1000 = 1"),
+    Condition(raw_string="event_type = 'purchase'"),
+    min_p_value=0.01,
+)
+# did purchase rate move AFTER controlling for day-of-week? (CMH)
+req2.add_cmh_constraint(
+    "event_type",
+    Condition(raw_string="user_id % 2 = 0"),
+    Condition(raw_string="value > 100"),
+    max_chi2=1e9,
+)
+# segment sweep with FDR control: at most 0 hour-of-day segments may
+# stay significant after Benjamini-Hochberg at q=0.001
+req2.add_bh_fdr_constraint(
+    "event_type",
+    Condition(raw_string="user_id % 2 = 0"),
+    Condition(raw_string="user_id % 2 = 1"),
+    Condition(raw_string="value > 100"),
+    q_threshold=0.001,
+    max_significant=0,
+)
+for r in req2.test(spark):
+    print(f"[readout] {'PASS' if r.outcome else 'FAIL'}",
+          (r.failure_message or "")[:110])
+
+# ---- 4. which SEGMENT drifted? (per-group PSI, one scan) -------------
 psi = grouped_psi(
     events, "event_type", "value", day <= 15, day >= 16,
     lo=0.0, hi=500.0, n_buckets=10,
