@@ -6024,6 +6024,31 @@ def q_forecast_backtest(spark, sf_dir):
     return forecast_backtest(daily, "day", "cents", horizon=14, period=7)
 
 
+def q_grouped_welch_bh(spark, sf_dir):
+    # segment sweep on MEANS with FDR control: per-event-type Welch
+    # comparisons of event value (cents) between user-parity variants,
+    # Benjamini-Hochberg q-values across segments — the mean-metric
+    # sibling of grouped_ztest_bh, calibrated when a treatment changes
+    # a segment's spread.  One conditional-agg shuffle of DECIMAL-exact
+    # (n, Σx, Σx²) per (segment, side); BH windows on the bounded
+    # digest only.
+    from datajudge_spark.operators.stats import grouped_welch_bh
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    out = grouped_welch_bh(
+        ev.select(
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ),
+        "event_type",
+        "cents",
+        F.col("user_id") % 2 == 0,
+        F.col("user_id") % 2 == 1,
+    )
+    return out.orderBy("group")
+
+
 def q9_product_profit(spark, sf_dir):
     # TPC-H Q9 shape: product-line profit by nation and order year.
     # No partsupp in the synthetic schema, so unit cost = 60% of the
@@ -6414,6 +6439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmst": q_rmst,
         "sequence_monotonicity": q_sequence_monotonicity,
         "forecast_backtest": q_forecast_backtest,
+        "grouped_welch_bh": q_grouped_welch_bh,
         "q9_product_profit": q9_product_profit,
     }
     missing = [k for k in _R9_WINDOW if k not in base]
@@ -11533,6 +11559,58 @@ def oracle_sql() -> dict[str, str]:
             "round(naive_mae, 6) AS naive_mae, "
             "round(CASE WHEN naive_mae > 0 THEN mae / naive_mae END, 6) "
             "AS mase FROM d2"
+        ),
+        "grouped_welch_bh": (
+            # identical double-op order: var = num/(n(n-1)) then /n;
+            # same erfc polynomial and BH suffix-min as the z sweep
+            "WITH base AS (SELECT event_type AS g, "
+            "CAST(round(value * 100) AS BIGINT) AS x, "
+            "user_id % 2 = 0 AS pa FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL), "
+            "per AS (SELECT g, "
+            "count(*) FILTER (pa) AS n_a, "
+            "sum(CASE WHEN pa THEN CAST(x AS HUGEINT) ELSE 0 END) AS s_a, "
+            "sum(CASE WHEN pa THEN CAST(x AS HUGEINT) "
+            "* CAST(x AS HUGEINT) ELSE 0 END) AS q_a, "
+            "count(*) FILTER (NOT pa) AS n_b, "
+            "sum(CASE WHEN NOT pa THEN CAST(x AS HUGEINT) ELSE 0 END) "
+            "AS s_b, "
+            "sum(CASE WHEN NOT pa THEN CAST(x AS HUGEINT) "
+            "* CAST(x AS HUGEINT) ELSE 0 END) AS q_b "
+            "FROM base GROUP BY g), "
+            "d AS (SELECT g, n_a, n_b, "
+            "CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd, "
+            "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a, "
+            "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b, "
+            "CAST(CAST(n_a AS HUGEINT) * q_a - s_a * s_a AS DOUBLE) "
+            "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) "
+            "/ CAST(n_a AS DOUBLE) AS ta, "
+            "CAST(CAST(n_b AS HUGEINT) * q_b - s_b * s_b AS DOUBLE) "
+            "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) "
+            "/ CAST(n_b AS DOUBLE) AS tb "
+            "FROM per WHERE n_a >= 2 AND n_b >= 2), "
+            "t2 AS (SELECT g, n_a, n_b, mean_a - mean_b AS diff, "
+            "(mean_a - mean_b) / sqrt(ta + tb) AS t, "
+            "(ta + tb) * (ta + tb) / (ta * ta / (nad - 1.0) "
+            "+ tb * tb / (nbd - 1.0)) AS df "
+            "FROM d WHERE ta + tb > 0), "
+            "t3 AS (SELECT *, abs(t) / sqrt(2.0) AS u, "
+            "1.0 / (1.0 + 0.3275911 * (abs(t) / sqrt(2.0))) AS tt "
+            "FROM t2), "
+            "t4 AS (SELECT g, n_a, n_b, diff, t, df, "
+            "tt * (0.254829592 + tt * (-0.284496736 + tt "
+            "* (1.421413741 + tt * (-1.453152027 + tt "
+            "* 1.061405429)))) * exp(-u * u) AS p FROM t3), "
+            "r AS (SELECT *, count(*) OVER () AS m, "
+            "row_number() OVER (ORDER BY p, g) AS rk FROM t4), "
+            "q AS (SELECT *, least(min(p * CAST(m AS DOUBLE) "
+            "/ CAST(rk AS DOUBLE)) OVER (ORDER BY rk DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) "
+            "AS qv FROM r) "
+            "SELECT g AS \"group\", n_a, n_b, round(diff, 6) AS diff, "
+            "round(t, 6) AS t, round(df, 6) AS df, "
+            "round(p, 6) AS p_value, round(qv, 6) AS q_value "
+            "FROM q ORDER BY g"
         ),
         "q9_product_profit": (
             # all-integer scaled profit: rev_e4 = cents*(100-disc_pct),

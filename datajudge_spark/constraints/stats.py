@@ -3976,3 +3976,76 @@ class ForecastBacktestMax(Constraint):
             f"{self._max_mase}. {self._condition_string} "
         )
         return TestResult.failure(assertion_text, self.get_description())
+
+
+class MeanBHSignificantMax(Constraint):
+    """Multiple-testing segment gate on MEANS: after Benjamini-Hochberg
+    FDR adjustment across per-group Welch comparisons of an integer
+    metric, at most ``max_significant`` groups may stay significant at
+    ``q_threshold`` — the mean-metric sibling of BHSignificantMax,
+    calibrated when a treatment changes a segment's spread.  Extension,
+    no reference counterpart.
+
+    Engine side is operators.stats.grouped_welch_bh (one conditional-
+    aggregation shuffle of DECIMAL-exact sufficient statistics,
+    BH windows over the bounded digest).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        group_column: str,
+        metric_column: str,
+        population_a,
+        population_b,
+        q_threshold: float = 0.05,
+        max_significant: int = 0,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not (0 < q_threshold <= 1):
+            raise ValueError("q_threshold must be within (0, 1].")
+        if max_significant < 0:
+            raise ValueError("max_significant must be non-negative")
+        self._group = group_column
+        self._metric = metric_column
+        self._population_a = population_a
+        self._population_b = population_b
+        self._q = q_threshold
+        self._max_sig = max_significant
+        super().__init__(
+            ref, ref_value=max_significant, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import grouped_welch_bh
+
+        out = grouped_welch_bh(
+            self._ref.get_selection(engine),
+            self._group,
+            self._metric,
+            self._population_a.to_column(),
+            self._population_b.to_column(),
+        )
+        sig = (
+            out.where(F.col("q_value") <= self._q)
+            .orderBy("q_value", "group")
+            .limit(max(self._max_sig + 5, 10))
+            .collect()
+        )
+        if len(sig) <= self._max_sig:
+            return TestResult.success()
+        worst = ", ".join(
+            f"{r['group']!r} (diff={r['diff']}, t={r['t']}, "
+            f"q={r['q_value']})"
+            for r in sig[:5]
+        )
+        assertion_text = (
+            f"{len(sig)} {self._group} segment(s) of {self._ref} have "
+            f"a significant {self._metric} mean shift at BH FDR q <= "
+            f"{self._q} (allowed: {self._max_sig}); worst: {worst}. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())

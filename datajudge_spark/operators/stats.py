@@ -3285,3 +3285,116 @@ def kruskal_wallis(
         F.round(F.when(ok, h), 6).alias("h"),
         F.round(F.when(ok & (c > 0), h / c), 6).alias("h_adj"),
     )
+
+
+def grouped_welch_bh(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    population_a: Column,
+    population_b: Column,
+) -> DataFrame:
+    """Per-group Welch mean comparisons with Benjamini-Hochberg FDR
+    adjustment across the groups: one row per testable group ``(group,
+    n_a, n_b, diff, t, df, p_value, q_value)`` — the MEAN-metric
+    sibling of :func:`grouped_ztest_bh` ("which of my segments' average
+    engagement REALLY moved?"), calibrated when a treatment changes a
+    segment's spread.
+
+    p is the two-sided NORMAL approximation of the t tail via the same
+    A&S 7.1.26 erfc polynomial — documented large-per-segment-n
+    approximation (at df ≥ 100 it differs from exact t by < 1e-3, far
+    inside any sane q threshold; the Welch-Satterthwaite df is emitted
+    so a driver-side consumer can re-evaluate the exact tail).  BH is
+    the same suffix-min step-up, q continuous in p.
+
+    Groups with a side below 2 units or zero combined variance are
+    excluded from m and the output.  Exactness: per-(group, side)
+    sufficient statistics (n, Σx, Σx²) accumulate as DECIMAL(38,0) in
+    ONE conditional-aggregation shuffle; every window after that runs
+    over the BOUNDED per-group digest.  Extension — no reference
+    counterpart.
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(metric_col).cast(d38)
+    zero = F.lit(0).cast(d38)
+    per_g = (
+        df.where(
+            (population_a | population_b)
+            & F.col(group_col).isNotNull()
+            & F.col(metric_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.when(population_a, 1)).alias("n_a"),
+            F.sum(F.when(population_a, x).otherwise(zero)).alias("s_a"),
+            F.sum(
+                F.when(population_a, (x * x).cast(d38)).otherwise(zero)
+            ).alias("q_a"),
+            F.count(F.when(population_b, 1)).alias("n_b"),
+            F.sum(F.when(population_b, x).otherwise(zero)).alias("s_b"),
+            F.sum(
+                F.when(population_b, (x * x).cast(d38)).otherwise(zero)
+            ).alias("q_b"),
+        )
+    )
+
+    def _side(tag: str):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        mean = F.col(f"s_{tag}").cast("double") / nd
+        var = (
+            n.cast(d38) * F.col(f"q_{tag}")
+            - F.col(f"s_{tag}") * F.col(f"s_{tag}")
+        ).cast("double") / (nd * (nd - 1.0))
+        return mean, var / nd, nd
+
+    mean_a, ta, na = _side("a")
+    mean_b, tb, nb = _side("b")
+    se2 = ta + tb
+    t_stat = F.when(se2 > 0, (mean_a - mean_b) / F.sqrt(se2))
+    df_ws = F.when(
+        se2 > 0,
+        (se2 * se2) / (ta * ta / (na - 1.0) + tb * tb / (nb - 1.0)),
+    )
+    testable = per_g.where(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    ).select(
+        "group",
+        "n_a",
+        "n_b",
+        (mean_a - mean_b).alias("__diff"),
+        t_stat.alias("__t"),
+        df_ws.alias("__df"),
+    ).where(F.col("__t").isNotNull())
+    ranked = testable.select(
+        "*", _normal_two_sided_p(F.col("__t")).alias("__p")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy("__p", "group")
+    ranked = ranked.select(
+        "*",
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+        F.row_number().over(w_rank).alias("__r"),
+    )
+    w_suffix = Window.orderBy(F.desc("__r")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r_val = (
+        F.col("__p") * F.col("__m").cast("double")
+        / F.col("__r").cast("double")
+    )
+    return ranked.select(
+        "group",
+        "n_a",
+        "n_b",
+        F.round(F.col("__diff"), 6).alias("diff"),
+        F.round(F.col("__t"), 6).alias("t"),
+        F.round(F.col("__df"), 6).alias("df"),
+        F.round(F.col("__p"), 6).alias("p_value"),
+        F.round(
+            F.least(F.min(r_val).over(w_suffix), F.lit(1.0)), 6
+        ).alias("q_value"),
+    )

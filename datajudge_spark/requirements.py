@@ -2047,6 +2047,41 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_mean_bh_fdr_constraint(
+        self,
+        group_column: str,
+        metric_column: str,
+        population_a: Condition,
+        population_b: Condition,
+        q_threshold: float = 0.05,
+        max_significant: int = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): after
+        Benjamini-Hochberg FDR adjustment across per-``group_column``
+        Welch comparisons of the integer ``metric_column`` mean between
+        ``population_a`` and ``population_b``, at most
+        ``max_significant`` groups may stay significant at
+        ``q_threshold`` — the mean-metric segment sweep (the proportion
+        sibling is add_bh_fdr_constraint), calibrated when a treatment
+        changes a segment's spread."""
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            stats_constraints.MeanBHSignificantMax(
+                ref,
+                group_column,
+                metric_column,
+                population_a,
+                population_b,
+                q_threshold=q_threshold,
+                max_significant=max_significant,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_cuped_diff_constraint(
         self,
         pre_column: str,

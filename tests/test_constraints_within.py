@@ -2326,3 +2326,46 @@ class TestForecastBacktest:
         req = within_req(df, "fb4")
         with pytest.raises(ValueError):
             req.add_forecast_backtest_constraint("day", "v", max_mase=0.0)
+
+
+class TestMeanBHFdr:
+    def test_shifted_segments_found(self, spark):
+        rng = __import__("random").Random(59)
+        rows = []
+        for i in range(8000):
+            g = "g" + str(rng.randint(0, 7))
+            a = rng.random() < 0.5
+            x = rng.randint(0, 100) + (30 if (a and g == "g3") else 0)
+            rows.append((g, 1 if a else 0, x))
+        df = spark.createDataFrame(rows, "g string, a int, x long")
+        req = within_req(df, "mbh1")
+        req.add_mean_bh_fdr_constraint(
+            "g",
+            "x",
+            Condition(raw_string="a = 1"),
+            Condition(raw_string="a = 0"),
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "'g3'" in results[0].failure_message
+
+        req2 = within_req(df, "mbh2")
+        req2.add_mean_bh_fdr_constraint(
+            "g",
+            "x",
+            Condition(raw_string="a = 1"),
+            Condition(raw_string="a = 0"),
+            max_significant=1,
+        )
+        assert outcomes(req2, spark) == [True]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("g", 1, 1)], "g string, a int, x int")
+        req = within_req(df, "mbh3")
+        with pytest.raises(ValueError):
+            req.add_mean_bh_fdr_constraint(
+                "g", "x",
+                Condition(raw_string="a = 1"),
+                Condition(raw_string="a = 0"),
+                q_threshold=0.0,
+            )

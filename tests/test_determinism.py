@@ -667,3 +667,19 @@ def test_forecast_backtest_partition_stable(spark, n_parts):
     ref = forecast_backtest(df, "day", "v", 14, 7).collect()
     got = forecast_backtest(df.repartition(n_parts), "day", "v", 14, 7).collect()
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_grouped_welch_bh_partition_stable(spark, n_parts):
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import grouped_welch_bh
+
+    rows = [
+        ("g" + str(i % 5), i % 2 == 0, (i * 17) % 101) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, a boolean, x long")
+    args = ("g", "x", F.col("a"), ~F.col("a"))
+    ref = sorted(grouped_welch_bh(df, *args).collect())
+    got = sorted(grouped_welch_bh(df.repartition(n_parts), *args).collect())
+    assert got == ref
