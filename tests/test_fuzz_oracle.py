@@ -1969,3 +1969,69 @@ def test_fuzz_forecast_backtest(spark, case):
         assert r["mase"] == pytest.approx(
             (sum(errs) / len(errs)) / nm, abs=2e-5
         )
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_grouped_welch_bh(spark, case):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import grouped_welch_bh
+
+    rng = random.Random(_MK_SEED + 2700 + case)
+    shape = ["mixed", "one_constant", "tiny_sides", "two_groups"][case]
+    k = 2 if shape == "two_groups" else rng.randint(3, 8)
+    rows = []
+    for i in range(rng.randint(100, 600)):
+        g = "g" + str(i % k)
+        a = rng.random() < 0.5
+        if shape == "one_constant" and g == "g0":
+            x = 7  # zero variance both sides -> excluded
+        elif shape == "tiny_sides" and g == "g1" and i > 2 * k:
+            continue  # g1 keeps almost no rows
+        else:
+            x = rng.randint(0, 80) + (15 if (a and g == "g2") else 0)
+        rows.append((g, a, x))
+    df = spark.createDataFrame(rows, "g string, a boolean, x long")
+    out = {
+        r["group"]: r
+        for r in grouped_welch_bh(
+            df, "g", "x", F.col("a"), ~F.col("a")
+        ).collect()
+    }
+    import collections
+
+    byg = collections.defaultdict(list)
+    for g, a, x in rows:
+        byg[g].append((a, x))
+    ps = {}
+    for g, sub in byg.items():
+        xa = [x for a, x in sub if a]
+        xb = [x for a, x in sub if not a]
+        if len(xa) < 2 or len(xb) < 2:
+            continue
+        ma, mb = sum(xa) / len(xa), sum(xb) / len(xb)
+        va = sum((x - ma) ** 2 for x in xa) / (len(xa) - 1)
+        vb = sum((x - mb) ** 2 for x in xb) / (len(xb) - 1)
+        ta, tb = va / len(xa), vb / len(xb)
+        if ta + tb <= 0:
+            continue
+        t = (ma - mb) / math.sqrt(ta + tb)
+        u = abs(t) / math.sqrt(2)
+        tt = 1 / (1 + 0.3275911 * u)
+        poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
+            1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+        ps[g] = (t, poly * math.exp(-u * u))
+    assert set(out) == set(ps), f"case {case} ({shape})"
+    m = len(ps)
+    order = sorted(ps.items(), key=lambda kv: (kv[1][1], kv[0]))
+    suffix = 1.0
+    qs = {}
+    for i in range(m - 1, -1, -1):
+        g, (t, p) = order[i]
+        suffix = min(suffix, p * m / (i + 1))
+        qs[g] = min(suffix, 1.0)
+    for g in ps:
+        assert out[g]["t"] == pytest.approx(ps[g][0], abs=2e-6)
+        assert out[g]["q_value"] == pytest.approx(qs[g], abs=2e-6)
