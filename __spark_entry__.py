@@ -6102,68 +6102,69 @@ def q9_product_profit(spark, sf_dir):
 
 
 
-_R9_WINDOW = [
-    # -- 8 round-8 post-window additions (never driver-checked) --
-    "cuped_ab",
-    "logrank",
-    "stratified_ab",
-    "grouped_psi",
-    "jarque_bera",
-    "two_proportion_ztest",
-    "kendall_tau",
-    "streaming_ab_ztest",
-    # -- the full r4 cohort (36 oldest driver rows) --
-    "incremental_daily_merge",
-    "srp_neardup_pairs",
-    "shipping_priority_topk",
-    "revenue_by_nation",
-    "running_distinct_users",
-    "fk_integrity",
-    "json_extract_agg",
-    "trend_slope",
-    "event_transitions",
-    "weighted_percentile",
-    "dedup_canonical",
-    "chunk_dedup",
-    "zorder_digest",
-    "graph_bfs",
-    "grouping_sets_agg",
-    "unpivot_metrics",
-    "embedding_centroids",
-    "association_rules",
-    "streaming_interval_join",
-    "pareto_share",
-    "funnel_ordered",
-    "embedding_covariance",
-    "source_dup_rate",
-    "doc_length_histogram",
-    "text_bigram_logprob",
-    "event_value_quartiles",
-    "percentile_drift",
-    "text_ttr",
-    "bigram_pmi",
-    "events_hourly_heatmap",
-    "session_paths",
-    "equidepth_histogram",
-    "null_counts_wide",
-    "distinct_customers_matrix",
-    "order_interarrival",
-    "q7_volume_shipping",
-    # -- round-9 additions --
-    "ratio_ab_ztest",
-    "sample_ratio_mismatch",
-    "pettitt_changepoint",
-    "dispersion_index",
-    "minhash_query_neardup",
-    "streaming_srm",
+_R10_WINDOW = [
+    # -- 17 round-9 post-window additions (never driver-checked) --
+    "did_ab",
+    "embedding_centroid_shift",
+    "join_explosion_audit",
+    "welch_ttest",
+    "brown_forsythe",
+    "cmh_test",
+    "grouped_ztest_bh",
+    "nelson_aalen",
+    "durbin_watson",
+    "kruskal_wallis",
+    "streaming_cmh",
+    "chao1_richness",
+    "rmst",
+    "sequence_monotonicity",
+    "forecast_backtest",
+    "grouped_welch_bh",
+    "q9_product_profit",
+    # -- 33 of the 49-query r5 cohort (oldest remaining driver rows;
+    #    the 16 leftovers queue for the r11 window ahead of the r6
+    #    cohort — list in ROUNDLOG round-10 bookkeeping) --
+    "ks_statistic_continuous",
+    "dedup_simhash_pairs",
+    "tfidf_top_terms",
+    "multimodal_meta",
+    "asof_join",
+    "sessionize",
+    "topk_revenue",
+    "pivot_agg",
+    "psi_drift",
+    "moving_avg_daily",
+    "salted_join_agg",
+    "grouped_topk",
+    "streaming_windowed_counts",
+    "heavy_hitters",
+    "approx_distinct_check",
+    "ewma_daily",
+    "anomaly_zscore",
+    "scd2_intervals",
+    "grouped_median",
+    "grouped_ks",
+    "theil_sen_slope",
+    "ann_topk_pq",
+    "dedup_containment",
+    "ann_topk_ivf_pq",
+    "ann_recall_ivf",
+    "grouped_quantile_grid",
+    "grouped_theil_sen",
+    "multimodal_audio_windows",
+    "boilerplate_ngrams",
+    "graph_triangles",
+    "js_divergence",
+    "q4_order_priority",
+    "q18_large_orders",
 ]
-assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Registration order is arbitrary: queries() reorders from
-        # _R9_WINDOW (above), the driver gate's single source of truth.
+        # _R10_WINDOW (above), the driver gate's single source of truth.
         "grouped_median": q_grouped_median,
         "grouped_ks": q_grouped_ks,
         "theil_sen_slope": q_theil_sen,
@@ -6442,9 +6443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_welch_bh": q_grouped_welch_bh,
         "q9_product_profit": q9_product_profit,
     }
-    missing = [k for k in _R9_WINDOW if k not in base]
+    missing = [k for k in _R10_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
-    ordered = {k: base[k] for k in _R9_WINDOW}
+    ordered = {k: base[k] for k in _R10_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
