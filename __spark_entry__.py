@@ -7788,6 +7788,75 @@ def _grouped_theil_sen_sql() -> str:
     )
 
 
+def _grouped_welch_bh_sql() -> str:
+    """DuckDB twin of q_grouped_welch_bh: identical double-op order for
+    the sufficient statistics (var = num/(n(n-1)) then /n), then the
+    SAME portable-SQL exact Student-t tail the Spark plan evaluates
+    (t_sf_prelude_sql / t_sf_oracle_ctes — Lentz incomplete beta,
+    Lanczos lgamma, identical iteration count), then the same BH
+    suffix-min.  Built dynamically because the prelude/loop fragments
+    are shared verbatim with the engine (single source of truth)."""
+    from datajudge_spark.operators.stats import (
+        t_sf_oracle_ctes,
+        t_sf_prelude_sql,
+    )
+
+    head = (
+        "WITH RECURSIVE base AS (SELECT event_type AS g, "
+        "CAST(round(value * 100) AS BIGINT) AS x, "
+        "user_id % 2 = 0 AS pa FROM events "
+        "WHERE value IS NOT NULL AND event_type IS NOT NULL), "
+        "per AS (SELECT g, "
+        "count(*) FILTER (pa) AS n_a, "
+        "sum(CASE WHEN pa THEN CAST(x AS HUGEINT) ELSE 0 END) AS s_a, "
+        "sum(CASE WHEN pa THEN CAST(x AS HUGEINT) "
+        "* CAST(x AS HUGEINT) ELSE 0 END) AS q_a, "
+        "count(*) FILTER (NOT pa) AS n_b, "
+        "sum(CASE WHEN NOT pa THEN CAST(x AS HUGEINT) ELSE 0 END) "
+        "AS s_b, "
+        "sum(CASE WHEN NOT pa THEN CAST(x AS HUGEINT) "
+        "* CAST(x AS HUGEINT) ELSE 0 END) AS q_b "
+        "FROM base GROUP BY g), "
+        "d AS (SELECT g, n_a, n_b, "
+        "CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd, "
+        "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a, "
+        "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b, "
+        "CAST(CAST(n_a AS HUGEINT) * q_a - s_a * s_a AS DOUBLE) "
+        "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) "
+        "/ CAST(n_a AS DOUBLE) AS ta, "
+        "CAST(CAST(n_b AS HUGEINT) * q_b - s_b * s_b AS DOUBLE) "
+        "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) "
+        "/ CAST(n_b AS DOUBLE) AS tb "
+        "FROM per WHERE n_a >= 2 AND n_b >= 2), "
+        "t2 AS (SELECT g, n_a, n_b, mean_a - mean_b AS diff, "
+        "(mean_a - mean_b) / sqrt(ta + tb) AS t, "
+        "(ta + tb) * (ta + tb) / (ta * ta / (nad - 1.0) "
+        "+ tb * tb / (nbd - 1.0)) AS df "
+        "FROM d WHERE ta + tb > 0)"
+    )
+    prelude_ctes = []
+    prev = "t2"
+    for i, (name, expr) in enumerate(t_sf_prelude_sql("t", "df").items()):
+        cte = f"w{i}"
+        prelude_ctes.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    loop_frag, final = t_sf_oracle_ctes(prev, p_alias="p")
+    tail = (
+        f"r AS (SELECT g, n_a, n_b, diff, t, df, p, "
+        "count(*) OVER () AS m, "
+        f"row_number() OVER (ORDER BY p, g) AS rk FROM {final}), "
+        "q AS (SELECT *, least(min(p * CAST(m AS DOUBLE) "
+        "/ CAST(rk AS DOUBLE)) OVER (ORDER BY rk DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) "
+        "AS qv FROM r) "
+        'SELECT g AS "group", n_a, n_b, round(diff, 6) AS diff, '
+        "round(t, 6) AS t, round(df, 6) AS df, "
+        "round(p, 6) AS p_value, round(qv, 6) AS q_value "
+        "FROM q ORDER BY g"
+    )
+    return head + ", " + ", ".join(prelude_ctes) + ", " + loop_frag + ", " + tail
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "row_count": "SELECT count(*) AS n_rows FROM lineitem",
@@ -11561,58 +11630,7 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN naive_mae > 0 THEN mae / naive_mae END, 6) "
             "AS mase FROM d2"
         ),
-        "grouped_welch_bh": (
-            # identical double-op order: var = num/(n(n-1)) then /n;
-            # same erfc polynomial and BH suffix-min as the z sweep
-            "WITH base AS (SELECT event_type AS g, "
-            "CAST(round(value * 100) AS BIGINT) AS x, "
-            "user_id % 2 = 0 AS pa FROM events "
-            "WHERE value IS NOT NULL AND event_type IS NOT NULL), "
-            "per AS (SELECT g, "
-            "count(*) FILTER (pa) AS n_a, "
-            "sum(CASE WHEN pa THEN CAST(x AS HUGEINT) ELSE 0 END) AS s_a, "
-            "sum(CASE WHEN pa THEN CAST(x AS HUGEINT) "
-            "* CAST(x AS HUGEINT) ELSE 0 END) AS q_a, "
-            "count(*) FILTER (NOT pa) AS n_b, "
-            "sum(CASE WHEN NOT pa THEN CAST(x AS HUGEINT) ELSE 0 END) "
-            "AS s_b, "
-            "sum(CASE WHEN NOT pa THEN CAST(x AS HUGEINT) "
-            "* CAST(x AS HUGEINT) ELSE 0 END) AS q_b "
-            "FROM base GROUP BY g), "
-            "d AS (SELECT g, n_a, n_b, "
-            "CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd, "
-            "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a, "
-            "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b, "
-            "CAST(CAST(n_a AS HUGEINT) * q_a - s_a * s_a AS DOUBLE) "
-            "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) "
-            "/ CAST(n_a AS DOUBLE) AS ta, "
-            "CAST(CAST(n_b AS HUGEINT) * q_b - s_b * s_b AS DOUBLE) "
-            "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) "
-            "/ CAST(n_b AS DOUBLE) AS tb "
-            "FROM per WHERE n_a >= 2 AND n_b >= 2), "
-            "t2 AS (SELECT g, n_a, n_b, mean_a - mean_b AS diff, "
-            "(mean_a - mean_b) / sqrt(ta + tb) AS t, "
-            "(ta + tb) * (ta + tb) / (ta * ta / (nad - 1.0) "
-            "+ tb * tb / (nbd - 1.0)) AS df "
-            "FROM d WHERE ta + tb > 0), "
-            "t3 AS (SELECT *, abs(t) / sqrt(2.0) AS u, "
-            "1.0 / (1.0 + 0.3275911 * (abs(t) / sqrt(2.0))) AS tt "
-            "FROM t2), "
-            "t4 AS (SELECT g, n_a, n_b, diff, t, df, "
-            "tt * (0.254829592 + tt * (-0.284496736 + tt "
-            "* (1.421413741 + tt * (-1.453152027 + tt "
-            "* 1.061405429)))) * exp(-u * u) AS p FROM t3), "
-            "r AS (SELECT *, count(*) OVER () AS m, "
-            "row_number() OVER (ORDER BY p, g) AS rk FROM t4), "
-            "q AS (SELECT *, least(min(p * CAST(m AS DOUBLE) "
-            "/ CAST(rk AS DOUBLE)) OVER (ORDER BY rk DESC "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) "
-            "AS qv FROM r) "
-            "SELECT g AS \"group\", n_a, n_b, round(diff, 6) AS diff, "
-            "round(t, 6) AS t, round(df, 6) AS df, "
-            "round(p, 6) AS p_value, round(qv, 6) AS q_value "
-            "FROM q ORDER BY g"
-        ),
+        "grouped_welch_bh": _grouped_welch_bh_sql(),
         "q9_product_profit": (
             # all-integer scaled profit: rev_e4 = cents*(100-disc_pct),
             # cost_e4 = qty*retail_cents*60

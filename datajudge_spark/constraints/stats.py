@@ -3263,9 +3263,28 @@ class WelchTMax(Constraint):
             self._ref.get_selection(engine), self._metric, self._assign
         ).collect()[0]
         if row["t"] is None:
+            # Same convention as WelchTBetween: zero combined variance
+            # with both variants testable (n >= 2) and EQUAL means is a
+            # constant metric — no shift, a pass.  Different constant
+            # means are a certain shift; an n < 2 side is untestable.
+            if (
+                row["n_a"] >= 2
+                and row["n_b"] >= 2
+                and row["mean_a"] == row["mean_b"]
+            ):
+                return TestResult.success()
+            if row["n_a"] >= 2 and row["n_b"] >= 2:
+                return TestResult.failure(
+                    f"Certain mean shift between variants of {self._ref}: "
+                    f"both variants are constant (zero variance) with "
+                    f"different means (mean_a={row['mean_a']} on "
+                    f"n={row['n_a']}, mean_b={row['mean_b']} on "
+                    f"n={row['n_b']}). ",
+                    self.get_description(),
+                )
             return TestResult.failure(
                 f"Welch t between variants of {self._ref} is undefined "
-                f"(a variant below 2 units or zero variance; "
+                f"(a variant below 2 units; "
                 f"n_a={row['n_a']}, n_b={row['n_b']}). ",
                 self.get_description(),
             )
@@ -3450,21 +3469,23 @@ class BHSignificantMax(Constraint):
             self._population_a.to_column(),
             self._population_b.to_column(),
             self._success.to_column(),
+            rounded=False,
         )
-        sig = (
-            out.where(F.col("q_value") <= self._q)
-            .orderBy("q_value", "group")
-            .limit(max(self._max_sig + 5, 10))
-            .collect()
-        )
-        if len(sig) <= self._max_sig:
+        # decide on the UNROUNDED q (6-dp rounding can flip borderline
+        # q ≈ threshold cases) and report the TRUE count — both actions
+        # run over the bounded |groups|-row digest (ADVICE r9)
+        significant = out.where(F.col("q_value") <= self._q)
+        n_sig = significant.count()
+        if n_sig <= self._max_sig:
             return TestResult.success()
+        sig = significant.orderBy("q_value", "group").limit(5).collect()
         worst = ", ".join(
-            f"{r['group']!r} (z={r['z']}, q={r['q_value']})"
-            for r in sig[:5]
+            f"{r['group']!r} (z={round(r['z'], 6)}, "
+            f"q={round(r['q_value'], 6)})"
+            for r in sig
         )
         assertion_text = (
-            f"{len(sig)} {self._group} segment(s) of {self._ref} stay "
+            f"{n_sig} {self._group} segment(s) of {self._ref} stay "
             f"significant at BH FDR q <= {self._q} (allowed: "
             f"{self._max_sig}); worst: {worst}. "
             f"{self._condition_string} "
@@ -3645,9 +3666,19 @@ class KruskalWallisHMax(Constraint):
     def test(self, engine: SparkSession) -> TestResult:
         from ..operators.stats import kruskal_wallis
 
-        rows = kruskal_wallis(
-            self._ref.get_selection(engine), self._value, self._group
-        ).collect()
+        try:
+            rows = kruskal_wallis(
+                self._ref.get_selection(engine), self._value, self._group
+            ).collect()
+        except ValueError:
+            # empty / all-null selection: the rank cumulative has no
+            # values at all — same vacuous verdict as the NULL-h path
+            # (MannWhitney precedent).
+            return TestResult(
+                True,
+                "Kruskal-Wallis H is undefined (no non-null values); "
+                "the gate is vacuous.",
+            )
         row = rows[0] if rows else None
         if row is None or row["h_adj"] is None:
             return TestResult(
@@ -3720,10 +3751,21 @@ class WelchTBetween(Constraint):
                 self.get_description(),
             )
         if row["t"] is None:
-            # n < 2 on a side or zero combined variance: identical
-            # constant columns are a pass, a 1-row side is untestable
+            # n < 2 on a side or zero combined variance. Zero variance
+            # alone does not mean agreement: two constant columns with
+            # DIFFERENT means are a certain mean shift — only identical
+            # constant columns pass. A 1-row side is untestable.
             if row["n_a"] >= 2 and row["n_b"] >= 2:
-                return TestResult.success()
+                if row["mean_a"] == row["mean_b"]:
+                    return TestResult.success()
+                return TestResult.failure(
+                    f"Certain mean shift between {self._ref} and "
+                    f"{self._target_prefix}: both sides are constant "
+                    f"(zero variance) with different means "
+                    f"(mean_a={row['mean_a']} on n={row['n_a']}, "
+                    f"mean_b={row['mean_b']} on n={row['n_b']}). ",
+                    self.get_description(),
+                )
             return TestResult.failure(
                 f"Welch test between {self._ref} and "
                 f"{self._target_prefix} is undefined "
@@ -4028,22 +4070,21 @@ class MeanBHSignificantMax(Constraint):
             self._metric,
             self._population_a.to_column(),
             self._population_b.to_column(),
+            rounded=False,
         )
-        sig = (
-            out.where(F.col("q_value") <= self._q)
-            .orderBy("q_value", "group")
-            .limit(max(self._max_sig + 5, 10))
-            .collect()
-        )
-        if len(sig) <= self._max_sig:
+        # unrounded-q decision + true count, as in BHSignificantMax
+        significant = out.where(F.col("q_value") <= self._q)
+        n_sig = significant.count()
+        if n_sig <= self._max_sig:
             return TestResult.success()
+        sig = significant.orderBy("q_value", "group").limit(5).collect()
         worst = ", ".join(
-            f"{r['group']!r} (diff={r['diff']}, t={r['t']}, "
-            f"q={r['q_value']})"
-            for r in sig[:5]
+            f"{r['group']!r} (diff={round(r['diff'], 6)}, "
+            f"t={round(r['t'], 6)}, q={round(r['q_value'], 6)})"
+            for r in sig
         )
         assertion_text = (
-            f"{len(sig)} {self._group} segment(s) of {self._ref} have "
+            f"{n_sig} {self._group} segment(s) of {self._ref} have "
             f"a significant {self._metric} mean shift at BH FDR q <= "
             f"{self._q} (allowed: {self._max_sig}); worst: {worst}. "
             f"{self._condition_string} "

@@ -682,6 +682,14 @@ class TestWelchTBetween:
         req = between_req(d1, d2, "wtc1", "wtc2")
         req.add_welch_ttest_constraint("c", "c")
         assert outcomes(req, spark) == [True]
+        # two constant columns with DIFFERENT means: zero variance yet a
+        # certain mean shift — must fail, not pass (ADVICE r9)
+        d4 = spark.createDataFrame([(5,)] * 25, "c long")
+        req3 = between_req(d1, d4, "wtc1c", "wtc4")
+        req3.add_welch_ttest_constraint("c", "c")
+        results3 = req3.test(spark)
+        assert results3[0].outcome is False
+        assert "Certain mean shift" in results3[0].failure_message
         d3 = spark.createDataFrame([(7,)], "c long")
         req2 = between_req(d1, d3, "wtc1b", "wtc3")
         req2.add_welch_ttest_constraint("c", "c")

@@ -1877,6 +1877,23 @@ class TestWelchT:
         assert results[0].outcome is False
         assert "undefined" in results[0].failure_message
 
+    def test_constant_metric_pass_and_certain_shift(self, spark):
+        # identical constant metric in both variants: no shift, a pass
+        same = [(7, i % 2) for i in range(40)]
+        df = spark.createDataFrame(same, "x long, v int")
+        req = within_req(df, "welch4")
+        req.add_welch_ttest_constraint("x", "v")
+        assert outcomes(req, spark) == [True]
+        # constant in both variants but DIFFERENT values: zero variance
+        # yet a certain mean shift — must fail, not pass (ADVICE r9)
+        shifted = [(5 if i % 2 else 7, i % 2) for i in range(40)]
+        df2 = spark.createDataFrame(shifted, "x long, v int")
+        req2 = within_req(df2, "welch5")
+        req2.add_welch_ttest_constraint("x", "v")
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "Certain mean shift" in results[0].failure_message
+
     def test_validation(self, spark):
         df = spark.createDataFrame([(1, 0)], "x long, v int")
         req = within_req(df, "welch3")
@@ -2120,6 +2137,17 @@ class TestKruskalWallis:
         )
         req = within_req(df, "kw3")
         req.add_kruskal_wallis_constraint("x", "g", max_h=0.0)
+        assert outcomes(req, spark) == [True]
+
+    def test_all_null_vacuous_not_crash(self, spark):
+        # empty selection: the rank cumulative raises ValueError in the
+        # operator; the constraint must return the vacuous pass, not
+        # crash the run (ADVICE r9).
+        df = spark.createDataFrame(
+            [("a", None), ("b", None)], "g string, x long"
+        )
+        req = within_req(df, "kw5")
+        req.add_kruskal_wallis_constraint("x", "g", max_h=1.0)
         assert outcomes(req, spark) == [True]
 
     def test_validation(self, spark):

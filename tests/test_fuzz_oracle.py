@@ -1971,28 +1971,49 @@ def test_fuzz_forecast_backtest(spark, case):
         )
 
 
-@pytest.mark.parametrize("case", range(4))
+@pytest.mark.parametrize("case", range(6))
 def test_fuzz_grouped_welch_bh(spark, case):
+    """Differential model: per-group Welch t with the EXACT scipy-free
+    Student tail (constraints.stats._student_t_sf_two_sided — incomplete
+    beta) and a driver-side BH step-up; the in-plan p/q must match to
+    1e-6 even at n ≈ 5 per side (VERDICT r9 #5 'small_n' cases 4-5)."""
     import math
 
     from pyspark.sql import functions as F
 
+    from datajudge_spark.constraints.stats import _student_t_sf_two_sided
     from datajudge_spark.operators.stats import grouped_welch_bh
 
     rng = random.Random(_MK_SEED + 2700 + case)
-    shape = ["mixed", "one_constant", "tiny_sides", "two_groups"][case]
+    shape = [
+        "mixed", "one_constant", "tiny_sides", "two_groups",
+        "small_n", "small_n",
+    ][case]
     k = 2 if shape == "two_groups" else rng.randint(3, 8)
     rows = []
-    for i in range(rng.randint(100, 600)):
-        g = "g" + str(i % k)
-        a = rng.random() < 0.5
-        if shape == "one_constant" and g == "g0":
-            x = 7  # zero variance both sides -> excluded
-        elif shape == "tiny_sides" and g == "g1" and i > 2 * k:
-            continue  # g1 keeps almost no rows
-        else:
-            x = rng.randint(0, 80) + (15 if (a and g == "g2") else 0)
-        rows.append((g, a, x))
+    if shape == "small_n":
+        # n ≈ 5 per side per segment: exactly where the old normal
+        # approximation was visibly wrong (df ≈ 8 -> p off by ~1e-2)
+        k = rng.randint(4, 10)
+        for g_i in range(k):
+            g = "g" + str(g_i)
+            for a in (True, False):
+                for _ in range(rng.randint(4, 6)):
+                    x = rng.randint(0, 40) + (
+                        12 if (a and g_i % 3 == 0) else 0
+                    )
+                    rows.append((g, a, x))
+    else:
+        for i in range(rng.randint(100, 600)):
+            g = "g" + str(i % k)
+            a = rng.random() < 0.5
+            if shape == "one_constant" and g == "g0":
+                x = 7  # zero variance both sides -> excluded
+            elif shape == "tiny_sides" and g == "g1" and i > 2 * k:
+                continue  # g1 keeps almost no rows
+            else:
+                x = rng.randint(0, 80) + (15 if (a and g == "g2") else 0)
+            rows.append((g, a, x))
     df = spark.createDataFrame(rows, "g string, a boolean, x long")
     out = {
         r["group"]: r
@@ -2018,11 +2039,10 @@ def test_fuzz_grouped_welch_bh(spark, case):
         if ta + tb <= 0:
             continue
         t = (ma - mb) / math.sqrt(ta + tb)
-        u = abs(t) / math.sqrt(2)
-        tt = 1 / (1 + 0.3275911 * u)
-        poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
-            1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
-        ps[g] = (t, poly * math.exp(-u * u))
+        df_ws = (ta + tb) ** 2 / (
+            ta * ta / (len(xa) - 1) + tb * tb / (len(xb) - 1)
+        )
+        ps[g] = (t, _student_t_sf_two_sided(t, df_ws))
     assert set(out) == set(ps), f"case {case} ({shape})"
     m = len(ps)
     order = sorted(ps.items(), key=lambda kv: (kv[1][1], kv[0]))
@@ -2034,4 +2054,5 @@ def test_fuzz_grouped_welch_bh(spark, case):
         qs[g] = min(suffix, 1.0)
     for g in ps:
         assert out[g]["t"] == pytest.approx(ps[g][0], abs=2e-6)
-        assert out[g]["q_value"] == pytest.approx(qs[g], abs=2e-6)
+        assert out[g]["p_value"] == pytest.approx(ps[g][1], abs=1e-6)
+        assert out[g]["q_value"] == pytest.approx(qs[g], abs=1e-6)
