@@ -11599,9 +11599,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT cut FROM cutoff)), "
             "test AS (SELECT * FROM daily WHERE d > "
             "(SELECT cut FROM cutoff)), "
-            "lkp AS (SELECT d + 7 AS d, y AS pred FROM daily), "
-            "scored AS (SELECT test.d, abs(test.y - lkp.pred) AS err, "
-            "test.y AS actual FROM test JOIN lkp ON test.d = lkp.d), "
+            # train-only lookup: step back ceil((d-cut)/7) whole weeks
+            # (multi-step seasonal naive, no holdout leakage)
+            "lkp AS (SELECT d AS pd, y AS pred FROM train), "
+            "tk AS (SELECT *, d - 7 * CAST((date_diff('day', "
+            "(SELECT cut FROM cutoff), d) + 6) // 7 AS INT) AS pd "
+            "FROM test), "
+            "scored AS (SELECT tk.d, abs(tk.y - lkp.pred) AS err, "
+            "tk.y AS actual FROM tk JOIN lkp ON tk.pd = lkp.pd), "
             "folded AS (SELECT d, count(*) OVER w AS n_test, "
             "sum(err) OVER w AS serr, "
             "sum(CASE WHEN actual <> 0 THEN "

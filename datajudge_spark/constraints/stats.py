@@ -3945,10 +3945,12 @@ class FisherExactMin(Constraint):
 class ForecastBacktestMax(Constraint):
     """Predictability gate: the seasonal-naive backtest MASE of the
     daily ``sum(value)`` series may not exceed ``max_mase`` — the last
-    ``horizon`` days each predicted by the value ``period`` days
-    earlier, MAE scaled by the in-sample seasonal-naive MAE (Hyndman &
-    Koehler 2006).  MASE > 1 = even the trivial weekly-repeat model
-    stopped working: regime change, broken ingestion, calendar anomaly.
+    ``horizon`` days held out and each predicted FROM TRAIN ONLY (the
+    last in-sample period repeats across the horizon — a true
+    horizon-length holdout, no leakage when horizon > period), MAE
+    scaled by the in-sample seasonal-naive MAE (Hyndman & Koehler
+    2006).  MASE > 1 = even the trivial weekly-repeat model stopped
+    working: regime change, broken ingestion, calendar anomaly.
     Extension, no reference counterpart.
 
     Engine: ``operators.timeseries.forecast_backtest`` — bounded

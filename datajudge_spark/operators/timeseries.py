@@ -1710,11 +1710,14 @@ def forecast_backtest(
     """Seasonal-naive forecast backtest over a calendar-grain integer
     series: one digest row ``(n_train, n_test, mae, mape_pct,
     naive_mae, mase)`` — the last ``horizon`` days are held out, each
-    held-out day is predicted by the value ``period`` days earlier
-    (seasonal-naive, the standard no-model baseline), and the errors
-    are summarized as MAE, MAPE and MASE (MAE scaled by the in-sample
-    one-step seasonal-naive MAE, Hyndman & Koehler 2006 — scale-free,
-    defined even when a day is zero).
+    held-out day ``d`` is predicted FROM TRAIN ONLY by the value at
+    ``d − k·period`` with ``k = ⌈(d − cut)/period⌉`` (the standard
+    multi-step seasonal-naive forecast: the last in-sample period
+    repeats across the whole horizon — no holdout leakage even when
+    ``horizon > period``), and the errors are summarized as MAE, MAPE
+    and MASE (MAE scaled by the in-sample one-step seasonal-naive MAE,
+    Hyndman & Koehler 2006 — scale-free, defined even when a day is
+    zero).
 
     The "is tomorrow's volume predictable from history?" gate: a MASE
     creeping above 1 means even the trivial weekly-repeat model has
@@ -1750,14 +1753,26 @@ def forecast_backtest(
     with_cut = base.join(F.broadcast(split))
     train = with_cut.where(F.col("__d") <= F.col("__cut"))
     test = with_cut.where(F.col("__d") > F.col("__cut"))
-    lookup = base.select(
-        F.date_add(F.col("__d"), period).alias("__d"),
+    # predictions come from TRAIN rows only: step back a whole number
+    # of periods to the most recent same-phase day at or before the
+    # cut (k = ceil((d − cut)/period), integer arithmetic)
+    lookup = train.select(
+        F.col("__d").alias("__pd"),
         F.col("__y").alias("__pred"),
     )
-    scored = test.join(lookup, "__d").select(
-        "__d",
-        F.abs(F.col("__y") - F.col("__pred")).cast(d38).alias("__err"),
-        F.col("__y").alias("__actual"),
+    k = F.expr(
+        f"(datediff(__d, __cut) + {period - 1}) div {period}"
+    )
+    scored = (
+        test.withColumn(
+            "__pd", F.date_sub(F.col("__d"), (k * period).cast("int"))
+        )
+        .join(lookup, "__pd")
+        .select(
+            "__d",
+            F.abs(F.col("__y") - F.col("__pred")).cast(d38).alias("__err"),
+            F.col("__y").alias("__actual"),
+        )
     )
     # the APE sum is doubles — fold it in day order (bounded test
     # frame) so both engines add identically regardless of partitioning

@@ -2027,12 +2027,14 @@ class WithinRequirement(Requirement):
     ) -> None:
         """Extension (no reference counterpart): the seasonal-naive
         backtest MASE of the daily ``sum(value_column)`` series (last
-        ``horizon`` days held out, each predicted by the value
-        ``period`` days earlier, MAE scaled by the in-sample
-        seasonal-naive MAE) may not exceed ``max_mase`` — "tomorrow's
-        volume must stay predictable from history"; MASE creeping above
-        1 flags regime change or broken ingestion before any absolute
-        threshold fires.  Bounded calendar-frame joins only."""
+        ``horizon`` days held out, each predicted from TRAIN ONLY by
+        repeating the last in-sample period across the horizon — a
+        true holdout even when horizon > period — MAE scaled by the
+        in-sample seasonal-naive MAE) may not exceed ``max_mase`` —
+        "tomorrow's volume must stay predictable from history"; MASE
+        creeping above 1 flags regime change or broken ingestion
+        before any absolute threshold fires.  Bounded calendar-frame
+        joins only."""
         ref = DataReference(
             self._data_source, [date_column, value_column], condition
         )

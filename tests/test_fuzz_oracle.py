@@ -1941,7 +1941,12 @@ def test_fuzz_forecast_backtest(spark, case):
     train = [d for d in days if d <= cut]
     errs, apes = [], []
     for d in test:
-        p = byd.get(d - dt.timedelta(days=period))
+        # train-only multi-step seasonal naive: step back whole
+        # periods to at-or-before the cut (no holdout leakage)
+        kk = ((d - cut).days + period - 1) // period
+        pd_ = d - dt.timedelta(days=period * kk)
+        assert pd_ <= cut
+        p = byd.get(pd_)
         if p is None:
             continue
         e = abs(byd[d] - p)
