@@ -73,9 +73,33 @@ def main() -> None:
         "rn", _F.row_number().over(_W.partitionBy("k").orderBy("id"))
     ).count()
 
+    # Pure-Python calibration scalar: a fixed CPU-bound loop timed on
+    # this box (min of 3).  Cross-round BENCH artifacts divide by this
+    # to make uniform environment drift self-evident instead of needing
+    # a forensic adjudication each round (VERDICT r9 #3).  ~0.4 s/run.
+    def _calibrate() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = 0
+            for i in range(10_000_000):
+                acc += i * i
+            best = min(best, time.perf_counter() - t0)
+        assert acc != 0
+        return round(best, 4)
+
+    calib_s = _calibrate()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {name: float("inf") for name in qs}
     for _ in range(runs):
+        # Re-warm the Python worker pool before EVERY pass: idle workers
+        # can be reaped between passes, and min-of-N doesn't help if the
+        # one-time refork lands on the first mapInPandas query of each
+        # pass (r9's multimodal_audio_windows 3.8x artifact).
+        spark.range(0, n_part * 8, 1, n_part).mapInPandas(
+            _noop, "id long"
+        ).count()
         for name, fn in qs.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -92,6 +116,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_s": calib_s,
     }
     print(json.dumps(payload))
 
@@ -111,16 +136,30 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass
+    # Name-keyed q_ms was MEASURED against the tail budget and cannot
+    # fit: 264 names + ms ≈ 6.1 KB raw, 3.6 KB zlib+base64 — both far
+    # over the ~1900-char ceiling.  The positional array is instead
+    # PINNED to its name list by q_names_md5 (md5 of the
+    # newline-joined sorted names), so a reader can verify which
+    # registry version the positions map to; the full named map is
+    # committed in-repo (BENCH_LATEST.json).
+    import hashlib
+
+    names_md5 = hashlib.md5(
+        "\n".join(sorted(timings)).encode()
+    ).hexdigest()[:12]
     summary = {
         "total_s": total,
         "n": len(timings),
         "max_s": max(timings.values()) if timings else 0.0,
         "mean_s": round(total / len(timings), 4) if timings else 0.0,
         "sf": sf,
+        "calib_s": calib_s,
         "slowest": [
             [k, v] for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:5]
         ],
         "q_order": "sorted",
+        "q_names_md5": names_md5,
         "q_ms": [int(round(timings[k] * 1000)) for k in sorted(timings)],
         "full_json": "BENCH_LATEST.json",
     }
