@@ -5625,6 +5625,31 @@ def q_minhash_query_neardup(spark, sf_dir):
     )
 
 
+def q_minhash_query_recall(spark, sf_dir):
+    # Recall gate for the targeted near-dup lookup (VERDICT r9 #8):
+    # per query doc (100-doc query set), the fraction of TRUE exact-Jaccard >= 0.5 corpus
+    # near-dups that the banded MinHash lookup actually surfaces —
+    # the eval harness that must pass before the decontamination
+    # primitive is trusted.  Truth: query shingle sets broadcast, one
+    # bounded-fanout intersection shuffle, corpus-size join pre-thinned
+    # by i >= t*|q| against the broadcast query sizes.  t = 0.5 keeps
+    # every threshold comparison exact in binary.
+    from datajudge_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.query_neardup_recall(
+        d,
+        "doc_id",
+        "text",
+        list(range(100)),
+        threshold=0.5,
+        num_hashes=_MINHASH_K,
+        shingle_n=_SHINGLE_N,
+        bands=_LSH_BANDS,
+        rows=_LSH_ROWS,
+    )
+
+
 def q_streaming_srm(spark, sf_dir):
     # 16th streaming contract: sequential SRM monitoring.  Per-variant
     # assignment counts are associative, so the drained complete-mode
@@ -6442,6 +6467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "grouped_welch_bh": q_grouped_welch_bh,
         "q9_product_profit": q9_product_profit,
+        # round-10 additions (queued for the r11 window)
+        "minhash_query_recall": q_minhash_query_recall,
     }
     missing = [k for k in _R10_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7206,6 +7233,65 @@ def _minhash_query_sql() -> str:
         "FROM cand JOIN sig sa ON sa.doc_id = query_id "
         "JOIN sig sb ON sb.doc_id = candidate_id "
         f"WHERE {est} >= 0.25"
+    )
+
+
+def _minhash_query_recall_sql() -> str:
+    """DuckDB mirror of q_minhash_query_recall: the candidate chain of
+    _minhash_query_sql (no est filter) + exact-Jaccard truth over the
+    hashed shingle space + per-query recall digest.  t = 0.5 makes the
+    threshold comparison exact in binary in both engines."""
+    from datajudge_spark.pipeline.dedup import MINHASH_HEX, MINHASH_MASK
+
+    mins = ", ".join(
+        f"min((b1 + {k} * b2) & {MINHASH_MASK}) AS h{k}"
+        for k in range(_MINHASH_K)
+    )
+    band_selects = []
+    for b in range(_LSH_BANDS):
+        parts = " || ',' || ".join(
+            f"h{b * _LSH_ROWS + r}::VARCHAR" for r in range(_LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS sig FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    qids = ", ".join(str(i) for i in range(100))
+    return (
+        f"WITH {_SHINGLES_CTE}, "
+        f"shd AS (SELECT doc_id, {_h_sql('s')} AS s FROM sh), "
+        f"hs AS (SELECT doc_id, {_h_sql('s', 'a', MINHASH_HEX)} AS b1, "
+        f"{_h_sql('s', 'b', MINHASH_HEX)} AS b2 FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id), "
+        f"bands AS ({bands}), "
+        f"qb AS (SELECT doc_id AS q, band, sig FROM bands "
+        f"WHERE doc_id IN ({qids})), "
+        "cand AS (SELECT DISTINCT qb.q, b.doc_id AS cid FROM bands b "
+        "JOIN qb ON b.band = qb.band AND b.sig = qb.sig "
+        "AND b.doc_id <> qb.q), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1), "
+        f"qsh AS (SELECT doc_id AS q, s FROM shd WHERE doc_id IN ({qids})), "
+        "qsz AS (SELECT doc_id AS q, n AS nq FROM sizes "
+        f"WHERE doc_id IN ({qids})), "
+        "inter AS (SELECT qsh.q, c.doc_id AS cid, count(*) AS i "
+        "FROM shd c JOIN qsh ON c.s = qsh.s AND c.doc_id <> qsh.q "
+        "GROUP BY 1, 2), "
+        "truth AS (SELECT q, cid FROM inter JOIN qsz USING (q) "
+        "JOIN sizes ON cid = sizes.doc_id "
+        "WHERE CAST(i AS DOUBLE) / (nq + n - i) >= 0.5), "
+        "nt AS (SELECT q, count(*) AS t FROM truth GROUP BY q), "
+        "nh AS (SELECT truth.q, count(*) AS h FROM truth "
+        "JOIN cand ON truth.q = cand.q AND truth.cid = cand.cid "
+        "GROUP BY 1), "
+        "qs AS (SELECT DISTINCT doc_id AS q FROM documents "
+        f"WHERE doc_id IN ({qids})) "
+        "SELECT qs.q AS query_id, "
+        "CAST(coalesce(t, 0) AS BIGINT) AS n_true, "
+        "CAST(coalesce(h, 0) AS BIGINT) AS n_hits, "
+        "round(CASE WHEN coalesce(t, 0) > 0 THEN "
+        "CAST(coalesce(h, 0) AS DOUBLE) / coalesce(t, 0) END, 6) "
+        "AS recall "
+        "FROM qs LEFT JOIN nt ON qs.q = nt.q LEFT JOIN nh ON qs.q = nh.q"
     )
 
 
@@ -11656,4 +11742,5 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
         ),
         "minhash_query_neardup": _minhash_query_sql(),
+        "minhash_query_recall": _minhash_query_recall_sql(),
     }

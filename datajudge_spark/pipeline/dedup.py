@@ -42,6 +42,7 @@ __all__ = [
     "jaccard_pairs",
     "containment_pairs",
     "duplicate_clusters",
+    "query_neardup_recall",
 ]
 
 
@@ -979,4 +980,111 @@ def query_neardup_candidates(
             F.round(est, 6).alias("est"),
         )
         .where(F.col("est") >= F.lit(float(min_est)))
+    )
+
+
+def query_neardup_recall(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_ids: list,
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows: int = 3,
+) -> DataFrame:
+    """Recall gate for :func:`query_neardup_candidates` against
+    brute-force truth: one row per query id ``(query_id, n_true,
+    n_hits, recall)`` where truth = corpus documents (candidate !=
+    query) whose EXACT shingle-set Jaccard with the query is >=
+    ``threshold``, and hits = true pairs the banded LSH lookup
+    surfaces.  The eval harness the decontamination/takedown primitive
+    needs before being trusted — the near-dup sibling of
+    :func:`datajudge_spark.pipeline.similarity.recall_at_k`.
+
+    Scale: the query side is tiny by definition, so its shingle set
+    broadcasts; the exact-truth intersection is one bounded-fanout
+    shuffle (<= |queries| x matched docs, map-side combined).  The
+    corpus-size join is pre-thinned by the necessary condition
+    ``intersection >= threshold * |query shingles|`` (J >= t and
+    n >= i imply i >= t*n_q), applied against the broadcast query
+    sizes BEFORE any corpus-scale join.  Queries with no true
+    near-dup are emitted with ``n_true = 0`` and NULL recall.
+
+    Truth uses the full (unblocked) shingle space — exact by the
+    J > 0 => shared-shingle argument; this is an EVAL operator run on
+    a bounded query sample, not an all-pairs sweep.
+    """
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be within (0, 1]")
+    sh = materialize_once(
+        _distinct_shingles(df, id_col, text_col, shingle_n).select(
+            "_id", md5_long("s").alias("s")
+        )
+    )
+    is_query = F.col("_id").isin(list(query_ids))
+    qsh = sh.where(is_query).select(F.col("_id").alias("__q"), "s")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("__n"))
+    qsizes = sizes.where(is_query).select(
+        F.col("_id").alias("__q"), F.col("__n").alias("__nq")
+    )
+    inter = (
+        sh.join(F.broadcast(qsh), "s")
+        .where(F.col("_id") != F.col("__q"))
+        .groupBy("__q", "_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = F.col("__i") / (F.col("__nq") + F.col("__n") - F.col("__i"))
+    truth = (
+        inter.join(F.broadcast(qsizes), "__q")
+        # necessary condition i >= t*n_q thins the corpus-size join
+        .where(
+            F.col("__i").cast("double")
+            >= F.lit(float(threshold)) * F.col("__nq").cast("double")
+        )
+        .join(sizes, "_id")
+        .where(jac >= F.lit(float(threshold)))
+        .select("__q", F.col("_id").alias("__c"))
+    )
+    cand = query_neardup_candidates(
+        df,
+        id_col,
+        text_col,
+        query_ids,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        bands=bands,
+        rows=rows,
+        min_est=0.0,
+    ).select(
+        F.col("query_id").alias("__q"), F.col("candidate_id").alias("__c")
+    )
+    n_true = truth.groupBy("__q").agg(F.count(F.lit(1)).alias("__t"))
+    n_hits = (
+        truth.join(cand, ["__q", "__c"])
+        .groupBy("__q")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    queries = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("__q")
+    ).distinct()
+    t_col = F.coalesce(F.col("__t"), F.lit(0))
+    h_col = F.coalesce(F.col("__h"), F.lit(0))
+    return (
+        queries.join(F.broadcast(n_true), "__q", "left")
+        .join(F.broadcast(n_hits), "__q", "left")
+        .select(
+            F.col("__q").alias("query_id"),
+            t_col.cast("bigint").alias("n_true"),
+            h_col.cast("bigint").alias("n_hits"),
+            F.round(
+                F.when(
+                    t_col > 0, h_col.cast("double") / t_col.cast("double")
+                ),
+                6,
+            ).alias("recall"),
+        )
     )

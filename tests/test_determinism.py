@@ -488,6 +488,26 @@ def test_query_neardup_partition_stable(spark, n_parts):
 
 
 @pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_query_neardup_recall_partition_stable(spark, n_parts):
+    from datajudge_spark.pipeline.dedup import query_neardup_recall
+
+    rows = [
+        (i, ("alpha beta gamma delta " * 4) + (f"tail{i} " * (i % 5)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = sorted(
+        query_neardup_recall(df, "doc_id", "text", [0, 1, 2]).collect()
+    )
+    got = sorted(
+        query_neardup_recall(
+            df.repartition(n_parts), "doc_id", "text", [0, 1, 2]
+        ).collect()
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
 def test_diff_in_diff_partition_stable(spark, n_parts):
     from datajudge_spark.operators.stats import diff_in_diff
 

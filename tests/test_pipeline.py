@@ -163,6 +163,32 @@ class TestDedup:
         assert 0.5 <= pairs[(0, 1)] < 1.0
         assert (0, 2) not in pairs
 
+    def test_query_neardup_recall(self, spark, docs):
+        # truth for query 0 at J >= 0.5: docs 1 (near-dup) and 3
+        # (exact dup); the LSH lookup surfaces both -> recall 1.0.
+        # query 2 has no true near-dup -> n_true 0, NULL recall.
+        out = {
+            r.query_id: r
+            for r in dedup.query_neardup_recall(
+                docs, "doc_id", "text", [0, 2, 4], threshold=0.5
+            ).collect()
+        }
+        assert set(out) == {0, 2, 4}
+        assert out[0].n_true == 2
+        assert out[0].n_hits == 2
+        assert out[0].recall == 1.0
+        assert out[2].n_true == 0
+        assert out[2].recall is None
+        assert out[4].n_true == 0
+
+    def test_query_neardup_recall_validation(self, spark, docs):
+        with pytest.raises(ValueError):
+            dedup.query_neardup_recall(docs, "doc_id", "text", [])
+        with pytest.raises(ValueError):
+            dedup.query_neardup_recall(
+                docs, "doc_id", "text", [0], threshold=0.0
+            )
+
 
 @pytest.fixture(scope="module")
 def vectors(spark):

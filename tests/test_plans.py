@@ -914,6 +914,17 @@ def test_query_neardup_broadcasts_query_side(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_query_neardup_recall_no_corpus_self_join(spark):
+    # the recall harness must inherit the lookup's scale shape: the
+    # truth intersection joins the corpus to the BROADCAST query
+    # shingles, never corpus-to-corpus — no cartesian anywhere
+    plan = _executed_plan(
+        entrymod.queries()["minhash_query_recall"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_ratio_ztest_single_conditional_scan(spark):
     # per-variant sufficient statistics are conditional aggregates of
     # ONE scan (plus the bounded level probe) - map-side partials, no
