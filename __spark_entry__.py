@@ -4310,6 +4310,66 @@ def q_ann_topk_pq(spark, sf_dir):
     )
 
 
+def q_pq_trained_codebook(spark, sf_dir):
+    # Trained per-subspace PQ codebooks (VERDICT r9 #8 / ROUNDLOG
+    # candidate since r5): two Lloyd iterations of the FAISS PQ recipe
+    # (pq_train — assign via one map-only encode pass, per-(subspace,
+    # code, component) means in ONE shuffle, O(n_codes x dim) driver
+    # step), then encode the corpus against the TRAINED codebook.
+    # Digest: one row per (sub, code) with the assignment count and
+    # the trained sub-centroid's L2 norm — 128 bounded rows that pin
+    # init, both update steps, empty-code carry-over, and the final
+    # encode.  tol=0 forces exactly max_iterations updates so the
+    # oracle can replicate the loop without the early-stop rule.
+    import math as _math
+
+    from datajudge_spark.pipeline.similarity import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(
+        emb,
+        n_codes=_PQ_CODES,
+        m=_PQ_M,
+        max_iterations=2,
+        tol=0.0,
+        v_id="vec_id",
+        v_vec="embedding",
+    )
+    enc = pq_encode(emb, cb, m=_PQ_M, id_col="vec_id", vec_col="embedding")
+    counts = (
+        enc.select(F.posexplode("codes").alias("sub", "code"))
+        .groupBy("sub", "code")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    ds = len(cb[0]) // _PQ_M
+    norms = spark.createDataFrame(
+        [
+            (
+                s,
+                c,
+                _math.sqrt(
+                    sum(cb[c][s * ds + i] ** 2 for i in range(ds))
+                ),
+            )
+            for s in range(_PQ_M)
+            for c in range(_PQ_CODES)
+        ],
+        "sub int, code int, __cn double",
+    )
+    return (
+        norms.join(counts, ["sub", "code"], "left")
+        .select(
+            "sub",
+            "code",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias(
+                "n_assigned"
+            ),
+            F.round(F.col("__cn"), 6).alias("cnorm"),
+        )
+        .orderBy("sub", "code")
+    )
+
+
 def q_ann_topk_ivf_pq(spark, sf_dir):
     # IVF-PQ composite (the FAISS IndexIVFPQ serving shape): coarse cells
     # prune the corpus to the query's cell, PQ ADC ranks the survivors —
@@ -6469,6 +6529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         # round-10 additions (queued for the r11 window)
         "minhash_query_recall": q_minhash_query_recall,
+        "pq_trained_codebook": q_pq_trained_codebook,
     }
     missing = [k for k in _R10_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7715,6 +7776,100 @@ def _cell_assign_sql(name: str, source_filter: str) -> str:
         "  FROM (SELECT vec_id AS vid, embedding AS vvec FROM embeddings"
         f"        {source_filter}) v, cent ct"
         ") WHERE rn = 1)"
+    )
+
+
+def _pq_trained_sql(dim: int = 64) -> str:
+    """DuckDB mirror of q_pq_trained_codebook: two relational Lloyd
+    iterations — assignment = per-(vector, subspace) argmin over the
+    current codebook slices (ordered component folds, lowest code on
+    ties, matching pq_encode's array_position), update =
+    per-(subspace, code, component) AVG with COALESCE carry-over for
+    empty codes (pq_train keeps the previous entry) — then the final
+    encode against the trained slices, counted per (sub, code), plus
+    the trained sub-centroid L2 norms (same square-then-left-fold as
+    the Python driver step)."""
+    ds = dim // _PQ_M
+
+    def l2_slice(vec: str, sub: str, sv: str) -> str:
+        # ordered fold over the ds local components: (x - e)^2 summed
+        # left-to-right, x from the full vector at sub*ds + i, e from
+        # the per-(sub, code) slice list
+        return (
+            "list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, {ds}), "
+            f"i -> ({vec}[{sub} * {ds} + i]::DOUBLE - {sv}[i]) "
+            f"* ({vec}[{sub} * {ds} + i]::DOUBLE - {sv}[i]))), "
+            "(x, y) -> x + y)"
+        )
+
+    def assign(name: str, slices: str) -> str:
+        return (
+            f"{name} AS (SELECT vid, sub, code FROM ("
+            "SELECT v.vid, cc.sub, cc.code, row_number() OVER "
+            "(PARTITION BY v.vid, cc.sub ORDER BY "
+            f"{l2_slice('v.xv', 'cc.sub', 'cc.sv')} ASC, cc.code ASC) "
+            f"AS rn FROM v CROSS JOIN {slices} cc) WHERE rn = 1)"
+        )
+
+    def means(name: str, assign_cte: str) -> str:
+        return (
+            f"{name} AS (SELECT a.sub, a.code, ii.i, "
+            f"avg(v.xv[a.sub * {ds} + ii.i]::DOUBLE) AS mu "
+            f"FROM {assign_cte} a JOIN v USING (vid) "
+            "CROSS JOIN irange ii GROUP BY 1, 2, 3)"
+        )
+
+    def rebuild(comp_name: str, slice_name: str, mean_cte: str,
+                prev_comp: str) -> str:
+        # full (sub, code, i) grid; empty (sub, code) keep the previous
+        # component value
+        return (
+            f"{comp_name} AS (SELECT g.sub, g.code, g.i, "
+            f"COALESCE(m.mu, p.val) AS val FROM grid g "
+            f"JOIN {prev_comp} p ON p.sub = g.sub AND p.code = g.code "
+            "AND p.i = g.i "
+            f"LEFT JOIN {mean_cte} m ON m.sub = g.sub "
+            "AND m.code = g.code AND m.i = g.i), "
+            f"{slice_name} AS (SELECT sub, code, "
+            f"list(val ORDER BY i) AS sv FROM {comp_name} "
+            "GROUP BY sub, code)"
+        )
+
+    return (
+        f"WITH v AS (SELECT vec_id AS vid, embedding AS xv "
+        "FROM embeddings), "
+        f"cb0 AS (SELECT vec_id AS code, embedding AS cv "
+        f"FROM embeddings WHERE vec_id < {_PQ_CODES}), "
+        f"subs AS (SELECT unnest(range({_PQ_M})) AS sub), "
+        f"irange AS (SELECT unnest(range(1, {ds + 1})) AS i), "
+        "grid AS (SELECT s.sub, c.code, ii.i FROM subs s "
+        "CROSS JOIN cb0 c CROSS JOIN irange ii), "
+        # initial per-(sub, code) component table + slices from cb0
+        "c0 AS (SELECT g.sub, g.code, g.i, "
+        f"c.cv[g.sub * {ds} + g.i]::DOUBLE AS val FROM grid g "
+        "JOIN cb0 c ON c.code = g.code), "
+        "s0 AS (SELECT sub, code, list(val ORDER BY i) AS sv FROM c0 "
+        "GROUP BY sub, code), "
+        + assign("a1", "s0") + ", "
+        + means("m1", "a1") + ", "
+        + rebuild("c1", "s1", "m1", "c0") + ", "
+        + assign("a2", "s1") + ", "
+        + means("m2", "a2") + ", "
+        + rebuild("c2", "s2", "m2", "c1") + ", "
+        + assign("a3", "s2") + ", "
+        "counts AS (SELECT sub, code, count(*) AS n FROM a3 "
+        "GROUP BY 1, 2), "
+        "norms AS (SELECT sub, code, "
+        "sqrt(list_reduce(list_prepend(0.0, "
+        "list_transform(sv, x -> x * x)), (a, b) -> a + b)) AS cn "
+        "FROM s2) "
+        "SELECT norms.sub AS sub, norms.code AS code, "
+        "CAST(coalesce(counts.n, 0) AS BIGINT) AS n_assigned, "
+        "round(norms.cn, 6) AS cnorm "
+        "FROM norms LEFT JOIN counts ON norms.sub = counts.sub "
+        "AND norms.code = counts.code "
+        "ORDER BY sub, code"
     )
 
 
@@ -11743,4 +11898,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_query_neardup": _minhash_query_sql(),
         "minhash_query_recall": _minhash_query_recall_sql(),
+        "pq_trained_codebook": _pq_trained_sql(),
     }
