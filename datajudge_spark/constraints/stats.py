@@ -337,6 +337,89 @@ class EmbeddingNormFraction(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class NeardupRecallMin(Constraint):
+    """Eval gate for the targeted near-dup LSH lookup: the
+    micro-averaged recall of :func:`pipeline.dedup.
+    query_neardup_candidates` against brute-force exact-Jaccard truth
+    over a bounded query sample — total true pairs found / total true
+    pairs — must be at least ``min_recall``.  The "measure recall
+    before trusting the decontamination index" gate, the near-dup
+    sibling of the ANN ``recall_at_k`` harness.  Extension, no
+    reference counterpart.
+
+    Engine side is ``pipeline.dedup.query_neardup_recall`` (query
+    shingles broadcast, bounded-fanout truth intersection, pre-thinned
+    corpus-size join); the bounded per-query digest crosses to the
+    driver.  No true near-dup in the sample = vacuous pass (nothing to
+    recall).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        id_column: str,
+        text_column: str,
+        query_ids: list,
+        min_recall: float = 0.95,
+        threshold: float = 0.5,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not query_ids:
+            raise ValueError("query_ids must be non-empty")
+        if not 0 <= min_recall <= 1:
+            raise ValueError("min_recall must be within [0, 1]")
+        self._id = id_column
+        self._text = text_column
+        self._query_ids = list(query_ids)
+        self._min_recall = min_recall
+        self._threshold = threshold
+        super().__init__(
+            ref, ref_value=min_recall, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..pipeline.dedup import query_neardup_recall
+
+        rows = query_neardup_recall(
+            self._ref.get_selection(engine),
+            self._id,
+            self._text,
+            self._query_ids,
+            threshold=self._threshold,
+        ).collect()
+        total_true = sum(r["n_true"] for r in rows)
+        total_hits = sum(r["n_hits"] for r in rows)
+        if total_true == 0:
+            return TestResult(
+                True,
+                "No query document has a true near-duplicate at Jaccard "
+                f">= {self._threshold}; the recall gate is vacuous.",
+            )
+        recall = total_hits / total_true
+        if recall >= self._min_recall:
+            return TestResult.success()
+        missed = sorted(
+            (
+                (r["query_id"], r["n_hits"], r["n_true"])
+                for r in rows
+                if r["n_hits"] < r["n_true"]
+            ),
+            key=lambda t: (t[1] - t[2], str(t[0])),
+        )[:5]
+        missed_str = ", ".join(
+            f"{q!r} ({h}/{t})" for q, h, t in missed
+        )
+        assertion_text = (
+            f"Near-dup lookup recall over {len(self._query_ids)} query "
+            f"documents of {self._ref} is {round(recall, 6)} "
+            f"({total_hits}/{total_true} true Jaccard >= "
+            f"{self._threshold} pairs found), below the required "
+            f"{self._min_recall}; worst queries: {missed_str}. "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 class DailyVolumeAnomaly(Constraint):
     """Rolling z-score gate on daily row volume: at most
     ``max_anomalies`` days may deviate more than ``threshold`` standard

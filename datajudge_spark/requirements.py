@@ -856,6 +856,41 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_neardup_recall_constraint(
+        self,
+        id_column: str,
+        text_column: str,
+        query_ids: list,
+        min_recall: float = 0.95,
+        threshold: float = 0.5,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the micro-averaged
+        recall of the banded MinHash near-dup LOOKUP against
+        brute-force exact-Jaccard truth (pairs at Jaccard >=
+        ``threshold``) over the bounded ``query_ids`` sample must be at
+        least ``min_recall`` — "measure the decontamination index's
+        recall before trusting it".  Query shingles broadcast; one
+        bounded-fanout truth shuffle; vacuous pass when the sample has
+        no true near-dup."""
+        ref = DataReference(
+            self._data_source, [id_column, text_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.NeardupRecallMin(
+                ref,
+                id_column,
+                text_column,
+                query_ids,
+                min_recall=min_recall,
+                threshold=threshold,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_daily_volume_anomaly_constraint(
         self,
         date_column: str,

@@ -412,6 +412,66 @@ class TestEmbeddingNormFraction:
             req.add_embedding_norm_fraction_constraint("v", 1.5)
 
 
+class TestNeardupRecall:
+    def _docs(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog near the old "
+            "river bank today"
+        )
+        near = base.replace("today", "yesterday")
+        other = (
+            "completely different words about spark shuffles partitions "
+            "and catalyst plans"
+        )
+        rows = [
+            (0, base), (1, near), (2, other), (3, base),
+            (4, "short text only"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_dups_pass(self, spark):
+        req = within_req(self._docs(spark), "nd1")
+        req.add_neardup_recall_constraint(
+            "doc_id", "text", [0, 2], min_recall=1.0
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_vacuous_when_no_truth(self, spark):
+        req = within_req(self._docs(spark), "nd2")
+        req.add_neardup_recall_constraint(
+            "doc_id", "text", [2, 4], min_recall=1.0
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_low_jaccard_truth_missed_fails(self, spark):
+        # docs sharing only a few shingles: true Jaccard clears a LOW
+        # threshold but band collision probability is tiny, so the LSH
+        # lookup deterministically misses some truth -> recall < 1
+        shared = "alpha beta gamma delta epsilon zeta "
+        rows = [
+            (i, shared + " ".join(f"w{i}_{j}" for j in range(40)))
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        req = within_req(df, "nd3")
+        req.add_neardup_recall_constraint(
+            "doc_id", "text", [0], min_recall=1.0, threshold=0.02
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "recall" in results[0].failure_message
+        assert "worst queries" in results[0].failure_message
+
+    def test_validation(self, spark):
+        req = within_req(self._docs(spark), "nd4")
+        with pytest.raises(ValueError):
+            req.add_neardup_recall_constraint("doc_id", "text", [])
+        with pytest.raises(ValueError):
+            req.add_neardup_recall_constraint(
+                "doc_id", "text", [0], min_recall=1.5
+            )
+
+
 class TestDailyVolumeAnomaly:
     def _days(self, spark, counts):
         import datetime as dt

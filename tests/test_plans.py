@@ -925,6 +925,18 @@ def test_query_neardup_recall_no_corpus_self_join(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_pq_trained_codebook_no_corpus_join(spark):
+    # training assign/update passes are map-only encodes against the
+    # broadcast codebook literal plus ONE mean shuffle each; the final
+    # digest join is the 128-row local norms frame — never a
+    # corpus-to-corpus join
+    plan = _executed_plan(
+        entrymod.queries()["pq_trained_codebook"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ratio_ztest_single_conditional_scan(spark):
     # per-variant sufficient statistics are conditional aggregates of
     # ONE scan (plus the bounded level probe) - map-side partials, no
