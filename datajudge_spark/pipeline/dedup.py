@@ -425,6 +425,16 @@ def jaccard_pairs(
     bounds the fan-out of the self-join to ``max_df^2`` per shingle —
     the difference between O(n·df) and O(n^2) at corpus scale.
 
+    The cutoff is ABSOLUTE, so at growing corpus size it trades recall
+    for the boundedness it promises: shingles whose df crosses the cap
+    stop generating pairs entirely (measured on the sf3 shard —
+    BASELINE.md round-10 section — where the candidate mass collapses
+    rather than explodes).  Production guidance: scale ``max_df``
+    roughly with the corpus (keeping max_df/N constant preserves which
+    shingles block), or prefer the MinHash-LSH sweep
+    (:func:`lsh_candidate_pairs`), whose banded collision probability
+    is corpus-size-independent.
+
     Shingles are replaced by their 60-bit hashes before any shuffle:
     fixed-width join keys instead of ~n-word strings (collisions would
     merge shingles identically in any engine recomputing the same hash).
