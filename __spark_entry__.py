@@ -5710,6 +5710,19 @@ def q_minhash_query_recall(spark, sf_dir):
     )
 
 
+def q_capture_recapture(spark, sf_dir):
+    # Chapman capture-recapture pool estimate between two sources:
+    # each source's exact-dedup fingerprint set is one "capture"; the
+    # overlap yields the bias-corrected pool size and the estimated
+    # documents NEITHER crawl has seen — the saturation question
+    # COUNT(DISTINCT) cannot answer.  One fingerprint shuffle, one
+    # conditional-agg digest row.
+    from datajudge_spark.pipeline.decontam import capture_recapture
+
+    d = _t(spark, sf_dir, "documents")
+    return capture_recapture(d, "source", "text", "src0", "src1")
+
+
 def q_streaming_srm(spark, sf_dir):
     # 16th streaming contract: sequential SRM monitoring.  Per-variant
     # assignment counts are associative, so the drained complete-mode
@@ -6530,6 +6543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 additions (queued for the r11 window)
         "minhash_query_recall": q_minhash_query_recall,
         "pq_trained_codebook": q_pq_trained_codebook,
+        "capture_recapture": q_capture_recapture,
     }
     missing = [k for k in _R10_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -11899,4 +11913,32 @@ def oracle_sql() -> dict[str, str]:
         "minhash_query_neardup": _minhash_query_sql(),
         "minhash_query_recall": _minhash_query_recall_sql(),
         "pq_trained_codebook": _pq_trained_sql(),
+        "capture_recapture": (
+            # same double-op order: (n+1) products, (m+1) denominators
+            "WITH fps AS (SELECT DISTINCT source AS src, "
+            "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp "
+            "FROM documents WHERE text IS NOT NULL "
+            "AND source IN ('src0', 'src1')), "
+            "flags AS (SELECT fp, "
+            "max(CASE WHEN src = 'src0' THEN 1 ELSE 0 END) AS ia, "
+            "max(CASE WHEN src = 'src1' THEN 1 ELSE 0 END) AS ib "
+            "FROM fps GROUP BY fp), "
+            "c AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a, "
+            "CAST(sum(ib) AS BIGINT) AS n_b, "
+            "CAST(coalesce(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), "
+            "0) AS BIGINT) AS n_both, "
+            "CAST(count(*) AS BIGINT) AS n_union FROM flags), "
+            "d AS (SELECT *, CAST(n_a AS DOUBLE) AS nad, "
+            "CAST(n_b AS DOUBLE) AS nbd, CAST(n_both AS DOUBLE) AS md "
+            "FROM c) "
+            "SELECT n_a, n_b, n_both, n_union, "
+            "round((nad + 1.0) * (nbd + 1.0) / (md + 1.0) - 1.0, 6) "
+            "AS chapman_total, "
+            "round(sqrt((nad + 1.0) * (nbd + 1.0) * (nad - md) "
+            "* (nbd - md) / ((md + 1.0) * (md + 1.0) * (md + 2.0))), 6) "
+            "AS se, "
+            "round(greatest((nad + 1.0) * (nbd + 1.0) / (md + 1.0) - 1.0 "
+            "- CAST(n_union AS DOUBLE), 0.0), 6) AS est_unseen "
+            "FROM d"
+        ),
     }

@@ -420,6 +420,76 @@ class NeardupRecallMin(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class PoolCoverageMin(Constraint):
+    """Saturation gate on two capture sources: the observed distinct
+    union must cover at least ``min_coverage`` of the Chapman
+    capture-recapture pool estimate — "my two crawls have already seen
+    at least this share of the reachable pool".  Low coverage = more
+    genuinely new documents are still out there; the question
+    COUNT(DISTINCT) cannot answer (it counts what was seen, not what
+    exists).  Valid under the independent-capture model; dependent
+    crawls bias the pool estimate LOW, making the gate conservative in
+    the passing direction.  Extension, no reference counterpart.
+
+    Engine side is ``pipeline.decontam.capture_recapture`` (one
+    fingerprint shuffle, one conditional-agg digest row).
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        source_column: str,
+        text_column: str,
+        src_a,
+        src_b,
+        min_coverage: float = 0.8,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not 0 < min_coverage <= 1:
+            raise ValueError("min_coverage must be within (0, 1]")
+        self._source = source_column
+        self._text = text_column
+        self._src_a = src_a
+        self._src_b = src_b
+        self._min_coverage = min_coverage
+        super().__init__(
+            ref, ref_value=min_coverage, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..pipeline.decontam import capture_recapture
+
+        row = capture_recapture(
+            self._ref.get_selection(engine),
+            self._source,
+            self._text,
+            self._src_a,
+            self._src_b,
+        ).collect()[0]
+        if row["n_a"] == 0 or row["n_b"] == 0:
+            return TestResult.failure(
+                f"Pool coverage of {self._ref} is undefined: source "
+                f"{self._src_a!r} has {row['n_a']} and {self._src_b!r} "
+                f"has {row['n_b']} distinct documents (a capture is "
+                "empty). ",
+                self.get_description(),
+            )
+        coverage = row["n_union"] / row["chapman_total"]
+        if coverage >= self._min_coverage:
+            return TestResult.success()
+        assertion_text = (
+            f"Sources {self._src_a!r} and {self._src_b!r} of {self._ref} "
+            f"have captured an estimated {round(coverage, 6)} of their "
+            f"document pool (union {row['n_union']} of Chapman estimate "
+            f"{row['chapman_total']} ± {row['se']}; overlap "
+            f"{row['n_both']} of {row['n_a']}/{row['n_b']}), below the "
+            f"required {self._min_coverage} — an estimated "
+            f"{row['est_unseen']} distinct documents remain unseen. "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 class DailyVolumeAnomaly(Constraint):
     """Rolling z-score gate on daily row volume: at most
     ``max_anomalies`` days may deviate more than ``threshold`` standard

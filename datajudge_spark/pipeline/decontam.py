@@ -273,3 +273,95 @@ def ngram_novelty(
             6,
         ).alias("novelty_fraction"),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    src_a,
+    src_b,
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the underlying document
+    POOL two sources draw from: treating each source's exact-dedup
+    fingerprint set as one "capture" of the pool, the overlap m
+    between captures of sizes n_a and n_b yields the bias-corrected
+    Chapman estimator
+
+        N̂ = (n_a + 1)(n_b + 1) / (m + 1) − 1
+        Var(N̂) = (n_a + 1)(n_b + 1)(n_a − m)(n_b − m)
+                  / ((m + 1)² (m + 2))
+
+    — the "how much of the reachable pool have my two crawls already
+    seen?" gate COUNT(DISTINCT) cannot express (it counts what was
+    seen, not what exists).  One digest row ``(n_a, n_b, n_both,
+    n_union, chapman_total, se, est_unseen)``; ``est_unseen`` =
+    max(N̂ − union, 0) — the estimated distinct documents NEITHER
+    source has captured (valid under the independent-capture model;
+    dependent crawls bias N̂ low — documented, not hidden).
+    Degenerate m = 0 still yields the finite Chapman value (its
+    raison d'être over Lincoln-Petersen).
+
+    Scale: each source reduces to its DISTINCT fingerprint set first
+    (md5 of normalized text — the exact-dedup key), one shuffle on the
+    fingerprint, per-fingerprint membership flags fold into ONE
+    conditional-aggregation row.  No pair join, no text on the wire.
+    Extension — no reference counterpart.
+    """
+    from datajudge_spark.pipeline._util import spread
+    from datajudge_spark.pipeline.dedup import normalized_fingerprint
+
+    base = spread(
+        df.where(
+            F.col(text_col).isNotNull()
+            & F.col(source_col).isin([src_a, src_b])
+        )
+    )
+    fps = (
+        normalized_fingerprint(
+            base.select(
+                F.col(source_col).alias("_src"), F.col(text_col)
+            ),
+            "_src",
+            text_col,
+        )
+        .distinct()
+    )
+    flags = fps.groupBy("fingerprint").agg(
+        F.max(F.when(F.col("_src") == F.lit(src_a), 1).otherwise(0)).alias(
+            "_in_a"
+        ),
+        F.max(F.when(F.col("_src") == F.lit(src_b), 1).otherwise(0)).alias(
+            "_in_b"
+        ),
+    )
+    counts = flags.agg(
+        F.sum("_in_a").cast("bigint").alias("n_a"),
+        F.sum("_in_b").cast("bigint").alias("n_b"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 1), 1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    m = F.col("n_both").cast("double")
+    chapman = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (na + 1.0) * (nb + 1.0) * (na - m) * (nb - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_union",
+        F.round(chapman, 6).alias("chapman_total"),
+        F.round(F.sqrt(var), 6).alias("se"),
+        F.round(
+            F.greatest(chapman - F.col("n_union").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("est_unseen"),
+    )

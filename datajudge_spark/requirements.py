@@ -891,6 +891,40 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_pool_coverage_constraint(
+        self,
+        source_column: str,
+        text_column: str,
+        src_a,
+        src_b,
+        min_coverage: float = 0.8,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the distinct-document
+        union of two capture sources must cover at least
+        ``min_coverage`` of the Chapman capture-recapture pool
+        estimate — "my two crawls have already seen this share of the
+        reachable pool"; low coverage means genuinely new documents
+        remain uncaptured.  One fingerprint shuffle, one digest row;
+        conservative under dependent captures."""
+        ref = DataReference(
+            self._data_source, [source_column, text_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.PoolCoverageMin(
+                ref,
+                source_column,
+                text_column,
+                src_a,
+                src_b,
+                min_coverage=min_coverage,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_daily_volume_anomaly_constraint(
         self,
         date_column: str,

@@ -472,6 +472,50 @@ class TestNeardupRecall:
             )
 
 
+class TestPoolCoverage:
+    def _two_sources(self, spark, n_shared, n_a_only, n_b_only):
+        rows = (
+            [("a", f"shared doc {i}") for i in range(n_shared)]
+            + [("b", f"shared doc {i}") for i in range(n_shared)]
+            + [("a", f"a only {i}") for i in range(n_a_only)]
+            + [("b", f"b only {i}") for i in range(n_b_only)]
+        )
+        return spark.createDataFrame(rows, "src string, text string")
+
+    def test_high_overlap_passes_low_fails(self, spark):
+        # 18 shared of 20/20: Chapman ~ (21*21/19)-1 = 22.2, union 22
+        # -> coverage ~0.99
+        df = self._two_sources(spark, 18, 2, 2)
+        req = within_req(df, "pool1")
+        req.add_pool_coverage_constraint("src", "text", "a", "b", 0.9)
+        assert outcomes(req, spark) == [True]
+        # 2 shared of 12/12: Chapman ~ (13*13/3)-1 = 55.3, union 22
+        # -> coverage ~0.4
+        df2 = self._two_sources(spark, 2, 10, 10)
+        req2 = within_req(df2, "pool2")
+        req2.add_pool_coverage_constraint("src", "text", "a", "b", 0.9)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "pool" in results[0].failure_message
+        assert "unseen" in results[0].failure_message
+
+    def test_empty_capture_fails_cleanly(self, spark):
+        df = self._two_sources(spark, 0, 5, 0)
+        req = within_req(df, "pool3")
+        req.add_pool_coverage_constraint("src", "text", "a", "b", 0.5)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark):
+        df = self._two_sources(spark, 1, 1, 1)
+        req = within_req(df, "pool4")
+        with pytest.raises(ValueError):
+            req.add_pool_coverage_constraint(
+                "src", "text", "a", "b", min_coverage=0.0
+            )
+
+
 class TestDailyVolumeAnomaly:
     def _days(self, spark, counts):
         import datetime as dt
