@@ -6200,69 +6200,69 @@ def q9_product_profit(spark, sf_dir):
 
 
 
-_R10_WINDOW = [
-    # -- 17 round-9 post-window additions (never driver-checked) --
-    "did_ab",
-    "embedding_centroid_shift",
-    "join_explosion_audit",
-    "welch_ttest",
-    "brown_forsythe",
-    "cmh_test",
-    "grouped_ztest_bh",
-    "nelson_aalen",
-    "durbin_watson",
-    "kruskal_wallis",
-    "streaming_cmh",
-    "chao1_richness",
-    "rmst",
-    "sequence_monotonicity",
-    "forecast_backtest",
-    "grouped_welch_bh",
-    "q9_product_profit",
-    # -- 33 of the 49-query r5 cohort (oldest remaining driver rows;
-    #    the 16 leftovers queue for the r11 window ahead of the r6
-    #    cohort — list in ROUNDLOG round-10 bookkeeping) --
-    "ks_statistic_continuous",
-    "dedup_simhash_pairs",
-    "tfidf_top_terms",
-    "multimodal_meta",
-    "asof_join",
-    "sessionize",
-    "topk_revenue",
-    "pivot_agg",
-    "psi_drift",
-    "moving_avg_daily",
-    "salted_join_agg",
-    "grouped_topk",
-    "streaming_windowed_counts",
-    "heavy_hitters",
-    "approx_distinct_check",
-    "ewma_daily",
-    "anomaly_zscore",
-    "scd2_intervals",
-    "grouped_median",
-    "grouped_ks",
-    "theil_sen_slope",
-    "ann_topk_pq",
-    "dedup_containment",
-    "ann_topk_ivf_pq",
-    "ann_recall_ivf",
-    "grouped_quantile_grid",
-    "grouped_theil_sen",
-    "multimodal_audio_windows",
-    "boilerplate_ngrams",
-    "graph_triangles",
-    "js_divergence",
-    "q4_order_priority",
-    "q18_large_orders",
+_R11_WINDOW = [
+    # -- 3 round-10 additions (never driver-checked) --
+    "minhash_query_recall",
+    "pq_trained_codebook",
+    "capture_recapture",
+    # -- 16 r5 leftovers (oldest remaining driver rows: latest row r5) --
+    "weekly_seasonality",
+    "q21_suppliers_waiting",
+    "q2_min_cost_supplier",
+    "approx_topk_check",
+    "multimodal_image_meta",
+    "countmin_check",
+    "bloom_filter_check",
+    "profile_drift",
+    "q14_promo_revenue_share",
+    "grouped_approx_distinct",
+    "cusum_changepoint",
+    "minhash_jaccard_est",
+    "grouped_js_divergence",
+    "q11_important_parts",
+    "q22_idle_customers",
+    "q19_disjunctive_revenue",
+    # -- 31 of the 48-query r6 cohort in r6-window order; the 17
+    #    residue (text_bpe_token_count onward) queue for r12 --
+    "row_count",
+    "row_count_capped",
+    "filtered_count",
+    "min_max",
+    "mean",
+    "length_extremes",
+    "fraction_between",
+    "date_span",
+    "percentile",
+    "uniques_histogram",
+    "distinct_count",
+    "distinct_union_count",
+    "duplicates",
+    "array_agg",
+    "functional_dependency",
+    "except_distinct",
+    "intersect",
+    "row_match_mismatch",
+    "anti_join",
+    "interval_gap",
+    "text_token_count",
+    "text_quality",
+    "text_stopword_ratio",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_neardup",
+    "ann_topk_bruteforce",
+    "text_language_id",
 ]
-assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Registration order is arbitrary: queries() reorders from
-        # _R10_WINDOW (above), the driver gate's single source of truth.
+        # _R11_WINDOW (above), the driver gate's single source of truth.
         "grouped_median": q_grouped_median,
         "grouped_ks": q_grouped_ks,
         "theil_sen_slope": q_theil_sen,
@@ -6545,9 +6545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_trained_codebook": q_pq_trained_codebook,
         "capture_recapture": q_capture_recapture,
     }
-    missing = [k for k in _R10_WINDOW if k not in base]
+    missing = [k for k in _R11_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
-    ordered = {k: base[k] for k in _R10_WINDOW}
+    ordered = {k: base[k] for k in _R11_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
@@ -7358,8 +7358,9 @@ def _minhash_query_recall_sql() -> str:
         "nh AS (SELECT truth.q, count(*) AS h FROM truth "
         "JOIN cand ON truth.q = cand.q AND truth.cid = cand.cid "
         "GROUP BY 1), "
-        "qs AS (SELECT DISTINCT doc_id AS q FROM documents "
-        f"WHERE doc_id IN ({qids})) "
+        # spine from the literal id list (mirrors the Spark operator:
+        # absent query ids still emit n_true = 0 rows)
+        f"qs AS (SELECT DISTINCT CAST(unnest([{qids}]) AS BIGINT) AS q) "
         "SELECT qs.q AS query_id, "
         "CAST(coalesce(t, 0) AS BIGINT) AS n_true, "
         "CAST(coalesce(h, 0) AS BIGINT) AS n_hits, "
@@ -11923,8 +11924,8 @@ def oracle_sql() -> dict[str, str]:
             "max(CASE WHEN src = 'src0' THEN 1 ELSE 0 END) AS ia, "
             "max(CASE WHEN src = 'src1' THEN 1 ELSE 0 END) AS ib "
             "FROM fps GROUP BY fp), "
-            "c AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a, "
-            "CAST(sum(ib) AS BIGINT) AS n_b, "
+            "c AS (SELECT CAST(coalesce(sum(ia), 0) AS BIGINT) AS n_a, "
+            "CAST(coalesce(sum(ib), 0) AS BIGINT) AS n_b, "
             "CAST(coalesce(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), "
             "0) AS BIGINT) AS n_both, "
             "CAST(count(*) AS BIGINT) AS n_union FROM flags), "

@@ -362,6 +362,10 @@ class NeardupRecallMin(Constraint):
         query_ids: list,
         min_recall: float = 0.95,
         threshold: float = 0.5,
+        num_hashes: int = 12,
+        shingle_n: int = 3,
+        bands: int = 4,
+        rows: int = 3,
         name: str | None = None,
         cache_size=None,
     ):
@@ -369,11 +373,20 @@ class NeardupRecallMin(Constraint):
             raise ValueError("query_ids must be non-empty")
         if not 0 <= min_recall <= 1:
             raise ValueError("min_recall must be within [0, 1]")
+        if bands * rows != num_hashes:
+            raise ValueError("bands * rows must equal num_hashes")
         self._id = id_column
         self._text = text_column
         self._query_ids = list(query_ids)
         self._min_recall = min_recall
         self._threshold = threshold
+        # the index parameters ACTUALLY deployed — the gate must
+        # measure the configuration it certifies (ADVICE r10), not a
+        # hard-wired default.
+        self._num_hashes = int(num_hashes)
+        self._shingle_n = int(shingle_n)
+        self._bands = int(bands)
+        self._rows = int(rows)
         super().__init__(
             ref, ref_value=min_recall, name=name, cache_size=cache_size
         )
@@ -387,14 +400,20 @@ class NeardupRecallMin(Constraint):
             self._text,
             self._query_ids,
             threshold=self._threshold,
+            num_hashes=self._num_hashes,
+            shingle_n=self._shingle_n,
+            bands=self._bands,
+            rows=self._rows,
         ).collect()
         total_true = sum(r["n_true"] for r in rows)
         total_hits = sum(r["n_hits"] for r in rows)
         if total_true == 0:
             return TestResult(
                 True,
-                "No query document has a true near-duplicate at Jaccard "
-                f">= {self._threshold}; the recall gate is vacuous.",
+                f"None of the {len(rows)} query documents has a true "
+                f"near-duplicate at Jaccard >= {self._threshold}; the "
+                "recall gate is vacuous — verify the query ids exist "
+                "in the corpus before trusting this pass.",
             )
         recall = total_hits / total_true
         if recall >= self._min_recall:
@@ -467,7 +486,7 @@ class PoolCoverageMin(Constraint):
             self._src_a,
             self._src_b,
         ).collect()[0]
-        if row["n_a"] == 0 or row["n_b"] == 0:
+        if not row["n_a"] or not row["n_b"]:
             return TestResult.failure(
                 f"Pool coverage of {self._ref} is undefined: source "
                 f"{self._src_a!r} has {row['n_a']} and {self._src_b!r} "

@@ -336,8 +336,11 @@ def capture_recapture(
         ),
     )
     counts = flags.agg(
-        F.sum("_in_a").cast("bigint").alias("n_a"),
-        F.sum("_in_b").cast("bigint").alias("n_b"),
+        # coalesce: a fully-empty selection yields SUM() = NULL; the
+        # gate needs clean zeros to report "capture is empty", not a
+        # driver-side TypeError (ADVICE r10).
+        F.coalesce(F.sum("_in_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("_in_b"), F.lit(0)).cast("bigint").alias("n_b"),
         F.coalesce(
             F.sum(
                 F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 1), 1)

@@ -1078,9 +1078,18 @@ def query_neardup_recall(
         .groupBy("__q")
         .agg(F.count(F.lit(1)).alias("__h"))
     )
-    queries = df.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("__q")
-    ).distinct()
+    # Spine from the query_ids LITERAL, not from df: a query id absent
+    # from the corpus must still emit a row (n_true = 0, NULL recall)
+    # so the gate's "recall over N query documents" count is honest and
+    # a typo'd id list is visible rather than silently dropped
+    # (ADVICE r10).
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    queries = df.sparkSession.createDataFrame(
+        [(q,) for q in dict.fromkeys(query_ids)],
+        schema=T.StructType([T.StructField("__q", id_type)]),
+    )
     t_col = F.coalesce(F.col("__t"), F.lit(0))
     h_col = F.coalesce(F.col("__h"), F.lit(0))
     return (

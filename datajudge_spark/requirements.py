@@ -863,6 +863,10 @@ class WithinRequirement(Requirement):
         query_ids: list,
         min_recall: float = 0.95,
         threshold: float = 0.5,
+        num_hashes: int = 12,
+        shingle_n: int = 3,
+        bands: int = 4,
+        rows: int = 3,
         condition: Condition | None = None,
         name: str | None = None,
         cache_size=None,
@@ -872,9 +876,11 @@ class WithinRequirement(Requirement):
         brute-force exact-Jaccard truth (pairs at Jaccard >=
         ``threshold``) over the bounded ``query_ids`` sample must be at
         least ``min_recall`` — "measure the decontamination index's
-        recall before trusting it".  Query shingles broadcast; one
-        bounded-fanout truth shuffle; vacuous pass when the sample has
-        no true near-dup."""
+        recall before trusting it".  ``num_hashes``/``shingle_n``/
+        ``bands``/``rows`` must be the parameters of the index actually
+        deployed, so the gate measures the configuration it certifies.
+        Query shingles broadcast; one bounded-fanout truth shuffle;
+        vacuous pass when the sample has no true near-dup."""
         ref = DataReference(
             self._data_source, [id_column, text_column], condition
         )
@@ -886,6 +892,10 @@ class WithinRequirement(Requirement):
                 query_ids,
                 min_recall=min_recall,
                 threshold=threshold,
+                num_hashes=num_hashes,
+                shingle_n=shingle_n,
+                bands=bands,
+                rows=rows,
                 name=name,
                 cache_size=cache_size,
             )

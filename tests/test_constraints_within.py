@@ -470,6 +470,42 @@ class TestNeardupRecall:
             req.add_neardup_recall_constraint(
                 "doc_id", "text", [0], min_recall=1.5
             )
+        with pytest.raises(ValueError):
+            # deployed-index params must be consistent (ADVICE r10)
+            req.add_neardup_recall_constraint(
+                "doc_id", "text", [0], num_hashes=12, bands=5, rows=3
+            )
+
+    def test_deployed_index_params_are_measured(self, spark):
+        # ADVICE r10: the gate must evaluate the configuration actually
+        # deployed. A single-band 12-row index collides only on
+        # near-identical signatures, so the low-Jaccard truth of
+        # test_low_jaccard_truth_missed_fails is missed even harder —
+        # but the same planted exact-style near-dup still collides.
+        req = within_req(self._docs(spark), "nd5")
+        req.add_neardup_recall_constraint(
+            "doc_id", "text", [0], min_recall=1.0,
+            num_hashes=12, bands=12, rows=1,
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_absent_query_id_not_dropped(self, spark):
+        # ADVICE r10: a typo'd / absent query id must surface in the
+        # vacuous-pass message, not be silently dropped from the frame.
+        from datajudge_spark.pipeline import dedup
+
+        rows = dedup.query_neardup_recall(
+            self._docs(spark), "doc_id", "text", [0, 999]
+        ).collect()
+        by_id = {r["query_id"]: r for r in rows}
+        assert set(by_id) == {0, 999}
+        assert by_id[999]["n_true"] == 0
+        assert by_id[999]["recall"] is None
+        req = within_req(self._docs(spark), "nd6")
+        req.add_neardup_recall_constraint("doc_id", "text", [997, 998])
+        results = req.test(spark)
+        assert results[0].outcome is True
+        assert "verify the query ids" in results[0].failure_message
 
 
 class TestPoolCoverage:
@@ -506,6 +542,17 @@ class TestPoolCoverage:
         results = req.test(spark)
         assert results[0].outcome is False
         assert "undefined" in results[0].failure_message
+
+    def test_both_empty_fails_cleanly(self, spark):
+        # ADVICE r10: SUM over ZERO rows is NULL for both captures;
+        # the gate must report "undefined", not crash on 0/None.
+        df = self._two_sources(spark, 0, 0, 0)
+        req = within_req(df, "pool_empty")
+        req.add_pool_coverage_constraint("src", "text", "a", "b", 0.5)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+        assert "has 0" in results[0].failure_message
 
     def test_validation(self, spark):
         df = self._two_sources(spark, 1, 1, 1)
