@@ -90,6 +90,11 @@ def main() -> None:
 
     calib_s = _calibrate()
 
+    def _warm_python_pool() -> None:
+        spark.range(0, n_part * 8, 1, n_part).mapInPandas(
+            _noop, "id long"
+        ).count()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {name: float("inf") for name in qs}
     for _ in range(runs):
@@ -97,10 +102,17 @@ def main() -> None:
         # can be reaped between passes, and min-of-N doesn't help if the
         # one-time refork lands on the first mapInPandas query of each
         # pass (r9's multimodal_audio_windows 3.8x artifact).
-        spark.range(0, n_part * 8, 1, n_part).mapInPandas(
-            _noop, "id long"
-        ).count()
+        _warm_python_pool()
         for name, fn in qs.items():
+            # A pass-start warm is NOT enough: workers are reaped
+            # MID-pass too (~200 JVM-only queries idle the pool), and
+            # the refork + Pillow import then lands on whichever
+            # mapInPandas query runs next (r10's multimodal_decode_real
+            # 0.91 -> 2.92 s with zero code diff).  Re-warm UNTIMED
+            # immediately before each Python-worker query so the timed
+            # section measures the operator, not worker forking.
+            if name.startswith("multimodal"):
+                _warm_python_pool()
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             rows = df.collect()

@@ -920,6 +920,7 @@ def query_neardup_candidates(
     bands: int = 4,
     rows: int = 3,
     min_est: float = 0.0,
+    _sig: DataFrame | None = None,
 ) -> DataFrame:
     """Targeted near-duplicate LOOKUP: which corpus documents collide
     with a given (small) query set in >= 1 MinHash LSH band, and what
@@ -942,7 +943,11 @@ def query_neardup_candidates(
     """
     if not query_ids:
         raise ValueError("query_ids must be non-empty")
-    sig = materialize_once(
+    # _sig: a caller that has ALREADY materialized the identical
+    # signature frame (the recall gate shares one shingle pass between
+    # its truth and lookup branches) passes it here; values are
+    # construction-identical either way.
+    sig = _sig if _sig is not None else materialize_once(
         minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     )
     band_structs = []
@@ -1030,10 +1035,30 @@ def query_neardup_recall(
         raise ValueError("query_ids must be non-empty")
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be within (0, 1]")
-    sh = materialize_once(
+    # ONE shingle pass feeds BOTH branches: the truth hash (s) and the
+    # two MinHash base hashes (b1, b2) are computed in the same select
+    # and cached together, so the corpus text is normalized/shingled/
+    # exploded once instead of once per branch (the lookup previously
+    # re-ran the whole chain inside query_neardup_candidates).
+    sh_all = materialize_once(
         _distinct_shingles(df, id_col, text_col, shingle_n).select(
-            "_id", md5_long("s").alias("s")
+            "_id",
+            md5_long("s").alias("s"),
+            md5_long("s", salt="a", nhex=MINHASH_HEX).alias("b1"),
+            md5_long("s", salt="b", nhex=MINHASH_HEX).alias("b2"),
         )
+    )
+    sh = sh_all.select("_id", "s")
+    sig_aggs = [
+        F.min(
+            (F.col("b1") + F.lit(k) * F.col("b2")).bitwiseAND(
+                F.lit(MINHASH_MASK)
+            )
+        ).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = materialize_once(
+        sh_all.groupBy("_id").agg(*sig_aggs).withColumnRenamed("_id", id_col)
     )
     is_query = F.col("_id").isin(list(query_ids))
     qsh = sh.where(is_query).select(F.col("_id").alias("__q"), "s")
@@ -1069,6 +1094,7 @@ def query_neardup_recall(
         bands=bands,
         rows=rows,
         min_est=0.0,
+        _sig=sig,
     ).select(
         F.col("query_id").alias("__q"), F.col("candidate_id").alias("__c")
     )
