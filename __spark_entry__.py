@@ -6200,6 +6200,90 @@ def q9_product_profit(spark, sf_dir):
 
 
 
+def q_cox_score(spark, sf_dir):
+    # Cox proportional-hazards SCORE test: does lifetime SPEND (integer
+    # cents — exact decimal sums) associate with the customer-churn
+    # hazard?  Customers' active span (first..last order) is the
+    # duration, churn = no order in the final year of the calendar; a
+    # rich ~800-duration histogram at sf0.01 (the events table's
+    # 30-day window censors everyone).  Continuous-covariate
+    # generalization of q_logrank; iteration-free (score at beta=0),
+    # risk-set sums are DESC-ordered cumulative decimals over the
+    # bounded duration histogram — the KM determinism contract.
+    from datajudge_spark.operators.timeseries import cox_score_test
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.sum(_cents("o_totalprice")).alias("spend_c"),
+    )
+    horizon = o.agg(
+        F.date_sub(F.max(F.col("o_orderdate").cast("date")), 365)
+        .alias("__h")
+    )
+    subj = per_cust.join(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").alias("dur"),
+        F.when(F.col("last_d") < F.col("__h"), 1).otherwise(0).alias("ev"),
+        F.col("spend_c"),
+    )
+    return cox_score_test(subj, "dur", "ev", "spend_c")
+
+
+def q_streaming_obf_monitor(spark, sf_dir):
+    """19th streaming contract query: group-sequential A/B monitoring
+    with an O'Brien-Fleming-shaped boundary.  Per-LOOK (day) counts are
+    associative conditional aggregates, so the complete-mode state after
+    the availableNow drain equals the batch grouped counts exactly; the
+    drained frame feeds the IDENTICAL boundary fold the batch operator
+    uses (operators.stats.obf_sequential_ztest) — hash-equal to the SQL
+    oracle.  The critical value enters both engines as the same
+    driver-computed literal (norm_ppf)."""
+    import os
+    import tempfile
+    import uuid
+
+    from datajudge_spark.operators.stats import obf_sequential_ztest
+    from datajudge_spark.sources import normalize_event_time
+    from datajudge_spark.streaming import (
+        stream_parquet_like,
+        streaming_look_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="djs_stream_obf_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "part-0.parquet"),
+    )
+    raw = stream_parquet_like(spark, stream_dir, batch_like)
+    ev = normalize_event_time(raw)
+    day = F.dayofmonth(F.col("ts").cast("timestamp"))
+    looks = streaming_look_counts(
+        ev,
+        day,
+        F.col("user_id") % 2 == 0,
+        F.col("user_id") % 2 == 1,
+        F.col("event_type") == "purchase",
+    )
+    qname = f"stream_obf_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            looks.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return obf_sequential_ztest(spark.table(qname)).orderBy("look")
+
+
 _R11_WINDOW = [
     # -- 3 round-10 additions (never driver-checked) --
     "minhash_query_recall",
@@ -6544,6 +6628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_query_recall": q_minhash_query_recall,
         "pq_trained_codebook": q_pq_trained_codebook,
         "capture_recapture": q_capture_recapture,
+        # round-11 additions (queued for the r12 window)
+        "cox_score": q_cox_score,
+        "streaming_obf_monitor": q_streaming_obf_monitor,
     }
     missing = [k for k in _R11_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7368,6 +7455,59 @@ def _minhash_query_recall_sql() -> str:
         "CAST(coalesce(h, 0) AS DOUBLE) / coalesce(t, 0) END, 6) "
         "AS recall "
         "FROM qs LEFT JOIN nt ON qs.q = nt.q LEFT JOIN nh ON qs.q = nh.q"
+    )
+
+
+def _obf_monitor_sql() -> str:
+    """DuckDB mirror of q_streaming_obf_monitor: the drained per-look
+    state equals the batch grouped counts (associative), so the oracle
+    is the batch GROUP BY + the identical boundary fold.  The critical
+    value is the SAME driver-computed literal (norm_ppf import — single
+    source of truth) both engines carry; ``crossed`` compares the
+    UNROUNDED z/boundary doubles, which agree bit-for-bit because both
+    derive from exact integer counts through the same expression
+    grouping."""
+    from datajudge_spark.operators.stats import norm_ppf
+
+    c = repr(norm_ppf(1.0 - 0.05 / 2.0))
+    z_expr = (
+        "CASE WHEN cn_a > 0 AND cn_b > 0 AND "
+        "pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb) > 0 THEN "
+        "(sa / na - sb / nb) / sqrt(pooled * (1.0 - pooled) "
+        "* (1.0 / na + 1.0 / nb)) END"
+    )
+    return (
+        "WITH looks AS (SELECT "
+        "CAST(date_part('day', ts) AS INTEGER) AS look, "
+        "count(*) FILTER (user_id % 2 = 0) AS n_a, "
+        "count(*) FILTER (user_id % 2 = 0 "
+        "AND event_type = 'purchase') AS s_a, "
+        "count(*) FILTER (user_id % 2 = 1) AS n_b, "
+        "count(*) FILTER (user_id % 2 = 1 "
+        "AND event_type = 'purchase') AS s_b "
+        "FROM events GROUP BY 1), "
+        "cum AS (SELECT look, "
+        "sum(n_a) OVER w AS cn_a, sum(s_a) OVER w AS cs_a, "
+        "sum(n_b) OVER w AS cn_b, sum(s_b) OVER w AS cs_b, "
+        "sum(n_a) OVER wall + sum(n_b) OVER wall AS tot FROM looks "
+        "WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW), "
+        "wall AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "UNBOUNDED FOLLOWING)), "
+        "d AS (SELECT *, CAST(cn_a AS DOUBLE) AS na, "
+        "CAST(cs_a AS DOUBLE) AS sa, CAST(cn_b AS DOUBLE) AS nb, "
+        "CAST(cs_b AS DOUBLE) AS sb, "
+        "(CAST(cs_a AS DOUBLE) + CAST(cs_b AS DOUBLE)) "
+        "/ (CAST(cn_a AS DOUBLE) + CAST(cn_b AS DOUBLE)) AS pooled, "
+        "(CAST(cn_a AS DOUBLE) + CAST(cn_b AS DOUBLE)) "
+        "/ CAST(tot AS DOUBLE) AS t FROM cum) "
+        "SELECT look, CAST(cn_a AS BIGINT) AS n_a, "
+        "CAST(cs_a AS BIGINT) AS s_a, CAST(cn_b AS BIGINT) AS n_b, "
+        "CAST(cs_b AS BIGINT) AS s_b, round(t, 6) AS info_frac, "
+        f"round({z_expr}, 6) AS z, "
+        f"round({c} / sqrt(t), 6) AS boundary, "
+        f"coalesce(abs({z_expr}) >= {c} / sqrt(t), FALSE) AS crossed "
+        "FROM d ORDER BY look"
     )
 
 
@@ -11914,6 +12054,64 @@ def oracle_sql() -> dict[str, str]:
         "minhash_query_neardup": _minhash_query_sql(),
         "minhash_query_recall": _minhash_query_recall_sql(),
         "pq_trained_codebook": _pq_trained_sql(),
+        "cox_score": (
+            # same duration/censoring construction as logrank; covariate
+            # sums stay DECIMAL-exact; risk set via DESC cumulative
+            # window; U/I accumulate 6dp-pre-rounded terms as exact
+            # decimals (order-independent); identical double expression
+            # grouping with string-routed decimal->double conversions
+            "WITH per AS (SELECT o_custkey, "
+            "min(CAST(o_orderdate AS DATE)) AS fd, "
+            "max(CAST(o_orderdate AS DATE)) AS ld, "
+            "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+            "AS BIGINT)) AS spend_c FROM orders GROUP BY 1), "
+            "subj AS (SELECT ld - fd AS t, CASE WHEN ld < "
+            "(SELECT max(CAST(o_orderdate AS DATE)) - 365 FROM orders) "
+            "THEN 1 ELSE 0 END AS ev, "
+            "CAST(spend_c AS DECIMAL(18,6)) AS x FROM per), "
+            "tot AS (SELECT count(*) AS n_subj FROM subj), "
+            "hist AS (SELECT t, count(*) AS m, sum(ev) AS d, "
+            "sum(CASE WHEN ev = 1 THEN x "
+            "ELSE CAST(0 AS DECIMAL(18,6)) END) AS sxe, "
+            # DECIMAL(19,6) forces DuckDB's int128 multiply path
+            # (18-precision products overflow int64); 19+19=38 fits the
+            # width cap and stays exact, matching Spark's (37,12)
+            "sum(x) AS sx, sum(CAST(x AS DECIMAL(19,6)) "
+            "* CAST(x AS DECIMAL(19,6))) AS sx2 FROM subj GROUP BY 1), "
+            "r AS (SELECT t, d, sxe, sum(m) OVER wrev AS n, "
+            "sum(sx) OVER wrev AS s1, sum(sx2) OVER wrev AS s2 "
+            "FROM hist WINDOW wrev AS (ORDER BY t DESC ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            # decimal -> VARCHAR -> DOUBLE mirrors the operator's
+            # string round-trip (correctly-rounded parse both engines)
+            "terms AS (SELECT t, d, "
+            "CAST(CAST(sxe AS VARCHAR) AS DOUBLE) - CAST(d AS DOUBLE) "
+            "* (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) "
+            "/ CAST(n AS DOUBLE)) AS u_t, "
+            "CAST(d AS DOUBLE) * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) "
+            "/ CAST(n AS DOUBLE) "
+            "- (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) "
+            "/ CAST(n AS DOUBLE))) AS i_t "
+            "FROM r WHERE d > 0), "
+            # 6dp-pre-rounded terms accumulate as EXACT decimals
+            # (order-independent — mirrors the operator); one final
+            # string-routed conversion back to double
+            "agg AS (SELECT sum(d) AS nev, "
+            "sum(CAST(round(u_t, 6) AS DECIMAL(38,6))) AS u, "
+            "sum(CAST(round(i_t, 6) AS DECIMAL(38,6))) AS info "
+            "FROM terms), "
+            "fin AS (SELECT nev, "
+            "CAST(CAST(u AS VARCHAR) AS DOUBLE) AS ud, "
+            "CAST(CAST(info AS VARCHAR) AS DOUBLE) AS id_ "
+            "FROM agg WHERE nev IS NOT NULL) "
+            "SELECT CAST(n_subj AS BIGINT) AS n_subjects, "
+            "CAST(nev AS BIGINT) AS n_events, round(ud, 6) AS u_score, "
+            "round(id_, 6) AS information, "
+            "round(CASE WHEN id_ > 0 THEN ud * ud / id_ END, 6) AS chi2 "
+            "FROM fin, tot"
+        ),
+        "streaming_obf_monitor": _obf_monitor_sql(),
         "capture_recapture": (
             # same double-op order: (n+1) products, (m+1) denominators
             "WITH fps AS (SELECT DISTINCT source AS src, "

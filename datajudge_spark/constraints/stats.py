@@ -2791,6 +2791,146 @@ class LogrankMax(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class CoxScoreMax(Constraint):
+    """Hazard-association gate: the Cox proportional-hazards SCORE
+    chi-squared for a numeric covariate may not exceed ``max_chi2``
+    (3.84 = 5% on χ²(1)) — "time-to-churn must not associate with this
+    covariate".  The continuous-covariate companion to
+    :class:`LogrankMax` (for a binary 0/1 covariate the statistic is
+    the untie-corrected log-rank).  Iteration-free (score test at
+    β = 0), so the whole gate is one relational plan on the bounded
+    duration histogram.  Extension, no reference counterpart.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        duration_column: str,
+        event_column: str,
+        covariate_column: str,
+        max_chi2: float,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_chi2 < 0:
+            raise ValueError("max_chi2 must be non-negative")
+        self._duration = duration_column
+        self._event = event_column
+        self._covariate = covariate_column
+        self._max_chi2 = max_chi2
+        super().__init__(
+            ref, ref_value=max_chi2, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.timeseries import cox_score_test
+
+        rows = cox_score_test(
+            self._ref.get_selection(engine),
+            self._duration,
+            self._event,
+            self._covariate,
+        ).collect()
+        row = rows[0] if rows else None
+        if row is None or row["chi2"] is None:
+            # no events / zero information (constant covariate): the
+            # data carries no evidence of association — vacuously pass
+            return TestResult.success()
+        if row["chi2"] <= self._max_chi2:
+            return TestResult.success()
+        assertion_text = (
+            f"Cox score chi-squared of hazard vs '{self._covariate}' on "
+            f"{self._ref} is {row['chi2']} (U={row['u_score']}, "
+            f"I={row['information']}, {row['n_events']} events over "
+            f"{row['n_subjects']} subjects) — exceeding the maximum "
+            f"{self._max_chi2}; the covariate associates with the "
+            f"hazard. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class ObfCrossingMax(Constraint):
+    """Group-sequential A/B gate: monitoring the experiment at every
+    look with an O'Brien-Fleming-shaped boundary, at most
+    ``max_crossed_looks`` looks may cross — "peeking after every look
+    must not reveal a significant difference".  The sequential
+    completion of :class:`TwoProportionZMax`: a fixed 1.96 gate checked
+    repeatedly inflates the false-positive rate; the OBF boundary
+    spends the error budget across looks instead.  Extension, no
+    reference counterpart.
+
+    Engine side is ``operators.stats.sequential_look_counts`` (one
+    grouped conditional-count scan) + ``obf_sequential_ztest`` (windows
+    over the bounded look frame); only the bounded monitoring grid
+    crosses to the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        look_column: str,
+        population_a,
+        population_b,
+        success,
+        alpha: float = 0.05,
+        critical_value: float | None = None,
+        max_crossed_looks: int = 0,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not 0.0 < alpha < 1.0:
+            raise ValueError("alpha must be within (0, 1)")
+        if max_crossed_looks < 0:
+            raise ValueError("max_crossed_looks must be non-negative")
+        self._look = look_column
+        self._population_a = population_a
+        self._population_b = population_b
+        self._success = success
+        self._alpha = alpha
+        self._critical_value = critical_value
+        self._max_crossed = int(max_crossed_looks)
+        super().__init__(
+            ref, ref_value=max_crossed_looks, name=name,
+            cache_size=cache_size,
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import (
+            obf_sequential_ztest,
+            sequential_look_counts,
+        )
+
+        looks = sequential_look_counts(
+            self._ref.get_selection(engine),
+            # expr, not col: the look is often a derived grain
+            # (date_part('day', ts)), not a physical column
+            F.expr(self._look),
+            self._population_a.to_column(),
+            self._population_b.to_column(),
+            self._success.to_column(),
+        )
+        grid = obf_sequential_ztest(
+            looks, alpha=self._alpha, critical_value=self._critical_value
+        ).collect()
+        crossed = sorted(
+            (r for r in grid if r["crossed"]), key=lambda r: r["look"]
+        )
+        if len(crossed) <= self._max_crossed:
+            return TestResult.success()
+        first = crossed[0]
+        assertion_text = (
+            f"Sequential O'Brien-Fleming monitor on {self._ref} crossed "
+            f"at {len(crossed)} of {len(grid)} looks (allowed "
+            f"{self._max_crossed}): first at look {first['look']!r} with "
+            f"|z|={abs(first['z'])} >= boundary {first['boundary']} "
+            f"(info fraction {first['info_frac']}, alpha={self._alpha}). "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 class StratifiedDiffMax(Constraint):
     """Post-stratification A/B gate: the stratum-weighted adjusted
     between-variant difference of an integer metric may not exceed

@@ -2243,6 +2243,156 @@ def ztest_from_counts(agg: DataFrame) -> DataFrame:
     )
 
 
+def norm_ppf(p: float) -> float:
+    """Inverse standard-normal CDF via Acklam's rational approximation
+    (|relative error| < 1.15e-9; public-domain algorithm).  Used to
+    turn ``alpha`` into the z critical value that enters the plan as a
+    LITERAL — the oracle SQL builder imports this same function, so
+    both engines carry the identical constant and no special function
+    runs in-plan."""
+    import math
+
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be within (0, 1)")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    plow, phigh = 0.02425, 1.0 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2.0 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                * q + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3])
+                               * q + 1.0)
+    if p > phigh:
+        q = math.sqrt(-2.0 * math.log(1.0 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                 * q + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3])
+                                * q + 1.0)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+            * r + a[5]) * q / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3])
+                                * r + b[4]) * r + 1.0)
+
+
+def sequential_look_counts(
+    df: DataFrame,
+    look_col,
+    population_a: Column,
+    population_b: Column,
+    success: Column,
+) -> DataFrame:
+    """Per-look A/B experiment count INCREMENTS: one row per look
+    ``(look, n_a, s_a, n_b, s_b)`` — the input to
+    :func:`obf_sequential_ztest`.  All four counts are associative
+    conditional aggregates (ONE grouped scan), so the same frame is
+    producible by the streaming complete-mode state
+    (:func:`datajudge_spark.streaming.streaming_look_counts`) and the
+    drained state hash-matches this batch GROUP BY exactly."""
+    look = look_col if isinstance(look_col, Column) else F.col(look_col)
+    return (
+        df.where((population_a | population_b) & look.isNotNull())
+        .groupBy(look.alias("look"))
+        .agg(
+            F.count(F.when(population_a, 1)).alias("n_a"),
+            F.count(F.when(population_a & success, 1)).alias("s_a"),
+            F.count(F.when(population_b, 1)).alias("n_b"),
+            F.count(F.when(population_b & success, 1)).alias("s_b"),
+        )
+    )
+
+
+def obf_sequential_ztest(
+    looks: DataFrame,
+    alpha: float = 0.05,
+    critical_value: float | None = None,
+) -> DataFrame:
+    """Group-sequential A/B monitor with an O'Brien-Fleming-shaped
+    boundary: from per-look count increments ``(look, n_a, s_a, n_b,
+    s_b)``, one row per look ``(look, n_a, s_a, n_b, s_b [cumulative],
+    info_frac, z, boundary, crossed)`` — "may I peek at the experiment
+    after every look without inflating my false-positive rate?", the
+    question the fixed-horizon z-test cannot answer (peeking at
+    z > 1.96 every day drives the realized type-I error far above 5%).
+
+    The boundary is the classic O'Brien-Fleming SHAPE: constant on the
+    B-value (score) scale, so on the z scale ``b(t) = c / sqrt(t)``
+    with ``t`` the information fraction (cumulative exposure / total
+    exposure) — extremely strict early, relaxing to ``c`` at full
+    information.  ``c`` defaults to ``norm_ppf(1 - alpha/2)`` (the
+    fixed-horizon critical value — the common fixed-B-boundary
+    heuristic); pass the exact O'Brien-Fleming constant for a planned
+    number of looks via ``critical_value`` (e.g. 2.04 for K = 5 looks
+    at alpha = 0.05) when the schedule is known — the exact Lan-DeMets
+    spending boundary needs recursive numerical integration and is out
+    of scope by design.  ``c`` enters the plan as a driver-computed
+    LITERAL; no special function runs in-plan.
+
+    Scale & determinism: the per-look frame is bounded by the look
+    grain (days/hours of an experiment), so the cumulative and
+    full-range windows run on a tiny frame — the per-EVENT work is the
+    one grouped conditional-count scan of
+    :func:`sequential_look_counts` (or its streaming twin).  Counts are
+    exact integers; doubles appear once in fixed expressions — the same
+    pooled-z grouping as :func:`ztest_from_counts`.  Looks where either
+    side is empty or pooled variance is zero yield NULL z and are never
+    ``crossed``.  Extension — no reference counterpart.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be within (0, 1)")
+    c = float(critical_value) if critical_value is not None else norm_ppf(
+        1.0 - alpha / 2.0
+    )
+    if c <= 0:
+        raise ValueError("critical_value must be positive")
+    w_cum = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = looks.select(
+        "look",
+        F.sum("n_a").over(w_cum).alias("cn_a"),
+        F.sum("s_a").over(w_cum).alias("cs_a"),
+        F.sum("n_b").over(w_cum).alias("cn_b"),
+        F.sum("s_b").over(w_cum).alias("cs_b"),
+        (F.sum("n_a").over(w_all) + F.sum("n_b").over(w_all))
+        .alias("tot"),
+    )
+    na, sa = F.col("cn_a").cast("double"), F.col("cs_a").cast("double")
+    nb, sb = F.col("cn_b").cast("double"), F.col("cs_b").cast("double")
+    pooled = (sa + sb) / (na + nb)
+    var = pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb)
+    z = F.when(
+        (F.col("cn_a") > 0) & (F.col("cn_b") > 0) & (var > 0),
+        (sa / na - sb / nb) / F.sqrt(var),
+    )
+    t = (na + nb) / F.col("tot").cast("double")
+    boundary = F.lit(c) / F.sqrt(t)
+    return cum.select(
+        "look",
+        F.col("cn_a").cast("bigint").alias("n_a"),
+        F.col("cs_a").cast("bigint").alias("s_a"),
+        F.col("cn_b").cast("bigint").alias("n_b"),
+        F.col("cs_b").cast("bigint").alias("s_b"),
+        F.round(t, 6).alias("info_frac"),
+        F.round(z, 6).alias("z"),
+        F.round(boundary, 6).alias("boundary"),
+        F.coalesce(F.abs(z) >= boundary, F.lit(False)).alias("crossed"),
+    )
+
+
 def cuped_adjusted_diff(
     units: DataFrame,
     pre_col: str,

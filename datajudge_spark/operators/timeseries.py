@@ -1423,6 +1423,119 @@ def logrank_test(
     )
 
 
+def cox_score_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """Cox proportional-hazards SCORE test for a single numeric
+    covariate — "does this covariate associate with the hazard?"
+    without fitting anything: the score test at β = 0 is
+    iteration-free, so the whole statistic is one relational plan.
+    One digest row ``(n_subjects, n_events, u_score, information,
+    chi2)`` where, with Breslow tie handling,
+
+        U = Σ_t ( Σ_{events at t} x_i − d_t · x̄(t) )
+        I = Σ_t d_t · ( s2(t)/n(t) − x̄(t)² )
+        χ² = U² / I   ~ χ²(1) under "no association"
+
+    and ``x̄(t) = s1(t)/n(t)`` with ``n/s1/s2`` the size / covariate
+    sum / covariate square-sum of the risk set at event time ``t``.
+    For a binary 0/1 covariate this is exactly the (untie-corrected)
+    log-rank test — the continuous-covariate generalization of
+    :func:`logrank_test`.
+
+    Scale & determinism: subjects collapse to the per-duration
+    histogram (one groupBy shuffle — the Kaplan-Meier plan); risk-set
+    aggregates are DESC-ordered cumulative sums over that bounded
+    frame, so no per-subject window exists at any scale.  The
+    covariate is cast to DECIMAL(18,6) and all risk-set sums stay
+    decimal-EXACT (order-independent); doubles appear only in the
+    per-event-time terms (string-routed decimal->double conversions,
+    correctly rounded on every engine), and U/I accumulate the
+    6dp-pre-rounded terms as exact decimals — no double ever flows
+    through an order-sensitive sum, so the digest is bit-reproducible
+    at any partitioning.  Feed an exactly-representable covariate
+    (integer cents) for bit-stable results.  Zero information (constant
+    covariate / no events) yields NULL chi2, never a division error; no
+    observed events yields an empty digest.  Extension — no reference
+    counterpart.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(covariate_col).isNotNull()
+    ).select(
+        F.col(duration_col).alias("__t"),
+        F.col(event_col).cast("int").alias("__e"),
+        F.col(covariate_col).cast("decimal(18,6)").alias("__x"),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    hist = base.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("__e").alias("d"),
+        F.sum(F.when(F.col("__e") == 1, F.col("__x")).otherwise(zero))
+        .alias("sxe"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sx2"),
+    )
+    n_subjects = int(base.agg(F.count(F.lit(1)).alias("__n")).first()["__n"])
+    # risk set at t = everyone with duration >= t: DESC-ordered
+    # cumulative sums over the bounded duration frame (exact decimals)
+    w_rev = Window.orderBy(F.desc("__t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.select(
+        "__t",
+        "d",
+        "sxe",
+        F.sum("m").over(w_rev).alias("n"),
+        F.sum("sx").over(w_rev).alias("s1"),
+        F.sum("sx2").over(w_rev).alias("s2"),
+    ).where(F.col("d") > 0)
+    # decimal -> STRING -> double: engines convert wide decimals to
+    # doubles through different internal paths (scaled-int divide vs
+    # BigDecimal), which can differ by 1 ulp at >2^53 magnitudes; a
+    # string round-trip is exact on the decimal side and the parse is
+    # correctly rounded to nearest in both engines — bit-identical.
+    dd = F.col("d").cast("double")
+    nd = F.col("n").cast("double")
+    xbar = F.col("s1").cast("string").cast("double") / nd
+    u_t = F.col("sxe").cast("string").cast("double") - dd * xbar
+    i_t = dd * (
+        F.col("s2").cast("string").cast("double") / nd - xbar * xbar
+    )
+    # U/I accumulate as exact decimals of the 6dp-PRE-ROUNDED per-term
+    # doubles: the per-term values are bit-identical across engines
+    # (exact inputs, fixed expression grouping), but a cumulative
+    # double sum is NOT — window-sum implementations group additions
+    # differently (sequential vs segment tree), and at |U| ~ 1e10 a few
+    # ulps exceed the 6dp rounding grid.  Decimal addition is
+    # order-independent, so the digest is reproducible on any engine
+    # and any partitioning; the quantization error is <= 5e-7 per event
+    # time — noise for a chi-square gate.
+    u_t6 = F.round(u_t, 6).cast("decimal(38,6)")
+    i_t6 = F.round(i_t, 6).cast("decimal(38,6)")
+    agg = risk.agg(
+        F.sum("d").alias("ev"),
+        F.sum(u_t6).alias("u"),
+        F.sum(i_t6).alias("info"),
+    ).where(F.col("ev").isNotNull())  # no events -> empty digest
+    u_d = F.col("u").cast("string").cast("double")
+    i_d = F.col("info").cast("string").cast("double")
+    chi2 = F.when(i_d > 0, u_d * u_d / i_d)
+    return agg.select(
+        F.lit(n_subjects).cast("bigint").alias("n_subjects"),
+        F.col("ev").cast("bigint").alias("n_events"),
+        F.round(u_d, 6).alias("u_score"),
+        F.round(i_d, 6).alias("information"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
 def pettitt_changepoint(
     daily: DataFrame, value_col: str = "total"
 ) -> DataFrame:

@@ -2234,6 +2234,88 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_cox_score_constraint(
+        self,
+        duration_column: str,
+        event_column: str,
+        covariate_column: str,
+        max_chi2: float = 3.84,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the Cox
+        proportional-hazards SCORE chi-squared for a numeric covariate
+        over a one-row-per-subject frame (``duration_column``,
+        ``event_column`` 1=observed/0=censored, numeric
+        ``covariate_column``) may not exceed ``max_chi2`` (3.84 = 5% on
+        chi-squared(1)) — "the hazard must not associate with this
+        covariate".  Iteration-free score test at beta = 0; subjects
+        collapse to the bounded duration histogram (the Kaplan-Meier
+        plan).  No events or a constant covariate passes vacuously;
+        feed an integer/cents covariate for bit-stable results."""
+        ref = DataReference(
+            self._data_source,
+            [duration_column, event_column, covariate_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.CoxScoreMax(
+                ref,
+                duration_column,
+                event_column,
+                covariate_column,
+                max_chi2=max_chi2,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_sequential_ztest_constraint(
+        self,
+        look_column: str,
+        population_a: Condition,
+        population_b: Condition,
+        success: Condition,
+        alpha: float = 0.05,
+        critical_value: float | None = None,
+        max_crossed_looks: int = 0,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): monitor the
+        ``success`` rate between the ``population_a`` and
+        ``population_b`` slices cumulatively at every level of
+        ``look_column`` (days, hours) against an
+        O'Brien-Fleming-shaped boundary ``z(t) = c/sqrt(t)`` — at most
+        ``max_crossed_looks`` looks may cross.  The sequential
+        completion of ``add_two_proportion_ztest_constraint``: checking
+        a fixed 1.96 gate after every look inflates the false-positive
+        rate; the OBF boundary spends the alpha budget across looks.
+        ``c`` defaults to the fixed-horizon critical value for
+        ``alpha``; pass the exact O'Brien-Fleming constant for a
+        planned look count via ``critical_value``.  One grouped
+        conditional-count scan; windows run on the bounded look
+        frame."""
+        # columns=None: the population/success Conditions reference
+        # arbitrary columns, so the selection must keep the full row
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            stats_constraints.ObfCrossingMax(
+                ref,
+                look_column,
+                population_a,
+                population_b,
+                success,
+                alpha=alpha,
+                critical_value=critical_value,
+                max_crossed_looks=max_crossed_looks,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_stratified_diff_constraint(
         self,
         metric_column: str,

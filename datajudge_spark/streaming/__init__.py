@@ -785,3 +785,40 @@ def streaming_stratum_2x2_counts(
             F.count(F.lit(1)).alias("__t"),
         )
     )
+
+
+def streaming_look_counts(
+    stream_df: DataFrame,
+    look_col,
+    population_a: "Column",
+    population_b: "Column",
+    success: "Column",
+) -> DataFrame:
+    """Running per-LOOK A/B experiment counts over a stream: one
+    complete-mode state row per look ``(look, n_a, s_a, n_b, s_b)`` —
+    the input to a group-sequential O'Brien-Fleming monitor ("peek at
+    the experiment after every look without inflating the
+    false-positive rate"), completing the sequential-testing stack the
+    SRM / CMH / z-test streaming contracts started.
+
+    All four counts are associative/commutative conditional aggregates,
+    so the drained state after any availableNow pass EQUALS the batch
+    grouped counts (:func:`datajudge_spark.operators.stats.
+    sequential_look_counts`) exactly, and feeding it through the
+    identical boundary fold (:func:`datajudge_spark.operators.stats.
+    obf_sequential_ztest`) yields a hash-identical monitoring grid.
+    State is O(|looks|) longs — bounded by the look grain (days/hours
+    of the experiment), not the stream.  No watermark needed; nothing
+    is evicted.
+    """
+    look = look_col if isinstance(look_col, Column) else F.col(look_col)
+    return (
+        stream_df.where((population_a | population_b) & look.isNotNull())
+        .groupBy(look.alias("look"))
+        .agg(
+            F.count(F.when(population_a, 1)).alias("n_a"),
+            F.count(F.when(population_a & success, 1)).alias("s_a"),
+            F.count(F.when(population_b, 1)).alias("n_b"),
+            F.count(F.when(population_b & success, 1)).alias("s_b"),
+        )
+    )

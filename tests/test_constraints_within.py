@@ -1741,6 +1741,112 @@ class TestLogrank:
         assert outcomes(req, spark) == [True]
 
 
+class TestCoxScore:
+    def _subjects(self, spark, assoc):
+        rng = __import__("random").Random(47)
+        rows = []
+        for _i in range(150):
+            x = rng.randint(0, 500)
+            dur = rng.randint(1, 10) + (x // 50 if assoc else 0)
+            rows.append((dur, 1 if rng.random() < 0.8 else 0, x))
+        return spark.createDataFrame(rows, "dur int, ev int, x long")
+
+    def test_independent_passes_associated_fails(self, spark):
+        req = within_req(self._subjects(spark, False), "cox_ind")
+        req.add_cox_score_constraint("dur", "ev", "x")
+        assert outcomes(req, spark) == [True]
+
+        req2 = within_req(self._subjects(spark, True), "cox_assoc")
+        req2.add_cox_score_constraint("dur", "ev", "x")
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "associates with the hazard" in results[0].failure_message
+
+    def test_constant_covariate_vacuous_pass(self, spark):
+        df = spark.createDataFrame(
+            [(3, 1, 7), (4, 1, 7), (5, 0, 7)], "dur int, ev int, x long"
+        )
+        req = within_req(df, "cox_const")
+        req.add_cox_score_constraint("dur", "ev", "x")
+        assert outcomes(req, spark) == [True]
+
+    def test_no_events_vacuous_pass(self, spark):
+        df = spark.createDataFrame(
+            [(3, 0, 1), (4, 0, 2)], "dur int, ev int, x long"
+        )
+        req = within_req(df, "cox_noev")
+        req.add_cox_score_constraint("dur", "ev", "x")
+        assert outcomes(req, spark) == [True]
+
+    def test_validation(self, spark, int_table1):
+        req = within_req(int_table1, "cox_v")
+        with pytest.raises(ValueError):
+            req.add_cox_score_constraint("d", "e", "x", max_chi2=-1.0)
+
+
+class TestSequentialZtest:
+    def _events(self, spark, late_shift):
+        # 10 looks x 100 users/side; conversion moves by late_shift on
+        # the b side in looks 6..10
+        rows = []
+        rng = __import__("random").Random(59)
+        for look in range(1, 11):
+            for u in range(200):
+                grp = u % 2
+                p = 0.3 + (late_shift if grp and look > 5 else 0.0)
+                rows.append((look, grp, 1 if rng.random() < p else 0))
+        return spark.createDataFrame(rows, "look int, grp int, conv int")
+
+    def test_null_effect_passes_real_effect_fails(self, spark):
+        from datajudge_spark import Condition
+
+        a = Condition(raw_string="grp = 0")
+        b = Condition(raw_string="grp = 1")
+        s = Condition(raw_string="conv = 1")
+        req = within_req(self._events(spark, 0.0), "obf_null")
+        req.add_sequential_ztest_constraint("look", a, b, s)
+        assert outcomes(req, spark) == [True]
+
+        req2 = within_req(self._events(spark, 0.35), "obf_shift")
+        req2.add_sequential_ztest_constraint("look", a, b, s)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "crossed" in results[0].failure_message
+        assert "boundary" in results[0].failure_message
+
+    def test_allowance_and_custom_critical_value(self, spark):
+        from datajudge_spark import Condition
+
+        a = Condition(raw_string="grp = 0")
+        b = Condition(raw_string="grp = 1")
+        s = Condition(raw_string="conv = 1")
+        df = self._events(spark, 0.35)
+        # a huge critical value makes the boundary uncrossable
+        req = within_req(df, "obf_cv")
+        req.add_sequential_ztest_constraint(
+            "look", a, b, s, critical_value=50.0
+        )
+        assert outcomes(req, spark) == [True]
+        # allowance tolerates the crossings the default boundary finds
+        req2 = within_req(df, "obf_allow")
+        req2.add_sequential_ztest_constraint(
+            "look", a, b, s, max_crossed_looks=10
+        )
+        assert outcomes(req2, spark) == [True]
+
+    def test_validation(self, spark, int_table1):
+        from datajudge_spark import Condition
+
+        c = Condition(raw_string="col_int > 0")
+        req = within_req(int_table1, "obf_v")
+        with pytest.raises(ValueError):
+            req.add_sequential_ztest_constraint("l", c, c, c, alpha=0.0)
+        with pytest.raises(ValueError):
+            req.add_sequential_ztest_constraint(
+                "l", c, c, c, max_crossed_looks=-1
+            )
+
+
 class TestStratifiedDiff:
     def test_gate_pass_and_fail(self, spark):
         rng = __import__("random").Random(53)

@@ -989,6 +989,100 @@ def test_fuzz_logrank(spark, case):
 
 
 @pytest.mark.parametrize("case", range(5))
+def test_fuzz_cox_score(spark, case):
+    from datajudge_spark.operators.timeseries import cox_score_test
+
+    rng = random.Random(_MK_SEED + 950 + case)
+    grid = rng.choice([3, 5, 12])
+    cens_p = rng.choice([0.0, 0.3, 0.9])
+    n = rng.randint(6, 150)
+    # integer covariate (cents-style) so the decimal cast is exact
+    subjects = [
+        (rng.randint(1, grid), 1 if rng.random() >= cens_p else 0,
+         rng.randint(0, 500))
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(subjects, "dur int, ev int, x long")
+    out = cox_score_test(df, "dur", "ev", "x").collect()
+    times = sorted({t for t, e, _x in subjects if e == 1})
+    if not times:
+        assert out == []
+        return
+    u = info = 0.0
+    n_events = 0
+    for t in times:
+        risk = [x for d, _e, x in subjects if d >= t]
+        nn = len(risk)
+        s1, s2 = sum(risk), sum(v * v for v in risk)
+        d = sum(1 for dd, e, _x in subjects if dd == t and e)
+        sxe = sum(x for dd, e, x in subjects if dd == t and e)
+        xbar = s1 / nn
+        u += sxe - d * xbar
+        info += d * (s2 / nn - xbar * xbar)
+        n_events += d
+    r = out[0]
+    assert (r["n_subjects"], r["n_events"]) == (n, n_events), f"case {case}"
+    assert r["u_score"] == pytest.approx(u, abs=2e-5), f"case {case}"
+    assert r["information"] == pytest.approx(info, abs=2e-5), f"case {case}"
+    if info > 0:
+        assert r["chi2"] == pytest.approx(u * u / info, abs=2e-4)
+    else:
+        assert r["chi2"] is None
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_obf_sequential(spark, case):
+    from datajudge_spark.operators.stats import (
+        norm_ppf,
+        obf_sequential_ztest,
+        sequential_look_counts,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(_MK_SEED + 960 + case)
+    n_looks = rng.randint(1, 8)
+    rows = []
+    for look in range(1, n_looks + 1):
+        for _ in range(rng.randint(0, 60)):
+            grp = rng.randint(0, 1)
+            # some looks deliberately one-sided / all-converting
+            conv = 1 if rng.random() < rng.choice([0.0, 0.4, 1.0]) else 0
+            rows.append((look, grp, conv))
+    if not rows:
+        rows = [(1, 0, 1), (1, 1, 0)]
+    df = spark.createDataFrame(rows, "look int, grp int, conv int")
+    looks = sequential_look_counts(
+        df, "look", F.col("grp") == 0, F.col("grp") == 1, F.col("conv") == 1
+    )
+    out = {r["look"]: r for r in obf_sequential_ztest(looks).collect()}
+    c = norm_ppf(0.975)
+    present = sorted({lk for lk, _g, _c in rows})
+    tot = len(rows)
+    for lk in present:
+        upto = [r for r in rows if r[0] <= lk]
+        na = sum(1 for l, g, _c2 in upto if g == 0)
+        sa = sum(1 for l, g, c2 in upto if g == 0 and c2)
+        nb = sum(1 for l, g, _c2 in upto if g == 1)
+        sb = sum(1 for l, g, c2 in upto if g == 1 and c2)
+        r = out[lk]
+        assert (r["n_a"], r["s_a"], r["n_b"], r["s_b"]) == (na, sa, nb, sb)
+        t = (na + nb) / tot
+        assert r["info_frac"] == pytest.approx(t, abs=2e-6)
+        assert r["boundary"] == pytest.approx(c / t ** 0.5, abs=2e-5)
+        if na and nb:
+            p = (sa + sb) / (na + nb)
+            var = p * (1 - p) * (1 / na + 1 / nb)
+            if var > 0:
+                z = (sa / na - sb / nb) / var ** 0.5
+                assert r["z"] == pytest.approx(z, abs=2e-5), f"case {case}"
+                b = c / t ** 0.5
+                if abs(abs(z) - b) > 1e-9:  # skip knife-edge ties
+                    assert r["crossed"] == (abs(z) >= b), f"case {case}"
+                continue
+        assert r["z"] is None and r["crossed"] is False
+
+
+@pytest.mark.parametrize("case", range(5))
 def test_fuzz_post_stratified(spark, case):
     from datajudge_spark.operators.stats import post_stratified_diff
 

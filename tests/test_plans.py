@@ -1053,3 +1053,44 @@ def test_kruskal_wallis_bucketed_cumulative(spark):
     plan = _executed_plan(entrymod.queries()["kruskal_wallis"](spark, SF_DIR))
     assert "Exchange hashpartitioning(__b" in plan, plan
     assert "windowspecdefinition(__b" in plan, plan
+
+
+def test_cox_score_windows_on_duration_histogram(spark):
+    # same shape as logrank/kaplan_meier: subjects collapse to the
+    # distinct-duration histogram in ONE grouped scan (events parquet
+    # is read once for the histogram + once for the tiny n_subjects
+    # digest); all windows run over that bounded frame, no join at any
+    # scale, and the risk-set sums stay decimal (exact) until the term
+    # stage
+    plan = _executed_plan(entrymod.queries()["cox_score"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "windowspecdefinition(__t" in plan, plan
+    # the U/I fold is a plain decimal aggregate (order-independent),
+    # not an ordered cumulative + last-row pick
+    assert "partial_sum" in plan, plan
+
+
+def test_obf_monitor_windows_on_look_frame(spark):
+    # batch twin of the streaming contract: ONE conditional-agg scan to
+    # the per-look counts; the cumulative/full-range windows run over
+    # the bounded look frame (the SinglePartition exchange sits above
+    # the aggregate, never on the fact table)
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import (
+        obf_sequential_ztest,
+        sequential_look_counts,
+    )
+
+    ev = entrymod._t(spark, SF_DIR, "events")
+    looks = sequential_look_counts(
+        ev,
+        F.dayofmonth(F.col("ts").cast("timestamp")),
+        F.col("user_id") % 2 == 0,
+        F.col("user_id") % 2 == 1,
+        F.col("event_type") == "purchase",
+    )
+    plan = _executed_plan(obf_sequential_ztest(looks))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan

@@ -696,6 +696,64 @@ class TestStreamingAbCounts:
         assert drained == batch  # exact, including the z double
 
 
+class TestStreamingLookCounts:
+    def test_multi_batch_state_equals_batch_grid(self, spark, tmp_path):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from datajudge_spark.operators.stats import (
+            obf_sequential_ztest,
+            sequential_look_counts,
+        )
+        from datajudge_spark.streaming import streaming_look_counts
+
+        rng = __import__("random").Random(11)
+        rows = [
+            (i, dt.datetime(2024, 1, 1 + rng.randint(0, 9), 12),
+             rng.choice(["purchase", "view", "click"]))
+            for i in range(300)
+        ]
+        schema = "user_id long, ts timestamp, event_type string"
+        src = tmp_path / "obf_src"
+        for b, chunk in enumerate([rows[:130], rows[130:]]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(src / f"f{b}")
+            )
+        stream_dir = tmp_path / "obf_in"
+        stream_dir.mkdir()
+        for n, part in enumerate(sorted(src.rglob("*.parquet"))):
+            (stream_dir / f"{n:02d}.parquet").symlink_to(part)
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)  # forces TWO micro-batches
+            .parquet(str(stream_dir))
+        )
+        day = F.dayofmonth("ts")
+        pa_, pb_ = F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1
+        ok = F.col("event_type") == "purchase"
+        q = (
+            streaming_look_counts(raw, day, pa_, pb_, ok)
+            .writeStream.format("memory").queryName("obf_state")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        drained = (
+            obf_sequential_ztest(spark.table("obf_state"))
+            .orderBy("look").collect()
+        )
+        batch_df = spark.createDataFrame(rows, schema)
+        batch = (
+            obf_sequential_ztest(
+                sequential_look_counts(batch_df, day, pa_, pb_, ok)
+            ).orderBy("look").collect()
+        )
+        assert drained == batch  # exact, including the z/boundary doubles
+        assert len(batch) == 10
+
+
 class TestLateDataDrainStructure:
     def test_exactly_three_checkpointed_drains(self, spark, monkeypatch):
         """Structural pin (VERDICT r8 item 8): streaming_late_data is
