@@ -6230,6 +6230,24 @@ def q_cox_score(spark, sf_dir):
     return cox_score_test(subj, "dur", "ev", "spend_c")
 
 
+def q_qte_deciles(spark, sf_dir):
+    # quantile treatment effects between parity user variants: WHERE in
+    # the event-value distribution the "treatment" acted — the
+    # distributional A/B readout every mean gate averages away.  Exact
+    # quantile rule decided by integer comparisons on the grouped_ks
+    # scaffold: one conditional-agg histogram shuffle + the shared
+    # bucket-partitioned cumulative, all 9x2 cells in one final agg.
+    from datajudge_spark.operators.stats import quantile_treatment_effect
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "value", (F.col("user_id") % 2).cast("int").alias("variant")
+    )
+    return quantile_treatment_effect(df, "value", "variant").orderBy(
+        "decile"
+    )
+
+
 def q_streaming_obf_monitor(spark, sf_dir):
     """19th streaming contract query: group-sequential A/B monitoring
     with an O'Brien-Fleming-shaped boundary.  Per-LOOK (day) counts are
@@ -6631,6 +6649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-11 additions (queued for the r12 window)
         "cox_score": q_cox_score,
         "streaming_obf_monitor": q_streaming_obf_monitor,
+        "qte_deciles": q_qte_deciles,
     }
     missing = [k for k in _R11_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7455,6 +7474,44 @@ def _minhash_query_recall_sql() -> str:
         "CAST(coalesce(h, 0) AS DOUBLE) / coalesce(t, 0) END, 6) "
         "AS recall "
         "FROM qs LEFT JOIN nt ON qs.q = nt.q LEFT JOIN nh ON qs.q = nh.q"
+    )
+
+
+def _qte_sql(deciles: int = 10) -> str:
+    """DuckDB mirror of q_qte_deciles: same integer decision rule
+    (deciles * cum >= j * n_variant) as operators.stats
+    .quantile_treatment_effect; c and t materialized (each branch
+    references them twice and DuckDB inlines plain CTEs per site)."""
+    branches = []
+    for j in range(1, deciles):
+        qa = (
+            f"(SELECT min(v) FROM c, t "
+            f"WHERE c.cum0 * {deciles} >= {j} * t.n0)"
+        )
+        qb = (
+            f"(SELECT min(v) FROM c, t "
+            f"WHERE c.cum1 * {deciles} >= {j} * t.n1)"
+        )
+        branches.append(
+            f"SELECT CAST({j} AS INT) AS decile, "
+            "round(qa, 6) AS q_a, round(qb, 6) AS q_b, "
+            "round(qb - qa, 6) AS qte FROM "
+            f"(SELECT CAST({qa} AS DOUBLE) AS qa, "
+            f"CAST({qb} AS DOUBLE) AS qb)"
+        )
+    return (
+        "WITH h AS MATERIALIZED (SELECT value AS v, "
+        "count(*) FILTER (WHERE CAST(user_id % 2 AS INT) = 0) AS c0, "
+        "count(*) FILTER (WHERE CAST(user_id % 2 AS INT) = 1) AS c1 "
+        "FROM events WHERE value IS NOT NULL "
+        "AND CAST(user_id % 2 AS INT) IS NOT NULL GROUP BY value), "
+        "c AS MATERIALIZED (SELECT v, "
+        "sum(c0) OVER (ORDER BY v) AS cum0, "
+        "sum(c1) OVER (ORDER BY v) AS cum1 FROM h), "
+        "t AS MATERIALIZED (SELECT max(cum0) AS n0, max(cum1) AS n1 "
+        "FROM c) "
+        + " UNION ALL ".join(branches)
+        + " ORDER BY decile"
     )
 
 
@@ -12112,6 +12169,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM fin, tot"
         ),
         "streaming_obf_monitor": _obf_monitor_sql(),
+        "qte_deciles": _qte_sql(),
         "capture_recapture": (
             # same double-op order: (n+1) products, (m+1) denominators
             "WITH fps AS (SELECT DISTINCT source AS src, "

@@ -2931,6 +2931,82 @@ class ObfCrossingMax(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class QteMax(Constraint):
+    """Distribution-wide A/B gate: no decile's quantile treatment
+    effect ``|q_b − q_a|`` may exceed ``max_abs_qte`` — "the treatment
+    must not have moved ANY part of the outcome distribution more than
+    this", the question every mean gate averages away (a top-decile-only
+    effect barely moves the mean; mirrored-sign QTEs cancel in it
+    entirely).  Completes the A/B readout stack: mean (Welch/CUPED),
+    rate (two-proportion z), spread (Brown-Forsythe), distribution
+    (THIS).  Extension, no reference counterpart.
+
+    Engine side is ``operators.stats.quantile_treatment_effect`` (one
+    conditional-agg histogram shuffle + the shared bucket-partitioned
+    cumulative); only the bounded decile grid crosses to the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        value_column: str,
+        assignment_column: str,
+        max_abs_qte: float,
+        deciles: int = 10,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_qte < 0:
+            raise ValueError("max_abs_qte must be non-negative")
+        if deciles < 2:
+            raise ValueError("deciles must be >= 2")
+        self._value = value_column
+        self._assign = assignment_column
+        self._max_abs = max_abs_qte
+        self._deciles = int(deciles)
+        super().__init__(
+            ref, ref_value=max_abs_qte, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import quantile_treatment_effect
+
+        try:
+            grid = quantile_treatment_effect(
+                self._ref.get_selection(engine),
+                self._value,
+                self._assign,
+                deciles=self._deciles,
+            ).collect()
+        except ValueError as exc:
+            return TestResult.failure(
+                f"Quantile treatment effect on {self._ref} is undefined: "
+                f"{exc}. ",
+                self.get_description(),
+            )
+        offenders = sorted(
+            (
+                r for r in grid
+                if r["qte"] is not None and abs(r["qte"]) > self._max_abs
+            ),
+            key=lambda r: -abs(r["qte"]),
+        )
+        if not offenders:
+            return TestResult.success()
+        worst = [
+            (r["decile"], r["q_a"], r["q_b"], r["qte"])
+            for r in offenders[:5]
+        ]
+        assertion_text = (
+            f"{len(offenders)} of {len(grid)} deciles of "
+            f"'{self._value}' between the two '{self._assign}' variants "
+            f"of {self._ref} move more than {self._max_abs} — worst "
+            f"(decile, q_a, q_b, qte): {worst}; the treatment effect is "
+            f"not distributionally bounded. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 class StratifiedDiffMax(Constraint):
     """Post-stratification A/B gate: the stratum-weighted adjusted
     between-variant difference of an integer metric may not exceed

@@ -2316,6 +2316,40 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_qte_constraint(
+        self,
+        value_column: str,
+        assignment_column: str,
+        max_abs_qte: float,
+        deciles: int = 10,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): no decile's quantile
+        treatment effect (the difference of the two assignment levels'
+        exact quantiles at j/``deciles``) may exceed ``max_abs_qte`` in
+        absolute value — "the treatment must not move ANY part of the
+        outcome distribution more than this".  Catches top-decile-only
+        and spread-compressing effects that mean gates average away.
+        One conditional-agg histogram scan + the shared bucketed
+        cumulative; a non-two-level assignment fails with a clean
+        message."""
+        ref = DataReference(
+            self._data_source, [value_column, assignment_column], condition
+        )
+        self._constraints.append(
+            stats_constraints.QteMax(
+                ref,
+                value_column,
+                assignment_column,
+                max_abs_qte=max_abs_qte,
+                deciles=deciles,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_stratified_diff_constraint(
         self,
         metric_column: str,

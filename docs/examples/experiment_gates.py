@@ -112,6 +112,40 @@ for r in req2.test(spark):
     print(f"[readout] {'PASS' if r.outcome else 'FAIL'}",
           (r.failure_message or "")[:110])
 
+# ---- 3b. sequential monitoring: peek after every look safely --------
+# a fixed 1.96 gate checked daily inflates the realized false-positive
+# rate; the O'Brien-Fleming boundary spends the alpha budget across
+# looks — strict early, 1.96 only at full information (round 11)
+req3 = WithinRequirement.from_expression(events, "events_seq")
+req3.add_sequential_ztest_constraint(
+    "CAST(date_part('day', ts) AS INT)",          # the look grain
+    Condition(raw_string="user_id % 2 = 0"),      # control
+    Condition(raw_string="user_id % 2 = 1"),      # treatment
+    Condition(raw_string="event_type = 'purchase'"),
+    alpha=0.05,
+)
+# survival angle: does a covariate associate with time-to-churn?
+# (Cox score test at beta=0 — iteration-free; round 11)
+spark.read.parquet(f"{SF}/orders.parquet").createOrReplaceTempView(
+    "orders_v"
+)
+subjects = WithinRequirement.from_raw_query(
+    """SELECT datediff(max(cast(o_orderdate as date)),
+                       min(cast(o_orderdate as date))) AS dur,
+              CASE WHEN max(cast(o_orderdate as date)) <
+                   (SELECT date_sub(max(cast(o_orderdate as date)), 365)
+                    FROM orders_v) THEN 1 ELSE 0 END AS ev,
+              sum(cast(cast(o_totalprice as decimal(18,2)) * 100
+                  as bigint)) AS spend_c
+       FROM orders_v GROUP BY o_custkey""",
+    "subjects",
+)
+subjects.add_cox_score_constraint("dur", "ev", "spend_c", max_chi2=1e9)
+for req_ in (req3, subjects):
+    for r in req_.test(spark):
+        print(f"[sequential/survival] {'PASS' if r.outcome else 'FAIL'}",
+              (r.failure_message or "")[:110])
+
 # ---- 4. which SEGMENT drifted? (per-group PSI, one scan) -------------
 psi = grouped_psi(
     events, "event_type", "value", day <= 15, day >= 16,

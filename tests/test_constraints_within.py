@@ -1847,6 +1847,49 @@ class TestSequentialZtest:
             )
 
 
+class TestQte:
+    def _ab(self, spark, top_decile_shift):
+        rng = __import__("random").Random(61)
+        rows = []
+        for i in range(1000):
+            g = i % 2
+            v = float(rng.randint(0, 100))
+            # treatment acts ONLY above the ~80th percentile — barely
+            # visible to a mean gate, loud at the 9th decile of the grid
+            if g and v > 80:
+                v += top_decile_shift
+            rows.append((g, v))
+        return spark.createDataFrame(rows, "grp int, v double")
+
+    def test_bounded_passes_tail_effect_fails(self, spark):
+        req = within_req(self._ab(spark, 0.0), "qte_null")
+        req.add_qte_constraint("v", "grp", max_abs_qte=5.0)
+        assert outcomes(req, spark) == [True]
+
+        req2 = within_req(self._ab(spark, 200.0), "qte_tail")
+        req2.add_qte_constraint("v", "grp", max_abs_qte=5.0)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "not distributionally bounded" in results[0].failure_message
+
+    def test_non_two_level_fails_cleanly(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 2.0), (2, 3.0)], "grp int, v double"
+        )
+        req = within_req(df, "qte_3lvl")
+        req.add_qte_constraint("v", "grp", max_abs_qte=5.0)
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark, int_table1):
+        req = within_req(int_table1, "qte_v")
+        with pytest.raises(ValueError):
+            req.add_qte_constraint("v", "g", max_abs_qte=-1.0)
+        with pytest.raises(ValueError):
+            req.add_qte_constraint("v", "g", max_abs_qte=1.0, deciles=1)
+
+
 class TestStratifiedDiff:
     def test_gate_pass_and_fail(self, spark):
         rng = __import__("random").Random(53)

@@ -1083,6 +1083,47 @@ def test_fuzz_obf_sequential(spark, case):
 
 
 @pytest.mark.parametrize("case", range(5))
+def test_fuzz_qte(spark, case):
+    from datajudge_spark.operators.stats import quantile_treatment_effect
+
+    rng = random.Random(_MK_SEED + 970 + case)
+    deciles = rng.choice([4, 10])
+    # heavy ties, imbalanced variants, a shift on one side
+    shift = rng.choice([0, 7])
+    rows = []
+    for _ in range(200):
+        g = 1 if rng.random() < 0.3 else 0
+        rows.append((g, float(rng.randint(0, 30) + (shift if g else 0))))
+    if not any(g == 1 for g, _v in rows):
+        rows.append((1, 3.0))
+    df = spark.createDataFrame(rows, "grp int, v double")
+    out = {
+        r["decile"]: r
+        for r in quantile_treatment_effect(
+            df, "v", "grp", deciles=deciles
+        ).collect()
+    }
+    a = sorted(v for g, v in rows if g == 0)
+    b = sorted(v for g, v in rows if g == 1)
+
+    def q(vals, j):
+        # smallest v with deciles*cum >= j*n over the sorted values
+        n = len(vals)
+        for i, v in enumerate(vals, start=1):
+            if deciles * i >= j * n:
+                return v
+        return None
+
+    assert len(out) == deciles - 1
+    for j in range(1, deciles):
+        qa, qb = q(a, j), q(b, j)
+        r = out[j]
+        assert r["q_a"] == pytest.approx(qa, abs=1e-9), f"case {case} j={j}"
+        assert r["q_b"] == pytest.approx(qb, abs=1e-9), f"case {case} j={j}"
+        assert r["qte"] == pytest.approx(qb - qa, abs=1e-9)
+
+
+@pytest.mark.parametrize("case", range(5))
 def test_fuzz_post_stratified(spark, case):
     from datajudge_spark.operators.stats import post_stratified_diff
 

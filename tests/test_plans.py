@@ -1094,3 +1094,18 @@ def test_obf_monitor_windows_on_look_frame(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "partial_count" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_qte_bucketed_cumulative_single_scan(spark):
+    # the grouped_ks scaffold: ONE conditional-agg histogram scan, the
+    # bucket-partitioned cumulative (never a global fact-table window),
+    # all (variant, decile) cells in one final aggregate reading the
+    # persisted cums (cached bodies repeat their file lineage textually
+    # per consumer — count InMemoryTableScan, not Scan parquet)
+    plan = _executed_plan(entrymod.queries()["qte_deciles"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "Exchange hashpartitioning(__b" in plan, plan
+    assert "Join" not in plan, plan
+    for ln in plan.splitlines():
+        if "Window " in ln:
+            assert "__b" in ln, f"unpartitioned window: {ln}"
