@@ -703,3 +703,73 @@ def test_grouped_welch_bh_partition_stable(spark, n_parts):
     ref = sorted(grouped_welch_bh(df, *args).collect())
     got = sorted(grouped_welch_bh(df.repartition(n_parts), *args).collect())
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_cox_score_partition_stable(spark, n_parts):
+    # the round-11 claim: U/I accumulate as exact decimals of
+    # pre-rounded terms, so the digest is bit-identical at ANY
+    # partitioning (a plain double sum would not be)
+    from datajudge_spark.operators.timeseries import cox_score_test
+
+    rng = __import__("random").Random(17)
+    rows = [
+        (rng.randint(1, 40), 1 if rng.random() < 0.6 else 0,
+         rng.randint(0, 10**9))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "dur int, ev int, x long")
+    ref = cox_score_test(df, "dur", "ev", "x").collect()
+    got = cox_score_test(
+        df.repartition(n_parts), "dur", "ev", "x"
+    ).collect()
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_obf_sequential_partition_stable(spark, n_parts):
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import (
+        obf_sequential_ztest,
+        sequential_look_counts,
+    )
+
+    rng = __import__("random").Random(19)
+    rows = [
+        (rng.randint(1, 9), rng.randint(0, 1),
+         1 if rng.random() < 0.35 else 0)
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "look int, grp int, conv int")
+
+    def run(frame):
+        return sorted(
+            obf_sequential_ztest(
+                sequential_look_counts(
+                    frame, "look", F.col("grp") == 0, F.col("grp") == 1,
+                    F.col("conv") == 1,
+                )
+            ).collect()
+        )
+
+    assert run(df.repartition(n_parts)) == run(df)
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_qte_partition_stable(spark, n_parts):
+    from datajudge_spark.operators.stats import quantile_treatment_effect
+
+    rng = __import__("random").Random(23)
+    rows = [
+        (rng.randint(0, 1), float(rng.randint(0, 50)))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "grp int, v double")
+    ref = sorted(quantile_treatment_effect(df, "v", "grp").collect())
+    got = sorted(
+        quantile_treatment_effect(
+            df.repartition(n_parts), "v", "grp"
+        ).collect()
+    )
+    assert got == ref
