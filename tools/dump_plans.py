@@ -109,6 +109,11 @@ HEADLINE = [
     "q9_product_profit",      # broadcast dim chains, integer profit
     "sequence_monotonicity",  # key-partitioned window only
     "chao1_richness",         # two partial-agg shuffles
+    # round 11
+    "cox_score",              # KM histogram, decimal risk sums, plain
+                              # decimal U/I fold (no ordered window)
+    "qte_deciles",            # one histogram scan, bucketed cumulative,
+                              # all (variant, decile) cells in one agg
 ]
 
 
