@@ -103,6 +103,33 @@ def main() -> None:
         flag = "OK" if psi < 0.25 else "DRIFT"
         print(f"  window {ws}: psi={psi:.4f} [{flag}]")
 
+    # 4. group-sequential A/B monitor (round 11): per-look counts are
+    # O(looks) complete-mode state; the drained frame feeds the
+    # O'Brien-Fleming boundary fold — peek after every look without
+    # inflating the false-positive rate (a fixed 1.96 gate checked
+    # daily does).
+    from datajudge_spark.operators.stats import obf_sequential_ztest
+    from datajudge_spark.streaming import streaming_look_counts
+
+    looks = streaming_look_counts(
+        stream,
+        F.dayofmonth("event_ts"),
+        F.col("user_id") % 2 == 0,
+        F.col("user_id") % 2 == 1,
+        F.col("event_type") == "purchase",
+    )
+    q3 = (
+        looks.writeStream.format("memory").queryName("obf")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q3.awaitTermination()
+    grid = obf_sequential_ztest(spark.table("obf")).orderBy("look")
+    for r in grid.collect():
+        flag = "CROSSED" if r.crossed else "ok"
+        zs = "None" if r.z is None else f"{r.z:+.3f}"
+        print(f"  look {r.look:>2}: t={r.info_frac:.2f} z={zs} "
+              f"boundary={r.boundary:.3f} [{flag}]")
+
 
 if __name__ == "__main__":
     main()
