@@ -90,9 +90,23 @@ def main() -> None:
 
     calib_s = _calibrate()
 
+    def _noop_import(batches):
+        # the refork charge is fork + MODULE IMPORTS: a worker that has
+        # not imported Pillow/numpy pays ~100ms on its first decode
+        # batch, and workers reaped mid-pass lose that state.  Import
+        # here so the warm covers the whole per-worker cost.
+        try:
+            import PIL.Image  # noqa: F401
+        except Exception:
+            pass
+        import numpy  # noqa: F401
+
+        for b in batches:
+            yield b
+
     def _warm_python_pool() -> None:
         spark.range(0, n_part * 8, 1, n_part).mapInPandas(
-            _noop, "id long"
+            _noop_import, "id long"
         ).count()
 
     qs = entrymod.queries()
