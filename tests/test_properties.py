@@ -864,3 +864,163 @@ class TestNgramNoveltyProperties:
         if row["n_test_ngrams"] > 0:
             assert row["n_shared"] == 0
             assert row["novelty_fraction"] == 1.0
+
+
+class TestCoxLogrankEquivalence:
+    @given(
+        subjects=st.lists(
+            st.tuples(
+                st.integers(1, 500),          # duration (wide grid)
+                st.integers(0, 1),            # event
+                st.integers(0, 1),            # group
+            ),
+            min_size=8,
+            max_size=40,
+        ),
+    )
+    @settings(**SETTINGS)
+    def test_binary_covariate_equals_logrank_without_ties(
+        self, spark, subjects
+    ):
+        # The Cox SCORE test with a binary 0/1 covariate IS the
+        # log-rank test; with NO tied event times the Breslow score
+        # information equals the hypergeometric log-rank variance
+        # exactly ((n-d)/(n-1) = 1 when d = 1), so the two operators'
+        # chi-squared must agree to rounding.
+        from datajudge_spark.operators.timeseries import (
+            cox_score_test,
+            logrank_test,
+        )
+
+        # enforce unique event times and two present groups
+        seen = set()
+        rows = []
+        for d, e, g in subjects:
+            if e == 1:
+                if d in seen:
+                    e = 0
+                else:
+                    seen.add(d)
+            rows.append((d, e, g))
+        gs = {g for _d, _e, g in rows}
+        if len(gs) < 2:
+            rows += [(501, 0, 0), (502, 0, 1)]
+        df = spark.createDataFrame(rows, "dur int, ev int, grp int")
+        cox = cox_score_test(
+            df.withColumn("x", F.col("grp").cast("long")), "dur", "ev", "x"
+        ).collect()
+        lr = logrank_test(df, "dur", "ev", "grp").collect()
+        if not cox:
+            assert lr == [] or lr[0]["chi2"] is None or True
+            return
+        c, l = cox[0], lr[0]
+        if c["chi2"] is None or l["chi2"] is None:
+            return
+        assert c["chi2"] == pytest.approx(l["chi2"], abs=2e-4)
+
+
+class TestQteMonotoneEquivariance:
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 30)),
+            min_size=4,
+            max_size=60,
+        ),
+        scale=st.integers(2, 5),
+        shift=st.integers(-10, 10),
+    )
+    @settings(**SETTINGS)
+    def test_quantiles_commute_with_affine_map(
+        self, spark, rows, scale, shift
+    ):
+        # exact quantiles are equivariant under strictly increasing
+        # maps: QTE(a*v + b) at every decile == a * QTE(v) (the shift
+        # cancels in the difference); q_a/q_b map pointwise.
+        from datajudge_spark.operators.stats import (
+            quantile_treatment_effect,
+        )
+
+        if len({g for g, _v in rows}) < 2:
+            rows = rows + [(0, 1), (1, 2)]
+        df = spark.createDataFrame(
+            [(g, float(v)) for g, v in rows], "grp int, v double"
+        )
+        base = {
+            r["decile"]: r
+            for r in quantile_treatment_effect(df, "v", "grp").collect()
+        }
+        mapped_df = df.withColumn(
+            "v", F.col("v") * float(scale) + float(shift)
+        )
+        mapped = {
+            r["decile"]: r
+            for r in quantile_treatment_effect(
+                mapped_df, "v", "grp"
+            ).collect()
+        }
+        assert set(base) == set(mapped)
+        for j, b in base.items():
+            m = mapped[j]
+            assert m["q_a"] == pytest.approx(
+                scale * b["q_a"] + shift, abs=1e-6
+            )
+            assert m["q_b"] == pytest.approx(
+                scale * b["q_b"] + shift, abs=1e-6
+            )
+            assert m["qte"] == pytest.approx(scale * b["qte"], abs=1e-6)
+
+
+class TestObfSymmetry:
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(1, 5),   # look
+                st.integers(0, 1),   # group
+                st.integers(0, 1),   # converted
+            ),
+            min_size=4,
+            max_size=80,
+        ),
+    )
+    @settings(**SETTINGS)
+    def test_label_swap_flips_z_keeps_boundary_and_crossings(
+        self, spark, rows
+    ):
+        # swapping the two populations negates every look's z and
+        # leaves info_frac/boundary/crossed unchanged — the monitor
+        # cannot prefer a side; and the final look's boundary equals
+        # the fixed-horizon critical value exactly (t = 1).
+        from datajudge_spark.operators.stats import (
+            norm_ppf,
+            obf_sequential_ztest,
+            sequential_look_counts,
+        )
+
+        df = spark.createDataFrame(rows, "look int, grp int, conv int")
+        a, b = F.col("grp") == 0, F.col("grp") == 1
+        ok = F.col("conv") == 1
+
+        def grid(p, q):
+            return {
+                r["look"]: r
+                for r in obf_sequential_ztest(
+                    sequential_look_counts(df, "look", p, q, ok)
+                ).collect()
+            }
+
+        fwd, rev = grid(a, b), grid(b, a)
+        assert set(fwd) == set(rev)
+        for lk, f in fwd.items():
+            r = rev[lk]
+            assert (f["info_frac"], f["boundary"], f["crossed"]) == (
+                r["info_frac"], r["boundary"], r["crossed"]
+            )
+            if f["z"] is None:
+                assert r["z"] is None
+            else:
+                assert r["z"] == pytest.approx(-f["z"], abs=2e-6)
+        last = fwd[max(fwd)]
+        if last["info_frac"] == 1.0:
+            assert last["boundary"] == pytest.approx(
+                round(norm_ppf(0.975), 6), abs=1e-6
+            )
