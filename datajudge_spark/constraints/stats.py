@@ -3007,6 +3007,85 @@ class QteMax(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class AlwaysValidPMin(Constraint):
+    """Anytime-valid A/B gate: the always-valid p-value (mixture
+    sequential probability ratio over the per-look cumulative counts)
+    must stay at or above ``alpha`` at every look — monitor
+    continuously, stop whenever, the type-I guarantee needs NO look
+    schedule (the O'Brien-Fleming gate's remaining assumption).  The
+    anytime sibling of :class:`ObfCrossingMax`.  Extension, no
+    reference counterpart.
+
+    Engine side is ``operators.stats.sequential_look_counts`` (one
+    grouped conditional-count scan) + ``avi_sequential_ztest`` (fixed
+    expressions + a running-max window on the bounded look frame);
+    only the bounded monitoring grid crosses to the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        look_column: str,
+        population_a,
+        population_b,
+        success,
+        alpha: float = 0.05,
+        phi: float | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not 0.0 < alpha < 1.0:
+            raise ValueError("alpha must be within (0, 1)")
+        if phi is not None and phi <= 0:
+            raise ValueError("phi must be positive")
+        self._look = look_column
+        self._population_a = population_a
+        self._population_b = population_b
+        self._success = success
+        self._alpha = alpha
+        self._phi = phi
+        super().__init__(
+            ref, ref_value=alpha, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..operators.stats import (
+            avi_sequential_ztest,
+            sequential_look_counts,
+        )
+
+        looks = sequential_look_counts(
+            self._ref.get_selection(engine),
+            F.expr(self._look),
+            self._population_a.to_column(),
+            self._population_b.to_column(),
+            self._success.to_column(),
+        )
+        grid = avi_sequential_ztest(looks, phi=self._phi).collect()
+        rejected = sorted(
+            (
+                r for r in grid
+                if r["p_always_valid"] is not None
+                and r["p_always_valid"] < self._alpha
+            ),
+            key=lambda r: r["look"],
+        )
+        if not rejected:
+            return TestResult.success()
+        first = rejected[0]
+        assertion_text = (
+            f"The always-valid p-value of the '{self._look}'-monitored "
+            f"success-rate difference on {self._ref} dropped to "
+            f"{first['p_always_valid']} at look {first['look']!r} "
+            f"(theta={first['theta']}, se={first['se']}), below "
+            f"alpha={self._alpha} — a significant difference at an "
+            f"anytime-valid guarantee. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 class StratifiedDiffMax(Constraint):
     """Post-stratification A/B gate: the stratum-weighted adjusted
     between-variant difference of an integer metric may not exceed

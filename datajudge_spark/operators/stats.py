@@ -2479,6 +2479,109 @@ def obf_sequential_ztest(
     )
 
 
+def avi_sequential_ztest(
+    looks: DataFrame,
+    phi: float | None = None,
+) -> DataFrame:
+    """Always-valid inference over the same per-look counts as
+    :func:`obf_sequential_ztest`: the mixture sequential probability
+    ratio (normal mixture over the effect, Robbins' construction as
+    deployed for "peeking at A/B tests") yields a p-value that is
+    valid at EVERY look simultaneously — monitor continuously, stop
+    whenever, the type-I guarantee holds with no look schedule at all
+    (the OBF boundary's remaining assumption).  One row per look
+    ``(look, n_a, s_a, n_b, s_b [cumulative], theta, se, lr,
+    p_always_valid)`` where, with ``v = se²`` the variance of the
+    rate-difference estimate ``theta`` and mixture variance ``phi``,
+
+        Λ_t = sqrt(v/(v+φ)) · exp( θ²·φ / (2·v·(v+φ)) )
+        p_t = min(1, 1 / max_{s<=t} Λ_s)      (non-increasing in t)
+
+    ``phi`` defaults to the FIRST look's variance — the standard
+    "tuned to detect effects around the early-information scale"
+    choice; pass an explicit value to tune detection time for a
+    planned horizon.  Looks with an empty side or zero variance carry
+    NULL theta/lr and inherit the running p.
+
+    Scale & determinism: everything runs on the bounded look frame
+    (cumulative integer counts -> fixed double expressions -> a
+    running-max window over |looks| rows); the per-event work is the
+    one grouped conditional-count scan of
+    :func:`sequential_look_counts` or its streaming twin.  Extension —
+    no reference counterpart.
+    """
+    from pyspark.sql import Window
+
+    if phi is not None and phi <= 0:
+        raise ValueError("phi must be positive")
+    w_cum = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = looks.select(
+        "look",
+        F.sum("n_a").over(w_cum).alias("cn_a"),
+        F.sum("s_a").over(w_cum).alias("cs_a"),
+        F.sum("n_b").over(w_cum).alias("cn_b"),
+        F.sum("s_b").over(w_cum).alias("cs_b"),
+    )
+    na, sa = F.col("cn_a").cast("double"), F.col("cs_a").cast("double")
+    nb, sb = F.col("cn_b").cast("double"), F.col("cs_b").cast("double")
+    pooled = (sa + sb) / (na + nb)
+    v = pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb)
+    ok = (F.col("cn_a") > 0) & (F.col("cn_b") > 0) & (v > 0)
+    theta = F.when(ok, sa / na - sb / nb)
+    var = F.when(ok, v)
+    base = cum.select("look", "cn_a", "cs_a", "cn_b", "cs_b",
+                      theta.alias("__th"), var.alias("__v"))
+    if phi is None:
+        # first VALID look's variance — a deterministic data-derived
+        # default, resolved driver-side so it is one literal in-plan
+        first = (
+            base.where(F.col("__v").isNotNull())
+            .orderBy("look")
+            .limit(1)
+            .collect()
+        )
+        if not first:
+            phi_val = 1.0  # no valid look exists; value is never used
+        else:
+            phi_val = float(first[0]["__v"])
+    else:
+        phi_val = float(phi)
+    p = F.lit(phi_val)
+    lr = F.when(
+        F.col("__v").isNotNull(),
+        F.sqrt(F.col("__v") / (F.col("__v") + p))
+        * F.exp(
+            F.col("__th") * F.col("__th") * p
+            / (2.0 * F.col("__v") * (F.col("__v") + p))
+        ),
+    )
+    w_max = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_lr = base.select(
+        "look", "cn_a", "cs_a", "cn_b", "cs_b", "__th", "__v",
+        lr.alias("__lr"),
+    )
+    run_max = F.max("__lr").over(w_max)
+    p_av = F.when(
+        run_max.isNotNull(),
+        F.least(F.lit(1.0), 1.0 / run_max),
+    )
+    return with_lr.select(
+        "look",
+        F.col("cn_a").cast("bigint").alias("n_a"),
+        F.col("cs_a").cast("bigint").alias("s_a"),
+        F.col("cn_b").cast("bigint").alias("n_b"),
+        F.col("cs_b").cast("bigint").alias("s_b"),
+        F.round("__th", 6).alias("theta"),
+        F.round(F.sqrt("__v"), 6).alias("se"),
+        F.round("__lr", 6).alias("lr"),
+        F.round(p_av, 6).alias("p_always_valid"),
+    )
+
+
 def cuped_adjusted_diff(
     units: DataFrame,
     pre_col: str,

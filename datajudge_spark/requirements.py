@@ -2316,6 +2316,46 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_always_valid_ztest_constraint(
+        self,
+        look_column: str,
+        population_a: Condition,
+        population_b: Condition,
+        success: Condition,
+        alpha: float = 0.05,
+        phi: float | None = None,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): the ALWAYS-VALID
+        p-value of the ``success``-rate difference between the
+        ``population_a`` and ``population_b`` slices, monitored
+        cumulatively at every level of ``look_column``, must stay at or
+        above ``alpha`` at every look (mixture sequential probability
+        ratio — valid under continuous monitoring with NO look
+        schedule; the anytime sibling of
+        ``add_sequential_ztest_constraint``).  ``phi`` tunes the
+        mixture variance (default: the first look's variance).  One
+        grouped conditional-count scan; windows on the bounded look
+        frame."""
+        # columns=None: the population/success Conditions reference
+        # arbitrary columns, so the selection must keep the full row
+        ref = DataReference(self._data_source, None, condition)
+        self._constraints.append(
+            stats_constraints.AlwaysValidPMin(
+                ref,
+                look_column,
+                population_a,
+                population_b,
+                success,
+                alpha=alpha,
+                phi=phi,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_qte_constraint(
         self,
         value_column: str,

@@ -1847,6 +1847,65 @@ class TestSequentialZtest:
             )
 
 
+class TestAlwaysValidZtest:
+    def test_null_passes_real_effect_fails(self, spark):
+        from datajudge_spark import Condition
+
+        rng = __import__("random").Random(67)
+        a = Condition(raw_string="grp = 0")
+        b = Condition(raw_string="grp = 1")
+        s = Condition(raw_string="conv = 1")
+
+        def events(p_b):
+            rows = []
+            for look in range(1, 11):
+                for u in range(200):
+                    g = u % 2
+                    p = p_b if g else 0.3
+                    rows.append(
+                        (look, g, 1 if rng.random() < p else 0)
+                    )
+            return spark.createDataFrame(
+                rows, "look int, grp int, conv int"
+            )
+
+        req = within_req(events(0.3), "avi_null")
+        req.add_always_valid_ztest_constraint("look", a, b, s)
+        assert outcomes(req, spark) == [True]
+
+        req2 = within_req(events(0.7), "avi_shift")
+        req2.add_always_valid_ztest_constraint("look", a, b, s)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "always-valid" in results[0].failure_message
+        assert "anytime" in results[0].failure_message
+
+    def test_expression_look_and_custom_phi(self, spark):
+        from datajudge_spark import Condition
+
+        rows = [(i, i % 2, i % 3 == 0) for i in range(600)]
+        df = spark.createDataFrame(rows, "i long, grp int, conv boolean")
+        req = within_req(df, "avi_expr")
+        req.add_always_valid_ztest_constraint(
+            "CAST(i % 5 AS INT)",
+            Condition(raw_string="grp = 0"),
+            Condition(raw_string="grp = 1"),
+            Condition(raw_string="conv"),
+            phi=0.01,
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_validation(self, spark, int_table1):
+        from datajudge_spark import Condition
+
+        c = Condition(raw_string="col_int > 0")
+        req = within_req(int_table1, "avi_v")
+        with pytest.raises(ValueError):
+            req.add_always_valid_ztest_constraint("l", c, c, c, alpha=1.0)
+        with pytest.raises(ValueError):
+            req.add_always_valid_ztest_constraint("l", c, c, c, phi=0.0)
+
+
 class TestQte:
     def _ab(self, spark, top_decile_shift):
         rng = __import__("random").Random(61)

@@ -2353,3 +2353,83 @@ def test_fuzz_qte_factory(spark, case):
         assert result.outcome == (worst <= threshold), (
             f"case {case} ({shape}): worst={worst} thr={threshold}"
         )
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_avi_sequential(spark, case):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import (
+        avi_sequential_ztest,
+        sequential_look_counts,
+    )
+
+    rng = random.Random(_MK_SEED + 980 + case)
+    n_looks = rng.randint(1, 8)
+    phi = rng.choice([None, 0.003, 0.05])
+    rows = []
+    for look in range(1, n_looks + 1):
+        for _ in range(rng.randint(0, 60)):
+            rows.append(
+                (look, rng.randint(0, 1),
+                 1 if rng.random() < rng.choice([0.0, 0.4, 1.0]) else 0)
+            )
+    if not rows:
+        rows = [(1, 0, 1), (1, 1, 0)]
+    df = spark.createDataFrame(rows, "look int, grp int, conv int")
+    looks = sequential_look_counts(
+        df, "look", F.col("grp") == 0, F.col("grp") == 1,
+        F.col("conv") == 1,
+    )
+    out = {
+        r["look"]: r
+        for r in avi_sequential_ztest(looks, phi=phi).collect()
+    }
+    present = sorted({lk for lk, _g, _c in rows})
+    assert set(out) == set(present)
+
+    # driver-side model: cumulative counts -> theta/v -> mixture LR ->
+    # running max -> p; phi default = first valid look's variance
+    stats = []
+    for lk in present:
+        upto = [r for r in rows if r[0] <= lk]
+        na = sum(1 for l, g, _c2 in upto if g == 0)
+        sa = sum(1 for l, g, c2 in upto if g == 0 and c2)
+        nb = sum(1 for l, g, _c2 in upto if g == 1)
+        sb = sum(1 for l, g, c2 in upto if g == 1 and c2)
+        th = v = None
+        if na and nb:
+            p = (sa + sb) / (na + nb)
+            vv = p * (1 - p) * (1 / na + 1 / nb)
+            if vv > 0:
+                th, v = sa / na - sb / nb, vv
+        stats.append((lk, th, v))
+    phi_val = phi
+    if phi_val is None:
+        valid = [v for _lk, _th, v in stats if v is not None]
+        phi_val = valid[0] if valid else 1.0
+    run_max = None
+    for lk, th, v in stats:
+        lr = None
+        if v is not None:
+            lr = math.sqrt(v / (v + phi_val)) * math.exp(
+                th * th * phi_val / (2 * v * (v + phi_val))
+            )
+            run_max = lr if run_max is None else max(run_max, lr)
+        r = out[lk]
+        if lr is None:
+            assert r["lr"] is None
+        else:
+            assert r["lr"] == pytest.approx(lr, rel=1e-4), f"case {case}"
+        if run_max is None:
+            assert r["p_always_valid"] is None
+        else:
+            assert r["p_always_valid"] == pytest.approx(
+                min(1.0, 1.0 / run_max), abs=2e-6
+            ), f"case {case}"
+        # always-valid p never increases over looks (once defined)
+    ps = [out[lk]["p_always_valid"] for lk in present
+          if out[lk]["p_always_valid"] is not None]
+    assert all(b <= a + 1e-9 for a, b in zip(ps, ps[1:]))
