@@ -124,6 +124,22 @@ req3.add_sequential_ztest_constraint(
     Condition(raw_string="event_type = 'purchase'"),
     alpha=0.05,
 )
+# the anytime-valid sibling: NO look schedule needed at all (mixture
+# SPRT; p is valid under fully continuous monitoring; round 11)
+req3.add_always_valid_ztest_constraint(
+    "CAST(date_part('day', ts) AS INT)",
+    Condition(raw_string="user_id % 2 = 0"),
+    Condition(raw_string="user_id % 2 = 1"),
+    Condition(raw_string="event_type = 'purchase'"),
+    alpha=0.05,
+)
+# distributional readout: WHERE in the outcome distribution did the
+# treatment act? (quantile treatment effects; round 11)
+req_qte = WithinRequirement.from_expression(
+    events.withColumn("variant", (F.col("user_id") % 2).cast("int")),
+    "events_qte",
+)
+req_qte.add_qte_constraint("value", "variant", max_abs_qte=50.0)
 # survival angle: does a covariate associate with time-to-churn?
 # (Cox score test at beta=0 — iteration-free; round 11)
 spark.read.parquet(f"{SF}/orders.parquet").createOrReplaceTempView(
@@ -141,7 +157,7 @@ subjects = WithinRequirement.from_raw_query(
     "subjects",
 )
 subjects.add_cox_score_constraint("dur", "ev", "spend_c", max_chi2=1e9)
-for req_ in (req3, subjects):
+for req_ in (req3, req_qte, subjects):
     for r in req_.test(spark):
         print(f"[sequential/survival] {'PASS' if r.outcome else 'FAIL'}",
               (r.failure_message or "")[:110])
