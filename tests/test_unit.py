@@ -3027,3 +3027,33 @@ class TestFisherExactTail:
         assert _fisher_exact_two_sided(2, 7, 8, 2) == pytest.approx(
             _fisher_exact_two_sided(8, 2, 2, 7)
         )
+
+
+class TestNormPpf:
+    def test_round_trip_accuracy(self):
+        # Acklam's approximation: |Phi(ppf(p)) - p| must stay within
+        # its documented ~1.15e-9 relative envelope across the domain
+        # including deep tails — the OBF/AVI critical values depend on
+        # this constant being right on both engines.
+        import math
+
+        from datajudge_spark.operators.stats import norm_ppf
+
+        worst = 0.0
+        for i in range(1, 2000):
+            p = i / 2000
+            z = norm_ppf(p)
+            worst = max(
+                worst, abs(0.5 * (1.0 + math.erf(z / math.sqrt(2))) - p)
+            )
+        assert worst < 5e-9
+        for p in (1e-9, 1e-6, 0.5, 0.975, 1 - 1e-9):
+            z = norm_ppf(p)
+            back = 0.5 * (1.0 + math.erf(z / math.sqrt(2)))
+            assert back == pytest.approx(p, abs=5e-9)
+        assert norm_ppf(0.5) == 0.0
+        assert norm_ppf(0.975) == pytest.approx(1.959964, abs=1e-6)
+        with pytest.raises(ValueError):
+            norm_ppf(0.0)
+        with pytest.raises(ValueError):
+            norm_ppf(1.0)
