@@ -2535,7 +2535,13 @@ def avi_sequential_ztest(
                       theta.alias("__th"), var.alias("__v"))
     if phi is None:
         # first VALID look's variance — a deterministic data-derived
-        # default, resolved driver-side so it is one literal in-plan
+        # default, resolved driver-side so it is one literal in-plan.
+        # The probe is a second action over the looks derivation, so
+        # persist the bounded per-look frame: the grouped scan of the
+        # fact table must run once, not once per action.
+        from ..pipeline._util import materialize_once
+
+        base = materialize_once(base)
         first = (
             base.where(F.col("__v").isNotNull())
             .orderBy("look")
