@@ -6302,69 +6302,69 @@ def q_streaming_obf_monitor(spark, sf_dir):
     return obf_sequential_ztest(spark.table(qname)).orderBy("look")
 
 
-_R11_WINDOW = [
-    # -- 3 round-10 additions (never driver-checked) --
-    "minhash_query_recall",
-    "pq_trained_codebook",
-    "capture_recapture",
-    # -- 16 r5 leftovers (oldest remaining driver rows: latest row r5) --
-    "weekly_seasonality",
-    "q21_suppliers_waiting",
-    "q2_min_cost_supplier",
-    "approx_topk_check",
-    "multimodal_image_meta",
-    "countmin_check",
-    "bloom_filter_check",
-    "profile_drift",
-    "q14_promo_revenue_share",
-    "grouped_approx_distinct",
-    "cusum_changepoint",
-    "minhash_jaccard_est",
-    "grouped_js_divergence",
-    "q11_important_parts",
-    "q22_idle_customers",
-    "q19_disjunctive_revenue",
-    # -- 31 of the 48-query r6 cohort in r6-window order; the 17
-    #    residue (text_bpe_token_count onward) queue for r12 --
-    "row_count",
-    "row_count_capped",
-    "filtered_count",
-    "min_max",
-    "mean",
-    "length_extremes",
-    "fraction_between",
-    "date_span",
-    "percentile",
-    "uniques_histogram",
-    "distinct_count",
-    "distinct_union_count",
-    "duplicates",
-    "array_agg",
-    "functional_dependency",
-    "except_distinct",
-    "intersect",
-    "row_match_mismatch",
-    "anti_join",
-    "interval_gap",
-    "text_token_count",
-    "text_quality",
-    "text_stopword_ratio",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_embedding_neardup",
-    "ann_topk_bruteforce",
-    "text_language_id",
+_R12_WINDOW = [
+    # -- 3 round-11 additions (never driver-checked) --
+    "cox_score",
+    "qte_deciles",
+    "streaming_obf_monitor",
+    # -- 17 r6 residue (the only pre-r7 driver rows left) --
+    "text_bpe_token_count",
+    "text_rolling_hash",
+    "ngram_topk",
+    "chunk_documents",
+    "text_repetition",
+    "stratum_percentile_trim",
+    "q20_volume_suppliers",
+    "streaming_cusum",
+    "ivf_neardup_pairs",
+    "ivf_neardup_recall",
+    "pareto_frontier",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q13_customer_order_counts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    # -- 30 oldest r7-cohort sentinels in r7-window order; after this
+    #    round the registry's oldest driver row is r7 --
+    "null_fraction",
+    "broadcast_join_agg",
+    "interval_overlap",
+    "regex_violations",
+    "embedding_similar_pairs",
+    "dedup_jaccard",
+    "ann_topk_ivf",
+    "decontaminate_ngram",
+    "sample_stratified",
+    "asof_join_forward",
+    "date_growth_rate",
+    "cohort_retention",
+    "categorical_entropy",
+    "corr_matrix",
+    "mixture_weights",
+    "cube_agg",
+    "approx_percentile_check",
+    "chi_squared",
+    "winsorized_mean",
+    "q10_returned_items",
+    "mutual_information",
+    "weighted_sample",
+    "grouped_heavy_hitters",
+    "density_core_points",
+    "streaming_psi_buckets",
+    "vocab_stats",
+    "q8_market_share",
+    "bm25_topk",
+    "grouped_ols_trend",
+    "hybrid_rrf_topk",
 ]
-assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # Registration order is arbitrary: queries() reorders from
-        # _R11_WINDOW (above), the driver gate's single source of truth.
+        # _R12_WINDOW (above), the driver gate's single source of truth.
         "grouped_median": q_grouped_median,
         "grouped_ks": q_grouped_ks,
         "theil_sen_slope": q_theil_sen,
@@ -6651,9 +6651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_obf_monitor": q_streaming_obf_monitor,
         "qte_deciles": q_qte_deciles,
     }
-    missing = [k for k in _R11_WINDOW if k not in base]
+    missing = [k for k in _R12_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
-    ordered = {k: base[k] for k in _R11_WINDOW}
+    ordered = {k: base[k] for k in _R12_WINDOW}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
@@ -7481,23 +7481,29 @@ def _qte_sql(deciles: int = 10) -> str:
     """DuckDB mirror of q_qte_deciles: same integer decision rule
     (deciles * cum >= j * n_variant) as operators.stats
     .quantile_treatment_effect; c and t materialized (each branch
-    references them twice and DuckDB inlines plain CTEs per site)."""
+    references them twice and DuckDB inlines plain CTEs per site).
+    Degenerate-variant guard mirrored: a variant with zero non-null
+    values makes the engine raise, so each branch requires ``n > 0``
+    (`cum * D >= j * 0` would otherwise be vacuously true and return
+    the global min) and the whole result empties — never a silently
+    wrong grid."""
     branches = []
     for j in range(1, deciles):
         qa = (
             f"(SELECT min(v) FROM c, t "
-            f"WHERE c.cum0 * {deciles} >= {j} * t.n0)"
+            f"WHERE t.n0 > 0 AND c.cum0 * {deciles} >= {j} * t.n0)"
         )
         qb = (
             f"(SELECT min(v) FROM c, t "
-            f"WHERE c.cum1 * {deciles} >= {j} * t.n1)"
+            f"WHERE t.n1 > 0 AND c.cum1 * {deciles} >= {j} * t.n1)"
         )
         branches.append(
             f"SELECT CAST({j} AS INT) AS decile, "
             "round(qa, 6) AS q_a, round(qb, 6) AS q_b, "
             "round(qb - qa, 6) AS qte FROM "
             f"(SELECT CAST({qa} AS DOUBLE) AS qa, "
-            f"CAST({qb} AS DOUBLE) AS qb)"
+            f"CAST({qb} AS DOUBLE) AS qb) "
+            "WHERE (SELECT n0 > 0 AND n1 > 0 FROM t)"
         )
     return (
         "WITH h AS MATERIALIZED (SELECT value AS v, "
@@ -10289,12 +10295,17 @@ def oracle_sql() -> dict[str, str]:
             "cum AS (SELECT duration, n_events, n_at - n_events AS "
             "n_censored, (SELECT t FROM tot) - sum(n_at) OVER "
             "(ORDER BY duration) + n_at AS n_risk FROM per_t), "
+            # ln terms accumulate as 12dp pre-rounded DECIMAL(38,12) —
+            # mirrors the Spark engine's order-free decimal fold (the
+            # bucket-partitioned cumulative), value-identical by
+            # construction at any partitioning
             "curve AS (SELECT duration, n_risk, n_events, n_censored, "
             "CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END) "
             "OVER (ORDER BY duration) = 1 THEN 0.0 ELSE "
-            "exp(sum(CASE WHEN n_events < n_risk THEN "
+            "exp(CAST(sum(CAST(round(CASE WHEN n_events < n_risk THEN "
             "ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) "
-            "ELSE 0.0 END) OVER (ORDER BY duration)) END AS survival "
+            "ELSE 0.0 END, 12) AS DECIMAL(38,12))) "
+            "OVER (ORDER BY duration) AS DOUBLE)) END AS survival "
             "FROM cum) "
             "SELECT CAST(duration AS INT) AS duration, "
             "CAST(n_risk AS BIGINT) AS n_risk, "
@@ -11249,9 +11260,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "logrank": (
             # same duration/censoring construction as kaplan_meier; at
-            # risk via exclusive running counts; O/E/V as ordered
-            # cumulative window sums (identical addition order), last
-            # row = totals; identical double expression grouping
+            # risk via exclusive running counts; O/E/V as ONE plain
+            # aggregate of 12dp pre-rounded decimals — mirrors the
+            # Spark engine's order-free fold; identical double
+            # expression grouping
             "WITH per AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd, "
             "max(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1), "
             "subj AS (SELECT ld - fd AS t, CASE WHEN ld < "
@@ -11274,19 +11286,21 @@ def oracle_sql() -> dict[str, str]:
             "terms AS (SELECT t, d1, n1, n2, "
             "CAST(d1 + d2 AS DOUBLE) AS d, "
             "CAST(n1 + n2 AS DOUBLE) AS nn FROM r WHERE d1 + d2 > 0), "
-            "cum AS (SELECT t, sum(d1) OVER w AS o1, "
-            "sum(d * CAST(n1 AS DOUBLE) / nn) OVER w AS e1, "
-            "sum(CASE WHEN nn > 1.0 THEN d * (CAST(n1 AS DOUBLE) / nn) "
+            "agg AS (SELECT sum(d1) AS o1, "
+            "sum(CAST(round(d * CAST(n1 AS DOUBLE) / nn, 12) "
+            "AS DECIMAL(38,12))) AS e1, "
+            "sum(CAST(round(CASE WHEN nn > 1.0 THEN "
+            "d * (CAST(n1 AS DOUBLE) / nn) "
             "* (CAST(n2 AS DOUBLE) / nn) * (nn - d) / (nn - 1.0) "
-            "ELSE 0.0 END) OVER w AS vv FROM terms "
-            "WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
-            "AND CURRENT ROW)), "
-            "lastrow AS (SELECT * FROM cum ORDER BY t DESC LIMIT 1) "
+            "ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS vv FROM terms) "
             "SELECT CAST(t1 AS BIGINT) AS n_1, CAST(t2 AS BIGINT) AS n_2, "
-            "CAST(o1 AS BIGINT) AS observed_1, round(e1, 6) AS expected_1, "
-            "round(CASE WHEN vv > 0 THEN "
-            "(CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / vv "
-            "END, 6) AS chi2 FROM lastrow, tot"
+            "CAST(o1 AS BIGINT) AS observed_1, "
+            "round(CAST(e1 AS DOUBLE), 6) AS expected_1, "
+            "round(CASE WHEN CAST(vv AS DOUBLE) > 0 THEN "
+            "(CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) "
+            "* (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) "
+            "/ CAST(vv AS DOUBLE) END, 6) AS chi2 "
+            "FROM agg, tot WHERE o1 IS NOT NULL"
         ),
         "stratified_ab": (
             # identical per-stratum conditional counts / HUGEINT sums,
@@ -11848,12 +11862,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_risk AS BIGINT) AS n_risk, "
             "CAST(n_events AS BIGINT) AS n_events, "
             "CAST(n_censored AS BIGINT) AS n_censored, "
-            "round(sum(CAST(n_events AS DOUBLE) "
-            "/ CAST(n_risk AS DOUBLE)) OVER (ORDER BY duration), 6) "
-            "AS cumhaz, "
-            "round(sum(CAST(n_events AS DOUBLE) "
-            "/ (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))) "
-            "OVER (ORDER BY duration), 6) AS var_cumhaz FROM cum"
+            # hazard terms accumulate as 12dp pre-rounded DECIMAL — the
+            # Spark engine's order-free bucketed decimal fold, mirrored
+            "round(CAST(sum(CAST(round(CAST(n_events AS DOUBLE) "
+            "/ CAST(n_risk AS DOUBLE), 12) AS DECIMAL(38,12))) "
+            "OVER (ORDER BY duration) AS DOUBLE), 6) AS cumhaz, "
+            "round(CAST(sum(CAST(round(CAST(n_events AS DOUBLE) "
+            "/ (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)), 12) "
+            "AS DECIMAL(38,12))) "
+            "OVER (ORDER BY duration) AS DOUBLE), 6) AS var_cumhaz FROM cum"
         ),
         "durbin_watson": (
             # HUGEINT OLS sufficient stats; residual folds t-ORDERED
@@ -11979,8 +11996,12 @@ def oracle_sql() -> dict[str, str]:
             "/ CAST(n AS DOUBLE) END, 6) AS unseen_mass FROM a"
         ),
         "rmst": (
-            # KM curve (same construction as the kaplan_meier oracle)
-            # + lag-segment fold clipped at the 60-day horizon
+            # KM scaffold (same construction as the kaplan_meier
+            # oracle) + the summation-by-parts jump fold the Spark
+            # engine uses: RMST(τ) = τ − Σ_j ΔS_j·max(0, τ − t_j) with
+            # ΔS_j = S(t_{j-1})·d_j/n_j from the EXCLUSIVE decimal
+            # cumulative — per-row terms, no lag, identical expression
+            # grouping, 12dp pre-rounded decimal accumulation
             "WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd, "
             "max(CAST(ts AS DATE)) AS ld FROM events GROUP BY user_id), "
             "h AS (SELECT max(CAST(ts AS DATE)) - 14 AS hz FROM events), "
@@ -11992,28 +12013,28 @@ def oracle_sql() -> dict[str, str]:
             "cum AS (SELECT duration, n_events, "
             "(SELECT t FROM tot) - sum(n_at) OVER "
             "(ORDER BY duration) + n_at AS n_risk FROM per_t), "
-            "curve AS (SELECT duration, "
-            "CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 "
-            "END) OVER (ORDER BY duration) = 1 THEN 0.0 ELSE "
-            "exp(sum(CASE WHEN n_events < n_risk THEN "
+            "tm AS (SELECT duration, n_events, n_risk, "
+            "CAST(round(CASE WHEN n_events < n_risk THEN "
             "ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) "
-            "ELSE 0.0 END) OVER (ORDER BY duration)) END AS survival "
+            "ELSE 0.0 END, 12) AS DECIMAL(38,12)) AS lnt, "
+            "CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead "
             "FROM cum), "
-            "seg AS (SELECT duration, survival, "
-            "coalesce(lag(CAST(duration AS DOUBLE)) OVER "
-            "(ORDER BY duration), 0.0) AS dprev, "
-            "coalesce(lag(survival) OVER (ORDER BY duration), 1.0) "
-            "AS sprev FROM curve), "
-            "fold AS (SELECT duration, survival, count(*) OVER w AS k, "
-            "sum(sprev * (least(CAST(duration AS DOUBLE), 60.0) "
-            "- least(dprev, 60.0))) OVER w AS area FROM seg "
+            "c AS (SELECT duration, n_events, n_risk, lnt, dead, "
+            "sum(lnt) OVER w AS clnt, sum(dead) OVER w AS cdead FROM tm "
             "WINDOW w AS (ORDER BY duration ROWS BETWEEN UNBOUNDED "
             "PRECEDING AND CURRENT ROW)), "
-            "last AS (SELECT * FROM fold ORDER BY duration DESC LIMIT 1) "
-            "SELECT CAST(60.0 AS DOUBLE) AS horizon, CAST(k AS BIGINT) AS n_durations, "
-            "round(area + survival * (60.0 "
-            "- least(CAST(duration AS DOUBLE), 60.0)), 6) AS rmst "
-            "FROM last"
+            "j AS (SELECT (60.0 - least(CAST(duration AS DOUBLE), 60.0)) "
+            "* ((CASE WHEN cdead - dead >= 1 THEN 0.0 ELSE "
+            "exp(CAST(clnt - lnt AS DOUBLE)) END) "
+            "* (CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))) "
+            "AS contrib FROM c), "
+            "d AS (SELECT count(*) AS k, "
+            "sum(CAST(round(contrib, 12) AS DECIMAL(38,12))) AS js "
+            "FROM j) "
+            "SELECT CAST(60.0 AS DOUBLE) AS horizon, "
+            "CAST(k AS BIGINT) AS n_durations, "
+            "round(60.0 - CAST(js AS DOUBLE), 6) AS rmst "
+            "FROM d WHERE k > 0"
         ),
         "sequence_monotonicity": (
             # identical per-key lag ordering (ts, then event_id) and

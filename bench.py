@@ -99,7 +99,10 @@ def main() -> None:
             import PIL.Image  # noqa: F401
         except Exception:
             pass
-        import numpy  # noqa: F401
+        try:
+            import numpy  # noqa: F401
+        except Exception:
+            pass
 
         for b in batches:
             yield b

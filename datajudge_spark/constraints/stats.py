@@ -3016,6 +3016,14 @@ class AlwaysValidPMin(Constraint):
     anytime sibling of :class:`ObfCrossingMax`.  Extension, no
     reference counterpart.
 
+    CAVEAT: when ``phi`` is omitted, the mixture variance defaults to
+    the first look's observed variance of the SAME data being
+    monitored.  The mSPRT type-I guarantee assumes phi is chosen
+    independently of the monitored stream, so the data-derived default
+    mildly weakens the advertised anytime validity — acceptable for
+    exploration, but production gates should pass an explicit ``phi``
+    derived from pre-experiment data or a planned effect size.
+
     Engine side is ``operators.stats.sequential_look_counts`` (one
     grouped conditional-count scan) + ``avi_sequential_ztest`` (fixed
     expressions + a running-max window on the bounded look frame);

@@ -567,6 +567,17 @@ def quantile_treatment_effect(
     _, cnt_aliases, cums, tot = _grouped_value_cums(
         df, value_col, assign_col, levels, 2, "quantile_treatment_effect"
     )
+    # a discovered level whose rows are all NULL in value_col has no
+    # distribution to compare — NULL quantiles would make downstream
+    # gates pass vacuously (and diverge from SQL mirrors, which reduce
+    # `cum >= j*0` to always-true); fail loudly like the two-level
+    # contract above instead of hiding a misconfigured gate
+    for lv, a in zip(levels, cnt_aliases):
+        if int(tot[a] or 0) == 0:
+            raise ValueError(
+                f"quantile_treatment_effect: assignment level {lv!r} "
+                f"has no non-null {value_col!r} values"
+            )
     q_exprs = []
     for j in range(1, deciles):
         for a in cnt_aliases:
@@ -899,34 +910,95 @@ def _bucketed_global_cum(
     )
 
 
+def _cum_col_specs(vals: DataFrame, cum_cols: list[str]) -> dict:
+    """dtype dispatch for the cumulative columns: integral columns
+    accumulate as Python ints and ship as ``L``-suffixed literals;
+    DECIMAL(p,s) columns accumulate as exact :class:`decimal.Decimal`
+    and ship as ``CAST('…' AS DECIMAL(38,s))`` literals (every entry
+    the same type — mixed-precision literals in one ``map()`` fail)."""
+    import re as _re
+
+    dts = dict(vals.dtypes)
+    specs = {}
+    for c in cum_cols:
+        m = _re.match(r"decimal\((\d+),(\d+)\)", dts[c])
+        specs[c] = int(m.group(2)) if m else None  # scale, or None=int
+    return specs
+
+
 def _bucketed_global_cums(
     vals: DataFrame,
     cum_cols: list[str],
     carry_cols: tuple | list = (),
     n_buckets: int = RANK_BUCKETS,
-) -> DataFrame:
+    return_totals: bool = False,
+    empty_ok: bool = False,
+):
     """Generalized bucket-partitioned cumulative: adds ``cum_<c>`` — the
     INCLUSIVE global cumulative in ascending ``v`` order — for EVERY
-    long-typed column c in ``cum_cols``, sharing one sketch probe, one
-    per-bucket offsets collect (B rows x |cum_cols| longs) and one
-    window stage.  ``carry_cols`` pass through untouched.  Same contract
-    as :func:`_bucketed_global_cum`: one row per distinct ``v``.
+    long- or decimal-typed column c in ``cum_cols``, sharing one sketch
+    probe, one per-bucket offsets collect (B rows x |cum_cols| values)
+    and one window stage.  ``carry_cols`` pass through untouched.  Same
+    contract as :func:`_bucketed_global_cum`: one row per distinct
+    ``v``.  Decimal columns accumulate EXACTLY (offsets held as Python
+    ``decimal.Decimal``), so the cumulative is order-independent and
+    bit-identical to a sequential global sum — the determinism path the
+    survival family (operators.timeseries) rides.
+
+    ``return_totals=True`` additionally returns ``{col: grand total}``
+    (int / ``decimal.Decimal``) — free from the offsets fold, saving
+    callers a separate totals scan (e.g. cox ``n_subjects``).
+    ``empty_ok=True`` turns the empty-input error into an empty result
+    frame (+ zero totals) so digest operators keep their empty-digest
+    contract.
     """
+    from decimal import Decimal
+
     from ..pipeline._util import materialize_once
+
+    specs = _cum_col_specs(vals, cum_cols)
+
+    def _typed(c: str):
+        # degenerate branches mirror the normal path's result types
+        # (window-sum widens longs to bigint, decimals to DECIMAL(38,s))
+        s = specs[c]
+        t = "bigint" if s is None else f"decimal(38,{s})"
+        return F.col(c).cast(t).alias(f"cum_{c}")
 
     cached = materialize_once(vals)
     bounds, stats = _equidepth_bounds(cached, n_buckets)
     lo, hi = stats["lo"], stats["hi"]
     if lo is None:
-        raise ValueError("rank statistics need at least one non-null value")
+        if not empty_ok:
+            raise ValueError(
+                "rank statistics need at least one non-null value"
+            )
+        out = cached.select(
+            "v", *cum_cols, *carry_cols, *[_typed(c) for c in cum_cols]
+        )
+        zeros = {
+            c: (0 if specs[c] is None else Decimal(0)) for c in cum_cols
+        }
+        return (out, zeros) if return_totals else out
     if float(hi) == float(lo):
         # single distinct value: one row, each cum == its own count
-        return cached.select(
-            "v",
-            *cum_cols,
-            *carry_cols,
-            *[F.col(c).alias(f"cum_{c}") for c in cum_cols],
+        out = cached.select(
+            "v", *cum_cols, *carry_cols, *[_typed(c) for c in cum_cols]
         )
+        if not return_totals:
+            return out
+        row = cached.agg(
+            *[F.sum(c).alias(c) for c in cum_cols]
+        ).first()
+        totals = {
+            c: (
+                (0 if specs[c] is None else Decimal(0))
+                if row[c] is None
+                else (int(row[c]) if specs[c] is None else row[c])
+            )
+            for c in cum_cols
+        }
+        return out, totals
     if bounds:
         # bucket = number of boundaries <= v: monotone in v, so bucket
         # ids enumerate the value ranges in order (ties at a boundary go
@@ -951,12 +1023,17 @@ def _bucketed_global_cums(
     per_bucket = hist.groupBy("__b").agg(
         *[F.sum(c).alias(c) for c in cum_cols]
     ).collect()
-    acc = {c: 0 for c in cum_cols}
-    offsets: dict[str, dict[int, int]] = {c: {} for c in cum_cols}
+    acc = {
+        c: (0 if specs[c] is None else Decimal(0)) for c in cum_cols
+    }
+    offsets: dict[str, dict[int, object]] = {c: {} for c in cum_cols}
     for row in sorted(per_bucket, key=lambda r: r["__b"]):
         for c in cum_cols:
-            offsets[c][int(row["__b"])] = int(acc[c])
-            acc[c] += row[c]
+            offsets[c][int(row["__b"])] = (
+                int(acc[c]) if specs[c] is None else acc[c]
+            )
+            if row[c] is not None:
+                acc[c] += row[c]
     w = (
         Window.partitionBy("__b")
         .orderBy("v")
@@ -972,12 +1049,19 @@ def _bucketed_global_cums(
     # while the string parses JVM-side in milliseconds.  All values get
     # the L suffix — mixed int/long literals in one map() fail.
     def _off(c: str):
-        pairs = ", ".join(
-            f"{k}, {off}L" for k, off in offsets[c].items()
-        )
+        s = specs[c]
+        if s is None:
+            pairs = ", ".join(
+                f"{k}, {off}L" for k, off in offsets[c].items()
+            )
+        else:
+            pairs = ", ".join(
+                f"{k}, CAST('{format(off, 'f')}' AS DECIMAL(38,{s}))"
+                for k, off in offsets[c].items()
+            )
         return F.expr(f"element_at(map({pairs}), __b)")
 
-    return hist.select(
+    out = hist.select(
         "v",
         *cum_cols,
         *carry_cols,
@@ -986,6 +1070,13 @@ def _bucketed_global_cums(
             for c in cum_cols
         ],
     )
+    if not return_totals:
+        return out
+    totals = {
+        c: (int(acc[c]) if specs[c] is None else acc[c])
+        for c in cum_cols
+    }
+    return out, totals
 
 
 def gini_coefficient(df: DataFrame, column: str) -> DataFrame:
@@ -2499,9 +2590,15 @@ def avi_sequential_ztest(
 
     ``phi`` defaults to the FIRST look's variance — the standard
     "tuned to detect effects around the early-information scale"
-    choice; pass an explicit value to tune detection time for a
-    planned horizon.  Looks with an empty side or zero variance carry
-    NULL theta/lr and inherit the running p.
+    choice.  CAVEAT: the mSPRT anytime-valid type-I guarantee assumes
+    the mixture variance is chosen INDEPENDENTLY of the monitored
+    data; deriving it from the first look of the same stream mildly
+    weakens that guarantee (the first look also shapes the boundary it
+    is judged against).  The data-derived default is a convenience for
+    exploration — production gates should pass an explicit ``phi``
+    from pre-experiment data or a planned effect size.  Looks with an
+    empty side or zero variance carry NULL theta/lr and inherit the
+    running p.
 
     Scale & determinism: everything runs on the bounded look frame
     (cumulative integer counts -> fixed double expressions -> a

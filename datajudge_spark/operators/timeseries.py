@@ -708,6 +708,99 @@ def zscore_anomalies(
     )
 
 
+def _survival_risk_frame(
+    df: DataFrame, duration_col: str, event_col: str
+):
+    """Shared first stage of the survival family (KM / Nelson-Aalen /
+    RMST): subjects collapse to the distinct-duration histogram (one
+    groupBy shuffle), and the at-risk count ``n_risk(t) = |duration >=
+    t|`` comes from the BUCKET-PARTITIONED cumulative
+    (:func:`..stats._bucketed_global_cums`) — no unpartitioned window
+    anywhere, so a timestamp-grain duration column (|subjects| distinct
+    values) stays parallel instead of degenerating to one core.  The
+    grand total doubles as the risk-set base and ships back as a Python
+    int (no separate totals scan).  Returns ``(frame, n_subjects)``
+    with columns ``v`` (duration), ``n_events``, ``n_censored``,
+    ``n_risk``.
+    """
+    from .stats import _bucketed_global_cums
+
+    per_t = (
+        df.where(F.col(duration_col).isNotNull())
+        .groupBy(F.col(duration_col).alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
+            ).alias("n_events"),
+            F.count(F.lit(1)).alias("n_at"),
+        )
+    )
+    cum1, tot = _bucketed_global_cums(
+        per_t,
+        ["n_at"],
+        carry_cols=["n_events"],
+        return_totals=True,
+        empty_ok=True,
+    )
+    n_subjects = int(tot["n_at"])
+    risk = cum1.select(
+        "v",
+        "n_events",
+        (F.col("n_at") - F.col("n_events")).alias("n_censored"),
+        # at risk at t: everyone whose duration is >= t
+        (
+            F.lit(n_subjects) - F.col("cum_n_at") + F.col("n_at")
+        ).alias("n_risk"),
+    )
+    return risk, n_subjects
+
+
+def _km_cum_frame(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Second survival stage shared by :func:`kaplan_meier` and
+    :func:`rmst`: per-duration log-survival terms ``ln(1 - d/n)``
+    (6-sig-beyond-output 12dp pre-rounded DECIMAL(38,12) — the cox
+    decimal-fold determinism contract: per-term doubles are
+    bit-identical across engines, decimal addition is order-free, and
+    any residual 1e-12 quantization straddle is absorbed by the 6dp
+    output rounding) and the curve-killed flag, both accumulated with
+    the bucket-partitioned cumulative.  Columns: ``v``, ``n_events``,
+    ``n_censored``, ``n_risk``, ``__lnt``, ``__dead``, ``cum___lnt``,
+    ``cum___dead``.
+    """
+    from .stats import _bucketed_global_cums
+
+    risk, _ = _survival_risk_frame(df, duration_col, event_col)
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    staged = risk.select(
+        "v",
+        "n_events",
+        "n_censored",
+        "n_risk",
+        F.round(term, 12).cast("decimal(38,12)").alias("__lnt"),
+        # a duration where every subject at risk dies (d == n) zeroes
+        # the curve from there on via this flag, not ln(0)
+        F.when(F.col("n_events") >= F.col("n_risk"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("__dead"),
+    )
+    return _bucketed_global_cums(
+        staged,
+        ["__dead", "__lnt"],
+        carry_cols=["n_events", "n_censored", "n_risk"],
+        empty_ok=True,
+    )
+
+
 def kaplan_meier(
     df: DataFrame, duration_col: str, event_col: str
 ) -> DataFrame:
@@ -719,63 +812,27 @@ def kaplan_meier(
     ``S(t) = Π_{t_i <= t} (1 - d_i / n_i)`` over event times.
 
     Scale: one groupBy shuffle aggregates subjects to the distinct-
-    duration histogram — persisted once, because both the at-risk
-    total and the cumulative branch read it and Spark does not share
-    subplans across branches (a second full subject scan otherwise);
-    the ordered window runs over THAT (bounded by
-    |distinct durations| — day/week-grain lifetimes, not subjects; the
-    cross-CDF bounded-domain argument).  The cumulative product is
-    ``exp(Σ ln(1 - d/n))`` — the window sum is sequential in duration
-    order, so both engines add the same doubles in the same order; a
-    duration where every subject at risk dies (d == n) zeroes the curve
-    from there on via an explicit flag, not ln(0).
+    duration histogram; every cumulative (at-risk counts, the
+    ``exp(Σ ln(1 - d/n))`` product fold, the curve-killed flag) runs
+    through the bucket-partitioned cumulative scaffold
+    (operators.stats), so there is NO unpartitioned ordered window in
+    the plan — day-grain lifetimes and timestamp-grain durations
+    (|subjects| distinct values) both stay parallel.  Determinism: the
+    log terms accumulate as 12dp pre-rounded exact decimals
+    (order-independent; see :func:`_km_cum_frame`), so the curve is
+    reproducible on any engine and any partitioning.
 
     Extension — no reference counterpart; nearest relatives are the
     retention matrix (this module) and the cross-CDF (operators.stats).
     """
-    from ..pipeline._util import materialize_once
-
-    per_t = materialize_once(
-        df.where(F.col(duration_col).isNotNull())
-        .groupBy(F.col(duration_col).alias("duration"))
-        .agg(
-            F.sum(
-                F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
-            ).alias("n_events"),
-            F.count(F.lit(1)).alias("n_at"),
-        )
-    )
-    w = Window.orderBy("duration").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    total = per_t.agg(F.sum("n_at").alias("__total"))
-    cum = per_t.join(F.broadcast(total)).select(
-        "duration",
-        "n_events",
-        (F.col("n_at") - F.col("n_events")).alias("n_censored"),
-        # at risk at t: everyone whose duration is >= t
-        (
-            F.col("__total") - F.sum("n_at").over(w) + F.col("n_at")
-        ).alias("n_risk"),
-    )
-    term = F.when(
-        F.col("n_events") < F.col("n_risk"),
-        F.log(
-            F.lit(1.0)
-            - F.col("n_events").cast("double")
-            / F.col("n_risk").cast("double")
-        ),
-    ).otherwise(F.lit(0.0))
-    dead = F.max(
-        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
-    ).over(w)
-    return cum.select(
-        "duration",
+    cum2 = _km_cum_frame(df, duration_col, event_col)
+    return cum2.select(
+        F.col("v").alias("duration"),
         "n_risk",
         "n_events",
         "n_censored",
-        F.when(dead == 1, F.lit(0.0))
-        .otherwise(F.exp(F.sum(term).over(w)))
+        F.when(F.col("cum___dead") >= 1, F.lit(0.0))
+        .otherwise(F.exp(F.col("cum___lnt").cast("double")))
         .alias("survival"),
     )
 
@@ -1327,15 +1384,18 @@ def logrank_test(
     their exact terms; ``n_j < 2`` rows contribute zero variance.
 
     Scale & determinism: subjects collapse to the per-(duration)
-    histogram with per-group event/censor counts — one groupBy shuffle,
-    the same bounded-domain argument as the KM curve (day/week-grain
-    lifetimes, not subjects).  At-risk counts and the O/E/V sums come
-    from ordered windows over THAT bounded frame, so both engines add
-    the same doubles in the same duration order — the KM determinism
-    contract — and the final statistic rounds at 6dp.  Extension — no
+    histogram with per-group event/censor counts — one groupBy shuffle.
+    At-risk counts come from the bucket-partitioned cumulative
+    (operators.stats) whose grand totals double as the group sizes (no
+    second subject scan), so NO unpartitioned window exists at any
+    duration grain; the O/E/V totals are one plain aggregate over the
+    per-event-time terms, accumulated as 12dp pre-rounded exact
+    decimals (order-free — the cox decimal-fold contract; per-term
+    doubles are bit-identical across engines, and the 6dp output
+    rounding absorbs the 1e-12 quantization grid).  Extension — no
     reference counterpart.
     """
-    from pyspark.sql import Window
+    from .stats import _bucketed_global_cums
 
     two = (
         df.select(F.col(group_col).alias("__g"))
@@ -1360,7 +1420,7 @@ def logrank_test(
         F.when(F.col(group_col) == F.lit(g1), 1).otherwise(0).alias("__is1"),
         F.col(event_col).cast("int").alias("__e"),
     )
-    hist = base.groupBy("__t").agg(
+    hist = base.groupBy(F.col("__t").alias("v")).agg(
         F.sum(F.when(F.col("__is1") == 1, F.col("__e")).otherwise(0))
         .alias("d1"),
         F.sum(F.when(F.col("__is1") == 0, F.col("__e")).otherwise(0))
@@ -1368,21 +1428,19 @@ def logrank_test(
         F.count(F.when(F.col("__is1") == 1, 1)).alias("c1"),
         F.count(F.when(F.col("__is1") == 0, 1)).alias("c2"),
     )
-    tot = base.agg(
-        F.count(F.when(F.col("__is1") == 1, 1)).alias("__t1"),
-        F.count(F.when(F.col("__is1") == 0, 1)).alias("__t2"),
-    ).first()
-    t1, t2 = int(tot["__t1"]), int(tot["__t2"])
-    # at risk AT t = total − subjects whose duration < t (exclusive
-    # running count over the duration-ordered bounded frame)
-    w_ex = (
-        Window.orderBy("__t")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    cums, tot = _bucketed_global_cums(
+        hist,
+        ["c1", "c2"],
+        carry_cols=["d1", "d2"],
+        return_totals=True,
+        empty_ok=True,
     )
-    at1 = F.lit(t1) - F.coalesce(F.sum("c1").over(w_ex), F.lit(0))
-    at2 = F.lit(t2) - F.coalesce(F.sum("c2").over(w_ex), F.lit(0))
-    terms = hist.select(
-        "__t",
+    t1, t2 = int(tot["c1"]), int(tot["c2"])
+    # at risk AT t = total − subjects whose duration < t; the exclusive
+    # running count is the inclusive bucketed cumulative minus own
+    at1 = F.lit(t1) - (F.col("cum_c1") - F.col("c1"))
+    at2 = F.lit(t2) - (F.col("cum_c2") - F.col("c2"))
+    terms = cums.select(
         "d1",
         "d2",
         at1.alias("n1"),
@@ -1396,29 +1454,28 @@ def logrank_test(
         nn > 1.0,
         d * (n1d / nn) * (n2d / nn) * (nn - d) / (nn - 1.0),
     ).otherwise(F.lit(0.0))
-    # O/E/V as ordered-window cumulative sums (same addition order in
-    # every engine), final row = the totals
-    w_cum = Window.orderBy("__t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = terms.select(
-        "__t",
-        F.sum("d1").over(w_cum).alias("o1"),
-        F.sum(e1).over(w_cum).alias("e1"),
-        F.sum(v).over(w_cum).alias("vv"),
-    )
-    last = cum.orderBy(F.desc("__t")).limit(1)
+    # O/E/V as ONE plain aggregate: partial-agg'd, no ordered window;
+    # the doubles enter as 12dp pre-rounded exact decimals, so the sum
+    # is order-independent and engine-identical
+    dec12 = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    agg = terms.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(dec12(e1)).alias("e1"),
+        F.sum(dec12(v)).alias("vv"),
+    ).where(F.col("o1").isNotNull())
+    e1d = F.col("e1").cast("double")
+    vvd = F.col("vv").cast("double")
     chi2 = F.when(
-        F.col("vv") > 0,
-        (F.col("o1").cast("double") - F.col("e1"))
-        * (F.col("o1").cast("double") - F.col("e1"))
-        / F.col("vv"),
+        vvd > 0,
+        (F.col("o1").cast("double") - e1d)
+        * (F.col("o1").cast("double") - e1d)
+        / vvd,
     )
-    return last.select(
+    return agg.select(
         F.lit(t1).cast("bigint").alias("n_1"),
         F.lit(t2).cast("bigint").alias("n_2"),
         F.col("o1").cast("bigint").alias("observed_1"),
-        F.round("e1", 6).alias("expected_1"),
+        F.round(e1d, 6).alias("expected_1"),
         F.round(chi2, 6).alias("chi2"),
     )
 
@@ -1448,8 +1505,12 @@ def cox_score_test(
 
     Scale & determinism: subjects collapse to the per-duration
     histogram (one groupBy shuffle — the Kaplan-Meier plan); risk-set
-    aggregates are DESC-ordered cumulative sums over that bounded
-    frame, so no per-subject window exists at any scale.  The
+    aggregates come from the bucket-partitioned cumulative
+    (operators.stats) — ``Σ_{duration >= t} = total − exclusive
+    cumulative`` with the totals free from the scaffold's offsets fold
+    (which also supplies ``n_subjects``, so the fact table is scanned
+    exactly once) — no unpartitioned window and no per-subject window
+    at any duration grain.  The
     covariate is cast to DECIMAL(18,6) and all risk-set sums stay
     decimal-EXACT (order-independent); doubles appear only in the
     per-event-time terms (string-routed decimal->double conversions,
@@ -1462,7 +1523,7 @@ def cox_score_test(
     observed events yields an empty digest.  Extension — no reference
     counterpart.
     """
-    from pyspark.sql import Window
+    from .stats import _bucketed_global_cums
 
     base = df.where(
         F.col(duration_col).isNotNull()
@@ -1474,7 +1535,7 @@ def cox_score_test(
         F.col(covariate_col).cast("decimal(18,6)").alias("__x"),
     )
     zero = F.lit(0).cast("decimal(18,6)")
-    hist = base.groupBy("__t").agg(
+    hist = base.groupBy(F.col("__t").alias("v")).agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("__e").alias("d"),
         F.sum(F.when(F.col("__e") == 1, F.col("__x")).otherwise(zero))
@@ -1482,19 +1543,34 @@ def cox_score_test(
         F.sum("__x").alias("sx"),
         F.sum(F.col("__x") * F.col("__x")).alias("sx2"),
     )
-    n_subjects = int(base.agg(F.count(F.lit(1)).alias("__n")).first()["__n"])
-    # risk set at t = everyone with duration >= t: DESC-ordered
-    # cumulative sums over the bounded duration frame (exact decimals)
-    w_rev = Window.orderBy(F.desc("__t")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # risk set at t = everyone with duration >= t: grand total minus
+    # the EXCLUSIVE ascending cumulative, both from the bucket-
+    # partitioned scaffold — exact decimal arithmetic, identical values
+    # to a DESC-ordered sequential sum, and the totals fold hands back
+    # n_subjects without a second fact-table scan
+    cums, tot = _bucketed_global_cums(
+        hist,
+        ["m", "sx", "sx2"],
+        carry_cols=["d", "sxe"],
+        return_totals=True,
+        empty_ok=True,
     )
-    risk = hist.select(
-        "__t",
+    n_subjects = int(tot["m"])
+
+    def _dlit(value, scale: int):
+        return F.expr(
+            f"CAST('{format(value, 'f')}' AS DECIMAL(38,{scale}))"
+        )
+
+    risk = cums.select(
+        F.col("v").alias("__t"),
         "d",
         "sxe",
-        F.sum("m").over(w_rev).alias("n"),
-        F.sum("sx").over(w_rev).alias("s1"),
-        F.sum("sx2").over(w_rev).alias("s2"),
+        (F.lit(n_subjects) - (F.col("cum_m") - F.col("m"))).alias("n"),
+        (_dlit(tot["sx"], 6) - (F.col("cum_sx") - F.col("sx")))
+        .alias("s1"),
+        (_dlit(tot["sx2"], 6) - (F.col("cum_sx2") - F.col("sx2")))
+        .alias("s2"),
     ).where(F.col("d") > 0)
     # decimal -> STRING -> double: engines convert wide decimals to
     # doubles through different internal paths (scaled-int divide vs
@@ -1623,44 +1699,40 @@ def nelson_aalen(
     observed, 0 = censored at ``duration_col``).
 
     Scale: identical to :func:`kaplan_meier` — one groupBy shuffle to
-    the distinct-duration histogram, then ordered windows over THAT
-    bounded frame; the cumulative sums are sequential in duration
-    order, so both engines add the same doubles in the same order.
-    Extension — no reference counterpart.
+    the distinct-duration histogram, then the bucket-partitioned
+    cumulative scaffold (operators.stats) for both the at-risk counts
+    and the hazard sums: no unpartitioned window at any duration grain.
+    Determinism: the per-duration hazard terms accumulate as 12dp
+    pre-rounded exact decimals (order-independent, the cox decimal-fold
+    contract), then round at the 6dp output grid.  Extension — no
+    reference counterpart.
     """
-    from ..pipeline._util import materialize_once
+    from .stats import _bucketed_global_cums
 
-    per_t = materialize_once(
-        df.where(F.col(duration_col).isNotNull())
-        .groupBy(F.col(duration_col).alias("duration"))
-        .agg(
-            F.sum(
-                F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
-            ).alias("n_events"),
-            F.count(F.lit(1)).alias("n_at"),
-        )
-    )
-    w = Window.orderBy("duration").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    total = per_t.agg(F.sum("n_at").alias("__total"))
-    cum = per_t.join(F.broadcast(total)).select(
-        "duration",
-        "n_events",
-        (F.col("n_at") - F.col("n_events")).alias("n_censored"),
-        (
-            F.col("__total") - F.sum("n_at").over(w) + F.col("n_at")
-        ).alias("n_risk"),
-    )
+    risk, _ = _survival_risk_frame(df, duration_col, event_col)
     d = F.col("n_events").cast("double")
     r = F.col("n_risk").cast("double")
-    return cum.select(
-        "duration",
+    staged = risk.select(
+        "v",
+        "n_events",
+        "n_censored",
+        "n_risk",
+        F.round(d / r, 12).cast("decimal(38,12)").alias("__h"),
+        F.round(d / (r * r), 12).cast("decimal(38,12)").alias("__q"),
+    )
+    cum2 = _bucketed_global_cums(
+        staged,
+        ["__h", "__q"],
+        carry_cols=["n_events", "n_censored", "n_risk"],
+        empty_ok=True,
+    )
+    return cum2.select(
+        F.col("v").alias("duration"),
         "n_risk",
         "n_events",
         "n_censored",
-        F.round(F.sum(d / r).over(w), 6).alias("cumhaz"),
-        F.round(F.sum(d / (r * r)).over(w), 6).alias("var_cumhaz"),
+        F.round(F.col("cum___h").cast("double"), 6).alias("cumhaz"),
+        F.round(F.col("cum___q").cast("double"), 6).alias("var_cumhaz"),
     )
 
 
@@ -1772,44 +1844,47 @@ def rmst(
     ratio misleads); pairs with :func:`kaplan_meier` (the curve) and
     the log-rank gate (the comparison).
 
-    ``RMST(τ) = Σ_k S(t_{k-1})·(min(t_k, τ) − min(t_{k-1}, τ))
-    + S(t_last)·(τ − min(t_last, τ))`` over the distinct event-time
-    grid with S(t_0=0) = 1.
+    Computed by summation by parts: with jump sizes ``ΔS_j =
+    S(t_{j-1})·d_j/n_j`` at each event time, ``RMST(τ) = τ −
+    Σ_j ΔS_j · max(0, τ − t_j)`` — the integral of a right-continuous
+    step function equals the horizon minus each drop times how long it
+    persists.  Mathematically identical to the segment-fold form, but
+    every term is PER-ROW (``S(t_{j-1}) = exp(cum_lnt − lnt_j)`` from
+    the KM scaffold's exclusive cumulative) — no lag, no adjacency, no
+    ordered window beyond the scaffold itself.
 
-    Scale: everything runs on :func:`kaplan_meier`'s persisted bounded
-    distinct-duration histogram; the segment fold is one
-    duration-ORDERED cumulative window over that frame (identical
-    addition order in both engines), digested by TakeOrdered(1).
-    Extension — no reference counterpart.
+    Scale: everything runs on :func:`kaplan_meier`'s bucket-partitioned
+    cumulative frame (no unpartitioned window at any duration grain);
+    the jump terms fold as 12dp pre-rounded exact decimals in ONE plain
+    aggregate — order-free, engine-reproducible.  Extension — no
+    reference counterpart.
     """
     if horizon <= 0:
         raise ValueError("horizon must be positive")
-    curve = kaplan_meier(df, duration_col, event_col)
-    w_ord = Window.orderBy("duration")
-    w_cum = Window.orderBy("duration").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    cum2 = _km_cum_frame(df, duration_col, event_col)
     tau = F.lit(float(horizon))
-    d = F.col("duration").cast("double")
-    d_prev = F.coalesce(
-        F.lag(F.col("duration").cast("double")).over(w_ord), F.lit(0.0)
+    # S just before t_j: exclusive cumulative = inclusive minus own
+    # (exact decimal subtraction); killed-curve gate likewise exclusive
+    s_prev = F.when(
+        F.col("cum___dead") - F.col("__dead") >= 1, F.lit(0.0)
+    ).otherwise(
+        F.exp((F.col("cum___lnt") - F.col("__lnt")).cast("double"))
     )
-    s_prev = F.coalesce(F.lag("survival").over(w_ord), F.lit(1.0))
-    seg = s_prev * (F.least(d, tau) - F.least(d_prev, tau))
-    folded = curve.select(
-        "duration",
-        "survival",
-        F.count(F.lit(1)).over(w_cum).alias("__k"),
-        F.sum(seg).over(w_cum).alias("__area"),
+    jump = s_prev * (
+        F.col("n_events").cast("double")
+        / F.col("n_risk").cast("double")
     )
-    last = folded.orderBy(F.desc("duration")).limit(1)
-    tail = F.col("survival") * (
-        tau - F.least(F.col("duration").cast("double"), tau)
-    )
-    return last.select(
+    contrib = (
+        tau - F.least(F.col("v").cast("double"), tau)
+    ) * jump
+    digest = cum2.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(F.round(contrib, 12).cast("decimal(38,12)")).alias("__j"),
+    ).where(F.col("__k") > 0)
+    return digest.select(
         tau.alias("horizon"),
         F.col("__k").cast("bigint").alias("n_durations"),
-        F.round(F.col("__area") + tail, 6).alias("rmst"),
+        F.round(tau - F.col("__j").cast("double"), 6).alias("rmst"),
     )
 
 

@@ -1123,6 +1123,19 @@ def test_fuzz_qte(spark, case):
         assert r["qte"] == pytest.approx(qb - qa, abs=1e-9)
 
 
+def test_qte_all_null_variant_raises(spark):
+    # a discovered level whose values are all NULL has no distribution:
+    # the gate must refuse loudly (NULL quantiles would pass vacuously
+    # and SQL mirrors would return the global min instead)
+    from datajudge_spark.operators.stats import quantile_treatment_effect
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, None), (1, None)], "grp int, v double"
+    )
+    with pytest.raises(ValueError, match="no non-null 'v' values"):
+        quantile_treatment_effect(df, "v", "grp").collect()
+
+
 @pytest.mark.parametrize("case", range(5))
 def test_fuzz_post_stratified(spark, case):
     from datajudge_spark.operators.stats import post_stratified_diff

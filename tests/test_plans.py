@@ -427,13 +427,41 @@ def test_association_rules_copartitioned_self_join(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def _assert_windows_bucketed(plan: str):
+    # every ordered window must be partitioned by the range-bucket id —
+    # NO unpartitioned (single-partition) window anywhere in the plan
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "__b" in ln, f"unpartitioned window: {ln}"
+
+
 def test_kaplan_meier_window_over_durations(spark):
-    # the ordered window runs over the distinct-duration aggregate (its
-    # input is a HashAggregate), never over raw subjects
+    # the cumulative runs over the distinct-duration aggregate (its
+    # input is a HashAggregate), never over raw subjects — and every
+    # window is bucket-partitioned (timestamp-grain durations stay
+    # parallel)
     plan = _executed_plan(entrymod.q_kaplan_meier(spark, SF_DIR))
-    assert "Window " in plan
+    _assert_windows_bucketed(plan)
     assert "partial_count" in plan or "partial_sum" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_logrank_no_global_window_one_scan(spark):
+    # at-risk counts ride the bucketed cumulative whose totals replace
+    # the separate group-size scan: events parquet is read once into
+    # the persisted histogram, and no unpartitioned window exists
+    plan = _executed_plan(entrymod.queries()["logrank"](spark, SF_DIR))
+    _assert_windows_bucketed(plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_rmst_no_global_window_no_lag(spark):
+    # the summation-by-parts fold is a plain aggregate over the KM
+    # scaffold: no lag, no unpartitioned window, no last-row sort
+    plan = _executed_plan(entrymod.queries()["rmst"](spark, SF_DIR))
+    _assert_windows_bucketed(plan)
+    assert " lag(" not in plan, plan
 
 
 def test_q10_broadcasts_and_takeordered(spark):
@@ -1019,13 +1047,15 @@ def test_grouped_ztest_bh_windows_on_digest_only(spark):
 
 def test_nelson_aalen_windows_on_duration_histogram(spark):
     # same shape as kaplan_meier: subjects aggregate to the distinct-
-    # duration histogram, PERSISTED once — the at-risk total and the
+    # duration histogram, PERSISTED once — the sketch probe and the
     # cumulative branch both read the cache instead of re-scanning the
     # subject frame (count InMemoryTableScan, not Scan parquet: cached
-    # bodies repeat their file lineage textually per consumer)
+    # bodies repeat their file lineage textually per consumer); every
+    # window is bucket-partitioned
     plan = _executed_plan(entrymod.queries()["nelson_aalen"](spark, SF_DIR))
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "SortMergeJoin" not in plan
+    _assert_windows_bucketed(plan)
 
 
 def test_durbin_watson_folds_on_daily_frame(spark):
@@ -1057,14 +1087,17 @@ def test_kruskal_wallis_bucketed_cumulative(spark):
 
 def test_cox_score_windows_on_duration_histogram(spark):
     # same shape as logrank/kaplan_meier: subjects collapse to the
-    # distinct-duration histogram in ONE grouped scan (events parquet
-    # is read once for the histogram + once for the tiny n_subjects
-    # digest); all windows run over that bounded frame, no join at any
-    # scale, and the risk-set sums stay decimal (exact) until the term
-    # stage
+    # distinct-duration histogram in ONE grouped scan (the scaffold's
+    # offsets fold hands back n_subjects, so there is NO second
+    # fact-table scan); the risk-set cumulative is bucket-partitioned
+    # (no unpartitioned window), no join at any scale, and the risk-set
+    # sums stay decimal (exact) until the term stage
     plan = _executed_plan(entrymod.queries()["cox_score"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
-    assert "windowspecdefinition(__t" in plan, plan
+    _assert_windows_bucketed(plan)
+    # the histogram is persisted (cached bodies repeat file lineage
+    # textually per consumer, so count the cache reads, not scans)
+    assert "InMemoryTableScan" in plan, plan
     # the U/I fold is a plain decimal aggregate (order-independent),
     # not an ordered cumulative + last-row pick
     assert "partial_sum" in plan, plan
