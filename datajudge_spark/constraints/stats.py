@@ -2859,6 +2859,11 @@ class ObfCrossingMax(Constraint):
     spends the error budget across looks instead.  Extension, no
     reference counterpart.
 
+    Declare the planned schedule via ``n_looks`` to get the EXACT
+    published O'Brien-Fleming constant (alpha = 0.05, K <= 10 —
+    Jennison & Turnbull 2000 Table 2.3) instead of the fixed-horizon
+    heuristic ``c``; an explicit ``critical_value`` overrides both.
+
     Engine side is ``operators.stats.sequential_look_counts`` (one
     grouped conditional-count scan) + ``obf_sequential_ztest`` (windows
     over the bounded look frame); only the bounded monitoring grid
@@ -2874,6 +2879,7 @@ class ObfCrossingMax(Constraint):
         success,
         alpha: float = 0.05,
         critical_value: float | None = None,
+        n_looks: int | None = None,
         max_crossed_looks: int = 0,
         name: str | None = None,
         cache_size=None,
@@ -2882,12 +2888,15 @@ class ObfCrossingMax(Constraint):
             raise ValueError("alpha must be within (0, 1)")
         if max_crossed_looks < 0:
             raise ValueError("max_crossed_looks must be non-negative")
+        if n_looks is not None and n_looks < 1:
+            raise ValueError("n_looks must be >= 1")
         self._look = look_column
         self._population_a = population_a
         self._population_b = population_b
         self._success = success
         self._alpha = alpha
         self._critical_value = critical_value
+        self._n_looks = n_looks
         self._max_crossed = int(max_crossed_looks)
         super().__init__(
             ref, ref_value=max_crossed_looks, name=name,
@@ -2912,7 +2921,10 @@ class ObfCrossingMax(Constraint):
             self._success.to_column(),
         )
         grid = obf_sequential_ztest(
-            looks, alpha=self._alpha, critical_value=self._critical_value
+            looks,
+            alpha=self._alpha,
+            critical_value=self._critical_value,
+            n_looks=self._n_looks,
         ).collect()
         crossed = sorted(
             (r for r in grid if r["crossed"]), key=lambda r: r["look"]

@@ -2487,10 +2487,55 @@ def sequential_look_counts(
     )
 
 
+# Exact O'Brien-Fleming boundary constants C_B(K) for K equally spaced
+# looks, TWO-SIDED overall alpha = 0.05: the constant c such that the
+# group-sequential test with boundary |Z_k| >= c / sqrt(k/K) has exact
+# type-I error 0.05.  Published values — Jennison & Turnbull, "Group
+# Sequential Methods with Applications to Clinical Trials" (2000),
+# Table 2.3 (public reference values, widely reproduced).  K = 1 is the
+# fixed-horizon test by construction.
+_OBF_C_TWO_SIDED_005 = {
+    1: 1.960,
+    2: 1.977,
+    3: 2.004,
+    4: 2.024,
+    5: 2.040,
+    6: 2.053,
+    7: 2.063,
+    8: 2.072,
+    9: 2.080,
+    10: 2.087,
+}
+
+
+def obf_critical_value(n_looks: int, alpha: float = 0.05) -> float:
+    """O'Brien-Fleming boundary constant ``c`` for a PLANNED schedule
+    of ``n_looks`` equally spaced looks at two-sided ``alpha``.
+
+    For ``alpha = 0.05`` and ``n_looks <= 10`` this returns the exact
+    published constant (Jennison & Turnbull 2000, Table 2.3 — e.g.
+    2.040 for K = 5), making the boundary's overall type-I error
+    exactly 0.05 for the planned schedule.  Outside the table (other
+    alphas, K > 10) it falls back to the fixed-horizon
+    ``norm_ppf(1 - alpha/2)`` — the common fixed-B-boundary heuristic,
+    slightly anti-conservative for K > 1; the exact Lan-DeMets spending
+    computation needs recursive numerical integration and is out of
+    scope by design.
+    """
+    if n_looks < 1:
+        raise ValueError("n_looks must be >= 1")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be within (0, 1)")
+    if abs(alpha - 0.05) < 1e-12 and n_looks in _OBF_C_TWO_SIDED_005:
+        return _OBF_C_TWO_SIDED_005[n_looks]
+    return norm_ppf(1.0 - alpha / 2.0)
+
+
 def obf_sequential_ztest(
     looks: DataFrame,
     alpha: float = 0.05,
     critical_value: float | None = None,
+    n_looks: int | None = None,
 ) -> DataFrame:
     """Group-sequential A/B monitor with an O'Brien-Fleming-shaped
     boundary: from per-look count increments ``(look, n_a, s_a, n_b,
@@ -2504,14 +2549,15 @@ def obf_sequential_ztest(
     B-value (score) scale, so on the z scale ``b(t) = c / sqrt(t)``
     with ``t`` the information fraction (cumulative exposure / total
     exposure) — extremely strict early, relaxing to ``c`` at full
-    information.  ``c`` defaults to ``norm_ppf(1 - alpha/2)`` (the
-    fixed-horizon critical value — the common fixed-B-boundary
-    heuristic); pass the exact O'Brien-Fleming constant for a planned
-    number of looks via ``critical_value`` (e.g. 2.04 for K = 5 looks
-    at alpha = 0.05) when the schedule is known — the exact Lan-DeMets
-    spending boundary needs recursive numerical integration and is out
-    of scope by design.  ``c`` enters the plan as a driver-computed
-    LITERAL; no special function runs in-plan.
+    information.  ``c`` resolution, most-specific first: an explicit
+    ``critical_value`` wins; else a declared ``n_looks`` schedule uses
+    :func:`obf_critical_value` (the EXACT published O'Brien-Fleming
+    constant for alpha = 0.05, K <= 10 — e.g. 2.040 for K = 5 —
+    Jennison & Turnbull 2000 Table 2.3); else the fixed-horizon
+    ``norm_ppf(1 - alpha/2)`` (the common fixed-B-boundary heuristic,
+    slightly anti-conservative across repeated looks — declare the
+    schedule when you know it).  ``c`` enters the plan as a
+    driver-computed LITERAL; no special function runs in-plan.
 
     Scale & determinism: the per-look frame is bounded by the look
     grain (days/hours of an experiment), so the cumulative and
@@ -2527,9 +2573,12 @@ def obf_sequential_ztest(
 
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be within (0, 1)")
-    c = float(critical_value) if critical_value is not None else norm_ppf(
-        1.0 - alpha / 2.0
-    )
+    if critical_value is not None:
+        c = float(critical_value)
+    elif n_looks is not None:
+        c = obf_critical_value(int(n_looks), alpha)
+    else:
+        c = norm_ppf(1.0 - alpha / 2.0)
     if c <= 0:
         raise ValueError("critical_value must be positive")
     w_cum = Window.orderBy("look").rowsBetween(

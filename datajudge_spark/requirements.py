@@ -2279,6 +2279,7 @@ class WithinRequirement(Requirement):
         success: Condition,
         alpha: float = 0.05,
         critical_value: float | None = None,
+        n_looks: int | None = None,
         max_crossed_looks: int = 0,
         condition: Condition | None = None,
         name: str | None = None,
@@ -2293,11 +2294,14 @@ class WithinRequirement(Requirement):
         completion of ``add_two_proportion_ztest_constraint``: checking
         a fixed 1.96 gate after every look inflates the false-positive
         rate; the OBF boundary spends the alpha budget across looks.
-        ``c`` defaults to the fixed-horizon critical value for
-        ``alpha``; pass the exact O'Brien-Fleming constant for a
-        planned look count via ``critical_value``.  One grouped
-        conditional-count scan; windows run on the bounded look
-        frame."""
+        Declare the planned schedule via ``n_looks`` to use the EXACT
+        published O'Brien-Fleming constant (alpha = 0.05, K <= 10 —
+        e.g. c = 2.040 for 5 looks; Jennison & Turnbull 2000, Table
+        2.3); otherwise ``c`` defaults to the fixed-horizon critical
+        value for ``alpha`` (slightly anti-conservative across
+        repeated looks), and an explicit ``critical_value`` overrides
+        both.  One grouped conditional-count scan; windows run on the
+        bounded look frame."""
         # columns=None: the population/success Conditions reference
         # arbitrary columns, so the selection must keep the full row
         ref = DataReference(self._data_source, None, condition)
@@ -2310,6 +2314,7 @@ class WithinRequirement(Requirement):
                 success,
                 alpha=alpha,
                 critical_value=critical_value,
+                n_looks=n_looks,
                 max_crossed_looks=max_crossed_looks,
                 name=name,
                 cache_size=cache_size,

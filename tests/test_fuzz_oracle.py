@@ -1082,6 +1082,53 @@ def test_fuzz_obf_sequential(spark, case):
         assert r["z"] is None and r["crossed"] is False
 
 
+def test_obf_exact_constants_and_schedule(spark):
+    # the published Jennison-Turnbull Table 2.3 constants for a
+    # declared schedule; fixed-horizon fallback outside the table
+    from pyspark.sql import functions as F
+
+    from datajudge_spark.operators.stats import (
+        norm_ppf,
+        obf_critical_value,
+        obf_sequential_ztest,
+        sequential_look_counts,
+    )
+
+    assert obf_critical_value(1) == pytest.approx(1.960)
+    assert obf_critical_value(5) == pytest.approx(2.040)
+    assert obf_critical_value(10) == pytest.approx(2.087)
+    # outside the table: fixed-horizon z
+    assert obf_critical_value(11) == pytest.approx(norm_ppf(0.975))
+    assert obf_critical_value(5, alpha=0.01) == pytest.approx(
+        norm_ppf(0.995)
+    )
+    with pytest.raises(ValueError):
+        obf_critical_value(0)
+
+    rows = [(lk, g, c) for lk in (1, 2) for g in (0, 1) for c in (0, 1)]
+    df = spark.createDataFrame(rows, "look int, grp int, conv int")
+    looks = sequential_look_counts(
+        df, "look", F.col("grp") == 0, F.col("grp") == 1,
+        F.col("conv") == 1,
+    )
+    out = {
+        r["look"]: r
+        for r in obf_sequential_ztest(looks, n_looks=2).collect()
+    }
+    # boundary scales by the exact K=2 constant, not 1.96
+    assert out[2]["boundary"] == pytest.approx(1.977, abs=1e-9)
+    # output rounds at 6dp
+    assert out[1]["boundary"] == pytest.approx(1.977 / 0.5 ** 0.5, abs=1e-5)
+    # explicit critical_value overrides the schedule
+    out2 = {
+        r["look"]: r
+        for r in obf_sequential_ztest(
+            looks, critical_value=3.0, n_looks=2
+        ).collect()
+    }
+    assert out2[2]["boundary"] == pytest.approx(3.0, abs=1e-9)
+
+
 @pytest.mark.parametrize("case", range(5))
 def test_fuzz_qte(spark, case):
     from datajudge_spark.operators.stats import quantile_treatment_effect
