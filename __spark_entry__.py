@@ -640,6 +640,25 @@ def q_decontaminate_ngram(spark, sf_dir):
     )
 
 
+def q_decontaminate_winnow(spark, sf_dir):
+    # winnowing-fingerprint contamination: the sparse local-match
+    # complement of q_decontaminate_ngram — any eval/train shared
+    # passage of >= w+k-1 = 8 words is guaranteed to share a selected
+    # fingerprint, at ~2/(w+1) index density. Train reduces to its
+    # distinct 60-bit fingerprint set; only int64 hashes shuffle.
+    from datajudge_spark.pipeline import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    return decontam.winnowing_contamination(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        k=4,
+        w=5,
+    )
+
+
 def q_ngram_novelty(spark, sf_dir):
     # corpus-level novelty: how much of the incoming shard's (doc_id %
     # 10 == 0) distinct 3-gram vocabulary is NEW vs the ingested corpus
@@ -6248,6 +6267,28 @@ def q_qte_deciles(spark, sf_dir):
     )
 
 
+def q_grouped_qte(spark, sf_dir):
+    # per-segment quantile treatment effects: WHERE in the event-value
+    # distribution the parity "treatment" acted, FOR WHICH event type —
+    # the segment refinement of qte_deciles (a segment-local tail
+    # effect dilutes away in the pooled grid). One conditional-agg
+    # histogram shuffle for all 5x2 cells + the shared
+    # bucket-partitioned cumulative; integer quantile rule.
+    from datajudge_spark.operators.stats import (
+        grouped_quantile_treatment_effect,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "value",
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+    )
+    return grouped_quantile_treatment_effect(
+        df, "value", "variant", "event_type"
+    ).orderBy("event_type", "decile")
+
+
 def q_streaming_obf_monitor(spark, sf_dir):
     """19th streaming contract query: group-sequential A/B monitoring
     with an O'Brien-Fleming-shaped boundary.  Per-LOOK (day) counts are
@@ -6650,6 +6691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_score": q_cox_score,
         "streaming_obf_monitor": q_streaming_obf_monitor,
         "qte_deciles": q_qte_deciles,
+        # round-12 additions (queued for the r13 window)
+        "decontaminate_winnow": q_decontaminate_winnow,
+        "grouped_qte": q_grouped_qte,
     }
     missing = [k for k in _R12_WINDOW if k not in base]
     assert not missing, f"window names missing from queries(): {missing}"
@@ -7518,6 +7562,50 @@ def _qte_sql(deciles: int = 10) -> str:
         "FROM c) "
         + " UNION ALL ".join(branches)
         + " ORDER BY decile"
+    )
+
+
+def _grouped_qte_sql(deciles: int = 10) -> str:
+    """DuckDB mirror of q_grouped_qte: the per-(segment, variant) cell
+    integer decision rule of operators.stats
+    .grouped_quantile_treatment_effect; empty cells surface as NULL
+    quantiles via the ``n > 0`` guard + left joins (the engine's
+    explicit-sparsity contract), never a vacuous global min."""
+    return (
+        "WITH h AS MATERIALIZED (SELECT event_type AS g, value AS v, "
+        "count(*) FILTER (CAST(user_id % 2 AS INT) = 0) AS c0, "
+        "count(*) FILTER (CAST(user_id % 2 AS INT) = 1) AS c1 "
+        "FROM events WHERE value IS NOT NULL "
+        "AND event_type IS NOT NULL "
+        "AND CAST(user_id % 2 AS INT) IS NOT NULL GROUP BY 1, 2), "
+        "c AS MATERIALIZED (SELECT g, v, "
+        "sum(c0) OVER (PARTITION BY g ORDER BY v) AS cum0, "
+        "sum(c1) OVER (PARTITION BY g ORDER BY v) AS cum1 FROM h), "
+        "t AS MATERIALIZED (SELECT g, max(cum0) AS n0, "
+        "max(cum1) AS n1 FROM c GROUP BY 1), "
+        f"j AS (SELECT unnest(generate_series(1, {deciles - 1})) "
+        "AS decile), "
+        "qa AS (SELECT c.g, j.decile, min(c.v) AS q "
+        "FROM c JOIN t ON t.g = c.g CROSS JOIN j "
+        f"WHERE t.n0 > 0 AND c.cum0 * {deciles} >= j.decile * t.n0 "
+        "GROUP BY 1, 2), "
+        "qb AS (SELECT c.g, j.decile, min(c.v) AS q "
+        "FROM c JOIN t ON t.g = c.g CROSS JOIN j "
+        f"WHERE t.n1 > 0 AND c.cum1 * {deciles} >= j.decile * t.n1 "
+        "GROUP BY 1, 2), "
+        "grid AS (SELECT t.g, j.decile, t.n0, t.n1 "
+        "FROM t CROSS JOIN j) "
+        "SELECT grid.g AS event_type, "
+        "CAST(grid.decile AS INT) AS decile, "
+        "CAST(grid.n0 AS BIGINT) AS n_a, "
+        "CAST(grid.n1 AS BIGINT) AS n_b, "
+        "round(CAST(qa.q AS DOUBLE), 6) AS q_a, "
+        "round(CAST(qb.q AS DOUBLE), 6) AS q_b, "
+        "round(CAST(qb.q AS DOUBLE) - CAST(qa.q AS DOUBLE), 6) AS qte "
+        "FROM grid "
+        "LEFT JOIN qa ON qa.g = grid.g AND qa.decile = grid.decile "
+        "LEFT JOIN qb ON qb.g = grid.g AND qb.decile = grid.decile "
+        "ORDER BY event_type, decile"
     )
 
 
@@ -9593,6 +9681,39 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2) "
             "SELECT d1, d2, n_shared FROM pairs "
             "ORDER BY n_shared DESC, d1, d2 LIMIT 25"
+        ),
+        "decontaminate_winnow": (
+            # same k=4 gram hashing (md5 60-bit) and w=5 window-min
+            # selection as the winnowing_pairs oracle; train split's
+            # DISTINCT fingerprint set joined against each eval doc's
+            # selected fingerprints
+            "WITH t AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS tk FROM documents WHERE text IS NOT NULL), "
+            "g AS (SELECT doc_id, list_transform(generate_series(1, "
+            "greatest(len(tk) - 3, 0)), i -> array_to_string(tk[i:i+3], "
+            "' ')) AS grams FROM t), "
+            "h AS (SELECT doc_id, list_transform(grams, s -> "
+            "CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) "
+            "AS BIGINT)) AS hs FROM g), "
+            "wn AS (SELECT doc_id, CASE WHEN len(hs) >= 5 THEN "
+            "list_transform(generate_series(1, len(hs) - 4), "
+            "i -> list_aggregate(hs[i:i+4], 'min')) "
+            "WHEN len(hs) >= 1 THEN [list_aggregate(hs, 'min')] "
+            "ELSE [] END AS wins FROM h), "
+            "fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS f "
+            "FROM wn), "
+            "trn AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 != 0), "
+            "ev AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 = 0), "
+            "tot AS (SELECT doc_id, count(*) AS n_fp FROM ev "
+            "GROUP BY 1), "
+            "hit AS (SELECT ev.doc_id, count(*) AS n_hit FROM ev "
+            "JOIN trn ON ev.f = trn.f GROUP BY 1) "
+            "SELECT tot.doc_id AS eval_id, "
+            "CAST(n_fp AS BIGINT) AS n_fp, "
+            "CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit, "
+            "round(CAST(coalesce(n_hit, 0) AS DOUBLE) "
+            "/ CAST(n_fp AS DOUBLE), 6) AS contamination "
+            "FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id"
         ),
         "grouped_bootstrap_ci": _grouped_bootstrap_ci_sql(64),
         "streaming_bootstrap": _events_bootstrap_sql(32),
@@ -12191,6 +12312,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_obf_monitor": _obf_monitor_sql(),
         "qte_deciles": _qte_sql(),
+        "grouped_qte": _grouped_qte_sql(),
         "capture_recapture": (
             # same double-op order: (n+1) products, (m+1) denominators
             "WITH fps AS (SELECT DISTINCT source AS src, "

@@ -3019,6 +3019,218 @@ class QteMax(Constraint):
         return TestResult.failure(assertion_text, self.get_description())
 
 
+class GroupedQteMax(Constraint):
+    """Per-segment distribution-wide A/B gate: in EVERY segment of
+    ``group_column``, no decile's quantile treatment effect may exceed
+    ``max_abs_qte`` — the segment refinement of :class:`QteMax` (a
+    treatment that fattens one segment's tail dilutes away in the
+    pooled grid).  Extension, no reference counterpart.
+
+    A segment missing one assignment variant carries NULL qte cells
+    (visible sparsity — ``n_a``/``n_b`` are reported); by default they
+    are tolerated, ``require_both_variants=True`` fails on them.
+
+    Engine side is ``operators.stats.grouped_quantile_treatment_effect``
+    (one conditional-agg histogram shuffle for all cells + the shared
+    bucket-partitioned cumulative); only the bounded (segment, decile)
+    grid crosses to the driver.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        value_column: str,
+        assignment_column: str,
+        group_column: str,
+        max_abs_qte: float,
+        deciles: int = 10,
+        groups: list | None = None,
+        max_groups: int = 100,
+        require_both_variants: bool = False,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if max_abs_qte < 0:
+            raise ValueError("max_abs_qte must be non-negative")
+        if deciles < 2:
+            raise ValueError("deciles must be >= 2")
+        self._value = value_column
+        self._assign = assignment_column
+        self._group = group_column
+        self._max_abs = max_abs_qte
+        self._deciles = int(deciles)
+        self._groups = groups
+        self._max_groups = int(max_groups)
+        self._require_both = bool(require_both_variants)
+        super().__init__(
+            ref, ref_value=max_abs_qte, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from ..operators.stats import grouped_quantile_treatment_effect
+
+        try:
+            grid = grouped_quantile_treatment_effect(
+                self._ref.get_selection(engine),
+                self._value,
+                self._assign,
+                self._group,
+                groups=self._groups,
+                deciles=self._deciles,
+                max_groups=self._max_groups,
+            ).collect()
+        except ValueError as exc:
+            return TestResult.failure(
+                f"Grouped quantile treatment effect on {self._ref} is "
+                f"undefined: {exc}. ",
+                self.get_description(),
+            )
+        null_cells = [r for r in grid if r["qte"] is None]
+        if self._require_both and null_cells:
+            segs = sorted(
+                {str(r[self._group]) for r in null_cells}
+            )[:5]
+            return TestResult.failure(
+                f"{len(null_cells)} of {len(grid)} (segment, decile) "
+                f"cells of '{self._value}' in {self._ref} miss one "
+                f"'{self._assign}' variant entirely (segments {segs}) "
+                f"and require_both_variants is set. "
+                f"{self._condition_string} ",
+                self.get_description(),
+            )
+        offenders = sorted(
+            (
+                r for r in grid
+                if r["qte"] is not None and abs(r["qte"]) > self._max_abs
+            ),
+            key=lambda r: -abs(r["qte"]),
+        )
+        if not offenders:
+            return TestResult.success()
+        worst = [
+            (r[self._group], r["decile"], r["q_a"], r["q_b"], r["qte"])
+            for r in offenders[:5]
+        ]
+        assertion_text = (
+            f"{len(offenders)} of {len(grid)} (segment, decile) cells "
+            f"of '{self._value}' between the two '{self._assign}' "
+            f"variants of {self._ref} move more than {self._max_abs} — "
+            f"worst (segment, decile, q_a, q_b, qte): {worst}; the "
+            f"treatment effect is not distributionally bounded in every "
+            f"'{self._group}' segment. {self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
+class WinnowingContaminationMax(Constraint):
+    """Train/eval contamination gate with a LOCAL-match guarantee: at
+    most ``max_fraction`` of the eval-side documents may share any
+    winnowing-selected fingerprint with the train-side corpus (any
+    shared verbatim passage of at least ``w + k - 1`` words is
+    guaranteed to produce a shared fingerprint — Schleimer/Wilkerson/
+    Aiken winnowing, the plagiarism-detection complement of the n-gram
+    set gate, at ~2/(w+1) index density).  ``min_overlap`` raises the
+    per-document bar: a document counts as contaminated only when its
+    shared-fingerprint fraction EXCEEDS it (default 0.0 — any shared
+    fingerprint).  Extension, no reference counterpart.
+
+    Engine side is ``pipeline.decontam.winnowing_contamination``: the
+    train corpus reduces to its distinct 60-bit fingerprint set, one
+    int64 semi-join, per-document counts — text never shuffles.
+    """
+
+    def __init__(
+        self,
+        ref: DataReference,
+        ref2: DataReference,
+        id_column: str,
+        text_column: str,
+        id_column2: str,
+        text_column2: str,
+        max_fraction: float,
+        k: int = 4,
+        w: int = 5,
+        min_overlap: float = 0.0,
+        name: str | None = None,
+        cache_size=None,
+    ):
+        if not 0.0 <= max_fraction <= 1.0:
+            raise ValueError("max_fraction must be within [0, 1]")
+        if not 0.0 <= min_overlap < 1.0:
+            raise ValueError("min_overlap must be within [0, 1)")
+        if k < 1 or w < 1:
+            raise ValueError("k and w must be positive")
+        self._id1 = id_column
+        self._t1 = text_column
+        self._id2 = id_column2
+        self._t2 = text_column2
+        self._max_fraction = float(max_fraction)
+        self._k = int(k)
+        self._w = int(w)
+        self._min_overlap = float(min_overlap)
+        super().__init__(
+            ref, ref2=ref2, name=name, cache_size=cache_size
+        )
+
+    def test(self, engine: SparkSession) -> TestResult:
+        from pyspark.sql import functions as F
+
+        from ..pipeline._util import materialize_once
+        from ..pipeline.decontam import winnowing_contamination
+
+        train = self._ref.get_selection(engine).select(
+            F.col(self._id1).alias("_id"),
+            F.col(self._t1).alias("_txt"),
+        )
+        evals = self._ref2.get_selection(engine).select(
+            F.col(self._id2).alias("_id"),
+            F.col(self._t2).alias("_txt"),
+        )
+        out = materialize_once(
+            winnowing_contamination(
+                train, evals, "_id", "_txt", k=self._k, w=self._w
+            )
+        )
+        d = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("contamination") > self._min_overlap, 1
+                ).otherwise(0)
+            ).alias("bad"),
+        ).first()
+        n, bad = int(d["n"] or 0), int(d["bad"] or 0)
+        if n == 0:
+            return TestResult.failure(
+                f"Winnowing contamination between {self._ref} and "
+                f"{self._ref2} is undefined: the eval side "
+                "has no tokenized documents. ",
+                self.get_description(),
+            )
+        fraction = bad / n
+        if fraction <= self._max_fraction:
+            return TestResult.success()
+        worst = [
+            (r["eval_id"], r["n_fp"], r["n_hit"], r["contamination"])
+            for r in out.where(
+                F.col("contamination") > self._min_overlap
+            )
+            .orderBy(F.desc("contamination"), "eval_id")
+            .limit(5)
+            .collect()
+        ]
+        assertion_text = (
+            f"{bad} of {n} eval documents of {self._ref2} "
+            f"share winnowing fingerprints (k={self._k}, w={self._w}, "
+            f"min_overlap={self._min_overlap}) with the training "
+            f"corpus {self._ref} — contaminated fraction "
+            f"{round(fraction, 6)} > {self._max_fraction}; worst "
+            f"(eval_id, n_fp, n_hit, contamination): {worst}. "
+            f"{self._condition_string} "
+        )
+        return TestResult.failure(assertion_text, self.get_description())
+
+
 class AlwaysValidPMin(Constraint):
     """Anytime-valid A/B gate: the always-valid p-value (mixture
     sequential probability ratio over the per-look cumulative counts)

@@ -616,6 +616,147 @@ def quantile_treatment_effect(
     )
 
 
+def grouped_quantile_treatment_effect(
+    df: DataFrame,
+    value_col: str,
+    assign_col: str,
+    group_col: str,
+    groups: list | None = None,
+    deciles: int = 10,
+    max_groups: int = 100,
+) -> DataFrame:
+    """Per-segment quantile treatment effects: one row ``(group,
+    decile, n_a, n_b, q_a, q_b, qte)`` per (segment, j/deciles) grid
+    point — "WHERE in the outcome distribution did the treatment act,
+    and FOR WHOM?".  The segment refinement of
+    :func:`quantile_treatment_effect`: a treatment that fattens the top
+    decile only for one customer segment is invisible both to every
+    mean gate and to the pooled QTE grid (the segment's mass dilutes
+    away); this grid localizes it.
+
+    Same exact-quantile rule as the pooled QTE (smallest v with >= p of
+    the mass <= v, decided by the INTEGER comparison ``deciles * cum >=
+    j * n_cell`` — no double-rounding ambiguity on any engine), per
+    (segment, variant) cell.  Unlike the pooled QTE — which RAISES on a
+    variant with zero non-null values (one empty side means the whole
+    gate is misconfigured) — a segment missing one variant is ordinary
+    sparsity: its rows carry NULL quantiles with the visible
+    ``n_a``/``n_b`` cell sizes, so a gate can skip or fail them
+    explicitly, never silently.
+
+    Plan: the :func:`grouped_quantile_grid` scaffold — ONE
+    conditional-aggregation histogram shuffle for ALL (segment,
+    variant) cells, the shared bucket-partitioned multi-cumulative (one
+    sketch, one window stage), then a single final aggregate evaluating
+    every (cell, decile) conditional-min at once; segment count and
+    grid size never add scans.  Extension — no reference counterpart.
+    """
+    from ..pipeline._util import materialize_once
+
+    if deciles < 2:
+        raise ValueError("deciles must be >= 2")
+    two = (
+        df.select(F.col(assign_col).alias("__g"))
+        .where(F.col("__g").isNotNull())
+        .distinct()
+        .orderBy("__g")
+        .limit(3)
+        .collect()
+    )
+    if len(two) != 2:
+        raise ValueError(
+            f"grouped_quantile_treatment_effect needs exactly two "
+            f"assignment levels, got {[r['__g'] for r in two]}"
+        )
+    levels = [two[0]["__g"], two[1]["__g"]]
+    non_null = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(assign_col).isNotNull()
+    )
+    if groups is None:
+        rows = (
+            non_null.select(F.col(group_col).alias("g"))
+            .distinct()
+            .limit(max_groups + 1)
+            .collect()
+        )
+        if len(rows) > max_groups:
+            raise ValueError(
+                f"grouped_quantile_treatment_effect: more than "
+                f"max_groups={max_groups} distinct groups in "
+                f"{group_col}; pass an explicit `groups` list."
+            )
+        groups = sorted(r["g"] for r in rows)
+    cells = [(i, s) for i in range(len(groups)) for s in (0, 1)]
+    aliases = [f"c{i}_{s}" for i, s in cells]
+    hist = non_null.groupBy(F.col(value_col).alias("v")).agg(
+        *[
+            F.count(
+                F.when(
+                    (F.col(group_col) == F.lit(groups[i]))
+                    & (F.col(assign_col) == F.lit(levels[s])),
+                    1,
+                )
+            ).alias(a)
+            for (i, s), a in zip(cells, aliases)
+        ]
+    )
+    cums = materialize_once(_bucketed_global_cums(hist, aliases))
+    tot = cums.agg(
+        *[F.max(f"cum_{a}").alias(a) for a in aliases]
+    ).first()
+    q_exprs = []
+    for j in range(1, deciles):
+        for a in aliases:
+            n_c = int(tot[a] or 0)
+            if n_c == 0:
+                q_exprs.append(
+                    F.lit(None).cast("double").alias(f"q_{a}_{j}")
+                )
+            else:
+                q_exprs.append(
+                    F.min(
+                        F.when(
+                            F.col(f"cum_{a}") * deciles
+                            >= F.lit(j * n_c),
+                            F.col("v"),
+                        )
+                    )
+                    .cast("double")
+                    .alias(f"q_{a}_{j}")
+                )
+    agg = cums.agg(*q_exprs)
+    stack_args = ", ".join(
+        f"{_sql_str(g)}, {j}, {int(tot[f'c{i}_0'] or 0)}L, "
+        f"{int(tot[f'c{i}_1'] or 0)}L, q_c{i}_0_{j}, q_c{i}_1_{j}"
+        for i, g in enumerate(groups)
+        for j in range(1, deciles)
+    )
+    n_rows = len(groups) * (deciles - 1)
+    g_type = df.schema[group_col].dataType
+    return (
+        agg.select(
+            F.expr(
+                f"stack({n_rows}, {stack_args}) "
+                f"AS ({_sql_ident(group_col)}, decile, n_a, n_b, qa, qb)"
+            )
+        )
+        .select(
+            F.col(group_col).cast(g_type).alias(group_col),
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("qa").cast("double"), 6).alias("q_a"),
+            F.round(F.col("qb").cast("double"), 6).alias("q_b"),
+            F.round(
+                F.col("qb").cast("double") - F.col("qa").cast("double"),
+                6,
+            ).alias("qte"),
+        )
+    )
+
+
 def value_bucket(
     value: Column | str, lo: float, hi: float, n_buckets: int
 ) -> Column:

@@ -368,3 +368,76 @@ def capture_recapture(
             6,
         ).alias("est_unseen"),
     )
+
+
+def winnowing_contamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Per-eval-document contamination via winnowing fingerprints —
+    the LOCAL-overlap complement of :func:`ngram_contamination`.
+
+    Returns ``(eval_id, n_fp, n_hit, contamination)``: ``n_fp`` is the
+    number of distinct winnowing-selected fingerprints of the eval
+    document, ``n_hit`` how many of them occur anywhere in ``train``,
+    ``contamination`` their ratio rounded to 6 places.
+
+    Why a second contamination gate: the n-gram set gate samples EVERY
+    n-gram, so its index is dense, and its guarantee stops at exactly-n
+    spans — a verbatim passage that is long but rare among millions of
+    short accidental n-gram collisions is indistinguishable from noise.
+    Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003) stores only each
+    ``w``-window's MINIMUM k-gram hash (~``2/(w+1)`` density) yet still
+    GUARANTEES that any shared passage of at least ``w + k - 1`` words
+    yields at least one shared fingerprint — a sparse index with a
+    local-match guarantee, which is what catches plagiarism-style
+    verbatim spans that whole-document MinHash similarity and dense
+    n-gram noise both wash out.  Documents shorter than one window keep
+    their global-minimum fingerprint; documents with no tokens are
+    absent from the output (consistent with the oracle construction).
+
+    Scale (100 TB train side): the train corpus reduces to its DISTINCT
+    fingerprint set (per-document ``array_distinct`` before the
+    explode, then map-side partial distinct — 8 bytes per surviving
+    fingerprint cross the wire, never text), so a fingerprint shared by
+    millions of train documents contributes ONE row to the membership
+    join, never a pair explosion.  The semi-join on the int64
+    fingerprint is one hash shuffle; with a small eval side AQE
+    broadcast-joins it instead.  The eval fingerprint frame is
+    persisted once (totals + hits both read it).  Fingerprints are
+    portable md5 60-bit hashes, so the DuckDB oracle reproduces
+    identical counts (collisions included) bit-for-bit.
+    """
+    from datajudge_spark.pipeline.dedup import winnowing_fingerprints
+
+    tr = (
+        winnowing_fingerprints(train, id_col, text_col, k, w)
+        .select("fp")
+        .distinct()
+    )
+    ev = materialize_once(
+        winnowing_fingerprints(eval_, id_col, text_col, k, w).select(
+            F.col(id_col).alias("_id"), "fp"
+        )
+    )
+    totals = ev.groupBy("_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    hits = (
+        ev.join(tr, "fp", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias("eval_id"),
+            F.col("n_fp"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_fp"), 6
+            ).alias("contamination"),
+        )
+    )

@@ -2395,6 +2395,50 @@ class WithinRequirement(Requirement):
             )
         )
 
+    def add_grouped_qte_constraint(
+        self,
+        value_column: str,
+        assignment_column: str,
+        group_column: str,
+        max_abs_qte: float,
+        deciles: int = 10,
+        groups: list | None = None,
+        max_groups: int = 100,
+        require_both_variants: bool = False,
+        condition: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): in EVERY segment of
+        ``group_column``, no decile's quantile treatment effect may
+        exceed ``max_abs_qte`` in absolute value — the per-segment
+        refinement of ``add_qte_constraint`` (a treatment that moves
+        one segment's tail dilutes away in the pooled grid).  Segments
+        missing one assignment variant carry NULL cells and are
+        tolerated unless ``require_both_variants``.  ONE
+        conditional-agg histogram scan for all (segment, variant)
+        cells + the shared bucketed cumulative."""
+        ref = DataReference(
+            self._data_source,
+            [value_column, assignment_column, group_column],
+            condition,
+        )
+        self._constraints.append(
+            stats_constraints.GroupedQteMax(
+                ref,
+                value_column,
+                assignment_column,
+                group_column,
+                max_abs_qte=max_abs_qte,
+                deciles=deciles,
+                groups=groups,
+                max_groups=max_groups,
+                require_both_variants=require_both_variants,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
     def add_stratified_diff_constraint(
         self,
         metric_column: str,
@@ -3650,6 +3694,56 @@ class BetweenRequirement(Requirement):
                 max_added_fraction=max_added_fraction,
                 max_removed_fraction=max_removed_fraction,
                 max_changed_fraction=max_changed_fraction,
+                name=name,
+                cache_size=cache_size,
+            )
+        )
+
+    def add_winnowing_contamination_constraint(
+        self,
+        id_column1: str,
+        text_column1: str,
+        id_column2: str,
+        text_column2: str,
+        max_fraction: float,
+        k: int = 4,
+        w: int = 5,
+        min_overlap: float = 0.0,
+        condition1: Condition | None = None,
+        condition2: Condition | None = None,
+        name: str | None = None,
+        cache_size=None,
+    ) -> None:
+        """Extension (no reference counterpart): at most
+        ``max_fraction`` of the SECOND source's documents (the eval
+        set) may share winnowing-selected fingerprints with the FIRST
+        source (the training corpus).  Winnowing guarantees any shared
+        verbatim passage of at least ``w + k - 1`` words yields a
+        shared fingerprint at ~2/(w+1) index density — the local-match
+        contamination gate that n-gram set overlap (fixed exactly-n
+        spans, dense index) and MinHash (whole-document similarity)
+        both miss.  ``min_overlap`` makes a document count as
+        contaminated only above that shared-fingerprint fraction.  The
+        train side reduces to its distinct 60-bit fingerprint set; one
+        int64 semi-join, text never shuffles."""
+        ref = DataReference(
+            self._data_source, [id_column1, text_column1], condition1
+        )
+        ref2 = DataReference(
+            self._data_source2, [id_column2, text_column2], condition2
+        )
+        self._constraints.append(
+            stats_constraints.WinnowingContaminationMax(
+                ref,
+                ref2,
+                id_column1,
+                text_column1,
+                id_column2,
+                text_column2,
+                max_fraction=max_fraction,
+                k=k,
+                w=w,
+                min_overlap=min_overlap,
                 name=name,
                 cache_size=cache_size,
             )

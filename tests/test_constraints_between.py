@@ -702,3 +702,80 @@ class TestWelchTBetween:
         req = between_req(d, d, "wtv1", "wtv2")
         with pytest.raises(ValueError):
             req.add_welch_ttest_constraint("c", "c", significance_level=0.0)
+
+
+class TestWinnowingContaminationBetween:
+    _PASSAGE = "the quick brown fox jumps over the lazy"  # 8 words = w+k-1
+
+    def _corpora(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta " + self._PASSAGE + " end"),
+                (2, "one two three four five six seven eight nine ten"),
+            ],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [
+                # contains the full 8-word passage -> guaranteed hit
+                (10, "prefix words here " + self._PASSAGE + " suffix"),
+                # disjoint vocabulary -> no shared fingerprints
+                (11, "zymurgy quixotic jackdaw vexing pneumonia "
+                     "sphinx waltz nymph quartz blitz"),
+            ],
+            "doc_id long, text string",
+        )
+        return train, evals
+
+    def test_guarantee_and_gate(self, spark):
+        train, evals = self._corpora(spark)
+        # one of two eval docs contaminated: fraction 0.5
+        req = between_req(train, evals, "wc_t", "wc_e")
+        req.add_winnowing_contamination_constraint(
+            "doc_id", "text", "doc_id", "text", max_fraction=0.5
+        )
+        req.add_winnowing_contamination_constraint(
+            "doc_id", "text", "doc_id", "text", max_fraction=0.4
+        )  # fail
+        results = req.test(spark)
+        assert [r.outcome for r in results] == [True, False]
+        msg = results[1].failure_message
+        assert "1 of 2 eval documents" in msg
+        assert "(10," in msg  # the contaminated doc id surfaces
+
+    def test_min_overlap_raises_bar(self, spark):
+        train, evals = self._corpora(spark)
+        # the contaminated doc shares only part of its fingerprints;
+        # an impossible bar (>= 1.0 overlap never exceeds 0.999...)
+        req = between_req(train, evals, "wc_t2", "wc_e2")
+        req.add_winnowing_contamination_constraint(
+            "doc_id", "text", "doc_id", "text",
+            max_fraction=0.0, min_overlap=0.999999,
+        )
+        assert outcomes(req, spark) == [True]
+
+    def test_empty_eval_side_undefined(self, spark):
+        train, _ = self._corpora(spark)
+        evals = spark.createDataFrame(
+            [(20, None)], "doc_id long, text string"
+        )
+        req = between_req(train, evals, "wc_t3", "wc_e3")
+        req.add_winnowing_contamination_constraint(
+            "doc_id", "text", "doc_id", "text", max_fraction=1.0
+        )
+        results = req.test(spark)
+        assert results[0].outcome is False
+        assert "undefined" in results[0].failure_message
+
+    def test_validation(self, spark):
+        train, evals = self._corpora(spark)
+        req = between_req(train, evals, "wc_t4", "wc_e4")
+        with pytest.raises(ValueError, match="max_fraction"):
+            req.add_winnowing_contamination_constraint(
+                "doc_id", "text", "doc_id", "text", max_fraction=1.5
+            )
+        with pytest.raises(ValueError, match="min_overlap"):
+            req.add_winnowing_contamination_constraint(
+                "doc_id", "text", "doc_id", "text",
+                max_fraction=0.5, min_overlap=1.0,
+            )

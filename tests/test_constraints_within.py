@@ -1949,6 +1949,88 @@ class TestQte:
             req.add_qte_constraint("v", "g", max_abs_qte=1.0, deciles=1)
 
 
+class TestGroupedQte:
+    def _ab(self, spark, seg_shift):
+        rng = __import__("random").Random(62)
+        rows = []
+        for i in range(1200):
+            g = i % 2
+            seg = "hot" if i % 3 == 0 else "cold"
+            v = float(rng.randint(0, 100))
+            # treatment acts only in the HOT segment's upper tail —
+            # diluted in the pooled grid, loud per-segment
+            if g and seg == "hot" and v > 80:
+                v += seg_shift
+            rows.append((g, seg, v))
+        return spark.createDataFrame(rows, "grp int, seg string, v double")
+
+    def test_segment_tail_effect_caught(self, spark):
+        # ~200 rows per (segment, variant) cell: pure sampling noise
+        # moves single deciles by ~±10 on a 0..100 domain — the null
+        # bound must sit above that, the 300-point tail shift far above
+        req = within_req(self._ab(spark, 0.0), "gqte_null")
+        req.add_grouped_qte_constraint("v", "grp", "seg", max_abs_qte=15.0)
+        assert outcomes(req, spark) == [True]
+
+        req2 = within_req(self._ab(spark, 300.0), "gqte_tail")
+        req2.add_grouped_qte_constraint("v", "grp", "seg", max_abs_qte=15.0)
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        msg = results[0].failure_message
+        assert "'seg' segment" in msg and "hot" in msg
+
+    def test_single_segment_matches_pooled(self, spark):
+        from datajudge_spark.operators.stats import (
+            grouped_quantile_treatment_effect,
+            quantile_treatment_effect,
+        )
+
+        df = self._ab(spark, 50.0).withColumn(
+            "one", __import__("pyspark").sql.functions.lit("all")
+        )
+        pooled = {
+            r["decile"]: (r["q_a"], r["q_b"], r["qte"])
+            for r in quantile_treatment_effect(df, "v", "grp").collect()
+        }
+        grouped = {
+            r["decile"]: (r["q_a"], r["q_b"], r["qte"])
+            for r in grouped_quantile_treatment_effect(
+                df, "v", "grp", "one"
+            ).collect()
+        }
+        assert pooled == grouped
+
+    def test_missing_variant_segment(self, spark):
+        rows = [(0, "both", 1.0), (1, "both", 2.0), (0, "only_a", 3.0)]
+        df = spark.createDataFrame(rows, "grp int, seg string, v double")
+        # tolerated by default: NULL cells, gate judges the rest
+        req = within_req(df, "gqte_sparse")
+        req.add_grouped_qte_constraint(
+            "v", "grp", "seg", max_abs_qte=100.0
+        )
+        assert outcomes(req, spark) == [True]
+        # explicit strictness fails with the segment named
+        req2 = within_req(df, "gqte_strict")
+        req2.add_grouped_qte_constraint(
+            "v", "grp", "seg", max_abs_qte=100.0,
+            require_both_variants=True,
+        )
+        results = req2.test(spark)
+        assert results[0].outcome is False
+        assert "only_a" in results[0].failure_message
+
+    def test_validation(self, spark, int_table1):
+        req = within_req(int_table1, "gqte_v")
+        with pytest.raises(ValueError):
+            req.add_grouped_qte_constraint(
+                "v", "g", "s", max_abs_qte=-1.0
+            )
+        with pytest.raises(ValueError):
+            req.add_grouped_qte_constraint(
+                "v", "g", "s", max_abs_qte=1.0, deciles=1
+            )
+
+
 class TestStratifiedDiff:
     def test_gate_pass_and_fail(self, spark):
         rng = __import__("random").Random(53)

@@ -1142,3 +1142,26 @@ def test_qte_bucketed_cumulative_single_scan(spark):
     for ln in plan.splitlines():
         if "Window " in ln:
             assert "__b" in ln, f"unpartitioned window: {ln}"
+
+
+def test_grouped_qte_bucketed_single_scan(spark):
+    # the grouped_ks scaffold: ONE conditional-agg histogram for all
+    # (segment, variant) cells, bucket-partitioned cumulative, the
+    # final grid in one aggregate over the persisted cums
+    plan = _executed_plan(entrymod.queries()["grouped_qte"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, plan
+    assert "Exchange hashpartitioning(__b" in plan, plan
+    _assert_windows_bucketed(plan)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontaminate_winnow_semi_join_no_python(spark):
+    # train side reduces to its distinct fingerprint set and meets the
+    # eval fingerprints in an int64 semi-join: no Python stage, no
+    # nested-loop join, text never reaches a shuffle
+    plan = _executed_plan(
+        entrymod.queries()["decontaminate_winnow"](spark, SF_DIR)
+    )
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
