@@ -5318,10 +5318,16 @@ def q_streaming_late_data(spark, sf_dir):
     from datajudge_spark.sources import normalize_event_time
     from datajudge_spark.streaming import windowed_counts
 
+    from datajudge_spark.pipeline._util import materialize_once
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_like = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev_all = normalize_event_time(batch_like).withColumn(
-        "event_ts", F.col("ts").cast("timestamp")
+    # persisted: the bounds probe + three staged slice writes all read
+    # the normalized frame — one parquet scan instead of four
+    ev_all = materialize_once(
+        normalize_event_time(batch_like).withColumn(
+            "event_ts", F.col("ts").cast("timestamp")
+        )
     )
     bounds = ev_all.agg(
         F.max(F.col("event_ts").cast("date")).alias("mx")

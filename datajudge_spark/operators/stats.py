@@ -1196,8 +1196,15 @@ def _bucketed_global_cums(
                 f"{k}, {off}L" for k, off in offsets[c].items()
             )
         else:
+            # precision 37, NOT 38: Spark's decimal-ADD result needs
+            # max(int1, int2) + s + 1 digits; a 38-wide operand forces
+            # 39 -> precision-loss adjustment, which at scale > 6
+            # silently DROPS fractional digits (min-adjusted-scale is
+            # 6).  With the window-sum side kept narrow by the caller
+            # (term columns <= DECIMAL(27,s)), a (37,s) offset makes
+            # the addition land exactly on (38,s) — no digit loss.
             pairs = ", ".join(
-                f"{k}, CAST('{format(off, 'f')}' AS DECIMAL(38,{s}))"
+                f"{k}, CAST('{format(off, 'f')}' AS DECIMAL(37,{s}))"
                 for k, off in offsets[c].items()
             )
         return F.expr(f"element_at(map({pairs}), __b)")

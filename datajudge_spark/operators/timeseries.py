@@ -785,7 +785,11 @@ def _km_cum_frame(
         "n_events",
         "n_censored",
         "n_risk",
-        F.round(term, 12).cast("decimal(38,12)").alias("__lnt"),
+        # (20,12) not (38,12): keeps the scaffold's cumulative
+        # addition inside 38 digits so the 12dp scale survives
+        # (Spark precision-loss would silently drop to 11dp);
+        # 8 integer digits is ample for |ln| survival terms
+        F.round(term, 12).cast("decimal(20,12)").alias("__lnt"),
         # a duration where every subject at risk dies (d == n) zeroes
         # the curve from there on via this flag, not ln(0)
         F.when(F.col("n_events") >= F.col("n_risk"), 1)
@@ -1717,8 +1721,10 @@ def nelson_aalen(
         "n_events",
         "n_censored",
         "n_risk",
-        F.round(d / r, 12).cast("decimal(38,12)").alias("__h"),
-        F.round(d / (r * r), 12).cast("decimal(38,12)").alias("__q"),
+        # (20,12): see the KM __lnt width note — per-term hazard
+        # values are <= 1 by construction (d <= n_risk)
+        F.round(d / r, 12).cast("decimal(20,12)").alias("__h"),
+        F.round(d / (r * r), 12).cast("decimal(20,12)").alias("__q"),
     )
     cum2 = _bucketed_global_cums(
         staged,
@@ -1868,7 +1874,15 @@ def rmst(
     s_prev = F.when(
         F.col("cum___dead") - F.col("__dead") >= 1, F.lit(0.0)
     ).otherwise(
-        F.exp((F.col("cum___lnt") - F.col("__lnt")).cast("double"))
+        F.exp(
+            (
+                # (26,12) minuend: |cum ln| < 1e14 always; keeps
+                # the subtraction exact at 12dp (38-wide operands
+                # would spill to 11dp)
+                F.col("cum___lnt").cast("decimal(26,12)")
+                - F.col("__lnt")
+            ).cast("double")
+        )
     )
     jump = s_prev * (
         F.col("n_events").cast("double")
