@@ -773,3 +773,59 @@ def test_qte_partition_stable(spark, n_parts):
         ).collect()
     )
     assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_grouped_qte_partition_stable(spark, n_parts):
+    # integer decision rule on exact cell counts: the grid is
+    # bit-identical at any partitioning
+    from datajudge_spark.operators.stats import (
+        grouped_quantile_treatment_effect,
+    )
+
+    rng = __import__("random").Random(23)
+    rows = [
+        (rng.randint(0, 1), f"s{rng.randint(0, 3)}",
+         float(rng.randint(0, 500)))
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "grp int, seg string, v double")
+    ref = sorted(
+        grouped_quantile_treatment_effect(df, "v", "grp", "seg").collect()
+    )
+    got = sorted(
+        grouped_quantile_treatment_effect(
+            df.repartition(n_parts), "v", "grp", "seg"
+        ).collect()
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 7])
+def test_winnowing_contamination_partition_stable(spark, n_parts):
+    # md5 fingerprints + integer counts: partitioning-invariant
+    from datajudge_spark.pipeline.decontam import winnowing_contamination
+
+    rng = __import__("random").Random(29)
+    words = [f"w{i}" for i in range(40)]
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))  # noqa: E731
+    train = spark.createDataFrame(
+        [(i, mk(rng.randint(5, 30))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100 + i, mk(rng.randint(5, 30))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    ref = sorted(
+        winnowing_contamination(train, evals, "doc_id", "text").collect()
+    )
+    got = sorted(
+        winnowing_contamination(
+            train.repartition(n_parts),
+            evals.repartition(n_parts),
+            "doc_id",
+            "text",
+        ).collect()
+    )
+    assert got == ref

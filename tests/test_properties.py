@@ -1024,3 +1024,39 @@ class TestObfSymmetry:
             assert last["boundary"] == pytest.approx(
                 round(norm_ppf(0.975), 6), abs=1e-6
             )
+
+
+class TestWinnowingContaminationGuarantee:
+    @settings(**SETTINGS)
+    @given(seed=st.integers(0, 10**6))
+    def test_shared_span_always_detected(self, spark, seed):
+        # the MOSS selection guarantee: ANY shared passage of
+        # >= w + k - 1 words yields >= 1 shared fingerprint — for a
+        # random passage embedded at random positions in otherwise
+        # disjoint-vocabulary documents
+        from datajudge_spark.pipeline.decontam import (
+            winnowing_contamination,
+        )
+
+        rng = __import__("random").Random(seed)
+        k, w = 4, 5
+        span_len = w + k - 1 + rng.randint(0, 4)
+        passage = " ".join(f"p{seed % 97}x{i}" for i in range(span_len))
+        train_filler = " ".join(
+            f"t{rng.randint(0, 30)}" for _ in range(rng.randint(0, 25))
+        )
+        eval_filler = " ".join(
+            f"e{rng.randint(0, 30)}" for _ in range(rng.randint(0, 25))
+        )
+        train_text = (train_filler + " " + passage).strip()
+        eval_text = (passage + " " + eval_filler).strip()
+        train = spark.createDataFrame(
+            [(1, train_text)], "doc_id long, text string"
+        )
+        evals = spark.createDataFrame(
+            [(2, eval_text)], "doc_id long, text string"
+        )
+        row = winnowing_contamination(
+            train, evals, "doc_id", "text", k=k, w=w
+        ).collect()[0]
+        assert row["n_hit"] >= 1, (train_text, eval_text)

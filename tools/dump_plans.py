@@ -114,6 +114,14 @@ HEADLINE = [
                               # decimal U/I fold (no ordered window)
     "qte_deciles",            # one histogram scan, bucketed cumulative,
                               # all (variant, decile) cells in one agg
+    # round 12
+    "rmst",                   # summation-by-parts jump fold: no lag,
+                              # no unpartitioned window, plain agg
+    "logrank",                # bucketed at-risk cums; O/E/V as one
+                              # decimal aggregate, no ordered window
+    "grouped_qte",            # all (segment, variant) cells, one
+                              # histogram pass, bucketed cumulative
+    "decontaminate_winnow",   # distinct train fp set, int64 semi-join
 ]
 
 
