@@ -11120,7 +11120,8 @@ def oracle_sql() -> dict[str, str]:
         # its last ulp
         "grouped_ols_trend": (
             # identical double expression shape as grouped_ols2: Cramer
-            # on doubles converted ONCE from decimal-exact integer sums
+            # on doubles string-converted ONCE from decimal-exact
+            # integer sums
             "WITH daily AS (SELECT o_orderpriority AS prio, "
             "CAST(o_orderdate AS DATE) AS day, "
             "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
@@ -11144,12 +11145,19 @@ def oracle_sql() -> dict[str, str]:
             "AS DECIMAL(38,0))) AS s2y, "
             "sum(CAST(CAST(cents AS DECIMAL(19,0)) * cents "
             "AS DECIMAL(38,0))) AS syy FROM feat GROUP BY 1), "
+            # decimal -> VARCHAR -> double mirrors the engine's
+            # string-routed conversion: correctly-rounded parse on
+            # both sides, bit-identical past 2^53
             "dd AS (SELECT prio, n, CAST(n AS DOUBLE) AS nd, "
-            "CAST(s1 AS DOUBLE) AS v1, CAST(s2 AS DOUBLE) AS v2, "
-            "CAST(sy AS DOUBLE) AS vy, CAST(s11 AS DOUBLE) AS v11, "
-            "CAST(s12 AS DOUBLE) AS v12, CAST(s22 AS DOUBLE) AS v22, "
-            "CAST(s1y AS DOUBLE) AS v1y, CAST(s2y AS DOUBLE) AS v2y, "
-            "CAST(syy AS DOUBLE) AS vyy FROM st), "
+            "CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS v1, "
+            "CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS v2, "
+            "CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS vy, "
+            "CAST(CAST(s11 AS VARCHAR) AS DOUBLE) AS v11, "
+            "CAST(CAST(s12 AS VARCHAR) AS DOUBLE) AS v12, "
+            "CAST(CAST(s22 AS VARCHAR) AS DOUBLE) AS v22, "
+            "CAST(CAST(s1y AS VARCHAR) AS DOUBLE) AS v1y, "
+            "CAST(CAST(s2y AS VARCHAR) AS DOUBLE) AS v2y, "
+            "CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS vyy FROM st), "
             "sol AS (SELECT prio, n, nd, v1, v2, vy, v1y, v2y, vyy, "
             "nd * (v11 * v22 - v12 * v12) - v1 * (v1 * v22 - v12 * v2) "
             "+ v2 * (v1 * v12 - v11 * v2) AS det, "
@@ -11165,15 +11173,19 @@ def oracle_sql() -> dict[str, str]:
             "vyy - vy * vy / nd AS sst, "
             "det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 "
             "FROM sol) "
+            # floor(x*1e6 + 0.5)/1e6 mirrors the engine's portable
+            # 6dp rounding: identical IEEE double ops on both sides
+            # (built-in round() disagrees at beta0's ~1e10 magnitude)
             "SELECT prio, CAST(n AS BIGINT) AS n, "
-            "CASE WHEN det <> 0 AND sst <> 0 THEN round(b0, 6) END "
-            "AS beta0, "
-            "CASE WHEN det <> 0 AND sst <> 0 THEN round(b1, 6) END "
-            "AS beta1, "
-            "CASE WHEN det <> 0 AND sst <> 0 THEN round(b2, 6) END "
-            "AS beta2, "
             "CASE WHEN det <> 0 AND sst <> 0 THEN "
-            "round(1.0 - sse / sst, 6) END AS r2 FROM fin"
+            "floor(b0 * 1e6 + 0.5) / 1e6 END AS beta0, "
+            "CASE WHEN det <> 0 AND sst <> 0 THEN "
+            "floor(b1 * 1e6 + 0.5) / 1e6 END AS beta1, "
+            "CASE WHEN det <> 0 AND sst <> 0 THEN "
+            "floor(b2 * 1e6 + 0.5) / 1e6 END AS beta2, "
+            "CASE WHEN det <> 0 AND sst <> 0 THEN "
+            "floor((1.0 - sse / sst) * 1e6 + 0.5) / 1e6 END AS r2 "
+            "FROM fin"
         ),
         "weekly_seasonality": (
             "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "

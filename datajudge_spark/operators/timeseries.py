@@ -949,10 +949,13 @@ def grouped_ols2(
       partition-order independent at any scale (Σy² reaches ~1e33 for
       cent-valued daily series, far past int64);
     - the 3×3 normal equations are solved per group by Cramer's rule on
-      doubles CONVERTED ONCE from those exact integers — a fixed
-      arithmetic expression, so any engine computing the same formula
-      on the same integers gets bit-identical doubles (no iterative
-      solver, no order-dependent folds);
+      doubles STRING-converted once from those exact integers (decimal
+      -> string -> double: the parse is correctly rounded on every
+      engine, where direct decimal->double paths can differ by 1 ulp
+      past 2^53) — a fixed arithmetic expression, so any engine
+      computing the same formula on the same integers gets
+      bit-identical doubles (no iterative solver, no order-dependent
+      folds);
     - cost after the aggregate is |groups| rows of scalar math.
 
     Inputs must be integer-valued (day numbers, 0/1 flags, cent
@@ -977,14 +980,17 @@ def grouped_ols2(
         F.sum((d19(x2_col) * F.col(y_col)).cast("decimal(38,0)")).alias("__s2y"),
         F.sum((d19(y_col) * F.col(y_col)).cast("decimal(38,0)")).alias("__syy"),
     )
+    # decimal -> STRING -> double: the sums exceed 2^53 (Σy² ~ 1e33 for
+    # cent-valued series), where engines' direct decimal->double paths
+    # (BigDecimal.doubleValue vs scaled-int divide) can differ by 1 ulp;
+    # at beta0 ~ 1e9 an ulp flips the 6th decimal.  The string parse is
+    # correctly rounded on every engine — bit-identical (the cox
+    # contract; caught by the sf1 replica, 1-ulp beta0 mismatch).
+    sd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
     n = F.col("__n").cast("double")
-    s1, s2, sy = (F.col(c).cast("double") for c in ("__s1", "__s2", "__sy"))
-    s11, s12, s22 = (
-        F.col(c).cast("double") for c in ("__s11", "__s12", "__s22")
-    )
-    s1y, s2y, syy = (
-        F.col(c).cast("double") for c in ("__s1y", "__s2y", "__syy")
-    )
+    s1, s2, sy = (sd(c) for c in ("__s1", "__s2", "__sy"))
+    s11, s12, s22 = (sd(c) for c in ("__s11", "__s12", "__s22"))
+    s1y, s2y, syy = (sd(c) for c in ("__s1y", "__s2y", "__syy"))
     det = (
         n * (s11 * s22 - s12 * s12)
         - s1 * (s1 * s22 - s12 * s2)
@@ -1009,13 +1015,24 @@ def grouped_ols2(
     sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
     sst = syy - sy * sy / n
     ok = (det != 0.0) & (sst != 0.0)
+
+    # portable 6dp rounding as PURE double arithmetic: beta0 reaches
+    # ~1e10 where the 6th decimal sits at double-ulp spacing, and
+    # engine round() implementations legitimately disagree there
+    # (string-based setScale vs scaled-multiply + rint half-even —
+    # the ×1e6 product lands exactly between doubles).  floor(x·1e6
+    # + 0.5)/1e6 is the same IEEE ops on both engines → bit-identical
+    # (half-values round toward +inf; identical everywhere).
+    r6 = lambda c: (  # noqa: E731
+        F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    )
     return stats.select(
         "grp",
         F.col("__n").alias("n"),
-        F.when(ok, F.round(b0, 6)).alias("beta0"),
-        F.when(ok, F.round(b1, 6)).alias("beta1"),
-        F.when(ok, F.round(b2, 6)).alias("beta2"),
-        F.when(ok, F.round(1.0 - sse / sst, 6)).alias("r2"),
+        F.when(ok, r6(b0)).alias("beta0"),
+        F.when(ok, r6(b1)).alias("beta1"),
+        F.when(ok, r6(b2)).alias("beta2"),
+        F.when(ok, r6(1.0 - sse / sst)).alias("r2"),
     )
 
 
