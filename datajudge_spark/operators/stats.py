@@ -988,7 +988,7 @@ def _sample_pred(col: str = "v") -> Column:
 
 
 def _equidepth_bounds(
-    cached: DataFrame, n_buckets: int
+    cached: DataFrame, n_buckets: int, extra_aggs: tuple | list = ()
 ) -> tuple[list, object]:
     """Equi-DEPTH bucket boundaries for a (v, ...) distinct-value frame:
     a ``percentile_approx`` sketch (accuracy 1000) over a
@@ -1004,14 +1004,19 @@ def _equidepth_bounds(
     fracs = _equidepth_fracs(cached.sparkSession, n_buckets)
     if not fracs:
         return [], cached.agg(
-            F.min("v").alias("lo"), F.max("v").alias("hi")
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+            *extra_aggs,
         ).first()
     sampled = F.when(_sample_pred(), F.col("v"))
     stats = cached.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
         F.count(sampled).alias("m"),
         F.percentile_approx(sampled, fracs, 1_000).alias("bounds"),
+        *extra_aggs,
     ).first()
     if stats["lo"] is None or stats["lo"] == stats["hi"]:
         return [], stats
@@ -1074,6 +1079,7 @@ def _bucketed_global_cums(
     n_buckets: int = RANK_BUCKETS,
     return_totals: bool = False,
     empty_ok: bool = False,
+    small_frame_rows: int = 0,
 ):
     """Generalized bucket-partitioned cumulative: adds ``cum_<c>`` — the
     INCLUSIVE global cumulative in ascending ``v`` order — for EVERY
@@ -1092,6 +1098,20 @@ def _bucketed_global_cums(
     ``empty_ok=True`` turns the empty-input error into an empty result
     frame (+ zero totals) so digest operators keep their empty-digest
     contract.
+
+    ``small_frame_rows > 0`` enables a MEASURED-size fast path: the
+    boundary probe counts the exact distinct-value rows anyway, and
+    when that count is at or below the threshold the cumulative runs
+    as one plain ordered window on a single partition — dropping the
+    per-bucket offsets job and the literal-map build, which dominate
+    wall-clock on day-grain frames (hundreds of rows) where the
+    bucketed machinery exists only as insurance.  This is NOT the
+    unbounded-single-partition hazard the scaffold removes: the
+    single-partition sort is taken only after MEASURING the frame at
+    <= threshold rows (<= a few MB), and any larger frame takes the
+    bucketed path automatically.  Values are identical on both paths
+    (exact integer/decimal folds, order-free), and the cum column
+    types are pinned to the bucketed path's result types.
     """
     from decimal import Decimal
 
@@ -1107,7 +1127,27 @@ def _bucketed_global_cums(
         return F.col(c).cast(t).alias(f"cum_{c}")
 
     cached = materialize_once(vals)
-    bounds, stats = _equidepth_bounds(cached, n_buckets)
+    extra = (
+        [F.sum(c).alias(f"__tot_{c}") for c in cum_cols]
+        if return_totals
+        else []
+    )
+    bounds, stats = _equidepth_bounds(cached, n_buckets, extra_aggs=extra)
+
+    def _probe_totals():
+        return {
+            c: (
+                (0 if specs[c] is None else Decimal(0))
+                if stats[f"__tot_{c}"] is None
+                else (
+                    int(stats[f"__tot_{c}"])
+                    if specs[c] is None
+                    else stats[f"__tot_{c}"]
+                )
+            )
+            for c in cum_cols
+        }
+
     lo, hi = stats["lo"], stats["hi"]
     if lo is None:
         if not empty_ok:
@@ -1128,18 +1168,38 @@ def _bucketed_global_cums(
         )
         if not return_totals:
             return out
-        row = cached.agg(
-            *[F.sum(c).alias(c) for c in cum_cols]
-        ).first()
-        totals = {
-            c: (
-                (0 if specs[c] is None else Decimal(0))
-                if row[c] is None
-                else (int(row[c]) if specs[c] is None else row[c])
-            )
-            for c in cum_cols
-        }
-        return out, totals
+        return out, _probe_totals()
+    try:
+        n_rows = int(stats["n_rows"])
+    except (KeyError, TypeError, ValueError):
+        n_rows = None
+    if (
+        small_frame_rows
+        and n_rows is not None
+        and n_rows <= small_frame_rows
+    ):
+        w_small = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = cached.select(
+            "v",
+            *cum_cols,
+            *carry_cols,
+            *[
+                F.sum(c)
+                .over(w_small)
+                .cast(
+                    "bigint"
+                    if specs[c] is None
+                    else f"decimal(38,{specs[c]})"
+                )
+                .alias(f"cum_{c}")
+                for c in cum_cols
+            ],
+        )
+        if not return_totals:
+            return out
+        return out, _probe_totals()
     if bounds:
         # bucket = number of boundaries <= v: monotone in v, so bucket
         # ids enumerate the value ranges in order (ties at a boundary go

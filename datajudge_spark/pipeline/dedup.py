@@ -816,27 +816,41 @@ def winnowing_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be positive")
-    grams = word_shingles(F.col(text_col), k)
-    hashes = F.transform(grams, lambda s: md5_long(s))
+
+    # the k-gram hash array MATERIALIZES as a named column first: the
+    # window stage references it many times (size + w cells per
+    # window), and an unaliased expression re-evaluates the entire
+    # shingle+md5 derivation PER REFERENCE (CollapseProject keeps a
+    # multi-referenced non-cheap alias as its own projection — that
+    # barrier is the optimization)
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            word_shingles(F.col(text_col), k), lambda s: md5_long(s)
+        ).alias("__hs"),
+    )
+    hashes = F.col("__hs")
     n = F.size(hashes)
+
+    # window minimum as least(element_at...) over the w offsets, NOT
+    # array_min(slice(...)): slice allocates a fresh w-array per window
+    # (O(n·w) allocations per document), while element_at is an O(1)
+    # read into the one materialized hash array.  Identical values.
+    def _win_min(i):
+        cells = [F.element_at(hashes, i + j) for j in range(w)]
+        return cells[0] if w == 1 else F.least(*cells)
+
     wins = (
         F.when(
             n >= w,
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(w - 1)),
-                lambda i: F.array_min(F.slice(hashes, i, w)),
-            ),
+            F.transform(F.sequence(F.lit(1), n - F.lit(w - 1)), _win_min),
         )
         .when(n >= 1, F.array(F.array_min(hashes)))
         .otherwise(F.array().cast("array<bigint>"))
     )
-    return (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(wins)).alias("fp"),
-        )
-        .select(F.col("_id").alias(id_col), "fp")
+    return staged.select(
+        F.col("_id").alias(id_col),
+        F.explode(F.array_distinct(wins)).alias("fp"),
     )
 
 

@@ -436,22 +436,59 @@ def _assert_windows_bucketed(plan: str):
         assert "__b" in ln, f"unpartitioned window: {ln}"
 
 
+class _force_bucketed_survival:
+    """Context manager: force the survival-family scaffold onto its
+    bucketed path (the measured small-frame fast path would otherwise
+    engage at sf0.001 — a few hundred distinct durations — and the
+    plan under test would be the bounded single-partition shortcut,
+    not the scale path these pins certify)."""
+
+    def __enter__(self):
+        import datajudge_spark.operators.timeseries as ts
+
+        self._ts, self._old = ts, ts.SMALL_SURVIVAL_FRAME
+        ts.SMALL_SURVIVAL_FRAME = 0
+        return self
+
+    def __exit__(self, *exc):
+        self._ts.SMALL_SURVIVAL_FRAME = self._old
+        return False
+
+
 def test_kaplan_meier_window_over_durations(spark):
     # the cumulative runs over the distinct-duration aggregate (its
-    # input is a HashAggregate), never over raw subjects — and every
-    # window is bucket-partitioned (timestamp-grain durations stay
-    # parallel)
-    plan = _executed_plan(entrymod.q_kaplan_meier(spark, SF_DIR))
+    # input is a HashAggregate), never over raw subjects — and on the
+    # scale path every window is bucket-partitioned (timestamp-grain
+    # durations stay parallel)
+    with _force_bucketed_survival():
+        plan = _executed_plan(entrymod.q_kaplan_meier(spark, SF_DIR))
     _assert_windows_bucketed(plan)
     assert "partial_count" in plan or "partial_sum" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_survival_fast_path_is_measured_and_value_identical(spark):
+    # at sf0.001 the duration histogram measures a few hundred rows, so
+    # the scaffold takes the bounded single-partition shortcut — values
+    # must be IDENTICAL to the bucketed scale path (exact folds on both)
+    fast = sorted(
+        map(tuple, entrymod.q_kaplan_meier(spark, SF_DIR).collect())
+    )
+    with _force_bucketed_survival():
+        slow_df = entrymod.q_kaplan_meier(spark, SF_DIR)
+        slow_plan = _executed_plan(slow_df)
+        slow = sorted(map(tuple, slow_df.collect()))
+    assert fast == slow
+    _assert_windows_bucketed(slow_plan)
+
+
 def test_logrank_no_global_window_one_scan(spark):
     # at-risk counts ride the bucketed cumulative whose totals replace
     # the separate group-size scan: events parquet is read once into
-    # the persisted histogram, and no unpartitioned window exists
-    plan = _executed_plan(entrymod.queries()["logrank"](spark, SF_DIR))
+    # the persisted histogram, and (scale path) no unpartitioned
+    # window exists
+    with _force_bucketed_survival():
+        plan = _executed_plan(entrymod.queries()["logrank"](spark, SF_DIR))
     _assert_windows_bucketed(plan)
     assert "SortMergeJoin" not in plan
 
@@ -459,7 +496,8 @@ def test_logrank_no_global_window_one_scan(spark):
 def test_rmst_no_global_window_no_lag(spark):
     # the summation-by-parts fold is a plain aggregate over the KM
     # scaffold: no lag, no unpartitioned window, no last-row sort
-    plan = _executed_plan(entrymod.queries()["rmst"](spark, SF_DIR))
+    with _force_bucketed_survival():
+        plan = _executed_plan(entrymod.queries()["rmst"](spark, SF_DIR))
     _assert_windows_bucketed(plan)
     assert " lag(" not in plan, plan
 
@@ -1052,7 +1090,10 @@ def test_nelson_aalen_windows_on_duration_histogram(spark):
     # subject frame (count InMemoryTableScan, not Scan parquet: cached
     # bodies repeat their file lineage textually per consumer); every
     # window is bucket-partitioned
-    plan = _executed_plan(entrymod.queries()["nelson_aalen"](spark, SF_DIR))
+    with _force_bucketed_survival():
+        plan = _executed_plan(
+            entrymod.queries()["nelson_aalen"](spark, SF_DIR)
+        )
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "SortMergeJoin" not in plan
     _assert_windows_bucketed(plan)
@@ -1092,7 +1133,10 @@ def test_cox_score_windows_on_duration_histogram(spark):
     # fact-table scan); the risk-set cumulative is bucket-partitioned
     # (no unpartitioned window), no join at any scale, and the risk-set
     # sums stay decimal (exact) until the term stage
-    plan = _executed_plan(entrymod.queries()["cox_score"](spark, SF_DIR))
+    with _force_bucketed_survival():
+        plan = _executed_plan(
+            entrymod.queries()["cox_score"](spark, SF_DIR)
+        )
     assert "SortMergeJoin" not in plan, plan
     _assert_windows_bucketed(plan)
     # the histogram is persisted (cached bodies repeat file lineage
