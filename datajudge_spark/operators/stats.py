@@ -91,22 +91,25 @@ def get_cross_cdf(
         "tinyint", "smallint", "int", "bigint", "float", "double",
     ) or dtype.startswith("decimal")
     if numeric:
-        # no persist here: _bucketed_global_cums owns the single persist
-        # of this histogram; the totals agg below is one cheap scan of
-        # the raw plan before the helper caches it
-        tot = hist.agg(
-            F.sum("__dj_n1").alias("t1"), F.sum("__dj_n2").alias("t2")
-        ).first()
-        total1 = int(tot["t1"] or 0)
-        total2 = int(tot["t2"] or 0)
+        # totals ride the scaffold's probe aggregate (return_totals):
+        # the former raw-plan totals agg re-computed the ENTIRE
+        # histogram derivation — a second scan of both selections —
+        # before the helper's persist materialized
+        cums, totals = _bucketed_global_cums(
+            hist, ["__dj_n1", "__dj_n2"], return_totals=True,
+            empty_ok=True,
+        )
+        total1 = int(totals["__dj_n1"])
+        total2 = int(totals["__dj_n2"])
         if total1 == 0 and total2 == 0:
+            # hist rows all carry n1+n2 >= 1, so zero totals means an
+            # empty histogram: same empty frame as before
             empty = hist.select(
                 F.col("v").alias(value_label),
                 F.lit(0.0).alias(cdf_label1),
                 F.lit(0.0).alias(cdf_label2),
             )
             return empty, cdf_label1, cdf_label2
-        cums = _bucketed_global_cums(hist, ["__dj_n1", "__dj_n2"])
         filled = cums.select(
             F.col("v").alias(value_label),
             (F.col("cum___dj_n1") / F.lit(total1 or 1)).alias(cdf_label1),
@@ -345,13 +348,15 @@ def _grouped_value_cums(
             for g, a in zip(groups, cnt_aliases)
         ],
     )
-    cums = materialize_once(
-        _bucketed_global_cums(hist, ["cnt"] + cnt_aliases)
+    # return_totals: the grand totals ride the scaffold's boundary-probe
+    # aggregate, so the former `cums.agg(max(cum_*)).first()` job — and
+    # the persist that existed only because two consumers read `cums` —
+    # are gone; the final aggregate is now the cums frame's ONLY reader.
+    cums, totals = _bucketed_global_cums(
+        hist, ["cnt"] + cnt_aliases, return_totals=True
     )
-    tot = cums.agg(
-        F.max("cum_cnt").alias("nt"),
-        *[F.max(f"cum_{a}").alias(a) for a in cnt_aliases],
-    ).first()
+    tot = {"nt": totals["cnt"]}
+    tot.update({a: totals[a] for a in cnt_aliases})
     return groups, cnt_aliases, cums, tot
 
 
@@ -702,10 +707,10 @@ def grouped_quantile_treatment_effect(
             for (i, s), a in zip(cells, aliases)
         ]
     )
-    cums = materialize_once(_bucketed_global_cums(hist, aliases))
-    tot = cums.agg(
-        *[F.max(f"cum_{a}").alias(a) for a in aliases]
-    ).first()
+    # totals ride the scaffold's probe aggregate (return_totals): no
+    # separate `max(cum_*)` job, and no persist — the final aggregate
+    # below is the cums frame's only consumer.
+    cums, tot = _bucketed_global_cums(hist, aliases, return_totals=True)
     q_exprs = []
     for j in range(1, deciles):
         for a in aliases:
@@ -2091,14 +2096,16 @@ def rank_2sample_tests(
     hist = tagged.groupBy("v").agg(
         F.sum("n1").alias("n1"), F.sum("n2").alias("n2")
     )
-    # totals from the raw plan (one cheap agg scan); the helper below
-    # owns the single persist of the histogram
-    tot = hist.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2")).first()
-    t1, t2 = int(tot["t1"] or 0), int(tot["t2"] or 0)
+    # totals ride the scaffold's probe aggregate (return_totals): the
+    # former raw-plan totals agg re-computed the whole histogram — a
+    # second scan of both samples — before the helper's persist
+    cums, totals = _bucketed_global_cums(
+        hist, ["n1", "n2"], return_totals=True, empty_ok=True
+    )
+    t1, t2 = int(totals["n1"]), int(totals["n2"])
     if t1 == 0 or t2 == 0:
         raise ValueError("rank_2sample_tests needs non-empty samples both sides")
     n_total = t1 + t2
-    cums = _bucketed_global_cums(hist, ["n1", "n2"])
     dec = "decimal(38,0)"
     c1, c2 = F.col("cum_n1").cast(dec), F.col("cum_n2").cast(dec)
     b_cum = c1 + c2

@@ -549,10 +549,12 @@ def grouped_theil_sen(
             for g, al in zip(groups, cnt_aliases)
         ]
     )
-    cums = materialize_once(_bucketed_global_cums(hist, cnt_aliases))
-    tot = cums.agg(
-        *[F.max(f"cum_{al}").alias(al) for al in cnt_aliases]
-    ).first()
+    # totals ride the scaffold's probe aggregate (return_totals): no
+    # separate `max(cum_*)` job, no persist — the median aggregate
+    # below is the cums frame's only consumer.
+    cums, tot = _bucketed_global_cums(
+        hist, cnt_aliases, return_totals=True
+    )
     day_rows = (
         daily.where(F.col(group_col).isin(groups))
         .groupBy(group_col)

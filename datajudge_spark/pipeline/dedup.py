@@ -822,8 +822,13 @@ def winnowing_fingerprints(
     # window), and an unaliased expression re-evaluates the entire
     # shingle+md5 derivation PER REFERENCE (CollapseProject keeps a
     # multi-referenced non-cheap alias as its own projection — that
-    # barrier is the optimization)
-    staged = df.where(F.col(text_col).isNotNull()).select(
+    # barrier is the optimization).  spread() BEFORE the shingle+md5
+    # derivation: a small corpus scans as one partition, which would
+    # serialize the O(words) hashing on a single core; only (id, text)
+    # cross the spread shuffle.
+    staged = spread(
+        df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
+    ).select(
         F.col(id_col).alias("_id"),
         F.transform(
             word_shingles(F.col(text_col), k), lambda s: md5_long(s)
