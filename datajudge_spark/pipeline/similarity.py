@@ -509,8 +509,21 @@ def pq_train(
         f"slice({v_vec}, s * {ds} + 1, {ds}) AS sv))"
     )
     for _ in range(max_iterations):
-        enc = pq_encode(vecs, codebook, m=m, id_col=v_id, vec_col=v_vec)
-        joined = vecs.join(enc, v_id)
+        # assign codes INLINE on the cached frame: pq_encode() derives
+        # codes from the very same rows, so re-attaching them via
+        # vecs.join(enc, v_id) paid a full self-join shuffle of the
+        # corpus per iteration (plus pq_encode's spread() repartition)
+        # for data that one map-only projection produces for free.
+        # Identical codes expression => identical means => identical
+        # trained codebook.
+        codes_sql = (
+            "transform("
+            + _pq_dists_sql(v_vec, codebook, m)
+            + ", a -> CAST(array_position(a, array_min(a)) - 1 AS INT))"
+        )
+        joined = vecs.select(
+            F.col(v_vec), F.expr(codes_sql).alias("codes")
+        )
         comp = joined.select(
             F.posexplode(sub_structs).alias("s", "sc")
         ).select(
