@@ -160,10 +160,14 @@ def bootstrap_mean_ci(
         _poisson1_from_uniform(u).cast("long").alias("__w"),
     )
     per = pairs.groupBy("__r").agg(
+        # w is a tiny Poisson weight (<= ~20) and v a domain-bounded
+        # integer metric: the product is 64-bit exact (ANSI-checked), so
+        # multiply in long and pay the decimal cast only on the sum input
+        # (a per-row BigDecimal multiply here runs once per exploded
+        # replicate row - n_reps x the corpus - the hottest loop in the
+        # bootstrap family).
         F.sum(
-            (F.col("__w").cast("decimal(19,0)") * F.col("__v")).cast(
-                "decimal(38,0)"
-            )
+            (F.col("__w") * F.col("__v")).cast("decimal(38,0)")
         ).alias("__sw"),
         F.sum("__w").alias("__n"),
         # every replicate group sees every input row once, so the
@@ -286,10 +290,14 @@ def grouped_bootstrap_mean_ci(
         _poisson1_from_uniform(u).cast("long").alias("__w"),
     )
     per = pairs.groupBy("grp", "__r").agg(
+        # w is a tiny Poisson weight (<= ~20) and v a domain-bounded
+        # integer metric: the product is 64-bit exact (ANSI-checked), so
+        # multiply in long and pay the decimal cast only on the sum input
+        # (a per-row BigDecimal multiply here runs once per exploded
+        # replicate row - n_reps x the corpus - the hottest loop in the
+        # bootstrap family).
         F.sum(
-            (F.col("__w").cast("decimal(19,0)") * F.col("__v")).cast(
-                "decimal(38,0)"
-            )
+            (F.col("__w") * F.col("__v")).cast("decimal(38,0)")
         ).alias("__sw"),
         F.sum("__w").alias("__n"),
         F.count(F.lit(1)).alias("__cnt"),

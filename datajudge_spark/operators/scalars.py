@@ -222,7 +222,19 @@ def exact_percentile_df(df, column: str, percentage: float):
     percentage`` in another) can disagree by 1 ulp at exact boundaries and
     select off-by-one values.
     """
-    non_null = df.where(F.col(column).isNotNull())
+    from ..pipeline._util import materialize_once
+
+    # The two driver probes (min/max/total, per-bucket counts) and the
+    # final target-bucket histogram each scan the input: persist the
+    # single-column projection ONCE so passes 2 and 3 read cached
+    # blocks instead of re-running the upstream derivation / re-reading
+    # the source (callers like mad_outliers and theil_sen pay this
+    # three-scan pattern twice per call — measured seconds of the
+    # build).  One column persists at ~data/width cost; the cache is
+    # freed when the plan is GC'd.
+    non_null = materialize_once(
+        df.where(F.col(column).isNotNull()).select(column)
+    )
     dtype = dict(df.dtypes)[column]
     numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float",
                         "double") or dtype.startswith("decimal")
@@ -499,8 +511,15 @@ def exact_weighted_percentile_df(
     """
     from fractions import Fraction
 
-    non_null = df.where(
-        F.col(column).isNotNull() & F.col(weight_column).isNotNull()
+    from ..pipeline._util import materialize_once
+
+    # same three-pass shape as exact_percentile_df: persist the 2-column
+    # projection so the stats probe, bucket-weights probe and final
+    # target-bucket histogram scan the source once, not three times
+    non_null = materialize_once(
+        df.where(
+            F.col(column).isNotNull() & F.col(weight_column).isNotNull()
+        ).select(column, weight_column)
     )
     w = F.col(weight_column).cast("decimal(38,0)")
     # percentage as an exact rational (Fraction parses the decimal

@@ -306,15 +306,23 @@ def simhash(
     sums = tok.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n"), *packed
     )
-    sim = None
-    for b in range(bits):
-        g, j = divmod(b, per_long)
-        ones = F.shiftright(F.col(f"p{g}"), j * shift_w).bitwiseAND(F.lit(mask))
-        term = F.when(ones * 2 > F.col("_n"), F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sim = term if sim is None else sim + term
-    return sums.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+    # the 48 per-bit majority votes as ONE SQL fold over the packed
+    # counters (runs on |docs| rows only).  The unrolled Column-API loop
+    # built the same tree through ~600 py4j round-trips per query build
+    # (~0.3 ms each — pure driver time); the string parses JVM-side in
+    # one call and the fold is bit-identical arithmetic.
+    p_arr = ", ".join(f"p{g}" for g in range(n_longs))
+    sim_sql = (
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(acc, b) -> acc + IF("
+        f"(shiftright(element_at(array({p_arr}), "
+        f"CAST(b DIV {per_long} AS INT) + 1), "
+        f"CAST((b % {per_long}) * {shift_w} AS INT)) & {mask}L) * 2 > _n, "
+        f"shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+    )
+    return sums.select(
+        F.col("_id").alias(id_col), F.expr(sim_sql).alias("simhash")
+    )
 
 
 def simhash_candidate_pairs(

@@ -36,9 +36,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame-debugging wrapper captures the Python
+        # call site on EVERY DataFrame/Column API call: ~5 extra py4j
+        # round-trips each (getActiveSession + conf.get + origin
+        # set/clear), measured at ~0.3 ms/round-trip.  Across this
+        # suite's ~300k API calls that is tens of seconds of pure
+        # driver-side overhead for an error-message nicety — off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # tolerate parquet TIMESTAMP(NANOS) columns (read as long nanos)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
+        # Off for bench/driver runs (the UI server costs startup time and
+        # memory); profiling tools opt in via env to read /api/v1 timings.
+        .config(
+            "spark.ui.enabled",
+            os.environ.get("SPARK_GRAFT_UI_ENABLED", "false"),
+        )
         # The generated-class cache defaults to 100 entries; a suite of 60+
         # distinct query shapes evicts every entry per pass, so each pass
         # re-pays janino compilation (measured 5.5 s on the KS query alone).
