@@ -710,9 +710,7 @@ def q_seasonal_mann_kendall(spark, sf_dir):
     )
 
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents("o_totalprice")
     daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
     return seasonal_mann_kendall(daily, "cents")
 
@@ -745,9 +743,7 @@ def q_mann_kendall(spark, sf_dir):
     )
 
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents("o_totalprice")
     daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
     return mann_kendall(daily, "cents")
 
@@ -1214,8 +1210,7 @@ def q_moving_avg_daily(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     cents = (
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        F.sum(_cents("o_totalprice"))
     )
     daily = daily_totals(o, "o_orderdate", cents, alias="cents")
     out = moving_stats(daily, "cents", window_days=7)
@@ -1476,8 +1471,7 @@ def q_latest_snapshot(spark, sf_dir):
     return snap.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        F.sum(_cents("o_totalprice"))
         .alias("total_cents"),
     )
 
@@ -1764,8 +1758,7 @@ def q_streaming_cusum(spark, sf_dir):
             F.datediff(
                 F.col("ts").cast("date"), F.lit("1970-01-01")
             ).alias("d"),
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
+            _cents("value")
             .alias("c"),
         )
     )
@@ -1842,8 +1835,7 @@ def q_streaming_zscore(spark, sf_dir):
             F.datediff(
                 F.col("ts").cast("date"), F.lit("1970-01-01")
             ).alias("d"),
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
+            _cents("value")
             .alias("c"),
         )
     )
@@ -2030,7 +2022,7 @@ def q_incremental_daily_merge(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp_ntz")
     cents = (
-        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        F.sum(_cents("value"))
     )
     hist = (
         ev.where(F.col("ts") < cutoff)
@@ -2269,11 +2261,9 @@ def q_pareto_frontier(spark, sf_dir):
     from datajudge_spark.operators.olap import skyline_2d
 
     li = _t(spark, sf_dir, "lineitem").select(
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        _cents("l_extendedprice")
         .alias("price_cents"),
-        (F.col("l_quantity").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        _cents("l_quantity")
         .alias("qty_cents"),
     )
     return skyline_2d(
@@ -2433,8 +2423,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_extendedprice",
-        (F.col("l_quantity").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        _cents("l_quantity")
         .alias("__qc"),
     )
     branded = li.join(
@@ -2565,7 +2554,7 @@ def q_gap_fill_daily(spark, sf_dir):
         (F.col("event_type") == "purchase") & (F.col("user_id") % 50 == 7)
     )
     cents = (
-        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        F.sum(_cents("value"))
     )
     daily = daily_totals(sub, "ts", cents, alias="cents")
     return fill_daily_gaps(daily, "cents")
@@ -2580,8 +2569,7 @@ def q_ewma_daily(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     cents = (
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        F.sum(_cents("o_totalprice"))
     )
     daily = daily_totals(o, "o_orderdate", cents, alias="cents")
     return ewma_daily(daily, "cents", alpha_num=3, alpha_den=10, lookback=14)
@@ -2598,7 +2586,7 @@ def q_anomaly_zscore(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     cents = (
-        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        F.sum(_cents("value"))
     )
     daily = daily_totals(ev, "ts", cents, alias="cents")
     return zscore_anomalies(daily, "cents", window_days=7, threshold=2.0)
@@ -2614,8 +2602,7 @@ def q_approx_percentile_check(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     cents = li.select(
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        _cents("l_extendedprice")
         .alias("c")
     )
     exact = exact_percentile_df(cents, "c", 50.0).select(
@@ -2678,7 +2665,7 @@ def q_benford_digits(spark, sf_dir):
     # broadcast 1-row total.
     o = _t(spark, sf_dir, "orders")
     cents = (
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        _cents("o_totalprice")
     )
     digits = o.where(cents > 0).select(
         F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
@@ -2706,9 +2693,7 @@ def q_cusum_changepoint(spark, sf_dir):
     )
 
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents("o_totalprice")
     daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
     return cusum_changepoint(daily, "cents")
 
@@ -2755,9 +2740,7 @@ def q_bootstrap_ci_mean(spark, sf_dir):
     from datajudge_spark.operators.resample import bootstrap_mean_ci
 
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents("o_totalprice")
     return bootstrap_mean_ci(
         o.select(F.col("o_orderkey"), cents.alias("cents")),
         "o_orderkey",
@@ -2794,7 +2777,7 @@ def q_streaming_bootstrap(spark, sf_dir):
     )
     raw = stream_parquet_like(spark, stream_dir, batch_like)
     ev = normalize_event_time(raw).where(F.col("value").isNotNull())
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = _cents("value")
     sums = streaming_bootstrap_sums(
         ev.select(F.col("event_id"), cents.alias("cents")),
         "event_id",
@@ -2887,7 +2870,7 @@ def q_streaming_gumbel(spark, sf_dir):
     )
     raw = stream_parquet_like(spark, stream_dir, batch_like)
     ev = normalize_event_time(raw)
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = _cents("value")
     maxima = streaming_block_maxima(
         ev.select(F.col("ts"), cents.alias("cents")), "ts", "cents",
         block="month",
@@ -2943,7 +2926,7 @@ def q_streaming_grouped_gumbel(spark, sf_dir):
     )
     raw = stream_parquet_like(spark, stream_dir, batch_like)
     ev = normalize_event_time(raw)
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = _cents("value")
     maxima = streaming_block_maxima(
         ev.select(F.col("ts"), F.col("event_type"), cents.alias("cents")),
         "ts",
@@ -2987,9 +2970,7 @@ def q_gumbel_return_level(spark, sf_dir):
     )
 
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents("o_totalprice")
     daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
     return gumbel_return_level(
         daily, "cents", block="month", return_periods=(12, 60)
@@ -3038,9 +3019,7 @@ def q_grouped_bootstrap_ci(spark, sf_dir):
     )
 
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents("o_totalprice")
     return grouped_bootstrap_mean_ci(
         o.select(
             F.col("o_orderpriority").alias("priority"),
@@ -3085,9 +3064,7 @@ def q_acf_daily(spark, sf_dir):
     )
 
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents("o_totalprice")
     daily = daily_totals(o, "o_orderdate", F.sum(cents), "cents")
     return autocorrelation(daily, "cents", max_lag=14)
 
@@ -3096,9 +3073,7 @@ def _grouped_daily_cents(spark, sf_dir):
     # one row per (priority, day): the grouped daily frame feeding the
     # per-group EVT / ACF digests (same contract as grouped_theil_sen)
     o = _t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents("o_totalprice")
     return o.groupBy(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_orderdate").cast("date").alias("day"),
@@ -3142,7 +3117,7 @@ def q_trend_slope(spark, sf_dir):
     day = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
     ).cast("bigint")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = _cents("o_totalprice")
     base = o.select(
         F.col("o_orderpriority").alias("priority"),
         day.alias("d"),
@@ -3286,8 +3261,7 @@ def q_mad_outliers(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     cents = o.select(
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        _cents("o_totalprice")
         .alias("c")
     )
     return mad_outliers(cents, "c", k=3.0)
@@ -3319,8 +3293,7 @@ def q_weighted_percentile(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     v = li.select(
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        _cents("l_extendedprice")
         .alias("cents"),
         F.col("l_quantity").cast("bigint").alias("w"),
     )
@@ -4462,8 +4435,7 @@ def q_grouped_theil_sen(spark, sf_dir):
             "event_type", F.col("ts").cast("date").alias("day")
         )
         .agg(
-            F.sum(F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
+            F.sum(_cents("value"))
             .alias("cents")
         )
     )
@@ -4727,7 +4699,7 @@ def q20_volume_suppliers(spark, sf_dir):
         "l_suppkey",
         "l_partkey",
         "l_shipdate",
-        (F.col("l_quantity").cast("decimal(18,2)") * 100).alias("__c"),
+        _cents("l_quantity").alias("__c"),
     )
     li_parts = li.join(
         F.broadcast(pf),
@@ -6193,13 +6165,9 @@ def q9_product_profit(spark, sf_dir):
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
     # all-integer scaled arithmetic (the q1 idiom): rev·1e4 =
     # price_cents·(100 − disc_pct); cost·1e4 = qty·retail_cents·60
-    ep_cents = (
-        F.col("l_extendedprice").cast("decimal(18,2)") * 100
-    ).cast("bigint")
-    disc_pct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
-    retail_cents = (
-        F.col("p_retailprice").cast("decimal(18,2)") * 100
-    ).cast("bigint")
+    ep_cents = _cents("l_extendedprice")
+    disc_pct = _cents("l_discount")
+    retail_cents = _cents("p_retailprice")
     rev_e4 = (ep_cents * (100 - disc_pct)).cast("decimal(38,0)")
     cost_e4 = (
         F.col("l_quantity").cast("bigint") * retail_cents * 60
