@@ -80,8 +80,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     execution = df._jdf.queryExecution()
-    if "Repartition" in execution.logical().getClass().getSimpleName():
-        return df
+    # Walk through partitioning-preserving nodes (Project/Filter/alias):
+    # a frame derived from an explicit repartition by narrow ops only is
+    # already spread, and repartitioning it again costs a second shuffle
+    # of the same rows (pq_train's cached frame paid exactly that).
+    node = execution.logical()
+    while True:
+        name = node.getClass().getSimpleName()
+        if "Repartition" in name:
+            return df
+        if name in ("Project", "Filter", "SubqueryAlias") and node.children().size() == 1:
+            node = node.children().head()
+            continue
+        break
     size = int(str(execution.optimizedPlan().stats().sizeInBytes()))
     if size < SPREAD_SIZE_THRESHOLD:
         return df.repartition(target)

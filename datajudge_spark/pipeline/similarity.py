@@ -495,14 +495,13 @@ def pq_train(
     import math
 
     vecs = materialize_once(spread(vectors).select(v_id, v_vec))
-    first = vecs.select(F.size(v_vec).alias("d")).first()
-    if first is None:
-        raise ValueError("cannot train a PQ codebook on an empty set")
-    dim = first["d"]
+    # the seed codebook's collected vectors already carry the dimension:
+    # deriving dim from them saves a dedicated first() job per call
+    codebook = pq_codebook(vecs, n_codes, v_id=v_id, v_vec=v_vec)
+    dim = len(codebook[0])
     if dim % m:
         raise ValueError(f"m ({m}) must divide dim ({dim})")
     ds = dim // m
-    codebook = pq_codebook(vecs, n_codes, v_id=v_id, v_vec=v_vec)
     sub_structs = F.expr(
         f"transform(sequence(0, {m - 1}), s -> struct("
         f"element_at(codes, s + 1) AS c, "
