@@ -553,19 +553,36 @@ def pq_train(
     return codebook
 
 
-def _codebook_sql_literal(codebook: list[list[float]]) -> str:
-    """The whole codebook as ONE SQL array-of-arrays literal.
+def _codebook_sliced_sql_literal(
+    codebook: list[list[float]], m: int
+) -> str:
+    """The codebook pre-sliced by subspace as ONE SQL literal:
+    ``out[s][c] = codebook[c][s*ds : (s+1)*ds]`` (m x n_codes x ds).
 
     Built as a SQL string on purpose: constructing the equivalent
     expression tree through the Python column API costs thousands of
     py4j round-trips (~9 s of pure plan-BUILD time measured for a
     16x64 codebook), while a 40 KB SQL literal parses JVM-side in
-    milliseconds."""
+    milliseconds.  Pre-slicing in Python (exact — the values are
+    unchanged doubles) means the per-row expression never re-slices
+    the codebook: the old form allocated a fresh slice of the literal
+    for every (subspace, code) pair on every row."""
+    ds = len(codebook[0]) // m
     return (
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in e) + ")"
-            for e in codebook
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(
+                    f"CAST({e[s * ds + i]!r} AS DOUBLE)"
+                    for i in range(ds)
+                )
+                + ")"
+                for e in codebook
+            )
+            + ")"
+            for s in range(m)
         )
         + ")"
     )
@@ -577,18 +594,29 @@ def _pq_dists_sql(
     """m x n_codes sub-distance table as one nested-HOF SQL expression:
     ``out[s][c] = Σ (x_i - e_i)²`` over subspace s's slice — the same
     left-to-right (x-y)*(x-y) fold as the element-wise form, so doubles
-    are bit-identical to any engine repeating it."""
+    are bit-identical to any engine repeating it.
+
+    Shaped for interpreted-HOF cost (HOFs never reach codegen): the
+    vector is sliced and widened to double ONCE per subspace (float →
+    double widening is exact), the codebook ships pre-sliced so no
+    per-(s, c) slice allocations happen per row, and the inner loop is
+    an index fold over ``sequence(1, ds)`` instead of a zip_with that
+    allocated an intermediate array per (s, c).  Same values in the
+    same left-to-right fold order ⇒ bit-identical doubles (verified
+    old-vs-new over the full sf0.1 embedding set)."""
     dim = len(codebook[0])
     ds = dim // m
-    cb = _codebook_sql_literal(codebook)
+    cb2 = _codebook_sliced_sql_literal(codebook, m)
     return (
+        f"zip_with("
         f"transform(sequence(0, {m - 1}), s -> "
-        f"transform(sequence(0, {len(codebook) - 1}), c -> "
-        f"aggregate(zip_with("
-        f"slice({vec_col}, s * {ds} + 1, {ds}), "
-        f"slice(element_at({cb}, c + 1), s * {ds} + 1, {ds}), "
-        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+        f"transform(slice({vec_col}, s * {ds} + 1, {ds}), "
+        f"x -> CAST(x AS DOUBLE))), "
+        f"{cb2}, "
+        f"(sv, scb) -> transform(scb, ce -> "
+        f"aggregate(sequence(1, {ds}), CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + (element_at(sv, i) - element_at(ce, i)) "
+        f"* (element_at(sv, i) - element_at(ce, i)))))"
     )
 
 
