@@ -244,7 +244,9 @@ def ks_d_statistic_distributed(
     aggs = [F.sum("n1").alias("t1"), F.sum("n2").alias("t2")]
     if numeric and fracs:
         aggs.append(
-            F.percentile_approx("val", fracs, 1000).alias("bounds")
+            F.percentile_approx(
+                "val", _sql_double_array(fracs), 1000
+            ).alias("bounds")
         )
     tot = hist.agg(*aggs).first()
     total1 = int(tot["t1"] or 0)
@@ -261,12 +263,14 @@ def ks_d_statistic_distributed(
     if bounds:
         # range bucket = number of boundaries <= value; boundaries are
         # sorted, so bucket ids enumerate the ranges in value order.
-        bucket = F.aggregate(
-            F.array(*[F.lit(b) for b in bounds]),
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col("val") >= b, F.lit(1)).otherwise(F.lit(0)),
-        )
+        bucket = _bounds_bucket_sql("val", bounds)
+        if bucket is None:  # non-numeric boundary: Column-API fold
+            bucket = F.aggregate(
+                F.array(*[F.lit(b) for b in bounds]),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("val") >= b, F.lit(1)).otherwise(F.lit(0)),
+            )
         ranged = hist.withColumn("pid", bucket)
     else:
         ranged = hist.repartitionByRange("val").withColumn(
@@ -495,35 +499,32 @@ def grouped_quantile_grid(
         "grouped_quantile_grid",
     )
     n_total = int(tot["nt"])
+    # every stack cell is cast to double up front: stack() requires a
+    # homogeneous type per output column across all branches.  The
+    # (deciles-1) x (groups+1) conditional-min cells are built as ONE
+    # parsed SQL string each — the Column-API build cost ~30 py4j
+    # round-trips per cell (~1.7k per call for 9 deciles x 5 groups) of
+    # pure driver time; values are identical (same CASE/min/cast).
     q_exprs = []
     for j in range(1, deciles):
-        # every stack cell is cast to double up front: stack() requires a
-        # homogeneous type per output column across all branches
         q_exprs.append(
-            F.min(
-                F.when(
-                    F.col("cum_cnt") * deciles >= F.lit(j * n_total), F.col("v")
-                )
-            )
-            .cast("double")
-            .alias(f"p_{j}")
+            F.expr(
+                f"CAST(min(CASE WHEN cum_cnt * {deciles} >= "
+                f"{_sql_num_lit(j * n_total)} THEN v END) AS DOUBLE)"
+            ).alias(f"p_{j}")
         )
         for a in cnt_aliases:
             n_g = int(tot[a] or 0)
             if n_g == 0:
                 q_exprs.append(
-                    F.lit(None).cast("double").alias(f"q_{a}_{j}")
+                    F.expr("CAST(NULL AS DOUBLE)").alias(f"q_{a}_{j}")
                 )
             else:
                 q_exprs.append(
-                    F.min(
-                        F.when(
-                            F.col(f"cum_{a}") * deciles >= F.lit(j * n_g),
-                            F.col("v"),
-                        )
-                    )
-                    .cast("double")
-                    .alias(f"q_{a}_{j}")
+                    F.expr(
+                        f"CAST(min(CASE WHEN cum_{a} * {deciles} >= "
+                        f"{_sql_num_lit(j * n_g)} THEN v END) AS DOUBLE)"
+                    ).alias(f"q_{a}_{j}")
                 )
     agg = cums.agg(*q_exprs)
     stack_args = ", ".join(
@@ -984,6 +985,56 @@ EQUIDEPTH_SAMPLE_FRACTION = 0.05
 _MIN_SAMPLES_PER_BUCKET = 50
 
 
+def _sql_num_lit(x) -> str | None:
+    """``x`` as a typed SQL literal matching ``F.lit(x)``'s value
+    exactly (ints keep int/long width, floats round-trip through repr,
+    Decimals keep their scale), or None when ``x`` has no exact SQL
+    literal form.  Exists so list-driven expressions (bucket-boundary
+    folds, IN lists, percentage arrays) can be built as ONE parsed SQL
+    string instead of one py4j round-trip per element — the dominant
+    plan-BUILD cost for the rank scaffolds (~500 round-trips per
+    127-boundary fold, ~0.15 ms each)."""
+    from decimal import Decimal as _Dec
+
+    if isinstance(x, bool):
+        return None
+    if isinstance(x, int):
+        return str(x) if -(2**31) <= x < 2**31 else f"{x}L"
+    if isinstance(x, float):
+        return f"CAST('{x!r}' AS DOUBLE)"
+    if isinstance(x, _Dec):
+        scale = max(-x.as_tuple().exponent, 0)
+        return f"CAST('{format(x, 'f')}' AS DECIMAL(38,{scale}))"
+    return None
+
+
+def _sql_double_array(vals) -> Column:
+    """Foldable ``array<double>`` literal as ONE parsed SQL string (see
+    :func:`_sql_num_lit`; values round-trip exactly through repr)."""
+    return F.expr(
+        "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")"
+    )
+
+
+def _bounds_bucket_sql(col_sql: str, bounds: list) -> Column | None:
+    """``bucket = #{boundaries <= col}`` as ONE parsed SQL fold —
+    value-identical to the Column-API ``F.aggregate``/``F.when`` build
+    (same comparisons, same left-to-right int accumulation) at ~4
+    py4j round-trips instead of ~4 per boundary.  Returns None when a
+    boundary has no exact SQL literal form (caller keeps the Column
+    fold)."""
+    lits = []
+    for b in bounds:
+        lit = _sql_num_lit(b)
+        if lit is None:
+            return None
+        lits.append(lit)
+    return F.expr(
+        f"aggregate(array({', '.join(lits)}), 0, (acc, bd) -> "
+        f"acc + (CASE WHEN {col_sql} >= bd THEN 1 ELSE 0 END))"
+    )
+
+
 def _dedupe_bounds(raw, sample_n: int | None = None) -> list:
     bounds, seen = [], set()
     for bd in raw or []:
@@ -1056,7 +1107,9 @@ def _equidepth_bounds(
         F.max("v").alias("hi"),
         F.count(F.lit(1)).alias("n_rows"),
         F.count(sampled).alias("m"),
-        F.percentile_approx(sampled, fracs, 1_000).alias("bounds"),
+        F.percentile_approx(
+            sampled, _sql_double_array(fracs), 1_000
+        ).alias("bounds"),
         *extra_aggs,
     ).first()
     if stats["lo"] is None or stats["lo"] == stats["hi"]:
@@ -1245,12 +1298,15 @@ def _bucketed_global_cums(
         # bucket = number of boundaries <= v: monotone in v, so bucket
         # ids enumerate the value ranges in order (ties at a boundary go
         # to the upper bucket on both sides of any engine — arithmetic)
-        b = F.aggregate(
-            F.array(*[F.lit(bd) for bd in bounds]),
-            F.lit(0),
-            lambda acc, bd: acc
-            + F.when(F.col("v") >= bd, F.lit(1)).otherwise(F.lit(0)),
-        ).cast("int")
+        b = _bounds_bucket_sql("v", bounds)
+        if b is None:  # non-numeric boundary: Column-API fold
+            b = F.aggregate(
+                F.array(*[F.lit(bd) for bd in bounds]),
+                F.lit(0),
+                lambda acc, bd: acc
+                + F.when(F.col("v") >= bd, F.lit(1)).otherwise(F.lit(0)),
+            )
+        b = b.cast("int")
     else:
         # empty sample (tiny frame): linear edges are fine at that size
         b = F.least(
@@ -2001,7 +2057,9 @@ def wasserstein_1d(
         sampled = F.when(_sample_pred(), F.col("v"))
         aggs += [
             F.count(sampled).alias("m"),
-            F.percentile_approx(sampled, fracs, 1_000).alias("bounds"),
+            F.percentile_approx(
+                sampled, _sql_double_array(fracs), 1_000
+            ).alias("bounds"),
         ]
     stats = hist.agg(*aggs).first()
     lo, hi, t1, t2 = stats["lo"], stats["hi"], stats["t1"], stats["t2"]
@@ -2015,12 +2073,15 @@ def wasserstein_1d(
     if fracs:
         bounds = _dedupe_bounds(stats["bounds"], sample_n=int(stats["m"]))
     if bounds:
-        b = F.aggregate(
-            F.array(*[F.lit(bd) for bd in bounds]),
-            F.lit(0),
-            lambda acc, bd: acc
-            + F.when(F.col("v") >= bd, F.lit(1)).otherwise(F.lit(0)),
-        ).cast("int")
+        b = _bounds_bucket_sql("v", bounds)
+        if b is None:  # non-numeric boundary: Column-API fold
+            b = F.aggregate(
+                F.array(*[F.lit(bd) for bd in bounds]),
+                F.lit(0),
+                lambda acc, bd: acc
+                + F.when(F.col("v") >= bd, F.lit(1)).otherwise(F.lit(0)),
+            )
+        b = b.cast("int")
     else:
         b = F.least(
             F.floor((F.col("v") - lo) / (hi - lo) * n_buckets),

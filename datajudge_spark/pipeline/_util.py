@@ -3,7 +3,34 @@
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def in_literal_list(col_name: str, values) -> Column:
+    """``col IN (v1, v2, ...)`` as ONE parsed SQL string.
+
+    ``Column.isin(list)`` lifts every element through ``F.lit`` — ~4
+    py4j round-trips each, so a 100-id query set costs ~800 round-trips
+    of pure driver time per call site.  Int and string values cover the
+    id types the pipeline operators take; anything else falls back to
+    the ``isin`` build (identical semantics either way)."""
+    lits = []
+    for v in values:
+        if isinstance(v, bool):
+            lits = None
+            break
+        if isinstance(v, int):
+            lits.append(str(v) if -(2**31) <= v < 2**31 else f"{v}L")
+        elif isinstance(v, str):
+            escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+            lits.append(f"'{escaped}'")
+        else:
+            lits = None
+            break
+    if lits is None:
+        return F.col(col_name).isin(list(values))
+    return F.expr(f"`{col_name}` IN ({', '.join(lits)})")
 
 #: Relations larger than this are assumed to already scan with adequate
 #: parallelism; smaller ones are repartitioned before CPU-heavy map work.

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datajudge_spark.pipeline._util import iter_checkpoint, materialize_once, spread
+from datajudge_spark.pipeline._util import (
+    in_literal_list,
+    iter_checkpoint,
+    materialize_once,
+    spread,
+)
 from datajudge_spark.pipeline.text import md5_long, tokens, word_shingles
 
 __all__ = [
@@ -105,10 +110,11 @@ def minhash_signature(
         md5_long("s", salt="a", nhex=MINHASH_HEX).alias("b1"),
         md5_long("s", salt="b", nhex=MINHASH_HEX).alias("b2"),
     )
+    # each permutation min as ONE parsed SQL string (the Column-API
+    # build cost ~15 py4j round-trips per hash of driver time; the
+    # expression -- and thus every value -- is identical)
     aggs = [
-        F.min(
-            (F.col("b1") + F.lit(k) * F.col("b2")).bitwiseAND(F.lit(MINHASH_MASK))
-        ).alias(f"h{k}")
+        F.expr(f"min((b1 + {k} * b2) & {MINHASH_MASK})").alias(f"h{k}")
         for k in range(num_hashes)
     ]
     return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
@@ -220,10 +226,14 @@ def minhash_jaccard_estimate(
         F.col(id_col).alias("__i2"),
         *[F.col(f"h{k}").alias(f"__b{k}") for k in range(num_hashes)],
     )
-    match_cnt = None
-    for k in range(num_hashes):
-        term = F.when(F.col(f"__a{k}") == F.col(f"__b{k}"), 1).otherwise(0)
-        match_cnt = term if match_cnt is None else match_cnt + term
+    # the k-way agreement sum as ONE parsed SQL string (identical CASE
+    # chain; the Column build paid ~20 py4j round-trips per hash)
+    match_cnt = F.expr(
+        " + ".join(
+            f"(CASE WHEN __a{k} = __b{k} THEN 1 ELSE 0 END)"
+            for k in range(num_hashes)
+        )
+    )
     est = (
         cand.join(sa, F.col("d1") == F.col("__i1"))
         .join(sb, F.col("d2") == F.col("__i2"))
@@ -990,7 +1000,7 @@ def query_neardup_candidates(
         F.col(id_col).alias("_id"),
         F.explode(F.array(*band_structs)).alias("bk"),
     ).select("_id", "bk.band", "bk.sig")
-    is_query = F.col("_id").isin(list(query_ids))
+    is_query = in_literal_list("_id", query_ids)
     qb = banded.where(is_query).select(
         F.col("_id").alias("__q"), "band", "sig"
     )
@@ -1000,7 +1010,7 @@ def query_neardup_candidates(
         .select(F.col("__q").alias("query_id"), F.col("_id").alias("candidate_id"))
         .distinct()
     )
-    qs = sig.where(F.col(id_col).isin(list(query_ids))).select(
+    qs = sig.where(in_literal_list(id_col, query_ids)).select(
         F.col(id_col).alias("__qi"),
         *[F.col(f"h{k}").alias(f"__a{k}") for k in range(num_hashes)],
     )
@@ -1008,10 +1018,14 @@ def query_neardup_candidates(
         F.col(id_col).alias("__ci"),
         *[F.col(f"h{k}").alias(f"__b{k}") for k in range(num_hashes)],
     )
-    match_cnt = None
-    for k in range(num_hashes):
-        term = F.when(F.col(f"__a{k}") == F.col(f"__b{k}"), 1).otherwise(0)
-        match_cnt = term if match_cnt is None else match_cnt + term
+    # the k-way agreement sum as ONE parsed SQL string (identical CASE
+    # chain; the Column build paid ~20 py4j round-trips per hash)
+    match_cnt = F.expr(
+        " + ".join(
+            f"(CASE WHEN __a{k} = __b{k} THEN 1 ELSE 0 END)"
+            for k in range(num_hashes)
+        )
+    )
     est = match_cnt.cast("double") / F.lit(num_hashes)
     return (
         cand.join(F.broadcast(qs), F.col("query_id") == F.col("__qi"))
@@ -1076,18 +1090,15 @@ def query_neardup_recall(
         )
     )
     sh = sh_all.select("_id", "s")
+    # one parsed SQL string per permutation min (see minhash_signature)
     sig_aggs = [
-        F.min(
-            (F.col("b1") + F.lit(k) * F.col("b2")).bitwiseAND(
-                F.lit(MINHASH_MASK)
-            )
-        ).alias(f"h{k}")
+        F.expr(f"min((b1 + {k} * b2) & {MINHASH_MASK})").alias(f"h{k}")
         for k in range(num_hashes)
     ]
     sig = materialize_once(
         sh_all.groupBy("_id").agg(*sig_aggs).withColumnRenamed("_id", id_col)
     )
-    is_query = F.col("_id").isin(list(query_ids))
+    is_query = in_literal_list("_id", query_ids)
     qsh = sh.where(is_query).select(F.col("_id").alias("__q"), "s")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("__n"))
     qsizes = sizes.where(is_query).select(

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datajudge_spark.pipeline._util import in_literal_list
 from datajudge_spark.pipeline.text import md5_long
 
 #: Sampling rates are expressed per-mille style over this denominator.
@@ -297,7 +298,7 @@ def contrastive_negatives(
     spark = df.sparkSession
     qlab = {
         r["q"]: r["lab"]
-        for r in df.where(F.col(id_col).isin(list(query_ids)))
+        for r in df.where(in_literal_list(id_col, query_ids))
         .select(F.col(id_col).alias("q"), F.col(label_col).alias("lab"))
         .collect()
     }

@@ -937,18 +937,24 @@ def srp_signature(
     are an LSH partitioning for cosine ANN at 100 TB (shuffle on the
     signature, compare within buckets only).
     """
-    sig = F.lit(0).cast("bigint")
+    # ONE parsed SQL string instead of per-component F.lit Columns:
+    # the old build cost ~4 py4j round-trips per plane component
+    # (~3k for 6 planes x 64 dims, the whole srp_* plan-build time).
+    # Same zip_with/aggregate fold, same left-to-right order => the
+    # dot's doubles (and hence every sign) are bit-identical.
+    terms = ["CAST(0 AS BIGINT)"]
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(s) for s in plane])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), arr, lambda x, s: x.cast("double") * s
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = "array(" + ", ".join(f"CAST('{s!r}' AS DOUBLE)" for s in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, s) -> CAST(x AS DOUBLE) * s), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
+        terms.append(
+            f"(CASE WHEN {dot} > CAST(0.0 AS DOUBLE) "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def srp_signature_hist(

@@ -1719,3 +1719,108 @@ class TestWinnowing:
 
         with _pytest.raises(ValueError):
             winnowing_fingerprints(df, "doc_id", "text", k=0)
+
+
+class TestSqlLiteralBuilders:
+    """The r12 SQL-string expression builders must be value-identical to
+    the Column-API builds they replaced (the rewrites exist only to cut
+    py4j round-trips during plan build, never to change a result)."""
+
+    def test_sql_num_lit_exactness(self, spark):
+        from decimal import Decimal
+
+        from datajudge_spark.operators.stats import _sql_num_lit
+
+        cases = [
+            0,
+            7,
+            -3,
+            2**31 - 1,
+            2**31,           # needs the L suffix to stay bigint
+            -(2**31),
+            2**62,
+            0.1,             # repr round-trip must be exact
+            -123.456e-7,
+            3.0,
+            Decimal("12.340"),   # scale 3 preserved
+            Decimal("-0.5"),
+            Decimal("7"),
+        ]
+        exprs, lits = [], []
+        for i, x in enumerate(cases):
+            s = _sql_num_lit(x)
+            assert s is not None, x
+            exprs.append(F.expr(s).alias(f"s{i}"))
+            lits.append(F.lit(x).alias(f"l{i}"))
+        row = spark.range(1).select(*exprs, *lits).first()
+        for i, x in enumerate(cases):
+            got, want = row[f"s{i}"], row[f"l{i}"]
+            assert got == want and type(got) is type(want), (x, got, want)
+        # no exact SQL literal form -> caller must fall back
+        assert _sql_num_lit(True) is None
+        assert _sql_num_lit("s") is None
+        assert _sql_num_lit(None) is None
+
+    def test_sql_double_array_matches_lit_array(self, spark):
+        from datajudge_spark.operators.stats import _sql_double_array
+
+        fracs = [i / 127.0 for i in range(1, 127)]
+        row = spark.range(1).select(
+            _sql_double_array(fracs).alias("s"),
+            F.array(*[F.lit(v) for v in fracs]).alias("l"),
+        ).first()
+        assert row["s"] == row["l"]
+
+    def test_bounds_bucket_sql_matches_column_fold(self, spark):
+        from decimal import Decimal
+
+        from datajudge_spark.operators.stats import _bounds_bucket_sql
+
+        for bounds in (
+            [1, 5, 9],
+            [0.5, 2.5, 2.5, 7.25],
+            [Decimal("1.10"), Decimal("3.30")],
+            [-(2**40), 0, 2**40],
+        ):
+            fold = F.aggregate(
+                F.array(*[F.lit(b) for b in bounds]),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("v") >= b, F.lit(1)).otherwise(F.lit(0)),
+            )
+            sql = _bounds_bucket_sql("v", bounds)
+            assert sql is not None, bounds
+            df = spark.range(12).select(
+                (F.col("id") - 2).cast("double").alias("v")
+            )
+            got = df.select(sql.alias("b")).collect()
+            want = df.select(fold.alias("b")).collect()
+            assert got == want, bounds
+        # non-numeric boundary: no SQL form, caller keeps the Column fold
+        assert _bounds_bucket_sql("v", [1, "x"]) is None
+        assert _bounds_bucket_sql("v", [True]) is None
+
+    def test_in_literal_list_matches_isin(self, spark):
+        from datajudge_spark.pipeline._util import in_literal_list
+
+        ints = spark.range(10).select(F.col("id").alias("k"))
+        assert (
+            ints.where(in_literal_list("k", [1, 3, 2**35])).collect()
+            == ints.where(F.col("k").isin([1, 3, 2**35])).collect()
+        )
+        strs = spark.createDataFrame(
+            [("a",), ("o'b",), ("c\\d",), ("e",)], "k string"
+        )
+        vals = ["o'b", "c\\d", "missing"]
+        assert (
+            strs.where(in_literal_list("k", vals)).collect()
+            == strs.where(F.col("k").isin(vals)).collect()
+        )
+        # unsupported element types fall back to the isin build (floats
+        # have no handler; bool aborts the literal build mid-list)
+        dbls = spark.range(5).select((F.col("id") / 2).alias("k"))
+        assert (
+            dbls.where(in_literal_list("k", [0.5, 1.5])).collect()
+            == dbls.where(F.col("k").isin([0.5, 1.5])).collect()
+        )
+        assert "IN (" not in str(in_literal_list("k", [1, True]))
