@@ -5322,17 +5322,35 @@ def q_streaming_late_data(spark, sf_dir):
     d3 = F.date_sub(F.lit(max_day), 3)
     d6 = F.date_sub(F.lit(max_day), 6)
     held = (day == d3) & (F.col("event_id") % 5 == 0)
-    f1 = ev_all.where((day <= d3) & ~held)
-    f2 = ev_all.where((day > d3) | held)
-    f3 = ev_all.where(day == d6)
     base_dir = tempfile.mkdtemp(prefix="djs_stream_late_")
     stream_dir = os.path.join(base_dir, "in")
     ckpt_dir = os.path.join(base_dir, "ckpt")
     os.makedirs(stream_dir)
+    # all three arrival slices staged in ONE write job (the slices
+    # overlap — file 3 re-sends day D-6 rows already in file 1 — so a
+    # row carries an ARRAY of slice labels and explodes; repartition by
+    # slice gives one file per slice directory).  Slice membership is
+    # identical to the previous three filtered writes; within-file row
+    # order is irrelevant (the drains aggregate counts).
+    lab = F.array(
+        F.when((day <= d3) & ~held, F.lit(0)),
+        F.when((day > d3) | held, F.lit(1)),
+        F.when(day == d6, F.lit(2)),
+    )
+    gen = os.path.join(base_dir, "gen")
+    (
+        ev_all.withColumn(
+            "__slice",
+            F.explode(F.filter(lab, lambda x: x.isNotNull())),
+        )
+        .repartition(3, "__slice")
+        .write.partitionBy("__slice")
+        .mode("overwrite")
+        .parquet(gen)
+    )
     staged = []
-    for i, part in enumerate([f1, f2, f3]):
-        sub = os.path.join(base_dir, f"gen{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(sub)
+    for i in range(3):
+        sub = os.path.join(gen, f"__slice={i}")
         src = next(
             f for f in os.listdir(sub) if f.endswith(".parquet")
         )

@@ -212,8 +212,27 @@ def minhash_jaccard_estimate(
     is md5-derived, so both columns — and the error itself — are
     deterministic and oracle-reproducible.
     """
+    # ONE shingle pass feeds BOTH branches (same fix as
+    # query_neardup_recall): the truth hash (h) and the two MinHash base
+    # hashes (b1, b2) are computed in the same select and cached
+    # together, so the corpus text is normalized/shingled/exploded once
+    # instead of once per branch.  All three hashes are the identical
+    # md5 constructions the separate passes used, so every downstream
+    # value is unchanged.
+    sh_all = materialize_once(
+        _distinct_shingles(df, id_col, text_col, shingle_n).select(
+            "_id",
+            md5_long("s").alias("h"),
+            md5_long("s", salt="a", nhex=MINHASH_HEX).alias("b1"),
+            md5_long("s", salt="b", nhex=MINHASH_HEX).alias("b2"),
+        )
+    )
+    sig_aggs = [
+        F.expr(f"min((b1 + {k} * b2) & {MINHASH_MASK})").alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
     sig = materialize_once(
-        minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+        sh_all.groupBy("_id").agg(*sig_aggs).withColumnRenamed("_id", id_col)
     )
     cand = lsh_candidate_pairs(
         sig, id_col, bands=bands, rows=rows, max_bucket=max_bucket
@@ -243,11 +262,10 @@ def minhash_jaccard_estimate(
             (match_cnt.cast("double") / F.lit(num_hashes)).alias("__est"),
         )
     )
-    sh = materialize_once(
-        _distinct_shingles(df, id_col, text_col, shingle_n).select(
-            "_id", md5_long("s").alias("h")
-        ).distinct()
-    )
+    # the truth-hash set rides the shared pass; .distinct() keeps the
+    # original per-document hash-set semantics (md5 collisions within a
+    # document collapse, exactly as the separate pass collapsed them)
+    sh = sh_all.select("_id", "h").distinct()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("__sz"))
     x = sh.select(F.col("_id").alias("__x"), F.col("h").alias("__hx"))
     y = sh.select(F.col("_id").alias("__y"), F.col("h").alias("__hy"))
@@ -1136,11 +1154,19 @@ def query_neardup_recall(
     ).select(
         F.col("query_id").alias("__q"), F.col("candidate_id").alias("__c")
     )
-    n_true = truth.groupBy("__q").agg(F.count(F.lit(1)).alias("__t"))
-    n_hits = (
-        truth.join(cand, ["__q", "__c"])
+    # n_true and n_hits in ONE pass over the (tiny) truth frame: a left
+    # join against the candidate pairs marks the hits, and one groupBy
+    # counts both (count(__hit) counts non-nulls — identical values to
+    # the former separate count + inner-join-count pair of jobs).
+    stats = (
+        truth.join(
+            cand.withColumn("__hit", F.lit(1)), ["__q", "__c"], "left"
+        )
         .groupBy("__q")
-        .agg(F.count(F.lit(1)).alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("__t"),
+            F.count("__hit").alias("__h"),
+        )
     )
     # Spine from the query_ids LITERAL, not from df: a query id absent
     # from the corpus must still emit a row (n_true = 0, NULL recall)
@@ -1157,8 +1183,7 @@ def query_neardup_recall(
     t_col = F.coalesce(F.col("__t"), F.lit(0))
     h_col = F.coalesce(F.col("__h"), F.lit(0))
     return (
-        queries.join(F.broadcast(n_true), "__q", "left")
-        .join(F.broadcast(n_hits), "__q", "left")
+        queries.join(F.broadcast(stats), "__q", "left")
         .select(
             F.col("__q").alias("query_id"),
             t_col.cast("bigint").alias("n_true"),

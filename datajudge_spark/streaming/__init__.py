@@ -673,9 +673,18 @@ def streaming_bootstrap_sums(
     v = F.col(value_col)
     h1 = md5_long(key, salt=f"{salt}A") % F.lit(_KM_MOD)
     h2 = (md5_long(key, salt=f"{salt}B") % F.lit(_KM_MOD)) * 2 + 1
+    # The R-way explode + CASE ladders are CPU-bound map work; a
+    # single-file micro-batch scans as ONE partition and would run all
+    # R x rows ladder evaluations on one core (the batch operator uses
+    # spread() for the same reason, but plan-statistics probing is not
+    # available on a streaming frame, so repartition unconditionally —
+    # the pre-explode rows are three narrow columns, a trivially cheap
+    # exchange at any rate a micro-batch can sustain).  Weights are
+    # pure functions of the key, so values are identical.
+    parallelism = stream_df.sparkSession.sparkContext.defaultParallelism
     hashed = stream_df.select(
         v.alias("__v"), h1.alias("__h1"), h2.alias("__h2")
-    ).select(
+    ).repartition(parallelism).select(
         "__v",
         "__h1",
         "__h2",
@@ -692,10 +701,13 @@ def streaming_bootstrap_sums(
         _poisson1_from_uniform(u).cast("long").alias("__w"),
     )
     return pairs.groupBy("rep").agg(
+        # w is a tiny Poisson weight and v a domain-bounded integer
+        # metric: the product is 64-bit exact, so multiply in long and
+        # pay the decimal cast only on the sum input (same rationale as
+        # bootstrap_mean_ci — the per-row BigDecimal multiply ran once
+        # per exploded replicate row, the hottest loop here)
         F.sum(
-            (F.col("__w").cast("decimal(19,0)") * F.col("__v")).cast(
-                "decimal(38,0)"
-            )
+            (F.col("__w") * F.col("__v")).cast("decimal(38,0)")
         ).alias("sw"),
         F.sum("__w").alias("n"),
         F.count(F.lit(1)).alias("cnt"),
