@@ -34,6 +34,31 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Keep AQE out of cached-plan output partitioning (the Spark
+        # default).  Tried true (AQE coalesces the near-empty 32-way
+        # partitioning of persisted frames): it helped single-pass
+        # consumers slightly but SERIALIZED the rank/EDF scaffolds,
+        # which re-read a 150k-600k-row cached histogram 3-4 times per
+        # query — a coalesced 1-partition cache runs each pass on one
+        # core (wasserstein 0.9 s -> 2.7 s, kruskal 1.2 -> 2.6
+        # measured).  Env-overridable for workloads whose caches are
+        # read once.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHED_PLAN_REPARTITION", "false"),
+        )
+        # Write small-R shuffles through the sort path (one output file
+        # per map task) instead of the bypass-merge path (R files per
+        # map task, then a merge): profiled as the top executor frame
+        # (DiskBlockObjectWriter.initialize) across the digest suite.
+        # Production-consistent: bypass never applies past R = 200, so
+        # forcing the sort/serialized writer makes small-R behavior
+        # match large-cluster behavior; env-overridable for clusters
+        # whose disks prefer the bypass path.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "0"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # PySpark 4's DataFrame-debugging wrapper captures the Python
