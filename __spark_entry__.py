@@ -1020,8 +1020,14 @@ def q_rollup_agg(spark, sf_dir):
     # hierarchical totals in one pass: ROLLUP(returnflag, linestatus)
     # with grouping_id disambiguating subtotal levels (reference has no
     # grouping sets, SURVEY §2.4 — extension surface)
+    from datajudge_spark.pipeline._util import spread
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    # grouping-set expansion + decimal partial agg is fused-scan CPU
+    # work; a single-file scan runs it on 1-3 tasks — project narrow and
+    # spread (no-op at corpus scale).  Measured 1.26 -> 0.76 s at sf0.1.
+    src = spread(li.select("l_returnflag", "l_linestatus", "l_quantity"))
+    return src.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 6)
@@ -1436,8 +1442,13 @@ def q_cube_agg(spark, sf_dir):
     # full CUBE(returnflag, linestatus): all 4 grouping sets in one pass,
     # grouping_id disambiguating subtotal levels (extends rollup_agg —
     # reference has no grouping sets, SURVEY §2.4)
+    from datajudge_spark.pipeline._util import spread
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    # same fused-scan spread as rollup_agg (CUBE expands x4 per row);
+    # measured 1.50 -> 1.00 s at sf0.1, values identical
+    src = spread(li.select("l_returnflag", "l_linestatus", "l_quantity"))
+    return src.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_rows"),
         F.round(

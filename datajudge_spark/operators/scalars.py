@@ -133,6 +133,11 @@ def get_missing_fraction(
 #: Range-bucket count for the two-pass exact percentile.
 PERCENTILE_BUCKETS = 4096
 
+#: Refine the target range-bucket while it still holds more rows than
+#: this — the bound on what the final single-partition cumulative
+#: window is ever asked to sort.
+PERCENTILE_REFINE_ROWS = 65536
+
 
 def _order_proxy_expr(non_null, column: str, dtype: str):
     """A numeric Column that is (non-strictly) MONOTONE in ``column``'s
@@ -239,6 +244,23 @@ def exact_percentile_df(df, column: str, percentage: float):
     numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float",
                         "double") or dtype.startswith("decimal")
 
+    def _locate_bucket(src, bucket_col, cum_before: int, total: int):
+        """One bucket-histogram probe: walk the per-bucket counts in
+        bucket order with the single canonical comparison form and
+        return (target_bucket, cum_before, target_count)."""
+        bucket_counts = dict(
+            src.groupBy(bucket_col.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        target_bucket = PERCENTILE_BUCKETS - 1
+        for b in sorted(bucket_counts):
+            if (cum_before + bucket_counts[b]) * 100 >= percentage * total:
+                target_bucket = b
+                break
+            cum_before += bucket_counts[b]
+        return target_bucket, cum_before, bucket_counts.get(target_bucket, 0)
+
     def _cum_select(hist, cum_before: int, total: int):
         w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
         cum = hist.select(
@@ -283,28 +305,31 @@ def exact_percentile_df(df, column: str, percentage: float):
                 F.count(F.lit(1)).alias("cnt")
             )
             return _cum_select(hist, 0, total)
-        bucket = F.least(
-            F.floor(
-                (F.col("__pv") - lo) / (hi - lo) * PERCENTILE_BUCKETS
-            ),
-            F.lit(PERCENTILE_BUCKETS - 1),
-        ).cast("int")
-        bucket_counts = dict(
-            proj.groupBy(bucket.alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        cum_before, target_bucket = 0, PERCENTILE_BUCKETS - 1
-        for b in sorted(bucket_counts):
-            if (cum_before + bucket_counts[b]) * 100 >= percentage * total:
-                target_bucket = b
+        # iterative range refinement (see the numeric branch below):
+        # re-bucket within the target bucket while it still holds more
+        # rows than one window task should sort
+        cum_before, src = 0, proj
+        while True:
+            bucket = F.least(
+                F.floor(
+                    (F.col("__pv") - lo) / (hi - lo) * PERCENTILE_BUCKETS
+                ),
+                F.lit(PERCENTILE_BUCKETS - 1),
+            ).cast("int")
+            target_bucket, cum_before, tb_count = _locate_bucket(
+                src, bucket, cum_before, total
+            )
+            src = src.where(bucket == target_bucket)
+            if tb_count <= PERCENTILE_REFINE_ROWS:
                 break
-            cum_before += bucket_counts[b]
-        hist = (
-            proj.where(bucket == target_bucket)
-            .groupBy("value")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+            sub = src.agg(
+                F.min("__pv").alias("lo"), F.max("__pv").alias("hi")
+            ).first()
+            lo2, hi2 = float(sub["lo"]), float(sub["hi"])
+            if hi2 == lo2:
+                break
+            lo, hi = lo2, hi2
+        hist = src.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
         return _cum_select(hist, cum_before, total)
 
     stats = non_null.agg(
@@ -318,24 +343,37 @@ def exact_percentile_df(df, column: str, percentage: float):
     value_col = F.col(column).cast("double")
     if hi == lo:
         return non_null.agg(F.min(column).alias("value"))
-    bucket = F.least(
-        F.floor((value_col - lo) / (hi - lo) * PERCENTILE_BUCKETS),
-        F.lit(PERCENTILE_BUCKETS - 1),
-    ).cast("int")
-    bucket_counts = dict(
-        non_null.groupBy(bucket.alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    cum_before, target_bucket = 0, PERCENTILE_BUCKETS - 1
-    for b in sorted(bucket_counts):
-        if (cum_before + bucket_counts[b]) * 100 >= percentage * total:
-            target_bucket = b
+    # Iterative range REFINEMENT: on heavy-tailed domains (pairwise
+    # slopes, deviations) the outlier-stretched [lo, hi] puts nearly all
+    # mass in one linear bucket, and the final cumulative window would
+    # sort that bucket's distinct values on ONE task — the §4.4 hazard
+    # this two-pass plan exists to avoid (measured: 1.28M of theil_sen's
+    # 2.9M pair slopes in a single bucket).  Re-bucket WITHIN the target
+    # bucket (filter by bucket id — a pure partition of the sorted
+    # domain, so the selected value is identical) until it is small;
+    # each level is one cheap probe over the cached projection and
+    # shrinks the range by up to PERCENTILE_BUCKETS x.
+    cum_before, src = 0, non_null
+    while True:
+        bucket = F.least(
+            F.floor((value_col - lo) / (hi - lo) * PERCENTILE_BUCKETS),
+            F.lit(PERCENTILE_BUCKETS - 1),
+        ).cast("int")
+        target_bucket, cum_before, tb_count = _locate_bucket(
+            src, bucket, cum_before, total
+        )
+        src = src.where(bucket == target_bucket)
+        if tb_count <= PERCENTILE_REFINE_ROWS:
             break
-        cum_before += bucket_counts[b]
+        sub = src.agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).first()
+        lo2, hi2 = float(sub["lo"]), float(sub["hi"])
+        if hi2 == lo2:
+            break
+        lo, hi = lo2, hi2
     hist = (
-        non_null.where(bucket == target_bucket)
-        .groupBy(F.col(column).alias("value"))
+        src.groupBy(F.col(column).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return _cum_select(hist, cum_before, total)

@@ -1899,14 +1899,19 @@ def spearman_correlation(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     equi-joins against the aggregated rank maps.  Extension — peers
     Pearson ``pairwise_corr`` (operators/profile.py).
     """
-    from ..pipeline._util import materialize_once
+    from ..pipeline._util import materialize_once, spread
 
     # the pair projection feeds the rank-map derivations AND the final
-    # fold — persist it once or the source scans three times
+    # fold — persist it once or the source scans three times.  spread()
+    # first: the cache keeps its build partitioning, and a small
+    # single-file scan would otherwise pin every consumer pass (two
+    # histograms + the decimal fold) to the scan's 1-3 tasks.
     base = materialize_once(
-        df.where(
-            F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
-        ).select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
+        spread(
+            df.where(
+                F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+            ).select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
+        )
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 

@@ -193,6 +193,44 @@ class TestExactPercentileBands:
             exact_percentiles_df(df, "v", [50.0])
 
 
+class TestPercentileBucketRefinement:
+    """Heavy-tailed domains put nearly all mass in one linear range
+    bucket; the refinement loop must re-bucket within it (bounding the
+    final cumulative window) while selecting exactly the same value."""
+
+    def _skewed_df(self, spark):
+        # 5000 values packed into [0, 1) plus two extreme outliers that
+        # stretch [lo, hi] so level-1 bucketing puts everything in
+        # bucket 0
+        vals = [(i / 5001.0,) for i in range(5000)]
+        vals += [(1.0e12,), (-1.0e12,)]
+        return spark.createDataFrame(vals, "v double")
+
+    def test_matches_naive_sorted_selection(self, spark, monkeypatch):
+        import datajudge_spark.operators.scalars as sc
+
+        # force refinement to engage on the small fixture
+        monkeypatch.setattr(sc, "PERCENTILE_REFINE_ROWS", 64)
+        df = self._skewed_df(spark)
+        rows = sorted(r[0] for r in df.collect())
+        n = len(rows)
+        for pct in (1.0, 25.0, 50.0, 90.0, 99.9, 100.0):
+            got = sc.exact_percentile_df(df, "v", pct).first()["value"]
+            want = next(
+                v for i, v in enumerate(rows) if (i + 1) * 100 >= pct * n
+            )
+            assert got == want, (pct, got, want)
+
+    def test_refinement_values_match_unrefined(self, spark, monkeypatch):
+        import datajudge_spark.operators.scalars as sc
+
+        df = self._skewed_df(spark)
+        unrefined = sc.exact_percentile_df(df, "v", 75.0).first()["value"]
+        monkeypatch.setattr(sc, "PERCENTILE_REFINE_ROWS", 16)
+        refined = sc.exact_percentile_df(df, "v", 75.0).first()["value"]
+        assert refined == unrefined
+
+
 class TestNonNumericPercentileProxy:
     """The date/timestamp/string percentile path range-buckets on a
     monotone numeric proxy; results must stay identical to the naive
