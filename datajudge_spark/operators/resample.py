@@ -70,6 +70,33 @@ def _poisson1_from_uniform(u):
     return w
 
 
+def _poisson1_sql(u_sql: str) -> str:
+    """The same inverse-CDF ladder as ONE SQL string (ascending WHEN
+    chain = first threshold u falls under wins — identical branch
+    semantics and values; the Column-API ladder cost ~40 py4j
+    round-trips per build)."""
+    whens = " ".join(
+        f"WHEN {u_sql} < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_THRESHOLDS_PPM)
+    )
+    return f"(CASE {whens} ELSE {POISSON_MAX_W} END)"
+
+
+def _km_hash_sqls(key_col: str, salt: str) -> tuple[str, str, str]:
+    """Kirsch-Mitzenmacher double-hash components and the per-replicate
+    uniform as SQL fragments: ``(h1_sql, h2_sql, u_sql)`` with ``u_sql``
+    referring to the staged ``__h1``/``__h2``/``__rr`` columns.  One
+    parsed string per column replaces the ~60-round-trip Column build
+    shared by the whole bootstrap family."""
+    from ..pipeline.text import md5_long_sql
+
+    key_sql = f"CAST(`{key_col}` AS STRING)"
+    h1 = f"{md5_long_sql(key_sql, salt=f'{salt}A')} % {_KM_MOD}"
+    h2 = f"({md5_long_sql(key_sql, salt=f'{salt}B')} % {_KM_MOD}) * 2 + 1"
+    u = f"((__h1 + __rr * __h2) % {_KM_MOD} % {_PPM})"
+    return h1, h2, u
+
+
 #: 2^40 — the double-hash components stay small enough that
 #: ``h1 + (r+1)·(2·h2+1)`` never leaves int64 for any sane r.
 _KM_MOD = 1 << 40
@@ -132,32 +159,27 @@ def bootstrap_mean_ci(
     # R CASE ladders per row is CPU-bound map work: a small single-file
     # scan would serialize it on one core; no-op at real corpus scale
     df = spread(df)
-    key = F.col(key_col).cast("string")
     v = F.col(value_col)
-    h1 = md5_long(key, salt=f"{salt}A") % F.lit(_KM_MOD)
     # odd multiplier (2·h2+1): never collapses the replicate lattice
-    h2 = (md5_long(key, salt=f"{salt}B") % F.lit(_KM_MOD)) * 2 + 1
+    h1_sql, h2_sql, u_sql = _km_hash_sqls(key_col, salt)
     # explode the replicate INDEX, then evaluate ONE small ladder per
     # generated row — an R-element array of ladders is a single >64 KB
     # expression that kills whole-stage codegen (janino method limit),
     # silently dropping the stage to interpreted mode
     hashed = df.select(
-        v.alias("__v"), h1.alias("__h1"), h2.alias("__h2")
+        v.alias("__v"),
+        F.expr(h1_sql).alias("__h1"),
+        F.expr(h2_sql).alias("__h2"),
     ).select(
         "__v",
         "__h1",
         "__h2",
         F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("__rr"),
     )
-    u = (
-        (F.col("__h1") + F.col("__rr") * F.col("__h2"))
-        % F.lit(_KM_MOD)
-        % F.lit(_PPM)
-    )
     pairs = hashed.select(
         (F.col("__rr") - 1).alias("__r"),
         "__v",
-        _poisson1_from_uniform(u).cast("long").alias("__w"),
+        F.expr(f"CAST({_poisson1_sql(u_sql)} AS BIGINT)").alias("__w"),
     )
     per = pairs.groupBy("__r").agg(
         # w is a tiny Poisson weight (<= ~20) and v a domain-bounded
@@ -262,15 +284,13 @@ def grouped_bootstrap_mean_ci(
         & F.col(value_col).isNotNull()
     )
     df = spread(df)
-    key = F.col(key_col).cast("string")
     v = F.col(value_col)
-    h1 = md5_long(key, salt=f"{salt}A") % F.lit(_KM_MOD)
-    h2 = (md5_long(key, salt=f"{salt}B") % F.lit(_KM_MOD)) * 2 + 1
+    h1_sql, h2_sql, u_sql = _km_hash_sqls(key_col, salt)
     hashed = df.select(
         F.col(group_col).alias("grp"),
         v.alias("__v"),
-        h1.alias("__h1"),
-        h2.alias("__h2"),
+        F.expr(h1_sql).alias("__h1"),
+        F.expr(h2_sql).alias("__h2"),
     ).select(
         "grp",
         "__v",
@@ -278,16 +298,11 @@ def grouped_bootstrap_mean_ci(
         "__h2",
         F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("__rr"),
     )
-    u = (
-        (F.col("__h1") + F.col("__rr") * F.col("__h2"))
-        % F.lit(_KM_MOD)
-        % F.lit(_PPM)
-    )
     pairs = hashed.select(
         "grp",
         (F.col("__rr") - 1).alias("__r"),
         "__v",
-        _poisson1_from_uniform(u).cast("long").alias("__w"),
+        F.expr(f"CAST({_poisson1_sql(u_sql)} AS BIGINT)").alias("__w"),
     )
     per = pairs.groupBy("grp", "__r").agg(
         # w is a tiny Poisson weight (<= ~20) and v a domain-bounded

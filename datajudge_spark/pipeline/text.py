@@ -63,6 +63,24 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def md5_long_sql(
+    expr_sql: str,
+    salt: int | str | None = None,
+    nhex: int = MD5_HEX_CHARS,
+) -> str:
+    """:func:`md5_long` as a SQL fragment over an SQL expression string.
+
+    One parsed string instead of ~7 py4j round-trips of Column calls —
+    the hash is built per (call site x salt) all over the dedup /
+    bootstrap / sampling families, so the build cost is suite-wide.
+    Identical expression tree after parsing => identical values.
+    """
+    if salt is not None:
+        s = str(salt).replace("\\", "\\\\").replace("'", "\\'")
+        expr_sql = f"concat({expr_sql}, '#{s}')"
+    return f"CAST(conv(substring(md5({expr_sql}), 1, {nhex}), 16, 10) AS BIGINT)"
+
+
 def md5_long(
     c: Column | str,
     salt: int | str | None = None,
@@ -75,8 +93,13 @@ def md5_long(
     hash functions without 64-bit modular multiplication (which would
     overflow engine-dependently). ``nhex=13`` (52 bits) leaves headroom
     for small linear combinations of two hashes inside int64.
+
+    A plain column-name string builds as ONE parsed SQL expression
+    (cheap); a Column input takes the Column-API path (same resolved
+    tree either way).
     """
-    c = _col(c)
+    if isinstance(c, str):
+        return F.expr(md5_long_sql(f"`{c}`", salt=salt, nhex=nhex))
     if salt is not None:
         c = F.concat(c, F.lit(f"#{salt}"))
     return F.conv(F.substring(F.md5(c), 1, nhex), 16, 10).cast("bigint")
@@ -359,8 +382,29 @@ def bpe_token_count(c: Column | str) -> Column:
     ).cast("bigint")
 
 
+def _language_score_sqls(c: str) -> dict[str, str]:
+    """Per-language marker-count expressions as SQL fragments over a
+    plain column name — one parsed string replaces the ~300
+    py4j-round-trip Column build (array of lits + filter lambda per
+    language).  Identical expression after parsing."""
+    toks = f"split(trim(`{c}`), '\\\\s+')"
+    out: dict[str, str] = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        out[lang] = (
+            f"CAST(size(filter({toks}, t -> "
+            f"array_contains(array({arr}), t))) AS BIGINT)"
+        )
+    return out
+
+
 def language_scores(c: Column | str) -> dict[str, Column]:
     """Per-language marker-token occurrence counts (with multiplicity)."""
+    if isinstance(c, str):
+        return {
+            lang: F.expr(sql)
+            for lang, sql in _language_score_sqls(c).items()
+        }
     toks = tokens(c)
     out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
@@ -378,6 +422,17 @@ def language_id(c: Column | str) -> Column:
     The fixed priority order makes ties deterministic — required for the
     cross-engine oracle, and a sane convention regardless.
     """
+    if isinstance(c, str):
+        # whole predictor as ONE parsed CASE: first language in marker
+        # order hitting the positive maximum wins — branch-identical to
+        # the Column fold below
+        sqls = _language_score_sqls(c)
+        best = "greatest(" + ", ".join(sqls.values()) + ")"
+        whens = " ".join(
+            f"WHEN ({sql} = {best} AND {best} > 0) THEN '{lang}'"
+            for lang, sql in sqls.items()
+        )
+        return F.expr(f"CASE {whens} ELSE 'und' END")
     scores = language_scores(c)
     best = F.greatest(*scores.values())
     pred: Column = F.lit("und")

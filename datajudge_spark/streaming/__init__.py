@@ -246,16 +246,30 @@ def stateful_running_counts(
             n_rows += len(pdf)
             n_nulls += int(pdf[value_col].isna().sum())
         state.update((n_rows, n_nulls))
-        yield pd.DataFrame(
-            {
-                "key": [key[0]],
-                "n_rows": [n_rows],
-                "n_nulls": [n_nulls],
-                "null_fraction": [n_nulls / n_rows if n_rows else 0.0],
-            }
+        # one output row per key per batch: build it via from_records
+        # (one tuple), not a dict of four 1-element lists — the dict
+        # constructor builds four Series and an index merge per key,
+        # which at 10^3-10^4 keys/batch is the dominant Python cost
+        yield pd.DataFrame.from_records(
+            [
+                (
+                    key[0],
+                    n_rows,
+                    n_nulls,
+                    n_nulls / n_rows if n_rows else 0.0,
+                )
+            ],
+            columns=["key", "n_rows", "n_nulls", "null_fraction"],
         )
 
-    return stream_df.groupBy(key_col).applyInPandasWithState(
+    # Arrow ships every input column to the Python worker; the update
+    # function reads only the VALUE column (the key rides separately),
+    # so project before grouping — guide §4: pass only the columns the
+    # function needs (the events stream carries a fat props string that
+    # would otherwise cross the boundary for nothing).
+    return stream_df.select(key_col, value_col).groupBy(
+        key_col
+    ).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -655,12 +669,7 @@ def streaming_bootstrap_sums(
     the same rank rule as the batch operator and the result hash-equals
     it (the 12th streaming/batch agreement in this family).
     """
-    from ..operators.resample import (
-        _KM_MOD,
-        _poisson1_from_uniform,
-        _PPM,
-    )
-    from ..pipeline.text import md5_long
+    from ..operators.resample import _km_hash_sqls, _poisson1_sql
 
     if not 4 <= n_reps <= 4096:
         raise ValueError("n_reps must be between 4 and 4096")
@@ -669,10 +678,8 @@ def streaming_bootstrap_sums(
     stream_df = stream_df.where(
         F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    key = F.col(key_col).cast("string")
     v = F.col(value_col)
-    h1 = md5_long(key, salt=f"{salt}A") % F.lit(_KM_MOD)
-    h2 = (md5_long(key, salt=f"{salt}B") % F.lit(_KM_MOD)) * 2 + 1
+    h1_sql, h2_sql, u_sql = _km_hash_sqls(key_col, salt)
     # The R-way explode + CASE ladders are CPU-bound map work; a
     # single-file micro-batch scans as ONE partition and would run all
     # R x rows ladder evaluations on one core (the batch operator uses
@@ -683,22 +690,19 @@ def streaming_bootstrap_sums(
     # pure functions of the key, so values are identical.
     parallelism = stream_df.sparkSession.sparkContext.defaultParallelism
     hashed = stream_df.select(
-        v.alias("__v"), h1.alias("__h1"), h2.alias("__h2")
+        v.alias("__v"),
+        F.expr(h1_sql).alias("__h1"),
+        F.expr(h2_sql).alias("__h2"),
     ).repartition(parallelism).select(
         "__v",
         "__h1",
         "__h2",
         F.explode(F.sequence(F.lit(1), F.lit(n_reps))).alias("__rr"),
     )
-    u = (
-        (F.col("__h1") + F.col("__rr") * F.col("__h2"))
-        % F.lit(_KM_MOD)
-        % F.lit(_PPM)
-    )
     pairs = hashed.select(
         (F.col("__rr") - 1).alias("rep"),
         "__v",
-        _poisson1_from_uniform(u).cast("long").alias("__w"),
+        F.expr(f"CAST({_poisson1_sql(u_sql)} AS BIGINT)").alias("__w"),
     )
     return pairs.groupBy("rep").agg(
         # w is a tiny Poisson weight and v a domain-bounded integer

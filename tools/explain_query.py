@@ -5,7 +5,7 @@ Usage:
     python tools/explain_query.py --suffix before spearman wasserstein
     python tools/explain_query.py --suffix after --sf-dir /root/testdata/sf0.1 spearman
 
-Writes plans/r12/<query>_<suffix>.txt for each named query.
+Writes plans/r13/<query>_<suffix>.txt for each named query.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ def main() -> None:
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
-    ap.add_argument("--out-dir", default=os.path.join(REPO, "plans", "r12"))
+    ap.add_argument("--out-dir", default=os.path.join(REPO, "plans", "r13"))
     args = ap.parse_args()
 
     from datajudge_spark.session import get_spark
