@@ -290,40 +290,45 @@ def countmin_check(
     percentile, top-k, count-min).
     """
     from ..pipeline.dedup import MINHASH_HEX, MINHASH_MASK
-    from ..pipeline.text import md5_long
+    from ..pipeline.text import md5_long_sql
 
-    def km_cells(key: Column) -> list[Column]:
-        b1 = md5_long(key, salt="a", nhex=MINHASH_HEX)
-        b2 = md5_long(key, salt="b", nhex=MINHASH_HEX)
+    # the two md5 base hashes are STAGED as columns and the depth cells
+    # fold them as one parsed SQL explode: guarantees 2 md5 evaluations
+    # per row (not depth x 2 pending codegen CSE) and replaces the
+    # ~12-round-trip-per-cell Column build; hash family and every value
+    # unchanged
+    def km_stage(key_sql: str) -> list[Column]:
         return [
-            F.struct(
-                F.lit(i).alias("r"),
-                F.pmod(
-                    (b1 + F.lit(i) * b2).bitwiseAND(F.lit(MINHASH_MASK)),
-                    F.lit(width),
-                ).alias("b"),
-            )
-            for i in range(depth)
+            F.expr(md5_long_sql(key_sql, salt="a", nhex=MINHASH_HEX)).alias("__b1"),
+            F.expr(md5_long_sql(key_sql, salt="b", nhex=MINHASH_HEX)).alias("__b2"),
         ]
 
-    s = F.col(col).cast("string")
+    cells_sql = "explode(array(" + ", ".join(
+        f"named_struct('r', {i}, "
+        f"'b', pmod((__b1 + {i} * __b2) & {MINHASH_MASK}, {width}))"
+        for i in range(depth)
+    ) + "))"
+
+    key_sql = f"CAST(`{col}` AS STRING)"
     base = df.where(F.col(col).isNotNull())
     cells = (
-        base.select(F.explode(F.array(*km_cells(s))).alias("rb"))
+        base.select(*km_stage(key_sql))
+        .select(F.expr(cells_sql).alias("rb"))
         .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    hist = base.groupBy(s.alias("item")).agg(
+    hist = base.groupBy(F.expr(key_sql).alias("item")).agg(
         F.count(F.lit(1)).alias("exact_cnt")
     )
     topk = hist.orderBy(
         F.col("exact_cnt").desc(), F.col("item").asc()
     ).limit(k)
-    probe_structs = km_cells(F.col("item"))
     probes = topk.select(
+        "item", "exact_cnt", *km_stage("`item`")
+    ).select(
         "item",
         "exact_cnt",
-        F.explode(F.array(*probe_structs)).alias("rb"),
+        F.expr(cells_sql).alias("rb"),
     ).select("item", "exact_cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
     est = (
         probes.join(F.broadcast(cells), ["r", "b"])
@@ -370,25 +375,26 @@ def bloom_filter_check(
     """
     if n_bits % 32:
         raise ValueError(f"n_bits ({n_bits}) must be a multiple of 32")
-    from ..pipeline.text import md5_long
+    from ..pipeline.text import md5_long_sql
 
-    def cells(key: Column) -> list[Column]:
-        out = []
+    def cells_expr() -> Column:
+        # depth (word, bit) cells over the staged __k as ONE parsed
+        # string (same md5/pmod/shift arithmetic, ~45 round-trips saved
+        # per call site)
+        structs = []
         for i in range(depth):
-            hm = F.pmod(md5_long(key, salt=i), F.lit(n_bits))
-            out.append(
-                F.struct(
-                    F.shiftright(hm, 5).alias("word"),
-                    hm.bitwiseAND(F.lit(31)).alias("bit"),
-                )
+            hm = f"pmod({md5_long_sql('`__k`', salt=i)}, {n_bits})"
+            structs.append(
+                f"named_struct('word', shiftright({hm}, 5), "
+                f"'bit', {hm} & 31)"
             )
-        return out
+        return F.expr("explode(array(" + ", ".join(structs) + "))")
 
     bkeys = build_df.where(F.col(build_col).isNotNull()).select(
         F.col(build_col).cast("string").alias("__k")
     ).distinct()
     words = (
-        bkeys.select(F.explode(F.array(*cells(F.col("__k")))).alias("c"))
+        bkeys.select(cells_expr().alias("c"))
         .select(
             F.col("c.word").alias("word"),
             F.expr("shiftleft(cast(1 as bigint), c.bit)").alias("mask"),
@@ -417,7 +423,7 @@ def bloom_filter_check(
         truth.select(
             "__k",
             "present",
-            F.explode(F.array(*cells(F.col("__k")))).alias("c"),
+            cells_expr().alias("c"),
         )
         .select(
             "__k",

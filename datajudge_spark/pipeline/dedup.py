@@ -142,14 +142,18 @@ def lsh_candidate_pairs(
     members still join one component — only the exact pairwise candidate
     list inside the degenerate bucket is thinned.
     """
-    band_structs = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("sig")
-            )
+    # the band signatures as ONE parsed SQL string (identical md5 over
+    # the comma-joined casts; the Column build cost ~10 round-trips per
+    # band across four dedup call sites)
+    band_structs_sql = ", ".join(
+        "named_struct('band', {b}, 'sig', md5(concat_ws(',', {parts})))".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(h{b * rows + r} AS STRING)" for r in range(rows)
+            ),
         )
+        for b in range(bands)
+    )
     # the signature aggregation is expensive; materialize once so the
     # self-join's two branches don't recompute it.  Bucket size / min
     # member ride along via one window pass on the SAME (band, sig) key
@@ -159,7 +163,8 @@ def lsh_candidate_pairs(
     )
     buckets = materialize_once(
         sig.select(
-            F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bk")
+            F.col(id_col).alias("_id"),
+            F.expr(f"explode(array({band_structs_sql}))").alias("bk"),
         )
         .select("_id", "bk.band", "bk.sig")
         .select(

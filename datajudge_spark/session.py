@@ -23,6 +23,12 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # memoize py4j name resolution (2 of the 3 driver round-trips every
+    # F.<builtin>() call pays are immutable class/member lookups) —
+    # see datajudge_spark/_py4j_cache.py for the measured breakdown
+    from ._py4j_cache import install_py4j_name_cache
+
+    install_py4j_name_cache()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
