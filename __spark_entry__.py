@@ -1707,7 +1707,11 @@ def q_streaming_stateful_counts(spark, sf_dir):
     counts = stateful_running_counts(ev, "user_id", "v")
     qname = f"stream_state_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # 8 stores, not 4: unlike the 5-key cusum/zscore drains this op
+    # groups ~|users| keys through Python workers, and the per-key
+    # pandas work outweighs the extra store init (A/B min-of-3:
+    # 2.20 / 1.75 / 1.35 s at 2 / 4 / 8 partitions)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         query = (
             counts.writeStream.format("memory")

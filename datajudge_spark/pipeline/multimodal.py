@@ -109,7 +109,7 @@ def decode_media_meta(media_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return media_df.mapInPandas(decode, schema=MEDIA_META_SCHEMA)
+    return media_df.select("doc_id", "payload").mapInPandas(decode, schema=MEDIA_META_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
@@ -148,7 +148,7 @@ def resize_payload(media_df: DataFrame, target_bytes: int = 64) -> DataFrame:
                 }
             )
 
-    return media_df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+    return media_df.select("doc_id", "payload").mapInPandas(resize, schema=RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -189,7 +189,7 @@ def sample_frames(
             )
             out_ids, out_idx, out_frames = [], [], []
 
-    return media_df.mapInPandas(sample, schema=FRAME_SCHEMA)
+    return media_df.select("doc_id", "payload").mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
 WINDOW_SCHEMA = StructType(
@@ -241,7 +241,7 @@ def audio_windows(
                 }
             )
 
-    return media_df.mapInPandas(window, schema=WINDOW_SCHEMA)
+    return media_df.select("doc_id", "payload").mapInPandas(window, schema=WINDOW_SCHEMA)
 
 
 #: Output schema of the real image decoder: id + actual codec metadata.
@@ -346,7 +346,7 @@ def decode_image_meta(media_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return media_df.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+    return media_df.select("doc_id", "payload").mapInPandas(decode, schema=IMAGE_META_SCHEMA)
 
 
 def decode_image(media_df: DataFrame) -> DataFrame:
@@ -396,4 +396,4 @@ def decode_image(media_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return media_df.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+    return media_df.select("doc_id", "payload").mapInPandas(decode, schema=IMAGE_META_SCHEMA)
