@@ -177,7 +177,17 @@ def main() -> None:
     names_md5 = hashlib.md5(
         "\n".join(sorted(timings)).encode()
     ).hexdigest()[:12]
+    # The compact line must ALSO carry the driver-contract keys
+    # (metric/value/unit/sf): the driver json-parses the last complete
+    # line inside its 2000-char tail, and PERF_r12 recorded
+    # now_bench_ok=false because this summary lacked them (the full
+    # payload line above is 7 KB — 272 query names alone are 4.3 KB —
+    # so it can never survive the tail whole; the per-query map rides
+    # as positional q_ms + committed BENCH_LATEST.json instead).
     summary = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
         "total_s": total,
         "n": len(timings),
         "max_s": max(timings.values()) if timings else 0.0,

@@ -237,8 +237,14 @@ def exact_percentile_df(df, column: str, percentage: float):
     # three-scan pattern twice per call — measured seconds of the
     # build).  One column persists at ~data/width cost; the cache is
     # freed when the plan is GC'd.
+    from ..pipeline._util import spread
+
+    # spread before persisting: the cache keeps its build partitioning,
+    # and a single-file scan would otherwise pin every probe pass (the
+    # bucket histograms, the refinement min/max, the final window) to
+    # the scan's 1-3 tasks.  No-op at real corpus scale.
     non_null = materialize_once(
-        df.where(F.col(column).isNotNull()).select(column)
+        spread(df.where(F.col(column).isNotNull()).select(column))
     )
     dtype = dict(df.dtypes)[column]
     numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float",
@@ -396,7 +402,16 @@ def exact_percentiles_df(df, column: str, percentages: list[float]):
     """
     if not percentages:
         raise ValueError("At least one percentage is required.")
-    non_null = df.where(F.col(column).isNotNull())
+    from ..pipeline._util import materialize_once, spread
+
+    # same three-pass sharing discipline as exact_percentile_df: the
+    # stats probe, the bucket histogram and the union-of-target-buckets
+    # scan all read ONE spread, persisted single-column projection
+    # instead of re-scanning the source serially (a single-file scan
+    # reads as 1 task; spread no-ops at corpus scale)
+    non_null = materialize_once(
+        spread(df.where(F.col(column).isNotNull()).select(column))
+    )
     stats = non_null.agg(
         F.min(column).alias("lo"),
         F.max(column).alias("hi"),

@@ -267,6 +267,9 @@ def theil_sen_slope(daily: DataFrame, value_col: str = "total") -> DataFrame:
     """
     from ..pipeline._util import materialize_once, spread
 
+    # three consumers (both pair branches + the day count) of what is
+    # usually a fact-table aggregate: persist the calendar-tiny frame
+    daily = materialize_once(daily)
     # spread the streamed side: the daily aggregate is byte-tiny, so
     # AQE coalesces it to one partition and the quadratic slope work
     # would run as ONE task (the cartesian's parallelism is the product
@@ -326,12 +329,19 @@ def mann_kendall(
     group — per-source drift screening at the global digest's plan
     shape.  Extension — no reference counterpart.
     """
+    from ..pipeline._util import materialize_once
+
     gcols = [group_col] if group_col else []
     daily = daily.where(
         F.col("day").isNotNull() & F.col(value_col).isNotNull()
     )
     if group_col:
         daily = daily.where(F.col(group_col).isNotNull())
+    # four consumers read this frame (both pair-join branches, the tie
+    # groups, the day counts) and it is usually an aggregate OF THE FACT
+    # TABLE — persist or the fact aggregation runs four times per call;
+    # the daily frame itself is calendar-tiny
+    daily = materialize_once(daily)
     a = daily.select(
         *gcols, F.col("day").alias("d1"), F.col(value_col).alias("v1")
     )
@@ -499,11 +509,17 @@ def grouped_theil_sen(
     from .stats import _bucketed_global_cums, _sql_ident, _sql_str
 
     # NULL days/values would silently diverge the n_days count from the
-    # pair join (which drops them via d1 < d2); exclude them up front
-    daily = daily.where(
-        F.col("day").isNotNull()
-        & F.col(value_col).isNotNull()
-        & F.col(group_col).isNotNull()
+    # pair join (which drops them via d1 < d2); exclude them up front.
+    # Persisted: the pair join's two branches AND the per-group day
+    # count each consume this frame, and it is usually an aggregate OF
+    # THE FACT TABLE — without the persist the fact aggregation runs
+    # three times per call.  The frame itself is calendar-tiny.
+    daily = materialize_once(
+        daily.where(
+            F.col("day").isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
     )
     # salt + pinned repartition: the group key alone caps the quadratic
     # pair work at |groups| tasks, and AQE's byte-based coalescing can
