@@ -13,6 +13,8 @@ between engines.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -39,6 +41,82 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = spread(df)
     return df
+
+
+def _stream_scratch() -> str:
+    """Base dir for streaming scratch (checkpoints, staged micro-batch
+    inputs).  These are per-invocation ephemera — every drain recomputes
+    from the parquet inputs and the dir is removed afterwards — so a
+    memory-backed fs is the right home for their fsync-heavy tiny files
+    (offsets/commits WAL + state-store deltas).  Production streams set
+    a durable checkpoint dir instead; override with
+    ``SPARK_GRAFT_STREAM_SCRATCH``."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if base:
+        return base
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def _drain_memory(
+    spark,
+    out: DataFrame,
+    qname: str,
+    mode: str,
+    parts: str = "4",
+    final_wm_batch: bool = True,
+):
+    """availableNow drain into a memory sink with the shared conf shape:
+
+    - ``parts`` state stores (each HDFS-backed store has a fixed
+      init/commit floor, so 4-8 beats defaultParallelism for the tiny
+      state here; on a cluster size this to the executor count),
+    - checkpoint on the scratch fs, removed after termination,
+    - ``final_wm_batch=False`` skips the trailing no-data micro-batch
+      (``noDataMicroBatches.enabled``).  ONLY safe when the sink content
+      cannot depend on a post-data watermark advance: complete-mode aggs
+      re-emit the whole table every batch, inner stream-stream joins and
+      dropDuplicates emit eagerly, update-mode stateful ops with
+      NoTimeout emit only on data.  Left-outer joins (null-padding waits
+      on the watermark) and multi-drain checkpoints (the recovered
+      watermark feeds the NEXT drain's late-row filter) MUST keep it.
+      Verified result-identical per query against the batch oracle.
+    """
+    import shutil
+    import tempfile
+
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    if not final_wm_batch:
+        spark.conf.set(nd_key, "false")
+    ckpt = tempfile.mkdtemp(prefix=f"djs_ckpt_{qname}_", dir=_stream_scratch())
+    try:
+        query = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not final_wm_batch:
+            spark.conf.set(nd_key, "true")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _digest_memory_sink(spark, qname: str, digest: DataFrame) -> DataFrame:
+    """Materialize a digest of a memory-sink table and DROP the sink —
+    repeated runs (bench passes) would otherwise pin every drained batch
+    on the driver heap forever."""
+    rows = digest.collect()
+    schema = digest.schema
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1397,8 +1475,6 @@ def q_streaming_windowed_counts(spark, sf_dir):
     # a fixed init/commit cost (measured at sf0.1: 4-29 s at 32 stores,
     # ~1.5 s at 8, ~0.8 s at 4 — the floor is store machinery, not
     # data).  On a real cluster size this to the executor count instead.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     out = windowed_counts(
         ev,
         "event_ts",
@@ -1407,17 +1483,7 @@ def q_streaming_windowed_counts(spark, sf_dir):
         group_cols=["event_type"],
     )
     qname = f"stream_win_{uuid.uuid4().hex[:8]}"
-    try:
-        query = (
-            out.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, out, qname, "complete", final_wm_batch=False)
     # UTC session => 1-day tumbling windows are UTC-midnight aligned,
     # matching DuckDB date_trunc('day'); cast start to DATE for the digest.
     # Materialize the digest and DROP the memory sink — repeated runs
@@ -1594,19 +1660,7 @@ def q_streaming_dedup(spark, sf_dir):
     qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     # see q_streaming_windowed_counts: 4 state stores, not 32, for this
     # state size; size to the executor count on a real cluster
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, deduped, qname, "append", final_wm_batch=False)
     # materialize the 1-row digest and drop the sink (the append-mode
     # memory table holds every deduped ROW — never leave it pinned)
     out_df = spark.table(qname).agg(
@@ -1652,19 +1706,7 @@ def q_streaming_sessionize(spark, sf_dir):
         F.session_window("event_ts", "30 minutes"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     qname = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            sess.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, sess, qname, "complete", final_wm_batch=False)
     out_df = spark.table(qname).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").cast("bigint").alias("n_events"),
@@ -1706,23 +1748,11 @@ def q_streaming_stateful_counts(spark, sf_dir):
     )
     counts = stateful_running_counts(ev, "user_id", "v")
     qname = f"stream_state_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # 8 stores, not 4: unlike the 5-key cusum/zscore drains this op
     # groups ~|users| keys through Python workers, and the per-key
     # pandas work outweighs the extra store init (A/B min-of-3:
     # 2.20 / 1.75 / 1.35 s at 2 / 4 / 8 partitions)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        query = (
-            counts.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, counts, qname, "update", parts="8", final_wm_batch=False)
     final = spark.table(qname).groupBy("key").agg(
         F.max("n_rows").alias("n_rows"), F.max("n_nulls").alias("n_nulls")
     )
@@ -1779,19 +1809,7 @@ def q_streaming_cusum(spark, sf_dir):
     )
     digests = stateful_cusum(ev)
     qname = f"stream_cusum_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            digests.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, digests, qname, "update", final_wm_batch=False)
     final = (
         spark.table(qname)
         .groupBy("key")
@@ -1856,19 +1874,7 @@ def q_streaming_zscore(spark, sf_dir):
     )
     digests = stateful_zscore(ev, window_days=7, threshold=2.0)
     qname = f"stream_zscore_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            digests.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, digests, qname, "update", final_wm_batch=False)
     final = (
         spark.table(qname)
         .groupBy("key")
@@ -1921,24 +1927,12 @@ def q_streaming_psi_buckets(spark, sf_dir):
     ev = normalize_event_time(raw).withColumn(
         "event_ts", F.col("ts").cast("timestamp")
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     out = windowed_value_buckets(
         ev, "event_ts", "value", lo=0.0, hi=500.0, n_buckets=10,
         window="1 day", watermark="1 hour",
     )
     qname = f"stream_psi_{uuid.uuid4().hex[:8]}"
-    try:
-        query = (
-            out.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, out, qname, "complete", final_wm_batch=False)
     out_df = spark.table(qname).select(
         F.col("win.start").cast("date").alias("day"),
         "bucket",
@@ -2800,19 +2794,7 @@ def q_streaming_bootstrap(spark, sf_dir):
         n_reps=n_reps,
     )
     qname = f"stream_boot_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            sums.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, sums, qname, "complete", final_wm_batch=False)
     state = spark.table(qname)
     # batch post-processing of the drained 32-row state: identical rank
     # rule as operators.resample.bootstrap_mean_ci
@@ -2891,19 +2873,7 @@ def q_streaming_gumbel(spark, sf_dir):
         block="month",
     )
     qname = f"stream_gumbel_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            maxima.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, maxima, qname, "complete", final_wm_batch=False)
     state = spark.table(qname)
     out_df = gumbel_fit_from_maxima(state, "m", (12, 60))
     rows = out_df.collect()
@@ -2950,19 +2920,7 @@ def q_streaming_grouped_gumbel(spark, sf_dir):
         group_col="event_type",
     )
     qname = f"stream_ggum_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            maxima.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, maxima, qname, "complete", final_wm_batch=False)
     state = spark.table(qname)
     out_df = gumbel_fit_from_maxima(
         state, "m", (30,), group_cols=["event_type"]
@@ -3510,19 +3468,7 @@ def q_streaming_interval_join(spark, sf_dir):
     )
     qname = f"stream_ivj_{uuid.uuid4().hex[:8]}"
     # see q_streaming_windowed_counts: 8 state stores, not 32
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, joined, qname, "append", final_wm_batch=False)
     # 1-row digest, then drop the sink (append mode pins matched ROWS)
     out_df = spark.table(qname).agg(
         F.count(F.lit(1)).alias("n_matched"),
@@ -3584,19 +3530,7 @@ def q_streaming_left_join(spark, sf_dir):
         purchases, clicks, cond, "p_ts", "c_ts", watermark_delay="1 hour"
     )
     qname = f"stream_loj_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, joined, qname, "append")
     out_df = spark.table(qname).agg(
         F.count(F.lit(1)).alias("n_emitted"),
         F.count("click_id").alias("n_matched"),
@@ -5337,7 +5271,12 @@ def q_streaming_late_data(spark, sf_dir):
     d3 = F.date_sub(F.lit(max_day), 3)
     d6 = F.date_sub(F.lit(max_day), 6)
     held = (day == d3) & (F.col("event_id") % 5 == 0)
-    base_dir = tempfile.mkdtemp(prefix="djs_stream_late_")
+    # scratch fs: the staged slices + shared checkpoint are ephemera of
+    # this invocation (removed below); the three drains still recompute
+    # everything from the events parquet
+    base_dir = tempfile.mkdtemp(
+        prefix="djs_stream_late_", dir=_stream_scratch()
+    )
     stream_dir = os.path.join(base_dir, "in")
     ckpt_dir = os.path.join(base_dir, "ckpt")
     os.makedirs(stream_dir)
@@ -5410,6 +5349,9 @@ def q_streaming_late_data(spark, sf_dir):
             query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        import shutil
+
+        shutil.rmtree(base_dir, ignore_errors=True)
     # update mode re-emits a key each time its count grows; the final
     # value per key is the max across all drains.
     final: dict = {}
@@ -5455,19 +5397,7 @@ def q_streaming_ab_ztest(spark, sf_dir):
         ev, day <= 15, day >= 16, F.col("event_type") == "purchase"
     )
     qname = f"stream_ab_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            counts.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, counts, qname, "complete", final_wm_batch=False)
     return ztest_from_counts(spark.table(qname))
 
 
@@ -5793,19 +5723,7 @@ def q_streaming_srm(spark, sf_dir):
         ev.select(variant.alias("variant")), "variant"
     )
     qname = f"stream_srm_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            counts.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, counts, qname, "complete", final_wm_batch=False)
     return srm_from_counts(
         spark.table(qname), {"a": 0.5, "b": 0.3, "c": 0.2}
     )
@@ -6064,19 +5982,7 @@ def q_streaming_cmh(spark, sf_dir):
         F.col("event_type") == "purchase",
     )
     qname = f"stream_cmh_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            counts.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, counts, qname, "complete", final_wm_batch=False)
     return cmh_from_counts(spark.table(qname))
 
 
@@ -6340,19 +6246,7 @@ def q_streaming_obf_monitor(spark, sf_dir):
         F.col("event_type") == "purchase",
     )
     qname = f"stream_obf_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            looks.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _drain_memory(spark, looks, qname, "complete", final_wm_batch=False)
     return obf_sequential_ztest(spark.table(qname)).orderBy("look")
 
 
