@@ -3246,9 +3246,14 @@ def q_zorder_digest(spark, sf_dir):
     # Pure codegen bit arithmetic — no UDF, no extra shuffle.
     from datajudge_spark.operators.olap import zorder_key
 
+    from datajudge_spark.pipeline._util import spread
+
     li = _t(spark, sf_dir, "lineitem")
     z = zorder_key(["l_orderkey", "l_partkey"], bits=16)
-    return li.select(z.alias("z")).agg(
+    # spread the 2-column projection: the Morton bit-interleave is
+    # CPU-bound and a single-file scan would run it on one core
+    # (no-op at multi-file scale; measured 1.02 -> 0.76 s)
+    return spread(li.select("l_orderkey", "l_partkey")).select(z.alias("z")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("z")).alias("n_distinct_z"),
         F.min("z").alias("z_min"),
@@ -5825,11 +5830,16 @@ def q_brown_forsythe(spark, sf_dir):
     # then the bounded 5-row priority-ORDERED fold.
     from datajudge_spark.operators.stats import brown_forsythe
 
+    from datajudge_spark.pipeline._util import spread
+
     o = _t(spark, sf_dir, "orders")
-    cents = o.select(
+    # single-file scans land in one partition; spread the narrow
+    # projection so the percentile/deviation passes parallelize
+    # (no-op at multi-file scale; measured 1.22 -> 0.80 s)
+    cents = spread(o.select(
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
+    ))
     return brown_forsythe(cents, "cents", "prio")
 
 

@@ -133,10 +133,15 @@ def test_cross_cdf_no_single_partition_window(spark):
 
 def test_profile_two_clean_scans_exact_mode(spark):
     # exact mode: plain stats + distinct counts as TWO clean aggregates
-    # (one scan each) cross-joined — never the pathological combined
-    # RewriteDistinctAggregates plan (see operators/profile.py docstring)
+    # (one read of the shared cached projection each) cross-joined —
+    # never the pathological combined RewriteDistinctAggregates plan
+    # (see operators/profile.py docstring).  Pinned on the cache reads
+    # rather than the raw "Scan parquet" string count: a finalized
+    # AQE-planned InMemoryRelation prints its initial AND final child
+    # plans, so the FileScan text count depends on whether an earlier
+    # query already materialized the shared cache entry.
     plan = _executed_plan(entrymod.q_profile_table(spark, SF_DIR))
-    assert plan.count("Scan parquet") == 2
+    assert plan.count("InMemoryTableScan") == 2, plan
 
 
 def test_profile_approx_mode_single_scan(spark):
@@ -337,9 +342,15 @@ def test_incremental_merge_two_partial_scans(spark):
 
 def test_percentile_bands_bounded_scans(spark):
     # any number of targets shares the stats + bucket + filtered-hist
-    # passes: 3 scans, never 3 per percentile
+    # passes over ONE persisted projection: the final job reads the
+    # cache, never one source scan per percentile.  A finalized
+    # AQE-planned InMemoryRelation prints its initial AND final child
+    # plans, so the raw FileScan text count is 1 or 2 depending on
+    # whether an earlier query materialized the shared cache — bound it
+    # by the cache-description maximum instead of 1.
     plan = _executed_plan(entrymod.q_percentile_bands(spark, SF_DIR))
-    assert plan.count("Scan parquet") <= 1  # final job: the hist scan only
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
 
 
 def test_fk_integrity_anti_join_on_deduped_parent(spark):
